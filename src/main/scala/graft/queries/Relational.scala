@@ -1,0 +1,217 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Relational coverage over the TPC-H-ish star schema: joins (broadcast
+  * + shuffle), aggregations, window functions, top-k, distinct, set
+  * ops, anti/semi joins. The reference engine has none of these
+  * (SURVEY §2.6) — they come free from Catalyst — but they are the
+  * operators a user of this engine runs against its tables, and the
+  * bench headliners.
+  *
+  * Cross-engine float parity: money columns are 2-decimal doubles, so
+  * all aggregated arithmetic is done in exact integer cents
+  * (`round(x*100) AS BIGINT`) and only converted to DOUBLE at the end
+  * with an identical expression on both engines.
+  */
+object Relational {
+
+  private def read(s: SparkSession, d: String, t: String): DataFrame =
+    s.read.parquet(s"$d/$t.parquet")
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // Q1-style pricing summary: scan + filter + 8-way aggregate.
+    // Predicate + column pruning must reach the parquet scan.
+    QueryDef("q1_pricing_summary",
+      (s, d) => read(s, d, "lineitem")
+        .where(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+        .withColumn("qty_c", expr("CAST(round(l_quantity*100) AS BIGINT)"))
+        .withColumn("ext_c", expr("CAST(round(l_extendedprice*100) AS BIGINT)"))
+        .withColumn("disc_c", expr("CAST(round(l_discount*100) AS BIGINT)"))
+        .withColumn("tax_c", expr("CAST(round(l_tax*100) AS BIGINT)"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          expr("CAST(sum(qty_c) AS DOUBLE) / 100").as("sum_qty"),
+          expr("CAST(sum(ext_c) AS DOUBLE) / 100").as("sum_base_price"),
+          expr("CAST(sum(ext_c * (100 - disc_c)) AS DOUBLE) / 10000").as("sum_disc_price"),
+          expr("CAST(sum(ext_c * (100 - disc_c) * (100 + tax_c)) AS DOUBLE) / 1000000").as("sum_charge"),
+          expr("CAST(sum(qty_c) AS DOUBLE) / 100 / count(*)").as("avg_qty"),
+          expr("CAST(sum(disc_c) AS DOUBLE) / 100 / count(*)").as("avg_disc"),
+          count(lit(1)).cast(LongType).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(qty_c) AS DOUBLE) / 100 AS sum_qty,
+        |  CAST(sum(ext_c) AS DOUBLE) / 100 AS sum_base_price,
+        |  CAST(sum(ext_c * (100 - disc_c)) AS DOUBLE) / 10000 AS sum_disc_price,
+        |  CAST(sum(ext_c * (100 - disc_c) * (100 + tax_c)) AS DOUBLE) / 1000000 AS sum_charge,
+        |  CAST(sum(qty_c) AS DOUBLE) / 100 / count(*) AS avg_qty,
+        |  CAST(sum(disc_c) AS DOUBLE) / 100 / count(*) AS avg_disc,
+        |  CAST(count(*) AS BIGINT) AS count_order
+        |FROM (
+        |  SELECT l_returnflag, l_linestatus,
+        |    CAST(round(l_quantity*100) AS BIGINT) AS qty_c,
+        |    CAST(round(l_extendedprice*100) AS BIGINT) AS ext_c,
+        |    CAST(round(l_discount*100) AS BIGINT) AS disc_c,
+        |    CAST(round(l_tax*100) AS BIGINT) AS tax_c
+        |  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00')
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // Q3-style shipping priority: 3-way join + top-k by revenue.
+    // customer is the small side -> broadcast.
+    QueryDef("q3_top_orders",
+      (s, d) => {
+        val cust = read(s, d, "customer")
+          .where(col("c_mktsegment") === "BUILDING")
+          .select("c_custkey")
+        val ord = read(s, d, "orders")
+          .where(col("o_orderdate") < lit("1998-01-01").cast(TimestampType))
+          .select("o_orderkey", "o_custkey", "o_orderdate")
+        val li = read(s, d, "lineitem")
+          .where(col("l_shipdate") > lit("1998-01-01").cast(TimestampType))
+          .select(col("l_orderkey"),
+            expr("CAST(round(l_extendedprice*100) AS BIGINT)").as("ext_c"),
+            expr("CAST(round(l_discount*100) AS BIGINT)").as("disc_c"))
+        li.join(ord.join(broadcast(cust),
+            ord("o_custkey") === cust("c_custkey")),
+            li("l_orderkey") === ord("o_orderkey"))
+          .groupBy(col("l_orderkey"),
+            unix_millis(col("o_orderdate").cast(TimestampType)).as("order_date_ms"))
+          .agg(expr("CAST(sum(ext_c * (100 - disc_c)) AS DOUBLE) / 10000").as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey,
+        |  CAST(epoch_ms(o_orderdate) AS BIGINT) AS order_date_ms,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE) / 10000 AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_orderkey, order_date_ms
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)),
+
+    // Q5-style revenue by nation: 5-way join, dims broadcast.
+    QueryDef("q5_nation_revenue",
+      (s, d) => {
+        val region = read(s, d, "region").where(col("r_name") === "ASIA")
+        val nation = read(s, d, "nation")
+          .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey", "n_name")
+        val cust = read(s, d, "customer")
+          .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+          .select("c_custkey", "n_name")
+        val ord = read(s, d, "orders").select("o_orderkey", "o_custkey")
+        val li = read(s, d, "lineitem").select(col("l_orderkey"),
+          expr("CAST(round(l_extendedprice*100) AS BIGINT)").as("ext_c"),
+          expr("CAST(round(l_discount*100) AS BIGINT)").as("disc_c"))
+        li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+          .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+          .groupBy("n_name")
+          .agg(expr("CAST(sum(ext_c * (100 - disc_c)) AS DOUBLE) / 10000").as("revenue"),
+               count(lit(1)).cast(LongType).as("n_items"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some("""SELECT n_name,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE) / 10000 AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM region, nation, customer, orders, lineitem
+        |WHERE r_name = 'ASIA' AND n_regionkey = r_regionkey
+        |  AND c_nationkey = n_nationkey AND o_custkey = c_custkey
+        |  AND l_orderkey = o_orderkey
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)),
+
+    // Window function: top-3 orders per customer by price.
+    QueryDef("w1_top_orders_per_customer",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        read(s, d, "orders")
+          .withColumn("rn", row_number().over(w).cast(LongType))
+          .where(col("rn") <= 3)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |FROM orders QUALIFY rn <= 3 ORDER BY o_custkey, rn""".stripMargin)),
+
+    // Exact distinct aggregation.
+    QueryDef("d1_distinct_parts",
+      (s, d) => read(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct("l_partkey").cast(LongType).as("n_parts"),
+             countDistinct("l_suppkey").cast(LongType).as("n_supps"),
+             count(lit(1)).cast(LongType).as("n_rows"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Anti join: customers with no order in the final year of data.
+    QueryDef("j1_customers_no_orders",
+      (s, d) => {
+        val cust = read(s, d, "customer")
+        val ord = read(s, d, "orders")
+          .where(col("o_orderdate") >= lit("2001-01-01").cast(TimestampType))
+          .select("o_custkey")
+        val nation = read(s, d, "nation")
+        cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+          .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(count(lit(1)).cast(LongType).as("n_custs"))
+          .orderBy("n_name")
+      },
+      Some("""SELECT n_name, CAST(count(*) AS BIGINT) AS n_custs
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+        |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    // Semi join: suppliers that shipped, per nation.
+    QueryDef("j2_active_suppliers",
+      (s, d) => {
+        val supp = read(s, d, "supplier")
+        val li = read(s, d, "lineitem").select("l_suppkey")
+        val nation = read(s, d, "nation")
+        supp.join(li, supp("s_suppkey") === li("l_suppkey"), "left_semi")
+          .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(count(lit(1)).cast(LongType).as("n_suppliers"))
+          .orderBy("n_name")
+      },
+      Some("""SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
+        |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    // Set op: (user, day) pairs with clicks but no purchase that day.
+    QueryDef("s2_except_user_days",
+      (s, d) => {
+        val ev = Records.events(s, d)
+          .withColumn("day", expr("ts div 86400000000000"))
+        val click = ev.where(col("event_type") === "click")
+          .select("user_id", "day").distinct()
+        val buy = ev.where(col("event_type") === "purchase")
+          .select("user_id", "day").distinct()
+        click.except(buy).orderBy("user_id", "day")
+      },
+      Some("""SELECT DISTINCT user_id, CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day
+        |FROM events WHERE event_type = 'click'
+        |EXCEPT
+        |SELECT DISTINCT user_id, CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day
+        |FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id, day""".stripMargin))
+  )
+}

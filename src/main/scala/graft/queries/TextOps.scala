@@ -1,0 +1,327 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Training-data-pipeline text operators over the `documents` table:
+  * exact + fuzzy deduplication (md5 fingerprint, word-3-gram Jaccard,
+  * MinHash+LSH banding, SimHash), language-ID heuristic, quality
+  * scoring, token counting, normalized fingerprinting.
+  *
+  * The synthetic corpus has no natural duplicates, so dedup queries run
+  * over a deterministically AUGMENTED corpus: base docs UNION exact
+  * copies (doc_id%17==0, +1M ids) UNION near-copies with an appended
+  * suffix (doc_id%13==0, +2M ids). Both engines build the same corpus,
+  * so the oracle still verifies the dedup semantics end-to-end.
+  *
+  * Cross-engine determinism: md5 is the shared hash (identical hex in
+  * Spark and DuckDB); MinHash uses lexicographic-min of seeded md5
+  * (a uniform permutation), so signatures match bit-for-bit.
+  */
+object TextOps {
+
+  // ---- shared Spark-side corpus helpers -----------------------------------
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/documents.parquet")
+
+  private def docsAug(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select("doc_id", "text", "lang")
+    val exact = base.where(col("doc_id") % 17 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text"), col("lang"))
+    val near = base.where(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 2000000).as("doc_id"),
+        concat(col("text"), lit(" near duplicate suffix")).as("text"), col("lang"))
+    base.unionAll(exact).unionAll(near)
+  }
+
+  /** Distinct word-3-gram shingles per doc (1-based indexing to mirror
+    * the DuckDB formulation).
+    */
+  private def shingles(df: DataFrame): DataFrame = {
+    val w = split(col("text"), " ")
+    df.select(col("doc_id"),
+        explode(array_distinct(
+          when(size(w) >= 3,
+            transform(sequence(lit(1), size(w) - 2),
+              i => concat_ws(" ", element_at(w, i), element_at(w, i + 1),
+                             element_at(w, i + 2))))
+          .otherwise(array().cast(ArrayType(StringType))))).as("sh"))
+  }
+
+  private def md5s(c: Column): Column = md5(c.cast(BinaryType))
+
+  // ---- shared DuckDB CTE fragments ----------------------------------------
+
+  private val DocsAugCte =
+    """docs_aug AS (
+      |  SELECT doc_id, text, lang FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text, lang FROM documents WHERE doc_id % 17 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, text || ' near duplicate suffix', lang
+      |  FROM documents WHERE doc_id % 13 = 0
+      |)""".stripMargin
+
+  private val ShinglesCte =
+    """shingles AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    list_transform(range(1, len(w) - 1),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM docs_aug)
+      |)""".stripMargin
+
+  private val ShingleCountsCte =
+    """sh_counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+      |  FROM shingles GROUP BY doc_id)""".stripMargin
+
+  /** Exact-Jaccard verification over candidate pairs (a < b). */
+  private val JaccardSelect =
+    """SELECT c.doc_a, c.doc_b,
+      |  round(CAST(common AS DOUBLE) / (na.n_sh + nb.n_sh - common), 6) AS jaccard
+      |FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |        CAST(count(*) AS BIGINT) AS common
+      |      FROM shingles a JOIN shingles b
+      |        ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2) c
+      |JOIN sh_counts na ON na.doc_id = c.doc_a
+      |JOIN sh_counts nb ON nb.doc_id = c.doc_b""".stripMargin
+
+  // Spark-side exact jaccard over all shingle-sharing pairs.
+  private def jaccardPairs(sh: DataFrame): DataFrame = {
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val a = sh.toDF("doc_a", "sh")
+    val b = sh.toDF("doc_b", "sh")
+    a.join(b, a("sh") === b("sh") && a("doc_a") < b("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+      .join(counts.toDF("doc_a", "na"), "doc_a")
+      .join(counts.toDF("doc_b", "nb"), "doc_b")
+      .withColumn("jaccard",
+        round(col("common").cast(DoubleType) / (col("na") + col("nb") - col("common")), 6))
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // Exact dedup: md5 content hash, keep lowest doc_id per group.
+    QueryDef("dedup_exact",
+      (s, d) => {
+        val fp = docsAug(s, d).select(col("doc_id"), md5s(col("text")).as("fp"))
+        val keep = fp.groupBy("fp").agg(min("doc_id").as("keep_id"))
+        fp.join(keep, "fp")
+          .where(col("doc_id") =!= col("keep_id"))
+          .select("doc_id", "keep_id")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $DocsAugCte,
+        |fp AS (SELECT doc_id, md5(text) AS f FROM docs_aug),
+        |keep AS (SELECT f, min(doc_id) AS keep_id FROM fp GROUP BY f)
+        |SELECT fp.doc_id, keep.keep_id FROM fp JOIN keep ON fp.f = keep.f
+        |WHERE fp.doc_id <> keep.keep_id ORDER BY fp.doc_id""".stripMargin)),
+
+    // Normalized document fingerprint (whitespace-collapse + lowercase).
+    QueryDef("text_fingerprint",
+      (s, d) => docs(s, d)
+        .select(col("doc_id"),
+          md5s(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("fp"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Token statistics (whitespace tokenizer).
+    QueryDef("text_token_count",
+      (s, d) => {
+        val w = split(col("text"), " ")
+        docs(s, d).select(col("doc_id"),
+            size(w).cast(LongType).as("n_tokens"),
+            size(array_distinct(w)).cast(LongType).as("n_distinct"),
+            length(col("text")).cast(LongType).as("n_chars_measured"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+        |  CAST(length(text) AS BIGINT) AS n_chars_measured
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Quality scoring: stopword ratio, type-token ratio, mean token
+    // length, and a keep/drop flag.
+    QueryDef("text_quality",
+      (s, d) => {
+        val w = split(col("text"), " ")
+        docs(s, d).select(col("doc_id"),
+            size(w).cast(LongType).as("n_tokens"),
+            size(filter(w, x => x.isin("the", "a", "and", "of", "to")))
+              .cast(LongType).as("n_stop"),
+            length(col("text")).cast(LongType).as("n_chars_m"))
+          .withColumn("stop_ratio",
+            round(col("n_stop").cast(DoubleType) / col("n_tokens"), 6))
+          .withColumn("ttr_len",
+            round((col("n_chars_m") - col("n_tokens") + 1).cast(DoubleType)
+              / col("n_tokens"), 6))
+          .withColumn("keep",
+            col("n_tokens") >= 20 && col("stop_ratio") < 0.5)
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, n_tokens, n_stop, n_chars_m,
+        |  round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio,
+        |  round(CAST(n_chars_m - n_tokens + 1 AS DOUBLE) / n_tokens, 6) AS ttr_len,
+        |  (n_tokens >= 20 AND CAST(n_stop AS DOUBLE) / n_tokens < 0.5) AS keep
+        |FROM (SELECT doc_id,
+        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |        CAST(len(list_filter(string_split(text, ' '),
+        |          x -> x IN ('the', 'a', 'and', 'of', 'to'))) AS BIGINT) AS n_stop,
+        |        CAST(length(text) AS BIGINT) AS n_chars_m
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin)),
+
+    // Language-ID heuristic: marker-token votes with a fixed-priority
+    // argmax tiebreak.
+    QueryDef("text_lang_id",
+      (s, d) => {
+        val w = split(col("text"), " ")
+        def score(markers: String*) =
+          size(filter(w, x => x.isin(markers: _*))).cast(LongType)
+        docs(s, d).select(col("doc_id"),
+            score("the", "and", "a", "of").as("en_score"),
+            score("el", "la", "de", "que").as("es_score"),
+            score("le", "les", "et", "un").as("fr_score"),
+            score("der", "und", "die", "das").as("de_score"))
+          .withColumn("predicted",
+            when(col("en_score") >= col("es_score") &&
+                 col("en_score") >= col("fr_score") &&
+                 col("en_score") >= col("de_score") && col("en_score") > 0, "en")
+            .when(col("es_score") >= col("fr_score") &&
+                  col("es_score") >= col("de_score") && col("es_score") > 0, "es")
+            .when(col("fr_score") >= col("de_score") && col("fr_score") > 0, "fr")
+            .when(col("de_score") > 0, "de")
+            .otherwise("unknown"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, en_score, es_score, fr_score, de_score,
+        |  CASE
+        |    WHEN en_score >= es_score AND en_score >= fr_score
+        |         AND en_score >= de_score AND en_score > 0 THEN 'en'
+        |    WHEN es_score >= fr_score AND es_score >= de_score
+        |         AND es_score > 0 THEN 'es'
+        |    WHEN fr_score >= de_score AND fr_score > 0 THEN 'fr'
+        |    WHEN de_score > 0 THEN 'de'
+        |    ELSE 'unknown' END AS predicted
+        |FROM (SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    x -> x IN ('the','and','a','of'))) AS BIGINT) AS en_score,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    x -> x IN ('el','la','de','que'))) AS BIGINT) AS es_score,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    x -> x IN ('le','les','et','un'))) AS BIGINT) AS fr_score,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    x -> x IN ('der','und','die','das'))) AS BIGINT) AS de_score
+        |FROM documents) ORDER BY doc_id""".stripMargin)),
+
+    // N-gram Jaccard near-dup pairs (exact, shingle-join candidates).
+    QueryDef("dedup_ngram_jaccard",
+      (s, d) => jaccardPairs(shingles(docsAug(s, d)))
+        .where(col("jaccard") >= 0.6)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b"),
+      Some(s"""WITH $DocsAugCte, $ShinglesCte, $ShingleCountsCte
+        |$JaccardSelect
+        |WHERE round(CAST(common AS DOUBLE) / (na.n_sh + nb.n_sh - common), 6) >= 0.6
+        |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // MinHash + LSH banding: 16 seeded-md5 min-hashes, 4 bands x 4 rows;
+    // bucket-join candidates, then exact-Jaccard verification >= 0.5.
+    QueryDef("dedup_minhash_lsh",
+      (s, d) => {
+        val sh = shingles(docsAug(s, d)).cache()
+        val seeds = s.range(16).select(col("id").cast(IntegerType).as("seed"))
+        val minh = sh.crossJoin(broadcast(seeds))
+          .groupBy("doc_id", "seed")
+          .agg(min(md5s(concat(col("seed").cast(StringType), lit(":"), col("sh")))).as("mh"))
+        val bands = minh
+          .withColumn("band", expr("seed div 4"))
+          .groupBy("doc_id", "band")
+          .agg(md5s(concat_ws("|",
+            transform(array_sort(collect_list(struct(col("seed"), col("mh")))),
+                      x => x.getField("mh")))).as("band_key"))
+        val aa = bands.select(col("band"), col("band_key"), col("doc_id").as("doc_a"))
+        val bb = bands.select(col("band"), col("band_key"), col("doc_id").as("doc_b"))
+        val cands = aa.join(bb, Seq("band", "band_key"))
+          .where(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b").distinct()
+        jaccardPairs(sh).join(cands, Seq("doc_a", "doc_b"), "left_semi")
+          .where(col("jaccard") >= 0.5)
+          .select("doc_a", "doc_b", "jaccard")
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH $DocsAugCte, $ShinglesCte, $ShingleCountsCte,
+        |minh AS (
+        |  SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || sh)) AS mh
+        |  FROM shingles, (SELECT unnest(range(0, 16)) AS seed)
+        |  GROUP BY doc_id, seed),
+        |bands AS (
+        |  SELECT doc_id, seed // 4 AS band,
+        |    md5(string_agg(mh, '|' ORDER BY seed)) AS band_key
+        |  FROM minh GROUP BY doc_id, seed // 4),
+        |cands AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.band_key = b.band_key
+        |   AND a.doc_id < b.doc_id)
+        |$JaccardSelect
+        |JOIN cands ON cands.doc_a = c.doc_a AND cands.doc_b = c.doc_b
+        |WHERE round(CAST(common AS DOUBLE) / (na.n_sh + nb.n_sh - common), 6) >= 0.5
+        |ORDER BY c.doc_a, c.doc_b""".stripMargin)),
+
+    // SimHash 32-bit fingerprint from shingle md5 hex-digit high bits.
+    QueryDef("dedup_simhash",
+      (s, d) => {
+        val sh = shingles(docsAug(s, d))
+          .withColumn("h", md5s(col("sh")))
+        val bits = sh.select(col("doc_id"),
+            explode(expr("""transform(sequence(1, 32), j -> struct(
+              CAST(j AS BIGINT) AS bit,
+              CASE WHEN substr(h, j, 1) IN ('8','9','a','b','c','d','e','f')
+                   THEN 1 ELSE -1 END AS v))""")).as("bv"))
+          .select(col("doc_id"), col("bv.bit").as("bit"), col("bv.v").as("v"))
+        bits.groupBy("doc_id", "bit").agg(sum("v").as("sv"))
+          .withColumn("bitval",
+            when(col("sv") > 0,
+              expr("shiftleft(CAST(1 AS BIGINT), CAST(bit - 1 AS INT))"))
+            .otherwise(0L))
+          .groupBy("doc_id")
+          .agg(sum("bitval").cast(LongType).as("simhash"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $DocsAugCte, $ShinglesCte,
+        |bits AS (
+        |  SELECT doc_id, j AS bit,
+        |    CASE WHEN substr(md5(sh), CAST(j AS INT), 1)
+        |      IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END AS v
+        |  FROM shingles, (SELECT unnest(range(1, 33)) AS j)),
+        |sums AS (SELECT doc_id, bit, sum(v) AS sv FROM bits GROUP BY doc_id, bit)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN sv > 0 THEN 1::BIGINT << (bit - 1) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM sums GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Multimodal plumbing: opaque binary payloads with derived typed
+    // metadata (decode itself is a stub — see graft.extras.Multimodal).
+    QueryDef("mm1_binary_meta",
+      (s, d) => Records.events(s, d)
+        .select(col("event_id"),
+          octet_length(col("props").cast(BinaryType)).cast(LongType).as("byte_len"))
+        .withColumn("format",
+          element_at(array(lit("png"), lit("jpg"), lit("webp")),
+            (col("byte_len") % 3 + 1).cast(IntegerType)))
+        .withColumn("width", (lit(32) + (col("byte_len") * 7) % 64).cast(LongType))
+        .withColumn("height", (lit(32) + (col("byte_len") * 13) % 64).cast(LongType))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, byte_len,
+        |  ['png', 'jpg', 'webp'][CAST(byte_len % 3 + 1 AS INT)] AS format,
+        |  CAST(32 + (byte_len * 7) % 64 AS BIGINT) AS width,
+        |  CAST(32 + (byte_len * 13) % 64 AS BIGINT) AS height
+        |FROM (SELECT event_id, CAST(strlen(props) AS BIGINT) AS byte_len FROM events)
+        |ORDER BY event_id""".stripMargin))
+  )
+}

@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over the `embeddings` table (ARRAY<FLOAT>, 64-d):
+  *
+  * - brute-force cosine top-k (the correctness baseline),
+  * - IVF-style partitioned search (the 100 TB scale path: assign every
+  *   vector to its nearest centroid, probe only the query's cell),
+  * - near-duplicate pairs by cosine threshold with label blocking
+  *   (the embedding-space dedup used by training-data pipelines).
+  *
+  * Cross-engine float parity: dot products are computed as sequential
+  * left-folds in DOUBLE on both engines (Spark `aggregate`, DuckDB
+  * `list_reduce`) — same order, same rounding — and scores are rounded
+  * to 6 decimals before compare/threshold.
+  */
+object VectorOps {
+
+  private def emb(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/embeddings.parquet")
+
+  /** Sequential-fold cosine between two ARRAY<FLOAT> columns (double). */
+  private def cosine(a: String, b: String): Column =
+    expr(s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                       CAST(0 AS DOUBLE), (acc, v) -> acc + v)
+             / (sqrt(aggregate($a, CAST(0 AS DOUBLE),
+                       (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))
+              * sqrt(aggregate($b, CAST(0 AS DOUBLE),
+                       (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))""")
+
+  /** DuckDB equivalent of cosine(a, b). */
+  private def duckCosine(a: String, b: String): String =
+    s"""(list_reduce(list_transform(list_zip($a, $b),
+          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, v) -> acc + v)
+        / (sqrt(list_reduce(list_transform($a, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)),
+             (acc, v) -> acc + v))
+         * sqrt(list_reduce(list_transform($b, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)),
+             (acc, v) -> acc + v))))"""
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // Brute-force cosine top-10 for 5 query vectors. The small query
+    // side is broadcast so the big side streams without a shuffle.
+    QueryDef("ann_bruteforce_topk",
+      (s, d) => {
+        val all = emb(s, d).select(col("vec_id").as("n_id"), col("embedding").as("ve"))
+        val q = emb(s, d).where(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("vq"))
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("score").desc, col("n_id"))
+        all.crossJoin(broadcast(q))
+          .where(col("n_id") =!= col("q_id"))
+          .withColumn("score", round(cosine("vq", "ve"), 6))
+          .withColumn("rank", row_number().over(w).cast(LongType))
+          .where(col("rank") <= 10)
+          .select("q_id", "n_id", "score", "rank")
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH scored AS (
+        |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+        |    round(${duckCosine("q.embedding", "n.embedding")}, 6) AS score
+        |  FROM embeddings q, embeddings n
+        |  WHERE q.vec_id < 5 AND n.vec_id <> q.vec_id)
+        |SELECT q_id, n_id, score,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS BIGINT) AS rank
+        |FROM scored QUALIFY rank <= 10 ORDER BY q_id, rank""".stripMargin)),
+
+    // IVF-style ANN: centroids = vec_id % 100 == 0; every vector joins
+    // its nearest centroid (argmin by cosine distance, centroid-id
+    // tiebreak); queries probe ONLY their own cell (nprobe=1).
+    QueryDef("ann_ivf_topk",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val all = emb(s, d).select(col("vec_id"), col("embedding"))
+        val cents = all.where(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("c_id"), col("embedding").as("vc"))
+        val wAssign = Window.partitionBy("vec_id")
+          .orderBy(col("csim").desc, col("c_id"))
+        val assigned = all.crossJoin(broadcast(cents))
+          .withColumn("csim", round(cosine("embedding", "vc"), 6))
+          .withColumn("arn", row_number().over(wAssign))
+          .where(col("arn") === 1)
+          .select(col("vec_id"), col("embedding"), col("c_id").as("cell"))
+        val q = assigned.where(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("vq"), col("cell"))
+        val wRank = Window.partitionBy("q_id")
+          .orderBy(col("score").desc, col("n_id"))
+        assigned.select(col("vec_id").as("n_id"), col("embedding").as("ve"), col("cell"))
+          .join(broadcast(q), "cell")
+          .where(col("n_id") =!= col("q_id"))
+          .withColumn("score", round(cosine("vq", "ve"), 6))
+          .withColumn("rank", row_number().over(wRank).cast(LongType))
+          .where(col("rank") <= 5)
+          .select("q_id", "n_id", "cell", "score", "rank")
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH cents AS (
+        |  SELECT vec_id AS c_id, embedding AS vc FROM embeddings WHERE vec_id % 100 = 0),
+        |assigned AS (
+        |  SELECT vec_id, embedding, c_id AS cell FROM (
+        |    SELECT e.vec_id, e.embedding, c.c_id,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        round(${duckCosine("e.embedding", "c.vc")}, 6) DESC, c.c_id) AS arn
+        |    FROM embeddings e, cents c)
+        |  WHERE arn = 1),
+        |q AS (SELECT vec_id AS q_id, embedding AS vq, cell FROM assigned WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.q_id, a.vec_id AS n_id, a.cell,
+        |    round(${duckCosine("q.vq", "a.embedding")}, 6) AS score
+        |  FROM assigned a JOIN q ON a.cell = q.cell
+        |  WHERE a.vec_id <> q.q_id)
+        |SELECT q_id, n_id, cell, score,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS BIGINT) AS rank
+        |FROM scored QUALIFY rank <= 5 ORDER BY q_id, rank""".stripMargin)),
+
+    // Embedding-cosine near-dup pairs with label blocking. The corpus
+    // has no natural near-dups, so exact copies (vec_id%23==0, +1M ids)
+    // are unioned in — the same augmentation on both engines.
+    QueryDef("dedup_embedding_cosine",
+      (s, d) => {
+        val base = emb(s, d)
+        val aug = base.unionAll(
+          base.where(col("vec_id") % 23 === 0)
+            .select((col("vec_id") + 1000000).as("vec_id"),
+                    col("embedding"), col("label")))
+        val a = aug.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+                           col("label"))
+        val b = aug.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+                           col("label"))
+        a.join(b, Seq("label"))
+          .where(col("id_a") < col("id_b"))
+          .withColumn("score", round(cosine("va", "vb"), 6))
+          .where(col("score") >= 0.99)
+          .select("id_a", "id_b", "label", "score")
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH aug AS (
+        |  SELECT vec_id, embedding, label FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, embedding, label FROM embeddings WHERE vec_id % 23 = 0)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
+        |  round(${duckCosine("a.embedding", "b.embedding")}, 6) AS score
+        |FROM aug a JOIN aug b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(${duckCosine("a.embedding", "b.embedding")}, 6) >= 0.99
+        |ORDER BY id_a, id_b""".stripMargin))
+  )
+}
