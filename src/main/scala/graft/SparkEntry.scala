@@ -12,7 +12,8 @@ import graft.queries._
 object SparkEntry {
 
   private def allDefs: Seq[QueryDef] =
-    StreamOps.defs ++ Relational.defs ++ TextOps.defs ++ VectorOps.defs
+    StreamOps.defs ++ Relational.defs ++ TextOps.defs ++ VectorOps.defs ++
+      EngineOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,81 @@
+package graft.log
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import org.json4s.jackson.Serialization
+
+/** On-disk layout of a stream store root:
+  *
+  * {{{
+  * root/
+  *   _catalog/catalog.json                    — basins + streams + configs
+  *   _state/<basin>/<escaped-stream>.json     — per-stream manifest
+  *   data/basin=<basin>/stream=<escaped>/     — record parquet files
+  * }}}
+  *
+  * The per-stream manifest is the analog of the reference's KV keys
+  * StreamTailPosition / StreamFencingToken / StreamTrimPoint
+  * (lite/src/backend/kv/mod.rs:73-83): the tail survives a full trim,
+  * fencing token and trim point are recovered from it on open. All
+  * manifest/catalog writes go through an atomic temp-file + rename, so
+  * a committed manifest IS the durability barrier (SURVEY §4: commit =
+  * durable replaces the reference's flush watermark machinery).
+  */
+object Layout {
+
+  /** Escape a stream name into a partition-path token using the same
+    * character set Spark's partition writer escapes (Hive-compatible
+    * %XX encoding), so directories written via `partitionBy("stream")`
+    * and directories addressed directly by this layout coincide.
+    */
+  private val needsEscape: Set[Char] =
+    (0.toChar to 31.toChar).toSet ++ Set('"', '#', '%', '\'', '*', '/', ':',
+      '=', '?', '\\', '\u007f', '{', '[', ']', '^')
+
+  def escape(name: String): String = {
+    val sb = new StringBuilder
+    name.foreach { c =>
+      if (needsEscape(c)) sb.append(f"%%${c.toInt}%02X") else sb.append(c)
+    }
+    sb.toString
+  }
+
+  def dataDir(root: String, basin: String, stream: String): String =
+    s"$root/data/basin=$basin/stream=${escape(stream)}"
+
+  def statePath(root: String, basin: String, stream: String): Path =
+    Paths.get(root, "_state", basin, escape(stream) + ".json")
+
+  def catalogPath(root: String): Path =
+    Paths.get(root, "_catalog", "catalog.json")
+
+  implicit val formats: Formats = DefaultFormats
+
+  /** Atomic JSON write: temp file in the same directory + atomic move. */
+  def writeJson[A <: AnyRef](path: Path, value: A): Unit = {
+    Files.createDirectories(path.getParent)
+    val tmp = Files.createTempFile(path.getParent, ".tmp", ".json")
+    Files.writeString(tmp, Serialization.writePretty(value))
+    Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def readJson[A: Manifest](path: Path): Option[A] =
+    if (Files.exists(path))
+      Some(JsonMethods.parse(Files.readString(path)).extract[A])
+    else None
+}
+
+/** Durable per-stream state. `tailSeq`/`tailTs` = position of the next
+  * record (never reset by trim); `trimPoint` = records below are
+  * logically deleted (Long.MaxValue = terminal trim / stream deletion
+  * pending, ref streamer.rs:872-884).
+  */
+final case class StreamManifest(
+    tailSeq: Long = 0L,
+    tailTs: Long = 0L,
+    fencingToken: String = "",
+    trimPoint: Long = 0L,
+    deletionPending: Boolean = false,
+    version: Long = 0L)

@@ -1,0 +1,396 @@
+package graft.log
+
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.ConcurrentHashMap
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+import graft.model._
+
+/** The data plane: a durable, append-only, totally-ordered record log
+  * per (basin, stream), stored as Parquet partitions + atomic per-stream
+  * manifests, with the reference's append/read semantics (SURVEY §2.1,
+  * §2.2) re-expressed Spark-first.
+  *
+  * Scale design (local[32] here, 1000 executors at 100 TB):
+  * - data is hash-partitioned BY STREAM on disk (`basin=/stream=`
+  *   directories), so every read prunes to one partition and every
+  *   multi-stream ingest parallelizes across streams with exactly one
+  *   shuffle (the per-stream sequencing sort — inherent to the total
+  *   order, same as the reference's one-writer-per-stream actor);
+  * - files within a stream are written sorted by seq_num with
+  *   min/max parquet stats, so seq/timestamp range reads prune files
+  *   (the analog of the SRD prefix scan + SRT index seek,
+  *   lite/src/backend/read.rs:112-131,287-317);
+  * - the manifest commit (atomic rename) is the durability barrier:
+  *   visible ⇔ durable, replacing the reference's flush watermark
+  *   (lite/src/backend/durability_notifier.rs);
+  * - trim/retention are logical masks at read time, made physical by
+  *   compaction (T1/T2) — "trimming is eventually consistent"
+  *   (cli/src/cli.rs:143-146).
+  */
+final class StreamStore(val spark: SparkSession, val root: String) {
+
+  val catalog = new Catalog(root)
+
+  private val locks = new ConcurrentHashMap[String, Object]()
+  private def lockFor(basin: String, stream: String): Object =
+    locks.computeIfAbsent(s"$basin\u0000$stream", _ => new Object)
+
+  val recordSchema: StructType = StructType(Seq(
+    StructField("seq_num", LongType, nullable = false),
+    StructField("timestamp", LongType, nullable = false),
+    StructField("headers", ArrayType(StructType(Seq(
+      StructField("name", BinaryType), StructField("value", BinaryType)))),
+      nullable = true),
+    StructField("body", BinaryType, nullable = true),
+    StructField("metered_size", LongType, nullable = false)))
+
+  def manifest(basin: String, stream: String): StreamManifest =
+    Layout.readJson[StreamManifest](Layout.statePath(root, basin, stream))
+      .getOrElse(StreamManifest())
+
+  private def saveManifest(basin: String, stream: String, m: StreamManifest): Unit =
+    Layout.writeJson(Layout.statePath(root, basin, stream), m)
+
+  /** R1: tail = position of the next record; survives full trim. */
+  def checkTail(basin: String, stream: String): StreamPosition = {
+    val m = manifest(basin, stream)
+    StreamPosition(m.tailSeq, m.tailTs)
+  }
+
+  // -------------------------------------------------------------------------
+  // Append path (A1-A7)
+  // -------------------------------------------------------------------------
+
+  /** A1 unary append. Validates caps, enforces fencing (A5) and CAS
+    * (A4), assigns positions (A2) and timestamps (A3, exact
+    * streamer.rs:964-1008 semantics), applies in-band fence/trim
+    * commands (A6/A7), commits one sorted parquet file + the manifest.
+    */
+  def append(basin: String, stream: String, input: AppendInput,
+             nowMs: Option[Long] = None): Either[AppendError, AppendAck] = {
+    Caps.validateBatch(input.records) match {
+      case Left(e) => return Left(AppendError.InvalidBatch(e))
+      case Right(_) =>
+    }
+    val config = catalog.streamConfig(basin, stream)
+      .getOrElse(StreamConfig.SystemDefault)
+    val ts = config.timestampingOrDefault
+
+    lockFor(basin, stream).synchronized {
+      val m = manifest(basin, stream)
+      if (m.deletionPending)
+        return Left(AppendError.StreamDeletionPending)
+      // A5: fencing enforced only when a token is provided
+      input.fencingToken match {
+        case Some(t) if t != m.fencingToken =>
+          return Left(AppendError.FencingTokenMismatch(m.fencingToken))
+        case _ =>
+      }
+      // A4: CAS against the first assigned seq_num
+      input.matchSeqNum match {
+        case Some(n) if n != m.tailSeq =>
+          return Left(AppendError.SeqNumMismatch(n, m.tailSeq))
+        case _ =>
+      }
+      val now = nowMs.getOrElse(System.currentTimeMillis())
+      val clientTs: Seq[Option[Long]] =
+        if (input.clientTimestamps.nonEmpty) input.clientTimestamps
+        else Seq.fill(input.records.size)(None)
+
+      // A3: per-record mode -> cap -> monotone clamp
+      var maxTs = m.tailTs
+      val assigned = new scala.collection.mutable.ArrayBuffer[(Long, Long)]
+      for ((ct, i) <- clientTs.zipWithIndex) {
+        var t = ts.mode match {
+          case TimestampingMode.ClientPrefer => ct.getOrElse(now)
+          case TimestampingMode.ClientRequire =>
+            ct.getOrElse(return Left(AppendError.TimestampMissing))
+          case TimestampingMode.Arrival => now
+        }
+        if (!ts.uncapped && t > now) t = now
+        if (t < maxTs) t = maxTs else maxTs = t
+        assigned += ((m.tailSeq + i, t))
+      }
+
+      // A6/A7: apply commands in order
+      var fence = m.fencingToken
+      var trim = m.trimPoint
+      for ((rec, i) <- input.records.zipWithIndex) rec match {
+        case FenceCommand(token) => fence = token
+        case TrimCommand(p) =>
+          val candidate = math.min(p, assigned(i)._1 + 1)
+          if (candidate > trim) trim = candidate
+        case e: EnvelopeRecord =>
+          CommandRecord.fromEnvelopeForm(e).foreach {
+            case FenceCommand(token) => fence = token
+            case TrimCommand(p) =>
+              val candidate = math.min(p, assigned(i)._1 + 1)
+              if (candidate > trim) trim = candidate
+          }
+      }
+
+      val rows = input.records.zip(assigned).map { case (rec, (seq, t)) =>
+        val env = rec match {
+          case e: EnvelopeRecord => e
+          case c: CommandRecord => c.toEnvelopeForm
+        }
+        Row(seq, t,
+          env.headers.map(h => Row(h.name, h.value)),
+          env.body, rec.meteredSize)
+      }
+      val df = spark.createDataFrame(rows.asJava, recordSchema)
+      df.coalesce(1).sortWithinPartitions("seq_num")
+        .write.mode("append").parquet(Layout.dataDir(root, basin, stream))
+
+      val first = assigned.head
+      val last = assigned.last
+      val newM = m.copy(tailSeq = last._1 + 1, tailTs = math.max(m.tailTs, last._2),
+        fencingToken = fence, trimPoint = trim, version = m.version + 1)
+      saveManifest(basin, stream, newM)
+      Right(AppendAck(
+        StreamPosition(first._1, first._2),
+        StreamPosition(last._1 + 1, last._2),
+        StreamPosition(newM.tailSeq, newM.tailTs)))
+    }
+  }
+
+  /** Bulk ingest — the 100 TB path. Takes a DataFrame with columns
+    * (basin STRING, stream STRING, ts_client LONG nullable, headers,
+    * body BINARY, arrival LONG) and appends every stream in one job:
+    * one shuffle (partition by stream for the sequencing sort), writes
+    * via dynamic partitions, then commits all manifests. One logical
+    * writer per stream is still required — callers serialize per store.
+    */
+  def ingest(df: DataFrame, nowMs: Option[Long] = None): Map[(String, String), AppendAck] = {
+    val now = nowMs.getOrElse(System.currentTimeMillis())
+    val keys = df.select("basin", "stream").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val tails = keys.map { case (b, s) => (b, s) -> manifest(b, s) }.toMap
+    val tailDf = spark.createDataFrame(
+      tails.toSeq.map { case ((b, s), m) => (b, s, m.tailSeq, m.tailTs) })
+      .toDF("basin", "stream", "base_seq", "base_ts")
+
+    val w = Window.partitionBy("basin", "stream").orderBy("arrival")
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val assigned = df
+      .join(broadcast(tailDf), Seq("basin", "stream"))
+      .withColumn("seq_num", col("base_seq") + row_number().over(w) - 1)
+      .withColumn("ts_raw", least(coalesce(col("ts_client"), lit(now)), lit(now)))
+      .withColumn("timestamp", greatest(max("ts_raw").over(cum), col("base_ts")))
+      .withColumn("metered_size",
+        lit(8L) + lit(2L) * coalesce(size(col("headers")), lit(0))
+          + coalesce(aggregate(col("headers"), lit(0L),
+              (acc, h) => acc + octet_length(h.getField("name"))
+                + octet_length(h.getField("value"))), lit(0L))
+          + coalesce(octet_length(col("body")), lit(0)))
+      .select("basin", "stream", "seq_num", "timestamp", "headers", "body",
+        "metered_size")
+
+    assigned
+      .repartition(col("basin"), col("stream"))
+      .sortWithinPartitions("basin", "stream", "seq_num")
+      .write.mode("append")
+      .partitionBy("basin", "stream")
+      .parquet(s"$root/data")
+
+    val stats = assigned.groupBy("basin", "stream")
+      .agg(count(lit(1)).as("n"), max("timestamp").as("max_ts"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    stats.map { case ((b, s), (n, maxTs)) =>
+      val m = tails((b, s))
+      val newM = m.copy(tailSeq = m.tailSeq + n,
+        tailTs = math.max(m.tailTs, maxTs), version = m.version + 1)
+      saveManifest(b, s, newM)
+      (b, s) -> AppendAck(
+        StreamPosition(m.tailSeq, 0), StreamPosition(newM.tailSeq, newM.tailTs),
+        StreamPosition(newM.tailSeq, newM.tailTs))
+    }
+  }
+
+  // -------------------------------------------------------------------------
+  // Read path (R2-R7, R10)
+  // -------------------------------------------------------------------------
+
+  /** All durable rows of one stream (no visibility masks). */
+  private def rawData(basin: String, stream: String): DataFrame = {
+    val dir = Layout.dataDir(root, basin, stream)
+    if (Files.exists(Paths.get(dir)))
+      spark.read.schema(recordSchema).parquet(dir)
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], recordSchema)
+  }
+
+  /** Visible rows: below tail, above trim point, within retention. */
+  def visible(basin: String, stream: String,
+              nowMs: Option[Long] = None): DataFrame = {
+    val m = manifest(basin, stream)
+    val config = catalog.streamConfig(basin, stream)
+      .getOrElse(StreamConfig.SystemDefault)
+    var df = rawData(basin, stream)
+      .where(col("seq_num") < m.tailSeq && col("seq_num") >= m.trimPoint)
+    config.retentionOrDefault match {
+      case RetentionPolicy.Age(secs) =>
+        val cutoff = nowMs.getOrElse(System.currentTimeMillis()) - secs * 1000
+        df = df.where(col("timestamp") >= cutoff)
+      case RetentionPolicy.Infinite =>
+    }
+    df
+  }
+
+  /** R2-R5 + R10: plan a read as a DataFrame. Returns Left on an
+    * unsatisfiable start position (start beyond tail without clamp),
+    * mirroring RANGE_NOT_SATISFIABLE (read.rs:246-285).
+    */
+  def read(basin: String, stream: String, spec: ReadSpec,
+           ignoreCommands: Boolean = false,
+           nowMs: Option[Long] = None): Either[String, DataFrame] = {
+    val m = manifest(basin, stream)
+    val data = visible(basin, stream, nowMs)
+
+    val start: Long = spec.start.from match {
+      case ReadFrom.SeqNum(n) => n
+      case ReadFrom.TailOffset(k) => math.max(m.tailSeq - k, 0L)
+      case ReadFrom.Timestamp(t) =>
+        // SRT-seek analog: first seq with timestamp >= t, else tail
+        val r = data.where(col("timestamp") >= t).agg(min("seq_num")).first()
+        if (r.isNullAt(0)) m.tailSeq else r.getLong(0)
+    }
+    val effStart = if (start > m.tailSeq) {
+      if (spec.start.clamp) m.tailSeq
+      else return Left(s"RANGE_NOT_SATISFIABLE: start=$start tail=${m.tailSeq}")
+    } else start
+
+    var df = data.where(col("seq_num") >= effStart)
+    spec.end.until.foreach(u => df = df.where(col("timestamp") < u))
+    if (ignoreCommands)
+      df = df.where(!(size(col("headers")) === 1 &&
+        octet_length(col("headers")(0)("name")) === 0))
+
+    // R4: bytes limit = running metered prefix; count limit composes.
+    spec.end.limit.bytes.foreach { b =>
+      val w = Window.orderBy("seq_num")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df = df.withColumn("__cum", sum("metered_size").over(w))
+        .where(col("__cum") <= b).drop("__cum")
+    }
+    var out = df.orderBy("seq_num")
+    spec.end.limit.count.foreach(c => out = out.limit(c.toInt))
+    Right(out)
+  }
+
+  /** Collect a read as model objects (serving-edge helper, ≤1 batch). */
+  def readBatch(basin: String, stream: String, spec: ReadSpec,
+                ignoreCommands: Boolean = false): Either[String, Seq[SequencedRecord]] =
+    read(basin, stream, spec, ignoreCommands).map { df =>
+      df.collect().toSeq.map { r =>
+        SequencedRecord(
+          StreamPosition(r.getLong(0), r.getLong(1)),
+          Option(r.getSeq[Row](2)).getOrElse(Seq.empty)
+            .map(h => Header(h.getAs[Array[Byte]](0), h.getAs[Array[Byte]](1))),
+          r.getAs[Array[Byte]](3))
+      }
+    }
+
+  // -------------------------------------------------------------------------
+  // Deletion & maintenance (T1-T5)
+  // -------------------------------------------------------------------------
+
+  /** T4: terminal trim — in-band Trim(Long.MaxValue), then deletion
+    * pending; physical reclaim happens in compact().
+    */
+  def deleteStream(basin: String, stream: String): Unit = {
+    lockFor(basin, stream).synchronized {
+      val m = manifest(basin, stream)
+      saveManifest(basin, stream,
+        m.copy(trimPoint = Long.MaxValue, deletionPending = true,
+          version = m.version + 1))
+    }
+    catalog.markStreamDeleted(basin, stream)
+  }
+
+  /** T5: basin deletion — terminal-trim every stream (paged, resumable
+    * by virtue of idempotence), then mark the basin deleted.
+    */
+  def deleteBasin(basin: String): Unit = {
+    var after = ""
+    var more = true
+    while (more) {
+      val page = catalog.listStreams(basin, startAfter = after, limit = 32)
+      page.items.foreach(s => deleteStream(basin, s.name))
+      more = page.hasMore
+      page.items.lastOption.foreach(s => after = s.name)
+    }
+    catalog.markBasinDeleted(basin)
+  }
+
+  /** T1+T2 physical reclaim + small-file compaction: rewrite the
+    * stream's partition keeping only visible rows (trim mask +
+    * retention mask), sorted by seq_num. Terminal trim deletes the
+    * partition + state + catalog entry entirely.
+    */
+  def compact(basin: String, stream: String, nowMs: Option[Long] = None): Unit =
+    lockFor(basin, stream).synchronized {
+      val m = manifest(basin, stream)
+      val dir = Paths.get(Layout.dataDir(root, basin, stream))
+      if (m.deletionPending || m.trimPoint == Long.MaxValue) {
+        deleteRecursively(dir)
+        Files.deleteIfExists(Layout.statePath(root, basin, stream))
+        catalog.hardDeleteStream(basin, stream)
+      } else if (Files.exists(dir)) {
+        val tmp = Paths.get(s"$root/_tmp/compact-${System.nanoTime()}")
+        visible(basin, stream, nowMs)
+          .coalesce(1).sortWithinPartitions("seq_num")
+          .write.parquet(tmp.toString)
+        val old = Paths.get(dir.toString + s".old-${System.nanoTime()}")
+        Files.move(dir, old)
+        Files.move(tmp, dir)
+        deleteRecursively(old)
+      }
+    }
+
+  /** T3: delete-on-empty sweep — streams with DoE configured, no
+    * visible records, and no write within min_age get terminally
+    * trimmed (streamer.rs:448-511).
+    */
+  def deleteOnEmptySweep(basin: String, nowMs: Option[Long] = None): Seq[String] = {
+    val now = nowMs.getOrElse(System.currentTimeMillis())
+    catalog.listStreams(basin).items.flatMap { s =>
+      val doe = catalog.streamConfig(basin, s.name)
+        .getOrElse(StreamConfig.SystemDefault).deleteOnEmptyOrDefault
+      if (doe.minAgeSeconds <= 0) None
+      else {
+        val m = manifest(basin, s.name)
+        val idle = now - m.tailTs >= doe.minAgeSeconds * 1000
+        lazy val empty = visible(basin, s.name, Some(now)).isEmpty
+        if (idle && empty) { deleteStream(basin, s.name); Some(s.name) }
+        else None
+      }
+    }
+  }
+
+  /** M2/M3-style usage metrics over live records. */
+  def storageMetrics(basin: String): DataFrame = {
+    val streams = catalog.listStreams(basin).items.map(_.name)
+    streams.map { s =>
+      visible(basin, s)
+        .agg(coalesce(sum("metered_size"), lit(0L)).as("storage_bytes"),
+             count(lit(1)).as("n_records"))
+        .select(lit(s).as("stream"), col("storage_bytes"), col("n_records"))
+    }.reduceOption(_ unionAll _)
+      .getOrElse(spark.emptyDataFrame)
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+    }
+}

@@ -1,0 +1,364 @@
+package graft.log
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import scala.jdk.CollectionConverters._
+import graft.model._
+
+/** Backend-style integration tests (SURVEY §5): append/read/tail/trim/
+  * fencing/CAS/timestamping against a real store in a temp dir,
+  * mirroring lite/tests/backend/data_plane + streamer.rs inline
+  * matrices.
+  */
+class StreamStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def freshStore(): StreamStore = {
+    val dir = Files.createTempDirectory("graft-store").toString
+    val st = new StreamStore(spark, dir)
+    // Fixture timestamps are tiny epoch values; infinite retention by
+    // default so the age mask (T2) only applies where a test opts in.
+    st.catalog.createBasin("test-basin",
+      BasinConfig(defaultStreamConfig =
+        StreamConfig(retentionPolicy = Some(RetentionPolicy.Infinite))))
+      .fold(e => fail(e), identity)
+    st
+  }
+
+  private def env(body: String, hs: (String, String)*): EnvelopeRecord =
+    EnvelopeRecord(hs.map { case (n, v) => Header.utf8(n, v) }, body.getBytes)
+
+  private def appendOk(st: StreamStore, stream: String, in: AppendInput,
+                       now: Long = 1000000L): AppendAck =
+    st.append("test-basin", stream, in, Some(now)).fold(e => fail(e.toString), identity)
+
+  test("append assigns contiguous seq_nums and acks start/end/tail") {
+    val st = freshStore()
+    st.catalog.createStream("test-basin", "s1")
+    val a1 = appendOk(st, "s1", AppendInput(Seq(env("a"), env("b"))))
+    assert(a1.start.seqNum == 0 && a1.end.seqNum == 2 && a1.tail.seqNum == 2)
+    val a2 = appendOk(st, "s1", AppendInput(Seq(env("c"))))
+    assert(a2.start.seqNum == 2 && a2.tail.seqNum == 3)
+    assert(st.checkTail("test-basin", "s1") == a2.tail)
+  }
+
+  test("timestamping matrix: ClientPrefer caps future ts and clamps monotone (streamer.rs:1121-1299)") {
+    val st = freshStore()
+    st.catalog.createStream("test-basin", "ts")
+    val now = 5000L
+    // client ts: [past(1000), future(9000->capped to 5000), none(->now)]
+    val ack = st.append("test-basin", "ts", AppendInput(
+      Seq(env("a"), env("b"), env("c")),
+      clientTimestamps = Seq(Some(1000L), Some(9000L), None)), Some(now))
+      .fold(e => fail(e.toString), identity)
+    val rows = st.readBatch("test-basin", "ts",
+      ReadSpec(ReadStart(ReadFrom.SeqNum(0)))).toOption.get
+    assert(rows.map(_.timestamp) == Seq(1000L, 5000L, 5000L))
+    assert(ack.tail.timestamp == 5000L)
+    // out-of-order client ts in later batch clamps up to prev max
+    st.append("test-basin", "ts", AppendInput(Seq(env("d")),
+      clientTimestamps = Seq(Some(2000L))), Some(6000L))
+    val rows2 = st.readBatch("test-basin", "ts",
+      ReadSpec(ReadStart(ReadFrom.SeqNum(3)))).toOption.get
+    assert(rows2.map(_.timestamp) == Seq(5000L)) // clamped to running max
+  }
+
+  test("timestamping: ClientRequire errors when missing; uncapped keeps future") {
+    val st = freshStore()
+    st.catalog.createStream("test-basin", "req",
+      StreamConfig(timestamping = Some(Timestamping(TimestampingMode.ClientRequire))))
+    val r = st.append("test-basin", "req", AppendInput(Seq(env("a"))), Some(100L))
+    assert(r == Left(AppendError.TimestampMissing))
+
+    st.catalog.createStream("test-basin", "unc",
+      StreamConfig(timestamping = Some(Timestamping(TimestampingMode.ClientPrefer, uncapped = true))))
+    appendOk(st, "unc", AppendInput(Seq(env("a")), clientTimestamps = Seq(Some(9999L))), now = 100L)
+    val rows = st.readBatch("test-basin", "unc",
+      ReadSpec(ReadStart(ReadFrom.SeqNum(0)))).toOption.get
+    assert(rows.head.timestamp == 9999L)
+  }
+
+  test("timestamping: Arrival ignores client ts") {
+    val st = freshStore()
+    st.catalog.createStream("test-basin", "arr",
+      StreamConfig(timestamping = Some(Timestamping(TimestampingMode.Arrival))))
+    appendOk(st, "arr", AppendInput(Seq(env("a")), clientTimestamps = Seq(Some(42L))), now = 777L)
+    val rows = st.readBatch("test-basin", "arr",
+      ReadSpec(ReadStart(ReadFrom.SeqNum(0)))).toOption.get
+    assert(rows.head.timestamp == 777L)
+  }
+
+  test("match_seq_num CAS (streamer.rs:352-359)") {
+    val st = freshStore()
+    st.catalog.createStream("test-basin", "cas")
+    appendOk(st, "cas", AppendInput(Seq(env("a")), matchSeqNum = Some(0)))
+    val bad = st.append("test-basin", "cas",
+      AppendInput(Seq(env("b")), matchSeqNum = Some(0)))
+    assert(bad == Left(AppendError.SeqNumMismatch(0, 1)))
+    appendOk(st, "cas", AppendInput(Seq(env("b")), matchSeqNum = Some(1)))
+  }
+
+  test("fencing: token enforced only when provided; fence command updates it (streamer.rs:341-349,368-376)") {
+    val st = freshStore()
+    st.catalog.createStream("test-basin", "f")
+    // set token in-band
+    appendOk(st, "f", AppendInput(Seq(FenceCommand("writer-1"))))
+    // no token provided -> allowed (reference semantics)
+    appendOk(st, "f", AppendInput(Seq(env("a"))))
+    // wrong token -> rejected
+    val bad = st.append("test-basin", "f",
+      AppendInput(Seq(env("b")), fencingToken = Some("writer-2")))
+    assert(bad == Left(AppendError.FencingTokenMismatch("writer-1")))
+    // right token -> ok
+    appendOk(st, "f", AppendInput(Seq(env("b")), fencingToken = Some("writer-1")))
+  }
+
+  test("trim command: monotone, capped at own seq+1; reads skip prefix; tail unchanged (streamer.rs:377-389)") {
+    val st = freshStore()
+    st.catalog.createStream("test-basin", "t")
+    appendOk(st, "t", AppendInput((0 until 10).map(i => env(s"r$i"))))
+    // trim to 5
+    appendOk(st, "t", AppendInput(Seq(TrimCommand(5))))
+    val rows = st.readBatch("test-basin", "t",
+      ReadSpec(ReadStart(ReadFrom.SeqNum(0)))).toOption.get
+    assert(rows.head.seqNum == 5)
+    assert(st.checkTail("test-basin", "t").seqNum == 11) // 10 records + trim cmd
+    // trim backwards is a no-op (monotone)
+    appendOk(st, "t", AppendInput(Seq(TrimCommand(2))))
+    assert(st.manifest("test-basin", "t").trimPoint == 5)
+    // trim beyond own position caps at seq+1
+    val ack = appendOk(st, "t", AppendInput(Seq(TrimCommand(Long.MaxValue))))
+    assert(st.manifest("test-basin", "t").trimPoint == ack.start.seqNum + 1)
+  }
+
+  test("read start resolution: seq, timestamp, tail-offset, clamp (read.rs:246-317)") {
+    val st = freshStore()
+    st.catalog.createStream("test-basin", "r",
+      StreamConfig(timestamping = Some(Timestamping(TimestampingMode.ClientRequire))))
+    // fixture mirrors lite/tests/backend read seeds: ts 1000,1000,2000,3000
+    appendOk(st, "r", AppendInput(Seq(env("a"), env("b"), env("c"), env("d")),
+      clientTimestamps = Seq(Some(1000L), Some(1000L), Some(2000L), Some(3000L))))
+    def seqs(spec: ReadSpec) =
+      st.readBatch("test-basin", "r", spec).toOption.get.map(_.seqNum)
+    assert(seqs(ReadSpec(ReadStart(ReadFrom.SeqNum(2)))) == Seq(2, 3))
+    // first record at/after ts=1000 is seq 0 (duplicate timestamps)
+    assert(seqs(ReadSpec(ReadStart(ReadFrom.Timestamp(1000)))) == Seq(0, 1, 2, 3))
+    assert(seqs(ReadSpec(ReadStart(ReadFrom.Timestamp(1500)))) == Seq(2, 3))
+    // beyond all data -> resolves to tail -> empty
+    assert(seqs(ReadSpec(ReadStart(ReadFrom.Timestamp(99999)))) == Seq())
+    assert(seqs(ReadSpec(ReadStart(ReadFrom.TailOffset(2)))) == Seq(2, 3))
+    assert(seqs(ReadSpec(ReadStart(ReadFrom.TailOffset(100)))) == Seq(0, 1, 2, 3))
+    // start beyond tail: error without clamp, tail with clamp
+    assert(st.read("test-basin", "r",
+      ReadSpec(ReadStart(ReadFrom.SeqNum(99)))).isLeft)
+    assert(seqs(ReadSpec(ReadStart(ReadFrom.SeqNum(99), clamp = true))) == Seq())
+  }
+
+  test("read limits: count, bytes, both; record-by-record admit (read_extent.rs:88-108)") {
+    val st = freshStore()
+    st.catalog.createStream("test-basin", "lim")
+    // 4 records, metered size 8 + body len each: 10,10,10,10
+    appendOk(st, "lim", AppendInput(Seq(env("aa"), env("bb"), env("cc"), env("dd"))))
+    def seqs(spec: ReadSpec) =
+      st.readBatch("test-basin", "lim", spec).toOption.get.map(_.seqNum)
+    assert(seqs(ReadSpec(ReadStart(ReadFrom.SeqNum(0)),
+      ReadEnd(ReadLimit(count = Some(2))))) == Seq(0, 1))
+    // bytes: exact fit of 2 records (20)
+    assert(seqs(ReadSpec(ReadStart(ReadFrom.SeqNum(0)),
+      ReadEnd(ReadLimit(bytes = Some(20))))) == Seq(0, 1))
+    // bytes smaller than first record -> empty
+    assert(seqs(ReadSpec(ReadStart(ReadFrom.SeqNum(0)),
+      ReadEnd(ReadLimit(bytes = Some(9))))) == Seq())
+    // both: count wins
+    assert(seqs(ReadSpec(ReadStart(ReadFrom.SeqNum(0)),
+      ReadEnd(ReadLimit(count = Some(1), bytes = Some(100))))) == Seq(0))
+    // both: bytes win
+    assert(seqs(ReadSpec(ReadStart(ReadFrom.SeqNum(0)),
+      ReadEnd(ReadLimit(count = Some(4), bytes = Some(25))))) == Seq(0, 1))
+  }
+
+  test("until bound is exclusive (read_extent.rs:138-176)") {
+    val st = freshStore()
+    st.catalog.createStream("test-basin", "u",
+      StreamConfig(timestamping = Some(Timestamping(TimestampingMode.ClientRequire))))
+    appendOk(st, "u", AppendInput(Seq(env("a"), env("b"), env("c")),
+      clientTimestamps = Seq(Some(1000L), Some(2000L), Some(2000L))))
+    val rows = st.readBatch("test-basin", "u",
+      ReadSpec(ReadStart(ReadFrom.SeqNum(0)), ReadEnd(until = Some(2000L))))
+      .toOption.get
+    assert(rows.map(_.seqNum) == Seq(0))
+  }
+
+  test("command-record filter (R10)") {
+    val st = freshStore()
+    st.catalog.createStream("test-basin", "cf")
+    appendOk(st, "cf", AppendInput(Seq(env("a"), FenceCommand("tok"), env("b"))))
+    val all = st.readBatch("test-basin", "cf",
+      ReadSpec(ReadStart(ReadFrom.SeqNum(0)))).toOption.get
+    assert(all.size == 3)
+    val noCmd = st.readBatch("test-basin", "cf",
+      ReadSpec(ReadStart(ReadFrom.SeqNum(0))), ignoreCommands = true).toOption.get
+    assert(noCmd.map(r => new String(r.body)) == Seq("a", "b"))
+  }
+
+  test("caps: oversized and empty batches rejected") {
+    val st = freshStore()
+    st.catalog.createStream("test-basin", "caps")
+    assert(st.append("test-basin", "caps", AppendInput(Nil)).isLeft)
+    val big = EnvelopeRecord(Nil, Array.fill(1024 * 1024)(1: Byte))
+    assert(st.append("test-basin", "caps", AppendInput(Seq(big))).isLeft)
+  }
+
+  test("terminal trim: deletion pending rejects appends; compact reclaims (T4, T1)") {
+    val st = freshStore()
+    st.catalog.createStream("test-basin", "del")
+    appendOk(st, "del", AppendInput(Seq(env("a"))))
+    st.deleteStream("test-basin", "del")
+    assert(st.append("test-basin", "del", AppendInput(Seq(env("b"))))
+      == Left(AppendError.StreamDeletionPending))
+    st.compact("test-basin", "del")
+    assert(st.catalog.getStream("test-basin", "del").isEmpty)
+    assert(!Files.exists(java.nio.file.Paths.get(
+      Layout.dataDir(st.root, "test-basin", "del"))))
+  }
+
+  test("compact physically drops trimmed prefix; reads unchanged (T1)") {
+    val st = freshStore()
+    st.catalog.createStream("test-basin", "cp")
+    appendOk(st, "cp", AppendInput((0 until 20).map(i => env(s"r$i"))))
+    appendOk(st, "cp", AppendInput(Seq(TrimCommand(10))))
+    st.compact("test-basin", "cp")
+    val rows = st.readBatch("test-basin", "cp",
+      ReadSpec(ReadStart(ReadFrom.SeqNum(0))), ignoreCommands = true).toOption.get
+    assert(rows.head.seqNum == 10 && rows.size == 10)
+    assert(st.checkTail("test-basin", "cp").seqNum == 21)
+  }
+
+  test("age retention hides old records (T2)") {
+    val st = freshStore()
+    st.catalog.createStream("test-basin", "ret",
+      StreamConfig(
+        retentionPolicy = Some(RetentionPolicy.Age(10)), // 10 s
+        timestamping = Some(Timestamping(TimestampingMode.ClientRequire, uncapped = true))))
+    appendOk(st, "ret", AppendInput(Seq(env("old"), env("new")),
+      clientTimestamps = Seq(Some(1000L), Some(50000L))), now = 1000L)
+    val rows = st.read("test-basin", "ret",
+      ReadSpec(ReadStart(ReadFrom.SeqNum(0))), nowMs = Some(55000L))
+      .toOption.get.collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1))
+  }
+
+  test("delete-on-empty sweep (T3)") {
+    val st = freshStore()
+    st.catalog.createStream("test-basin", "doe",
+      StreamConfig(
+        retentionPolicy = Some(RetentionPolicy.Age(1)),
+        deleteOnEmpty = Some(DeleteOnEmpty(5)),
+        timestamping = Some(Timestamping(TimestampingMode.ClientRequire, uncapped = true))))
+    st.catalog.createStream("test-basin", "keep",
+      StreamConfig(deleteOnEmpty = Some(DeleteOnEmpty(5))))
+    appendOk(st, "doe", AppendInput(Seq(env("x")), clientTimestamps = Seq(Some(1000L))), now = 1000L)
+    appendOk(st, "keep", AppendInput(Seq(env("y"))), now = 1000L)
+    // at t=20s: doe's record expired (1s retention), idle > 5s -> deleted
+    val deleted = st.deleteOnEmptySweep("test-basin", Some(20000L))
+    assert(deleted == Seq("doe"))
+    assert(st.manifest("test-basin", "doe").deletionPending)
+    assert(!st.manifest("test-basin", "keep").deletionPending)
+  }
+
+  test("catalog: list paging with prefix/start_after/has_more (C1)") {
+    val st = freshStore()
+    for (n <- Seq("alpha", "beta", "beta-2", "gamma"))
+      st.catalog.createStream("test-basin", n)
+    val p1 = st.catalog.listStreams("test-basin", limit = 2)
+    assert(p1.items.map(_.name) == Seq("alpha", "beta") && p1.hasMore)
+    val p2 = st.catalog.listStreams("test-basin", startAfter = "beta", limit = 2)
+    assert(p2.items.map(_.name) == Seq("beta-2", "gamma") && !p2.hasMore)
+    val pre = st.catalog.listStreams("test-basin", prefix = "beta")
+    assert(pre.items.map(_.name) == Seq("beta", "beta-2"))
+  }
+
+  test("catalog: create idempotency + ensure + reconfigure (C2-C4)") {
+    val st = freshStore()
+    val c1 = st.catalog.createStream("test-basin", "s", requestToken = Some("tok1"))
+    assert(c1.isRight)
+    // same token+config -> idempotent success
+    assert(st.catalog.createStream("test-basin", "s", requestToken = Some("tok1")).isRight)
+    // different token -> conflict
+    assert(st.catalog.createStream("test-basin", "s", requestToken = Some("tok2"))
+      == Left("StreamAlreadyExists"))
+    // ensure: noop, then update
+    assert(st.catalog.ensureStream("test-basin", "s", StreamConfig())
+      == Right(EnsureOutcome.Noop))
+    assert(st.catalog.ensureStream("test-basin", "s",
+      StreamConfig(retentionPolicy = Some(RetentionPolicy.Infinite)))
+      == Right(EnsureOutcome.Updated))
+    // reconfigure patch
+    val out = st.catalog.reconfigureStream("test-basin", "s",
+      StreamConfigPatch(retentionPolicy = Patch.Clear,
+        deleteOnEmpty = Patch.Set(DeleteOnEmpty(60))))
+    assert(out == Right(StreamConfig(deleteOnEmpty = Some(DeleteOnEmpty(60)))))
+    // merged config falls back to the BASIN default after Clear
+    // (three-layer resolution, config.rs:260-281)
+    assert(st.catalog.streamConfig("test-basin", "s").get.retentionOrDefault
+      == RetentionPolicy.Infinite)
+  }
+
+  test("bulk ingest: per-stream contiguous seqs + manifests committed") {
+    val st = freshStore()
+    st.catalog.createStream("test-basin", "bulk-a")
+    st.catalog.createStream("test-basin", "bulk-b")
+    // seed bulk-a so ingest continues from tail=1
+    appendOk(st, "bulk-a", AppendInput(Seq(env("seed"))))
+    import spark.implicits._
+    val df = (0 until 100).map { i =>
+      ("test-basin", if (i % 2 == 0) "bulk-a" else "bulk-b",
+       Option(1000L + i), null.asInstanceOf[Array[Byte]],
+       s"payload-$i".getBytes, i.toLong)
+    }.toDF("basin", "stream", "ts_client", "headers_raw", "body", "arrival")
+      .withColumn("headers", org.apache.spark.sql.functions.expr(
+        "CAST(NULL AS ARRAY<STRUCT<name: BINARY, value: BINARY>>)"))
+      .drop("headers_raw")
+    val acks = st.ingest(df, Some(999999L))
+    assert(acks(("test-basin", "bulk-a")).tail.seqNum == 51)
+    assert(acks(("test-basin", "bulk-b")).tail.seqNum == 50)
+    val rows = st.readBatch("test-basin", "bulk-a",
+      ReadSpec(ReadStart(ReadFrom.SeqNum(0)))).toOption.get
+    assert(rows.map(_.seqNum) == (0L until 51L))
+    // timestamps monotone
+    assert(rows.map(_.timestamp).sliding(2).forall(p => p.head <= p.last))
+  }
+
+  test("concurrent appends from many threads stay contiguous (linearizable-ish)") {
+    val st = freshStore()
+    st.catalog.createStream("test-basin", "conc")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val acks = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val futures = (0 until 40).map { i =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          val a = appendOk(st, "conc", AppendInput(Seq(env(s"m$i"))))
+          acks.add(a.start.seqNum)
+        }
+      })
+    }
+    futures.foreach(_.get())
+    pool.shutdown()
+    assert(acks.asScala.toSet == (0L until 40L).toSet)
+    assert(st.checkTail("test-basin", "conc").seqNum == 40)
+    val rows = st.readBatch("test-basin", "conc",
+      ReadSpec(ReadStart(ReadFrom.SeqNum(0)))).toOption.get
+    assert(rows.map(_.seqNum) == (0L until 40L))
+  }
+
+}
