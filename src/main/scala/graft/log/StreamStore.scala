@@ -73,7 +73,8 @@ final class StreamStore(val spark: SparkSession, val root: String) {
     * commands (A6/A7), commits one sorted parquet file + the manifest.
     */
   def append(basin: String, stream: String, input: AppendInput,
-             nowMs: Option[Long] = None): Either[AppendError, AppendAck] = {
+             nowMs: Option[Long] = None,
+             cipher: Option[Array[Byte]] = None): Either[AppendError, AppendAck] = {
     Caps.validateBatch(input.records) match {
       case Left(e) => return Left(AppendError.InvalidBatch(e))
       case Right(_) =>
@@ -135,18 +136,22 @@ final class StreamStore(val spark: SparkSession, val root: String) {
           }
       }
 
-      val rows = input.records.zip(assigned).map { case (rec, (seq, t)) =>
+      val recs = input.records.zip(assigned).map { case (rec, (seq, t)) =>
         val env = rec match {
           case e: EnvelopeRecord => e
           case c: CommandRecord => c.toEnvelopeForm
         }
-        Row(seq, t,
-          env.headers.map(h => Row(h.name, h.value)),
-          env.body, rec.meteredSize)
+        // A13: encrypt AFTER metering (metered size = plaintext size)
+        val body = cipher match {
+          case Some(key) =>
+            RecordCipher.encrypt(key, RecordCipher.aad(basin, stream), env.body)
+          case None => env.body
+        }
+        DirectParquet.Rec(seq, t,
+          env.headers.map(h => (h.name, h.value)), body, rec.meteredSize)
       }
-      val df = spark.createDataFrame(rows.asJava, recordSchema)
-      df.coalesce(1).sortWithinPartitions("seq_num")
-        .write.mode("append").parquet(Layout.dataDir(root, basin, stream))
+      // driver-direct write: no Spark job on the ack path
+      DirectParquet.writeBatch(Layout.dataDir(root, basin, stream), recs)
 
       val first = assigned.head
       val last = assigned.last
@@ -288,14 +293,49 @@ final class StreamStore(val spark: SparkSession, val root: String) {
 
   /** Collect a read as model objects (serving-edge helper, ≤1 batch). */
   def readBatch(basin: String, stream: String, spec: ReadSpec,
-                ignoreCommands: Boolean = false): Either[String, Seq[SequencedRecord]] =
+                ignoreCommands: Boolean = false,
+                cipher: Option[Array[Byte]] = None): Either[String, Seq[SequencedRecord]] =
     read(basin, stream, spec, ignoreCommands).map { df =>
       df.collect().toSeq.map { r =>
+        val rawBody = r.getAs[Array[Byte]](3)
+        val body = cipher match {
+          case Some(key) =>
+            RecordCipher.decrypt(key, RecordCipher.aad(basin, stream), rawBody)
+          case None => rawBody
+        }
         SequencedRecord(
           StreamPosition(r.getLong(0), r.getLong(1)),
           Option(r.getSeq[Row](2)).getOrElse(Seq.empty)
             .map(h => Header(h.getAs[Array[Byte]](0), h.getAs[Array[Byte]](1))),
-          r.getAs[Array[Byte]](3))
+          body)
+      }
+    }
+
+  /** R6 — batch re-chunking: emit output in chunks of ≤1000 records and
+    * ≤1 MiB metered; a record that does not fit the remaining byte
+    * budget starts the next chunk (storage/src/record/batcher.rs:32-169).
+    */
+  def readChunked(basin: String, stream: String, spec: ReadSpec,
+                  ignoreCommands: Boolean = false,
+                  cipher: Option[Array[Byte]] = None)
+      : Either[String, Iterator[Seq[SequencedRecord]]] =
+    readBatch(basin, stream, spec, ignoreCommands, cipher).map { all =>
+      new Iterator[Seq[SequencedRecord]] {
+        private var rest = all
+        def hasNext: Boolean = rest.nonEmpty
+        def next(): Seq[SequencedRecord] = {
+          val buf = Seq.newBuilder[SequencedRecord]
+          var n = 0
+          var bytes = 0L
+          var open = true
+          while (open && rest.nonEmpty && n < Caps.MaxBatchRecords) {
+            val r = rest.head
+            val sz = EnvelopeRecord(r.headers, r.body).meteredSize
+            if (n > 0 && bytes + sz > Caps.MaxBatchMeteredBytes) open = false
+            else { buf += r; bytes += sz; n += 1; rest = rest.tail }
+          }
+          buf.result()
+        }
       }
     }
 

@@ -88,6 +88,22 @@ object TextOps {
       |JOIN sh_counts na ON na.doc_id = c.doc_a
       |JOIN sh_counts nb ON nb.doc_id = c.doc_b""".stripMargin
 
+  /** Exact jaccard restricted to given candidate pairs: explode each
+    * pair's A-side shingles, match them against the B-side by (doc, sh)
+    * — |cands| x avg-shingles rows, never the full self-join.
+    */
+  private def jaccardFor(cands: DataFrame, sh: DataFrame): DataFrame = {
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val aSh = cands.join(sh.toDF("doc_a", "sh"), "doc_a")
+    val common = aSh.join(sh.toDF("doc_b", "sh"), Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+    common
+      .join(counts.toDF("doc_a", "na"), "doc_a")
+      .join(counts.toDF("doc_b", "nb"), "doc_b")
+      .withColumn("jaccard",
+        round(col("common").cast(DoubleType) / (col("na") + col("nb") - col("common")), 6))
+  }
+
   // Spark-side exact jaccard over all shingle-sharing pairs.
   private def jaccardPairs(sh: DataFrame): DataFrame = {
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
@@ -232,38 +248,51 @@ object TextOps {
 
     // MinHash + LSH banding: 16 seeded-md5 min-hashes, 4 bands x 4 rows;
     // bucket-join candidates, then exact-Jaccard verification >= 0.5.
+    // One-pass signature: the 16 minima are 16 aggregate COLUMNS of a
+    // single groupBy (map-side partial aggregation collapses the
+    // shingle rows before any shuffle — at 100 TB the shuffle carries
+    // one 16-hash row per doc, not 16x shingle rows).
     QueryDef("dedup_minhash_lsh",
       (s, d) => {
         val sh = shingles(docsAug(s, d)).cache()
-        val seeds = s.range(16).select(col("id").cast(IntegerType).as("seed"))
-        val minh = sh.crossJoin(broadcast(seeds))
-          .groupBy("doc_id", "seed")
-          .agg(min(md5s(concat(col("seed").cast(StringType), lit(":"), col("sh")))).as("mh"))
-        val bands = minh
-          .withColumn("band", expr("seed div 4"))
-          .groupBy("doc_id", "band")
-          .agg(md5s(concat_ws("|",
-            transform(array_sort(collect_list(struct(col("seed"), col("mh")))),
-                      x => x.getField("mh")))).as("band_key"))
+        // 4 md5s per shingle, 4 independent 8-hex-char sub-hashes each
+        // -> 16 min-hash functions at 1/4 the digest cost
+        val withH = sh.select(Seq(col("doc_id"), col("sh")) ++
+          (0 until 4).map(a =>
+            md5s(concat(lit(s"$a:"), col("sh"))).as(s"m$a")): _*)
+        val minAggs = (0 until 16).map { i =>
+          val (a, k) = (i / 4, i % 4)
+          min(substring(col(s"m$a"), 1 + 8 * k, 8)).as(s"h$i")
+        }
+        val sig = withH.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+        val bands = sig.select(col("doc_id"),
+          explode(array((0 until 4).map(b => struct(
+            lit(b).as("band"),
+            md5s(concat_ws("|", (0 until 4).map(j => col(s"h${4 * b + j}")): _*))
+              .as("band_key"))): _*)).as("bk"))
+          .select(col("doc_id"), col("bk.band").as("band"),
+            col("bk.band_key").as("band_key"))
         val aa = bands.select(col("band"), col("band_key"), col("doc_id").as("doc_a"))
         val bb = bands.select(col("band"), col("band_key"), col("doc_id").as("doc_b"))
         val cands = aa.join(bb, Seq("band", "band_key"))
           .where(col("doc_a") < col("doc_b"))
           .select("doc_a", "doc_b").distinct()
-        jaccardPairs(sh).join(cands, Seq("doc_a", "doc_b"), "left_semi")
+        jaccardFor(cands, sh)
           .where(col("jaccard") >= 0.5)
           .select("doc_a", "doc_b", "jaccard")
           .orderBy("doc_a", "doc_b")
       },
-      Some(s"""WITH $DocsAugCte, $ShinglesCte, $ShingleCountsCte,
-        |minh AS (
-        |  SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || sh)) AS mh
-        |  FROM shingles, (SELECT unnest(range(0, 16)) AS seed)
-        |  GROUP BY doc_id, seed),
+      Some {
+        val minCols = (0 until 16)
+          .map(i => s"min(substr(md5('${i / 4}:' || sh), ${1 + 8 * (i % 4)}, 8)) AS h$i")
+          .mkString(", ")
+        val bandRows = (0 until 4).map(b =>
+          s"SELECT doc_id, $b AS band, md5(h${4*b} || '|' || h${4*b+1} || '|' || h${4*b+2} || '|' || h${4*b+3}) AS band_key FROM minh")
+          .mkString("\n  UNION ALL\n  ")
+        s"""WITH $DocsAugCte, $ShinglesCte, $ShingleCountsCte,
+        |minh AS (SELECT doc_id, $minCols FROM shingles GROUP BY doc_id),
         |bands AS (
-        |  SELECT doc_id, seed // 4 AS band,
-        |    md5(string_agg(mh, '|' ORDER BY seed)) AS band_key
-        |  FROM minh GROUP BY doc_id, seed // 4),
+        |  $bandRows),
         |cands AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM bands a JOIN bands b
@@ -272,38 +301,37 @@ object TextOps {
         |$JaccardSelect
         |JOIN cands ON cands.doc_a = c.doc_a AND cands.doc_b = c.doc_b
         |WHERE round(CAST(common AS DOUBLE) / (na.n_sh + nb.n_sh - common), 6) >= 0.5
-        |ORDER BY c.doc_a, c.doc_b""".stripMargin)),
+        |ORDER BY c.doc_a, c.doc_b""".stripMargin
+      }),
 
     // SimHash 32-bit fingerprint from shingle md5 hex-digit high bits.
+    // One-pass: 32 vote counters as aggregate columns (map-side partial
+    // agg; no per-bit row explosion).
     QueryDef("dedup_simhash",
       (s, d) => {
-        val sh = shingles(docsAug(s, d))
-          .withColumn("h", md5s(col("sh")))
-        val bits = sh.select(col("doc_id"),
-            explode(expr("""transform(sequence(1, 32), j -> struct(
-              CAST(j AS BIGINT) AS bit,
-              CASE WHEN substr(h, j, 1) IN ('8','9','a','b','c','d','e','f')
-                   THEN 1 ELSE -1 END AS v))""")).as("bv"))
-          .select(col("doc_id"), col("bv.bit").as("bit"), col("bv.v").as("v"))
-        bits.groupBy("doc_id", "bit").agg(sum("v").as("sv"))
-          .withColumn("bitval",
-            when(col("sv") > 0,
-              expr("shiftleft(CAST(1 AS BIGINT), CAST(bit - 1 AS INT))"))
-            .otherwise(0L))
-          .groupBy("doc_id")
-          .agg(sum("bitval").cast(LongType).as("simhash"))
+        val sh = shingles(docsAug(s, d)).withColumn("h", md5s(col("sh")))
+        val hexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+        val voteAggs = (1 to 32).map(j =>
+          sum(when(substring(col("h"), j, 1).isin(hexHigh: _*), 1L)
+            .otherwise(-1L)).as(s"b$j"))
+        sh.groupBy("doc_id").agg(voteAggs.head, voteAggs.tail: _*)
+          .select(col("doc_id"),
+            (1 to 32).map(j =>
+              when(col(s"b$j") > 0, lit(1L << (j - 1))).otherwise(lit(0L)))
+              .reduce(_ + _).cast(LongType).as("simhash"))
           .orderBy("doc_id")
       },
-      Some(s"""WITH $DocsAugCte, $ShinglesCte,
-        |bits AS (
-        |  SELECT doc_id, j AS bit,
-        |    CASE WHEN substr(md5(sh), CAST(j AS INT), 1)
-        |      IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END AS v
-        |  FROM shingles, (SELECT unnest(range(1, 33)) AS j)),
-        |sums AS (SELECT doc_id, bit, sum(v) AS sv FROM bits GROUP BY doc_id, bit)
-        |SELECT doc_id,
-        |  CAST(sum(CASE WHEN sv > 0 THEN 1::BIGINT << (bit - 1) ELSE 0 END) AS BIGINT) AS simhash
-        |FROM sums GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+      Some {
+        val votes = (1 to 32).map(j =>
+          s"sum(CASE WHEN substr(md5(sh),$j,1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b$j")
+          .mkString(", ")
+        val recombine = (1 to 32).map(j =>
+          s"(CASE WHEN b$j > 0 THEN ${1L << (j - 1)} ELSE 0 END)").mkString(" + ")
+        s"""WITH $DocsAugCte, $ShinglesCte,
+        |sums AS (SELECT doc_id, $votes FROM shingles GROUP BY doc_id)
+        |SELECT doc_id, CAST($recombine AS BIGINT) AS simhash
+        |FROM sums ORDER BY doc_id""".stripMargin
+      }),
 
     // Multimodal plumbing: opaque binary payloads with derived typed
     // metadata (decode itself is a stub — see graft.extras.Multimodal).

@@ -339,6 +339,58 @@ class StreamStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.timestamp).sliding(2).forall(p => p.head <= p.last))
   }
 
+  test("encryption round-trip: AES-GCM bodies, plaintext metering (A13)") {
+    val st = freshStore()
+    st.catalog.createStream("test-basin", "enc")
+    val key = Array.fill(32)(0x24.toByte) // backend-test fixture key
+    appendOk2(st, "enc", AppendInput(Seq(env("secret-payload"))), key)
+    // stored bytes are NOT the plaintext
+    val raw = st.visible("test-basin", "enc").collect()
+    assert(!java.util.Arrays.equals(raw.head.getAs[Array[Byte]](3),
+      "secret-payload".getBytes))
+    // metered size is the PLAINTEXT size (8 + 14)
+    assert(raw.head.getLong(4) == 22)
+    // decrypting read returns the plaintext
+    val rows = st.readBatch("test-basin", "enc",
+      ReadSpec(ReadStart(ReadFrom.SeqNum(0))), cipher = Some(key)).toOption.get
+    assert(new String(rows.head.body) == "secret-payload")
+    // wrong key fails authentication
+    val wrong = Array.fill(32)(0x25.toByte)
+    assertThrows[Exception](st.readBatch("test-basin", "enc",
+      ReadSpec(ReadStart(ReadFrom.SeqNum(0))), cipher = Some(wrong)).toOption.get)
+    // codegen'd column decrypt (aes_decrypt) also recovers plaintext
+    val viaCol = st.visible("test-basin", "enc")
+      .select(RecordCipher.decryptColumn(
+        org.apache.spark.sql.functions.col("body"), key, "test-basin", "enc")
+        .cast("string")).first().getString(0)
+    assert(viaCol == "secret-payload")
+  }
+
+  private def appendOk2(st: StreamStore, stream: String, in: AppendInput,
+                        key: Array[Byte]): AppendAck =
+    st.append("test-basin", stream, in, Some(1000000L), Some(key))
+      .fold(e => fail(e.toString), identity)
+
+  test("read re-chunking: 1000-record and 1 MiB caps (R6, batcher.rs)") {
+    val st = freshStore()
+    st.catalog.createStream("test-basin", "chunks")
+    // 15 records of ~300 KiB metered each -> byte cap splits after 3
+    val big = env("x" * (300 * 1024))
+    for (_ <- 0 until 5)
+      appendOk(st, "chunks", AppendInput(Seq.fill(3)(big)))
+    val chunks = st.readChunked("test-basin", "chunks",
+      ReadSpec(ReadStart(ReadFrom.SeqNum(0)))).toOption.get.toSeq
+    assert(chunks.map(_.size) == Seq(3, 3, 3, 3, 3))
+    assert(chunks.flatten.map(_.seqNum) == (0L until 15L))
+    // count cap: 1500 tiny records -> 1000 + 500
+    st.catalog.createStream("test-basin", "chunks2")
+    for (_ <- 0 until 2)
+      appendOk(st, "chunks2", AppendInput(Seq.fill(750)(env("t"))))
+    val c2 = st.readChunked("test-basin", "chunks2",
+      ReadSpec(ReadStart(ReadFrom.SeqNum(0)))).toOption.get.toSeq
+    assert(c2.map(_.size) == Seq(1000, 500))
+  }
+
   test("concurrent appends from many threads stay contiguous (linearizable-ish)") {
     val st = freshStore()
     st.catalog.createStream("test-basin", "conc")
