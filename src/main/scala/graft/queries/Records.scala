@@ -41,21 +41,26 @@ object Records {
     */
   def records(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val w = Window.partitionBy($"event_type").orderBy($"event_id")
+    // Partition the sequencing window by the ALIASED `stream` column:
+    // predicates on `stream` then push through the Window (references ⊆
+    // partitionSpec) and through the Project down to the parquet scan —
+    // reading one stream prunes before the shuffle instead of
+    // sequencing the whole table first.
+    val w = Window.partitionBy($"stream").orderBy($"event_id")
     val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     events(spark, sfDir).select(
       lit(Basin).as("basin"),
       $"event_type".as("stream"),
-      (row_number().over(w) - 1).cast(LongType).as("seq_num"),
       expr("ts div 1000").as("ts_client"),
-      $"user_id", $"event_type", $"props", $"event_id")
+      $"user_id", $"props", $"event_id")
+      .withColumn("seq_num", (row_number().over(w) - 1).cast(LongType))
       .withColumn("ts_assigned", max($"ts_client").over(cum))
       .withColumn("metered_size",
         // 8 + 2*2 headers + (7+len(user_id)) + (10+len(event_type)) + len(props)
         (lit(29L) + length($"user_id".cast(StringType))
-          + length($"event_type") + length($"props")).cast(LongType))
+          + length($"stream") + length($"props")).cast(LongType))
       .withColumn("body", $"props")
-      .drop("event_type", "props")
+      .drop("props")
   }
 
   /** Same relation with full header fidelity (ARRAY<STRUCT<name,value>>

@@ -40,8 +40,13 @@ object TextOps {
     * the DuckDB formulation).
     */
   private def shingles(df: DataFrame): DataFrame = {
-    val w = split(col("text"), " ")
-    df.select(col("doc_id"),
+    // Materialize the token array in its own projection: referencing
+    // `split(...)` directly inside the transform lambda re-evaluates
+    // the split per element_at call (3x per shingle) — a projection
+    // boundary makes it a per-row local.
+    val w = col("w")
+    df.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
         explode(array_distinct(
           when(size(w) >= 3,
             transform(sequence(lit(1), size(w) - 2),
