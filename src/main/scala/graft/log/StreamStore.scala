@@ -189,11 +189,9 @@ final class StreamStore(val spark: SparkSession, val root: String) {
       .withColumn("ts_raw", least(coalesce(col("ts_client"), lit(now)), lit(now)))
       .withColumn("timestamp", greatest(max("ts_raw").over(cum), col("base_ts")))
       .withColumn("metered_size",
-        lit(8L) + lit(2L) * coalesce(size(col("headers")), lit(0))
-          + coalesce(aggregate(col("headers"), lit(0L),
-              (acc, h) => acc + octet_length(h.getField("name"))
-                + octet_length(h.getField("value"))), lit(0L))
-          + coalesce(octet_length(col("body")), lit(0)))
+        // custom codegen'd expression: one fused loop per row instead of
+        // the aggregate(transform(...)) higher-order chain
+        graft.functions.GraftFunctions.metered_size(col("headers"), col("body")))
       .select("basin", "stream", "seq_num", "timestamp", "headers", "body",
         "metered_size")
 
