@@ -173,49 +173,97 @@ final class StreamStore(val spark: SparkSession, val root: String) {
     * writer per stream is still required — callers serialize per store.
     */
   def ingest(df: DataFrame, nowMs: Option[Long] = None): Map[(String, String), AppendAck] = {
+    import spark.implicits._
     val now = nowMs.getOrElse(System.currentTimeMillis())
     val keys = df.select("basin", "stream").distinct().collect()
       .map(r => (r.getString(0), r.getString(1)))
     val tails = keys.map { case (b, s) => (b, s) -> manifest(b, s) }.toMap
-    val tailDf = spark.createDataFrame(
-      tails.toSeq.map { case ((b, s), m) => (b, s, m.tailSeq, m.tailTs) })
-      .toDF("basin", "stream", "base_seq", "base_ts")
 
-    val w = Window.partitionBy("basin", "stream").orderBy("arrival")
-    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val assigned = df
-      .join(broadcast(tailDf), Seq("basin", "stream"))
-      .withColumn("seq_num", col("base_seq") + row_number().over(w) - 1)
+    // Distributed per-stream sequencing WITHOUT a one-reducer-per-stream
+    // window: range-partition each stream's rows by arrival so one huge
+    // stream spreads over many partitions in arrival order, then
+    //   pass 1: per (partition, stream) -> row count + running-ts info
+    //   driver: prefix sums -> each partition's starting seq + ts floor
+    //   pass 2: partition-local assignment (no shuffle).
+    // This is the scalable zipWithIndex-per-key pattern; the reference's
+    // one-actor-per-stream bound does not apply because assignment is
+    // deterministic given (arrival order, tail state).
+    val prepared = df
       .withColumn("ts_raw", least(coalesce(col("ts_client"), lit(now)), lit(now)))
-      .withColumn("timestamp", greatest(max("ts_raw").over(cum), col("base_ts")))
+      .repartitionByRange(col("basin"), col("stream"), col("arrival"))
+      .sortWithinPartitions("basin", "stream", "arrival")
+      .select("basin", "stream", "arrival", "ts_raw", "headers", "body")
+      .cache()
+
+    // pass 1: per-partition per-stream stats, in partition order
+    val partStats = prepared.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val stats = scala.collection.mutable.LinkedHashMap
+        .empty[(String, String), (Long, Long)] // (count, maxTsRaw)
+      it.foreach { r =>
+        val k = (r.getString(0), r.getString(1))
+        val (c, mx) = stats.getOrElse(k, (0L, Long.MinValue))
+        stats(k) = (c + 1, math.max(mx, r.getLong(3)))
+      }
+      stats.iterator.map { case ((b, s), (c, mx)) => (pid, b, s, c, mx) }
+    }.collect()
+
+    // driver: prefix sums per stream across partitions
+    val seqOffset = scala.collection.mutable.Map.empty[(Int, String, String), (Long, Long)]
+    val runSeq = scala.collection.mutable.Map.empty[(String, String), Long]
+    val runTs = scala.collection.mutable.Map.empty[(String, String), Long]
+    partStats.sortBy(_._1).foreach { case (pid, b, s, c, mx) =>
+      val k = (b, s)
+      val startSeq = runSeq.getOrElse(k, tails(k).tailSeq)
+      val tsFloor = runTs.getOrElse(k, tails(k).tailTs)
+      seqOffset((pid, b, s)) = (startSeq, tsFloor)
+      runSeq(k) = startSeq + c
+      runTs(k) = math.max(tsFloor, mx)
+    }
+    val offsets = spark.sparkContext.broadcast(seqOffset.toMap)
+
+    // pass 2: partition-local seq + monotone-ts assignment
+    val outSchema = StructType(Seq(
+      StructField("basin", StringType),
+      StructField("stream", StringType),
+      StructField("seq_num", LongType),
+      StructField("timestamp", LongType))
+      ++ prepared.schema.filter(f => f.name == "headers" || f.name == "body"))
+    val assigned = prepared.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val seqCursor = scala.collection.mutable.Map.empty[(String, String), Long]
+      val tsCursor = scala.collection.mutable.Map.empty[(String, String), Long]
+      it.map { r =>
+        val k = (r.getString(0), r.getString(1))
+        val (s0, t0) = offsets.value((pid, k._1, k._2))
+        val seq = seqCursor.getOrElse(k, s0)
+        val ts = math.max(r.getLong(3), tsCursor.getOrElse(k, t0))
+        seqCursor(k) = seq + 1
+        tsCursor(k) = ts
+        Row(k._1, k._2, seq, ts, r.get(4), r.get(5))
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
       .withColumn("metered_size",
-        // custom codegen'd expression: one fused loop per row instead of
-        // the aggregate(transform(...)) higher-order chain
+        // custom codegen'd expression: one fused loop per row
         graft.functions.GraftFunctions.metered_size(col("headers"), col("body")))
-      .select("basin", "stream", "seq_num", "timestamp", "headers", "body",
-        "metered_size")
 
     assigned
-      .repartition(col("basin"), col("stream"))
       .sortWithinPartitions("basin", "stream", "seq_num")
       .write.mode("append")
       .partitionBy("basin", "stream")
       .parquet(s"$root/data")
+    prepared.unpersist()
 
-    val stats = assigned.groupBy("basin", "stream")
-      .agg(count(lit(1)).as("n"), max("timestamp").as("max_ts"))
-      .collect()
-      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
-      .toMap
-    stats.map { case ((b, s), (n, maxTs)) =>
-      val m = tails((b, s))
-      val newM = m.copy(tailSeq = m.tailSeq + n,
-        tailTs = math.max(m.tailTs, maxTs), version = m.version + 1)
+    // manifests from the driver-side prefix sums (no extra job)
+    runSeq.keys.map { case k @ (b, s) =>
+      val m = tails(k)
+      val newM = m.copy(tailSeq = runSeq(k),
+        tailTs = math.max(m.tailTs, runTs(k)), version = m.version + 1)
       saveManifest(b, s, newM)
-      (b, s) -> AppendAck(
+      k -> AppendAck(
         StreamPosition(m.tailSeq, 0), StreamPosition(newM.tailSeq, newM.tailTs),
         StreamPosition(newM.tailSeq, newM.tailTs))
-    }
+    }.toMap
   }
 
   // -------------------------------------------------------------------------

@@ -391,6 +391,103 @@ class StreamStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(c2.map(_.size) == Seq(1000, 500))
   }
 
+  test("linearizability-style history: plain + CAS + fencing clients (sim/scenarios/linearizable.rs)") {
+    val st = freshStore()
+    st.catalog.createStream("test-basin", "lin")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    val history = new java.util.concurrent.ConcurrentLinkedQueue[(String, Either[AppendError, AppendAck])]()
+
+    // archetype 1: plain appenders
+    val plain = (0 until 2).map(c => pool.submit(new Runnable {
+      def run(): Unit = for (i <- 0 until 25)
+        history.add((s"plain$c", st.append("test-basin", "lin",
+          AppendInput(Seq(env(s"p$c-$i"))))))
+    }))
+    // archetype 2: match_seq_num chainer — CAS from observed tail,
+    // retry on mismatch
+    val chain = pool.submit(new Runnable {
+      def run(): Unit = {
+        var ok = 0
+        while (ok < 25) {
+          val tail = st.checkTail("test-basin", "lin").seqNum
+          val r = st.append("test-basin", "lin",
+            AppendInput(Seq(env(s"c-$ok")), matchSeqNum = Some(tail)))
+          history.add(("chain", r))
+          if (r.isRight) ok += 1
+        }
+      }
+    })
+    // archetype 3: fencing rotator — sets a token then appends with it
+    val fencer = pool.submit(new Runnable {
+      def run(): Unit = for (i <- 0 until 10) {
+        val tok = s"f$i"
+        history.add(("fence-set", st.append("test-basin", "lin",
+          AppendInput(Seq(FenceCommand(tok))))))
+        history.add(("fence-use", st.append("test-basin", "lin",
+          AppendInput(Seq(env(s"f-$i")), fencingToken = Some(tok)))))
+      }
+    })
+    (plain :+ chain :+ fencer).foreach(_.get())
+    pool.shutdown()
+
+    import scala.jdk.CollectionConverters._
+    val events = history.asScala.toSeq
+    val acks = events.collect { case (_, Right(a)) => a }
+    // 1. acked start positions are unique and contiguous overall
+    val starts = acks.map(_.start.seqNum).sorted
+    assert(starts == (0L until starts.size))
+    // 2. tail equals total acked records
+    assert(st.checkTail("test-basin", "lin").seqNum == starts.size)
+    // 3. CAS rejections carried the true tail at rejection time
+    events.collect { case ("chain", Left(AppendError.SeqNumMismatch(m, actual))) =>
+      assert(m != actual)
+    }
+    // 4. fence-use appends may fail only with a token mismatch (a later
+    //    rotation fenced them out), never corrupt sequencing
+    events.collect { case ("fence-use", Left(e)) =>
+      assert(e.isInstanceOf[AppendError.FencingTokenMismatch])
+    }
+    // 5. the stored log is exactly the acked records in seq order
+    val stored = st.readBatch("test-basin", "lin",
+      ReadSpec(ReadStart(ReadFrom.SeqNum(0)))).toOption.get
+    assert(stored.map(_.seqNum) == (0L until starts.size))
+    // timestamps non-decreasing across the whole interleaving
+    assert(stored.map(_.timestamp).sliding(2).forall(p => p.head <= p.last))
+  }
+
+  test("distributed sequencing: one stream split across partitions matches the window semantics") {
+    val st = freshStore()
+    st.catalog.createStream("test-basin", "huge")
+    import spark.implicits._
+    // 10k rows, one stream -> range partitioner must split it; ts has
+    // out-of-order noise to exercise the cross-partition monotone clamp
+    val n = 10000
+    val df = (0 until n).map { i =>
+      ("test-basin", "huge", Option(1000L + i * 3 - (i % 7) * 5), i.toLong)
+    }.toDF("basin", "stream", "ts_client", "arrival")
+      .withColumn("headers", org.apache.spark.sql.functions.expr(
+        "CAST(NULL AS ARRAY<STRUCT<name: BINARY, value: BINARY>>)"))
+      .withColumn("body", org.apache.spark.sql.functions.expr(
+        "CAST(concat('r', arrival) AS BINARY)"))
+      .repartition(8) // scrambled input placement
+    val acks = st.ingest(df, Some(10000000L))
+    assert(acks(("test-basin", "huge")).tail.seqNum == n)
+    val rows = st.visible("test-basin", "huge")
+      .orderBy("seq_num")
+      .select("seq_num", "timestamp", "body").collect()
+    assert(rows.length == n)
+    // seq i must correspond to arrival i (bodies carry arrival ids)
+    assert((0 until n).forall(i =>
+      new String(rows(i).getAs[Array[Byte]](2)) == s"r$i"))
+    // timestamps = running max of client ts in arrival order
+    var mx = 0L
+    (0 until n).foreach { i =>
+      val expected = math.max(mx, 1000L + i * 3 - (i % 7) * 5)
+      assert(rows(i).getLong(1) == expected, s"ts at $i")
+      mx = expected
+    }
+  }
+
   test("concurrent appends from many threads stay contiguous (linearizable-ish)") {
     val st = freshStore()
     st.catalog.createStream("test-basin", "conc")
