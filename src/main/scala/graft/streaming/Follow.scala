@@ -30,21 +30,38 @@ import graft.log.{Layout, StreamStore}
 object Follow {
 
   /** Streaming DataFrame of records appended to (basin, stream),
-    * starting at `fromSeq` (R2 applied to the live feed).
+    * starting at `fromSeq` (R2 applied to the live feed). Backed by the
+    * custom seq-offset source (graft.streaming.source.GraftStreamSource):
+    * offsets are seq_nums, only manifest-committed (= durable) records
+    * are offered, and catch-up ranges prune files by footer stats.
     */
   def follow(store: StreamStore, basin: String, stream: String,
              fromSeq: Long = 0L,
-             ignoreCommands: Boolean = false,
-             maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val dir = Layout.dataDir(store.root, basin, stream)
-    var reader = store.spark.readStream.schema(store.recordSchema)
-    maxFilesPerTrigger.foreach(n =>
-      reader = reader.option("maxFilesPerTrigger", n))
-    var df = reader.parquet(dir).where(col("seq_num") >= fromSeq)
+             ignoreCommands: Boolean = false): DataFrame = {
+    var df = store.spark.readStream.format("graft-stream")
+      .option("root", store.root)
+      .option("basin", basin)
+      .option("stream", stream)
+      .option("startSeq", fromSeq)
+      .load()
     if (ignoreCommands)
       df = df.where(!(size(col("headers")) === 1 &&
         octet_length(col("headers")(0)("name")) === 0))
     df
+  }
+
+  /** File-stream variant (plain Spark file source over the partition
+    * dir) — kept for comparison/fallback; may surface rows written but
+    * not yet manifest-committed during a crash window.
+    */
+  def followFiles(store: StreamStore, basin: String, stream: String,
+                  fromSeq: Long = 0L,
+                  maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val dir = Layout.dataDir(store.root, basin, stream)
+    var reader = store.spark.readStream.schema(store.recordSchema)
+    maxFilesPerTrigger.foreach(n =>
+      reader = reader.option("maxFilesPerTrigger", n))
+    reader.parquet(dir).where(col("seq_num") >= fromSeq)
   }
 
   /** M1-style live metrics over the tail: per-minute ops/bytes with
