@@ -78,6 +78,36 @@ object Bench {
     val readSec = (System.nanoTime() - tRead0) / 1e9
     val readMibps = readBytes / 1048576.0 / readSec
 
+    // s2-bench-style 1 KiB workload (cli/src/bench.rs generates record
+    // bodies; MiB/s on the events table's 16-byte props is record-size
+    // bound, so this phase measures throughput at the reference bench's
+    // record scale): same row count as events, 8 streams, 1 KiB bodies.
+    val nBig = ev.count()
+    val root2 = java.nio.file.Files.createTempDirectory("graft-bench1k").toString
+    val store2 = new StreamStore(spark, root2)
+    store2.catalog.createBasin("bench-basin",
+      BasinConfig(defaultStreamConfig =
+        StreamConfig(retentionPolicy = Some(RetentionPolicy.Infinite))))
+    (0 until 8).foreach(i => store2.catalog.createStream("bench-basin", s"s$i"))
+    val bigDf = spark.range(nBig).select(
+      lit("bench-basin").as("basin"),
+      concat(lit("s"), (col("id") % 8).cast("string")).as("stream"),
+      (lit(1700000000000L) + col("id")).as("ts_client"),
+      expr("CAST(NULL AS ARRAY<STRUCT<name: BINARY, value: BINARY>>)").as("headers"),
+      expr("CAST(repeat(substr(md5(CAST(id AS STRING)), 1, 16), 64) AS BINARY)").as("body"),
+      col("id").as("arrival"))
+    val tBig0 = System.nanoTime()
+    store2.ingest(bigDf)
+    val bigSec = (System.nanoTime() - tBig0) / 1e9
+    val bigBytes = spark.read.parquet(s"$root2/data")
+      .agg(sum("metered_size")).first().getLong(0)
+    val append1kMibps = bigBytes / 1048576.0 / bigSec
+    val tBigR0 = System.nanoTime()
+    spark.read.parquet(s"$root2/data")
+      .sortWithinPartitions("stream", "seq_num")
+      .agg(sum("metered_size"), count(lit(1))).first()
+    val read1kMibps = bigBytes / 1048576.0 / ((System.nanoTime() - tBigR0) / 1e9)
+
     // unary append ack latency (small batches through the full A1-A7
     // path: validate -> fence/CAS -> assign -> parquet file -> manifest)
     val ackBatch = AppendInput(Seq.fill(10)(
@@ -97,7 +127,7 @@ object Bench {
       .map(k => "\"" + k + f"\":${ack(k)}%.1f").mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","append_mibps":$appendMibps%.3f,"read_mibps":$readMibps%.3f,"append_records_per_sec":${totalRecords / ingestSec}%.0f,"avg_record_bytes":${totalBytes / math.max(totalRecords, 1)},"ingest_sec":$ingestSec%.3f,"ack_latency_ms":$ackJson}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","append_mibps":$appendMibps%.3f,"read_mibps":$readMibps%.3f,"append_records_per_sec":${totalRecords / ingestSec}%.0f,"avg_record_bytes":${totalBytes / math.max(totalRecords, 1)},"ingest_sec":$ingestSec%.3f,"append_1kib_mibps":$append1kMibps%.3f,"read_1kib_mibps":$read1kMibps%.3f,"ack_latency_ms":$ackJson}""")
     spark.stop()
   }
 }
