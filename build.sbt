@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // container locale is POSIX; UTF-8 filenames (non-ASCII stream names)
+  // need the JVM's filesystem encoding pinned
+  "-Dsun.jnu.encoding=UTF-8", "-Dfile.encoding=UTF-8",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

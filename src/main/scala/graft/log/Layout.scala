@@ -24,21 +24,38 @@ import org.json4s.jackson.Serialization
   */
 object Layout {
 
-  /** Escape a stream name into a partition-path token using the same
-    * character set Spark's partition writer escapes (Hive-compatible
-    * %XX encoding), so directories written via `partitionBy("stream")`
-    * and directories addressed directly by this layout coincide.
+  /** Escape a stream name into a pure-ASCII partition-path token.
+    *
+    * Escape char is `~` (`~XX` per UTF-8 byte) - deliberately NOT `%`:
+    * `%` is in Spark's own partition-escaping set, so a `%`-encoded
+    * value passed through `partitionBy` would be double-escaped.
+    * `~` passes through Spark's writer verbatim, so directories written
+    * via dynamic partitions and directories addressed by this layout
+    * coincide, and non-ASCII names survive POSIX-locale filesystems.
     */
-  private val needsEscape: Set[Char] =
-    (0.toChar to 31.toChar).toSet ++ Set('"', '#', '%', '\'', '*', '/', ':',
-      '=', '?', '\\', '\u007f', '{', '[', ']', '^')
-
   def escape(name: String): String = {
     val sb = new StringBuilder
-    name.foreach { c =>
-      if (needsEscape(c)) sb.append(f"%%${c.toInt}%02X") else sb.append(c)
+    name.getBytes("UTF-8").foreach { b =>
+      val c = (b & 0xff).toChar
+      if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+          (c >= '0' && c <= '9') || c == '-' || c == '_' || c == '.')
+        sb.append(c)
+      else sb.append(f"~${b & 0xff}%02X")
     }
     sb.toString
+  }
+
+  def unescape(token: String): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < token.length) {
+      val c = token.charAt(i)
+      if (c == '~' && i + 3 <= token.length) {
+        out.write(Integer.parseInt(token.substring(i + 1, i + 3), 16))
+        i += 3
+      } else { out.write(c.toInt); i += 1 }
+    }
+    new String(out.toByteArray, "UTF-8")
   }
 
   def dataDir(root: String, basin: String, stream: String): String =

@@ -247,7 +247,11 @@ final class StreamStore(val spark: SparkSession, val root: String) {
         // custom codegen'd expression: one fused loop per row
         graft.functions.GraftFunctions.metered_size(col("headers"), col("body")))
 
+    // partition values go through Layout.escape so dynamic-partition
+    // dirs coincide with the unary append path for ALL legal names
+    val escUdf = udf((s: String) => Layout.escape(s))
     assigned
+      .withColumn("stream", escUdf(col("stream")))
       .sortWithinPartitions("basin", "stream", "seq_num")
       .write.mode("append")
       .partitionBy("basin", "stream")

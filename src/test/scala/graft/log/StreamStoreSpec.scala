@@ -391,6 +391,34 @@ class StreamStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(c2.map(_.size) == Seq(1000, 500))
   }
 
+  test("exotic stream names: path escaping round-trips through append + read + ingest") {
+    val st = freshStore()
+    // stream names may be any 1-512 bytes except "." / ".." (stream.rs:28-47)
+    val names = Seq("with space", "slash/inside", "colon:name", "pct%20enc",
+      "uni-héllo", "eq=sign")
+    names.foreach { n =>
+      st.catalog.createStream("test-basin", n)
+      appendOk(st, n, AppendInput(Seq(env(s"body-of-$n"))))
+      val rows = st.readBatch("test-basin", n,
+        ReadSpec(ReadStart(ReadFrom.SeqNum(0)))).toOption.get
+      assert(rows.size == 1 && new String(rows.head.body) == s"body-of-$n", n)
+      assert(st.checkTail("test-basin", n).seqNum == 1, n)
+    }
+    // ingest path (Spark dynamic partition writer escaping must agree)
+    import spark.implicits._
+    val df = names.map(n => ("test-basin", n, Option(5000L), 99L))
+      .toDF("basin", "stream", "ts_client", "arrival")
+      .withColumn("headers", org.apache.spark.sql.functions.expr(
+        "CAST(NULL AS ARRAY<STRUCT<name: BINARY, value: BINARY>>)"))
+      .withColumn("body", org.apache.spark.sql.functions.expr("CAST('ing' AS BINARY)"))
+    st.ingest(df, Some(999999L))
+    names.foreach { n =>
+      val rows = st.readBatch("test-basin", n,
+        ReadSpec(ReadStart(ReadFrom.SeqNum(0)))).toOption.get
+      assert(rows.map(_.seqNum) == Seq(0L, 1L), n)
+    }
+  }
+
   test("linearizability-style history: plain + CAS + fencing clients (sim/scenarios/linearizable.rs)") {
     val st = freshStore()
     st.catalog.createStream("test-basin", "lin")
