@@ -361,6 +361,38 @@ final class StreamStore(val spark: SparkSession, val root: String) {
       }
     }
 
+  /** R7 — unary read: like readBatch but with the one-batch caps
+    * applied (count ≤ 1000, bytes ≤ 1 MiB — the unary handler clamps
+    * limits to a single batch, handlers/v1/records.rs:72-84).
+    */
+  def readUnary(basin: String, stream: String, spec: ReadSpec,
+                ignoreCommands: Boolean = false,
+                cipher: Option[Array[Byte]] = None): Either[String, Seq[SequencedRecord]] = {
+    val l = spec.end.limit
+    val clamped = spec.copy(end = spec.end.copy(limit = ReadLimit(
+      count = Some(math.min(l.count.getOrElse(Long.MaxValue), Caps.MaxBatchRecords.toLong)),
+      bytes = Some(math.min(l.bytes.getOrElse(Long.MaxValue), Caps.MaxBatchMeteredBytes)))))
+    readBatch(basin, stream, clamped, ignoreCommands, cipher)
+  }
+
+  /** M2-style throughput metrics: per-stream ops + bytes per interval
+    * bucket over live records (metrics.rs:60-92; interval in millis).
+    */
+  def throughputMetrics(basin: String, intervalMs: Long,
+                        startMs: Option[Long] = None,
+                        endMs: Option[Long] = None): DataFrame = {
+    val streams = catalog.listStreams(basin).items.map(_.name)
+    streams.map { s =>
+      var df = visible(basin, s)
+      startMs.foreach(t => df = df.where(col("timestamp") >= t))
+      endMs.foreach(t => df = df.where(col("timestamp") < t))
+      df.groupBy(expr(s"timestamp div $intervalMs").as("bucket"))
+        .agg(count(lit(1)).as("n_ops"), sum("metered_size").as("bytes"))
+        .select(lit(s).as("stream"), col("bucket"), col("n_ops"), col("bytes"))
+    }.reduceOption(_ unionAll _)
+      .getOrElse(spark.emptyDataFrame)
+  }
+
   /** R6 — batch re-chunking: emit output in chunks of ≤1000 records and
     * ≤1 MiB metered; a record that does not fit the remaining byte
     * budget starts the next chunk (storage/src/record/batcher.rs:32-169).

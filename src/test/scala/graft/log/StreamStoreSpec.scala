@@ -391,6 +391,25 @@ class StreamStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(c2.map(_.size) == Seq(1000, 500))
   }
 
+  test("unary read clamps to one batch (R7); throughput metrics bucket correctly (M2)") {
+    val st = freshStore()
+    st.catalog.createStream("test-basin", "u7",
+      StreamConfig(timestamping = Some(Timestamping(TimestampingMode.ClientRequire, uncapped = true))))
+    for (b <- 0 until 2)
+      appendOk(st, "u7", AppendInput((0 until 750).map(i => env(s"r$b-$i")),
+        clientTimestamps = (0 until 750).map(i => Some(b * 60000L + i * 10L))))
+    // unlimited spec -> unary caps at 1000 records
+    val unary = st.readUnary("test-basin", "u7",
+      ReadSpec(ReadStart(ReadFrom.SeqNum(0)))).toOption.get
+    assert(unary.size == 1000)
+    assert(unary.map(_.seqNum) == (0L until 1000L))
+    // M2: two one-minute buckets of 750 ops each
+    val m = st.throughputMetrics("test-basin", 60000L)
+      .orderBy("stream", "bucket").collect()
+    assert(m.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      == Seq(("u7", 0L, 750L), ("u7", 1L, 750L)))
+  }
+
   test("exotic stream names: path escaping round-trips through append + read + ingest") {
     val st = freshStore()
     // stream names may be any 1-512 bytes except "." / ".." (stream.rs:28-47)

@@ -74,6 +74,36 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("continuous ingest: micro-batches land as contiguous durable appends (A8 end-to-end)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-singest").toString
+    val st = new StreamStore(spark, dir)
+    st.catalog.createBasin("test-basin",
+      BasinConfig(defaultStreamConfig =
+        StreamConfig(retentionPolicy = Some(RetentionPolicy.Infinite))))
+    st.catalog.createStream("test-basin", "s")
+    val input = MemoryStream[(String, String, Option[Long], Array[Byte], Long)]
+    val raw = input.toDF()
+      .toDF("basin", "stream", "ts_client", "body", "arrival")
+      .withColumn("headers", org.apache.spark.sql.functions.expr(
+        "CAST(NULL AS ARRAY<STRUCT<name: BINARY, value: BINARY>>)"))
+    val q = StreamIngest.start(st, raw, s"$dir/_ckpt")
+    try {
+      input.addData(("test-basin", "s", Some(1000L), "a".getBytes, 0L),
+                    ("test-basin", "s", Some(2000L), "b".getBytes, 1L))
+      q.processAllAvailable()
+      assert(st.checkTail("test-basin", "s").seqNum == 2)
+      input.addData(("test-basin", "s", Some(1500L), "c".getBytes, 2L))
+      q.processAllAvailable()
+      val rows = st.readBatch("test-basin", "s",
+        ReadSpec(ReadStart(ReadFrom.SeqNum(0)))).toOption.get
+      assert(rows.map(_.seqNum) == Seq(0L, 1L, 2L))
+      // monotone clamp carried across micro-batches: 1500 -> 2000
+      assert(rows.map(_.timestamp) == Seq(1000L, 2000L, 2000L))
+    } finally q.stop()
+  }
+
   test("streaming sequencer: contiguous seqs + monotone ts across micro-batches (A8)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
