@@ -95,4 +95,7 @@ final case class StreamManifest(
     fencingToken: String = "",
     trimPoint: Long = 0L,
     deletionPending: Boolean = false,
+    /** last streaming-ingest epoch committed for this stream (-1 =
+      * none); makes micro-batch replay after a crash idempotent. */
+    lastEpoch: Long = -1L,
     version: Long = 0L)

@@ -172,11 +172,24 @@ final class StreamStore(val spark: SparkSession, val root: String) {
     * via dynamic partitions, then commits all manifests. One logical
     * writer per stream is still required — callers serialize per store.
     */
-  def ingest(df: DataFrame, nowMs: Option[Long] = None): Map[(String, String), AppendAck] = {
+  def ingest(df0: DataFrame, nowMs: Option[Long] = None,
+             epochId: Option[Long] = None): Map[(String, String), AppendAck] = {
     import spark.implicits._
     val now = nowMs.getOrElse(System.currentTimeMillis())
-    val keys = df.select("basin", "stream").distinct().collect()
+    val allKeys = df0.select("basin", "stream").distinct().collect()
       .map(r => (r.getString(0), r.getString(1)))
+    // epoch dedup: a stream whose manifest already committed this epoch
+    // is a replayed micro-batch -> skip it (exactly-once manifests)
+    val keys = epochId match {
+      case Some(e) => allKeys.filter { case (b, s) => manifest(b, s).lastEpoch != e }
+      case None => allKeys
+    }
+    if (keys.isEmpty) return Map.empty
+    val df = if (keys.length == allKeys.length) df0 else {
+      val keep = keys.map { case (b, s) => s"$b\u0000$s" }.toSet
+      df0.where(concat_ws("\u0000", col("basin"), col("stream"))
+        .isin(keep.toSeq: _*))
+    }
     val tails = keys.map { case (b, s) => (b, s) -> manifest(b, s) }.toMap
 
     // Distributed per-stream sequencing WITHOUT a one-reducer-per-stream
@@ -262,7 +275,8 @@ final class StreamStore(val spark: SparkSession, val root: String) {
     runSeq.keys.map { case k @ (b, s) =>
       val m = tails(k)
       val newM = m.copy(tailSeq = runSeq(k),
-        tailTs = math.max(m.tailTs, runTs(k)), version = m.version + 1)
+        tailTs = math.max(m.tailTs, runTs(k)),
+        lastEpoch = epochId.getOrElse(m.lastEpoch), version = m.version + 1)
       saveManifest(b, s, newM)
       k -> AppendAck(
         StreamPosition(m.tailSeq, 0), StreamPosition(newM.tailSeq, newM.tailTs),
@@ -468,7 +482,10 @@ final class StreamStore(val spark: SparkSession, val root: String) {
         catalog.hardDeleteStream(basin, stream)
       } else if (Files.exists(dir)) {
         val tmp = Paths.get(s"$root/_tmp/compact-${System.nanoTime()}")
+        // dropDuplicates repairs orphan re-writes (a crash between the
+        // data write and the manifest commit replays the same seq range)
         visible(basin, stream, nowMs)
+          .dropDuplicates("seq_num")
           .coalesce(1).sortWithinPartitions("seq_num")
           .write.parquet(tmp.toString)
         val old = Paths.get(dir.toString + s".old-${System.nanoTime()}")

@@ -27,8 +27,9 @@ object StreamIngest {
     raw.writeStream
       .option("checkpointLocation", checkpointLocation)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) { store.ingest(batch); () }
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        // epoch id makes replayed micro-batches idempotent per stream
+        if (!batch.isEmpty) { store.ingest(batch, epochId = Some(epochId)); () }
       }
       .start()
 }

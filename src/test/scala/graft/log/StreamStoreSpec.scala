@@ -391,6 +391,29 @@ class StreamStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(c2.map(_.size) == Seq(1000, 500))
   }
 
+  test("ingest epoch dedup: replayed micro-batch is a no-op (exactly-once manifests)") {
+    val st = freshStore()
+    st.catalog.createStream("test-basin", "ep")
+    import spark.implicits._
+    def batch(epoch: Long) = {
+      val df = Seq(("test-basin", "ep", Option(1000L + epoch), epoch))
+        .toDF("basin", "stream", "ts_client", "arrival")
+        .withColumn("headers", org.apache.spark.sql.functions.expr(
+          "CAST(NULL AS ARRAY<STRUCT<name: BINARY, value: BINARY>>)"))
+        .withColumn("body", org.apache.spark.sql.functions.expr("CAST('x' AS BINARY)"))
+      st.ingest(df, Some(99999L), epochId = Some(epoch))
+    }
+    assert(batch(0).nonEmpty)
+    assert(st.checkTail("test-basin", "ep").seqNum == 1)
+    // replay of epoch 0 -> skipped entirely
+    assert(batch(0).isEmpty)
+    assert(st.checkTail("test-basin", "ep").seqNum == 1)
+    assert(st.visible("test-basin", "ep").count() == 1)
+    // next epoch appends
+    assert(batch(1).nonEmpty)
+    assert(st.checkTail("test-basin", "ep").seqNum == 2)
+  }
+
   test("unary read clamps to one batch (R7); throughput metrics bucket correctly (M2)") {
     val st = freshStore()
     st.catalog.createStream("test-basin", "u7",
