@@ -391,20 +391,17 @@ final class StreamStore(val spark: SparkSession, val root: String) {
 
   /** M2-style throughput metrics: per-stream ops + bytes per interval
     * bucket over live records (metrics.rs:60-92; interval in millis).
+    * Single basin-wide scan.
     */
   def throughputMetrics(basin: String, intervalMs: Long,
                         startMs: Option[Long] = None,
                         endMs: Option[Long] = None): DataFrame = {
-    val streams = catalog.listStreams(basin).items.map(_.name)
-    streams.map { s =>
-      var df = visible(basin, s)
-      startMs.foreach(t => df = df.where(col("timestamp") >= t))
-      endMs.foreach(t => df = df.where(col("timestamp") < t))
-      df.groupBy(expr(s"timestamp div $intervalMs").as("bucket"))
-        .agg(count(lit(1)).as("n_ops"), sum("metered_size").as("bytes"))
-        .select(lit(s).as("stream"), col("bucket"), col("n_ops"), col("bytes"))
-    }.reduceOption(_ unionAll _)
-      .getOrElse(spark.emptyDataFrame)
+    var df = visibleBasin(basin)
+    startMs.foreach(t => df = df.where(col("timestamp") >= t))
+    endMs.foreach(t => df = df.where(col("timestamp") < t))
+    df.groupBy(col("stream"), expr(s"timestamp div $intervalMs").as("bucket"))
+      .agg(count(lit(1)).as("n_ops"), sum("metered_size").as("bytes"))
+      .select("stream", "bucket", "n_ops", "bytes")
   }
 
   /** R6 — batch re-chunking: emit output in chunks of ≤1000 records and
@@ -515,16 +512,52 @@ final class StreamStore(val spark: SparkSession, val root: String) {
     }
   }
 
-  /** M2/M3-style usage metrics over live records. */
+  /** All live records of a basin in ONE scan: partition-discovered
+    * `stream` column joined against a broadcast manifest table carrying
+    * each stream's visibility mask (tail, trim, retention cutoff).
+    * This is the metrics/scan path that survives 10k+ streams — one
+    * job, partition pruning intact, no per-stream plan explosion.
+    */
+  def visibleBasin(basin: String, nowMs: Option[Long] = None): DataFrame = {
+    val now = nowMs.getOrElse(System.currentTimeMillis())
+    val streams = catalog.listStreams(basin).items.map(_.name)
+    val dir = Paths.get(s"$root/data/basin=$basin")
+    if (streams.isEmpty || !Files.exists(dir))
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        recordSchema.add("stream", StringType))
+    val masks = streams.map { s =>
+      val m = manifest(basin, s)
+      val cutoff = catalog.streamConfig(basin, s)
+        .getOrElse(StreamConfig.SystemDefault).retentionOrDefault match {
+        case RetentionPolicy.Age(secs) => now - secs * 1000
+        case RetentionPolicy.Infinite => Long.MinValue
+      }
+      (Layout.escape(s), s, m.tailSeq, m.trimPoint, cutoff)
+    }
+    val maskDf = spark.createDataFrame(masks)
+      .toDF("stream", "stream_name", "tail", "trim", "cutoff")
+    spark.read.schema(recordSchema).parquet(dir.toString)
+      .join(broadcast(maskDf), Seq("stream"))
+      .where(col("seq_num") < col("tail") && col("seq_num") >= col("trim") &&
+             col("timestamp") >= col("cutoff"))
+      .drop("stream", "tail", "trim", "cutoff")
+      .withColumnRenamed("stream_name", "stream")
+  }
+
+  /** M2/M3-style usage metrics over live records — single-scan;
+    * streams with no live records report zero.
+    */
   def storageMetrics(basin: String): DataFrame = {
     val streams = catalog.listStreams(basin).items.map(_.name)
-    streams.map { s =>
-      visible(basin, s)
-        .agg(coalesce(sum("metered_size"), lit(0L)).as("storage_bytes"),
-             count(lit(1)).as("n_records"))
-        .select(lit(s).as("stream"), col("storage_bytes"), col("n_records"))
-    }.reduceOption(_ unionAll _)
-      .getOrElse(spark.emptyDataFrame)
+    if (streams.isEmpty) return spark.emptyDataFrame
+    val names = spark.createDataFrame(streams.map(Tuple1(_))).toDF("stream")
+    val counts = visibleBasin(basin)
+      .groupBy("stream")
+      .agg(sum("metered_size").as("sb"), count(lit(1)).as("nr"))
+    names.join(counts, Seq("stream"), "left")
+      .select(col("stream"),
+        coalesce(col("sb"), lit(0L)).as("storage_bytes"),
+        coalesce(col("nr"), lit(0L)).as("n_records"))
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =

@@ -431,6 +431,11 @@ class StreamStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       .orderBy("stream", "bucket").collect()
     assert(m.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
       == Seq(("u7", 0L, 750L), ("u7", 1L, 750L)))
+    // M3 single-scan storage gauge; an empty stream reports zero
+    st.catalog.createStream("test-basin", "empty-stream")
+    val sm = st.storageMetrics("test-basin").orderBy("stream").collect()
+      .map(r => (r.getString(0), r.getLong(2))).toSeq
+    assert(sm == Seq(("empty-stream", 0L), ("u7", 1500L)))
   }
 
   test("exotic stream names: path escaping round-trips through append + read + ingest") {
