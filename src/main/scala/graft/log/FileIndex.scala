@@ -1,0 +1,133 @@
+package graft.log
+
+import java.nio.file.{Files, Paths}
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+import org.apache.parquet.hadoop.api.ReadSupport
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.MessageType
+
+/** Driver-side per-file statistics over a stream's parquet files — the
+  * analog of the reference's bounded LSM prefix scan + secondary time
+  * index (lite/src/backend/read.rs:112-131, 287-317) expressed over
+  * immutable sorted files.
+  *
+  * Everything here is cached BY PATH: data files are immutable once
+  * visible (writers only ever add new files; compaction swaps whole
+  * directories, producing new paths), so footer stats and per-file
+  * metered sums never go stale. Two tiers:
+  *
+  *  - `stats` — (min/max seq_num, min/max timestamp, row count) read
+  *    from the parquet footer only: O(footer) per file, once.
+  *  - `sums` — exact Σ metered_size (total, and of command records
+  *    only), computed by one projected column scan per file, once.
+  *
+  * These make read planning O(budget), not O(stream): a bytes-limited
+  * read walks files in seq order consuming cached sums until the budget
+  * is crossed, scans rows only in the boundary files, and hands Spark
+  * an explicit pruned file list. The reference evaluates read limits
+  * record-by-record over the same bounded prefix (read_extent.rs:88-108,
+  * read.rs:139-173); this walk does strictly less I/O (column-projected,
+  * cached) than the reference's full-record scan.
+  */
+object FileIndex {
+
+  /** Footer-derived stats of one immutable data file. */
+  final case class FileStats(path: String, minSeq: Long, maxSeq: Long,
+                             minTs: Long, maxTs: Long, rows: Long)
+
+  /** A row projected to read-planning columns. */
+  final case class RowLite(seq: Long, ts: Long, metered: Long, isCommand: Boolean)
+
+  private val statsCache = TrieMap[String, FileStats]()
+  // path -> (total metered bytes, metered bytes of command records)
+  private val sumsCache = TrieMap[String, (Long, Long)]()
+
+  def stats(path: String): FileStats = statsCache.getOrElseUpdate(path, {
+    val in = HadoopInputFile.fromPath(new Path(path), new Configuration())
+    val reader = ParquetFileReader.open(in)
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala
+      def colStats(name: String) = blocks.flatMap { b =>
+        b.getColumns.asScala.find(_.getPath.toDotString == name)
+          .map(_.getStatistics)
+      }
+      def mn(name: String) = colStats(name)
+        .map(_.genericGetMin.asInstanceOf[java.lang.Long].longValue()).min
+      def mx(name: String) = colStats(name)
+        .map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue()).max
+      FileStats(path, mn("seq_num"), mx("seq_num"),
+        mn("timestamp"), mx("timestamp"), blocks.map(_.getRowCount).sum)
+    } finally reader.close()
+  })
+
+  /** All data files of a stream directory, sorted by min seq_num.
+    * Listing is fresh per call (new files appear); stats are cached.
+    */
+  def listStats(dir: String): Seq[FileStats] = {
+    val d = Paths.get(dir)
+    if (!Files.exists(d)) return Nil
+    val s = Files.list(d)
+    try s.iterator().asScala
+      .filter(_.toString.endsWith(".parquet"))
+      .map(p => stats(p.toString)).toSeq.sortBy(_.minSeq)
+    finally s.close()
+  }
+
+  /** Projected driver-side row scan in file order (= seq order; files
+    * are written sorted). `f` returns false to stop early. Reads only
+    * the planning columns (+ headers, needed for command detection).
+    */
+  def scanRows(path: String)(f: RowLite => Boolean): Unit = {
+    val conf = new Configuration()
+    val fileSchema = {
+      val in = HadoopInputFile.fromPath(new Path(path), conf)
+      val r = ParquetFileReader.open(in)
+      try r.getFooter.getFileMetaData.getSchema finally r.close()
+    }
+    val keep = Set("seq_num", "timestamp", "metered_size", "headers")
+    val projection = new MessageType(fileSchema.getName,
+      fileSchema.getFields.asScala.filter(fd => keep(fd.getName)).asJava)
+    conf.set(ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
+    val reader = ParquetReader.builder(new GroupReadSupport(), new Path(path))
+      .withConf(conf).build()
+    try {
+      var g = reader.read()
+      var go = true
+      while (g != null && go) {
+        val isCmd =
+          if (g.getFieldRepetitionCount("headers") == 0) false
+          else {
+            val hg = g.getGroup("headers", 0)
+            hg.getFieldRepetitionCount("list") == 1 && {
+              val el = hg.getGroup("list", 0).getGroup("element", 0)
+              el.getFieldRepetitionCount("name") > 0 &&
+                el.getBinary("name", 0).length() == 0
+            }
+          }
+        go = f(RowLite(g.getLong("seq_num", 0), g.getLong("timestamp", 0),
+          g.getLong("metered_size", 0), isCmd))
+        g = if (go) reader.read() else null
+      }
+    } finally reader.close()
+  }
+
+  /** Exact (Σ metered_size, Σ metered_size over command records) of one
+    * file — one projected scan, ever, per immutable file.
+    */
+  def sums(path: String): (Long, Long) = sumsCache.getOrElseUpdate(path, {
+    var total = 0L
+    var cmd = 0L
+    scanRows(path) { r =>
+      total += r.metered
+      if (r.isCommand) cmd += r.metered
+      true
+    }
+    (total, cmd)
+  })
+}

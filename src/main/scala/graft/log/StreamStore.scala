@@ -6,7 +6,6 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 
 import graft.model._
@@ -33,13 +32,47 @@ import graft.model._
   *   compaction (T1/T2) — "trimming is eventually consistent"
   *   (cli/src/cli.rs:143-146).
   */
+object StreamStore {
+  /** JVM-global lock registry keyed by (canonical root, basin, stream):
+    * two StreamStore instances over one root in one process serialize
+    * here (and share one lock object, so same-JVM FileChannel locks
+    * in withStreamLock never overlap).
+    */
+  private val jvmLocks = new ConcurrentHashMap[String, Object]()
+  private[log] def jvmLock(key: String): Object =
+    jvmLocks.computeIfAbsent(key, _ => new Object)
+}
+
 final class StreamStore(val spark: SparkSession, val root: String) {
 
   val catalog = new Catalog(root)
 
-  private val locks = new ConcurrentHashMap[String, Object]()
+  private val rootKey =
+    Paths.get(root).toAbsolutePath.normalize.toString
   private def lockFor(basin: String, stream: String): Object =
-    locks.computeIfAbsent(s"$basin\u0000$stream", _ => new Object)
+    StreamStore.jvmLock(rootKey + "\u0000" + basin + "\u0000" + stream)
+
+  /** Cross-process critical section for one stream's commit path: the
+    * JVM-global lock serializes writers in this process; an OS file
+    * lock on the stream's lock file serializes writers across
+    * processes -- the analog of the reference's one-actor-per-stream +
+    * serializable KV transactions (streams.rs:89,284). Combined with
+    * the manifest version CAS in saveManifestCas, two drivers on the
+    * same root can never lose appends.
+    */
+  private def withStreamLock[A](basin: String, stream: String)(f: => A): A =
+    lockFor(basin, stream).synchronized {
+      val lockPath = Layout.statePath(root, basin, stream)
+        .resolveSibling(Layout.escape(stream) + ".lock")
+      Files.createDirectories(lockPath.getParent)
+      val ch = java.nio.channels.FileChannel.open(lockPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val fl = ch.lock()
+        try f finally fl.release()
+      } finally ch.close()
+    }
 
   val recordSchema: StructType = StructType(Seq(
     StructField("seq_num", LongType, nullable = false),
@@ -54,8 +87,34 @@ final class StreamStore(val spark: SparkSession, val root: String) {
     Layout.readJson[StreamManifest](Layout.statePath(root, basin, stream))
       .getOrElse(StreamManifest())
 
-  private def saveManifest(basin: String, stream: String, m: StreamManifest): Unit =
-    Layout.writeJson(Layout.statePath(root, basin, stream), m)
+  /** Write-if-version-matches — the manifest analog of the reference's
+    * trim-point CAS (stream_trim.rs:120-152). Callers hold the stream
+    * lock, so a failure means a writer bypassed the locking protocol;
+    * the commit is aborted loudly rather than losing their update.
+    */
+  private def saveManifestCas(basin: String, stream: String,
+                              next: StreamManifest, expectedVersion: Long): Unit = {
+    val cur = manifest(basin, stream)
+    if (cur.version != expectedVersion)
+      throw new java.util.ConcurrentModificationException(
+        s"manifest CAS failed for $basin/$stream: expected v$expectedVersion, found v${cur.version}")
+    Layout.writeJson(Layout.statePath(root, basin, stream), next)
+  }
+
+  /** C6 (core.rs:326-391): resolve the stream's merged config for a
+    * write/read, auto-provisioning with defaults when the basin opts in
+    * (`StreamAlreadyExists` races are swallowed by re-reading).
+    */
+  private def resolveStream(basin: String, stream: String,
+                            autoCreate: Boolean): Option[StreamConfig] =
+    catalog.streamConfig(basin, stream).orElse {
+      if (!autoCreate) None
+      else {
+        catalog.createStream(basin, stream) // race: AlreadyExists is fine
+        catalog.streamConfig(basin, stream)
+          .orElse(Some(StreamConfig.SystemDefault))
+      }
+    }
 
   /** R1: tail = position of the next record; survives full trim. */
   def checkTail(basin: String, stream: String): StreamPosition = {
@@ -79,11 +138,21 @@ final class StreamStore(val spark: SparkSession, val root: String) {
       case Left(e) => return Left(AppendError.InvalidBatch(e))
       case Right(_) =>
     }
-    val config = catalog.streamConfig(basin, stream)
-      .getOrElse(StreamConfig.SystemDefault)
+    val config = resolveStream(basin, stream,
+      autoCreate = catalog.basinConfig(basin).createStreamOnAppend) match {
+      case Some(c) => c
+      case None =>
+        // deletion-pending outranks not-found (streamer.rs:402-404):
+        // the soft-deleted stream's streamer still answers until the
+        // terminal trim is reclaimed
+        return Left(
+          if (manifest(basin, stream).deletionPending)
+            AppendError.StreamDeletionPending
+          else AppendError.StreamNotFound)
+    }
     val ts = config.timestampingOrDefault
 
-    lockFor(basin, stream).synchronized {
+    withStreamLock(basin, stream) {
       val m = manifest(basin, stream)
       if (m.deletionPending)
         return Left(AppendError.StreamDeletionPending)
@@ -157,7 +226,7 @@ final class StreamStore(val spark: SparkSession, val root: String) {
       val last = assigned.last
       val newM = m.copy(tailSeq = last._1 + 1, tailTs = math.max(m.tailTs, last._2),
         fencingToken = fence, trimPoint = trim, version = m.version + 1)
-      saveManifest(basin, stream, newM)
+      saveManifestCas(basin, stream, newM, m.version)
       Right(AppendAck(
         StreamPosition(first._1, first._2),
         StreamPosition(last._1 + 1, last._2),
@@ -185,6 +254,14 @@ final class StreamStore(val spark: SparkSession, val root: String) {
       case None => allKeys
     }
     if (keys.isEmpty) return Map.empty
+    // C6: bulk ingest enforces the same auto-create contract as unary
+    // append (core.rs:326-391) per target stream
+    keys.foreach { case (b, s) =>
+      if (resolveStream(b, s,
+          autoCreate = catalog.basinConfig(b).createStreamOnAppend).isEmpty)
+        throw new IllegalArgumentException(
+          s"StreamNotFound: $b/$s (create_stream_on_append not set)")
+    }
     val df = if (keys.length == allKeys.length) df0 else {
       val keep = keys.map { case (b, s) => s"$b\u0000$s" }.toSet
       df0.where(concat_ws("\u0000", col("basin"), col("stream"))
@@ -271,13 +348,16 @@ final class StreamStore(val spark: SparkSession, val root: String) {
       .parquet(s"$root/data")
     prepared.unpersist()
 
-    // manifests from the driver-side prefix sums (no extra job)
+    // manifests from the driver-side prefix sums (no extra job); each
+    // commit holds the stream lock and CASes on the version read at
+    // planning time, so a concurrent writer on another driver aborts
+    // this commit instead of being silently overwritten
     runSeq.keys.map { case k @ (b, s) =>
       val m = tails(k)
       val newM = m.copy(tailSeq = runSeq(k),
         tailTs = math.max(m.tailTs, runTs(k)),
         lastEpoch = epochId.getOrElse(m.lastEpoch), version = m.version + 1)
-      saveManifest(b, s, newM)
+      withStreamLock(b, s) { saveManifestCas(b, s, newM, m.version) }
       k -> AppendAck(
         StreamPosition(m.tailSeq, 0), StreamPosition(newM.tailSeq, newM.tailTs),
         StreamPosition(newM.tailSeq, newM.tailTs))
@@ -314,64 +394,165 @@ final class StreamStore(val spark: SparkSession, val root: String) {
     df
   }
 
-  /** R2-R5 + R10: plan a read as a DataFrame. Returns Left on an
-    * unsatisfiable start position (start beyond tail without clamp),
-    * mirroring RANGE_NOT_SATISFIABLE (read.rs:246-285).
+  /** R2 Timestamp start resolution: first visible seq with
+    * timestamp >= t, else tail — the SRT index-seek analog
+    * (read.rs:287-317). Timestamps are monotone per stream (A3), so
+    * only the boundary file needs a row scan; every other file is
+    * decided by its footer stats. No Spark job on the resolution path.
+    */
+  private def resolveTimestampStart(files: Seq[FileIndex.FileStats], t: Long,
+                                    m: StreamManifest,
+                                    retCutoff: Option[Long]): Long = {
+    var res = -1L
+    val it = files.iterator.filter(st =>
+      st.maxTs >= t && st.maxSeq >= m.trimPoint && st.minSeq < m.tailSeq)
+    while (res < 0 && it.hasNext) {
+      FileIndex.scanRows(it.next().path) { r =>
+        val ok = r.ts >= t && r.seq >= m.trimPoint && r.seq < m.tailSeq &&
+          retCutoff.forall(r.ts >= _)
+        if (ok) { res = r.seq; false } else true
+      }
+    }
+    if (res < 0) m.tailSeq else res
+  }
+
+  /** R4 bytes limit: last admitted seq under a metered-bytes budget
+    * with exact record-by-record admission (cum + size <= budget, ref
+    * read_extent.rs:88-108) — evaluated on the driver over a
+    * budget-bounded walk of the stream's files in seq order. Interior
+    * files are consumed via cached per-file sums (one projected scan
+    * per immutable file, ever); only boundary and budget-crossing
+    * files are row-scanned. Total driver work is O(budget), not
+    * O(stream) — this replaces the old unpartitioned WindowExec that
+    * funnelled every row from start to tail through one task.
+    * Returns -1 when nothing is admitted.
+    */
+  private def bytesCutoff(files: Seq[FileIndex.FileStats], lo: Long, hi: Long,
+                          retCutoff: Option[Long], until: Option[Long],
+                          ignoreCommands: Boolean, budget: Long): Long = {
+    var cum = 0L
+    var last = -1L
+    var done = false
+    val it = files.iterator
+    while (!done && it.hasNext) {
+      val st = it.next()
+      if (st.minSeq >= hi || until.exists(u => st.minTs >= u)) {
+        done = true // beyond tail / past the until cut (ts monotone)
+      } else if (st.maxSeq < lo || retCutoff.exists(rc => st.maxTs < rc)) {
+        // fully before the start or fully expired: contributes nothing
+      } else {
+        val wholeFile = st.minSeq >= lo && st.maxSeq < hi &&
+          retCutoff.forall(rc => st.minTs >= rc) && until.forall(u => st.maxTs < u)
+        val contribution = if (wholeFile) {
+          val (total, cmd) = FileIndex.sums(st.path)
+          if (ignoreCommands) total - cmd else total
+        } else -1L
+        if (wholeFile && cum + contribution <= budget) {
+          cum += contribution
+          last = st.maxSeq
+        } else {
+          // boundary or budget-crossing file: exact row walk
+          FileIndex.scanRows(st.path) { r =>
+            val vis = r.seq >= lo && r.seq < hi &&
+              retCutoff.forall(r.ts >= _) && until.forall(r.ts < _) &&
+              !(ignoreCommands && r.isCommand)
+            if (!vis) true
+            else if (cum + r.metered <= budget) {
+              cum += r.metered; last = r.seq; true
+            } else { done = true; false }
+          }
+        }
+      }
+    }
+    last
+  }
+
+  /** R2-R5 + R10 (+ A13 read-side): plan a read as a DataFrame over an
+    * explicitly pruned file list. Returns Left on an unsatisfiable
+    * start position (start beyond tail without clamp), mirroring
+    * RANGE_NOT_SATISFIABLE (read.rs:246-285).
+    *
+    * Scale shape: start/limits/until are resolved to a [lo, hiCut) seq
+    * interval on the driver from parquet footer stats (+ cached sums),
+    * then ONLY budget-overlapping files enter the plan — a bytes-limited
+    * read from seq 0 of a 10 TB stream scans ~budget bytes, not 10 TB.
+    * No window function anywhere in the plan.
     */
   def read(basin: String, stream: String, spec: ReadSpec,
            ignoreCommands: Boolean = false,
-           nowMs: Option[Long] = None): Either[String, DataFrame] = {
+           nowMs: Option[Long] = None,
+           cipher: Option[Array[Byte]] = None): Either[String, DataFrame] = {
+    // C6 (core.rs:326-391): reading a missing stream fails unless the
+    // basin opts into create_stream_on_read
+    val config = resolveStream(basin, stream,
+      autoCreate = catalog.basinConfig(basin).createStreamOnRead) match {
+      case Some(c) => c
+      case None => return Left(s"StreamNotFound: $basin/$stream")
+    }
     val m = manifest(basin, stream)
-    val data = visible(basin, stream, nowMs)
+    val retCutoff: Option[Long] = config.retentionOrDefault match {
+      case RetentionPolicy.Age(secs) =>
+        Some(nowMs.getOrElse(System.currentTimeMillis()) - secs * 1000)
+      case RetentionPolicy.Infinite => None
+    }
+    val files = FileIndex.listStats(Layout.dataDir(root, basin, stream))
 
     val start: Long = spec.start.from match {
       case ReadFrom.SeqNum(n) => n
       case ReadFrom.TailOffset(k) => math.max(m.tailSeq - k, 0L)
-      case ReadFrom.Timestamp(t) =>
-        // SRT-seek analog: first seq with timestamp >= t, else tail
-        val r = data.where(col("timestamp") >= t).agg(min("seq_num")).first()
-        if (r.isNullAt(0)) m.tailSeq else r.getLong(0)
+      case ReadFrom.Timestamp(t) => resolveTimestampStart(files, t, m, retCutoff)
     }
     val effStart = if (start > m.tailSeq) {
       if (spec.start.clamp) m.tailSeq
       else return Left(s"RANGE_NOT_SATISFIABLE: start=$start tail=${m.tailSeq}")
     } else start
+    val lo = math.max(effStart, m.trimPoint)
 
-    var df = data.where(col("seq_num") >= effStart)
+    val cut: Option[Long] = spec.end.limit.bytes.map(b =>
+      bytesCutoff(files, lo, m.tailSeq, retCutoff, spec.end.until,
+        ignoreCommands, b))
+    val hiCut = cut.fold(m.tailSeq)(c => math.min(m.tailSeq, c + 1)) // exclusive
+
+    val chosen = files.filter(st =>
+      st.maxSeq >= lo && st.minSeq < hiCut &&
+        spec.end.until.forall(u => st.minTs < u) &&
+        retCutoff.forall(rc => st.maxTs >= rc))
+    var df =
+      if (chosen.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], recordSchema)
+      else spark.read.schema(recordSchema).parquet(chosen.map(_.path): _*)
+    df = df.where(col("seq_num") >= lo && col("seq_num") < hiCut)
+    retCutoff.foreach(rc => df = df.where(col("timestamp") >= rc))
     spec.end.until.foreach(u => df = df.where(col("timestamp") < u))
     if (ignoreCommands)
       df = df.where(!(size(col("headers")) === 1 &&
         octet_length(col("headers")(0)("name")) === 0))
-
-    // R4: bytes limit = running metered prefix; count limit composes.
-    spec.end.limit.bytes.foreach { b =>
-      val w = Window.orderBy("seq_num")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      df = df.withColumn("__cum", sum("metered_size").over(w))
-        .where(col("__cum") <= b).drop("__cum")
+    // A13 read-side decryption as a codegen'd plan column (the
+    // reference decrypts in the session loop, read.rs:74-91; the Spark
+    // analog is aes_decrypt inside the scan, not a driver loop)
+    cipher.foreach { key =>
+      df = df.withColumn("body",
+        RecordCipher.decryptColumn(col("body"), key, basin, stream))
     }
     var out = df.orderBy("seq_num")
     spec.end.limit.count.foreach(c => out = out.limit(c.toInt))
     Right(out)
   }
 
-  /** Collect a read as model objects (serving-edge helper, ≤1 batch). */
+  /** Collect a read as model objects (serving-edge helper, ≤1 batch).
+    * Decryption happens inside the plan (see read()), never on the
+    * driver.
+    */
   def readBatch(basin: String, stream: String, spec: ReadSpec,
                 ignoreCommands: Boolean = false,
                 cipher: Option[Array[Byte]] = None): Either[String, Seq[SequencedRecord]] =
-    read(basin, stream, spec, ignoreCommands).map { df =>
+    read(basin, stream, spec, ignoreCommands, None, cipher).map { df =>
       df.collect().toSeq.map { r =>
-        val rawBody = r.getAs[Array[Byte]](3)
-        val body = cipher match {
-          case Some(key) =>
-            RecordCipher.decrypt(key, RecordCipher.aad(basin, stream), rawBody)
-          case None => rawBody
-        }
         SequencedRecord(
           StreamPosition(r.getLong(0), r.getLong(1)),
           Option(r.getSeq[Row](2)).getOrElse(Seq.empty)
             .map(h => Header(h.getAs[Array[Byte]](0), h.getAs[Array[Byte]](1))),
-          body)
+          r.getAs[Array[Byte]](3))
       }
     }
 
@@ -440,11 +621,11 @@ final class StreamStore(val spark: SparkSession, val root: String) {
     * pending; physical reclaim happens in compact().
     */
   def deleteStream(basin: String, stream: String): Unit = {
-    lockFor(basin, stream).synchronized {
+    withStreamLock(basin, stream) {
       val m = manifest(basin, stream)
-      saveManifest(basin, stream,
+      saveManifestCas(basin, stream,
         m.copy(trimPoint = Long.MaxValue, deletionPending = true,
-          version = m.version + 1))
+          version = m.version + 1), m.version)
     }
     catalog.markStreamDeleted(basin, stream)
   }
@@ -470,7 +651,7 @@ final class StreamStore(val spark: SparkSession, val root: String) {
     * partition + state + catalog entry entirely.
     */
   def compact(basin: String, stream: String, nowMs: Option[Long] = None): Unit =
-    lockFor(basin, stream).synchronized {
+    withStreamLock(basin, stream) {
       val m = manifest(basin, stream)
       val dir = Paths.get(Layout.dataDir(root, basin, stream))
       if (m.deletionPending || m.trimPoint == Long.MaxValue) {

@@ -305,4 +305,7 @@ object AppendError {
   case object TimestampMissing extends AppendError
   final case class InvalidBatch(reason: String) extends AppendError
   case object StreamDeletionPending extends AppendError
+  /** C6: the stream does not exist and the basin does not opt into
+    * create_stream_on_append (ref core.rs:326-391). */
+  case object StreamNotFound extends AppendError
 }

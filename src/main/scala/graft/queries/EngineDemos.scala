@@ -212,6 +212,51 @@ object EngineDemos {
         }))
     },
 
+    // C6 — auto-create on append/read gated by basin flags (core.rs:326-391)
+    demo("e2e_c6_auto_create", Seq(
+      "append_missing_no_flag" -> "StreamNotFound",
+      "read_missing_no_flag" -> "StreamNotFound",
+      "not_provisioned" -> "true",
+      "append_missing_flag" -> "ok:0..1",
+      "provisioned_on_append" -> "true",
+      "read_missing_flag_rows" -> "0",
+      "provisioned_on_read" -> "true")) { (_, st) =>
+      st.catalog.createBasin("demo-basin2",
+        BasinConfig(
+          defaultStreamConfig =
+            StreamConfig(retentionPolicy = Some(RetentionPolicy.Infinite)),
+          createStreamOnAppend = true, createStreamOnRead = true))
+      val denied = st.append("demo-basin1", "nope",
+        AppendInput(Seq(rec("a"))), Some(1000)) match {
+        case Left(AppendError.StreamNotFound) => "StreamNotFound"
+        case other => other.toString
+      }
+      val deniedRead = st.read("demo-basin1", "nope",
+        ReadSpec(ReadStart(ReadFrom.SeqNum(0)))) match {
+        case Left(e) if e.startsWith("StreamNotFound") => "StreamNotFound"
+        case other => other.toString
+      }
+      val ok = st.append("demo-basin2", "auto-a",
+        AppendInput(Seq(rec("a"))), Some(1000)) match {
+        case Right(a) => s"ok:${a.start.seqNum}..${a.end.seqNum}"
+        case Left(e) => e.toString
+      }
+      val readRows = st.read("demo-basin2", "auto-r",
+        ReadSpec(ReadStart(ReadFrom.SeqNum(0))))
+        .fold(e => e, df => df.count().toString)
+      Seq(
+        "append_missing_no_flag" -> denied,
+        "read_missing_no_flag" -> deniedRead,
+        "not_provisioned" ->
+          st.catalog.getStream("demo-basin1", "nope").isEmpty.toString,
+        "append_missing_flag" -> ok,
+        "provisioned_on_append" ->
+          st.catalog.getStream("demo-basin2", "auto-a").isDefined.toString,
+        "read_missing_flag_rows" -> readRows,
+        "provisioned_on_read" ->
+          st.catalog.getStream("demo-basin2", "auto-r").isDefined.toString)
+    },
+
     // C7 — access-token scope authorization matrix
     demo("e2e_c7_access", Seq(
       "read_op_in_scope" -> "true",

@@ -585,4 +585,146 @@ class StreamStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.seqNum) == (0L until 40L))
   }
 
+  test("bytes-limited read scans only budget-overlapping files (R4 at scale)") {
+    val st = freshStore()
+    st.catalog.createStream("test-basin", "budget")
+    // 50 appends -> 50 files of 10 records x 108 metered bytes each
+    (0 until 50).foreach { i =>
+      appendOk(st, "budget",
+        AppendInput((0 until 10).map(j => env("x" * 100))), 1000L + i)
+    }
+    val dir = Layout.dataDir(st.root, "test-basin", "budget")
+    assert(FileIndex.listStats(dir).size == 50)
+    // budget of ~3 files' worth from seq 0
+    val df = st.read("test-basin", "budget",
+      ReadSpec(ReadStart(ReadFrom.SeqNum(0)),
+        ReadEnd(ReadLimit(bytes = Some(3 * 1080L + 500)))))
+      .fold(e => fail(e), identity)
+    // plan touches only the files overlapping the budget cut, not all 50
+    assert(df.inputFiles.length <= 4,
+      s"expected <=4 files in plan, got ${df.inputFiles.length}")
+    val rows = df.collect()
+    assert(rows.length == 34) // 3*10 full files + 4 rows of the 4th (4*108=432<=500)
+    assert(rows.map(_.getLong(0)).toSeq == (0L until 34L))
+    // no WindowExec anywhere in the plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"plan must not contain a window:\n$plan")
+    // exact-fit boundary: budget exactly 2 files
+    val exact = st.read("test-basin", "budget",
+      ReadSpec(ReadStart(ReadFrom.SeqNum(0)),
+        ReadEnd(ReadLimit(bytes = Some(2 * 1080L)))))
+      .fold(e => fail(e), identity).collect()
+    assert(exact.length == 20)
+    // budget smaller than one record admits nothing
+    val none = st.read("test-basin", "budget",
+      ReadSpec(ReadStart(ReadFrom.SeqNum(0)),
+        ReadEnd(ReadLimit(bytes = Some(50L)))))
+      .fold(e => fail(e), identity).collect()
+    assert(none.isEmpty)
+    // mid-stream start + until bound still exact
+    val mid = st.read("test-basin", "budget",
+      ReadSpec(ReadStart(ReadFrom.SeqNum(15)),
+        ReadEnd(ReadLimit(bytes = Some(10 * 108L)), until = Some(1002L))))
+      .fold(e => fail(e), identity).collect()
+    // seq 15..19 have ts 1000/1001 (files 0 and 1 at ts up to 1001 < until)
+    assert(mid.map(_.getLong(0)).toSeq == (15L until 20L))
+  }
+
+  test("two store instances on one root: concurrent appends never lose records (manifest CAS)") {
+    val dir = Files.createTempDirectory("graft-multi").toString
+    val st1 = new StreamStore(spark, dir)
+    st1.catalog.createBasin("test-basin",
+      BasinConfig(defaultStreamConfig =
+        StreamConfig(retentionPolicy = Some(RetentionPolicy.Infinite))))
+    st1.catalog.createStream("test-basin", "shared")
+    val st2 = new StreamStore(spark, dir) // separate instance, same root
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val futures = (0 until 60).map { i =>
+      val st = if (i % 2 == 0) st1 else st2
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          st.append("test-basin", "shared",
+            AppendInput(Seq(env(s"w$i"))), Some(1000L))
+            .fold(e => fail(e.toString), identity); ()
+        }
+      })
+    }
+    futures.foreach(_.get())
+    pool.shutdown()
+    assert(st1.checkTail("test-basin", "shared").seqNum == 60)
+    val rows = st2.readBatch("test-basin", "shared",
+      ReadSpec(ReadStart(ReadFrom.SeqNum(0)))).toOption.get
+    assert(rows.map(_.seqNum) == (0L until 60L)) // contiguous, none lost
+  }
+
+  test("C6 auto-create: append/read to missing stream fails unless basin opts in (core.rs:326-391)") {
+    val st = freshStore() // test-basin has no auto-create flags
+    assert(st.append("test-basin", "ghost", AppendInput(Seq(env("a"))), Some(1000L))
+      == Left(AppendError.StreamNotFound))
+    assert(st.read("test-basin", "ghost",
+      ReadSpec(ReadStart(ReadFrom.SeqNum(0)))).isLeft)
+    assert(st.catalog.getStream("test-basin", "ghost").isEmpty)
+    // opted-in basin: append provisions with defaults then proceeds
+    st.catalog.createBasin("auto-basin1",
+      BasinConfig(
+        defaultStreamConfig =
+          StreamConfig(retentionPolicy = Some(RetentionPolicy.Infinite)),
+        createStreamOnAppend = true, createStreamOnRead = true))
+    val ack = st.append("auto-basin1", "new-stream",
+      AppendInput(Seq(env("a"))), Some(1000L)).toOption.get
+    assert(ack.tail.seqNum == 1)
+    assert(st.catalog.getStream("auto-basin1", "new-stream").isDefined)
+    // read-side auto-create: empty stream materializes
+    val r = st.read("auto-basin1", "other-stream",
+      ReadSpec(ReadStart(ReadFrom.SeqNum(0)))).toOption.get
+    assert(r.count() == 0)
+    assert(st.catalog.getStream("auto-basin1", "other-stream").isDefined)
+    // ingest enforces the same contract
+    import spark.implicits._
+    val df = Seq(("test-basin", "ghost2", Option.empty[Long], "b"))
+      .toDF("basin", "stream", "ts_client", "body")
+      .selectExpr("basin", "stream", "ts_client",
+        "CAST(NULL AS ARRAY<STRUCT<name: BINARY, value: BINARY>>) AS headers",
+        "CAST(body AS BINARY) AS body", "CAST(0 AS BIGINT) AS arrival")
+    intercept[IllegalArgumentException] { st.ingest(df, Some(1000L)) }
+  }
+
+  test("read-side decryption happens in the plan, not on the driver (A13)") {
+    val st = freshStore()
+    st.catalog.createStream("test-basin", "encplan")
+    val key = Array.fill(32)(0x11.toByte)
+    appendOk(st, "encplan", AppendInput(Seq(env("top-secret"))))
+    // re-append with cipher
+    val st2 = freshStore()
+    st2.catalog.createStream("test-basin", "encplan")
+    st2.append("test-basin", "encplan", AppendInput(Seq(env("top-secret"))),
+      Some(1000L), Some(key))
+    val df = st2.read("test-basin", "encplan",
+      ReadSpec(ReadStart(ReadFrom.SeqNum(0))), cipher = Some(key))
+      .fold(e => fail(e), identity)
+    // aes_decrypt is a plan expression (codegen'd), not a driver loop
+    assert(df.queryExecution.analyzed.toString.toLowerCase
+      .replace("_", "").contains("aesdecrypt"))
+    assert(new String(df.collect().head.getAs[Array[Byte]]("body")) == "top-secret")
+    // readBatch routes through the same plan
+    val rec = st2.readBatch("test-basin", "encplan",
+      ReadSpec(ReadStart(ReadFrom.SeqNum(0))), cipher = Some(key)).toOption.get.head
+    assert(new String(rec.body) == "top-secret")
+  }
+
+  test("catalog load is cached: appends do not re-parse a large catalog (O(1)-ish ack path)") {
+    val st = freshStore()
+    (0 until 500).foreach(i => st.catalog.createStream("test-basin", f"bulk-$i%04d"))
+    st.catalog.createStream("test-basin", "hot")
+    appendOk(st, "hot", AppendInput(Seq(env("warm")))) // warm manifests/files
+    val t0 = System.nanoTime()
+    (0 until 50).foreach(i => appendOk(st, "hot", AppendInput(Seq(env(s"m$i")))))
+    val perAppendMs = (System.nanoTime() - t0) / 1e6 / 50
+    // with the mtime-keyed cache the config lookups are map hits; the
+    // bound here is loose (parquet write dominates) but a full-catalog
+    // JSON parse per append would blow way past it
+    assert(perAppendMs < 200, s"append p50 too slow: $perAppendMs ms")
+    assert(st.checkTail("test-basin", "hot").seqNum == 51)
+  }
+
 }
