@@ -1,0 +1,92 @@
+package graft.log
+
+import java.util.concurrent.{ConcurrentLinkedQueue, CountDownLatch, Executors}
+import scala.concurrent.{Future, Promise}
+
+import graft.model._
+
+/** A8 — pipelined append session with the reference's poison/ordered-ack
+  * contract (lite/src/backend/append.rs:95-273):
+  *
+  *  - submissions are applied in submission order, one at a time, so
+  *    acks can never reorder (`FuturesOrdered` + per-stream actor in
+  *    the reference; a single worker draining a FIFO here);
+  *  - an ack is completed only after its batch is durable — Spark-side,
+  *    `StreamStore.append` returns only after the manifest commit, so
+  *    completion order == durability order;
+  *  - a failed append POISONS the session (`SessionState.poisoned`,
+  *    append.rs:99-131): every not-yet-applied submission and every
+  *    later submit fails with `SessionPoisoned` instead of being
+  *    applied, so an observer can never see an ack reorder past a failure —
+  *    acks for batches submitted before the failure still complete.
+  */
+final class AppendSession(store: StreamStore, basin: String, stream: String,
+                          nowMs: Option[Long] = None,
+                          cipher: Option[Array[Byte]] = None) {
+
+  sealed trait SessionError
+  object SessionError {
+    final case class Append(e: AppendError) extends SessionError
+    case object SessionPoisoned extends SessionError
+    case object SessionClosed extends SessionError
+  }
+
+  private final case class Pending(input: AppendInput,
+                                   p: Promise[Either[SessionError, AppendAck]])
+
+  private val queue = new ConcurrentLinkedQueue[Pending]()
+  private val lock = new Object
+  @volatile private var poisoned = false
+  @volatile private var closed = false
+  private val drained = new CountDownLatch(1)
+  private val worker = Executors.newSingleThreadExecutor(r => {
+    val t = new Thread(r, s"graft-append-session-$basin-$stream")
+    t.setDaemon(true)
+    t
+  })
+  worker.submit(new Runnable { def run(): Unit = drain() })
+
+  /** Enqueue an append; the returned future completes in submission
+    * order. After a failure, completes immediately with
+    * `SessionPoisoned` (admit() returning None, append.rs:115-131).
+    */
+  def submit(input: AppendInput): Future[Either[SessionError, AppendAck]] = {
+    val p = Promise[Either[SessionError, AppendAck]]()
+    lock.synchronized {
+      if (poisoned) p.success(Left(SessionError.SessionPoisoned))
+      else if (closed) p.success(Left(SessionError.SessionClosed))
+      else { queue.add(Pending(input, p)); lock.notifyAll() }
+    }
+    p.future
+  }
+
+  private def drain(): Unit = {
+    try {
+      while (!closed || !queue.isEmpty) {
+        val next = lock.synchronized {
+          var n = queue.poll()
+          while (n == null && !closed) { lock.wait(50); n = queue.poll() }
+          n
+        }
+        if (next != null) {
+          if (poisoned) next.p.success(Left(SessionError.SessionPoisoned))
+          else store.append(basin, stream, next.input, nowMs, cipher) match {
+            case Right(ack) => next.p.success(Right(ack))
+            case Left(e) =>
+              // poison BEFORE completing the failure, so no later
+              // submission can be admitted concurrently with the error
+              lock.synchronized { poisoned = true }
+              next.p.success(Left(SessionError.Append(e)))
+          }
+        }
+      }
+    } finally drained.countDown()
+  }
+
+  /** Stop accepting submissions; pending ones still complete in order. */
+  def close(): Unit = {
+    lock.synchronized { closed = true; lock.notifyAll() }
+    drained.await()
+    worker.shutdown()
+  }
+}

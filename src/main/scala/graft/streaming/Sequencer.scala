@@ -55,7 +55,13 @@ object Sequencer {
           val now = nowMs()
           var seq = init.tailSeq
           var maxTs = init.maxTs
-          // arrival order within the micro-batch defines assignment order
+          // Arrival order within the micro-batch defines assignment
+          // order. The group is materialized to sort it (Spark's state
+          // API exposes no secondary sort), so executor memory bounds
+          // the per-(stream × trigger) volume — size triggers with
+          // source admission (maxOffsetsPerTrigger / maxFilesPerTrigger)
+          // exactly like the reference bounds in-flight append bytes
+          // via its admission semaphore (streamer.rs:815-838).
           val out = rows.toSeq.sortBy(_.arrival).map { r =>
             var t = ts.mode match {
               case TimestampingMode.ClientPrefer => r.tsClient.getOrElse(now)
