@@ -109,6 +109,32 @@ object TextOps {
         round(col("common").cast(DoubleType) / (col("na") + col("nb") - col("common")), 6))
   }
 
+  /** LSH band-bucket size cap: a degenerate bucket (boilerplate text
+    * that collides entire clusters into one band key) would blow the
+    * candidate join quadratically — Σ bucket² with one bucket of 10^6
+    * docs is 10^12 pairs. Buckets over the cap are dropped from
+    * candidate generation (their members are exact-or-near boilerplate
+    * better handled by dedup_exact / dedup_simhash; the standard
+    * production mitigation).
+    */
+  val BandBucketCap = 64L
+
+  /** Candidate pairs from band buckets, skipping buckets above `cap`.
+    * One small aggregate on (band, band_key) before the self-join
+    * bounds every bucket's contribution to cap² pairs.
+    */
+  def cappedCandidates(bands: DataFrame, cap: Long): DataFrame = {
+    val sizes = bands.groupBy("band", "band_key")
+      .agg(count(lit(1)).as("bsz"))
+      .where(col("bsz") <= cap)
+    val inCap = bands.join(sizes.select("band", "band_key"), Seq("band", "band_key"))
+    val aa = inCap.select(col("band"), col("band_key"), col("doc_id").as("doc_a"))
+    val bb = inCap.select(col("band"), col("band_key"), col("doc_id").as("doc_b"))
+    aa.join(bb, Seq("band", "band_key"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
   // Spark-side exact jaccard over all shingle-sharing pairs.
   private def jaccardPairs(sh: DataFrame): DataFrame = {
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
@@ -277,11 +303,7 @@ object TextOps {
               .as("band_key"))): _*)).as("bk"))
           .select(col("doc_id"), col("bk.band").as("band"),
             col("bk.band_key").as("band_key"))
-        val aa = bands.select(col("band"), col("band_key"), col("doc_id").as("doc_a"))
-        val bb = bands.select(col("band"), col("band_key"), col("doc_id").as("doc_b"))
-        val cands = aa.join(bb, Seq("band", "band_key"))
-          .where(col("doc_a") < col("doc_b"))
-          .select("doc_a", "doc_b").distinct()
+        val cands = cappedCandidates(bands, BandBucketCap)
         jaccardFor(cands, sh)
           .where(col("jaccard") >= 0.5)
           .select("doc_a", "doc_b", "jaccard")
@@ -298,9 +320,14 @@ object TextOps {
         |minh AS (SELECT doc_id, $minCols FROM shingles GROUP BY doc_id),
         |bands AS (
         |  $bandRows),
+        |bsizes AS (
+        |  SELECT band, band_key FROM bands
+        |  GROUP BY band, band_key HAVING count(*) <= 64),
+        |bands_c AS (
+        |  SELECT bands.* FROM bands JOIN bsizes USING (band, band_key)),
         |cands AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM bands a JOIN bands b
+        |  FROM bands_c a JOIN bands_c b
         |    ON a.band = b.band AND a.band_key = b.band_key
         |   AND a.doc_id < b.doc_id)
         |$JaccardSelect

@@ -40,6 +40,43 @@ object VectorOps {
          * sqrt(list_reduce(list_transform($b, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)),
              (acc, v) -> acc + v))))"""
 
+  /** Random-hyperplane LSH for near-dup blocking: `NPlanes` fixed ±1
+    * hyperplanes whose components derive from md5("plane-p:j") —
+    * computed once on the driver and inlined as literals in BOTH
+    * engines, so the blocking is exactly reproducible. A vector's
+    * signature is the `NPlanes`-bit pattern of dot-product signs;
+    * near-identical vectors collide on all bits. Dots are sequential
+    * DOUBLE folds (same order both engines → identical signs).
+    */
+  private val NPlanes = 8
+  val EmbDim = 64
+  private def planeSign(p: Int, j: Int): Int = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"plane-$p:$j".getBytes("UTF-8"))
+    if ((h(0) & 0x80) == 0) 1 else -1
+  }
+  private def planeVals(p: Int): Seq[String] =
+    (0 until EmbDim).map(j => if (planeSign(p, j) > 0) "1.0" else "-1.0")
+
+  /** NPlanes-bit signature of `v` as a Spark SQL expression. */
+  private def hyperplaneSigSpark(v: String): String =
+    (0 until NPlanes).map { p =>
+      val plane = planeVals(p).mkString("array(", ",", ")")
+      s"""(CASE WHEN aggregate(zip_with($v, $plane,
+            (x, y) -> CAST(x AS DOUBLE) * y),
+            CAST(0 AS DOUBLE), (acc, w) -> acc + w) >= 0
+          THEN ${1 << p} ELSE 0 END)"""
+    }.mkString("(", " + ", ")")
+
+  /** Identical signature in DuckDB. */
+  private def hyperplaneSigDuck(v: String): String =
+    (0 until NPlanes).map { p =>
+      val plane = planeVals(p).mkString("[", ",", "]")
+      s"""(CASE WHEN list_reduce(list_transform(list_zip($v, $plane),
+            x -> CAST(x[1] AS DOUBLE) * x[2]), (acc, w) -> acc + w) >= 0
+          THEN ${1 << p} ELSE 0 END)"""
+    }.mkString("(", " + ", ")")
+
   def defs: Seq[QueryDef] = Seq(
 
     // Brute-force cosine top-10 for 5 query vectors. The small query
@@ -117,9 +154,17 @@ object VectorOps {
         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS BIGINT) AS rank
         |FROM scored QUALIFY rank <= 5 ORDER BY q_id, rank""".stripMargin)),
 
-    // Embedding-cosine near-dup pairs with label blocking. The corpus
-    // has no natural near-dups, so exact copies (vec_id%23==0, +1M ids)
-    // are unioned in — the same augmentation on both engines.
+    // Embedding-cosine near-dup pairs with random-hyperplane LSH
+    // blocking: pairs are compared only within equal 8-bit sign
+    // signatures (2^8 buckets), so the pair count is Σ bucket² instead
+    // of Σ label² — the blocking key's cardinality grows with NPlanes,
+    // not with how coarse a human label happens to be, which is what
+    // survives a 100 TB corpus (add planes → smaller buckets; the
+    // recall caveat of sign-LSH near a hyperplane is inherent and
+    // shared with every production near-dup pipeline). The corpus has
+    // no natural near-dups, so exact copies (vec_id%23==0, +1M ids)
+    // are unioned in — the same augmentation on both engines; copies
+    // collide on all bits by construction.
     QueryDef("dedup_embedding_cosine",
       (s, d) => {
         val base = emb(s, d)
@@ -127,24 +172,29 @@ object VectorOps {
           base.where(col("vec_id") % 23 === 0)
             .select((col("vec_id") + 1000000).as("vec_id"),
                     col("embedding"), col("label")))
+          .withColumn("sig", expr(hyperplaneSigSpark("embedding")).cast(LongType))
         val a = aug.select(col("vec_id").as("id_a"), col("embedding").as("va"),
-                           col("label"))
+                           col("sig"))
         val b = aug.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
-                           col("label"))
-        a.join(b, Seq("label"))
+                           col("sig"))
+        a.join(b, Seq("sig"))
           .where(col("id_a") < col("id_b"))
           .withColumn("score", round(cosine("va", "vb"), 6))
           .where(col("score") >= 0.99)
-          .select("id_a", "id_b", "label", "score")
+          .select("id_a", "id_b", "sig", "score")
           .orderBy("id_a", "id_b")
       },
       Some(s"""WITH aug AS (
-        |  SELECT vec_id, embedding, label FROM embeddings
+        |  SELECT vec_id, embedding FROM embeddings
         |  UNION ALL
-        |  SELECT vec_id + 1000000, embedding, label FROM embeddings WHERE vec_id % 23 = 0)
-        |SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
+        |  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 23 = 0),
+        |sigged AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(${hyperplaneSigDuck("embedding")} AS BIGINT) AS sig
+        |  FROM aug)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.sig,
         |  round(${duckCosine("a.embedding", "b.embedding")}, 6) AS score
-        |FROM aug a JOIN aug b ON a.label = b.label AND a.vec_id < b.vec_id
+        |FROM sigged a JOIN sigged b ON a.sig = b.sig AND a.vec_id < b.vec_id
         |WHERE round(${duckCosine("a.embedding", "b.embedding")}, 6) >= 0.99
         |ORDER BY id_a, id_b""".stripMargin))
   )
