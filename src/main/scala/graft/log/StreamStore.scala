@@ -134,6 +134,7 @@ final class StreamStore(val spark: SparkSession, val root: String) {
   def append(basin: String, stream: String, input: AppendInput,
              nowMs: Option[Long] = None,
              cipher: Option[Array[Byte]] = None): Either[AppendError, AppendAck] = {
+    val ackT0 = System.nanoTime()
     Caps.validateBatch(input.records) match {
       case Left(e) => return Left(AppendError.InvalidBatch(e))
       case Right(_) =>
@@ -227,6 +228,11 @@ final class StreamStore(val spark: SparkSession, val root: String) {
       val newM = m.copy(tailSeq = last._1 + 1, tailTs = math.max(m.tailTs, last._2),
         fencingToken = fence, trimPoint = trim, version = m.version + 1)
       saveManifestCas(basin, stream, newM, m.version)
+      // M5: the reference's server histograms (lite/src/metrics.rs)
+      ServerMetrics.appendAckLatency.observe((System.nanoTime() - ackT0) / 1e9)
+      ServerMetrics.appendBatchRecords.observe(input.records.size.toDouble)
+      ServerMetrics.appendBatchBytes.observe(
+        input.records.iterator.map(_.meteredSize).sum.toDouble)
       Right(AppendAck(
         StreamPosition(first._1, first._2),
         StreamPosition(last._1 + 1, last._2),

@@ -1,14 +1,11 @@
 package graft.streaming.source
 
 import java.util.{Map => JMap}
-import scala.collection.concurrent.TrieMap
 import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
-import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.example.GroupReadSupport
-import org.apache.parquet.hadoop.util.HadoopInputFile
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -21,7 +18,7 @@ import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.log.{Layout, StreamManifest}
+import graft.log.{FileIndex, Layout, StreamManifest}
 
 /** R8/R9 as a first-class connector: a DataSource V2 streaming source
   * whose OFFSETS ARE SEQ_NUMS (`cf. ReadSessionOutput`,
@@ -95,26 +92,10 @@ final class GraftMicroBatchStream(root: String, basin: String, stream: String,
                                   startSeq: Long) extends MicroBatchStream {
 
   private val dir = Layout.dataDir(root, basin, stream)
-  // driver-side footer-stats cache: file -> (minSeq, maxSeq)
-  private val fileRanges = TrieMap[String, (Long, Long)]()
 
   private def manifest: StreamManifest =
     Layout.readJson[StreamManifest](Layout.statePath(root, basin, stream))
       .getOrElse(StreamManifest())
-
-  private def rangeOf(p: java.nio.file.Path): (Long, Long) =
-    fileRanges.getOrElseUpdate(p.toString, {
-      val in = HadoopInputFile.fromPath(new Path(p.toString), new Configuration())
-      val reader = ParquetFileReader.open(in)
-      try {
-        val stats = reader.getFooter.getBlocks.asScala.flatMap { b =>
-          b.getColumns.asScala.find(_.getPath.toDotString == "seq_num")
-            .map(_.getStatistics)
-        }
-        (stats.map(_.genericGetMin.asInstanceOf[java.lang.Long].longValue()).min,
-         stats.map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue()).max)
-      } finally reader.close()
-    })
 
   override def initialOffset(): Offset = GraftOffset(startSeq)
   override def latestOffset(): Offset = GraftOffset(manifest.tailSeq)
@@ -127,16 +108,11 @@ final class GraftMicroBatchStream(root: String, basin: String, stream: String,
     val s = start.asInstanceOf[GraftOffset].seq
     val e = end.asInstanceOf[GraftOffset].seq
     if (e <= s) return Array.empty
-    val d = java.nio.file.Paths.get(dir)
-    if (!java.nio.file.Files.exists(d)) return Array.empty
-    val files = java.nio.file.Files.list(d).iterator().asScala
-      .filter(_.toString.endsWith(".parquet")).toSeq
-    files.flatMap { p =>
-      val (mn, mx) = rangeOf(p)
-      // overlap with [s, e)
-      if (mx >= s && mn < e) Some(GraftInputPartition(p.toString, s, e))
-      else None
-    }.sortBy(p => rangeOf(java.nio.file.Paths.get(p.path))._1)
+    // shared driver-side footer-stats cache (graft.log.FileIndex):
+    // catch-up ranges open only the files overlapping [s, e)
+    FileIndex.listStats(dir)
+      .filter(st => st.maxSeq >= s && st.minSeq < e)
+      .map(st => GraftInputPartition(st.path, s, e))
       .toArray[InputPartition]
   }
 

@@ -1,0 +1,116 @@
+package graft.log
+
+import java.nio.file.Files
+import scala.concurrent.Await
+import scala.concurrent.duration._
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.model._
+
+/** A10 producer: per-record acks, batching, match_seq_num chaining,
+  * permit-based flow control (A11), terminal-error poisoning; M5
+  * server-metrics histograms (sdk/src/producer.rs, lite/src/metrics.rs).
+  */
+class ProducerSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def freshStore(): StreamStore = {
+    val st = new StreamStore(spark,
+      Files.createTempDirectory("graft-prod").toString)
+    st.catalog.createBasin("test-basin",
+      BasinConfig(defaultStreamConfig =
+        StreamConfig(retentionPolicy = Some(RetentionPolicy.Infinite))))
+    st
+  }
+
+  private def env(body: String): EnvelopeRecord =
+    EnvelopeRecord(Nil, body.getBytes)
+
+  test("per-record acks carry each record's own seq_num across batch boundaries") {
+    val st = freshStore()
+    st.catalog.createStream("test-basin", "p1")
+    val p = new Producer(st, "test-basin", "p1", maxRecords = 10,
+      nowMs = Some(1000L))
+    val futs = (0 until 25).map(i => p.submit(env(s"r$i")))
+    p.close()
+    val acks = futs.map(f => Await.result(f, 30.seconds).toOption.get)
+    assert(acks.map(_.seqNum) == (0L until 25L))
+    // batch acks group contiguously and cover each record's seq
+    acks.foreach(a =>
+      assert(a.seqNum >= a.batch.start.seqNum && a.seqNum < a.batch.end.seqNum))
+    assert(st.checkTail("test-basin", "p1").seqNum == 25)
+  }
+
+  test("match_seq_num chains across producer batches (batching.rs:138-159)") {
+    val st = freshStore()
+    st.catalog.createStream("test-basin", "p2")
+    val p = new Producer(st, "test-basin", "p2", maxRecords = 4,
+      initialMatchSeqNum = Some(0L), nowMs = Some(1000L))
+    val futs = (0 until 10).map(i => p.submit(env(s"r$i")))
+    p.close()
+    assert(futs.forall(f => Await.result(f, 30.seconds).isRight))
+    assert(st.checkTail("test-basin", "p2").seqNum == 10)
+  }
+
+  test("permit flow control: unacked bytes never exceed the budget (A11)") {
+    val st = freshStore()
+    st.catalog.createStream("test-basin", "p3")
+    val budget = 1024L * 1024
+    val p = new Producer(st, "test-basin", "p3", maxUnackedBytes = budget,
+      nowMs = Some(1000L))
+    // 12 records x 300 KiB metered: submission must block rather than
+    // let in-flight bytes pass 1 MiB
+    val body = "x" * (300 * 1024)
+    val futs = (0 until 12).map(_ => p.submit(env(body)))
+    p.close()
+    assert(futs.forall(f => Await.result(f, 60.seconds).isRight))
+    assert(p.highWaterBytes <= budget,
+      s"in-flight high-water ${p.highWaterBytes} exceeded budget $budget")
+    assert(st.checkTail("test-basin", "p3").seqNum == 12)
+  }
+
+  test("oversize record fails its own submit; terminal batch failure poisons the rest") {
+    val st = freshStore()
+    st.catalog.createStream("test-basin", "p4")
+    // fence the stream so producer batches with no token fail
+    st.append("test-basin", "p4",
+      AppendInput(Seq(FenceCommand("owner"))), Some(1000L))
+    val p = new Producer(st, "test-basin", "p4",
+      fencingToken = Some("intruder"), nowMs = Some(1000L))
+    val over = Await.result(
+      p.submit(env("z" * (2 * 1024 * 1024))), 30.seconds)
+    assert(over == Left(p.ProducerError.Oversize(8L + 2 * 1024 * 1024)))
+    val f1 = p.submit(env("a"))
+    p.flush()
+    val r1 = Await.result(f1, 30.seconds)
+    assert(r1.isLeft) // fencing mismatch -> terminal
+    val f2 = p.submit(env("b"))
+    assert(Await.result(f2, 30.seconds).isLeft) // poisoned
+    p.close()
+    assert(st.checkTail("test-basin", "p4").seqNum == 1) // only the fence
+  }
+
+  test("M5: server histograms expose reference buckets in Prometheus text format") {
+    ServerMetrics.reset()
+    val st = freshStore()
+    st.catalog.createStream("test-basin", "m5")
+    st.append("test-basin", "m5", AppendInput(Seq(env("a"), env("b"))), Some(1000L))
+    val text = ServerMetrics.gather()
+    assert(ServerMetrics.appendAckLatency.count == 1)
+    assert(ServerMetrics.appendBatchRecords.count == 1)
+    assert(text.contains("s2_append_ack_latency_seconds_bucket{le=\"0.005\"}"))
+    assert(text.contains("s2_append_batch_records_bucket{le=\"1000.0\"}"))
+    assert(text.contains("s2_append_batch_bytes_sum"))
+    assert(text.contains("# TYPE s2_append_permit_latency_seconds histogram"))
+  }
+}
