@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.MeteredSizeExpr
+
+/** Session-extensions entry point — register graft's native functions
+  * in any Spark session via config, no code changes:
+  *
+  * {{{
+  * spark.sql.extensions=graft.GraftExtensions
+  * ...
+  * SELECT metered_size(headers, body) FROM log
+  * }}}
+  *
+  * `metered_size` is the codegen'd Catalyst expression for the
+  * reference's metering formula (envelope.rs:74-78) — the unit of
+  * every byte limit, quota and storage metric — so SQL users meter
+  * exactly like the engine does.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("metered_size"),
+      new ExpressionInfo(classOf[MeteredSizeExpr].getName, "metered_size"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          "metered_size(headers, body) takes exactly 2 arguments")
+        MeteredSizeExpr(exprs(0), exprs(1))
+      }))
+  }
+}

@@ -98,4 +98,43 @@ final case class StreamManifest(
     /** last streaming-ingest epoch committed for this stream (-1 =
       * none); makes micro-batch replay after a crash idempotent. */
     lastEpoch: Long = -1L,
+    /** highest trim point already made physical by compaction — lets
+      * the maintenance tick skip streams with nothing to reclaim (the
+      * analog of the reference clearing StreamTrimPoint after the trim
+      * executor runs, stream_trim.rs:120-152; our trimPoint must stay
+      * as the monotone visibility floor, so reclamation is tracked
+      * separately). Absent in old manifests ⇒ 0.
+      */
+    reclaimedTo: Long = 0L,
     version: Long = 0L)
+
+/** Driver-side manifest read cache keyed by (mtime, size) — manifests
+  * are read on every append/read/metrics call; with the cache a read
+  * is one stat(2) unless the file changed (our own writers refresh
+  * eagerly; foreign processes are caught by the mtime key).
+  */
+object ManifestCache {
+  private val cache = scala.collection.concurrent.TrieMap
+    .empty[String, (java.nio.file.attribute.FileTime, Long, StreamManifest)]
+
+  def read(path: Path): Option[StreamManifest] = {
+    if (!Files.exists(path)) return None
+    val ft = Files.getLastModifiedTime(path)
+    val size = Files.size(path)
+    cache.get(path.toString) match {
+      case Some((t, s, m)) if t == ft && s == size => Some(m)
+      case _ =>
+        val m = Layout.readJson[StreamManifest](path)
+        m.foreach(mm => cache.put(path.toString, (ft, size, mm)))
+        m
+    }
+  }
+
+  /** Refresh after our own atomic write. */
+  def put(path: Path, m: StreamManifest): Unit =
+    cache.put(path.toString,
+      (Files.getLastModifiedTime(path), Files.size(path), m))
+
+  /** Drop the entry (stream deleted). */
+  def invalidate(path: Path): Unit = { cache.remove(path.toString); () }
+}

@@ -84,7 +84,7 @@ final class StreamStore(val spark: SparkSession, val root: String) {
     StructField("metered_size", LongType, nullable = false)))
 
   def manifest(basin: String, stream: String): StreamManifest =
-    Layout.readJson[StreamManifest](Layout.statePath(root, basin, stream))
+    ManifestCache.read(Layout.statePath(root, basin, stream))
       .getOrElse(StreamManifest())
 
   /** Write-if-version-matches — the manifest analog of the reference's
@@ -98,7 +98,9 @@ final class StreamStore(val spark: SparkSession, val root: String) {
     if (cur.version != expectedVersion)
       throw new java.util.ConcurrentModificationException(
         s"manifest CAS failed for $basin/$stream: expected v$expectedVersion, found v${cur.version}")
-    Layout.writeJson(Layout.statePath(root, basin, stream), next)
+    val p = Layout.statePath(root, basin, stream)
+    Layout.writeJson(p, next)
+    ManifestCache.put(p, next)
   }
 
   /** C6 (core.rs:326-391): resolve the stream's merged config for a
@@ -655,6 +657,13 @@ final class StreamStore(val spark: SparkSession, val root: String) {
     * stream's partition keeping only visible rows (trim mask +
     * retention mask), sorted by seq_num. Terminal trim deletes the
     * partition + state + catalog entry entirely.
+    *
+    * Output is range-partitioned on seq_num into ~512 MiB files — at
+    * 100 TB a stream's rewrite is a parallel job producing many
+    * disjoint sorted files (footer stats stay prunable), never a
+    * single-task `coalesce(1)` funnel. `reclaimedTo` records the trim
+    * point made physical so the maintenance tick can skip streams with
+    * nothing left to reclaim.
     */
   def compact(basin: String, stream: String, nowMs: Option[Long] = None): Unit =
     withStreamLock(basin, stream) {
@@ -663,19 +672,32 @@ final class StreamStore(val spark: SparkSession, val root: String) {
       if (m.deletionPending || m.trimPoint == Long.MaxValue) {
         deleteRecursively(dir)
         Files.deleteIfExists(Layout.statePath(root, basin, stream))
+        ManifestCache.invalidate(Layout.statePath(root, basin, stream))
         catalog.hardDeleteStream(basin, stream)
       } else if (Files.exists(dir)) {
         val tmp = Paths.get(s"$root/_tmp/compact-${System.nanoTime()}")
+        val diskBytes = {
+          val s = Files.list(dir)
+          try s.iterator().asScala
+            .filter(_.toString.endsWith(".parquet")).map(Files.size).sum
+          finally s.close()
+        }
+        val targetFileBytes = 512L << 20
+        val nParts = math.max(1,
+          math.ceil(diskBytes.toDouble / targetFileBytes).toInt)
         // dropDuplicates repairs orphan re-writes (a crash between the
         // data write and the manifest commit replays the same seq range)
         visible(basin, stream, nowMs)
           .dropDuplicates("seq_num")
-          .coalesce(1).sortWithinPartitions("seq_num")
+          .repartitionByRange(nParts, col("seq_num"))
+          .sortWithinPartitions("seq_num")
           .write.parquet(tmp.toString)
         val old = Paths.get(dir.toString + s".old-${System.nanoTime()}")
         Files.move(dir, old)
         Files.move(tmp, dir)
         deleteRecursively(old)
+        saveManifestCas(basin, stream,
+          m.copy(reclaimedTo = m.trimPoint, version = m.version + 1), m.version)
       }
     }
 
