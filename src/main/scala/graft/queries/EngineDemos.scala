@@ -257,6 +257,176 @@ object EngineDemos {
           st.catalog.getStream("demo-basin2", "auto-r").isDefined.toString)
     },
 
+    // R7 — unary read merge: limits clamp to one batch (records.rs:72-84)
+    demo("e2e_r7_unary_read", Seq(
+      "unbounded_clamps_to" -> "1000",
+      "first_seq" -> "0",
+      "last_seq" -> "999",
+      "explicit_count_kept" -> "7")) { (_, st) =>
+      st.catalog.createStream("demo-basin1", "u7")
+      (0 until 2).foreach(_ => st.append("demo-basin1", "u7",
+        AppendInput((0 until 750).map(i => rec(s"r$i"))), Some(1000)))
+      val all = st.readUnary("demo-basin1", "u7",
+        ReadSpec(ReadStart(ReadFrom.SeqNum(0)))).toOption.get
+      val seven = st.readUnary("demo-basin1", "u7",
+        ReadSpec(ReadStart(ReadFrom.SeqNum(0)),
+          ReadEnd(ReadLimit(count = Some(7))))).toOption.get
+      Seq(
+        "unbounded_clamps_to" -> all.size.toString,
+        "first_seq" -> all.head.seqNum.toString,
+        "last_seq" -> all.last.seqNum.toString,
+        "explicit_count_kept" -> seven.size.toString)
+    },
+
+    // R8 — wait budget armed at tail, reset by batches NOT heartbeats
+    // (read.rs:183-240; test matrix read.rs:603-928) on a virtual clock
+    demo("e2e_r8_wait_budget", Seq(
+      "t0_at_tail" -> "Heartbeat",
+      "t10_heartbeat" -> "Heartbeat",
+      "t20_batch_resets" -> "Batch(1)",
+      "t40_still_open" -> "Heartbeat",
+      "t50_expired" -> "Closed(wait_expired)")) { (_, st) =>
+      st.catalog.createStream("demo-basin1", "r8")
+      var now = 0L
+      val s = new graft.streaming.ReadSession(st, "demo-basin1", "r8", 0L,
+        graft.model.ReadLimit(), None, Some(30L), () => now, () => 10L)
+      def fmt(e: s.Event): String = e match {
+        case s.Event.Heartbeat(_) => "Heartbeat"
+        case b: s.Event.Batch => s"Batch(${b.records.size})"
+        case s.Event.Idle => "Idle"
+        case s.Event.Closed(r) => s"Closed($r)"
+      }
+      val t0 = fmt(s.poll()) // arm deadline at 30
+      now = 10
+      val t10 = fmt(s.poll()) // heartbeat cadence; must NOT extend wait
+      now = 20
+      st.append("demo-basin1", "r8", AppendInput(Seq(rec("x"))), Some(1000))
+      val t20 = fmt(s.poll()) // batch -> deadline resets to 50
+      now = 40
+      val t40 = fmt(s.poll()) // original deadline passed; still open
+      now = 50
+      val t50 = fmt(s.poll())
+      Seq("t0_at_tail" -> t0, "t10_heartbeat" -> t10,
+        "t20_batch_resets" -> t20, "t40_still_open" -> t40,
+        "t50_expired" -> t50)
+    },
+
+    // A10/A11 — producer: per-record acks, batch chaining, flow control
+    demo("e2e_a10_producer", Seq(
+      "ack_seqs" -> "0..24",
+      "batches_cover_records" -> "true",
+      "high_water_within_budget" -> "true",
+      "tail" -> "25")) { (_, st) =>
+      import scala.concurrent.Await
+      import scala.concurrent.duration._
+      st.catalog.createStream("demo-basin1", "prod")
+      val p = new graft.log.Producer(st, "demo-basin1", "prod",
+        maxRecords = 10, nowMs = Some(1000))
+      val futs = (0 until 25).map(i => p.submit(rec(s"r$i")))
+      p.close()
+      val acks = futs.map(f => Await.result(f, 30.seconds).toOption.get)
+      Seq(
+        "ack_seqs" -> s"${acks.head.seqNum}..${acks.last.seqNum}",
+        "batches_cover_records" -> acks.forall(a =>
+          a.seqNum >= a.batch.start.seqNum && a.seqNum < a.batch.end.seqNum).toString,
+        "high_water_within_budget" -> (p.highWaterBytes <= 5L * 1024 * 1024).toString,
+        "tail" -> st.checkTail("demo-basin1", "prod").seqNum.toString)
+    },
+
+    // A12 — durability barrier: a second store instance on the same
+    // root observes exactly the committed state (visible <=> durable)
+    demo("e2e_a12_durability", Seq(
+      "tail_from_second_instance" -> "3",
+      "rows_from_second_instance" -> "3",
+      "manifest_version_advances" -> "true")) { (sp, st) =>
+      st.catalog.createStream("demo-basin1", "dur")
+      st.append("demo-basin1", "dur", AppendInput(Seq(rec("a"), rec("b"))), Some(1000))
+      st.append("demo-basin1", "dur", AppendInput(Seq(rec("c"))), Some(1000))
+      val st2 = new StreamStore(sp, st.root)
+      val rows = st2.readBatch("demo-basin1", "dur",
+        ReadSpec(ReadStart(ReadFrom.SeqNum(0)))).toOption.get
+      Seq(
+        "tail_from_second_instance" ->
+          st2.checkTail("demo-basin1", "dur").seqNum.toString,
+        "rows_from_second_instance" -> rows.size.toString,
+        "manifest_version_advances" ->
+          (st2.manifest("demo-basin1", "dur").version == 2L).toString)
+    },
+
+    // T5 — basin deletion: every stream terminally trimmed, basin marked
+    demo("e2e_t5_basin_delete", Seq(
+      "streams_deletion_pending" -> "3",
+      "append_rejected" -> "StreamDeletionPending",
+      "basin_gone" -> "true",
+      "list_excludes_deleted" -> "0")) { (_, st) =>
+      st.catalog.createBasin("demo-basin3",
+        BasinConfig(defaultStreamConfig =
+          StreamConfig(retentionPolicy = Some(RetentionPolicy.Infinite))))
+      (1 to 3).foreach { i =>
+        st.catalog.createStream("demo-basin3", s"s$i")
+        st.append("demo-basin3", s"s$i", AppendInput(Seq(rec("x"))), Some(1000))
+      }
+      st.deleteBasin("demo-basin3")
+      val pending = (1 to 3).count(i =>
+        st.manifest("demo-basin3", s"s$i").deletionPending)
+      val rejected = st.append("demo-basin3", "s1",
+        AppendInput(Seq(rec("y"))), Some(1000)) match {
+        case Left(AppendError.StreamDeletionPending) => "StreamDeletionPending"
+        case other => other.toString
+      }
+      Seq(
+        "streams_deletion_pending" -> pending.toString,
+        "append_rejected" -> rejected,
+        "basin_gone" -> st.catalog.getBasin("demo-basin3").isEmpty.toString,
+        "list_excludes_deleted" ->
+          st.catalog.listStreams("demo-basin3").items.size.toString)
+    },
+
+    // C5 — three-layer config resolution (stream > basin > system)
+    demo("e2e_c5_config_merge", Seq(
+      "stream_overrides" -> "Age(60)",
+      "basin_default_applies" -> "Arrival",
+      "system_default_applies" -> "Express")) { (_, st) =>
+      st.catalog.createBasin("demo-basin4",
+        BasinConfig(defaultStreamConfig = StreamConfig(
+          timestamping = Some(Timestamping(TimestampingMode.Arrival)))))
+      st.catalog.createStream("demo-basin4", "c5",
+        StreamConfig(retentionPolicy = Some(RetentionPolicy.Age(60))))
+      val c = st.catalog.streamConfig("demo-basin4", "c5").get
+      Seq(
+        "stream_overrides" -> (c.retentionPolicy.get match {
+          case RetentionPolicy.Age(s) => s"Age($s)"
+          case other => other.toString
+        }),
+        "basin_default_applies" -> c.timestampingOrDefault.mode.toString
+          .replaceAll(".*\\$", ""),
+        "system_default_applies" -> c.storageClassOrDefault.toString
+          .replaceAll(".*\\$", ""))
+    },
+
+    // M5 — server metrics: deterministic histogram counts
+    demo("e2e_m5_server_metrics", Seq(
+      "ack_observations" -> "2",
+      "batch_records_le_10_cum" -> "2",
+      "exposition_has_types" -> "true")) { (_, st) =>
+      graft.log.ServerMetrics.reset()
+      st.catalog.createStream("demo-basin1", "m5")
+      st.append("demo-basin1", "m5", AppendInput(Seq(rec("a"))), Some(1000))
+      st.append("demo-basin1", "m5",
+        AppendInput((0 until 5).map(i => rec(s"b$i"))), Some(1000))
+      val text = graft.log.ServerMetrics.gather()
+      val le10 = text.linesIterator
+        .find(_.startsWith("s2_append_batch_records_bucket{le=\"10.0\"}"))
+        .map(_.split(' ').last).getOrElse("?")
+      Seq(
+        "ack_observations" ->
+          graft.log.ServerMetrics.appendAckLatency.count.toString,
+        "batch_records_le_10_cum" -> le10,
+        "exposition_has_types" ->
+          (text.contains("# TYPE s2_append_ack_latency_seconds histogram") &&
+           text.contains("# TYPE s2_append_batch_bytes histogram")).toString)
+    },
+
     // C7 — access-token scope authorization matrix
     demo("e2e_c7_access", Seq(
       "read_op_in_scope" -> "true",
