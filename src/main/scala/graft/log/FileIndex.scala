@@ -45,8 +45,12 @@ object FileIndex {
   final case class RowLite(seq: Long, ts: Long, metered: Long, isCommand: Boolean)
 
   private val statsCache = TrieMap[String, FileStats]()
-  // path -> (total metered bytes, metered bytes of command records)
-  private val sumsCache = TrieMap[String, (Long, Long)]()
+
+  /** Exact per-file aggregates for limit planning (computed by one
+    * projected scan per immutable file, ever). */
+  final case class FileSums(metered: Long, cmdMetered: Long, cmdRows: Long)
+
+  private val sumsCache = TrieMap[String, FileSums]()
 
   def stats(path: String): FileStats = statsCache.getOrElseUpdate(path, {
     val in = HadoopInputFile.fromPath(new Path(path), new Configuration())
@@ -117,17 +121,18 @@ object FileIndex {
     } finally reader.close()
   }
 
-  /** Exact (Σ metered_size, Σ metered_size over command records) of one
-    * file — one projected scan, ever, per immutable file.
+  /** Exact (Σ metered_size, Σ metered over commands, # commands) of
+    * one file — one projected scan, ever, per immutable file.
     */
-  def sums(path: String): (Long, Long) = sumsCache.getOrElseUpdate(path, {
+  def sums(path: String): FileSums = sumsCache.getOrElseUpdate(path, {
     var total = 0L
     var cmd = 0L
+    var cmdRows = 0L
     scanRows(path) { r =>
       total += r.metered
-      if (r.isCommand) cmd += r.metered
+      if (r.isCommand) { cmd += r.metered; cmdRows += 1 }
       true
     }
-    (total, cmd)
+    FileSums(total, cmd, cmdRows)
   })
 }

@@ -424,21 +424,26 @@ final class StreamStore(val spark: SparkSession, val root: String) {
     if (res < 0) m.tailSeq else res
   }
 
-  /** R4 bytes limit: last admitted seq under a metered-bytes budget
-    * with exact record-by-record admission (cum + size <= budget, ref
-    * read_extent.rs:88-108) — evaluated on the driver over a
-    * budget-bounded walk of the stream's files in seq order. Interior
-    * files are consumed via cached per-file sums (one projected scan
-    * per immutable file, ever); only boundary and budget-crossing
-    * files are row-scanned. Total driver work is O(budget), not
-    * O(stream) — this replaces the old unpartitioned WindowExec that
-    * funnelled every row from start to tail through one task.
-    * Returns -1 when nothing is admitted.
+  /** R4 read limits: last admitted seq under count and metered-bytes
+    * budgets with exact record-by-record admission — a record is
+    * included only if it fits BOTH remaining budgets (ref
+    * read_extent.rs:88-136, applied read.rs:139-173) — evaluated on
+    * the driver over a budget-bounded walk of the stream's files in
+    * seq order. Interior files are consumed via cached per-file sums
+    * (one projected scan per immutable file, ever); only boundary and
+    * budget-crossing files are row-scanned. Total driver work is
+    * O(budget), not O(stream) — this replaces the old unpartitioned
+    * WindowExec (bytes) and scan-everything top-N (count) shapes: a
+    * count- or bytes-limited read from seq 0 of a 10 TB stream plans
+    * only budget-overlapping files. Returns -1 when nothing is
+    * admitted.
     */
-  private def bytesCutoff(files: Seq[FileIndex.FileStats], lo: Long, hi: Long,
+  private def limitCutoff(files: Seq[FileIndex.FileStats], lo: Long, hi: Long,
                           retCutoff: Option[Long], until: Option[Long],
-                          ignoreCommands: Boolean, budget: Long): Long = {
-    var cum = 0L
+                          ignoreCommands: Boolean,
+                          countBudget: Long, bytesBudget: Long): Long = {
+    var cumBytes = 0L
+    var cumRows = 0L
     var last = -1L
     var done = false
     val it = files.iterator
@@ -451,12 +456,15 @@ final class StreamStore(val spark: SparkSession, val root: String) {
       } else {
         val wholeFile = st.minSeq >= lo && st.maxSeq < hi &&
           retCutoff.forall(rc => st.minTs >= rc) && until.forall(u => st.maxTs < u)
-        val contribution = if (wholeFile) {
-          val (total, cmd) = FileIndex.sums(st.path)
-          if (ignoreCommands) total - cmd else total
-        } else -1L
-        if (wholeFile && cum + contribution <= budget) {
-          cum += contribution
+        val (fileRows, fileBytes) = if (wholeFile) {
+          val s = FileIndex.sums(st.path)
+          if (ignoreCommands) (st.rows - s.cmdRows, s.metered - s.cmdMetered)
+          else (st.rows, s.metered)
+        } else (-1L, -1L)
+        if (wholeFile && cumRows + fileRows <= countBudget &&
+            cumBytes + fileBytes <= bytesBudget) {
+          cumRows += fileRows
+          cumBytes += fileBytes
           last = st.maxSeq
         } else {
           // boundary or budget-crossing file: exact row walk
@@ -465,8 +473,8 @@ final class StreamStore(val spark: SparkSession, val root: String) {
               retCutoff.forall(r.ts >= _) && until.forall(r.ts < _) &&
               !(ignoreCommands && r.isCommand)
             if (!vis) true
-            else if (cum + r.metered <= budget) {
-              cum += r.metered; last = r.seq; true
+            else if (cumRows < countBudget && cumBytes + r.metered <= bytesBudget) {
+              cumRows += 1; cumBytes += r.metered; last = r.seq; true
             } else { done = true; false }
           }
         }
@@ -516,9 +524,12 @@ final class StreamStore(val spark: SparkSession, val root: String) {
     } else start
     val lo = math.max(effStart, m.trimPoint)
 
-    val cut: Option[Long] = spec.end.limit.bytes.map(b =>
-      bytesCutoff(files, lo, m.tailSeq, retCutoff, spec.end.until,
-        ignoreCommands, b))
+    val cut: Option[Long] =
+      if (spec.end.limit.count.isEmpty && spec.end.limit.bytes.isEmpty) None
+      else Some(limitCutoff(files, lo, m.tailSeq, retCutoff, spec.end.until,
+        ignoreCommands,
+        spec.end.limit.count.getOrElse(Long.MaxValue),
+        spec.end.limit.bytes.getOrElse(Long.MaxValue)))
     val hiCut = cut.fold(m.tailSeq)(c => math.min(m.tailSeq, c + 1)) // exclusive
 
     val chosen = files.filter(st =>

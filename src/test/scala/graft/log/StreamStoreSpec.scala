@@ -628,6 +628,20 @@ class StreamStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       .fold(e => fail(e), identity).collect()
     // seq 15..19 have ts 1000/1001 (files 0 and 1 at ts up to 1001 < until)
     assert(mid.map(_.getLong(0)).toSeq == (15L until 20L))
+    // count limit prunes files exactly the same way (no scan-all top-N)
+    val cdf = st.read("test-basin", "budget",
+      ReadSpec(ReadStart(ReadFrom.SeqNum(0)),
+        ReadEnd(ReadLimit(count = Some(25)))))
+      .fold(e => fail(e), identity)
+    assert(cdf.inputFiles.length <= 3,
+      s"count-limited plan should touch <=3 files, got ${cdf.inputFiles.length}")
+    assert(cdf.collect().map(_.getLong(0)).toSeq == (0L until 25L))
+    // combined CountOrBytes: first budget to run out cuts the prefix
+    val both = st.read("test-basin", "budget",
+      ReadSpec(ReadStart(ReadFrom.SeqNum(0)),
+        ReadEnd(ReadLimit(count = Some(100), bytes = Some(12 * 108L)))))
+      .fold(e => fail(e), identity).collect()
+    assert(both.map(_.getLong(0)).toSeq == (0L until 12L)) // bytes cut first
   }
 
   test("two store instances on one root: concurrent appends never lose records (manifest CAS)") {
