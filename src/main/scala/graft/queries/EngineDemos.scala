@@ -311,6 +311,68 @@ object EngineDemos {
         "t50_expired" -> t50)
     },
 
+    // R9 — checkpointed resumption: a restarted follower delivers ONLY
+    // records after its last committed offset (Last-Event-ID semantics,
+    // records.rs:49-65), end-to-end through the DSv2 source
+    demo("e2e_r9_resume", Seq(
+      "first_run" -> "0,1,2",
+      "new_after_restart" -> "3,4",
+      "no_duplicates" -> "true")) { (sp, st) =>
+      st.catalog.createStream("demo-basin1", "r9")
+      st.append("demo-basin1", "r9",
+        AppendInput(Seq(rec("a"), rec("b"), rec("c"))), Some(1000))
+      def run(): Seq[Long] = {
+        val q = sp.readStream.format("graft-stream")
+          .option("root", st.root).option("basin", "demo-basin1")
+          .option("stream", "r9").load()
+          .writeStream.format("parquet")
+          .option("path", s"${st.root}/_r9sink")
+          .option("checkpointLocation", s"${st.root}/_r9ckpt")
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        sp.read.parquet(s"${st.root}/_r9sink").select("seq_num")
+          .collect().map(_.getLong(0)).toSeq.sorted
+      }
+      val first = run()
+      st.append("demo-basin1", "r9", AppendInput(Seq(rec("d"), rec("e"))), Some(2000))
+      val second = run()
+      Seq(
+        "first_run" -> first.mkString(","),
+        "new_after_restart" -> (second.toSet -- first.toSet).toSeq.sorted.mkString(","),
+        "no_duplicates" -> (second.size == second.distinct.size).toString)
+    },
+
+    // R11 — auto-resume retry policy: capped exponential backoff,
+    // reset after a healthy run (sdk/src/retry.rs)
+    demo("e2e_r11_auto_resume", Seq(
+      "backoffs" -> "100,200,400",
+      "healthy_run_resets" -> "100",
+      "budget_exhausted" -> "gave_up")) { (_, _) =>
+      var now = 0L
+      var failures = 3
+      val b1 = graft.streaming.AutoResume.run(
+        () => if (failures > 0) { failures -= 1; sys.error("broken") },
+        clock = () => now, sleeper = _ => ())
+      // a long-lived run before the crash resets the ladder
+      var phase = 0
+      val b2 = graft.streaming.AutoResume.run(
+        () => phase match {
+          case 0 => phase = 1; sys.error("fail-fast")     // backoff 100
+          case 1 => phase = 2; now += 60000; sys.error("died after 60s") // reset -> 100
+          case _ => ()
+        },
+        clock = () => now, sleeper = _ => ())
+      val gaveUp = try {
+        graft.streaming.AutoResume.run(() => sys.error("always"),
+          maxRetries = 2, clock = () => now, sleeper = _ => ())
+        "completed"
+      } catch { case _: Throwable => "gave_up" }
+      Seq(
+        "backoffs" -> b1.mkString(","),
+        "healthy_run_resets" -> b2.last.toString,
+        "budget_exhausted" -> gaveUp)
+    },
+
     // A10/A11 — producer: per-record acks, batch chaining, flow control
     demo("e2e_a10_producer", Seq(
       "ack_seqs" -> "0..24",
