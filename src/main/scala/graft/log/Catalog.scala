@@ -183,6 +183,32 @@ final class Catalog(root: String) {
       }
     }
 
+  /** Bulk create: one load + one save for N streams (used by ingest
+    * auto-provisioning — per-stream createStream would rewrite the
+    * whole catalog N times). Existing live streams are left untouched;
+    * invalid names are reported, valid ones still commit.
+    */
+  def createStreams(basin: String, names: Seq[String],
+                    config: StreamConfig = StreamConfig()): Either[String, Int] =
+    lock.synchronized {
+      if (getBasin(basin).isEmpty) Left("BasinNotFound")
+      else {
+        val st = load()
+        val existing = st.streams.iterator
+          .filter(s => s.basin == basin && s.deletedAt.isEmpty)
+          .map(_.name).toSet
+        val (valid, invalid) = names.distinct.filterNot(existing)
+          .partition(Caps.validStreamName)
+        val enc = ConfigCodec.encode(config)
+        val t = now()
+        if (valid.nonEmpty)
+          save(st.copy(streams = st.streams ++
+            valid.map(n => StreamEntry(basin, n, enc, t))))
+        if (invalid.nonEmpty) Left(s"invalid stream names: ${invalid.mkString(",")}")
+        else Right(valid.size)
+      }
+    }
+
   /** C3: create-or-update to the given config (PUT semantics). */
   def ensureStream(basin: String, name: String,
                    config: StreamConfig): Either[String, EnsureOutcome] =

@@ -263,12 +263,19 @@ final class StreamStore(val spark: SparkSession, val root: String) {
     }
     if (keys.isEmpty) return Map.empty
     // C6: bulk ingest enforces the same auto-create contract as unary
-    // append (core.rs:326-391) per target stream
-    keys.foreach { case (b, s) =>
-      if (resolveStream(b, s,
-          autoCreate = catalog.basinConfig(b).createStreamOnAppend).isEmpty)
-        throw new IllegalArgumentException(
-          s"StreamNotFound: $b/$s (create_stream_on_append not set)")
+    // append (core.rs:326-391); missing streams of an opted-in basin
+    // are provisioned in ONE catalog commit per basin (an auto-create
+    // storm of 10k new streams must not rewrite the catalog 10k times)
+    keys.groupBy(_._1).foreach { case (b, ks) =>
+      val missing = ks.collect {
+        case (_, s) if catalog.getStream(b, s).isEmpty => s
+      }
+      if (missing.nonEmpty) {
+        if (!catalog.basinConfig(b).createStreamOnAppend)
+          throw new IllegalArgumentException(
+            s"StreamNotFound: $b/${missing.head} (create_stream_on_append not set)")
+        catalog.createStreams(b, missing.toSeq)
+      }
     }
     val df = if (keys.length == allKeys.length) df0 else {
       val keep = keys.map { case (b, s) => s"$b\u0000$s" }.toSet

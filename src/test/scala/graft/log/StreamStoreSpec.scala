@@ -703,6 +703,29 @@ class StreamStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] { st.ingest(df, Some(1000L)) }
   }
 
+  test("ingest auto-provisions missing streams in one catalog commit (C6 bulk)") {
+    val st = freshStore()
+    st.catalog.createBasin("auto-basin2",
+      BasinConfig(
+        defaultStreamConfig =
+          StreamConfig(retentionPolicy = Some(RetentionPolicy.Infinite)),
+        createStreamOnAppend = true))
+    import spark.implicits._
+    val df = (0 until 40).map(i => ("auto-basin2", s"new-$i", i.toLong))
+      .toDF("basin", "stream", "arrival")
+      .selectExpr("basin", "stream", "CAST(NULL AS BIGINT) AS ts_client",
+        "CAST(NULL AS ARRAY<STRUCT<name: BINARY, value: BINARY>>) AS headers",
+        "CAST(stream AS BINARY) AS body", "arrival")
+    val acks = st.ingest(df, Some(1000L))
+    assert(acks.size == 40)
+    assert(st.catalog.listStreams("auto-basin2").items.size == 40)
+    assert(st.checkTail("auto-basin2", "new-7").seqNum == 1)
+    // direct bulk API: one commit, idempotent on existing names
+    assert(st.catalog.createStreams("auto-basin2",
+      Seq("new-0", "extra-a", "extra-b")) == Right(2))
+    assert(st.catalog.createStreams("auto-basin2", Seq("..")).isLeft)
+  }
+
   test("read-side decryption happens in the plan, not on the driver (A13)") {
     val st = freshStore()
     st.catalog.createStream("test-basin", "encplan")
