@@ -70,13 +70,24 @@ final class AppendSession(store: StreamStore, basin: String, stream: String,
         }
         if (next != null) {
           if (poisoned) next.p.success(Left(SessionError.SessionPoisoned))
-          else store.append(basin, stream, next.input, nowMs, cipher) match {
-            case Right(ack) => next.p.success(Right(ack))
-            case Left(e) =>
-              // poison BEFORE completing the failure, so no later
-              // submission can be admitted concurrently with the error
-              lock.synchronized { poisoned = true }
-              next.p.success(Left(SessionError.Append(e)))
+          else {
+            // a THROWN failure (CAS conflict, IO error) must poison and
+            // complete the promise too — a dead worker with hanging
+            // futures would deadlock Producer permits forever
+            val res =
+              try store.append(basin, stream, next.input, nowMs, cipher)
+              catch {
+                case e: Throwable =>
+                  Left(AppendError.InvalidBatch(s"append threw: ${e.getMessage}"))
+              }
+            res match {
+              case Right(ack) => next.p.success(Right(ack))
+              case Left(e) =>
+                // poison BEFORE completing the failure, so no later
+                // submission can be admitted concurrently with the error
+                lock.synchronized { poisoned = true }
+                next.p.success(Left(SessionError.Append(e)))
+            }
           }
         }
       }

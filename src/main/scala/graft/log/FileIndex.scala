@@ -72,15 +72,26 @@ object FileIndex {
 
   /** All data files of a stream directory, sorted by min seq_num.
     * Listing is fresh per call (new files appear); stats are cached.
+    * A concurrent compaction swaps the directory atomically between
+    * our exists/list/stat calls — one retry observes the new
+    * generation ("trimming is eventually consistent").
     */
   def listStats(dir: String): Seq[FileStats] = {
-    val d = Paths.get(dir)
-    if (!Files.exists(d)) return Nil
-    val s = Files.list(d)
-    try s.iterator().asScala
-      .filter(_.toString.endsWith(".parquet"))
-      .map(p => stats(p.toString)).toSeq.sortBy(_.minSeq)
-    finally s.close()
+    def attempt(): Seq[FileStats] = {
+      val d = Paths.get(dir)
+      if (!Files.exists(d)) return Nil
+      val s = Files.list(d)
+      try s.iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .map(p => stats(p.toString)).toSeq.sortBy(_.minSeq)
+      finally s.close()
+    }
+    try attempt()
+    catch {
+      case _: java.nio.file.NoSuchFileException
+           | _: java.io.FileNotFoundException
+           | _: java.io.UncheckedIOException => attempt()
+    }
   }
 
   /** Projected driver-side row scan in file order (= seq order; files

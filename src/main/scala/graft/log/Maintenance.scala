@@ -27,7 +27,8 @@ final class Maintenance(store: StreamStore,
                         concurrency: Int = 4) {
 
   final case class Report(compacted: Seq[(String, String)],
-                          doeDeleted: Seq[(String, String)])
+                          doeDeleted: Seq[(String, String)],
+                          failures: Seq[(String, String, String)] = Nil)
 
   /** One maintenance pass over every basin (pure function of state —
     * callable directly, from a test, or from the scheduler).
@@ -36,6 +37,7 @@ final class Maintenance(store: StreamStore,
     val now = nowMs.getOrElse(System.currentTimeMillis())
     val compacted = Seq.newBuilder[(String, String)]
     val doeDeleted = Seq.newBuilder[(String, String)]
+    val failures = Seq.newBuilder[(String, String, String)]
     val pool = Executors.newFixedThreadPool(concurrency)
     try {
       basins().foreach { basin =>
@@ -57,11 +59,18 @@ final class Maintenance(store: StreamStore,
             }
             m.deletionPending || m.trimPoint > m.reclaimedTo || expiredFiles
           }
+          // one failing stream must not abort the rest of the pass —
+          // every unit is idempotent and will be retried next tick
           val futures = work.map(e => pool.submit(new Runnable {
-            def run(): Unit = {
-              store.compact(basin, e.name, Some(now))
-              compacted.synchronized { compacted += ((basin, e.name)) }
-            }
+            def run(): Unit =
+              try {
+                store.compact(basin, e.name, Some(now))
+                compacted.synchronized { compacted += ((basin, e.name)) }
+              } catch {
+                case t: Throwable => failures.synchronized {
+                  failures += ((basin, e.name, t.toString))
+                }
+              }
           }))
           futures.foreach(_.get())
           more = page.hasMore
@@ -71,8 +80,14 @@ final class Maintenance(store: StreamStore,
           .foreach(s => doeDeleted += ((basin, s)))
       }
     } finally pool.shutdown()
-    Report(compacted.result(), doeDeleted.result())
+    store.sweepTrash(nowMs = nowMs)
+    Report(compacted.result(), doeDeleted.result(), failures.result())
   }
+
+  /** Consecutive failed scheduler ticks + last error, for operators. */
+  def health: (Int, Option[String]) = (consecutiveFailures, lastError)
+  @volatile private var consecutiveFailures = 0
+  @volatile private var lastError: Option[String] = None
 
   // ---- scheduler (60 s cadence ± jitter + explicit trigger) ----
 
@@ -89,7 +104,20 @@ final class Maintenance(store: StreamStore,
   def start(): Unit = if (!running) {
     running = true
     def tick(): Unit = if (running) {
-      try runOnce() catch { case _: Throwable => () }
+      try {
+        val r = runOnce()
+        if (r.failures.nonEmpty) {
+          consecutiveFailures += 1
+          lastError = Some(r.failures.head._3)
+          System.err.println(
+            s"[graft-maintenance] ${r.failures.size} unit(s) failed, first: ${r.failures.head}")
+        } else { consecutiveFailures = 0; lastError = None }
+      } catch {
+        case t: Throwable =>
+          consecutiveFailures += 1
+          lastError = Some(t.toString)
+          System.err.println(s"[graft-maintenance] tick failed: $t")
+      }
       sched.schedule(new Runnable { def run(): Unit = tick() },
         jittered, TimeUnit.MILLISECONDS)
     }

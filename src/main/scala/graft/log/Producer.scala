@@ -71,7 +71,10 @@ final class Producer(store: StreamStore, basin: String, stream: String,
   def submit(r: Record): Future[Either[ProducerError, IndexedAppendAck]] = {
     val p = Promise[Either[ProducerError, IndexedAppendAck]]()
     val sz = r.meteredSize
-    if (sz > maxBatchBytes) {
+    // a record that can never fit the batch cap OR the permit budget
+    // must fail fast — blocking on a permit that can never be granted
+    // would hang the caller forever
+    if (sz > math.min(maxBatchBytes, maxUnackedBytes)) {
       p.success(Left(ProducerError.Oversize(sz)))
       return p.future
     }
@@ -127,9 +130,12 @@ final class Producer(store: StreamStore, basin: String, stream: String,
           val msg = err.toString
           lock.synchronized {
             if (terminal.isEmpty) terminal = Some(msg)
-            // fail anything staged after the failing batch, too
+            // fail anything staged after the failing batch, too — and
+            // release their permits (they will never flush, so nothing
+            // else would ever return those bytes)
             val orphans = staged
             staged = Vector.empty
+            inFlightBytes -= stagedBytes
             stagedBytes = 0L
             lock.notifyAll()
             orphans.foreach(_._2.success(Left(ProducerError.Terminal(msg))))

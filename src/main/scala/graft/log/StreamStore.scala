@@ -87,6 +87,14 @@ final class StreamStore(val spark: SparkSession, val root: String) {
     ManifestCache.read(Layout.statePath(root, basin, stream))
       .getOrElse(StreamManifest())
 
+  /** Authoritative manifest read for commit paths: bypasses the cache
+    * so a foreign process's write can never be served stale inside a
+    * critical section (the cache serves read/metrics paths).
+    */
+  private def manifestFresh(basin: String, stream: String): StreamManifest =
+    Layout.readJson[StreamManifest](Layout.statePath(root, basin, stream))
+      .getOrElse(StreamManifest())
+
   /** Write-if-version-matches — the manifest analog of the reference's
     * trim-point CAS (stream_trim.rs:120-152). Callers hold the stream
     * lock, so a failure means a writer bypassed the locking protocol;
@@ -94,7 +102,12 @@ final class StreamStore(val spark: SparkSession, val root: String) {
     */
   private def saveManifestCas(basin: String, stream: String,
                               next: StreamManifest, expectedVersion: Long): Unit = {
-    val cur = manifest(basin, stream)
+    // authoritative read: bypass ManifestCache — a foreign process's
+    // write could land in the same mtime granule with an equal byte
+    // length and be served stale, which would defeat the CAS. Callers
+    // hold the OS file lock, so one direct parse here is the price of
+    // cross-process correctness.
+    val cur = manifestFresh(basin, stream)
     if (cur.version != expectedVersion)
       throw new java.util.ConcurrentModificationException(
         s"manifest CAS failed for $basin/$stream: expected v$expectedVersion, found v${cur.version}")
@@ -111,10 +124,18 @@ final class StreamStore(val spark: SparkSession, val root: String) {
                             autoCreate: Boolean): Option[StreamConfig] =
     catalog.streamConfig(basin, stream).orElse {
       if (!autoCreate) None
-      else {
-        catalog.createStream(basin, stream) // race: AlreadyExists is fine
-        catalog.streamConfig(basin, stream)
-          .orElse(Some(StreamConfig.SystemDefault))
+      else catalog.createStream(basin, stream) match {
+        case Right(_) =>
+          catalog.streamConfig(basin, stream)
+            .orElse(Some(StreamConfig.SystemDefault))
+        case Left("StreamAlreadyExists") =>
+          // lost the provisioning race: the winner's entry serves
+          catalog.streamConfig(basin, stream)
+        case Left(_) =>
+          // REAL failure (invalid name, basin gone): the write must
+          // NOT be admitted — an acked append nobody can read back
+          // is data loss
+          None
       }
     }
 
@@ -156,7 +177,7 @@ final class StreamStore(val spark: SparkSession, val root: String) {
     val ts = config.timestampingOrDefault
 
     withStreamLock(basin, stream) {
-      val m = manifest(basin, stream)
+      val m = manifestFresh(basin, stream)
       if (m.deletionPending)
         return Left(AppendError.StreamDeletionPending)
       // A5: fencing enforced only when a token is provided
@@ -265,8 +286,16 @@ final class StreamStore(val spark: SparkSession, val root: String) {
     // C6: bulk ingest enforces the same auto-create contract as unary
     // append (core.rs:326-391); missing streams of an opted-in basin
     // are provisioned in ONE catalog commit per basin (an auto-create
-    // storm of 10k new streams must not rewrite the catalog 10k times)
+    // storm of 10k new streams must not rewrite the catalog 10k times).
+    // Deletion-pending streams reject the whole batch up front — like
+    // unary append's StreamDeletionPending (streamer.rs:402-404) —
+    // instead of resurrecting a soft-deleted stream and acking data
+    // the trim executor is about to reclaim.
     keys.groupBy(_._1).foreach { case (b, ks) =>
+      ks.find { case (_, s) => manifest(b, s).deletionPending }.foreach {
+        case (_, s) => throw new IllegalStateException(
+          s"StreamDeletionPending: $b/$s")
+      }
       val missing = ks.collect {
         case (_, s) if catalog.getStream(b, s).isEmpty => s
       }
@@ -274,7 +303,8 @@ final class StreamStore(val spark: SparkSession, val root: String) {
         if (!catalog.basinConfig(b).createStreamOnAppend)
           throw new IllegalArgumentException(
             s"StreamNotFound: $b/${missing.head} (create_stream_on_append not set)")
-        catalog.createStreams(b, missing.toSeq)
+        catalog.createStreams(b, missing.toSeq).left.foreach(e =>
+          throw new IllegalArgumentException(s"auto-create failed: $e"))
       }
     }
     val df = if (keys.length == allKeys.length) df0 else {
@@ -353,30 +383,52 @@ final class StreamStore(val spark: SparkSession, val root: String) {
         graft.functions.GraftFunctions.metered_size(col("headers"), col("body")))
 
     // partition values go through Layout.escape so dynamic-partition
-    // dirs coincide with the unary append path for ALL legal names
+    // dirs coincide with the unary append path for ALL legal names.
+    // The job writes to a STAGING directory; files only enter the live
+    // data dir inside each stream's locked commit below — a losing
+    // concurrent ingest (CAS conflict) leaves nothing behind that a
+    // read could see as duplicate seq_nums.
+    val stage = s"$root/_stage/ingest-${java.util.UUID.randomUUID()}"
     val escUdf = udf((s: String) => Layout.escape(s))
     assigned
       .withColumn("stream", escUdf(col("stream")))
       .sortWithinPartitions("basin", "stream", "seq_num")
-      .write.mode("append")
+      .write
       .partitionBy("basin", "stream")
-      .parquet(s"$root/data")
+      .parquet(stage)
     prepared.unpersist()
 
-    // manifests from the driver-side prefix sums (no extra job); each
-    // commit holds the stream lock and CASes on the version read at
-    // planning time, so a concurrent writer on another driver aborts
-    // this commit instead of being silently overwritten
-    runSeq.keys.map { case k @ (b, s) =>
+    // per-stream commit (no extra job): under the stream lock, verify
+    // the CAS precondition, move the staged files into the live dir,
+    // then commit the manifest — so a concurrent writer on another
+    // driver aborts this stream's commit with its files still staged
+    try runSeq.keys.map { case k @ (b, s) =>
       val m = tails(k)
       val newM = m.copy(tailSeq = runSeq(k),
         tailTs = math.max(m.tailTs, runTs(k)),
         lastEpoch = epochId.getOrElse(m.lastEpoch), version = m.version + 1)
-      withStreamLock(b, s) { saveManifestCas(b, s, newM, m.version) }
+      withStreamLock(b, s) {
+        val cur = manifestFresh(b, s)
+        if (cur.version != m.version)
+          throw new java.util.ConcurrentModificationException(
+            s"ingest lost the commit race for $b/$s: expected v${m.version}, found v${cur.version}")
+        val src = Paths.get(s"$stage/basin=$b/stream=${Layout.escape(s)}")
+        val dst = Paths.get(Layout.dataDir(root, b, s))
+        Files.createDirectories(dst)
+        if (Files.exists(src)) {
+          val parts = Files.list(src)
+          try parts.iterator().asScala
+            .filter(_.toString.endsWith(".parquet"))
+            .foreach(f => Files.move(f, dst.resolve(f.getFileName)))
+          finally parts.close()
+        }
+        saveManifestCas(b, s, newM, m.version)
+      }
       k -> AppendAck(
         StreamPosition(m.tailSeq, 0), StreamPosition(newM.tailSeq, newM.tailTs),
         StreamPosition(newM.tailSeq, newM.tailTs))
     }.toMap
+    finally deleteRecursively(Paths.get(stage)) // uncommitted files die staged
   }
 
   // -------------------------------------------------------------------------
@@ -648,7 +700,7 @@ final class StreamStore(val spark: SparkSession, val root: String) {
     */
   def deleteStream(basin: String, stream: String): Unit = {
     withStreamLock(basin, stream) {
-      val m = manifest(basin, stream)
+      val m = manifestFresh(basin, stream)
       saveManifestCas(basin, stream,
         m.copy(trimPoint = Long.MaxValue, deletionPending = true,
           version = m.version + 1), m.version)
@@ -685,7 +737,7 @@ final class StreamStore(val spark: SparkSession, val root: String) {
     */
   def compact(basin: String, stream: String, nowMs: Option[Long] = None): Unit =
     withStreamLock(basin, stream) {
-      val m = manifest(basin, stream)
+      val m = manifestFresh(basin, stream)
       val dir = Paths.get(Layout.dataDir(root, basin, stream))
       if (m.deletionPending || m.trimPoint == Long.MaxValue) {
         deleteRecursively(dir)
@@ -710,10 +762,18 @@ final class StreamStore(val spark: SparkSession, val root: String) {
           .repartitionByRange(nParts, col("seq_num"))
           .sortWithinPartitions("seq_num")
           .write.parquet(tmp.toString)
-        val old = Paths.get(dir.toString + s".old-${System.nanoTime()}")
+        // the old generation parks in _trash for a grace period so an
+        // in-flight read planned over the old explicit file list can
+        // still execute; swept after the grace window ("trimming is
+        // eventually consistent", cli/src/cli.rs:143-146). _trash sits
+        // outside data/ so partition discovery never sees it.
+        val trash = Paths.get(s"$root/_trash")
+        Files.createDirectories(trash)
+        val old = trash.resolve(
+          s"$basin~${Layout.escape(stream)}-${System.currentTimeMillis()}")
         Files.move(dir, old)
         Files.move(tmp, dir)
-        deleteRecursively(old)
+        sweepTrash()
         saveManifestCas(basin, stream,
           m.copy(reclaimedTo = m.trimPoint, version = m.version + 1), m.version)
       }
@@ -785,6 +845,23 @@ final class StreamStore(val spark: SparkSession, val root: String) {
       .select(col("stream"),
         coalesce(col("sb"), lit(0L)).as("storage_bytes"),
         coalesce(col("nr"), lit(0L)).as("n_records"))
+  }
+
+  /** Delete trashed compaction generations older than the grace
+    * window (also called by the Maintenance tick).
+    */
+  def sweepTrash(graceMs: Long = 10 * 60 * 1000L,
+                 nowMs: Option[Long] = None): Unit = {
+    val trash = Paths.get(s"$root/_trash")
+    if (!Files.exists(trash)) return
+    val cutoff = nowMs.getOrElse(System.currentTimeMillis()) - graceMs
+    val s = Files.list(trash)
+    try s.iterator().asScala.foreach { p =>
+      val name = p.getFileName.toString
+      val ts = name.substring(name.lastIndexOf('-') + 1)
+      if (ts.nonEmpty && ts.forall(_.isDigit) && ts.toLong < cutoff)
+        deleteRecursively(p)
+    } finally s.close()
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =

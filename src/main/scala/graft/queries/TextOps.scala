@@ -322,7 +322,7 @@ object TextOps {
         |  $bandRows),
         |bsizes AS (
         |  SELECT band, band_key FROM bands
-        |  GROUP BY band, band_key HAVING count(*) <= 64),
+        |  GROUP BY band, band_key HAVING count(*) <= $BandBucketCap),
         |bands_c AS (
         |  SELECT bands.* FROM bands JOIN bsizes USING (band, band_key)),
         |cands AS (

@@ -87,10 +87,23 @@ final class ReadSession(store: StreamStore, basin: String, stream: String,
           ReadEnd(chunk, until))) match {
         case Left(e) => close(e)
         case Right(records) if records.isEmpty =>
-          // a visible record exists but the limit/until denies it:
-          // allowed_count == 0 ⇒ session ends without a batch
-          // (read.rs:810+: bytes limit smaller than first live record)
-          close("until_or_limit")
+          // Disambiguate: denied by the session limit / until bound,
+          // or simply no visible record in [nextSeq, tail) (a
+          // retention-masked prefix)? A masked prefix must be skipped
+          // like the reference's catch-up scan over missing keys,
+          // not treated as a close.
+          store.readBatch(basin, stream,
+            ReadSpec(ReadStart(ReadFrom.SeqNum(nextSeq)),
+              ReadEnd(ReadLimit(count = Some(1))))) match {
+            case Right(probe) if probe.isEmpty =>
+              nextSeq = tail.seqNum // nothing visible below tail: follow
+              poll()
+            case _ =>
+              // a visible record exists but limit/until denies it:
+              // allowed_count == 0 ⇒ session ends without a batch
+              // (read.rs:810+: bytes limit smaller than first record)
+              close("until_or_limit")
+          }
         case Right(records) =>
           nextSeq = records.last.seqNum + 1
           remCount -= records.size

@@ -90,6 +90,14 @@ class ProducerSpec extends AnyFunSuite with BeforeAndAfterAll {
     val over = Await.result(
       p.submit(env("z" * (2 * 1024 * 1024))), 30.seconds)
     assert(over == Left(p.ProducerError.Oversize(8L + 2 * 1024 * 1024)))
+    // a record under the batch cap but over the permit budget must
+    // fail fast, not block forever on an ungrantable permit
+    val p2 = new Producer(st, "test-basin", "p4", maxUnackedBytes = 1024 * 1024,
+      maxBatchBytes = 4L * 1024 * 1024, fencingToken = Some("owner"),
+      nowMs = Some(1000L))
+    val big = Await.result(p2.submit(env("w" * (2 * 1024 * 1024))), 30.seconds)
+    assert(big == Left(p2.ProducerError.Oversize(8L + 2 * 1024 * 1024)))
+    p2.close()
     val f1 = p.submit(env("a"))
     p.flush()
     val r1 = Await.result(f1, 30.seconds)

@@ -749,6 +749,60 @@ class StreamStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(new String(rec.body) == "top-secret")
   }
 
+  test("C6 auto-create failure is NOT admitted: invalid names never ack (data-loss guard)") {
+    val st = freshStore()
+    st.catalog.createBasin("auto-basin3",
+      BasinConfig(createStreamOnAppend = true, createStreamOnRead = true))
+    // ".." is an invalid stream name: auto-create fails, append must too
+    assert(st.append("auto-basin3", "..", AppendInput(Seq(env("x"))), Some(1000L))
+      == Left(AppendError.StreamNotFound))
+    assert(st.read("auto-basin3", "..",
+      ReadSpec(ReadStart(ReadFrom.SeqNum(0)))).isLeft)
+  }
+
+  test("ingest rejects deletion-pending streams instead of resurrecting them") {
+    val st = freshStore()
+    st.catalog.createBasin("auto-basin4",
+      BasinConfig(
+        defaultStreamConfig =
+          StreamConfig(retentionPolicy = Some(RetentionPolicy.Infinite)),
+        createStreamOnAppend = true))
+    st.catalog.createStream("auto-basin4", "dying")
+    st.append("auto-basin4", "dying", AppendInput(Seq(env("a"))), Some(1000L))
+    st.deleteStream("auto-basin4", "dying")
+    import spark.implicits._
+    val df = Seq(("auto-basin4", "dying", 0L)).toDF("basin", "stream", "arrival")
+      .selectExpr("basin", "stream", "CAST(NULL AS BIGINT) AS ts_client",
+        "CAST(NULL AS ARRAY<STRUCT<name: BINARY, value: BINARY>>) AS headers",
+        "CAST(stream AS BINARY) AS body", "arrival")
+    intercept[IllegalStateException] { st.ingest(df, Some(2000L)) }
+    // the soft-deleted catalog entry was not resurrected
+    assert(st.catalog.getStream("auto-basin4", "dying").isEmpty)
+  }
+
+  test("compact parks the old generation in _trash for a grace window") {
+    val st = freshStore()
+    st.catalog.createStream("test-basin", "gen")
+    (0 until 3).foreach(_ =>
+      appendOk(st, "gen", AppendInput(Seq(env("r")))))
+    st.append("test-basin", "gen", AppendInput(Seq(TrimCommand(2))), Some(1000000L))
+    st.compact("test-basin", "gen")
+    val trash = java.nio.file.Paths.get(s"${st.root}/_trash")
+    def trashEntries = {
+      val s0 = Files.list(trash)
+      try s0.iterator().asScala.size finally s0.close()
+    }
+    assert(Files.exists(trash) && trashEntries == 1) // old gen parked
+    // reads over the NEW generation are correct
+    val rows = st.readBatch("test-basin", "gen",
+      ReadSpec(ReadStart(ReadFrom.SeqNum(0)))).toOption.get
+    assert(rows.head.seqNum == 2)
+    // grace passed: sweep removes it
+    st.sweepTrash(graceMs = 1000,
+      nowMs = Some(System.currentTimeMillis() + 10 * 60 * 1000))
+    assert(trashEntries == 0)
+  }
+
   test("catalog load is cached: appends do not re-parse a large catalog (O(1)-ish ack path)") {
     val st = freshStore()
     (0 until 500).foreach(i => st.catalog.createStream("test-basin", f"bulk-$i%04d"))

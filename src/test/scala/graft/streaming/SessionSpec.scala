@@ -190,6 +190,46 @@ class SessionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s.poll().isInstanceOf[s.Event.Closed])
   }
 
+  test("A8: a THROWN append failure still poisons and completes futures (no hang)") {
+    val st = freshStore()
+    st.catalog.createStream("test-basin", "boom")
+    // make the data dir path un-creatable: a FILE where the dir must go
+    val dataDir = java.nio.file.Paths.get(
+      graft.log.Layout.dataDir(st.root, "test-basin", "boom"))
+    Files.createDirectories(dataDir.getParent)
+    Files.writeString(dataDir, "not a directory")
+    val sess = new AppendSession(st, "test-basin", "boom", Some(1000L))
+    val f1 = sess.submit(AppendInput(Seq(env("a"))))
+    val f2 = sess.submit(AppendInput(Seq(env("b"))))
+    val r1 = Await.result(f1, 30.seconds)
+    val r2 = Await.result(f2, 30.seconds)
+    assert(r1.isLeft) // completed with an error, not hung
+    assert(r2 == Left(sess.SessionError.SessionPoisoned))
+    sess.close()
+  }
+
+  test("R8: retention-masked prefix is skipped, not treated as a close") {
+    val st = freshStore()
+    st.catalog.createStream("test-basin", "ret",
+      StreamConfig(retentionPolicy = Some(RetentionPolicy.Age(60)))) // 60 s
+    // all records far older than the cutoff at poll time
+    st.append("test-basin", "ret", AppendInput(Seq(env("old1"), env("old2")),
+      clientTimestamps = Seq(Some(1000L), Some(1000L))), Some(1000L))
+    val clock = new VClock(1000000L) // cutoff = 940000 > 1000
+    val s = new ReadSession(st, "test-basin", "ret", 0L, ReadLimit(), None,
+      None, () => clock.now, () => 10L)
+    // old behavior closed with "until_or_limit"; correct behavior is to
+    // skip the expired prefix and enter follow mode at the tail
+    assert(s.poll().isInstanceOf[s.Event.Heartbeat])
+    // fresh (unexpired) data resumes delivery — retention visibility
+    // uses wall-clock, so the new record carries a current timestamp
+    val wallNow = System.currentTimeMillis()
+    st.append("test-basin", "ret", AppendInput(Seq(env("new")),
+      clientTimestamps = Seq(Some(wallNow))), Some(wallNow))
+    val b = s.poll().asInstanceOf[s.Event.Batch]
+    assert(b.records.map(_.seqNum) == Seq(2L))
+  }
+
   test("R8: trimmed range is skipped like a catch-up scan over missing keys") {
     val st = freshStore()
     st.catalog.createStream("test-basin", "t1")
