@@ -848,20 +848,33 @@ final class StreamStore(val spark: SparkSession, val root: String) {
   }
 
   /** Delete trashed compaction generations older than the grace
-    * window (also called by the Maintenance tick).
+    * window, plus staging/temp dirs orphaned by crashed drivers
+    * (also called by the Maintenance tick).
     */
   def sweepTrash(graceMs: Long = 10 * 60 * 1000L,
                  nowMs: Option[Long] = None): Unit = {
-    val trash = Paths.get(s"$root/_trash")
-    if (!Files.exists(trash)) return
     val cutoff = nowMs.getOrElse(System.currentTimeMillis()) - graceMs
-    val s = Files.list(trash)
-    try s.iterator().asScala.foreach { p =>
-      val name = p.getFileName.toString
-      val ts = name.substring(name.lastIndexOf('-') + 1)
-      if (ts.nonEmpty && ts.forall(_.isDigit) && ts.toLong < cutoff)
-        deleteRecursively(p)
-    } finally s.close()
+    val trash = Paths.get(s"$root/_trash")
+    if (Files.exists(trash)) {
+      val s = Files.list(trash)
+      try s.iterator().asScala.foreach { p =>
+        val name = p.getFileName.toString
+        val ts = name.substring(name.lastIndexOf('-') + 1)
+        if (ts.nonEmpty && ts.forall(_.isDigit) && ts.toLong < cutoff)
+          deleteRecursively(p)
+      } finally s.close()
+    }
+    // _stage (ingest staging) and _tmp (compact scratch) entries are
+    // deleted by their owners on success or abort; anything still
+    // here past the grace window belongs to a crashed driver
+    Seq(s"$root/_stage", s"$root/_tmp").map(Paths.get(_))
+      .filter(Files.exists(_)).foreach { d =>
+        val s = Files.list(d)
+        try s.iterator().asScala.foreach { p =>
+          val mtime = Files.getLastModifiedTime(p).toMillis
+          if (mtime < cutoff) deleteRecursively(p)
+        } finally s.close()
+      }
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =
