@@ -552,6 +552,12 @@ final class StreamStore(val spark: SparkSession, val root: String) {
     * then ONLY budget-overlapping files enter the plan — a bytes-limited
     * read from seq 0 of a 10 TB stream scans ~budget bytes, not 10 TB.
     * No window function anywhere in the plan.
+    *
+    * The final orderBy is a sort of the BOUNDED result (limited reads
+    * are ≤ budget by construction). For an unbounded ordered catch-up
+    * of a huge range, use the streaming source (Follow /
+    * GraftStreamSource): it delivers seq-ordered batches from the
+    * sorted, disjoint files directly — no sort, no shuffle.
     */
   def read(basin: String, stream: String, spec: ReadSpec,
            ignoreCommands: Boolean = false,
