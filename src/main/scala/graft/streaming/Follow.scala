@@ -37,13 +37,22 @@ object Follow {
     */
   def follow(store: StreamStore, basin: String, stream: String,
              fromSeq: Long = 0L,
-             ignoreCommands: Boolean = false): DataFrame = {
-    var df = store.spark.readStream.format("graft-stream")
+             ignoreCommands: Boolean = false,
+             maxRecordsPerTrigger: Option[Long] = None,
+             maxBytesPerTrigger: Option[Long] = None): DataFrame = {
+    var reader = store.spark.readStream.format("graft-stream")
       .option("root", store.root)
       .option("basin", basin)
       .option("stream", stream)
       .option("startSeq", fromSeq)
-      .load()
+    // admission control (the FOLLOWER_MAX_LAG analog,
+    // lite/src/backend/mod.rs:27): bound each micro-batch so a
+    // catch-up over a deep backlog drains as many bounded batches
+    maxRecordsPerTrigger.foreach(n =>
+      reader = reader.option("maxRecordsPerTrigger", n))
+    maxBytesPerTrigger.foreach(n =>
+      reader = reader.option("maxBytesPerTrigger", n))
+    var df = reader.load()
     if (ignoreCommands)
       df = df.where(!(size(col("headers")) === 1 &&
         octet_length(col("headers")(0)("name")) === 0))

@@ -13,12 +13,13 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.log.{FileIndex, Layout, StreamManifest}
+import graft.log.{Catalog, FileIndex, Layout, StreamManifest}
+import graft.model.{RetentionPolicy, StreamConfig}
 
 /** R8/R9 as a first-class connector: a DataSource V2 streaming source
   * whose OFFSETS ARE SEQ_NUMS (`cf. ReadSessionOutput`,
@@ -28,6 +29,24 @@ import graft.log.{FileIndex, Layout, StreamManifest}
   *   records (seq < tail) are ever offered, so a reader can never
   *   observe an uncommitted append (the reference's "ack follows
   *   durability" contract from the consumer side).
+  * - **Admission control**: the reference bounds in-flight work
+  *   everywhere — an append-bytes semaphore (streamer.rs:815-838) and a
+  *   bounded follower broadcast buffer (FOLLOWER_MAX_LAG = 25,
+  *   lite/src/backend/mod.rs:27). The Spark analog is
+  *   `SupportsAdmissionControl`: `maxRecordsPerTrigger` /
+  *   `maxBytesPerTrigger` options bound each micro-batch, so a follower
+  *   resuming from seq 0 of a 10 TB stream drains the backlog as many
+  *   bounded batches instead of one giant one. Records are exact
+  *   (seq_nums are dense, so rows in [a,b) = b−a); bytes consume cached
+  *   per-file metered sums at file granularity, always admitting at
+  *   least one file so the query can make progress.
+  * - **Visibility**: trimmed-but-not-yet-compacted and
+  *   retention-expired records are masked exactly like the batch read
+  *   path (`StreamStore.visible`) — the reference's catch-up scan can
+  *   never return trimmed keys because they are deleted from the LSM
+  *   (read.rs:112-131); here trim/retention are logical masks applied
+  *   at plan time (trim point from the manifest, age cutoff from the
+  *   merged stream config) and inside the partition reader.
   * - `planInputPartitions(start, end)` prunes data files by their
   *   parquet footer min/max seq_num stats (cached on the driver) — the
   *   SRD prefix-scan analog; a catch-up of [1000, 2000) opens only the
@@ -39,7 +58,10 @@ import graft.log.{FileIndex, Layout, StreamManifest}
   * {{{
   * spark.readStream.format("graft-stream")
   *   .option("root", store.root).option("basin", b).option("stream", s)
-  *   .option("startSeq", "0").load()
+  *   .option("startSeq", "0")
+  *   .option("maxRecordsPerTrigger", "10000")   // optional admission cap
+  *   .option("maxBytesPerTrigger", "16777216")  // optional, metered bytes
+  *   .load()
   * }}}
   */
 class GraftStreamSource extends TableProvider with DataSourceRegister {
@@ -73,11 +95,15 @@ final class GraftStreamTable(props: Map[String, String]) extends Table with Supp
 }
 
 final class GraftScan(props: Map[String, String]) extends Scan {
+  private def opt(name: String): Option[String] =
+    props.get(name.toLowerCase(java.util.Locale.ROOT)).orElse(props.get(name))
   override def readSchema(): StructType = GraftStreamSource.Schema
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftMicroBatchStream(
       props("root"), props("basin"), props("stream"),
-      props.getOrElse("startseq", props.getOrElse("startSeq", "0")).toLong)
+      opt("startSeq").getOrElse("0").toLong,
+      opt("maxRecordsPerTrigger").map(_.toLong),
+      opt("maxBytesPerTrigger").map(_.toLong))
 }
 
 /** Offset = the next seq_num to read (exclusive end of what was read). */
@@ -85,20 +111,95 @@ final case class GraftOffset(seq: Long) extends Offset {
   override def json(): String = s"""{"seq":$seq}"""
 }
 
-final case class GraftInputPartition(path: String, startSeq: Long, endSeq: Long)
+/** `lo` folds the plan-time trim point into the range start; `retCutoff`
+  * is the retention age cutoff (Long.MinValue when infinite) — both
+  * evaluated on the driver at plan time so every executor applies the
+  * same visibility mask the batch path would.
+  */
+final case class GraftInputPartition(path: String, lo: Long, endSeq: Long,
+                                     retCutoff: Long)
     extends InputPartition
 
 final class GraftMicroBatchStream(root: String, basin: String, stream: String,
-                                  startSeq: Long) extends MicroBatchStream {
+                                  startSeq: Long,
+                                  maxRecordsPerTrigger: Option[Long],
+                                  maxBytesPerTrigger: Option[Long])
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   private val dir = Layout.dataDir(root, basin, stream)
+  private lazy val catalog = new Catalog(root)
 
   private def manifest: StreamManifest =
     Layout.readJson[StreamManifest](Layout.statePath(root, basin, stream))
       .getOrElse(StreamManifest())
 
+  /** Wall-clock retention cutoff from the merged stream config (the
+    * same mask StreamStore.visible applies on the batch path). */
+  private def retentionCutoff(nowMs: Long): Long =
+    catalog.streamConfig(basin, stream)
+      .getOrElse(StreamConfig.SystemDefault).retentionOrDefault match {
+      case RetentionPolicy.Age(secs) => nowMs - secs * 1000
+      case RetentionPolicy.Infinite => Long.MinValue
+    }
+
   override def initialOffset(): Offset = GraftOffset(startSeq)
-  override def latestOffset(): Offset = GraftOffset(manifest.tailSeq)
+
+  override def getDefaultReadLimit: ReadLimit =
+    (maxRecordsPerTrigger, maxBytesPerTrigger) match {
+      case (Some(r), Some(b)) =>
+        ReadLimit.compositeLimit(Array(ReadLimit.maxRows(r), ReadLimit.maxBytes(b)))
+      case (Some(r), None) => ReadLimit.maxRows(r)
+      case (None, Some(b)) => ReadLimit.maxBytes(b)
+      case (None, None) => ReadLimit.allAvailable()
+    }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead of this method")
+
+  override def reportLatestOffset(): Offset = GraftOffset(manifest.tailSeq)
+
+  /** Bounded admission: seq_nums are dense, so a records cap is exact
+    * arithmetic; a bytes cap walks cached per-file metered sums in seq
+    * order (one projected scan per immutable file, ever) at file
+    * granularity, always admitting ≥ 1 file for progress.
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val m = manifest
+    val tail = m.tailSeq
+    val effStart = math.max(start.asInstanceOf[GraftOffset].seq, m.trimPoint)
+    if (effStart >= tail) return GraftOffset(tail)
+
+    def flatten(l: ReadLimit): Seq[ReadLimit] = l match {
+      case c: CompositeReadLimit => c.getReadLimits.toSeq.flatMap(flatten)
+      case other => Seq(other)
+    }
+    var end = tail
+    flatten(limit).foreach {
+      case r: ReadMaxRows =>
+        // dense seq_nums: rows in [effStart, e) = e - effStart exactly
+        val e = if (r.maxRows() >= tail - effStart) tail else effStart + r.maxRows()
+        end = math.min(end, e)
+      case b: ReadMaxBytes =>
+        var bytes = 0L
+        var byteEnd = effStart
+        var admitted = 0
+        var done = false
+        val it = FileIndex.listStats(dir).iterator
+          .filter(st => st.maxSeq >= effStart && st.minSeq < tail)
+        while (!done && it.hasNext) {
+          val st = it.next()
+          val fb = FileIndex.sums(st.path).metered
+          if (admitted > 0 && bytes + fb > b.maxBytes()) done = true
+          else { bytes += fb; admitted += 1; byteEnd = math.min(st.maxSeq + 1, tail) }
+        }
+        if (admitted > 0) end = math.min(end, byteEnd)
+      case _: ReadAllAvailable => // no bound
+      case _ => // unknown limit kinds admit everything available
+    }
+    GraftOffset(math.max(end, effStart))
+  }
+
   override def deserializeOffset(json: String): Offset =
     GraftOffset("""\d+""".r.findFirstIn(json).get.toLong)
   override def commit(end: Offset): Unit = ()
@@ -107,12 +208,19 @@ final class GraftMicroBatchStream(root: String, basin: String, stream: String,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GraftOffset].seq
     val e = end.asInstanceOf[GraftOffset].seq
-    if (e <= s) return Array.empty
+    val m = manifest
+    // visibility: the batch path (StreamStore.visible) masks trimmed and
+    // retention-expired rows; followers must agree (read.rs:112-131 —
+    // a catch-up can never see trimmed keys)
+    val lo = math.max(s, m.trimPoint)
+    val cutoff = retentionCutoff(System.currentTimeMillis())
+    if (e <= lo) return Array.empty
     // shared driver-side footer-stats cache (graft.log.FileIndex):
-    // catch-up ranges open only the files overlapping [s, e)
+    // catch-up ranges open only the files overlapping [lo, e) that can
+    // still hold unexpired rows
     FileIndex.listStats(dir)
-      .filter(st => st.maxSeq >= s && st.minSeq < e)
-      .map(st => GraftInputPartition(st.path, s, e))
+      .filter(st => st.maxSeq >= lo && st.minSeq < e && st.maxTs >= cutoff)
+      .map(st => GraftInputPartition(st.path, lo, e, cutoff))
       .toArray[InputPartition]
   }
 
@@ -126,7 +234,7 @@ final class GraftReaderFactory extends PartitionReaderFactory {
 }
 
 /** Executor-side reader: parquet-mr Group API -> InternalRow, filtered
-  * to the [startSeq, endSeq) offset range.
+  * to the [lo, endSeq) offset range and the plan-time retention cutoff.
   */
 final class GraftPartitionReader(part: GraftInputPartition)
     extends PartitionReader[InternalRow] {
@@ -141,7 +249,8 @@ final class GraftPartitionReader(part: GraftInputPartition)
     var g = reader.read()
     while (g != null) {
       val seq = g.getLong("seq_num", 0)
-      if (seq >= part.startSeq && seq < part.endSeq) {
+      val ts = g.getLong("timestamp", 0)
+      if (seq >= part.lo && seq < part.endSeq && ts >= part.retCutoff) {
         val headers =
           if (g.getFieldRepetitionCount("headers") == 0) null
           else {
@@ -159,7 +268,7 @@ final class GraftPartitionReader(part: GraftInputPartition)
         val body = if (g.getFieldRepetitionCount("body") > 0)
           g.getBinary("body", 0).getBytes else null
         current = new GenericInternalRow(Array[Any](
-          seq, g.getLong("timestamp", 0), headers, body,
+          seq, ts, headers, body,
           g.getLong("metered_size", 0)))
         return true
       }
