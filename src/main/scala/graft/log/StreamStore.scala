@@ -314,6 +314,31 @@ final class StreamStore(val spark: SparkSession, val root: String) {
     }
     val tails = keys.map { case (b, s) => (b, s) -> manifest(b, s) }.toMap
 
+    // A3 on the bulk path: resolve each stream's MERGED timestamping
+    // config (mode -> cap; the monotone clamp runs in pass 2) exactly
+    // like unary append does (streamer.rs:964-1008). The per-stream
+    // configs ride a broadcast join; ClientRequire rejects the batch
+    // when a client timestamp is missing (codegen'd raise_error — the
+    // job fails, nothing commits, mirroring the unary TimestampMissing).
+    val tsConfig = keys.toSeq.map { case (b, s) =>
+      val t = catalog.streamConfig(b, s).getOrElse(StreamConfig.SystemDefault)
+        .timestampingOrDefault
+      (b, s, t.mode match {
+        case TimestampingMode.ClientPrefer => "client-prefer"
+        case TimestampingMode.ClientRequire => "client-require"
+        case TimestampingMode.Arrival => "arrival"
+      }, t.uncapped)
+    }
+    val tsConfigDf = spark.createDataFrame(tsConfig)
+      .toDF("basin", "stream", "ts_mode", "ts_uncapped")
+    val tsPicked = when(col("ts_mode") === "arrival", lit(now))
+      .when(col("ts_mode") === "client-require",
+        when(col("ts_client").isNull, raise_error(concat(
+          lit("TimestampMissing: "), col("basin"), lit("/"), col("stream")))
+          .cast(LongType))
+          .otherwise(col("ts_client")))
+      .otherwise(coalesce(col("ts_client"), lit(now)))
+
     // Distributed per-stream sequencing WITHOUT a one-reducer-per-stream
     // window: range-partition each stream's rows by arrival so one huge
     // stream spreads over many partitions in arrival order, then
@@ -324,7 +349,9 @@ final class StreamStore(val spark: SparkSession, val root: String) {
     // one-actor-per-stream bound does not apply because assignment is
     // deterministic given (arrival order, tail state).
     val prepared = df
-      .withColumn("ts_raw", least(coalesce(col("ts_client"), lit(now)), lit(now)))
+      .join(broadcast(tsConfigDf), Seq("basin", "stream"))
+      .withColumn("ts_raw",
+        when(col("ts_uncapped"), tsPicked).otherwise(least(tsPicked, lit(now))))
       .repartitionByRange(col("basin"), col("stream"), col("arrival"))
       .sortWithinPartitions("basin", "stream", "arrival")
       .select("basin", "stream", "arrival", "ts_raw", "headers", "body")

@@ -489,6 +489,60 @@ object EngineDemos {
            text.contains("# TYPE s2_append_batch_bytes histogram")).toString)
     },
 
+    // A3 on the bulk path — ingest honors each stream's merged
+    // timestamping config (mode -> cap -> monotone), exactly like unary
+    // append (streamer.rs:964-1008); ClientRequire with a missing
+    // client timestamp rejects the batch and commits nothing.
+    demo("e2e_ingest_ts_modes", Seq(
+      "prefer" -> "0@500,1@1000,2@1000",
+      "arrival" -> "0@1000",
+      "uncapped" -> "0@5000",
+      "require_ok" -> "0@700",
+      "require_missing" -> "TimestampMissing",
+      "tails_after_reject" -> "prefer=3,arrival=1,uncapped=1,require=1")) { (sp, st) =>
+      import sp.implicits._
+      st.catalog.createStream("demo-basin1", "prefer")
+      st.catalog.createStream("demo-basin1", "arrival", StreamConfig(
+        timestamping = Some(Timestamping(TimestampingMode.Arrival))))
+      st.catalog.createStream("demo-basin1", "uncapped", StreamConfig(
+        timestamping = Some(Timestamping(TimestampingMode.ClientPrefer, uncapped = true))))
+      st.catalog.createStream("demo-basin1", "require", StreamConfig(
+        timestamping = Some(Timestamping(TimestampingMode.ClientRequire))))
+      def ingestDf(rows: Seq[(String, Option[Long], Long)]) =
+        rows.toDF("stream", "ts_client", "arrival")
+          .select(org.apache.spark.sql.functions.lit("demo-basin1").as("basin"),
+            org.apache.spark.sql.functions.col("stream"),
+            org.apache.spark.sql.functions.col("ts_client"),
+            org.apache.spark.sql.functions
+              .expr("CAST(NULL AS ARRAY<STRUCT<name: BINARY, value: BINARY>>)").as("headers"),
+            org.apache.spark.sql.functions.lit("x".getBytes).as("body"),
+            org.apache.spark.sql.functions.col("arrival"))
+      st.ingest(ingestDf(Seq(
+        ("prefer", Some(500L), 1L), ("prefer", None, 2L), ("prefer", Some(5000L), 3L),
+        ("arrival", Some(500L), 1L),
+        ("uncapped", Some(5000L), 1L),
+        ("require", Some(700L), 1L))), nowMs = Some(1000L))
+      def readBack(stream: String): String =
+        st.readBatch("demo-basin1", stream, ReadSpec(ReadStart(ReadFrom.SeqNum(0))))
+          .toOption.get.map(r => s"${r.seqNum}@${r.timestamp}").mkString(",")
+      val rejected = scala.util.Try(
+        st.ingest(ingestDf(Seq(("require", None, 1L))), nowMs = Some(1000L))) match {
+        case scala.util.Failure(t) =>
+          val msgs = Iterator.iterate[Throwable](t)(_.getCause).takeWhile(_ != null)
+            .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+          if (msgs.contains("TimestampMissing")) "TimestampMissing" else msgs.take(80)
+        case scala.util.Success(_) => "accepted"
+      }
+      Seq(
+        "prefer" -> readBack("prefer"),
+        "arrival" -> readBack("arrival"),
+        "uncapped" -> readBack("uncapped"),
+        "require_ok" -> readBack("require"),
+        "require_missing" -> rejected,
+        "tails_after_reject" -> Seq("prefer", "arrival", "uncapped", "require")
+          .map(s2 => s"$s2=${st.checkTail("demo-basin1", s2).seqNum}").mkString(","))
+    },
+
     // C7 — access-token scope authorization matrix
     demo("e2e_c7_access", Seq(
       "read_op_in_scope" -> "true",

@@ -339,6 +339,42 @@ class StreamStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.timestamp).sliding(2).forall(p => p.head <= p.last))
   }
 
+  test("ingest honors per-stream timestamping config (A3 bulk path, streamer.rs:1121-1299)") {
+    val st = freshStore()
+    st.catalog.createStream("test-basin", "ts-prefer")
+    st.catalog.createStream("test-basin", "ts-arrival", StreamConfig(
+      timestamping = Some(Timestamping(TimestampingMode.Arrival))))
+    st.catalog.createStream("test-basin", "ts-uncapped", StreamConfig(
+      timestamping = Some(Timestamping(TimestampingMode.ClientPrefer, uncapped = true))))
+    st.catalog.createStream("test-basin", "ts-require", StreamConfig(
+      timestamping = Some(Timestamping(TimestampingMode.ClientRequire))))
+    import spark.implicits._
+    def mk(rows: Seq[(String, Option[Long], Long)]) =
+      rows.map { case (s, ts, a) => ("test-basin", s, ts, a) }
+        .toDF("basin", "stream", "ts_client", "arrival")
+        .withColumn("headers", org.apache.spark.sql.functions.expr(
+          "CAST(NULL AS ARRAY<STRUCT<name: BINARY, value: BINARY>>)"))
+        .withColumn("body", org.apache.spark.sql.functions.expr("CAST('x' AS BINARY)"))
+    st.ingest(mk(Seq(
+      ("ts-prefer", Some(500L), 0L), ("ts-prefer", None, 1L), ("ts-prefer", Some(9999L), 2L),
+      ("ts-arrival", Some(500L), 0L),
+      ("ts-uncapped", Some(9999L), 0L),
+      ("ts-require", Some(700L), 0L))), Some(1000L))
+    def ts(s: String) = st.readBatch("test-basin", s,
+      ReadSpec(ReadStart(ReadFrom.SeqNum(0)))).toOption.get.map(_.timestamp)
+    assert(ts("ts-prefer") == Seq(500L, 1000L, 1000L)) // client; now-fallback; capped+monotone
+    assert(ts("ts-arrival") == Seq(1000L))             // client clock ignored
+    assert(ts("ts-uncapped") == Seq(9999L))            // future timestamp kept
+    assert(ts("ts-require") == Seq(700L))
+    // ClientRequire with a missing timestamp rejects the batch; nothing commits
+    val thrown = intercept[Exception](
+      st.ingest(mk(Seq(("ts-require", None, 0L))), Some(1000L)))
+    val chain = Iterator.iterate[Throwable](thrown)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString("|")
+    assert(chain.contains("TimestampMissing"))
+    assert(st.checkTail("test-basin", "ts-require").seqNum == 1)
+  }
+
   test("encryption round-trip: AES-GCM bodies, plaintext metering (A13)") {
     val st = freshStore()
     st.catalog.createStream("test-basin", "enc")

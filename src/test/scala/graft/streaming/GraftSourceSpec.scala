@@ -84,4 +84,110 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     st.append("test-basin", "s", AppendInput(Seq(env("c"))), Some(2000L))
     assert(run() == Seq(0L, 1L, 2L)) // sink accumulates; no duplicates
   }
+
+  test("admission control: maxRecordsPerTrigger bounds each micro-batch") {
+    val dir = Files.createTempDirectory("graft-src3").toString
+    val st = new StreamStore(spark, dir)
+    st.catalog.createBasin("test-basin",
+      BasinConfig(defaultStreamConfig =
+        StreamConfig(retentionPolicy = Some(RetentionPolicy.Infinite))))
+    st.catalog.createStream("test-basin", "s")
+    // a 12-record backlog across several files; a resume-from-0 follower
+    // must drain it as several bounded batches, not one
+    (0 until 4).foreach(i => st.append("test-basin", "s",
+      AppendInput(Seq(env(s"a$i"), env(s"b$i"), env(s"c$i"))), Some(1000L + i)))
+
+    val q = spark.readStream.format("graft-stream")
+      .option("root", dir).option("basin", "test-basin").option("stream", "s")
+      .option("maxRecordsPerTrigger", "5")
+      .load()
+      .writeStream.format("memory").queryName("gsrc_adm")
+      .option("checkpointLocation", s"$dir/_ckpt")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM gsrc_adm").first().getLong(0) == 12L)
+      val batches = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+      assert(batches.length >= 3, s"expected >= 3 bounded batches, got ${batches.toSeq}")
+      assert(batches.forall(_ <= 5), s"batch exceeded cap: ${batches.toSeq}")
+    } finally q.stop()
+  }
+
+  test("admission control: maxBytesPerTrigger admits whole files up to the budget") {
+    val dir = Files.createTempDirectory("graft-src4").toString
+    val st = new StreamStore(spark, dir)
+    st.catalog.createBasin("test-basin",
+      BasinConfig(defaultStreamConfig =
+        StreamConfig(retentionPolicy = Some(RetentionPolicy.Infinite))))
+    st.catalog.createStream("test-basin", "s")
+    (0 until 3).foreach(i => st.append("test-basin", "s",
+      AppendInput(Seq(env(s"x$i"), env(s"y$i"))), Some(1000L + i)))
+
+    val q = spark.readStream.format("graft-stream")
+      .option("root", dir).option("basin", "test-basin").option("stream", "s")
+      .option("maxBytesPerTrigger", "1") // below one file: still admits 1 file/batch
+      .load()
+      .writeStream.format("memory").queryName("gsrc_bytes")
+      .option("checkpointLocation", s"$dir/_ckpt")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM gsrc_bytes").first().getLong(0) == 6L)
+      val batches = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+      assert(batches.length == 3, s"expected one file per batch, got ${batches.toSeq}")
+    } finally q.stop()
+  }
+
+  test("visibility: follow-from-0 delivers nothing below the trim point") {
+    val dir = Files.createTempDirectory("graft-src5").toString
+    val st = new StreamStore(spark, dir)
+    st.catalog.createBasin("test-basin",
+      BasinConfig(defaultStreamConfig =
+        StreamConfig(retentionPolicy = Some(RetentionPolicy.Infinite))))
+    st.catalog.createStream("test-basin", "s")
+    st.append("test-basin", "s",
+      AppendInput(Seq(env("a"), env("b"), env("c"), env("d"), env("e"))), Some(1000L))
+    // trim the prefix [0, 3); the files are NOT compacted yet — the
+    // streaming path must still mask them like the batch path does
+    st.append("test-basin", "s", AppendInput(Seq(TrimCommand(3L))), Some(2000L))
+    assert(st.manifest("test-basin", "s").trimPoint == 3L)
+
+    val q = spark.readStream.format("graft-stream")
+      .option("root", dir).option("basin", "test-basin").option("stream", "s")
+      .option("startSeq", "0")
+      .load()
+      .writeStream.format("memory").queryName("gsrc_trim")
+      .option("checkpointLocation", s"$dir/_ckpt")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val seqs = spark.sql("SELECT seq_num FROM gsrc_trim ORDER BY seq_num")
+        .collect().map(_.getLong(0)).toSeq
+      assert(seqs == Seq(3L, 4L, 5L)) // 5 = the trim command record itself
+    } finally q.stop()
+  }
+
+  test("visibility: retention-expired records are masked from followers") {
+    val dir = Files.createTempDirectory("graft-src6").toString
+    val st = new StreamStore(spark, dir)
+    st.catalog.createBasin("test-basin")
+    st.catalog.createStream("test-basin", "s",
+      StreamConfig(retentionPolicy = Some(RetentionPolicy.Age(3600))))
+    // two records stamped far in the past (expired), two fresh
+    st.append("test-basin", "s", AppendInput(Seq(env("old1"), env("old2"))), Some(1000L))
+    st.append("test-basin", "s", AppendInput(Seq(env("new1"), env("new2"))))
+
+    val q = spark.readStream.format("graft-stream")
+      .option("root", dir).option("basin", "test-basin").option("stream", "s")
+      .load()
+      .writeStream.format("memory").queryName("gsrc_ret")
+      .option("checkpointLocation", s"$dir/_ckpt")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val seqs = spark.sql("SELECT seq_num FROM gsrc_ret ORDER BY seq_num")
+        .collect().map(_.getLong(0)).toSeq
+      assert(seqs == Seq(2L, 3L))
+    } finally q.stop()
+  }
 }
