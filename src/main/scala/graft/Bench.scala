@@ -70,13 +70,55 @@ object Bench {
     }
     val appendMibps = totalBytes / 1048576.0 / ingestSec
 
-    // catch-up read: full ordered scan back through the store
-    val tRead0 = System.nanoTime()
+    // Catch-up reads carry the reference bench's integrity oracle
+    // (cli/src/bench.rs:389-394): an md5 CHAIN over bodies per stream,
+    // folded during an ordered per-partition consume, compared against
+    // the chain of the source data in arrival order. A mismatch (or an
+    // out-of-order delivery) flips `read_verified` — the read MiB/s is
+    // measured on this verified ordered pass, so optimizer sort
+    // elimination can't silently turn it into an unsorted-scan number.
+    import spark.implicits._
+    def streamChains(df: org.apache.spark.sql.DataFrame, orderCol: String)
+        : Map[String, (String, Long, Long, Boolean)] =
+      df.select(col("stream").cast("string").as("s"),
+          col(orderCol).cast("long").as("ord"), col("body"))
+        .repartition(col("s"))
+        .sortWithinPartitions("s", "ord")
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val acc = scala.collection.mutable.LinkedHashMap
+            .empty[String, (Array[Byte], Long, Long, Long, Boolean)]
+          it.foreach { r =>
+            val s = r.getString(0)
+            val ord = r.getLong(1)
+            val b = r.getAs[Array[Byte]](2)
+            val (c0, n, bytes, last, ok) =
+              acc.getOrElse(s, (Array.emptyByteArray, 0L, 0L, Long.MinValue, true))
+            md.reset(); md.update(c0); if (b != null) md.update(b)
+            acc(s) = (md.digest(), n + 1, bytes + b.length, ord, ok && ord > last)
+          }
+          acc.iterator.map { case (s, (c, n, bytes, _, ok)) =>
+            (s, c.map(x => f"$x%02x").mkString, n, bytes, ok) }
+        }
+        .collect().map { case (s, c, n, bytes, ok) => s -> ((c, n, bytes, ok)) }.toMap
+
+    // raw unordered scan throughput (no ordering claim), then the
+    // ordered, chain-verified catch-up that backs read_mibps
+    val tScan0 = System.nanoTime()
     val readBytes = spark.read.parquet(s"$root/data")
-      .sortWithinPartitions("stream", "seq_num")
       .agg(sum("metered_size")).first().getLong(0)
+    val scanMibps = readBytes / 1048576.0 / ((System.nanoTime() - tScan0) / 1e9)
+    val tRead0 = System.nanoTime()
+    val gotEvents = streamChains(spark.read.parquet(s"$root/data"), "seq_num")
     val readSec = (System.nanoTime() - tRead0) / 1e9
     val readMibps = readBytes / 1048576.0 / readSec
+    val eventsVerified = {
+      val exp = streamChains(ingestDf, "arrival")
+      exp.keySet == gotEvents.keySet && exp.forall { case (s, (c, n, _, _)) =>
+        val (gc, gn, _, gok) = gotEvents(s)
+        gok && gc == c && gn == n
+      }
+    }
 
     // s2-bench-style 1 KiB workload (cli/src/bench.rs generates record
     // bodies; MiB/s on the events table's 16-byte props is record-size
@@ -102,11 +144,18 @@ object Bench {
     val bigBytes = spark.read.parquet(s"$root2/data")
       .agg(sum("metered_size")).first().getLong(0)
     val append1kMibps = bigBytes / 1048576.0 / bigSec
+
+    // 1 KiB catch-up: same chain-verified ordered consume
+    val expected = streamChains(bigDf, "arrival")
     val tBigR0 = System.nanoTime()
-    spark.read.parquet(s"$root2/data")
-      .sortWithinPartitions("stream", "seq_num")
-      .agg(sum("metered_size"), count(lit(1))).first()
-    val read1kMibps = bigBytes / 1048576.0 / ((System.nanoTime() - tBigR0) / 1e9)
+    val got = streamChains(spark.read.parquet(s"$root2/data"), "seq_num")
+    val read1kSec = (System.nanoTime() - tBigR0) / 1e9
+    val read1kMibps = bigBytes / 1048576.0 / read1kSec
+    val readVerified = eventsVerified && expected.keySet == got.keySet &&
+      expected.forall { case (s, (c, n, _, _)) =>
+        val (gc, gn, _, gok) = got(s)
+        gok && gc == c && gn == n
+      }
 
     // unary append ack latency (small batches through the full A1-A7
     // path: validate -> fence/CAS -> assign -> parquet file -> manifest)
@@ -127,7 +176,7 @@ object Bench {
       .map(k => "\"" + k + f"\":${ack(k)}%.1f").mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","append_mibps":$appendMibps%.3f,"read_mibps":$readMibps%.3f,"append_records_per_sec":${totalRecords / ingestSec}%.0f,"avg_record_bytes":${totalBytes / math.max(totalRecords, 1)},"ingest_sec":$ingestSec%.3f,"append_1kib_mibps":$append1kMibps%.3f,"read_1kib_mibps":$read1kMibps%.3f,"ack_latency_ms":$ackJson}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","append_mibps":$appendMibps%.3f,"read_mibps":$readMibps%.3f,"append_records_per_sec":${totalRecords / ingestSec}%.0f,"avg_record_bytes":${totalBytes / math.max(totalRecords, 1)},"ingest_sec":$ingestSec%.3f,"append_1kib_mibps":$append1kMibps%.3f,"read_1kib_mibps":$read1kMibps%.3f,"read_scan_mibps":$scanMibps%.3f,"read_verified":$readVerified,"ack_latency_ms":$ackJson}""")
     spark.stop()
   }
 }

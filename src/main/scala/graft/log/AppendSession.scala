@@ -19,10 +19,34 @@ import graft.model._
   *    later submit fails with `SessionPoisoned` instead of being
   *    applied, so an observer can never see an ack reorder past a failure —
   *    acks for batches submitted before the failure still complete.
+  *
+  * Transient failures retry IN PLACE with capped exponential backoff
+  * before the session poisons (the reference SDK's retry policy,
+  * sdk/src/retry.rs): a thrown CAS conflict (a competing writer racing
+  * the manifest commit) or IO hiccup is retried up to `maxRetries`
+  * times; deterministic rejections (SeqNumMismatch, fencing, caps…)
+  * never retry — they would fail identically. Retrying on the single
+  * drain thread keeps the ordered-ack contract intact.
   */
 final class AppendSession(store: StreamStore, basin: String, stream: String,
                           nowMs: Option[Long] = None,
-                          cipher: Option[Array[Byte]] = None) {
+                          cipher: Option[Array[Byte]] = None,
+                          maxRetries: Int = 3,
+                          retryBackoffMs: Long = 10) {
+
+  /** The append op the drain loop applies — injectable so specs can
+    * exercise the retry matrix with scripted failures. */
+  @volatile private[log] var appendOp: AppendInput => Either[AppendError, AppendAck] =
+    in => store.append(basin, stream, in, nowMs, cipher)
+
+  /** Transient = worth retrying: manifest-CAS races from competing
+    * writers and IO hiccups. Everything else is deterministic. */
+  private def retryable(t: Throwable): Boolean = t match {
+    case _: java.util.ConcurrentModificationException => true
+    case _: java.io.IOException => true
+    case _: java.io.UncheckedIOException => true
+    case _ => false
+  }
 
   sealed trait SessionError
   object SessionError {
@@ -73,13 +97,20 @@ final class AppendSession(store: StreamStore, basin: String, stream: String,
           else {
             // a THROWN failure (CAS conflict, IO error) must poison and
             // complete the promise too — a dead worker with hanging
-            // futures would deadlock Producer permits forever
-            val res =
-              try store.append(basin, stream, next.input, nowMs, cipher)
+            // futures would deadlock Producer permits forever; transient
+            // throws retry with capped backoff first (retry.rs)
+            var attempt = 0
+            var res: Either[AppendError, AppendAck] = null
+            while (res == null) {
+              try res = appendOp(next.input)
               catch {
+                case e: Throwable if attempt < maxRetries && retryable(e) =>
+                  attempt += 1
+                  Thread.sleep(math.min(retryBackoffMs << (attempt - 1), 1000L))
                 case e: Throwable =>
-                  Left(AppendError.InvalidBatch(s"append threw: ${e.getMessage}"))
+                  res = Left(AppendError.InvalidBatch(s"append threw: ${e.getMessage}"))
               }
+            }
             res match {
               case Right(ack) => next.p.success(Right(ack))
               case Left(e) =>

@@ -77,6 +77,16 @@ object ConfigCodec {
     },
     deleteOnEmpty = m.get("delete_on_empty_min_age_secs")
       .map(s => DeleteOnEmpty(s.toLong)))
+
+  def encodeBasin(c: BasinConfig): Map[String, String] =
+    encode(c.defaultStreamConfig) ++
+      Map("create_stream_on_append" -> c.createStreamOnAppend.toString,
+          "create_stream_on_read" -> c.createStreamOnRead.toString)
+
+  def decodeBasin(m: Map[String, String]): BasinConfig = BasinConfig(
+    decode(m),
+    m.get("create_stream_on_append").exists(_.toBoolean),
+    m.get("create_stream_on_read").exists(_.toBoolean))
 }
 
 /** Control-plane catalog (SURVEY §2.4, C1-C6): basins and streams with
@@ -131,9 +141,7 @@ final class Catalog(root: String) {
       if (!Caps.validBasinName(name)) Left(s"invalid basin name: $name")
       else {
         val st = load()
-        val enc = ConfigCodec.encode(config.defaultStreamConfig) ++
-          Map("create_stream_on_append" -> config.createStreamOnAppend.toString,
-              "create_stream_on_read" -> config.createStreamOnRead.toString)
+        val enc = ConfigCodec.encodeBasin(config)
         val key = requestToken.map(idemKey(_, enc))
         st.basins.find(b => b.name == name && b.deletedAt.isEmpty) match {
           case Some(existing) if key.isDefined && existing.idempotencyKey == key =>
@@ -151,12 +159,48 @@ final class Catalog(root: String) {
     load().basins.find(b => b.name == name && b.deletedAt.isEmpty)
 
   def basinConfig(name: String): BasinConfig =
-    getBasin(name).map { e =>
-      BasinConfig(
-        ConfigCodec.decode(e.config),
-        e.config.get("create_stream_on_append").exists(_.toBoolean),
-        e.config.get("create_stream_on_read").exists(_.toBoolean))
-    }.getOrElse(BasinConfig())
+    getBasin(name).map(e => ConfigCodec.decodeBasin(e.config))
+      .getOrElse(BasinConfig())
+
+  /** Basin-level C3: create-or-update to the given config (PUT). */
+  def ensureBasin(name: String, config: BasinConfig): Either[String, EnsureOutcome] =
+    lock.synchronized {
+      if (!Caps.validBasinName(name)) Left(s"invalid basin name: $name")
+      else {
+        val st = load()
+        val enc = ConfigCodec.encodeBasin(config)
+        st.basins.find(b => b.name == name && b.deletedAt.isEmpty) match {
+          case Some(e) if e.config == enc => Right(EnsureOutcome.Noop)
+          case Some(e) =>
+            save(st.copy(basins = st.basins.map(x =>
+              if (x eq e) x.copy(config = enc) else x)))
+            Right(EnsureOutcome.Updated)
+          case None =>
+            save(st.copy(basins = st.basins :+ BasinEntry(name, enc, now())))
+            Right(EnsureOutcome.Created)
+        }
+      }
+    }
+
+  /** Basin-level C4: PATCH a live basin's config — the reference's
+    * reconfigure_basin (lite/src/handlers/v1/basins.rs:264-274,
+    * backend basins.rs:161-180); this is how create_stream_on_append
+    * gets flipped without delete+recreate. Already-created streams are
+    * unaffected; new defaults apply to later (auto-)creates.
+    */
+  def reconfigureBasin(name: String,
+                       patch: BasinConfigPatch): Either[String, BasinConfig] =
+    lock.synchronized {
+      val st = load()
+      st.basins.find(b => b.name == name && b.deletedAt.isEmpty) match {
+        case None => Left("BasinNotFound")
+        case Some(e) =>
+          val updated = patch.applyTo(ConfigCodec.decodeBasin(e.config))
+          save(st.copy(basins = st.basins.map(x =>
+            if (x eq e) x.copy(config = ConfigCodec.encodeBasin(updated)) else x)))
+          Right(updated)
+      }
+    }
 
   // ---- streams ----
 

@@ -33,7 +33,9 @@ final class Producer(store: StreamStore, basin: String, stream: String,
                      maxBatchBytes: Long = Caps.MaxBatchMeteredBytes,
                      fencingToken: Option[String] = None,
                      initialMatchSeqNum: Option[Long] = None,
-                     nowMs: Option[Long] = None) {
+                     nowMs: Option[Long] = None,
+                     maxRetries: Int = 3,
+                     retryBackoffMs: Long = 10) {
 
   require(maxUnackedBytes >= 1024 * 1024,
     "max_unacked_bytes must be at least 1 MiB") // producer.rs:92-95
@@ -47,7 +49,11 @@ final class Producer(store: StreamStore, basin: String, stream: String,
   }
 
   private implicit val ec: ExecutionContext = ExecutionContext.global
-  private val session = new AppendSession(store, basin, stream, nowMs)
+  // retries happen inside the session (ordered, sdk/src/retry.rs);
+  // only a retry-exhausted or non-retryable failure poisons
+  private[log] val session =
+    new AppendSession(store, basin, stream, nowMs,
+      maxRetries = maxRetries, retryBackoffMs = retryBackoffMs)
   private val lock = new Object
   private var staged =
     Vector.empty[(Record, Promise[Either[ProducerError, IndexedAppendAck]])]

@@ -646,7 +646,10 @@ final class StreamStore(val spark: SparkSession, val root: String) {
         RecordCipher.decryptColumn(col("body"), key, basin, stream))
     }
     var out = df.orderBy("seq_num")
-    spec.end.limit.count.foreach(c => out = out.limit(c.toInt))
+    // the budget walk above already bounds rows; clamp so a count above
+    // 2^31 can't overflow into a negative limit
+    spec.end.limit.count.foreach(c =>
+      out = out.limit(math.min(c, Int.MaxValue.toLong).toInt))
     Right(out)
   }
 
@@ -818,18 +821,31 @@ final class StreamStore(val spark: SparkSession, val root: String) {
     */
   def deleteOnEmptySweep(basin: String, nowMs: Option[Long] = None): Seq[String] = {
     val now = nowMs.getOrElse(System.currentTimeMillis())
-    catalog.listStreams(basin).items.flatMap { s =>
-      val doe = catalog.streamConfig(basin, s.name)
-        .getOrElse(StreamConfig.SystemDefault).deleteOnEmptyOrDefault
-      if (doe.minAgeSeconds <= 0) None
-      else {
-        val m = manifest(basin, s.name)
-        val idle = now - m.tailTs >= doe.minAgeSeconds * 1000
-        lazy val empty = visible(basin, s.name, Some(now)).isEmpty
-        if (idle && empty) { deleteStream(basin, s.name); Some(s.name) }
-        else None
+    // paged like the reference's DoE background task (bgtasks/
+    // stream_doe.rs) — a basin past MaxListItems streams sweeps fully
+    val swept = Seq.newBuilder[String]
+    var after = ""
+    var more = true
+    while (more) {
+      val page = catalog.listStreams(basin, startAfter = after)
+      page.items.foreach { s =>
+        val doe = catalog.streamConfig(basin, s.name)
+          .getOrElse(StreamConfig.SystemDefault).deleteOnEmptyOrDefault
+        if (doe.minAgeSeconds > 0) {
+          val m = manifest(basin, s.name)
+          val idle = now - m.tailTs >= doe.minAgeSeconds * 1000
+          // fully-trimmed or never-written streams are empty without a
+          // Spark job — a 10k-stream sweep mostly stays on the driver
+          lazy val empty = m.tailSeq <= m.trimPoint ||
+            !Files.exists(Paths.get(Layout.dataDir(root, basin, s.name))) ||
+            visible(basin, s.name, Some(now)).isEmpty
+          if (idle && empty) { deleteStream(basin, s.name); swept += s.name }
+        }
       }
+      more = page.hasMore
+      page.items.lastOption.foreach(s => after = s.name)
     }
+    swept.result()
   }
 
   /** All live records of a basin in ONE scan: partition-discovered

@@ -252,6 +252,21 @@ final case class BasinConfig(
     createStreamOnAppend: Boolean = false,
     createStreamOnRead: Boolean = false)
 
+/** PATCH-style basin reconfigure — how `create_stream_on_append` gets
+  * flipped on a live basin (lite/src/handlers/v1/basins.rs:264-274,
+  * backend basins.rs:161-180). The stream-default sub-config reuses the
+  * C4 tri-state patch; Clear on a flag restores its default (false).
+  */
+final case class BasinConfigPatch(
+    defaultStreamConfig: StreamConfigPatch = StreamConfigPatch(),
+    createStreamOnAppend: Patch[Boolean] = Patch.Keep,
+    createStreamOnRead: Patch[Boolean] = Patch.Keep) {
+  def applyTo(c: BasinConfig): BasinConfig = BasinConfig(
+    defaultStreamConfig.applyTo(c.defaultStreamConfig),
+    Patch(createStreamOnAppend, Some(c.createStreamOnAppend)).getOrElse(false),
+    Patch(createStreamOnRead, Some(c.createStreamOnRead)).getOrElse(false))
+}
+
 // ---------------------------------------------------------------------------
 // Read model. Ref: common/src/stream.rs:309-340, common/src/read_extent.rs.
 // ---------------------------------------------------------------------------

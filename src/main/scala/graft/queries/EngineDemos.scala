@@ -489,6 +489,55 @@ object EngineDemos {
            text.contains("# TYPE s2_append_batch_bytes histogram")).toString)
     },
 
+    // C4 at basin level — PATCH a live basin (basins.rs:161-180): flips
+    // create_stream_on_append without delete+recreate; auto-created
+    // streams observe the patched defaults; Clear restores the default
+    demo("e2e_basin_reconfigure", Seq(
+      "before_patch_append" -> "StreamNotFound",
+      "patch_applies" -> "auto_on,Arrival",
+      "after_patch_append" -> "ok",
+      "auto_created_ts_is_arrival" -> "1000",
+      "clear_restores_default" -> "auto_off",
+      "ensure_basin" -> "Created,Noop,Updated")) { (_, st) =>
+      st.catalog.createBasin("demo-basin6").fold(e => sys.error(e), identity)
+      val before = st.append("demo-basin6", "auto",
+        AppendInput(Seq(rec("a")), clientTimestamps = Seq(Some(500L))), Some(1000)) match {
+        case Left(e) => e.toString
+        case Right(_) => "ok"
+      }
+      val patched = st.catalog.reconfigureBasin("demo-basin6", BasinConfigPatch(
+        defaultStreamConfig = StreamConfigPatch(
+          timestamping = Patch.Set(Timestamping(TimestampingMode.Arrival)),
+          retentionPolicy = Patch.Set(RetentionPolicy.Infinite)),
+        createStreamOnAppend = Patch.Set(true))).toOption.get
+      val after = st.append("demo-basin6", "auto",
+        AppendInput(Seq(rec("a")), clientTimestamps = Seq(Some(500L))), Some(1000)) match {
+        case Left(e) => e.toString
+        case Right(_) => "ok"
+      }
+      val ts = st.readBatch("demo-basin6", "auto",
+        ReadSpec(ReadStart(ReadFrom.SeqNum(0)))).toOption.get.head.timestamp
+      st.catalog.reconfigureBasin("demo-basin6",
+        BasinConfigPatch(createStreamOnAppend = Patch.Clear))
+      val cleared = st.catalog.basinConfig("demo-basin6").createStreamOnAppend
+      val ensures = Seq(
+        st.catalog.ensureBasin("demo-basin7",
+          BasinConfig(createStreamOnRead = true)),
+        st.catalog.ensureBasin("demo-basin7",
+          BasinConfig(createStreamOnRead = true)),
+        st.catalog.ensureBasin("demo-basin7",
+          BasinConfig(createStreamOnRead = false)))
+        .map(_.toOption.get.toString.replaceAll(".*\\$", "")).mkString(",")
+      Seq(
+        "before_patch_append" -> before,
+        "patch_applies" -> (s"${if (patched.createStreamOnAppend) "auto_on" else "auto_off"}," +
+          patched.defaultStreamConfig.timestampingOrDefault.mode.toString.replaceAll(".*\\$", "")),
+        "after_patch_append" -> after,
+        "auto_created_ts_is_arrival" -> ts.toString,
+        "clear_restores_default" -> (if (cleared) "auto_on" else "auto_off"),
+        "ensure_basin" -> ensures)
+    },
+
     // A3 on the bulk path — ingest honors each stream's merged
     // timestamping config (mode -> cap -> monotone), exactly like unary
     // append (streamer.rs:964-1008); ClientRequire with a missing

@@ -285,7 +285,11 @@ object TextOps {
     // one 16-hash row per doc, not 16x shingle rows).
     QueryDef("dedup_minhash_lsh",
       (s, d) => {
-        val sh = shingles(docsAug(s, d)).cache()
+        // NOT cached: A/B at sf0.1 (tools/ProfMinhashAB) shows the
+        // recomputed, fully-pipelined shingle stream beating .cache()
+        // by ~25% cold — materializing shingles breaks whole-stage
+        // codegen and costs more than the recompute
+        val sh = shingles(docsAug(s, d))
         // 4 md5s per shingle, 4 independent 8-hex-char sub-hashes each
         // -> 16 min-hash functions at 1/4 the digest cost
         val withH = sh.select(Seq(col("doc_id"), col("sh")) ++

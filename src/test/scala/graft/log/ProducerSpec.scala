@@ -108,6 +108,60 @@ class ProducerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(st.checkTail("test-basin", "p4").seqNum == 1) // only the fence
   }
 
+  test("retry policy: transient failures retry with backoff, then succeed (retry.rs)") {
+    val st = freshStore()
+    st.catalog.createStream("test-basin", "p5")
+    val p = new Producer(st, "test-basin", "p5", nowMs = Some(1000L),
+      maxRetries = 3, retryBackoffMs = 1)
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val real = p.session.appendOp
+    p.session.appendOp = in => {
+      if (attempts.incrementAndGet() <= 2)
+        throw new java.util.ConcurrentModificationException("CAS race")
+      real(in)
+    }
+    val f = p.submit(env("a"))
+    p.close()
+    assert(Await.result(f, 30.seconds).isRight)
+    assert(attempts.get() == 3) // 2 transient failures + 1 success
+    assert(st.checkTail("test-basin", "p5").seqNum == 1)
+  }
+
+  test("retry policy: retryable exhausted poisons; non-retryable never retries") {
+    val st = freshStore()
+    st.catalog.createStream("test-basin", "p6")
+    val p = new Producer(st, "test-basin", "p6", nowMs = Some(1000L),
+      maxRetries = 2, retryBackoffMs = 1)
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    p.session.appendOp = _ => {
+      attempts.incrementAndGet()
+      throw new java.util.ConcurrentModificationException("CAS race")
+    }
+    val f = p.submit(env("a"))
+    p.flush()
+    val r = Await.result(f, 30.seconds)
+    assert(r.isLeft)
+    assert(attempts.get() == 3) // initial + 2 retries, then poison
+    val after = Await.result(p.submit(env("b")), 30.seconds)
+    assert(after.isLeft) // poisoned
+    p.close()
+
+    // non-retryable (deterministic rejection) fails on the FIRST attempt
+    st.catalog.createStream("test-basin", "p7")
+    val p2 = new Producer(st, "test-basin", "p7", nowMs = Some(1000L),
+      maxRetries = 5, retryBackoffMs = 1)
+    val attempts2 = new java.util.concurrent.atomic.AtomicInteger(0)
+    p2.session.appendOp = _ => {
+      attempts2.incrementAndGet()
+      Left(AppendError.SeqNumMismatch(7, 0))
+    }
+    val f2 = p2.submit(env("a"))
+    p2.flush()
+    assert(Await.result(f2, 30.seconds).isLeft)
+    assert(attempts2.get() == 1)
+    p2.close()
+  }
+
   test("M5: server histograms expose reference buckets in Prometheus text format") {
     ServerMetrics.reset()
     val st = freshStore()

@@ -276,6 +276,30 @@ class StreamStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!st.manifest("test-basin", "keep").deletionPending)
   }
 
+  test("delete-on-empty sweep pages past MaxListItems (T3 at 1500 streams)") {
+    val st = freshStore()
+    // 1500 never-written DoE streams: sweep must page past the
+    // 1000-item list cap and delete them ALL (bgtasks/stream_doe.rs)
+    val names = (0 until 1500).map(i => f"doe-$i%04d")
+    st.catalog.createStreams("test-basin", names,
+      StreamConfig(deleteOnEmpty = Some(DeleteOnEmpty(5))))
+      .fold(e => fail(e), identity)
+    val deleted = st.deleteOnEmptySweep("test-basin", Some(20000L))
+    assert(deleted.size == 1500)
+    assert(st.catalog.listStreams("test-basin").items.isEmpty)
+  }
+
+  test("read count limit above 2^31 returns all visible rows (no int overflow)") {
+    val st = freshStore()
+    st.catalog.createStream("test-basin", "big-count")
+    appendOk(st, "big-count", AppendInput(Seq(env("a"), env("b"), env("c"))))
+    val rows = st.readBatch("test-basin", "big-count",
+      ReadSpec(ReadStart(ReadFrom.SeqNum(0)),
+        ReadEnd(ReadLimit(count = Some(Int.MaxValue.toLong + 1)))))
+      .toOption.get
+    assert(rows.map(_.seqNum) == Seq(0L, 1L, 2L))
+  }
+
   test("catalog: list paging with prefix/start_after/has_more (C1)") {
     val st = freshStore()
     for (n <- Seq("alpha", "beta", "beta-2", "gamma"))
