@@ -22,11 +22,14 @@ import graft.model._
   *
   * Transient failures retry IN PLACE with capped exponential backoff
   * before the session poisons (the reference SDK's retry policy,
-  * sdk/src/retry.rs): a thrown CAS conflict (a competing writer racing
-  * the manifest commit) or IO hiccup is retried up to `maxRetries`
-  * times; deterministic rejections (SeqNumMismatch, fencing, caps…)
-  * never retry — they would fail identically. Retrying on the single
-  * drain thread keeps the ordered-ack contract intact.
+  * sdk/src/retry.rs): a thrown `ManifestCasConflict` (a competing
+  * writer racing the manifest commit) is retried up to `maxRetries`
+  * times — safe because the losing append deletes its data file before
+  * rethrowing, so the re-drive can't duplicate seq_nums. Everything
+  * else — deterministic rejections (SeqNumMismatch, fencing, caps…)
+  * AND IO failures (disk-full would fail identically every attempt) —
+  * never retries. Retrying on the single drain thread keeps the
+  * ordered-ack contract intact.
   */
 final class AppendSession(store: StreamStore, basin: String, stream: String,
                           nowMs: Option[Long] = None,
@@ -39,12 +42,16 @@ final class AppendSession(store: StreamStore, basin: String, stream: String,
   @volatile private[log] var appendOp: AppendInput => Either[AppendError, AppendAck] =
     in => store.append(basin, stream, in, nowMs, cipher)
 
-  /** Transient = worth retrying: manifest-CAS races from competing
-    * writers and IO hiccups. Everything else is deterministic. */
+  /** Transient = worth retrying. ONLY the manifest-CAS race qualifies:
+    * a competing writer advanced the tail, and `StreamStore.append`
+    * deletes its data file before rethrowing, so re-driving the batch
+    * against the new tail is safe and duplicate-free. IOExceptions in
+    * an embedded store are deterministic (disk-full, permissions) and
+    * would fail identically on every attempt — blanket-retrying them
+    * only burned bounded sleeps on the drain thread before poisoning
+    * (the reference SDK retries by status, sdk/src/retry.rs). */
   private def retryable(t: Throwable): Boolean = t match {
-    case _: java.util.ConcurrentModificationException => true
-    case _: java.io.IOException => true
-    case _: java.io.UncheckedIOException => true
+    case _: ManifestCasConflict => true
     case _ => false
   }
 

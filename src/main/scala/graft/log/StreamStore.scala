@@ -32,6 +32,18 @@ import graft.model._
   *   compaction (T1/T2) — "trimming is eventually consistent"
   *   (cli/src/cli.rs:143-146).
   */
+/** A manifest commit lost its version CAS to a competing out-of-band
+  * writer. Typed so retry policies can distinguish this — the one
+  * failure a session may legitimately re-drive against the new tail —
+  * from deterministic IO failures (disk-full, permissions) that would
+  * fail identically on every attempt (the reference SDK's
+  * retryable-status split, sdk/src/retry.rs). Extends
+  * ConcurrentModificationException so pre-existing catch sites keep
+  * working.
+  */
+final class ManifestCasConflict(msg: String)
+  extends java.util.ConcurrentModificationException(msg)
+
 object StreamStore {
   /** JVM-global lock registry keyed by (canonical root, basin, stream):
     * two StreamStore instances over one root in one process serialize
@@ -83,6 +95,12 @@ final class StreamStore(val spark: SparkSession, val root: String) {
     StructField("body", BinaryType, nullable = true),
     StructField("metered_size", LongType, nullable = false)))
 
+  /** Test seam: runs between the unary append's data-file write and its
+    * manifest commit, so specs can inject the commit-time failures
+    * (CAS race, IO error) that the orphan-cleanup contract is about.
+    */
+  private[log] var beforeManifestCommit: () => Unit = () => ()
+
   def manifest(basin: String, stream: String): StreamManifest =
     ManifestCache.read(Layout.statePath(root, basin, stream))
       .getOrElse(StreamManifest())
@@ -109,7 +127,7 @@ final class StreamStore(val spark: SparkSession, val root: String) {
     // cross-process correctness.
     val cur = manifestFresh(basin, stream)
     if (cur.version != expectedVersion)
-      throw new java.util.ConcurrentModificationException(
+      throw new ManifestCasConflict(
         s"manifest CAS failed for $basin/$stream: expected v$expectedVersion, found v${cur.version}")
     val p = Layout.statePath(root, basin, stream)
     Layout.writeJson(p, next)
@@ -244,13 +262,25 @@ final class StreamStore(val spark: SparkSession, val root: String) {
           env.headers.map(h => (h.name, h.value)), body, rec.meteredSize)
       }
       // driver-direct write: no Spark job on the ack path
-      DirectParquet.writeBatch(Layout.dataDir(root, basin, stream), recs)
+      val dataFile =
+        DirectParquet.writeBatch(Layout.dataDir(root, basin, stream), recs)
 
       val first = assigned.head
       val last = assigned.last
       val newM = m.copy(tailSeq = last._1 + 1, tailTs = math.max(m.tailTs, last._2),
         fencingToken = fence, trimPoint = trim, version = m.version + 1)
-      saveManifestCas(basin, stream, newM, m.version)
+      // the append must be ATOMIC: the data file precedes the manifest
+      // commit (durability order), so a failed commit has to take the
+      // file with it — an orphan above the committed tail is invisible
+      // today (reads clamp at tail) but becomes duplicate seq_nums the
+      // moment a retry or competing writer re-commits that range
+      try {
+        beforeManifestCommit()
+        saveManifestCas(basin, stream, newM, m.version)
+      } catch { case t: Throwable =>
+        Files.deleteIfExists(Paths.get(dataFile))
+        throw t
+      }
       // M5: the reference's server histograms (lite/src/metrics.rs)
       ServerMetrics.appendAckLatency.observe((System.nanoTime() - ackT0) / 1e9)
       ServerMetrics.appendBatchRecords.observe(input.records.size.toDouble)
@@ -437,19 +467,30 @@ final class StreamStore(val spark: SparkSession, val root: String) {
       withStreamLock(b, s) {
         val cur = manifestFresh(b, s)
         if (cur.version != m.version)
-          throw new java.util.ConcurrentModificationException(
+          throw new ManifestCasConflict(
             s"ingest lost the commit race for $b/$s: expected v${m.version}, found v${cur.version}")
         val src = Paths.get(s"$stage/basin=$b/stream=${Layout.escape(s)}")
         val dst = Paths.get(Layout.dataDir(root, b, s))
         Files.createDirectories(dst)
+        val moved = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
         if (Files.exists(src)) {
           val parts = Files.list(src)
           try parts.iterator().asScala
             .filter(_.toString.endsWith(".parquet"))
-            .foreach(f => Files.move(f, dst.resolve(f.getFileName)))
+            .foreach { f =>
+              val d = dst.resolve(f.getFileName)
+              Files.move(f, d); moved += d
+            }
           finally parts.close()
         }
-        saveManifestCas(b, s, newM, m.version)
+        // same atomicity contract as unary append: a commit that fails
+        // after the files entered the live dir must take them back out,
+        // or a re-driven ingest duplicates their seq_nums
+        try saveManifestCas(b, s, newM, m.version)
+        catch { case t: Throwable =>
+          moved.foreach(Files.deleteIfExists(_))
+          throw t
+        }
       }
       k -> AppendAck(
         StreamPosition(m.tailSeq, 0), StreamPosition(newM.tailSeq, newM.tailTs),

@@ -3,6 +3,7 @@ package graft.log
 import java.nio.file.Files
 import scala.concurrent.Await
 import scala.concurrent.duration._
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
@@ -117,7 +118,7 @@ class ProducerSpec extends AnyFunSuite with BeforeAndAfterAll {
     val real = p.session.appendOp
     p.session.appendOp = in => {
       if (attempts.incrementAndGet() <= 2)
-        throw new java.util.ConcurrentModificationException("CAS race")
+        throw new ManifestCasConflict("CAS race")
       real(in)
     }
     val f = p.submit(env("a"))
@@ -135,7 +136,7 @@ class ProducerSpec extends AnyFunSuite with BeforeAndAfterAll {
     val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
     p.session.appendOp = _ => {
       attempts.incrementAndGet()
-      throw new java.util.ConcurrentModificationException("CAS race")
+      throw new ManifestCasConflict("CAS race")
     }
     val f = p.submit(env("a"))
     p.flush()
@@ -160,6 +161,58 @@ class ProducerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Await.result(f2, 30.seconds).isLeft)
     assert(attempts2.get() == 1)
     p2.close()
+  }
+
+  test("retry policy: IO failure is deterministic — poisons on the FIRST attempt") {
+    val st = freshStore()
+    st.catalog.createStream("test-basin", "p8")
+    val p = new Producer(st, "test-basin", "p8", nowMs = Some(1000L),
+      maxRetries = 5, retryBackoffMs = 1)
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    p.session.appendOp = _ => {
+      attempts.incrementAndGet()
+      throw new java.io.IOException("No space left on device")
+    }
+    val f = p.submit(env("a"))
+    p.flush()
+    assert(Await.result(f, 30.seconds).isLeft)
+    assert(attempts.get() == 1) // disk-full retried 0 times before poison
+    p.close()
+  }
+
+  test("failed manifest commit takes its data file with it — retry leaves no duplicate seq_nums") {
+    val st = freshStore()
+    st.catalog.createStream("test-basin", "p9")
+    st.append("test-basin", "p9", AppendInput(Seq(env("base"))), Some(1000L))
+    val dataDir = java.nio.file.Paths.get(
+      Layout.dataDir(st.root, "test-basin", "p9"))
+    def parquetCount() = {
+      val s = Files.list(dataDir)
+      try s.iterator().asScala.count(_.toString.endsWith(".parquet"))
+      finally s.close()
+    }
+    val before = parquetCount()
+    // fail the first commit AFTER its data file is written: the append
+    // must delete the orphan before rethrowing (ADVICE r3: a retry
+    // otherwise re-appends the same seq_nums beside the orphan)
+    val failures = new java.util.concurrent.atomic.AtomicInteger(1)
+    st.beforeManifestCommit = () => {
+      if (failures.getAndDecrement() > 0)
+        throw new ManifestCasConflict("injected commit race")
+    }
+    val p = new Producer(st, "test-basin", "p9", nowMs = Some(2000L),
+      maxRetries = 3, retryBackoffMs = 1)
+    val f = p.submit(env("retried"))
+    p.close()
+    st.beforeManifestCommit = () => ()
+    assert(Await.result(f, 30.seconds).isRight) // retry succeeded
+    assert(parquetCount() == before + 1,
+      "the failed attempt's file must be deleted, the retry's kept")
+    val rows = st.read("test-basin", "p9",
+        ReadSpec(ReadStart(ReadFrom.SeqNum(0)))).toOption.get
+      .select("seq_num").collect().map(_.getLong(0)).sorted
+    assert(rows.toSeq == Seq(0L, 1L), "no duplicate or phantom seq_nums")
+    assert(st.checkTail("test-basin", "p9").seqNum == 2)
   }
 
   test("M5: server histograms expose reference buckets in Prometheus text format") {
