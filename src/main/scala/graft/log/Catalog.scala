@@ -22,9 +22,17 @@ final case class StreamEntry(
     deletedAt: Option[Long] = None,
     idempotencyKey: Option[String] = None)
 
+/** Legacy single-file catalog layout; still parsed for one-time
+  * migration to the sharded layout. */
 final case class CatalogState(
     basins: List[BasinEntry] = Nil,
     streams: List[StreamEntry] = Nil)
+
+/** On-disk shape of `basins.json`. */
+final case class BasinsFile(basins: List[BasinEntry] = Nil)
+
+/** On-disk shape of one `streams-NN.json` shard. */
+final case class StreamShard(streams: List[StreamEntry] = Nil)
 
 final case class Page[T](items: Seq[T], hasMore: Boolean)
 
@@ -89,40 +97,105 @@ object ConfigCodec {
     m.get("create_stream_on_read").exists(_.toBoolean))
 }
 
+object Catalog {
+  /** Fixed shard fan-out per basin. 64 keeps a 100k-stream basin's
+    * shards at ~1.5k entries (≈150 KiB JSON) each — small enough that
+    * a single-stream mutation is a near-constant write, large enough
+    * that a full-basin list is 64 cached loads, not thousands.
+    */
+  val NumShards = 64
+
+  /** Stable shard of a stream name (md5, not String.hashCode, so
+    * sequential names like `s-1…s-N` spread evenly). */
+  private[log] def shardOf(stream: String): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (md.digest(stream.getBytes("UTF-8"))(0) & 0xff) % NumShards
+  }
+}
+
 /** Control-plane catalog (SURVEY §2.4, C1-C6): basins and streams with
-  * create/ensure/reconfigure/list/delete. Single-writer via a process
-  * lock + atomic file swap — the analog of the reference's serialized
-  * catalog transactions (lite/src/backend/streams.rs:89,284).
+  * create/ensure/reconfigure/list/delete.
+  *
+  * Scale layout: `basins.json` holds the basin list; each basin's
+  * streams live in 64 hash-sharded `<basin>/streams-NN.json` files. A
+  * single-stream mutation loads and rewrites ONLY its shard (~1/64th
+  * of one basin), where the old single-file layout serialized the
+  * entire control plane on every mutation — at 100k streams an
+  * O(100k) write per create/reconfigure. This is the file-granularity
+  * analog of the reference's per-stream StreamMeta KV key
+  * (lite/src/backend/kv/mod.rs:66-71) under serialized catalog
+  * transactions (streams.rs:89,284): writers serialize per basin (plus
+  * one lock for the basin list), and every control-plane file has an
+  * (mtime, size)-keyed parse cache so reads cost a stat(2) unless a
+  * foreign process wrote it.
   */
 final class Catalog(root: String) {
-  private val lock = new Object
-  private val path = Layout.catalogPath(root)
+  import Catalog.NumShards
 
-  /** Parsed-state cache keyed by (mtime, size) of the catalog file.
-    * Every control-plane call used to re-parse the full JSON — an
-    * O(catalog) driver cost on the append ack path at 10k+ streams.
-    * With the cache a load is one stat(2) unless another process wrote
-    * the file (same-JVM writers refresh the cache in save()).
-    */
-  @volatile private var cached: (Long, Long, CatalogState) = null
+  private val lock = new Object // basin list + legacy migration
+  private val basinLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def basinLock(basin: String): Object =
+    basinLocks.computeIfAbsent(basin, _ => new Object)
 
-  private def load(): CatalogState = {
-    if (!Files.exists(path)) return CatalogState()
-    val mtime = Files.getLastModifiedTime(path).toMillis
+  private val basinsPath = Layout.basinsPath(root)
+
+  /** (mtime, size)-keyed parse cache, one entry per control-plane file. */
+  private val cache = scala.collection.concurrent.TrieMap
+    .empty[String, (java.nio.file.attribute.FileTime, Long, AnyRef)]
+
+  private def loadCached[A <: AnyRef: Manifest](path: java.nio.file.Path,
+                                                default: => A): A = {
+    if (!Files.exists(path)) return default
+    val ft = Files.getLastModifiedTime(path)
     val size = Files.size(path)
-    val c = cached
-    if (c != null && c._1 == mtime && c._2 == size) c._3
-    else {
-      val st = Layout.readJson[CatalogState](path).getOrElse(CatalogState())
-      cached = (mtime, size, st)
-      st
+    cache.get(path.toString) match {
+      case Some((t, s, v)) if t == ft && s == size => v.asInstanceOf[A]
+      case _ =>
+        val v = Layout.readJson[A](path).getOrElse(default)
+        cache.put(path.toString,
+          (Files.getLastModifiedTime(path), Files.size(path), v))
+        v
     }
   }
 
-  private def save(s: CatalogState): Unit = {
-    Layout.writeJson(path, s)
-    cached = (Files.getLastModifiedTime(path).toMillis, Files.size(path), s)
+  private def saveFile[A <: AnyRef](path: java.nio.file.Path, v: A): Unit = {
+    Layout.writeJson(path, v)
+    cache.put(path.toString,
+      (Files.getLastModifiedTime(path), Files.size(path), v))
   }
+
+  /** One-time migration of a pre-shard single-file root: split
+    * `catalog.json` into the sharded layout, then park the legacy file
+    * under a `.pre-shard` name so the migration never re-runs.
+    */
+  lock.synchronized {
+    val legacy = Layout.catalogPath(root)
+    if (Files.exists(legacy) && !Files.exists(basinsPath)) {
+      val st = Layout.readJson[CatalogState](legacy).getOrElse(CatalogState())
+      st.streams.groupBy(s => (s.basin, Catalog.shardOf(s.name))).foreach {
+        case ((b, sh), entries) =>
+          saveFile(Layout.streamShardPath(root, b, sh), StreamShard(entries))
+      }
+      saveFile(basinsPath, BasinsFile(st.basins))
+      Files.move(legacy, legacy.resolveSibling("catalog.json.pre-shard"))
+    }
+  }
+
+  private def basinsFile(): BasinsFile = loadCached(basinsPath, BasinsFile())
+
+  private def shard(basin: String, sh: Int): StreamShard =
+    loadCached(Layout.streamShardPath(root, basin, sh), StreamShard())
+
+  private def shardFor(basin: String,
+                       stream: String): (java.nio.file.Path, StreamShard) = {
+    val sh = Catalog.shardOf(stream)
+    (Layout.streamShardPath(root, basin, sh), shard(basin, sh))
+  }
+
+  /** All of one basin's stream entries (64 cached shard loads). */
+  private def basinStreams(basin: String): Iterator[StreamEntry] =
+    (0 until NumShards).iterator.flatMap(sh => shard(basin, sh).streams)
 
   private def now(): Long = System.currentTimeMillis()
 
@@ -140,7 +213,7 @@ final class Catalog(root: String) {
     lock.synchronized {
       if (!Caps.validBasinName(name)) Left(s"invalid basin name: $name")
       else {
-        val st = load()
+        val st = basinsFile()
         val enc = ConfigCodec.encodeBasin(config)
         val key = requestToken.map(idemKey(_, enc))
         st.basins.find(b => b.name == name && b.deletedAt.isEmpty) match {
@@ -149,14 +222,14 @@ final class Catalog(root: String) {
           case Some(_) => Left("BasinAlreadyExists")
           case None =>
             val e = BasinEntry(name, enc, now(), None, key)
-            save(st.copy(basins = st.basins :+ e))
+            saveFile(basinsPath, st.copy(basins = st.basins :+ e))
             Right(e)
         }
       }
     }
 
   def getBasin(name: String): Option[BasinEntry] =
-    load().basins.find(b => b.name == name && b.deletedAt.isEmpty)
+    basinsFile().basins.find(b => b.name == name && b.deletedAt.isEmpty)
 
   def basinConfig(name: String): BasinConfig =
     getBasin(name).map(e => ConfigCodec.decodeBasin(e.config))
@@ -167,16 +240,17 @@ final class Catalog(root: String) {
     lock.synchronized {
       if (!Caps.validBasinName(name)) Left(s"invalid basin name: $name")
       else {
-        val st = load()
+        val st = basinsFile()
         val enc = ConfigCodec.encodeBasin(config)
         st.basins.find(b => b.name == name && b.deletedAt.isEmpty) match {
           case Some(e) if e.config == enc => Right(EnsureOutcome.Noop)
           case Some(e) =>
-            save(st.copy(basins = st.basins.map(x =>
+            saveFile(basinsPath, st.copy(basins = st.basins.map(x =>
               if (x eq e) x.copy(config = enc) else x)))
             Right(EnsureOutcome.Updated)
           case None =>
-            save(st.copy(basins = st.basins :+ BasinEntry(name, enc, now())))
+            saveFile(basinsPath,
+              st.copy(basins = st.basins :+ BasinEntry(name, enc, now())))
             Right(EnsureOutcome.Created)
         }
       }
@@ -191,12 +265,12 @@ final class Catalog(root: String) {
   def reconfigureBasin(name: String,
                        patch: BasinConfigPatch): Either[String, BasinConfig] =
     lock.synchronized {
-      val st = load()
+      val st = basinsFile()
       st.basins.find(b => b.name == name && b.deletedAt.isEmpty) match {
         case None => Left("BasinNotFound")
         case Some(e) =>
           val updated = patch.applyTo(ConfigCodec.decodeBasin(e.config))
-          save(st.copy(basins = st.basins.map(x =>
+          saveFile(basinsPath, st.copy(basins = st.basins.map(x =>
             if (x eq e) x.copy(config = ConfigCodec.encodeBasin(updated)) else x)))
           Right(updated)
       }
@@ -208,67 +282,73 @@ final class Catalog(root: String) {
   def createStream(basin: String, name: String,
                    config: StreamConfig = StreamConfig(),
                    requestToken: Option[String] = None): Either[String, StreamEntry] =
-    lock.synchronized {
+    basinLock(basin).synchronized {
       if (!Caps.validStreamName(name)) Left(s"invalid stream name: $name")
       else if (getBasin(basin).isEmpty) Left("BasinNotFound")
       else {
-        val st = load()
+        val (path, sh) = shardFor(basin, name)
         val enc = ConfigCodec.encode(config)
         val key = requestToken.map(idemKey(_, enc))
-        st.streams.find(s => s.basin == basin && s.name == name && s.deletedAt.isEmpty) match {
+        sh.streams.find(s => s.name == name && s.deletedAt.isEmpty) match {
           case Some(existing) if key.isDefined && existing.idempotencyKey == key =>
             Right(existing)
           case Some(_) => Left("StreamAlreadyExists")
           case None =>
             val e = StreamEntry(basin, name, enc, now(), None, key)
-            save(st.copy(streams = st.streams :+ e))
+            saveFile(path, sh.copy(streams = sh.streams :+ e))
             Right(e)
         }
       }
     }
 
-  /** Bulk create: one load + one save for N streams (used by ingest
-    * auto-provisioning — per-stream createStream would rewrite the
-    * whole catalog N times). Existing live streams are left untouched;
-    * invalid names are reported, valid ones still commit.
+  /** Bulk create: at most one load + one save PER TOUCHED SHARD for N
+    * streams (used by ingest auto-provisioning — per-stream
+    * createStream would pay a shard rewrite N times). Existing live
+    * streams are left untouched; invalid names are reported, valid
+    * ones still commit.
     */
   def createStreams(basin: String, names: Seq[String],
                     config: StreamConfig = StreamConfig()): Either[String, Int] =
-    lock.synchronized {
+    basinLock(basin).synchronized {
       if (getBasin(basin).isEmpty) Left("BasinNotFound")
       else {
-        val st = load()
-        val existing = st.streams.iterator
-          .filter(s => s.basin == basin && s.deletedAt.isEmpty)
-          .map(_.name).toSet
-        val (valid, invalid) = names.distinct.filterNot(existing)
-          .partition(Caps.validStreamName)
+        val (valid0, invalid) = names.distinct.partition(Caps.validStreamName)
         val enc = ConfigCodec.encode(config)
         val t = now()
-        if (valid.nonEmpty)
-          save(st.copy(streams = st.streams ++
-            valid.map(n => StreamEntry(basin, n, enc, t))))
+        var created = 0
+        valid0.groupBy(Catalog.shardOf).foreach { case (shardNo, group) =>
+          val path = Layout.streamShardPath(root, basin, shardNo)
+          val sh = shard(basin, shardNo)
+          val existing = sh.streams.iterator
+            .filter(_.deletedAt.isEmpty).map(_.name).toSet
+          val fresh = group.filterNot(existing)
+          if (fresh.nonEmpty) {
+            saveFile(path, sh.copy(streams = sh.streams ++
+              fresh.map(n => StreamEntry(basin, n, enc, t))))
+            created += fresh.size
+          }
+        }
         if (invalid.nonEmpty) Left(s"invalid stream names: ${invalid.mkString(",")}")
-        else Right(valid.size)
+        else Right(created)
       }
     }
 
   /** C3: create-or-update to the given config (PUT semantics). */
   def ensureStream(basin: String, name: String,
                    config: StreamConfig): Either[String, EnsureOutcome] =
-    lock.synchronized {
+    basinLock(basin).synchronized {
       if (getBasin(basin).isEmpty) Left("BasinNotFound")
       else {
-        val st = load()
+        val (path, sh) = shardFor(basin, name)
         val enc = ConfigCodec.encode(config)
-        st.streams.find(s => s.basin == basin && s.name == name && s.deletedAt.isEmpty) match {
+        sh.streams.find(s => s.name == name && s.deletedAt.isEmpty) match {
           case Some(e) if e.config == enc => Right(EnsureOutcome.Noop)
           case Some(e) =>
-            save(st.copy(streams = st.streams.map(x =>
+            saveFile(path, sh.copy(streams = sh.streams.map(x =>
               if (x eq e) x.copy(config = enc) else x)))
             Right(EnsureOutcome.Updated)
           case None =>
-            save(st.copy(streams = st.streams :+
+            saveFile(path, sh.copy(streams = sh.streams :+
               StreamEntry(basin, name, enc, now())))
             Right(EnsureOutcome.Created)
         }
@@ -278,13 +358,13 @@ final class Catalog(root: String) {
   /** C4: PATCH-style reconfigure via tri-state patch. */
   def reconfigureStream(basin: String, name: String,
                         patch: StreamConfigPatch): Either[String, StreamConfig] =
-    lock.synchronized {
-      val st = load()
-      st.streams.find(s => s.basin == basin && s.name == name && s.deletedAt.isEmpty) match {
+    basinLock(basin).synchronized {
+      val (path, sh) = shardFor(basin, name)
+      sh.streams.find(s => s.name == name && s.deletedAt.isEmpty) match {
         case None => Left("StreamNotFound")
         case Some(e) =>
           val updated = patch.applyTo(ConfigCodec.decode(e.config))
-          save(st.copy(streams = st.streams.map(x =>
+          saveFile(path, sh.copy(streams = sh.streams.map(x =>
             if (x eq e) x.copy(config = ConfigCodec.encode(updated)) else x)))
           Right(updated)
       }
@@ -292,13 +372,14 @@ final class Catalog(root: String) {
 
   /** C5: merged config (stream over basin defaults over system). */
   def streamConfig(basin: String, name: String): Option[StreamConfig] =
-    load().streams.find(s => s.basin == basin && s.name == name && s.deletedAt.isEmpty)
+    getStream(basin, name)
       .map(e => ConfigCodec.decode(e.config)
         .mergedOver(basinConfig(basin).defaultStreamConfig)
         .mergedOver(StreamConfig.SystemDefault))
 
   def getStream(basin: String, name: String): Option[StreamEntry] =
-    load().streams.find(s => s.basin == basin && s.name == name && s.deletedAt.isEmpty)
+    shardFor(basin, name)._2.streams
+      .find(s => s.name == name && s.deletedAt.isEmpty)
 
   /** C1: prefix + exclusive start_after + limit (≤1000), has_more.
     * Ref streams.rs:34-77, resources.rs:27-46.
@@ -307,17 +388,17 @@ final class Catalog(root: String) {
                   startAfter: String = "", limit: Int = Caps.MaxListItems,
                   includeDeleted: Boolean = false): Page[StreamEntry] = {
     val n = math.min(limit, Caps.MaxListItems)
-    val all = load().streams
-      .filter(s => s.basin == basin && s.name.startsWith(prefix) &&
+    val all = basinStreams(basin)
+      .filter(s => s.name.startsWith(prefix) &&
         s.name > startAfter && (includeDeleted || s.deletedAt.isEmpty))
-      .sortBy(_.name)
+      .toList.sortBy(_.name)
     Page(all.take(n), all.size > n)
   }
 
   def listBasins(prefix: String = "", startAfter: String = "",
                  limit: Int = Caps.MaxListItems): Page[BasinEntry] = {
     val n = math.min(limit, Caps.MaxListItems)
-    val all = load().basins
+    val all = basinsFile().basins
       .filter(b => b.name.startsWith(prefix) && b.name > startAfter &&
         b.deletedAt.isEmpty)
       .sortBy(_.name)
@@ -327,23 +408,24 @@ final class Catalog(root: String) {
   /** T4 part 1: soft delete (deleted_at set; physical reclaim is the
     * trim executor's job).
     */
-  def markStreamDeleted(basin: String, name: String): Unit = lock.synchronized {
-    val st = load()
-    save(st.copy(streams = st.streams.map(s =>
-      if (s.basin == basin && s.name == name && s.deletedAt.isEmpty)
-        s.copy(deletedAt = Some(now())) else s)))
-  }
+  def markStreamDeleted(basin: String, name: String): Unit =
+    basinLock(basin).synchronized {
+      val (path, sh) = shardFor(basin, name)
+      saveFile(path, sh.copy(streams = sh.streams.map(s =>
+        if (s.name == name && s.deletedAt.isEmpty)
+          s.copy(deletedAt = Some(now())) else s)))
+    }
 
   def markBasinDeleted(name: String): Unit = lock.synchronized {
-    val st = load()
-    save(st.copy(basins = st.basins.map(b =>
+    val st = basinsFile()
+    saveFile(basinsPath, st.copy(basins = st.basins.map(b =>
       if (b.name == name && b.deletedAt.isEmpty) b.copy(deletedAt = Some(now()))
       else b)))
   }
 
-  def hardDeleteStream(basin: String, name: String): Unit = lock.synchronized {
-    val st = load()
-    save(st.copy(streams = st.streams.filterNot(s =>
-      s.basin == basin && s.name == name)))
-  }
+  def hardDeleteStream(basin: String, name: String): Unit =
+    basinLock(basin).synchronized {
+      val (path, sh) = shardFor(basin, name)
+      saveFile(path, sh.copy(streams = sh.streams.filterNot(_.name == name)))
+    }
 }

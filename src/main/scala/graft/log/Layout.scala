@@ -64,8 +64,21 @@ object Layout {
   def statePath(root: String, basin: String, stream: String): Path =
     Paths.get(root, "_state", basin, escape(stream) + ".json")
 
+  /** Legacy (pre-shard) single-file catalog; read once for migration. */
   def catalogPath(root: String): Path =
     Paths.get(root, "_catalog", "catalog.json")
+
+  /** Sharded control plane: one file for the basin list… */
+  def basinsPath(root: String): Path =
+    Paths.get(root, "_catalog", "basins.json")
+
+  /** …and per-basin, hash-sharded stream files, so one stream's catalog
+    * churn rewrites ~1/64th of one basin instead of the whole control
+    * plane — the spirit of the reference's per-stream StreamMeta KV key
+    * (lite/src/backend/kv/mod.rs:66-71) at file granularity.
+    */
+  def streamShardPath(root: String, basin: String, shard: Int): Path =
+    Paths.get(root, "_catalog", escape(basin), f"streams-$shard%02d.json")
 
   implicit val formats: Formats = DefaultFormats
 

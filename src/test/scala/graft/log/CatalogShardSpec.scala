@@ -1,0 +1,129 @@
+package graft.log
+
+import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model._
+
+/** Sharded control plane (VERDICT r3 item 1): basins.json + per-basin
+  * hash-sharded streams-NN.json. The property that matters at 100k
+  * streams: a single-stream mutation rewrites ONLY its own shard file,
+  * never the whole catalog.
+  */
+class CatalogShardSpec extends AnyFunSuite {
+
+  private def root(): String =
+    Files.createTempDirectory("graft-catshard").toString
+
+  /** Snapshot every control-plane file as path -> (mtime, size). */
+  private def snapshot(root: String): Map[String, (Object, Long)] = {
+    val dir = java.nio.file.Paths.get(root, "_catalog")
+    if (!Files.exists(dir)) return Map.empty
+    val s = Files.walk(dir)
+    try s.iterator().asScala.filter(p => p.toString.endsWith(".json")).map { p =>
+      p.toString -> ((Files.getLastModifiedTime(p): Object, Files.size(p)))
+    }.toMap
+    finally s.close()
+  }
+
+  test("a single-stream mutation rewrites only its own shard (2 basins x 50k streams)") {
+    val r = root()
+    val cat = new Catalog(r)
+    cat.createBasin("shard-basin-a")
+    cat.createBasin("shard-basin-b")
+    val names = (0 until 50000).map(i => s"stream-$i")
+
+    val t0 = System.nanoTime()
+    assert(cat.createStreams("shard-basin-a", names) == Right(50000))
+    assert(cat.createStreams("shard-basin-b", names) == Right(50000))
+    val createMs = (System.nanoTime() - t0) / 1e6
+
+    val t1 = System.nanoTime()
+    val page = cat.listStreams("shard-basin-a", limit = 1000)
+    val listMs = (System.nanoTime() - t1) / 1e6
+    assert(page.items.size == 1000 && page.hasMore)
+
+    Thread.sleep(5) // put the mutation in a fresh mtime granule
+    val before = snapshot(r)
+    assert(before.size == 1 + 2 * Catalog.NumShards) // basins.json + shards
+
+    val t2 = System.nanoTime()
+    val res = cat.reconfigureStream("shard-basin-a", "stream-31337",
+      StreamConfigPatch(retentionPolicy = Patch.Set(RetentionPolicy.Infinite)))
+    val reconfMs = (System.nanoTime() - t2) / 1e6
+    assert(res.isRight)
+
+    val after = snapshot(r)
+    val changed = after.keySet.filter(k => before.get(k) != after.get(k))
+    info(f"bulk-create 2x50k: $createMs%.1f ms; list(1000): $listMs%.1f ms; " +
+      f"single reconfigure: $reconfMs%.2f ms; files rewritten: ${changed.size}")
+    assert(changed.size == 1, s"expected exactly one rewritten shard, got $changed")
+    val shardNo = Catalog.shardOf("stream-31337")
+    assert(changed.head ==
+      Layout.streamShardPath(r, "shard-basin-a", shardNo).toString)
+    // and the config actually took
+    assert(cat.streamConfig("shard-basin-a", "stream-31337")
+      .exists(_.retentionPolicy.contains(RetentionPolicy.Infinite)))
+  }
+
+  test("legacy single-file catalog migrates to shards exactly once") {
+    val r = root()
+    // fabricate a pre-shard root
+    val legacy = CatalogState(
+      basins = List(BasinEntry("legacy-basin",
+        ConfigCodec.encodeBasin(BasinConfig(createStreamOnAppend = true)),
+        createdAt = 1000L)),
+      streams = List(
+        StreamEntry("legacy-basin", "s1",
+          ConfigCodec.encode(StreamConfig(
+            retentionPolicy = Some(RetentionPolicy.Infinite))), 1000L),
+        StreamEntry("legacy-basin", "s2", Map.empty, 1000L,
+          deletedAt = Some(2000L)),
+        StreamEntry("legacy-basin", "s3", Map.empty, 1000L)))
+    Layout.writeJson(Layout.catalogPath(r), legacy)
+
+    val cat = new Catalog(r)
+    assert(!Files.exists(Layout.catalogPath(r)), "legacy file parked")
+    assert(Files.exists(
+      Layout.catalogPath(r).resolveSibling("catalog.json.pre-shard")))
+    assert(cat.basinConfig("legacy-basin").createStreamOnAppend)
+    assert(cat.streamConfig("legacy-basin", "s1")
+      .exists(_.retentionPolicy.contains(RetentionPolicy.Infinite)))
+    assert(cat.getStream("legacy-basin", "s2").isEmpty) // stayed deleted
+    assert(cat.listStreams("legacy-basin").items.map(_.name) == Seq("s1", "s3"))
+
+    // a second instance over the migrated root must not re-migrate
+    val cat2 = new Catalog(r)
+    assert(cat2.listStreams("legacy-basin").items.map(_.name) == Seq("s1", "s3"))
+  }
+
+  test("full lifecycle stays inside one shard; listing merges shards sorted") {
+    val r = root()
+    val cat = new Catalog(r)
+    cat.createBasin("lifecycle-basin")
+    val names = (0 until 200).map(i => s"lc-$i")
+    names.foreach(n => assert(cat.createStream("lifecycle-basin", n).isRight))
+    // creates landed across many shards, listing is globally sorted
+    val listed = cat.listStreams("lifecycle-basin").items.map(_.name)
+    assert(listed == names.sorted)
+
+    val victim = "lc-77"
+    val shardPath = Layout.streamShardPath(r, "lifecycle-basin", Catalog.shardOf(victim))
+    Thread.sleep(5)
+    val before = snapshot(r)
+    assert(cat.ensureStream("lifecycle-basin", victim,
+      StreamConfig(storageClass = Some(StorageClass.Express))) ==
+      Right(EnsureOutcome.Updated))
+    cat.markStreamDeleted("lifecycle-basin", victim)
+    cat.hardDeleteStream("lifecycle-basin", victim)
+    val after = snapshot(r)
+    val changed = after.keySet.filter(k => before.get(k) != after.get(k))
+    assert(changed == Set(shardPath.toString))
+    assert(cat.getStream("lifecycle-basin", victim).isEmpty)
+    assert(cat.listStreams("lifecycle-basin").items.size == 199)
+    // recreate after hard delete works and reuses the same shard
+    assert(cat.createStream("lifecycle-basin", victim).isRight)
+  }
+}
