@@ -34,6 +34,17 @@ final case class BasinsFile(basins: List[BasinEntry] = Nil)
 /** On-disk shape of one `streams-NN.json` shard. */
 final case class StreamShard(streams: List[StreamEntry] = Nil)
 
+/** C8 — a placement location (api/src/v1/location.rs:1-24:
+  * LocationInfo { name, is_private }).
+  */
+final case class LocationInfo(name: String, isPrivate: Boolean = false)
+
+/** On-disk shape of `locations.json`: registered locations + the
+  * account default. */
+final case class LocationsFile(
+    locations: List[LocationInfo] = Nil,
+    default: Option[String] = None)
+
 final case class Page[T](items: Seq[T], hasMore: Boolean)
 
 sealed trait EnsureOutcome
@@ -404,6 +415,64 @@ final class Catalog(root: String) {
       .sortBy(_.name)
     Page(all.take(n), all.size > n)
   }
+
+  // ---- locations (C8) ----
+  //
+  // The reference's surface is list/get-default/set-default over
+  // account-level location rows (lite/src/handlers/v1/locations.rs:1-74;
+  // types api/src/v1/location.rs). Lite itself stubs the handlers, so
+  // the registry here is the minimal honest analog: locations are
+  // config rows in the catalog, registered explicitly (the cloud
+  // product provisions them account-level) and validated with the
+  // reference's name rules (common/src/location.rs:8-45).
+
+  private val locationsPath =
+    java.nio.file.Paths.get(root, "_catalog", "locations.json")
+
+  private def locationsFile(): LocationsFile =
+    loadCached(locationsPath, LocationsFile())
+
+  def listLocations(): Seq[LocationInfo] =
+    locationsFile().locations.sortBy(_.name)
+
+  /** Register a location (idempotent on same name+privacy). */
+  def registerLocation(name: String,
+                       isPrivate: Boolean = false): Either[String, LocationInfo] =
+    lock.synchronized {
+      if (!Caps.validLocationName(name)) Left(s"invalid location name: $name")
+      else {
+        val st = locationsFile()
+        st.locations.find(_.name == name) match {
+          case Some(l) if l.isPrivate == isPrivate => Right(l)
+          case Some(_) => Left("LocationAlreadyExists")
+          case None =>
+            val l = LocationInfo(name, isPrivate)
+            saveFile(locationsPath, st.copy(locations = st.locations :+ l))
+            Right(l)
+        }
+      }
+    }
+
+  /** GET the default location; None until one is set. */
+  def defaultLocation(): Option[LocationInfo] = {
+    val st = locationsFile()
+    st.default.flatMap(d => st.locations.find(_.name == d))
+  }
+
+  /** PUT the default location; must name a registered location. */
+  def setDefaultLocation(name: String): Either[String, LocationInfo] =
+    lock.synchronized {
+      if (!Caps.validLocationName(name)) Left(s"invalid location name: $name")
+      else {
+        val st = locationsFile()
+        st.locations.find(_.name == name) match {
+          case None => Left("LocationNotFound")
+          case Some(l) =>
+            saveFile(locationsPath, st.copy(default = Some(name)))
+            Right(l)
+        }
+      }
+    }
 
   /** T4 part 1: soft delete (deleted_at set; physical reclaim is the
     * trim executor's job).

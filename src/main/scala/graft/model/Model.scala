@@ -113,6 +113,7 @@ object Caps {
   val MinBasinNameLen = 8
   val MaxBasinNameLen = 48              // caps.rs:1-2
   val MaxStreamNameBytes = 512          // caps.rs:5-6
+  val MaxLocationNameLen = 64           // caps.rs MAX_LOCATION_NAME_LEN
 
   def validFencingToken(t: String): Boolean =
     t.getBytes("UTF-8").length <= MaxFencingTokenBytes
@@ -130,6 +131,14 @@ object Caps {
     val len = n.getBytes("UTF-8").length
     len >= 1 && len <= MaxStreamNameBytes && n != "." && n != ".."
   }
+
+  /** Location: 1-64 chars of ASCII alnum + `:` `-` `.` (uppercase
+    * allowed, multibyte rejected). Ref: common/src/location.rs:8-45.
+    */
+  def validLocationName(n: String): Boolean =
+    n.length >= 1 && n.length <= MaxLocationNameLen &&
+      n.forall(c => (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == ':' || c == '-' || c == '.')
 
   /** Batch validation for both append and read emission.
     * Ref: common/src/stream.rs:213-223,251-269.

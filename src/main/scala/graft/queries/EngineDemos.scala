@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.log.{StreamStore, RecordCipher}
+import graft.log.{StreamStore, RecordCipher, LocationInfo}
 import graft.model._
 
 /** Deterministic engine-semantics checks exposed as oracle queries.
@@ -210,6 +210,45 @@ object EngineDemos {
           case Some(RetentionPolicy.Infinite) => "infinite"
           case other => other.toString
         }))
+    },
+
+    // C8 — locations: list / get default / set default + reference name
+    // rules (lite/src/handlers/v1/locations.rs:1-74, common/src/location.rs:8-45)
+    demo("e2e_c8_locations", Seq(
+      "register" -> "ok",
+      "register_retry" -> "ok",
+      "register_conflict" -> "LocationAlreadyExists",
+      "list" -> "aws:us-east-1,cloud:US-West-2.edge(private)",
+      "default_unset" -> "none",
+      "set_default" -> "ok",
+      "default_get" -> "aws:us-east-1",
+      "set_default_unknown" -> "LocationNotFound",
+      "name_underscore" -> "invalid",
+      "name_multibyte" -> "invalid",
+      "name_too_long" -> "invalid")) { (_, st) =>
+      val cat = st.catalog
+      def fmt(r: Either[String, LocationInfo]) = r.fold(identity, _ => "ok")
+      val reg = fmt(cat.registerLocation("aws:us-east-1"))
+      val retry = fmt(cat.registerLocation("aws:us-east-1"))
+      val conflict = fmt(cat.registerLocation("aws:us-east-1", isPrivate = true))
+      cat.registerLocation("cloud:US-West-2.edge", isPrivate = true)
+      val listed = cat.listLocations()
+        .map(l => l.name + (if (l.isPrivate) "(private)" else "")).mkString(",")
+      val unset = cat.defaultLocation().map(_.name).getOrElse("none")
+      val setOk = fmt(cat.setDefaultLocation("aws:us-east-1"))
+      val got = cat.defaultLocation().map(_.name).getOrElse("none")
+      val unknown = fmt(cat.setDefaultLocation("aws:eu-west-9"))
+      def inv(n: String) =
+        if (cat.registerLocation(n).swap.exists(_.startsWith("invalid"))) "invalid"
+        else "accepted"
+      Seq(
+        "register" -> reg, "register_retry" -> retry,
+        "register_conflict" -> conflict, "list" -> listed,
+        "default_unset" -> unset, "set_default" -> setOk,
+        "default_get" -> got, "set_default_unknown" -> unknown,
+        "name_underscore" -> inv("aws:us_east-1"),
+        "name_multibyte" -> inv("aws:é"),
+        "name_too_long" -> inv("a" * 65))
     },
 
     // C6 — auto-create on append/read gated by basin flags (core.rs:326-391)
