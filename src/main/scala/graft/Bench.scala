@@ -94,8 +94,9 @@ object Bench {
             val b = r.getAs[Array[Byte]](2)
             val (c0, n, bytes, last, ok) =
               acc.getOrElse(s, (Array.emptyByteArray, 0L, 0L, Long.MinValue, true))
+            val len = if (b == null) 0L else b.length.toLong
             md.reset(); md.update(c0); if (b != null) md.update(b)
-            acc(s) = (md.digest(), n + 1, bytes + b.length, ord, ok && ord > last)
+            acc(s) = (md.digest(), n + 1, bytes + len, ord, ok && ord > last)
           }
           acc.iterator.map { case (s, (c, n, bytes, _, ok)) =>
             (s, c.map(x => f"$x%02x").mkString, n, bytes, ok) }
