@@ -135,6 +135,27 @@ object FileIndex {
   /** Exact (Σ metered_size, Σ metered over commands, # commands) of
     * one file — one projected scan, ever, per immutable file.
     */
+  /** Σ metered_size of the rows with seq_num < `bound` in one file —
+    * the pre-resume prefix a mid-file follower must NOT be charged
+    * (GraftStreamSource bytes admission). One projected scan per call;
+    * a single-entry-per-path cache covers the steady state, where the
+    * same (path, bound) is asked every trigger until the follower
+    * progresses past the boundary file.
+    */
+  private val prefixCache = TrieMap[String, (Long, Long)]()
+
+  def prefixMetered(path: String, bound: Long): Long =
+    prefixCache.get(path) match {
+      case Some((b, v)) if b == bound => v
+      case _ =>
+        var total = 0L
+        scanRows(path) { r =>
+          if (r.seq < bound) { total += r.metered; true } else false
+        }
+        prefixCache.put(path, (bound, total))
+        total
+    }
+
   def sums(path: String): FileSums = sumsCache.getOrElseUpdate(path, {
     var total = 0L
     var cmd = 0L

@@ -103,7 +103,8 @@ final class GraftScan(props: Map[String, String]) extends Scan {
       props("root"), props("basin"), props("stream"),
       opt("startSeq").getOrElse("0").toLong,
       opt("maxRecordsPerTrigger").map(_.toLong),
-      opt("maxBytesPerTrigger").map(_.toLong))
+      opt("maxBytesPerTrigger").map(_.toLong),
+      opt("nowMs").map(_.toLong))
 }
 
 /** Offset = the next seq_num to read (exclusive end of what was read). */
@@ -120,10 +121,15 @@ final case class GraftInputPartition(path: String, lo: Long, endSeq: Long,
                                      retCutoff: Long)
     extends InputPartition
 
+/** @param nowMsOpt pinned "now" for the retention mask (a source
+  *   option, used by specs so batch and streaming visibility can be
+  *   compared deterministically); production omits it = wall clock.
+  */
 final class GraftMicroBatchStream(root: String, basin: String, stream: String,
                                   startSeq: Long,
                                   maxRecordsPerTrigger: Option[Long],
-                                  maxBytesPerTrigger: Option[Long])
+                                  maxBytesPerTrigger: Option[Long],
+                                  nowMsOpt: Option[Long] = None)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   private val dir = Layout.dataDir(root, basin, stream)
@@ -133,14 +139,38 @@ final class GraftMicroBatchStream(root: String, basin: String, stream: String,
     Layout.readJson[StreamManifest](Layout.statePath(root, basin, stream))
       .getOrElse(StreamManifest())
 
-  /** Wall-clock retention cutoff from the merged stream config (the
-    * same mask StreamStore.visible applies on the batch path). */
-  private def retentionCutoff(nowMs: Long): Long =
-    catalog.streamConfig(basin, stream)
-      .getOrElse(StreamConfig.SystemDefault).retentionOrDefault match {
-      case RetentionPolicy.Age(secs) => nowMs - secs * 1000
-      case RetentionPolicy.Infinite => Long.MinValue
+  /** Resolved retention policy, cached with a short TTL: it changes
+    * only via reconfigure, and resolving it per micro-batch per
+    * follower multiplied catalog reads on the driver.
+    */
+  private val RetentionTtlNanos = 2_000_000_000L
+  @volatile private var retPol: (Long, RetentionPolicy) = null
+  private def retentionPolicy(): RetentionPolicy = {
+    val c = retPol
+    val t = System.nanoTime()
+    if (c != null && t < c._1) c._2
+    else {
+      val p = catalog.streamConfig(basin, stream)
+        .getOrElse(StreamConfig.SystemDefault).retentionOrDefault
+      retPol = (t + RetentionTtlNanos, p)
+      p
     }
+  }
+
+  /** Retention cutoff from the merged stream config (the same mask
+    * StreamStore.visible applies on the batch path), evaluated at the
+    * pinned `nowMs` option when present, else wall clock. */
+  private def retentionCutoff(): Long = retentionPolicy() match {
+    case RetentionPolicy.Age(secs) =>
+      nowMsOpt.getOrElse(System.currentTimeMillis()) - secs * 1000
+    case RetentionPolicy.Infinite => Long.MinValue
+  }
+
+  /** Offset at which the last bytes-capped admission saw an empty file
+    * listing (-1 = none): distinguishes a transient mid-compaction
+    * listing race (hold position one trigger) from a physically
+    * reclaimed range (skip ahead on the second observation). */
+  @volatile private var emptyListingAt: Long = -1L
 
   override def initialOffset(): Offset = GraftOffset(startSeq)
 
@@ -189,11 +219,34 @@ final class GraftMicroBatchStream(root: String, basin: String, stream: String,
           .filter(st => st.maxSeq >= effStart && st.minSeq < tail)
         while (!done && it.hasNext) {
           val st = it.next()
-          val fb = FileIndex.sums(st.path).metered
+          // a mid-file resume charges only the remaining suffix of the
+          // boundary file, not its whole metered sum — otherwise a
+          // budget smaller than one whole file degrades to
+          // one-file-per-batch regardless of how little remains
+          val fb = {
+            val whole = FileIndex.sums(st.path).metered
+            if (st.minSeq < effStart)
+              whole - FileIndex.prefixMetered(st.path, effStart)
+            else whole
+          }
           if (admitted > 0 && bytes + fb > b.maxBytes()) done = true
           else { bytes += fb; admitted += 1; byteEnd = math.min(st.maxSeq + 1, tail) }
         }
-        if (admitted > 0) end = math.min(end, byteEnd)
+        // admitted == 0: either the listing is momentarily behind the
+        // manifest (mid-compaction swap) or the range was physically
+        // reclaimed (full retention expiry leaves zero files while
+        // tail > effStart). The first observation holds position — no
+        // progress rather than silently dropping the bytes cap and
+        // admitting the whole backlog; a second consecutive empty
+        // observation at the same offset means the gap is real, and
+        // the follower skips ahead like the uncapped path would.
+        if (admitted == 0) {
+          if (emptyListingAt != effStart) { emptyListingAt = effStart; end = effStart }
+          // else: persistent — leave `end` unbounded by the bytes cap
+        } else {
+          emptyListingAt = -1L
+          end = math.min(end, byteEnd)
+        }
       case _: ReadAllAvailable => // no bound
       case _ => // unknown limit kinds admit everything available
     }
@@ -213,7 +266,7 @@ final class GraftMicroBatchStream(root: String, basin: String, stream: String,
     // retention-expired rows; followers must agree (read.rs:112-131 —
     // a catch-up can never see trimmed keys)
     val lo = math.max(s, m.trimPoint)
-    val cutoff = retentionCutoff(System.currentTimeMillis())
+    val cutoff = retentionCutoff()
     if (e <= lo) return Array.empty
     // shared driver-side footer-stats cache (graft.log.FileIndex):
     // catch-up ranges open only the files overlapping [lo, e) that can
