@@ -412,6 +412,41 @@ object TextOps {
         |  CAST(32 + (byte_len * 7) % 64 AS BIGINT) AS width,
         |  CAST(32 + (byte_len * 13) % 64 AS BIGINT) AS height
         |FROM (SELECT event_id, CAST(strlen(props) AS BIGINT) AS byte_len FROM events)
-        |ORDER BY event_id""".stripMargin))
+        |ORDER BY event_id""".stripMargin)),
+
+    // REAL image-header decode end-to-end: the Spark side builds valid
+    // PNG/JPEG/GIF header bytes with dimensions derived from event_id,
+    // then graft.extras.Multimodal.ImageHeaderDecoder parses format and
+    // width/height back OUT OF THE BYTES (mapPartitions, one decoder
+    // per partition). The oracle recomputes the dimensions
+    // arithmetically — a parser bug (endianness, offset, marker walk)
+    // hash-mismatches immediately.
+    QueryDef("mm2_image_dims",
+      (s, d) => {
+        import s.implicits._
+        val ids = Records.events(s, d)
+          .select(col("event_id").cast(LongType)).as[Long]
+        val blobs = ids.map { id =>
+          val w = (32 + (id * 7) % 64).toInt
+          val h = (32 + (id * 13) % 64).toInt
+          val bytes = (id % 3) match {
+            case 0 => graft.extras.Multimodal.ImageBytes.png(w, h)
+            case 1 => graft.extras.Multimodal.ImageBytes.jpeg(w, h)
+            case _ => graft.extras.Multimodal.ImageBytes.gif(w, h)
+          }
+          (id, bytes)
+        }.toDF("event_id", "blob")
+        graft.extras.Multimodal.decodeMeta(blobs, "blob", "event_id")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+        |  CAST(CASE event_id % 3 WHEN 0 THEN 24 WHEN 1 THEN 19 ELSE 13 END
+        |    AS BIGINT) AS byte_len,
+        |  CASE event_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'gif' END
+        |    AS format,
+        |  CAST(32 + (event_id * 7) % 64 AS INT) AS width,
+        |  CAST(32 + (event_id * 13) % 64 AS INT) AS height,
+        |  TRUE AS ok
+        |FROM events ORDER BY event_id""".stripMargin))
   )
 }

@@ -14,20 +14,47 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
-  test("decodeMeta: partition-batched stub decode with typed schema") {
+  test("ImageHeaderDecoder parses real PNG/JPEG/GIF headers, rejects garbage") {
+    val dec = new Multimodal.ImageHeaderDecoder
+    val png = dec.decode(Multimodal.ImageBytes.png(640, 480))
+    assert(png == Multimodal.MediaMeta(24, "png", 640, 480, ok = true))
+    val jpg = dec.decode(Multimodal.ImageBytes.jpeg(1920, 1080))
+    assert(jpg == Multimodal.MediaMeta(19, "jpg", 1920, 1080, ok = true))
+    val gif = dec.decode(Multimodal.ImageBytes.gif(320, 200))
+    assert(gif == Multimodal.MediaMeta(13, "gif", 320, 200, ok = true))
+    // dimensions above 255 exercise both bytes of each u16 field
+    assert(dec.decode(Multimodal.ImageBytes.jpeg(258, 515)).width == 258)
+    assert(dec.decode(Multimodal.ImageBytes.jpeg(258, 515)).height == 515)
+    // malformed inputs: truncated, wrong chunk, plain garbage, null
+    assert(!dec.decode(Multimodal.ImageBytes.png(1, 1).take(12)).ok)
+    assert(!dec.decode("not an image at all".getBytes).ok)
+    assert(!dec.decode(Array[Byte](0xff.toByte, 0xd8.toByte, 0x00, 0x00)).ok)
+    assert(!dec.decode(null).ok)
+    assert(!dec.decode(Array.emptyByteArray).ok)
+  }
+
+  test("decodeMeta: partition-batched REAL header decode with typed schema") {
     import spark.implicits._
     val df = Seq(
-      (1L, "abcdef".getBytes),
-      (2L, "x".getBytes),
-      (3L, null.asInstanceOf[Array[Byte]]))
+      (1L, Multimodal.ImageBytes.png(100, 50)),
+      (2L, Multimodal.ImageBytes.jpeg(64, 32)),
+      (3L, null.asInstanceOf[Array[Byte]]),
+      (4L, "garbage-bytes".getBytes))
       .toDF("media_id", "blob").repartition(2)
     val out = Multimodal.decodeMeta(df, "blob", "media_id")
       .orderBy("media_id").collect()
-    assert(out.map(_.getString(2)).toSeq == Seq("png", "jpg", "unknown"))
-    assert(out.map(_.getLong(1)).toSeq == Seq(6L, 1L, 0L))
-    assert(out.map(_.getBoolean(5)).toSeq == Seq(true, true, false))
-    // deterministic fake dims
-    assert(out(0).getInt(3) == (32 + 6 * 7 % 64))
+    assert(out.map(_.getString(2)).toSeq == Seq("png", "jpg", "unknown", "unknown"))
+    assert(out.map(_.getBoolean(5)).toSeq == Seq(true, true, false, false))
+    assert(out(0).getInt(3) == 100 && out(0).getInt(4) == 50)
+    assert(out(1).getInt(3) == 64 && out(1).getInt(4) == 32)
+  }
+
+  test("FakeDecoder stub stays deterministic (full-pixel decode stand-in)") {
+    val dec = new Multimodal.FakeDecoder
+    val m = dec.decode("abcdef".getBytes)
+    assert(m == Multimodal.MediaMeta(6, "png", 32 + 6 * 7 % 64, 32 + 6 * 13 % 64,
+      ok = true))
+    assert(!dec.decode(null).ok)
   }
 
   test("sampleFrames: k frames per blob with deterministic offsets") {
