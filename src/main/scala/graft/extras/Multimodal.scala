@@ -85,10 +85,13 @@ object Multimodal {
       }
 
       // GIF: "GIF87a"/"GIF89a", logical screen w/h little-endian at 6/8
+      // (13-byte minimum: header + logical screen descriptor)
       if (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' &&
           bytes(3) == '8' && (bytes(4) == '7' || bytes(4) == '9') &&
-          bytes(5) == 'a')
+          bytes(5) == 'a') {
+        if (bytes.length < 13) return bad
         return MediaMeta(n, "gif", le16(bytes, 6), le16(bytes, 8), ok = true)
+      }
 
       bad
     }

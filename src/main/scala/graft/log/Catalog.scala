@@ -164,8 +164,12 @@ final class Catalog(root: String) {
       case Some((t, s, v)) if t == ft && s == size => v.asInstanceOf[A]
       case _ =>
         val v = Layout.readJson[A](path).getOrElse(default)
-        cache.put(path.toString,
-          (Files.getLastModifiedTime(path), Files.size(path), v))
+        // key the cache by the PRE-read stat: if a foreign process
+        // replaces the file while we parse, the next call re-stats,
+        // mismatches, and re-parses — keying by a post-read stat
+        // would pair the new (mtime, size) with the old content and
+        // serve it stale until the file changes again
+        cache.put(path.toString, (ft, size, v))
         v
     }
   }
@@ -179,19 +183,37 @@ final class Catalog(root: String) {
   /** One-time migration of a pre-shard single-file root: split
     * `catalog.json` into the sharded layout, then park the legacy file
     * under a `.pre-shard` name so the migration never re-runs.
+    *
+    * Serialized ACROSS PROCESSES by an OS file lock (two Catalog
+    * instances constructed concurrently over one legacy root must not
+    * both migrate — a slow loser would overwrite freshly mutated
+    * shards with stale legacy content) and re-checked under the lock.
+    * basins.json is written LAST, so any instance that observes it can
+    * trust every shard is already in place.
     */
-  lock.synchronized {
-    val legacy = Layout.catalogPath(root)
-    if (Files.exists(legacy) && !Files.exists(basinsPath)) {
-      val st = Layout.readJson[CatalogState](legacy).getOrElse(CatalogState())
-      st.streams.groupBy(s => (s.basin, Catalog.shardOf(s.name))).foreach {
-        case ((b, sh), entries) =>
-          saveFile(Layout.streamShardPath(root, b, sh), StreamShard(entries))
-      }
-      saveFile(basinsPath, BasinsFile(st.basins))
-      Files.move(legacy, legacy.resolveSibling("catalog.json.pre-shard"))
+  if (Files.exists(Layout.catalogPath(root)) && !Files.exists(basinsPath))
+    lock.synchronized {
+      val legacy = Layout.catalogPath(root)
+      Files.createDirectories(legacy.getParent)
+      val lockPath = legacy.resolveSibling("migrate.lock")
+      val ch = java.nio.channels.FileChannel.open(lockPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val fl = ch.lock()
+        try {
+          if (Files.exists(legacy) && !Files.exists(basinsPath)) {
+            val st = Layout.readJson[CatalogState](legacy).getOrElse(CatalogState())
+            st.streams.groupBy(s => (s.basin, Catalog.shardOf(s.name))).foreach {
+              case ((b, sh), entries) =>
+                saveFile(Layout.streamShardPath(root, b, sh), StreamShard(entries))
+            }
+            saveFile(basinsPath, BasinsFile(st.basins))
+            Files.move(legacy, legacy.resolveSibling("catalog.json.pre-shard"))
+          }
+        } finally fl.release()
+      } finally ch.close()
     }
-  }
 
   private def basinsFile(): BasinsFile = loadCached(basinsPath, BasinsFile())
 
@@ -485,11 +507,20 @@ final class Catalog(root: String) {
           s.copy(deletedAt = Some(now())) else s)))
     }
 
+  /** Takes BOTH the basin-list lock and the basin's stream lock (in
+    * that order — stream ops never take `lock`, so no cycle): a
+    * createStream/ensureStream that already passed its liveness check
+    * under basinLock finishes committing before the deletion lands,
+    * and any later stream op observes deletedAt. Without the basin
+    * lock, a stream could be committed into a just-deleted basin.
+    */
   def markBasinDeleted(name: String): Unit = lock.synchronized {
-    val st = basinsFile()
-    saveFile(basinsPath, st.copy(basins = st.basins.map(b =>
-      if (b.name == name && b.deletedAt.isEmpty) b.copy(deletedAt = Some(now()))
-      else b)))
+    basinLock(name).synchronized {
+      val st = basinsFile()
+      saveFile(basinsPath, st.copy(basins = st.basins.map(b =>
+        if (b.name == name && b.deletedAt.isEmpty) b.copy(deletedAt = Some(now()))
+        else b)))
+    }
   }
 
   def hardDeleteStream(basin: String, name: String): Unit =

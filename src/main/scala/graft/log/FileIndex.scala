@@ -132,9 +132,6 @@ object FileIndex {
     } finally reader.close()
   }
 
-  /** Exact (Σ metered_size, Σ metered over commands, # commands) of
-    * one file — one projected scan, ever, per immutable file.
-    */
   /** Σ metered_size of the rows with seq_num < `bound` in one file —
     * the pre-resume prefix a mid-file follower must NOT be charged
     * (GraftStreamSource bytes admission). One projected scan per call;
@@ -156,6 +153,9 @@ object FileIndex {
         total
     }
 
+  /** Exact (Σ metered_size, Σ metered over commands, # commands) of
+    * one file — one projected scan, ever, per immutable file.
+    */
   def sums(path: String): FileSums = sumsCache.getOrElseUpdate(path, {
     var total = 0L
     var cmd = 0L

@@ -23,10 +23,10 @@ object TextOps {
 
   // ---- shared Spark-side corpus helpers -----------------------------------
 
-  private def docs(s: SparkSession, d: String): DataFrame =
+  private[graft] def docs(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"$d/documents.parquet")
 
-  private def docsAug(s: SparkSession, d: String): DataFrame = {
+  private[graft] def docsAug(s: SparkSession, d: String): DataFrame = {
     val base = docs(s, d).select("doc_id", "text", "lang")
     val exact = base.where(col("doc_id") % 17 === 0)
       .select((col("doc_id") + 1000000).as("doc_id"), col("text"), col("lang"))
@@ -39,7 +39,7 @@ object TextOps {
   /** Distinct word-3-gram shingles per doc (1-based indexing to mirror
     * the DuckDB formulation).
     */
-  private def shingles(df: DataFrame): DataFrame = {
+  private[graft] def shingles(df: DataFrame): DataFrame = {
     // Materialize the token array in its own projection: referencing
     // `split(...)` directly inside the transform lambda re-evaluates
     // the split per element_at call (3x per shingle) — a projection
@@ -55,7 +55,7 @@ object TextOps {
           .otherwise(array().cast(ArrayType(StringType))))).as("sh"))
   }
 
-  private def md5s(c: Column): Column = md5(c.cast(BinaryType))
+  private[graft] def md5s(c: Column): Column = md5(c.cast(BinaryType))
 
   // ---- shared DuckDB CTE fragments ----------------------------------------
 

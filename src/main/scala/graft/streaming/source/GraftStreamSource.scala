@@ -166,11 +166,16 @@ final class GraftMicroBatchStream(root: String, basin: String, stream: String,
     case RetentionPolicy.Infinite => Long.MinValue
   }
 
-  /** Offset at which the last bytes-capped admission saw an empty file
-    * listing (-1 = none): distinguishes a transient mid-compaction
-    * listing race (hold position one trigger) from a physically
-    * reclaimed range (skip ahead on the second observation). */
-  @volatile private var emptyListingAt: Long = -1L
+  /** Offset at which bytes-capped admission first saw an empty file
+    * listing, and when (-1 = none): distinguishes a transient
+    * mid-compaction listing race (hold position) from a physically
+    * reclaimed range (skip ahead). The skip requires BOTH a repeat
+    * observation at the same offset AND ≥ 1 s elapsed — rapid triggers
+    * (ProcessingTime(0)/AvailableNow) can re-observe a µs-scale
+    * directory swap within milliseconds, and skipping then would
+    * permanently drop the records that reappear an instant later. */
+  @volatile private var emptyListingAt: (Long, Long) = (-1L, 0L)
+  private val EmptyListingGraceNanos = 1_000_000_000L
 
   override def initialOffset(): Offset = GraftOffset(startSeq)
 
@@ -235,16 +240,19 @@ final class GraftMicroBatchStream(root: String, basin: String, stream: String,
         // admitted == 0: either the listing is momentarily behind the
         // manifest (mid-compaction swap) or the range was physically
         // reclaimed (full retention expiry leaves zero files while
-        // tail > effStart). The first observation holds position — no
-        // progress rather than silently dropping the bytes cap and
-        // admitting the whole backlog; a second consecutive empty
-        // observation at the same offset means the gap is real, and
-        // the follower skips ahead like the uncapped path would.
+        // tail > effStart). Hold position — no progress rather than
+        // silently dropping the bytes cap and admitting the whole
+        // backlog — until the gap persists at the same offset for the
+        // grace period; only then is it real, and the follower skips
+        // ahead like the uncapped path would.
         if (admitted == 0) {
-          if (emptyListingAt != effStart) { emptyListingAt = effStart; end = effStart }
+          val (at, since) = emptyListingAt
+          val t = System.nanoTime()
+          if (at != effStart) { emptyListingAt = (effStart, t); end = effStart }
+          else if (t - since < EmptyListingGraceNanos) end = effStart
           // else: persistent — leave `end` unbounded by the bytes cap
         } else {
-          emptyListingAt = -1L
+          emptyListingAt = (-1L, 0L)
           end = math.min(end, byteEnd)
         }
       case _: ReadAllAvailable => // no bound

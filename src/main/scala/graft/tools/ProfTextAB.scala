@@ -20,28 +20,11 @@ object ProfTextAB {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def docsAug(): DataFrame = {
-      val base = spark.read.parquet(s"$d/documents.parquet")
-        .select("doc_id", "text", "lang")
-      base
-        .unionAll(base.where(col("doc_id") % 17 === 0)
-          .select((col("doc_id") + 1000000).as("doc_id"), col("text"), col("lang")))
-        .unionAll(base.where(col("doc_id") % 13 === 0)
-          .select((col("doc_id") + 2000000).as("doc_id"),
-            concat(col("text"), lit(" near duplicate suffix")).as("text"), col("lang")))
-    }
-    def shingles(df: DataFrame): DataFrame = {
-      val w = col("w")
-      df.select(col("doc_id"), split(col("text"), " ").as("w"))
-        .select(col("doc_id"),
-          explode(array_distinct(
-            when(size(w) >= 3,
-              transform(sequence(lit(1), size(w) - 2),
-                i => concat_ws(" ", element_at(w, i), element_at(w, i + 1),
-                  element_at(w, i + 2))))
-              .otherwise(array().cast(ArrayType(StringType))))).as("sh"))
-    }
-    def md5s(c: Column): Column = md5(c.cast(BinaryType))
+    // fixtures come from the PRODUCTION code so A/B numbers can't
+    // drift from what the queries actually run; only the candidate
+    // shapes under test are inlined here
+    import graft.queries.TextOps.{docsAug => prodDocsAug, shingles, md5s}
+    def docsAug(): DataFrame = prodDocsAug(spark, d)
 
     def jacOut(common: DataFrame, counts: DataFrame): DataFrame = common
       .join(counts.toDF("doc_a", "na"), "doc_a")
