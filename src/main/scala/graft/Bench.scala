@@ -31,9 +31,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // ---- warm-up (not billed): session, codegen, parquet footers ----
+    // ---- warm-up (not billed): session, codegen, parquet footers,
+    // and the SHARED e2e fixture store — its one-time ingest was
+    // otherwise billed to whichever e2e_store_* query ran first
+    // (alphabetically e2e_store_read_limits), masking that query's
+    // actual cost
     SparkEntry.queries("r1_check_tail")(spark, sfDir).count()
     SparkEntry.queries("q1_pricing_summary")(spark, sfDir).count()
+    graft.queries.EngineOps.storeFor(spark, sfDir)
 
     // ---- query timings ----
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

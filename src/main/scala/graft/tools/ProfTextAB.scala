@@ -122,6 +122,41 @@ object ProfTextAB {
       (out, Nil)
     }
 
+    // minhash m0: production shape (sizes agg + join + self-join + distinct)
+    def minhashJoinCands(): (DataFrame, Seq[DataFrame]) = {
+      import graft.queries.TextOps
+      val sh = shingles(docsAug())
+      val bands = TextOps.minhashBands(sh)
+      val cands = TextOps.cappedCandidates(bands, TextOps.BandBucketCap)
+      val out = TextOps.jaccardFor(cands, sh)
+        .where(col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+      (out, Nil)
+    }
+
+    // minhash m1: candidates via ONE groupBy per bucket + ordered-pair
+    // explosion (cap bounds each list at 64), replacing the
+    // sizes-agg + join + self-join + distinct chain
+    def minhashGroupCands(): (DataFrame, Seq[DataFrame]) = {
+      import graft.queries.TextOps
+      val sh = shingles(docsAug())
+      val bands = TextOps.minhashBands(sh)
+      val cands = bands.groupBy("band", "band_key")
+        .agg(sort_array(collect_list("doc_id")).as("ds"))
+        .where(size(col("ds")).between(2, TextOps.BandBucketCap.toInt))
+        .select(explode(flatten(
+          transform(col("ds"), (x, i) =>
+            transform(slice(col("ds"), i + 2, size(col("ds"))),
+              y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+        .select(col("p.doc_a"), col("p.doc_b")).distinct()
+      val out = TextOps.jaccardFor(cands, sh)
+        .where(col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+      (out, Nil)
+    }
+
     def run(label: String, mk: () => (DataFrame, Seq[DataFrame])): Unit = {
       val times = (0 until 3).map { _ =>
         val (q, cached) = mk()
@@ -145,6 +180,8 @@ object ProfTextAB {
     run("simhash s1 persist", () => simhash(true))
     run("simhash s2 conv-nibbles", () => simhashConv())
     run("simhash s3 wide-conv", () => simhashWideConv())
+    run("minhash m0 join-cands", () => minhashJoinCands())
+    run("minhash m1 group-cands", () => minhashGroupCands())
     spark.stop()
   }
 }
