@@ -92,8 +92,18 @@ object GraftFunctions {
     Bridge.column(MeteredSizeExpr(
       Bridge.expression(headers), Bridge.expression(body)))
 
-  /** SQL registration: SELECT metered_size(headers, body) ... */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Column API: cosine_sim(a, b) over two ARRAY<FLOAT> columns. */
+  def cosine_sim(a: Column, b: Column): Column =
+    Bridge.column(CosineSimilarityExpr(
+      Bridge.expression(a), Bridge.expression(b)))
+
+  /** SQL registration: SELECT metered_size(headers, body),
+    * cosine_sim(va, vb) ...
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     Bridge.registerFunction(spark, "metered_size",
       exprs => MeteredSizeExpr(exprs(0), exprs(1)))
+    Bridge.registerFunction(spark, "cosine_sim",
+      exprs => CosineSimilarityExpr(exprs(0), exprs(1)))
+  }
 }

@@ -22,14 +22,15 @@ object VectorOps {
   private def emb(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"$d/embeddings.parquet")
 
-  /** Sequential-fold cosine between two ARRAY<FLOAT> columns (double). */
+  /** Sequential-fold cosine between two ARRAY<FLOAT> columns (double)
+    * — the custom codegen'd Catalyst expression
+    * (graft.functions.CosineSimilarityExpr): one fused primitive loop
+    * per pair instead of the interpreted aggregate(zip_with(...))
+    * higher-order chain, with bit-identical fold order so the DuckDB
+    * oracle's 6-decimal-rounded scores still hash-match.
+    */
   private def cosine(a: String, b: String): Column =
-    expr(s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-                       CAST(0 AS DOUBLE), (acc, v) -> acc + v)
-             / (sqrt(aggregate($a, CAST(0 AS DOUBLE),
-                       (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))
-              * sqrt(aggregate($b, CAST(0 AS DOUBLE),
-                       (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))""")
+    graft.functions.GraftFunctions.cosine_sim(col(a), col(b))
 
   /** DuckDB equivalent of cosine(a, b). */
   private def duckCosine(a: String, b: String): String =
