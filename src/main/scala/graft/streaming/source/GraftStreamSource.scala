@@ -89,7 +89,7 @@ final class GraftStreamTable(props: Map[String, String]) extends Table with Supp
     s"graft-stream:${props.getOrElse("basin", "?")}/${props.getOrElse("stream", "?")}"
   override def schema(): StructType = GraftStreamSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => new GraftScan(props ++ options.asScala)
 }
@@ -105,6 +105,43 @@ final class GraftScan(props: Map[String, String]) extends Scan {
       opt("maxRecordsPerTrigger").map(_.toLong),
       opt("maxBytesPerTrigger").map(_.toLong),
       opt("nowMs").map(_.toLong))
+
+  /** Batch read over the same connector: `spark.read.format
+    * ("graft-stream").option("root", …).option("basin", …)
+    * .option("stream", …)` plans a point-in-time snapshot with the
+    * same pruned file list and visibility masks as the streaming path
+    * (tail from the manifest, trim fold, retention cutoff), reusing
+    * the executor-side partition reader. Optional `startSeq` /
+    * `endSeq` bound the seq range.
+    */
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] = {
+      val root = props("root")
+      val basin = props("basin")
+      val stream = props("stream")
+      val m = Layout.readJson[StreamManifest](
+        Layout.statePath(root, basin, stream)).getOrElse(StreamManifest())
+      val lo = math.max(opt("startSeq").map(_.toLong).getOrElse(0L), m.trimPoint)
+      val e = math.min(opt("endSeq").map(_.toLong).getOrElse(Long.MaxValue), m.tailSeq)
+      val cutoff = {
+        val catalog = new Catalog(root)
+        catalog.streamConfig(basin, stream)
+          .getOrElse(StreamConfig.SystemDefault).retentionOrDefault match {
+          case RetentionPolicy.Age(secs) =>
+            opt("nowMs").map(_.toLong)
+              .getOrElse(System.currentTimeMillis()) - secs * 1000
+          case RetentionPolicy.Infinite => Long.MinValue
+        }
+      }
+      if (e <= lo) return Array.empty
+      FileIndex.listStats(Layout.dataDir(root, basin, stream))
+        .filter(st => st.maxSeq >= lo && st.minSeq < e && st.maxTs >= cutoff)
+        .map(st => GraftInputPartition(st.path, lo, e, cutoff))
+        .toArray[InputPartition]
+    }
+    override def createReaderFactory(): PartitionReaderFactory =
+      new GraftReaderFactory
+  }
 }
 
 /** Offset = the next seq_num to read (exclusive end of what was read). */

@@ -202,6 +202,36 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch == Seq(2L, 3L))
   }
 
+  test("batch read through the connector equals the engine read path") {
+    val dir = Files.createTempDirectory("graft-src8").toString
+    val st = new StreamStore(spark, dir)
+    st.catalog.createBasin("test-basin",
+      BasinConfig(defaultStreamConfig =
+        StreamConfig(retentionPolicy = Some(RetentionPolicy.Infinite))))
+    st.catalog.createStream("test-basin", "s")
+    st.append("test-basin", "s",
+      AppendInput(Seq(env("a"), env("b"), env("c"), env("d"), env("e"))), Some(1000L))
+    st.append("test-basin", "s", AppendInput(Seq(TrimCommand(2L))), Some(2000L))
+
+    // same connector, batch: spark.read instead of readStream
+    val got = spark.read.format("graft-stream")
+      .option("root", dir).option("basin", "test-basin").option("stream", "s")
+      .load()
+      .select("seq_num").collect().map(_.getLong(0)).toSeq.sorted
+    val engine = st.read("test-basin", "s",
+        ReadSpec(ReadStart(ReadFrom.SeqNum(0)))).toOption.get
+      .select("seq_num").collect().map(_.getLong(0)).toSeq.sorted
+    assert(got == engine && got == Seq(2L, 3L, 4L, 5L)) // trim masked
+
+    // explicit seq bounds prune
+    val bounded = spark.read.format("graft-stream")
+      .option("root", dir).option("basin", "test-basin").option("stream", "s")
+      .option("startSeq", "3").option("endSeq", "5")
+      .load()
+      .select("seq_num").collect().map(_.getLong(0)).toSeq.sorted
+    assert(bounded == Seq(3L, 4L))
+  }
+
   test("bytes admission charges only the remaining suffix of a mid-file resume") {
     import graft.log.{FileIndex, Layout}
     import graft.streaming.source.{GraftMicroBatchStream, GraftOffset}
