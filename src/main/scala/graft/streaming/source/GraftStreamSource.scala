@@ -91,10 +91,54 @@ final class GraftStreamTable(props: Map[String, String]) extends Table with Supp
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new GraftScan(props ++ options.asScala)
+    new GraftScanBuilder(props ++ options.asScala)
 }
 
-final class GraftScan(props: Map[String, String]) extends Scan {
+/** Accepts seq_num / timestamp range predicates for file pruning.
+  * Everything is reported back as residual (Spark re-evaluates rows),
+  * but seq_num bounds additionally fold into the reader's exact
+  * [lo, end) mask and timestamp bounds prune whole files by their
+  * footer stats — a `WHERE seq_num >= x` SQL read of a 10 TB stream
+  * opens only the overlapping files, same as the engine read path.
+  */
+final class GraftScanBuilder(props: Map[String, String])
+    extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
+
+  private var pushed: Array[Filter] = Array.empty
+  private var seqLo = Long.MinValue
+  private var seqHi = Long.MaxValue // exclusive
+  private var tsLo = Long.MinValue
+  private var tsHi = Long.MaxValue // exclusive
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val accepted = filters.filter {
+      case GreaterThanOrEqual("seq_num", v: Long) => seqLo = math.max(seqLo, v); true
+      case GreaterThan("seq_num", v: Long) => seqLo = math.max(seqLo, v + 1); true
+      case LessThan("seq_num", v: Long) => seqHi = math.min(seqHi, v); true
+      case LessThanOrEqual("seq_num", v: Long) => seqHi = math.min(seqHi, v + 1); true
+      case EqualTo("seq_num", v: Long) =>
+        seqLo = math.max(seqLo, v); seqHi = math.min(seqHi, v + 1); true
+      case GreaterThanOrEqual("timestamp", v: Long) => tsLo = math.max(tsLo, v); true
+      case GreaterThan("timestamp", v: Long) => tsLo = math.max(tsLo, v + 1); true
+      case LessThan("timestamp", v: Long) => tsHi = math.min(tsHi, v); true
+      case LessThanOrEqual("timestamp", v: Long) => tsHi = math.min(tsHi, v + 1); true
+      case _ => false
+    }
+    pushed = accepted
+    filters // all residual: Spark re-evaluates rows (pruning is file-level)
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new GraftScan(props, seqLo, seqHi, tsLo, tsHi)
+}
+
+final class GraftScan(props: Map[String, String],
+                      seqLo: Long = Long.MinValue, seqHi: Long = Long.MaxValue,
+                      tsLo: Long = Long.MinValue, tsHi: Long = Long.MaxValue)
+    extends Scan {
   private def opt(name: String): Option[String] =
     props.get(name.toLowerCase(java.util.Locale.ROOT)).orElse(props.get(name))
   override def readSchema(): StructType = GraftStreamSource.Schema
@@ -121,21 +165,25 @@ final class GraftScan(props: Map[String, String]) extends Scan {
       val stream = props("stream")
       val m = Layout.readJson[StreamManifest](
         Layout.statePath(root, basin, stream)).getOrElse(StreamManifest())
-      val lo = math.max(opt("startSeq").map(_.toLong).getOrElse(0L), m.trimPoint)
-      val e = math.min(opt("endSeq").map(_.toLong).getOrElse(Long.MaxValue), m.tailSeq)
+      val lo = Seq(opt("startSeq").map(_.toLong).getOrElse(0L),
+        m.trimPoint, seqLo).max
+      val e = Seq(opt("endSeq").map(_.toLong).getOrElse(Long.MaxValue),
+        m.tailSeq, seqHi).min
       val cutoff = {
         val catalog = new Catalog(root)
-        catalog.streamConfig(basin, stream)
+        val ret = catalog.streamConfig(basin, stream)
           .getOrElse(StreamConfig.SystemDefault).retentionOrDefault match {
           case RetentionPolicy.Age(secs) =>
             opt("nowMs").map(_.toLong)
               .getOrElse(System.currentTimeMillis()) - secs * 1000
           case RetentionPolicy.Infinite => Long.MinValue
         }
+        math.max(ret, tsLo) // pushed timestamp lower bound prunes too
       }
       if (e <= lo) return Array.empty
       FileIndex.listStats(Layout.dataDir(root, basin, stream))
-        .filter(st => st.maxSeq >= lo && st.minSeq < e && st.maxTs >= cutoff)
+        .filter(st => st.maxSeq >= lo && st.minSeq < e &&
+          st.maxTs >= cutoff && st.minTs < tsHi)
         .map(st => GraftInputPartition(st.path, lo, e, cutoff))
         .toArray[InputPartition]
     }

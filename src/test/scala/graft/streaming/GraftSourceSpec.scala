@@ -2,6 +2,7 @@ package graft.streaming
 
 import java.nio.file.Files
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 
@@ -230,6 +231,36 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .load()
       .select("seq_num").collect().map(_.getLong(0)).toSeq.sorted
     assert(bounded == Seq(3L, 4L))
+  }
+
+  test("batch read pushes seq_num/timestamp predicates into file pruning") {
+    val dir = Files.createTempDirectory("graft-src9").toString
+    val st = new StreamStore(spark, dir)
+    st.catalog.createBasin("test-basin",
+      BasinConfig(defaultStreamConfig =
+        StreamConfig(retentionPolicy = Some(RetentionPolicy.Infinite))))
+    st.catalog.createStream("test-basin", "s")
+    // two files: seqs 0-2 (ts 1000), seqs 3-5 (ts 2000)
+    st.append("test-basin", "s",
+      AppendInput(Seq(env("a"), env("b"), env("c"))), Some(1000L))
+    st.append("test-basin", "s",
+      AppendInput(Seq(env("d"), env("e"), env("f"))), Some(2000L))
+
+    def scan() = spark.read.format("graft-stream")
+      .option("root", dir).option("basin", "test-basin").option("stream", "s")
+      .load()
+
+    // a WHERE on seq_num must both return exact rows and open only the
+    // overlapping file (one input partition per planned file)
+    val q = scan().where(col("seq_num") >= 3)
+    assert(q.select("seq_num").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(3L, 4L, 5L))
+    assert(q.rdd.getNumPartitions == 1, "seq_num bound did not prune the first file")
+
+    val q2 = scan().where(col("timestamp") < 1500)
+    assert(q2.select("seq_num").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(0L, 1L, 2L))
+    assert(q2.rdd.getNumPartitions == 1, "timestamp bound did not prune the second file")
   }
 
   test("bytes admission charges only the remaining suffix of a mid-file resume") {
