@@ -458,8 +458,13 @@ final class StreamStore(val spark: SparkSession, val root: String) {
     // per-stream commit (no extra job): under the stream lock, verify
     // the CAS precondition, move the staged files into the live dir,
     // then commit the manifest — so a concurrent writer on another
-    // driver aborts this stream's commit with its files still staged
-    try runSeq.keys.map { case k @ (b, s) =>
+    // driver aborts this stream's commit with its files still staged.
+    // Streams are independent (each under its own lock), so commits
+    // run on a bounded pool: serial driver IO of ~1-3 ms per manifest
+    // is fine at 8 streams but becomes the whole ingest at 10k+
+    // streams per batch.
+    val commitPar = math.min(16, runSeq.size)
+    try parallelMap(runSeq.keys.toSeq, commitPar) { case k @ (b, s) =>
       val m = tails(k)
       val newM = m.copy(tailSeq = runSeq(k),
         tailTs = math.max(m.tailTs, runTs(k)),
@@ -497,6 +502,24 @@ final class StreamStore(val spark: SparkSession, val root: String) {
         StreamPosition(newM.tailSeq, newM.tailTs))
     }.toMap
     finally deleteRecursively(Paths.get(stage)) // uncommitted files die staged
+  }
+
+  /** Map `f` over `items` on a bounded worker pool, preserving failure
+    * semantics: the first thrown exception propagates (after all
+    * workers settle), like the sequential loop it replaces.
+    */
+  private def parallelMap[A, B](items: Seq[A], parallelism: Int)(f: A => B): Seq[B] = {
+    if (items.size <= 1 || parallelism <= 1) return items.map(f)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+    try {
+      val futures = items.map(a => pool.submit(new java.util.concurrent.Callable[B] {
+        def call(): B = f(a)
+      }))
+      futures.map { fut =>
+        try fut.get()
+        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+      }
+    } finally pool.shutdown()
   }
 
   // -------------------------------------------------------------------------

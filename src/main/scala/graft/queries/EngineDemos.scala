@@ -251,6 +251,50 @@ object EngineDemos {
         "name_too_long" -> inv("a" * 65))
     },
 
+    // SQL surface — TableCatalog plugin + batch DSv2 connector +
+    // predicate pushdown, end-to-end through spark.sql
+    demo("e2e_sql_catalog", Seq(
+      "show_tables" -> "orders",
+      "count" -> "5",
+      "pushdown_seqs" -> "3,4",
+      "pruned_partitions" -> "1",
+      "ddl_create" -> "true",
+      "ddl_drop" -> "true")) { (s, st) =>
+      // unique catalog name: Spark caches plugin instances per session
+      val cat = "graftsql" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        "graft.streaming.source.GraftCatalogPlugin")
+      s.conf.set(s"spark.sql.catalog.$cat.root", st.root)
+      st.catalog.createStream("demo-basin1", "orders")
+      // two files so the pushdown check observes file pruning
+      st.append("demo-basin1", "orders",
+        AppendInput(Seq(rec("o1"), rec("o2"), rec("o3"))), Some(1000))
+      st.append("demo-basin1", "orders",
+        AppendInput(Seq(rec("o4"), rec("o5"))), Some(2000))
+      val tables = s.sql(s"SHOW TABLES IN $cat.`demo-basin1`")
+        .collect().map(_.getString(1)).sorted.mkString(",")
+      val cnt = s.sql(s"SELECT count(*) FROM $cat.`demo-basin1`.orders")
+        .first().getLong(0)
+      val seqs = s.sql(
+        s"SELECT seq_num FROM $cat.`demo-basin1`.orders WHERE seq_num >= 3 ORDER BY seq_num")
+        .collect().map(_.getLong(0)).mkString(",")
+      // unsorted: rdd partitions == planned files, so 1 proves the
+      // seq bound pruned the first file (a sort would let AQE coalesce
+      // and mask it)
+      val parts = s.sql(
+        s"SELECT seq_num FROM $cat.`demo-basin1`.orders WHERE seq_num >= 3")
+        .rdd.getNumPartitions
+      s.sql(s"CREATE TABLE $cat.`demo-basin1`.clicks")
+      val created = st.catalog.getStream("demo-basin1", "clicks").isDefined
+      s.sql(s"DROP TABLE $cat.`demo-basin1`.clicks")
+      val dropped = st.catalog.getStream("demo-basin1", "clicks").isEmpty
+      Seq(
+        "show_tables" -> tables, "count" -> cnt.toString,
+        "pushdown_seqs" -> seqs, "pruned_partitions" -> parts.toString,
+        "ddl_create" -> created.toString, "ddl_drop" -> dropped.toString)
+    },
+
     // C6 — auto-create on append/read gated by basin flags (core.rs:326-391)
     demo("e2e_c6_auto_create", Seq(
       "append_missing_no_flag" -> "StreamNotFound",
