@@ -99,6 +99,66 @@ class CatalogShardSpec extends AnyFunSuite {
     assert(cat2.listStreams("legacy-basin").items.map(_.name) == Seq("s1", "s3"))
   }
 
+  test("concurrent mutations: parallel across basins, serialized within, none lost") {
+    val r = root()
+    val cat = new Catalog(r)
+    val basins = Seq("conc-basin-a", "conc-basin-b", "conc-basin-c", "conc-basin-d")
+    basins.foreach(b => assert(cat.createBasin(b).isRight))
+
+    // 8 threads x 200 creates, spread over 4 basins and colliding
+    // shards; every create must land exactly once
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val futures = (0 until 8).map { t =>
+      pool.submit(new Runnable {
+        def run(): Unit =
+          (0 until 200).foreach { i =>
+            val b = basins((t + i) % basins.size)
+            cat.createStream(b, s"t$t-s$i") match {
+              case Right(_) =>
+              case Left(e) => errs.add(s"$b t$t-s$i: $e"); ()
+            }
+          }
+      })
+    }
+    futures.foreach(_.get())
+    pool.shutdown()
+    assert(errs.isEmpty, s"lost/failed creates: ${errs.asScala.take(5).toSeq}")
+    val total = basins.map { b =>
+      var items = 0
+      var after = ""
+      var more = true
+      while (more) {
+        val p = cat.listStreams(b, startAfter = after, limit = 1000)
+        items += p.items.size
+        after = p.items.lastOption.map(_.name).getOrElse(after)
+        more = p.hasMore && p.items.nonEmpty
+      }
+      items
+    }.sum
+    assert(total == 1600, s"expected 1600 streams across basins, found $total")
+
+    // racing create vs markBasinDeleted can't commit a live stream
+    // into a deleted basin (the lock-ordering fix from review)
+    val cat2 = new Catalog(root())
+    cat2.createBasin("race-basin-x")
+    val pool2 = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val creator = pool2.submit(new java.util.concurrent.Callable[Int] {
+      def call(): Int =
+        (0 until 500).count(i => cat2.createStream("race-basin-x", s"r$i").isRight)
+    })
+    val deleter = pool2.submit(new Runnable {
+      def run(): Unit = { Thread.sleep(2); cat2.markBasinDeleted("race-basin-x") }
+    })
+    val created = creator.get(); deleter.get(); pool2.shutdown()
+    val live = cat2.listStreams("race-basin-x", limit = 1000).items.size
+    // every stream that was admitted is in the shards; none were
+    // admitted AFTER deletion (creates fail BasinNotFound once the
+    // tombstone lands)
+    assert(live == created || created == 500,
+      s"created=$created but live=$live — a create slipped past basin deletion")
+  }
+
   test("full lifecycle stays inside one shard; listing merges shards sorted") {
     val r = root()
     val cat = new Catalog(r)
