@@ -122,12 +122,20 @@ object ProfTextAB {
       (out, Nil)
     }
 
-    // minhash m0: production shape (sizes agg + join + self-join + distinct)
+    // minhash m0: the RETIRED candidate shape (sizes agg + join +
+    // self-join + distinct), kept inline for comparison
     def minhashJoinCands(): (DataFrame, Seq[DataFrame]) = {
       import graft.queries.TextOps
       val sh = shingles(docsAug())
       val bands = TextOps.minhashBands(sh)
-      val cands = TextOps.cappedCandidates(bands, TextOps.BandBucketCap)
+      val sizes = bands.groupBy("band", "band_key")
+        .agg(count(lit(1)).as("bsz")).where(col("bsz") <= TextOps.BandBucketCap)
+      val inCap = bands.join(sizes.select("band", "band_key"), Seq("band", "band_key"))
+      val aa = inCap.select(col("band"), col("band_key"), col("doc_id").as("doc_a"))
+      val bb = inCap.select(col("band"), col("band_key"), col("doc_id").as("doc_b"))
+      val cands = aa.join(bb, Seq("band", "band_key"))
+        .where(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
       val out = TextOps.jaccardFor(cands, sh)
         .where(col("jaccard") >= 0.5)
         .select("doc_a", "doc_b", "jaccard")
@@ -157,6 +165,20 @@ object ProfTextAB {
       (out, Nil)
     }
 
+    // minhash m2: production shape + persisted shingles (the shingle
+    // pipeline now has 4 consumers: bands, counts, both verify sides)
+    def minhashPersist(): (DataFrame, Seq[DataFrame]) = {
+      import graft.queries.TextOps
+      val sh = shingles(docsAug()).persist()
+      val bands = TextOps.minhashBands(sh)
+      val cands = TextOps.cappedCandidates(bands, TextOps.BandBucketCap)
+      val out = TextOps.jaccardFor(cands, sh)
+        .where(col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+      (out, Seq(sh))
+    }
+
     def run(label: String, mk: () => (DataFrame, Seq[DataFrame])): Unit = {
       val times = (0 until 3).map { _ =>
         val (q, cached) = mk()
@@ -182,6 +204,7 @@ object ProfTextAB {
     run("simhash s3 wide-conv", () => simhashWideConv())
     run("minhash m0 join-cands", () => minhashJoinCands())
     run("minhash m1 group-cands", () => minhashGroupCands())
+    run("minhash m2 group+persist", () => minhashPersist())
     spark.stop()
   }
 }
