@@ -99,4 +99,11 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
         "metered_size(CAST(NULL AS ARRAY<STRUCT<name: BINARY, value: BINARY>>), body) AS m")
     assert(df.head().getLong(0) == 8L + 3L) // 8 + 0 headers + len("abc")
   }
+
+  test("GraftExtensions registers cosine_sim for SQL sessions") {
+    val r = spark.sql(
+      "SELECT cosine_sim(array(CAST(3 AS FLOAT), CAST(0 AS FLOAT)), " +
+        "array(CAST(3 AS FLOAT), CAST(0 AS FLOAT)))").head().getDouble(0)
+    assert(r == 1.0)
+  }
 }
