@@ -215,6 +215,35 @@ class ProducerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(st.checkTail("test-basin", "p9").seqNum == 2)
   }
 
+  test("crash orphan: a file left before the manifest commit is swept, not duplicated") {
+    val st = freshStore()
+    st.catalog.createStream("test-basin", "p10")
+    st.append("test-basin", "p10", AppendInput(Seq(env("a"))), Some(1000L)) // tail=1
+    // simulate a writer that DIED between its data write and manifest
+    // commit: a file holding seqs [1,3) with no manifest bump (the
+    // exception path deletes this; a process death cannot)
+    DirectParquet.writeBatch(Layout.dataDir(st.root, "test-basin", "p10"), Seq(
+      DirectParquet.Rec(1L, 1500L, Nil, "ghost1".getBytes, 14L),
+      DirectParquet.Rec(2L, 1500L, Nil, "ghost2".getBytes, 14L)))
+    // the crashed writer's process is gone: recovery happens in a NEW
+    // store instance over the same root (the sweep runs on an
+    // instance's first commit per stream, not every append)
+    val st2 = new StreamStore(spark, st.root)
+    def rows() = st2.read("test-basin", "p10",
+        ReadSpec(ReadStart(ReadFrom.SeqNum(0)))).toOption.get
+      .select("seq_num", "body").collect()
+      .map(r => (r.getLong(0), new String(r.getAs[Array[Byte]](1)))).sortBy(_._1)
+    // the orphan is invisible (reads clamp at the committed tail)
+    assert(rows().toSeq == Seq((0L, "a")))
+    // the next append re-assigns seqs 1..2 — it must sweep the orphan
+    // first or reads would see duplicate seq_nums with ghost bodies
+    assert(st2.append("test-basin", "p10",
+      AppendInput(Seq(env("b"), env("c"))), Some(2000L)).isRight)
+    assert(rows().toSeq == Seq((0L, "a"), (1L, "b"), (2L, "c")),
+      "orphan rows must not survive beside the re-assigned seq_nums")
+    assert(st2.checkTail("test-basin", "p10").seqNum == 3)
+  }
+
   test("M5: server histograms expose reference buckets in Prometheus text format") {
     ServerMetrics.reset()
     val st = freshStore()
