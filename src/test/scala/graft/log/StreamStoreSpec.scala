@@ -363,6 +363,29 @@ class StreamStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.timestamp).sliding(2).forall(p => p.head <= p.last))
   }
 
+  test("bulk ingest commits 64 streams correctly through the parallel commit pool") {
+    val st = freshStore()
+    val names = (0 until 64).map(i => f"wide-$i%02d")
+    assert(st.catalog.createStreams("test-basin", names) == Right(64))
+    import spark.implicits._
+    val df = (0 until 640).map { i =>
+      ("test-basin", f"wide-${i % 64}%02d", Option(1000L + i),
+       s"w$i".getBytes, i.toLong)
+    }.toDF("basin", "stream", "ts_client", "body", "arrival")
+      .withColumn("headers", org.apache.spark.sql.functions.expr(
+        "CAST(NULL AS ARRAY<STRUCT<name: BINARY, value: BINARY>>)"))
+      .select("basin", "stream", "ts_client", "headers", "body", "arrival")
+    val acks = st.ingest(df, Some(999999L))
+    assert(acks.size == 64)
+    // every stream's commit landed: tail 10, contiguous seqs, right bodies
+    names.foreach { n =>
+      assert(st.checkTail("test-basin", n).seqNum == 10, s"stream $n")
+      val rows = st.readBatch("test-basin", n,
+        ReadSpec(ReadStart(ReadFrom.SeqNum(0)))).toOption.get
+      assert(rows.map(_.seqNum) == (0L until 10L), s"stream $n")
+    }
+  }
+
   test("ingest honors per-stream timestamping config (A3 bulk path, streamer.rs:1121-1299)") {
     val st = freshStore()
     st.catalog.createStream("test-basin", "ts-prefer")
