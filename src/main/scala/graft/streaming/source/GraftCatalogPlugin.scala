@@ -81,7 +81,12 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces {
       "alter basin via Catalog.reconfigureBasin")
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
-    catalog.markBasinDeleted(basinOf(namespace)); true
+    val b = basinOf(namespace)
+    if (!cascade && catalog.listStreams(b, limit = 1).items.nonEmpty)
+      throw new IllegalStateException(
+        s"basin $b is not empty; use DROP NAMESPACE ... CASCADE " +
+          "(streams are soft-deleted and reclaimed by maintenance)")
+    catalog.markBasinDeleted(b); true
   }
 
   // ---- tables = streams ----
@@ -111,7 +116,13 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces {
       throw new IllegalArgumentException(
         "graft streams have a fixed record schema; omit the column list")
     val b = basinOf(ident.namespace)
-    catalog.createStream(b, ident.name, StreamConfig()).left.foreach(e =>
+    // TBLPROPERTIES speak the catalog's flattened config codec, so
+    //   CREATE TABLE g.b.s TBLPROPERTIES('retention_age_secs'='3600')
+    // configures the stream like a control-plane create would
+    // (Spark injects bookkeeping keys like 'owner'; only codec keys
+    // are honored)
+    val config = graft.log.ConfigCodec.decode(properties.asScala.toMap)
+    catalog.createStream(b, ident.name, config).left.foreach(e =>
       throw new IllegalStateException(s"createStream failed: $e"))
     loadTable(ident)
   }

@@ -66,5 +66,19 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT seq_num FROM graft.`sql-basin-1`.orders ORDER BY seq_num")
       .collect().map(_.getLong(0)).toSeq
     assert(seqs == Seq(2L, 3L)) // 3 = the trim command record
+
+    // TBLPROPERTIES configure the stream through the config codec
+    spark.sql("CREATE TABLE graft.`sql-basin-1`.archived " +
+      "TBLPROPERTIES('retention_age_secs'='3600')")
+    assert(st.catalog.getStream("sql-basin-1", "archived")
+      .exists(_.config.get("retention_age_secs").contains("3600")))
+
+    // DROP NAMESPACE refuses a non-empty basin without CASCADE
+    intercept[Exception] {
+      spark.sql("DROP NAMESPACE graft.`sql-basin-1`")
+    }
+    assert(st.catalog.getBasin("sql-basin-1").isDefined)
+    spark.sql("DROP NAMESPACE graft.`sql-basin-1` CASCADE")
+    assert(st.catalog.getBasin("sql-basin-1").isEmpty)
   }
 }
