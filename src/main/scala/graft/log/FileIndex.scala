@@ -153,6 +153,25 @@ object FileIndex {
         total
     }
 
+  /** Evict cache entries whose files no longer exist. Data files are
+    * immutable but not eternal — compaction swaps whole directories —
+    * and on a long-lived driver over a churning 100 TB store the
+    * per-path caches would otherwise grow without bound (an entry per
+    * file EVER seen). Called from the maintenance tick after
+    * compactions; O(cache) stat calls, amortized across ticks.
+    */
+  def purgeMissing(): Int = {
+    var purged = 0
+    Seq(statsCache.keySet, sumsCache.keySet, prefixCache.keySet)
+      .flatten.toSet[String].foreach { p =>
+        if (!Files.exists(Paths.get(p))) {
+          statsCache.remove(p); sumsCache.remove(p); prefixCache.remove(p)
+          purged += 1
+        }
+      }
+    purged
+  }
+
   /** Exact (Σ metered_size, Σ metered over commands, # commands) of
     * one file — one projected scan, ever, per immutable file.
     */

@@ -81,6 +81,10 @@ final class Maintenance(store: StreamStore,
       }
     } finally pool.shutdown()
     store.sweepTrash(nowMs = nowMs)
+    // compactions replace files; drop the driver-side footer/sums
+    // cache entries of the dead paths, or a long-lived driver over a
+    // churning store accumulates an entry per file EVER seen
+    FileIndex.purgeMissing()
     Report(compacted.result(), doeDeleted.result(), failures.result())
   }
 
