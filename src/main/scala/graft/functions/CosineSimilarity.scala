@@ -2,11 +2,11 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
 
 /** Native codegen'd cosine similarity between two ARRAY<FLOAT> columns.
   *
@@ -25,7 +25,16 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * Divide) each yield null.
   */
 case class CosineSimilarityExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  /** Both sides must arrive as ARRAY<FLOAT>: eval/codegen read elements
+    * with `ArrayData.getFloat`, which silently returns garbage on any
+    * other element width. Declaring the input types makes the analyzer
+    * widen ARRAY<INT/SMALLINT/...> and *reject* ARRAY<DOUBLE>/ARRAY<STRING>
+    * (no implicit narrowing) instead of computing wrong scores.
+    */
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true

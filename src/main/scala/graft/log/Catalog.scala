@@ -122,6 +122,26 @@ object Catalog {
     val md = java.security.MessageDigest.getInstance("MD5")
     (md.digest(stream.getBytes("UTF-8"))(0) & 0xff) % NumShards
   }
+
+  /** JVM-global lock registry keyed by (canonical root, scope).
+    *
+    * Catalog mutations are read-modify-write over shared JSON files,
+    * so the monitors MUST be shared by every Catalog instance over the
+    * same root in this process (a StreamStore's catalog, the SQL
+    * catalog plugin's, a scan's — each news its own instance):
+    * per-instance monitors would let two instances interleave a
+    * basins.json rewrite and lose one side's update. It also keeps the
+    * migration's OS file lock single-entrant per JVM — a second
+    * in-JVM `FileChannel.lock()` on one file throws
+    * OverlappingFileLockException rather than waiting.
+    */
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[log] def globalLock(root: String, scope: String): Object =
+    locks.computeIfAbsent(
+      java.nio.file.Paths.get(root).toAbsolutePath.normalize.toString +
+        "\u0000" + scope,
+      _ => new Object)
 }
 
 /** Control-plane catalog (SURVEY §2.4, C1-C6): basins and streams with
@@ -143,11 +163,12 @@ object Catalog {
 final class Catalog(root: String) {
   import Catalog.NumShards
 
-  private val lock = new Object // basin list + legacy migration
-  private val basinLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  // basin list + legacy migration; shared JVM-wide per root so
+  // independent Catalog instances over one root serialize (see
+  // Catalog.globalLock)
+  private val lock = Catalog.globalLock(root, "__basins__")
   private def basinLock(basin: String): Object =
-    basinLocks.computeIfAbsent(basin, _ => new Object)
+    Catalog.globalLock(root, "b\u0000" + basin)
 
   private val basinsPath = Layout.basinsPath(root)
 
@@ -189,10 +210,13 @@ final class Catalog(root: String) {
     * both migrate — a slow loser would overwrite freshly mutated
     * shards with stale legacy content) and re-checked under the lock.
     * basins.json is written LAST, so any instance that observes it can
-    * trust every shard is already in place.
+    * trust every shard is already in place. In-JVM racers serialize on
+    * the global per-root monitor FIRST — OS file locks are per-JVM, so
+    * without it the second instance's `ch.lock()` would throw
+    * OverlappingFileLockException instead of waiting.
     */
   if (Files.exists(Layout.catalogPath(root)) && !Files.exists(basinsPath))
-    lock.synchronized {
+    Catalog.globalLock(root, "__migrate__").synchronized {
       val legacy = Layout.catalogPath(root)
       Files.createDirectories(legacy.getParent)
       val lockPath = legacy.resolveSibling("migrate.lock")
