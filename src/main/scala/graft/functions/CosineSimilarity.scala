@@ -2,11 +2,12 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native codegen'd cosine similarity between two ARRAY<FLOAT> columns.
   *
@@ -25,16 +26,27 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * Divide) each yield null.
   */
 case class CosineSimilarityExpr(left: Expression, right: Expression)
-    extends BinaryExpression with ImplicitCastInputTypes {
+    extends BinaryExpression {
 
-  /** Both sides must arrive as ARRAY<FLOAT>: eval/codegen read elements
-    * with `ArrayData.getFloat`, which silently returns garbage on any
-    * other element width. Declaring the input types makes the analyzer
-    * widen ARRAY<INT/SMALLINT/...> and *reject* ARRAY<DOUBLE>/ARRAY<STRING>
-    * (no implicit narrowing) instead of computing wrong scores.
+  /** Both sides must arrive as exactly ARRAY<FLOAT>: eval/codegen read
+    * elements with `ArrayData.getFloat`, which silently returns garbage
+    * on any other element width. Hard type check (rather than
+    * `ImplicitCastInputTypes`, whose `AbstractDataType` is private[sql]
+    * in Spark 4) so ARRAY<DOUBLE> is rejected in BOTH ANSI and legacy
+    * coercion modes — legacy `implicitCast` would otherwise silently
+    * narrow double→float and diverge from the zip_with SQL chain this
+    * expression matches bit-for-bit.
     */
-  override def inputTypes: Seq[AbstractDataType] =
-    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType, _) => true
+      case _                       => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two ARRAY<FLOAT> arguments, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true

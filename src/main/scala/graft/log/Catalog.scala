@@ -135,13 +135,46 @@ object Catalog {
     * in-JVM `FileChannel.lock()` on one file throws
     * OverlappingFileLockException rather than waiting.
     */
-  private val locks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private[log] def globalLock(root: String, scope: String): Object =
-    locks.computeIfAbsent(
-      java.nio.file.Paths.get(root).toAbsolutePath.normalize.toString +
-        "\u0000" + scope,
-      _ => new Object)
+  private val locks = new java.util.concurrent.ConcurrentHashMap[
+    String, java.lang.ref.WeakReference[Object]]()
+
+  @annotation.tailrec
+  private[log] def globalLock(canonRoot: String, scope: String): Object = {
+    if (locks.size > 8192)
+      locks.entrySet.removeIf(e => e.getValue.get == null)
+    val key = canonRoot + "\u0000" + scope
+    val ref = locks.computeIfAbsent(
+      key, _ => new java.lang.ref.WeakReference(new Object))
+    val o = ref.get
+    if (o == null) { locks.remove(key, ref); globalLock(canonRoot, scope) }
+    else o
+  }
+
+  /** Canonical form of a catalog root for JVM-global registry keys:
+    * resolves symlinks (`toRealPath`) so two instances opening one
+    * physical root via different symlinked paths share monitors and
+    * cache entries, falling back to lexical normalization when the
+    * root does not exist yet (first construction creates it).
+    */
+  private[log] def canonicalRoot(root: String): String = {
+    val p = java.nio.file.Paths.get(root)
+    try p.toRealPath().toString
+    catch { case _: java.io.IOException => p.toAbsolutePath.normalize.toString }
+  }
+
+  /** JVM-global (mtime, size)-keyed parse cache over control-plane
+    * files, shared by every Catalog instance.
+    *
+    * Shared -- not per-instance -- because the LOCKS are shared: with a
+    * per-instance cache, instance A's saveFile only refreshed A's own
+    * cache, and a same-size rewrite landing within filesystem
+    * timestamp granularity would let instance B serve its stale parse
+    * (mtime+size unchanged) and then rewrite from it, losing A's
+    * update despite the shared monitor. With one cache, A's saveFile
+    * IS B's cache refresh.
+    */
+  private[log] val parseCache = scala.collection.concurrent.TrieMap
+    .empty[String, (java.nio.file.attribute.FileTime, Long, AnyRef)]
 }
 
 /** Control-plane catalog (SURVEY §2.4, C1-C6): basins and streams with
@@ -163,22 +196,28 @@ object Catalog {
 final class Catalog(root: String) {
   import Catalog.NumShards
 
+  /** All registry keys and control-plane paths are built from the
+    * canonical root so every instance over one physical root — however
+    * spelled — shares the same monitors and parse-cache entries.
+    */
+  private val canonRoot = Catalog.canonicalRoot(root)
+
   // basin list + legacy migration; shared JVM-wide per root so
   // independent Catalog instances over one root serialize (see
   // Catalog.globalLock)
-  private val lock = Catalog.globalLock(root, "__basins__")
+  private val lock = Catalog.globalLock(canonRoot, "__basins__")
   private def basinLock(basin: String): Object =
-    Catalog.globalLock(root, "b\u0000" + basin)
+    Catalog.globalLock(canonRoot, "b\u0000" + basin)
 
-  private val basinsPath = Layout.basinsPath(root)
+  private val basinsPath = Layout.basinsPath(canonRoot)
 
-  /** (mtime, size)-keyed parse cache, one entry per control-plane file. */
-  private val cache = scala.collection.concurrent.TrieMap
-    .empty[String, (java.nio.file.attribute.FileTime, Long, AnyRef)]
+  // JVM-global parse cache (see Catalog.parseCache for why it cannot
+  // be per-instance)
+  private def cache = Catalog.parseCache
 
   private def loadCached[A <: AnyRef: Manifest](path: java.nio.file.Path,
                                                 default: => A): A = {
-    if (!Files.exists(path)) return default
+    if (!Files.exists(path)) { cache.remove(path.toString); return default }
     val ft = Files.getLastModifiedTime(path)
     val size = Files.size(path)
     cache.get(path.toString) match {
@@ -215,9 +254,9 @@ final class Catalog(root: String) {
     * without it the second instance's `ch.lock()` would throw
     * OverlappingFileLockException instead of waiting.
     */
-  if (Files.exists(Layout.catalogPath(root)) && !Files.exists(basinsPath))
-    Catalog.globalLock(root, "__migrate__").synchronized {
-      val legacy = Layout.catalogPath(root)
+  if (Files.exists(Layout.catalogPath(canonRoot)) && !Files.exists(basinsPath))
+    Catalog.globalLock(canonRoot, "__migrate__").synchronized {
+      val legacy = Layout.catalogPath(canonRoot)
       Files.createDirectories(legacy.getParent)
       val lockPath = legacy.resolveSibling("migrate.lock")
       val ch = java.nio.channels.FileChannel.open(lockPath,
@@ -230,7 +269,7 @@ final class Catalog(root: String) {
             val st = Layout.readJson[CatalogState](legacy).getOrElse(CatalogState())
             st.streams.groupBy(s => (s.basin, Catalog.shardOf(s.name))).foreach {
               case ((b, sh), entries) =>
-                saveFile(Layout.streamShardPath(root, b, sh), StreamShard(entries))
+                saveFile(Layout.streamShardPath(canonRoot, b, sh), StreamShard(entries))
             }
             saveFile(basinsPath, BasinsFile(st.basins))
             Files.move(legacy, legacy.resolveSibling("catalog.json.pre-shard"))
@@ -242,12 +281,12 @@ final class Catalog(root: String) {
   private def basinsFile(): BasinsFile = loadCached(basinsPath, BasinsFile())
 
   private def shard(basin: String, sh: Int): StreamShard =
-    loadCached(Layout.streamShardPath(root, basin, sh), StreamShard())
+    loadCached(Layout.streamShardPath(canonRoot, basin, sh), StreamShard())
 
   private def shardFor(basin: String,
                        stream: String): (java.nio.file.Path, StreamShard) = {
     val sh = Catalog.shardOf(stream)
-    (Layout.streamShardPath(root, basin, sh), shard(basin, sh))
+    (Layout.streamShardPath(canonRoot, basin, sh), shard(basin, sh))
   }
 
   /** All of one basin's stream entries (64 cached shard loads). */
@@ -374,7 +413,7 @@ final class Catalog(root: String) {
         val t = now()
         var created = 0
         valid0.groupBy(Catalog.shardOf).foreach { case (shardNo, group) =>
-          val path = Layout.streamShardPath(root, basin, shardNo)
+          val path = Layout.streamShardPath(canonRoot, basin, shardNo)
           val sh = shard(basin, shardNo)
           val existing = sh.streams.iterator
             .filter(_.deletedAt.isEmpty).map(_.name).toSet
@@ -473,7 +512,7 @@ final class Catalog(root: String) {
   // reference's name rules (common/src/location.rs:8-45).
 
   private val locationsPath =
-    java.nio.file.Paths.get(root, "_catalog", "locations.json")
+    java.nio.file.Paths.get(canonRoot, "_catalog", "locations.json")
 
   private def locationsFile(): LocationsFile =
     loadCached(locationsPath, LocationsFile())
