@@ -1,0 +1,224 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Training-data-pipeline corpus operators beyond per-doc scoring:
+  * near-duplicate CLUSTERING (connected components over verified
+  * jaccard pairs), deterministic stratified sampling, sequence packing
+  * to a fixed token budget, and PII redaction.
+  *
+  * All randomness is md5-derived so Spark and the DuckDB oracle agree
+  * bit-for-bit; all shapes are shuffle-bounded (see each op's note on
+  * what it costs at 100 TB).
+  */
+object PipelineOps {
+  import TextOps.{docs, docsAug, shingles, minhashBands, cappedCandidates,
+    jaccardFor, md5s, BandBucketCap,
+    DocsAugCte, ShinglesCte, ShingleCountsCte, MinhashVerifiedCtes}
+
+  /** Connected components by iterative min-label propagation.
+    *
+    * Each round is one shuffle pair (join + groupBy); rounds needed =
+    * graph diameter. Near-dup graphs are clique-ish (a duplicated doc
+    * and its copies all pair with each other), so diameter is tiny —
+    * the loop converges in 2-3 rounds here and the convergence check
+    * is a driver-side `isEmpty` on the changed-set (cheap: it prunes
+    * to a semi-join). At 100 TB with adversarial chain-shaped
+    * components you would swap this loop for alternating
+    * large-star/small-star rounds (Kiveris et al., "Connected
+    * Components in MapReduce") — same join+min primitive, O(log n)
+    * rounds guaranteed — but the per-round dataflow below is already
+    * that primitive.
+    */
+  private[queries] def connectedComponents(nodes: DataFrame,
+                                           edges: DataFrame): DataFrame = {
+    // both directions once; each round then needs only one join side
+    val bi = edges.select(col("a"), col("b"))
+      .unionAll(edges.select(col("b").as("a"), col("a").as("b")))
+      .repartition(col("a")).cache()
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("rep")).cache()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      // neighbor minimum: rep'(x) = min(rep(x), min_{y~x} rep(y))
+      val viaNbr = bi.join(labels.select(col("doc_id").as("b"),
+          col("rep").as("nrep")), "b")
+        .groupBy(col("a").as("doc_id")).agg(min("nrep").as("nrep"))
+      val next = labels.join(viaNbr, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
+        .cache()
+      converged = next.join(labels.select(col("doc_id"), col("rep").as("prev")),
+        "doc_id").where(col("rep") < col("prev")).isEmpty
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    bi.unpersist()
+    labels
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // Near-duplicate clusters: minhash-LSH candidate pairs verified at
+    // jaccard >= 0.5 become edges (the SAME bucketed pipeline as
+    // dedup_minhash_lsh — never the O(Σ df²) all-pairs baseline);
+    // every doc then gets its component's min doc_id as cluster
+    // representative. This is the op a real pipeline runs AFTER pair
+    // finding — "keep one doc per duplicate cluster" needs the
+    // transitive closure, not the pair list (A~B, B~C must collapse
+    // A,C into one cluster even when jaccard(A,C) fell under the
+    // threshold, or LSH never surfaced the A-C pair). The oracle
+    // recomputes the closure with a recursive CTE over the shared
+    // verified-pairs CTE chain, so a propagation bug (lost edge
+    // direction, premature convergence) hash-mismatches.
+    QueryDef("dedup_cluster_cc",
+      (s, d) => {
+        val base = docsAug(s, d)
+        val sh = shingles(base)
+        val edges = jaccardFor(cappedCandidates(minhashBands(sh), BandBucketCap), sh)
+          .where(col("jaccard") >= 0.5)
+          .select(col("doc_a").as("a"), col("doc_b").as("b"))
+        val labels = connectedComponents(base.select("doc_id"), edges)
+        // size via aggregate + join-back, never collect_list: a
+        // boilerplate-heavy corpus can have million-doc components,
+        // and a member ARRAY row would be that component in one task
+        val sized = labels.groupBy("rep").agg(count(lit(1)).as("cluster_size"))
+        labels.join(sized, "rep")
+          .where(col("cluster_size") >= 2)
+          .select(col("doc_id"),
+            col("rep").cast(LongType).as("cluster_rep"),
+            col("cluster_size").cast(LongType).as("cluster_size"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $DocsAugCte, $ShinglesCte, $ShingleCountsCte,
+        |$MinhashVerifiedCtes,
+        |bi AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM verified WHERE jaccard >= 0.5
+        |  UNION
+        |  SELECT doc_b, doc_a FROM verified WHERE jaccard >= 0.5),
+        |reach(doc, r) AS (
+        |  SELECT doc_id, doc_id FROM docs_aug
+        |  UNION
+        |  SELECT bi.b, reach.r FROM reach JOIN bi ON bi.a = reach.doc),
+        |labels AS (SELECT doc, min(r) AS rep FROM reach GROUP BY doc),
+        |sized AS (SELECT rep, CAST(count(*) AS BIGINT) AS cluster_size
+        |          FROM labels GROUP BY rep)
+        |SELECT l.doc AS doc_id, CAST(l.rep AS BIGINT) AS cluster_rep,
+        |       s.cluster_size
+        |FROM labels l JOIN sized s ON s.rep = l.rep
+        |WHERE s.cluster_size >= 2
+        |ORDER BY doc_id""".stripMargin)),
+
+    // Deterministic stratified sampling: per-language rates (~10% en,
+    // 50% everything else — the usual "downsample the dominant
+    // language" move) decided by the first 4 hex chars of
+    // md5(doc_id) compared LEXICOGRAPHICALLY against a hex threshold
+    // ('199a' = 6554/65536 ≈ 10%, '8000' = 32768/65536 = 50%), so the
+    // sample is reproducible, join-free, and embarrassingly parallel:
+    // one narrow projection + filter, no shuffle, at any scale. A
+    // hash threshold (not rand()) also makes resampling stable under
+    // re-partitioning and task retries, and hex-string comparison
+    // needs no hex-to-int conversion in either engine (lowercase hex
+    // orders identically to its numeric value in ASCII).
+    QueryDef("sample_stratified",
+      (s, d) => docs(s, d)
+        .select(col("doc_id"), col("lang"),
+          substring(md5s(col("doc_id").cast(StringType)), 1, 4).as("bucket"))
+        .where(col("bucket") <
+          when(col("lang") === "en", lit("199a")).otherwise(lit("8000")))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS bucket
+        |FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+        |  < (CASE WHEN lang = 'en' THEN '199a' ELSE '8000' END)
+        |ORDER BY doc_id""".stripMargin)),
+
+    // Sequence packing (concat-and-chunk): docs are laid end-to-end
+    // per language in doc_id order and cut into 2048-token packs; each
+    // doc is assigned the pack where it STARTS (prefix-sum / budget).
+    // One window per language partition — the shuffle is one
+    // hash-partition by lang, and within a partition the running sum
+    // is a single sorted pass. At 100 TB you would sub-bucket the
+    // partition key (lang, doc_id DIV range) to bound partition size;
+    // the prefix-sum-then-divide shape is unchanged. This is the
+    // deterministic packing used to build fixed-length training
+    // batches, as opposed to greedy first-fit whose sequential state
+    // can't parallelize.
+    QueryDef("pack_sequences",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("lang").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        docs(s, d)
+          .select(col("doc_id"), col("lang"),
+            size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+          .withColumn("start_tok",
+            coalesce(sum("n_tokens").over(w), lit(0L)))
+          .select(col("doc_id"), col("lang"), col("n_tokens"),
+            (col("start_tok") / 2048L).cast(LongType).as("pack_id"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, n_tokens,
+        |  CAST(floor(start_tok / 2048) AS BIGINT) AS pack_id
+        |FROM (SELECT doc_id, lang, n_tokens,
+        |        COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS start_tok
+        |      FROM (SELECT doc_id, lang,
+        |              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |            FROM documents))
+        |ORDER BY doc_id""".stripMargin)),
+
+    // PII redaction: the corpus is deterministically salted with
+    // emails (doc_id%7=0) and phone numbers (doc_id%11=0), then both
+    // are regex-redacted and counted. Patterns stay in the
+    // POSIX-compatible intersection of Java and RE2-ish dialects
+    // (character classes + bounded repetition only) so both engines
+    // match identically. Narrow projection, no shuffle, codegen'd
+    // regexp — scales like any scan-side scrubber; at 100 TB this is
+    // exactly the shape you want (no UDF, pushes through
+    // whole-stage codegen).
+    QueryDef("text_pii_redact",
+      (s, d) => {
+        val emailRe = "[a-z0-9.]+@[a-z0-9.]+"
+        val phoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+        val salted = docs(s, d).select(col("doc_id"), col("lang"),
+          concat(col("text"),
+            when(col("doc_id") % 7 === 0,
+              concat(lit(" contact user"), col("doc_id").cast(StringType),
+                lit("@example.com")))
+              .otherwise(lit("")),
+            when(col("doc_id") % 11 === 0,
+              concat(lit(" call 555-010-"),
+                lpad((col("doc_id") % 10000).cast(StringType), 4, "0")))
+              .otherwise(lit(""))).as("text"))
+        salted.select(col("doc_id"),
+            regexp_count(col("text"), lit(emailRe)).cast(LongType).as("n_emails"),
+            regexp_count(col("text"), lit(phoneRe)).cast(LongType).as("n_phones"),
+            md5s(regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"),
+              phoneRe, "<PHONE>")).as("redacted_fp"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH salted AS (
+        |  SELECT doc_id,
+        |    text ||
+        |    (CASE WHEN doc_id % 7 = 0
+        |          THEN ' contact user' || doc_id || '@example.com' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 11 = 0
+        |          THEN ' call 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |          ELSE '' END) AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+')) AS BIGINT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT)
+        |    AS n_phones,
+        |  md5(regexp_replace(regexp_replace(text,
+        |    '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+        |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_fp
+        |FROM salted ORDER BY doc_id""".stripMargin))
+  )
+}

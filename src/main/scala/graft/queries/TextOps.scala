@@ -59,7 +59,7 @@ object TextOps {
 
   // ---- shared DuckDB CTE fragments ----------------------------------------
 
-  private val DocsAugCte =
+  private[queries] val DocsAugCte =
     """docs_aug AS (
       |  SELECT doc_id, text, lang FROM documents
       |  UNION ALL
@@ -69,7 +69,7 @@ object TextOps {
       |  FROM documents WHERE doc_id % 13 = 0
       |)""".stripMargin
 
-  private val ShinglesCte =
+  private[queries] val ShinglesCte =
     """shingles AS (
       |  SELECT doc_id, unnest(list_distinct(
       |    list_transform(range(1, len(w) - 1),
@@ -77,7 +77,7 @@ object TextOps {
       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM docs_aug)
       |)""".stripMargin
 
-  private val ShingleCountsCte =
+  private[queries] val ShingleCountsCte =
     """sh_counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
       |  FROM shingles GROUP BY doc_id)""".stripMargin
 
@@ -92,6 +92,47 @@ object TextOps {
       |      GROUP BY 1, 2) c
       |JOIN sh_counts na ON na.doc_id = c.doc_a
       |JOIN sh_counts nb ON nb.doc_id = c.doc_b""".stripMargin
+
+  /** MinHash -> LSH bands -> capped band buckets -> candidate pairs ->
+    * exact-jaccard verification, as one reusable CTE chain ending in
+    * `verified(doc_a, doc_b, jaccard)`. Shared by dedup_minhash_lsh
+    * and the clustering op built on its pairs (PipelineOps
+    * dedup_cluster_cc), so the two oracles can never drift.
+    */
+  // lazy: references BandBucketCap, which is defined further down the
+  // object body — an eager val here would read 0 at init order
+  private[queries] lazy val MinhashVerifiedCtes: String = {
+    val minCols = (0 until 16)
+      .map(i => s"min(substr(md5('${i / 4}:' || sh), ${1 + 8 * (i % 4)}, 8)) AS h$i")
+      .mkString(", ")
+    val bandRows = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, md5(h${4*b} || '|' || h${4*b+1} || '|' || h${4*b+2} || '|' || h${4*b+3}) AS band_key FROM minh")
+      .mkString("\n  UNION ALL\n  ")
+    s"""minh AS (SELECT doc_id, $minCols FROM shingles GROUP BY doc_id),
+    |bands AS (
+    |  $bandRows),
+    |bsizes AS (
+    |  SELECT band, band_key FROM bands
+    |  GROUP BY band, band_key HAVING count(*) <= $BandBucketCap),
+    |bands_c AS (
+    |  SELECT bands.* FROM bands JOIN bsizes USING (band, band_key)),
+    |cands AS (
+    |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    |  FROM bands_c a JOIN bands_c b
+    |    ON a.band = b.band AND a.band_key = b.band_key
+    |   AND a.doc_id < b.doc_id),
+    |verified AS (
+    |  SELECT c.doc_a, c.doc_b,
+    |    round(CAST(common AS DOUBLE) / (na.n_sh + nb.n_sh - common), 6) AS jaccard
+    |  FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    |          CAST(count(*) AS BIGINT) AS common
+    |        FROM shingles a JOIN shingles b
+    |          ON a.sh = b.sh AND a.doc_id < b.doc_id
+    |        GROUP BY 1, 2) c
+    |  JOIN sh_counts na ON na.doc_id = c.doc_a
+    |  JOIN sh_counts nb ON nb.doc_id = c.doc_b
+    |  JOIN cands ON cands.doc_a = c.doc_a AND cands.doc_b = c.doc_b)""".stripMargin
+  }
 
   /** MinHash signature + LSH banding: 16 seeded-md5 min-hashes as 16
     * aggregate COLUMNS of one groupBy (map-side partial agg — the
@@ -174,7 +215,7 @@ object TextOps {
     * boilerplate shingle makes a df-sized array row here just as it
     * makes df² join rows there.
     */
-  private def jaccardPairs(sh: DataFrame): DataFrame = {
+  private[queries] def jaccardPairs(sh: DataFrame): DataFrame = {
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val grouped = sh.groupBy("sh").agg(sort_array(collect_list("doc_id")).as("ds"))
       .where(size(col("ds")) >= 2)
@@ -341,32 +382,10 @@ object TextOps {
           .select("doc_a", "doc_b", "jaccard")
           .orderBy("doc_a", "doc_b")
       },
-      Some {
-        val minCols = (0 until 16)
-          .map(i => s"min(substr(md5('${i / 4}:' || sh), ${1 + 8 * (i % 4)}, 8)) AS h$i")
-          .mkString(", ")
-        val bandRows = (0 until 4).map(b =>
-          s"SELECT doc_id, $b AS band, md5(h${4*b} || '|' || h${4*b+1} || '|' || h${4*b+2} || '|' || h${4*b+3}) AS band_key FROM minh")
-          .mkString("\n  UNION ALL\n  ")
-        s"""WITH $DocsAugCte, $ShinglesCte, $ShingleCountsCte,
-        |minh AS (SELECT doc_id, $minCols FROM shingles GROUP BY doc_id),
-        |bands AS (
-        |  $bandRows),
-        |bsizes AS (
-        |  SELECT band, band_key FROM bands
-        |  GROUP BY band, band_key HAVING count(*) <= $BandBucketCap),
-        |bands_c AS (
-        |  SELECT bands.* FROM bands JOIN bsizes USING (band, band_key)),
-        |cands AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM bands_c a JOIN bands_c b
-        |    ON a.band = b.band AND a.band_key = b.band_key
-        |   AND a.doc_id < b.doc_id)
-        |$JaccardSelect
-        |JOIN cands ON cands.doc_a = c.doc_a AND cands.doc_b = c.doc_b
-        |WHERE round(CAST(common AS DOUBLE) / (na.n_sh + nb.n_sh - common), 6) >= 0.5
-        |ORDER BY c.doc_a, c.doc_b""".stripMargin
-      }),
+      Some(s"""WITH $DocsAugCte, $ShinglesCte, $ShingleCountsCte,
+        |$MinhashVerifiedCtes
+        |SELECT doc_a, doc_b, jaccard FROM verified
+        |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin)),
 
     // SimHash 32-bit fingerprint from shingle md5 hex-digit high bits.
     // One-pass: 32 vote counters as aggregate columns (map-side partial
