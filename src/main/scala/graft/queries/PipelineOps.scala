@@ -18,47 +18,78 @@ object PipelineOps {
     jaccardFor, md5s, BandBucketCap,
     DocsAugCte, ShinglesCte, ShingleCountsCte, MinhashVerifiedCtes}
 
-  /** Connected components by iterative min-label propagation.
+  /** Connected components by iterative min-label propagation, over
+    * EDGE-INCIDENT vertices only — a vertex with no edge is its own
+    * component and needs no propagation, so it never enters the loop:
+    * in a dedup graph this is the difference between iterating over
+    * every doc in the corpus and iterating over the (tiny)
+    * duplicate-involved subset. Callers that need singleton rows
+    * reattach them with one broadcast-able outer join
+    * (see connectedComponents).
     *
     * Each round is one shuffle pair (join + groupBy); rounds needed =
     * graph diameter. Near-dup graphs are clique-ish (a duplicated doc
-    * and its copies all pair with each other), so diameter is tiny —
-    * the loop converges in 2-3 rounds here and the convergence check
-    * is a driver-side `isEmpty` on the changed-set (cheap: it prunes
-    * to a semi-join). At 100 TB with adversarial chain-shaped
+    * and its copies all pair with each other), so the loop converges
+    * in 2-3 rounds here. At 100 TB with adversarial chain-shaped
     * components you would swap this loop for alternating
     * large-star/small-star rounds (Kiveris et al., "Connected
     * Components in MapReduce") — same join+min primitive, O(log n)
     * rounds guaranteed — but the per-round dataflow below is already
     * that primitive.
     */
-  private[queries] def connectedComponents(nodes: DataFrame,
-                                           edges: DataFrame): DataFrame = {
-    // both directions once; each round then needs only one join side
-    val bi = edges.select(col("a"), col("b"))
-      .unionAll(edges.select(col("b").as("a"), col("a").as("b")))
-      .repartition(col("a")).cache()
-    var labels = nodes.select(col("doc_id"), col("doc_id").as("rep")).cache()
+  private[graft] def ccIncident(edges: DataFrame): DataFrame = {
+    // Both directions in ONE pass over edges (explode, not
+    // union-of-two-selects: a union's branches each recompute the
+    // upstream edge pipeline — for LSH-verified pairs that is the
+    // whole minhash chain, twice).
+    //
+    // localCheckpoint, NOT cache, throughout: it materializes to
+    // executor block storage and TRUNCATES lineage, so (a) the
+    // expensive edge pipeline runs exactly once, (b) each round's
+    // plan is a join over stored blocks rather than a
+    // rounds-deep recursive plan, and (c) there is no unpersist
+    // bookkeeping — Dataset.unpersist(cache) cascade-invalidates
+    // every dependent cached round (CacheManager re-caches
+    // dependents lazily, clearing their data), which silently
+    // re-runs the whole edge pipeline on the next action. The
+    // blocks are freed by the ContextCleaner when the round DFs go
+    // out of scope. Same pattern as GraphFrames' iterative CC.
+    val bi = edges.select(explode(array(
+        struct(col("a"), col("b")),
+        struct(col("b").as("a"), col("a").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .repartition(col("a")).localCheckpoint()
+    var labels = bi.select(col("a").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("rep")).localCheckpoint()
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
-      // neighbor minimum: rep'(x) = min(rep(x), min_{y~x} rep(y))
+      // neighbor minimum: rep'(x) = min(rep(x), min_{y~x} rep(y));
+      // inner join is safe — every label row is edge-incident. The
+      // `changed` flag rides along in the checkpointed round result,
+      // so convergence is a scan of stored blocks, not an extra join.
       val viaNbr = bi.join(labels.select(col("doc_id").as("b"),
           col("rep").as("nrep")), "b")
         .groupBy(col("a").as("doc_id")).agg(min("nrep").as("nrep"))
-      val next = labels.join(viaNbr, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
-        .cache()
-      converged = next.join(labels.select(col("doc_id"), col("rep").as("prev")),
-        "doc_id").where(col("rep") < col("prev")).isEmpty
-      labels.unpersist()
-      labels = next
+      val next = labels.join(viaNbr, Seq("doc_id"))
+        .select(col("doc_id"), least(col("rep"), col("nrep")).as("rep"),
+          (col("nrep") < col("rep")).as("changed"))
+        .localCheckpoint()
+      converged = next.where(col("changed")).isEmpty
+      labels = next.select("doc_id", "rep")
       rounds += 1
     }
-    bi.unpersist()
     labels
   }
+
+  /** Connected components over `nodes`: incident-core propagation plus
+    * singletons self-labeled via one outer join (the incident label
+    * set is small relative to the corpus, so the join broadcasts).
+    */
+  private[queries] def connectedComponents(nodes: DataFrame,
+                                           edges: DataFrame): DataFrame =
+    nodes.join(ccIncident(edges), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep"))
 
   def defs: Seq[QueryDef] = Seq(
 
@@ -81,13 +112,19 @@ object PipelineOps {
         val edges = jaccardFor(cappedCandidates(minhashBands(sh), BandBucketCap), sh)
           .where(col("jaccard") >= 0.5)
           .select(col("doc_a").as("a"), col("doc_b").as("b"))
-        val labels = connectedComponents(base.select("doc_id"), edges)
+        // Every member of a >=2 cluster touches an edge, so the
+        // incident-only label set IS the output domain — singletons
+        // are never reattached only to be filtered back out (an
+        // all-nodes `sized` table has one row per singleton component,
+        // corpus-sized, and the size join degenerates to a full
+        // sort-merge join instead of a broadcast).
+        val labels = ccIncident(edges)
         // size via aggregate + join-back, never collect_list: a
         // boilerplate-heavy corpus can have million-doc components,
         // and a member ARRAY row would be that component in one task
         val sized = labels.groupBy("rep").agg(count(lit(1)).as("cluster_size"))
-        labels.join(sized, "rep")
           .where(col("cluster_size") >= 2)
+        labels.join(sized, "rep")
           .select(col("doc_id"),
             col("rep").cast(LongType).as("cluster_rep"),
             col("cluster_size").cast(LongType).as("cluster_size"))
