@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarityExpr, MeteredSizeExpr}
+import graft.functions.{CosineSimilarityExpr, IntDotExpr, MeteredSizeExpr}
 
 /** Session-extensions entry point — register graft's native functions
   * in any Spark session via config, no code changes:
@@ -39,6 +39,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2,
           "cosine_sim(a, b) takes exactly 2 arguments")
         CosineSimilarityExpr(exprs(0), exprs(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("int_dot"),
+      new ExpressionInfo(classOf[IntDotExpr].getName, "int_dot"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          "int_dot(a, b) takes exactly 2 arguments")
+        IntDotExpr(exprs(0), exprs(1))
       }))
   }
 }

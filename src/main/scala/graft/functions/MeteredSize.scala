@@ -97,13 +97,20 @@ object GraftFunctions {
     Bridge.column(CosineSimilarityExpr(
       Bridge.expression(a), Bridge.expression(b)))
 
+  /** Column API: int_dot(a, b) over two ARRAY<BIGINT> columns. */
+  def int_dot(a: Column, b: Column): Column =
+    Bridge.column(IntDotExpr(
+      Bridge.expression(a), Bridge.expression(b)))
+
   /** SQL registration: SELECT metered_size(headers, body),
-    * cosine_sim(va, vb) ...
+    * cosine_sim(va, vb), int_dot(qa, qb) ...
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     Bridge.registerFunction(spark, "metered_size",
       exprs => MeteredSizeExpr(exprs(0), exprs(1)))
     Bridge.registerFunction(spark, "cosine_sim",
       exprs => CosineSimilarityExpr(exprs(0), exprs(1)))
+    Bridge.registerFunction(spark, "int_dot",
+      exprs => IntDotExpr(exprs(0), exprs(1)))
   }
 }

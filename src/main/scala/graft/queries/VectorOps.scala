@@ -189,8 +189,8 @@ object VectorOps {
           .orderBy(col("q_score").desc, col("n_id"))
         all.crossJoin(broadcast(q))
           .where(col("n_id") =!= col("q_id"))
-          .withColumn("dot", expr(
-            "aggregate(zip_with(qq, qe, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, w) -> acc + w)"))
+          .withColumn("dot",
+            graft.functions.GraftFunctions.int_dot(col("qq"), col("qe")))
           .withColumn("q_score", round(
             col("dot").cast(DoubleType) /
               (sqrt(col("qnq").cast(DoubleType)) * sqrt(col("qne").cast(DoubleType))), 6))
