@@ -468,6 +468,54 @@ object EngineDemos {
         "no_duplicates_total" -> (second.size == second.distinct.size).toString)
     },
 
+    // Streaming watermarked windowed aggregation: 10-second tumbling
+    // counts over a followed stream's record timestamps with a
+    // 5-second watermark, append output mode. Record times are pinned
+    // via the append clock (arrival timestamping under client-prefer),
+    // so window membership is exact: batches at t=1s (x3), t=12s (x2)
+    // and t=25s (x1) put the final watermark at 20s — the [0,10) and
+    // [10,20) windows are FINALIZED and emitted to the sink, while the
+    // still-open [20,30) window is held in state, never emitted. This
+    // is the watermark contract a 100 TB streaming pipeline leans on:
+    // state for closed windows is dropped, late data beyond the
+    // watermark is discarded, and only finalized results reach the
+    // sink.
+    demo("e2e_stream_window", Seq(
+      "emitted" -> "0-10:3,10-20:2",
+      "open_window_held" -> "true")) { (sp, st) =>
+      st.catalog.createStream("demo-basin1", "wa")
+      st.append("demo-basin1", "wa",
+        AppendInput(Seq(rec("a"), rec("b"), rec("c"))), Some(1000))
+      st.append("demo-basin1", "wa",
+        AppendInput(Seq(rec("d"), rec("e"))), Some(12000))
+      st.append("demo-basin1", "wa",
+        AppendInput(Seq(rec("f"))), Some(25000))
+      val q = sp.readStream.format("graft-stream")
+        .option("root", st.root).option("basin", "demo-basin1")
+        .option("stream", "wa").load()
+        .selectExpr("timestamp_millis(timestamp) AS ts")
+        .withWatermark("ts", "5 seconds")
+        .groupBy(org.apache.spark.sql.functions.window(
+          org.apache.spark.sql.functions.col("ts"), "10 seconds"))
+        .count()
+        .selectExpr(
+          "CAST(unix_timestamp(window.start) AS BIGINT) AS ws",
+          "CAST(unix_timestamp(window.end) AS BIGINT) AS we",
+          "count")
+        .writeStream.format("parquet")
+        .option("path", s"${st.root}/_wasink")
+        .option("checkpointLocation", s"${st.root}/_wackpt")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val rows = sp.read.parquet(s"${st.root}/_wasink")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      Seq(
+        "emitted" -> rows.map { case (ws, we, c) => s"$ws-$we:$c" }.mkString(","),
+        "open_window_held" -> (!rows.exists(_._1 >= 20L)).toString)
+    },
+
     // R11 — auto-resume retry policy: capped exponential backoff,
     // reset after a healthy run (sdk/src/retry.rs)
     demo("e2e_r11_auto_resume", Seq(
