@@ -209,6 +209,75 @@ object PipelineOps {
         |            FROM documents))
         |ORDER BY doc_id""".stripMargin)),
 
+    // Corpus mixture reweighting: per-source token mass and the
+    // sampling weight that equalizes the mixture (weight =
+    // target-share / actual-share with a uniform target) — the knob a
+    // training-data pipeline turns to hit a data recipe. One narrow
+    // aggregation by source; the weights are a handful of rows joined
+    // back or broadcast into the sampler at any scale.
+    QueryDef("corpus_mix_weights",
+      (s, d) => {
+        val perSrc = docs(s, d)
+          .select(col("source"),
+            size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+          .groupBy("source")
+          .agg(count(lit(1)).cast(LongType).as("n_docs"),
+            sum("n_tokens").cast(LongType).as("tokens"))
+        val total = perSrc.agg(sum("tokens").cast(LongType).as("total_tokens"),
+          count(lit(1)).cast(LongType).as("n_sources"))
+        perSrc.crossJoin(broadcast(total))
+          .select(col("source"), col("n_docs"), col("tokens"),
+            round(col("tokens").cast(DoubleType) / col("total_tokens"), 6)
+              .as("actual_share"),
+            round((col("total_tokens").cast(DoubleType) / col("n_sources"))
+              / col("tokens"), 6).as("weight"))
+          .orderBy("source")
+      },
+      Some("""WITH per_src AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens,
+        |               CAST(count(*) AS BIGINT) AS n_sources FROM per_src)
+        |SELECT source, n_docs, tokens,
+        |  round(CAST(tokens AS DOUBLE) / total_tokens, 6) AS actual_share,
+        |  round((CAST(total_tokens AS DOUBLE) / n_sources) / tokens, 6) AS weight
+        |FROM per_src, tot ORDER BY source""".stripMargin)),
+
+    // Boilerplate detection: the 20 word-3-grams present in the most
+    // DISTINCT documents (shingles are already doc-distinct, so
+    // count(*) per shingle IS document frequency). High-df n-grams are
+    // template/boilerplate text; pipelines strip or down-weight them —
+    // and a degenerate one is exactly what blows up naive pair-joins
+    // (see BandBucketCap). One groupBy; top-k via deterministic
+    // (df DESC, sh) ordering.
+    QueryDef("text_top_ngrams",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        // top-k via orderBy+limit = TakeOrderedAndProject (distributed
+        // partial top-k per partition, then a k-row merge on the
+        // driver) — NOT a global row_number window, which would funnel
+        // the whole df table through one partition. The rank window
+        // runs over the 20 survivors only.
+        val top = shingles(docs(s, d).select("doc_id", "text"))
+          .groupBy("sh").agg(count(lit(1)).cast(LongType).as("df"))
+          .orderBy(col("df").desc, col("sh")).limit(20)
+        val w = Window.orderBy(col("df").desc, col("sh"))
+        top.withColumn("rank", row_number().over(w).cast(LongType))
+          .orderBy("rank")
+      },
+      Some("""WITH sh_df AS (
+        |  SELECT sh, CAST(count(*) AS BIGINT) AS df
+        |  FROM (
+        |    SELECT doc_id, unnest(list_distinct(
+        |      list_transform(range(1, len(w) - 1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+        |  GROUP BY sh)
+        |SELECT sh, df,
+        |  CAST(row_number() OVER (ORDER BY df DESC, sh) AS BIGINT) AS rank
+        |FROM sh_df QUALIFY rank <= 20 ORDER BY rank""".stripMargin)),
+
     // PII redaction: the corpus is deterministically salted with
     // emails (doc_id%7=0) and phone numbers (doc_id%11=0), then both
     // are regex-redacted and counted. Patterns stay in the
