@@ -186,4 +186,31 @@ class CatalogShardSpec extends AnyFunSuite {
     // recreate after hard delete works and reuses the same shard
     assert(cat.createStream("lifecycle-basin", victim).isRight)
   }
+
+  test("symlinked root aliases share one control plane (locks + cache)") {
+    val real = root()
+    val alias = Files.createTempDirectory("graft-alias").resolve("link")
+    Files.createSymbolicLink(alias, java.nio.file.Paths.get(real))
+
+    val viaReal = new Catalog(real)
+    val viaLink = new Catalog(alias.toString)
+    assert(viaReal.createBasin("sym-basin").isRight)
+    // the alias instance must see the real instance's write
+    // IMMEDIATELY — if the canonicalization missed, the alias would
+    // build different paths/keys and report BasinNotFound
+    assert(viaLink.getBasin("sym-basin").isDefined)
+    assert(viaLink.createStream("sym-basin", "s-1").isRight)
+    assert(viaReal.getStream("sym-basin", "s-1").isDefined)
+
+    // interleaved single-stream creates from both instances must all
+    // land (shared monitors serialize the read-modify-write; with
+    // per-path monitors some writes would be lost to stale rewrites)
+    val thReal = new Thread(() => (0 until 100).foreach(i =>
+      viaReal.createStream("sym-basin", s"r-$i")))
+    val thLink = new Thread(() => (0 until 100).foreach(i =>
+      viaLink.createStream("sym-basin", s"l-$i")))
+    thReal.start(); thLink.start()
+    thReal.join(); thLink.join()
+    assert(viaLink.listStreams("sym-basin", limit = 1000).items.size == 201)
+  }
 }
