@@ -36,6 +36,12 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
     * coercion modes — legacy `implicitCast` would otherwise silently
     * narrow double→float and diverge from the zip_with SQL chain this
     * expression matches bit-for-bit.
+    *
+    * Deliberate behavior change vs the ImplicitCastInputTypes version:
+    * integer arrays are no longer implicitly widened either — callers
+    * must `CAST(arr AS ARRAY<FLOAT>)` explicitly. Uniform rejection is
+    * chosen over re-implementing the analyzer's widening here: an
+    * explicit cast documents the precision change at the call site.
     */
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType): Boolean = dt match {

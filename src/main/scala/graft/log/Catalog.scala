@@ -153,13 +153,27 @@ object Catalog {
   /** Canonical form of a catalog root for JVM-global registry keys:
     * resolves symlinks (`toRealPath`) so two instances opening one
     * physical root via different symlinked paths share monitors and
-    * cache entries, falling back to lexical normalization when the
-    * root does not exist yet (first construction creates it).
+    * cache entries. When the root does not exist yet (first
+    * construction creates it), the deepest EXISTING ancestor is
+    * resolved and the remainder appended lexically — so an instance
+    * constructed before the directory exists and one constructed
+    * after agree on the key even when an ancestor is a symlink
+    * (plain lexical fallback would give them different keys and
+    * split the control plane in two).
     */
   private[log] def canonicalRoot(root: String): String = {
-    val p = java.nio.file.Paths.get(root)
-    try p.toRealPath().toString
-    catch { case _: java.io.IOException => p.toAbsolutePath.normalize.toString }
+    val abs = java.nio.file.Paths.get(root).toAbsolutePath.normalize
+    try abs.toRealPath().toString
+    catch {
+      case _: java.io.IOException =>
+        var existing = abs.getParent
+        while (existing != null && !Files.exists(existing))
+          existing = existing.getParent
+        if (existing == null) abs.toString
+        else try existing.toRealPath()
+          .resolve(existing.relativize(abs)).toString
+        catch { case _: java.io.IOException => abs.toString }
+    }
   }
 
   /** JVM-global (mtime, size)-keyed parse cache over control-plane
@@ -173,8 +187,38 @@ object Catalog {
     * update despite the shared monitor. With one cache, A's saveFile
     * IS B's cache refresh.
     */
+  /** Cache entry: (mtime, size, write-stamp-at-install, parsed value).
+    * The stamp lets lock-free readers install with CAS against
+    * concurrent writers — see loadCached. */
   private[log] val parseCache = scala.collection.concurrent.TrieMap
-    .empty[String, (java.nio.file.attribute.FileTime, Long, AnyRef)]
+    .empty[String, (java.nio.file.attribute.FileTime, Long, Long, AnyRef)]
+
+  /** Per-path monotonically increasing write stamp, bumped by every
+    * saveFile BEFORE its cache refresh. An UNLOCKED reader (the read
+    * paths take no monitor) records the stamp before parsing and
+    * declines to cache if it moved: otherwise the reader could parse
+    * the pre-write bytes, the writer could rewrite same-size within
+    * filesystem timestamp granularity and refresh the cache, and the
+    * reader's late put would clobber the fresh entry with a stale
+    * parse under a matching (mtime, size) key — resurrecting the
+    * lost-update this shared cache exists to prevent.
+    */
+  private[log] val writeStamps = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.atomic.AtomicLong]()
+  private[log] def writeStamp(path: String): java.util.concurrent.atomic.AtomicLong =
+    writeStamps.computeIfAbsent(path, _ => new java.util.concurrent.atomic.AtomicLong)
+
+  /** Opportunistic purge of cache/stamp entries whose files are gone
+    * (deleted basins, abandoned test roots) once the maps get large —
+    * the same no-monotonic-growth discipline as the lock registry. */
+  private[log] def purgeDeadEntries(): Unit = {
+    if (parseCache.size > 4096)
+      parseCache.keys.foreach { k =>
+        if (!Files.exists(java.nio.file.Paths.get(k))) parseCache.remove(k)
+      }
+    if (writeStamps.size > 8192)
+      writeStamps.keySet.removeIf(k => !Files.exists(java.nio.file.Paths.get(k)))
+  }
 }
 
 /** Control-plane catalog (SURVEY §2.4, C1-C6): basins and streams with
@@ -218,26 +262,47 @@ final class Catalog(root: String) {
   private def loadCached[A <: AnyRef: Manifest](path: java.nio.file.Path,
                                                 default: => A): A = {
     if (!Files.exists(path)) { cache.remove(path.toString); return default }
+    val key = path.toString
+    val stamp0 = Catalog.writeStamp(key).get()
     val ft = Files.getLastModifiedTime(path)
     val size = Files.size(path)
-    cache.get(path.toString) match {
-      case Some((t, s, v)) if t == ft && s == size => v.asInstanceOf[A]
+    cache.get(key) match {
+      case Some((t, s, _, v)) if t == ft && s == size => v.asInstanceOf[A]
       case _ =>
         val v = Layout.readJson[A](path).getOrElse(default)
-        // key the cache by the PRE-read stat: if a foreign process
+        // Key the cache by the PRE-read stat: if a foreign process
         // replaces the file while we parse, the next call re-stats,
         // mismatches, and re-parses — keying by a post-read stat
         // would pair the new (mtime, size) with the old content and
-        // serve it stale until the file changes again
-        cache.put(path.toString, (ft, size, v))
+        // serve it stale until the file changes again.
+        //
+        // Install with CAS against the in-JVM write stamp: this read
+        // path holds no monitor, so a concurrent locked saveFile may
+        // have rewritten the file (possibly same-size within mtime
+        // granularity) and refreshed the cache while we parsed — an
+        // unconditional put here would clobber that fresh entry with
+        // our stale parse under a matching key. The entry we install
+        // records stamp0; we only install over nothing (putIfAbsent)
+        // or over an entry no newer than stamp0 (replace-CAS). A
+        // writer's entry always carries a higher stamp and wins.
+        val entry = (ft, size, stamp0, v: AnyRef)
+        if (Catalog.writeStamp(key).get() == stamp0) {
+          cache.get(key) match {
+            case None => cache.putIfAbsent(key, entry)
+            case Some(old) if old._3 <= stamp0 => cache.replace(key, old, entry)
+            case _ => ()
+          }
+        }
         v
     }
   }
 
   private def saveFile[A <: AnyRef](path: java.nio.file.Path, v: A): Unit = {
     Layout.writeJson(path, v)
+    val stamp = Catalog.writeStamp(path.toString).incrementAndGet()
     cache.put(path.toString,
-      (Files.getLastModifiedTime(path), Files.size(path), v))
+      (Files.getLastModifiedTime(path), Files.size(path), stamp, v))
+    Catalog.purgeDeadEntries()
   }
 
   /** One-time migration of a pre-shard single-file root: split

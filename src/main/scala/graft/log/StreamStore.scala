@@ -59,8 +59,12 @@ final class StreamStore(val spark: SparkSession, val root: String) {
 
   val catalog = new Catalog(root)
 
-  private val rootKey =
-    Paths.get(root).toAbsolutePath.normalize.toString
+  // Catalog.canonicalRoot, not lexical normalize: symlink-aliased
+  // roots must share the data-plane commit monitors too, or two
+  // in-JVM stores over one physical stream would race to the same
+  // OS lock file and the loser's FileChannel.lock() would throw
+  // OverlappingFileLockException instead of waiting
+  private val rootKey = Catalog.canonicalRoot(root)
   private def lockFor(basin: String, stream: String): Object =
     StreamStore.jvmLock(rootKey + "\u0000" + basin + "\u0000" + stream)
 

@@ -63,7 +63,8 @@ object PipelineOps {
       .select(col("doc_id"), col("doc_id").as("rep")).localCheckpoint()
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 50) {
+    val maxRounds = 64
+    while (!converged && rounds < maxRounds) {
       // neighbor minimum: rep'(x) = min(rep(x), min_{y~x} rep(y));
       // inner join is safe — every label row is edge-incident. The
       // `changed` flag rides along in the checkpointed round result,
@@ -79,6 +80,16 @@ object PipelineOps {
       labels = next.select("doc_id", "rep")
       rounds += 1
     }
+    // Fail LOUDLY on a non-converged exit: returning the
+    // partially-propagated labels would silently report one component
+    // as several with wrong representatives. A diameter above
+    // maxRounds means the dedup graph has a pathological chain shape
+    // — the fix is the O(log n)-round large-star/small-star variant,
+    // not a silently wrong answer.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge within $maxRounds rounds " +
+          "(component diameter exceeds the bound)")
     labels
   }
 
@@ -90,6 +101,17 @@ object PipelineOps {
                                            edges: DataFrame): DataFrame =
     nodes.join(ccIncident(edges), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep"))
+
+  /** LSH-verified near-dup pairs as (a, b) edges — the edge source of
+    * dedup_cluster_cc, shared with tools/ProfCC so the profiler always
+    * measures the pipeline the query actually runs.
+    */
+  private[graft] def nearDupEdges(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(docsAug(s, d))
+    jaccardFor(cappedCandidates(minhashBands(sh), BandBucketCap), sh)
+      .where(col("jaccard") >= 0.5)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+  }
 
   def defs: Seq[QueryDef] = Seq(
 
@@ -107,11 +129,7 @@ object PipelineOps {
     // direction, premature convergence) hash-mismatches.
     QueryDef("dedup_cluster_cc",
       (s, d) => {
-        val base = docsAug(s, d)
-        val sh = shingles(base)
-        val edges = jaccardFor(cappedCandidates(minhashBands(sh), BandBucketCap), sh)
-          .where(col("jaccard") >= 0.5)
-          .select(col("doc_a").as("a"), col("doc_b").as("b"))
+        val edges = nearDupEdges(s, d)
         // Every member of a >=2 cluster touches an edge, so the
         // incident-only label set IS the output domain — singletons
         // are never reattached only to be filtered back out (an

@@ -27,12 +27,7 @@ object ProfCC {
     // warm the JVM/codegen paths
     graft.SparkEntry.queries("q1_pricing_summary")(spark, d).count()
 
-    import graft.queries.TextOps._
-    val base = docsAug(spark, d)
-    val sh = shingles(base)
-    val edges = jaccardFor(cappedCandidates(minhashBands(sh), BandBucketCap), sh)
-      .where(col("jaccard") >= 0.5)
-      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val edges = graft.queries.PipelineOps.nearDupEdges(spark, d)
 
     val labels = t("ccIncident (bi materialize + rounds)") {
       val l = graft.queries.PipelineOps.ccIncident(edges)

@@ -59,9 +59,9 @@ class IntDotSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("SQL registration via session extensions resolves int_dot") {
-    val ext = new graft.GraftExtensions
-    // the shared test session may not carry the extension; register
-    // the function directly and go through the SQL parser
+    // the shared test session does not carry the session extension;
+    // register through the same FunctionRegistry path and go through
+    // the SQL parser
     GraftFunctions.register(spark)
     val r = spark.sql(
       "SELECT int_dot(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d")
