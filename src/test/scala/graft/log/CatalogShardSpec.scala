@@ -213,4 +213,32 @@ class CatalogShardSpec extends AnyFunSuite {
     thReal.join(); thLink.join()
     assert(viaLink.listStreams("sym-basin", limit = 1000).items.size == 201)
   }
+
+  test("lock-free readers never clobber a writer's cache refresh (no lost creates)") {
+    // Regression for the shared-cache install race: loadCached runs
+    // without a monitor, so a reader that parsed PRE-write bytes and
+    // installed them late (over the writer's same-(mtime,size) fresh
+    // entry) would poison the cache — the writer's next
+    // read-modify-write would then rewrite from the stale parse and
+    // drop earlier creates. Hammer reads from a second instance while
+    // a writer creates 300 streams; every create must survive.
+    val r = root()
+    val writer = new Catalog(r)
+    val reader = new Catalog(r)
+    writer.createBasin("race-basin")
+    @volatile var stop = false
+    val readers = (0 until 4).map { _ =>
+      new Thread(() => while (!stop) {
+        reader.listStreams("race-basin", limit = 1000)
+        reader.getBasin("race-basin")
+      })
+    }
+    readers.foreach(_.start())
+    (0 until 300).foreach(i =>
+      assert(writer.createStream("race-basin", s"h-$i").isRight))
+    stop = true
+    readers.foreach(_.join())
+    assert(writer.listStreams("race-basin", limit = 1000).items.size == 300)
+    assert(reader.listStreams("race-basin", limit = 1000).items.size == 300)
+  }
 }
