@@ -227,6 +227,73 @@ object PipelineOps {
         |            FROM documents))
         |ORDER BY doc_id""".stripMargin)),
 
+    // End-to-end training-data recipe as ONE declarative plan:
+    // quality filter -> exact dedup (keep lowest doc_id per content
+    // hash) -> deterministic stratified sample -> sequence packing ->
+    // per-pack manifest. This is the composition story: every stage
+    // is the same narrow projection / single-shuffle shape as its
+    // standalone operator, and Catalyst pipelines them — the quality
+    // filter and hash run in the scan stage, dedup is one groupBy,
+    // sampling is a filter, packing one window — so the whole recipe
+    // is 3 shuffles end-to-end regardless of corpus size.
+    QueryDef("e2e_data_recipe",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = split(col("text"), " ")
+        val scored = docs(s, d).select(col("doc_id"), col("lang"), col("text"),
+            size(w).cast(LongType).as("n_tokens"),
+            size(filter(w, x => x.isin("the", "a", "and", "of", "to")))
+              .cast(LongType).as("n_stop"))
+          .where(col("n_tokens") >= 20 &&
+            col("n_stop").cast(DoubleType) / col("n_tokens") < 0.5)
+        val fp = scored.withColumn("fp", md5s(col("text")))
+        val keep = fp.groupBy("fp").agg(min("doc_id").as("doc_id"))
+        val deduped = fp.join(keep, Seq("fp", "doc_id"))
+        val sampled = deduped
+          .withColumn("bucket",
+            substring(md5s(col("doc_id").cast(StringType)), 1, 4))
+          .where(col("bucket") <
+            when(col("lang") === "en", lit("199a")).otherwise(lit("8000")))
+        val wp = Window.partitionBy("lang").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        sampled
+          .withColumn("start_tok", coalesce(sum("n_tokens").over(wp), lit(0L)))
+          .withColumn("pack_id", (col("start_tok") / 2048L).cast(LongType))
+          .groupBy("lang", "pack_id")
+          .agg(count(lit(1)).cast(LongType).as("n_docs"),
+            sum("n_tokens").cast(LongType).as("tokens"),
+            min("doc_id").cast(LongType).as("first_doc"),
+            max("doc_id").cast(LongType).as("last_doc"))
+          .orderBy("lang", "pack_id")
+      },
+      Some("""WITH scored AS (
+        |  SELECT doc_id, lang, text,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('the', 'a', 'and', 'of', 'to'))) AS BIGINT) AS n_stop
+        |  FROM documents),
+        |q AS (SELECT * FROM scored
+        |      WHERE n_tokens >= 20 AND CAST(n_stop AS DOUBLE) / n_tokens < 0.5),
+        |fp AS (SELECT doc_id, lang, n_tokens, md5(text) AS f FROM q),
+        |keep AS (SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY f),
+        |deduped AS (SELECT fp.* FROM fp JOIN keep
+        |            ON fp.f = keep.f AND fp.doc_id = keep.doc_id),
+        |sampled AS (
+        |  SELECT * FROM deduped
+        |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+        |    < (CASE WHEN lang = 'en' THEN '199a' ELSE '8000' END)),
+        |packed AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST(floor(COALESCE(sum(n_tokens) OVER (PARTITION BY lang
+        |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0) / 2048) AS BIGINT) AS pack_id
+        |  FROM sampled)
+        |SELECT lang, pack_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS tokens,
+        |  CAST(min(doc_id) AS BIGINT) AS first_doc,
+        |  CAST(max(doc_id) AS BIGINT) AS last_doc
+        |FROM packed GROUP BY lang, pack_id ORDER BY lang, pack_id""".stripMargin)),
+
     // Corpus mixture reweighting: per-source token mass and the
     // sampling weight that equalizes the mixture (weight =
     // target-share / actual-share with a uniform target) — the knob a
