@@ -27,15 +27,16 @@ object PipelineOps {
     * reattach them with one broadcast-able outer join
     * (see connectedComponents).
     *
-    * Each round is one shuffle pair (join + groupBy); rounds needed =
-    * graph diameter. Near-dup graphs are clique-ish (a duplicated doc
-    * and its copies all pair with each other), so the loop converges
-    * in 2-3 rounds here. At 100 TB with adversarial chain-shaped
-    * components you would swap this loop for alternating
-    * large-star/small-star rounds (Kiveris et al., "Connected
-    * Components in MapReduce") — same join+min primitive, O(log n)
-    * rounds guaranteed — but the per-round dataflow below is already
-    * that primitive.
+    * Each round combines the neighbor-min step with POINTER JUMPING
+    * (rep'(x) = min over {rep(x), rep(y) for y~x, rep(rep(x))}): the
+    * shortcut through rep(rep(x)) halves the remaining label-chain
+    * depth every round, so convergence is O(log n) rounds even for
+    * adversarial chain-shaped components — the same guarantee
+    * alternating large-star/small-star gives (Kiveris et al.,
+    * "Connected Components in MapReduce") with one extra
+    * tiny-table join per round. Near-dup graphs are clique-ish (a
+    * duplicated doc and its copies all pair with each other), so the
+    * loop still converges in 2-3 rounds in the common case.
     */
   private[graft] def ccIncident(edges: DataFrame): DataFrame = {
     // Both directions in ONE pass over edges (explode, not
@@ -66,30 +67,39 @@ object PipelineOps {
     val maxRounds = 64
     while (!converged && rounds < maxRounds) {
       // neighbor minimum: rep'(x) = min(rep(x), min_{y~x} rep(y));
-      // inner join is safe — every label row is edge-incident. The
-      // `changed` flag rides along in the checkpointed round result,
-      // so convergence is a scan of stored blocks, not an extra join.
+      // inner joins are safe throughout — every label row is
+      // edge-incident and every rep IS an incident doc_id (labels
+      // start as the identity and only ever take values from other
+      // labels).
       val viaNbr = bi.join(labels.select(col("doc_id").as("b"),
           col("rep").as("nrep")), "b")
         .groupBy(col("a").as("doc_id")).agg(min("nrep").as("nrep"))
-      val next = labels.join(viaNbr, Seq("doc_id"))
-        .select(col("doc_id"), least(col("rep"), col("nrep")).as("rep"),
-          (col("nrep") < col("rep")).as("changed"))
+      val half = labels.join(viaNbr, Seq("doc_id"))
+        .select(col("doc_id"), least(col("rep"), col("nrep")).as("rep"))
+      // pointer jump: follow the rep's own rep one hop — this is what
+      // turns O(diameter) propagation into O(log n)
+      val next = half.join(
+          half.select(col("doc_id").as("rep"), col("rep").as("rrep")),
+          Seq("rep"))
+        .select(col("doc_id"), least(col("rep"), col("rrep")).as("rep"))
+        .join(labels.select(col("doc_id"), col("rep").as("prev")), Seq("doc_id"))
+        .select(col("doc_id"), col("rep"),
+          (col("rep") < col("prev")).as("changed"))
         .localCheckpoint()
+      // The `changed` flag rides along in the checkpointed round
+      // result, so convergence is a scan of stored blocks, not an
+      // extra action.
       converged = next.where(col("changed")).isEmpty
       labels = next.select("doc_id", "rep")
       rounds += 1
     }
-    // Fail LOUDLY on a non-converged exit: returning the
-    // partially-propagated labels would silently report one component
-    // as several with wrong representatives. A diameter above
-    // maxRounds means the dedup graph has a pathological chain shape
-    // — the fix is the O(log n)-round large-star/small-star variant,
-    // not a silently wrong answer.
+    // Invariant guard, not an expected path: with pointer jumping the
+    // chain depth halves every round, so 64 rounds covers any
+    // realizable component. Returning partially-propagated labels
+    // would silently report one component as several — fail loudly.
     if (!converged)
       throw new IllegalStateException(
-        s"connected components did not converge within $maxRounds rounds " +
-          "(component diameter exceeds the bound)")
+        s"connected components did not converge within $maxRounds rounds")
     labels
   }
 

@@ -32,6 +32,15 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(labels == (0L to 7L).map(_ -> 0L).toMap)
   }
 
+  test("300-node chain converges within the round cap (pointer jumping)") {
+    // Diameter 299: pure neighbor-min propagation would need 299
+    // rounds and trip the 64-round invariant guard; the rep(rep(x))
+    // shortcut halves the remaining depth each round, so this
+    // converges in O(log n) rounds.
+    val labels = cc(0L to 300L, (0L to 299L).map(i => (i, i + 1)))
+    assert(labels.size == 301 && labels.values.forall(_ == 0L))
+  }
+
   test("min label propagates AGAINST edge direction (undirected semantics)") {
     // edge written high->low only; without the bidirectional union the
     // min would never reach node 9
