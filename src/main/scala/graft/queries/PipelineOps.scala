@@ -204,26 +204,42 @@ object PipelineOps {
     // Sequence packing (concat-and-chunk): docs are laid end-to-end
     // per language in doc_id order and cut into 2048-token packs; each
     // doc is assigned the pack where it STARTS (prefix-sum / budget).
-    // One window per language partition — the shuffle is one
-    // hash-partition by lang, and within a partition the running sum
-    // is a single sorted pass. At 100 TB you would sub-bucket the
-    // partition key (lang, doc_id DIV range) to bound partition size;
-    // the prefix-sum-then-divide shape is unchanged. This is the
-    // deterministic packing used to build fixed-length training
-    // batches, as opposed to greedy first-fit whose sequential state
-    // can't parallelize.
+    // This is the deterministic packing used to build fixed-length
+    // training batches, as opposed to greedy first-fit whose
+    // sequential state can't parallelize.
+    //
+    // The prefix sum is TWO-LEVEL so no partition is ever
+    // corpus-language-sized: docs bucket by doc_id DIV 4096, the
+    // running sum windows over (lang, bucket) — bounded partitions —
+    // and the cross-bucket base offsets come from an exclusive prefix
+    // over the per-bucket totals, a table with one row per bucket
+    // that joins back broadcast. start_tok = bucket base + local
+    // prefix is IDENTICAL to the single-window formulation (the
+    // oracle runs that one), but survives a language with a billion
+    // documents, where Window.partitionBy(lang) alone would funnel
+    // them into one task.
     QueryDef("pack_sequences",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy("lang").orderBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        docs(s, d)
+        val toks = docs(s, d)
           .select(col("doc_id"), col("lang"),
             size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
-          .withColumn("start_tok",
-            coalesce(sum("n_tokens").over(w), lit(0L)))
+          .withColumn("bucket", (col("doc_id") / 4096L).cast(LongType))
+        val wLocal = Window.partitionBy("lang", "bucket").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wBase = Window.partitionBy("lang").orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val bases = toks.groupBy("lang", "bucket")
+          .agg(sum("n_tokens").as("bucket_tokens"))
+          .withColumn("base", coalesce(sum("bucket_tokens").over(wBase), lit(0L)))
+          .select("lang", "bucket", "base")
+        toks
+          .withColumn("local_prefix",
+            coalesce(sum("n_tokens").over(wLocal), lit(0L)))
+          .join(broadcast(bases), Seq("lang", "bucket"))
           .select(col("doc_id"), col("lang"), col("n_tokens"),
-            (col("start_tok") / 2048L).cast(LongType).as("pack_id"))
+            ((col("base") + col("local_prefix")) / 2048L).cast(LongType)
+              .as("pack_id"))
           .orderBy("doc_id")
       },
       Some("""SELECT doc_id, lang, n_tokens,
