@@ -123,6 +123,31 @@ object PipelineOps {
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
   }
 
+  /** Two-level exclusive prefix sum of n_tokens per language in
+    * doc_id order: local windows over (lang, doc_id DIV 4096) buckets
+    * plus broadcast cross-bucket base offsets — arithmetically
+    * identical to one Window.partitionBy(lang) pass but no partition
+    * is ever language-sized. Input needs (doc_id, lang, n_tokens);
+    * adds `start_tok`. Shared by pack_sequences and e2e_data_recipe.
+    */
+  private def withStartTok(toks0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = toks0.withColumn("bucket", (col("doc_id") / 4096L).cast(LongType))
+    val wLocal = Window.partitionBy("lang", "bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wBase = Window.partitionBy("lang").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = toks.groupBy("lang", "bucket")
+      .agg(sum("n_tokens").as("bucket_tokens"))
+      .withColumn("base", coalesce(sum("bucket_tokens").over(wBase), lit(0L)))
+      .select("lang", "bucket", "base")
+    toks
+      .withColumn("local_prefix", coalesce(sum("n_tokens").over(wLocal), lit(0L)))
+      .join(broadcast(bases), Seq("lang", "bucket"))
+      .withColumn("start_tok", col("base") + col("local_prefix"))
+      .drop("bucket", "base", "local_prefix")
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // Near-duplicate clusters: minhash-LSH candidate pairs verified at
@@ -219,29 +244,12 @@ object PipelineOps {
     // documents, where Window.partitionBy(lang) alone would funnel
     // them into one task.
     QueryDef("pack_sequences",
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val toks = docs(s, d)
+      (s, d) => withStartTok(docs(s, d)
           .select(col("doc_id"), col("lang"),
-            size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
-          .withColumn("bucket", (col("doc_id") / 4096L).cast(LongType))
-        val wLocal = Window.partitionBy("lang", "bucket").orderBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val wBase = Window.partitionBy("lang").orderBy("bucket")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val bases = toks.groupBy("lang", "bucket")
-          .agg(sum("n_tokens").as("bucket_tokens"))
-          .withColumn("base", coalesce(sum("bucket_tokens").over(wBase), lit(0L)))
-          .select("lang", "bucket", "base")
-        toks
-          .withColumn("local_prefix",
-            coalesce(sum("n_tokens").over(wLocal), lit(0L)))
-          .join(broadcast(bases), Seq("lang", "bucket"))
-          .select(col("doc_id"), col("lang"), col("n_tokens"),
-            ((col("base") + col("local_prefix")) / 2048L).cast(LongType)
-              .as("pack_id"))
-          .orderBy("doc_id")
-      },
+            size(split(col("text"), " ")).cast(LongType).as("n_tokens")))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          (col("start_tok") / 2048L).cast(LongType).as("pack_id"))
+        .orderBy("doc_id"),
       Some("""SELECT doc_id, lang, n_tokens,
         |  CAST(floor(start_tok / 2048) AS BIGINT) AS pack_id
         |FROM (SELECT doc_id, lang, n_tokens,
@@ -259,9 +267,10 @@ object PipelineOps {
     // per-pack manifest. This is the composition story: every stage
     // is the same narrow projection / single-shuffle shape as its
     // standalone operator, and Catalyst pipelines them — the quality
-    // filter and hash run in the scan stage, dedup is one groupBy,
-    // sampling is a filter, packing one window — so the whole recipe
-    // is 3 shuffles end-to-end regardless of corpus size.
+    // filter and hash run in the scan stage, dedup is one groupBy
+    // with a broadcast keep-join, sampling is a filter, and packing
+    // is the shared two-level prefix sum (withStartTok) whose window
+    // partitions stay bounded no matter how large one language grows.
     QueryDef("e2e_data_recipe",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
@@ -280,10 +289,7 @@ object PipelineOps {
             substring(md5s(col("doc_id").cast(StringType)), 1, 4))
           .where(col("bucket") <
             when(col("lang") === "en", lit("199a")).otherwise(lit("8000")))
-        val wp = Window.partitionBy("lang").orderBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        sampled
-          .withColumn("start_tok", coalesce(sum("n_tokens").over(wp), lit(0L)))
+        withStartTok(sampled.select("doc_id", "lang", "n_tokens"))
           .withColumn("pack_id", (col("start_tok") / 2048L).cast(LongType))
           .groupBy("lang", "pack_id")
           .agg(count(lit(1)).cast(LongType).as("n_docs"),
