@@ -162,17 +162,26 @@ object Catalog {
     * split the control plane in two).
     */
   private[log] def canonicalRoot(root: String): String = {
-    val abs = java.nio.file.Paths.get(root).toAbsolutePath.normalize
+    // toRealPath on the RAW absolute path — never normalize() first:
+    // lexical normalization folds '..' across symlinks ('/b/sym/../x'
+    // is NOT '/b/x' when sym points elsewhere), which would key and
+    // build the control plane under the wrong directory.
+    val abs = java.nio.file.Paths.get(root).toAbsolutePath
     try abs.toRealPath().toString
     catch {
       case _: java.io.IOException =>
-        var existing = abs.getParent
+        // Root doesn't exist yet: resolve the deepest EXISTING
+        // ancestor and append the remainder. The remainder is
+        // normalized lexically — best effort, since a '..' behind a
+        // not-yet-existing symlink cannot be resolved by anyone.
+        val norm = abs.normalize
+        var existing = norm.getParent
         while (existing != null && !Files.exists(existing))
           existing = existing.getParent
-        if (existing == null) abs.toString
+        if (existing == null) norm.toString
         else try existing.toRealPath()
-          .resolve(existing.relativize(abs)).toString
-        catch { case _: java.io.IOException => abs.toString }
+          .resolve(existing.relativize(norm)).toString
+        catch { case _: java.io.IOException => norm.toString }
     }
   }
 
@@ -208,16 +217,29 @@ object Catalog {
   private[log] def writeStamp(path: String): java.util.concurrent.atomic.AtomicLong =
     writeStamps.computeIfAbsent(path, _ => new java.util.concurrent.atomic.AtomicLong)
 
-  /** Opportunistic purge of cache/stamp entries whose files are gone
-    * (deleted basins, abandoned test roots) once the maps get large —
-    * the same no-monotonic-growth discipline as the lock registry. */
+  /** Opportunistic purge of parse-cache entries whose files are gone
+    * (deleted basins, abandoned test roots) once the map gets large —
+    * the same no-monotonic-growth discipline as the lock registry.
+    *
+    * Counter-gated to at most one sweep per 1024 saves: the sweep
+    * stats every cached path, and with >4096 LIVE entries an
+    * every-save sweep would put thousands of stat(2) calls inside
+    * each catalog mutation forever (the threshold never clears when
+    * the files all exist).
+    *
+    * writeStamps is deliberately NOT purged: a purged-and-recreated
+    * stamp restarts at 0 and could climb back to a previously
+    * observed value, letting a stale reader pass loadCached's
+    * stamp-unmoved check and CAS its stale parse over a fresh one.
+    * Monotonicity is the invariant; an AtomicLong per path ever
+    * written is cheap.
+    */
+  private val savesSincePurge = new java.util.concurrent.atomic.AtomicLong
   private[log] def purgeDeadEntries(): Unit = {
-    if (parseCache.size > 4096)
+    if (savesSincePurge.incrementAndGet() % 1024 == 0 && parseCache.size > 4096)
       parseCache.keys.foreach { k =>
         if (!Files.exists(java.nio.file.Paths.get(k))) parseCache.remove(k)
       }
-    if (writeStamps.size > 8192)
-      writeStamps.keySet.removeIf(k => !Files.exists(java.nio.file.Paths.get(k)))
   }
 }
 

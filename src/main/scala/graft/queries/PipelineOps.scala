@@ -273,7 +273,6 @@ object PipelineOps {
     // partitions stay bounded no matter how large one language grows.
     QueryDef("e2e_data_recipe",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val w = split(col("text"), " ")
         val scored = docs(s, d).select(col("doc_id"), col("lang"), col("text"),
             size(w).cast(LongType).as("n_tokens"),
