@@ -146,6 +146,94 @@ object Multimodal {
     }
   }
 
+  final case class AudioMeta(
+      byteLen: Long, sampleRate: Int, channels: Int, bitsPerSample: Int,
+      nSamples: Long, ok: Boolean)
+
+  /** REAL audio-header codec: walks a WAV file's RIFF chunk list and
+    * extracts (sample rate, channels, bits/sample) from `fmt ` and the
+    * sample count from `data` size / block align. Pure JVM, tolerant
+    * of unknown chunks between them (LIST, cue, etc.); malformed or
+    * truncated bytes come back `ok = false`, never an exception.
+    */
+  final class AudioHeaderDecoder {
+    private def le16(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], i: Int): Long =
+      (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+        ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+    private def tag(b: Array[Byte], i: Int, t: String): Boolean =
+      b(i) == t(0).toByte && b(i + 1) == t(1).toByte &&
+        b(i + 2) == t(2).toByte && b(i + 3) == t(3).toByte
+
+    def decode(bytes: Array[Byte]): AudioMeta = {
+      val n = if (bytes == null) 0L else bytes.length.toLong
+      def bad = AudioMeta(n, 0, 0, 0, 0L, ok = false)
+      if (n < 12 || !tag(bytes, 0, "RIFF") || !tag(bytes, 8, "WAVE")) return bad
+      var i = 12
+      var rate = 0; var ch = 0; var bits = 0; var blockAlign = 0
+      var dataLen = -1L
+      while (i + 8 <= bytes.length && (rate == 0 || dataLen < 0)) {
+        val len = le32(bytes, i + 4)
+        if (tag(bytes, i, "fmt ")) {
+          if (len < 16 || i + 8 + 16 > bytes.length) return bad
+          ch = le16(bytes, i + 10)
+          rate = le32(bytes, i + 12).toInt
+          blockAlign = le16(bytes, i + 20)
+          bits = le16(bytes, i + 22)
+        } else if (tag(bytes, i, "data")) {
+          dataLen = len
+        }
+        // chunks are word-aligned: odd sizes carry a pad byte
+        i += 8 + len.toInt + (len.toInt & 1)
+      }
+      if (rate <= 0 || ch <= 0 || blockAlign <= 0 || dataLen < 0) bad
+      else AudioMeta(n, rate, ch, bits, dataLen / blockAlign, ok = true)
+    }
+  }
+
+  /** Minimal VALID 16-bit PCM WAV header (44 bytes + no payload — the
+    * `data` length field carries the sample count; oracle queries
+    * check the parsed values arithmetically).
+    */
+  object AudioBytes {
+    def wav(sampleRate: Int, channels: Int, nSamples: Long): Array[Byte] = {
+      val blockAlign = channels * 2 // 16-bit PCM
+      val dataLen = nSamples * blockAlign
+      val out = java.nio.ByteBuffer.allocate(44)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes("US-ASCII")).putInt((36 + dataLen).toInt)
+      out.put("WAVE".getBytes("US-ASCII"))
+      out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      out.putShort(1) // PCM
+      out.putShort(channels.toShort)
+      out.putInt(sampleRate)
+      out.putInt(sampleRate * blockAlign) // byte rate
+      out.putShort(blockAlign.toShort)
+      out.putShort(16) // bits per sample
+      out.put("data".getBytes("US-ASCII")).putInt(dataLen.toInt)
+      out.array()
+    }
+  }
+
+  /** Decode a binary column into typed audio metadata with the REAL
+    * RIFF parser, one decoder instance per partition.
+    */
+  def decodeAudioMeta(df: DataFrame, binaryCol: String, idCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    val ds: Dataset[(Long, AudioMeta)] = df
+      .select(col(idCol).cast("long"), col(binaryCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val decoder = new AudioHeaderDecoder // init once per partition
+        it.map { case (id, bytes) => (id, decoder.decode(bytes)) }
+      }
+    ds.select(col("_1").as(idCol),
+      col("_2.sampleRate").as("sample_rate"), col("_2.channels").as("channels"),
+      col("_2.bitsPerSample").as("bits"), col("_2.nSamples").as("n_samples"),
+      col("_2.ok").as("ok"))
+  }
+
   /** Decode a binary column into typed metadata with the REAL header
     * parser, one decoder instance per partition.
     */

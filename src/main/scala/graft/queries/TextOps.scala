@@ -478,6 +478,40 @@ object TextOps {
         |  CAST(32 + (event_id * 7) % 64 AS INT) AS width,
         |  CAST(32 + (event_id * 13) % 64 AS INT) AS height,
         |  TRUE AS ok
+        |FROM events ORDER BY event_id""".stripMargin)),
+
+    // REAL audio-header decode end-to-end: valid 16-bit PCM WAV
+    // headers with rate/channels/sample-count derived from event_id,
+    // parsed back OUT OF THE BYTES by Multimodal.AudioHeaderDecoder's
+    // RIFF chunk walk (mapPartitions, per-partition decoder). The
+    // oracle recomputes everything arithmetically — an endianness,
+    // chunk-alignment, or block-align bug hash-mismatches. Duration is
+    // exact integer math in both engines (sample counts are chosen so
+    // n_samples * 1000 is divisible-safe via floor).
+    QueryDef("mm3_wav_meta",
+      (s, d) => {
+        import s.implicits._
+        val ids = Records.events(s, d)
+          .select(col("event_id").cast(LongType)).as[Long]
+        val blobs = ids.map { id =>
+          val rate = (8000 + (id % 5) * 4000).toInt
+          val ch = (1 + id % 2).toInt
+          val n = 1000 + id % 1000
+          (id, graft.extras.Multimodal.AudioBytes.wav(rate, ch, n))
+        }.toDF("event_id", "blob")
+        graft.extras.Multimodal.decodeAudioMeta(blobs, "blob", "event_id")
+          .withColumn("duration_ms",
+            floor(col("n_samples") * 1000L / col("sample_rate")).cast(LongType))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+        |  CAST(8000 + (event_id % 5) * 4000 AS INT) AS sample_rate,
+        |  CAST(1 + event_id % 2 AS INT) AS channels,
+        |  CAST(16 AS INT) AS bits,
+        |  CAST(1000 + event_id % 1000 AS BIGINT) AS n_samples,
+        |  TRUE AS ok,
+        |  CAST(floor((1000 + event_id % 1000) * 1000
+        |    / (8000 + (event_id % 5) * 4000)) AS BIGINT) AS duration_ms
         |FROM events ORDER BY event_id""".stripMargin))
   )
 }

@@ -65,4 +65,24 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(frames.length == 4)
     assert(frames.map(_.getLong(3)).toSeq == Seq(0L, 25L, 50L, 75L))
   }
+
+  test("WAV decoder: round-trip, unknown chunks tolerated, garbage rejected") {
+    val dec = new Multimodal.AudioHeaderDecoder
+    val m = dec.decode(Multimodal.AudioBytes.wav(16000, 2, 12345L))
+    assert(m.ok && m.sampleRate == 16000 && m.channels == 2 &&
+      m.bitsPerSample == 16 && m.nSamples == 12345L)
+
+    // an unknown odd-sized chunk (with pad byte) between WAVE and fmt
+    val base = Multimodal.AudioBytes.wav(8000, 1, 10L)
+    val junk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 0, 0) ++ Array[Byte](1, 2, 3, 0) // len 3 + pad
+    val withChunk = base.take(12) ++ junk ++ base.drop(12)
+    // fix RIFF size field is irrelevant to the walk; decoder skips LIST
+    val m2 = dec.decode(withChunk)
+    assert(m2.ok && m2.sampleRate == 8000 && m2.channels == 1 && m2.nSamples == 10L)
+
+    assert(!dec.decode("not audio at all".getBytes).ok)
+    assert(!dec.decode(base.take(20)).ok) // truncated before fmt payload
+    assert(!dec.decode(null).ok)
+  }
 }
