@@ -216,6 +216,117 @@ object Multimodal {
     }
   }
 
+  final case class VideoMeta(
+      byteLen: Long, timescale: Long, durationMs: Long,
+      width: Int, height: Int, ok: Boolean)
+
+  /** REAL video-container codec: walks MP4 (ISO BMFF) boxes —
+    * big-endian size+fourcc — finds `moov`, reads the movie timescale
+    * and duration from `mvhd` (version 0) and the presentation
+    * dimensions from the first `trak`'s `tkhd` (16.16 fixed point).
+    * Pure JVM; unknown boxes are skipped by size; malformed or
+    * truncated bytes come back `ok = false`, never an exception.
+    */
+  final class VideoHeaderDecoder {
+    private def be32(b: Array[Byte], i: Int): Long =
+      ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+    private def fourcc(b: Array[Byte], i: Int, t: String): Boolean =
+      b(i) == t(0).toByte && b(i + 1) == t(1).toByte &&
+        b(i + 2) == t(2).toByte && b(i + 3) == t(3).toByte
+
+    def decode(bytes: Array[Byte]): VideoMeta = {
+      val n = if (bytes == null) 0L else bytes.length.toLong
+      def bad = VideoMeta(n, 0L, 0L, 0, 0, ok = false)
+      if (n < 16) return bad
+      // find the top-level moov box
+      var i = 0
+      var moovStart = -1; var moovEnd = -1
+      while (i + 8 <= bytes.length && moovStart < 0) {
+        val size = be32(bytes, i)
+        if (size < 8 || i + size > bytes.length) return bad
+        if (fourcc(bytes, i + 4, "moov")) {
+          moovStart = i + 8; moovEnd = i + size.toInt
+        }
+        i += size.toInt
+      }
+      if (moovStart < 0) return bad
+      // walk moov children: mvhd for timescale/duration, trak>tkhd for dims
+      var timescale = 0L; var duration = -1L; var w = 0; var h = 0
+      var j = moovStart
+      while (j + 8 <= moovEnd) {
+        val size = be32(bytes, j)
+        if (size < 8 || j + size > moovEnd) return bad
+        if (fourcc(bytes, j + 4, "mvhd")) {
+          if (bytes(j + 8) != 0 || j + 28 > moovEnd) return bad // version 0 only
+          timescale = be32(bytes, j + 20)
+          duration = be32(bytes, j + 24)
+        } else if (fourcc(bytes, j + 4, "trak") && w == 0) {
+          var k = j + 8
+          val trakEnd = j + size.toInt
+          while (k + 8 <= trakEnd && w == 0) {
+            val ts = be32(bytes, k)
+            if (ts < 8 || k + ts > trakEnd) return bad
+            if (fourcc(bytes, k + 4, "tkhd")) {
+              // v0 tkhd: 84-byte payload; width/height 16.16 at 76/80
+              if (bytes(k + 8) != 0 || k + 8 + 84 > trakEnd) return bad
+              w = (be32(bytes, k + 8 + 76) >> 16).toInt
+              h = (be32(bytes, k + 8 + 80) >> 16).toInt
+            }
+            k += ts.toInt
+          }
+        }
+        j += size.toInt
+      }
+      if (timescale <= 0 || duration < 0) bad
+      else VideoMeta(n, timescale, duration * 1000L / timescale, w, h, ok = true)
+    }
+  }
+
+  /** Minimal VALID MP4: ftyp + moov(mvhd v0 + trak(tkhd v0)). */
+  object VideoBytes {
+    def mp4(timescale: Long, duration: Long, w: Int, h: Int): Array[Byte] = {
+      val ftyp = java.nio.ByteBuffer.allocate(16)
+      ftyp.putInt(16).put("ftyp".getBytes("US-ASCII"))
+        .put("isom".getBytes("US-ASCII")).putInt(0x200)
+      val mvhd = java.nio.ByteBuffer.allocate(8 + 100)
+      mvhd.putInt(108).put("mvhd".getBytes("US-ASCII"))
+        .putInt(0)                        // version 0 + flags
+        .putInt(0).putInt(0)              // ctime, mtime
+        .putInt(timescale.toInt).putInt(duration.toInt)
+      mvhd.position(8 + 100)              // rest zeros (rate..next_track_id)
+      val tkhd = java.nio.ByteBuffer.allocate(8 + 84)
+      tkhd.putInt(92).put("tkhd".getBytes("US-ASCII"))
+        .putInt(0)                        // version 0 + flags
+      tkhd.position(8 + 76)
+      tkhd.putInt(w << 16).putInt(h << 16)
+      val trak = java.nio.ByteBuffer.allocate(8 + 92)
+      trak.putInt(100).put("trak".getBytes("US-ASCII")).put(tkhd.array())
+      val moov = java.nio.ByteBuffer.allocate(8 + 108 + 100)
+      moov.putInt(8 + 108 + 100).put("moov".getBytes("US-ASCII"))
+        .put(mvhd.array()).put(trak.array())
+      ftyp.array() ++ moov.array()
+    }
+  }
+
+  /** Decode a binary column into typed video metadata with the REAL
+    * MP4 box walker, one decoder instance per partition.
+    */
+  def decodeVideoMeta(df: DataFrame, binaryCol: String, idCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    val ds: Dataset[(Long, VideoMeta)] = df
+      .select(col(idCol).cast("long"), col(binaryCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val decoder = new VideoHeaderDecoder // init once per partition
+        it.map { case (id, bytes) => (id, decoder.decode(bytes)) }
+      }
+    ds.select(col("_1").as(idCol),
+      col("_2.timescale").as("timescale"), col("_2.durationMs").as("duration_ms"),
+      col("_2.width").as("width"), col("_2.height").as("height"),
+      col("_2.ok").as("ok"))
+  }
+
   /** Decode a binary column into typed audio metadata with the REAL
     * RIFF parser, one decoder instance per partition.
     */

@@ -512,6 +512,34 @@ object TextOps {
         |  TRUE AS ok,
         |  CAST(floor((1000 + event_id % 1000) * 1000
         |    / (8000 + (event_id % 5) * 4000)) AS BIGINT) AS duration_ms
+        |FROM events ORDER BY event_id""".stripMargin)),
+
+    // REAL video-container decode end-to-end: minimal valid MP4s
+    // (ftyp + moov(mvhd, trak(tkhd))) with timescale/duration/dims
+    // derived from event_id, parsed back OUT OF THE BYTES by the MP4
+    // box walker. Completes the image/audio/video multimodal triple;
+    // the oracle recomputes arithmetically — a box-size, fixed-point,
+    // or version-offset bug hash-mismatches.
+    QueryDef("mm4_mp4_meta",
+      (s, d) => {
+        import s.implicits._
+        val ids = Records.events(s, d)
+          .select(col("event_id").cast(LongType)).as[Long]
+        val blobs = ids.map { id =>
+          val dur = (1 + id % 100) * 60 // movie-timescale units
+          val w = (320 + (id % 8) * 80).toInt
+          val h = (240 + (id % 8) * 60).toInt
+          (id, graft.extras.Multimodal.VideoBytes.mp4(600L, dur, w, h))
+        }.toDF("event_id", "blob")
+        graft.extras.Multimodal.decodeVideoMeta(blobs, "blob", "event_id")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+        |  CAST(600 AS BIGINT) AS timescale,
+        |  CAST((1 + event_id % 100) * 60 * 1000 / 600 AS BIGINT) AS duration_ms,
+        |  CAST(320 + (event_id % 8) * 80 AS INT) AS width,
+        |  CAST(240 + (event_id % 8) * 60 AS INT) AS height,
+        |  TRUE AS ok
         |FROM events ORDER BY event_id""".stripMargin))
   )
 }

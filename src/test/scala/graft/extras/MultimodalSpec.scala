@@ -85,4 +85,23 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!dec.decode(base.take(20)).ok) // truncated before fmt payload
     assert(!dec.decode(null).ok)
   }
+
+  test("MP4 decoder: round-trip, box skipping, garbage and truncation rejected") {
+    val dec = new Multimodal.VideoHeaderDecoder
+    val m = dec.decode(Multimodal.VideoBytes.mp4(600L, 3600L, 1920, 1080))
+    assert(m.ok && m.timescale == 600L && m.durationMs == 6000L &&
+      m.width == 1920 && m.height == 1080)
+
+    // an unknown top-level box before moov is skipped by size
+    val base = Multimodal.VideoBytes.mp4(1000L, 500L, 640, 480)
+    val free = java.nio.ByteBuffer.allocate(12)
+    free.putInt(12).put("free".getBytes("US-ASCII")).putInt(0)
+    val withFree = base.take(16) ++ free.array() ++ base.drop(16)
+    val m2 = dec.decode(withFree)
+    assert(m2.ok && m2.durationMs == 500L && m2.width == 640)
+
+    assert(!dec.decode("definitely not an mp4 container".getBytes).ok)
+    assert(!dec.decode(base.take(30)).ok) // truncated inside moov
+    assert(!dec.decode(null).ok)
+  }
 }
