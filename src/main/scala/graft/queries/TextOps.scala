@@ -207,13 +207,10 @@ object TextOps {
   /** Spark-side exact jaccard over all shingle-sharing pairs.
     *
     * Shape: ONE shuffle (groupBy sh) collecting each shingle's sorted
-    * doc list, then ordered-pair explosion — vs the former self-join
-    * on sh which shuffled the shingle table twice into a sort-merge
-    * join (A/B at sf0.1, tools/ProfTextAB: 2.1 s vs 3.6 s median).
-    * Both shapes are O(Σ df²) in pair volume — this is the deliberate
-    * exactness baseline next to dedup_minhash_lsh; a degenerate
-    * boilerplate shingle makes a df-sized array row here just as it
-    * makes df² join rows there.
+    * doc list, then ordered-pair explosion. O(Σ df²) in pair volume —
+    * the exactness baseline that wins at benign df distributions
+    * (fewest passes over the shingle table); prefixFilteredJaccard is
+    * the same exact result under heavy-tailed df.
     */
   private[queries] def jaccardPairs(sh: DataFrame): DataFrame = {
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
@@ -231,6 +228,52 @@ object TextOps {
       .join(counts.toDF("doc_b", "nb"), "doc_b")
       .withColumn("jaccard",
         round(col("common").cast(DoubleType) / (col("na") + col("nb") - col("common")), 6))
+  }
+
+  /** EXACT jaccard-threshold pairs via prefix filtering (the PPJoin
+    * family, Xiao et al.) — all pairs with J >= t, zero false
+    * negatives, WITHOUT the O(Σ df²) all-shingles pair explosion:
+    *
+    * Order every doc's shingles by a global canonical order (document
+    * frequency ascending, shingle-string tiebreak — rarest first).
+    * For threshold t, two docs with J >= t MUST share a shingle
+    * within each one's first |d| - ceil(t·|d|) + 1 shingles of that
+    * order, so candidates only form on PREFIX shingles; a
+    * least/greatest size-ratio filter (min >= ceil(t·max)) prunes
+    * further, and survivors get exact verification over their full
+    * shingle sets. The rare-first order is what makes this scale: a
+    * degenerate boilerplate shingle has huge df, lands at the END of
+    * every doc's order, and never enters a prefix — precisely the
+    * shingle that used to explode df² pairs. The DuckDB oracle stays
+    * the brute-force all-pairs formulation, so any prefix-filtering
+    * bug (order tie, off-by-one in the prefix bound) loses a pair and
+    * hash-mismatches.
+    */
+  private[queries] def prefixFilteredJaccard(sh: DataFrame, t: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy("doc_id").orderBy(col("df").asc, col("sh").asc)
+    val prefix = sh.join(dfreq, "sh").join(sizes, "doc_id")
+      .withColumn("pos", row_number().over(wDoc))
+      .where(col("pos") <= col("n") - ceil(col("n") * t) + lit(1L))
+      .select("sh", "doc_id", "n")
+    // grouped-pairs over prefix shingles only; struct sorts by doc_id
+    // (first field), so i<j pairing yields doc_a < doc_b exactly once
+    // per shared prefix shingle, deduped after the size filter
+    val cands = prefix.groupBy("sh")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
+      .where(size(col("ds")) >= 2)
+      .select(explode(flatten(
+        transform(col("ds"), (x, i) =>
+          transform(slice(col("ds"), i + 2, size(col("ds"))),
+            y => struct(x.getField("doc_id").as("doc_a"), x.getField("n").as("na0"),
+              y.getField("doc_id").as("doc_b"), y.getField("n").as("nb0")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("p.na0"), col("p.nb0"))
+      .where(least(col("na0"), col("nb0")) >=
+        ceil(greatest(col("na0"), col("nb0")) * t))
+      .select("doc_a", "doc_b").distinct()
+    jaccardFor(cands, sh).where(col("jaccard") >= t)
   }
 
   def defs: Seq[QueryDef] = Seq(
@@ -355,6 +398,23 @@ object TextOps {
     QueryDef("dedup_ngram_jaccard",
       (s, d) => jaccardPairs(shingles(docsAug(s, d)))
         .where(col("jaccard") >= 0.6)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b"),
+      Some(s"""WITH $DocsAugCte, $ShinglesCte, $ShingleCountsCte
+        |$JaccardSelect
+        |WHERE round(CAST(common AS DOUBLE) / (na.n_sh + nb.n_sh - common), 6) >= 0.6
+        |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // Same EXACT result through prefix filtering — the heavy-tail
+    // scale path beside the baseline above (the ann_bruteforce /
+    // ann_ivf split applied to exact text dedup). Costs two more
+    // passes over the shingle table (document frequencies + per-doc
+    // canonical ranking), which only pays off when boilerplate
+    // shingles would otherwise explode df² candidate pairs — the
+    // oracle is the SAME brute-force SQL, so the zero-false-negative
+    // guarantee of the prefix bound is hash-verified, not assumed.
+    QueryDef("dedup_ngram_prefix",
+      (s, d) => prefixFilteredJaccard(shingles(docsAug(s, d)), 0.6)
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b"),
       Some(s"""WITH $DocsAugCte, $ShinglesCte, $ShingleCountsCte
