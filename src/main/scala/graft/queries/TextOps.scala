@@ -249,8 +249,14 @@ object TextOps {
     * bug (order tie, off-by-one in the prefix bound) loses a pair and
     * hash-mismatches.
     */
-  private[queries] def prefixFilteredJaccard(sh: DataFrame, t: Double): DataFrame = {
+  private[queries] def prefixFilteredJaccard(sh0: DataFrame, t: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Materialize the shingle table once: SIX consumers read it
+    // (sizes, document frequencies, the ranked prefix, and both sides
+    // of the verification join). The minhash pipeline's measured
+    // preference for recompute (2 consumers, cache breaks codegen)
+    // inverts here — six recomputes of split+explode+md5 dominate.
+    val sh = sh0.localCheckpoint()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy("doc_id").orderBy(col("df").asc, col("sh").asc)
