@@ -173,8 +173,8 @@ object Multimodal {
       var i = 12
       var rate = 0; var ch = 0; var bits = 0; var blockAlign = 0
       var dataLen = -1L
-      while (i + 8 <= bytes.length && (rate == 0 || dataLen < 0)) {
-        val len = le32(bytes, i + 4)
+      while (i >= 0 && i + 8 <= bytes.length && (rate == 0 || dataLen < 0)) {
+        val len = le32(bytes, i + 4) // unsigned 32-bit as Long
         if (tag(bytes, i, "fmt ")) {
           if (len < 16 || i + 8 + 16 > bytes.length) return bad
           ch = le16(bytes, i + 10)
@@ -184,8 +184,15 @@ object Multimodal {
         } else if (tag(bytes, i, "data")) {
           dataLen = len
         }
-        // chunks are word-aligned: odd sizes carry a pad byte
-        i += 8 + len.toInt + (len.toInt & 1)
+        // Advance in LONG arithmetic: a hostile length near 2^32
+        // truncated to Int goes negative, which would spin the walk
+        // in place or drive the index below zero. Chunks are
+        // word-aligned (odd sizes carry a pad byte); a next offset
+        // past the buffer simply ends the walk — a data chunk's
+        // payload is allowed to be absent (header-only blobs), its
+        // length field already read.
+        val next = i.toLong + 8L + len + (len & 1L)
+        i = if (next > bytes.length.toLong) -1 else next.toInt
       }
       if (rate <= 0 || ch <= 0 || blockAlign <= 0 || dataLen < 0) bad
       else AudioMeta(n, rate, ch, bits, dataLen / blockAlign, ok = true)
@@ -258,7 +265,9 @@ object Multimodal {
         val size = be32(bytes, j)
         if (size < 8 || j + size > moovEnd) return bad
         if (fourcc(bytes, j + 4, "mvhd")) {
-          if (bytes(j + 8) != 0 || j + 28 > moovEnd) return bad // version 0 only
+          // bound check BEFORE the version-byte read: a size-8 box
+          // ending exactly at end-of-buffer must not index past it
+          if (j + 28 > moovEnd || bytes(j + 8) != 0) return bad // version 0 only
           timescale = be32(bytes, j + 20)
           duration = be32(bytes, j + 24)
         } else if (fourcc(bytes, j + 4, "trak") && w == 0) {
@@ -269,7 +278,8 @@ object Multimodal {
             if (ts < 8 || k + ts > trakEnd) return bad
             if (fourcc(bytes, k + 4, "tkhd")) {
               // v0 tkhd: 84-byte payload; width/height 16.16 at 76/80
-              if (bytes(k + 8) != 0 || k + 8 + 84 > trakEnd) return bad
+              // (bound check before the version-byte read, as in mvhd)
+              if (k + 8 + 84 > trakEnd || bytes(k + 8) != 0) return bad
               w = (be32(bytes, k + 8 + 76) >> 16).toInt
               h = (be32(bytes, k + 8 + 80) >> 16).toInt
             }
@@ -309,59 +319,56 @@ object Multimodal {
     }
   }
 
+  /** Shared decode plumbing: id + blob through a per-partition decoder
+    * instance (the mapPartitions batch shape all three codecs use).
+    */
+  private def decodePartitions[M <: Product : scala.reflect.runtime.universe.TypeTag](
+      df: DataFrame, binaryCol: String, idCol: String,
+      mkDecoder: () => Array[Byte] => M): Dataset[(Long, M)] = {
+    import df.sparkSession.implicits._
+    implicit val enc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.product[M])
+    df.select(col(idCol).cast("long"), col(binaryCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val decode = mkDecoder() // init once per partition
+        it.map { case (id, bytes) => (id, decode(bytes)) }
+      }
+  }
+
   /** Decode a binary column into typed video metadata with the REAL
     * MP4 box walker, one decoder instance per partition.
     */
-  def decodeVideoMeta(df: DataFrame, binaryCol: String, idCol: String): DataFrame = {
-    import df.sparkSession.implicits._
-    val ds: Dataset[(Long, VideoMeta)] = df
-      .select(col(idCol).cast("long"), col(binaryCol))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        val decoder = new VideoHeaderDecoder // init once per partition
-        it.map { case (id, bytes) => (id, decoder.decode(bytes)) }
-      }
-    ds.select(col("_1").as(idCol),
-      col("_2.timescale").as("timescale"), col("_2.durationMs").as("duration_ms"),
-      col("_2.width").as("width"), col("_2.height").as("height"),
-      col("_2.ok").as("ok"))
-  }
+  def decodeVideoMeta(df: DataFrame, binaryCol: String, idCol: String): DataFrame =
+    decodePartitions[VideoMeta](df, binaryCol, idCol,
+      () => new VideoHeaderDecoder().decode _)
+      .select(col("_1").as(idCol),
+        col("_2.timescale").as("timescale"), col("_2.durationMs").as("duration_ms"),
+        col("_2.width").as("width"), col("_2.height").as("height"),
+        col("_2.ok").as("ok"))
 
   /** Decode a binary column into typed audio metadata with the REAL
     * RIFF parser, one decoder instance per partition.
     */
-  def decodeAudioMeta(df: DataFrame, binaryCol: String, idCol: String): DataFrame = {
-    import df.sparkSession.implicits._
-    val ds: Dataset[(Long, AudioMeta)] = df
-      .select(col(idCol).cast("long"), col(binaryCol))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        val decoder = new AudioHeaderDecoder // init once per partition
-        it.map { case (id, bytes) => (id, decoder.decode(bytes)) }
-      }
-    ds.select(col("_1").as(idCol),
-      col("_2.sampleRate").as("sample_rate"), col("_2.channels").as("channels"),
-      col("_2.bitsPerSample").as("bits"), col("_2.nSamples").as("n_samples"),
-      col("_2.ok").as("ok"))
-  }
+  def decodeAudioMeta(df: DataFrame, binaryCol: String, idCol: String): DataFrame =
+    decodePartitions[AudioMeta](df, binaryCol, idCol,
+      () => new AudioHeaderDecoder().decode _)
+      .select(col("_1").as(idCol),
+        col("_2.sampleRate").as("sample_rate"), col("_2.channels").as("channels"),
+        col("_2.bitsPerSample").as("bits"), col("_2.nSamples").as("n_samples"),
+        col("_2.ok").as("ok"))
 
   /** Decode a binary column into typed metadata with the REAL header
     * parser, one decoder instance per partition.
     */
-  def decodeMeta(df: DataFrame, binaryCol: String, idCol: String): DataFrame = {
-    import df.sparkSession.implicits._
-    val ds: Dataset[(Long, MediaMeta)] = df
-      .select(col(idCol).cast("long"), col(binaryCol))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        val decoder = new ImageHeaderDecoder // init once per partition
-        it.map { case (id, bytes) => (id, decoder.decode(bytes)) }
-      }
-    ds.select(col("_1").as(idCol),
-      col("_2.byteLen").as("byte_len"), col("_2.format").as("format"),
-      col("_2.width").as("width"), col("_2.height").as("height"),
-      col("_2.ok").as("ok"))
-  }
+  def decodeMeta(df: DataFrame, binaryCol: String, idCol: String): DataFrame =
+    decodePartitions[MediaMeta](df, binaryCol, idCol,
+      () => new ImageHeaderDecoder().decode _)
+      .select(col("_1").as(idCol),
+        col("_2.byteLen").as("byte_len"), col("_2.format").as("format"),
+        col("_2.width").as("width"), col("_2.height").as("height"),
+        col("_2.ok").as("ok"))
 
   /** Frame-sampling shape: explode k deterministic "frames" per blob —
     * the partition/batch shape of video frame extraction.

@@ -163,8 +163,13 @@ object TextOps {
     * pair's A-side shingles, match them against the B-side by (doc, sh)
     * — |cands| x avg-shingles rows, never the full self-join.
     */
-  private[graft] def jaccardFor(cands: DataFrame, sh: DataFrame): DataFrame = {
-    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+  private[graft] def jaccardFor(cands: DataFrame, sh: DataFrame,
+                                counts0: Option[DataFrame] = None): DataFrame = {
+    // counts0: caller-supplied (doc_id, n_sh) when it already computed
+    // the per-doc sizes (prefixFilteredJaccard) — saves re-aggregating
+    // the shingle table
+    val counts = counts0.getOrElse(
+      sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh")))
     val aSh = cands.join(sh.toDF("doc_a", "sh"), "doc_a")
     val common = aSh.join(sh.toDF("doc_b", "sh"), Seq("doc_b", "sh"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
@@ -279,7 +284,9 @@ object TextOps {
       .where(least(col("na0"), col("nb0")) >=
         ceil(greatest(col("na0"), col("nb0")) * t))
       .select("doc_a", "doc_b").distinct()
-    jaccardFor(cands, sh).where(col("jaccard") >= t)
+    jaccardFor(cands, sh,
+      counts0 = Some(sizes.select(col("doc_id"), col("n").as("n_sh"))))
+      .where(col("jaccard") >= t)
   }
 
   def defs: Seq[QueryDef] = Seq(

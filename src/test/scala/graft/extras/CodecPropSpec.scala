@@ -70,6 +70,42 @@ object CodecPropSpec extends Properties("MediaCodecs") {
       (a != null) && (b != null) && (c != null)
     }
 
+  // Valid magic + hostile payload — the adversarial class that fully
+  // random bytes essentially never reach (they fail the magic check
+  // in the first 12 bytes and skip the chunk/box walks entirely).
+  // This is where length-field truncation bugs live: a chunk size
+  // near 2^32 whose Int truncation is negative must neither spin the
+  // walk in place nor drive the index negative.
+  private val hostileWavGen: Gen[Array[Byte]] = for {
+    payload <- Gen.choose(0, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray))
+  } yield "RIFF".getBytes("US-ASCII") ++ Array[Byte](0, 1, 0, 0) ++
+    "WAVE".getBytes("US-ASCII") ++ payload
+
+  private val hostileMp4Gen: Gen[Array[Byte]] = for {
+    inner <- Gen.choose(0, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray))
+  } yield {
+    val moov = java.nio.ByteBuffer.allocate(8 + inner.length)
+    moov.putInt(8 + inner.length).put("moov".getBytes("US-ASCII")).put(inner)
+    VideoBytes.mp4(600L, 1L, 1, 1).take(16) ++ moov.array()
+  }
+
+  property("valid magic + hostile chunk list never throws, never hangs") =
+    forAll(hostileWavGen, hostileMp4Gen) { (wav, mp4) =>
+      (audioDec.decode(wav) != null) && (videoDec.decode(mp4) != null)
+    }
+
+  property("hostile length fields (0xFFFFFFxx) terminate the walk as malformed") =
+    forAll(Gen.choose(0xFFFFFF00L, 0xFFFFFFFFL)) { len =>
+      val bb = java.nio.ByteBuffer.allocate(20)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(12)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("JUNK".getBytes("US-ASCII")).putInt(len.toInt)
+      !audioDec.decode(bb.array()).ok
+    }
+
   property("truncation never throws") = forAll(
     Gen.choose(1L, 100000L), Gen.choose(0, 43)) { (n, k) =>
       val full = AudioBytes.wav(44100, 2, n)
