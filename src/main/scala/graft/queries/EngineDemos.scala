@@ -516,6 +516,51 @@ object EngineDemos {
         "open_window_held" -> (!rows.exists(_._1 >= 20L)).toString)
     },
 
+    // Streaming SESSION windows: per-key activity sessions that close
+    // after a 5-second event-time gap, with a watermark finalizing
+    // them. Appends at t=1s,2s,3s then t=20s,21s form two sessions of
+    // the single stream key; the final append at t=60s pushes the
+    // watermark (55s) past both session ends, so exactly those two
+    // finalized sessions reach the append-mode sink — the third,
+    // still-open session is held in state. Session windows are the
+    // variable-length complement of e2e_stream_window's tumbling
+    // windows (Spark's session_window with dynamic merge).
+    demo("e2e_stream_session", Seq(
+      "sessions" -> "1-8:3,20-26:2",
+      "open_session_held" -> "true")) { (sp, st) =>
+      st.catalog.createStream("demo-basin1", "sw")
+      Seq(1000L, 2000L, 3000L).foreach(t =>
+        st.append("demo-basin1", "sw", AppendInput(Seq(rec(s"a$t"))), Some(t)))
+      Seq(20000L, 21000L).foreach(t =>
+        st.append("demo-basin1", "sw", AppendInput(Seq(rec(s"b$t"))), Some(t)))
+      st.append("demo-basin1", "sw", AppendInput(Seq(rec("late"))), Some(60000L))
+      val q = sp.readStream.format("graft-stream")
+        .option("root", st.root).option("basin", "demo-basin1")
+        .option("stream", "sw").load()
+        .selectExpr("timestamp_millis(timestamp) AS ts", "'k' AS key")
+        .withWatermark("ts", "5 seconds")
+        .groupBy(org.apache.spark.sql.functions.session_window(
+          org.apache.spark.sql.functions.col("ts"), "5 seconds"),
+          org.apache.spark.sql.functions.col("key"))
+        .count()
+        .selectExpr(
+          "CAST(unix_timestamp(session_window.start) AS BIGINT) AS ws",
+          "CAST(unix_timestamp(session_window.end) AS BIGINT) AS we",
+          "count")
+        .writeStream.format("parquet")
+        .option("path", s"${st.root}/_swsink")
+        .option("checkpointLocation", s"${st.root}/_swckpt")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val rows = sp.read.parquet(s"${st.root}/_swsink")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      Seq(
+        "sessions" -> rows.map { case (ws, we, c) => s"$ws-$we:$c" }.mkString(","),
+        "open_session_held" -> (!rows.exists(_._1 >= 60L)).toString)
+    },
+
     // R11 — auto-resume retry policy: capped exponential backoff,
     // reset after a healthy run (sdk/src/retry.rs)
     demo("e2e_r11_auto_resume", Seq(

@@ -226,6 +226,40 @@ object PipelineOps {
         |  < (CASE WHEN lang = 'en' THEN '199a' ELSE '8000' END)
         |ORDER BY doc_id""".stripMargin)),
 
+    // Deterministic train/val/test split (98/1/1 by md5 bucket over
+    // 4 hex chars, 65536 buckets): the assignment is a pure function
+    // of doc_id, so it is stable across runs, re-partitions, task
+    // retries, and INCREMENTAL corpus growth — a doc added next month
+    // lands in the same split it would have landed in today, which is
+    // the property that keeps eval sets uncontaminated as the corpus
+    // evolves. Join-free narrow projection; summary output so the
+    // oracle checks both the assignment rule and the realized sizes.
+    QueryDef("sample_split",
+      (s, d) => {
+        val bucket = substring(md5s(col("doc_id").cast(StringType)), 1, 4)
+        docs(s, d)
+          .select(col("doc_id"), col("lang"),
+            when(bucket < "028f", "val")        // 0x028f = 655 ≈ 1%
+              .when(bucket < "051e", "test")    // next 655 ≈ 1%
+              .otherwise("train").as("split"))
+          .groupBy("split")
+          .agg(count(lit(1)).cast(LongType).as("n_docs"),
+            min("doc_id").cast(LongType).as("first_doc"),
+            max("doc_id").cast(LongType).as("last_doc"))
+          .orderBy("split")
+      },
+      Some("""SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(min(doc_id) AS BIGINT) AS first_doc,
+        |  CAST(max(doc_id) AS BIGINT) AS last_doc
+        |FROM (SELECT doc_id, lang,
+        |        CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '028f'
+        |             THEN 'val'
+        |             WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '051e'
+        |             THEN 'test'
+        |             ELSE 'train' END AS split
+        |      FROM documents)
+        |GROUP BY split ORDER BY split""".stripMargin)),
+
     // Sequence packing (concat-and-chunk): docs are laid end-to-end
     // per language in doc_id order and cut into 2048-token packs; each
     // doc is assigned the pack where it STARTS (prefix-sum / budget).
