@@ -214,6 +214,23 @@ class CatalogShardSpec extends AnyFunSuite {
     assert(viaLink.listStreams("sym-basin", limit = 1000).items.size == 201)
   }
 
+  test("root under a symlinked ancestor, created AFTER construction, still shares") {
+    // exercises canonicalRoot's fallback: the root itself does not
+    // exist at construction, but its (symlinked) ancestor does — the
+    // deepest-existing-ancestor resolution must give the same key the
+    // real-path spelling gets, or the two instances split the control
+    // plane
+    val realParent = Files.createTempDirectory("graft-anc")
+    val linkParent = Files.createTempDirectory("graft-ancl").resolve("p")
+    Files.createSymbolicLink(linkParent, realParent)
+    val viaLink = new Catalog(linkParent.resolve("store").toString) // not yet created
+    val viaReal = new Catalog(realParent.resolve("store").toString)
+    assert(viaLink.createBasin("anc-basin").isRight)
+    assert(viaReal.getBasin("anc-basin").isDefined)
+    assert(viaReal.createStream("anc-basin", "s").isRight)
+    assert(viaLink.getStream("anc-basin", "s").isDefined)
+  }
+
   test("lock-free readers never clobber a writer's cache refresh (no lost creates)") {
     // Regression for the shared-cache install race: loadCached runs
     // without a monitor, so a reader that parsed PRE-write bytes and
