@@ -212,6 +212,54 @@ object Relational {
         |EXCEPT
         |SELECT DISTINCT user_id, CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day
         |FROM events WHERE event_type = 'purchase'
-        |ORDER BY user_id, day""".stripMargin))
+        |ORDER BY user_id, day""".stripMargin)),
+
+    // Batch sessionization: per-user sessions split at >30-minute
+    // event-time gaps — the classic lag -> gap-flag -> running-sum
+    // pattern (the batch complement of e2e_stream_session's streaming
+    // session windows). Both windows partition by user_id, so no
+    // partition outgrows one user's history; ties order by event_id
+    // for determinism.
+    QueryDef("w2_user_sessions",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Records.events(s, d)
+          .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"))
+        val wU = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        val gapped = ev.withColumn("prev_ts", lag("ts_us", 1).over(wU))
+          .withColumn("new_sess",
+            when(col("prev_ts").isNull ||
+              col("ts_us") - col("prev_ts") > 1800L * 1000000L, 1L).otherwise(0L))
+        gapped
+          .withColumn("session_seq",
+            sum("new_sess").over(wU.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("user_id", "session_seq")
+          .agg(count(lit(1)).cast(LongType).as("n_events"),
+            min("ts_us").cast(LongType).as("start_us"),
+            max("ts_us").cast(LongType).as("end_us"))
+          .withColumn("duration_us", col("end_us") - col("start_us"))
+          .orderBy("user_id", "session_seq")
+      },
+      Some("""WITH ev AS (
+        |  SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, event_id, ts_us,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |           OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END
+        |      AS new_sess
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts_us,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM g)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(min(ts_us) AS BIGINT) AS start_us,
+        |  CAST(max(ts_us) AS BIGINT) AS end_us,
+        |  CAST(max(ts_us) - min(ts_us) AS BIGINT) AS duration_us
+        |FROM sess GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin))
   )
 }
