@@ -428,6 +428,40 @@ object PipelineOps {
         |  CAST(row_number() OVER (ORDER BY df DESC, sh) AS BIGINT) AS rank
         |FROM sh_df QUALIFY rank <= 20 ORDER BY rank""".stripMargin)),
 
+    // Token-rarity score: each doc's mean document frequency over its
+    // DISTINCT tokens — low mean-df = rare vocabulary (jargon, other
+    // languages, noise), high mean-df = common prose; pipelines use it
+    // beside stopword ratios to window quality cuts. All-integer
+    // counts with one final division, so the score is bit-identical
+    // cross-engine (no log/exp, whose libm rounding differs). Two
+    // aggregations: token df over the corpus, then a doc-level mean
+    // after a (token -> df) join that shuffles one row per distinct
+    // token occurrence.
+    QueryDef("text_rarity",
+      (s, d) => {
+        val toks = docs(s, d)
+          .select(col("doc_id"),
+            explode(array_distinct(split(col("text"), " "))).as("tok"))
+        val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+        toks.join(dfreq, "tok")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast(LongType).as("n_distinct"),
+            sum("df").cast(LongType).as("df_sum"))
+          .withColumn("mean_df",
+            round(col("df_sum").cast(DoubleType) / col("n_distinct"), 6))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        |  FROM documents),
+        |dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+        |          FROM toks GROUP BY tok)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct,
+        |  CAST(sum(df) AS BIGINT) AS df_sum,
+        |  round(CAST(sum(df) AS DOUBLE) / count(*), 6) AS mean_df
+        |FROM toks JOIN dfreq USING (tok)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // PII redaction: the corpus is deterministically salted with
     // emails (doc_id%7=0) and phone numbers (doc_id%11=0), then both
     // are regex-redacted and counted. Patterns stay in the
