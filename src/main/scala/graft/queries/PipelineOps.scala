@@ -238,7 +238,7 @@ object PipelineOps {
       (s, d) => {
         val bucket = substring(md5s(col("doc_id").cast(StringType)), 1, 4)
         docs(s, d)
-          .select(col("doc_id"), col("lang"),
+          .select(col("doc_id"),
             when(bucket < "028f", "val")        // 0x028f = 655 ≈ 1%
               .when(bucket < "051e", "test")    // next 655 ≈ 1%
               .otherwise("train").as("split"))
@@ -251,7 +251,7 @@ object PipelineOps {
       Some("""SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(min(doc_id) AS BIGINT) AS first_doc,
         |  CAST(max(doc_id) AS BIGINT) AS last_doc
-        |FROM (SELECT doc_id, lang,
+        |FROM (SELECT doc_id,
         |        CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '028f'
         |             THEN 'val'
         |             WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '051e'
@@ -439,9 +439,14 @@ object PipelineOps {
     // token occurrence.
     QueryDef("text_rarity",
       (s, d) => {
+        // materialized once: both the df aggregate and the join input
+        // read it, and Catalyst does not dedupe the shared
+        // scan+tokenize+explode subtree (same reasoning as
+        // prefixFilteredJaccard's shingle checkpoint)
         val toks = docs(s, d)
           .select(col("doc_id"),
             explode(array_distinct(split(col("text"), " "))).as("tok"))
+          .localCheckpoint()
         val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
         toks.join(dfreq, "tok")
           .groupBy("doc_id")

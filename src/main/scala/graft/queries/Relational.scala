@@ -222,7 +222,6 @@ object Relational {
     // for determinism.
     QueryDef("w2_user_sessions",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val ev = Records.events(s, d)
           .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"))
         val wU = Window.partitionBy("user_id").orderBy("ts_us", "event_id")

@@ -223,6 +223,12 @@ class CatalogShardSpec extends AnyFunSuite {
     val realParent = Files.createTempDirectory("graft-anc")
     val linkParent = Files.createTempDirectory("graft-ancl").resolve("p")
     Files.createSymbolicLink(linkParent, realParent)
+    // the registry KEY itself must match — the filesystem aliasing
+    // would make the behavioral assertions below pass even with split
+    // keys (loadCached re-stats on every foreign write), so assert the
+    // canonicalization directly
+    assert(Catalog.canonicalRoot(linkParent.resolve("store").toString) ==
+      Catalog.canonicalRoot(realParent.resolve("store").toString))
     val viaLink = new Catalog(linkParent.resolve("store").toString) // not yet created
     val viaReal = new Catalog(realParent.resolve("store").toString)
     assert(viaLink.createBasin("anc-basin").isRight)
