@@ -41,10 +41,27 @@ object Bench {
     graft.queries.EngineOps.storeFor(spark, sfDir)
 
     // ---- query timings ----
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Best-of-2 wall time per query, with the same pass's process-CPU
+    // seconds reported alongside. One wall sample per query proved
+    // load-fragile: a noisy-neighbor window during the round snapshot
+    // poisons a whole round's comparison (round 6's driver bench
+    // reported 2-5× "regressions" on unchanged code that a quiet
+    // re-run erased). min-of-2 rejects one-off contention spikes, and
+    // CPU time barely moves under external load, so wall≫cpu·k flags
+    // a contaminated sample instead of a code regression.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Double) = {
+      val c0 = osBean.getProcessCpuTime
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      ((System.nanoTime() - t0) / 1e9, (osBean.getProcessCpuTime - c0) / 1e9)
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val a = timed(fn)
+      val b = timed(fn)
+      name -> (if (a._1 <= b._1) a else b)
     }
 
     // ---- s2-style append/read workload over the events table ----
@@ -176,13 +193,16 @@ object Bench {
       "min" -> acks.head, "p50" -> pct(acks, 0.50), "p90" -> pct(acks, 0.90),
       "p99" -> pct(acks, 0.99), "max" -> acks.last)
 
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    val qs = results.map { case (k, (w, _)) => "\"" + k + f"\":$w%.3f" }
+      .mkString("{", ",", "}")
+    val qsCpu = results.map { case (k, (_, c)) => "\"" + k + f"\":$c%.3f" }
       .mkString("{", ",", "}")
     val ackJson = Seq("min", "p50", "p90", "p99", "max")
       .map(k => "\"" + k + f"\":${ack(k)}%.1f").mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2._1).sum
+    val totalCpu = results.map(_._2._2).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","append_mibps":$appendMibps%.3f,"read_mibps":$readMibps%.3f,"append_records_per_sec":${totalRecords / ingestSec}%.0f,"avg_record_bytes":${totalBytes / math.max(totalRecords, 1)},"ingest_sec":$ingestSec%.3f,"append_1kib_mibps":$append1kMibps%.3f,"read_1kib_mibps":$read1kMibps%.3f,"read_scan_mibps":$scanMibps%.3f,"read_verified":$readVerified,"ack_latency_ms":$ackJson}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing":"best-of-2","total_cpu_sec":$totalCpu%.3f,"queries":$qs,"queries_cpu_sec":$qsCpu,"sf":"$sfDir","append_mibps":$appendMibps%.3f,"read_mibps":$readMibps%.3f,"append_records_per_sec":${totalRecords / ingestSec}%.0f,"avg_record_bytes":${totalBytes / math.max(totalRecords, 1)},"ingest_sec":$ingestSec%.3f,"append_1kib_mibps":$append1kMibps%.3f,"read_1kib_mibps":$read1kMibps%.3f,"read_scan_mibps":$scanMibps%.3f,"read_verified":$readVerified,"ack_latency_ms":$ackJson}""")
     spark.stop()
   }
 }

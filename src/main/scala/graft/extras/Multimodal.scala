@@ -265,9 +265,14 @@ object Multimodal {
         val size = be32(bytes, j)
         if (size < 8 || j + size > moovEnd) return bad
         if (fourcc(bytes, j + 4, "mvhd")) {
-          // bound check BEFORE the version-byte read: a size-8 box
-          // ending exactly at end-of-buffer must not index past it
-          if (j + 28 > moovEnd || bytes(j + 8) != 0) return bad // version 0 only
+          // The box's OWN declared size must cover the fields read
+          // (v0 mvhd: version/flags + ctime/mtime + timescale +
+          // duration = 20 payload bytes → size ≥ 28). Bounding
+          // against moovEnd alone would let an undersized mvhd with
+          // trailing sibling bytes parse the NEXT box as
+          // timescale/duration and come back ok=true with garbage.
+          // size ≥ 28 also implies j+28 ≤ j+size ≤ moovEnd.
+          if (size < 28 || bytes(j + 8) != 0) return bad // version 0 only
           timescale = be32(bytes, j + 20)
           duration = be32(bytes, j + 24)
         } else if (fourcc(bytes, j + 4, "trak") && w == 0) {
@@ -277,9 +282,10 @@ object Multimodal {
             val ts = be32(bytes, k)
             if (ts < 8 || k + ts > trakEnd) return bad
             if (fourcc(bytes, k + 4, "tkhd")) {
-              // v0 tkhd: 84-byte payload; width/height 16.16 at 76/80
-              // (bound check before the version-byte read, as in mvhd)
-              if (k + 8 + 84 > trakEnd || bytes(k + 8) != 0) return bad
+              // v0 tkhd: 84-byte payload; width/height 16.16 at 76/80.
+              // As with mvhd, the box's own size must cover the reads
+              // (ts ≥ 92 ⇒ k+92 ≤ k+ts ≤ trakEnd).
+              if (ts < 92 || bytes(k + 8) != 0) return bad
               w = (be32(bytes, k + 8 + 76) >> 16).toInt
               h = (be32(bytes, k + 8 + 80) >> 16).toInt
             }

@@ -17,11 +17,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * frame + boxed Long per element) with one fused primitive loop
   * inside whole-stage codegen.
   *
-  * Semantics are EXACTLY the HOF chain's: null array, length mismatch
-  * (zip_with pads with null), or any null element yields null;
-  * otherwise a sequential index-order sum of products. Overflow wraps
-  * like Spark's non-ANSI Long arithmetic (int8-quantized components
-  * bound |x*y| by 127², so 2⁶³ needs ~7·10¹⁴ dims — unreachable).
+  * Semantics match the HOF chain's for null handling: null array,
+  * length mismatch (zip_with pads with null), or any null element
+  * yields null; otherwise a sequential index-order sum of products.
+  * One divergence outside the int8 envelope: on Long overflow this
+  * expression always wraps (like non-ANSI arithmetic), whereas the
+  * HOF chain under ANSI mode throws. Unreachable for int8-quantized
+  * inputs — |x*y| ≤ 127², so 2⁶³ needs ~7·10¹⁴ dims — but general
+  * ARRAY<BIGINT> callers should not rely on ANSI overflow errors.
   */
 case class IntDotExpr(left: Expression, right: Expression)
     extends BinaryExpression {

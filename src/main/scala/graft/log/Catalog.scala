@@ -138,9 +138,17 @@ object Catalog {
   private val locks = new java.util.concurrent.ConcurrentHashMap[
     String, java.lang.ref.WeakReference[Object]]()
 
+  /** Counter-gating for the dead-ref sweep below, same discipline as
+    * purgeDeadEntries: with >8192 LIVE monitors the size threshold
+    * never clears, and an ungated `removeIf` would put a full-map
+    * scan inside EVERY lock acquisition forever. At most one sweep
+    * per 1024 acquisitions bounds the amortized cost regardless of
+    * how many entries turn out to be collectable. */
+  private val acquiresSinceSweep = new java.util.concurrent.atomic.AtomicLong
+
   @annotation.tailrec
   private[log] def globalLock(canonRoot: String, scope: String): Object = {
-    if (locks.size > 8192)
+    if (locks.size > 8192 && acquiresSinceSweep.incrementAndGet() % 1024 == 0)
       locks.entrySet.removeIf(e => e.getValue.get == null)
     val key = canonRoot + "\u0000" + scope
     val ref = locks.computeIfAbsent(

@@ -104,4 +104,37 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!dec.decode(base.take(30)).ok) // truncated inside moov
     assert(!dec.decode(null).ok)
   }
+
+  test("MP4 decoder: undersized mvhd/tkhd boxes rejected, not parsed past") {
+    val dec = new Multimodal.VideoHeaderDecoder
+    // moov containing an mvhd that DECLARES size 12 (< 28 needed for
+    // version+timescale+duration) followed by sibling bytes: the
+    // decoder must reject rather than read the sibling's bytes as
+    // timescale/duration and return ok=true with garbage.
+    def box(tag: String, payload: Array[Byte], declared: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + payload.length)
+      b.putInt(declared).put(tag.getBytes("US-ASCII")).put(payload)
+      b.array()
+    }
+    val shortMvhd = box("mvhd", new Array[Byte](4), 12) // v0 byte + 3 pad
+    val filler = box("free", Array.fill[Byte](24)(0x7f), 32)
+    val moovKids = shortMvhd ++ filler
+    val moov = box("moov", moovKids, 8 + moovKids.length)
+    assert(!dec.decode(moov).ok)
+
+    // trak whose tkhd declares size 16 (< 92) with trailing bytes in
+    // range: same class — must come back ok=false.
+    val mvhdOk = {
+      val p = java.nio.ByteBuffer.allocate(100)
+      p.putInt(0).putInt(0).putInt(0).putInt(600).putInt(1200)
+      box("mvhd", p.array(), 108)
+    }
+    val shortTkhd = box("tkhd", new Array[Byte](8), 16)
+    val trakFill = box("free", Array.fill[Byte](84)(0x55), 92)
+    val trakKids = shortTkhd ++ trakFill
+    val trak = box("trak", trakKids, 8 + trakKids.length)
+    val kids2 = mvhdOk ++ trak
+    val moov2 = box("moov", kids2, 8 + kids2.length)
+    assert(!dec.decode(moov2).ok)
+  }
 }
