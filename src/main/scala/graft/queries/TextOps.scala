@@ -265,9 +265,17 @@ object TextOps {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy("doc_id").orderBy(col("df").asc, col("sh").asc)
+    // ⌈n·t⌉ via an epsilon-guarded ceil: IEEE multiply can land just
+    // ABOVE an exact integer (20·0.55 is fine but 100·0.55 =
+    // 55.00000000000001 → ceil 56), which would shorten the prefix
+    // below the theorem's bound and SILENTLY lose true pairs — the
+    // exact false-negative class this filter promises not to have
+    // (caught by PrefixFilterPropSpec). Undershoot from the epsilon
+    // merely lengthens a prefix by one: extra candidates, never a
+    // lost pair.
     val prefix = sh.join(dfreq, "sh").join(sizes, "doc_id")
       .withColumn("pos", row_number().over(wDoc))
-      .where(col("pos") <= col("n") - ceil(col("n") * t) + lit(1L))
+      .where(col("pos") <= col("n") - ceil(col("n") * t - lit(1e-9)) + lit(1L))
       .select("sh", "doc_id", "n")
     // grouped-pairs over prefix shingles only; struct sorts by doc_id
     // (first field), so i<j pairing yields doc_a < doc_b exactly once
@@ -282,7 +290,7 @@ object TextOps {
               y.getField("doc_id").as("doc_b"), y.getField("n").as("nb0")))))).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"), col("p.na0"), col("p.nb0"))
       .where(least(col("na0"), col("nb0")) >=
-        ceil(greatest(col("na0"), col("nb0")) * t))
+        ceil(greatest(col("na0"), col("nb0")) * t - lit(1e-9)))
       .select("doc_a", "doc_b").distinct()
     jaccardFor(cands, sh,
       counts0 = Some(sizes.select(col("doc_id"), col("n").as("n_sh"))))
@@ -499,24 +507,43 @@ object TextOps {
         |FROM sums ORDER BY doc_id""".stripMargin
       }),
 
-    // Multimodal plumbing: opaque binary payloads with derived typed
-    // metadata (decode itself is a stub — see graft.extras.Multimodal).
+    // Garbage-robustness decode: a 100 TB corpus is never all valid
+    // bytes, so this runs the REAL ImageHeaderDecoder over a MIX of
+    // valid PNG/GIF headers, truncated PNGs, and non-image garbage —
+    // the `ok=false` rows must flow through as typed metadata (never
+    // an exception killing the task). Complements mm2 (all-valid
+    // parse round-trip): here the oracle checks the decoder's
+    // REJECTION behavior arithmetically per corruption class.
     QueryDef("mm1_binary_meta",
-      (s, d) => Records.events(s, d)
-        .select(col("event_id"),
-          octet_length(col("props").cast(BinaryType)).cast(LongType).as("byte_len"))
-        .withColumn("format",
-          element_at(array(lit("png"), lit("jpg"), lit("webp")),
-            (col("byte_len") % 3 + 1).cast(IntegerType)))
-        .withColumn("width", (lit(32) + (col("byte_len") * 7) % 64).cast(LongType))
-        .withColumn("height", (lit(32) + (col("byte_len") * 13) % 64).cast(LongType))
-        .orderBy("event_id"),
-      Some("""SELECT event_id, byte_len,
-        |  ['png', 'jpg', 'webp'][CAST(byte_len % 3 + 1 AS INT)] AS format,
-        |  CAST(32 + (byte_len * 7) % 64 AS BIGINT) AS width,
-        |  CAST(32 + (byte_len * 13) % 64 AS BIGINT) AS height
-        |FROM (SELECT event_id, CAST(strlen(props) AS BIGINT) AS byte_len FROM events)
-        |ORDER BY event_id""".stripMargin)),
+      (s, d) => {
+        import s.implicits._
+        val ids = Records.events(s, d)
+          .select(col("event_id").cast(LongType)).as[Long]
+        val blobs = ids.map { id =>
+          val w = (32 + (id * 7) % 64).toInt
+          val h = (32 + (id * 13) % 64).toInt
+          val bytes = (id % 4) match {
+            case 0 => graft.extras.Multimodal.ImageBytes.png(w, h)
+            case 1 => graft.extras.Multimodal.ImageBytes.gif(w, h)
+            case 2 => graft.extras.Multimodal.ImageBytes.png(w, h).take(10)
+            case _ => s"garbage-$id".getBytes("UTF-8")
+          }
+          (id, bytes)
+        }.toDF("event_id", "blob")
+        graft.extras.Multimodal.decodeMeta(blobs, "blob", "event_id")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+        |  CAST(CASE event_id % 4 WHEN 0 THEN 24 WHEN 1 THEN 13 WHEN 2 THEN 10
+        |    ELSE 8 + length(CAST(event_id AS VARCHAR)) END AS BIGINT) AS byte_len,
+        |  CASE WHEN event_id % 4 = 0 THEN 'png' WHEN event_id % 4 = 1 THEN 'gif'
+        |    ELSE 'unknown' END AS format,
+        |  CAST(CASE WHEN event_id % 4 <= 1 THEN 32 + (event_id * 7) % 64
+        |    ELSE 0 END AS INT) AS width,
+        |  CAST(CASE WHEN event_id % 4 <= 1 THEN 32 + (event_id * 13) % 64
+        |    ELSE 0 END AS INT) AS height,
+        |  event_id % 4 <= 1 AS ok
+        |FROM events ORDER BY event_id""".stripMargin)),
 
     // REAL image-header decode end-to-end: the Spark side builds valid
     // PNG/JPEG/GIF header bytes with dimensions derived from event_id,
