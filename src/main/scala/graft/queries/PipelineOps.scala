@@ -295,6 +295,50 @@ object PipelineOps {
         |            FROM documents))
         |ORDER BY doc_id""".stripMargin)),
 
+    // Span packing — what training actually runs: whole-doc pack
+    // assignment (pack_sequences above) wastes up to ctx_len-1 tokens
+    // per pack, so real packing SPLITS a document across pack
+    // boundaries. Each doc occupies the half-open token interval
+    // [start_tok, start_tok + n_tokens) of its language's stream and
+    // emits one row per 2048-token pack it overlaps, with the
+    // DOC-RELATIVE token span [tok_start, tok_end) that lands in that
+    // pack — span arithmetic is exact integers, and adjacent rows of
+    // one doc tile it with no gap or overlap. Same two-level prefix
+    // sum (withStartTok) as pack_sequences: the explode adds
+    // (n_tokens/2048 + 1) rows per doc, never a partition-sized
+    // blowup, and no window ever spans a whole language.
+    QueryDef("pack_sequences_split",
+      (s, d) => withStartTok(docs(s, d)
+          .select(col("doc_id"), col("lang"),
+            size(split(col("text"), " ")).cast(LongType).as("n_tokens")))
+        .withColumn("p0", (col("start_tok") / 2048L).cast(LongType))
+        .withColumn("p1",
+          ((col("start_tok") + col("n_tokens") - 1L) / 2048L).cast(LongType))
+        .withColumn("pack_id", explode(sequence(col("p0"), col("p1"))))
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("pack_id"),
+          greatest(col("pack_id") * 2048L - col("start_tok"), lit(0L))
+            .as("tok_start"),
+          least((col("pack_id") + 1L) * 2048L - col("start_tok"), col("n_tokens"))
+            .as("tok_end"))
+        .orderBy("doc_id", "pack_id"),
+      Some("""SELECT doc_id, lang, n_tokens, pack_id,
+        |  CAST(GREATEST(pack_id * 2048 - start_tok, 0) AS BIGINT) AS tok_start,
+        |  CAST(LEAST((pack_id + 1) * 2048 - start_tok, n_tokens) AS BIGINT)
+        |    AS tok_end
+        |FROM (SELECT doc_id, lang, n_tokens, start_tok,
+        |        unnest(generate_series(CAST(start_tok // 2048 AS BIGINT),
+        |          CAST((start_tok + n_tokens - 1) // 2048 AS BIGINT))) AS pack_id
+        |      FROM (SELECT doc_id, lang, n_tokens,
+        |              CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY lang
+        |                ORDER BY doc_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |                AS BIGINT) AS start_tok
+        |            FROM (SELECT doc_id, lang,
+        |                    CAST(len(string_split(text, ' ')) AS BIGINT)
+        |                      AS n_tokens
+        |                  FROM documents)))
+        |ORDER BY doc_id, pack_id""".stripMargin)),
+
     // End-to-end training-data recipe as ONE declarative plan:
     // quality filter -> exact dedup (keep lowest doc_id per content
     // hash) -> deterministic stratified sample -> sequence packing ->
