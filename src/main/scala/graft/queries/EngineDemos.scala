@@ -468,6 +468,75 @@ object EngineDemos {
         "no_duplicates_total" -> (second.size == second.distinct.size).toString)
     },
 
+    // Streaming NEAR-dup dedup: the streaming complement of
+    // dedup_minhash_lsh. Each followed record computes its full
+    // 16-min-hash signature SCALAR-side (per-record expressions — no
+    // aggregation, so it composes with any downstream streaming op)
+    // using the exact seed scheme of the batch pipeline (4 md5 seeds
+    // x 4 8-char slices, banded 4x4), then `dropDuplicates` on the 4
+    // band keys: all-bands collision = the strongest LSH match. The
+    // teeth: "a b c a b c a b c" is DIFFERENT TEXT from the earlier
+    // "a b c a b c" but has the IDENTICAL 3-gram shingle SET, hence
+    // identical signature — it must be dropped as a near-dup (exact
+    // dedup would keep it), and it must be dropped ACROSS A RESTART,
+    // proving the signature state lives in the checkpointed state
+    // store. At 100 TB the state is hash-partitioned by band key
+    // across executors and a real pipeline bounds it with a
+    // watermark; tiny demo bodies keep unbounded retention exact.
+    demo("e2e_stream_dedup_minhash", Seq(
+      "first_run_kept" -> "a b c a b c|alpha one two three four|papa q r s t",
+      "second_run_new" -> "zulu fresh doc here",
+      "near_dup_dropped_across_restart" -> "true",
+      "exact_dup_dropped" -> "true")) { (sp, st) =>
+      st.catalog.createStream("demo-basin1", "sm")
+      val minExprs = (0 until 16).map(i =>
+        s"""array_min(transform(sh, x ->
+            substr(md5(concat('${i / 4}:', x)), ${1 + 8 * (i % 4)}, 8))) AS h$i""")
+      val bandExprs = (0 until 4).map(b =>
+        s"md5(concat_ws('|', h${4 * b}, h${4 * b + 1}, h${4 * b + 2}, h${4 * b + 3})) AS b$b")
+      def run(): Seq[String] = {
+        val q = sp.readStream.format("graft-stream")
+          .option("root", st.root).option("basin", "demo-basin1")
+          .option("stream", "sm").load()
+          .selectExpr("CAST(body AS STRING) AS body")
+          .selectExpr("body", "split(body, ' ') AS w")
+          .selectExpr("body",
+            """array_distinct(transform(sequence(1, size(w) - 2),
+               i -> concat(element_at(w, i), ' ', element_at(w, i + 1),
+                 ' ', element_at(w, i + 2)))) AS sh""")
+          .selectExpr(Seq("body") ++ minExprs: _*)
+          .selectExpr(Seq("body") ++ bandExprs: _*)
+          .dropDuplicates("b0", "b1", "b2", "b3")
+          .select("body")
+          .writeStream.format("parquet")
+          .option("path", s"${st.root}/_smsink")
+          .option("checkpointLocation", s"${st.root}/_smckpt")
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        sp.read.parquet(s"${st.root}/_smsink").select("body")
+          .collect().map(_.getString(0)).toSeq.sorted
+      }
+      st.append("demo-basin1", "sm", AppendInput(Seq(
+        rec("alpha one two three four"),
+        rec("a b c a b c"),
+        rec("alpha one two three four"), // exact dup -> dropped
+        rec("papa q r s t"))), Some(1000))
+      val first = run()
+      st.append("demo-basin1", "sm", AppendInput(Seq(
+        rec("a b c a b c a b c"), // near-dup: same shingle SET, new text
+        rec("zulu fresh doc here"),
+        rec("papa q r s t"))), Some(2000)) // exact dup across restart
+      val second = run()
+      Seq(
+        "first_run_kept" -> first.mkString("|"),
+        "second_run_new" -> (second.toSet -- first.toSet).toSeq.sorted.mkString("|"),
+        "near_dup_dropped_across_restart" ->
+          (!second.contains("a b c a b c a b c")).toString,
+        "exact_dup_dropped" ->
+          (second.count(_ == "papa q r s t") == 1 &&
+            second.count(_ == "alpha one two three four") == 1).toString)
+    },
+
     // Streaming watermarked windowed aggregation: 10-second tumbling
     // counts over a followed stream's record timestamps with a
     // 5-second watermark, append output mode. Record times are pinned
