@@ -558,6 +558,101 @@ object PipelineOps {
         |  md5(regexp_replace(regexp_replace(text,
         |    '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
         |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_fp
-        |FROM salted ORDER BY doc_id""".stripMargin))
+        |FROM salted ORDER BY doc_id""".stripMargin)),
+
+    // Eval-set decontamination — the training-data hygiene step every
+    // serious pipeline runs: flag corpus documents sharing a long
+    // n-gram (8 tokens here) with a held-out benchmark, because a
+    // contaminated doc inflates eval scores. The eval side is SMALL
+    // BY NATURE (a benchmark, not a corpus), so its distinct grams
+    // broadcast and the corpus side streams through a map-side hash
+    // join — zero shuffle on the 100 TB side; the only aggregation
+    // shuffles one row per CONTAMINATED doc, not per doc. Eval here =
+    // every 13th base doc, so docsAug's near-duplicate copies provide
+    // known contamination with pre-verifiable hits.
+    QueryDef("text_decontaminate",
+      (s, d) => {
+        def grams8(df: DataFrame): DataFrame = {
+          val w = col("w")
+          df.select(col("doc_id"), split(col("text"), " ").as("w"))
+            .select(col("doc_id"),
+              explode(array_distinct(
+                when(size(w) >= 8,
+                  transform(sequence(lit(1), size(w) - 7),
+                    i => concat_ws(" ",
+                      (0 until 8).map(o => element_at(w, i + o)): _*)))
+                  .otherwise(array(concat_ws(" ", w))))).as("g"))
+        }
+        val evalGrams = grams8(docs(s, d).where(col("doc_id") % 13 === 0))
+          .select(col("g"), col("doc_id").as("eval_id"))
+        val corpus = grams8(docsAug(s, d))
+          .where(!(col("doc_id") % 13 === 0 && col("doc_id") < 1000000))
+        corpus.join(broadcast(evalGrams), "g")
+          .groupBy("doc_id")
+          .agg(countDistinct("g").cast(LongType).as("n_shared_grams"),
+            countDistinct("eval_id").cast(LongType).as("n_eval_docs"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $DocsAugCte,
+        |g8 AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(w) >= 8
+        |      THEN list_transform(range(1, len(w) - 6),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+        |          || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6]
+        |          || ' ' || w[i+7])
+        |      ELSE [array_to_string(w, ' ')] END)) AS g
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM docs_aug)),
+        |eval_g AS (
+        |  SELECT g, doc_id AS eval_id FROM g8
+        |  WHERE doc_id % 13 = 0 AND doc_id < 1000000)
+        |SELECT c.doc_id,
+        |  CAST(count(DISTINCT c.g) AS BIGINT) AS n_shared_grams,
+        |  CAST(count(DISTINCT e.eval_id) AS BIGINT) AS n_eval_docs
+        |FROM g8 c JOIN eval_g e ON c.g = e.g
+        |WHERE NOT (c.doc_id % 13 = 0 AND c.doc_id < 1000000)
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin)),
+
+    // Gopher-style repetition signals: duplicate-2-gram fraction and
+    // most-frequent-2-gram fraction per doc — the quality rules that
+    // catch boilerplate and degenerate generation loops. Computed
+    // entirely with per-row array expressions (no explode, no
+    // shuffle): the top-gram count is an O(distinct x n) per-row fold,
+    // bounded by document length — the narrow scan-side shape that
+    // survives 100 TB, versus an explode + groupBy that shuffles one
+    // row per 2-gram of the corpus.
+    QueryDef("text_repetition",
+      (s, d) => {
+        val w = col("w")
+        val g = col("g")
+        docs(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .select(col("doc_id"),
+            when(size(w) >= 2,
+              transform(sequence(lit(1), size(w) - 1),
+                i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+              .otherwise(array(concat_ws(" ", w))).as("g"))
+          .select(col("doc_id"),
+            round(lit(1.0) -
+              size(array_distinct(g)).cast(DoubleType) / size(g), 6)
+              .as("dup_2gram_frac"),
+            round(array_max(transform(array_distinct(g),
+                x => size(filter(g, y => y === x)))).cast(DoubleType) / size(g), 6)
+              .as("top_2gram_frac"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+        |  round(1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g), 6)
+        |    AS dup_2gram_frac,
+        |  round(CAST(list_max(list_transform(list_distinct(g),
+        |      x -> len(list_filter(g, y -> y = x)))) AS DOUBLE) / len(g), 6)
+        |    AS top_2gram_frac
+        |FROM (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) >= 2
+        |      THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+        |      ELSE [array_to_string(w, ' ')] END AS g
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+        |ORDER BY doc_id""".stripMargin))
   )
 }
