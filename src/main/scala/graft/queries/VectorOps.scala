@@ -251,6 +251,109 @@ object VectorOps {
         |FROM multi m JOIN recall r ON m.q_id = r.q_id
         |ORDER BY m.q_id, m.rank""".stripMargin)),
 
+    // Product-quantized ANN — the memory-compression end of the ANN
+    // ladder (brute -> IVF -> multiprobe -> int8 -> PQ): 64 dims split
+    // into 8 subspaces of 8; each subvector is encoded as the id of
+    // its nearest codebook entry (16 entries per subspace, deterministic
+    // codebook = the first 16 corpus vectors), so a 256-byte float
+    // vector becomes 8 one-byte codes — 32x less memory, which is the
+    // whole point at 100 TB: the codes for a billion vectors fit in
+    // executor memory where the floats never would. Scoring uses the
+    // quantized RECONSTRUCTION v̂ (concat of chosen codebook
+    // subvectors) through the same sequential-fold cosine as every
+    // other vector query — bit-identical in DuckDB — with the exact
+    // float score alongside, so the quantization error is directly
+    // observable per result row. Encoding here is a window argmin
+    // over (vector x code x subspace) rows for oracle parity;
+    // production encodes at ingest with a fused kernel and stores
+    // codes as a column.
+    QueryDef("ann_pq_topk",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val all = emb(s, d).select(col("vec_id"), col("embedding"))
+        val cb = all.where(col("vec_id") < 16)
+          .select(col("vec_id").cast(IntegerType).as("code"),
+            col("embedding").as("cv"))
+        // per (vector, code, subspace): squared L2 over the 8 dims,
+        // sequential double fold (same j order as the oracle)
+        val dists = all.crossJoin(broadcast(cb))
+          .withColumn("m", explode(sequence(lit(0), lit(7))))
+          .withColumn("dist", expr(
+            """aggregate(sequence(8*m+1, 8*m+8), CAST(0 AS DOUBLE),
+               (acc, j) -> acc +
+                 (CAST(element_at(embedding, j) AS DOUBLE)
+                   - CAST(element_at(cv, j) AS DOUBLE))
+               * (CAST(element_at(embedding, j) AS DOUBLE)
+                   - CAST(element_at(cv, j) AS DOUBLE)))"""))
+        val wCode = Window.partitionBy("vec_id", "m")
+          .orderBy(col("dist").asc, col("code").asc)
+        val codes = dists
+          .withColumn("crn", row_number().over(wCode))
+          .where(col("crn") === 1)
+          .select("vec_id", "m", "code")
+        // v̂ = concat of the chosen codebook subvectors, ordered by m
+        // (collect_list order is nondeterministic; array_sort by the
+        // struct's leading m field pins it)
+        val recon = codes.join(broadcast(cb), "code")
+          .withColumn("sub", expr("slice(cv, 8*m+1, 8)"))
+          .groupBy("vec_id")
+          .agg(expr(
+            """flatten(transform(array_sort(collect_list(struct(m, sub))),
+               x -> x.sub))""").as("vhat"))
+        val q = emb(s, d).where(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("vq"))
+        val wRank = Window.partitionBy("q_id")
+          .orderBy(col("pq_score").desc, col("n_id"))
+        val top = recon.select(col("vec_id").as("n_id"), col("vhat"))
+          .crossJoin(broadcast(q))
+          .where(col("n_id") =!= col("q_id"))
+          .withColumn("pq_score", round(cosine("vq", "vhat"), 6))
+          .withColumn("rank", row_number().over(wRank).cast(LongType))
+          .where(col("rank") <= 10)
+        // exact float score only for the 50 surviving rows
+        top.join(emb(s, d).select(col("vec_id").as("n_id"),
+            col("embedding").as("ve")), "n_id")
+          .withColumn("score", round(cosine("vq", "ve"), 6))
+          .select("q_id", "n_id", "pq_score", "score", "rank")
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH cb AS (
+        |  SELECT CAST(vec_id AS INT) AS code, embedding AS cv
+        |  FROM embeddings WHERE vec_id < 16),
+        |dists AS (
+        |  SELECT e.vec_id, c.code, m.m,
+        |    list_reduce(list_transform(range(8*m.m+1, 8*m.m+9),
+        |      j -> (CAST(e.embedding[j] AS DOUBLE) - CAST(c.cv[j] AS DOUBLE))
+        |         * (CAST(e.embedding[j] AS DOUBLE) - CAST(c.cv[j] AS DOUBLE))),
+        |      (a, b) -> a + b) AS dist
+        |  FROM embeddings e, cb c, (SELECT unnest(range(0, 8)) AS m) m),
+        |codes AS (
+        |  SELECT vec_id, m, code FROM dists
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, m
+        |    ORDER BY dist ASC, code ASC) = 1),
+        |recon AS (
+        |  SELECT d.vec_id,
+        |    flatten(list(c.cv[8*d.m+1 : 8*d.m+8] ORDER BY d.m)) AS vhat
+        |  FROM codes d JOIN cb c ON d.code = c.code
+        |  GROUP BY d.vec_id),
+        |top AS (
+        |  SELECT q_id, n_id, pq_score,
+        |    CAST(row_number() OVER (PARTITION BY q_id
+        |      ORDER BY pq_score DESC, n_id) AS BIGINT) AS rank
+        |  FROM (
+        |    SELECT q.vec_id AS q_id, r.vec_id AS n_id,
+        |      round(${duckCosine("q.embedding", "r.vhat")}, 6) AS pq_score
+        |    FROM embeddings q, recon r
+        |    WHERE q.vec_id < 5 AND r.vec_id <> q.vec_id)
+        |  QUALIFY rank <= 10)
+        |SELECT t.q_id, t.n_id, t.pq_score,
+        |  round(${duckCosine("q.embedding", "n.embedding")}, 6) AS score,
+        |  t.rank
+        |FROM top t
+        |JOIN embeddings q ON q.vec_id = t.q_id
+        |JOIN embeddings n ON n.vec_id = t.n_id
+        |ORDER BY t.q_id, t.rank""".stripMargin)),
+
     // Int8-quantized ANN: per-vector symmetric scalar quantization
     // (q = round(x * 127 / max|x|)), integer dot products, and
     // per-vector integer norms precomputed ONCE — the memory-bound
