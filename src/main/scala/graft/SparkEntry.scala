@@ -13,7 +13,7 @@ object SparkEntry {
 
   private def allDefs: Seq[QueryDef] =
     StreamOps.defs ++ Relational.defs ++ TextOps.defs ++ PipelineOps.defs ++
-      VectorOps.defs ++ EngineOps.defs ++ EngineDemos.defs
+      VectorOps.defs ++ AnalyticsOps.defs ++ EngineOps.defs ++ EngineDemos.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

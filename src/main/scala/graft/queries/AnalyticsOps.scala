@@ -1,0 +1,454 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Approximate-analytics + retrieval operators a 100 TB pipeline runs
+  * beside dedup/ANN: mergeable sketches (Count-Min, HyperLogLog),
+  * distributed k-means clustering over embeddings, and BM25 keyword
+  * retrieval over the documents table.
+  *
+  * Cross-engine determinism strategy (shared with VectorOps/TextOps):
+  * every estimator is built from EXACT integer state — bucket sums,
+  * max-rho registers, quantized coordinates, fixed-point score
+  * micros — so group-by order can never perturb a float sum. The only
+  * floating-point steps are final divisions / a log on already-exact
+  * operands, identical IEEE ops in Spark and DuckDB, rounded to 6
+  * decimals before compare.
+  */
+object AnalyticsOps {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/documents.parquet")
+  private def emb(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/embeddings.parquet")
+
+  /** Hex digit -> 0..15, identical in Spark SQL and DuckDB. */
+  private def hexVal(c: String): String =
+    s"(instr('0123456789abcdef', $c) - 1)"
+
+  // ---- Count-Min sketch ----------------------------------------------------
+
+  private val CmRows = 4    // depth: independent hash rows
+  private val CmWidth = 256 // width: buckets per row (2 hex digits)
+
+  /** Row-r bucket of `tok`: first two hex digits of md5("r:tok"). */
+  private def cmBucketSpark(r: String, tok: String): String = {
+    val h = s"md5(CAST(concat(CAST($r AS STRING), ':', $tok) AS BINARY))"
+    s"(16 * ${hexVal(s"substr($h, 1, 1)")} + ${hexVal(s"substr($h, 2, 1)")})"
+  }
+  private def cmBucketDuck(r: String, tok: String): String = {
+    val h = s"md5(CAST($r AS VARCHAR) || ':' || $tok)"
+    s"(16 * ${hexVal(s"substr($h, 1, 1)")} + ${hexVal(s"substr($h, 2, 1)")})"
+  }
+
+  // ---- HyperLogLog ---------------------------------------------------------
+
+  private val HllM = 256 // registers (2 hex digits of the item hash)
+  /** alpha_256 * m^2, the HLL bias constant for m=256. The leading
+    * CAST matters: both engines parse bare fractional literals as
+    * DECIMAL and their decimal-division scale rules differ — forcing
+    * the first operand to DOUBLE makes the whole chain identical
+    * IEEE arithmetic.
+    */
+  private val HllAlphaM2 =
+    "(CAST(0.7213 AS DOUBLE) / (1.0 + CAST(1.079 AS DOUBLE) / 256.0)) * 65536.0"
+
+  /** Leading-zero count of a nibble value v in 1..15 (v=0 handled by
+    * the caller's CASE). */
+  private def lzNibble(v: String): String =
+    s"""(CASE $v WHEN 1 THEN 3 WHEN 2 THEN 2 WHEN 3 THEN 2
+        WHEN 4 THEN 1 WHEN 5 THEN 1 WHEN 6 THEN 1 WHEN 7 THEN 1
+        ELSE 0 END)"""
+
+  /** rho = 1 + number of leading zero BITS in hex digits 3..14 of `hh`
+    * (the 48 bits after the 8 bucket bits), capped at 30 so the
+    * 2^(30-rho) register weights sum exactly in BIGINT. An all-zero
+    * window maps to the cap via the 49 sentinel.
+    */
+  private def rhoExpr(hh: String, listMin: String, transform: String,
+      idxRange: String): String = {
+    val v = s"${hexVal(s"substr($hh, 2 + i, 1)")}"
+    s"""least(30, $listMin($transform($idxRange,
+        i -> CASE WHEN $v > 0 THEN 4 * (i - 1) + ${lzNibble(v)} + 1
+             ELSE 49 END)))"""
+  }
+  // i ranges over nibbles 1..12: Spark sequence is inclusive, DuckDB
+  // range is end-exclusive.
+  private def rhoSpark(hh: String): String =
+    rhoExpr(hh, "array_min", "transform", "sequence(1, 12)")
+  private def rhoDuck(hh: String): String =
+    rhoExpr(hh, "list_min", "list_transform", "range(1, 13)")
+
+  // ---- k-means -------------------------------------------------------------
+
+  private val KmK = 8      // clusters; init = vectors 0..7
+  private val KmScale = 1000 // fixed-point quantization of coordinates
+
+  /** Squared L2 between quantized vector `qv` and centroid
+    * (`sums`/`cnt`) as one sequential double fold — same element
+    * order both engines; sums and cnt are exact integers so the
+    * per-dim division is deterministic IEEE.
+    */
+  private def kmDistSpark: String =
+    """aggregate(sequence(1, 64), CAST(0 AS DOUBLE), (acc, j) ->
+       acc + (CAST(element_at(qv, j) AS DOUBLE)
+               - CAST(element_at(sums, j) AS DOUBLE) / CAST(cnt AS DOUBLE))
+           * (CAST(element_at(qv, j) AS DOUBLE)
+               - CAST(element_at(sums, j) AS DOUBLE) / CAST(cnt AS DOUBLE)))"""
+  private def kmDistDuck(q: String, sums: String, cnt: String): String =
+    s"""list_reduce(list_transform(range(1, 65),
+        j -> (CAST($q[j] AS DOUBLE) - CAST($sums[j] AS DOUBLE) / CAST($cnt AS DOUBLE))
+           * (CAST($q[j] AS DOUBLE) - CAST($sums[j] AS DOUBLE) / CAST($cnt AS DOUBLE))),
+        (a, b) -> a + b)"""
+
+  /** One Lloyd assignment: nearest centroid by exact-arithmetic
+    * squared L2, cluster-id tiebreak. Centroids are broadcast — the
+    * corpus side never shuffles for assignment.
+    */
+  private def kmAssign(v: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cluster"))
+    v.crossJoin(broadcast(cents))
+      .withColumn("dist", expr(kmDistSpark))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select("vec_id", "qv", "cluster", "dist")
+  }
+
+  /** One Lloyd update: centroid = elementwise mean of assigned
+    * vectors, kept as EXACT (BIGINT sum list, count) pairs. The
+    * (vec x dim) explode feeds a two-level aggregate whose map-side
+    * partial combine reduces each partition to at most k*64 rows
+    * before the shuffle — the classic distributed k-means update.
+    */
+  private def kmUpdate(a: DataFrame): DataFrame =
+    a.select(col("cluster"), col("qv"), explode(expr("sequence(1, 64)")).as("j"))
+      .withColumn("x", expr("element_at(qv, j)"))
+      .groupBy("cluster", "j")
+      .agg(sum("x").as("s"), count(lit(1)).as("nv"))
+      .groupBy("cluster")
+      .agg(
+        expr("transform(array_sort(collect_list(struct(j, s))), t -> t.s)").as("sums"),
+        max("nv").cast(LongType).as("cnt"))
+
+  /** Full k-means run: quantize -> init from the k lowest vec_ids ->
+    * `iters` Lloyd rounds -> final assignment + cluster sizes.
+    * Exposed for spec fixtures (synthetic blob corpora).
+    */
+  private[graft] def kmeansRun(embDf: DataFrame, k: Int, iters: Int): DataFrame = {
+    val qv = embDf.select(col("vec_id"), expr(
+      s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $KmScale + 0.5) AS BIGINT))")
+      .as("qv"))
+    val cents0 = qv.where(col("vec_id") < k)
+      .select(col("vec_id").cast(IntegerType).as("cluster"),
+        col("qv").as("sums"), lit(1L).as("cnt"))
+    var a = kmAssign(qv, cents0)
+    for (_ <- 1 until iters) a = kmAssign(qv, kmUpdate(a))
+    val fin = kmAssign(qv, kmUpdate(a))
+    val sizes = fin.groupBy("cluster").agg(count(lit(1)).cast(LongType).as("csize"))
+    fin.join(broadcast(sizes), "cluster")
+      .withColumn("dist", round(col("dist"), 6))
+      .select("vec_id", "cluster", "dist", "csize")
+      .orderBy("vec_id")
+  }
+
+  /** Count-Min build + estimate for the `topK` true-heaviest tokens.
+    * Exposed for spec fixtures (the no-underestimate guarantee over a
+    * full synthetic vocabulary).
+    */
+  private[graft] def countMinEstimates(tokens: DataFrame, topK: Int): DataFrame = {
+    val s = tokens.sparkSession
+    val counts = tokens.groupBy("tok").agg(count(lit(1)).cast(LongType).as("cnt"))
+    val rows = s.range(CmRows).select(col("id").cast(IntegerType).as("r"))
+    val sketch = counts.crossJoin(broadcast(rows))
+      .withColumn("bucket", expr(cmBucketSpark("r", "tok")))
+      .groupBy("r", "bucket")
+      .agg(sum("cnt").cast(LongType).as("bsum"))
+    val cand = counts
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(topK)
+      .select(col("tok"), col("cnt").as("exact_count"))
+    cand.crossJoin(broadcast(rows))
+      .withColumn("bucket", expr(cmBucketSpark("r", "tok")))
+      .join(broadcast(sketch), Seq("r", "bucket"))
+      .groupBy("tok", "exact_count")
+      .agg(min("bsum").cast(LongType).as("est_count"))
+      .withColumn("over_count", (col("est_count") - col("exact_count")).cast(LongType))
+      .select("tok", "exact_count", "est_count", "over_count")
+      .orderBy(col("exact_count").desc, col("tok"))
+  }
+
+  /** HLL estimate over the distinct values of `items`' single `item`
+    * column. Exposed for spec fixtures (accuracy on known
+    * cardinalities).
+    */
+  private[graft] def hllEstimate(items: DataFrame): DataFrame = {
+    val s = items.sparkSession
+    val sh = items.select(col("item")).distinct()
+    val rho = sh
+      .withColumn("hh", md5(col("item").cast(BinaryType)))
+      .withColumn("bucket", expr(
+        s"(16 * ${hexVal("substr(hh, 1, 1)")} + ${hexVal("substr(hh, 2, 1)")})"))
+      .withColumn("r", expr(rhoSpark("hh")))
+    val regs = s.range(HllM).select(col("id").cast(IntegerType).as("bucket"))
+      .join(rho.groupBy("bucket").agg(max("r").as("mr")), Seq("bucket"), "left")
+      .withColumn("m", coalesce(col("mr"), lit(0)))
+    val acc = regs.agg(
+      sum(expr("shiftleft(CAST(1 AS BIGINT), 30 - m)")).cast(LongType).as("ssum"),
+      sum(when(col("m") === 0, 1L).otherwise(0L)).cast(LongType).as("zeros"))
+    val exact = sh.agg(count(lit(1)).cast(LongType).as("exact_distinct"))
+    acc.crossJoin(exact)
+      .withColumn("raw", expr(
+        s"$HllAlphaM2 / (CAST(ssum AS DOUBLE) / 1073741824.0)"))
+      .withColumn("est_distinct", round(expr(
+        s"CASE WHEN raw <= 2.5 * $HllM AND zeros > 0 THEN $HllM * ln(CAST($HllM AS DOUBLE) / zeros) ELSE raw END"), 6))
+      .withColumn("rel_err", round(
+        (col("est_distinct") - col("exact_distinct")) / col("exact_distinct"), 6))
+      .select("exact_distinct", "est_distinct", "zeros", "rel_err")
+  }
+
+  /** DuckDB mirror of one assignment step over CTE `cents`. */
+  private def kmAssignDuck(cents: String, name: String): String = {
+    val dst = kmDistDuck("v.qv", "c.sums", "c.cnt")
+    s"""$name AS (
+       |  SELECT vec_id, qv, cluster, dist FROM (
+       |    SELECT v.vec_id, v.qv, c.cluster, $dst AS dist,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY $dst ASC, c.cluster) AS rn
+       |    FROM qv v, $cents c) WHERE rn = 1)""".stripMargin
+  }
+  private def kmUpdateDuck(assignCte: String, name: String): String =
+    s"""$name AS (
+       |  SELECT cluster, list(s ORDER BY j) AS sums, CAST(max(nv) AS BIGINT) AS cnt
+       |  FROM (
+       |    SELECT a.cluster, t.j, CAST(sum(a.qv[t.j]) AS BIGINT) AS s, count(*) AS nv
+       |    FROM $assignCte a, (SELECT unnest(range(1, 65)) AS j) t
+       |    GROUP BY 1, 2) GROUP BY cluster)""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // Count-Min sketch over document word-bigrams: depth 4 x width 256
+    // integer counters, hashes = md5("r:tok"). The sketch is ONE
+    // narrow pass with map-side partial aggregation (each partition
+    // combines to <= d*w cells before the shuffle), and sketches merge
+    // by elementwise sum — the property that lets 1000 executors build
+    // it independently at 100 TB and combine d*w integers at the end.
+    // The estimate for the top-20 true-heaviest bigrams rides along
+    // with the exact count, so the CM guarantee (never under, over
+    // only on collisions) is oracle-checked per row via over_count.
+    QueryDef("sketch_countmin",
+      (s, d) => {
+        val toks = docs(s, d)
+          .select(split(col("text"), " ").as("w"))
+          .select(explode(expr(
+            """transform(sequence(1, size(w) - 1),
+               i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"""))
+            .as("tok"))
+        countMinEstimates(toks, 20)
+      },
+      Some(s"""WITH toks AS (
+        |  SELECT w[i] || ' ' || w[i+1] AS tok
+        |  FROM (SELECT string_split(text, ' ') AS w FROM documents),
+        |       unnest(range(1, len(w))) t(i)),
+        |counts AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
+        |rows_ AS (SELECT CAST(unnest(range(0, $CmRows)) AS INT) AS r),
+        |sketch AS (
+        |  SELECT r, ${cmBucketDuck("r", "tok")} AS bucket,
+        |    CAST(sum(cnt) AS BIGINT) AS bsum
+        |  FROM counts, rows_ GROUP BY 1, 2),
+        |cand AS (SELECT tok, cnt AS exact_count FROM counts
+        |  ORDER BY cnt DESC, tok LIMIT 20)
+        |SELECT c.tok, c.exact_count, CAST(min(s.bsum) AS BIGINT) AS est_count,
+        |  CAST(min(s.bsum) - c.exact_count AS BIGINT) AS over_count
+        |FROM cand c, rows_
+        |JOIN sketch s ON s.r = rows_.r
+        |  AND s.bucket = ${cmBucketDuck("rows_.r", "c.tok")}
+        |GROUP BY 1, 2
+        |ORDER BY exact_count DESC, tok""".stripMargin)),
+
+    // HyperLogLog distinct-count of word-3-gram shingles: m=256
+    // registers keyed by the hash's first 2 hex digits, rho = leading
+    // zeros of the next 48 bits, capped at 30 so register weights
+    // 2^(30-rho) sum EXACTLY in BIGINT (order-independent — the
+    // property that makes the register table mergeable by max across
+    // 1000 executors: 256 bytes of state summarize any corpus).
+    // Exact distinct + relative error ride along; the small-range
+    // linear-counting correction is the standard HLL estimator.
+    QueryDef("sketch_hll_distinct",
+      (s, d) => {
+        val sh = TextOps.shingles(
+            docs(s, d).select(col("doc_id"), col("text")))
+          .select(col("sh").as("item"))
+        hllEstimate(sh)
+      },
+      Some(s"""WITH sh AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+        |  FROM (SELECT string_split(text, ' ') AS w FROM documents)),
+        |rho AS (
+        |  SELECT (16 * ${hexVal("substr(hh, 1, 1)")} + ${hexVal("substr(hh, 2, 1)")}) AS bucket,
+        |    ${rhoDuck("hh")} AS r
+        |  FROM (SELECT md5(s) AS hh FROM sh)),
+        |regs AS (
+        |  SELECT g.bucket, COALESCE(max(rho.r), 0) AS m
+        |  FROM (SELECT unnest(range(0, $HllM)) AS bucket) g
+        |  LEFT JOIN rho ON rho.bucket = g.bucket GROUP BY 1),
+        |acc AS (
+        |  SELECT CAST(sum(CAST(1 AS BIGINT) << (30 - m)) AS BIGINT) AS ssum,
+        |    CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zeros
+        |  FROM regs),
+        |est AS (
+        |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM sh) AS exact_distinct,
+        |    round(CASE WHEN $HllAlphaM2 / (CAST(ssum AS DOUBLE) / 1073741824.0)
+        |                    <= 2.5 * $HllM AND zeros > 0
+        |      THEN $HllM * ln(CAST($HllM AS DOUBLE) / zeros)
+        |      ELSE $HllAlphaM2 / (CAST(ssum AS DOUBLE) / 1073741824.0) END, 6)
+        |      AS est_distinct,
+        |    zeros
+        |  FROM acc)
+        |SELECT exact_distinct, est_distinct, zeros,
+        |  round((est_distinct - exact_distinct) / exact_distinct, 6) AS rel_err
+        |FROM est""".stripMargin)),
+
+    // Distributed k-means over embeddings: k=8, init = vectors 0..7,
+    // two Lloyd iterations, final assignment + cluster sizes.
+    // Coordinates are fixed-point quantized (x1000) so centroids stay
+    // EXACT rationals (BIGINT sum list / count) — group-by order can
+    // never flip an argmin across engines. Per iteration the corpus
+    // does one broadcast-centroid assignment (no shuffle) and one
+    // two-level aggregate (map-side combine to k*64 cells), which is
+    // the plan that scales: iteration cost is linear scans + a k*64-row
+    // shuffle, independent of corpus row count. Iterations are fixed
+    // at 2 for oracle parity; production loops until centroid shift
+    // < epsilon with the same per-round plan.
+    QueryDef("cluster_kmeans",
+      (s, d) => kmeansRun(emb(s, d), KmK, 2),
+      Some(s"""WITH qv AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * $KmScale + 0.5) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |cents0 AS (
+        |  SELECT CAST(vec_id AS INT) AS cluster, qv AS sums, CAST(1 AS BIGINT) AS cnt
+        |  FROM qv WHERE vec_id < $KmK),
+        |${kmAssignDuck("cents0", "a1")},
+        |${kmUpdateDuck("a1", "cents1")},
+        |${kmAssignDuck("cents1", "a2")},
+        |${kmUpdateDuck("a2", "cents2")},
+        |${kmAssignDuck("cents2", "a3")},
+        |sizes AS (SELECT cluster, CAST(count(*) AS BIGINT) AS csize FROM a3 GROUP BY 1)
+        |SELECT a.vec_id, a.cluster, round(a.dist, 6) AS dist, s.csize
+        |FROM a3 a JOIN sizes s USING (cluster) ORDER BY a.vec_id""".stripMargin)),
+
+    // Unigram-LM perplexity proxy — the classic cheap quality signal
+    // (a doc whose token distribution diverges from the corpus LM
+    // scores high): per-token surprisal -ln(cnt/total) is frozen to
+    // fixed-point micros PER VOCABULARY TYPE, so each doc's total
+    // surprisal is an exact BIGINT dot product of (tf, nll) — summable
+    // in any order. The vocabulary table is corpus-global but tiny
+    // relative to the corpus (it's a groupBy with map-side combine)
+    // and broadcasts to the per-doc join; the per-doc plan is one
+    // narrow aggregation. ppl = exp(mean surprisal) rides along.
+    QueryDef("text_perplexity",
+      (s, d) => {
+        val toks = docs(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        val vocab = toks.groupBy("tok").agg(count(lit(1)).cast(LongType).as("cnt"))
+        val total = vocab.agg(sum("cnt").cast(LongType).as("total"))
+        val nll = vocab.crossJoin(broadcast(total))
+          .withColumn("nll_micros", expr(
+            "CAST(floor(ln(CAST(total AS DOUBLE) / cnt) * 1000000 + 0.5) AS BIGINT)"))
+          .select("tok", "nll_micros")
+        toks.join(broadcast(nll), "tok")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast(LongType).as("dlen"),
+            sum("nll_micros").cast(LongType).as("tot_micros"))
+          .withColumn("avg_nll", round(
+            col("tot_micros").cast(DoubleType) / col("dlen") / 1000000.0, 6))
+          .withColumn("ppl", round(exp(
+            col("tot_micros").cast(DoubleType) / col("dlen") / 1000000.0), 6))
+          .select("doc_id", "dlen", "avg_nll", "ppl")
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
+        |nll AS (
+        |  SELECT tok,
+        |    CAST(floor(ln(CAST(total AS DOUBLE) / cnt) * 1000000 + 0.5) AS BIGINT)
+        |      AS nll_micros
+        |  FROM vocab, tot),
+        |per_doc AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dlen,
+        |    CAST(sum(nll_micros) AS BIGINT) AS tot_micros
+        |  FROM toks JOIN nll USING (tok) GROUP BY 1)
+        |SELECT doc_id, dlen,
+        |  round(CAST(tot_micros AS DOUBLE) / dlen / 1000000.0, 6) AS avg_nll,
+        |  round(exp(CAST(tot_micros AS DOUBLE) / dlen / 1000000.0), 6) AS ppl
+        |FROM per_doc ORDER BY doc_id""".stripMargin)),
+
+    // BM25 top-20 for a fixed 3-term keyword query (k1=1.2, b=0.75).
+    // Scoring state is exact integers (tf, df, doc lengths) and the
+    // per-(doc, term) contribution is frozen to fixed-point micros
+    // BEFORE the per-doc sum, so the score aggregation is an exact
+    // BIGINT sum in any order — the one design choice that makes a
+    // ranking function hash-comparable across engines. The top-20 is
+    // orderBy+limit (TakeOrderedAndProject: per-partition heaps, no
+    // global sort), with the rank window running over 20 survivors.
+    QueryDef("text_bm25_topk",
+      (s, d) => {
+        import s.implicits._
+        val toks = docs(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        val dl = toks.groupBy("doc_id").agg(count(lit(1)).cast(LongType).as("dlen"))
+        val stats = dl.agg(
+          count(lit(1)).cast(LongType).as("n_docs"),
+          sum("dlen").cast(LongType).as("tot"))
+        val qt = Seq("spark", "join", "window").toDF("term")
+        val tf = toks.join(broadcast(qt), toks("tok") === qt("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).cast(LongType).as("tf"))
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).cast(LongType).as("df"))
+        val contrib = tf
+          .join(broadcast(dfreq), "term")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(stats))
+          .withColumn("micros", expr(
+            """CAST(floor(
+                 ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+                 * (tf * 2.2)
+                 / (tf + 1.2 * (0.25 + 0.75 * dlen * n_docs / CAST(tot AS DOUBLE)))
+                 * 1000000 + 0.5) AS BIGINT)"""))
+        val w = Window.orderBy(col("micros").desc, col("doc_id"))
+        contrib.groupBy("doc_id").agg(sum("micros").cast(LongType).as("micros"))
+          .orderBy(col("micros").desc, col("doc_id")).limit(20)
+          .withColumn("score", col("micros").cast(DoubleType) / 1000000.0)
+          .withColumn("rank", row_number().over(w).cast(LongType))
+          .select("doc_id", "score", "rank")
+          .orderBy("rank")
+      },
+      Some("""WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dlen FROM toks GROUP BY 1),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |                 CAST(sum(dlen) AS BIGINT) AS tot FROM dl),
+        |qt AS (SELECT unnest(['spark', 'join', 'window']) AS term),
+        |tf AS (SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM toks JOIN qt ON toks.tok = qt.term GROUP BY 1, 2),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |contrib AS (
+        |  SELECT tf.doc_id,
+        |    CAST(floor(
+        |      ln((CAST(s.n_docs AS DOUBLE) - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+        |      * (tf.tf * 2.2)
+        |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dlen * s.n_docs / CAST(s.tot AS DOUBLE)))
+        |      * 1000000 + 0.5) AS BIGINT) AS micros
+        |  FROM tf JOIN dfreq USING (term) JOIN dl ON dl.doc_id = tf.doc_id, stats s),
+        |scored AS (SELECT doc_id, CAST(sum(micros) AS BIGINT) AS micros
+        |           FROM contrib GROUP BY 1)
+        |SELECT doc_id, CAST(micros AS DOUBLE) / 1000000.0 AS score,
+        |  CAST(row_number() OVER (ORDER BY micros DESC, doc_id) AS BIGINT) AS rank
+        |FROM scored QUALIFY rank <= 20 ORDER BY rank""".stripMargin))
+  )
+}

@@ -78,6 +78,61 @@ object VectorOps {
           THEN ${1 << p} ELSE 0 END)"""
     }.mkString("(", " + ", ")")
 
+  /** PQ encode + reconstruct: codebook = the first 16 corpus vectors;
+    * 8 subspaces of 8 dims; each subvector maps to its nearest
+    * codebook entry by sequential-double-fold squared L2 (code-id
+    * tiebreak); v̂ = concat of chosen codebook subvectors. Shared by
+    * ann_pq_topk and ann_ivfpq_topk so the two quantizers can never
+    * drift. Returns (vec_id, vhat).
+    */
+  private def pqRecon(all: DataFrame, cb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dists = all.crossJoin(broadcast(cb))
+      .withColumn("m", explode(sequence(lit(0), lit(7))))
+      .withColumn("dist", expr(
+        """aggregate(sequence(8*m+1, 8*m+8), CAST(0 AS DOUBLE),
+           (acc, j) -> acc +
+             (CAST(element_at(embedding, j) AS DOUBLE)
+               - CAST(element_at(cv, j) AS DOUBLE))
+           * (CAST(element_at(embedding, j) AS DOUBLE)
+               - CAST(element_at(cv, j) AS DOUBLE)))"""))
+    val wCode = Window.partitionBy("vec_id", "m")
+      .orderBy(col("dist").asc, col("code").asc)
+    val codes = dists
+      .withColumn("crn", row_number().over(wCode))
+      .where(col("crn") === 1)
+      .select("vec_id", "m", "code")
+    codes.join(broadcast(cb), "code")
+      .withColumn("sub", expr("slice(cv, 8*m+1, 8)"))
+      .groupBy("vec_id")
+      .agg(expr(
+        """flatten(transform(array_sort(collect_list(struct(m, sub))),
+           x -> x.sub))""").as("vhat"))
+  }
+
+  /** DuckDB mirror of pqRecon, ending in `recon(vec_id, vhat)`.
+    * Expects an `embeddings` table in scope. */
+  private def pqReconCtesDuck: String =
+    s"""cb AS (
+       |  SELECT CAST(vec_id AS INT) AS code, embedding AS cv
+       |  FROM embeddings WHERE vec_id < 16),
+       |dists AS (
+       |  SELECT e.vec_id, c.code, m.m,
+       |    list_reduce(list_transform(range(8*m.m+1, 8*m.m+9),
+       |      j -> (CAST(e.embedding[j] AS DOUBLE) - CAST(c.cv[j] AS DOUBLE))
+       |         * (CAST(e.embedding[j] AS DOUBLE) - CAST(c.cv[j] AS DOUBLE))),
+       |      (a, b) -> a + b) AS dist
+       |  FROM embeddings e, cb c, (SELECT unnest(range(0, 8)) AS m) m),
+       |codes AS (
+       |  SELECT vec_id, m, code FROM dists
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id, m
+       |    ORDER BY dist ASC, code ASC) = 1),
+       |recon AS (
+       |  SELECT d.vec_id,
+       |    flatten(list(c.cv[8*d.m+1 : 8*d.m+8] ORDER BY d.m)) AS vhat
+       |  FROM codes d JOIN cb c ON d.code = c.code
+       |  GROUP BY d.vec_id)""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
 
     // Brute-force cosine top-10 for 5 query vectors. The small query
@@ -274,32 +329,7 @@ object VectorOps {
         val cb = all.where(col("vec_id") < 16)
           .select(col("vec_id").cast(IntegerType).as("code"),
             col("embedding").as("cv"))
-        // per (vector, code, subspace): squared L2 over the 8 dims,
-        // sequential double fold (same j order as the oracle)
-        val dists = all.crossJoin(broadcast(cb))
-          .withColumn("m", explode(sequence(lit(0), lit(7))))
-          .withColumn("dist", expr(
-            """aggregate(sequence(8*m+1, 8*m+8), CAST(0 AS DOUBLE),
-               (acc, j) -> acc +
-                 (CAST(element_at(embedding, j) AS DOUBLE)
-                   - CAST(element_at(cv, j) AS DOUBLE))
-               * (CAST(element_at(embedding, j) AS DOUBLE)
-                   - CAST(element_at(cv, j) AS DOUBLE)))"""))
-        val wCode = Window.partitionBy("vec_id", "m")
-          .orderBy(col("dist").asc, col("code").asc)
-        val codes = dists
-          .withColumn("crn", row_number().over(wCode))
-          .where(col("crn") === 1)
-          .select("vec_id", "m", "code")
-        // v̂ = concat of the chosen codebook subvectors, ordered by m
-        // (collect_list order is nondeterministic; array_sort by the
-        // struct's leading m field pins it)
-        val recon = codes.join(broadcast(cb), "code")
-          .withColumn("sub", expr("slice(cv, 8*m+1, 8)"))
-          .groupBy("vec_id")
-          .agg(expr(
-            """flatten(transform(array_sort(collect_list(struct(m, sub))),
-               x -> x.sub))""").as("vhat"))
+        val recon = pqRecon(all, cb)
         val q = emb(s, d).where(col("vec_id") < 5)
           .select(col("vec_id").as("q_id"), col("embedding").as("vq"))
         val wRank = Window.partitionBy("q_id")
@@ -317,25 +347,7 @@ object VectorOps {
           .select("q_id", "n_id", "pq_score", "score", "rank")
           .orderBy("q_id", "rank")
       },
-      Some(s"""WITH cb AS (
-        |  SELECT CAST(vec_id AS INT) AS code, embedding AS cv
-        |  FROM embeddings WHERE vec_id < 16),
-        |dists AS (
-        |  SELECT e.vec_id, c.code, m.m,
-        |    list_reduce(list_transform(range(8*m.m+1, 8*m.m+9),
-        |      j -> (CAST(e.embedding[j] AS DOUBLE) - CAST(c.cv[j] AS DOUBLE))
-        |         * (CAST(e.embedding[j] AS DOUBLE) - CAST(c.cv[j] AS DOUBLE))),
-        |      (a, b) -> a + b) AS dist
-        |  FROM embeddings e, cb c, (SELECT unnest(range(0, 8)) AS m) m),
-        |codes AS (
-        |  SELECT vec_id, m, code FROM dists
-        |  QUALIFY row_number() OVER (PARTITION BY vec_id, m
-        |    ORDER BY dist ASC, code ASC) = 1),
-        |recon AS (
-        |  SELECT d.vec_id,
-        |    flatten(list(c.cv[8*d.m+1 : 8*d.m+8] ORDER BY d.m)) AS vhat
-        |  FROM codes d JOIN cb c ON d.code = c.code
-        |  GROUP BY d.vec_id),
+      Some(s"""WITH $pqReconCtesDuck,
         |top AS (
         |  SELECT q_id, n_id, pq_score,
         |    CAST(row_number() OVER (PARTITION BY q_id
@@ -345,6 +357,83 @@ object VectorOps {
         |      round(${duckCosine("q.embedding", "r.vhat")}, 6) AS pq_score
         |    FROM embeddings q, recon r
         |    WHERE q.vec_id < 5 AND r.vec_id <> q.vec_id)
+        |  QUALIFY rank <= 10)
+        |SELECT t.q_id, t.n_id, t.pq_score,
+        |  round(${duckCosine("q.embedding", "n.embedding")}, 6) AS score,
+        |  t.rank
+        |FROM top t
+        |JOIN embeddings q ON q.vec_id = t.q_id
+        |JOIN embeddings n ON n.vec_id = t.n_id
+        |ORDER BY t.q_id, t.rank""".stripMargin)),
+
+    // IVF+PQ — the production ANN shape (what Faiss IVFPQ runs): IVF
+    // cells bound WHICH vectors a query touches (nprobe=2 of the
+    // Voronoi partition), PQ codes bound HOW MUCH is read per touched
+    // vector (8 bytes of codes vs 256 of floats). At 100 TB the two
+    // multiply: a query reads P/num_cells of the corpus, 32x
+    // compressed, and the exact-float rerank touches only the top-10
+    // survivors — which is why this pair is the default production
+    // config. Candidate scoring uses the PQ reconstruction v̂ through
+    // the same sequential-fold cosine as ann_pq_topk (shared
+    // pqRecon/pqReconCtesDuck, so the quantizers cannot drift); the
+    // exact score rides along on the survivors.
+    QueryDef("ann_ivfpq_topk",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val all = emb(s, d).select(col("vec_id"), col("embedding"))
+        val cents = all.where(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("c_id"), col("embedding").as("vc"))
+        val wAssign = Window.partitionBy("vec_id")
+          .orderBy(col("csim").desc, col("c_id"))
+        val ranked = all.crossJoin(broadcast(cents))
+          .withColumn("csim", round(cosine("embedding", "vc"), 6))
+          .withColumn("arn", row_number().over(wAssign))
+        val assigned = ranked.where(col("arn") === 1)
+          .select(col("vec_id").as("n_id"), col("c_id").as("cell"))
+        val probes = ranked.where(col("vec_id") < 5 && col("arn") <= 2)
+          .select(col("vec_id").as("q_id"), col("embedding").as("vq"),
+            col("c_id").as("cell"))
+        val cb = all.where(col("vec_id") < 16)
+          .select(col("vec_id").cast(IntegerType).as("code"),
+            col("embedding").as("cv"))
+        val recon = pqRecon(all, cb)
+        val wRank = Window.partitionBy("q_id")
+          .orderBy(col("pq_score").desc, col("n_id"))
+        val top = assigned.join(broadcast(probes), "cell")
+          .where(col("n_id") =!= col("q_id"))
+          .join(recon.select(col("vec_id").as("n_id"), col("vhat")), "n_id")
+          .withColumn("pq_score", round(cosine("vq", "vhat"), 6))
+          .withColumn("rank", row_number().over(wRank).cast(LongType))
+          .where(col("rank") <= 10)
+        top.join(emb(s, d).select(col("vec_id").as("n_id"),
+            col("embedding").as("ve")), "n_id")
+          .withColumn("score", round(cosine("vq", "ve"), 6))
+          .select("q_id", "n_id", "pq_score", "score", "rank")
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH $pqReconCtesDuck,
+        |cents AS (
+        |  SELECT vec_id AS c_id, embedding AS vc FROM embeddings WHERE vec_id % 100 = 0),
+        |ranked AS (
+        |  SELECT e.vec_id, e.embedding, c.c_id,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      round(${duckCosine("e.embedding", "c.vc")}, 6) DESC, c.c_id) AS arn
+        |  FROM embeddings e, cents c),
+        |assigned AS (
+        |  SELECT vec_id AS n_id, c_id AS cell FROM ranked WHERE arn = 1),
+        |probes AS (
+        |  SELECT vec_id AS q_id, embedding AS vq, c_id AS cell
+        |  FROM ranked WHERE vec_id < 5 AND arn <= 2),
+        |top AS (
+        |  SELECT q_id, n_id, pq_score,
+        |    CAST(row_number() OVER (PARTITION BY q_id
+        |      ORDER BY pq_score DESC, n_id) AS BIGINT) AS rank
+        |  FROM (
+        |    SELECT p.q_id, a.n_id,
+        |      round(${duckCosine("p.vq", "r.vhat")}, 6) AS pq_score
+        |    FROM assigned a
+        |    JOIN probes p ON a.cell = p.cell AND a.n_id <> p.q_id
+        |    JOIN recon r ON r.vec_id = a.n_id)
         |  QUALIFY rank <= 10)
         |SELECT t.q_id, t.n_id, t.pq_score,
         |  round(${duckCosine("q.embedding", "n.embedding")}, 6) AS score,

@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Semantic guarantees of the sketch/cluster/retrieval operators that
+  * the DuckDB oracle can only witness, not prove: the Count-Min
+  * no-underestimate bound over a FULL vocabulary, HLL accuracy at
+  * known cardinalities (including the linear-counting small range),
+  * and Lloyd convergence on a corpus with exact cluster structure.
+  */
+class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("count-min never underestimates, for every token in a skewed vocabulary") {
+    import spark.implicits._
+    // Zipf-ish: token t_i appears (200 - i) times, 200 tokens >> 4x256
+    // buckets is false here, but collisions still occur across rows
+    val toks = (0 until 200).flatMap(i => Seq.fill(200 - i)(s"tok-$i")).toDF("tok")
+    val est = AnalyticsOps.countMinEstimates(toks, 200).collect()
+    assert(est.length == 200)
+    est.foreach { r =>
+      assert(r.getAs[Long]("over_count") >= 0L,
+        s"CM underestimated ${r.getAs[String]("tok")}")
+      assert(r.getAs[Long]("est_count") >= r.getAs[Long]("exact_count"))
+    }
+    // the heaviest token's exact count must be right
+    assert(est.head.getAs[Long]("exact_count") == 200L)
+  }
+
+  test("HLL estimates known cardinalities within 3 sigma (1.04/sqrt(256) ~ 6.5%)") {
+    import spark.implicits._
+    for (n <- Seq(5000, 50000)) {
+      val items = (0 until n).map(i => s"item-$i").toDF("item")
+      val r = AnalyticsOps.hllEstimate(items).collect().head
+      assert(r.getAs[Long]("exact_distinct") == n.toLong)
+      val err = math.abs(r.getAs[Double]("rel_err"))
+      assert(err < 0.2, s"HLL rel_err $err at n=$n")
+    }
+  }
+
+  test("HLL small range falls back to linear counting and stays accurate") {
+    import spark.implicits._
+    val items = (0 until 300).map(i => s"s-$i").toDF("item")
+    val r = AnalyticsOps.hllEstimate(items).collect().head
+    assert(r.getAs[Long]("zeros") > 0L) // 300 items can't fill 256 buckets... usually
+    assert(math.abs(r.getAs[Double]("rel_err")) < 0.2)
+  }
+
+  test("k-means recovers exact cluster structure from repeated points") {
+    import spark.implicits._
+    // 8 well-separated anchor points in 64-d, each duplicated 5 times.
+    // vec_id 0..7 are the anchors themselves (the init centroids), so
+    // every copy must land on its anchor's cluster with dist 0 after
+    // any number of Lloyd rounds (the centroid of identical points is
+    // the point).
+    def anchor(c: Int): Seq[Float] =
+      (0 until 64).map(j => if (j == c) 10f * (c + 1) else 0f)
+    val rows = (0 until 8).map(c => (c.toLong, anchor(c))) ++
+      (for (c <- 0 until 8; m <- 0 until 4)
+        yield ((8 + c * 4 + m).toLong, anchor(c)))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = AnalyticsOps.kmeansRun(df, 8, 2).collect()
+    assert(out.length == 40)
+    out.foreach { r =>
+      val vid = r.getAs[Long]("vec_id")
+      val expected = if (vid < 8) vid.toInt else ((vid - 8) / 4).toInt
+      assert(r.getAs[Int]("cluster") == expected, s"vec $vid misclustered")
+      assert(r.getAs[Double]("dist") == 0.0)
+      assert(r.getAs[Long]("csize") == 5L)
+    }
+  }
+
+  test("k-means on the real corpus: exhaustive assignment, all clusters live") {
+    val out = AnalyticsOps.kmeansRun(
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"),
+      8, 2).collect()
+    assert(out.length == 500)
+    val byCluster = out.groupBy(_.getAs[Int]("cluster")).view.mapValues(_.length).toMap
+    assert(byCluster.keySet == (0 until 8).toSet)
+    assert(byCluster.values.sum == 500)
+    out.foreach { r =>
+      assert(r.getAs[Double]("dist") >= 0.0)
+      assert(r.getAs[Long]("csize") == byCluster(r.getAs[Int]("cluster")).toLong)
+    }
+  }
+
+  test("perplexity: uniform-random word soup scores near corpus entropy") {
+    val out = graft.SparkEntry.queries("text_perplexity")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val avg = r.getAs[Double]("avg_nll")
+      val ppl = r.getAs[Double]("ppl")
+      assert(avg > 0.0 && ppl > 1.0)
+      // ppl is exp(avg) computed before independent rounding
+      assert(math.abs(ppl - math.exp(avg)) / ppl < 1e-4)
+      // 31-word vocab: per-token surprisal can never exceed ln(total)
+      assert(avg <= math.log(500.0 * 600))
+    }
+  }
+
+  test("ivfpq: ranks are 1..10 per query and pq ordering is honored") {
+    val out = graft.SparkEntry.queries("ann_ivfpq_topk")(
+      spark, "/root/testdata/sf0.001").collect()
+    val byQ = out.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size == 5)
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to 10L))
+      val pq = sorted.map(_.getAs[Double]("pq_score"))
+      assert(pq.zip(pq.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("bm25 ranks a doc made of query terms above everything") {
+    // run the full query over testdata and check ranking invariants
+    val out = SparkEntryQueries.bm25(spark, "/root/testdata/sf0.001").collect()
+    assert(out.length == 20)
+    val scores = out.map(_.getAs[Double]("score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    assert(out.map(_.getAs[Long]("rank")).toSeq == (1L to 20L))
+    assert(scores.forall(_ > 0.0))
+  }
+}
+
+/** Indirection so the spec reaches the registered query without
+  * duplicating its definition. */
+private object SparkEntryQueries {
+  def bm25(s: SparkSession, d: String) =
+    graft.SparkEntry.queries("text_bm25_topk")(s, d)
+}
