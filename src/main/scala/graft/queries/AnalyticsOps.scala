@@ -341,6 +341,132 @@ object AnalyticsOps {
         |SELECT a.vec_id, a.cluster, round(a.dist, 6) AS dist, s.csize
         |FROM a3 a JOIN sizes s USING (cluster) ORDER BY a.vec_id""".stripMargin)),
 
+    // Cross-document duplicated-substring detection — the span-level
+    // dedup signal (find token 8-grams appearing in >= 2 distinct
+    // docs, then the fraction of each doc covered by such spans).
+    // This is the distributed approximation of suffix-array substring
+    // dedup: grams hash to md5 keys and the cross-doc test is one
+    // partial-aggregated groupBy, so the plan is explode -> shuffle
+    // on gram -> join back — never a pairwise comparison. Span
+    // coverage (union of overlapping 8-token windows) is computed
+    // with a per-doc lead() window: partitions are doc-sized, never
+    // corpus-sized. Runs over the augmented corpus; the near-copies
+    // light up as ~full-coverage, and the generator's natural phrase
+    // repetition shows up as partial spans.
+    QueryDef("dedup_substring_spans",
+      (s, d) => {
+        val aug = TextOps.docsAug(s, d)
+        val toks = aug.select(col("doc_id"), split(col("text"), " ").as("w"))
+        val spans = toks
+          .select(col("doc_id"),
+            explode(expr("sequence(1, size(w) - 7)")).as("pos"),
+            col("w"))
+          .withColumn("g", md5(concat_ws(" ",
+            expr("slice(w, pos, 8)")).cast(BinaryType)))
+          .select("doc_id", "pos", "g")
+        val dupGrams = spans.groupBy("g")
+          .agg(countDistinct("doc_id").as("nd"))
+          .where(col("nd") >= 2).select("g")
+        val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+        val dupPos = spans.join(dupGrams, "g")
+          .withColumn("contrib", least(lit(8),
+            coalesce(lead("pos", 1).over(wDoc), col("pos") + 8) - col("pos")))
+        val cover = dupPos.groupBy("doc_id").agg(
+          count(lit(1)).cast(LongType).as("dup_grams"),
+          sum("contrib").cast(LongType).as("dup_tokens"))
+        val dl = toks.select(col("doc_id"),
+          size(col("w")).cast(LongType).as("n_tokens"))
+        dl.join(cover, "doc_id")
+          .withColumn("dup_frac", round(
+            col("dup_tokens").cast(DoubleType) / col("n_tokens"), 6))
+          .select("doc_id", "n_tokens", "dup_grams", "dup_tokens", "dup_frac")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${TextOps.DocsAugCte},
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM docs_aug),
+        |spans AS (
+        |  SELECT doc_id, i AS pos, md5(array_to_string(w[i:i+7], ' ')) AS g
+        |  FROM toks, unnest(range(1, len(w) - 6)) t(i)),
+        |dup_grams AS (
+        |  SELECT g FROM spans GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+        |dup_pos AS (
+        |  SELECT s.doc_id, s.pos,
+        |    least(8, COALESCE(lead(s.pos, 1) OVER (PARTITION BY s.doc_id ORDER BY s.pos),
+        |      s.pos + 8) - s.pos) AS contrib
+        |  FROM spans s JOIN dup_grams d USING (g)),
+        |cover AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_grams,
+        |    CAST(sum(contrib) AS BIGINT) AS dup_tokens
+        |  FROM dup_pos GROUP BY doc_id),
+        |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |       FROM docs_aug)
+        |SELECT dl.doc_id, dl.n_tokens, c.dup_grams, c.dup_tokens,
+        |  round(CAST(c.dup_tokens AS DOUBLE) / dl.n_tokens, 6) AS dup_frac
+        |FROM dl JOIN cover c USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)),
+
+    // Histogram-sketch percentiles over events.value: a fixed 1000-bin
+    // histogram is the mergeable-summary answer to quantiles at scale
+    // — per-partition histograms are integer vectors that sum, so the
+    // corpus-wide distribution costs one narrow aggregation, and any
+    // percentile is then a cumulative walk over 1000 rows. The exact
+    // rank-k percentile (a full sort at scale — here via one
+    // row_number window as demo instrumentation) rides along per row,
+    // making the approximation error directly observable. Bin
+    // assignment arithmetic is identical IEEE in both engines.
+    QueryDef("sketch_histogram_quantiles",
+      (s, d) => {
+        val ev = Records.events(s, d).select(col("value"))
+        val stats = ev.agg(min("value").as("lo"), max("value").as("hi"),
+          count(lit(1)).cast(LongType).as("n"))
+        val hist = ev.crossJoin(broadcast(stats))
+          .withColumn("b", expr(
+            "CAST(least(999, floor((value - lo) / (hi - lo) * 1000)) AS INT)"))
+          .groupBy("b").agg(count(lit(1)).cast(LongType).as("c"))
+        val wCum = Window.orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = hist.withColumn("cc", sum("c").over(wCum))
+        val ps = s.range(1).select(explode(expr(
+          "array(CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE), CAST(0.99 AS DOUBLE))")).as("p"))
+        val tgt = ps.crossJoin(broadcast(stats))
+          .withColumn("k", expr("CAST(ceil(p * n) AS BIGINT)"))
+          .select("p", "k", "lo", "hi")
+        val est = tgt.join(broadcast(cum), col("cc") >= col("k"))
+          .groupBy("p", "lo", "hi").agg(min("b").as("b"))
+        val wRank = Window.orderBy("value")
+        val ranked = ev.withColumn("rn", row_number().over(wRank).cast(LongType))
+        val exact = tgt.select("p", "k").join(ranked, col("rn") === col("k"))
+          .select(col("p").as("pe"), col("value").as("exact_value"))
+        est
+          .withColumn("est_value", round(
+            expr("lo + (b + 0.5) / 1000.0 * (hi - lo)"), 6))
+          .join(exact, col("p") === col("pe"))
+          .select(col("p"), col("est_value"), round(col("exact_value"), 6).as("exact_value"))
+          .orderBy("p")
+      },
+      Some("""WITH stats AS (
+        |  SELECT min(value) AS lo, max(value) AS hi,
+        |    CAST(count(*) AS BIGINT) AS n FROM events),
+        |hist AS (
+        |  SELECT CAST(least(999, floor((value - lo) / (hi - lo) * 1000)) AS INT) AS b,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events, stats GROUP BY 1),
+        |cum AS (SELECT b, sum(c) OVER (ORDER BY b) AS cc FROM hist),
+        |ps AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS p),
+        |tgt AS (SELECT p, CAST(ceil(p * n) AS BIGINT) AS k, lo, hi FROM ps, stats),
+        |est AS (
+        |  SELECT t.p, t.lo, t.hi, min(c.b) AS b
+        |  FROM tgt t JOIN cum c ON c.cc >= t.k GROUP BY 1, 2, 3),
+        |exact AS (
+        |  SELECT t.p, r.value AS exact_value
+        |  FROM tgt t JOIN (
+        |    SELECT value, CAST(row_number() OVER (ORDER BY value) AS BIGINT) AS rn
+        |    FROM events) r ON r.rn = t.k)
+        |SELECT e.p, round(e.lo + (e.b + 0.5) / 1000.0 * (e.hi - e.lo), 6) AS est_value,
+        |  round(x.exact_value, 6) AS exact_value
+        |FROM est e JOIN exact x ON e.p = x.p
+        |ORDER BY e.p""".stripMargin)),
+
     // Unigram-LM perplexity proxy — the classic cheap quality signal
     // (a doc whose token distribution diverges from the corpus LM
     // scores high): per-token surprisal -ln(cnt/total) is frozen to

@@ -122,6 +122,45 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("substring spans: exact-copy pairs reach full coverage, bounds hold") {
+    val out = graft.SparkEntry.queries("dedup_substring_spans")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_tokens")
+      val dg = r.getAs[Long]("dup_grams")
+      val dt = r.getAs[Long]("dup_tokens")
+      assert(dg >= 1 && dg <= math.max(n - 7, 0))
+      assert(dt >= 8 && dt <= n) // any dup gram covers at least its 8 tokens
+      assert(r.getAs[Double]("dup_frac") > 0.0 && r.getAs[Double]("dup_frac") <= 1.0)
+    }
+    // every %17 doc long enough to have an 8-gram has an exact copy:
+    // both sides must be fully covered
+    val copied = byId.keys.filter(id => id < 1000000 && id % 17 == 0 &&
+      byId.contains(id + 1000000))
+    assert(copied.nonEmpty)
+    copied.foreach { id =>
+      assert(byId(id).getAs[Double]("dup_frac") == 1.0, s"doc $id not fully covered")
+      assert(byId(id + 1000000).getAs[Double]("dup_frac") == 1.0)
+    }
+  }
+
+  test("histogram quantiles: estimate stays within one bin of the exact rank value") {
+    val out = graft.SparkEntry.queries("sketch_histogram_quantiles")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.map(_.getAs[Double]("p")).toSeq == Seq(0.5, 0.9, 0.99))
+    // bin width = (hi-lo)/1000; est is the covering bin's center, and
+    // the exact rank-k value lies inside that bin
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .selectExpr("min(value) AS lo", "max(value) AS hi").collect().head
+    val binW = (ev.getAs[Double]("hi") - ev.getAs[Double]("lo")) / 1000.0
+    out.foreach { r =>
+      val err = math.abs(r.getAs[Double]("est_value") - r.getAs[Double]("exact_value"))
+      assert(err <= binW, s"p=${r.getAs[Double]("p")} err $err > bin $binW")
+    }
+  }
+
   test("bm25 ranks a doc made of query terms above everything") {
     // run the full query over testdata and check ranking invariants
     val out = SparkEntryQueries.bm25(spark, "/root/testdata/sf0.001").collect()
