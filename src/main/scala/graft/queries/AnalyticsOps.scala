@@ -104,6 +104,16 @@ object AnalyticsOps {
            * (CAST($q[j] AS DOUBLE) - CAST($sums[j] AS DOUBLE) / CAST($cnt AS DOUBLE))),
         (a, b) -> a + b)"""
 
+  /** DuckDB sequential-fold cosine between aug rows a and b — the
+    * same fold order as GraftFunctions.cosine_sim. */
+  private val semCosineDuck =
+    """(list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, v) -> acc + v)
+        / (sqrt(list_reduce(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)),
+             (acc, v) -> acc + v))
+         * sqrt(list_reduce(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)),
+             (acc, v) -> acc + v))))"""
+
   /** One Lloyd assignment: nearest centroid by exact-arithmetic
     * squared L2, cluster-id tiebreak. Centroids are broadcast — the
     * corpus side never shuffles for assignment.
@@ -137,7 +147,11 @@ object AnalyticsOps {
     * `iters` Lloyd rounds -> final assignment + cluster sizes.
     * Exposed for spec fixtures (synthetic blob corpora).
     */
-  private[graft] def kmeansRun(embDf: DataFrame, k: Int, iters: Int): DataFrame = {
+  /** The Lloyd loop alone: final (vec_id, cluster, dist) after
+    * `iters` centroid updates. Shared by cluster_kmeans and the
+    * SemDeDup-style blocking in dedup_semantic_kmeans.
+    */
+  private[graft] def kmeansAssignments(embDf: DataFrame, k: Int, iters: Int): DataFrame = {
     val qv = embDf.select(col("vec_id"), expr(
       s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $KmScale + 0.5) AS BIGINT))")
       .as("qv"))
@@ -146,7 +160,11 @@ object AnalyticsOps {
         col("qv").as("sums"), lit(1L).as("cnt"))
     var a = kmAssign(qv, cents0)
     for (_ <- 1 until iters) a = kmAssign(qv, kmUpdate(a))
-    val fin = kmAssign(qv, kmUpdate(a))
+    kmAssign(qv, kmUpdate(a))
+  }
+
+  private[graft] def kmeansRun(embDf: DataFrame, k: Int, iters: Int): DataFrame = {
+    val fin = kmeansAssignments(embDf, k, iters)
     val sizes = fin.groupBy("cluster").agg(count(lit(1)).cast(LongType).as("csize"))
     fin.join(broadcast(sizes), "cluster")
       .withColumn("dist", round(col("dist"), 6))
@@ -340,6 +358,60 @@ object AnalyticsOps {
         |sizes AS (SELECT cluster, CAST(count(*) AS BIGINT) AS csize FROM a3 GROUP BY 1)
         |SELECT a.vec_id, a.cluster, round(a.dist, 6) AS dist, s.csize
         |FROM a3 a JOIN sizes s USING (cluster) ORDER BY a.vec_id""".stripMargin)),
+
+    // SemDeDup-style semantic dedup (Abbas et al. 2023): k-means
+    // cells over embeddings are the BLOCKING structure — near-dup
+    // cosine pairs are searched only WITHIN a cluster, the production
+    // recipe for semantic dedup at corpus scale. Identical vectors
+    // reach identical exact-arithmetic distances, so copies always
+    // land in their original's cell and blocking loses no exact
+    // duplicate. k=8 here mirrors cluster_kmeans for oracle parity;
+    // production picks k ~ n/cell_budget so Σ cell² stays linear-ish,
+    // exactly as NPlanes does for the sign-LSH variant
+    // (dedup_embedding_cosine) — same corpus augmentation, so the two
+    // blocking strategies are directly comparable.
+    QueryDef("dedup_semantic_kmeans",
+      (s, d) => {
+        val base = emb(s, d).select(col("vec_id"), col("embedding"))
+        val aug = base.unionAll(
+          base.where(col("vec_id") % 23 === 0)
+            .select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+        val asn = kmeansAssignments(aug, KmK, 2).select("vec_id", "cluster")
+        val a = asn.join(aug, "vec_id")
+          .select(col("cluster"), col("vec_id").as("id_a"), col("embedding").as("va"))
+        val b = asn.join(aug, "vec_id")
+          .select(col("cluster"), col("vec_id").as("id_b"), col("embedding").as("vb"))
+        a.join(b, Seq("cluster"))
+          .where(col("id_a") < col("id_b"))
+          .withColumn("score", round(
+            graft.functions.GraftFunctions.cosine_sim(col("va"), col("vb")), 6))
+          .where(col("score") >= 0.99)
+          .select("cluster", "id_a", "id_b", "score")
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH aug AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 23 = 0),
+        |qv AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * $KmScale + 0.5) AS BIGINT)) AS qv
+        |  FROM aug),
+        |cents0 AS (
+        |  SELECT CAST(vec_id AS INT) AS cluster, qv AS sums, CAST(1 AS BIGINT) AS cnt
+        |  FROM qv WHERE vec_id < $KmK),
+        |${kmAssignDuck("cents0", "a1")},
+        |${kmUpdateDuck("a1", "cents1")},
+        |${kmAssignDuck("cents1", "a2")},
+        |${kmUpdateDuck("a2", "cents2")},
+        |${kmAssignDuck("cents2", "a3")}
+        |SELECT a3a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(${semCosineDuck}, 6) AS score
+        |FROM a3 a3a JOIN a3 a3b ON a3a.cluster = a3b.cluster AND a3a.vec_id < a3b.vec_id
+        |JOIN aug a ON a.vec_id = a3a.vec_id
+        |JOIN aug b ON b.vec_id = a3b.vec_id
+        |WHERE round(${semCosineDuck}, 6) >= 0.99
+        |ORDER BY id_a, id_b""".stripMargin)),
 
     // Cross-document duplicated-substring detection — the span-level
     // dedup signal (find token 8-grams appearing in >= 2 distinct

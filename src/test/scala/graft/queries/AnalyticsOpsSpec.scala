@@ -161,6 +161,20 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("semantic dedup: cluster blocking recovers every exact copy pair") {
+    val out = graft.SparkEntry.queries("dedup_semantic_kmeans")(
+      spark, "/root/testdata/sf0.001").collect()
+    val pairs = out.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // all %23 copies must be found (identical vectors share a cell)
+    val expected = (0L until 500L).filter(_ % 23 == 0)
+      .map(id => (id, id + 1000000L)).toSet
+    assert(expected.subsetOf(pairs),
+      s"missing copy pairs: ${expected -- pairs}")
+    out.foreach { r =>
+      assert(r.getAs[Double]("score") >= 0.99)
+    }
+  }
+
   test("bm25 ranks a doc made of query terms above everything") {
     // run the full query over testdata and check ranking invariants
     val out = SparkEntryQueries.bm25(spark, "/root/testdata/sf0.001").collect()
