@@ -12,8 +12,9 @@ import graft.queries._
 object SparkEntry {
 
   private def allDefs: Seq[QueryDef] =
-    StreamOps.defs ++ Relational.defs ++ TextOps.defs ++ PipelineOps.defs ++
-      VectorOps.defs ++ AnalyticsOps.defs ++ EngineOps.defs ++ EngineDemos.defs
+    StreamOps.defs ++ Relational.defs ++ TemporalOps.defs ++ TextOps.defs ++
+      PipelineOps.defs ++ VectorOps.defs ++ AnalyticsOps.defs ++
+      EngineOps.defs ++ EngineDemos.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -202,6 +202,77 @@ object PipelineOps {
         |WHERE s.cluster_size >= 2
         |ORDER BY doc_id""".stripMargin)),
 
+    // Incremental-corpus dedup via an EXPLICIT Bloom filter: the
+    // already-ingested corpus (doc_id % 10 != 0) is summarized as the
+    // distinct set of k=4 bit positions (m=65536, positions = four
+    // 8-hex-char slices of md5(text) mod m) and each incoming doc
+    // (doc_id % 10 == 0) is flagged a probable-duplicate iff ALL its
+    // positions are set. This is the continuous-ingestion shape exact
+    // dedup can't take at 100 TB: the base corpus never re-shuffles —
+    // it is folded once into a filter of m bits (here a <=m-row
+    // position table, the relational form of the same bitmap) that
+    // BROADCASTS to every executor, so probing N incoming docs is one
+    // narrow map-side pass. Exact membership is computed alongside to
+    // expose the false-positive rate, the quantity a real pipeline
+    // sizes m against (m = n*k/ln2 for ~50% fill). All hashing is
+    // md5-derived so both engines agree bit-for-bit.
+    QueryDef("dedup_bloom",
+      (s, d) => {
+        val k = 4
+        val m = 65536L
+        def position(i: Int) =
+          conv(substring(md5s(col("text")), 1 + 8 * i, 8), 16, 10)
+            .cast(LongType) % m
+        val hashed = docs(s, d).select(
+          col("doc_id"), col("text"),
+          array((0 until k).map(position): _*).as("pos"))
+        val base = hashed.where(col("doc_id") % 10 =!= 0)
+        val incoming = hashed.where(col("doc_id") % 10 === 0)
+        // the "bitmap": distinct set positions of the base corpus
+        val bits = base.select(explode(col("pos")).as("p")).distinct()
+          .withColumn("hit", lit(1L))
+        val bloom = incoming.select(col("doc_id"), explode(col("pos")).as("p"))
+          .join(broadcast(bits), Seq("p"), "left")
+          .groupBy("doc_id")
+          .agg(min(coalesce(col("hit"), lit(0L))).as("bloom_hit"))
+        val exact = incoming.join(
+            broadcast(base.select("text").distinct().withColumn("exact_dup", lit(1L))),
+            Seq("text"), "left")
+          .select(col("doc_id"),
+            coalesce(col("exact_dup"), lit(0L)).as("exact_dup"))
+        bloom.join(exact, "doc_id")
+          .select(col("doc_id"), col("bloom_hit"), col("exact_dup"),
+            when(col("bloom_hit") === 1L && col("exact_dup") === 0L, 1L)
+              .otherwise(0L).as("false_pos"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH h AS (
+        |  SELECT doc_id, text,
+        |    [CAST(('0x' || substr(md5(text), 1, 8))::UBIGINT % 65536 AS BIGINT),
+        |     CAST(('0x' || substr(md5(text), 9, 8))::UBIGINT % 65536 AS BIGINT),
+        |     CAST(('0x' || substr(md5(text), 17, 8))::UBIGINT % 65536 AS BIGINT),
+        |     CAST(('0x' || substr(md5(text), 25, 8))::UBIGINT % 65536 AS BIGINT)]
+        |      AS pos
+        |  FROM documents),
+        |base AS (SELECT * FROM h WHERE doc_id % 10 <> 0),
+        |inc AS (SELECT * FROM h WHERE doc_id % 10 = 0),
+        |bits AS (SELECT DISTINCT unnest(pos) AS p FROM base),
+        |probe AS (SELECT doc_id, unnest(pos) AS p FROM inc),
+        |bloom AS (
+        |  SELECT pr.doc_id,
+        |    min(CASE WHEN b.p IS NULL THEN 0 ELSE 1 END) AS bloom_hit
+        |  FROM probe pr LEFT JOIN bits b ON b.p = pr.p GROUP BY pr.doc_id),
+        |flag AS (
+        |  SELECT i.doc_id, bl.bloom_hit,
+        |    CASE WHEN i.text IN (SELECT text FROM base) THEN 1 ELSE 0 END
+        |      AS exact_dup
+        |  FROM inc i JOIN bloom bl ON bl.doc_id = i.doc_id)
+        |SELECT doc_id, CAST(bloom_hit AS BIGINT) AS bloom_hit,
+        |  CAST(exact_dup AS BIGINT) AS exact_dup,
+        |  CAST(CASE WHEN bloom_hit = 1 AND exact_dup = 0 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS false_pos
+        |FROM flag ORDER BY doc_id""".stripMargin)),
+
     // Deterministic stratified sampling: per-language rates (~10% en,
     // 50% everything else — the usual "downsample the dominant
     // language" move) decided by the first 4 hex chars of
