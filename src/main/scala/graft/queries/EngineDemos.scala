@@ -630,6 +630,85 @@ object EngineDemos {
         "open_session_held" -> (!rows.exists(_._1 >= 60L)).toString)
     },
 
+    // Streaming STREAM-STREAM join: two followed graft streams
+    // (impressions, clicks) joined on key within a 10-second event-time
+    // interval — the batch j4_range_join's streaming complement, and
+    // the op that proves two DSv2 sources compose in ONE query with
+    // per-source checkpointed offsets. The teeth: the ad2 impression
+    // arrives in run 1 but its click only in run 2, so the match can
+    // only be emitted if the join STATE (buffered impression rows)
+    // survives the checkpointed restart alongside both sources' resume
+    // offsets; the ad3 click at t=30s violates the interval bound and
+    // must never pair. At 100 TB both sides hash-partition by the join
+    // key and the watermark bounds the buffered state to the interval
+    // width — exactly the plan Spark builds here.
+    demo("e2e_stream_join", Seq(
+      "first_run_matches" -> "ad1:1-3",
+      "second_run_new" -> "ad2:1-8",
+      "window_bound_enforced" -> "true")) { (sp, st) =>
+      st.catalog.createStream("demo-basin1", "ji")
+      st.catalog.createStream("demo-basin1", "jc")
+      // A stream-stream join runs 4 state stores PER shuffle partition;
+      // at the session's 32 partitions that is 128 store lifecycles per
+      // microbatch for a 6-row demo. The state partition count is
+      // fixed by the FIRST batch's shuffle setting (then pinned by the
+      // checkpoint), so pin it low for this query only and restore.
+      val prevParts = sp.conf.get("spark.sql.shuffle.partitions")
+      sp.conf.set("spark.sql.shuffle.partitions", "4")
+      // Inner-join matches emit when data arrives; the no-data
+      // microbatches that exist to advance the watermark only add
+      // state-store lifecycles here (state eviction is irrelevant to a
+      // bounded demo). Scoped to this query, restored below.
+      val prevNoData =
+        sp.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+      sp.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      def run(): Seq[(String, Long, Long)] = {
+        def side(stream: String) = sp.readStream.format("graft-stream")
+          .option("root", st.root).option("basin", "demo-basin1")
+          .option("stream", stream).load()
+        val imp = side("ji")
+          .selectExpr("CAST(body AS STRING) AS ad",
+            "timestamp_millis(timestamp) AS i_ts")
+          .withWatermark("i_ts", "5 seconds")
+        val clk = side("jc")
+          .selectExpr("CAST(body AS STRING) AS c_ad",
+            "timestamp_millis(timestamp) AS c_ts")
+          .withWatermark("c_ts", "5 seconds")
+        val q = clk.join(imp, org.apache.spark.sql.functions.expr(
+            "c_ad = ad AND c_ts >= i_ts AND c_ts <= i_ts + INTERVAL 10 SECONDS"))
+          .selectExpr("ad",
+            "CAST(unix_timestamp(i_ts) AS BIGINT) AS i_s",
+            "CAST(unix_timestamp(c_ts) AS BIGINT) AS c_s")
+          .writeStream.format("parquet")
+          .option("path", s"${st.root}/_jsink")
+          .option("checkpointLocation", s"${st.root}/_jckpt")
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        sp.read.parquet(s"${st.root}/_jsink")
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          .sortBy(t => (t._1, t._3)).toSeq
+      }
+      val (first, second) = try {
+        st.append("demo-basin1", "ji",
+          AppendInput(Seq(rec("ad1"), rec("ad2"))), Some(1000))
+        st.append("demo-basin1", "ji", AppendInput(Seq(rec("ad3"))), Some(2000))
+        st.append("demo-basin1", "jc", AppendInput(Seq(rec("ad1"))), Some(3000))
+        val f = run()
+        st.append("demo-basin1", "jc", AppendInput(Seq(rec("ad2"))), Some(8000))
+        st.append("demo-basin1", "jc", AppendInput(Seq(rec("ad3"))), Some(30000))
+        (f, run())
+      } finally {
+        sp.conf.set("spark.sql.shuffle.partitions", prevParts)
+        sp.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+      }
+      def fmt(rows: Seq[(String, Long, Long)]) =
+        rows.map { case (a, i, c) => s"$a:$i-$c" }.mkString(",")
+      Seq(
+        "first_run_matches" -> fmt(first),
+        "second_run_new" -> fmt(second.filterNot(first.contains)),
+        "window_bound_enforced" -> (!second.exists(_._1 == "ad3")).toString)
+    },
+
     // R11 — auto-resume retry policy: capped exponential backoff,
     // reset after a healthy run (sdk/src/retry.rs)
     demo("e2e_r11_auto_resume", Seq(
