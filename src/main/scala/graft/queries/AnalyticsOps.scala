@@ -647,6 +647,87 @@ object AnalyticsOps {
         |           FROM contrib GROUP BY 1)
         |SELECT doc_id, CAST(micros AS DOUBLE) / 1000000.0 AS score,
         |  CAST(row_number() OVER (ORDER BY micros DESC, doc_id) AS BIGINT) AS rank
-        |FROM scored QUALIFY rank <= 20 ORDER BY rank""".stripMargin))
+        |FROM scored QUALIFY rank <= 20 ORDER BY rank""".stripMargin)),
+
+    // PageRank centrality — the authority-scoring pattern web-corpus
+    // curation runs over the domain link graph (CommonCrawl-style
+    // "keep documents from high-centrality domains"), demonstrated on
+    // the supplier<->customer interaction graph (distinct trading
+    // pairs via lineitem x orders, both arc directions so the walk is
+    // over the undirected graph). Three join-based iterations — the
+    // Pregel shape: contributions = one shuffle on dst per round, the
+    // adjacency localCheckpoint'd once and reused — with ALL rank
+    // arithmetic in fixed-point integers (SCALE=1e12, floor divisions)
+    // so both engines agree bit-for-bit: r' = floor(0.15*SCALE/N) +
+    // floor(0.85 * sum(floor(r/outdeg))). Every node has outdeg >= 1
+    // (it entered via an edge), so there is no dangling-mass term and
+    // no node drops out of an iteration. At 100 TB the adjacency is
+    // the big table: it is shuffled ONCE onto src at checkpoint time,
+    // each round's rank join co-partitions with it, and ranks (one
+    // long per node) are the only state that moves between rounds.
+    QueryDef("graph_pagerank",
+      (s, d) => {
+        val Scale = 1000000000000L
+        val li = s.read.parquet(s"$d/lineitem.parquet")
+          .select("l_orderkey", "l_suppkey")
+        val ord = s.read.parquet(s"$d/orders.parquet")
+          .select("o_orderkey", "o_custkey")
+        val e = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .select((col("l_suppkey") * 2).as("s"),
+            (col("o_custkey") * 2 + 1).as("c"))
+          .distinct()
+        val bi = e.select(explode(array(
+            struct(col("s").as("src"), col("c").as("dst")),
+            struct(col("c").as("src"), col("s").as("dst")))).as("a"))
+          .select(col("a.src").as("src"), col("a.dst").as("dst"))
+        val adj = bi.join(
+            bi.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+          .localCheckpoint()
+        val n = adj.select("src").distinct().count()
+        val base = (15L * Scale) / (100L * n)
+        var ranks = adj.select(col("src").as("node")).distinct()
+          .withColumn("rank", lit(Scale / n))
+        for (_ <- 1 to 3) {
+          ranks = adj.join(ranks, col("src") === col("node"))
+            .select(col("dst"), expr("rank div outdeg").as("contrib"))
+            .groupBy("dst")
+            .agg(sum("contrib").as("sc"))
+            .select(col("dst").as("node"),
+              (lit(base) + expr("(85 * sc) div 100")).as("rank"))
+        }
+        ranks.select(
+            when(col("node") % 2 === 0, "supplier").otherwise("customer")
+              .as("node_type"),
+            expr("node div 2").cast(LongType).as("key"),
+            col("rank").cast(LongType).as("rank"))
+          .orderBy("node_type", "key")
+      },
+      Some("""WITH e AS (
+        |  SELECT DISTINCT l_suppkey * 2 AS s, o_custkey * 2 + 1 AS c
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |bi AS (SELECT s AS src, c AS dst FROM e
+        |       UNION ALL SELECT c, s FROM e),
+        |deg AS (SELECT src, count(*) AS outdeg FROM bi GROUP BY src),
+        |adj AS (SELECT bi.src, bi.dst, deg.outdeg
+        |        FROM bi JOIN deg ON deg.src = bi.src),
+        |nn AS (SELECT count(*) AS n FROM deg),
+        |r0 AS (SELECT src AS node, 1000000000000 // (SELECT n FROM nn) AS rank
+        |       FROM deg),
+        |it1 AS (SELECT a.dst AS node,
+        |          (15 * 1000000000000) // (100 * (SELECT n FROM nn))
+        |            + (85 * sum(r.rank // a.outdeg)) // 100 AS rank
+        |        FROM adj a JOIN r0 r ON r.node = a.src GROUP BY a.dst),
+        |it2 AS (SELECT a.dst AS node,
+        |          (15 * 1000000000000) // (100 * (SELECT n FROM nn))
+        |            + (85 * sum(r.rank // a.outdeg)) // 100 AS rank
+        |        FROM adj a JOIN it1 r ON r.node = a.src GROUP BY a.dst),
+        |it3 AS (SELECT a.dst AS node,
+        |          (15 * 1000000000000) // (100 * (SELECT n FROM nn))
+        |            + (85 * sum(r.rank // a.outdeg)) // 100 AS rank
+        |        FROM adj a JOIN it2 r ON r.node = a.src GROUP BY a.dst)
+        |SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'customer' END
+        |         AS node_type,
+        |  CAST(node // 2 AS BIGINT) AS key, CAST(rank AS BIGINT) AS rank
+        |FROM it3 ORDER BY node_type, key""".stripMargin))
   )
 }
