@@ -680,12 +680,19 @@ object AnalyticsOps {
             struct(col("s").as("src"), col("c").as("dst")),
             struct(col("c").as("src"), col("s").as("dst")))).as("a"))
           .select(col("a.src").as("src"), col("a.dst").as("dst"))
-        val adj = bi.join(
-            bi.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
-          .localCheckpoint()
-        val n = adj.select("src").distinct().count()
+        // deg IS the node table (one row per node, every node has an
+        // arc) — n, the initial ranks, and the adjacency join all come
+        // from it; no distinct() ever runs over the arc table. adj is
+        // pre-partitioned on src and cached (not localCheckpoint: the
+        // cached plan keeps its outputPartitioning, so the three
+        // per-round joins reuse the partitioning instead of
+        // re-shuffling 2|E| arcs every round — only the |V| rank rows
+        // shuffle per iteration).
+        val deg = bi.groupBy("src").agg(count(lit(1)).as("outdeg"))
+        val adj = bi.join(deg, "src").repartition(col("src")).cache()
+        val n = deg.count()
         val base = (15L * Scale) / (100L * n)
-        var ranks = adj.select(col("src").as("node")).distinct()
+        var ranks = deg.select(col("src").as("node"))
           .withColumn("rank", lit(Scale / n))
         for (_ <- 1 to 3) {
           ranks = adj.join(ranks, col("src") === col("node"))

@@ -709,6 +709,80 @@ object EngineDemos {
         "window_bound_enforced" -> (!second.exists(_._1 == "ad3")).toString)
     },
 
+    // Streaming AS-OF join (latest-value enrichment): the streaming
+    // complement of j3_asof_join, and the temporal-join case Spark's
+    // built-in stream-stream join CANNOT express — an interval join
+    // buffers both sides within a window, while as-of needs "the
+    // single most recent click, however old". That is custom state:
+    // flatMapGroupsWithState keyed by user holds one value (the
+    // latest click label) per key, clicks update it, purchases emit
+    // against it. Batch-internal order is restored by seq_num (a
+    // microbatch's group iterator is unordered); the teeth are the
+    // restart — u2's click arrives in run 1, its purchase in run 2,
+    // and the match emits only if the one-value state survived the
+    // checkpoint — and recency, u1's second click must supersede its
+    // first. At 100 TB the state is exactly one value per key, hash-
+    // partitioned: strictly smaller than any interval join buffer.
+    demo("e2e_stream_asof", Seq(
+      "first_run" -> "u1/p1<-c1,u2/p2<-none",
+      "state_across_restart" -> "u2/p3<-c2",
+      "newest_click_wins" -> "u1/p4<-c3")) { (sp, st) =>
+      import sp.implicits._
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      st.catalog.createStream("demo-basin1", "as")
+      val prevParts = sp.conf.get("spark.sql.shuffle.partitions")
+      sp.conf.set("spark.sql.shuffle.partitions", "4")
+      def run(): Seq[(String, String, String)] = {
+        val q = sp.readStream.format("graft-stream")
+          .option("root", st.root).option("basin", "demo-basin1")
+          .option("stream", "as").load()
+          .selectExpr("CAST(body AS STRING) AS body", "seq_num")
+          .as[(String, Long)]
+          .map { case (b, seq) =>
+            val p = b.split(':'); (p(1), p(0), p(2), seq)
+          }
+          .groupByKey(_._1)
+          .flatMapGroupsWithState(
+            OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+            (user: String, rows: Iterator[(String, String, String, Long)],
+             state: GroupState[String]) =>
+              var last = state.getOption.getOrElse("")
+              val out = Seq.newBuilder[(String, String, String)]
+              rows.toSeq.sortBy(_._4).foreach { case (_, kind, label, _) =>
+                if (kind == "c") last = label
+                else out += ((user, label, if (last.isEmpty) "none" else last))
+              }
+              if (last.nonEmpty) state.update(last)
+              out.result().iterator
+          }
+          .toDF("user", "purchase", "click")
+          .writeStream.format("parquet")
+          .option("path", s"${st.root}/_assink")
+          .option("checkpointLocation", s"${st.root}/_asckpt")
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        sp.read.parquet(s"${st.root}/_assink")
+          .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+          .sortBy(_._2).toSeq
+      }
+      val (first, second) = try {
+        st.append("demo-basin1", "as", AppendInput(Seq(
+          rec("c:u1:c1"), rec("p:u1:p1"), rec("p:u2:p2"), rec("c:u2:c2"))),
+          Some(1000))
+        val f = run()
+        st.append("demo-basin1", "as", AppendInput(Seq(
+          rec("p:u2:p3"), rec("c:u1:c3"), rec("p:u1:p4"))), Some(2000))
+        (f, run())
+      } finally sp.conf.set("spark.sql.shuffle.partitions", prevParts)
+      def fmt(rows: Seq[(String, String, String)]) =
+        rows.map { case (u, p, c) => s"$u/$p<-$c" }.mkString(",")
+      val newRows = second.filterNot(first.contains)
+      Seq(
+        "first_run" -> fmt(first),
+        "state_across_restart" -> fmt(newRows.filter(_._1 == "u2")),
+        "newest_click_wins" -> fmt(newRows.filter(_._1 == "u1")))
+    },
+
     // R11 — auto-resume retry policy: capped exponential backoff,
     // reset after a healthy run (sdk/src/retry.rs)
     demo("e2e_r11_auto_resume", Seq(
