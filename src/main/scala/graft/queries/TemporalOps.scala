@@ -48,42 +48,58 @@ object TemporalOps {
       |c AS (SELECT user_id, ts_us, event_id, value FROM ev WHERE event_type = 'click'),
       |p AS (SELECT user_id, ts_us, event_id FROM ev WHERE event_type = 'purchase')""".stripMargin
 
+  /** As-of core: each probe row (user_id, ts_us, p_event_id) matched
+    * to the latest quote row (user_id, ts_us, click_id) with
+    * quote.ts_us <= probe.ts_us for the same user; same-microsecond
+    * ties resolve to the highest click_id; no prior quote → -1
+    * sentinels. Plan: tag quotes side=0 / probes side=1, union, ONE
+    * window partitioned by user ordered by (ts, side, click_id),
+    * carry the last non-null quote forward, keep probe rows — a
+    * single shuffle on the equality key, no join node, per-partition
+    * state bounded by one user's history.
+    */
+  private[graft] def asofAttribution(clicks: DataFrame,
+                                     purchases: DataFrame): DataFrame = {
+    val quotes = clicks
+      .select(col("user_id"), col("ts_us"), col("click_id"),
+        lit(null).cast(LongType).as("p_event_id"), lit(0).as("side"))
+    val probes = purchases
+      .select(col("user_id"), col("ts_us"),
+        lit(null).cast(LongType).as("click_id"),
+        col("p_event_id"), lit(1).as("side"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("side"), col("click_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    quotes.unionByName(probes)
+      .withColumn("last_click_id", last("click_id", ignoreNulls = true).over(w))
+      .withColumn("last_click_ts",
+        last(when(col("side") === 0, col("ts_us")), ignoreNulls = true).over(w))
+      .where(col("side") === 1)
+      .select(
+        col("p_event_id"), col("user_id"),
+        col("ts_us").as("p_ts_us"),
+        coalesce(col("last_click_id"), lit(-1L)).as("click_id"),
+        coalesce(col("last_click_ts"), lit(-1L)).as("click_ts_us"),
+        coalesce(col("ts_us") - col("last_click_ts"), lit(-1L)).as("gap_us"))
+      .orderBy("p_event_id")
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // As-of join: each purchase matched to the same user's most recent
-    // click at-or-before it (attribution). Plan: tag clicks side=0 /
-    // purchases side=1, union, ONE window partitioned by user ordered
-    // by (ts, side, click_id), carry the last non-null click forward,
-    // keep purchase rows. No join node; ties at the same microsecond
-    // resolve to the highest click event_id on both engines.
+    // click at-or-before it (attribution). See asofAttribution for the
+    // union+window plan; ties at the same microsecond resolve to the
+    // highest click event_id on both engines.
     QueryDef("j3_asof_join",
       (s, d) => {
         val e = ev(s, d)
-        val clicks = e.where(col("event_type") === "click")
-          .select(col("user_id"), col("ts_us"),
-            col("event_id").as("click_id"),
-            lit(null).cast(LongType).as("p_event_id"),
-            lit(0).as("side"))
-        val purch = e.where(col("event_type") === "purchase")
-          .select(col("user_id"), col("ts_us"),
-            lit(null).cast(LongType).as("click_id"),
-            col("event_id").as("p_event_id"),
-            lit(1).as("side"))
-        val w = Window.partitionBy("user_id")
-          .orderBy(col("ts_us"), col("side"), col("click_id"))
-          .rowsBetween(Window.unboundedPreceding, 0)
-        clicks.unionByName(purch)
-          .withColumn("last_click_id", last("click_id", ignoreNulls = true).over(w))
-          .withColumn("last_click_ts",
-            last(when(col("side") === 0, col("ts_us")), ignoreNulls = true).over(w))
-          .where(col("side") === 1)
-          .select(
-            col("p_event_id"), col("user_id"),
-            col("ts_us").as("p_ts_us"),
-            coalesce(col("last_click_id"), lit(-1L)).as("click_id"),
-            coalesce(col("last_click_ts"), lit(-1L)).as("click_ts_us"),
-            coalesce(col("ts_us") - col("last_click_ts"), lit(-1L)).as("gap_us"))
-          .orderBy("p_event_id")
+        asofAttribution(
+          e.where(col("event_type") === "click")
+            .select(col("user_id"), col("ts_us"),
+              col("event_id").as("click_id")),
+          e.where(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts_us"),
+              col("event_id").as("p_event_id")))
       },
       Some(s"""WITH $EvCte
         |SELECT p.event_id AS p_event_id, p.user_id, p.ts_us AS p_ts_us,

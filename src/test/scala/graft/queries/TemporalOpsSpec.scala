@@ -58,6 +58,35 @@ class TemporalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(expected.count(_._2 != -1L) > expected.size / 2)
   }
 
+  test("as-of tie semantics: 25 seeded random datasets with dense ts collisions") {
+    import spark.implicits._
+    // Real event data has no same-microsecond collisions, so the tie
+    // surface (click at exactly the purchase's ts; several clicks at
+    // one ts -> highest click_id wins) only randomized tiny domains
+    // exercise: 3 users x ts in 0..9 makes collisions the common case.
+    for (seed <- 1 to 25) {
+      val rnd = new scala.util.Random(seed)
+      val clicks = Vector.tabulate(rnd.nextInt(12) + 1)(i =>
+        (rnd.nextInt(3).toLong, rnd.nextInt(10).toLong, 100L + i))
+      val purchases = Vector.tabulate(rnd.nextInt(8) + 1)(i =>
+        (rnd.nextInt(3).toLong, rnd.nextInt(10).toLong, 200L + i))
+
+      val got = TemporalOps.asofAttribution(
+          clicks.toDF("user_id", "ts_us", "click_id"),
+          purchases.toDF("user_id", "ts_us", "p_event_id"))
+        .selectExpr("p_event_id", "click_id", "click_ts_us").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+      val expected = purchases.map { case (u, ts, pid) =>
+        val best = clicks.filter(c => c._1 == u && c._2 <= ts)
+          .sortBy(c => (c._2, c._3)).lastOption
+        (pid, best.map(_._3).getOrElse(-1L), best.map(_._2).getOrElse(-1L))
+      }.sortBy(_._1)
+
+      assert(got == expected, s"seed=$seed clicks=$clicks purchases=$purchases")
+    }
+  }
+
   test("bucketed range join equals the direct inequality join on sf0.001") {
     val clicks = side("click").groupBy(_.userId)
     val hourUs = 3600L * 1000000L
