@@ -330,6 +330,109 @@ object AnalyticsOps {
         |  round((est_distinct - exact_distinct) / exact_distinct, 6) AS rel_err
         |FROM est""".stripMargin)),
 
+    // HLL MERGE — the sketch algebra that makes it a 100 TB operator:
+    // per-source register vectors (256 max-rho ints each) are built
+    // independently, then the union's registers are just the
+    // element-wise max of the per-source ones — associative and
+    // lossless, so 1000 executors sketch their partitions and a
+    // 20-row reduce yields every per-source estimate AND the
+    // cross-source union estimate, where exact countDistinct would
+    // shuffle every item. The union row here is computed FROM the
+    // per-source registers (the merge path, not a second global
+    // sketch); AnalyticsOpsSpec proves it equals the directly-built
+    // global sketch bit-for-bit.
+    QueryDef("sketch_hll_merge",
+      (s, d) => {
+        val dd = docs(s, d)
+        // localCheckpoint: five consumers (registers, union registers,
+        // the source grid, two exact counts) would each re-run the
+        // shingle explode + join + distinct otherwise — same measured
+        // inversion as dedup_ngram_prefix's shingle table.
+        val pairs = TextOps.shingles(dd.select(col("doc_id"), col("text")))
+          .join(dd.select(col("doc_id"), col("source")), "doc_id")
+          .select(col("source"), col("sh").as("item")).distinct()
+          .localCheckpoint()
+        val rho = pairs
+          .withColumn("hh", md5(col("item").cast(BinaryType)))
+          .withColumn("bucket", expr(
+            s"(16 * ${hexVal("substr(hh, 1, 1)")} + ${hexVal("substr(hh, 2, 1)")})"))
+          .withColumn("r", expr(rhoSpark("hh")))
+        // ... and the register table (n_sources x 256 rows — this IS
+        // the sketch) is itself read by three consumers; materialized,
+        // the md5+rho pass over the pairs runs exactly once.
+        val perReg = rho.groupBy("source", "bucket").agg(max("r").as("mr"))
+          .localCheckpoint()
+        val uniReg = perReg.groupBy("bucket").agg(max("mr").as("mr"))
+          .withColumn("source", lit("UNION"))
+        val allReg = perReg.unionByName(uniReg)
+        val grid = allReg.select("source").distinct()
+          .crossJoin(s.range(HllM).select(col("id").cast(IntegerType).as("bucket")))
+        val acc = grid.join(allReg, Seq("source", "bucket"), "left")
+          .withColumn("m", coalesce(col("mr"), lit(0)))
+          .groupBy("source").agg(
+            sum(expr("shiftleft(CAST(1 AS BIGINT), 30 - m)")).cast(LongType).as("ssum"),
+            sum(when(col("m") === 0, 1L).otherwise(0L)).cast(LongType).as("zeros"))
+        val exact = pairs.groupBy("source")
+          .agg(countDistinct("item").cast(LongType).as("exact_distinct"))
+          .unionByName(pairs.agg(
+            countDistinct("item").cast(LongType).as("exact_distinct"))
+            .withColumn("source", lit("UNION")))
+        acc.join(exact, "source")
+          .withColumn("raw", expr(
+            s"$HllAlphaM2 / (CAST(ssum AS DOUBLE) / 1073741824.0)"))
+          .withColumn("est_distinct", round(expr(
+            s"""CASE WHEN raw <= 2.5 * $HllM AND zeros > 0
+                THEN $HllM * ln(CAST($HllM AS DOUBLE) / zeros)
+                ELSE raw END"""), 6))
+          .withColumn("rel_err", round(
+            (col("est_distinct") - col("exact_distinct")) / col("exact_distinct"), 6))
+          .select("source", "exact_distinct", "est_distinct", "zeros", "rel_err")
+          .orderBy("source")
+      },
+      Some(s"""WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS item
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |pairs AS (SELECT DISTINCT d.source, sh.item
+        |          FROM sh JOIN documents d USING (doc_id)),
+        |rho AS (
+        |  SELECT source,
+        |    (16 * ${hexVal("substr(hh, 1, 1)")} + ${hexVal("substr(hh, 2, 1)")}) AS bucket,
+        |    ${rhoDuck("hh")} AS r
+        |  FROM (SELECT source, md5(item) AS hh FROM pairs)),
+        |preg AS (SELECT source, bucket, max(r) AS mr FROM rho GROUP BY 1, 2),
+        |ureg AS (SELECT 'UNION' AS source, bucket, max(mr) AS mr
+        |         FROM preg GROUP BY bucket),
+        |allreg AS (SELECT * FROM preg UNION ALL SELECT * FROM ureg),
+        |grid AS (
+        |  SELECT s.source, g.bucket
+        |  FROM (SELECT DISTINCT source FROM allreg) s,
+        |       (SELECT unnest(range(0, $HllM)) AS bucket) g),
+        |acc AS (
+        |  SELECT grid.source,
+        |    CAST(sum(CAST(1 AS BIGINT) << (30 - COALESCE(allreg.mr, 0))) AS BIGINT)
+        |      AS ssum,
+        |    CAST(sum(CASE WHEN COALESCE(allreg.mr, 0) = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS zeros
+        |  FROM grid LEFT JOIN allreg USING (source, bucket)
+        |  GROUP BY 1),
+        |exact AS (
+        |  SELECT source, CAST(count(DISTINCT item) AS BIGINT) AS exact_distinct
+        |  FROM pairs GROUP BY 1
+        |  UNION ALL
+        |  SELECT 'UNION', CAST(count(DISTINCT item) AS BIGINT) FROM pairs),
+        |est AS (
+        |  SELECT a.source, e.exact_distinct, a.zeros,
+        |    round(CASE WHEN $HllAlphaM2 / (CAST(ssum AS DOUBLE) / 1073741824.0)
+        |                    <= 2.5 * $HllM AND zeros > 0
+        |      THEN $HllM * ln(CAST($HllM AS DOUBLE) / zeros)
+        |      ELSE $HllAlphaM2 / (CAST(ssum AS DOUBLE) / 1073741824.0) END, 6)
+        |      AS est_distinct
+        |  FROM acc a JOIN exact e USING (source))
+        |SELECT source, exact_distinct, est_distinct, zeros,
+        |  round((est_distinct - exact_distinct) / exact_distinct, 6) AS rel_err
+        |FROM est ORDER BY source""".stripMargin)),
+
     // Distributed k-means over embeddings: k=8, init = vectors 0..7,
     // two Lloyd iterations, final assignment + cluster sizes.
     // Coordinates are fixed-point quantized (x1000) so centroids stay

@@ -56,6 +56,27 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(r.getAs[Double]("rel_err")) < 0.2)
   }
 
+  test("HLL merge is lossless: union-of-registers equals the direct global sketch") {
+    // sketch_hll_merge's UNION row is built by max-merging the
+    // per-source register vectors; a direct sketch over the pooled
+    // items must give the IDENTICAL estimate (not merely close) —
+    // max is associative, so partitioning the items by source and
+    // merging cannot change any register.
+    val sf = "/root/testdata/sf0.001"
+    val dd = spark.read.parquet(s"$sf/documents.parquet")
+    val direct = AnalyticsOps.hllEstimate(
+        TextOps.shingles(dd.select(col("doc_id"), col("text")))
+          .select(col("sh").as("item")))
+      .collect().head
+    val merged = graft.SparkEntry.queries("sketch_hll_merge")(spark, sf)
+      .where(col("source") === "UNION").collect().head
+    assert(merged.getAs[Double]("est_distinct") ==
+      direct.getAs[Double]("est_distinct"))
+    assert(merged.getAs[Long]("exact_distinct") ==
+      direct.getAs[Long]("exact_distinct"))
+    assert(merged.getAs[Long]("zeros") == direct.getAs[Long]("zeros"))
+  }
+
   test("k-means recovers exact cluster structure from repeated points") {
     import spark.implicits._
     // 8 well-separated anchor points in 64-d, each duplicated 5 times.
