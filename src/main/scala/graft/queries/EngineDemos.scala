@@ -46,6 +46,19 @@ object EngineDemos {
       (s, _) => out(s, run(s, freshStore(s))),
       Some(constOracle(expected)))
 
+  /** Scope the shuffle-partition count to one streaming demo: every
+    * stateful operator runs a state store PER shuffle partition, and
+    * the partition count is fixed by the first microbatch (then
+    * pinned by the checkpoint) — at the session's 32 partitions a
+    * 6-row demo pays 32-128 state-store lifecycles per microbatch for
+    * nothing. Restored even on failure so later queries are unaffected.
+    */
+  private def withDemoPartitions[T](sp: SparkSession, n: Int = 4)(f: => T): T = {
+    val prev = sp.conf.get("spark.sql.shuffle.partitions")
+    sp.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try f finally sp.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // A4 — match_seq_num CAS (streamer.rs:352-359)
@@ -439,7 +452,7 @@ object EngineDemos {
     demo("e2e_stream_dedup", Seq(
       "first_run_distinct" -> "a,b,c",
       "second_run_new" -> "d",
-      "no_duplicates_total" -> "true")) { (sp, st) =>
+      "no_duplicates_total" -> "true")) { (sp, st) => withDemoPartitions(sp) {
       st.catalog.createStream("demo-basin1", "sd")
       st.append("demo-basin1", "sd",
         AppendInput(Seq(rec("a"), rec("b"), rec("a"), rec("c"),
@@ -466,7 +479,7 @@ object EngineDemos {
         "first_run_distinct" -> first.mkString(","),
         "second_run_new" -> (second.toSet -- first.toSet).toSeq.sorted.mkString(","),
         "no_duplicates_total" -> (second.size == second.distinct.size).toString)
-    },
+    }},
 
     // Streaming NEAR-dup dedup: the streaming complement of
     // dedup_minhash_lsh. Each followed record computes its full
@@ -487,7 +500,7 @@ object EngineDemos {
       "first_run_kept" -> "a b c a b c|alpha one two three four|papa q r s t",
       "second_run_new" -> "zulu fresh doc here",
       "near_dup_dropped_across_restart" -> "true",
-      "exact_dup_dropped" -> "true")) { (sp, st) =>
+      "exact_dup_dropped" -> "true")) { (sp, st) => withDemoPartitions(sp) {
       st.catalog.createStream("demo-basin1", "sm")
       val minExprs = (0 until 16).map(i =>
         s"""array_min(transform(sh, x ->
@@ -535,7 +548,7 @@ object EngineDemos {
         "exact_dup_dropped" ->
           (second.count(_ == "papa q r s t") == 1 &&
             second.count(_ == "alpha one two three four") == 1).toString)
-    },
+    }},
 
     // Streaming watermarked windowed aggregation: 10-second tumbling
     // counts over a followed stream's record timestamps with a
@@ -551,7 +564,7 @@ object EngineDemos {
     // sink.
     demo("e2e_stream_window", Seq(
       "emitted" -> "0-10:3,10-20:2",
-      "open_window_held" -> "true")) { (sp, st) =>
+      "open_window_held" -> "true")) { (sp, st) => withDemoPartitions(sp) {
       st.catalog.createStream("demo-basin1", "wa")
       st.append("demo-basin1", "wa",
         AppendInput(Seq(rec("a"), rec("b"), rec("c"))), Some(1000))
@@ -583,7 +596,7 @@ object EngineDemos {
       Seq(
         "emitted" -> rows.map { case (ws, we, c) => s"$ws-$we:$c" }.mkString(","),
         "open_window_held" -> (!rows.exists(_._1 >= 20L)).toString)
-    },
+    }},
 
     // Streaming SESSION windows: per-key activity sessions that close
     // after a 5-second event-time gap, with a watermark finalizing
@@ -596,7 +609,7 @@ object EngineDemos {
     // windows (Spark's session_window with dynamic merge).
     demo("e2e_stream_session", Seq(
       "sessions" -> "1-8:3,20-26:2",
-      "open_session_held" -> "true")) { (sp, st) =>
+      "open_session_held" -> "true")) { (sp, st) => withDemoPartitions(sp) {
       st.catalog.createStream("demo-basin1", "sw")
       Seq(1000L, 2000L, 3000L).foreach(t =>
         st.append("demo-basin1", "sw", AppendInput(Seq(rec(s"a$t"))), Some(t)))
@@ -628,7 +641,7 @@ object EngineDemos {
       Seq(
         "sessions" -> rows.map { case (ws, we, c) => s"$ws-$we:$c" }.mkString(","),
         "open_session_held" -> (!rows.exists(_._1 >= 60L)).toString)
-    },
+    }},
 
     // Streaming STREAM-STREAM join: two followed graft streams
     // (impressions, clicks) joined on key within a 10-second event-time
@@ -648,13 +661,6 @@ object EngineDemos {
       "window_bound_enforced" -> "true")) { (sp, st) =>
       st.catalog.createStream("demo-basin1", "ji")
       st.catalog.createStream("demo-basin1", "jc")
-      // A stream-stream join runs 4 state stores PER shuffle partition;
-      // at the session's 32 partitions that is 128 store lifecycles per
-      // microbatch for a 6-row demo. The state partition count is
-      // fixed by the FIRST batch's shuffle setting (then pinned by the
-      // checkpoint), so pin it low for this query only and restore.
-      val prevParts = sp.conf.get("spark.sql.shuffle.partitions")
-      sp.conf.set("spark.sql.shuffle.partitions", "4")
       // Inner-join matches emit when data arrives; the no-data
       // microbatches that exist to advance the watermark only add
       // state-store lifecycles here (state eviction is irrelevant to a
@@ -688,7 +694,7 @@ object EngineDemos {
           .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
           .sortBy(t => (t._1, t._3)).toSeq
       }
-      val (first, second) = try {
+      val (first, second) = try withDemoPartitions(sp) {
         st.append("demo-basin1", "ji",
           AppendInput(Seq(rec("ad1"), rec("ad2"))), Some(1000))
         st.append("demo-basin1", "ji", AppendInput(Seq(rec("ad3"))), Some(2000))
@@ -697,10 +703,8 @@ object EngineDemos {
         st.append("demo-basin1", "jc", AppendInput(Seq(rec("ad2"))), Some(8000))
         st.append("demo-basin1", "jc", AppendInput(Seq(rec("ad3"))), Some(30000))
         (f, run())
-      } finally {
-        sp.conf.set("spark.sql.shuffle.partitions", prevParts)
+      } finally
         sp.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
-      }
       def fmt(rows: Seq[(String, Long, Long)]) =
         rows.map { case (a, i, c) => s"$a:$i-$c" }.mkString(",")
       Seq(
@@ -730,8 +734,6 @@ object EngineDemos {
       import sp.implicits._
       import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
       st.catalog.createStream("demo-basin1", "as")
-      val prevParts = sp.conf.get("spark.sql.shuffle.partitions")
-      sp.conf.set("spark.sql.shuffle.partitions", "4")
       def run(): Seq[(String, String, String)] = {
         val q = sp.readStream.format("graft-stream")
           .option("root", st.root).option("basin", "demo-basin1")
@@ -765,7 +767,7 @@ object EngineDemos {
           .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
           .sortBy(_._2).toSeq
       }
-      val (first, second) = try {
+      val (first, second) = withDemoPartitions(sp) {
         st.append("demo-basin1", "as", AppendInput(Seq(
           rec("c:u1:c1"), rec("p:u1:p1"), rec("p:u2:p2"), rec("c:u2:c2"))),
           Some(1000))
@@ -773,7 +775,7 @@ object EngineDemos {
         st.append("demo-basin1", "as", AppendInput(Seq(
           rec("p:u2:p3"), rec("c:u1:c3"), rec("p:u1:p4"))), Some(2000))
         (f, run())
-      } finally sp.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       def fmt(rows: Seq[(String, String, String)]) =
         rows.map { case (u, p, c) => s"$u/$p<-$c" }.mkString(",")
       val newRows = second.filterNot(first.contains)
