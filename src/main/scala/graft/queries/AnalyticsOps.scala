@@ -779,18 +779,23 @@ object AnalyticsOps {
           .select((col("l_suppkey") * 2).as("s"),
             (col("o_custkey") * 2 + 1).as("c"))
           .distinct()
+        // bi is localCheckpoint'd so the lineitem⋈orders→distinct edge
+        // pipeline runs exactly once (deg, n, the initial ranks, and
+        // the adjacency all read the materialized arcs). deg IS the
+        // node table (one row per node, every node has an arc) — no
+        // distinct() ever runs over the arc table. adj is
+        // pre-partitioned on src and cached (cache, not checkpoint,
+        // because the cached plan keeps its outputPartitioning, so the
+        // three per-round joins reuse the partitioning instead of
+        // re-shuffling 2|E| arcs every round — only the |V| rank rows
+        // shuffle per iteration); the final ranks are checkpointed and
+        // the cache is dropped before returning, so nothing stays
+        // pinned in executor storage after the query.
         val bi = e.select(explode(array(
             struct(col("s").as("src"), col("c").as("dst")),
             struct(col("c").as("src"), col("s").as("dst")))).as("a"))
           .select(col("a.src").as("src"), col("a.dst").as("dst"))
-        // deg IS the node table (one row per node, every node has an
-        // arc) — n, the initial ranks, and the adjacency join all come
-        // from it; no distinct() ever runs over the arc table. adj is
-        // pre-partitioned on src and cached (not localCheckpoint: the
-        // cached plan keeps its outputPartitioning, so the three
-        // per-round joins reuse the partitioning instead of
-        // re-shuffling 2|E| arcs every round — only the |V| rank rows
-        // shuffle per iteration).
+          .localCheckpoint()
         val deg = bi.groupBy("src").agg(count(lit(1)).as("outdeg"))
         val adj = bi.join(deg, "src").repartition(col("src")).cache()
         val n = deg.count()
@@ -805,12 +810,14 @@ object AnalyticsOps {
             .select(col("dst").as("node"),
               (lit(base) + expr("(85 * sc) div 100")).as("rank"))
         }
-        ranks.select(
+        val out = ranks.select(
             when(col("node") % 2 === 0, "supplier").otherwise("customer")
               .as("node_type"),
             expr("node div 2").cast(LongType).as("key"),
             col("rank").cast(LongType).as("rank"))
-          .orderBy("node_type", "key")
+          .localCheckpoint() // |V| rows; runs the 3 rounds against the cache
+        adj.unpersist()
+        out.orderBy("node_type", "key")
       },
       Some("""WITH e AS (
         |  SELECT DISTINCT l_suppkey * 2 AS s, o_custkey * 2 + 1 AS c

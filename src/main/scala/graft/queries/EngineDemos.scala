@@ -53,11 +53,15 @@ object EngineDemos {
     * 6-row demo pays 32-128 state-store lifecycles per microbatch for
     * nothing. Restored even on failure so later queries are unaffected.
     */
-  private def withDemoPartitions[T](sp: SparkSession, n: Int = 4)(f: => T): T = {
-    val prev = sp.conf.get("spark.sql.shuffle.partitions")
-    sp.conf.set("spark.sql.shuffle.partitions", n.toString)
-    try f finally sp.conf.set("spark.sql.shuffle.partitions", prev)
+  private def withScopedConf[T](sp: SparkSession, key: String, value: String)(
+      f: => T): T = {
+    val prev = sp.conf.get(key)
+    sp.conf.set(key, value)
+    try f finally sp.conf.set(key, prev)
   }
+
+  private def withDemoPartitions[T](sp: SparkSession, n: Int = 4)(f: => T): T =
+    withScopedConf(sp, "spark.sql.shuffle.partitions", n.toString)(f)
 
   def defs: Seq[QueryDef] = Seq(
 
@@ -661,13 +665,6 @@ object EngineDemos {
       "window_bound_enforced" -> "true")) { (sp, st) =>
       st.catalog.createStream("demo-basin1", "ji")
       st.catalog.createStream("demo-basin1", "jc")
-      // Inner-join matches emit when data arrives; the no-data
-      // microbatches that exist to advance the watermark only add
-      // state-store lifecycles here (state eviction is irrelevant to a
-      // bounded demo). Scoped to this query, restored below.
-      val prevNoData =
-        sp.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-      sp.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
       def run(): Seq[(String, Long, Long)] = {
         def side(stream: String) = sp.readStream.format("graft-stream")
           .option("root", st.root).option("basin", "demo-basin1")
@@ -694,17 +691,23 @@ object EngineDemos {
           .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
           .sortBy(t => (t._1, t._3)).toSeq
       }
-      val (first, second) = try withDemoPartitions(sp) {
-        st.append("demo-basin1", "ji",
-          AppendInput(Seq(rec("ad1"), rec("ad2"))), Some(1000))
-        st.append("demo-basin1", "ji", AppendInput(Seq(rec("ad3"))), Some(2000))
-        st.append("demo-basin1", "jc", AppendInput(Seq(rec("ad1"))), Some(3000))
-        val f = run()
-        st.append("demo-basin1", "jc", AppendInput(Seq(rec("ad2"))), Some(8000))
-        st.append("demo-basin1", "jc", AppendInput(Seq(rec("ad3"))), Some(30000))
-        (f, run())
-      } finally
-        sp.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+      // Inner-join matches emit when data arrives; the no-data
+      // microbatches that exist to advance the watermark only add
+      // state-store lifecycles here (state eviction is irrelevant to a
+      // bounded demo). Both confs scoped to this query.
+      val (first, second) = withDemoPartitions(sp) {
+        withScopedConf(sp, "spark.sql.streaming.noDataMicroBatches.enabled",
+          "false") {
+          st.append("demo-basin1", "ji",
+            AppendInput(Seq(rec("ad1"), rec("ad2"))), Some(1000))
+          st.append("demo-basin1", "ji", AppendInput(Seq(rec("ad3"))), Some(2000))
+          st.append("demo-basin1", "jc", AppendInput(Seq(rec("ad1"))), Some(3000))
+          val f = run()
+          st.append("demo-basin1", "jc", AppendInput(Seq(rec("ad2"))), Some(8000))
+          st.append("demo-basin1", "jc", AppendInput(Seq(rec("ad3"))), Some(30000))
+          (f, run())
+        }
+      }
       def fmt(rows: Seq[(String, Long, Long)]) =
         rows.map { case (a, i, c) => s"$a:$i-$c" }.mkString(",")
       Seq(

@@ -204,30 +204,40 @@ object PipelineOps {
 
     // Incremental-corpus dedup via an EXPLICIT Bloom filter: the
     // already-ingested corpus (doc_id % 10 != 0) is summarized as the
-    // distinct set of k=4 bit positions (m=65536, positions = four
-    // 8-hex-char slices of md5(text) mod m) and each incoming doc
-    // (doc_id % 10 == 0) is flagged a probable-duplicate iff ALL its
-    // positions are set. This is the continuous-ingestion shape exact
-    // dedup can't take at 100 TB: the base corpus never re-shuffles —
-    // it is folded once into a filter of m bits (here a <=m-row
-    // position table, the relational form of the same bitmap) that
-    // BROADCASTS to every executor, so probing N incoming docs is one
-    // narrow map-side pass. Exact membership is computed alongside to
-    // expose the false-positive rate, the quantity a real pipeline
-    // sizes m against (m = n*k/ln2 for ~50% fill). All hashing is
-    // md5-derived so both engines agree bit-for-bit.
+    // distinct set of k=4 bit positions (positions = four 8-hex-char
+    // slices of md5(text) mod m) and each incoming doc is flagged a
+    // probable-duplicate iff ALL its positions are set. This is the
+    // continuous-ingestion shape exact dedup can't take at 100 TB:
+    // the base corpus never re-shuffles — it is folded once into a
+    // filter of m bits (here a <=m-row position table, the relational
+    // form of the same bitmap) that BROADCASTS to every executor, so
+    // probing N incoming docs is one narrow map-side pass. The
+    // incoming batch is the %10 holdout PLUS a re-ingest of every
+    // base doc with doc_id % 97 == 0 (a re-crawl under a fresh id —
+    // the case the filter exists for), so bloom_hit=1/exact_dup=1
+    // rows are guaranteed, and m=2048 deliberately undersizes the
+    // n*k/ln2 ≈ 2600 50%-fill rule so the false-positive rate is
+    // visibly nonzero — the quantity a real pipeline sizes m against.
+    // Exact membership is computed alongside to expose it. All
+    // hashing is md5-derived so both engines agree bit-for-bit;
+    // PipelineOpsSpec pins the no-false-negative guarantee.
     QueryDef("dedup_bloom",
       (s, d) => {
         val k = 4
-        val m = 65536L
+        val m = 2048L
         def position(i: Int) =
           conv(substring(md5s(col("text")), 1 + 8 * i, 8), 16, 10)
             .cast(LongType) % m
-        val hashed = docs(s, d).select(
+        def hashed(df: DataFrame) = df.select(
           col("doc_id"), col("text"),
           array((0 until k).map(position): _*).as("pos"))
-        val base = hashed.where(col("doc_id") % 10 =!= 0)
-        val incoming = hashed.where(col("doc_id") % 10 === 0)
+        val dd = docs(s, d)
+        val base = hashed(dd.where(col("doc_id") % 10 =!= 0))
+        val incoming = hashed(dd.where(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), col("text"))
+          .unionByName(dd.where(col("doc_id") % 10 =!= 0 &&
+              col("doc_id") % 97 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))))
         // the "bitmap": distinct set positions of the base corpus
         val bits = base.select(explode(col("pos")).as("p")).distinct()
           .withColumn("hit", lit(1L))
@@ -248,14 +258,17 @@ object PipelineOps {
       },
       Some("""WITH h AS (
         |  SELECT doc_id, text,
-        |    [CAST(('0x' || substr(md5(text), 1, 8))::UBIGINT % 65536 AS BIGINT),
-        |     CAST(('0x' || substr(md5(text), 9, 8))::UBIGINT % 65536 AS BIGINT),
-        |     CAST(('0x' || substr(md5(text), 17, 8))::UBIGINT % 65536 AS BIGINT),
-        |     CAST(('0x' || substr(md5(text), 25, 8))::UBIGINT % 65536 AS BIGINT)]
+        |    [CAST(('0x' || substr(md5(text), 1, 8))::UBIGINT % 2048 AS BIGINT),
+        |     CAST(('0x' || substr(md5(text), 9, 8))::UBIGINT % 2048 AS BIGINT),
+        |     CAST(('0x' || substr(md5(text), 17, 8))::UBIGINT % 2048 AS BIGINT),
+        |     CAST(('0x' || substr(md5(text), 25, 8))::UBIGINT % 2048 AS BIGINT)]
         |      AS pos
         |  FROM documents),
         |base AS (SELECT * FROM h WHERE doc_id % 10 <> 0),
-        |inc AS (SELECT * FROM h WHERE doc_id % 10 = 0),
+        |inc AS (SELECT * FROM h WHERE doc_id % 10 = 0
+        |        UNION ALL
+        |        SELECT doc_id + 1000000, text, pos FROM base
+        |        WHERE doc_id % 97 = 0),
         |bits AS (SELECT DISTINCT unnest(pos) AS p FROM base),
         |probe AS (SELECT doc_id, unnest(pos) AS p FROM inc),
         |bloom AS (

@@ -26,6 +26,27 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
+  test("dedup_bloom: no false negatives, and hits/false-positives are exercised") {
+    // The DuckDB hash-match proves Spark == oracle but not that the
+    // output discriminates: an all-zero result would also match an
+    // identically-broken oracle. These assertions pin the Bloom
+    // guarantees on the real corpus: every re-ingested duplicate MUST
+    // flag (a Bloom filter cannot false-negative), the undersized
+    // m=2048 filter must produce at least one false positive (the
+    // rate the query exists to expose), and at least one genuinely
+    // new doc must pass clean (the filter isn't saturated).
+    val rows = graft.SparkEntry.queries("dedup_bloom")(
+        spark, "/root/testdata/sf0.01")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.count(_._3 == 1L) >= 5, "no exact duplicates in the probe set")
+    assert(rows.filter(_._3 == 1L).forall(_._2 == 1L),
+      "Bloom false negative: an exact duplicate was not flagged")
+    assert(rows.exists(_._4 == 1L), "no false positive at m=2048")
+    assert(rows.exists(r => r._2 == 0L && r._3 == 0L),
+      "filter saturated: every new doc flagged")
+  }
+
   test("chain graph needs multiple propagation rounds and still converges") {
     // 0-1-2-3-4-5-6-7: diameter 7, min label must travel the length
     val labels = cc(0L to 7L, (0L to 6L).map(i => (i, i + 1)))
