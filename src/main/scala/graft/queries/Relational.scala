@@ -259,6 +259,67 @@ object Relational {
         |  CAST(max(ts_us) AS BIGINT) AS end_us,
         |  CAST(max(ts_us) - min(ts_us) AS BIGINT) AS duration_us
         |FROM sess GROUP BY user_id, session_seq
-        |ORDER BY user_id, session_seq""".stripMargin))
+        |ORDER BY user_id, session_seq""".stripMargin)),
+
+    // Ordered funnel with a 24 h conversion window per stage: per
+    // user, first signup -> first click within a day of it -> first
+    // purchase within a day of that click (the MATCH_RECOGNIZE
+    // pattern a product-analytics user runs over an event stream).
+    // Each stage is one aggregate keyed by user (conditional min), and
+    // each stage's bound joins back as the 1-row-per-user dim side —
+    // broadcastable at any corpus size because it never outgrows the
+    // user count. Stage timestamps use -1 sentinels so the output is
+    // null-free for hashing.
+    QueryDef("w3_funnel",
+      (s, d) => {
+        val DayUs = 86400L * 1000000L
+        val ev = Records.events(s, d)
+          .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ts_us"))
+        val s1 = ev.groupBy("user_id")
+          .agg(min(when(col("event_type") === "signup", col("ts_us"))).as("signup_us"))
+          .where(col("signup_us").isNotNull)
+        val s2 = ev.join(broadcast(s1), "user_id")
+          .groupBy("user_id", "signup_us")
+          .agg(min(when(col("event_type") === "click" &&
+            col("ts_us") >= col("signup_us") &&
+            col("ts_us") < col("signup_us") + DayUs, col("ts_us"))).as("click_us"))
+        val s3 = ev.join(broadcast(s2), "user_id")
+          .groupBy("user_id", "signup_us", "click_us")
+          .agg(min(when(col("event_type") === "purchase" &&
+            col("ts_us") >= col("click_us") &&
+            col("ts_us") < col("click_us") + DayUs, col("ts_us"))).as("purchase_us"))
+        s3.select(col("user_id"), col("signup_us"),
+            coalesce(col("click_us"), lit(-1L)).as("click_us"),
+            coalesce(col("purchase_us"), lit(-1L)).as("purchase_us"),
+            (when(col("purchase_us").isNotNull, 3L)
+              .when(col("click_us").isNotNull, 2L)
+              .otherwise(1L)).as("stage_reached"))
+          .orderBy("user_id")
+      },
+      Some("""WITH ev AS (
+        |  SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+        |  FROM events),
+        |s1 AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN ts_us END) AS signup_us
+        |  FROM ev GROUP BY user_id
+        |  HAVING signup_us IS NOT NULL),
+        |s2 AS (
+        |  SELECT ev.user_id, s1.signup_us,
+        |    min(CASE WHEN event_type = 'click' AND ts_us >= s1.signup_us
+        |        AND ts_us < s1.signup_us + 86400000000 THEN ts_us END) AS click_us
+        |  FROM ev JOIN s1 USING (user_id) GROUP BY 1, 2),
+        |s3 AS (
+        |  SELECT ev.user_id, s2.signup_us, s2.click_us,
+        |    min(CASE WHEN event_type = 'purchase' AND ts_us >= s2.click_us
+        |        AND ts_us < s2.click_us + 86400000000 THEN ts_us END) AS purchase_us
+        |  FROM ev JOIN s2 USING (user_id) GROUP BY 1, 2, 3)
+        |SELECT user_id, signup_us,
+        |  coalesce(click_us, -1) AS click_us,
+        |  coalesce(purchase_us, -1) AS purchase_us,
+        |  CAST(CASE WHEN purchase_us IS NOT NULL THEN 3
+        |            WHEN click_us IS NOT NULL THEN 2
+        |            ELSE 1 END AS BIGINT) AS stage_reached
+        |FROM s3 ORDER BY user_id""".stripMargin))
   )
 }
