@@ -320,6 +320,50 @@ object Relational {
         |  CAST(CASE WHEN purchase_us IS NOT NULL THEN 3
         |            WHEN click_us IS NOT NULL THEN 2
         |            ELSE 1 END AS BIGINT) AS stage_reached
-        |FROM s3 ORDER BY user_id""".stripMargin))
+        |FROM s3 ORDER BY user_id""".stripMargin)),
+
+    // Cohort retention: users grouped by signup week, counted as
+    // retained in week-offset k if they have ANY event k weeks after
+    // their signup week (the retention triangle every product team
+    // computes). Two keyed aggregates — signup week per user (a
+    // user-count-sized dim that joins back broadcast), then distinct
+    // (user, offset) — so the event table is scanned twice and never
+    // self-joined; offsets key on the user's OWN signup, not calendar
+    // alignment.
+    QueryDef("w4_retention",
+      (s, d) => {
+        val WeekUs = 7L * 86400L * 1000000L
+        val ev = Records.events(s, d)
+          .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ts_us"))
+        val cohort = ev.groupBy("user_id")
+          .agg(min(when(col("event_type") === "signup", col("ts_us"))).as("signup_us"))
+          .where(col("signup_us").isNotNull)
+          .withColumn("cohort_week", expr(s"signup_us div $WeekUs"))
+        val active = ev.join(broadcast(cohort), "user_id")
+          .where(col("ts_us") >= col("signup_us"))
+          .select(col("user_id"), col("cohort_week"),
+            (expr(s"ts_us div $WeekUs") - col("cohort_week")).as("week_offset"))
+          .distinct()
+        active.groupBy("cohort_week", "week_offset")
+          .agg(countDistinct("user_id").cast(LongType).as("n_active"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      Some("""WITH ev AS (
+        |  SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+        |  FROM events),
+        |cohort AS (
+        |  SELECT user_id, signup_us, signup_us // 604800000000 AS cohort_week
+        |  FROM (SELECT user_id,
+        |          min(CASE WHEN event_type = 'signup' THEN ts_us END) AS signup_us
+        |        FROM ev GROUP BY user_id)
+        |  WHERE signup_us IS NOT NULL),
+        |active AS (
+        |  SELECT DISTINCT ev.user_id, c.cohort_week,
+        |    ev.ts_us // 604800000000 - c.cohort_week AS week_offset
+        |  FROM ev JOIN cohort c USING (user_id)
+        |  WHERE ev.ts_us >= c.signup_us)
+        |SELECT cohort_week, week_offset,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+        |FROM active GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin))
   )
 }
