@@ -789,8 +789,11 @@ object AnalyticsOps {
         // three per-round joins reuse the partitioning instead of
         // re-shuffling 2|E| arcs every round — only the |V| rank rows
         // shuffle per iteration); the final ranks are checkpointed and
-        // the cache is dropped before returning, so nothing stays
-        // pinned in executor storage after the query.
+        // the cache is dropped before returning. The checkpointed arc
+        // blocks are freed by the ContextCleaner when bi goes out of
+        // scope (the repo-wide localCheckpoint contract — see
+        // ccIncident); the cache needs the explicit unpersist because
+        // CacheManager entries are not GC-driven.
         val bi = e.select(explode(array(
             struct(col("s").as("src"), col("c").as("dst")),
             struct(col("c").as("src"), col("s").as("dst")))).as("a"))

@@ -46,13 +46,8 @@ object EngineDemos {
       (s, _) => out(s, run(s, freshStore(s))),
       Some(constOracle(expected)))
 
-  /** Scope the shuffle-partition count to one streaming demo: every
-    * stateful operator runs a state store PER shuffle partition, and
-    * the partition count is fixed by the first microbatch (then
-    * pinned by the checkpoint) — at the session's 32 partitions a
-    * 6-row demo pays 32-128 state-store lifecycles per microbatch for
-    * nothing. Restored even on failure so later queries are unaffected.
-    */
+  /** Set a session conf for the duration of `f`, restored even on
+    * failure so later queries are unaffected. */
   private def withScopedConf[T](sp: SparkSession, key: String, value: String)(
       f: => T): T = {
     val prev = sp.conf.get(key)
@@ -60,6 +55,13 @@ object EngineDemos {
     try f finally sp.conf.set(key, prev)
   }
 
+  /** Scope the shuffle-partition count to one streaming demo: every
+    * stateful operator runs a state store PER shuffle partition, and
+    * the partition count is fixed by the first microbatch (then
+    * pinned by the checkpoint) — at the session's 32 partitions a
+    * 6-row demo pays 32-128 state-store lifecycles per microbatch for
+    * nothing.
+    */
   private def withDemoPartitions[T](sp: SparkSession, n: Int = 4)(f: => T): T =
     withScopedConf(sp, "spark.sql.shuffle.partitions", n.toString)(f)
 

@@ -22,6 +22,27 @@ object Relational {
   private def read(s: SparkSession, d: String, t: String): DataFrame =
     s.read.parquet(s"$d/$t.parquet")
 
+  // Shared by the funnel/retention pair (w3/w4): the micro-timestamped
+  // event projection and the first-signup-per-user dim, kept as ONE
+  // definition in each engine so the two queries cannot drift.
+  private def evUs(s: SparkSession, d: String): DataFrame =
+    Records.events(s, d)
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ts_us"))
+  private def firstSignup(ev: DataFrame): DataFrame =
+    ev.groupBy("user_id")
+      .agg(min(when(col("event_type") === "signup", col("ts_us"))).as("signup_us"))
+      .where(col("signup_us").isNotNull)
+  private val EvUsCte =
+    """ev AS (
+      |  SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+      |  FROM events)""".stripMargin
+  private val FirstSignupCte =
+    """s1 AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'signup' THEN ts_us END) AS signup_us
+      |  FROM ev GROUP BY user_id
+      |  HAVING signup_us IS NOT NULL)""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
 
     // Q1-style pricing summary: scan + filter + 8-way aggregate.
@@ -267,23 +288,22 @@ object Relational {
     // pattern a product-analytics user runs over an event stream).
     // Each stage is one aggregate keyed by user (conditional min), and
     // each stage's bound joins back as the 1-row-per-user dim side —
-    // broadcastable at any corpus size because it never outgrows the
-    // user count. Stage timestamps use -1 sentinels so the output is
-    // null-free for hashing.
+    // tiny relative to the event table, so Spark broadcasts it at any
+    // realistic SF and degrades to a user_id-co-partitioned shuffle
+    // join only past broadcastable user counts (no hint forces the
+    // driver to collect it). Stage timestamps use -1 sentinels so the
+    // output is null-free for hashing.
     QueryDef("w3_funnel",
       (s, d) => {
         val DayUs = 86400L * 1000000L
-        val ev = Records.events(s, d)
-          .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ts_us"))
-        val s1 = ev.groupBy("user_id")
-          .agg(min(when(col("event_type") === "signup", col("ts_us"))).as("signup_us"))
-          .where(col("signup_us").isNotNull)
-        val s2 = ev.join(broadcast(s1), "user_id")
+        val ev = evUs(s, d)
+        val s1 = firstSignup(ev)
+        val s2 = ev.join(s1, "user_id")
           .groupBy("user_id", "signup_us")
           .agg(min(when(col("event_type") === "click" &&
             col("ts_us") >= col("signup_us") &&
             col("ts_us") < col("signup_us") + DayUs, col("ts_us"))).as("click_us"))
-        val s3 = ev.join(broadcast(s2), "user_id")
+        val s3 = ev.join(s2, "user_id")
           .groupBy("user_id", "signup_us", "click_us")
           .agg(min(when(col("event_type") === "purchase" &&
             col("ts_us") >= col("click_us") &&
@@ -296,14 +316,8 @@ object Relational {
               .otherwise(1L)).as("stage_reached"))
           .orderBy("user_id")
       },
-      Some("""WITH ev AS (
-        |  SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us
-        |  FROM events),
-        |s1 AS (
-        |  SELECT user_id,
-        |    min(CASE WHEN event_type = 'signup' THEN ts_us END) AS signup_us
-        |  FROM ev GROUP BY user_id
-        |  HAVING signup_us IS NOT NULL),
+      Some(s"""WITH $EvUsCte,
+        |$FirstSignupCte,
         |s2 AS (
         |  SELECT ev.user_id, s1.signup_us,
         |    min(CASE WHEN event_type = 'click' AND ts_us >= s1.signup_us
@@ -325,45 +339,39 @@ object Relational {
     // Cohort retention: users grouped by signup week, counted as
     // retained in week-offset k if they have ANY event k weeks after
     // their signup week (the retention triangle every product team
-    // computes). Two keyed aggregates — signup week per user (a
-    // user-count-sized dim that joins back broadcast), then distinct
-    // (user, offset) — so the event table is scanned twice and never
-    // self-joined; offsets key on the user's OWN signup, not calendar
-    // alignment.
+    // computes). Two keyed aggregates — signup week per user (the
+    // same un-hinted dim join as w3_funnel), then ONE distinct over
+    // (user, cohort, offset) after which the count is a plain
+    // count(*) — so the event table is scanned twice and never
+    // self-joined or double-deduped; offsets key on the user's OWN
+    // signup, not calendar alignment.
     QueryDef("w4_retention",
       (s, d) => {
         val WeekUs = 7L * 86400L * 1000000L
-        val ev = Records.events(s, d)
-          .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ts_us"))
-        val cohort = ev.groupBy("user_id")
-          .agg(min(when(col("event_type") === "signup", col("ts_us"))).as("signup_us"))
-          .where(col("signup_us").isNotNull)
+        val ev = evUs(s, d)
+        val cohort = firstSignup(ev)
           .withColumn("cohort_week", expr(s"signup_us div $WeekUs"))
-        val active = ev.join(broadcast(cohort), "user_id")
+        val active = ev.join(cohort, "user_id")
           .where(col("ts_us") >= col("signup_us"))
           .select(col("user_id"), col("cohort_week"),
             (expr(s"ts_us div $WeekUs") - col("cohort_week")).as("week_offset"))
           .distinct()
         active.groupBy("cohort_week", "week_offset")
-          .agg(countDistinct("user_id").cast(LongType).as("n_active"))
+          .agg(count(lit(1)).cast(LongType).as("n_active"))
           .orderBy("cohort_week", "week_offset")
       },
-      Some("""WITH ev AS (
-        |  SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us
-        |  FROM events),
+      Some(s"""WITH $EvUsCte,
+        |$FirstSignupCte,
         |cohort AS (
         |  SELECT user_id, signup_us, signup_us // 604800000000 AS cohort_week
-        |  FROM (SELECT user_id,
-        |          min(CASE WHEN event_type = 'signup' THEN ts_us END) AS signup_us
-        |        FROM ev GROUP BY user_id)
-        |  WHERE signup_us IS NOT NULL),
+        |  FROM s1),
         |active AS (
         |  SELECT DISTINCT ev.user_id, c.cohort_week,
         |    ev.ts_us // 604800000000 - c.cohort_week AS week_offset
         |  FROM ev JOIN cohort c USING (user_id)
         |  WHERE ev.ts_us >= c.signup_us)
         |SELECT cohort_week, week_offset,
-        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+        |  CAST(count(*) AS BIGINT) AS n_active
         |FROM active GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin))
   )
 }
