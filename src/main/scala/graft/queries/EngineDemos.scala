@@ -649,6 +649,48 @@ object EngineDemos {
         "open_session_held" -> (!rows.exists(_._1 >= 60L)).toString)
     }},
 
+    // Batch->stream HANDOFF: the bootstrap-then-tail pattern every
+    // consumer of a log runs — read the history [0, tail) with the
+    // BATCH side of the DSv2 source, then follow live from exactly
+    // that tail with the STREAMING side. The two planners share the
+    // seq_num contract (same FileIndex pruning, same visibility
+    // masks), so the union must be contiguous with no duplicate and
+    // no gap even though records land between the tail check and the
+    // stream start — the property this demo pins end-to-end.
+    demo("e2e_batch_stream_handoff", Seq(
+      "bootstrap" -> "0,1,2",
+      "live_tail" -> "3,4",
+      "contiguous_no_dupes" -> "true")) { (sp, st) =>
+      st.catalog.createStream("demo-basin1", "ho")
+      st.append("demo-basin1", "ho",
+        AppendInput(Seq(rec("a"), rec("b"), rec("c"))), Some(1000))
+      val tail0 = st.checkTail("demo-basin1", "ho").seqNum
+      val bootstrap = sp.read.format("graft-stream")
+        .option("root", st.root).option("basin", "demo-basin1")
+        .option("stream", "ho").option("endSeq", tail0.toString).load()
+        .select("seq_num").collect().map(_.getLong(0)).sorted.toSeq
+      // records arriving AFTER the tail check, BEFORE the stream starts
+      st.append("demo-basin1", "ho",
+        AppendInput(Seq(rec("d"), rec("e"))), Some(2000))
+      val q = sp.readStream.format("graft-stream")
+        .option("root", st.root).option("basin", "demo-basin1")
+        .option("stream", "ho").option("startSeq", tail0.toString).load()
+        .select("seq_num")
+        .writeStream.format("parquet")
+        .option("path", s"${st.root}/_hosink")
+        .option("checkpointLocation", s"${st.root}/_hockpt")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val live = sp.read.parquet(s"${st.root}/_hosink")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val all = bootstrap ++ live
+      Seq(
+        "bootstrap" -> bootstrap.mkString(","),
+        "live_tail" -> live.mkString(","),
+        "contiguous_no_dupes" ->
+          (all == (0L until all.size.toLong)).toString)
+    },
+
     // Streaming STREAM-STREAM join: two followed graft streams
     // (impressions, clicks) joined on key within a 10-second event-time
     // interval — the batch j4_range_join's streaming complement, and

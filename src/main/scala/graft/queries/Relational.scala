@@ -235,6 +235,34 @@ object Relational {
         |FROM events WHERE event_type = 'purchase'
         |ORDER BY user_id, day""".stripMargin)),
 
+    // Semi-structured extraction: the record payload is opaque bytes
+    // to the engine (schemaless by design, SURVEY §1.3), so analytics
+    // over it is schema-ON-READ — here the JSON props field parsed
+    // scan-side with get_json_object (codegen'd, no UDF) and
+    // aggregated per event type. The parse is a narrow projection
+    // fused into the scan stage; nothing shuffles but the 5-row
+    // aggregate state.
+    QueryDef("s3_props_json",
+      (s, d) => Records.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast(LongType).as("n"),
+          sum("k").cast(LongType).as("sum_k"),
+          min("k").cast(LongType).as("min_k"),
+          max("k").cast(LongType).as("max_k"),
+          expr("CAST(sum(k) AS DOUBLE) / count(*)").as("avg_k"))
+        .orderBy("event_type"),
+      Some("""WITH j AS (
+        |  SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  CAST(min(k) AS BIGINT) AS min_k,
+        |  CAST(max(k) AS BIGINT) AS max_k,
+        |  CAST(sum(k) AS DOUBLE) / count(*) AS avg_k
+        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // Batch sessionization: per-user sessions split at >30-minute
     // event-time gaps — the classic lag -> gap-flag -> running-sum
     // pattern (the batch complement of e2e_stream_session's streaming
