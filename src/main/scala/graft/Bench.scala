@@ -201,8 +201,17 @@ object Bench {
       .map(k => "\"" + k + f"\":${ack(k)}%.1f").mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
     val totalCpu = results.map(_._2._2).sum
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing":"best-of-2","total_cpu_sec":$totalCpu%.3f,"queries":$qs,"queries_cpu_sec":$qsCpu,"sf":"$sfDir","append_mibps":$appendMibps%.3f,"read_mibps":$readMibps%.3f,"append_records_per_sec":${totalRecords / ingestSec}%.0f,"avg_record_bytes":${totalBytes / math.max(totalRecords, 1)},"ingest_sec":$ingestSec%.3f,"append_1kib_mibps":$append1kMibps%.3f,"read_1kib_mibps":$read1kMibps%.3f,"read_scan_mibps":$scanMibps%.3f,"read_verified":$readVerified,"ack_latency_ms":$ackJson}""")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing":"best-of-2","total_cpu_sec":$totalCpu%.3f,"queries":$qs,"queries_cpu_sec":$qsCpu,"sf":"$sfDir","append_mibps":$appendMibps%.3f,"read_mibps":$readMibps%.3f,"append_records_per_sec":${totalRecords / ingestSec}%.0f,"avg_record_bytes":${totalBytes / math.max(totalRecords, 1)},"ingest_sec":$ingestSec%.3f,"append_1kib_mibps":$append1kMibps%.3f,"read_1kib_mibps":$read1kMibps%.3f,"read_scan_mibps":$scanMibps%.3f,"read_verified":$readVerified,"ack_latency_ms":$ackJson}"""
+    // The driver captures only the tail of stdout, which can truncate the
+    // wall-clock `queries` map out of the round artifact (it did in r7,
+    // leaving only `queries_cpu_sec` visible). Persist the full line to a
+    // file so the artifact always carries both maps.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_local.json"),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case _: java.io.IOException => () } // bench output must not fail on an unwritable cwd
+    println(json)
     spark.stop()
   }
 }

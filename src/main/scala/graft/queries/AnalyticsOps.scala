@@ -143,10 +143,6 @@ object AnalyticsOps {
         expr("transform(array_sort(collect_list(struct(j, s))), t -> t.s)").as("sums"),
         max("nv").cast(LongType).as("cnt"))
 
-  /** Full k-means run: quantize -> init from the k lowest vec_ids ->
-    * `iters` Lloyd rounds -> final assignment + cluster sizes.
-    * Exposed for spec fixtures (synthetic blob corpora).
-    */
   /** The Lloyd loop alone: final (vec_id, cluster, dist) after
     * `iters` centroid updates. Shared by cluster_kmeans and the
     * SemDeDup-style blocking in dedup_semantic_kmeans.
@@ -222,8 +218,8 @@ object AnalyticsOps {
         s"$HllAlphaM2 / (CAST(ssum AS DOUBLE) / 1073741824.0)"))
       .withColumn("est_distinct", round(expr(
         s"CASE WHEN raw <= 2.5 * $HllM AND zeros > 0 THEN $HllM * ln(CAST($HllM AS DOUBLE) / zeros) ELSE raw END"), 6))
-      .withColumn("rel_err", round(
-        (col("est_distinct") - col("exact_distinct")) / col("exact_distinct"), 6))
+      .withColumn("rel_err", when(col("exact_distinct") === 0, lit(null)).otherwise(round(
+        (col("est_distinct") - col("exact_distinct")) / col("exact_distinct"), 6)))
       .select("exact_distinct", "est_distinct", "zeros", "rel_err")
   }
 
@@ -327,7 +323,7 @@ object AnalyticsOps {
         |    zeros
         |  FROM acc)
         |SELECT exact_distinct, est_distinct, zeros,
-        |  round((est_distinct - exact_distinct) / exact_distinct, 6) AS rel_err
+        |  round((est_distinct - exact_distinct) / NULLIF(exact_distinct, 0), 6) AS rel_err
         |FROM est""".stripMargin)),
 
     // HLL MERGE — the sketch algebra that makes it a 100 TB operator:
@@ -384,8 +380,8 @@ object AnalyticsOps {
             s"""CASE WHEN raw <= 2.5 * $HllM AND zeros > 0
                 THEN $HllM * ln(CAST($HllM AS DOUBLE) / zeros)
                 ELSE raw END"""), 6))
-          .withColumn("rel_err", round(
-            (col("est_distinct") - col("exact_distinct")) / col("exact_distinct"), 6))
+          .withColumn("rel_err", when(col("exact_distinct") === 0, lit(null)).otherwise(round(
+            (col("est_distinct") - col("exact_distinct")) / col("exact_distinct"), 6)))
           .select("source", "exact_distinct", "est_distinct", "zeros", "rel_err")
           .orderBy("source")
       },
@@ -430,7 +426,7 @@ object AnalyticsOps {
         |      AS est_distinct
         |  FROM acc a JOIN exact e USING (source))
         |SELECT source, exact_distinct, est_distinct, zeros,
-        |  round((est_distinct - exact_distinct) / exact_distinct, 6) AS rel_err
+        |  round((est_distinct - exact_distinct) / NULLIF(exact_distinct, 0), 6) AS rel_err
         |FROM est ORDER BY source""".stripMargin)),
 
     // Distributed k-means over embeddings: k=8, init = vectors 0..7,
@@ -585,19 +581,24 @@ object AnalyticsOps {
     // — per-partition histograms are integer vectors that sum, so the
     // corpus-wide distribution costs one narrow aggregation, and any
     // percentile is then a cumulative walk over 1000 rows. The exact
-    // rank-k percentile (a full sort at scale — here via one
-    // row_number window as demo instrumentation) rides along per row,
-    // making the approximation error directly observable. Bin
-    // assignment arithmetic is identical IEEE in both engines.
+    // rank-k percentile rides along to make the approximation error
+    // observable, WITHOUT a global sort: the cumulative histogram
+    // already says which bin holds rank k and how many values precede
+    // it, so exact rank is recovered by ranking ONLY inside the ~n/1000
+    // rows of the target bins (window partitioned by bin — bins rank in
+    // parallel, no single-task stage). Bin assignment is monotone in
+    // value, so global rank = bin prior + bin-local rank. hi == lo
+    // (constant column) degenerates to bin 0 rather than NULL bins.
+    // Bin assignment arithmetic is identical IEEE in both engines.
     QueryDef("sketch_histogram_quantiles",
       (s, d) => {
+        val binSql = "CAST(CASE WHEN hi = lo THEN 0 ELSE " +
+          "least(999, floor((value - lo) / (hi - lo) * 1000)) END AS INT)"
         val ev = Records.events(s, d).select(col("value"))
         val stats = ev.agg(min("value").as("lo"), max("value").as("hi"),
           count(lit(1)).cast(LongType).as("n"))
-        val hist = ev.crossJoin(broadcast(stats))
-          .withColumn("b", expr(
-            "CAST(least(999, floor((value - lo) / (hi - lo) * 1000)) AS INT)"))
-          .groupBy("b").agg(count(lit(1)).cast(LongType).as("c"))
+        val binned = ev.crossJoin(broadcast(stats)).withColumn("b", expr(binSql))
+        val hist = binned.groupBy("b").agg(count(lit(1)).cast(LongType).as("c"))
         val wCum = Window.orderBy("b")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val cum = hist.withColumn("cc", sum("c").over(wCum))
@@ -607,11 +608,19 @@ object AnalyticsOps {
           .withColumn("k", expr("CAST(ceil(p * n) AS BIGINT)"))
           .select("p", "k", "lo", "hi")
         val est = tgt.join(broadcast(cum), col("cc") >= col("k"))
-          .groupBy("p", "lo", "hi").agg(min("b").as("b"))
-        val wRank = Window.orderBy("value")
-        val ranked = ev.withColumn("rn", row_number().over(wRank).cast(LongType))
-        val exact = tgt.select("p", "k").join(ranked, col("rn") === col("k"))
-          .select(col("p").as("pe"), col("value").as("exact_value"))
+          .groupBy("p", "k", "lo", "hi").agg(min("b").as("b"))
+        // (p, k) -> target bin + count of values in all earlier bins
+        val kb = est.select(col("p").as("pe"), col("k"), col("b").as("tb"))
+          .join(broadcast(cum.select(col("b").as("tb"),
+            (col("cc") - col("c")).as("prior"))), "tb")
+        val wBin = Window.partitionBy("b").orderBy("value")
+        val binRanked = binned
+          .join(broadcast(kb.select("tb").distinct()), col("b") === col("tb"))
+          .drop("tb")
+          .withColumn("rn", row_number().over(wBin).cast(LongType))
+        val exact = kb.join(binRanked,
+            kb("tb") === binRanked("b") && col("rn") === col("k") - col("prior"))
+          .select(col("pe"), col("value").as("exact_value"))
         est
           .withColumn("est_value", round(
             expr("lo + (b + 0.5) / 1000.0 * (hi - lo)"), 6))
@@ -623,7 +632,8 @@ object AnalyticsOps {
         |  SELECT min(value) AS lo, max(value) AS hi,
         |    CAST(count(*) AS BIGINT) AS n FROM events),
         |hist AS (
-        |  SELECT CAST(least(999, floor((value - lo) / (hi - lo) * 1000)) AS INT) AS b,
+        |  SELECT CAST(CASE WHEN hi = lo THEN 0 ELSE
+        |      least(999, floor((value - lo) / (hi - lo) * 1000)) END AS INT) AS b,
         |    CAST(count(*) AS BIGINT) AS c
         |  FROM events, stats GROUP BY 1),
         |cum AS (SELECT b, sum(c) OVER (ORDER BY b) AS cc FROM hist),

@@ -245,9 +245,14 @@ object PipelineOps {
           .join(broadcast(bits), Seq("p"), "left")
           .groupBy("doc_id")
           .agg(min(coalesce(col("hit"), lit(0L))).as("bloom_hit"))
-        val exact = incoming.join(
-            broadcast(base.select("text").distinct().withColumn("exact_dup", lit(1L))),
-            Seq("text"), "left")
+        // exact membership via the 16-byte md5 key, un-hinted: never
+        // ships raw corpus text — at this SF Spark still broadcasts the
+        // hash table; at 100 TB it degrades gracefully to a shuffled
+        // join on a fixed-width key instead of a corpus-sized broadcast.
+        val exact = incoming.select(col("doc_id"), md5s(col("text")).as("hh"))
+          .join(base.select(md5s(col("text")).as("hh")).distinct()
+              .withColumn("exact_dup", lit(1L)),
+            Seq("hh"), "left")
           .select(col("doc_id"),
             coalesce(col("exact_dup"), lit(0L)).as("exact_dup"))
         bloom.join(exact, "doc_id")

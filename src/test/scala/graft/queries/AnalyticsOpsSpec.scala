@@ -21,6 +21,15 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  /** Fixture root; cancels (not fails) the calling test when the
+    * driver-generated parquet isn't present on this machine.
+    */
+  private def sfDir: String = {
+    val d = graft.TestData.sf("sf0.001")
+    assume(graft.TestData.available(d), s"testdata missing at $d")
+    d
+  }
+
   test("count-min never underestimates, for every token in a skewed vocabulary") {
     import spark.implicits._
     // Zipf-ish: token t_i appears (200 - i) times, 200 tokens >> 4x256
@@ -62,7 +71,7 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // items must give the IDENTICAL estimate (not merely close) —
     // max is associative, so partitioning the items by source and
     // merging cannot change any register.
-    val sf = "/root/testdata/sf0.001"
+    val sf = sfDir
     val dd = spark.read.parquet(s"$sf/documents.parquet")
     val direct = AnalyticsOps.hllEstimate(
         TextOps.shingles(dd.select(col("doc_id"), col("text")))
@@ -103,7 +112,7 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("k-means on the real corpus: exhaustive assignment, all clusters live") {
     val out = AnalyticsOps.kmeansRun(
-      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"),
+      spark.read.parquet(s"$sfDir/embeddings.parquet"),
       8, 2).collect()
     assert(out.length == 500)
     val byCluster = out.groupBy(_.getAs[Int]("cluster")).view.mapValues(_.length).toMap
@@ -117,7 +126,7 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("perplexity: uniform-random word soup scores near corpus entropy") {
     val out = graft.SparkEntry.queries("text_perplexity")(
-      spark, "/root/testdata/sf0.001").collect()
+      spark, sfDir).collect()
     assert(out.nonEmpty)
     out.foreach { r =>
       val avg = r.getAs[Double]("avg_nll")
@@ -132,7 +141,7 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("ivfpq: ranks are 1..10 per query and pq ordering is honored") {
     val out = graft.SparkEntry.queries("ann_ivfpq_topk")(
-      spark, "/root/testdata/sf0.001").collect()
+      spark, sfDir).collect()
     val byQ = out.groupBy(_.getAs[Long]("q_id"))
     assert(byQ.size == 5)
     byQ.values.foreach { rows =>
@@ -145,7 +154,7 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("substring spans: exact-copy pairs reach full coverage, bounds hold") {
     val out = graft.SparkEntry.queries("dedup_substring_spans")(
-      spark, "/root/testdata/sf0.001").collect()
+      spark, sfDir).collect()
     assert(out.nonEmpty)
     val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
     out.foreach { r =>
@@ -169,11 +178,11 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("histogram quantiles: estimate stays within one bin of the exact rank value") {
     val out = graft.SparkEntry.queries("sketch_histogram_quantiles")(
-      spark, "/root/testdata/sf0.001").collect()
+      spark, sfDir).collect()
     assert(out.map(_.getAs[Double]("p")).toSeq == Seq(0.5, 0.9, 0.99))
     // bin width = (hi-lo)/1000; est is the covering bin's center, and
     // the exact rank-k value lies inside that bin
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
       .selectExpr("min(value) AS lo", "max(value) AS hi").collect().head
     val binW = (ev.getAs[Double]("hi") - ev.getAs[Double]("lo")) / 1000.0
     out.foreach { r =>
@@ -184,7 +193,7 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("semantic dedup: cluster blocking recovers every exact copy pair") {
     val out = graft.SparkEntry.queries("dedup_semantic_kmeans")(
-      spark, "/root/testdata/sf0.001").collect()
+      spark, sfDir).collect()
     val pairs = out.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     // all %23 copies must be found (identical vectors share a cell)
     val expected = (0L until 500L).filter(_ % 23 == 0)
@@ -198,7 +207,7 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("bm25 ranks a doc made of query terms above everything") {
     // run the full query over testdata and check ranking invariants
-    val out = SparkEntryQueries.bm25(spark, "/root/testdata/sf0.001").collect()
+    val out = SparkEntryQueries.bm25(spark, sfDir).collect()
     assert(out.length == 20)
     val scores = out.map(_.getAs[Double]("score"))
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })

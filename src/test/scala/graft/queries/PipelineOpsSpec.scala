@@ -18,6 +18,15 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  /** Fixture root; cancels (not fails) the calling test when the
+    * driver-generated parquet isn't present on this machine.
+    */
+  private def sfDir: String = {
+    val d = graft.TestData.sf("sf0.01")
+    assume(graft.TestData.available(d), s"testdata missing at $d")
+    d
+  }
+
   private def cc(nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
     import spark.implicits._
     val n = nodes.toDF("doc_id")
@@ -36,7 +45,7 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // rate the query exists to expose), and at least one genuinely
     // new doc must pass clean (the filter isn't saturated).
     val rows = graft.SparkEntry.queries("dedup_bloom")(
-        spark, "/root/testdata/sf0.01")
+        spark, sfDir)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(rows.count(_._3 == 1L) >= 5, "no exact duplicates in the probe set")
