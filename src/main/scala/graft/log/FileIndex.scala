@@ -52,6 +52,22 @@ object FileIndex {
 
   private val sumsCache = TrieMap[String, FileSums]()
 
+  /** Footer read that classifies torn files. A parquet file without a
+    * parseable footer was never `close()`d (close = flush + fsync +
+    * footer write), so by the durability order — data file durable
+    * BEFORE the manifest commit that makes it visible — it cannot be
+    * part of any committed state: either a writer holding the stream
+    * lock is mid-write right now, or a writer died mid-write (the
+    * torn-file crash the reference's sim layer injects,
+    * sim/src/scenarios/smoke.rs:1-22). Readers treat it as invisible;
+    * recovery (StreamStore.sweepOrphans) deletes it. Failures are NOT
+    * cached: an in-flight file becomes valid once its writer finishes.
+    */
+  def tryStats(path: String): Option[FileStats] =
+    statsCache.get(path).orElse(
+      try Some(stats(path))
+      catch { case scala.util.control.NonFatal(_) => None })
+
   def stats(path: String): FileStats = statsCache.getOrElseUpdate(path, {
     val in = HadoopInputFile.fromPath(new Path(path), new Configuration())
     val reader = ParquetFileReader.open(in)
@@ -83,7 +99,7 @@ object FileIndex {
       val s = Files.list(d)
       try s.iterator().asScala
         .filter(_.toString.endsWith(".parquet"))
-        .map(p => stats(p.toString)).toSeq.sortBy(_.minSeq)
+        .flatMap(p => tryStats(p.toString)).toSeq.sortBy(_.minSeq)
       finally s.close()
     }
     try attempt()

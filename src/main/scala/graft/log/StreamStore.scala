@@ -126,11 +126,27 @@ final class StreamStore(val spark: SparkSession, val root: String) {
 
   private def sweepOrphans(basin: String, stream: String, tailSeq: Long): Unit = {
     if (!sweptStreams.add(basin + "\u0000" + stream)) return
-    val dir = Layout.dataDir(root, basin, stream)
-    if (!Files.exists(Paths.get(dir))) return
-    FileIndex.listStats(dir).foreach { st =>
-      if (st.minSeq >= tailSeq) Files.deleteIfExists(Paths.get(st.path))
-    }
+    val dir = Paths.get(Layout.dataDir(root, basin, stream))
+    if (!Files.exists(dir)) return
+    val listing = Files.list(dir)
+    try listing.iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).toSeq
+      .foreach { p =>
+        FileIndex.tryStats(p.toString) match {
+          // whole-file orphan: a writer died between its data-file
+          // write and its manifest commit, leaving a complete file
+          // starting at the committed tail
+          case Some(st) if st.minSeq >= tailSeq => Files.deleteIfExists(p)
+          // torn file: a writer died MID data-file write (no footer).
+          // We hold the stream lock and live writers write under it,
+          // so an unreadable footer here can only be a dead writer's
+          // partial file — by the durability order it was never part
+          // of committed state
+          case None => Files.deleteIfExists(p)
+          case _ => ()
+        }
+      }
+    finally listing.close()
   }
 
   def manifest(basin: String, stream: String): StreamManifest =
