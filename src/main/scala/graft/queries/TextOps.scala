@@ -315,6 +315,71 @@ object TextOps {
         |SELECT fp.doc_id, keep.keep_id FROM fp JOIN keep ON fp.f = keep.f
         |WHERE fp.doc_id <> keep.keep_id ORDER BY fp.doc_id""".stripMargin)),
 
+    // Line-level dedup (RefinedWeb/Gopher-style): cross-doc duplicated
+    // LINES are removed while the doc survives — the complement of
+    // doc-level (dedup_exact) and span-level (dedup_substring_spans)
+    // dedup. The corpus has no newlines, so a "line" is a
+    // deterministic 10-token segment; exact copies (+1M ids) share
+    // every line, near-dup suffix variants (+2M ids) share every line
+    // except their modified tail. Any line seen in >= 2 distinct docs
+    // is dropped from ALL of them; each doc's retained text is
+    // reassembled in line order and content-pinned by md5. Scale
+    // shape: one shuffle on the line (the dedup decision), one on
+    // doc_id (the reassembly) — line reassembly is a map-side
+    // collect_list+sort within the doc group, never a global window.
+    QueryDef("dedup_lines",
+      (s, d) => {
+        val lines = docsAug(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, CAST(ceil(size(w) / 10.0) AS INT) - 1), " +
+              "i -> struct(CAST(i AS BIGINT) AS idx, " +
+              "array_join(slice(w, i * 10 + 1, 10), ' ') AS line))")).as("ln"))
+          .select(col("doc_id"), col("ln.idx").as("idx"), col("ln.line").as("line"))
+        val dup = lines.groupBy("line")
+          .agg(countDistinct("doc_id").as("df"))
+          .where(col("df") >= 2)
+          .select(col("line"), lit(true).as("isdup"))
+        lines.join(dup, Seq("line"), "left")
+          .withColumn("isdup", coalesce(col("isdup"), lit(false)))
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).cast(LongType).as("n_lines"),
+            sum(when(col("isdup"), 1L).otherwise(0L)).cast(LongType)
+              .as("removed_lines"),
+            expr("array_join(transform(filter(" +
+              "array_sort(collect_list(struct(idx, line, isdup))), " +
+              "x -> NOT x.isdup), x -> x.line), ' ')").as("residual"))
+          .select(col("doc_id"), col("n_lines"), col("removed_lines"),
+            length(col("residual")).cast(LongType).as("residual_len"),
+            md5s(col("residual")).as("residual_md5"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $DocsAugCte,
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM docs_aug),
+        |lines AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS idx,
+        |    array_to_string(w[i * 10 + 1 : i * 10 + 10], ' ') AS line
+        |  FROM toks,
+        |    unnest(range(0, CAST(ceil(len(w) / 10.0) AS INT))) t(i)),
+        |dup AS (
+        |  SELECT line FROM lines GROUP BY line
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |flagged AS (
+        |  SELECT l.doc_id, l.idx, l.line, d.line IS NOT NULL AS isdup
+        |  FROM lines l LEFT JOIN dup d USING (line))
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CASE WHEN isdup THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS removed_lines,
+        |  CAST(length(COALESCE(
+        |    string_agg(line, ' ' ORDER BY idx) FILTER (WHERE NOT isdup),
+        |    '')) AS BIGINT) AS residual_len,
+        |  md5(COALESCE(
+        |    string_agg(line, ' ' ORDER BY idx) FILTER (WHERE NOT isdup),
+        |    '')) AS residual_md5
+        |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Normalized document fingerprint (whitespace-collapse + lowercase).
     QueryDef("text_fingerprint",
       (s, d) => docs(s, d)

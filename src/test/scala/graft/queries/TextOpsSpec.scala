@@ -17,6 +17,53 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  test("dedup_lines: copies fully removed, near-dups keep only their modified tail") {
+    val d = graft.TestData.sf("sf0.001")
+    assume(graft.TestData.available(d), s"testdata missing at $d")
+    val out = graft.SparkEntry.queries("dedup_lines")(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // every doc of the augmented corpus reports
+    assert(out.keySet.count(_ < 1000000) == 500)
+    // exact-copy pairs: every line exists in >= 2 docs on both sides
+    out.keys.filter(id => id < 1000000 && id % 17 == 0).foreach { id =>
+      val copy = out(id + 1000000)
+      val orig = out(id)
+      assert(orig.getAs[Long]("removed_lines") == orig.getAs[Long]("n_lines"),
+        s"doc $id: shared lines survived in the original")
+      assert(copy.getAs[Long]("residual_len") == 0L,
+        s"copy of $id kept text after line dedup")
+      // empty residual = md5 of the empty string in both engines
+      assert(copy.getAs[String]("residual_md5") ==
+        "d41d8cd98f00b204e9800998ecf8427e")
+    }
+    // near-dup (+suffix) docs: all full lines shared with the base doc
+    // are removed (at most the 1-2 suffix-shifted tail lines differ) —
+    val nearIds = out.keys.filter(_ >= 2000000).toSeq
+    nearIds.foreach { id =>
+      val r = out(id)
+      assert(r.getAs[Long]("removed_lines") >= r.getAs[Long]("n_lines") - 2,
+        s"near-dup $id kept a line it shares with its base doc")
+    }
+    // — and the modified tail normally survives. Exception, and a
+    // correct one: when the base length is a multiple of 10, the tail
+    // line is exactly the 3-token suffix, identical across all such
+    // near-dups, so it is itself cross-doc duplicated and removed.
+    val keptTail = nearIds.count(id => out(id).getAs[Long]("residual_len") > 0L)
+    assert(keptTail * 3 >= nearIds.size * 2,
+      s"only $keptTail/${nearIds.size} near-dups kept their modified tail")
+    // a doc not involved in any duplication keeps everything
+    val untouched = out.keys.filter(id => id < 1000000 &&
+      id % 17 != 0 && id % 13 != 0)
+    assert(untouched.nonEmpty)
+    // (the corpus deliberately repeats boilerplate spans across docs —
+    // the structure dedup_substring_spans exists for — so some
+    // uninvolved docs legitimately lose shared lines; the majority
+    // must still be fully retained)
+    val fullyKept = untouched.count(id => out(id).getAs[Long]("removed_lines") == 0L)
+    assert(fullyKept * 3 >= untouched.size * 2,
+      s"only $fullyKept/${untouched.size} uninvolved docs fully retained")
+  }
+
   test("band buckets above the cap are skipped; small buckets still pair") {
     import spark.implicits._
     // one degenerate bucket with 200 docs (boilerplate collision) and
