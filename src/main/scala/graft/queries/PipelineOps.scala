@@ -742,6 +742,114 @@ object PipelineOps {
         |      THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
         |      ELSE [array_to_string(w, ' ')] END AS g
         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
-        |ORDER BY doc_id""".stripMargin))
+        |ORDER BY doc_id""".stripMargin)),
+
+    // Model-based quality filter — fastText-style hashed-bigram linear
+    // classifier INFERENCE as a pure plan, trained inside the same
+    // plan from a deterministic labeled split (no external model
+    // file). Fixtures: every doc gets a spam-degraded twin (+3M id)
+    // with a 12-token spam tail — the labeled quality strata.
+    // Features: token bigrams hashed to 2^16 buckets by md5 (the
+    // hashing trick — the weight table is bounded at ANY corpus
+    // size). Training: multinomial-NB log-odds with add-1 smoothing
+    // over the even base ids, frozen to fixed-point micros (the
+    // text_perplexity idiom) so the weights are integers both engines
+    // agree on bit-for-bit. Inference: each held-out doc (odd base
+    // ids) scores as one exact BIGINT dot product; keep =
+    // sigmoid(score) > 1/2, which is score > 0 since sigmoid is
+    // monotone — the decision needs no cross-engine exp(). Scale
+    // shape: the weight table is <= 65536 rows regardless of corpus
+    // size (broadcasts forever), training is one groupBy(h) with
+    // map-side combine, scoring one narrow per-doc aggregation.
+    // QualityModelSpec shows the learned scores separate the strata
+    // PERFECTLY on held-out docs while text_quality's stop_ratio
+    // cannot (the spam tail barely moves it).
+    QueryDef("text_quality_model",
+      (s, d) => {
+        val spam = "click here buy now free winner subscribe today " +
+          "limited offer unsubscribe instantly"
+        val base = docs(s, d).select(col("doc_id"), col("text"))
+        val corpus = base.withColumn("label", lit(1))
+          .unionByName(base
+            .select((col("doc_id") + 3000000L).as("doc_id"),
+              concat(col("text"), lit(" " + spam)).as("text"))
+            .withColumn("label", lit(0)))
+        val grams = corpus
+          .withColumn("is_train", (col("doc_id") % 3000000L) % 2 === 0)
+          .select(col("doc_id"), col("label"), col("is_train"),
+            split(col("text"), " ").as("w"))
+          .select(col("doc_id"), col("label"), col("is_train"), explode(expr(
+            "transform(sequence(1, size(w) - 1), " +
+              "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+            .as("bg"))
+          .withColumn("h", conv(substring(md5s(col("bg")), 1, 8), 16, 10)
+            .cast(LongType) % 65536L)
+          // three consumers (totals, weights, scoring): materialize the
+          // tokenize+hash work once instead of re-deriving it per job
+          .localCheckpoint()
+        val train = grams.where(col("is_train"))
+        val totals = train.agg(
+          sum(when(col("label") === 1, 1L).otherwise(0L)).cast(LongType).as("npos"),
+          sum(when(col("label") === 0, 1L).otherwise(0L)).cast(LongType).as("nneg"))
+        val weights = train.groupBy("h").agg(
+            sum(when(col("label") === 1, 1L).otherwise(0L)).as("cpos"),
+            sum(when(col("label") === 0, 1L).otherwise(0L)).as("cneg"))
+          .crossJoin(broadcast(totals))
+          .withColumn("w_micros", expr(
+            "CAST(floor((ln((cpos + 1.0) / (npos + 65536.0)) - " +
+              "ln((cneg + 1.0) / (nneg + 65536.0))) * 1000000 + 0.5) AS BIGINT)"))
+          .select("h", "w_micros")
+        grams.where(!col("is_train"))
+          .join(weights, Seq("h"), "left")
+          .crossJoin(broadcast(totals))
+          // unseen bucket = the same smoothed log-odds at count 0
+          .withColumn("wm", coalesce(col("w_micros"), expr(
+            "CAST(floor((ln(1.0 / (npos + 65536.0)) - " +
+              "ln(1.0 / (nneg + 65536.0))) * 1000000 + 0.5) AS BIGINT)")))
+          .groupBy("doc_id", "label").agg(
+            count(lit(1)).cast(LongType).as("n_bigrams"),
+            sum(col("wm")).cast(LongType).as("score_micros"))
+          .withColumn("keep", col("score_micros") > 0L)
+          .select("doc_id", "label", "n_bigrams", "score_micros", "keep")
+          .orderBy("doc_id")
+      },
+      Some("""WITH corpus AS (
+        |  SELECT doc_id, text, 1 AS label FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 3000000,
+        |    text || ' click here buy now free winner subscribe today limited offer unsubscribe instantly',
+        |    0
+        |  FROM documents),
+        |sp AS (
+        |  SELECT doc_id, label, (doc_id % 3000000) % 2 = 0 AS is_train,
+        |    string_split(text, ' ') AS w
+        |  FROM corpus),
+        |grams AS (
+        |  SELECT doc_id, label, is_train,
+        |    CAST(('0x' || substr(md5(w[i] || ' ' || w[i + 1]), 1, 8))::UBIGINT
+        |      % 65536 AS BIGINT) AS h
+        |  FROM sp, unnest(range(1, len(w))) t(i)),
+        |tot AS (
+        |  SELECT CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS npos,
+        |    CAST(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nneg
+        |  FROM grams WHERE is_train),
+        |wt AS (
+        |  SELECT h,
+        |    CAST(floor((ln((sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) + 1.0)
+        |          / (npos + 65536.0)) -
+        |        ln((sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) + 1.0)
+        |          / (nneg + 65536.0))) * 1000000 + 0.5) AS BIGINT) AS w_micros
+        |  FROM grams, tot WHERE is_train GROUP BY h, npos, nneg),
+        |sc AS (
+        |  SELECT g.doc_id, g.label,
+        |    CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(COALESCE(w.w_micros,
+        |      CAST(floor((ln(1.0 / (t.npos + 65536.0)) -
+        |        ln(1.0 / (t.nneg + 65536.0))) * 1000000 + 0.5) AS BIGINT)))
+        |      AS BIGINT) AS score_micros
+        |  FROM grams g LEFT JOIN wt w USING (h), tot t
+        |  WHERE NOT g.is_train GROUP BY 1, 2)
+        |SELECT doc_id, label, n_bigrams, score_micros, score_micros > 0 AS keep
+        |FROM sc ORDER BY doc_id""".stripMargin))
   )
 }
