@@ -84,8 +84,8 @@ object AnalyticsOps {
 
   // ---- k-means -------------------------------------------------------------
 
-  private val KmK = 8      // clusters; init = vectors 0..7
-  private val KmScale = 1000 // fixed-point quantization of coordinates
+  private[queries] val KmK = 8      // clusters; init = vectors 0..7
+  private[queries] val KmScale = 1000 // fixed-point quantization of coordinates
 
   /** Squared L2 between quantized vector `qv` and centroid
     * (`sums`/`cnt`) as one sequential double fold — same element
@@ -98,7 +98,7 @@ object AnalyticsOps {
                - CAST(element_at(sums, j) AS DOUBLE) / CAST(cnt AS DOUBLE))
            * (CAST(element_at(qv, j) AS DOUBLE)
                - CAST(element_at(sums, j) AS DOUBLE) / CAST(cnt AS DOUBLE)))"""
-  private def kmDistDuck(q: String, sums: String, cnt: String): String =
+  private[queries] def kmDistDuck(q: String, sums: String, cnt: String): String =
     s"""list_reduce(list_transform(range(1, 65),
         j -> (CAST($q[j] AS DOUBLE) - CAST($sums[j] AS DOUBLE) / CAST($cnt AS DOUBLE))
            * (CAST($q[j] AS DOUBLE) - CAST($sums[j] AS DOUBLE) / CAST($cnt AS DOUBLE))),
@@ -143,11 +143,13 @@ object AnalyticsOps {
         expr("transform(array_sort(collect_list(struct(j, s))), t -> t.s)").as("sums"),
         max("nv").cast(LongType).as("cnt"))
 
-  /** The Lloyd loop alone: final (vec_id, cluster, dist) after
-    * `iters` centroid updates. Shared by cluster_kmeans and the
-    * SemDeDup-style blocking in dedup_semantic_kmeans.
+  /** Every vector's distance rank against the FINAL learned centroids
+    * after `iters` Lloyd rounds: (vec_id, qv, cluster, dist, arn)
+    * where arn = 1 is the own cell. ann_ivf_kmeans probes arn <=
+    * nprobe — IVF with a learned coarse quantizer instead of
+    * deterministic picks.
     */
-  private[graft] def kmeansAssignments(embDf: DataFrame, k: Int, iters: Int): DataFrame = {
+  private[queries] def kmeansCellRanks(embDf: DataFrame, k: Int, iters: Int): DataFrame = {
     val qv = embDf.select(col("vec_id"), expr(
       s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $KmScale + 0.5) AS BIGINT))")
       .as("qv"))
@@ -156,8 +158,22 @@ object AnalyticsOps {
         col("qv").as("sums"), lit(1L).as("cnt"))
     var a = kmAssign(qv, cents0)
     for (_ <- 1 until iters) a = kmAssign(qv, kmUpdate(a))
-    kmAssign(qv, kmUpdate(a))
+    val cents = kmUpdate(a)
+    val w = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cluster"))
+    qv.crossJoin(broadcast(cents))
+      .withColumn("dist", expr(kmDistSpark))
+      .withColumn("arn", row_number().over(w))
+      .select("vec_id", "qv", "cluster", "dist", "arn")
   }
+
+  /** The Lloyd loop alone: final (vec_id, cluster, dist) after
+    * `iters` centroid updates. Shared by cluster_kmeans and the
+    * SemDeDup-style blocking in dedup_semantic_kmeans.
+    */
+  private[graft] def kmeansAssignments(embDf: DataFrame, k: Int, iters: Int): DataFrame =
+    kmeansCellRanks(embDf, k, iters)
+      .where(col("arn") === 1)
+      .select("vec_id", "qv", "cluster", "dist")
 
   private[graft] def kmeansRun(embDf: DataFrame, k: Int, iters: Int): DataFrame = {
     val fin = kmeansAssignments(embDf, k, iters)
@@ -224,7 +240,7 @@ object AnalyticsOps {
   }
 
   /** DuckDB mirror of one assignment step over CTE `cents`. */
-  private def kmAssignDuck(cents: String, name: String): String = {
+  private[queries] def kmAssignDuck(cents: String, name: String): String = {
     val dst = kmDistDuck("v.qv", "c.sums", "c.cnt")
     s"""$name AS (
        |  SELECT vec_id, qv, cluster, dist FROM (
@@ -233,13 +249,39 @@ object AnalyticsOps {
        |        ORDER BY $dst ASC, c.cluster) AS rn
        |    FROM qv v, $cents c) WHERE rn = 1)""".stripMargin
   }
-  private def kmUpdateDuck(assignCte: String, name: String): String =
+  private[queries] def kmUpdateDuck(assignCte: String, name: String): String =
     s"""$name AS (
        |  SELECT cluster, list(s ORDER BY j) AS sums, CAST(max(nv) AS BIGINT) AS cnt
        |  FROM (
        |    SELECT a.cluster, t.j, CAST(sum(a.qv[t.j]) AS BIGINT) AS s, count(*) AS nv
        |    FROM $assignCte a, (SELECT unnest(range(1, 65)) AS j) t
        |    GROUP BY 1, 2) GROUP BY cluster)""".stripMargin
+
+  /** DuckDB CTE chain mirroring kmeansCellRanks over `embeddings`:
+    * the k=KmK / 2-round Lloyd loop (identical to cluster_kmeans's
+    * oracle) ending in `cents2`, plus `ranked_cells`
+    * (vec_id, cluster, arn) — every vector's distance rank against
+    * the final learned centroids.
+    */
+  private[queries] def kmeansCellRanksDuck: String = {
+    val dst = kmDistDuck("v.qv", "c.sums", "c.cnt")
+    s"""qv AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * $KmScale + 0.5) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |cents0 AS (
+       |  SELECT CAST(vec_id AS INT) AS cluster, qv AS sums, CAST(1 AS BIGINT) AS cnt
+       |  FROM qv WHERE vec_id < $KmK),
+       |${kmAssignDuck("cents0", "a1")},
+       |${kmUpdateDuck("a1", "cents1")},
+       |${kmAssignDuck("cents1", "a2")},
+       |${kmUpdateDuck("a2", "cents2")},
+       |ranked_cells AS (
+       |  SELECT v.vec_id, c.cluster,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY $dst ASC, c.cluster) AS arn
+       |  FROM qv v, cents2 c)""".stripMargin
+  }
 
   def defs: Seq[QueryDef] = Seq(
 

@@ -306,6 +306,95 @@ object VectorOps {
         |FROM multi m JOIN recall r ON m.q_id = r.q_id
         |ORDER BY m.q_id, m.rank""".stripMargin)),
 
+    // IVF with LEARNED centroids — the production coarse quantizer:
+    // ann_ivf_topk/multiprobe pick centroids by vec_id % 100 (cheap
+    // but arbitrary Voronoi geometry); here the cells are the k-means
+    // centroids cluster_kmeans already learns (k=8, 2 Lloyd rounds,
+    // shared fixed-point quantization so the oracle replays the
+    // training bit-for-bit). The corpus embeddings are unit-norm, so
+    // the L2 cell geometry matches the cosine ranking metric. Each
+    // query probes its nprobe=2 nearest learned cells and recall@10
+    // vs the corpus-wide brute-force top-10 rides along in-query —
+    // AnnSpec pins that learned cells beat the deterministic picks on
+    // the same probe budget (0.88 vs 0.70 mean recall at sf0.001).
+    // Scale: training cost is cluster_kmeans's (broadcast assignment,
+    // k x 64-cell map-side-combined update); per-query probe cost is
+    // bounded by nprobe/k of the corpus, same as ann_ivf_multiprobe.
+    QueryDef("ann_ivf_kmeans",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val all = emb(s, d).select(col("vec_id"), col("embedding"))
+        val cellRanks = AnalyticsOps.kmeansCellRanks(all, AnalyticsOps.KmK, 2)
+          .select("vec_id", "cluster", "arn")
+        val assigned = cellRanks.where(col("arn") === 1)
+          .join(all, "vec_id")
+          .select(col("vec_id").as("n_id"), col("embedding").as("ve"),
+            col("cluster").as("cell"))
+        val probes = cellRanks.where(col("vec_id") < 5 && col("arn") <= 2)
+          .join(all.where(col("vec_id") < 5), "vec_id")
+          .select(col("vec_id").as("q_id"), col("embedding").as("vq"),
+            col("cluster").as("cell"))
+        val wRank = Window.partitionBy("q_id")
+          .orderBy(col("score").desc, col("n_id"))
+        val multi = assigned.join(broadcast(probes), "cell")
+          .where(col("n_id") =!= col("q_id"))
+          .withColumn("score", round(cosine("vq", "ve"), 6))
+          .withColumn("rank", row_number().over(wRank).cast(LongType))
+          .where(col("rank") <= 10)
+          .select("q_id", "n_id", "score", "rank")
+        val q = emb(s, d).where(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("vq"))
+        val brute = all.select(col("vec_id").as("n_id"), col("embedding").as("ve"))
+          .crossJoin(broadcast(q))
+          .where(col("n_id") =!= col("q_id"))
+          .withColumn("score", round(cosine("vq", "ve"), 6))
+          .withColumn("brank", row_number().over(wRank))
+          .where(col("brank") <= 10)
+          .select(col("q_id"), col("n_id"))
+        val recall = multi.join(brute, Seq("q_id", "n_id"), "left_semi")
+          .groupBy("q_id").agg(count(lit(1)).as("hits"))
+        multi.join(broadcast(recall), "q_id")
+          .withColumn("recall10", col("hits").cast(DoubleType) / 10.0)
+          .select("q_id", "n_id", "score", "rank", "recall10")
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH ${AnalyticsOps.kmeansCellRanksDuck},
+        |assigned AS (
+        |  SELECT r.vec_id AS n_id, e.embedding AS ve, r.cluster AS cell
+        |  FROM ranked_cells r JOIN embeddings e ON e.vec_id = r.vec_id
+        |  WHERE r.arn = 1),
+        |probes AS (
+        |  SELECT r.vec_id AS q_id, e.embedding AS vq, r.cluster AS cell
+        |  FROM ranked_cells r JOIN embeddings e ON e.vec_id = r.vec_id
+        |  WHERE r.vec_id < 5 AND r.arn <= 2),
+        |multi AS (
+        |  SELECT q_id, n_id, score,
+        |    CAST(row_number() OVER (PARTITION BY q_id
+        |      ORDER BY score DESC, n_id) AS BIGINT) AS rank
+        |  FROM (
+        |    SELECT p.q_id, a.n_id,
+        |      round(${duckCosine("p.vq", "a.ve")}, 6) AS score
+        |    FROM assigned a JOIN probes p ON a.cell = p.cell
+        |    WHERE a.n_id <> p.q_id)
+        |  QUALIFY rank <= 10),
+        |brute AS (
+        |  SELECT q_id, n_id FROM (
+        |    SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        round(${duckCosine("q.embedding", "n.embedding")}, 6) DESC,
+        |        n.vec_id) AS brank
+        |    FROM embeddings q, embeddings n
+        |    WHERE q.vec_id < 5 AND n.vec_id <> q.vec_id)
+        |  WHERE brank <= 10),
+        |recall AS (
+        |  SELECT m.q_id, count(*) AS hits FROM multi m
+        |  JOIN brute b ON m.q_id = b.q_id AND m.n_id = b.n_id
+        |  GROUP BY m.q_id)
+        |SELECT m.q_id, m.n_id, m.score, m.rank,
+        |  CAST(r.hits AS DOUBLE) / 10.0 AS recall10
+        |FROM multi m JOIN recall r ON m.q_id = r.q_id
+        |ORDER BY m.q_id, m.rank""".stripMargin)),
+
     // Product-quantized ANN — the memory-compression end of the ANN
     // ladder (brute -> IVF -> multiprobe -> int8 -> PQ): 64 dims split
     // into 8 subspaces of 8; each subvector is encoded as the id of

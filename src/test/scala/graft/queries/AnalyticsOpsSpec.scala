@@ -152,6 +152,25 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ivf with learned centroids beats deterministic picks at equal probe budget") {
+    def recallByQ(name: String): Map[Long, Double] =
+      graft.SparkEntry.queries(name)(spark, sfDir).collect()
+        .map(r => r.getAs[Long]("q_id") -> r.getAs[Double]("recall10")).toMap
+    val km = recallByQ("ann_ivf_kmeans")
+    val mp = recallByQ("ann_ivf_multiprobe")
+    assert(km.keySet == mp.keySet && km.size == 5)
+    // learned Voronoi geometry wins on the SAME nprobe=2 budget:
+    // strictly better in aggregate, and its worst query never falls
+    // below the deterministic variant's worst (the recall cliff the
+    // learned quantizer exists to avoid)
+    val (kmMean, mpMean) = (km.values.sum / km.size, mp.values.sum / mp.size)
+    assert(kmMean > mpMean,
+      s"learned cells mean recall $kmMean <= deterministic $mpMean")
+    assert(km.values.min >= mp.values.min,
+      s"learned cells worst-case ${km.values.min} < deterministic ${mp.values.min}")
+    assert(km.values.min >= 0.5, "learned cells hit a recall cliff")
+  }
+
   test("substring spans: exact-copy pairs reach full coverage, bounds hold") {
     val out = graft.SparkEntry.queries("dedup_substring_spans")(
       spark, sfDir).collect()
