@@ -148,6 +148,98 @@ object PipelineOps {
       .drop("bucket", "base", "local_prefix")
   }
 
+  // ---- BPE-ish subword tokenizer ------------------------------------------
+
+  /** Fixed 256-merge subword vocabulary — the shipped tokenizer
+    * artifact every real pipeline carries (a trained merge table is a
+    * static file, not something re-learned per query): 102 bigrams +
+    * 90 trigrams + 64 quadgrams of common English character n-grams.
+    * Tokenization is greedy longest-match (4 -> 3 -> 2 -> single
+    * char), WordPiece style, as one bounded fold expression mirrored
+    * verbatim in DuckDB.
+    */
+  private val BpeBi = Seq(
+    "th", "he", "in", "er", "an", "re", "on", "at", "en", "nd", "ti", "es",
+    "or", "te", "of", "ed", "is", "it", "al", "ar", "st", "to", "nt", "ng",
+    "se", "ha", "as", "ou", "io", "le", "ve", "co", "me", "de", "hi", "ri",
+    "ro", "ic", "ne", "ea", "ra", "ce", "li", "ch", "ll", "be", "ma", "si",
+    "om", "ur", "ca", "el", "ta", "la", "ns", "di", "fo", "ho", "pe", "ec",
+    "pr", "no", "ct", "us", "ac", "ot", "il", "tr", "ly", "nc", "et", "ut",
+    "ss", "so", "rs", "un", "lo", "wa", "ge", "ie", "wh", "ee", "wi", "em",
+    "ad", "ol", "rt", "po", "we", "na", "ul", "ni", "ts", "mo", "ow", "pa",
+    "im", "mi", "ai", "sh", "ir", "su")
+  private val BpeTri = Seq(
+    "the", "and", "ing", "ion", "tio", "ent", "ati", "for", "her", "ter",
+    "hat", "tha", "ere", "ate", "his", "con", "res", "ver", "all", "ons",
+    "nce", "men", "ith", "ted", "ers", "pro", "thi", "wit", "are", "ess",
+    "not", "ive", "was", "ect", "rea", "com", "eve", "per", "int", "est",
+    "sta", "cti", "ica", "ist", "ear", "ain", "one", "our", "iti", "rat",
+    "ell", "ant", "str", "tur", "ble", "der", "ous", "rou", "ght", "min",
+    "ort", "ran", "orm", "ine", "you", "pre", "age", "tem", "tin", "man",
+    "som", "oth", "ses", "ind", "eme", "ill", "rec", "tab", "que", "sor",
+    "col", "row", "bat", "win", "dow", "cus", "ust", "tch", "rge", "eam")
+  private val BpeQuad = Seq(
+    "tion", "atio", "that", "ther", "with", "ment", "ions", "this", "here",
+    "from", "ould", "ting", "hich", "whic", "ctio", "ence", "have", "othe",
+    "ight", "sion", "ever", "ical", "they", "inte", "ough", "ance", "were",
+    "tive", "over", "ding", "pres", "nter", "comp", "able", "heir", "thei",
+    "ally", "ated", "ring", "ture", "cont", "ents", "sort", "merg", "uery",
+    "wind", "indo", "ndow", "tabl", "filt", "ilte", "ream", "trea", "atch",
+    "umns", "olum", "lumn", "ards", "cust", "usto", "stom", "omer", "quer",
+    "rder")
+  require(BpeBi.size + BpeTri.size + BpeQuad.size == 256 &&
+    (BpeBi ++ BpeTri ++ BpeQuad).distinct.size == 256,
+    "BPE vocab must be exactly 256 distinct merges")
+
+  private def bpeIn(xs: Seq[String]): String =
+    xs.map("'" + _ + "'").mkString(", ")
+
+  /** Longest-match step length at position `pos` of word `w` —
+    * identical SQL in both engines. */
+  private def bpeStep(w: String, pos: String): String =
+    s"""CASE WHEN substr($w, $pos, 4) IN (${bpeIn(BpeQuad)}) THEN 4
+        WHEN substr($w, $pos, 3) IN (${bpeIn(BpeTri)}) THEN 3
+        WHEN substr($w, $pos, 2) IN (${bpeIn(BpeBi)}) THEN 2
+        ELSE 1 END"""
+
+  /** Spark: subword count of column `w` via a bounded fold (every
+    * corpus word is <= 32 chars; each step consumes >= 1 char). */
+  private def bpeCountSpark: String =
+    s"""aggregate(sequence(1, 32),
+        named_struct('pos', 1, 'cnt', CAST(0 AS INT)),
+        (st, i) -> IF(st.pos > length(w), st,
+          named_struct('pos', st.pos + ${bpeStep("w", "st.pos")},
+                       'cnt', st.cnt + 1)),
+        st -> st.cnt)"""
+
+  /** DuckDB mirror: list_reduce has no explicit init, so the init
+    * state [pos=1, cnt=0] is prepended to 32 dummy elements. */
+  private def bpeCountDuck: String =
+    s"""list_reduce(
+        list_concat([[CAST(1 AS BIGINT), CAST(0 AS BIGINT)]],
+          list_transform(range(1, 33),
+            x -> [CAST(0 AS BIGINT), CAST(0 AS BIGINT)])),
+        (acc, v) -> CASE WHEN acc[1] > length(w) THEN acc
+          ELSE [acc[1] + ${bpeStep("w", "acc[1]")}, acc[2] + 1] END)[2]"""
+
+  /** Scala replica of the greedy matcher, for spec cross-validation
+    * of the SQL fold (PipelineOpsSpec). */
+  private[graft] def bpeTokenize(word: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var pos = 0
+    while (pos < word.length) {
+      val rest = word.length - pos
+      val m =
+        if (rest >= 4 && BpeQuad.contains(word.substring(pos, pos + 4))) 4
+        else if (rest >= 3 && BpeTri.contains(word.substring(pos, pos + 3))) 3
+        else if (rest >= 2 && BpeBi.contains(word.substring(pos, pos + 2))) 2
+        else 1
+      out += word.substring(pos, pos + m)
+      pos += m
+    }
+    out.toSeq
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // Near-duplicate clusters: minhash-LSH candidate pairs verified at
@@ -426,6 +518,64 @@ object PipelineOps {
         |                    CAST(len(string_split(text, ' ')) AS BIGINT)
         |                      AS n_tokens
         |                  FROM documents)))
+        |ORDER BY doc_id, pack_id""".stripMargin)),
+
+    // Tokenizer-faithful packing: pack_sequences* budgets WHITESPACE
+    // tokens, but a trainer consumes TOKENIZER tokens — whitespace
+    // counts under-fill every context window by the subword expansion
+    // factor (~2.5x on this corpus). Same split-span packing as
+    // pack_sequences_split, but budgeted on the greedy longest-match
+    // subword counts from the fixed 256-merge vocab above, so
+    // (pack_id, tok_start, tok_end) are exact offsets in TOKENIZER
+    // units — directly usable as a training manifest. Scale shape:
+    // tokenization runs once per DISTINCT word (the vocab table, tiny
+    // vs the corpus) and broadcasts back; the corpus side is one
+    // narrow explode + per-doc sum, then the shared bounded-window
+    // two-level prefix sum. The per-word fold is a pure expression —
+    // whole-stage-codegen'd, no UDF.
+    QueryDef("pack_sequences_bpe",
+      (s, d) => {
+        val words = docs(s, d).select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("w"))
+        val wl = words.select("w").distinct()
+          .withColumn("n_sub", expr(bpeCountSpark).cast(LongType))
+        val perDoc = words.join(broadcast(wl), "w")
+          .groupBy("doc_id", "lang")
+          .agg(sum("n_sub").cast(LongType).as("n_tokens"))
+        withStartTok(perDoc)
+          .withColumn("p0", (col("start_tok") / 2048L).cast(LongType))
+          .withColumn("p1",
+            ((col("start_tok") + col("n_tokens") - 1L) / 2048L).cast(LongType))
+          .withColumn("pack_id", explode(sequence(col("p0"), col("p1"))))
+          .select(col("doc_id"), col("lang"),
+            col("n_tokens").as("n_bpe_tokens"), col("pack_id"),
+            greatest(col("pack_id") * 2048L - col("start_tok"), lit(0L))
+              .as("tok_start"),
+            least((col("pack_id") + 1L) * 2048L - col("start_tok"),
+              col("n_tokens")).as("tok_end"))
+          .orderBy("doc_id", "pack_id")
+      },
+      Some(s"""WITH words AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |wl AS (SELECT DISTINCT w FROM words),
+        |bpe AS (SELECT w, CAST($bpeCountDuck AS BIGINT) AS n_sub FROM wl),
+        |per_doc AS (
+        |  SELECT doc_id, lang, CAST(sum(n_sub) AS BIGINT) AS n_tokens
+        |  FROM words JOIN bpe USING (w) GROUP BY 1, 2),
+        |pref AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS start_tok
+        |  FROM per_doc)
+        |SELECT doc_id, lang, n_tokens AS n_bpe_tokens, pack_id,
+        |  CAST(GREATEST(pack_id * 2048 - start_tok, 0) AS BIGINT) AS tok_start,
+        |  CAST(LEAST((pack_id + 1) * 2048 - start_tok, n_tokens) AS BIGINT)
+        |    AS tok_end
+        |FROM (SELECT *, unnest(generate_series(CAST(start_tok // 2048 AS BIGINT),
+        |    CAST((start_tok + n_tokens - 1) // 2048 AS BIGINT))) AS pack_id
+        |  FROM pref)
         |ORDER BY doc_id, pack_id""".stripMargin)),
 
     // End-to-end training-data recipe as ONE declarative plan:

@@ -93,4 +93,46 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq((0L, 1L), (1L, 2L), (10L, 11L), (11L, 12L), (2L, 11L)))
     assert(labels.values.toSet == Set(0L))
   }
+
+  test("pack_sequences_bpe: SQL fold == greedy matcher, spans tile in BPE units") {
+    val d = graft.TestData.sf("sf0.001")
+    assume(graft.TestData.available(d), s"testdata missing at $d")
+    // spot-pin the greedy matcher itself on known words first
+    assert(PipelineOps.bpeTokenize("the") == Seq("the"))
+    assert(PipelineOps.bpeTokenize("customer") == Seq("cust", "omer"))
+    assert(PipelineOps.bpeTokenize("window") == Seq("wind", "ow"))
+    assert(PipelineOps.bpeTokenize("batch") == Seq("bat", "ch"))
+    val rows = graft.SparkEntry.queries("pack_sequences_bpe")(spark, d).collect()
+    // expected per-doc subword totals from the Scala replica
+    val expected = spark.read.parquet(s"$d/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").split(" ")
+          .map(w => PipelineOps.bpeTokenize(w).size.toLong).sum)
+      .toMap
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.keySet == expected.keySet)
+    byDoc.foreach { case (id, spans) =>
+      val n = spans.head.getAs[Long]("n_bpe_tokens")
+      assert(n == expected(id), s"doc $id: SQL fold $n != replica ${expected(id)}")
+      // spans tile [0, n) with no gap or overlap, in pack order
+      val ordered = spans.sortBy(_.getAs[Long]("pack_id"))
+      assert(ordered.head.getAs[Long]("tok_start") == 0L)
+      assert(ordered.last.getAs[Long]("tok_end") == n)
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("tok_end") == b.getAs[Long]("tok_start"),
+            s"doc $id: span gap/overlap at pack ${b.getAs[Long]("pack_id")}")
+          assert(a.getAs[Long]("pack_id") + 1 == b.getAs[Long]("pack_id"))
+        case _ =>
+      }
+    }
+    // the whole point: subword counts expand whitespace counts (~2.5x)
+    val nWs = spark.read.parquet(s"$d/documents.parquet")
+      .selectExpr("CAST(sum(size(split(text, ' '))) AS BIGINT)")
+      .collect().head.getLong(0)
+    val nBpe = expected.values.sum
+    assert(nBpe > nWs * 2 && nBpe < nWs * 3,
+      s"subword expansion ${nBpe.toDouble / nWs} outside the expected band")
+  }
 }
