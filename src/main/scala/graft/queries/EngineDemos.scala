@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.log.{StreamStore, RecordCipher, LocationInfo}
+import graft.log.{StreamStore, RecordCipher, LocationInfo, Layout}
 import graft.model._
 
 /** Deterministic engine-semantics checks exposed as oracle queries.
@@ -554,6 +554,90 @@ object EngineDemos {
         "exact_dup_dropped" ->
           (second.count(_ == "papa q r s t") == 1 &&
             second.count(_ == "alpha one two three four") == 1).toString)
+    }},
+
+    // Follow-during-compaction: a streaming follower keeps running
+    // while compact() PHYSICALLY rewrites the stream it reads (trim
+    // mask -> range-partitioned rewrite -> directory swap -> manifest
+    // CAS). The visibility-mask + FileIndex design claims this is
+    // safe; this demo exercises it end-to-end: the follower consumes
+    // a prefix, the stream is then trimmed and compacted WHILE the
+    // query object is live, new appends land in the compacted layout,
+    // and the follower must deliver exactly the new records — no
+    // duplicates from rewritten files (new paths re-list, but offsets
+    // are seq-based), no gaps. A checkpoint restart then plans purely
+    // over the compacted files, and a FRESH follower from seq 0
+    // clamps its start at the trim point (trimmed records are gone,
+    // not redelivered). The physical-reclaim check reads the data dir
+    // directly: min(seq_num) on disk equals the trim point — mask
+    // made physical, not just filtered.
+    demo("e2e_stream_during_compact", Seq(
+      "first_run" -> "r0,r1,r2,r3",
+      "after_compact_new" -> "r4,r5,r6",
+      "restart_in_compacted_layout" -> "r7",
+      "delivered_exactly_once" -> "true",
+      "fresh_follower_skips_trimmed" -> "r2,r3,r4,r5,r6,r7",
+      "physically_reclaimed" -> "true")) { (sp, st) => withDemoPartitions(sp) {
+      st.catalog.createStream("demo-basin1", "cp")
+      val dataDir = Layout.dataDir(st.root, "demo-basin1", "cp")
+      def appendRecs(names: Seq[String], ts: Long): Unit =
+        st.append("demo-basin1", "cp",
+          AppendInput(names.map(rec)), Some(ts)).fold(
+          e => throw new IllegalStateException(e.toString), identity)
+      def follower(sink: String, ckpt: String) =
+        sp.readStream.format("graft-stream")
+          .option("root", st.root).option("basin", "demo-basin1")
+          .option("stream", "cp").load()
+          // R10: command records (single empty-name header) are
+          // control-plane, not data
+          .where("NOT (size(headers) = 1 AND octet_length(headers[0].name) = 0)")
+          .selectExpr("CAST(body AS STRING) AS body")
+          .writeStream.format("parquet")
+          .option("path", s"${st.root}/$sink")
+          .option("checkpointLocation", s"${st.root}/$ckpt")
+          .outputMode("append").start()
+      def sinkBodies(sink: String): Seq[String] =
+        sp.read.parquet(s"${st.root}/$sink").select("body")
+          .collect().map(_.getString(0)).toSeq.sorted
+
+      appendRecs(Seq("r0", "r1", "r2", "r3"), 1000) // seqs 0..3
+      val q = follower("_cpsink", "_cpckpt")
+      val first = try {
+        q.processAllAvailable()
+        val f = sinkBodies("_cpsink")
+        // the follower query object stays LIVE across all of this:
+        st.append("demo-basin1", "cp",
+          AppendInput(Seq(TrimCommand(2L))), Some(1500)) // seq 4
+        appendRecs(Seq("r4", "r5"), 2000)                // seqs 5, 6
+        st.compact("demo-basin1", "cp")                  // physical rewrite
+        appendRecs(Seq("r6"), 3000)                      // seq 7, new layout
+        q.processAllAvailable()
+        f
+      } finally q.stop()
+      val afterCompact = sinkBodies("_cpsink")
+      // physical reclaim: the files themselves no longer hold seqs < 2
+      val minOnDisk = sp.read.parquet(dataDir)
+        .selectExpr("min(seq_num)").collect().head.getLong(0)
+      // restart from the checkpoint, now planning over compacted files
+      appendRecs(Seq("r7"), 4000) // seq 8
+      val q2 = follower("_cpsink", "_cpckpt")
+      try q2.processAllAvailable() finally q2.stop()
+      val afterRestart = sinkBodies("_cpsink")
+      // a brand-new follower resolves its start AT the trim point
+      val q3 = follower("_cpsink2", "_cpckpt2")
+      try q3.processAllAvailable() finally q3.stop()
+      val fresh = sinkBodies("_cpsink2")
+      Seq(
+        "first_run" -> first.mkString(","),
+        "after_compact_new" ->
+          (afterCompact.toSet -- first.toSet).toSeq.sorted.mkString(","),
+        "restart_in_compacted_layout" ->
+          (afterRestart.toSet -- afterCompact.toSet).toSeq.sorted.mkString(","),
+        "delivered_exactly_once" ->
+          (afterRestart.size == afterRestart.distinct.size &&
+            afterRestart.size == 8).toString,
+        "fresh_follower_skips_trimmed" -> fresh.mkString(","),
+        "physically_reclaimed" -> (minOnDisk == 2L).toString)
     }},
 
     // Streaming watermarked windowed aggregation: 10-second tumbling
