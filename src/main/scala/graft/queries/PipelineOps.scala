@@ -240,7 +240,114 @@ object PipelineOps {
     out.toSeq
   }
 
+  // ---- distributed BPE merge learning --------------------------------------
+
+  /** BPE merge-table LEARNING (Sennrich et al., "Neural Machine
+    * Translation of Rare Words with Subword Units", ACL 2016) as a
+    * pure declarative plan — the training half of the tokenizer whose
+    * inference half is the fixed 256-merge table above. `rounds`
+    * iterations of: count adjacent symbol pairs weighted by word
+    * frequency -> take the most frequent pair (count DESC, pair ASC
+    * tiebreak) -> merge every leftmost-greedy occurrence in the
+    * segmentation. The merge fold needs no "just merged" flag:
+    * after a merge the last accumulator element becomes l||r, which
+    * can never equal l again (r is nonempty), so overlapping
+    * occurrences ("aaaa" under (a,a)) collapse pairwise-left exactly
+    * like the reference algorithm — BpeLearnSpec pins this against a
+    * sequential in-memory learner.
+    *
+    * Scale shape: the ONLY corpus-sized work is the one groupBy(tok)
+    * that builds the word-frequency table (map-side combined, one
+    * shuffle); every round after that runs on the BOUNDED vocab table
+    * (distinct words), the per-round argmax is orderBy+limit(1) =
+    * TakeOrdered (partial top-1 per partition, 1-row driver merge,
+    * never a global sort), and the chosen pair re-enters the plan as
+    * a 1-row broadcast. Each round's segmentation is
+    * localCheckpoint'd so the fold expressions don't nest across
+    * rounds.
+    */
+  private[graft] def bpeLearnPlan(words: DataFrame, rounds: Int): DataFrame = {
+    var seg = words.select(col("w"), col("freq"), expr(
+      "transform(sequence(1, length(w)), i -> substr(w, i, 1))").as("syms"))
+      .localCheckpoint()
+    var out: DataFrame = null
+    for (k <- 1 to rounds) {
+      val pc = seg.where(size(col("syms")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))"))
+          .as("p"), col("freq"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("freq").cast(LongType).as("cnt"))
+      val m = pc.orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
+      val mk = m.select(col("l"), col("r"), concat(col("l"), col("r")).as("merged"),
+        col("cnt"), lit(k.toLong).as("round"))
+      out = if (out == null) mk else out.unionByName(mk)
+      if (k < rounds)
+        seg = seg.crossJoin(broadcast(m))
+          .select(col("w"), col("freq"), expr(
+            """aggregate(slice(syms, 2, size(syms) - 1),
+               array(element_at(syms, 1)),
+               (acc, x) -> CASE WHEN element_at(acc, -1) = l AND x = r
+                 THEN concat(slice(acc, 1, size(acc) - 1), array(concat(l, r)))
+                 ELSE concat(acc, array(x)) END)""").as("syms"))
+          .localCheckpoint()
+    }
+    out.select("round", "l", "r", "merged", "cnt").orderBy("round")
+  }
+
+  /** DuckDB mirror of bpeLearnPlan over the `documents` table:
+    * the same rounds unrolled as static CTEs (the merges stay
+    * data-dependent — each round's segmentation fold captures the
+    * previous round's 1-row argmax CTE).
+    */
+  private def bpeLearnDuck(rounds: Int): String = {
+    def pcCte(prev: String): String =
+      s"""SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM $prev, unnest(range(1, len(syms))) t(i)
+         |  GROUP BY 1, 2""".stripMargin
+    def segCte(prev: String, m: String): String =
+      s"""SELECT w, freq,
+         |    list_reduce(list_transform(syms, x -> [x]),
+         |      (acc, v) -> CASE WHEN acc[len(acc)] = $m.l AND v[1] = $m.r
+         |        THEN list_concat(acc[1:len(acc)-1], [$m.l || $m.r])
+         |        ELSE list_concat(acc, v) END) AS syms
+         |  FROM $prev, $m""".stripMargin
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      """words AS (
+        |  SELECT tok AS w, CAST(count(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE tok <> '' GROUP BY tok)""".stripMargin,
+      """seg0 AS (
+        |  SELECT w, freq,
+        |    list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)) AS syms
+        |  FROM words)""".stripMargin)
+    for (k <- 1 to rounds) {
+      ctes += s"pc$k AS (${pcCte(s"seg${k - 1}")})"
+      ctes += s"m$k AS (SELECT l, r, cnt FROM pc$k ORDER BY cnt DESC, l, r LIMIT 1)"
+      if (k < rounds) ctes += s"seg$k AS (${segCte(s"seg${k - 1}", s"m$k")})"
+    }
+    val union = (1 to rounds)
+      .map(k => s"SELECT CAST($k AS BIGINT) AS round, l, r, l || r AS merged, cnt FROM m$k")
+      .mkString(" UNION ALL ")
+    "WITH " + ctes.mkString(",\n") +
+      s"\nSELECT round, l, r, merged, cnt FROM ($union) ORDER BY round"
+  }
+
   def defs: Seq[QueryDef] = Seq(
+
+    // Tokenizer TRAINING: learn the corpus' first 6 BPE merges (see
+    // bpeLearnPlan for the algorithm and the scale argument).
+    QueryDef("bpe_learn_merges",
+      (s, d) => {
+        val words = docs(s, d)
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .where(col("tok") =!= "")
+          .groupBy(col("tok").as("w"))
+          .agg(count(lit(1)).cast(LongType).as("freq"))
+        bpeLearnPlan(words, 6)
+      },
+      Some(bpeLearnDuck(6))),
 
     // Near-duplicate clusters: minhash-LSH candidate pairs verified at
     // jaccard >= 0.5 become edges (the SAME bucketed pipeline as
@@ -1000,6 +1107,101 @@ object PipelineOps {
         |  FROM grams g LEFT JOIN wt w USING (h), tot t
         |  WHERE NOT g.is_train GROUP BY 1, 2)
         |SELECT doc_id, label, n_bigrams, score_micros, score_micros > 0 AS keep
-        |FROM sc ORDER BY doc_id""".stripMargin))
+        |FROM sc ORDER BY doc_id""".stripMargin)),
+
+    // DSIR-style importance resampling (Xie et al., "Data Selection
+    // for Language Models via Importance Resampling", NeurIPS 2023):
+    // score every doc in a raw pool by how much more likely its
+    // hashed-feature bag is under a small TARGET domain sample's
+    // unigram distribution than under the raw pool's own, then keep
+    // the docs the target prefers. Unlike text_quality_model this
+    // uses NO labels on the raw pool — only the two corpora.
+    // Fixtures: raw pool = every base doc plus an SEO-boilerplate
+    // twin (+3M id, 10-marker ad tail); target sample = the clean
+    // text of base ids % 7 == 0 (a curated 1/7 slice). Features =
+    // word unigrams hashed to 2^14 buckets (the hashing trick — the
+    // weight table is bounded at ANY corpus size). Per-bucket weight
+    // = ln p_tgt(h) - ln p_raw(h) under add-lambda smoothing with
+    // lambda = 0.01: add-ONE would put 16384 pseudo-tokens against a
+    // few-thousand-token target sample and drown the real signal
+    // (every weight goes negative); lambda = 0.01 keeps pseudo-mass
+    // under 5% of either corpus. Weights freeze to fixed-point
+    // micros so each doc's score is an exact BIGINT sum both engines
+    // agree on bit-for-bit; keep = score > 0. The ad-tail twins
+    // score ~ -80 per tail (their markers have target mass 0) while
+    // clean docs score positive (raw is diluted by the spam mass the
+    // target lacks) — DsirSpec pins the separation. Scale shape: two
+    // bounded groupBy(h) passes with map-side combine into a
+    // <= 16384-row broadcast weight table; scoring explodes tokens
+    // but partial-aggregates back to one row per doc BEFORE the
+    // shuffle. Nothing grows with corpus size except the narrow
+    // scans.
+    QueryDef("dsir_select",
+      (s, d) => {
+        val ads = "cheap deals discount coupon promo sale advertisement " +
+          "sponsored affiliate clickbait"
+        val base = docs(s, d).select(col("doc_id"), col("text"))
+        val raw = base.unionByName(base.select(
+          (col("doc_id") + 3000000L).as("doc_id"),
+          concat(col("text"), lit(" " + ads)).as("text")))
+        def hashToks(df: DataFrame): DataFrame = df
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .withColumn("h", conv(substring(md5s(col("tok")), 1, 8), 16, 10)
+            .cast(LongType) % 16384L)
+        // raw tokens feed the raw distribution AND the scoring pass
+        val rawToks = hashToks(raw).localCheckpoint()
+        val tgtToks = hashToks(base.where(col("doc_id") % 7 === 0))
+        val totals = rawToks.agg(count(lit(1)).cast(LongType).as("nraw"))
+          .crossJoin(tgtToks.agg(count(lit(1)).cast(LongType).as("ntgt")))
+        val weights = rawToks.groupBy("h")
+          .agg(count(lit(1)).as("craw"))
+          .join(tgtToks.groupBy("h").agg(count(lit(1)).as("ctgt")),
+            Seq("h"), "left")
+          .na.fill(0L, Seq("ctgt"))
+          .crossJoin(broadcast(totals))
+          .withColumn("w_micros", expr(
+            "CAST(floor((ln((ctgt + 0.01) / (ntgt + 163.84)) - " +
+              "ln((craw + 0.01) / (nraw + 163.84))) * 1000000 + 0.5) AS BIGINT)"))
+          .select("h", "w_micros")
+        rawToks.join(broadcast(weights), "h")
+          .groupBy("doc_id").agg(
+            count(lit(1)).cast(LongType).as("n_tokens"),
+            sum("w_micros").cast(LongType).as("score_micros"))
+          .withColumn("keep", col("score_micros") > 0L)
+          .select("doc_id", "n_tokens", "score_micros", "keep")
+          .orderBy("doc_id")
+      },
+      Some("""WITH raw AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 3000000,
+        |    text || ' cheap deals discount coupon promo sale advertisement sponsored affiliate clickbait'
+        |  FROM documents),
+        |raw_toks AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(tok), 1, 8))::UBIGINT % 16384 AS BIGINT) AS h
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM raw)),
+        |tgt_toks AS (
+        |  SELECT CAST(('0x' || substr(md5(tok), 1, 8))::UBIGINT % 16384 AS BIGINT) AS h
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok
+        |        FROM documents WHERE doc_id % 7 = 0)),
+        |tot AS (
+        |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM raw_toks) AS nraw,
+        |         (SELECT CAST(count(*) AS BIGINT) FROM tgt_toks) AS ntgt),
+        |wt AS (
+        |  SELECT r.h,
+        |    CAST(floor((ln((COALESCE(t.ctgt, 0) + 0.01) / (ntgt + 163.84)) -
+        |        ln((r.craw + 0.01) / (nraw + 163.84))) * 1000000 + 0.5)
+        |      AS BIGINT) AS w_micros
+        |  FROM (SELECT h, CAST(count(*) AS BIGINT) AS craw
+        |        FROM raw_toks GROUP BY h) r
+        |  LEFT JOIN (SELECT h, CAST(count(*) AS BIGINT) AS ctgt
+        |             FROM tgt_toks GROUP BY h) t USING (h), tot)
+        |SELECT rt.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(w.w_micros) AS BIGINT) AS score_micros,
+        |  CAST(sum(w.w_micros) AS BIGINT) > 0 AS keep
+        |FROM raw_toks rt JOIN wt w USING (h)
+        |GROUP BY rt.doc_id ORDER BY rt.doc_id""".stripMargin))
   )
 }

@@ -135,4 +135,28 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nBpe > nWs * 2 && nBpe < nWs * 3,
       s"subword expansion ${nBpe.toDouble / nWs} outside the expected band")
   }
+
+  test("dsir_select: target distribution separates ad twins without labels") {
+    // The hash-match proves Spark == oracle; these assertions pin
+    // that the importance weights actually SELECT: every ad-tailed
+    // twin must score negative (its markers have zero target mass),
+    // the clean pool must be almost-entirely kept (raw is diluted by
+    // spam mass the target lacks), and the score gap between the two
+    // strata must be wide — DSIR separates them with no label on any
+    // raw doc.
+    val rows = graft.SparkEntry.queries("dsir_select")(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_micros"),
+        r.getAs[Boolean]("keep")))
+    val (twins, clean) = rows.partition(_._1 >= 3000000L)
+    assert(twins.nonEmpty && clean.nonEmpty)
+    assert(twins.forall(!_._3), "an ad twin was kept")
+    val cleanKeepRate =
+      clean.count(_._3).toDouble / clean.size
+    assert(cleanKeepRate > 0.95, s"clean keep rate $cleanKeepRate")
+    val meanClean = clean.map(_._2).sum.toDouble / clean.size
+    val maxTwin = twins.map(_._2).max
+    assert(meanClean > 0 && maxTwin < -50000000L,
+      s"separation too narrow: meanClean=$meanClean maxTwin=$maxTwin")
+  }
 }
