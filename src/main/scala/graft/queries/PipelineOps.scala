@@ -1202,6 +1202,101 @@ object PipelineOps {
         |  CAST(sum(w.w_micros) AS BIGINT) AS score_micros,
         |  CAST(sum(w.w_micros) AS BIGINT) > 0 AS keep
         |FROM raw_toks rt JOIN wt w USING (h)
-        |GROUP BY rt.doc_id ORDER BY rt.doc_id""".stripMargin))
+        |GROUP BY rt.doc_id ORDER BY rt.doc_id""".stripMargin)),
+
+    // Temperature-based corpus resampling (the multilingual-mixing
+    // rule of XLM-R / mBERT: sample sources with probability
+    // proportional to p^alpha, alpha = 0.3, so low-resource sources
+    // are boosted relative to their raw share). Realized by
+    // SUBSAMPLING only — upsampling duplicates data — so rates scale
+    // until the most-boosted (smallest) source keeps everything:
+    // rate_i = (p_i^alpha / p_i) / max_j(p_j^alpha / p_j)
+    //        = exp(-0.7 ln p_i) / max_j exp(-0.7 ln p_j).
+    // Rates freeze to micros; each doc keeps iff its md5 bucket
+    // (uniform in [0, 1e6)) clears its source's rate — the same
+    // deterministic, retry-stable sampling as sample_stratified.
+    // Shares are exact integer divisions (micros `div`), so the
+    // result hash-matches bit-for-bit. Scale shape: the rate table
+    // is one row per SOURCE (bounded, broadcasts forever); the
+    // doc-level pass is scan -> broadcast join -> filter ->
+    // groupBy(source) with map-side combine. No corpus-sized
+    // shuffle anywhere; at 100 TB this is one pass over the scan.
+    QueryDef("corpus_mix_temperature",
+      (s, d) => {
+        val perDoc = docs(s, d)
+          .select(col("source"), col("doc_id"),
+            size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+        // srcTok and kept are one row per SOURCE — localCheckpoint
+        // the tiny tables (never corpus-sized perDoc) so the four
+        // broadcast-subquery jobs downstream don't each re-run the
+        // corpus scan chain above them
+        val srcTok = perDoc.groupBy("source")
+          .agg(count(lit(1)).cast(LongType).as("n_docs"),
+            sum("n_tokens").cast(LongType).as("tokens"))
+          .localCheckpoint()
+        val tot = srcTok.agg(sum("tokens").cast(LongType).as("total_tokens"))
+        val boosts = srcTok.crossJoin(broadcast(tot))
+          .withColumn("boost", expr(
+            "exp(-0.7 * ln(CAST(tokens AS DOUBLE) / total_tokens))"))
+        val mx = boosts.agg(max("boost").as("max_boost"))
+        val rates = boosts.crossJoin(broadcast(mx))
+          .withColumn("rate_micros", expr(
+            "CAST(floor(boost / max_boost * 1000000 + 0.5) AS BIGINT)"))
+          .select("source", "n_docs", "tokens", "total_tokens", "rate_micros")
+        val kept = perDoc
+          .withColumn("bucket",
+            conv(substring(md5s(col("doc_id").cast(StringType)), 1, 8), 16, 10)
+              .cast(LongType) % 1000000L)
+          .join(broadcast(rates), "source")
+          .groupBy("source", "n_docs", "tokens", "total_tokens", "rate_micros")
+          .agg(
+            sum(when(col("bucket") < col("rate_micros"), 1L).otherwise(0L))
+              .cast(LongType).as("kept_docs"),
+            sum(when(col("bucket") < col("rate_micros"), col("n_tokens"))
+              .otherwise(0L)).cast(LongType).as("kept_tokens"))
+          .localCheckpoint()
+        val totKept = kept.agg(sum("kept_tokens").cast(LongType).as("total_kept"))
+        kept.crossJoin(broadcast(totKept))
+          .select(col("source"), col("n_docs"), col("tokens"), col("rate_micros"),
+            col("kept_docs"), col("kept_tokens"),
+            expr("tokens * 1000000L div total_tokens").as("share_before_micros"),
+            expr("kept_tokens * 1000000L div total_kept").as("share_after_micros"))
+          .orderBy("source")
+      },
+      Some("""WITH per_doc AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |src_tok AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS tokens
+        |  FROM per_doc GROUP BY source),
+        |tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens FROM src_tok),
+        |boosts AS (
+        |  SELECT source, n_docs, tokens, total_tokens,
+        |    exp(-0.7 * ln(CAST(tokens AS DOUBLE) / total_tokens)) AS boost
+        |  FROM src_tok, tot),
+        |mx AS (SELECT max(boost) AS max_boost FROM boosts),
+        |rates AS (
+        |  SELECT source, n_docs, tokens, total_tokens,
+        |    CAST(floor(boost / max_boost * 1000000 + 0.5) AS BIGINT) AS rate_micros
+        |  FROM boosts, mx),
+        |kept AS (
+        |  SELECT p.source, r.n_docs, r.tokens, r.total_tokens, r.rate_micros,
+        |    CAST(sum(CASE WHEN
+        |        CAST(('0x' || substr(md5(CAST(p.doc_id AS VARCHAR)), 1, 8))::UBIGINT
+        |          % 1000000 AS BIGINT) < r.rate_micros
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+        |    CAST(sum(CASE WHEN
+        |        CAST(('0x' || substr(md5(CAST(p.doc_id AS VARCHAR)), 1, 8))::UBIGINT
+        |          % 1000000 AS BIGINT) < r.rate_micros
+        |      THEN p.n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+        |  FROM per_doc p JOIN rates r USING (source)
+        |  GROUP BY 1, 2, 3, 4, 5),
+        |tk AS (SELECT CAST(sum(kept_tokens) AS BIGINT) AS total_kept FROM kept)
+        |SELECT source, n_docs, tokens, rate_micros, kept_docs, kept_tokens,
+        |  (tokens * 1000000) // total_tokens AS share_before_micros,
+        |  (kept_tokens * 1000000) // total_kept AS share_after_micros
+        |FROM kept, tk ORDER BY source""".stripMargin))
   )
 }

@@ -159,4 +159,32 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(meanClean > 0 && maxTwin < -50000000L,
       s"separation too narrow: meanClean=$meanClean maxTwin=$maxTwin")
   }
+
+  test("corpus_mix_temperature: alpha=0.3 flattens the mix, smallest source kept whole") {
+    val rows = graft.SparkEntry.queries("corpus_mix_temperature")(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("tokens"),
+        r.getAs[Long]("rate_micros"), r.getAs[Long]("share_before_micros"),
+        r.getAs[Long]("share_after_micros")))
+    assert(rows.length > 1)
+    // subsampling-only: every rate <= 1, and the smallest source is
+    // the most boosted so it keeps everything
+    assert(rows.forall(_._3 <= 1000000L))
+    assert(rows.minBy(_._2)._3 == 1000000L)
+    // rates are anti-monotone in source size (p^-0.7 is decreasing)
+    rows.sortBy(_._2).sliding(2).foreach {
+      case Array(small, big) => assert(small._3 >= big._3,
+        s"rate not anti-monotone: $small vs $big")
+      case _ =>
+    }
+    // the whole point of temperature sampling: the after-mix is
+    // flatter than the before-mix
+    def variance(xs: Seq[Double]): Double = {
+      val m = xs.sum / xs.size
+      xs.map(x => (x - m) * (x - m)).sum / xs.size
+    }
+    val vb = variance(rows.map(_._4.toDouble).toSeq)
+    val va = variance(rows.map(_._5.toDouble).toSeq)
+    assert(va < vb, s"share variance did not shrink: before=$vb after=$va")
+  }
 }
