@@ -78,6 +78,37 @@ object VectorOps {
           THEN ${1 << p} ELSE 0 END)"""
     }.mkString("(", " + ", ")")
 
+  /** Binary quantization signature: 128 sign-random-projection planes
+    * (salted independently of the 8 blocking planes above), packed as
+    * EIGHT 16-bit words so every literal stays a small positive INT
+    * in both engines. Word w covers planes 16w..16w+15. Same
+    * deterministic ±1 construction and sequential-DOUBLE-fold dots as
+    * hyperplaneSig, so Spark and DuckDB agree on every bit.
+    */
+  private def bplaneVals(p: Int): Seq[String] =
+    (0 until EmbDim).map { j =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"bsig-$p:$j".getBytes("UTF-8"))
+      if ((h(0) & 0x80) == 0) "1.0" else "-1.0"
+    }
+
+  private def binarySigSpark(v: String, word: Int): String =
+    (0 until 16).map { b =>
+      val plane = bplaneVals(16 * word + b).mkString("array(", ",", ")")
+      s"""(CASE WHEN aggregate(zip_with($v, $plane,
+            (x, y) -> CAST(x AS DOUBLE) * y),
+            CAST(0 AS DOUBLE), (acc, w) -> acc + w) >= 0
+          THEN ${1 << b} ELSE 0 END)"""
+    }.mkString("(", " + ", ")")
+
+  private def binarySigDuck(v: String, word: Int): String =
+    (0 until 16).map { b =>
+      val plane = bplaneVals(16 * word + b).mkString("[", ",", "]")
+      s"""(CASE WHEN list_reduce(list_transform(list_zip($v, $plane),
+            x -> CAST(x[1] AS DOUBLE) * x[2]), (acc, w) -> acc + w) >= 0
+          THEN ${1 << b} ELSE 0 END)"""
+    }.mkString("(", " + ", ")")
+
   /** PQ encode + reconstruct: codebook = the first 16 corpus vectors;
     * 8 subspaces of 8 dims; each subvector maps to its nearest
     * codebook entry by sequential-double-fold squared L2 (code-id
@@ -602,6 +633,106 @@ object VectorOps {
         |SELECT q_id, n_id, q_score, score,
         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY q_score DESC, n_id) AS BIGINT) AS rank
         |FROM scored QUALIFY rank <= 10 ORDER BY q_id, rank""".stripMargin)),
+
+    // Binary quantization — the last rung of the compression ladder
+    // (float32 -> int8 -> PQ -> 1 bit/plane): every vector collapses
+    // to a 128-bit sign-projection signature (8 x 16-bit words — 2
+    // bits/dim, the density production binary quantizers use; 1
+    // bit/dim measured 0.40 mean recall@10 at sf0.01, 2 bits/dim
+    // 0.72), so
+    // candidate generation is XOR + popcount against the query's
+    // signature — 16x smaller than the raw vector and the cheapest
+    // possible scan at 100 TB (the signature column is what you'd
+    // precompute and store; here it's derived scan-side, narrow, no
+    // shuffle). Top-50 by Hamming distance (n_id tiebreak) feed an
+    // exact-cosine rerank to top-10 — the same
+    // cheap-filter-then-exact-rerank shape as ann_pq_topk — and
+    // recall@10 vs the corpus-wide brute force rides along in-query
+    // (demo instrumentation, same caveat as ann_ivf_multiprobe).
+    // AnnSpec pins the recall floor.
+    QueryDef("ann_binary_topk",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val all = emb(s, d).select(col("vec_id"), col("embedding"))
+          .withColumns((0 until 8).map(w =>
+            s"s$w" -> expr(binarySigSpark("embedding", w))).toMap)
+        val q = all.where(col("vec_id") < 5)
+          .select(Seq(col("vec_id").as("q_id"), col("embedding").as("vq")) ++
+            (0 until 8).map(w => col(s"s$w").as(s"t$w")): _*)
+        val wHam = Window.partitionBy("q_id")
+          .orderBy(col("hamming").asc, col("n_id"))
+        val wRank = Window.partitionBy("q_id")
+          .orderBy(col("score").desc, col("n_id"))
+        val approx = all
+          .select(Seq(col("vec_id").as("n_id"), col("embedding").as("ve")) ++
+            (0 until 8).map(w => col(s"s$w")): _*)
+          .crossJoin(broadcast(q))
+          .where(col("n_id") =!= col("q_id"))
+          .withColumn("hamming", expr("CAST(" + (0 until 8)
+            .map(w => s"bit_count(s$w ^ t$w)").mkString(" + ") + " AS BIGINT)"))
+          .withColumn("crn", row_number().over(wHam))
+          .where(col("crn") <= 50)
+          .withColumn("score", round(cosine("vq", "ve"), 6))
+          .withColumn("rank", row_number().over(wRank).cast(LongType))
+          .where(col("rank") <= 10)
+          .select("q_id", "n_id", "hamming", "score", "rank")
+        val qPlain = emb(s, d).where(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("vq"))
+        val brute = emb(s, d)
+          .select(col("vec_id").as("n_id"), col("embedding").as("ve"))
+          .crossJoin(broadcast(qPlain))
+          .where(col("n_id") =!= col("q_id"))
+          .withColumn("score", round(cosine("vq", "ve"), 6))
+          .withColumn("brank", row_number().over(wRank))
+          .where(col("brank") <= 10)
+          .select(col("q_id"), col("n_id"))
+        val recall = approx.join(brute, Seq("q_id", "n_id"), "left_semi")
+          .groupBy("q_id").agg(count(lit(1)).as("hits"))
+        approx.join(broadcast(recall), "q_id")
+          .withColumn("recall10", col("hits").cast(DoubleType) / 10.0)
+          .select("q_id", "n_id", "hamming", "score", "rank", "recall10")
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH sigs AS (
+        |  SELECT vec_id, embedding,
+        |    ${(0 until 8).map(w => binarySigDuck("embedding", w) + s" AS s$w").mkString(",\n    ")}
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, embedding AS vq,
+        |        ${(0 until 8).map(w => s"s$w AS t$w").mkString(", ")}
+        |      FROM sigs WHERE vec_id < 5),
+        |approx AS (
+        |  SELECT q_id, n_id, hamming, score,
+        |    CAST(row_number() OVER (PARTITION BY q_id
+        |      ORDER BY score DESC, n_id) AS BIGINT) AS rank
+        |  FROM (
+        |    SELECT q_id, n_id, hamming, ve, vq,
+        |      round(${duckCosine("vq", "ve")}, 6) AS score
+        |    FROM (
+        |      SELECT q.q_id, s.vec_id AS n_id, s.embedding AS ve, q.vq,
+        |        CAST(${(0 until 8).map(w => s"bit_count(xor(s.s$w, q.t$w))").mkString(" + ")}
+        |          AS BIGINT) AS hamming
+        |      FROM sigs s, q
+        |      WHERE s.vec_id <> q.q_id
+        |      QUALIFY row_number() OVER (PARTITION BY q_id
+        |        ORDER BY hamming ASC, n_id) <= 50))
+        |  QUALIFY rank <= 10),
+        |brute AS (
+        |  SELECT q_id, n_id FROM (
+        |    SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        round(${duckCosine("q.embedding", "n.embedding")}, 6) DESC,
+        |        n.vec_id) AS brank
+        |    FROM embeddings q, embeddings n
+        |    WHERE q.vec_id < 5 AND n.vec_id <> q.vec_id)
+        |  WHERE brank <= 10),
+        |recall AS (
+        |  SELECT a.q_id, count(*) AS hits FROM approx a
+        |  JOIN brute b ON a.q_id = b.q_id AND a.n_id = b.n_id
+        |  GROUP BY a.q_id)
+        |SELECT a.q_id, a.n_id, a.hamming, a.score, a.rank,
+        |  CAST(r.hits AS DOUBLE) / 10.0 AS recall10
+        |FROM approx a JOIN recall r ON a.q_id = r.q_id
+        |ORDER BY a.q_id, a.rank""".stripMargin)),
 
     // Embedding-cosine near-dup pairs with random-hyperplane LSH
     // blocking: pairs are compared only within equal 8-bit sign

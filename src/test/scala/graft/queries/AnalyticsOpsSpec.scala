@@ -171,6 +171,28 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(km.values.min >= 0.5, "learned cells hit a recall cliff")
   }
 
+  test("binary quantization: 128-bit Hamming filter holds the recall floor") {
+    val rows = graft.SparkEntry.queries("ann_binary_topk")(spark, sfDir)
+      .collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size == 5)
+    val recalls = byQ.map { case (_, rs) => rs.head.getAs[Double]("recall10") }
+    // deterministic planes + corpus -> these are exact, not flaky:
+    // measured 0.66 mean / 0.6 min at sf0.001 (vs 0.40 mean at 64
+    // bits — the 2-bits/dim density is what makes the rung usable)
+    assert(recalls.sum / recalls.size >= 0.6,
+      s"mean recall ${recalls.sum / recalls.size}")
+    assert(recalls.min >= 0.5, s"worst-query recall ${recalls.min}")
+    byQ.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      // rerank output is ordered by EXACT score, not by hamming
+      val scores = sorted.map(_.getAs[Double]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      assert(rs.forall(r => r.getAs[Long]("hamming") >= 0L &&
+        r.getAs[Long]("hamming") <= 128L))
+    }
+  }
+
   test("substring spans: exact-copy pairs reach full coverage, bounds hold") {
     val out = graft.SparkEntry.queries("dedup_substring_spans")(
       spark, sfDir).collect()
