@@ -355,8 +355,15 @@ object VectorOps {
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val all = emb(s, d).select(col("vec_id"), col("embedding"))
+        // the Lloyd chain feeds FOUR consumers (assigned, probes, and
+        // each again through multi's two consumers) — materialize the
+        // narrow (vec_id, cluster, arn) projection once instead of
+        // re-running training per consumer; the heavy qv/dist payload
+        // is dropped before the checkpoint so the stored blocks stay
+        // 3 ints per vector x k
         val cellRanks = AnalyticsOps.kmeansCellRanks(all, AnalyticsOps.KmK, 2)
           .select("vec_id", "cluster", "arn")
+          .localCheckpoint()
         val assigned = cellRanks.where(col("arn") === 1)
           .join(all, "vec_id")
           .select(col("vec_id").as("n_id"), col("embedding").as("ve"),
@@ -373,6 +380,8 @@ object VectorOps {
           .withColumn("rank", row_number().over(wRank).cast(LongType))
           .where(col("rank") <= 10)
           .select("q_id", "n_id", "score", "rank")
+          // <= 50 rows, consumed by recall AND the final join
+          .localCheckpoint()
         val q = emb(s, d).where(col("vec_id") < 5)
           .select(col("vec_id").as("q_id"), col("embedding").as("vq"))
         val brute = all.select(col("vec_id").as("n_id"), col("embedding").as("ve"))

@@ -18,11 +18,18 @@ object VerifySome {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     new java.io.File(outDir).mkdirs()
+    // CPU seconds alongside wall: wall >> cpu/32 under sandbox load is
+    // contention, not a plan regression (same rationale as Bench's
+    // queries_cpu_sec column)
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     names.foreach { name =>
       val t0 = System.nanoTime()
+      val c0 = osBean.getProcessCpuTime
       graft.SparkEntry.queries(name)(spark, sfDir)
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-      println(f"[vs] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      println(f"[vs] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s wall, " +
+        f"${(osBean.getProcessCpuTime - c0) / 1e9}%.2f cpu-s")
     }
     def q(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""
