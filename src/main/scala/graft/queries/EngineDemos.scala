@@ -1188,6 +1188,88 @@ object EngineDemos {
         "auto_prefix" -> auto.effectiveStreamName("orders"))
     },
 
+    // Batch-trained model SERVED IN A STREAM: the deployment shape
+    // every production quality filter uses — train the hashed-bigram
+    // NB model over the batch corpus (the exact
+    // text_quality_model pipeline, shared via
+    // qualityTrainArtifacts), collect the bounded weight table
+    // (<= 65536 rows — a fastText-style model artifact), and apply
+    // it to a live followed stream as a PURE SCALAR expression: a
+    // map literal + one bounded fold per record. No state store, no
+    // aggregation — the gate composes with any downstream streaming
+    // op and costs one narrow projection per microbatch at any
+    // scale. The teeth: spam-marker records are dropped while clean
+    // records pass, and a checkpointed restart picks up ONLY the
+    // newly appended clean record (offsets resume; nothing is
+    // re-scored or re-emitted).
+    QueryDef("e2e_stream_quality_gate",
+      (sp, d) => withDemoPartitions(sp) {
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.types.{BinaryType, LongType}
+        val st = freshStore(sp)
+        st.catalog.createStream("demo-basin1", "qg")
+        val (_, totals, weights) = PipelineOps.qualityTrainArtifacts(sp, d)
+        val tr = totals.collect().head
+        val (npos, nneg) = (tr.getLong(0), tr.getLong(1))
+        val defaultMicros = math.floor(
+          (math.log(1.0 / (npos + 65536.0)) -
+            math.log(1.0 / (nneg + 65536.0))) * 1000000 + 0.5).toLong
+        val wMap = weights.collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toMap
+        val mapCol = typedLit(wMap)
+        def score(body: org.apache.spark.sql.Column) = {
+          val toks = split(body, " ")
+          val hs = transform(sequence(lit(1), size(toks) - 1), i =>
+            conv(substring(md5(concat(element_at(toks, i), lit(" "),
+              element_at(toks, i + 1)).cast(BinaryType)), 1, 8), 16, 10)
+              .cast(LongType) % 65536L)
+          when(size(toks) >= 2,
+            aggregate(hs, lit(0L), (acc, h) =>
+              acc + coalesce(element_at(mapCol, h), lit(defaultMicros))))
+            .otherwise(lit(0L))
+        }
+        def run(): Seq[String] = {
+          val q = sp.readStream.format("graft-stream")
+            .option("root", st.root).option("basin", "demo-basin1")
+            .option("stream", "qg").load()
+            .selectExpr("CAST(body AS STRING) AS body")
+            .withColumn("score_micros", score(col("body")))
+            .where(col("score_micros") > 0L)
+            .select(expr("split(body, ' ')[0]").as("id"))
+            .writeStream.format("parquet")
+            .option("path", s"${st.root}/_qgsink")
+            .option("checkpointLocation", s"${st.root}/_qgckpt")
+            .outputMode("append").start()
+          try q.processAllAvailable() finally q.stop()
+          sp.read.parquet(s"${st.root}/_qgsink")
+            .collect().map(_.getString(0)).toSeq.sorted
+        }
+        st.append("demo-basin1", "qg", AppendInput(Seq(
+          rec("q1 sort merge batch window scan"),
+          rec("q2 click here buy now free winner"),
+          rec("q3 data query scan filter group"),
+          rec("q4 subscribe today limited offer unsubscribe instantly"))),
+          Some(1000))
+        val first = run()
+        st.append("demo-basin1", "qg", AppendInput(Seq(
+          rec("q5 merge sort join group table"),
+          rec("q6 free winner click here buy now"))), Some(2000))
+        val second = run()
+        out(sp, Seq(
+          "trained_buckets_bounded" ->
+            (wMap.nonEmpty && wMap.size <= 65536).toString,
+          "first_run_kept" -> first.mkString(","),
+          "resume_kept_new_only" ->
+            (second.toSet -- first.toSet).toSeq.sorted.mkString(","),
+          "spam_never_passes" ->
+            second.forall(id => id != "q2" && id != "q4" && id != "q6").toString))
+      },
+      Some(constOracle(Seq(
+        "trained_buckets_bounded" -> "true",
+        "first_run_kept" -> "q1,q3",
+        "resume_kept_new_only" -> "q5",
+        "spam_never_passes" -> "true")))),
+
     // ANN index as a STORAGE LAYOUT: ann_ivf_kmeans recomputes cell
     // assignments per query run; a production system trains once,
     // writes the corpus partitioned by learned cell, and lets every

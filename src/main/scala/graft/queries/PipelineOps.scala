@@ -240,6 +240,55 @@ object PipelineOps {
     out.toSeq
   }
 
+  // ---- hashed-bigram quality model (training artifacts) --------------------
+
+  /** The text_quality_model training pipeline, factored so the batch
+    * query and the streaming gate (e2e_stream_quality_gate) train the
+    * SAME model: returns (grams, totals, weights) where grams =
+    * (doc_id, label, is_train, h) hashed-bigram rows over the
+    * spam-twin corpus (localCheckpoint'd — three consumers), totals =
+    * 1-row (npos, nneg), weights = (h, w_micros) smoothed NB
+    * log-odds in fixed-point micros.
+    */
+  private[graft] val QualitySpamTail = "click here buy now free winner " +
+    "subscribe today limited offer unsubscribe instantly"
+
+  private[graft] def qualityTrainArtifacts(
+      s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+    val base = docs(s, d).select(col("doc_id"), col("text"))
+    val corpus = base.withColumn("label", lit(1))
+      .unionByName(base
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(col("text"), lit(" " + QualitySpamTail)).as("text"))
+        .withColumn("label", lit(0)))
+    val grams = corpus
+      .withColumn("is_train", (col("doc_id") % 3000000L) % 2 === 0)
+      .select(col("doc_id"), col("label"), col("is_train"),
+        split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("label"), col("is_train"), explode(expr(
+        "transform(sequence(1, size(w) - 1), " +
+          "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+        .as("bg"))
+      .withColumn("h", conv(substring(md5s(col("bg")), 1, 8), 16, 10)
+        .cast(LongType) % 65536L)
+      // three consumers (totals, weights, scoring): materialize the
+      // tokenize+hash work once instead of re-deriving it per job
+      .localCheckpoint()
+    val train = grams.where(col("is_train"))
+    val totals = train.agg(
+      sum(when(col("label") === 1, 1L).otherwise(0L)).cast(LongType).as("npos"),
+      sum(when(col("label") === 0, 1L).otherwise(0L)).cast(LongType).as("nneg"))
+    val weights = train.groupBy("h").agg(
+        sum(when(col("label") === 1, 1L).otherwise(0L)).as("cpos"),
+        sum(when(col("label") === 0, 1L).otherwise(0L)).as("cneg"))
+      .crossJoin(broadcast(totals))
+      .withColumn("w_micros", expr(
+        "CAST(floor((ln((cpos + 1.0) / (npos + 65536.0)) - " +
+          "ln((cneg + 1.0) / (nneg + 65536.0))) * 1000000 + 0.5) AS BIGINT)"))
+      .select("h", "w_micros")
+    (grams, totals, weights)
+  }
+
   // ---- distributed BPE merge learning --------------------------------------
 
   /** BPE merge-table LEARNING (Sennrich et al., "Neural Machine
@@ -1023,39 +1072,7 @@ object PipelineOps {
     // cannot (the spam tail barely moves it).
     QueryDef("text_quality_model",
       (s, d) => {
-        val spam = "click here buy now free winner subscribe today " +
-          "limited offer unsubscribe instantly"
-        val base = docs(s, d).select(col("doc_id"), col("text"))
-        val corpus = base.withColumn("label", lit(1))
-          .unionByName(base
-            .select((col("doc_id") + 3000000L).as("doc_id"),
-              concat(col("text"), lit(" " + spam)).as("text"))
-            .withColumn("label", lit(0)))
-        val grams = corpus
-          .withColumn("is_train", (col("doc_id") % 3000000L) % 2 === 0)
-          .select(col("doc_id"), col("label"), col("is_train"),
-            split(col("text"), " ").as("w"))
-          .select(col("doc_id"), col("label"), col("is_train"), explode(expr(
-            "transform(sequence(1, size(w) - 1), " +
-              "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
-            .as("bg"))
-          .withColumn("h", conv(substring(md5s(col("bg")), 1, 8), 16, 10)
-            .cast(LongType) % 65536L)
-          // three consumers (totals, weights, scoring): materialize the
-          // tokenize+hash work once instead of re-deriving it per job
-          .localCheckpoint()
-        val train = grams.where(col("is_train"))
-        val totals = train.agg(
-          sum(when(col("label") === 1, 1L).otherwise(0L)).cast(LongType).as("npos"),
-          sum(when(col("label") === 0, 1L).otherwise(0L)).cast(LongType).as("nneg"))
-        val weights = train.groupBy("h").agg(
-            sum(when(col("label") === 1, 1L).otherwise(0L)).as("cpos"),
-            sum(when(col("label") === 0, 1L).otherwise(0L)).as("cneg"))
-          .crossJoin(broadcast(totals))
-          .withColumn("w_micros", expr(
-            "CAST(floor((ln((cpos + 1.0) / (npos + 65536.0)) - " +
-              "ln((cneg + 1.0) / (nneg + 65536.0))) * 1000000 + 0.5) AS BIGINT)"))
-          .select("h", "w_micros")
+        val (grams, totals, weights) = qualityTrainArtifacts(s, d)
         grams.where(!col("is_train"))
           .join(weights, Seq("h"), "left")
           .crossJoin(broadcast(totals))
