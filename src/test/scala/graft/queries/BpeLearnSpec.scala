@@ -77,6 +77,24 @@ class BpeLearnSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(refLearn(words.toMap, 1) == Seq(("x", "y", 4L)))
   }
 
+  test("randomized run-heavy vocabularies: plan == sequential learner") {
+    // {a,b} words maximize merge-overlap pathology (runs like
+    // "aabab"); 12 seeded corpora x 3 rounds cross-validate the
+    // DISTRIBUTED fold + argmax against the reference learner where
+    // the pure-model property suite (BpeFoldPropSpec) can't reach —
+    // through the actual Spark expressions.
+    val rnd = new scala.util.Random(42)
+    for (c <- 1 to 12) {
+      val words = (1 to (3 + rnd.nextInt(6))).map { _ =>
+        val len = 2 + rnd.nextInt(6)
+        (1 to len).map(_ => if (rnd.nextBoolean()) "a" else "b").mkString
+      }.distinct.map(w => w -> (1L + rnd.nextInt(9))).toSeq
+      val got = planLearn(words, 3)
+      val want = refLearn(words.toMap, 3)
+      assert(got == want, s"case $c: $words -> $got != $want")
+    }
+  }
+
   test("8 rounds on the sf0.001 corpus match the sequential learner") {
     val d = graft.TestData.sf("sf0.001")
     assume(graft.TestData.available(d), s"testdata missing at $d")
