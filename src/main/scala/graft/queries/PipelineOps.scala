@@ -1314,6 +1314,53 @@ object PipelineOps {
         |SELECT source, n_docs, tokens, rate_micros, kept_docs, kept_tokens,
         |  (tokens * 1000000) // total_tokens AS share_before_micros,
         |  (kept_tokens * 1000000) // total_kept AS share_after_micros
-        |FROM kept, tk ORDER BY source""".stripMargin))
+        |FROM kept, tk ORDER BY source""".stripMargin)),
+
+    // Deterministic epoch shuffle into training shards — the step
+    // between "curated corpus" and "what the dataloader reads": each
+    // epoch permutes the corpus by md5(epoch, doc_id) (a new
+    // independent order per epoch, reproducible under retries — the
+    // same hash-not-rand rule as the sample_* family), assigns every
+    // doc to one of 4 shards by a DIFFERENT hash bit-range (so shard
+    // membership and intra-shard order are independent), and numbers
+    // docs within (epoch, shard). Scale shape: ONE shuffle per epoch
+    // on the shard key; the position window partitions by
+    // (epoch, shard) — 100 TB divides into n_shards independent
+    // sorts, each a fraction of the corpus, never a global order.
+    // A real run writes partitionBy(epoch, shard) sorted-within —
+    // this query emits the layout's first rows per shard so the
+    // oracle pins permutation + assignment + numbering exactly.
+    QueryDef("shuffle_epoch",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val epochs = s.range(0, 2).select(col("id").cast(IntegerType).as("epoch"))
+        val keyed = docs(s, d).select(col("doc_id"))
+          .crossJoin(broadcast(epochs))
+          .withColumn("ek", md5s(concat(col("epoch").cast(StringType),
+            lit(":"), col("doc_id").cast(StringType))))
+          .withColumn("shard",
+            (conv(substring(col("ek"), 9, 4), 16, 10).cast(LongType) % 4L)
+              .cast(IntegerType))
+        val w = Window.partitionBy("epoch", "shard")
+          .orderBy(col("ek"), col("doc_id"))
+        keyed
+          .withColumn("pos", row_number().over(w).cast(LongType))
+          .where(col("pos") <= 5)
+          .select("epoch", "shard", "pos", "doc_id")
+          .orderBy("epoch", "shard", "pos")
+      },
+      Some("""WITH keyed AS (
+        |  SELECT e.epoch, d.doc_id,
+        |    md5(CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)) AS ek
+        |  FROM documents d, (SELECT unnest([0, 1]) AS epoch) e),
+        |sharded AS (
+        |  SELECT epoch, doc_id, ek,
+        |    CAST(('0x' || substr(ek, 9, 4))::UBIGINT % 4 AS INT) AS shard
+        |  FROM keyed)
+        |SELECT epoch, shard,
+        |  CAST(row_number() OVER (PARTITION BY epoch, shard
+        |    ORDER BY ek, doc_id) AS BIGINT) AS pos,
+        |  doc_id
+        |FROM sharded QUALIFY pos <= 5 ORDER BY epoch, shard, pos""".stripMargin))
   )
 }

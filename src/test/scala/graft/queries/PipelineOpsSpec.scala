@@ -187,4 +187,22 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val va = variance(rows.map(_._5.toDouble).toSeq)
     assert(va < vb, s"share variance did not shrink: before=$vb after=$va")
   }
+
+  test("shuffle_epoch: epochs are independent permutations, all shards live") {
+    val rows = graft.SparkEntry.queries("shuffle_epoch")(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Int]("epoch"), r.getAs[Int]("shard"),
+        r.getAs[Long]("pos"), r.getAs[Long]("doc_id")))
+    val byEpoch = rows.groupBy(_._1)
+    assert(byEpoch.keySet == Set(0, 1))
+    byEpoch.values.foreach { e =>
+      assert(e.map(_._2).distinct.sorted.toSeq == Seq(0, 1, 2, 3),
+        "a shard produced no rows")
+    }
+    // the whole point of per-epoch reshuffling: a different order
+    // (and shard assignment) every epoch
+    def heads(e: Int): Seq[Long] =
+      byEpoch(e).sortBy(t => (t._2, t._3)).map(_._4).toSeq
+    assert(heads(0) != heads(1), "epoch 1 replayed epoch 0's order")
+  }
 }
