@@ -1361,6 +1361,84 @@ object PipelineOps {
         |  CAST(row_number() OVER (PARTITION BY epoch, shard
         |    ORDER BY ek, doc_id) AS BIGINT) AS pos,
         |  doc_id
-        |FROM sharded QUALIFY pos <= 5 ORDER BY epoch, shard, pos""".stripMargin))
+        |FROM sharded QUALIFY pos <= 5 ORDER BY epoch, shard, pos""".stripMargin)),
+
+    // Single-pass column profiler over the events stream — the
+    // ANALYZE-TABLE / data-governance op every warehouse runs before
+    // trusting a feed: row count, null counts, distinct cardinality,
+    // value ranges, and string lengths for every column, computed in
+    // ONE aggregate over one scan (Catalyst expands the multi-
+    // distinct into one Expand + shuffle; every non-distinct metric
+    // map-side combines). Long-format output (column, metric, value)
+    // so the metric set can grow without schema changes. Exact
+    // distincts here because the oracle needs bit-equality; at
+    // 100 TB you'd swap them for the mergeable HLL registers
+    // sketch_hll_distinct/merge already prove out — the rest of the
+    // profile is a pure one-pass aggregate at any scale. Timestamps
+    // profile as epoch micros (ts arrives as nanos LONG; div 1000 =
+    // DuckDB epoch_us), exact in DOUBLE below 2^53.
+    QueryDef("stats_profile",
+      (s, d) => {
+        val ev = Records.events(s, d)
+          .withColumn("ts_us", expr("ts div 1000"))
+        val wide = ev.agg(
+          count(lit(1)).cast(DoubleType).as("n_rows"),
+          countDistinct("event_id").cast(DoubleType).as("event_id_distinct"),
+          countDistinct("user_id").cast(DoubleType).as("user_id_distinct"),
+          countDistinct("event_type").cast(DoubleType).as("event_type_distinct"),
+          sum(when(col("value").isNull, 1L).otherwise(0L))
+            .cast(DoubleType).as("value_nulls"),
+          round(min("value"), 6).as("value_min"),
+          round(max("value"), 6).as("value_max"),
+          min("ts_us").cast(DoubleType).as("ts_min_us"),
+          max("ts_us").cast(DoubleType).as("ts_max_us"),
+          round(avg(length(col("props"))), 6).as("props_avg_len"),
+          max(length(col("props"))).cast(DoubleType).as("props_max_len"))
+        wide.select(expr(
+          """stack(11,
+             'event_id', 'distinct', event_id_distinct,
+             'event_type', 'distinct', event_type_distinct,
+             'props', 'avg_len', props_avg_len,
+             'props', 'max_len', props_max_len,
+             'table', 'n_rows', n_rows,
+             'ts', 'max_us', ts_max_us,
+             'ts', 'min_us', ts_min_us,
+             'user_id', 'distinct', user_id_distinct,
+             'value', 'max', value_max,
+             'value', 'min', value_min,
+             'value', 'nulls', value_nulls
+             ) AS (col_name, metric, value)"""))
+          .orderBy("col_name", "metric")
+      },
+      Some("""WITH ev AS (
+        |  SELECT *, CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events),
+        |wide AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_rows,
+        |    CAST(count(DISTINCT event_id) AS DOUBLE) AS event_id_distinct,
+        |    CAST(count(DISTINCT user_id) AS DOUBLE) AS user_id_distinct,
+        |    CAST(count(DISTINCT event_type) AS DOUBLE) AS event_type_distinct,
+        |    CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |      AS value_nulls,
+        |    round(min(value), 6) AS value_min,
+        |    round(max(value), 6) AS value_max,
+        |    CAST(min(ts_us) AS DOUBLE) AS ts_min_us,
+        |    CAST(max(ts_us) AS DOUBLE) AS ts_max_us,
+        |    round(avg(length(props)), 6) AS props_avg_len,
+        |    CAST(max(length(props)) AS DOUBLE) AS props_max_len
+        |  FROM ev)
+        |SELECT col_name, metric, value FROM (
+        |  SELECT 'event_id' AS col_name, 'distinct' AS metric,
+        |    event_id_distinct AS value FROM wide
+        |  UNION ALL SELECT 'event_type', 'distinct', event_type_distinct FROM wide
+        |  UNION ALL SELECT 'props', 'avg_len', props_avg_len FROM wide
+        |  UNION ALL SELECT 'props', 'max_len', props_max_len FROM wide
+        |  UNION ALL SELECT 'table', 'n_rows', n_rows FROM wide
+        |  UNION ALL SELECT 'ts', 'max_us', ts_max_us FROM wide
+        |  UNION ALL SELECT 'ts', 'min_us', ts_min_us FROM wide
+        |  UNION ALL SELECT 'user_id', 'distinct', user_id_distinct FROM wide
+        |  UNION ALL SELECT 'value', 'max', value_max FROM wide
+        |  UNION ALL SELECT 'value', 'min', value_min FROM wide
+        |  UNION ALL SELECT 'value', 'nulls', value_nulls FROM wide)
+        |ORDER BY col_name, metric""".stripMargin))
   )
 }
