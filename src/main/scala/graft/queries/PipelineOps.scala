@@ -1439,6 +1439,145 @@ object PipelineOps {
         |  UNION ALL SELECT 'value', 'max', value_max FROM wide
         |  UNION ALL SELECT 'value', 'min', value_min FROM wide
         |  UNION ALL SELECT 'value', 'nulls', value_nulls FROM wide)
-        |ORDER BY col_name, metric""".stripMargin))
+        |ORDER BY col_name, metric""".stripMargin)),
+
+    // Incremental NEAR-dup against a stored index — the minhash
+    // complement of dedup_bloom's exact-membership filter, and the
+    // shape a continuous crawl actually runs: the base corpus is
+    // signed ONCE into a band-bucket index (4 band keys per doc — in
+    // production a stored, bucket-partitioned table; never
+    // re-signatured per batch), and each incoming doc probes only
+    // the buckets its own 4 band keys hit. Probe cost is
+    // batch-size x bucket-size, independent of corpus size; the
+    // BandBucketCap drops degenerate boilerplate buckets on the
+    // INDEX side (same mitigation as dedup_minhash_lsh). Candidates
+    // verify by exact jaccard; >= 0.5 = near-dup. The incoming batch
+    // mixes re-crawls under fresh ids (must hit at jaccard 1.0),
+    // suffix revisions (high jaccard; a short doc CAN miss all 4
+    // bands — honest LSH recall, identical in both engines), and
+    // genuinely new docs under a disjoint vocabulary (must find 0
+    // candidates).
+    QueryDef("dedup_minhash_index",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = docs(s, d).select(col("doc_id"), col("text"))
+        val incoming = base.where(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 4000000L).as("doc_id"), col("text"))
+          .unionByName(base.where(col("doc_id") % 19 === 0)
+            .select((col("doc_id") + 5000000L).as("doc_id"),
+              concat(col("text"), lit(" updated revision suffix")).as("text")))
+          .unionByName(base.where(col("doc_id") % 23 === 0)
+            .select((col("doc_id") + 6000000L).as("doc_id"),
+              concat_ws(" ", expr(
+                "transform(split(text, ' '), x -> concat(x, '-x'))")).as("text")))
+        val baseSh = shingles(base).localCheckpoint()
+        val incSh = shingles(incoming).localCheckpoint()
+        val idx = minhashBands(baseSh)
+        val idxCapped = idx.join(
+          idx.groupBy("band", "band_key").agg(count(lit(1)).as("bsz"))
+            .where(col("bsz") <= BandBucketCap)
+            .select("band", "band_key"),
+          Seq("band", "band_key"))
+          .select(col("doc_id").as("base_id"), col("band"), col("band_key"))
+        val cands = minhashBands(incSh)
+          .join(idxCapped, Seq("band", "band_key"))
+          .select(col("doc_id").as("doc_a"), col("base_id").as("doc_b"))
+          .distinct()
+          .localCheckpoint()
+        val nCand = cands.groupBy("doc_a")
+          .agg(count(lit(1)).cast(LongType).as("n_candidates"))
+        val verified = jaccardFor(cands, baseSh.unionByName(incSh))
+        val wBest = Window.partitionBy("doc_a")
+          .orderBy(col("jaccard").desc, col("doc_b"))
+        val best = verified
+          .withColumn("rn", row_number().over(wBest))
+          .where(col("rn") === 1)
+          .select(col("doc_a"), col("doc_b").as("best_match"),
+            col("jaccard").as("best_jaccard"))
+        incoming.select(col("doc_id"))
+          .join(nCand.withColumnRenamed("doc_a", "doc_id"), Seq("doc_id"), "left")
+          .join(best.withColumnRenamed("doc_a", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("doc_id") >= 6000000L, "new")
+              .when(col("doc_id") >= 5000000L, "revision")
+              .otherwise("recrawl").as("kind"),
+            coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+            col("best_match"),
+            col("best_jaccard"),
+            coalesce(col("best_jaccard") >= 0.5, lit(false)).as("is_dup"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val minCols = (0 until 16)
+          .map(i => s"min(substr(md5('${i / 4}:' || sh), ${1 + 8 * (i % 4)}, 8)) AS h$i")
+          .mkString(", ")
+        def bandRows(minh: String) = (0 until 4).map(b =>
+          s"SELECT doc_id, $b AS band, md5(h${4 * b} || '|' || h${4 * b + 1} || '|' " +
+            s"|| h${4 * b + 2} || '|' || h${4 * b + 3}) AS band_key FROM $minh")
+          .mkString("\n  UNION ALL\n  ")
+        def shCte(src: String) =
+          s"""SELECT doc_id, unnest(list_distinct(
+             |    list_transform(range(1, len(w) - 1),
+             |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM $src)""".stripMargin
+        s"""WITH inc AS (
+        |  SELECT doc_id + 4000000 AS doc_id, text FROM documents WHERE doc_id % 11 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 5000000, text || ' updated revision suffix'
+        |  FROM documents WHERE doc_id % 19 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 6000000,
+        |    array_to_string(list_transform(string_split(text, ' '), x -> x || '-x'), ' ')
+        |  FROM documents WHERE doc_id % 23 = 0),
+        |base_sh AS (${shCte("documents")}),
+        |inc_sh AS (${shCte("inc")}),
+        |all_sh AS (SELECT * FROM base_sh UNION ALL SELECT * FROM inc_sh),
+        |base_minh AS (SELECT doc_id, $minCols FROM base_sh GROUP BY doc_id),
+        |inc_minh AS (SELECT doc_id, $minCols FROM inc_sh GROUP BY doc_id),
+        |base_bands AS (
+        |  ${bandRows("base_minh")}),
+        |inc_bands AS (
+        |  ${bandRows("inc_minh")}),
+        |idx_c AS (
+        |  SELECT b.doc_id AS base_id, b.band, b.band_key FROM base_bands b
+        |  JOIN (SELECT band, band_key FROM base_bands
+        |        GROUP BY 1, 2 HAVING count(*) <= $BandBucketCap) s
+        |    USING (band, band_key)),
+        |cands AS (
+        |  SELECT DISTINCT i.doc_id AS doc_a, x.base_id AS doc_b
+        |  FROM inc_bands i JOIN idx_c x USING (band, band_key)),
+        |counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+        |  FROM all_sh GROUP BY 1),
+        |common AS (
+        |  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS common
+        |  FROM cands c
+        |  JOIN all_sh a ON a.doc_id = c.doc_a
+        |  JOIN all_sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+        |  GROUP BY 1, 2),
+        |verified AS (
+        |  SELECT m.doc_a, m.doc_b,
+        |    round(CAST(common AS DOUBLE) / (na.n_sh + nb.n_sh - common), 6) AS jaccard
+        |  FROM common m
+        |  JOIN counts na ON na.doc_id = m.doc_a
+        |  JOIN counts nb ON nb.doc_id = m.doc_b),
+        |ncand AS (SELECT doc_a, CAST(count(*) AS BIGINT) AS n_candidates
+        |  FROM cands GROUP BY 1),
+        |best AS (
+        |  SELECT doc_a, doc_b, jaccard FROM verified
+        |  QUALIFY row_number() OVER (PARTITION BY doc_a
+        |    ORDER BY jaccard DESC, doc_b) = 1)
+        |SELECT i.doc_id,
+        |  CASE WHEN i.doc_id >= 6000000 THEN 'new'
+        |       WHEN i.doc_id >= 5000000 THEN 'revision'
+        |       ELSE 'recrawl' END AS kind,
+        |  COALESCE(n.n_candidates, 0) AS n_candidates,
+        |  b.doc_b AS best_match,
+        |  b.jaccard AS best_jaccard,
+        |  COALESCE(b.jaccard >= 0.5, FALSE) AS is_dup
+        |FROM inc i
+        |LEFT JOIN ncand n ON n.doc_a = i.doc_id
+        |LEFT JOIN best b ON b.doc_a = i.doc_id
+        |ORDER BY i.doc_id""".stripMargin
+      })
   )
 }

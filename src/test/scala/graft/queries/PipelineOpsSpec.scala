@@ -205,4 +205,28 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       byEpoch(e).sortBy(t => (t._2, t._3)).map(_._4).toSeq
     assert(heads(0) != heads(1), "epoch 1 replayed epoch 0's order")
   }
+
+  test("dedup_minhash_index: recrawls all hit at 1.0, new docs stay clean") {
+    val rows = graft.SparkEntry.queries("dedup_minhash_index")(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[String]("kind"), r.getAs[Long]("n_candidates"),
+        Option(r.getAs[java.lang.Double]("best_jaccard")).map(_.doubleValue),
+        r.getAs[Boolean]("is_dup")))
+    val byKind = rows.groupBy(_._1)
+    assert(byKind.keySet == Set("recrawl", "revision", "new"))
+    // an exact re-crawl can NEVER miss: identical shingle set ->
+    // identical signature -> all 4 bands collide -> jaccard 1.0
+    assert(byKind("recrawl").forall(r => r._4 && r._3.contains(1.0)),
+      "a re-crawl missed the index")
+    // disjoint vocabulary -> zero candidates, not just low jaccard
+    assert(byKind("new").forall(r => r._2 == 0L && !r._4),
+      "a fresh doc produced index candidates")
+    // suffix revisions: high jaccard when found; banding may honestly
+    // miss a SHORT doc, so pin recall >= 0.9 rather than 1.0
+    val revs = byKind("revision")
+    val found = revs.count(_._4)
+    assert(found.toDouble / revs.size >= 0.9,
+      s"revision recall ${found.toDouble / revs.size}")
+    assert(revs.filter(_._4).forall(_._3.exists(_ >= 0.5)))
+  }
 }
