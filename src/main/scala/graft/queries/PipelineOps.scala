@@ -1441,6 +1441,49 @@ object PipelineOps {
         |  UNION ALL SELECT 'value', 'nulls', value_nulls FROM wide)
         |ORDER BY col_name, metric""".stripMargin)),
 
+    // RAG-style document chunking: fixed-size token windows with
+    // overlap (size 64, stride 48 — the 25% overlap retrieval
+    // ingestion defaults to so no answer span straddles a boundary
+    // unseen), emitted as exact (chunk_id, tok_start, tok_end) spans
+    // plus the chunk text. The complement of pack_sequences: packing
+    // concatenates ACROSS docs to fill a training budget; chunking
+    // splits WITHIN a doc for retrieval. Scale shape: pure per-row
+    // array expressions — transform over a precomputed token array,
+    // one explode, no shuffle at all; the scan parallelism IS the
+    // operator's parallelism at any corpus size. Short docs yield
+    // one whole-doc chunk; the final window is the tail remainder
+    // (never padded, never dropped).
+    QueryDef("chunk_documents",
+      (s, d) => {
+        val w = col("w")
+        docs(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .select(col("doc_id"), size(w).as("n_tokens"), explode(expr(
+            """transform(
+                 sequence(0, greatest(0, CAST(ceil((size(w) - 64) / 48.0) AS INT))),
+                 c -> named_struct(
+                   'chunk_id', CAST(c AS BIGINT),
+                   'tok_start', CAST(c * 48 AS BIGINT),
+                   'tok_end', CAST(least(c * 48 + 64, size(w)) AS BIGINT),
+                   'chunk_text', array_join(slice(w, c * 48 + 1,
+                     least(64, size(w) - c * 48)), ' ')))"""))
+            .as("c"))
+          .select(col("doc_id"), col("n_tokens").cast(LongType).as("n_tokens"),
+            col("c.chunk_id"), col("c.tok_start"), col("c.tok_end"),
+            col("c.chunk_text"))
+          .orderBy("doc_id", "chunk_id")
+      },
+      Some("""SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+        |  CAST(c AS BIGINT) AS chunk_id,
+        |  CAST(c * 48 AS BIGINT) AS tok_start,
+        |  CAST(least(c * 48 + 64, len(w)) AS BIGINT) AS tok_end,
+        |  array_to_string(w[c * 48 + 1 : least(c * 48 + 64, len(w))], ' ')
+        |    AS chunk_text
+        |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |  unnest(range(0,
+        |    greatest(0, CAST(ceil((len(w) - 64) / 48.0) AS BIGINT)) + 1)) t(c)
+        |ORDER BY doc_id, chunk_id""".stripMargin)),
+
     // Incremental NEAR-dup against a stored index — the minhash
     // complement of dedup_bloom's exact-membership filter, and the
     // shape a continuous crawl actually runs: the base corpus is
