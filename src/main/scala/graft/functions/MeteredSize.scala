@@ -102,6 +102,11 @@ object GraftFunctions {
     Bridge.column(IntDotExpr(
       Bridge.expression(a), Bridge.expression(b)))
 
+  /** Column API: binary_sig(v, word) — 16-bit signature word of the
+    * 128-plane binary quantization (word in 0..7). */
+  def binary_sig(v: Column, word: Int): Column =
+    Bridge.column(BinarySigExpr(Bridge.expression(v), word))
+
   /** SQL registration: SELECT metered_size(headers, body),
     * cosine_sim(va, vb), int_dot(qa, qb) ...
     */

@@ -80,26 +80,19 @@ object VectorOps {
 
   /** Binary quantization signature: 128 sign-random-projection planes
     * (salted independently of the 8 blocking planes above), packed as
-    * EIGHT 16-bit words so every literal stays a small positive INT
-    * in both engines. Word w covers planes 16w..16w+15. Same
-    * deterministic ±1 construction and sequential-DOUBLE-fold dots as
-    * hyperplaneSig, so Spark and DuckDB agree on every bit.
+    * EIGHT 16-bit words. Word w covers planes 16w..16w+15. Spark
+    * computes each word with the codegen'd
+    * graft.functions.BinarySigExpr (one fused primitive loop, plane
+    * signs baked in as 64-bit masks); DuckDB recomputes the same
+    * sequential-DOUBLE folds from ±1 literals below — both sides
+    * derive signs from BinarySigExpr.planePositive, so they agree on
+    * every bit.
     */
+  // shared with the codegen'd expression so the DuckDB ±1 literals
+  // can never drift from the masks baked into the generated code
   private def bplaneVals(p: Int): Seq[String] =
-    (0 until EmbDim).map { j =>
-      val h = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"bsig-$p:$j".getBytes("UTF-8"))
-      if ((h(0) & 0x80) == 0) "1.0" else "-1.0"
-    }
-
-  private def binarySigSpark(v: String, word: Int): String =
-    (0 until 16).map { b =>
-      val plane = bplaneVals(16 * word + b).mkString("array(", ",", ")")
-      s"""(CASE WHEN aggregate(zip_with($v, $plane,
-            (x, y) -> CAST(x AS DOUBLE) * y),
-            CAST(0 AS DOUBLE), (acc, w) -> acc + w) >= 0
-          THEN ${1 << b} ELSE 0 END)"""
-    }.mkString("(", " + ", ")")
+    (0 until EmbDim).map(j =>
+      if (graft.functions.BinarySigExpr.planePositive(p, j)) "1.0" else "-1.0")
 
   private def binarySigDuck(v: String, word: Int): String =
     (0 until 16).map { b =>
@@ -664,7 +657,8 @@ object VectorOps {
         import org.apache.spark.sql.expressions.Window
         val all = emb(s, d).select(col("vec_id"), col("embedding"))
           .withColumns((0 until 8).map(w =>
-            s"s$w" -> expr(binarySigSpark("embedding", w))).toMap)
+            s"s$w" -> graft.functions.GraftFunctions
+              .binary_sig(col("embedding"), w)).toMap)
         val q = all.where(col("vec_id") < 5)
           .select(Seq(col("vec_id").as("q_id"), col("embedding").as("vq")) ++
             (0 until 8).map(w => col(s"s$w").as(s"t$w")): _*)
