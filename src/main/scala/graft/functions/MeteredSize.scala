@@ -117,5 +117,17 @@ object GraftFunctions {
       exprs => CosineSimilarityExpr(exprs(0), exprs(1)))
     Bridge.registerFunction(spark, "int_dot",
       exprs => IntDotExpr(exprs(0), exprs(1)))
+    Bridge.registerFunction(spark, "binary_sig",
+      exprs => {
+        // SQL form: binary_sig(v, <word literal 0..7>) — the word
+        // selects which 16 planes the expression bakes in, so it must
+        // be foldable at registration time
+        val word = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"binary_sig word must be an INT literal, got $other")
+        }
+        BinarySigExpr(exprs(0), word)
+      })
   }
 }

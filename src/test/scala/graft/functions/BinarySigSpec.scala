@@ -85,4 +85,19 @@ class BinarySigSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!s.isNullAt(0) && s.getInt(0) == 0,
       "null element must be word 0 (every dot null-poisoned)")
   }
+
+  test("SQL registration: binary_sig(v, w) with literal word, non-literal rejected") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    Seq(Array.fill(64)(1f)).toDF("v").createOrReplaceTempView("bsv")
+    val viaSql = spark.sql("SELECT binary_sig(v, 3) AS s FROM bsv")
+      .collect().head.getInt(0)
+    val viaCol = spark.table("bsv")
+      .select(GraftFunctions.binary_sig(col("v"), 3)).collect().head.getInt(0)
+    assert(viaSql == viaCol)
+    val err = intercept[Exception] {
+      spark.sql("SELECT binary_sig(v, CAST(v[1] AS INT)) FROM bsv").collect()
+    }
+    assert(err.getMessage.contains("INT literal"))
+  }
 }
