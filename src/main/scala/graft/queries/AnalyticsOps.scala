@@ -703,6 +703,103 @@ object AnalyticsOps {
     // relative to the corpus (it's a groupBy with map-side combine)
     // and broadcasts to the per-doc join; the per-doc plan is one
     // narrow aggregation. ppl = exp(mean surprisal) rides along.
+    // Bigram LM perplexity with STUPID BACKOFF (Brants et al.,
+    // "Large Language Models in Machine Translation", EMNLP 2007 —
+    // the backoff chosen at web scale precisely because it needs no
+    // normalization pass: score(w|v) = c(vw)/c(v) when the bigram
+    // was seen, else 0.4 * c(w)/N). Train/score split by doc parity
+    // so backoff genuinely fires: the LM trains on EVEN doc ids and
+    // scores the held-out ODD ids, whose unseen bigrams take the
+    // backoff path (n_backoff counts them per doc). OOV unigrams get
+    // the 0.4 pseudo-count. All counts freeze to per-token NLL
+    // micros, so the doc sum is an exact BIGINT both engines agree
+    // on. Scale shape: the bigram and unigram tables are bounded by
+    // vocabulary (hashed in production, same trick as
+    // text_quality_model), built with one map-side-combined groupBy
+    // each and broadcast; scoring is a narrow per-token pass that
+    // partial-aggregates to one row per doc before the shuffle.
+    QueryDef("text_perplexity_bigram",
+      (s, d) => {
+        def toks(df: DataFrame): DataFrame = df
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .select(col("doc_id"), explode(expr(
+            """transform(sequence(1, size(w)),
+                 i -> named_struct('tok', element_at(w, i),
+                   'prev', IF(i = 1, CAST(NULL AS STRING), element_at(w, i - 1))))"""))
+            .as("t"))
+          .select(col("doc_id"), col("t.tok").as("tok"), col("t.prev").as("prev"))
+        val all = docs(s, d).select(col("doc_id"), col("text"))
+        val train = toks(all.where(col("doc_id") % 2 === 0))
+        val heldOut = toks(all.where(col("doc_id") % 2 === 1))
+        // uni and big are vocabulary-bounded model tables consumed by
+        // four broadcast jobs — checkpoint the TINY tables once so
+        // each broadcast doesn't re-run the training scan
+        val uni = train.groupBy("tok").agg(count(lit(1)).cast(LongType).as("c"))
+          .localCheckpoint()
+        val total = uni.agg(sum("c").cast(LongType).as("n"))
+        val big = train.where(col("prev").isNotNull)
+          .groupBy("prev", "tok").agg(count(lit(1)).cast(LongType).as("cbi"))
+          .localCheckpoint()
+        heldOut
+          .join(broadcast(big), Seq("prev", "tok"), "left")
+          .join(broadcast(uni), Seq("tok"), "left")
+          .join(broadcast(uni.select(col("tok").as("prev"),
+            col("c").as("cprev"))), Seq("prev"), "left")
+          .crossJoin(broadcast(total))
+          .withColumn("backoff",
+            col("prev").isNotNull && col("cbi").isNull)
+          .withColumn("nll_micros", expr(
+            """CAST(floor(CASE
+                 WHEN prev IS NULL THEN ln(n / COALESCE(c, 0.4))
+                 WHEN cbi IS NOT NULL THEN ln(CAST(cprev AS DOUBLE) / cbi)
+                 ELSE ln(2.5 * n / COALESCE(c, 0.4))
+               END * 1000000 + 0.5) AS BIGINT)"""))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast(LongType).as("dlen"),
+            sum(when(col("backoff"), 1L).otherwise(0L))
+              .cast(LongType).as("n_backoff"),
+            sum("nll_micros").cast(LongType).as("tot_micros"))
+          .withColumn("avg_nll", round(
+            col("tot_micros").cast(DoubleType) / col("dlen") / 1000000.0, 6))
+          .withColumn("ppl", round(exp(
+            col("tot_micros").cast(DoubleType) / col("dlen") / 1000000.0), 6))
+          .select("doc_id", "dlen", "n_backoff", "avg_nll", "ppl")
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+        |  SELECT doc_id, w[i] AS tok,
+        |    CASE WHEN i = 1 THEN NULL ELSE w[i - 1] END AS prev
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |    unnest(range(1, len(w) + 1)) t(i)),
+        |train AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
+        |held AS (SELECT * FROM toks WHERE doc_id % 2 = 1),
+        |uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM train GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+        |big AS (SELECT prev, tok, CAST(count(*) AS BIGINT) AS cbi
+        |  FROM train WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT h.doc_id,
+        |    (h.prev IS NOT NULL AND b.cbi IS NULL) AS backoff,
+        |    CAST(floor(CASE
+        |        WHEN h.prev IS NULL THEN ln(t.n / COALESCE(u.c, 0.4))
+        |        WHEN b.cbi IS NOT NULL THEN ln(CAST(p.c AS DOUBLE) / b.cbi)
+        |        ELSE ln(2.5 * t.n / COALESCE(u.c, 0.4))
+        |      END * 1000000 + 0.5) AS BIGINT) AS nll_micros
+        |  FROM held h
+        |  LEFT JOIN big b ON b.prev = h.prev AND b.tok = h.tok
+        |  LEFT JOIN uni u ON u.tok = h.tok
+        |  LEFT JOIN uni p ON p.tok = h.prev
+        |  CROSS JOIN tot t),
+        |per_doc AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dlen,
+        |    CAST(sum(CASE WHEN backoff THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff,
+        |    CAST(sum(nll_micros) AS BIGINT) AS tot_micros
+        |  FROM scored GROUP BY 1)
+        |SELECT doc_id, dlen, n_backoff,
+        |  round(CAST(tot_micros AS DOUBLE) / dlen / 1000000.0, 6) AS avg_nll,
+        |  round(exp(CAST(tot_micros AS DOUBLE) / dlen / 1000000.0), 6) AS ppl
+        |FROM per_doc ORDER BY doc_id""".stripMargin)),
+
     QueryDef("text_perplexity",
       (s, d) => {
         val toks = docs(s, d)
