@@ -41,13 +41,19 @@ object BinarySigExpr {
   def planeMask(p: Int): Long =
     (0 until 64).foldLeft(0L)((m, j) =>
       if (planePositive(p, j)) m | (1L << j) else m)
+
+  /** All 128 plane masks, computed once: Catalyst copies expressions
+    * on nearly every tree transform, and each copy would otherwise
+    * re-run 1024 MD5 digests on the driver. */
+  private[functions] lazy val AllMasks: Array[Long] =
+    (0 until 128).map(planeMask).toArray
 }
 
 case class BinarySigExpr(child: Expression, word: Int)
     extends UnaryExpression {
 
-  private val masks: Array[Long] =
-    (0 until 16).map(b => BinarySigExpr.planeMask(16 * word + b)).toArray
+  private def masks: Array[Long] = BinarySigExpr.AllMasks
+  private def maskAt(b: Int): Long = masks(16 * word + b)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
@@ -75,7 +81,7 @@ case class BinarySigExpr(child: Expression, word: Int)
       val x = arr.getFloat(j).toDouble
       var b = 0
       while (b < 16) {
-        if (((masks(b) >>> j) & 1L) == 1L) dots(b) += x
+        if (((maskAt(b) >>> j) & 1L) == 1L) dots(b) += x
         else dots(b) -= x
         b += 1
       }
@@ -84,7 +90,11 @@ case class BinarySigExpr(child: Expression, word: Int)
     var sig = 0
     var b = 0
     while (b < 16) {
-      if (dots(b) >= 0.0) sig |= (1 << b)
+      // !(x < 0), not (x >= 0): a NaN dot (NaN/Inf input values) must
+      // SET the bit — Spark SQL's `>= 0` is nan-safe (NaN sorts above
+      // everything) and DuckDB evaluates NaN >= 0 as true, while
+      // Java's NaN >= 0.0 is false
+      if (!(dots(b) < 0.0)) sig |= (1 << b)
       b += 1
     }
     sig
@@ -104,7 +114,7 @@ case class BinarySigExpr(child: Expression, word: Int)
     val dots = ctx.addMutableState("double[]", "binSigDots",
       v => s"$v = new double[16];")
     val masksArr = ctx.addMutableState("long[]", "binSigMasks",
-      v => s"$v = new long[] {${masks.map(_ + "L").mkString(", ")}};")
+      v => s"$v = new long[] {${(0 until 16).map(b => maskAt(b) + "L").mkString(", ")}};")
     val code =
       code"""
         ${a.code}
@@ -133,7 +143,8 @@ case class BinarySigExpr(child: Expression, word: Int)
             if (!$hasNull) {
               int $sig = 0;
               for (int $b = 0; $b < 16; $b++) {
-                if ($dots[$b] >= 0.0) { $sig |= (1 << $b); }
+                // NaN-parity with Spark SQL / DuckDB `>= 0`: NaN sets the bit
+                if (!($dots[$b] < 0.0)) { $sig |= (1 << $b); }
               }
               ${ev.value} = $sig;
             }

@@ -123,9 +123,10 @@ object GraftFunctions {
         // selects which 16 planes the expression bakes in, so it must
         // be foldable at registration time
         val word = exprs(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _)
+              if v >= 0 && v <= 7 => v
           case other => throw new IllegalArgumentException(
-            s"binary_sig word must be an INT literal, got $other")
+            s"binary_sig word must be an INT literal in 0..7, got $other")
         }
         BinarySigExpr(exprs(0), word)
       })

@@ -66,7 +66,48 @@ object FileIndex {
   def tryStats(path: String): Option[FileStats] =
     statsCache.get(path).orElse(
       try Some(stats(path))
-      catch { case scala.util.control.NonFatal(_) => None })
+      catch {
+        case scala.util.control.NonFatal(e) => tornTail(path) match {
+          // tail magic missing or file vanished: genuinely torn (or
+          // already swept) — invisible to reads, deletable by sweep
+          case Some(true) => None
+          // the footer magic IS intact (or the tail itself was
+          // unreadable): a transient I/O error on a committed file
+          // must fail LOUDLY, not silently drop the file from read
+          // planning or — worse — let sweepOrphans delete committed
+          // records as "torn"
+          case _ => throw e
+        }
+      })
+
+  /** Some(true) = the file provably lacks a parquet footer (shorter
+    * than magic+footer or tail != "PAR1") or is gone; Some(false) =
+    * the tail magic is present; None = the tail could not be read
+    * (undetermined — callers must NOT treat the file as torn).
+    */
+  private def tornTail(path: String): Option[Boolean] = {
+    val p = Paths.get(path)
+    try {
+      val size = Files.size(p)
+      if (size < 12) return Some(true)
+      val ch = java.nio.channels.FileChannel.open(p)
+      try {
+        val buf = java.nio.ByteBuffer.allocate(4)
+        var off = size - 4
+        while (buf.hasRemaining) {
+          val n = ch.read(buf, off)
+          if (n < 0) return Some(true)
+          off += n
+        }
+        Some(!java.util.Arrays.equals(buf.array(),
+          Array[Byte]('P', 'A', 'R', '1')))
+      } finally ch.close()
+    } catch {
+      case _: java.nio.file.NoSuchFileException |
+           _: java.io.FileNotFoundException => Some(true)
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
 
   def stats(path: String): FileStats = statsCache.getOrElseUpdate(path, {
     val in = HadoopInputFile.fromPath(new Path(path), new Configuration())

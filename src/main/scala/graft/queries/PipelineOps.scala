@@ -699,6 +699,15 @@ object PipelineOps {
           .groupBy("doc_id", "lang")
           .agg(sum("n_sub").cast(LongType).as("n_tokens"))
         withStartTok(perDoc)
+          // an all-empty-word doc has n_tokens = 0 (possible under
+          // SUBWORD counting, unlike the whitespace variants): it
+          // must emit NO pack rows. Without the guard the two
+          // engines disagree — Spark's cast(Long) truncates
+          // (start_tok - 1)/2048 toward zero while DuckDB's //
+          // floors, so Spark would emit a phantom (or descending-
+          // sequence) pack. Filtered AFTER the prefix-sum window so
+          // start_tok still accounts for every doc.
+          .where(col("n_tokens") > 0L)
           .withColumn("p0", (col("start_tok") / 2048L).cast(LongType))
           .withColumn("p1",
             ((col("start_tok") + col("n_tokens") - 1L) / 2048L).cast(LongType))
@@ -731,7 +740,7 @@ object PipelineOps {
         |    AS tok_end
         |FROM (SELECT *, unnest(generate_series(CAST(start_tok // 2048 AS BIGINT),
         |    CAST((start_tok + n_tokens - 1) // 2048 AS BIGINT))) AS pack_id
-        |  FROM pref)
+        |  FROM pref WHERE n_tokens > 0)
         |ORDER BY doc_id, pack_id""".stripMargin)),
 
     // End-to-end training-data recipe as ONE declarative plan:

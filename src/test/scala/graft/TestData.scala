@@ -17,4 +17,14 @@ object TestData {
 
   def available(sfDir: String): Boolean =
     java.nio.file.Files.isDirectory(java.nio.file.Paths.get(sfDir))
+
+  /** The one fixture guard every spec shares: resolves the scale dir
+    * and CANCELS (not fails) the calling test when the
+    * driver-generated parquet isn't present on this machine.
+    */
+  def requireSf(scale: String): String = {
+    val d = sf(scale)
+    org.scalatest.Assertions.assume(available(d), s"testdata missing at $d")
+    d
+  }
 }

@@ -61,6 +61,19 @@ class BinarySigSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getInt(0) == 0xFFFF && r.getInt(1) == 0xFFFF)
   }
 
+  test("NaN dots set the bit, matching Spark's nan-safe >= and DuckDB") {
+    import spark.implicits._
+    // a NaN element (non-null path) poisons every dot to NaN; Spark
+    // SQL's `NaN >= 0` is TRUE (nan-safe ordering, NaN above
+    // everything) and DuckDB agrees — the expression must too, which
+    // is why it tests !(dot < 0) rather than Java's (dot >= 0)
+    val df = Seq(Array.fill(64)(Float.NaN)).toDF("v")
+    val r = df.select(GraftFunctions.binary_sig(col("v"), 0).as("fast"),
+      legacy(0).cast("int").as("slow")).collect().head
+    assert(r.getInt(1) == 0xFFFF, "legacy chain changed NaN semantics?")
+    assert(r.getInt(0) == 0xFFFF, "codegen diverged from SQL on NaN dots")
+  }
+
   test("null semantics mirror the SQL chain, not intuitive nullability") {
     import spark.implicits._
     val df = Seq(

@@ -352,4 +352,24 @@ class RecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
     val (log2, tail2) = finalState(st2)
     assert(tail2 == 1L && log2.map(_._2) == Vector("fresh"))
   }
+
+  test("footer magic intact but unreadable stats: loud failure, never swept") {
+    // The torn-file classification must be PROVABLE tornness (missing
+    // parquet tail magic), not "any stats failure": a corrupt-but-
+    // footer-terminated file is indistinguishable from a transient
+    // I/O error on a COMMITTED file, and silently skipping (or worse,
+    // sweeping) it would drop committed records. tryStats must
+    // propagate the error; only the magicless file reads as None.
+    val dir = java.nio.file.Files.createTempDirectory("graft-torncheck")
+    val withMagic = dir.resolve("fake-committed.parquet")
+    java.nio.file.Files.write(withMagic,
+      ("not a parquet file at all" + "PAR1").getBytes)
+    val noMagic = dir.resolve("torn.parquet")
+    java.nio.file.Files.write(noMagic, "truncated mid-write".getBytes)
+    assert(graft.log.FileIndex.tryStats(noMagic.toString).isEmpty,
+      "magicless file must classify as torn")
+    intercept[Exception] {
+      graft.log.FileIndex.tryStats(withMagic.toString)
+    }
+  }
 }

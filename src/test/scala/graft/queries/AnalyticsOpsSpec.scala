@@ -21,14 +21,7 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
-  /** Fixture root; cancels (not fails) the calling test when the
-    * driver-generated parquet isn't present on this machine.
-    */
-  private def sfDir: String = {
-    val d = graft.TestData.sf("sf0.001")
-    assume(graft.TestData.available(d), s"testdata missing at $d")
-    d
-  }
+  private def sfDir: String = graft.TestData.requireSf("sf0.001")
 
   test("count-min never underestimates, for every token in a skewed vocabulary") {
     import spark.implicits._

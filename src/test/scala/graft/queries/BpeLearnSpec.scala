@@ -96,8 +96,7 @@ class BpeLearnSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("8 rounds on the sf0.001 corpus match the sequential learner") {
-    val d = graft.TestData.sf("sf0.001")
-    assume(graft.TestData.available(d), s"testdata missing at $d")
+    val d = graft.TestData.requireSf("sf0.001")
     val freqs = spark.read.parquet(s"$d/documents.parquet")
       .selectExpr("explode(split(text, ' ')) AS tok")
       .where("tok <> ''")

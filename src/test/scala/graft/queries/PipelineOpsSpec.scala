@@ -18,14 +18,7 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
-  /** Fixture root; cancels (not fails) the calling test when the
-    * driver-generated parquet isn't present on this machine.
-    */
-  private def sfDir: String = {
-    val d = graft.TestData.sf("sf0.01")
-    assume(graft.TestData.available(d), s"testdata missing at $d")
-    d
-  }
+  private def sfDir: String = graft.TestData.requireSf("sf0.01")
 
   private def cc(nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
     import spark.implicits._
@@ -95,8 +88,7 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("pack_sequences_bpe: SQL fold == greedy matcher, spans tile in BPE units") {
-    val d = graft.TestData.sf("sf0.001")
-    assume(graft.TestData.available(d), s"testdata missing at $d")
+    val d = graft.TestData.requireSf("sf0.001")
     // spot-pin the greedy matcher itself on known words first
     assert(PipelineOps.bpeTokenize("the") == Seq("the"))
     assert(PipelineOps.bpeTokenize("customer") == Seq("cust", "omer"))

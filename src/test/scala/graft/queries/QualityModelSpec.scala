@@ -23,8 +23,7 @@ class QualityModelSpec extends AnyFunSuite with BeforeAndAfterAll {
   override def afterAll(): Unit = spark.stop()
 
   private def sfDir: String = {
-    val d = graft.TestData.sf("sf0.001")
-    assume(graft.TestData.available(d), s"testdata missing at $d")
+    val d = graft.TestData.requireSf("sf0.001")
     d
   }
 

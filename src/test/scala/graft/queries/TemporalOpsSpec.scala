@@ -19,8 +19,7 @@ class TemporalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     * driver-generated parquet isn't present on this machine.
     */
   private def Sf: String = {
-    val d = graft.TestData.sf("sf0.001")
-    assume(graft.TestData.available(d), s"testdata missing at $d")
+    val d = graft.TestData.requireSf("sf0.001")
     d
   }
 

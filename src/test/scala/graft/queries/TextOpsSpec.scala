@@ -18,8 +18,7 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   override def afterAll(): Unit = spark.stop()
 
   test("dedup_lines: copies fully removed, near-dups keep only their modified tail") {
-    val d = graft.TestData.sf("sf0.001")
-    assume(graft.TestData.available(d), s"testdata missing at $d")
+    val d = graft.TestData.requireSf("sf0.001")
     val out = graft.SparkEntry.queries("dedup_lines")(spark, d).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
     // every doc of the augmented corpus reports
