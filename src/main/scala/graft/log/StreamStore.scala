@@ -912,11 +912,18 @@ final class StreamStore(val spark: SparkSession, val root: String) {
           .repartitionByRange(nParts, col("seq_num"))
           .sortWithinPartitions("seq_num")
           .write.parquet(tmp.toString)
-        // the old generation parks in _trash for a grace period so an
-        // in-flight read planned over the old explicit file list can
-        // still execute; swept after the grace window ("trimming is
-        // eventually consistent", cli/src/cli.rs:143-146). _trash sits
-        // outside data/ so partition discovery never sees it.
+        // the old generation parks in _trash for a grace period
+        // ("trimming is eventually consistent", cli/src/cli.rs:143-146);
+        // _trash sits outside data/ so partition discovery never sees
+        // it. NOTE the directory MOVE changes the old files' paths, so
+        // the grace preserves the bytes (crash forensics, manual
+        // recovery) but NOT a microbatch already planned over the old
+        // paths — a reader racing the swap fails its batch and
+        // recovers by re-planning against the new layout on restart
+        // (the R11 AutoResume path; e2e_stream_during_compact
+        // deliberately quiesces at the tail instead). Keeping racing
+        // plans alive would need generation subdirectories + a
+        // manifest generation pointer so old paths survive the swap.
         val trash = Paths.get(s"$root/_trash")
         Files.createDirectories(trash)
         val old = trash.resolve(

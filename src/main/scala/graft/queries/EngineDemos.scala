@@ -608,8 +608,17 @@ object EngineDemos {
         // the follower query object stays LIVE across all of this:
         st.append("demo-basin1", "cp",
           AppendInput(Seq(TrimCommand(2L))), Some(1500)) // seq 4
-        appendRecs(Seq("r4", "r5"), 2000)                // seqs 5, 6
+        // drain to the tail BEFORE the physical swap: a live follower
+        // with an in-flight microbatch planned over the old file
+        // paths would lose them mid-swap (the batch fails and the
+        // production answer is an R11 auto-resume re-plan —
+        // demonstrated by e2e_r11_auto_resume). This demo pins the
+        // orthogonal guarantee: a CAUGHT-UP follower's checkpoint
+        // state carries seamlessly across the rewrite, with new
+        // microbatches planning against the compacted layout.
+        q.processAllAvailable()
         st.compact("demo-basin1", "cp")                  // physical rewrite
+        appendRecs(Seq("r4", "r5"), 2000)                // seqs 5, 6
         appendRecs(Seq("r6"), 3000)                      // seq 7, new layout
         q.processAllAvailable()
         f
