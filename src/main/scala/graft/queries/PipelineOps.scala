@@ -265,6 +265,11 @@ object PipelineOps {
       .withColumn("is_train", (col("doc_id") % 3000000L) % 2 === 0)
       .select(col("doc_id"), col("label"), col("is_train"),
         split(col("text"), " ").as("w"))
+      // Spark's sequence(1, 0) DESCENDS to [1, 0] and element_at(w, 0)
+      // throws — a 1-token doc would crash the batch plan (the streaming
+      // quality gate already guards this). Filter, don't when(): a doc
+      // with no bigrams contributes no features either way.
+      .where(size(col("w")) >= 2)
       .select(col("doc_id"), col("label"), col("is_train"), explode(expr(
         "transform(sequence(1, size(w) - 1), " +
           "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
@@ -1238,11 +1243,22 @@ object PipelineOps {
     // until the most-boosted (smallest) source keeps everything:
     // rate_i = (p_i^alpha / p_i) / max_j(p_j^alpha / p_j)
     //        = exp(-0.7 ln p_i) / max_j exp(-0.7 ln p_j).
-    // Rates freeze to micros; each doc keeps iff its md5 bucket
-    // (uniform in [0, 1e6)) clears its source's rate — the same
-    // deterministic, retry-stable sampling as sample_stratified.
-    // Shares are exact integer divisions (micros `div`), so the
-    // result hash-matches bit-for-bit. Scale shape: the rate table
+    // Since max_j boost is attained at the smallest source, the rate
+    // collapses to (tokens_min / tokens_i)^0.7 — total_tokens cancels.
+    // That form is computed as ONE pow over a double division of two
+    // exact integers: BIGINT->DOUBLE is exact (< 2^53) and IEEE
+    // division is correctly rounded, so both engines feed pow the
+    // bit-identical input. Residual cross-engine exposure is the
+    // single pow call (Java Math.pow is within 1 ulp, not correctly
+    // rounded) — documented like the other ln-based queries, but
+    // strictly smaller than the old exp(-0.7*ln p)/max form (two
+    // transcendentals per source plus a division of two
+    // error-carrying doubles). Rates freeze to micros; each doc
+    // keeps iff its md5 bucket (uniform in [0, 1e6)) clears its
+    // source's rate — the same deterministic, retry-stable sampling
+    // as sample_stratified. Shares are exact integer divisions
+    // (micros `div`), so the result hash-matches bit-for-bit.
+    // Scale shape: the rate table
     // is one row per SOURCE (bounded, broadcasts forever); the
     // doc-level pass is scan -> broadcast join -> filter ->
     // groupBy(source) with map-side combine. No corpus-sized
@@ -1261,13 +1277,11 @@ object PipelineOps {
             sum("n_tokens").cast(LongType).as("tokens"))
           .localCheckpoint()
         val tot = srcTok.agg(sum("tokens").cast(LongType).as("total_tokens"))
-        val boosts = srcTok.crossJoin(broadcast(tot))
-          .withColumn("boost", expr(
-            "exp(-0.7 * ln(CAST(tokens AS DOUBLE) / total_tokens))"))
-        val mx = boosts.agg(max("boost").as("max_boost"))
-        val rates = boosts.crossJoin(broadcast(mx))
+        val mn = srcTok.agg(min("tokens").cast(LongType).as("min_tokens"))
+        val rates = srcTok.crossJoin(broadcast(tot)).crossJoin(broadcast(mn))
           .withColumn("rate_micros", expr(
-            "CAST(floor(boost / max_boost * 1000000 + 0.5) AS BIGINT)"))
+            "CAST(floor(pow(CAST(min_tokens AS DOUBLE) / " +
+              "CAST(tokens AS DOUBLE), 0.7) * 1000000 + 0.5) AS BIGINT)"))
           .select("source", "n_docs", "tokens", "total_tokens", "rate_micros")
         val kept = perDoc
           .withColumn("bucket",
@@ -1298,15 +1312,12 @@ object PipelineOps {
         |    CAST(sum(n_tokens) AS BIGINT) AS tokens
         |  FROM per_doc GROUP BY source),
         |tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens FROM src_tok),
-        |boosts AS (
-        |  SELECT source, n_docs, tokens, total_tokens,
-        |    exp(-0.7 * ln(CAST(tokens AS DOUBLE) / total_tokens)) AS boost
-        |  FROM src_tok, tot),
-        |mx AS (SELECT max(boost) AS max_boost FROM boosts),
+        |mn AS (SELECT CAST(min(tokens) AS BIGINT) AS min_tokens FROM src_tok),
         |rates AS (
         |  SELECT source, n_docs, tokens, total_tokens,
-        |    CAST(floor(boost / max_boost * 1000000 + 0.5) AS BIGINT) AS rate_micros
-        |  FROM boosts, mx),
+        |    CAST(floor(pow(CAST(min_tokens AS DOUBLE) / CAST(tokens AS DOUBLE),
+        |      0.7) * 1000000 + 0.5) AS BIGINT) AS rate_micros
+        |  FROM src_tok, tot, mn),
         |kept AS (
         |  SELECT p.source, r.n_docs, r.tokens, r.total_tokens, r.rate_micros,
         |    CAST(sum(CASE WHEN

@@ -284,8 +284,11 @@ object VectorOps {
           .select(col("q_id"), col("n_id"))
         val recall = multi.join(brute, Seq("q_id", "n_id"), "left_semi")
           .groupBy("q_id").agg(count(lit(1)).as("hits"))
-        multi.join(broadcast(recall), "q_id")
-          .withColumn("recall10", col("hits").cast(DoubleType) / 10.0)
+        multi.join(broadcast(recall), Seq("q_id"), "left")
+          // left + coalesce: a zero-recall query has no `recall` group;
+          // an inner join would silently drop its top-10 rows (ADVICE r8)
+          .withColumn("recall10",
+            coalesce(col("hits").cast(DoubleType), lit(0.0)) / 10.0)
           .select("q_id", "n_id", "score", "rank", "recall10")
           .orderBy("q_id", "rank")
       },
@@ -326,8 +329,8 @@ object VectorOps {
         |  JOIN brute b ON m.q_id = b.q_id AND m.n_id = b.n_id
         |  GROUP BY m.q_id)
         |SELECT m.q_id, m.n_id, m.score, m.rank,
-        |  CAST(r.hits AS DOUBLE) / 10.0 AS recall10
-        |FROM multi m JOIN recall r ON m.q_id = r.q_id
+        |  CAST(COALESCE(r.hits, 0) AS DOUBLE) / 10.0 AS recall10
+        |FROM multi m LEFT JOIN recall r ON m.q_id = r.q_id
         |ORDER BY m.q_id, m.rank""".stripMargin)),
 
     // IVF with LEARNED centroids — the production coarse quantizer:
@@ -386,8 +389,11 @@ object VectorOps {
           .select(col("q_id"), col("n_id"))
         val recall = multi.join(brute, Seq("q_id", "n_id"), "left_semi")
           .groupBy("q_id").agg(count(lit(1)).as("hits"))
-        multi.join(broadcast(recall), "q_id")
-          .withColumn("recall10", col("hits").cast(DoubleType) / 10.0)
+        multi.join(broadcast(recall), Seq("q_id"), "left")
+          // left + coalesce: a zero-recall query has no `recall` group;
+          // an inner join would silently drop its top-10 rows (ADVICE r8)
+          .withColumn("recall10",
+            coalesce(col("hits").cast(DoubleType), lit(0.0)) / 10.0)
           .select("q_id", "n_id", "score", "rank", "recall10")
           .orderBy("q_id", "rank")
       },
@@ -424,8 +430,8 @@ object VectorOps {
         |  JOIN brute b ON m.q_id = b.q_id AND m.n_id = b.n_id
         |  GROUP BY m.q_id)
         |SELECT m.q_id, m.n_id, m.score, m.rank,
-        |  CAST(r.hits AS DOUBLE) / 10.0 AS recall10
-        |FROM multi m JOIN recall r ON m.q_id = r.q_id
+        |  CAST(COALESCE(r.hits, 0) AS DOUBLE) / 10.0 AS recall10
+        |FROM multi m LEFT JOIN recall r ON m.q_id = r.q_id
         |ORDER BY m.q_id, m.rank""".stripMargin)),
 
     // Product-quantized ANN — the memory-compression end of the ANN
@@ -691,8 +697,11 @@ object VectorOps {
           .select(col("q_id"), col("n_id"))
         val recall = approx.join(brute, Seq("q_id", "n_id"), "left_semi")
           .groupBy("q_id").agg(count(lit(1)).as("hits"))
-        approx.join(broadcast(recall), "q_id")
-          .withColumn("recall10", col("hits").cast(DoubleType) / 10.0)
+        approx.join(broadcast(recall), Seq("q_id"), "left")
+          // left + coalesce: a zero-recall query has no `recall` group;
+          // an inner join would silently drop its top-10 rows (ADVICE r8)
+          .withColumn("recall10",
+            coalesce(col("hits").cast(DoubleType), lit(0.0)) / 10.0)
           .select("q_id", "n_id", "hamming", "score", "rank", "recall10")
           .orderBy("q_id", "rank")
       },
@@ -733,8 +742,8 @@ object VectorOps {
         |  JOIN brute b ON a.q_id = b.q_id AND a.n_id = b.n_id
         |  GROUP BY a.q_id)
         |SELECT a.q_id, a.n_id, a.hamming, a.score, a.rank,
-        |  CAST(r.hits AS DOUBLE) / 10.0 AS recall10
-        |FROM approx a JOIN recall r ON a.q_id = r.q_id
+        |  CAST(COALESCE(r.hits, 0) AS DOUBLE) / 10.0 AS recall10
+        |FROM approx a LEFT JOIN recall r ON a.q_id = r.q_id
         |ORDER BY a.q_id, a.rank""".stripMargin)),
 
     // Embedding-cosine near-dup pairs with random-hyperplane LSH
