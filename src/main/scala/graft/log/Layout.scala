@@ -61,6 +61,18 @@ object Layout {
   def dataDir(root: String, basin: String, stream: String): String =
     s"$root/data/basin=$basin/stream=${escape(stream)}"
 
+  /** Generation subdirectory: the stream's live files sit under
+    * `gen=<manifest.generation>`. Compaction writes the NEXT
+    * generation beside the current one and flips the manifest pointer
+    * (never moving or deleting live paths), so a reader plan created
+    * before the flip keeps reading its old-generation file paths —
+    * they stay on disk until the grace sweep — while every new plan
+    * lists the new generation. The `gen=` spelling is deliberate:
+    * basin-wide scans partition-discover it and prune by it.
+    */
+  def genDir(root: String, basin: String, stream: String, gen: Long): String =
+    s"${dataDir(root, basin, stream)}/gen=$gen"
+
   def statePath(root: String, basin: String, stream: String): Path =
     Paths.get(root, "_state", basin, escape(stream) + ".json")
 
@@ -119,6 +131,13 @@ final case class StreamManifest(
       * separately). Absent in old manifests ⇒ 0.
       */
     reclaimedTo: Long = 0L,
+    /** current data generation — the `gen=N` subdirectory live reads
+      * plan against. Bumped by compact() AFTER the rewritten files are
+      * in place, so the flip is the commit point of a compaction and
+      * old-generation paths outlive it for in-flight reader plans.
+      * Absent in old manifests ⇒ 0.
+      */
+    generation: Long = 0L,
     version: Long = 0L)
 
 /** Driver-side manifest read cache keyed by (mtime, size) — manifests

@@ -54,9 +54,14 @@ final class Maintenance(store: StreamStore,
               case RetentionPolicy.Infinite => None
             }
             lazy val expiredFiles = cutoff.exists { c =>
-              FileIndex.listStats(Layout.dataDir(store.root, basin, e.name))
+              FileIndex.listStats(
+                Layout.genDir(store.root, basin, e.name, m.generation))
                 .exists(_.maxTs < c)
             }
+            // old-generation dirs past the racing-plan grace are
+            // reclaimed on the tick even if the stream never compacts
+            // again
+            store.sweepOldGens(basin, e.name, nowMs = Some(now))
             m.deletionPending || m.trimPoint > m.reclaimedTo || expiredFiles
           }
           // one failing stream must not abort the rest of the pass —

@@ -124,9 +124,12 @@ final class StreamStore(val spark: SparkSession, val root: String) {
   private val sweptStreams =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  private def sweepOrphans(basin: String, stream: String, tailSeq: Long): Unit = {
+  private def sweepOrphans(basin: String, stream: String, tailSeq: Long,
+                           generation: Long): Unit = {
     if (!sweptStreams.add(basin + "\u0000" + stream)) return
-    val dir = Paths.get(Layout.dataDir(root, basin, stream))
+    // orphans can only live in the CURRENT generation: writers commit
+    // into manifest.generation, and a generation flip is itself CAS'd
+    val dir = Paths.get(Layout.genDir(root, basin, stream, generation))
     if (!Files.exists(dir)) return
     val listing = Files.list(dir)
     try listing.iterator().asScala
@@ -246,7 +249,7 @@ final class StreamStore(val spark: SparkSession, val root: String) {
       val m = manifestFresh(basin, stream)
       if (m.deletionPending)
         return Left(AppendError.StreamDeletionPending)
-      sweepOrphans(basin, stream, m.tailSeq)
+      sweepOrphans(basin, stream, m.tailSeq, m.generation)
       // A5: fencing enforced only when a token is provided
       input.fencingToken match {
         case Some(t) if t != m.fencingToken =>
@@ -311,8 +314,8 @@ final class StreamStore(val spark: SparkSession, val root: String) {
           env.headers.map(h => (h.name, h.value)), body, rec.meteredSize)
       }
       // driver-direct write: no Spark job on the ack path
-      val dataFile =
-        DirectParquet.writeBatch(Layout.dataDir(root, basin, stream), recs)
+      val dataFile = DirectParquet.writeBatch(
+        Layout.genDir(root, basin, stream, m.generation), recs)
 
       val first = assigned.head
       val last = assigned.last
@@ -523,9 +526,9 @@ final class StreamStore(val spark: SparkSession, val root: String) {
         if (cur.version != m.version)
           throw new ManifestCasConflict(
             s"ingest lost the commit race for $b/$s: expected v${m.version}, found v${cur.version}")
-        sweepOrphans(b, s, cur.tailSeq)
+        sweepOrphans(b, s, cur.tailSeq, cur.generation)
         val src = Paths.get(s"$stage/basin=$b/stream=${Layout.escape(s)}")
-        val dst = Paths.get(Layout.dataDir(root, b, s))
+        val dst = Paths.get(Layout.genDir(root, b, s, cur.generation))
         Files.createDirectories(dst)
         val moved = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
         if (Files.exists(src)) {
@@ -576,9 +579,13 @@ final class StreamStore(val spark: SparkSession, val root: String) {
   // Read path (R2-R7, R10)
   // -------------------------------------------------------------------------
 
-  /** All durable rows of one stream (no visibility masks). */
+  /** All durable rows of one stream (no visibility masks) — reads the
+    * manifest's CURRENT generation only, so a compaction's new files
+    * become visible exactly when its manifest flip commits.
+    */
   private def rawData(basin: String, stream: String): DataFrame = {
-    val dir = Layout.dataDir(root, basin, stream)
+    val dir = Layout.genDir(root, basin, stream,
+      manifest(basin, stream).generation)
     if (Files.exists(Paths.get(dir)))
       spark.read.schema(recordSchema).parquet(dir)
     else
@@ -717,7 +724,8 @@ final class StreamStore(val spark: SparkSession, val root: String) {
         Some(nowMs.getOrElse(System.currentTimeMillis()) - secs * 1000)
       case RetentionPolicy.Infinite => None
     }
-    val files = FileIndex.listStats(Layout.dataDir(root, basin, stream))
+    val files =
+      FileIndex.listStats(Layout.genDir(root, basin, stream, m.generation))
 
     val start: Long = spec.start.from match {
       case ReadFrom.SeqNum(n) => n
@@ -884,20 +892,36 @@ final class StreamStore(val spark: SparkSession, val root: String) {
     * single-task `coalesce(1)` funnel. `reclaimedTo` records the trim
     * point made physical so the maintenance tick can skip streams with
     * nothing left to reclaim.
+    *
+    * The commit is a GENERATION FLIP, not a directory swap: the
+    * rewrite lands beside the live files as `gen=N+1`, and the
+    * manifest CAS that bumps `generation` is the single commit point.
+    * No live path is ever moved or deleted here, so a reader plan
+    * created before the flip (a follower's in-flight microbatch, a
+    * long batch scan) keeps reading its old-generation files — they
+    * survive in place until sweepOldGens' grace expires, with the
+    * grace clock starting at the flip (the old dir's mtime is touched)
+    * rather than at the stream's last write. New plans read the
+    * manifest and list only `gen=N+1`. Crash matrix: die before the
+    * CAS ⇒ manifest still points at gen N, the orphan gen N+1 dir is
+    * invisible and swept past grace; die after ⇒ gen N+1 is committed
+    * and gen N ages out. Either way nothing a reader can see is ever
+    * torn ("trimming is eventually consistent", cli/src/cli.rs:143-146).
     */
   def compact(basin: String, stream: String, nowMs: Option[Long] = None): Unit =
     withStreamLock(basin, stream) {
       val m = manifestFresh(basin, stream)
-      val dir = Paths.get(Layout.dataDir(root, basin, stream))
+      val streamDir = Paths.get(Layout.dataDir(root, basin, stream))
+      val curDir = Paths.get(Layout.genDir(root, basin, stream, m.generation))
       if (m.deletionPending || m.trimPoint == Long.MaxValue) {
-        deleteRecursively(dir)
+        deleteRecursively(streamDir)
         Files.deleteIfExists(Layout.statePath(root, basin, stream))
         ManifestCache.invalidate(Layout.statePath(root, basin, stream))
         catalog.hardDeleteStream(basin, stream)
-      } else if (Files.exists(dir)) {
+      } else if (Files.exists(curDir)) {
         val tmp = Paths.get(s"$root/_tmp/compact-${System.nanoTime()}")
         val diskBytes = {
-          val s = Files.list(dir)
+          val s = Files.list(curDir)
           try s.iterator().asScala
             .filter(_.toString.endsWith(".parquet")).map(Files.size).sum
           finally s.close()
@@ -912,29 +936,65 @@ final class StreamStore(val spark: SparkSession, val root: String) {
           .repartitionByRange(nParts, col("seq_num"))
           .sortWithinPartitions("seq_num")
           .write.parquet(tmp.toString)
-        // the old generation parks in _trash for a grace period
-        // ("trimming is eventually consistent", cli/src/cli.rs:143-146);
-        // _trash sits outside data/ so partition discovery never sees
-        // it. NOTE the directory MOVE changes the old files' paths, so
-        // the grace preserves the bytes (crash forensics, manual
-        // recovery) but NOT a microbatch already planned over the old
-        // paths — a reader racing the swap fails its batch and
-        // recovers by re-planning against the new layout on restart
-        // (the R11 AutoResume path; e2e_stream_during_compact
-        // deliberately quiesces at the tail instead). Keeping racing
-        // plans alive would need generation subdirectories + a
-        // manifest generation pointer so old paths survive the swap.
-        val trash = Paths.get(s"$root/_trash")
-        Files.createDirectories(trash)
-        val old = trash.resolve(
-          s"$basin~${Layout.escape(stream)}-${System.currentTimeMillis()}")
-        Files.move(dir, old)
-        Files.move(tmp, dir)
+        // next generation number skips past any crashed predecessor's
+        // uncommitted gen dirs so the move below never collides
+        val nextGen = math.max(m.generation, maxGenOnDisk(streamDir)) + 1
+        val dst = Paths.get(Layout.genDir(root, basin, stream, nextGen))
+        Files.move(tmp, dst)
+        try saveManifestCas(basin, stream,
+          m.copy(reclaimedTo = m.trimPoint, generation = nextGen,
+            version = m.version + 1), m.version)
+        catch { case t: Throwable =>
+          // manifest never pointed at the new generation: take it out
+          // whole, same contract as the unary append's failed commit
+          deleteRecursively(dst)
+          throw t
+        }
+        // grace counts from the FLIP — an idle stream's old gen would
+        // otherwise age out instantly and break the racing plans the
+        // generation design exists to keep alive
+        Files.setLastModifiedTime(curDir,
+          java.nio.file.attribute.FileTime.fromMillis(
+            nowMs.getOrElse(System.currentTimeMillis())))
+        sweepOldGens(basin, stream, nowMs = nowMs)
         sweepTrash()
-        saveManifestCas(basin, stream,
-          m.copy(reclaimedTo = m.trimPoint, version = m.version + 1), m.version)
       }
     }
+
+  private def maxGenOnDisk(streamDir: java.nio.file.Path): Long = {
+    if (!Files.exists(streamDir)) return 0L
+    val s = Files.list(streamDir)
+    try s.iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("gen=") && n.drop(4).nonEmpty &&
+        n.drop(4).forall(_.isDigit))
+      .map(_.drop(4).toLong)
+      .foldLeft(0L)(math.max)
+    finally s.close()
+  }
+
+  /** Delete non-current generation dirs older than the grace window:
+    * committed predecessors a racing reader plan may still be
+    * consuming, and uncommitted leftovers of crashed compactions. The
+    * grace mirrors sweepTrash's; an in-flight foreign compaction's
+    * not-yet-committed gen dir is always younger than the grace.
+    */
+  def sweepOldGens(basin: String, stream: String,
+                   graceMs: Long = 10 * 60 * 1000L,
+                   nowMs: Option[Long] = None): Unit = {
+    val cutoff = nowMs.getOrElse(System.currentTimeMillis()) - graceMs
+    val cur = manifest(basin, stream).generation
+    val dir = Paths.get(Layout.dataDir(root, basin, stream))
+    if (!Files.exists(dir)) return
+    val s = Files.list(dir)
+    try s.iterator().asScala.toSeq.foreach { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith("gen=") && n.drop(4).nonEmpty &&
+          n.drop(4).forall(_.isDigit) && n.drop(4).toLong != cur &&
+          Files.getLastModifiedTime(p).toMillis < cutoff)
+        deleteRecursively(p)
+    } finally s.close()
+  }
 
   /** T3: delete-on-empty sweep — streams with DoE configured, no
     * visible records, and no write within min_age get terminally
@@ -989,15 +1049,20 @@ final class StreamStore(val spark: SparkSession, val root: String) {
         case RetentionPolicy.Age(secs) => now - secs * 1000
         case RetentionPolicy.Infinite => Long.MinValue
       }
-      (Layout.escape(s), s, m.tailSeq, m.trimPoint, cutoff)
+      (Layout.escape(s), s, m.tailSeq, m.trimPoint, cutoff, m.generation)
     }
     val maskDf = spark.createDataFrame(masks)
-      .toDF("stream", "stream_name", "tail", "trim", "cutoff")
+      .toDF("stream", "stream_name", "tail", "trim", "cutoff", "cur_gen")
+    // `gen` arrives via partition discovery like `stream`; the mask
+    // join keeps only each stream's CURRENT generation, so a rewrite's
+    // predecessor files (alive within the grace window) never surface
+    // as duplicates in a basin-wide scan
     spark.read.schema(recordSchema).parquet(dir.toString)
       .join(broadcast(maskDf), Seq("stream"))
-      .where(col("seq_num") < col("tail") && col("seq_num") >= col("trim") &&
+      .where(col("gen").cast(LongType) === col("cur_gen") &&
+             col("seq_num") < col("tail") && col("seq_num") >= col("trim") &&
              col("timestamp") >= col("cutoff"))
-      .drop("stream", "tail", "trim", "cutoff")
+      .drop("stream", "gen", "tail", "trim", "cutoff", "cur_gen")
       .withColumnRenamed("stream_name", "stream")
   }
 

@@ -558,28 +558,33 @@ object EngineDemos {
 
     // Follow-during-compaction: a streaming follower keeps running
     // while compact() PHYSICALLY rewrites the stream it reads (trim
-    // mask -> range-partitioned rewrite -> directory swap -> manifest
-    // CAS). The visibility-mask + FileIndex design claims this is
-    // safe; this demo exercises it end-to-end: the follower consumes
-    // a prefix, the stream is then trimmed and compacted WHILE the
-    // query object is live, new appends land in the compacted layout,
-    // and the follower must deliver exactly the new records — no
-    // duplicates from rewritten files (new paths re-list, but offsets
-    // are seq-based), no gaps. A checkpoint restart then plans purely
-    // over the compacted files, and a FRESH follower from seq 0
-    // clamps its start at the trim point (trimmed records are gone,
-    // not redelivered). The physical-reclaim check reads the data dir
-    // directly: min(seq_num) on disk equals the trim point — mask
-    // made physical, not just filtered.
+    // mask -> range-partitioned rewrite into the NEXT generation
+    // directory -> manifest generation flip, CAS'd). The commit is a
+    // pointer flip, never a path move, so a reader plan created
+    // before the flip keeps its old-generation file paths — this demo
+    // proves exactly that: it snapshots the pre-compact generation's
+    // file list (what an in-flight microbatch would hold), compacts
+    // WITHOUT quiescing the live follower, and then (a) re-reads the
+    // snapshotted old paths byte-for-byte (racing plans survive), (b)
+    // shows the follower delivering exactly the new records — no
+    // duplicates from rewritten files, no gaps — while new appends
+    // land in the new generation, (c) restarts from the checkpoint
+    // planning purely over the compacted generation, (d) starts a
+    // FRESH follower from seq 0 that clamps at the trim point, and
+    // (e) sweeps old generations with grace 0 and checks min(seq_num)
+    // in the surviving layout equals the trim point — mask made
+    // physical. This is the e2e companion of GenerationSpec.
     demo("e2e_stream_during_compact", Seq(
       "first_run" -> "r0,r1,r2,r3",
       "after_compact_new" -> "r4,r5,r6",
+      "old_gen_paths_survive_flip" -> "true",
       "restart_in_compacted_layout" -> "r7",
       "delivered_exactly_once" -> "true",
       "fresh_follower_skips_trimmed" -> "r2,r3,r4,r5,r6,r7",
       "physically_reclaimed" -> "true")) { (sp, st) => withDemoPartitions(sp) {
       st.catalog.createStream("demo-basin1", "cp")
-      val dataDir = Layout.dataDir(st.root, "demo-basin1", "cp")
+      def genDir: String = Layout.genDir(st.root, "demo-basin1", "cp",
+        st.manifest("demo-basin1", "cp").generation)
       def appendRecs(names: Seq[String], ts: Long): Unit =
         st.append("demo-basin1", "cp",
           AppendInput(names.map(rec)), Some(ts)).fold(
@@ -608,24 +613,30 @@ object EngineDemos {
         // the follower query object stays LIVE across all of this:
         st.append("demo-basin1", "cp",
           AppendInput(Seq(TrimCommand(2L))), Some(1500)) // seq 4
-        // drain to the tail BEFORE the physical swap: a live follower
-        // with an in-flight microbatch planned over the old file
-        // paths would lose them mid-swap (the batch fails and the
-        // production answer is an R11 auto-resume re-plan —
-        // demonstrated by e2e_r11_auto_resume). This demo pins the
-        // orthogonal guarantee: a CAUGHT-UP follower's checkpoint
-        // state carries seamlessly across the rewrite, with new
-        // microbatches planning against the compacted layout.
-        q.processAllAvailable()
-        st.compact("demo-basin1", "cp")                  // physical rewrite
+        // snapshot what an in-flight microbatch planned RIGHT NOW
+        // would hold: concrete old-generation file paths. No drain —
+        // the trim command (seq 4) is still undelivered when the
+        // rewrite lands, and the follower's next batch must bridge
+        // the flip without loss or duplication.
+        val oldPaths = graft.log.FileIndex.listStats(genDir).map(_.path)
+        val oldRows = oldPaths.map(p =>
+          sp.read.parquet(p).count()).sum
+        st.compact("demo-basin1", "cp")   // generation flip, follower live
+        // racing plans survive: every pre-flip path still opens and
+        // holds the same rows it did before the flip
+        val survived = oldPaths.nonEmpty &&
+          oldPaths.map(p => sp.read.parquet(p).count()).sum == oldRows
         appendRecs(Seq("r4", "r5"), 2000)                // seqs 5, 6
         appendRecs(Seq("r6"), 3000)                      // seq 7, new layout
         q.processAllAvailable()
-        f
+        (f, survived)
       } finally q.stop()
+      val (firstRun, oldGenSurvived) = first
       val afterCompact = sinkBodies("_cpsink")
-      // physical reclaim: the files themselves no longer hold seqs < 2
-      val minOnDisk = sp.read.parquet(dataDir)
+      // physical reclaim: after the grace-0 sweep only the compacted
+      // generation remains, and its files no longer hold seqs < 2
+      st.sweepOldGens("demo-basin1", "cp", graceMs = 0L)
+      val minOnDisk = sp.read.parquet(genDir)
         .selectExpr("min(seq_num)").collect().head.getLong(0)
       // restart from the checkpoint, now planning over compacted files
       appendRecs(Seq("r7"), 4000) // seq 8
@@ -637,9 +648,10 @@ object EngineDemos {
       try q3.processAllAvailable() finally q3.stop()
       val fresh = sinkBodies("_cpsink2")
       Seq(
-        "first_run" -> first.mkString(","),
+        "first_run" -> firstRun.mkString(","),
         "after_compact_new" ->
-          (afterCompact.toSet -- first.toSet).toSeq.sorted.mkString(","),
+          (afterCompact.toSet -- firstRun.toSet).toSeq.sorted.mkString(","),
+        "old_gen_paths_survive_flip" -> oldGenSurvived.toString,
         "restart_in_compacted_layout" ->
           (afterRestart.toSet -- afterCompact.toSet).toSeq.sorted.mkString(","),
         "delivered_exactly_once" ->

@@ -66,7 +66,11 @@ object Follow {
   def followFiles(store: StreamStore, basin: String, stream: String,
                   fromSeq: Long = 0L,
                   maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val dir = Layout.dataDir(store.root, basin, stream)
+    // pinned to the CURRENT generation at stream start; a compaction
+    // flip mid-stream is the known limitation of this fallback (the
+    // DSv2 source re-resolves the generation every plan)
+    val dir = Layout.genDir(store.root, basin, stream,
+      store.manifest(basin, stream).generation)
     var reader = store.spark.readStream.schema(store.recordSchema)
     maxFilesPerTrigger.foreach(n =>
       reader = reader.option("maxFilesPerTrigger", n))

@@ -181,7 +181,7 @@ final class GraftScan(props: Map[String, String],
         math.max(ret, tsLo) // pushed timestamp lower bound prunes too
       }
       if (e <= lo) return Array.empty
-      FileIndex.listStats(Layout.dataDir(root, basin, stream))
+      FileIndex.listStats(Layout.genDir(root, basin, stream, m.generation))
         .filter(st => st.maxSeq >= lo && st.minSeq < e &&
           st.maxTs >= cutoff && st.minTs < tsHi)
         .map(st => GraftInputPartition(st.path, lo, e, cutoff))
@@ -217,12 +217,21 @@ final class GraftMicroBatchStream(root: String, basin: String, stream: String,
                                   nowMsOpt: Option[Long] = None)
     extends MicroBatchStream with SupportsAdmissionControl {
 
-  private val dir = Layout.dataDir(root, basin, stream)
   private lazy val catalog = new Catalog(root)
 
   private def manifest: StreamManifest =
     Layout.readJson[StreamManifest](Layout.statePath(root, basin, stream))
       .getOrElse(StreamManifest())
+
+  /** Current-generation data dir, resolved against the SAME manifest
+    * the caller already holds: a microbatch plans entirely within one
+    * generation, and a compaction flip between two plans is safe
+    * because the old generation's files survive in place for the
+    * grace window (Layout.genDir) — the in-flight batch keeps reading
+    * its planned paths while the next plan lists the new generation.
+    */
+  private def dirFor(m: StreamManifest): String =
+    Layout.genDir(root, basin, stream, m.generation)
 
   /** Resolved retention policy, cached with a short TTL: it changes
     * only via reconfigure, and resolving it per micro-batch per
@@ -305,7 +314,7 @@ final class GraftMicroBatchStream(root: String, basin: String, stream: String,
         var byteEnd = effStart
         var admitted = 0
         var done = false
-        val it = FileIndex.listStats(dir).iterator
+        val it = FileIndex.listStats(dirFor(m)).iterator
           .filter(st => st.maxSeq >= effStart && st.minSeq < tail)
         while (!done && it.hasNext) {
           val st = it.next()
@@ -364,7 +373,7 @@ final class GraftMicroBatchStream(root: String, basin: String, stream: String,
     // shared driver-side footer-stats cache (graft.log.FileIndex):
     // catch-up ranges open only the files overlapping [lo, e) that can
     // still hold unexpired rows
-    FileIndex.listStats(dir)
+    FileIndex.listStats(dirFor(m))
       .filter(st => st.maxSeq >= lo && st.minSeq < e && st.maxTs >= cutoff)
       .map(st => GraftInputPartition(st.path, lo, e, cutoff))
       .toArray[InputPartition]

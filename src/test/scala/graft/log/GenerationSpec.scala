@@ -1,0 +1,143 @@
+package graft.log
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.model._
+
+/** Generation-directory compaction (the analog of the reference's
+  * "trimming is eventually consistent" rewrite, cli/src/cli.rs:143-146,
+  * made safe for concurrent readers): compact() writes `gen=N+1`
+  * BESIDE the live files and commits by CAS-flipping the manifest's
+  * generation pointer — no live path is moved or deleted — so a plan
+  * created before the flip keeps reading its old-generation files
+  * until sweepOldGens' grace expires. These tests pin the flip
+  * protocol's crash matrix and the writer/reader routing around it;
+  * the live-follower lifecycle is e2e_stream_during_compact.
+  */
+class GenerationSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val Basin = "test-basin"
+
+  private def freshStore(): StreamStore = {
+    val dir = Files.createTempDirectory("graft-gen").toString
+    val st = new StreamStore(spark, dir)
+    st.catalog.createBasin(Basin,
+      BasinConfig(defaultStreamConfig =
+        StreamConfig(retentionPolicy = Some(RetentionPolicy.Infinite))))
+      .fold(e => fail(e), identity)
+    st
+  }
+
+  private def env(body: String): EnvelopeRecord =
+    EnvelopeRecord(Nil, body.getBytes)
+
+  private def bodies(st: StreamStore, stream: String): Seq[String] =
+    st.read(Basin, stream, ReadSpec(ReadStart(ReadFrom.SeqNum(0))),
+        ignoreCommands = true)
+      .fold(e => fail(e), identity)
+      .orderBy("seq_num").collect()
+      .map(r => new String(r.getAs[Array[Byte]]("body"))).toSeq
+
+  test("appends land in gen=0; compact flips to gen=1; later appends land there") {
+    val st = freshStore()
+    st.catalog.createStream(Basin, "s")
+    st.append(Basin, "s", AppendInput(Seq(env("a"), env("b"))), Some(1000L))
+    assert(Files.exists(Paths.get(Layout.genDir(st.root, Basin, "s", 0L))))
+    st.append(Basin, "s", AppendInput(Seq(TrimCommand(1))), Some(1100L))
+    st.compact(Basin, "s")
+    assert(st.manifest(Basin, "s").generation == 1L)
+    st.append(Basin, "s", AppendInput(Seq(env("c"))), Some(2000L))
+    // the post-flip append's file is in gen=1, not gen=0
+    val g1 = FileIndex.listStats(Layout.genDir(st.root, Basin, "s", 1L))
+    assert(g1.exists(_.maxSeq >= 3L))
+    assert(bodies(st, "s") == Seq("b", "c"))
+  }
+
+  test("crashed compaction (gen dir present, manifest not flipped) is invisible and recovered") {
+    val st = freshStore()
+    st.catalog.createStream(Basin, "c")
+    st.append(Basin, "c", AppendInput(Seq(env("x"), env("y"))), Some(1000L))
+    // fabricate the crash: a completed gen=1 rewrite whose manifest
+    // CAS never ran (process died between the move and the commit)
+    val orphan = Paths.get(Layout.genDir(st.root, Basin, "c", 1L))
+    Files.createDirectories(orphan)
+    DirectParquet.writeBatch(orphan.toString, Seq(
+      DirectParquet.Rec(0L, 1000L, Nil, "x".getBytes, 9L),
+      DirectParquet.Rec(1L, 1000L, Nil, "y".getBytes, 9L)))
+    // reads still route to the committed generation
+    assert(st.manifest(Basin, "c").generation == 0L)
+    assert(bodies(st, "c") == Seq("x", "y"))
+    // a NEW compaction skips past the orphan number — no collision
+    st.append(Basin, "c", AppendInput(Seq(TrimCommand(1))), Some(1100L))
+    st.compact(Basin, "c")
+    assert(st.manifest(Basin, "c").generation == 2L)
+    assert(bodies(st, "c") == Seq("y"))
+    // grace-expired sweep removes BOTH the predecessor and the orphan
+    st.sweepOldGens(Basin, "c", graceMs = 1000,
+      nowMs = Some(System.currentTimeMillis() + 10 * 60 * 1000))
+    assert(!Files.exists(orphan))
+    assert(!Files.exists(Paths.get(Layout.genDir(st.root, Basin, "c", 0L))))
+    assert(Files.exists(Paths.get(Layout.genDir(st.root, Basin, "c", 2L))))
+  }
+
+  test("a plan captured before the flip still reads its files after compact") {
+    val st = freshStore()
+    st.catalog.createStream(Basin, "r")
+    st.append(Basin, "r", AppendInput((0 until 8).map(i => env(s"r$i"))), Some(1000L))
+    // the racing reader: a DataFrame planned over the current files
+    val preFlip = st.read(Basin, "r", ReadSpec(ReadStart(ReadFrom.SeqNum(0))))
+      .fold(e => fail(e), identity)
+    st.append(Basin, "r", AppendInput(Seq(TrimCommand(4))), Some(1100L))
+    st.compact(Basin, "r")
+    // the pre-flip plan executes AFTER the rewrite committed: its old
+    // paths are intact, so it sees the snapshot it planned (trim not
+    // yet applied — the plan predates it), not an error
+    val seqs = preFlip.orderBy("seq_num").collect().map(_.getLong(0)).toSeq
+    assert(seqs == (0L until 8L))
+    // a fresh plan sees the compacted, trimmed generation
+    assert(bodies(st, "r") == Seq("r4", "r5", "r6", "r7"))
+  }
+
+  test("streaming ingest commits into the current generation after a flip") {
+    val st = freshStore()
+    st.catalog.createStream(Basin, "ing")
+    st.append(Basin, "ing", AppendInput(Seq(env("seed"), env("s2"))), Some(1000L))
+    st.append(Basin, "ing", AppendInput(Seq(TrimCommand(1))), Some(1100L))
+    st.compact(Basin, "ing")
+    assert(st.manifest(Basin, "ing").generation == 1L)
+    import spark.implicits._
+    val df = Seq((Basin, "ing", 2000L, "bulk1"), (Basin, "ing", 2000L, "bulk2"))
+      .toDF("basin", "stream", "arrival", "b")
+      .selectExpr("basin", "stream",
+        "CAST(array() AS ARRAY<STRUCT<name: BINARY, value: BINARY>>) AS headers",
+        "CAST(b AS BINARY) AS body", "CAST(NULL AS BIGINT) AS ts_client",
+        "arrival")
+    st.ingest(df, Some(2000L))
+    val g1 = FileIndex.listStats(Layout.genDir(st.root, Basin, "ing", 1L))
+    assert(g1.exists(_.maxSeq >= 4L), "ingested files must join gen=1")
+    assert(bodies(st, "ing") == Seq("s2", "bulk1", "bulk2"))
+  }
+
+  test("visibleBasin masks out non-current generations (no duplicates inside grace)") {
+    val st = freshStore()
+    st.catalog.createStream(Basin, "vb")
+    st.append(Basin, "vb", AppendInput((0 until 6).map(i => env(s"v$i"))), Some(1000L))
+    st.append(Basin, "vb", AppendInput(Seq(TrimCommand(2))), Some(1100L))
+    st.compact(Basin, "vb") // gen=0 still on disk, inside grace
+    assert(Files.exists(Paths.get(Layout.genDir(st.root, Basin, "vb", 0L))))
+    val rows = st.visibleBasin(Basin).where("stream = 'vb'")
+      .select("seq_num").collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows == Seq(2L, 3L, 4L, 5L, 6L), s"got $rows") // no gen-0 dupes
+  }
+}

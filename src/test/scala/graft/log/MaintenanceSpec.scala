@@ -46,7 +46,8 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r1 = maint.runOnce(Some(2000L))
     assert(r1.compacted == Seq(("test-basin", "t"))) // clean stream skipped
     // physically reclaimed: no file below the trim point remains
-    val stats = FileIndex.listStats(Layout.dataDir(st.root, "test-basin", "t"))
+    val stats = FileIndex.listStats(Layout.genDir(st.root, "test-basin", "t",
+      st.manifest("test-basin", "t").generation))
     assert(stats.nonEmpty && stats.head.minSeq >= 30)
     assert(st.manifest("test-basin", "t").reclaimedTo == 30)
     // reads unchanged
@@ -76,7 +77,8 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val maint = new Maintenance(st, () => Seq("test-basin"))
     val r = maint.runOnce(Some(200000L)) // cutoff = 140000 > old file's ts
     assert(r.compacted.toSet == Set(("test-basin", "aged"), ("test-basin", "gone")))
-    val stats = FileIndex.listStats(Layout.dataDir(st.root, "test-basin", "aged"))
+    val stats = FileIndex.listStats(Layout.genDir(st.root, "test-basin", "aged",
+      st.manifest("test-basin", "aged").generation))
     assert(stats.forall(_.minTs >= 140000L)) // expired file physically gone
     assert(st.catalog.getStream("test-basin", "gone").isEmpty) // hard-deleted
   }

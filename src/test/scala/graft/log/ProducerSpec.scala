@@ -185,7 +185,7 @@ class ProducerSpec extends AnyFunSuite with BeforeAndAfterAll {
     st.catalog.createStream("test-basin", "p9")
     st.append("test-basin", "p9", AppendInput(Seq(env("base"))), Some(1000L))
     val dataDir = java.nio.file.Paths.get(
-      Layout.dataDir(st.root, "test-basin", "p9"))
+      Layout.genDir(st.root, "test-basin", "p9", 0L))
     def parquetCount() = {
       val s = Files.list(dataDir)
       try s.iterator().asScala.count(_.toString.endsWith(".parquet"))
@@ -222,7 +222,7 @@ class ProducerSpec extends AnyFunSuite with BeforeAndAfterAll {
     // simulate a writer that DIED between its data write and manifest
     // commit: a file holding seqs [1,3) with no manifest bump (the
     // exception path deletes this; a process death cannot)
-    DirectParquet.writeBatch(Layout.dataDir(st.root, "test-basin", "p10"), Seq(
+    DirectParquet.writeBatch(Layout.genDir(st.root, "test-basin", "p10", 0L), Seq(
       DirectParquet.Rec(1L, 1500L, Nil, "ghost1".getBytes, 14L),
       DirectParquet.Rec(2L, 1500L, Nil, "ghost2".getBytes, 14L)))
     // the crashed writer's process is gone: recovery happens in a NEW

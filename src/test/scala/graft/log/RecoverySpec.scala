@@ -86,7 +86,8 @@ class RecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
     root
   }
 
-  private def dataDir(root: String): Path = Paths.get(Layout.dataDir(root, Basin, Stream))
+  private def dataDir(root: String): Path =
+    Paths.get(Layout.genDir(root, Basin, Stream, 0L))
 
   private def listData(root: String): Set[String] = {
     val d = dataDir(root)

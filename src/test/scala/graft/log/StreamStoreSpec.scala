@@ -676,7 +676,7 @@ class StreamStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       appendOk(st, "budget",
         AppendInput((0 until 10).map(j => env("x" * 100))), 1000L + i)
     }
-    val dir = Layout.dataDir(st.root, "test-basin", "budget")
+    val dir = Layout.genDir(st.root, "test-basin", "budget", 0L)
     assert(FileIndex.listStats(dir).size == 50)
     // budget of ~3 files' worth from seq 0
     val df = st.read("test-basin", "budget",
@@ -863,27 +863,35 @@ class StreamStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(st.catalog.getStream("auto-basin4", "dying").isEmpty)
   }
 
-  test("compact parks the old generation in _trash for a grace window") {
+  test("compact keeps the old generation in place for a grace window") {
     val st = freshStore()
     st.catalog.createStream("test-basin", "gen")
     (0 until 3).foreach(_ =>
       appendOk(st, "gen", AppendInput(Seq(env("r")))))
     st.append("test-basin", "gen", AppendInput(Seq(TrimCommand(2))), Some(1000000L))
+    val oldPaths = FileIndex.listStats(
+      Layout.genDir(st.root, "test-basin", "gen", 0L)).map(_.path)
+    assert(oldPaths.nonEmpty)
     st.compact("test-basin", "gen")
-    val trash = java.nio.file.Paths.get(s"${st.root}/_trash")
-    def trashEntries = {
-      val s0 = Files.list(trash)
-      try s0.iterator().asScala.size finally s0.close()
-    }
-    assert(Files.exists(trash) && trashEntries == 1) // old gen parked
+    // the flip committed: manifest points at gen 1...
+    assert(st.manifest("test-basin", "gen").generation == 1L)
+    // ...and every pre-flip path is STILL on disk, readable in place
+    // (what keeps a racing reader plan alive across the rewrite)
+    oldPaths.foreach(p => assert(FileIndex.tryStats(p).nonEmpty, p))
     // reads over the NEW generation are correct
     val rows = st.readBatch("test-basin", "gen",
       ReadSpec(ReadStart(ReadFrom.SeqNum(0)))).toOption.get
     assert(rows.head.seqNum == 2)
-    // grace passed: sweep removes it
-    st.sweepTrash(graceMs = 1000,
+    // within grace: the old generation is protected
+    st.sweepOldGens("test-basin", "gen")
+    oldPaths.foreach(p => assert(FileIndex.tryStats(p).nonEmpty, p))
+    // grace passed: sweep removes exactly the non-current generations
+    st.sweepOldGens("test-basin", "gen", graceMs = 1000,
       nowMs = Some(System.currentTimeMillis() + 10 * 60 * 1000))
-    assert(trashEntries == 0)
+    oldPaths.foreach(p =>
+      assert(!Files.exists(java.nio.file.Paths.get(p)), p))
+    assert(FileIndex.listStats(
+      Layout.genDir(st.root, "test-basin", "gen", 1L)).nonEmpty)
   }
 
   test("catalog load is cached: appends do not re-parse a large catalog (O(1)-ish ack path)") {

@@ -279,7 +279,7 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       AppendInput(Seq(env("a"), env("b"), env("c"), env("d"))), Some(1000L))
     st.append("test-basin", "s", AppendInput(Seq(env("e"), env("f"))), Some(2000L))
 
-    val files = FileIndex.listStats(Layout.dataDir(dir, "test-basin", "s"))
+    val files = FileIndex.listStats(Layout.genDir(dir, "test-basin", "s", 0L))
     assert(files.size == 2)
     val whole1 = FileIndex.sums(files(0).path).metered
     val whole2 = FileIndex.sums(files(1).path).metered
