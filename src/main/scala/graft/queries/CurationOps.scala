@@ -1,0 +1,442 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-curation operators a production web-scale pipeline runs
+  * between crawl and training, beyond the dedup/ANN/text families:
+  * URL canonicalization dedup (the first dedup any CommonCrawl-style
+  * pipeline applies — cheaper than any content hash), hybrid
+  * lexical+semantic retrieval fused with reciprocal-rank fusion,
+  * edit-distance near-dup verification over blocked candidates,
+  * per-source quality-threshold sampling without a global sort, and
+  * two-snapshot distribution-drift monitoring.
+  *
+  * Cross-engine determinism strategy (shared with the other query
+  * families): all scores/shares freeze to fixed-point integers
+  * (micros / ppm) computed with integer division, so group-by order
+  * can never perturb a comparison and both engines hash-match
+  * bit-for-bit.
+  */
+object CurationOps {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/documents.parquet")
+  private def emb(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/embeddings.parquet")
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // URL-canonicalization dedup — the FIRST dedup of a crawl
+    // pipeline: the same page is fetched under scheme/host case
+    // variants, default ports, tracking query params, fragments and
+    // index-file suffixes; canonicalizing the URL collapses them
+    // before a single content byte is hashed. The corpus has no URL
+    // column, so each doc deterministically gets one of 6 variant
+    // spellings of its group's URL (doc_id div 6 = the page, doc_id
+    // % 6 = the variant) — the same augmentation on both engines.
+    // Canonicalization is a fixed chain of scan-side regexes
+    // (codegen'd, zero UDFs): strip fragment, lowercase scheme+host
+    // (path case is PRESERVED — it is significant in real URLs),
+    // drop default :443, drop utm_* tracking params, drop
+    // /index.html, drop trailing slash. Scale shape: the chain runs
+    // inside the scan projection; the only shuffle is the groupBy on
+    // the canonical key — one hash row per URL, the minimum any
+    // dedup can move. No RE2-incompatible syntax (no lookaheads) so
+    // the same patterns run on both engines.
+    QueryDef("dedup_url",
+      (s, d) => {
+        val base = docs(s, d).select(col("doc_id"),
+          (col("doc_id") / 6).cast(LongType).as("gid"),
+          (col("doc_id") % 6).cast(IntegerType).as("v"))
+          .withColumn("host",
+            concat(lit("www.host"), col("gid") % 7, lit(".example.com")))
+          .withColumn("raw", expr(
+            """CASE v
+                 WHEN 0 THEN concat('https://', host, '/Docs/', gid)
+                 WHEN 1 THEN concat('HTTPS://', upper(host), '/Docs/', gid)
+                 WHEN 2 THEN concat('https://', host, ':443/Docs/', gid)
+                 WHEN 3 THEN concat('https://', host, '/Docs/', gid,
+                                    '?utm_source=feed&utm_campaign=x')
+                 WHEN 4 THEN concat('https://', host, '/Docs/', gid,
+                                    '#section-2')
+                 ELSE concat('https://', host, '/Docs/', gid, '/index.html')
+               END"""))
+        val canon = base.withColumn("c", expr(
+          """regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     concat(
+                       lower(regexp_extract(regexp_replace(raw, '#.*$', ''),
+                                            '^[^:]+://[^/?#]+', 0)),
+                       substr(regexp_replace(raw, '#.*$', ''),
+                              length(regexp_extract(regexp_replace(raw, '#.*$', ''),
+                                                    '^[^:]+://[^/?#]+', 0)) + 1)),
+                     '://([^/]*):443/', '://$1/'),
+                   'utm_[a-z]+=[^&#]*&?', ''),
+                 '[?&]$', ''),
+               '/index\\.html$', '')"""))
+          .withColumn("c", regexp_replace(col("c"), "/$", ""))
+        canon.groupBy(col("c").as("canonical_url"))
+          .agg(count(lit(1)).cast(LongType).as("n_urls"),
+            countDistinct(col("raw")).cast(LongType).as("n_raw_spellings"),
+            min("doc_id").cast(LongType).as("kept_doc"))
+          .orderBy("canonical_url")
+      },
+      Some("""WITH base AS (
+        |  SELECT doc_id, doc_id // 6 AS gid, doc_id % 6 AS v,
+        |    'www.host' || (doc_id // 6) % 7 || '.example.com' AS host
+        |  FROM documents),
+        |raws AS (
+        |  SELECT doc_id,
+        |    CASE v
+        |      WHEN 0 THEN 'https://' || host || '/Docs/' || gid
+        |      WHEN 1 THEN 'HTTPS://' || upper(host) || '/Docs/' || gid
+        |      WHEN 2 THEN 'https://' || host || ':443/Docs/' || gid
+        |      WHEN 3 THEN 'https://' || host || '/Docs/' || gid
+        |                  || '?utm_source=feed&utm_campaign=x'
+        |      WHEN 4 THEN 'https://' || host || '/Docs/' || gid || '#section-2'
+        |      ELSE 'https://' || host || '/Docs/' || gid || '/index.html'
+        |    END AS raw
+        |  FROM base),
+        |nofrag AS (SELECT doc_id, raw, regexp_replace(raw, '#.*$', '') AS nf
+        |           FROM raws),
+        |canon AS (
+        |  SELECT doc_id, raw,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(
+        |              lower(regexp_extract(nf, '^[^:]+://[^/?#]+'))
+        |                || substr(nf,
+        |                     length(regexp_extract(nf, '^[^:]+://[^/?#]+')) + 1),
+        |              '://([^/]*):443/', '://\1/'),
+        |            'utm_[a-z]+=[^&#]*&?', '', 'g'),
+        |          '[?&]$', ''),
+        |        '/index\.html$', ''),
+        |      '/$', '') AS c
+        |  FROM nofrag)
+        |SELECT c AS canonical_url, CAST(count(*) AS BIGINT) AS n_urls,
+        |  CAST(count(DISTINCT raw) AS BIGINT) AS n_raw_spellings,
+        |  CAST(min(doc_id) AS BIGINT) AS kept_doc
+        |FROM canon GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Hybrid retrieval with reciprocal-rank fusion (Cormack et al.,
+    // SIGIR 2009 — the standard way RAG stacks combine BM25 and
+    // embedding search without score calibration): the lexical arm is
+    // the same BM25 formula as text_bm25_topk (3-term query, top 20),
+    // the semantic arm is cosine against a query vector (vec 0's
+    // embedding, doc_id = vec_id in the corpus, top 20), and the fused
+    // score per doc is sum over arms of floor(1e6 / (60 + rank)) —
+    // exact integers, so tie behavior is pinned. A doc on one list
+    // only contributes from that list (full outer fusion). Scale
+    // shape: each arm ends in a top-k (TakeOrdered, never a global
+    // window over the corpus); fusion joins two <= k-row lists — a
+    // driver-sized op no matter the corpus size. The semantic arm
+    // broadcasts the 1-row query vector through the corpus scan.
+    QueryDef("rank_fusion_rrf",
+      (s, d) => {
+        import s.implicits._
+        // lexical arm — BM25 over the fixed 3-term query
+        val toks = docs(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        val dl = toks.groupBy("doc_id").agg(count(lit(1)).cast(LongType).as("dlen"))
+        val stats = dl.agg(
+          count(lit(1)).cast(LongType).as("n_docs"),
+          sum("dlen").cast(LongType).as("tot"))
+        val qt = Seq("spark", "join", "window").toDF("term")
+        val tf = toks.join(broadcast(qt), toks("tok") === qt("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).cast(LongType).as("tf"))
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).cast(LongType).as("df"))
+        val contrib = tf
+          .join(broadcast(dfreq), "term")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(stats))
+          .withColumn("micros", expr(
+            """CAST(floor(
+                 ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+                 * (tf * 2.2)
+                 / (tf + 1.2 * (0.25 + 0.75 * dlen * n_docs / CAST(tot AS DOUBLE)))
+                 * 1000000 + 0.5) AS BIGINT)"""))
+        val wl = Window.orderBy(col("micros").desc, col("doc_id"))
+        val lex = contrib.groupBy("doc_id")
+          .agg(sum("micros").cast(LongType).as("micros"))
+          .orderBy(col("micros").desc, col("doc_id")).limit(20)
+          .withColumn("lex_rank", row_number().over(wl).cast(LongType))
+          .select("doc_id", "lex_rank")
+        // semantic arm — cosine vs the query vector, top 20
+        val q = emb(s, d).where(col("vec_id") === 0)
+          .select(col("embedding").as("vq"))
+        val ws = Window.orderBy(col("score").desc, col("doc_id"))
+        val sem = emb(s, d)
+          .select(col("vec_id").as("doc_id"), col("embedding").as("ve"))
+          .crossJoin(broadcast(q))
+          .withColumn("score", round(
+            graft.functions.GraftFunctions.cosine_sim(col("vq"), col("ve")), 6))
+          .orderBy(col("score").desc, col("doc_id")).limit(20)
+          .withColumn("sem_rank", row_number().over(ws).cast(LongType))
+          .select("doc_id", "sem_rank")
+        val wf = Window.orderBy(col("rrf_ppm").desc, col("doc_id"))
+        lex.join(sem, Seq("doc_id"), "full_outer")
+          .withColumn("rrf_ppm",
+            coalesce(expr("1000000 div (60 + lex_rank)"), lit(0L)) +
+            coalesce(expr("1000000 div (60 + sem_rank)"), lit(0L)))
+          .withColumn("lex_rank", coalesce(col("lex_rank"), lit(0L)))
+          .withColumn("sem_rank", coalesce(col("sem_rank"), lit(0L)))
+          .withColumn("fused_rank", row_number().over(wf).cast(LongType))
+          .select("doc_id", "lex_rank", "sem_rank", "rrf_ppm", "fused_rank")
+          .orderBy("fused_rank")
+      },
+      Some(s"""WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dlen FROM toks GROUP BY 1),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |                 CAST(sum(dlen) AS BIGINT) AS tot FROM dl),
+        |qt AS (SELECT unnest(['spark', 'join', 'window']) AS term),
+        |tf AS (SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM toks JOIN qt ON toks.tok = qt.term GROUP BY 1, 2),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |contrib AS (
+        |  SELECT tf.doc_id,
+        |    CAST(floor(
+        |      ln((CAST(s.n_docs AS DOUBLE) - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+        |      * (tf.tf * 2.2)
+        |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dlen * s.n_docs / CAST(s.tot AS DOUBLE)))
+        |      * 1000000 + 0.5) AS BIGINT) AS micros
+        |  FROM tf JOIN dfreq USING (term) JOIN dl ON dl.doc_id = tf.doc_id, stats s),
+        |lex AS (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY micros DESC, doc_id) AS BIGINT)
+        |      AS lex_rank
+        |  FROM (SELECT doc_id, CAST(sum(micros) AS BIGINT) AS micros
+        |        FROM contrib GROUP BY 1)
+        |  QUALIFY lex_rank <= 20),
+        |q AS (SELECT embedding AS vq FROM embeddings WHERE vec_id = 0),
+        |sem AS (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+        |      AS sem_rank
+        |  FROM (
+        |    SELECT e.vec_id AS doc_id,
+        |      round(${duckCosine("q.vq", "e.embedding")}, 6) AS score
+        |    FROM embeddings e, q)
+        |  QUALIFY sem_rank <= 20)
+        |SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+        |  CAST(COALESCE(l.lex_rank, 0) AS BIGINT) AS lex_rank,
+        |  CAST(COALESCE(s.sem_rank, 0) AS BIGINT) AS sem_rank,
+        |  COALESCE(1000000 // (60 + l.lex_rank), 0)
+        |    + COALESCE(1000000 // (60 + s.sem_rank), 0) AS rrf_ppm,
+        |  CAST(row_number() OVER (ORDER BY
+        |    COALESCE(1000000 // (60 + l.lex_rank), 0)
+        |      + COALESCE(1000000 // (60 + s.sem_rank), 0) DESC,
+        |    COALESCE(l.doc_id, s.doc_id)) AS BIGINT) AS fused_rank
+        |FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+        |ORDER BY fused_rank""".stripMargin)),
+
+    // Edit-distance near-dup: the verification tier below
+    // shingle-Jaccard — catches single-token edits that keep the
+    // shingle set almost intact but also typo-class changes no
+    // shingle method scores precisely. All-pairs Levenshtein is
+    // O(n² · len²) and unthinkable at scale, so candidates are
+    // BLOCKED on md5 of the text's last 40 chars (a prefix edit
+    // leaves the suffix intact — the complement of prefix-blocking;
+    // production runs both polarities) plus a |length diff| <= 12
+    // guard that is a lower bound on the distance, and only the
+    // blocked pairs pay the quadratic verify. Near-dup twins (first
+    // token replaced by 'zzz') are planted for doc_id % 17 == 0 —
+    // the same augmentation on both engines. Scale shape: one
+    // shuffle on the block key; pair count is sum over blocks of
+    // |block|², never corpus²; levenshtein (codegen'd in Spark,
+    // native in DuckDB) runs only on survivors.
+    QueryDef("dedup_near_edit",
+      (s, d) => {
+        val base = docs(s, d).select(col("doc_id"), col("text"))
+        val aug = base.unionAll(
+          base.where(col("doc_id") % 17 === 0)
+            .select((col("doc_id") + 5000000L).as("doc_id"),
+              regexp_replace(col("text"), "^[a-z]+ ", "zzz ").as("text")))
+          .withColumn("bk", md5(expr("right(text, 40)").cast(BinaryType)))
+          .withColumn("len", length(col("text")).cast(LongType))
+        val a = aug.select(col("doc_id").as("id_a"), col("text").as("ta"),
+          col("bk"), col("len").as("la"))
+        val b = aug.select(col("doc_id").as("id_b"), col("text").as("tb"),
+          col("bk"), col("len").as("lb"))
+        a.join(b, Seq("bk"))
+          .where(col("id_a") < col("id_b") &&
+            abs(col("la") - col("lb")) <= 12)
+          .withColumn("dist", levenshtein(col("ta"), col("tb")).cast(LongType))
+          .where(col("dist") <= 12)
+          .select(col("id_a"), col("id_b"), col("dist"),
+            (col("id_b") - col("id_a") === 5000000L).as("is_planted_twin"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 5000000, regexp_replace(text, '^[a-z]+ ', 'zzz ')
+        |  FROM documents WHERE doc_id % 17 = 0),
+        |keyed AS (
+        |  SELECT doc_id, text, md5(right(text, 40)) AS bk,
+        |    CAST(length(text) AS BIGINT) AS len
+        |  FROM aug)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist,
+        |  (b.doc_id - a.doc_id = 5000000) AS is_planted_twin
+        |FROM keyed a JOIN keyed b
+        |  ON a.bk = b.bk AND a.doc_id < b.doc_id
+        |WHERE abs(a.len - b.len) <= 12
+        |  AND levenshtein(a.text, b.text) <= 12
+        |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Per-source quality-threshold sampling WITHOUT a global sort —
+    // how a real pipeline takes "the best 25% of every source": a
+    // per-doc integer quality score (stopword-ratio micros, the
+    // text_quality signal), a per-source 65-bin histogram of scores
+    // (bounded state, map-side combined), a descending cumulative
+    // walk over the BINS to find the threshold where the top-quartile
+    // target is crossed, and a final mask `bin >= threshold`. The
+    // only windows partition by source over <= 65 histogram rows; the
+    // corpus itself is never sorted or ranked — the shape that holds
+    // when one source is 40 TB. (Bin-resolution keep counts overshoot
+    // the exact quartile by at most one bin's population — reported
+    // as kept_micros so the overshoot is observable.)
+    QueryDef("sample_quality_threshold",
+      (s, d) => {
+        val w = split(col("text"), " ")
+        val scored = docs(s, d).select(col("source"),
+            size(w).cast(LongType).as("n_tokens"),
+            size(filter(w, x => x.isin("the", "a", "and", "of", "to")))
+              .cast(LongType).as("n_stop"))
+          .withColumn("score", expr("n_stop * 1000000 div n_tokens"))
+          .withColumn("bin", expr("score div 15625"))
+        val hist = scored.groupBy("source", "bin")
+          .agg(count(lit(1)).cast(LongType).as("c"))
+        val tot = scored.groupBy("source")
+          .agg(count(lit(1)).cast(LongType).as("n_docs"))
+          .withColumn("k_target", expr("(n_docs + 3) div 4"))
+        val wc = Window.partitionBy("source").orderBy(col("bin").desc)
+        val cum = hist
+          .withColumn("cum", sum("c").over(wc).cast(LongType))
+          .join(broadcast(tot), "source")
+        cum.where(col("cum") >= col("k_target"))
+          .groupBy("source", "n_docs", "k_target")
+          .agg(max("bin").cast(LongType).as("threshold_bin"),
+            min("cum").cast(LongType).as("kept_docs"))
+          .withColumn("kept_micros", expr("kept_docs * 1000000 div n_docs"))
+          .orderBy("source")
+      },
+      Some("""WITH scored AS (
+        |  SELECT source,
+        |    (CAST(len(list_filter(string_split(text, ' '),
+        |       t -> t IN ('the', 'a', 'and', 'of', 'to'))) AS BIGINT) * 1000000)
+        |      // CAST(len(string_split(text, ' ')) AS BIGINT) AS score
+        |  FROM documents),
+        |binned AS (SELECT source, score // 15625 AS bin FROM scored),
+        |hist AS (SELECT source, bin, CAST(count(*) AS BIGINT) AS c
+        |         FROM binned GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |          (CAST(count(*) AS BIGINT) + 3) // 4 AS k_target
+        |        FROM binned GROUP BY 1),
+        |cum AS (
+        |  SELECT h.source, h.bin, t.n_docs, t.k_target,
+        |    CAST(sum(h.c) OVER (PARTITION BY h.source ORDER BY h.bin DESC)
+        |      AS BIGINT) AS cum
+        |  FROM hist h JOIN tot t USING (source))
+        |SELECT source, n_docs, k_target,
+        |  CAST(max(bin) AS BIGINT) AS threshold_bin,
+        |  CAST(min(cum) AS BIGINT) AS kept_docs,
+        |  (CAST(min(cum) AS BIGINT) * 1000000) // n_docs AS kept_micros
+        |FROM cum WHERE cum >= k_target
+        |GROUP BY 1, 2, 3 ORDER BY source""".stripMargin)),
+
+    // Corpus distribution drift between two snapshots — the
+    // monitoring query a continuously-ingesting pipeline runs before
+    // admitting a new crawl batch: per-feature (lang, source, length
+    // bucket) share histograms for the base and candidate snapshots
+    // (split by doc parity here — the same split both engines see),
+    // then L1 distance and max single-bucket gap per feature, all in
+    // share-micros. Scale shape: ONE scan explodes each doc into its
+    // 3 (feature, bucket) pairs, one map-side-combined groupBy on
+    // (snapshot, feature, bucket) — bounded output (features x
+    // buckets) — and the distance math runs on the tiny aggregate.
+    // The full-outer join catches buckets present in only one
+    // snapshot (their whole share counts as drift).
+    QueryDef("stats_drift",
+      (s, d) => {
+        val feats = docs(s, d).select(
+          (col("doc_id") % 2 === 0).as("is_base"),
+          explode(array(
+            struct(lit("lang").as("feature"), col("lang").as("bucket")),
+            struct(lit("source").as("feature"), col("source").as("bucket")),
+            struct(lit("len64").as("feature"),
+              (col("n_chars") / 64).cast(LongType).cast(StringType)
+                .as("bucket")))).as("fb"))
+          .select(col("is_base"), col("fb.feature").as("feature"),
+            col("fb.bucket").as("bucket"))
+        val counts = feats.groupBy("is_base", "feature", "bucket")
+          .agg(count(lit(1)).cast(LongType).as("c"))
+        val totals = feats.where(col("feature") === "lang")
+          .groupBy("is_base")
+          .agg(count(lit(1)).cast(LongType).as("n"))
+        val shares = counts.join(broadcast(totals), "is_base")
+          .withColumn("share_micros", expr("c * 1000000 div n"))
+        val b = shares.where(col("is_base"))
+          .select(col("feature"), col("bucket"),
+            col("share_micros").as("base_micros"))
+        val c = shares.where(!col("is_base"))
+          .select(col("feature"), col("bucket"),
+            col("share_micros").as("cand_micros"))
+        b.join(c, Seq("feature", "bucket"), "full_outer")
+          .withColumn("gap", abs(coalesce(col("base_micros"), lit(0L)) -
+            coalesce(col("cand_micros"), lit(0L))))
+          .groupBy("feature")
+          .agg(count(lit(1)).cast(LongType).as("n_buckets"),
+            sum("gap").cast(LongType).as("l1_micros"),
+            max("gap").cast(LongType).as("max_gap_micros"))
+          .orderBy("feature")
+      },
+      Some("""WITH feats AS (
+        |  SELECT doc_id % 2 = 0 AS is_base, 'lang' AS feature, lang AS bucket
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id % 2 = 0, 'source', source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id % 2 = 0, 'len64', CAST(n_chars // 64 AS VARCHAR)
+        |  FROM documents),
+        |counts AS (
+        |  SELECT is_base, feature, bucket, CAST(count(*) AS BIGINT) AS c
+        |  FROM feats GROUP BY 1, 2, 3),
+        |totals AS (
+        |  SELECT is_base, CAST(count(*) AS BIGINT) AS n
+        |  FROM feats WHERE feature = 'lang' GROUP BY 1),
+        |shares AS (
+        |  SELECT c.is_base, c.feature, c.bucket, (c.c * 1000000) // t.n AS sm
+        |  FROM counts c JOIN totals t USING (is_base)),
+        |joined AS (
+        |  SELECT COALESCE(b.feature, c.feature) AS feature,
+        |    abs(COALESCE(b.sm, 0) - COALESCE(c.sm, 0)) AS gap
+        |  FROM (SELECT feature, bucket, sm FROM shares WHERE is_base) b
+        |  FULL OUTER JOIN
+        |       (SELECT feature, bucket, sm FROM shares WHERE NOT is_base) c
+        |    ON b.feature = c.feature AND b.bucket = c.bucket)
+        |SELECT feature, CAST(count(*) AS BIGINT) AS n_buckets,
+        |  CAST(sum(gap) AS BIGINT) AS l1_micros,
+        |  CAST(max(gap) AS BIGINT) AS max_gap_micros
+        |FROM joined GROUP BY 1 ORDER BY feature""".stripMargin)))
+
+  /** DuckDB equivalent of the codegen'd sequential-fold cosine
+    * (same fold order as graft.functions.CosineSimilarityExpr, so
+    * 6-decimal rounding hash-matches — mirrors VectorOps.duckCosine).
+    */
+  private def duckCosine(a: String, b: String): String =
+    s"""(list_reduce(list_transform(list_zip($a, $b),
+          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, v) -> acc + v)
+        / (sqrt(list_reduce(list_transform($a, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)),
+             (acc, v) -> acc + v))
+         * sqrt(list_reduce(list_transform($b, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)),
+             (acc, v) -> acc + v))))"""
+}

@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Semantic guarantees of the curation operators beyond what the
+  * DuckDB hash-match witnesses: URL canonicalization actually
+  * collapses every variant class, RRF fusion puts a doc on both
+  * top-20 lists above a doc on one, the edit-distance blocker finds
+  * every planted twin (suffix blocking is recall-complete for prefix
+  * edits), the quality threshold keeps at least the quartile target
+  * per source with bounded overshoot, and drift is zero between
+  * identical snapshots by construction.
+  */
+class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def sfDir: String = graft.TestData.requireSf("sf0.001")
+
+  private def run(name: String) =
+    graft.SparkEntry.queries(name)(spark, sfDir)
+
+  test("dedup_url: every 6-variant group collapses to ONE canonical url") {
+    val rows = run("dedup_url").collect()
+    assert(rows.nonEmpty)
+    // full groups (6 docs) must count all 6 raw spellings as one page
+    val full = rows.filter(_.getAs[Long]("n_urls") == 6L)
+    assert(full.nonEmpty, "expected at least one full 6-variant group")
+    full.foreach { r =>
+      assert(r.getAs[Long]("n_raw_spellings") == 6L,
+        s"variants not distinct pre-canon: $r")
+      val c = r.getAs[String]("canonical_url")
+      assert(c.startsWith("https://www.host"), c)
+      assert(!c.contains(":443") && !c.contains("#") &&
+        !c.contains("utm_") && !c.endsWith("/index.html") &&
+        !c.endsWith("/"), s"canonicalization left residue: $c")
+      assert(c.contains("/Docs/"), s"path case must be preserved: $c")
+    }
+    // kept doc is the group minimum = the variant-0 spelling
+    rows.foreach(r => assert(r.getAs[Long]("kept_doc") % 6 == 0 ||
+      r.getAs[Long]("n_urls") < 6L))
+  }
+
+  test("rank_fusion_rrf: both-list docs outrank single-list docs; ppm exact") {
+    val rows = run("rank_fusion_rrf").collect()
+    assert(rows.nonEmpty)
+    val both = rows.filter(r =>
+      r.getAs[Long]("lex_rank") > 0 && r.getAs[Long]("sem_rank") > 0)
+    val single = rows.filter(r =>
+      r.getAs[Long]("lex_rank") == 0 ^ r.getAs[Long]("sem_rank") == 0)
+    // RRF contribution floor: rank 20 on both lists (2*12500) beats
+    // rank 1 on one list (16393)
+    if (both.nonEmpty && single.nonEmpty)
+      assert(both.map(_.getAs[Long]("rrf_ppm")).min >
+        single.map(_.getAs[Long]("rrf_ppm")).max)
+    rows.foreach { r =>
+      val expect =
+        (if (r.getAs[Long]("lex_rank") > 0)
+          1000000L / (60 + r.getAs[Long]("lex_rank")) else 0L) +
+        (if (r.getAs[Long]("sem_rank") > 0)
+          1000000L / (60 + r.getAs[Long]("sem_rank")) else 0L)
+      assert(r.getAs[Long]("rrf_ppm") == expect)
+    }
+    // fused ranking is by ppm desc
+    val ppms = rows.sortBy(_.getAs[Long]("fused_rank")).map(_.getAs[Long]("rrf_ppm"))
+    assert(ppms.zip(ppms.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("dedup_near_edit: suffix blocking finds EVERY planted prefix-edit twin") {
+    val rows = run("dedup_near_edit").collect()
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val planted = (0L until nDocs).count(_ % 17 == 0)
+    val twins = rows.filter(_.getAs[Boolean]("is_planted_twin"))
+    assert(twins.length == planted,
+      s"expected all $planted twins, found ${twins.length}")
+    // a twin's distance is the cost of the one-token replacement:
+    // positive (texts differ) and within the |len diff| + replaced
+    // token bound that the blocker admits
+    twins.foreach { r =>
+      val d = r.getAs[Long]("dist")
+      assert(d > 0 && d <= 12, s"twin dist out of range: $r")
+    }
+  }
+
+  test("sample_quality_threshold: per-source keep count covers the quartile, bounded overshoot") {
+    val rows = run("sample_quality_threshold").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      val k = r.getAs[Long]("k_target")
+      val kept = r.getAs[Long]("kept_docs")
+      assert(k == (n + 3) / 4)
+      assert(kept >= k, s"kept < target: $r")
+      assert(kept <= n, s"kept > population: $r")
+    }
+  }
+
+  test("stats_drift: identical snapshots have zero drift (operator sanity)") {
+    import spark.implicits._
+    // run the same plan shape on a corpus where base == candidate:
+    // every doc appears once with even id and once with odd id
+    val docs = (0 until 40).map(i =>
+      (i.toLong * 2, s"text $i", s"l${i % 3}", s"s${i % 4}", 100L + i))
+    val both = (docs ++ docs.map { case (id, t, l, src, nc) =>
+      (id + 1, t, l, src, nc) })
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("drift").toString
+    both.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = graft.SparkEntry.queries("stats_drift")(spark, tmp).collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      assert(r.getAs[Long]("l1_micros") == 0L, s"drift on identical snaps: $r")
+      assert(r.getAs[Long]("max_gap_micros") == 0L)
+    }
+    // and the real corpus has nonzero drift on at least one feature
+    val real = run("stats_drift").collect()
+    assert(real.map(_.getAs[Long]("l1_micros")).sum > 0L)
+  }
+}
