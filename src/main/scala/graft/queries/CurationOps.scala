@@ -27,6 +27,33 @@ object CurationOps {
   private def emb(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"$d/embeddings.parquet")
 
+  /** The URL canonicalization chain as one Spark-SQL expression over
+    * column `c` — shared by the batch dedup_url query and the
+    * streaming frontier dedup demo (e2e_stream_url_dedup), so both
+    * tiers canonicalize identically: strip fragment, lowercase
+    * scheme+host (path case preserved), drop default :443, drop
+    * utm_* tracking params, drop /index.html, drop trailing slash.
+    * RE2-compatible (no lookaheads) so the DuckDB oracle runs the
+    * same patterns.
+    */
+  private[graft] def canonUrlExpr(c: String): String = {
+    val nf = s"regexp_replace($c, '#.*$$', '')"
+    s"""regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  concat(
+                    lower(regexp_extract($nf, '^[^:]+://[^/?#]+', 0)),
+                    substr($nf,
+                      length(regexp_extract($nf, '^[^:]+://[^/?#]+', 0)) + 1)),
+                  '://([^/]*):443/', '://$$1/'),
+                'utm_[a-z]+=[^&#]*&?', ''),
+              '[?&]$$', ''),
+            '/index\\.html$$', ''),
+          '/$$', '')"""
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // URL-canonicalization dedup — the FIRST dedup of a crawl
@@ -64,22 +91,7 @@ object CurationOps {
                                     '#section-2')
                  ELSE concat('https://', host, '/Docs/', gid, '/index.html')
                END"""))
-        val canon = base.withColumn("c", expr(
-          """regexp_replace(
-               regexp_replace(
-                 regexp_replace(
-                   regexp_replace(
-                     concat(
-                       lower(regexp_extract(regexp_replace(raw, '#.*$', ''),
-                                            '^[^:]+://[^/?#]+', 0)),
-                       substr(regexp_replace(raw, '#.*$', ''),
-                              length(regexp_extract(regexp_replace(raw, '#.*$', ''),
-                                                    '^[^:]+://[^/?#]+', 0)) + 1)),
-                     '://([^/]*):443/', '://$1/'),
-                   'utm_[a-z]+=[^&#]*&?', ''),
-                 '[?&]$', ''),
-               '/index\\.html$', '')"""))
-          .withColumn("c", regexp_replace(col("c"), "/$", ""))
+        val canon = base.withColumn("c", expr(canonUrlExpr("raw")))
         canon.groupBy(col("c").as("canonical_url"))
           .agg(count(lit(1)).cast(LongType).as("n_urls"),
             countDistinct(col("raw")).cast(LongType).as("n_raw_spellings"),
@@ -426,7 +438,153 @@ object CurationOps {
         |SELECT feature, CAST(count(*) AS BIGINT) AS n_buckets,
         |  CAST(sum(gap) AS BIGINT) AS l1_micros,
         |  CAST(max(gap) AS BIGINT) AS max_gap_micros
-        |FROM joined GROUP BY 1 ORDER BY feature""".stripMargin)))
+        |FROM joined GROUP BY 1 ORDER BY feature""".stripMargin)),
+
+    // Directional n-gram CONTAINMENT — the asymmetric complement of
+    // Jaccard near-dup: a short doc quoting a long one (press-release
+    // reuse, boilerplate embedding, quotation) has low Jaccard but
+    // containment ~1 of the quote in its source, so symmetric dedup
+    // never catches it (Broder's resemblance-vs-containment split,
+    // "On the resemblance and containment of documents", 1997).
+    // C(A->B) = |grams5(A) ∩ grams5(B)| / |grams5(A)|. Quote docs are
+    // planted for doc_id % 31 == 0 (first 20 words of the source + a
+    // unique tail) on both engines. Scale shape: the pair generator
+    // joins docs only through SHARED gram hashes with a df <= 16 cap
+    // (boilerplate grams above the cap are excluded from the
+    // numerator — documented precision tradeoff, the same move that
+    // makes dedup_minhash_lsh's bucket cap scale), so candidate count
+    // is sum over grams of df², never corpus²; the denominator table
+    // is one narrow row per doc.
+    QueryDef("dedup_containment",
+      (s, d) => {
+        val base = docs(s, d).select(col("doc_id"), col("text"))
+        val aug = base.unionAll(
+          base.where(col("doc_id") % 31 === 0)
+            .select((col("doc_id") + 7000000L).as("doc_id"),
+              concat(array_join(slice(split(col("text"), " "), 1, 20), " "),
+                lit(" qz tail "), col("doc_id")).as("text")))
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .where(size(col("w")) >= 5)
+        val grams = aug.select(col("doc_id"), explode(array_distinct(expr(
+          """transform(sequence(1, size(w) - 4),
+               i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1),
+                 element_at(w, i + 2), element_at(w, i + 3),
+                 element_at(w, i + 4)))"""))).as("g"))
+          // three consumers (denominator, df cap, pair join): hash the
+          // gram once and reuse
+          .withColumn("h", md5(col("g").cast(BinaryType)))
+          .localCheckpoint()
+        val denom = grams.groupBy("doc_id")
+          .agg(count(lit(1)).cast(LongType).as("total_grams"))
+        val rare = grams.groupBy("h")
+          .agg(count(lit(1)).cast(LongType).as("df"))
+          .where(col("df") <= 16)
+          .select("h")
+        val capped = grams.join(rare, "h")
+        val pairs = capped.select(col("doc_id").as("id_a"), col("h"))
+          .join(capped.select(col("doc_id").as("id_b"), col("h")), "h")
+          .where(col("id_a") =!= col("id_b"))
+          .groupBy("id_a", "id_b")
+          .agg(count(lit(1)).cast(LongType).as("shared_grams"))
+        pairs.join(denom.withColumnRenamed("doc_id", "id_a"), "id_a")
+          .withColumn("containment_micros",
+            expr("shared_grams * 1000000 div total_grams"))
+          .where(col("containment_micros") >= 500000L &&
+            col("shared_grams") >= 3L)
+          .select(col("id_a").as("contained_id"), col("id_b").as("container_id"),
+            col("shared_grams"), col("total_grams"), col("containment_micros"),
+            (abs(col("id_a") - col("id_b")) === 7000000L).as("is_planted"))
+          .orderBy("contained_id", "container_id")
+      },
+      Some("""WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 7000000,
+        |    array_to_string(string_split(text, ' ')[1:20], ' ')
+        |      || ' qz tail ' || doc_id
+        |  FROM documents WHERE doc_id % 31 = 0),
+        |sp AS (SELECT doc_id, string_split(text, ' ') AS w FROM aug
+        |       WHERE len(string_split(text, ' ')) >= 5),
+        |grams AS (
+        |  SELECT DISTINCT doc_id,
+        |    md5(w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] || ' '
+        |        || w[i + 3] || ' ' || w[i + 4]) AS h
+        |  FROM sp, unnest(range(1, len(w) - 3)) t(i)),
+        |denom AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS total_grams
+        |          FROM grams GROUP BY 1),
+        |rare AS (SELECT h FROM grams GROUP BY h HAVING count(*) <= 16),
+        |capped AS (SELECT g.doc_id, g.h FROM grams g JOIN rare USING (h)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(count(*) AS BIGINT) AS shared_grams
+        |  FROM capped a JOIN capped b ON a.h = b.h AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT p.id_a AS contained_id, p.id_b AS container_id,
+        |  p.shared_grams, d.total_grams,
+        |  (p.shared_grams * 1000000) // d.total_grams AS containment_micros,
+        |  abs(p.id_a - p.id_b) = 7000000 AS is_planted
+        |FROM pairs p JOIN denom d ON d.doc_id = p.id_a
+        |WHERE (p.shared_grams * 1000000) // d.total_grams >= 500000
+        |  AND p.shared_grams >= 3
+        |ORDER BY contained_id, container_id""".stripMargin)),
+
+    // Per-doc keyphrase extraction by bigram TF-IDF — the labeling/
+    // clustering feature extractor (what topic buckets and dataset
+    // cards are built from): unigram IDF is flat on a small shared
+    // vocabulary, so phrases are BIGRAMS; idf freezes to micros per
+    // vocabulary type (ln over exact integers, same documented 1-ulp
+    // class as the other ln queries) and each doc's score is the
+    // exact integer tf * idf_micros. Scale shape: the df table is
+    // vocabulary-bounded (built with map-side combine, broadcast to
+    // the scoring join); the top-3 window partitions BY DOC over that
+    // doc's own bigrams only — thousands of independent tiny
+    // partitions, never a global rank.
+    QueryDef("text_keyphrase_tfidf",
+      (s, d) => {
+        val bi = docs(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .where(size(col("w")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            """transform(sequence(1, size(w) - 1),
+                 i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"""))
+            .as("phrase"))
+        val tf = bi.groupBy("doc_id", "phrase")
+          .agg(count(lit(1)).cast(LongType).as("tf"))
+        val n = docs(s, d).agg(count(lit(1)).cast(LongType).as("n_docs"))
+        val idf = tf.groupBy("phrase")
+          .agg(count(lit(1)).cast(LongType).as("df"))
+          .crossJoin(broadcast(n))
+          .withColumn("idf_micros", expr(
+            "CAST(floor(ln(CAST(n_docs AS DOUBLE) / df) * 1000000 + 0.5) AS BIGINT)"))
+          .select("phrase", "idf_micros")
+        val wk = Window.partitionBy("doc_id")
+          .orderBy(col("score_micros").desc, col("phrase"))
+        tf.join(broadcast(idf), "phrase")
+          .withColumn("score_micros", col("tf") * col("idf_micros"))
+          .withColumn("rank", row_number().over(wk).cast(LongType))
+          .where(col("rank") <= 3)
+          .select("doc_id", "phrase", "tf", "score_micros", "rank")
+          .orderBy("doc_id", "rank")
+      },
+      Some("""WITH sp AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |bi AS (
+        |  SELECT doc_id, w[i] || ' ' || w[i + 1] AS phrase
+        |  FROM sp, unnest(range(1, len(w))) t(i)),
+        |tf AS (SELECT doc_id, phrase, CAST(count(*) AS BIGINT) AS tf
+        |       FROM bi GROUP BY 1, 2),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |idf AS (
+        |  SELECT phrase,
+        |    CAST(floor(ln(CAST(n.n_docs AS DOUBLE) / count(*)) * 1000000 + 0.5)
+        |      AS BIGINT) AS idf_micros
+        |  FROM tf, n GROUP BY phrase, n.n_docs)
+        |SELECT doc_id, phrase, tf, tf * idf_micros AS score_micros,
+        |  CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tf * idf_micros DESC, phrase) AS BIGINT) AS rank
+        |FROM tf JOIN idf USING (phrase)
+        |QUALIFY rank <= 3 ORDER BY doc_id, rank""".stripMargin)))
 
   /** DuckDB equivalent of the codegen'd sequential-fold cosine
     * (same fold order as graft.functions.CosineSimilarityExpr, so

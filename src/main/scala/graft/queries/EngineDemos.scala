@@ -556,6 +556,64 @@ object EngineDemos {
             second.count(_ == "alpha one two three four") == 1).toString)
     }},
 
+    // Streaming URL-frontier dedup — the first dedup of a live
+    // crawler: fetched URLs arrive as a stream, each is canonicalized
+    // IN-STREAM with the exact same expression chain as the batch
+    // dedup_url operator (CurationOps.canonUrlExpr — one definition,
+    // two tiers), and `dropDuplicates` on the canonical form keeps
+    // the frontier unique. The teeth: page A returns under a
+    // DIFFERENT variant spelling (tracking params vs uppercase host)
+    // after a checkpoint restart and must still be dropped — the
+    // canonical key lives in the checkpointed state store, proving
+    // dedup state survives spelling churn AND restarts. At 100 TB
+    // the state is hash-partitioned by canonical key and bounded by
+    // a watermark in production; the tiny demo keeps it exact.
+    demo("e2e_stream_url_dedup", Seq(
+      "first_run_pages" -> "pageA,pageB",
+      "second_run_new" -> "pageC",
+      "variant_respelling_dropped_across_restart" -> "true")) { (sp, st) =>
+      withDemoPartitions(sp) {
+      st.catalog.createStream("demo-basin1", "ud")
+      def page(c: String) = s"https://www.site.example.com/p/$c"
+      def run(): Seq[String] = {
+        val q = sp.readStream.format("graft-stream")
+          .option("root", st.root).option("basin", "demo-basin1")
+          .option("stream", "ud").load()
+          .selectExpr("CAST(body AS STRING) AS raw")
+          .selectExpr("raw",
+            s"${CurationOps.canonUrlExpr("raw")} AS canon")
+          .dropDuplicates("canon")
+          .select("canon")
+          .writeStream.format("parquet")
+          .option("path", s"${st.root}/_udsink")
+          .option("checkpointLocation", s"${st.root}/_udckpt")
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        sp.read.parquet(s"${st.root}/_udsink").select("canon")
+          .collect().map(_.getString(0)).toSeq.sorted
+      }
+      st.append("demo-basin1", "ud", AppendInput(Seq(
+        rec(page("pageA") + "?utm_source=feed"),      // pageA, tracked
+        rec(page("pageB") + "#frag"),                 // pageB, fragment
+        rec(page("pageA") + "/index.html"))),         // pageA again
+        Some(1000))
+      val first = run()
+      st.append("demo-basin1", "ud", AppendInput(Seq(
+        rec("HTTPS://WWW.SITE.EXAMPLE.COM/p/pageA"),  // pageA respelled
+        rec("https://www.site.example.com:443/p/pageB"), // pageB, default port
+        rec(page("pageC")))),                         // genuinely new
+        Some(2000))
+      val second = run()
+      Seq(
+        "first_run_pages" ->
+          first.map(_.split('/').last).sorted.mkString(","),
+        "second_run_new" ->
+          (second.toSet -- first.toSet).map(_.split('/').last).toSeq
+            .sorted.mkString(","),
+        "variant_respelling_dropped_across_restart" ->
+          (second.count(_.endsWith("pageA")) == 1).toString)
+    }},
+
     // Follow-during-compaction: a streaming follower keeps running
     // while compact() PHYSICALLY rewrites the stream it reads (trim
     // mask -> range-partitioned rewrite into the NEXT generation

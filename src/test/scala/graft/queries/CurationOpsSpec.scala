@@ -104,6 +104,34 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("dedup_containment: every planted quote is found contained in its source") {
+    val rows = run("dedup_containment").collect()
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val planted = (0L until nDocs).count(_ % 31 == 0)
+    // direction quote -> source: quote id = source + 7e6, so the
+    // contained side is the LARGER id on planted rows
+    val quoteIn = rows.filter(r => r.getAs[Boolean]("is_planted") &&
+      r.getAs[Long]("contained_id") > r.getAs[Long]("container_id"))
+    assert(quoteIn.length == planted,
+      s"expected $planted planted quote->source rows, got ${quoteIn.length}")
+    quoteIn.foreach { r =>
+      assert(r.getAs[Long]("containment_micros") >= 500000L)
+      assert(r.getAs[Long]("shared_grams") <= r.getAs[Long]("total_grams"))
+    }
+  }
+
+  test("text_keyphrase_tfidf: exactly 3 phrases per doc, scores descending") {
+    val rows = run("text_keyphrase_tfidf").collect()
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    byDoc.values.foreach { rs =>
+      assert(rs.length == 3)
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      val scores = sorted.map(_.getAs[Long]("score_micros"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L, 3L))
+    }
+  }
+
   test("stats_drift: identical snapshots have zero drift (operator sanity)") {
     import spark.implicits._
     // run the same plan shape on a corpus where base == candidate:
