@@ -32,7 +32,10 @@ object CurationOps {
     * streaming frontier dedup demo (e2e_stream_url_dedup), so both
     * tiers canonicalize identically: strip fragment, lowercase
     * scheme+host (path case preserved), drop default :443, drop
-    * utm_* tracking params, drop /index.html, drop trailing slash.
+    * utm_* tracking params, drop any trailing run of /index.html and
+    * slashes (ONE combined rule — stripping them as two sequential
+    * anchored rules is not idempotent on stacked tails like
+    * `/index.html/index.html`, which CanonUrlPropSpec caught).
     * RE2-compatible (no lookaheads) so the DuckDB oracle runs the
     * same patterns.
     */
@@ -42,16 +45,14 @@ object CurationOps {
           regexp_replace(
             regexp_replace(
               regexp_replace(
-                regexp_replace(
-                  concat(
-                    lower(regexp_extract($nf, '^[^:]+://[^/?#]+', 0)),
-                    substr($nf,
-                      length(regexp_extract($nf, '^[^:]+://[^/?#]+', 0)) + 1)),
-                  '://([^/]*):443/', '://$$1/'),
-                'utm_[a-z]+=[^&#]*&?', ''),
-              '[?&]$$', ''),
-            '/index\\.html$$', ''),
-          '/$$', '')"""
+                concat(
+                  lower(regexp_extract($nf, '^[^:]+://[^/?#]+', 0)),
+                  substr($nf,
+                    length(regexp_extract($nf, '^[^:]+://[^/?#]+', 0)) + 1)),
+                '://([^/]*):443/', '://$$1/'),
+              'utm_[a-z]+=[^&#]*&?', ''),
+            '[?&]$$', ''),
+          '(/index\\.html|/)+$$', '')"""
   }
 
   def defs: Seq[QueryDef] = Seq(
@@ -122,15 +123,13 @@ object CurationOps {
         |      regexp_replace(
         |        regexp_replace(
         |          regexp_replace(
-        |            regexp_replace(
-        |              lower(regexp_extract(nf, '^[^:]+://[^/?#]+'))
-        |                || substr(nf,
-        |                     length(regexp_extract(nf, '^[^:]+://[^/?#]+')) + 1),
-        |              '://([^/]*):443/', '://\1/'),
-        |            'utm_[a-z]+=[^&#]*&?', '', 'g'),
-        |          '[?&]$', ''),
-        |        '/index\.html$', ''),
-        |      '/$', '') AS c
+        |            lower(regexp_extract(nf, '^[^:]+://[^/?#]+'))
+        |              || substr(nf,
+        |                   length(regexp_extract(nf, '^[^:]+://[^/?#]+')) + 1),
+        |            '://([^/]*):443/', '://\1/'),
+        |          'utm_[a-z]+=[^&#]*&?', '', 'g'),
+        |        '[?&]$', ''),
+        |      '(/index\.html|/)+$', '') AS c
         |  FROM nofrag)
         |SELECT c AS canonical_url, CAST(count(*) AS BIGINT) AS n_urls,
         |  CAST(count(DISTINCT raw) AS BIGINT) AS n_raw_spellings,
