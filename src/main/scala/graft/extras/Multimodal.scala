@@ -10,8 +10,10 @@ import org.apache.spark.sql.functions._
   * executor-local decoder state — is real, and so is the image-header
   * codec: `ImageHeaderDecoder` parses PNG IHDR, JPEG SOF markers, and
   * GIF logical-screen descriptors from the raw bytes, pure JVM, no
-  * native libs. Full-pixel decode (the part that genuinely needs
-  * libjpeg/ffmpeg, absent in this container) stays behind
+  * native libs. Full-pixel decode is REAL for uncompressed 24-bit BMP
+  * (`BmpPixelDecoder` — padding, bottom-up rows, BGR, per-pixel
+  * stats); compressed formats (the part that genuinely needs
+  * libjpeg/ffmpeg, absent in this container) stay behind
   * `FakeDecoder`, clearly marked. Swap it for a JNI/javacv decoder and
   * nothing else changes.
   *
@@ -142,6 +144,42 @@ object Multimodal {
       out.put("GIF89a".getBytes("US-ASCII"))
       out.putShort(w.toShort).putShort(h.toShort)
       out.put(Array(0x00, 0x00, 0x00).map(_.toByte))
+      out.array()
+    }
+
+    /** COMPLETE uncompressed 24-bit bottom-up BMP whose pixel (x, y)
+      * is the fixed arithmetic pattern
+      *   r = (5x + 17y + 3·id) % 256
+      *   g = (11x + 3y + 2·id) % 256
+      *   b = (7x + 13y + id) % 256
+      * so an oracle can recompute every pixel statistic from (w, h,
+      * id) alone while the decoder does real byte parsing (padding,
+      * bottom-up rows, BGR order included).
+      */
+    def bmp(w: Int, h: Int, id: Long): Array[Byte] = {
+      val stride = ((w * 3 + 3) / 4) * 4
+      val size = 54 + stride * h
+      val out = java.nio.ByteBuffer.allocate(size)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put('B'.toByte).put('M'.toByte).putInt(size)
+        .putShort(0).putShort(0).putInt(54)                 // file header
+      out.putInt(40).putInt(w).putInt(h).putShort(1)
+        .putShort(24).putInt(0).putInt(stride * h)
+        .putInt(2835).putInt(2835).putInt(0).putInt(0)      // info header
+      var fileRow = 0
+      while (fileRow < h) {
+        val y = h - 1 - fileRow // bottom-up
+        var x = 0
+        while (x < w) {
+          out.put((((x * 7 + y * 13 + id) % 256).toInt).toByte)      // B
+          out.put((((x * 11 + y * 3 + 2 * id) % 256).toInt).toByte)  // G
+          out.put((((x * 5 + y * 17 + 3 * id) % 256).toInt).toByte)  // R
+          x += 1
+        }
+        var p = w * 3
+        while (p < stride) { out.put(0.toByte); p += 1 }
+        fileRow += 1
+      }
       out.array()
     }
   }
@@ -384,4 +422,103 @@ object Multimodal {
     df.select(col(idCol), octet_length(col(binaryCol)).as("byte_len"))
       .withColumn("frame_idx", explode(sequence(lit(0), lit(k - 1))))
       .withColumn("frame_offset", col("frame_idx") * (col("byte_len") / k).cast("long"))
+
+  // -------------------------------------------------------------------------
+  // FULL-PIXEL decode — real pixels, not a stub, for the one mainstream
+  // format that needs no codec library: uncompressed 24-bit BMP
+  // (BITMAPINFOHEADER, BI_RGB). JPEG/WebP full decode remains
+  // FakeDecoder (environment-limited: no libjpeg in this container),
+  // but the per-pixel feature-extraction path — channel sums, luma
+  // histogram, row-order-sensitive corner probe, padding handling —
+  // is exercised on genuine decoded bytes here.
+  // -------------------------------------------------------------------------
+
+  /** Exact integer pixel statistics: channel sums and a 4-bin luma
+    * histogram are order-invariant sums (mergeable across partitions);
+    * `cornerR` is the red channel at image coordinate (0,0) — the
+    * one value that is WRONG if bottom-up row order or row padding is
+    * mishandled, which the order-invariant sums cannot detect.
+    */
+  final case class PixelStats(
+      byteLen: Long, width: Int, height: Int,
+      sumR: Long, sumG: Long, sumB: Long,
+      luma0: Long, luma1: Long, luma2: Long, luma3: Long,
+      cornerR: Int, ok: Boolean)
+
+  /** REAL pixel codec for uncompressed 24-bit BMP: parses the file
+    * header (pixel-array offset), the info header (dims, bit count,
+    * compression), then walks every pixel honoring 4-byte row padding
+    * and bottom-up (height > 0) vs top-down (height < 0) row order.
+    * Malformed, truncated, or non-BI_RGB-24 bytes come back
+    * `ok = false`, never an exception.
+    */
+  final class BmpPixelDecoder {
+    private def le16(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+        ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+
+    private def bad(n: Long) = PixelStats(n, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, ok = false)
+
+    def decode(bytes: Array[Byte]): PixelStats = {
+      if (bytes == null) return bad(0)
+      val n = bytes.length.toLong
+      if (n < 54 || bytes(0) != 'B' || bytes(1) != 'M') return bad(n)
+      val pixOff = le32(bytes, 10)
+      val hdrSize = le32(bytes, 14)
+      val w = le32(bytes, 18)
+      val hRaw = le32(bytes, 22)
+      val bitCount = le16(bytes, 28)
+      val compression = le32(bytes, 30)
+      val h = math.abs(hRaw)
+      val topDown = hRaw < 0
+      // bounds before any multiplication can be trusted: dims are
+      // attacker-controlled ints (cap well under sqrt(Long.Max))
+      if (hdrSize < 40 || bitCount != 24 || compression != 0 ||
+          w <= 0 || h == 0 || w > (1 << 20) || h > (1 << 20) ||
+          pixOff < 54 || pixOff > n) return bad(n)
+      val stride = ((w * 3 + 3) / 4) * 4
+      if (pixOff.toLong + stride.toLong * h > n) return bad(n)
+      var sumR = 0L; var sumG = 0L; var sumB = 0L
+      val luma = new Array[Long](4)
+      var cornerR = 0
+      var fileRow = 0
+      while (fileRow < h) {
+        val y = if (topDown) fileRow else h - 1 - fileRow
+        val rowBase = pixOff + fileRow * stride
+        var x = 0
+        while (x < w) {
+          val i = rowBase + x * 3
+          val b = bytes(i) & 0xff
+          val g = bytes(i + 1) & 0xff
+          val r = bytes(i + 2) & 0xff
+          sumR += r; sumG += g; sumB += b
+          luma(((r * 299 + g * 587 + b * 114) / 1000) >> 6) += 1
+          if (x == 0 && y == 0) cornerR = r
+          x += 1
+        }
+        fileRow += 1
+      }
+      PixelStats(n, w, h, sumR, sumG, sumB,
+        luma(0), luma(1), luma(2), luma(3), cornerR, ok = true)
+    }
+  }
+
+  /** Decode a binary column into per-image pixel statistics with the
+    * REAL BMP codec, one decoder instance per partition — the same
+    * batch shape as the header codecs; at 100 TB the blobs stream
+    * through executors and only the 12-column stats rows shuffle.
+    */
+  def decodeBmpPixels(df: DataFrame, binaryCol: String, idCol: String): DataFrame =
+    decodePartitions[PixelStats](df, binaryCol, idCol,
+      () => new BmpPixelDecoder().decode _)
+      .select(col("_1").as(idCol),
+        col("_2.byteLen").as("byte_len"),
+        col("_2.width").as("width"), col("_2.height").as("height"),
+        col("_2.sumR").as("sum_r"), col("_2.sumG").as("sum_g"),
+        col("_2.sumB").as("sum_b"),
+        col("_2.luma0").as("luma0"), col("_2.luma1").as("luma1"),
+        col("_2.luma2").as("luma2"), col("_2.luma3").as("luma3"),
+        col("_2.cornerR").as("corner_r"), col("_2.ok").as("ok"))
 }

@@ -137,4 +137,63 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val moov2 = box("moov", kids2, 8 + kids2.length)
     assert(!dec.decode(moov2).ok)
   }
+
+  test("BmpPixelDecoder: real pixels — exact sums, corner probe, both row orders") {
+    val dec = new Multimodal.BmpPixelDecoder
+    // 3x2 image, id 7: verify against a direct Scala recomputation
+    val st = dec.decode(Multimodal.ImageBytes.bmp(3, 2, 7))
+    assert(st.ok && st.width == 3 && st.height == 2)
+    val px = for (y <- 0 until 2; x <- 0 until 3)
+      yield ((x * 5 + y * 17 + 21) % 256, (x * 11 + y * 3 + 14) % 256,
+             (x * 7 + y * 13 + 7) % 256)
+    assert(st.sumR == px.map(_._1).sum && st.sumG == px.map(_._2).sum &&
+      st.sumB == px.map(_._3).sum)
+    assert(st.cornerR == 21) // (0,0): 3*id % 256
+    assert(st.luma0 + st.luma1 + st.luma2 + st.luma3 == 6L)
+    // a TOP-DOWN variant (negative height) of a non-symmetric image
+    // must yield the same sums but corner from the FIRST file row
+    val bu = Multimodal.ImageBytes.bmp(5, 4, 11)
+    val td = bu.clone()
+    // rewrite height to -4 (LE int32 at offset 22) and flip the rows
+    val stride = ((5 * 3 + 3) / 4) * 4
+    java.nio.ByteBuffer.wrap(td).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(22, -4)
+    for (r <- 0 until 4; i <- 0 until stride)
+      td(54 + r * stride + i) = bu(54 + (3 - r) * stride + i)
+    val a = dec.decode(bu); val b = dec.decode(td)
+    assert(a.ok && b.ok)
+    assert(a.sumR == b.sumR && a.sumG == b.sumG && a.sumB == b.sumB)
+    assert(a.cornerR == b.cornerR, "row-order handling differs")
+  }
+
+  test("BmpPixelDecoder: hostile bytes rejected, never thrown") {
+    val dec = new Multimodal.BmpPixelDecoder
+    assert(!dec.decode(null).ok)
+    assert(!dec.decode(Array.empty[Byte]).ok)
+    assert(!dec.decode("BMnot really a bitmap".getBytes).ok)
+    val good = Multimodal.ImageBytes.bmp(6, 5, 3)
+    // truncated pixel array
+    assert(!dec.decode(good.take(good.length - 1)).ok)
+    // header claims giant dims over a tiny buffer (overflow bait)
+    val evil = good.clone()
+    val bb = java.nio.ByteBuffer.wrap(evil).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(18, Int.MaxValue); bb.putInt(22, Int.MaxValue)
+    assert(!dec.decode(evil).ok)
+    // wrong bit depth / compression flags
+    val bad16 = good.clone()
+    java.nio.ByteBuffer.wrap(bad16).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(28, 16.toShort)
+    assert(!dec.decode(bad16).ok)
+    val rle = good.clone()
+    java.nio.ByteBuffer.wrap(rle).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(30, 1)
+    assert(!dec.decode(rle).ok)
+    // pixel offset pointing past the buffer
+    val off = good.clone()
+    java.nio.ByteBuffer.wrap(off).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(10, good.length + 100)
+    assert(!dec.decode(off).ok)
+    // and the good one still decodes after all this
+    assert(dec.decode(good).ok)
+  }
 }

@@ -129,6 +129,32 @@ class GenerationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bodies(st, "ing") == Seq("s2", "bulk1", "bulk2"))
   }
 
+  test("a SECOND store instance's pre-flip plan survives a compaction it never saw") {
+    val st = freshStore()
+    st.catalog.createStream(Basin, "x")
+    st.append(Basin, "x", AppendInput((0 until 6).map(i => env(s"x$i"))), Some(1000L))
+    // the foreign reader: a separate StreamStore over the same root
+    // (another driver in production) plans a read...
+    val other = new StreamStore(spark, st.root)
+    val foreignPlan = other.read(Basin, "x", ReadSpec(ReadStart(ReadFrom.SeqNum(0))))
+      .fold(e => fail(e), identity)
+    // ...then THIS instance trims and compacts underneath it
+    st.append(Basin, "x", AppendInput(Seq(TrimCommand(3))), Some(1100L))
+    st.compact(Basin, "x")
+    assert(st.manifest(Basin, "x").generation == 1L)
+    // the foreign plan still executes against its gen-0 paths
+    val seqs = foreignPlan.orderBy("seq_num").collect().map(_.getLong(0)).toSeq
+    assert(seqs == (0L until 6L))
+    // and the foreign instance's NEXT plan follows the flipped manifest
+    // (its manifest cache is mtime-keyed, so the foreign write is seen)
+    assert(other.manifest(Basin, "x").generation == 1L)
+    val fresh = other.read(Basin, "x", ReadSpec(ReadStart(ReadFrom.SeqNum(0))),
+        ignoreCommands = true)
+      .fold(e => fail(e), identity)
+      .orderBy("seq_num").collect().map(_.getLong(0)).toSeq
+    assert(fresh == Seq(3L, 4L, 5L))
+  }
+
   test("visibleBasin masks out non-current generations (no duplicates inside grace)") {
     val st = freshStore()
     st.catalog.createStream(Basin, "vb")
