@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Scale-hygiene regression gate over PHYSICAL PLANS, not results: the
+  * correctness oracle can't see a plan regression (an accidental
+  * cartesian product, a lost broadcast, an extra corpus-wide shuffle
+  * produce the same rows, slower), so this spec pins each audited
+  * query's hash-shuffle budget and bans CartesianProduct outright.
+  * Budgets are the CURRENT plan's exchange counts at the fixture SF —
+  * a failure means the plan changed, which is exactly when a human
+  * should re-audit the query, not that the new plan is necessarily
+  * wrong (update the budget after re-auditing).
+  *
+  * Broadcast counts are deliberately NOT pinned: un-hinted joins may
+  * flip broadcast <-> SMJ with input statistics, and that adaptivity
+  * is desired (dedup_near_edit's block self-join broadcasts at this
+  * SF and merge-joins at scale).
+  */
+class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def sfDir: String = graft.TestData.requireSf("sf0.001")
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan.toString
+
+  private def hashExchanges(p: String): Int =
+    "Exchange hashpartitioning".r.findAllIn(p).length
+
+  // (query, max hash-partitioning exchanges in the plan)
+  private val budgets = Seq(
+    "dedup_exact" -> 1,
+    "dedup_url" -> 2,
+    "dedup_minhash_lsh" -> 5,
+    "dedup_near_edit" -> 2,     // 0 when the block join broadcasts
+    "dedup_containment" -> 4,
+    "text_keyphrase_tfidf" -> 4,
+    "text_bm25_topk" -> 6,
+    "sample_quality_threshold" -> 3,
+    "corpus_mix_temperature" -> 0, // broadcast-only: NO corpus shuffle
+    "stats_drift" -> 7,
+    "rank_fusion_rrf" -> 6,
+    "ann_bruteforce_topk" -> 1,
+    "j3_asof_join" -> 1,        // the whole point: union + ONE shuffle
+    "w3_funnel" -> 3)
+
+  test("no audited query plans a CartesianProduct") {
+    budgets.foreach { case (name, _) =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a cartesian product")
+    }
+  }
+
+  test("hash-shuffle budgets hold (a new Exchange means re-audit the plan)") {
+    budgets.foreach { case (name, budget) =>
+      val n = hashExchanges(plan(name))
+      assert(n <= budget,
+        s"$name now plans $n hash exchanges (budget $budget) — " +
+          "the plan changed, re-audit before raising the budget")
+    }
+  }
+
+  test("corpus_mix_temperature stays a single corpus pass (broadcast dims only)") {
+    val p = plan("corpus_mix_temperature")
+    assert(hashExchanges(p) == 0, "temperature mixing gained a shuffle")
+    assert(p.contains("BroadcastExchange"),
+      "rate table should broadcast")
+  }
+
+  test("as-of join plans exactly one shuffle and no join node") {
+    val p = plan("j3_asof_join")
+    assert(hashExchanges(p) == 1)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "as-of should be the union+window form, not a join")
+  }
+}
