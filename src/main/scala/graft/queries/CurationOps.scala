@@ -583,7 +583,86 @@ object CurationOps {
         |  CAST(row_number() OVER (PARTITION BY doc_id
         |    ORDER BY tf * idf_micros DESC, phrase) AS BIGINT) AS rank
         |FROM tf JOIN idf USING (phrase)
-        |QUALIFY rank <= 3 ORDER BY doc_id, rank""".stripMargin)))
+        |QUALIFY rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
+
+    // Histogram sketch MERGE — the associativity proof for the
+    // quantile sketch, the property that makes it a 100 TB operator
+    // (same role sketch_hll_merge plays for HLL): partial histograms
+    // built independently per event_type over SHARED bin edges merge
+    // by plain bin-wise addition into exactly the histogram a direct
+    // global pass builds — bin_mismatches is computed as a full-outer
+    // bin-by-bin integer comparison and must be 0 — and the quantile
+    // estimates read from the merged sketch are therefore identical
+    // to the direct path's. At scale each worker/partition/day ships
+    // its own 1000-bin table (the only thing that moves) and the
+    // merge is a tiny groupBy; nothing corpus-sized is ever re-read.
+    QueryDef("sketch_histogram_merge",
+      (s, d) => {
+        val binSql = "CAST(CASE WHEN hi = lo THEN 0 ELSE " +
+          "least(999, floor((value - lo) / (hi - lo) * 1000)) END AS INT)"
+        val ev = Records.events(s, d).select(col("event_type"), col("value"))
+        val stats = ev.agg(min("value").as("lo"), max("value").as("hi"),
+          count(lit(1)).cast(LongType).as("n"))
+        val binned = ev.crossJoin(broadcast(stats)).withColumn("b", expr(binSql))
+          // two histogram consumers (per-type and direct): bin once
+          .localCheckpoint()
+        val perType = binned.groupBy("event_type", "b")
+          .agg(count(lit(1)).cast(LongType).as("c"))
+        val merged = perType.groupBy("b")
+          .agg(sum("c").cast(LongType).as("c"))
+        val direct = binned.groupBy("b")
+          .agg(count(lit(1)).cast(LongType).as("cd"))
+        val mism = merged.join(direct, Seq("b"), "full_outer")
+          .where(coalesce(col("c"), lit(0L)) =!= coalesce(col("cd"), lit(0L)))
+          .agg(count(lit(1)).cast(LongType).as("bin_mismatches"))
+        val wCum = Window.orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = merged.withColumn("cc", sum("c").over(wCum))
+        val ps = s.range(1).select(explode(expr(
+          "array(CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE), CAST(0.99 AS DOUBLE))")).as("p"))
+        val tgt = ps.crossJoin(broadcast(stats))
+          .withColumn("k", expr("CAST(ceil(p * n) AS BIGINT)"))
+        val nTypes = perType.select("event_type").distinct()
+          .agg(count(lit(1)).cast(LongType).as("n_types"))
+        tgt.join(broadcast(cum), col("cc") >= col("k"))
+          .groupBy("p", "k", "lo", "hi").agg(min("b").as("b"))
+          .withColumn("est_value", round(
+            expr("lo + (b + 0.5) / 1000.0 * (hi - lo)"), 6))
+          .crossJoin(broadcast(mism))
+          .crossJoin(broadcast(nTypes))
+          .select(col("p"), col("est_value"), col("bin_mismatches"),
+            col("n_types"))
+          .orderBy("p")
+      },
+      Some("""WITH stats AS (
+        |  SELECT min(value) AS lo, max(value) AS hi,
+        |    CAST(count(*) AS BIGINT) AS n FROM events),
+        |binned AS (
+        |  SELECT event_type,
+        |    CAST(CASE WHEN hi = lo THEN 0 ELSE
+        |      least(999, floor((value - lo) / (hi - lo) * 1000)) END AS INT) AS b
+        |  FROM events, stats),
+        |per_type AS (SELECT event_type, b, CAST(count(*) AS BIGINT) AS c
+        |             FROM binned GROUP BY 1, 2),
+        |merged AS (SELECT b, CAST(sum(c) AS BIGINT) AS c FROM per_type GROUP BY 1),
+        |direct AS (SELECT b, CAST(count(*) AS BIGINT) AS cd FROM binned GROUP BY 1),
+        |mism AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS bin_mismatches
+        |  FROM merged m FULL OUTER JOIN direct d USING (b)
+        |  WHERE COALESCE(m.c, 0) <> COALESCE(d.cd, 0)),
+        |cum AS (SELECT b, sum(c) OVER (ORDER BY b) AS cc FROM merged),
+        |ps AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS p),
+        |tgt AS (SELECT p, CAST(ceil(p * n) AS BIGINT) AS k, lo, hi
+        |        FROM ps, stats),
+        |nt AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+        |       FROM events),
+        |est AS (
+        |  SELECT t.p, t.lo, t.hi, min(c.b) AS b
+        |  FROM tgt t JOIN cum c ON c.cc >= t.k GROUP BY 1, 2, 3)
+        |SELECT e.p,
+        |  round(e.lo + (e.b + 0.5) / 1000.0 * (e.hi - e.lo), 6) AS est_value,
+        |  m.bin_mismatches, nt.n_types
+        |FROM est e, mism m, nt ORDER BY e.p""".stripMargin)))
 
   /** DuckDB equivalent of the codegen'd sequential-fold cosine
     * (same fold order as graft.functions.CosineSimilarityExpr, so
