@@ -474,9 +474,13 @@ object Multimodal {
       val h = math.abs(hRaw)
       val topDown = hRaw < 0
       // bounds before any multiplication can be trusted: dims are
-      // attacker-controlled ints (cap well under sqrt(Long.Max))
+      // attacker-controlled ints (cap well under sqrt(Long.Max)).
+      // h <= 0, not h == 0: math.abs(Int.MinValue) is still negative,
+      // so an 0x80000000 height would pass an equality check, skip
+      // the pixel loop entirely, and return garbage flagged ok=true
+      // (review-caught)
       if (hdrSize < 40 || bitCount != 24 || compression != 0 ||
-          w <= 0 || h == 0 || w > (1 << 20) || h > (1 << 20) ||
+          w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20) ||
           pixOff < 54 || pixOff > n) return bad(n)
       val stride = ((w * 3 + 3) / 4) * 4
       if (pixOff.toLong + stride.toLong * h > n) return bad(n)

@@ -1,6 +1,7 @@
 package graft.log
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 import org.json4s.jackson.Serialization
@@ -72,6 +73,28 @@ object Layout {
     */
   def genDir(root: String, basin: String, stream: String, gen: Long): String =
     s"${dataDir(root, basin, stream)}/gen=$gen"
+
+  /** Where a reader should list data files: the manifest's generation
+    * dir, falling back to the pre-generation layout (loose parquet
+    * directly under the stream dir) for roots written before the
+    * generation upgrade and never committed to since. Writers migrate
+    * loose files into gen=0 under the stream lock on first commit
+    * (StreamStore.migrateLegacyLocked); until then reads serve the
+    * legacy paths as-is.
+    */
+  def resolveDataDir(root: String, basin: String, stream: String,
+                     gen: Long): String = {
+    val gd = genDir(root, basin, stream, gen)
+    if (gen > 0 || Files.exists(Paths.get(gd))) return gd
+    val legacy = Paths.get(dataDir(root, basin, stream))
+    val hasLoose = Files.exists(legacy) && {
+      val s = Files.list(legacy)
+      try s.iterator().asScala.exists(p =>
+        p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      finally s.close()
+    }
+    if (hasLoose) legacy.toString else gd
+  }
 
   def statePath(root: String, basin: String, stream: String): Path =
     Paths.get(root, "_state", basin, escape(stream) + ".json")

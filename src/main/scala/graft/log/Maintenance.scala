@@ -46,6 +46,12 @@ final class Maintenance(store: StreamStore,
         while (more) {
           val page = store.catalog.listStreams(basin, startAfter = after,
             limit = pageSize, includeDeleted = true)
+          // old-generation dirs past the racing-plan grace are
+          // reclaimed on the tick even if the stream never compacts
+          // again — an explicit pass, not a side effect of the
+          // needs-compaction filter below
+          page.items.foreach(e =>
+            store.sweepOldGens(basin, e.name, nowMs = Some(now)))
           val work = page.items.filter { e =>
             val m = store.manifest(basin, e.name)
             lazy val cutoff = store.catalog.streamConfig(basin, e.name)
@@ -58,10 +64,6 @@ final class Maintenance(store: StreamStore,
                 Layout.genDir(store.root, basin, e.name, m.generation))
                 .exists(_.maxTs < c)
             }
-            // old-generation dirs past the racing-plan grace are
-            // reclaimed on the tick even if the stream never compacts
-            // again
-            store.sweepOldGens(basin, e.name, nowMs = Some(now))
             m.deletionPending || m.trimPoint > m.reclaimedTo || expiredFiles
           }
           // one failing stream must not abort the rest of the pass —

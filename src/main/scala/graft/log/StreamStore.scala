@@ -124,9 +124,48 @@ final class StreamStore(val spark: SparkSession, val root: String) {
   private val sweptStreams =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Pre-generation layouts (round <= 8) wrote parquet directly under
+    * the stream dir. Read paths fall back to that legacy dir when the
+    * manifest still says generation 0 and no gen=0 dir exists; write
+    * paths migrate the loose files into gen=0 under the stream lock
+    * the first time they commit (migrateLegacyLocked), after which the
+    * layout is uniform. The one-time migration MOVE invalidates a plan
+    * captured over the legacy paths — an upgrade-time event, unlike
+    * steady-state compaction which never moves live paths.
+    */
+  private def hasLooseParquet(dir: java.nio.file.Path): Boolean = {
+    if (!Files.exists(dir)) return false
+    val s = Files.list(dir)
+    try s.iterator().asScala.exists(p =>
+      p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+    finally s.close()
+  }
+
+  private def dataDirFor(basin: String, stream: String,
+                         m: StreamManifest): String =
+    Layout.resolveDataDir(root, basin, stream, m.generation)
+
+  /** Caller must hold the stream lock. */
+  private def migrateLegacyLocked(basin: String, stream: String,
+                                  m: StreamManifest): Unit = {
+    if (m.generation != 0L) return
+    val legacy = Paths.get(Layout.dataDir(root, basin, stream))
+    if (!hasLooseParquet(legacy)) return
+    val gen0 = Paths.get(Layout.genDir(root, basin, stream, 0L))
+    Files.createDirectories(gen0)
+    val s = Files.list(legacy)
+    try s.iterator().asScala.toSeq
+      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .foreach(p => Files.move(p, gen0.resolve(p.getFileName)))
+    finally s.close()
+  }
+
   private def sweepOrphans(basin: String, stream: String, tailSeq: Long,
                            generation: Long): Unit = {
     if (!sweptStreams.add(basin + "\u0000" + stream)) return
+    // legacy loose files join gen=0 before anything else commits here
+    migrateLegacyLocked(basin, stream,
+      StreamManifest(tailSeq = tailSeq, generation = generation))
     // orphans can only live in the CURRENT generation: writers commit
     // into manifest.generation, and a generation flip is itself CAS'd
     val dir = Paths.get(Layout.genDir(root, basin, stream, generation))
@@ -584,8 +623,7 @@ final class StreamStore(val spark: SparkSession, val root: String) {
     * become visible exactly when its manifest flip commits.
     */
   private def rawData(basin: String, stream: String): DataFrame = {
-    val dir = Layout.genDir(root, basin, stream,
-      manifest(basin, stream).generation)
+    val dir = dataDirFor(basin, stream, manifest(basin, stream))
     if (Files.exists(Paths.get(dir)))
       spark.read.schema(recordSchema).parquet(dir)
     else
@@ -724,8 +762,7 @@ final class StreamStore(val spark: SparkSession, val root: String) {
         Some(nowMs.getOrElse(System.currentTimeMillis()) - secs * 1000)
       case RetentionPolicy.Infinite => None
     }
-    val files =
-      FileIndex.listStats(Layout.genDir(root, basin, stream, m.generation))
+    val files = FileIndex.listStats(dataDirFor(basin, stream, m))
 
     val start: Long = spec.start.from match {
       case ReadFrom.SeqNum(n) => n
@@ -912,6 +949,7 @@ final class StreamStore(val spark: SparkSession, val root: String) {
     withStreamLock(basin, stream) {
       val m = manifestFresh(basin, stream)
       val streamDir = Paths.get(Layout.dataDir(root, basin, stream))
+      migrateLegacyLocked(basin, stream, m) // uniform layout from here on
       val curDir = Paths.get(Layout.genDir(root, basin, stream, m.generation))
       if (m.deletionPending || m.trimPoint == Long.MaxValue) {
         deleteRecursively(streamDir)
@@ -1056,10 +1094,17 @@ final class StreamStore(val spark: SparkSession, val root: String) {
     // `gen` arrives via partition discovery like `stream`; the mask
     // join keeps only each stream's CURRENT generation, so a rewrite's
     // predecessor files (alive within the grace window) never surface
-    // as duplicates in a basin-wide scan
-    spark.read.schema(recordSchema).parquet(dir.toString)
-      .join(broadcast(maskDf), Seq("stream"))
-      .where(col("gen").cast(LongType) === col("cur_gen") &&
+    // as duplicates in a basin-wide scan. A root written before the
+    // generation upgrade (loose files, no gen= dirs anywhere) yields
+    // no `gen` partition column — every stream is implicitly at
+    // generation 0, so the mask degrades to the pre-upgrade form.
+    val raw = spark.read.schema(recordSchema).parquet(dir.toString)
+    val genMask =
+      if (raw.columns.contains("gen"))
+        col("gen").cast(LongType) === col("cur_gen")
+      else lit(0L) === col("cur_gen")
+    raw.join(broadcast(maskDf), Seq("stream"))
+      .where(genMask &&
              col("seq_num") < col("tail") && col("seq_num") >= col("trim") &&
              col("timestamp") >= col("cutoff"))
       .drop("stream", "gen", "tail", "trim", "cutoff", "cur_gen")

@@ -22,6 +22,61 @@ object AnalyticsOps {
 
   private def docs(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"$d/documents.parquet")
+
+  /** BM25 per-doc score micros for the fixed 3-term query — factored
+    * so text_bm25_topk and CurationOps.rank_fusion_rrf score through
+    * ONE definition (formula drift between the two would silently
+    * de-synchronize their oracles). Per-term contributions freeze to
+    * fixed-point micros so the doc sum is order-independent.
+    */
+  private[queries] def bm25DocMicros(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = docs(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).cast(LongType).as("dlen"))
+    val stats = dl.agg(
+      count(lit(1)).cast(LongType).as("n_docs"),
+      sum("dlen").cast(LongType).as("tot"))
+    val qt = Seq("spark", "join", "window").toDF("term")
+    val tf = toks.join(broadcast(qt), toks("tok") === qt("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).cast(LongType).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).cast(LongType).as("df"))
+    tf.join(broadcast(dfreq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("micros", expr(
+        """CAST(floor(
+             ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+             * (tf * 2.2)
+             / (tf + 1.2 * (0.25 + 0.75 * dlen * n_docs / CAST(tot AS DOUBLE)))
+             * 1000000 + 0.5) AS BIGINT)"""))
+      .groupBy("doc_id").agg(sum("micros").cast(LongType).as("micros"))
+  }
+
+  /** The DuckDB mirror of bm25DocMicros as a WITH-body (CTE chain
+    * ending in `scored(doc_id, micros)`), shared by the same two
+    * oracles.
+    */
+  private[queries] val bm25ScoredDuck: String =
+    """toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dlen FROM toks GROUP BY 1),
+      |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |                 CAST(sum(dlen) AS BIGINT) AS tot FROM dl),
+      |qt AS (SELECT unnest(['spark', 'join', 'window']) AS term),
+      |tf AS (SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf
+      |       FROM toks JOIN qt ON toks.tok = qt.term GROUP BY 1, 2),
+      |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |contrib AS (
+      |  SELECT tf.doc_id,
+      |    CAST(floor(
+      |      ln((CAST(s.n_docs AS DOUBLE) - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+      |      * (tf.tf * 2.2)
+      |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dlen * s.n_docs / CAST(s.tot AS DOUBLE)))
+      |      * 1000000 + 0.5) AS BIGINT) AS micros
+      |  FROM tf JOIN dfreq USING (term) JOIN dl ON dl.doc_id = tf.doc_id, stats s),
+      |scored AS (SELECT doc_id, CAST(sum(micros) AS BIGINT) AS micros
+      |           FROM contrib GROUP BY 1)""".stripMargin
   private def emb(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"$d/embeddings.parquet")
 
@@ -849,54 +904,15 @@ object AnalyticsOps {
     // global sort), with the rank window running over 20 survivors.
     QueryDef("text_bm25_topk",
       (s, d) => {
-        import s.implicits._
-        val toks = docs(s, d)
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        val dl = toks.groupBy("doc_id").agg(count(lit(1)).cast(LongType).as("dlen"))
-        val stats = dl.agg(
-          count(lit(1)).cast(LongType).as("n_docs"),
-          sum("dlen").cast(LongType).as("tot"))
-        val qt = Seq("spark", "join", "window").toDF("term")
-        val tf = toks.join(broadcast(qt), toks("tok") === qt("term"))
-          .groupBy("doc_id", "term").agg(count(lit(1)).cast(LongType).as("tf"))
-        val dfreq = tf.groupBy("term").agg(count(lit(1)).cast(LongType).as("df"))
-        val contrib = tf
-          .join(broadcast(dfreq), "term")
-          .join(dl, "doc_id")
-          .crossJoin(broadcast(stats))
-          .withColumn("micros", expr(
-            """CAST(floor(
-                 ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
-                 * (tf * 2.2)
-                 / (tf + 1.2 * (0.25 + 0.75 * dlen * n_docs / CAST(tot AS DOUBLE)))
-                 * 1000000 + 0.5) AS BIGINT)"""))
         val w = Window.orderBy(col("micros").desc, col("doc_id"))
-        contrib.groupBy("doc_id").agg(sum("micros").cast(LongType).as("micros"))
+        bm25DocMicros(s, d)
           .orderBy(col("micros").desc, col("doc_id")).limit(20)
           .withColumn("score", col("micros").cast(DoubleType) / 1000000.0)
           .withColumn("rank", row_number().over(w).cast(LongType))
           .select("doc_id", "score", "rank")
           .orderBy("rank")
       },
-      Some("""WITH toks AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dlen FROM toks GROUP BY 1),
-        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-        |                 CAST(sum(dlen) AS BIGINT) AS tot FROM dl),
-        |qt AS (SELECT unnest(['spark', 'join', 'window']) AS term),
-        |tf AS (SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf
-        |       FROM toks JOIN qt ON toks.tok = qt.term GROUP BY 1, 2),
-        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-        |contrib AS (
-        |  SELECT tf.doc_id,
-        |    CAST(floor(
-        |      ln((CAST(s.n_docs AS DOUBLE) - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
-        |      * (tf.tf * 2.2)
-        |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dlen * s.n_docs / CAST(s.tot AS DOUBLE)))
-        |      * 1000000 + 0.5) AS BIGINT) AS micros
-        |  FROM tf JOIN dfreq USING (term) JOIN dl ON dl.doc_id = tf.doc_id, stats s),
-        |scored AS (SELECT doc_id, CAST(sum(micros) AS BIGINT) AS micros
-        |           FROM contrib GROUP BY 1)
+      Some(s"""WITH $bm25ScoredDuck
         |SELECT doc_id, CAST(micros AS DOUBLE) / 1000000.0 AS score,
         |  CAST(row_number() OVER (ORDER BY micros DESC, doc_id) AS BIGINT) AS rank
         |FROM scored QUALIFY rank <= 20 ORDER BY rank""".stripMargin)),

@@ -38,6 +38,14 @@ object CurationOps {
     * `/index.html/index.html`, which CanonUrlPropSpec caught).
     * RE2-compatible (no lookaheads) so the DuckDB oracle runs the
     * same patterns.
+    *
+    * ESCAPING TRAP (review-caught): this string is s-interpolated, and
+    * the s-interpolator processes `\\` even inside triple quotes —
+    * then Spark's SQL literal parser unescapes once more. A literal
+    * regex dot therefore needs FOUR backslashes here (`\\\\.`); the
+    * two-backslash spelling ships a dot-any that strips
+    * `/indexXhtml` too, and the fixture corpus can't catch it
+    * because both engines still collapse the fixture variants.
     */
   private[graft] def canonUrlExpr(c: String): String = {
     val nf = s"regexp_replace($c, '#.*$$', '')"
@@ -49,10 +57,10 @@ object CurationOps {
                   lower(regexp_extract($nf, '^[^:]+://[^/?#]+', 0)),
                   substr($nf,
                     length(regexp_extract($nf, '^[^:]+://[^/?#]+', 0)) + 1)),
-                '://([^/]*):443/', '://$$1/'),
+                '://([^/?#]*):443([/?#]|$$)', '://$$1$$2'),
               'utm_[a-z]+=[^&#]*&?', ''),
             '[?&]$$', ''),
-          '(/index\\.html|/)+$$', '')"""
+          '(/index\\\\.html|/)+$$', '')"""
   }
 
   def defs: Seq[QueryDef] = Seq(
@@ -126,7 +134,7 @@ object CurationOps {
         |            lower(regexp_extract(nf, '^[^:]+://[^/?#]+'))
         |              || substr(nf,
         |                   length(regexp_extract(nf, '^[^:]+://[^/?#]+')) + 1),
-        |            '://([^/]*):443/', '://\1/'),
+        |            '://([^/?#]*):443([/?#]|$)', '://\1\2'),
         |          'utm_[a-z]+=[^&#]*&?', '', 'g'),
         |        '[?&]$', ''),
         |      '(/index\.html|/)+$', '') AS c
@@ -151,31 +159,11 @@ object CurationOps {
     // broadcasts the 1-row query vector through the corpus scan.
     QueryDef("rank_fusion_rrf",
       (s, d) => {
-        import s.implicits._
-        // lexical arm — BM25 over the fixed 3-term query
-        val toks = docs(s, d)
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        val dl = toks.groupBy("doc_id").agg(count(lit(1)).cast(LongType).as("dlen"))
-        val stats = dl.agg(
-          count(lit(1)).cast(LongType).as("n_docs"),
-          sum("dlen").cast(LongType).as("tot"))
-        val qt = Seq("spark", "join", "window").toDF("term")
-        val tf = toks.join(broadcast(qt), toks("tok") === qt("term"))
-          .groupBy("doc_id", "term").agg(count(lit(1)).cast(LongType).as("tf"))
-        val dfreq = tf.groupBy("term").agg(count(lit(1)).cast(LongType).as("df"))
-        val contrib = tf
-          .join(broadcast(dfreq), "term")
-          .join(dl, "doc_id")
-          .crossJoin(broadcast(stats))
-          .withColumn("micros", expr(
-            """CAST(floor(
-                 ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
-                 * (tf * 2.2)
-                 / (tf + 1.2 * (0.25 + 0.75 * dlen * n_docs / CAST(tot AS DOUBLE)))
-                 * 1000000 + 0.5) AS BIGINT)"""))
+        // lexical arm — the SAME BM25 scoring as text_bm25_topk,
+        // through AnalyticsOps.bm25DocMicros (one definition, two
+        // consumers)
         val wl = Window.orderBy(col("micros").desc, col("doc_id"))
-        val lex = contrib.groupBy("doc_id")
-          .agg(sum("micros").cast(LongType).as("micros"))
+        val lex = AnalyticsOps.bm25DocMicros(s, d)
           .orderBy(col("micros").desc, col("doc_id")).limit(20)
           .withColumn("lex_rank", row_number().over(wl).cast(LongType))
           .select("doc_id", "lex_rank")
@@ -202,29 +190,12 @@ object CurationOps {
           .select("doc_id", "lex_rank", "sem_rank", "rrf_ppm", "fused_rank")
           .orderBy("fused_rank")
       },
-      Some(s"""WITH toks AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dlen FROM toks GROUP BY 1),
-        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-        |                 CAST(sum(dlen) AS BIGINT) AS tot FROM dl),
-        |qt AS (SELECT unnest(['spark', 'join', 'window']) AS term),
-        |tf AS (SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf
-        |       FROM toks JOIN qt ON toks.tok = qt.term GROUP BY 1, 2),
-        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-        |contrib AS (
-        |  SELECT tf.doc_id,
-        |    CAST(floor(
-        |      ln((CAST(s.n_docs AS DOUBLE) - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
-        |      * (tf.tf * 2.2)
-        |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dlen * s.n_docs / CAST(s.tot AS DOUBLE)))
-        |      * 1000000 + 0.5) AS BIGINT) AS micros
-        |  FROM tf JOIN dfreq USING (term) JOIN dl ON dl.doc_id = tf.doc_id, stats s),
+      Some(s"""WITH ${AnalyticsOps.bm25ScoredDuck},
         |lex AS (
         |  SELECT doc_id,
         |    CAST(row_number() OVER (ORDER BY micros DESC, doc_id) AS BIGINT)
         |      AS lex_rank
-        |  FROM (SELECT doc_id, CAST(sum(micros) AS BIGINT) AS micros
-        |        FROM contrib GROUP BY 1)
+        |  FROM scored
         |  QUALIFY lex_rank <= 20),
         |q AS (SELECT embedding AS vq FROM embeddings WHERE vec_id = 0),
         |sem AS (
@@ -664,15 +635,6 @@ object CurationOps {
         |  m.bin_mismatches, nt.n_types
         |FROM est e, mism m, nt ORDER BY e.p""".stripMargin)))
 
-  /** DuckDB equivalent of the codegen'd sequential-fold cosine
-    * (same fold order as graft.functions.CosineSimilarityExpr, so
-    * 6-decimal rounding hash-matches — mirrors VectorOps.duckCosine).
-    */
   private def duckCosine(a: String, b: String): String =
-    s"""(list_reduce(list_transform(list_zip($a, $b),
-          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, v) -> acc + v)
-        / (sqrt(list_reduce(list_transform($a, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)),
-             (acc, v) -> acc + v))
-         * sqrt(list_reduce(list_transform($b, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)),
-             (acc, v) -> acc + v))))"""
+    VectorOps.duckCosine(a, b)
 }

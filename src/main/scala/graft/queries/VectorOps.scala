@@ -32,8 +32,9 @@ object VectorOps {
   private def cosine(a: String, b: String): Column =
     graft.functions.GraftFunctions.cosine_sim(col(a), col(b))
 
-  /** DuckDB equivalent of cosine(a, b). */
-  private def duckCosine(a: String, b: String): String =
+  /** DuckDB equivalent of cosine(a, b) — shared with CurationOps so
+    * the fold-order-sensitive SQL exists exactly once. */
+  private[queries] def duckCosine(a: String, b: String): String =
     s"""(list_reduce(list_transform(list_zip($a, $b),
           x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, v) -> acc + v)
         / (sqrt(list_reduce(list_transform($a, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)),

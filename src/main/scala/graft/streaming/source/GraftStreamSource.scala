@@ -181,7 +181,7 @@ final class GraftScan(props: Map[String, String],
         math.max(ret, tsLo) // pushed timestamp lower bound prunes too
       }
       if (e <= lo) return Array.empty
-      FileIndex.listStats(Layout.genDir(root, basin, stream, m.generation))
+      FileIndex.listStats(Layout.resolveDataDir(root, basin, stream, m.generation))
         .filter(st => st.maxSeq >= lo && st.minSeq < e &&
           st.maxTs >= cutoff && st.minTs < tsHi)
         .map(st => GraftInputPartition(st.path, lo, e, cutoff))
@@ -231,7 +231,7 @@ final class GraftMicroBatchStream(root: String, basin: String, stream: String,
     * its planned paths while the next plan lists the new generation.
     */
   private def dirFor(m: StreamManifest): String =
-    Layout.genDir(root, basin, stream, m.generation)
+    Layout.resolveDataDir(root, basin, stream, m.generation)
 
   /** Resolved retention policy, cached with a short TTL: it changes
     * only via reconfigure, and resolving it per micro-batch per

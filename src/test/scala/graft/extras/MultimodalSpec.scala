@@ -179,6 +179,12 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val bb = java.nio.ByteBuffer.wrap(evil).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bb.putInt(18, Int.MaxValue); bb.putInt(22, Int.MaxValue)
     assert(!dec.decode(evil).ok)
+    // height = Int.MinValue: abs() is still negative — must reject,
+    // not skip the pixel loop and report ok (review-caught)
+    val minH = good.clone()
+    java.nio.ByteBuffer.wrap(minH).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(22, Int.MinValue)
+    assert(!dec.decode(minH).ok)
     // wrong bit depth / compression flags
     val bad16 = good.clone()
     java.nio.ByteBuffer.wrap(bad16).order(java.nio.ByteOrder.LITTLE_ENDIAN)

@@ -5,6 +5,7 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 import graft.model._
+import scala.jdk.CollectionConverters._
 
 /** Generation-directory compaction (the analog of the reference's
   * "trimming is eventually consistent" rewrite, cli/src/cli.rs:143-146,
@@ -153,6 +154,42 @@ class GenerationSpec extends AnyFunSuite with BeforeAndAfterAll {
       .fold(e => fail(e), identity)
       .orderBy("seq_num").collect().map(_.getLong(0)).toSeq
     assert(fresh == Seq(3L, 4L, 5L))
+  }
+
+  test("pre-generation (legacy) roots: reads fall back, writes migrate, compact flips") {
+    val st = freshStore()
+    st.catalog.createStream(Basin, "leg")
+    // fabricate a round-8 layout: loose parquet directly under the
+    // stream dir + a manifest whose JSON predates the generation field
+    val legacyDir = Paths.get(Layout.dataDir(st.root, Basin, "leg"))
+    Files.createDirectories(legacyDir)
+    DirectParquet.writeBatch(legacyDir.toString, Seq(
+      DirectParquet.Rec(0L, 1000L, Nil, "old0".getBytes, 12L),
+      DirectParquet.Rec(1L, 1000L, Nil, "old1".getBytes, 12L)))
+    Files.createDirectories(Layout.statePath(st.root, Basin, "leg").getParent)
+    Files.writeString(Layout.statePath(st.root, Basin, "leg"),
+      """{"tailSeq":2,"tailTs":1000,"fencingToken":"","trimPoint":0,""" +
+        """"deletionPending":false,"lastEpoch":-1,"reclaimedTo":0,""" +
+        """"version":1}""")
+    ManifestCache.invalidate(Layout.statePath(st.root, Basin, "leg"))
+    // READ fallback: legacy records visible with no gen dir on disk
+    assert(st.manifest(Basin, "leg").generation == 0L)
+    assert(bodies(st, "leg") == Seq("old0", "old1"))
+    // basin-wide scan also serves the legacy layout
+    assert(st.visibleBasin(Basin).where("stream = 'leg'").count() == 2L)
+    // WRITE migrates: after one append the loose files joined gen=0
+    st.append(Basin, "leg", AppendInput(Seq(env("new2"))), Some(2000L))
+    val loose = Files.list(legacyDir)
+    val looseLeft = try loose.iterator().asScala.count(p =>
+      p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      finally loose.close()
+    assert(looseLeft == 0, "legacy loose files must migrate into gen=0")
+    assert(bodies(st, "leg") == Seq("old0", "old1", "new2"))
+    // compact from the migrated layout flips the generation normally
+    st.append(Basin, "leg", AppendInput(Seq(TrimCommand(1))), Some(2100L))
+    st.compact(Basin, "leg")
+    assert(st.manifest(Basin, "leg").generation == 1L)
+    assert(bodies(st, "leg") == Seq("old1", "new2"))
   }
 
   test("visibleBasin masks out non-current generations (no duplicates inside grace)") {

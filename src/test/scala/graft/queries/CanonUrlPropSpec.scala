@@ -81,6 +81,24 @@ class CanonUrlPropSpec extends AnyFunSuite with BeforeAndAfterAll {
   } yield if (schemeless) host + path + q + frag
           else s"$scheme://$host$port$path$idx$q$frag"
 
+  test("regex dots are literal and the bare default port collapses (review-caught)") {
+    // the s-interpolation + SQL-literal double-unescape trap shipped a
+    // dot-any that stripped /indexXhtml; and :443 with no path
+    // survived the slash-anchored port rule
+    val rows = canonAll(Seq(
+      "https://h.example/a/indexXhtml",
+      "https://h.example/a/index.html",
+      "https://h.example:443",
+      "https://h.example:443?utm_source=x",
+      "https://h.example:443#frag"))
+    val c = rows.map(r => r._1 -> r._2).toMap
+    assert(c("https://h.example/a/indexXhtml") == "https://h.example/a/indexXhtml")
+    assert(c("https://h.example/a/index.html") == "https://h.example/a")
+    assert(c("https://h.example:443") == "https://h.example")
+    assert(c("https://h.example:443?utm_source=x") == "https://h.example")
+    assert(c("https://h.example:443#frag") == "https://h.example")
+  }
+
   test("canonicalization is idempotent over adversarial URL shapes (500 cases)") {
     val urls = sample(genAdversarial, 500)
     assert(urls.size >= 400) // generator shouldn't be vacuous
@@ -92,9 +110,11 @@ class CanonUrlPropSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("every stacked decoration combo collapses to the base canonical (300 cases)") {
+    // empty paths included deliberately: the bare default port
+    // (https://host:443) must collapse too — a review-caught gap
     val genBase: Gen[(String, String)] = for {
       host <- genHost
-      path <- genPath.suchThat(_.nonEmpty)
+      path <- genPath
     } yield (host.toLowerCase(java.util.Locale.ROOT), path)
     val bases = sample(genBase, 300)
     val cases = bases.zipWithIndex.flatMap { case ((host, path), i) =>

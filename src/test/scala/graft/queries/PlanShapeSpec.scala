@@ -49,7 +49,6 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     "text_keyphrase_tfidf" -> 4,
     "text_bm25_topk" -> 6,
     "sample_quality_threshold" -> 3,
-    "corpus_mix_temperature" -> 0, // broadcast-only: NO corpus shuffle
     "stats_drift" -> 7,
     "rank_fusion_rrf" -> 6,
     "ann_bruteforce_topk" -> 1,
@@ -73,9 +72,15 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("corpus_mix_temperature stays a single corpus pass (broadcast dims only)") {
+  // corpus_mix_temperature is deliberately NOT budgeted: its
+  // corpus-side groupBys run inside eager localCheckpoint() jobs
+  // during query construction, so the final executedPlan string shows
+  // 0 exchanges REGARDLESS of upstream shape — a budget there would
+  // be a vacuous assertion, not a gate (review-caught). Queries whose
+  // checkpointed subplans dominate need job-level auditing
+  // (VerifySome cpu-s), not plan-string budgets.
+  test("the final temperature plan consumes only broadcast dims") {
     val p = plan("corpus_mix_temperature")
-    assert(hashExchanges(p) == 0, "temperature mixing gained a shuffle")
     assert(p.contains("BroadcastExchange"),
       "rate table should broadcast")
   }
