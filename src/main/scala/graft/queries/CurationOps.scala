@@ -633,7 +633,108 @@ object CurationOps {
         |SELECT e.p,
         |  round(e.lo + (e.b + 0.5) / 1000.0 * (e.hi - e.lo), 6) AS est_value,
         |  m.bin_mismatches, nt.n_types
-        |FROM est e, mism m, nt ORDER BY e.p""".stripMargin)))
+        |FROM est e, mism m, nt ORDER BY e.p""".stripMargin)),
+
+    // Per-type event-rate anomaly score — the ingestion-monitoring
+    // query beside stats_drift: bucket each event type by DAY, then
+    // z-score every bucket against that type's own mean/std across
+    // buckets. All moments come from exact integer aggregates (sum,
+    // sum of squares, bucket count); the z is one fixed expression
+    // over those integers, written token-for-token identically in
+    // both engines so IEEE's correctly-rounded +,-,*,/,sqrt produce
+    // the bit-same double before the micro freeze. Scale shape: one
+    // map-side-combined groupBy to (type, day) counts — bounded by
+    // types x days — and a broadcast of the per-type moment rows;
+    // the corpus is touched once.
+    QueryDef("events_anomaly",
+      (s, d) => {
+        val counts = Records.events(s, d)
+          .select(col("event_type"), expr("ts div 1000").as("us"))
+          .withColumn("day", expr("us div 86400000000"))
+          .groupBy("event_type", "day")
+          .agg(count(lit(1)).cast(LongType).as("c"))
+        val moments = counts.groupBy("event_type").agg(
+          count(lit(1)).cast(LongType).as("nb"),
+          sum("c").cast(LongType).as("sc"),
+          sum(col("c") * col("c")).cast(LongType).as("scc"))
+        counts.join(broadcast(moments), "event_type")
+          .withColumn("z_micros", expr(
+            """CASE WHEN CAST(scc AS DOUBLE) * nb - CAST(sc AS DOUBLE) * sc <= 0
+                 THEN 0
+                 ELSE CAST(floor(
+                   (CAST(c AS DOUBLE) - CAST(sc AS DOUBLE) / nb)
+                   / sqrt((CAST(scc AS DOUBLE) * nb - CAST(sc AS DOUBLE) * sc)
+                          / (CAST(nb AS DOUBLE) * nb))
+                   * 1000000 + 0.5) AS BIGINT)
+               END"""))
+          .select(col("event_type"), col("day").cast(LongType).as("day"),
+            col("c").as("n_events"), col("nb").as("n_buckets"),
+            col("z_micros"))
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH counts AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |moments AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS nb,
+        |    CAST(sum(c) AS BIGINT) AS sc,
+        |    CAST(sum(c * c) AS BIGINT) AS scc
+        |  FROM counts GROUP BY 1)
+        |SELECT c.event_type, CAST(c.day AS BIGINT) AS day,
+        |  c.c AS n_events, m.nb AS n_buckets,
+        |  CASE WHEN CAST(m.scc AS DOUBLE) * m.nb - CAST(m.sc AS DOUBLE) * m.sc <= 0
+        |    THEN 0
+        |    ELSE CAST(floor(
+        |      (CAST(c.c AS DOUBLE) - CAST(m.sc AS DOUBLE) / m.nb)
+        |      / sqrt((CAST(m.scc AS DOUBLE) * m.nb - CAST(m.sc AS DOUBLE) * m.sc)
+        |             / (CAST(m.nb AS DOUBLE) * m.nb))
+        |      * 1000000 + 0.5) AS BIGINT)
+        |  END AS z_micros
+        |FROM counts c JOIN moments m USING (event_type)
+        |ORDER BY event_type, day""".stripMargin)),
+
+    // Compression-ratio quality signal (the Gopher/RefinedWeb
+    // "too-compressible text is boilerplate or spam" heuristic) with
+    // a REAL compressor: per-doc DEFLATE (java.util.zip.Deflater,
+    // BEST_COMPRESSION, fixed strategy — deterministic for fixed
+    // input) over mapPartitions with one Deflater per partition, the
+    // same executor-batch shape as the multimodal codecs. DEFLATE is
+    // not expressible in SQL, so this entry has NO DuckDB oracle (the
+    // driver's weaker rows-only check applies); the semantic claims —
+    // repetitive text compresses far below the corpus norm, ratios
+    // are deterministic across runs — are pinned in CurationOpsSpec
+    // instead. Ratio is frozen to micros of the EXACT integer byte
+    // lengths. Scale shape: scan -> per-partition compress -> narrow
+    // (id, lens) rows; nothing corpus-sized shuffles.
+    QueryDef("text_compression_ratio",
+      (s, d) => {
+        import s.implicits._
+        val rows = docs(s, d).select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .mapPartitions { it =>
+            val deflater = new java.util.zip.Deflater(
+              java.util.zip.Deflater.BEST_COMPRESSION)
+            val buf = new Array[Byte](1 << 16)
+            it.map { case (id, text) =>
+              val in = text.getBytes("UTF-8")
+              deflater.reset()
+              deflater.setInput(in)
+              deflater.finish()
+              var outLen = 0L
+              while (!deflater.finished())
+                outLen += deflater.deflate(buf)
+              (id, in.length.toLong, outLen)
+            }
+          }
+          .toDF("doc_id", "raw_bytes", "deflate_bytes")
+        rows
+          .withColumn("ratio_micros",
+            expr("deflate_bytes * 1000000 div raw_bytes"))
+          .withColumn("flag_repetitive", col("ratio_micros") < 300000L)
+          .orderBy("doc_id")
+      },
+      None))
 
   private def duckCosine(a: String, b: String): String =
     VectorOps.duckCosine(a, b)

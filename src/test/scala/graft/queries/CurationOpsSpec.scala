@@ -132,6 +132,39 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("text_compression_ratio: deterministic, and repetition compresses below prose") {
+    // no SQL oracle exists for DEFLATE — these are the operator's
+    // gates instead: bit-stable across runs, exact length accounting,
+    // and the quality signal actually separates repetitive text
+    val a = run("text_compression_ratio").collect()
+    val b = run("text_compression_ratio").collect()
+    assert(a.length == b.length && a.nonEmpty)
+    assert(a.map(_.toString).sameElements(b.map(_.toString)),
+      "DEFLATE output must be deterministic across runs")
+    a.foreach { r =>
+      assert(r.getAs[Long]("raw_bytes") > 0)
+      assert(r.getAs[Long]("deflate_bytes") > 0)
+      assert(r.getAs[Long]("ratio_micros") ==
+        r.getAs[Long]("deflate_bytes") * 1000000L / r.getAs[Long]("raw_bytes"))
+    }
+    // separation on synthetic fixtures through the same plan
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("czr").toString
+    val docs = Seq(
+      (0L, "spam spam spam spam spam spam spam spam spam spam " * 10,
+        "en", "s0", 100L),
+      (1L, (0 until 100).map(i => s"w${i * 7919 % 997}x$i").mkString(" "),
+        "en", "s0", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = graft.SparkEntry.queries("text_compression_ratio")(spark, tmp)
+      .collect().sortBy(_.getAs[Long]("doc_id"))
+    assert(out(0).getAs[Long]("ratio_micros") <
+      out(1).getAs[Long]("ratio_micros") / 3,
+      s"repetitive text must compress far below varied text: ${out.toSeq}")
+    assert(out(0).getAs[Boolean]("flag_repetitive"))
+  }
+
   test("stats_drift: identical snapshots have zero drift (operator sanity)") {
     import spark.implicits._
     // run the same plan shape on a corpus where base == candidate:
