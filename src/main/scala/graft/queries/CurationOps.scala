@@ -734,7 +734,132 @@ object CurationOps {
           .withColumn("flag_repetitive", col("ratio_micros") < 300000L)
           .orderBy("doc_id")
       },
-      None))
+      None),
+
+    // MMR diversified rerank (Carbonell & Goldstein, SIGIR 1998 — the
+    // standard redundancy-vs-relevance tradeoff RAG stacks apply on
+    // top of retrieval): per query, greedily select k=4 of the top-8
+    // cosine candidates maximizing 0.7·rel − 0.3·max-sim-to-selected.
+    // Every score is ppm-integer ((7·rel − 3·maxsim) div 10), so the
+    // greedy argmax and its smaller-id tie-break are bit-pinned. The
+    // greedy rounds are DATA-DEPENDENT, so the Spark side builds them
+    // as a 4-round declarative loop over the bounded candidate set
+    // and the oracle unrolls the same rounds as static CTEs — the
+    // same technique as bpe_learn_merges. Scale shape: candidates and
+    // their pairwise sims are top-k-bounded PER QUERY (8 + 8x8 rows);
+    // all rounds are windows partitioned by q_id over those bounded
+    // groups, distributed across queries — the corpus is touched only
+    // by the initial top-k.
+    QueryDef("rank_mmr_diversify",
+      (s, d) => {
+        val all = emb(s, d).select(col("vec_id"), col("embedding"))
+        val q = all.where(col("vec_id") < 3)
+          .select(col("vec_id").as("q_id"), col("embedding").as("vq"))
+        val wTop = Window.partitionBy("q_id")
+          .orderBy(col("rel_ppm").desc, col("n_id"))
+        val cand = all
+          .select(col("vec_id").as("n_id"), col("embedding").as("ve"))
+          .crossJoin(broadcast(q))
+          .where(col("n_id") =!= col("q_id"))
+          .withColumn("rel_ppm", floor(
+            graft.functions.GraftFunctions.cosine_sim(col("vq"), col("ve"))
+              * 1000000 + 0.5).cast(LongType))
+          .withColumn("crn", row_number().over(wTop))
+          .where(col("crn") <= 8)
+          .select("q_id", "n_id", "ve", "rel_ppm")
+          // consumed by the pair table and all 4 greedy rounds
+          .localCheckpoint()
+        val pairs = cand.select(col("q_id"), col("n_id").as("id_a"),
+            col("ve").as("va"))
+          .join(cand.select(col("q_id"), col("n_id").as("id_b"),
+            col("ve").as("vb")), Seq("q_id"))
+          .where(col("id_a") =!= col("id_b"))
+          .withColumn("sim_ppm", floor(
+            graft.functions.GraftFunctions.cosine_sim(col("va"), col("vb"))
+              * 1000000 + 0.5).cast(LongType))
+          .select("q_id", "id_a", "id_b", "sim_ppm")
+          .localCheckpoint()
+        val base = cand.select("q_id", "n_id", "rel_ppm")
+        var selected = base
+          .withColumn("rk", row_number().over(Window.partitionBy("q_id")
+            .orderBy(col("rel_ppm").desc, col("n_id"))))
+          .where(col("rk") === 1)
+          .select(col("q_id"), col("n_id"), col("rel_ppm"),
+            col("rel_ppm").as("score_ppm"), lit(1).as("round"))
+        for (r <- 2 to 4) {
+          val maxSim = pairs
+            .join(selected.select(col("q_id"), col("n_id").as("id_b")),
+              Seq("q_id", "id_b"))
+            .groupBy("q_id", "id_a")
+            .agg(max("sim_ppm").as("maxsim_ppm"))
+            .withColumnRenamed("id_a", "n_id")
+          val pick = base
+            .join(selected.select(col("q_id"), col("n_id"))
+              .withColumn("is_sel", lit(true)), Seq("q_id", "n_id"), "left")
+            .where(col("is_sel").isNull)
+            .join(maxSim, Seq("q_id", "n_id"))
+            .withColumn("score_ppm",
+              expr("(7 * rel_ppm - 3 * maxsim_ppm) div 10"))
+            .withColumn("rk", row_number().over(Window.partitionBy("q_id")
+              .orderBy(col("score_ppm").desc, col("n_id"))))
+            .where(col("rk") === 1)
+            .select(col("q_id"), col("n_id"), col("rel_ppm"),
+              col("score_ppm"), lit(r).as("round"))
+          selected = selected.unionByName(pick).localCheckpoint()
+        }
+        selected.select(col("q_id"), col("round").cast(LongType).as("round"),
+            col("n_id"), col("rel_ppm"), col("score_ppm"))
+          .orderBy("q_id", "round")
+      },
+      Some {
+        val selN = (r: Int) => (1 to r).map(i => s"SELECT q_id, n_id FROM sel$i")
+          .mkString(" UNION ALL ")
+        def round(r: Int) = s"""sel$r AS (
+          |  SELECT q_id, n_id, rel_ppm, score_ppm, $r AS round FROM (
+          |    SELECT c.q_id, c.n_id, c.rel_ppm,
+          |      (7 * c.rel_ppm - 3 * max(p.sim_ppm)) // 10 AS score_ppm,
+          |      row_number() OVER (PARTITION BY c.q_id
+          |        ORDER BY (7 * c.rel_ppm - 3 * max(p.sim_ppm)) // 10 DESC,
+          |                 c.n_id) AS rk
+          |    FROM cand c
+          |    JOIN (${selN(r - 1)}) s ON s.q_id = c.q_id
+          |    JOIN pairs p ON p.q_id = c.q_id AND p.id_a = c.n_id
+          |      AND p.id_b = s.n_id
+          |    WHERE c.n_id NOT IN (SELECT n_id FROM (${selN(r - 1)}) x
+          |                         WHERE x.q_id = c.q_id)
+          |    GROUP BY c.q_id, c.n_id, c.rel_ppm)
+          |  WHERE rk = 1)"""
+        s"""WITH q AS (
+        |  SELECT vec_id AS q_id, embedding AS vq FROM embeddings
+        |  WHERE vec_id < 3),
+        |cand AS (
+        |  SELECT q_id, n_id, ve, rel_ppm FROM (
+        |    SELECT q.q_id, e.vec_id AS n_id, e.embedding AS ve,
+        |      CAST(floor(${duckCosine("q.vq", "e.embedding")} * 1000000 + 0.5)
+        |        AS BIGINT) AS rel_ppm
+        |    FROM embeddings e, q WHERE e.vec_id <> q.q_id)
+        |  QUALIFY row_number() OVER (PARTITION BY q_id
+        |    ORDER BY rel_ppm DESC, n_id) <= 8),
+        |pairs AS (
+        |  SELECT a.q_id, a.n_id AS id_a, b.n_id AS id_b,
+        |    CAST(floor(${duckCosine("a.ve", "b.ve")} * 1000000 + 0.5)
+        |      AS BIGINT) AS sim_ppm
+        |  FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.n_id <> b.n_id),
+        |sel1 AS (
+        |  SELECT q_id, n_id, rel_ppm, rel_ppm AS score_ppm, 1 AS round FROM (
+        |    SELECT q_id, n_id, rel_ppm,
+        |      row_number() OVER (PARTITION BY q_id
+        |        ORDER BY rel_ppm DESC, n_id) AS rk
+        |    FROM cand)
+        |  WHERE rk = 1),
+        |${round(2)},
+        |${round(3)},
+        |${round(4)}
+        |SELECT q_id, CAST(round AS BIGINT) AS round, n_id, rel_ppm, score_ppm
+        |FROM (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2
+        |      UNION ALL SELECT * FROM sel3 UNION ALL SELECT * FROM sel4)
+        |ORDER BY q_id, round""".stripMargin
+      }))
 
   private def duckCosine(a: String, b: String): String =
     VectorOps.duckCosine(a, b)

@@ -1425,6 +1425,86 @@ object EngineDemos {
         "cells_on_disk" -> "8",
         "partition_filter_pushed" -> "true",
         "pruned_read_is_partial" -> "true",
+        "disk_equals_memory_top10" -> "true")))),
+
+    // The INVERTED INDEX as a storage layout — e2e_ann_index's text
+    // sibling: postings (term, doc_id, tf, dlen) written
+    // partitionBy(term-hash-bucket) so a query touches only its
+    // terms' bucket DIRECTORIES (PartitionFilters pushed, proven
+    // in-plan), corpus stats (n_docs, total length) persisted beside
+    // the postings as the index's metadata table, and BM25 scored
+    // FROM THE DISK INDEX reproducing the from-memory scorer
+    // (AnalyticsOps.bm25DocMicros) integer-for-integer. At 100 TB the
+    // postings table is the big artifact (built once per index
+    // build), bucket count scales with vocabulary, and a 3-term
+    // query reads 3/16ths of the directories regardless of corpus
+    // size.
+    QueryDef("e2e_bm25_index",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val terms = Seq("spark", "join", "window")
+        val toks = s.read.parquet(s"$d/documents.parquet")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        val dl = toks.groupBy("doc_id")
+          .agg(count(lit(1)).cast("long").as("dlen"))
+        val postings = toks.groupBy("term", "doc_id")
+          .agg(count(lit(1)).cast("long").as("tf"))
+          .join(dl, "doc_id")
+          .withColumn("tb", pmod(hash(col("term")), lit(16)))
+        val tmp = Files.createTempDirectory("graft-bm25idx").toString
+        postings.write.partitionBy("tb").mode("overwrite")
+          .parquet(s"$tmp/postings")
+        dl.agg(count(lit(1)).cast("long").as("n_docs"),
+            sum("dlen").cast("long").as("tot"))
+          .write.mode("overwrite").parquet(s"$tmp/stats")
+        val bucketsOnDisk = new java.io.File(s"$tmp/postings").listFiles()
+          .count(_.getName.startsWith("tb="))
+        // probe: only the query terms' buckets may be read
+        val qtb = terms.map(t =>
+          s.range(1).select(pmod(hash(lit(t)), lit(16))).collect()(0).getInt(0))
+          .distinct.sorted
+        val prunedScan = s.read.parquet(s"$tmp/postings")
+          .where(col("tb").isin(qtb.map(Integer.valueOf): _*))
+        val planStr = prunedScan.queryExecution.executedPlan.toString
+        val pushed = planStr.contains("PartitionFilters: [") &&
+          !planStr.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+            .trim.isEmpty
+        val stats = s.read.parquet(s"$tmp/stats")
+        val dfreq = prunedScan.where(col("term").isin(terms: _*))
+          .groupBy("term").agg(count(lit(1)).cast("long").as("df"))
+        val diskScored = prunedScan.where(col("term").isin(terms: _*))
+          .join(broadcast(dfreq), "term")
+          .crossJoin(broadcast(stats))
+          .withColumn("micros", expr(
+            """CAST(floor(
+                 ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+                 * (tf * 2.2)
+                 / (tf + 1.2 * (0.25 + 0.75 * dlen * n_docs / CAST(tot AS DOUBLE)))
+                 * 1000000 + 0.5) AS BIGINT)"""))
+          .groupBy("doc_id").agg(sum("micros").cast("long").as("micros"))
+          .orderBy(col("micros").desc, col("doc_id")).limit(10)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        val memScored = AnalyticsOps.bm25DocMicros(s, d)
+          .orderBy(col("micros").desc, col("doc_id")).limit(10)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        val prunedRows = prunedScan.count()
+        val totalRows = s.read.parquet(s"$tmp/postings").count()
+        out(s, Seq(
+          // bucket count is vocabulary-dependent (and so SF-dependent);
+          // the stable claim is "bucketed, and bounded by the bucket
+          // modulus", not an exact count
+          "buckets_bounded" ->
+            (bucketsOnDisk > 1 && bucketsOnDisk <= 16).toString,
+          "partition_filter_pushed" -> pushed.toString,
+          "pruned_read_is_partial" ->
+            (prunedRows > 0 && prunedRows < totalRows).toString,
+          "disk_equals_memory_top10" ->
+            (diskScored.nonEmpty && diskScored.sameElements(memScored)).toString))
+      },
+      Some(constOracle(Seq(
+        "buckets_bounded" -> "true",
+        "partition_filter_pushed" -> "true",
+        "pruned_read_is_partial" -> "true",
         "disk_equals_memory_top10" -> "true"))))
   )
 }

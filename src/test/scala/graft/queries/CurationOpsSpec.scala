@@ -186,4 +186,59 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val real = run("stats_drift").collect()
     assert(real.map(_.getAs[Long]("l1_micros")).sum > 0L)
   }
+
+  test("rank_mmr_diversify: driver-side greedy replay reproduces the loop") {
+    // The distributed plan builds the 4 greedy rounds as unioned
+    // window passes; this replays the SAME math (sequential-fold
+    // cosine, ppm freeze, 0.7/0.3 integer MMR, smaller-id tie-break)
+    // in plain Scala over the raw vectors and demands bit equality.
+    val rows = run("rank_mmr_diversify").collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("round"),
+        r.getAs[Long]("n_id"), r.getAs[Long]("rel_ppm"),
+        r.getAs[Long]("score_ppm")))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def ppm(x: Double): Long = math.floor(x * 1000000 + 0.5).toLong
+    val expect = vecs.keys.filter(_ < 3).toSeq.sorted.flatMap { qid =>
+      val vq = vecs(qid)
+      val cand = vecs.toSeq.filter(_._1 != qid)
+        .map { case (nid, ve) => (nid, ppm(cos(vq, ve))) }
+        .sortBy { case (nid, rel) => (-rel, nid) }.take(8)
+      var selected = Vector(cand.head._1)
+      var out = Vector((qid, 1L, cand.head._1, cand.head._2, cand.head._2))
+      for (r <- 2 to 4) {
+        val pick = cand.filterNot { case (nid, _) => selected.contains(nid) }
+          .map { case (nid, rel) =>
+            val maxsim = selected.map(s => ppm(cos(vecs(nid), vecs(s)))).max
+            (nid, rel, (7 * rel - 3 * maxsim) / 10)
+          }
+          .sortBy { case (nid, _, score) => (-score, nid) }.head
+        selected :+= pick._1
+        out :+= ((qid, r.toLong, pick._1, pick._2, pick._3))
+      }
+      out
+    }
+    assert(rows == expect,
+      s"distributed MMR diverged from replay:\n got $rows\n exp $expect")
+    // diversification sanity: some round-2+ pick must NOT be the
+    // next-best by pure relevance (otherwise MMR degenerated to top-k)
+    val pureTopK = vecs.keys.filter(_ < 3).toSeq.sorted.flatMap { qid =>
+      vecs.toSeq.filter(_._1 != qid)
+        .map { case (nid, ve) => (qid, nid, ppm(cos(vecs(qid), ve))) }
+        .sortBy { case (_, nid, rel) => (-rel, nid) }.take(4).map(_._2)
+    }
+    assert(rows.map(_._3) != pureTopK,
+      "MMR output equals pure top-4 relevance — diversification is a no-op " +
+        "on this corpus; pick a corpus slice where it isn't")
+  }
 }
