@@ -259,6 +259,40 @@ object Multimodal {
       out.put("data".getBytes("US-ASCII")).putInt(dataLen.toInt)
       out.array()
     }
+
+    /** COMPLETE 16-bit PCM WAV — header, a LIST chunk between `fmt `
+      * and `data` (exercises the chunk walk's skip-by-size path), and
+      * the full interleaved payload. Flat interleaved sample j carries
+      * ((7*j + 3*id) % 4096) - 2048, so oracle queries recompute every
+      * sample statistic arithmetically from (rate, ch, frames, id).
+      * Total size = 56 + frames*channels*2 bytes.
+      */
+    def wavPcm(sampleRate: Int, channels: Int, frames: Long,
+               id: Long): Array[Byte] = {
+      val blockAlign = channels * 2
+      val dataLen = frames * blockAlign
+      val out = java.nio.ByteBuffer.allocate((56 + dataLen).toInt)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes("US-ASCII")).putInt((48 + dataLen).toInt)
+      out.put("WAVE".getBytes("US-ASCII"))
+      out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      out.putShort(1) // PCM
+      out.putShort(channels.toShort)
+      out.putInt(sampleRate)
+      out.putInt(sampleRate * blockAlign)
+      out.putShort(blockAlign.toShort)
+      out.putShort(16)
+      out.put("LIST".getBytes("US-ASCII")).putInt(4)
+      out.put("INFO".getBytes("US-ASCII"))
+      out.put("data".getBytes("US-ASCII")).putInt(dataLen.toInt)
+      val total = frames * channels
+      var j = 0L
+      while (j < total) {
+        out.putShort((((7 * j + 3 * id) % 4096) - 2048).toShort)
+        j += 1
+      }
+      out.array()
+    }
   }
 
   final case class VideoMeta(
@@ -525,4 +559,106 @@ object Multimodal {
         col("_2.luma0").as("luma0"), col("_2.luma1").as("luma1"),
         col("_2.luma2").as("luma2"), col("_2.luma3").as("luma3"),
         col("_2.cornerR").as("corner_r"), col("_2.ok").as("ok"))
+
+  // -------------------------------------------------------------------------
+  // FULL-SAMPLE audio decode — the audio sibling of BmpPixelDecoder:
+  // 16-bit PCM needs no codec library, so the per-sample
+  // feature-extraction path (energy, peak, zero-crossing rate, channel
+  // de-interleaving) runs on genuine decoded samples, not header
+  // fields. Compressed codecs (MP3/AAC) remain header-only
+  // (environment-limited: no codec libs in this container).
+  // -------------------------------------------------------------------------
+
+  /** Exact integer sample statistics. `sumAll`/`sumSqAll`/`peakAbs`
+    * are order-invariant (mergeable across partitions);
+    * `zeroCrossCh0` counts sign flips between CONSECUTIVE channel-0
+    * frames — the one stat that is wrong if interleaving or sample
+    * order is mishandled, which order-invariant sums cannot detect.
+    */
+  final case class PcmStats(
+      byteLen: Long, sampleRate: Int, channels: Int, nFrames: Long,
+      sumAll: Long, sumSqAll: Long, peakAbs: Int, zeroCrossCh0: Long,
+      ok: Boolean)
+
+  /** REAL PCM codec: walks the RIFF chunk list (tolerant of unknown
+    * chunks between `fmt ` and `data`), requires 16-bit integer PCM
+    * with the payload fully present, then decodes every little-endian
+    * signed sample. Malformed, truncated, or non-16-bit bytes come
+    * back `ok = false`, never an exception.
+    */
+  final class WavPcmDecoder {
+    private def le16(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], i: Int): Long =
+      (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+        ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+    private def tag(b: Array[Byte], i: Int, t: String): Boolean =
+      b(i) == t(0).toByte && b(i + 1) == t(1).toByte &&
+        b(i + 2) == t(2).toByte && b(i + 3) == t(3).toByte
+
+    def decode(bytes: Array[Byte]): PcmStats = {
+      val n = if (bytes == null) 0L else bytes.length.toLong
+      def bad = PcmStats(n, 0, 0, 0L, 0L, 0L, 0, 0L, ok = false)
+      if (n < 12 || !tag(bytes, 0, "RIFF") || !tag(bytes, 8, "WAVE")) return bad
+      var i = 12
+      var rate = 0; var ch = 0; var bits = 0; var blockAlign = 0
+      var dataOff = -1L; var dataLen = -1L
+      while (i >= 0 && i + 8 <= bytes.length && (rate == 0 || dataOff < 0)) {
+        val len = le32(bytes, i + 4)
+        if (tag(bytes, i, "fmt ")) {
+          if (len < 16 || i + 8 + 16 > bytes.length) return bad
+          ch = le16(bytes, i + 10)
+          rate = le32(bytes, i + 12).toInt
+          blockAlign = le16(bytes, i + 20)
+          bits = le16(bytes, i + 22)
+        } else if (tag(bytes, i, "data")) {
+          dataOff = i + 8L
+          dataLen = len
+        }
+        // LONG arithmetic: hostile 32-bit lengths must not wrap (same
+        // rationale as AudioHeaderDecoder's walk)
+        val next = i.toLong + 8L + len + (len & 1L)
+        i = if (next > bytes.length.toLong) -1 else next.toInt
+      }
+      // unlike the header-only decoder, the PAYLOAD must be fully
+      // present — this decoder reads every sample byte
+      if (rate <= 0 || ch <= 0 || bits != 16 || blockAlign != ch * 2 ||
+          dataOff < 0 || dataLen < 0 || dataOff + dataLen > n) return bad
+      val frames = dataLen / blockAlign
+      val total = frames * ch
+      var sum = 0L; var sumSq = 0L; var peak = 0; var zc = 0L
+      var havePrev = false; var prevNeg = false
+      var j = 0L
+      while (j < total) {
+        // signed 16-bit: sign-extend via toShort (abs of -32768 is
+        // 32768 — already an Int here, no MinValue trap)
+        val v = le16(bytes, (dataOff + 2 * j).toInt).toShort.toInt
+        sum += v; sumSq += v.toLong * v
+        val a = math.abs(v); if (a > peak) peak = a
+        if (j % ch == 0) {
+          val neg = v < 0
+          if (havePrev && neg != prevNeg) zc += 1
+          prevNeg = neg; havePrev = true
+        }
+        j += 1
+      }
+      PcmStats(n, rate, ch, frames, sum, sumSq, peak, zc, ok = true)
+    }
+  }
+
+  /** Decode a binary column into per-clip PCM statistics with the REAL
+    * WAV codec, one decoder instance per partition — blobs stream
+    * through executors, only the 9-column stats rows come back.
+    */
+  def decodeWavPcm(df: DataFrame, binaryCol: String, idCol: String): DataFrame =
+    decodePartitions[PcmStats](df, binaryCol, idCol,
+      () => new WavPcmDecoder().decode _)
+      .select(col("_1").as(idCol),
+        col("_2.byteLen").as("byte_len"),
+        col("_2.sampleRate").as("sample_rate"),
+        col("_2.channels").as("channels"),
+        col("_2.nFrames").as("n_frames"),
+        col("_2.sumAll").as("sum_all"), col("_2.sumSqAll").as("sumsq_all"),
+        col("_2.peakAbs").as("peak_abs"),
+        col("_2.zeroCrossCh0").as("zc_ch0"), col("_2.ok").as("ok"))
 }

@@ -1505,6 +1505,66 @@ object EngineDemos {
         "buckets_bounded" -> "true",
         "partition_filter_pushed" -> "true",
         "pruned_read_is_partial" -> "true",
-        "disk_equals_memory_top10" -> "true"))))
+        "disk_equals_memory_top10" -> "true")))),
+
+    // BUCKETED co-located join — the "pay the shuffle once" storage
+    // layout for 100 TB fact tables: orders and customer are written
+    // as bucketed tables on the join key (8 buckets), so the repeated
+    // join reads bucket i against bucket i with ZERO shuffle on
+    // either input — proven in-plan by counting hash Exchanges in the
+    // executed (post-AQE) plan: the bucketed query keeps exactly the
+    // ONE exchange the post-join re-aggregation needs, while the same
+    // join over plain parquet pays that one PLUS one per join input.
+    // Broadcast is scope-disabled so the comparison is SMJ-vs-SMJ
+    // (at real scale neither side broadcasts). Result equality is
+    // checked on exact integer aggregates (no fp-reorder noise).
+    QueryDef("e2e_bucketed_join",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val tmp = Files.createTempDirectory("graft-bucketed").toString
+        s.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+        s.sql("DROP TABLE IF EXISTS graft_bkt_customer")
+        s.read.parquet(s"$d/orders.parquet")
+          .write.format("parquet").option("path", s"$tmp/orders")
+          .bucketBy(8, "o_custkey").sortBy("o_custkey")
+          .saveAsTable("graft_bkt_orders")
+        s.read.parquet(s"$d/customer.parquet")
+          .write.format("parquet").option("path", s"$tmp/customer")
+          .bucketBy(8, "c_custkey").sortBy("c_custkey")
+          .saveAsTable("graft_bkt_customer")
+        def agg(orders: DataFrame, cust: DataFrame): DataFrame = orders
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(col("o_orderkey")).cast("long").as("key_sum"))
+        def exchanges(df: DataFrame): (Int, Seq[org.apache.spark.sql.Row]) = {
+          val rows = df.collect() // materialize so AQE finalizes the plan
+          // the adaptive plan's toString appends an "== Initial Plan =="
+          // section that repeats every node — count the final plan only
+          val plan = df.queryExecution.executedPlan.toString
+            .split("== Initial Plan ==")(0)
+          ("Exchange hashpartitioning".r.findAllIn(plan).length,
+            rows.sortBy(_.getString(0)).toSeq)
+        }
+        val (bktEx, bktRows) = withScopedConf(s,
+          "spark.sql.autoBroadcastJoinThreshold", "-1") {
+          exchanges(agg(s.table("graft_bkt_orders"),
+            s.table("graft_bkt_customer")))
+        }
+        val (plainEx, plainRows) = withScopedConf(s,
+          "spark.sql.autoBroadcastJoinThreshold", "-1") {
+          exchanges(agg(s.read.parquet(s"$d/orders.parquet"),
+            s.read.parquet(s"$d/customer.parquet")))
+        }
+        out(s, Seq(
+          "bucketed_join_exchanges" -> bktEx.toString,
+          "plain_join_exchanges" -> plainEx.toString,
+          "results_equal" ->
+            (bktRows.nonEmpty && bktRows == plainRows).toString))
+      },
+      Some(constOracle(Seq(
+        "bucketed_join_exchanges" -> "1",
+        "plain_join_exchanges" -> "3",
+        "results_equal" -> "true"))))
   )
 }

@@ -380,6 +380,89 @@ object TextOps {
         |    '')) AS residual_md5
         |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // CCNet-style per-SOURCE boilerplate removal: a line is boilerplate
+    // when it appears in >= 30% of its source's documents (min 3) —
+    // site headers/footers repeat within a domain, real content does
+    // not. The synthetic corpus has no newlines, so both engines build
+    // the same augmented corpus: half the docs get a source-specific
+    // banner line, a fifth get a global footer line (per-source DF 20%
+    // — deliberately UNDER the threshold, the negative case). Scale
+    // shape: DF counting is a two-level aggregate keyed by
+    // (source, line-hash) with map-side combine; the boiler set is
+    // tiny (high-DF lines only) and broadcast back for the final
+    // per-doc pass — no self-join of the line table.
+    QueryDef("text_boilerplate_lines",
+      (s, d) => {
+        val aug = docs(s, d).select(col("doc_id"), col("source"),
+          concat(
+            when(col("doc_id") % 2 === 0,
+              concat(lit("BEGIN "), col("source"), lit(" STANDARD HEADER\n")))
+              .otherwise(lit("")),
+            col("text"),
+            when(col("doc_id") % 5 === 0, lit("\nGLOBAL FOOTER NOTICE"))
+              .otherwise(lit(""))).as("text2"))
+        val lines = aug.select(col("doc_id"), col("source"),
+          posexplode(split(col("text2"), "\n")).as(Seq("idx", "line")))
+        val srcDocs = aug.groupBy("source")
+          .agg(countDistinct("doc_id").as("n_docs_src"))
+        val lineDf = lines.groupBy("source", "line")
+          .agg(countDistinct("doc_id").as("df"))
+        val boiler = lineDf.join(srcDocs, "source")
+          .where(col("df") >= 3 && col("df") * 10 >= col("n_docs_src") * 3)
+          .select(col("source"), col("line"), lit(true).as("is_boiler"))
+        lines.join(broadcast(boiler), Seq("source", "line"), "left")
+          .withColumn("is_boiler", coalesce(col("is_boiler"), lit(false)))
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).cast(LongType).as("n_lines"),
+            sum(when(col("is_boiler"), 1L).otherwise(0L)).cast(LongType)
+              .as("n_boiler"),
+            array_join(expr("transform(filter(" +
+              "array_sort(collect_list(struct(idx, line, is_boiler))), " +
+              "x -> NOT x.is_boiler), x -> x.line)"), "\n").as("residual"))
+          .select(col("doc_id"), col("n_lines"), col("n_boiler"),
+            length(col("residual")).cast(LongType).as("residual_len"),
+            md5s(col("residual")).as("residual_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH aug AS (
+        |  SELECT doc_id, source,
+        |    (CASE WHEN doc_id % 2 = 0
+        |      THEN 'BEGIN ' || source || ' STANDARD HEADER' || chr(10)
+        |      ELSE '' END)
+        |    || text ||
+        |    (CASE WHEN doc_id % 5 = 0
+        |      THEN chr(10) || 'GLOBAL FOOTER NOTICE' ELSE '' END) AS text2
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id, source, CAST(i - 1 AS BIGINT) AS idx, l[i] AS line
+        |  FROM (SELECT doc_id, source, string_split(text2, chr(10)) AS l
+        |        FROM aug),
+        |    unnest(range(1, len(l) + 1)) t(i)),
+        |srcdocs AS (
+        |  SELECT source, count(DISTINCT doc_id) AS n_docs_src
+        |  FROM aug GROUP BY source),
+        |ldf AS (
+        |  SELECT source, line, count(DISTINCT doc_id) AS df
+        |  FROM lines GROUP BY 1, 2),
+        |boiler AS (
+        |  SELECT ldf.source, ldf.line FROM ldf JOIN srcdocs USING (source)
+        |  WHERE ldf.df >= 3 AND ldf.df * 10 >= n_docs_src * 3),
+        |flagged AS (
+        |  SELECT l.doc_id, l.idx, l.line, b.line IS NOT NULL AS isb
+        |  FROM lines l LEFT JOIN boiler b
+        |    ON b.source = l.source AND b.line = l.line)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CASE WHEN isb THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+        |  CAST(length(COALESCE(
+        |    string_agg(line, chr(10) ORDER BY idx) FILTER (WHERE NOT isb),
+        |    '')) AS BIGINT) AS residual_len,
+        |  md5(COALESCE(
+        |    string_agg(line, chr(10) ORDER BY idx) FILTER (WHERE NOT isb),
+        |    '')) AS residual_md5
+        |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Normalized document fingerprint (whitespace-collapse + lowercase).
     QueryDef("text_fingerprint",
       (s, d) => docs(s, d)
@@ -736,6 +819,60 @@ object TextOps {
         |  CAST(floor((1000 + event_id % 1000) * 1000
         |    / (8000 + (event_id % 5) * 4000)) AS BIGINT) AS duration_ms
         |FROM events ORDER BY event_id""".stripMargin)),
+
+    // FULL-SAMPLE audio decode on real bytes — mm3 parses WAV headers;
+    // this decodes EVERY 16-bit PCM sample of complete WAVs with the
+    // real WavPcmDecoder (RIFF walk with an interposed LIST chunk,
+    // then per-sample little-endian decode). The fixture clips carry a
+    // fixed arithmetic sample pattern over the FLAT INTERLEAVED
+    // stream, so the oracle recomputes energy, peak, and the
+    // channel-0 zero-crossing count — the stat that is wrong if
+    // interleaving or sample order is mishandled, which
+    // order-invariant sums can't catch — from (rate, ch, frames, id)
+    // alone. Varying channels 1..2 exercises de-interleaving. Scale
+    // shape: blobs stream through mapPartitions (one decoder per
+    // partition); only 10-column stats rows come back — samples never
+    // shuffle.
+    QueryDef("mm6_wav_pcm",
+      (s, d) => {
+        import s.implicits._
+        val ids = Records.events(s, d)
+          .select(col("event_id").cast(LongType)).as[Long]
+          .filter(_ < 300)
+        val blobs = ids.map { id =>
+          val rate = (8000 + (id % 5) * 4000).toInt
+          val ch = (1 + id % 2).toInt
+          val frames = 200 + id % 100
+          (id, graft.extras.Multimodal.AudioBytes.wavPcm(rate, ch, frames, id))
+        }.toDF("event_id", "blob")
+        graft.extras.Multimodal.decodeWavPcm(blobs, "blob", "event_id")
+          .orderBy("event_id")
+      },
+      Some("""WITH ids AS (
+        |  SELECT event_id AS id, 8000 + (event_id % 5) * 4000 AS rate,
+        |    1 + event_id % 2 AS ch, 200 + event_id % 100 AS frames
+        |  FROM events WHERE event_id < 300),
+        |smp AS (
+        |  SELECT id, ch, j, ((7 * j + 3 * id) % 4096) - 2048 AS v
+        |  FROM ids, unnest(range(0, frames * ch)) t(j)),
+        |ch0 AS (
+        |  SELECT id, CAST(count(*) FILTER (
+        |      WHERE prev IS NOT NULL AND (prev < 0) <> (v < 0)) AS BIGINT) AS zc
+        |  FROM (SELECT id, v, lag(v) OVER (PARTITION BY id ORDER BY j) AS prev
+        |        FROM smp WHERE j % ch = 0)
+        |  GROUP BY id),
+        |agg AS (
+        |  SELECT id, CAST(sum(v) AS BIGINT) AS sum_all,
+        |    CAST(sum(v * v) AS BIGINT) AS sumsq_all,
+        |    CAST(max(abs(v)) AS INT) AS peak_abs
+        |  FROM smp GROUP BY id)
+        |SELECT id AS event_id,
+        |  CAST(56 + frames * ch * 2 AS BIGINT) AS byte_len,
+        |  CAST(rate AS INT) AS sample_rate, CAST(ch AS INT) AS channels,
+        |  CAST(frames AS BIGINT) AS n_frames,
+        |  sum_all, sumsq_all, peak_abs, zc AS zc_ch0, TRUE AS ok
+        |FROM ids JOIN agg USING (id) JOIN ch0 USING (id)
+        |ORDER BY event_id""".stripMargin)),
 
     // REAL video-container decode end-to-end: minimal valid MP4s
     // (ftyp + moov(mvhd, trak(tkhd))) with timescale/duration/dims

@@ -789,6 +789,75 @@ object VectorOps {
         |  round(${duckCosine("a.embedding", "b.embedding")}, 6) AS score
         |FROM sigged a JOIN sigged b ON a.sig = b.sig AND a.vec_id < b.vec_id
         |WHERE round(${duckCosine("a.embedding", "b.embedding")}, 6) >= 0.99
-        |ORDER BY id_a, id_b""".stripMargin))
+        |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Hard-negative mining for contrastive training (the FaceNet /
+    // sentence-transformers recipe): for every anchor, the nearest
+    // SAME-label neighbor (the positive) and the nearest CROSS-label
+    // neighbor (the hard negative), plus the triplet margin and the
+    // semi-hard flag (negative inside the 0.1 margin band below the
+    // positive). Scores are ppm-frozen so the argmax and flags are
+    // bit-pinned. Scale shape: the argmax is max(struct(sim, -id))
+    // — a hash AGGREGATE with map-side partial combine, not a window
+    // — so the per-anchor reduction happens before the shuffle and
+    // the shuffled volume is 2 rows per anchor, not |corpus| rows;
+    // anchors are bounded and broadcast, the corpus is scanned once.
+    // Anchors keep LEFT-join semantics so one with no same-label or
+    // no cross-label peer still emits its row (NULL side, NULL
+    // margin) instead of silently vanishing.
+    QueryDef("mine_hard_negatives",
+      (s, d) => {
+        val all = emb(s, d).select(col("vec_id").as("n_id"),
+          col("label").as("n_label"), col("embedding").as("ve"))
+        val q = emb(s, d).where(col("vec_id") < 64)
+          .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+            col("embedding").as("vq"))
+        val scored = all.crossJoin(broadcast(q))
+          .where(col("n_id") =!= col("q_id"))
+          .withColumn("sim_ppm",
+            floor(cosine("vq", "ve") * 1000000 + 0.5).cast(LongType))
+        // argmax via max(struct): sim first, then -n_id so ties take
+        // the smaller id — same selection as ORDER BY sim DESC, n_id
+        def best(side: DataFrame, idName: String, ppmName: String) = side
+          .groupBy("q_id")
+          .agg(max(struct(col("sim_ppm"), (-col("n_id")).as("neg_nid"))).as("m"))
+          .select(col("q_id"), (-col("m.neg_nid")).as(idName),
+            col("m.sim_ppm").as(ppmName))
+        val pos = best(scored.where(col("n_label") === col("q_label")),
+          "pos_id", "pos_ppm")
+        val neg = best(scored.where(col("n_label") =!= col("q_label")),
+          "neg_id", "neg_ppm")
+        q.select("q_id", "q_label")
+          .join(pos, Seq("q_id"), "left")
+          .join(neg, Seq("q_id"), "left")
+          .withColumn("margin_ppm", col("pos_ppm") - col("neg_ppm"))
+          .withColumn("semi_hard",
+            col("neg_ppm") < col("pos_ppm") &&
+              col("neg_ppm") > col("pos_ppm") - 100000L)
+          .orderBy("q_id")
+      },
+      Some(s"""WITH q AS (
+        |  SELECT vec_id AS q_id, label AS q_label, embedding AS vq
+        |  FROM embeddings WHERE vec_id < 64),
+        |scored AS (
+        |  SELECT q.q_id, q.q_label, n.vec_id AS n_id, n.label AS n_label,
+        |    CAST(floor(${duckCosine("q.vq", "n.embedding")} * 1000000 + 0.5)
+        |      AS BIGINT) AS sim_ppm
+        |  FROM embeddings n, q WHERE n.vec_id <> q.q_id),
+        |pos AS (
+        |  SELECT q_id, n_id AS pos_id, sim_ppm AS pos_ppm FROM scored
+        |  WHERE n_label = q_label
+        |  QUALIFY row_number() OVER (PARTITION BY q_id
+        |    ORDER BY sim_ppm DESC, n_id) = 1),
+        |neg AS (
+        |  SELECT q_id, n_id AS neg_id, sim_ppm AS neg_ppm FROM scored
+        |  WHERE n_label <> q_label
+        |  QUALIFY row_number() OVER (PARTITION BY q_id
+        |    ORDER BY sim_ppm DESC, n_id) = 1)
+        |SELECT q.q_id, q.q_label, pos_id, pos_ppm, neg_id, neg_ppm,
+        |  pos_ppm - neg_ppm AS margin_ppm,
+        |  (neg_ppm < pos_ppm AND neg_ppm > pos_ppm - 100000) AS semi_hard
+        |FROM q LEFT JOIN pos USING (q_id) LEFT JOIN neg USING (q_id)
+        |ORDER BY q_id""".stripMargin))
   )
 }

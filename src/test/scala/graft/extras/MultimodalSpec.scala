@@ -202,4 +202,71 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     // and the good one still decodes after all this
     assert(dec.decode(good).ok)
   }
+
+  test("WavPcmDecoder: real samples — exact stats vs direct recompute, " +
+       "interleaving, sign extension") {
+    val dec = new Multimodal.WavPcmDecoder
+    // stereo clip, id 7: verify against a direct Scala recomputation
+    // of the documented flat-interleaved pattern
+    val st = dec.decode(Multimodal.AudioBytes.wavPcm(16000, 2, 50L, 7L))
+    assert(st.ok && st.sampleRate == 16000 && st.channels == 2 &&
+      st.nFrames == 50L)
+    val s = (0 until 100).map(j => ((7 * j + 21) % 4096) - 2048)
+    assert(st.sumAll == s.sum && st.sumSqAll == s.map(v => v.toLong * v).sum)
+    assert(st.peakAbs == s.map(math.abs).max)
+    val ch0 = s.indices.filter(_ % 2 == 0).map(s)
+    assert(st.zeroCrossCh0 ==
+      ch0.sliding(2).count(p => (p(0) < 0) != (p(1) < 0)))
+    // mono over the same flat pattern: order-invariant sums agree
+    // (same flat samples, different framing)
+    val mono = dec.decode(Multimodal.AudioBytes.wavPcm(8000, 1, 100L, 7L))
+    assert(mono.ok && mono.sumAll == st.sumAll && mono.sumSqAll == st.sumSqAll)
+    // interleaving witness: hand-built stereo where ch0 is constant
+    // positive and ch1 alternates sign — ch0 crossings must be 0; an
+    // implementation that counts over the flat interleaved stream
+    // (ignoring channels) would report many
+    val il = Multimodal.AudioBytes.wavPcm(8000, 2, 8L, 0L)
+    val ib = java.nio.ByteBuffer.wrap(il)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    for (f <- 0 until 8) {
+      ib.putShort(56 + 4 * f, 100.toShort)
+      ib.putShort(56 + 4 * f + 2, (if (f % 2 == 0) -200 else 200).toShort)
+    }
+    val ist = dec.decode(il)
+    assert(ist.ok && ist.zeroCrossCh0 == 0L,
+      s"channel-0 stride mishandled: ${ist.zeroCrossCh0} crossings")
+    // sign extension: a hand-built mono clip holding -32768 and 32767
+    val hand = Multimodal.AudioBytes.wavPcm(8000, 1, 2L, 0L)
+    val bb = java.nio.ByteBuffer.wrap(hand)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putShort(hand.length - 4, Short.MinValue)
+    bb.putShort(hand.length - 2, Short.MaxValue)
+    val h = dec.decode(hand)
+    assert(h.ok && h.sumAll == -1L && h.peakAbs == 32768 &&
+      h.zeroCrossCh0 == 1L)
+  }
+
+  test("WavPcmDecoder: hostile bytes rejected, never thrown") {
+    val dec = new Multimodal.WavPcmDecoder
+    assert(!dec.decode(null).ok)
+    assert(!dec.decode("RIFFnope".getBytes).ok)
+    val good = Multimodal.AudioBytes.wavPcm(8000, 1, 20L, 3L)
+    // truncated payload: header data-length claims more than present —
+    // the header-only decoder tolerates this, the PCM decoder must NOT
+    assert(!dec.decode(good.take(good.length - 1)).ok)
+    assert(!dec.decode(Multimodal.AudioBytes.wav(8000, 1, 10L)).ok,
+      "header-only blob (no payload) must be rejected by the PCM decoder")
+    // 8-bit / non-PCM flags rejected
+    val bad8 = good.clone()
+    java.nio.ByteBuffer.wrap(bad8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(34, 8.toShort) // bits-per-sample field in fmt
+    assert(!dec.decode(bad8).ok)
+    // hostile chunk length near 2^32 must not wrap the walk
+    val evil = good.clone()
+    java.nio.ByteBuffer.wrap(evil).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(40, 0xfffffff0) // LIST chunk length
+    assert(!dec.decode(evil).ok)
+    // and the good one still decodes after all this
+    assert(dec.decode(good).ok)
+  }
 }

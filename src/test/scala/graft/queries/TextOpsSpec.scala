@@ -85,4 +85,40 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val k = TextOps.BandBucketCap
     assert(n == k * (k - 1) / 2)
   }
+
+  test("text_boilerplate_lines: banner over threshold removed, footer " +
+       "under threshold and unique bodies kept") {
+    import spark.implicits._
+    // 20 docs, one source: banner lands on 10/20 docs (50% >= 30%,
+    // boilerplate), footer on 4/20 (20% < 30%, NOT boilerplate)
+    val docs = (0 until 20).map(i =>
+      (i.toLong, s"unique body text of document number $i", "en", "srcA",
+        30L + i))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("boiler").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = graft.SparkEntry.queries("text_boilerplate_lines")(spark, tmp)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.size == 20)
+    (0 until 20).foreach { i =>
+      val r = out(i.toLong)
+      val hasBanner = i % 2 == 0
+      val hasFooter = i % 5 == 0
+      val expLines = 1L + (if (hasBanner) 1 else 0) + (if (hasFooter) 1 else 0)
+      assert(r.getAs[Long]("n_lines") == expLines, s"doc $i lines: $r")
+      assert(r.getAs[Long]("n_boiler") == (if (hasBanner) 1L else 0L),
+        s"doc $i: banner mis-flagged (or footer over-flagged): $r")
+      // docs with neither injection keep their text verbatim
+      if (!hasBanner && !hasFooter) {
+        val body = s"unique body text of document number $i"
+        assert(r.getAs[Long]("residual_len") == body.length.toLong)
+      }
+      // footer survives (kept in residual): footer-only docs are
+      // LONGER than their body alone
+      if (!hasBanner && hasFooter)
+        assert(r.getAs[Long]("residual_len") >
+          s"unique body text of document number $i".length.toLong,
+          s"doc $i: under-threshold footer was wrongly removed")
+    }
+  }
 }
