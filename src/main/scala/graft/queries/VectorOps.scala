@@ -858,6 +858,195 @@ object VectorOps {
         |  pos_ppm - neg_ppm AS margin_ppm,
         |  (neg_ppm < pos_ppm AND neg_ppm > pos_ppm - 100000) AS semi_hard
         |FROM q LEFT JOIN pos USING (q_id) LEFT JOIN neg USING (q_id)
-        |ORDER BY q_id""".stripMargin))
+        |ORDER BY q_id""".stripMargin)),
+
+    // Distributed PCA by power iteration, in EXACT integer arithmetic
+    // so the oracle replays the whole algorithm bit-for-bit: vectors
+    // are quantized to q = floor(x*1024 + 0.5) (the int-quantization
+    // family ann_int8/pq already use), the centered scatter matrix
+    // M = S - (s s^T) div n is exact BIGINT (~ n * covariance; the
+    // div-truncated centering perturbs each entry by < 1 quantum and
+    // is part of the pinned algorithm — both engines truncate
+    // identically, and |M| <= n*1024^2 keeps the iteration products
+    // inside BIGINT out to ~1e8 vectors), and each power-iteration
+    // round renormalizes the iterate to |v| <= 1024
+    // by integer division — no float ever enters, so there is no
+    // cross-engine ulp exposure anywhere. Scale shape: ONE corpus
+    // pass builds the 64x64 scatter via a per-vector dim-pair
+    // expansion groupBy'd on 4096 keys (map-side combine); every
+    // iteration is a 4096-row join against a broadcast 64-row
+    // iterate — corpus size never appears after the first aggregate.
+    QueryDef("emb_pca_loadings",
+      (s, d) => pcaLoadings(s, d)
+        .select(col("j").as("dim"), col("vj").as("loading"))
+        .orderBy("dim"),
+      Some(s"""WITH $pcaCtes
+        |SELECT j AS dim, vj AS loading FROM v$Rounds ORDER BY dim""".stripMargin)),
+
+    // Projection of every vector onto the learned component — the
+    // "embedding whitening / outlier axis" read: top-10 docs by
+    // |projection| (exact integers again: p = sum q_j * v_j).
+    QueryDef("emb_pca_project",
+      (s, d) => {
+        val ex = pcaExploded(s, d)
+        val v = pcaLoadings(s, d)
+        ex.join(broadcast(v), "j")
+          .groupBy("vec_id")
+          .agg(sum(col("q") * col("vj")).as("proj"))
+          .orderBy(abs(col("proj")).desc, col("vec_id"))
+          .limit(10)
+      },
+      Some(s"""WITH $pcaCtes
+        |SELECT e.vec_id, CAST(sum(e.q * v.vj) AS BIGINT) AS proj
+        |FROM ex e JOIN v$Rounds v USING (j)
+        |GROUP BY e.vec_id
+        |ORDER BY abs(sum(e.q * v.vj)) DESC, e.vec_id LIMIT 10""".stripMargin)),
+
+    // Matryoshka-style truncation evaluation: retrieval quality of the
+    // FIRST-16-dims prefix vs the full 64-dim embedding — the
+    // measurement behind "store the short prefix, rerank with the
+    // tail" serving layouts (MRL, Kusupati et al. 2022). recall@10 of
+    // the truncated top-10 against the full top-10, per query, in
+    // exact ppm. Zero-overlap queries still emit (LEFT join +
+    // coalesce), per the ann-recall review finding. Scale shape:
+    // both arms are bounded top-k per broadcast query; the
+    // truncated arm reads 4x fewer bytes per candidate — at serving
+    // scale that's the point.
+    QueryDef("ann_matryoshka_recall",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val all = emb(s, d).select(col("vec_id").as("n_id"),
+          col("embedding").as("ve"))
+        val q = emb(s, d).where(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("vq"))
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("sim_ppm").desc, col("n_id"))
+        def topk(qc: Column, nc: Column): DataFrame =
+          all.crossJoin(broadcast(q))
+            .where(col("n_id") =!= col("q_id"))
+            .withColumn("sim_ppm", floor(
+              graft.functions.GraftFunctions.cosine_sim(qc, nc)
+                * 1000000 + 0.5).cast(LongType))
+            .withColumn("rn", row_number().over(w))
+            .where(col("rn") <= 10)
+            .select("q_id", "n_id")
+        val full = topk(col("vq"), col("ve"))
+        val trunc = topk(slice(col("vq"), 1, 16), slice(col("ve"), 1, 16))
+        val hits = full.join(trunc, Seq("q_id", "n_id"))
+          .groupBy("q_id").agg(count(lit(1)).as("h"))
+        q.select("q_id").join(hits, Seq("q_id"), "left")
+          .select(col("q_id"),
+            coalesce(col("h"), lit(0L)).cast(LongType).as("hits"))
+          .withColumn("recall_ppm", (col("hits") * 100000L).cast(LongType))
+          .orderBy("q_id")
+      },
+      Some {
+        def arm(cte: String, qv: String, nv: String) =
+          s"""$cte AS (
+          |  SELECT q_id, n_id FROM (
+          |    SELECT q.q_id, n.vec_id AS n_id,
+          |      row_number() OVER (PARTITION BY q.q_id
+          |        ORDER BY CAST(floor(${duckCosine(qv, nv)} * 1000000 + 0.5)
+          |                   AS BIGINT) DESC, n.vec_id) AS rn
+          |    FROM embeddings n, q WHERE n.vec_id <> q.q_id)
+          |  WHERE rn <= 10)"""
+        s"""WITH q AS (
+        |  SELECT vec_id AS q_id, embedding AS vq FROM embeddings
+        |  WHERE vec_id < 5),
+        |${arm("full_r", "q.vq", "n.embedding")},
+        |${arm("trunc_r", "q.vq[1:16]", "n.embedding[1:16]")},
+        |hits AS (
+        |  SELECT f.q_id, CAST(count(*) AS BIGINT) AS h
+        |  FROM full_r f JOIN trunc_r t USING (q_id, n_id) GROUP BY f.q_id)
+        |SELECT q.q_id, CAST(COALESCE(h.h, 0) AS BIGINT) AS hits,
+        |  CAST(COALESCE(h.h, 0) * 100000 AS BIGINT) AS recall_ppm
+        |FROM q LEFT JOIN hits h USING (q_id)
+        |ORDER BY q_id""".stripMargin
+      })
   )
+
+  // ---- PCA building blocks (shared by emb_pca_loadings/_project) ----------
+
+  /** Power-iteration rounds. The synthetic corpus is near-isotropic
+    * (measured lambda2/lambda1 ~ 0.93), so isolating the top component
+    * needs (0.93)^k small: 24 rounds reach a Rayleigh quotient >= 0.98
+    * of lambda_max (8 rounds stall at 0.90). Each round is a
+    * 4096-row join — rounds are cheap; the corpus pass is not.
+    */
+  private val Rounds = 24
+
+  /** (vec_id, j, q): dimension-exploded int-quantized vectors.
+    * x*1024 is exact in float AND double (power-of-two scale), so the
+    * quantization is engine-independent; cast to double anyway for
+    * uniformity with the DuckDB text.
+    */
+  private def pcaExploded(s: SparkSession, d: String): DataFrame =
+    emb(s, d).select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("j", "x")))
+      .select(col("vec_id"), col("j").cast(LongType).as("j"),
+        floor(col("x").cast(DoubleType) * 1024 + 0.5).cast(LongType).as("q"))
+
+  /** `Rounds`-round integer power iteration; returns 64 rows (j, vj),
+    * |vj| <= 1024.
+    */
+  private def pcaLoadings(s: SparkSession, d: String): DataFrame = {
+    val ex = pcaExploded(s, d).localCheckpoint()
+    val n = ex.select(countDistinct("vec_id")).collect()(0).getLong(0)
+    val sums = ex.groupBy("j").agg(sum("q").as("sj"))
+    val scatter = ex.select(col("vec_id"), col("j").as("i"), col("q").as("qi"))
+      .join(ex.select(col("vec_id"), col("j"), col("q").as("qj")), "vec_id")
+      .groupBy("i", "j")
+      .agg(sum(col("qi") * col("qj")).as("sij"))
+    val m = scatter
+      .join(broadcast(sums.select(col("j").as("i"), col("sj").as("si"))), "i")
+      .join(broadcast(sums), "j")
+      .select(col("i"), col("j"),
+        expr(s"sij - (si * sj) div $n").as("m"))
+      .localCheckpoint() // consumed by every round
+    var v = s.range(64).select(col("id").as("j"), lit(1L).as("vj"))
+    for (_ <- 1 to Rounds) {
+      val w = m.join(broadcast(v), "j")
+        .groupBy("i").agg(sum(col("m") * col("vj")).as("w"))
+      val mx = w.agg(max(abs(col("w"))).as("mx"))
+      v = w.crossJoin(broadcast(mx))
+        .select(col("i").as("j"), expr("(w * 1024) div mx").as("vj"))
+        .localCheckpoint()
+    }
+    v
+  }
+
+  /** The same algorithm as DuckDB CTEs ending in `v$Rounds(j, vj)` —
+    * every step integer-exact, so the two engines cannot diverge.
+    */
+  private lazy val pcaCtes: String = {
+    // every CTE that later rounds re-reference is MATERIALIZED —
+    // inlined CTEs would re-derive the scatter join once per
+    // reference, doubling work each round (2^Rounds recomputations)
+    val rounds = (1 to Rounds).map { r =>
+      val prev = if (r == 1) "v0" else s"v${r - 1}"
+      s"""w$r AS MATERIALIZED (
+      |  SELECT m.i, CAST(sum(m.m * v.vj) AS BIGINT) AS w
+      |  FROM m JOIN $prev v USING (j) GROUP BY m.i),
+      |v$r AS MATERIALIZED (
+      |  SELECT i AS j, (w * 1024) // (SELECT max(abs(w)) FROM w$r) AS vj
+      |  FROM w$r)"""
+    }.mkString(",\n")
+    s"""ex AS MATERIALIZED (
+    |  SELECT vec_id, CAST(t.j - 1 AS BIGINT) AS j,
+    |    CAST(floor(CAST(embedding[t.j] AS DOUBLE) * 1024 + 0.5) AS BIGINT) AS q
+    |  FROM embeddings, unnest(range(1, ${EmbDim + 1})) t(j)),
+    |nv AS (SELECT count(DISTINCT vec_id) AS n FROM ex),
+    |sums AS (SELECT j, CAST(sum(q) AS BIGINT) AS sj FROM ex GROUP BY j),
+    |scat AS (
+    |  SELECT a.j AS i, b.j AS j, CAST(sum(a.q * b.q) AS BIGINT) AS sij
+    |  FROM ex a JOIN ex b USING (vec_id) GROUP BY 1, 2),
+    |m AS MATERIALIZED (
+    |  SELECT s.i, s.j, s.sij - (si.sj * sj.sj) // nv.n AS m
+    |  FROM scat s
+    |  JOIN sums si ON si.j = s.i
+    |  JOIN sums sj ON sj.j = s.j
+    |  CROSS JOIN nv),
+    |v0 AS (SELECT DISTINCT j, CAST(1 AS BIGINT) AS vj FROM ex),
+    |$rounds""".stripMargin
+  }
 }

@@ -52,8 +52,18 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     "stats_drift" -> 7,
     "rank_fusion_rrf" -> 6,
     "ann_bruteforce_topk" -> 1,
+    // two agg argmaxes + the tiny anchor⟕pos⟕neg join (all three
+    // exchanges move <= 2 rows/anchor; the corpus join broadcasts)
+    "mine_hard_negatives" -> 3,
+    "text_boilerplate_lines" -> 6,
+    // both top-k window arms shuffle on q_id, then every remaining
+    // exchange (arm⋈arm, hits agg, anchor⟕hits) moves <= 10 rows/query
+    "ann_matryoshka_recall" -> 6,
     "j3_asof_join" -> 1,        // the whole point: union + ONE shuffle
     "w3_funnel" -> 3)
+  // rank_mmr_diversify and emb_pca_* are deliberately NOT budgeted:
+  // like corpus_mix_temperature below, their heavy subplans run inside
+  // eager localCheckpoint() jobs, so the final plan string is vacuous
 
   test("no audited query plans a CartesianProduct") {
     budgets.foreach { case (name, _) =>

@@ -65,4 +65,102 @@ class VectorOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.exists(_.getAs[Long]("margin_ppm") < 0L),
       "no hard (negative-margin) anchors on this corpus")
   }
+
+  test("emb_pca: driver-side integer replay matches bit-for-bit, and the " +
+       "iterate's Rayleigh quotient is near the top eigenvalue") {
+    val d = graft.TestData.requireSf("sf0.001")
+    val vecs = spark.read.parquet(s"$d/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val dim = vecs.head._2.length
+    val n = vecs.length.toLong
+    val qs = vecs.map { case (id, v) =>
+      id -> v.map(x => math.floor(x.toDouble * 1024 + 0.5).toLong)
+    }
+    val sums = Array.tabulate(dim)(j => qs.map(_._2(j)).sum)
+    val scat = Array.tabulate(dim, dim)((i, j) =>
+      qs.map { case (_, q) => q(i) * q(j) }.sum)
+    // Scala Long '/' truncates toward zero — same as Spark div / DuckDB //
+    val m = Array.tabulate(dim, dim)((i, j) =>
+      scat(i)(j) - (sums(i) * sums(j)) / n)
+    var v = Array.fill(dim)(1L)
+    for (_ <- 1 to 24) {
+      val w = Array.tabulate(dim)(i =>
+        (0 until dim).map(j => m(i)(j) * v(j)).sum)
+      val mx = w.map(math.abs).max
+      v = w.map(x => (x * 1024) / mx)
+    }
+    val loadings = graft.SparkEntry.queries("emb_pca_loadings")(spark, d)
+      .collect().map(r => r.getAs[Long]("dim") -> r.getAs[Long]("loading"))
+      .sortBy(_._1).map(_._2)
+    assert(loadings.toSeq == v.toSeq,
+      s"distributed PCA diverged from integer replay:\n got ${loadings.toSeq}\n exp ${v.toSeq}")
+    // convergence: the corpus spectrum is near-degenerate (lambda2/
+    // lambda1 ~ 0.93), so eigenVECTOR alignment is the wrong metric —
+    // the captured VARIANCE is what PCA is for. Reference lambda_max
+    // from a long double-precision power iteration; the integer
+    // iterate's Rayleigh quotient must capture >= 95% of it.
+    var e = Array.fill(dim)(1.0)
+    for (_ <- 1 to 300) {
+      val w = Array.tabulate(dim)(i =>
+        (0 until dim).map(j => m(i)(j).toDouble * e(j)).sum)
+      val nrm = math.sqrt(w.map(x => x * x).sum)
+      e = w.map(_ / nrm)
+    }
+    def rayleigh(x: Array[Double]): Double = {
+      val mx = Array.tabulate(dim)(i =>
+        (0 until dim).map(j => m(i)(j).toDouble * x(j)).sum)
+      (0 until dim).map(i => x(i) * mx(i)).sum /
+        x.map(t => t * t).sum
+    }
+    val ratio = rayleigh(v.map(_.toDouble)) / rayleigh(e)
+    assert(ratio >= 0.95,
+      f"iterate captures too little variance: R(v)/lambda_max = $ratio%.4f")
+    // projections: exact integer replay of the top-10 |projection|
+    val projs = qs.map { case (id, q) =>
+      id -> (0 until dim).map(j => q(j) * v(j)).sum
+    }
+    val expTop = projs.sortBy { case (id, p) => (-math.abs(p), id) }.take(10)
+    val gotTop = graft.SparkEntry.queries("emb_pca_project")(spark, d)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("proj"))
+    assert(gotTop.toSeq == expTop.toSeq)
+  }
+
+  test("ann_matryoshka_recall: replayed intersections; truncation loses " +
+       "something somewhere but not everything") {
+    val d = graft.TestData.requireSf("sf0.001")
+    val vecs = spark.read.parquet(s"$d/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def ppm(x: Double): Long = math.floor(x * 1000000 + 0.5).toLong
+    def top10(qid: Long, trunc: Boolean): Set[Long] = {
+      val vq = vecs.find(_._1 == qid).get._2
+      val cut = (v: Array[Float]) => if (trunc) v.take(16) else v
+      vecs.filter(_._1 != qid)
+        .map { case (nid, ve) => (nid, ppm(cos(cut(vq), cut(ve)))) }
+        .sortBy { case (nid, p) => (-p, nid) }.take(10).map(_._1).toSet
+    }
+    val out = graft.SparkEntry.queries("ann_matryoshka_recall")(spark, d)
+      .collect().map(r => r.getAs[Long]("q_id") ->
+        (r.getAs[Long]("hits"), r.getAs[Long]("recall_ppm"))).toMap
+    assert(out.size == 5)
+    out.foreach { case (qid, (hits, rppm)) =>
+      val exp = (top10(qid, trunc = false) intersect top10(qid, trunc = true)).size
+      assert(hits == exp.toLong, s"query $qid: hits $hits != replay $exp")
+      assert(rppm == hits * 100000L)
+    }
+    val allHits = out.values.map(_._1)
+    assert(allHits.exists(_ < 10L),
+      "16-dim truncation lost nothing for any query — the eval is vacuous")
+    assert(allHits.exists(_ > 0L),
+      "16-dim truncation lost everything for every query")
+  }
 }
