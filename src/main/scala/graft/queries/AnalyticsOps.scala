@@ -99,6 +99,37 @@ object AnalyticsOps {
     s"(16 * ${hexVal(s"substr($h, 1, 1)")} + ${hexVal(s"substr($h, 2, 1)")})"
   }
 
+  // ---- Misra-Gries heavy hitters -------------------------------------------
+
+  /** One partition's Misra-Gries summary: at most k counters; when a
+    * new key arrives with the map full, ALL counters decrement and
+    * zeros drop (the classic eviction). Guarantee used by
+    * sketch_topk_mg: any item with partition frequency > n_p/(k+1)
+    * survives, so the UNION of per-partition summaries contains every
+    * item with GLOBAL frequency > N/(k+1) (pigeonhole over the
+    * partitioning). Returns surviving keys only — the counts are
+    * under-estimates by design and the query recounts candidates
+    * exactly in a second pass.
+    */
+  private[graft] def misraGries(it: Iterator[String], k: Int): Iterator[String] = {
+    val m = scala.collection.mutable.HashMap.empty[String, Long]
+    it.foreach { t =>
+      m.get(t) match {
+        case Some(c) => m.update(t, c + 1L)
+        case None if m.size < k => m.update(t, 1L)
+        case None =>
+          // amortized O(1): each decrement sweep removes >= 1 counter
+          // paid for by a prior insertion
+          val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+          m.foreachEntry { (key, c) =>
+            if (c == 1L) dead += key else m.update(key, c - 1L)
+          }
+          dead.foreach(m.remove)
+      }
+    }
+    m.keysIterator
+  }
+
   // ---- HyperLogLog ---------------------------------------------------------
 
   private val HllM = 256 // registers (2 hex digits of the item hash)
