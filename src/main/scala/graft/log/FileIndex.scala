@@ -133,6 +133,23 @@ object FileIndex {
     * our exists/list/stat calls — one retry observes the new
     * generation ("trimming is eventually consistent").
     */
+  /** Union listing over `Layout.resolveDataDirs` output: one dir in
+    * the steady state; in the interrupted-migration state (rows split
+    * between loose legacy files and a partial `gen=0`) both dirs are
+    * listed and deduped by FILE NAME, preferring the later dir — the
+    * migration move preserves names, so a file caught mid-move by the
+    * two listings resolves to its post-move `gen=0` path.
+    */
+  def listStatsUnion(dirs: Seq[String]): Seq[FileStats] = dirs match {
+    case Seq(one) => listStats(one)
+    case many =>
+      val byName = scala.collection.mutable.LinkedHashMap.empty[String, FileStats]
+      many.foreach(d => listStats(d).foreach { st =>
+        byName.update(Paths.get(st.path).getFileName.toString, st)
+      })
+      byName.values.toSeq.sortBy(_.minSeq)
+  }
+
   def listStats(dir: String): Seq[FileStats] = {
     def attempt(): Seq[FileStats] = {
       val d = Paths.get(dir)

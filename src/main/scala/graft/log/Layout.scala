@@ -83,9 +83,25 @@ object Layout {
     * legacy paths as-is.
     */
   def resolveDataDir(root: String, basin: String, stream: String,
-                     gen: Long): String = {
+                     gen: Long): String =
+    resolveDataDirs(root, basin, stream, gen).last
+
+  /** All dirs a reader must list to see every durable row. Usually one
+    * (the generation dir, or the legacy loose-file dir); TWO in the
+    * interrupted-migration state — a crash mid-`migrateLegacyLocked`
+    * leaves rows split between a partially-filled `gen=0` and leftover
+    * loose files, and until some later write re-enters and finishes
+    * the move, reads must take the union or silently lose the loose
+    * remainder. Ordered legacy-first: the migration is an atomic
+    * per-file rename, so a file a concurrent migration moves between
+    * the two listings shows up in the gen=0 listing (callers dedupe by
+    * file name preferring the later dir) rather than vanishing.
+    */
+  def resolveDataDirs(root: String, basin: String, stream: String,
+                      gen: Long): Seq[String] = {
     val gd = genDir(root, basin, stream, gen)
-    if (gen > 0 || Files.exists(Paths.get(gd))) return gd
+    if (gen > 0) return Seq(gd)
+    val genExists = Files.exists(Paths.get(gd))
     val legacy = Paths.get(dataDir(root, basin, stream))
     val hasLoose = Files.exists(legacy) && {
       val s = Files.list(legacy)
@@ -93,7 +109,9 @@ object Layout {
         p.toString.endsWith(".parquet") && Files.isRegularFile(p))
       finally s.close()
     }
-    if (hasLoose) legacy.toString else gd
+    if (genExists && hasLoose) Seq(legacy.toString, gd)
+    else if (hasLoose && !genExists) Seq(legacy.toString)
+    else Seq(gd)
   }
 
   def statePath(root: String, basin: String, stream: String): Path =

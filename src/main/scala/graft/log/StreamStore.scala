@@ -145,6 +145,13 @@ final class StreamStore(val spark: SparkSession, val root: String) {
                          m: StreamManifest): String =
     Layout.resolveDataDir(root, basin, stream, m.generation)
 
+  /** All dirs a read must union (two only in the interrupted-migration
+    * state — see Layout.resolveDataDirs).
+    */
+  private def dataDirsFor(basin: String, stream: String,
+                          m: StreamManifest): Seq[String] =
+    Layout.resolveDataDirs(root, basin, stream, m.generation)
+
   /** Caller must hold the stream lock. */
   private def migrateLegacyLocked(basin: String, stream: String,
                                   m: StreamManifest): Unit = {
@@ -623,9 +630,13 @@ final class StreamStore(val spark: SparkSession, val root: String) {
     * become visible exactly when its manifest flip commits.
     */
   private def rawData(basin: String, stream: String): DataFrame = {
-    val dir = dataDirFor(basin, stream, manifest(basin, stream))
-    if (Files.exists(Paths.get(dir)))
-      spark.read.schema(recordSchema).parquet(dir)
+    // per-file plan (not a directory scan) so the interrupted-migration
+    // union never depends on partition discovery over mixed layouts
+    val files = FileIndex
+      .listStatsUnion(dataDirsFor(basin, stream, manifest(basin, stream)))
+      .map(_.path)
+    if (files.nonEmpty)
+      spark.read.schema(recordSchema).parquet(files: _*)
     else
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], recordSchema)
   }
@@ -762,7 +773,7 @@ final class StreamStore(val spark: SparkSession, val root: String) {
         Some(nowMs.getOrElse(System.currentTimeMillis()) - secs * 1000)
       case RetentionPolicy.Infinite => None
     }
-    val files = FileIndex.listStats(dataDirFor(basin, stream, m))
+    val files = FileIndex.listStatsUnion(dataDirsFor(basin, stream, m))
 
     val start: Long = spec.start.from match {
       case ReadFrom.SeqNum(n) => n
@@ -979,6 +990,17 @@ final class StreamStore(val spark: SparkSession, val root: String) {
         val nextGen = math.max(m.generation, maxGenOnDisk(streamDir)) + 1
         val dst = Paths.get(Layout.genDir(root, basin, stream, nextGen))
         Files.move(tmp, dst)
+        // grace counts from the FLIP — an idle stream's old gen would
+        // otherwise age out instantly and break the racing plans the
+        // generation design exists to keep alive. Touched BEFORE the
+        // manifest CAS: a foreign sweeper (Maintenance runs
+        // sweepOldGens without this stream's lock) that reads the new
+        // manifest in the window after the CAS must already see a
+        // fresh mtime, or an idle stream's old gen would be deleted
+        // inside the grace. Harmless if the CAS below then fails.
+        Files.setLastModifiedTime(curDir,
+          java.nio.file.attribute.FileTime.fromMillis(
+            nowMs.getOrElse(System.currentTimeMillis())))
         try saveManifestCas(basin, stream,
           m.copy(reclaimedTo = m.trimPoint, generation = nextGen,
             version = m.version + 1), m.version)
@@ -988,12 +1010,6 @@ final class StreamStore(val spark: SparkSession, val root: String) {
           deleteRecursively(dst)
           throw t
         }
-        // grace counts from the FLIP — an idle stream's old gen would
-        // otherwise age out instantly and break the racing plans the
-        // generation design exists to keep alive
-        Files.setLastModifiedTime(curDir,
-          java.nio.file.attribute.FileTime.fromMillis(
-            nowMs.getOrElse(System.currentTimeMillis())))
         sweepOldGens(basin, stream, nowMs = nowMs)
         sweepTrash()
       }
@@ -1080,6 +1096,20 @@ final class StreamStore(val spark: SparkSession, val root: String) {
     if (streams.isEmpty || !Files.exists(dir))
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         recordSchema.add("stream", StringType))
+    // Partition discovery requires a UNIFORM directory depth: after a
+    // legacy-root upgrade where one stream has migrated to gen=
+    // subdirectories while another still holds loose parquet, the
+    // mixed depths fail the scan ("Conflicting directory structures").
+    // Eagerly finish the per-stream migration (idempotent, under each
+    // stream's lock) before the basin-wide scan — a no-op on every
+    // call after the first.
+    streams.foreach { s =>
+      if (manifest(basin, s).generation == 0L &&
+          hasLooseParquet(Paths.get(Layout.dataDir(root, basin, s))))
+        withStreamLock(basin, s) {
+          migrateLegacyLocked(basin, s, manifestFresh(basin, s))
+        }
+    }
     val masks = streams.map { s =>
       val m = manifest(basin, s)
       val cutoff = catalog.streamConfig(basin, s)

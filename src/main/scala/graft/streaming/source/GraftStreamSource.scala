@@ -181,7 +181,8 @@ final class GraftScan(props: Map[String, String],
         math.max(ret, tsLo) // pushed timestamp lower bound prunes too
       }
       if (e <= lo) return Array.empty
-      FileIndex.listStats(Layout.resolveDataDir(root, basin, stream, m.generation))
+      FileIndex.listStatsUnion(
+        Layout.resolveDataDirs(root, basin, stream, m.generation))
         .filter(st => st.maxSeq >= lo && st.minSeq < e &&
           st.maxTs >= cutoff && st.minTs < tsHi)
         .map(st => GraftInputPartition(st.path, lo, e, cutoff))
@@ -230,8 +231,8 @@ final class GraftMicroBatchStream(root: String, basin: String, stream: String,
     * grace window (Layout.genDir) — the in-flight batch keeps reading
     * its planned paths while the next plan lists the new generation.
     */
-  private def dirFor(m: StreamManifest): String =
-    Layout.resolveDataDir(root, basin, stream, m.generation)
+  private def dirsFor(m: StreamManifest): Seq[String] =
+    Layout.resolveDataDirs(root, basin, stream, m.generation)
 
   /** Resolved retention policy, cached with a short TTL: it changes
     * only via reconfigure, and resolving it per micro-batch per
@@ -314,7 +315,7 @@ final class GraftMicroBatchStream(root: String, basin: String, stream: String,
         var byteEnd = effStart
         var admitted = 0
         var done = false
-        val it = FileIndex.listStats(dirFor(m)).iterator
+        val it = FileIndex.listStatsUnion(dirsFor(m)).iterator
           .filter(st => st.maxSeq >= effStart && st.minSeq < tail)
         while (!done && it.hasNext) {
           val st = it.next()
@@ -373,7 +374,7 @@ final class GraftMicroBatchStream(root: String, basin: String, stream: String,
     // shared driver-side footer-stats cache (graft.log.FileIndex):
     // catch-up ranges open only the files overlapping [lo, e) that can
     // still hold unexpired rows
-    FileIndex.listStats(dirFor(m))
+    FileIndex.listStatsUnion(dirsFor(m))
       .filter(st => st.maxSeq >= lo && st.minSeq < e && st.maxTs >= cutoff)
       .map(st => GraftInputPartition(st.path, lo, e, cutoff))
       .toArray[InputPartition]

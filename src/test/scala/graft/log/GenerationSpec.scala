@@ -192,6 +192,68 @@ class GenerationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bodies(st, "leg") == Seq("old1", "new2"))
   }
 
+  test("mixed legacy/migrated basin: visibleBasin scans without conflicting-depth failure") {
+    val st = freshStore()
+    // stream A: normal (migrated) layout with gen= subdirectories
+    st.catalog.createStream(Basin, "mixA")
+    st.append(Basin, "mixA", AppendInput(Seq(env("a0"), env("a1"))), Some(1000L))
+    // stream B: fabricated legacy layout — loose parquet, no gen dir
+    st.catalog.createStream(Basin, "mixB")
+    val legacyB = Paths.get(Layout.dataDir(st.root, Basin, "mixB"))
+    Files.createDirectories(legacyB)
+    DirectParquet.writeBatch(legacyB.toString, Seq(
+      DirectParquet.Rec(0L, 1000L, Nil, "b0".getBytes, 10L)))
+    Files.createDirectories(Layout.statePath(st.root, Basin, "mixB").getParent)
+    Files.writeString(Layout.statePath(st.root, Basin, "mixB"),
+      """{"tailSeq":1,"tailTs":1000,"fencingToken":"","trimPoint":0,""" +
+        """"deletionPending":false,"lastEpoch":-1,"reclaimedTo":0,""" +
+        """"version":1}""")
+    ManifestCache.invalidate(Layout.statePath(st.root, Basin, "mixB"))
+    // the upgrade window the advice flagged: one stream at gen= depth,
+    // one still loose. The basin scan must eagerly finish B's
+    // migration instead of failing partition discovery.
+    val counts = st.visibleBasin(Basin)
+      .groupBy("stream").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.get("mixA").contains(2L), s"got $counts")
+    assert(counts.get("mixB").contains(1L), s"got $counts")
+    // and B's loose files are now in gen=0
+    val loose = Files.list(legacyB)
+    val left = try loose.iterator().asScala.count(p =>
+      p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      finally loose.close()
+    assert(left == 0, "basin scan must have completed the migration")
+  }
+
+  test("interrupted migration (rows split between gen=0 and loose files) reads the union") {
+    val st = freshStore()
+    st.catalog.createStream(Basin, "split")
+    // fabricate the crash state migrateLegacyLocked can leave: file 0
+    // already moved into gen=0, file 1 still loose under the stream dir
+    val legacyDir = Paths.get(Layout.dataDir(st.root, Basin, "split"))
+    val gen0 = Paths.get(Layout.genDir(st.root, Basin, "split", 0L))
+    Files.createDirectories(gen0)
+    DirectParquet.writeBatch(gen0.toString, Seq(
+      DirectParquet.Rec(0L, 1000L, Nil, "moved0".getBytes, 12L)))
+    DirectParquet.writeBatch(legacyDir.toString, Seq(
+      DirectParquet.Rec(1L, 1000L, Nil, "loose1".getBytes, 12L)))
+    Files.createDirectories(Layout.statePath(st.root, Basin, "split").getParent)
+    Files.writeString(Layout.statePath(st.root, Basin, "split"),
+      """{"tailSeq":2,"tailTs":1000,"fencingToken":"","trimPoint":0,""" +
+        """"deletionPending":false,"lastEpoch":-1,"reclaimedTo":0,""" +
+        """"version":1}""")
+    ManifestCache.invalidate(Layout.statePath(st.root, Basin, "split"))
+    // both dirs are resolved (legacy first, so a racing move can never
+    // hide a file from the union)
+    assert(Layout.resolveDataDirs(st.root, Basin, "split", 0L).size == 2)
+    // batch read sees BOTH rows — the loose remainder is not invisible
+    assert(bodies(st, "split") == Seq("moved0", "loose1"))
+    // a later write commit finishes the migration and collapses the union
+    st.append(Basin, "split", AppendInput(Seq(env("new2"))), Some(2000L))
+    assert(Layout.resolveDataDirs(st.root, Basin, "split", 0L).size == 1)
+    assert(bodies(st, "split") == Seq("moved0", "loose1", "new2"))
+  }
+
   test("visibleBasin masks out non-current generations (no duplicates inside grace)") {
     val st = freshStore()
     st.catalog.createStream(Basin, "vb")
