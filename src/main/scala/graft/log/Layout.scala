@@ -74,18 +74,6 @@ object Layout {
   def genDir(root: String, basin: String, stream: String, gen: Long): String =
     s"${dataDir(root, basin, stream)}/gen=$gen"
 
-  /** Where a reader should list data files: the manifest's generation
-    * dir, falling back to the pre-generation layout (loose parquet
-    * directly under the stream dir) for roots written before the
-    * generation upgrade and never committed to since. Writers migrate
-    * loose files into gen=0 under the stream lock on first commit
-    * (StreamStore.migrateLegacyLocked); until then reads serve the
-    * legacy paths as-is.
-    */
-  def resolveDataDir(root: String, basin: String, stream: String,
-                     gen: Long): String =
-    resolveDataDirs(root, basin, stream, gen).last
-
   /** All dirs a reader must list to see every durable row. Usually one
     * (the generation dir, or the legacy loose-file dir); TWO in the
     * interrupted-migration state — a crash mid-`migrateLegacyLocked`
@@ -96,12 +84,20 @@ object Layout {
     * per-file rename, so a file a concurrent migration moves between
     * the two listings shows up in the gen=0 listing (callers dedupe by
     * file name preferring the later dir) rather than vanishing.
+    *
+    * Check order matters: gen-dir existence is sampled AFTER the
+    * legacy listing. Sampling it before opens a race — a migration
+    * that creates gen=0 and moves files between the two checks would
+    * leave an unlocked reader seeing genExists=false + hasLoose=true
+    * and serving ONLY the legacy dir, dropping the already-moved
+    * files. Sampled after, any migration racing the listing has
+    * necessarily created the gen dir by the time we look, so the
+    * two-dir union covers its moves.
     */
   def resolveDataDirs(root: String, basin: String, stream: String,
                       gen: Long): Seq[String] = {
     val gd = genDir(root, basin, stream, gen)
     if (gen > 0) return Seq(gd)
-    val genExists = Files.exists(Paths.get(gd))
     val legacy = Paths.get(dataDir(root, basin, stream))
     val hasLoose = Files.exists(legacy) && {
       val s = Files.list(legacy)
@@ -109,6 +105,7 @@ object Layout {
         p.toString.endsWith(".parquet") && Files.isRegularFile(p))
       finally s.close()
     }
+    val genExists = Files.exists(Paths.get(gd))
     if (genExists && hasLoose) Seq(legacy.toString, gd)
     else if (hasLoose && !genExists) Seq(legacy.toString)
     else Seq(gd)

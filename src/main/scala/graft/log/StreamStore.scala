@@ -141,10 +141,6 @@ final class StreamStore(val spark: SparkSession, val root: String) {
     finally s.close()
   }
 
-  private def dataDirFor(basin: String, stream: String,
-                         m: StreamManifest): String =
-    Layout.resolveDataDir(root, basin, stream, m.generation)
-
   /** All dirs a read must union (two only in the interrupted-migration
     * state — see Layout.resolveDataDirs).
     */
@@ -625,9 +621,11 @@ final class StreamStore(val spark: SparkSession, val root: String) {
   // Read path (R2-R7, R10)
   // -------------------------------------------------------------------------
 
-  /** All durable rows of one stream (no visibility masks) — reads the
-    * manifest's CURRENT generation only, so a compaction's new files
-    * become visible exactly when its manifest flip commits.
+  /** All durable rows of one stream (no visibility masks) — unions the
+    * manifest's CURRENT generation with any interrupted-migration
+    * leftovers (Layout.resolveDataDirs), so a compaction's new files
+    * become visible exactly when its manifest flip commits and a crash
+    * mid-legacy-migration never hides the unmoved remainder.
     */
   private def rawData(basin: String, stream: String): DataFrame = {
     // per-file plan (not a directory scan) so the interrupted-migration
@@ -1100,16 +1098,31 @@ final class StreamStore(val spark: SparkSession, val root: String) {
     // legacy-root upgrade where one stream has migrated to gen=
     // subdirectories while another still holds loose parquet, the
     // mixed depths fail the scan ("Conflicting directory structures").
-    // Eagerly finish the per-stream migration (idempotent, under each
-    // stream's lock) before the basin-wide scan — a no-op on every
-    // call after the first.
-    streams.foreach { s =>
-      if (manifest(basin, s).generation == 0L &&
-          hasLooseParquet(Paths.get(Layout.dataDir(root, basin, s))))
+    // Only in that MIXED state does this scan write: it eagerly
+    // finishes the per-stream migration (idempotent, under each
+    // stream's lock) during the upgrade window. A uniformly-legacy
+    // root (no gen= dirs anywhere) partition-discovers fine in the
+    // degraded no-`gen`-column form and stays strictly read-only —
+    // read-only deployments and concurrent readers holding plans over
+    // legacy paths never see files move under a metrics/scan call.
+    val looseStreams = streams.filter(s =>
+      manifest(basin, s).generation == 0L &&
+        hasLooseParquet(Paths.get(Layout.dataDir(root, basin, s))))
+    val anyGenDir = streams.exists { s =>
+      val d = Paths.get(Layout.dataDir(root, basin, s))
+      Files.exists(d) && {
+        val st = Files.list(d)
+        try st.iterator().asScala.exists(p =>
+          Files.isDirectory(p) && p.getFileName.toString.startsWith("gen="))
+        finally st.close()
+      }
+    }
+    if (anyGenDir && looseStreams.nonEmpty)
+      looseStreams.foreach { s =>
         withStreamLock(basin, s) {
           migrateLegacyLocked(basin, s, manifestFresh(basin, s))
         }
-    }
+      }
     val masks = streams.map { s =>
       val m = manifest(basin, s)
       val cutoff = catalog.streamConfig(basin, s)

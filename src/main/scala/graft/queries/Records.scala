@@ -26,13 +26,32 @@ object Records {
 
   val Basin = "bench-basin"
 
-  /** Raw events; parquet stores TIMESTAMP(NANOS) which Spark only reads
-    * as LONG (nanosAsLong) — we convert to epoch micros, matching
-    * DuckDB's epoch_us().
+  /** Raw events with `ts` normalized to epoch-NANOS LONG regardless of
+    * the parquet's physical encoding. The driver's testdata has shipped
+    * two encodings over time:
+    *   - TIMESTAMP(NANOS), which Spark only reads as LONG (nanosAsLong)
+    *     — already the canonical form;
+    *   - TIMESTAMP(MICROS), which Spark reads as TIMESTAMP_NTZ — we
+    *     rebase to nanos (`unix_micros * 1000`; exact, micros resolution)
+    *     so every downstream `ts div 1000` / `div 1000000` consumer and
+    *     the DuckDB `epoch_us(ts)` oracles agree bit-for-bit.
+    * Session timezone is pinned to UTC here so the NTZ→instant cast is
+    * identity and the view never depends on the caller's JVM zone.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType => raw
+      case TimestampNTZType | TimestampType =>
+        raw.withColumn(
+          "ts", expr("unix_micros(cast(ts as timestamp)) * 1000L"))
+      case other =>
+        throw new IllegalStateException(
+          s"events.parquet ts has unsupported type $other; " +
+            "expected LONG (nanos) or TIMESTAMP[_NTZ] (micros)")
+    }
   }
 
   /** The sequenced-record relation:

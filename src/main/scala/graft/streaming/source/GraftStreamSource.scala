@@ -224,12 +224,16 @@ final class GraftMicroBatchStream(root: String, basin: String, stream: String,
     Layout.readJson[StreamManifest](Layout.statePath(root, basin, stream))
       .getOrElse(StreamManifest())
 
-  /** Current-generation data dir, resolved against the SAME manifest
-    * the caller already holds: a microbatch plans entirely within one
-    * generation, and a compaction flip between two plans is safe
-    * because the old generation's files survive in place for the
-    * grace window (Layout.genDir) — the in-flight batch keeps reading
-    * its planned paths while the next plan lists the new generation.
+  /** All data dirs a microbatch must list, resolved against the SAME
+    * manifest the caller already holds: usually the one current-
+    * generation dir, plus the legacy loose-file dir in the
+    * interrupted-migration state (see Layout.resolveDataDirs — callers
+    * dedupe by file name preferring the later dir). A microbatch plans
+    * entirely within one generation, and a compaction flip between two
+    * plans is safe because the old generation's files survive in place
+    * for the grace window (Layout.genDir) — the in-flight batch keeps
+    * reading its planned paths while the next plan lists the new
+    * generation.
     */
   private def dirsFor(m: StreamManifest): Seq[String] =
     Layout.resolveDataDirs(root, basin, stream, m.generation)
