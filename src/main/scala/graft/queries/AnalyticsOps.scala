@@ -410,6 +410,50 @@ object AnalyticsOps {
         |GROUP BY 1, 2
         |ORDER BY exact_count DESC, tok""".stripMargin)),
 
+    // Misra-Gries heavy hitters over document word tokens: the classic
+    // two-pass top-k that NEVER shuffles the full key space. Pass 1
+    // builds one bounded summary (<= k counters) per partition via
+    // mapPartitions — mergeable by union, the property that lets 1000
+    // executors summarize 100 TB into k*partitions candidate strings.
+    // Pass 2 recounts ONLY the candidate set (broadcast semi-join),
+    // so the one shuffle is over candidate-matching rows, not all
+    // tokens. Output is made partition-INDEPENDENT by the MG
+    // guarantee: every item with global frequency > N/(k+1) survives
+    // some partition's summary (pigeonhole), so filtering candidates
+    // to exact_count*(k+1) > N yields exactly the above-threshold
+    // set — deterministic, and recomputable from scratch in SQL.
+    QueryDef("sketch_topk_mg",
+      (s, d) => {
+        import s.implicits._
+        val MgK = 64
+        def toks = docs(s, d)
+          .select(explode(split(col("text"), " ")).as("tok"))
+        val cands = toks.as[String]
+          .mapPartitions(it => misraGries(it, MgK))
+          .distinct().toDF("tok")
+        val total = toks.agg(count(lit(1)).as("total"))
+        toks.join(broadcast(cands), Seq("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("exact_count"))
+          .crossJoin(broadcast(total))
+          .where(col("exact_count") * (MgK + 1) > col("total"))
+          .select(col("tok"),
+            col("exact_count").cast(LongType).as("exact_count"),
+            expr("exact_count * 1000000 div total").cast(LongType)
+              .as("share_ppm"))
+          .orderBy(col("exact_count").desc, col("tok"))
+      },
+      Some("""WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |counts AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS exact_count
+        |  FROM toks GROUP BY tok),
+        |n AS (SELECT CAST(sum(exact_count) AS BIGINT) AS total FROM counts)
+        |SELECT c.tok, c.exact_count,
+        |  CAST(c.exact_count * 1000000 // n.total AS BIGINT) AS share_ppm
+        |FROM counts c, n
+        |WHERE c.exact_count * 65 > n.total
+        |ORDER BY exact_count DESC, tok""".stripMargin)),
+
     // HyperLogLog distinct-count of word-3-gram shingles: m=256
     // registers keyed by the hash's first 2 hex digits, rho = leading
     // zeros of the next 48 bits, capped at 30 so register weights

@@ -700,13 +700,19 @@ object CurationOps {
     // BEST_COMPRESSION, fixed strategy — deterministic for fixed
     // input) over mapPartitions with one Deflater per partition, the
     // same executor-batch shape as the multimodal codecs. DEFLATE is
-    // not expressible in SQL, so this entry has NO DuckDB oracle (the
-    // driver's weaker rows-only check applies); the semantic claims —
-    // repetitive text compresses far below the corpus norm, ratios
-    // are deterministic across runs — are pinned in CurationOpsSpec
-    // instead. Ratio is frozen to micros of the EXACT integer byte
-    // lengths. Scale shape: scan -> per-partition compress -> narrow
-    // (id, lens) rows; nothing corpus-sized shuffles.
+    // not expressible in SQL, so the oracle verifies the STRUCTURE
+    // around the one opaque scalar instead of going rows-only: Verify
+    // templates the dump directory into the SQL (__VERIFY_OUT__), and
+    // DuckDB re-derives every other column independently — raw_bytes
+    // must equal the corpus's true UTF-8 length (octet_length(encode))
+    // straight from documents, ratio_micros/flag_repetitive are
+    // recomputed from scratch, and the doc_id join proves exactly one
+    // row per document. Only deflate_bytes itself is taken from the
+    // persisted output; its VALUE (determinism, repetitive-text-
+    // compresses-below-norm) stays pinned in CurationOpsSpec. Ratio is
+    // frozen to micros of the EXACT integer byte lengths. Scale shape:
+    // scan -> per-partition compress -> narrow (id, lens) rows;
+    // nothing corpus-sized shuffles.
     QueryDef("text_compression_ratio",
       (s, d) => {
         import s.implicits._
@@ -734,7 +740,18 @@ object CurationOps {
           .withColumn("flag_repetitive", col("ratio_micros") < 300000L)
           .orderBy("doc_id")
       },
-      None),
+      Some("""WITH sp AS (
+        |  SELECT doc_id, deflate_bytes
+        |  FROM read_parquet('__VERIFY_OUT__/text_compression_ratio/*.parquet'))
+        |SELECT d.doc_id,
+        |  CAST(octet_length(encode(d.text)) AS BIGINT) AS raw_bytes,
+        |  CAST(sp.deflate_bytes AS BIGINT) AS deflate_bytes,
+        |  CAST(sp.deflate_bytes * 1000000 // octet_length(encode(d.text)) AS BIGINT)
+        |    AS ratio_micros,
+        |  (sp.deflate_bytes * 1000000 // octet_length(encode(d.text))) < 300000
+        |    AS flag_repetitive
+        |FROM documents d JOIN sp USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)),
 
     // MMR diversified rerank (Carbonell & Goldstein, SIGIR 1998 — the
     // standard redundancy-vs-relevance tradeoff RAG stacks apply on

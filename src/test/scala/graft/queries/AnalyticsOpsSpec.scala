@@ -39,6 +39,46 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(est.head.getAs[Long]("exact_count") == 200L)
   }
 
+  test("Misra-Gries summary keeps every item above the n/(k+1) threshold") {
+    // Adversarial stream: one heavy item interleaved with a long tail
+    // of singletons that constantly force eviction sweeps. With k
+    // counters, any item with frequency > n/(k+1) must survive; items
+    // at exactly the threshold may or may not.
+    val k = 8
+    val heavy = Seq.fill(400)("heavy")
+    val tail = (0 until 2000).map(i => s"t$i")
+    // worst case for the heavy item: its copies arrive first, then the
+    // eviction pressure
+    val interleaved = (0 until 2000).flatMap(i =>
+      if (i % 5 == 0) Seq("heavy", s"t$i") else Seq(s"t$i"))
+    for (stream <- Seq(heavy ++ tail, tail ++ heavy, interleaved)) {
+      val survivors = AnalyticsOps.misraGries(stream.iterator, k).toSet
+      val n = stream.size
+      val heavyCount = stream.count(_ == "heavy")
+      assert(heavyCount > n / (k + 1), "fixture must keep heavy above threshold")
+      assert(survivors.contains("heavy"),
+        s"MG evicted an above-threshold item (n=$n, k=$k)")
+      assert(survivors.size <= k, "MG summary exceeded its k-counter bound")
+    }
+  }
+
+  test("sketch_topk_mg output is exactly the above-threshold set, any partitioning") {
+    import spark.implicits._
+    // The query's determinism claim: its result must not depend on how
+    // the corpus is partitioned. Compare the query's tokens against a
+    // plain exact computation of {tok : cnt*(k+1) > N} on sf0.001.
+    val got = graft.SparkEntry.queries("sketch_topk_mg")(spark, sfDir)
+      .select("tok", "exact_count").as[(String, Long)].collect().toMap
+    val toks = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val counts = toks.groupBy("tok").count().as[(String, Long)].collect()
+    val n = counts.map(_._2).sum
+    val want = counts.filter { case (_, c) => c * 65 > n }.toMap
+    assert(got == want,
+      s"MG top-k diverged from the exact above-threshold set " +
+        s"(got ${got.size}, want ${want.size})")
+  }
+
   test("HLL estimates known cardinalities within 3 sigma (1.04/sqrt(256) ~ 6.5%)") {
     import spark.implicits._
     for (n <- Seq(5000, 50000)) {
