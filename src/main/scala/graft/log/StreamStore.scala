@@ -148,6 +148,33 @@ final class StreamStore(val spark: SparkSession, val root: String) {
                           m: StreamManifest): Seq[String] =
     Layout.resolveDataDirs(root, basin, stream, m.generation)
 
+  /** Manifest + file listing, CONSISTENT under a foreign compaction:
+    * re-reads the manifest (authoritative, cache bypassed) after the
+    * listing and re-plans if the generation moved in between. The flip
+    * alone is safe — the old generation's files survive in place for
+    * sweepOldGens' grace — but a flip whose grace has ALREADY expired
+    * by the time we list (reader stalled between manifest read and
+    * listing, or an aggressive sweeper clock) deletes the very dir we
+    * resolved, and the listing comes back empty or partial: silent row
+    * loss, not an error. Each retry observes a strictly newer
+    * generation, so the loop terminates; the bound is a foreign-bug
+    * backstop.
+    */
+  private def manifestAndFiles(basin: String, stream: String)
+      : (StreamManifest, Seq[FileIndex.FileStats]) = {
+    var m = manifest(basin, stream)
+    var files = FileIndex.listStatsUnion(dataDirsFor(basin, stream, m))
+    var fresh = manifestFresh(basin, stream)
+    var spins = 0
+    while (fresh.generation != m.generation && spins < 8) {
+      m = fresh
+      files = FileIndex.listStatsUnion(dataDirsFor(basin, stream, m))
+      fresh = manifestFresh(basin, stream)
+      spins += 1
+    }
+    (m, files)
+  }
+
   /** Caller must hold the stream lock. */
   private def migrateLegacyLocked(basin: String, stream: String,
                                   m: StreamManifest): Unit = {
@@ -630,9 +657,7 @@ final class StreamStore(val spark: SparkSession, val root: String) {
   private def rawData(basin: String, stream: String): DataFrame = {
     // per-file plan (not a directory scan) so the interrupted-migration
     // union never depends on partition discovery over mixed layouts
-    val files = FileIndex
-      .listStatsUnion(dataDirsFor(basin, stream, manifest(basin, stream)))
-      .map(_.path)
+    val files = manifestAndFiles(basin, stream)._2.map(_.path)
     if (files.nonEmpty)
       spark.read.schema(recordSchema).parquet(files: _*)
     else
@@ -765,13 +790,12 @@ final class StreamStore(val spark: SparkSession, val root: String) {
       case Some(c) => c
       case None => return Left(s"StreamNotFound: $basin/$stream")
     }
-    val m = manifest(basin, stream)
     val retCutoff: Option[Long] = config.retentionOrDefault match {
       case RetentionPolicy.Age(secs) =>
         Some(nowMs.getOrElse(System.currentTimeMillis()) - secs * 1000)
       case RetentionPolicy.Infinite => None
     }
-    val files = FileIndex.listStatsUnion(dataDirsFor(basin, stream, m))
+    val (m, files) = manifestAndFiles(basin, stream)
 
     val start: Long = spec.start.from match {
       case ReadFrom.SeqNum(n) => n

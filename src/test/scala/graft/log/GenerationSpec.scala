@@ -265,4 +265,38 @@ class GenerationSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("seq_num").collect().map(_.getLong(0)).sorted.toSeq
     assert(rows == Seq(2L, 3L, 4L, 5L, 6L), s"got $rows") // no gen-0 dupes
   }
+
+  test("stale cached manifest + flip + EXPIRED grace: read re-plans onto the new gen, not empty") {
+    // The one window the grace alone can't cover: a reader resolves
+    // the old generation's path from a stale manifest AFTER the
+    // sweeper has already deleted that dir (reader stalled past the
+    // grace, or the cache served a same-mtime-granule stale entry).
+    // Without the re-plan guard the listing comes back empty and the
+    // read silently returns zero rows; the contract here is: retry
+    // onto gen N+1 (or serve the pre-flip rows if still on disk) —
+    // NEVER throw, NEVER silently lose rows.
+    val st = freshStore()
+    st.catalog.createStream(Basin, "sp")
+    st.append(Basin, "sp", AppendInput((0 until 6).map(i => env(s"p$i"))), Some(1000L))
+    val stale = st.manifest(Basin, "sp")
+    assert(stale.generation == 0L)
+    // instance A trims, compacts (flip to gen=1), and the grace expires
+    st.append(Basin, "sp", AppendInput(Seq(TrimCommand(2))), Some(1100L))
+    st.compact(Basin, "sp")
+    st.sweepOldGens(Basin, "sp",
+      nowMs = Some(System.currentTimeMillis() + 11 * 60 * 1000L))
+    assert(!Files.exists(Paths.get(Layout.genDir(st.root, Basin, "sp", 0L))),
+      "fixture: gen=0 must be swept for the stale path to dangle")
+    // instance B: prime the (mtime, size)-keyed cache with the
+    // PRE-flip manifest against the CURRENT file attributes — the
+    // deterministic reproduction of the stale-serve corner
+    ManifestCache.put(Layout.statePath(st.root, Basin, "sp"), stale)
+    val other = new StreamStore(spark, st.root)
+    val seqs = other.read(Basin, "sp", ReadSpec(ReadStart(ReadFrom.SeqNum(0))),
+        ignoreCommands = true)
+      .fold(e => fail(e), identity)
+      .orderBy("seq_num").collect().map(_.getLong(0)).toSeq
+    assert(seqs == Seq(2L, 3L, 4L, 5L),
+      s"stale-plan read lost rows or served the wrong generation: $seqs")
+  }
 }
