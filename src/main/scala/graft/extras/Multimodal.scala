@@ -10,11 +10,13 @@ import org.apache.spark.sql.functions._
   * executor-local decoder state — is real, and so is the image-header
   * codec: `ImageHeaderDecoder` parses PNG IHDR, JPEG SOF markers, and
   * GIF logical-screen descriptors from the raw bytes, pure JVM, no
-  * native libs. Full-pixel decode is REAL for uncompressed 24-bit BMP
-  * (`BmpPixelDecoder` — padding, bottom-up rows, BGR, per-pixel
-  * stats); compressed formats (the part that genuinely needs
-  * libjpeg/ffmpeg, absent in this container) stay behind
-  * `FakeDecoder`, clearly marked. Swap it for a JNI/javacv decoder and
+  * native libs. Full-pixel decode is REAL both for uncompressed
+  * 24-bit BMP (`BmpPixelDecoder` — padding, bottom-up rows, BGR,
+  * per-pixel stats) and for compressed PNG/JPEG/GIF
+  * (`ImageIoPixelDecoder` — the JDK ships those ImageIO readers).
+  * Only VIDEO frame extraction, which genuinely needs ffmpeg (absent
+  * from the JVM), stays behind the clearly-marked
+  * `FakeVideoFrameDecoder`; swap it for a JNI/javacv decoder and
   * nothing else changes.
   *
   * Scale notes: decode runs via `mapPartitions` so per-partition
@@ -99,21 +101,20 @@ object Multimodal {
     }
   }
 
-  /** STUB full-pixel codec — deterministic from bytes; stands in for
-    * expensive native decoder init where a real pipeline would link
-    * libjpeg/ffmpeg (not present in this container).
+  /** STUB frame decoder for VIDEO only — deterministic from bytes;
+    * stands in for ffmpeg (genuinely absent from the JVM). Still
+    * images do NOT go through this: PNG/JPEG/GIF/BMP full-pixel
+    * decode is real (`ImageIoPixelDecoder` below — the JDK ships
+    * those ImageIO readers).
     */
-  final class FakeDecoder {
+  final class FakeVideoFrameDecoder {
     def decode(bytes: Array[Byte]): MediaMeta = {
       if (bytes == null || bytes.isEmpty)
         MediaMeta(0, "unknown", 0, 0, ok = false)
       else {
         val n = bytes.length.toLong
-        val fmt = (n % 3) match {
-          case 0 => "png"; case 1 => "jpg"; case _ => "webp"
-        }
-        MediaMeta(n, fmt, (32 + (n * 7) % 64).toInt, (32 + (n * 13) % 64).toInt,
-          ok = true)
+        MediaMeta(n, "frame",
+          (32 + (n * 7) % 64).toInt, (32 + (n * 13) % 64).toInt, ok = true)
       }
     }
   }
@@ -181,6 +182,34 @@ object Multimodal {
         fileRow += 1
       }
       out.array()
+    }
+
+    /** COMPLETE real PNG with the same arithmetic pixel pattern as
+      * `bmp` (r = (5x+17y+3id)%256, g = (11x+3y+2id)%256,
+      * b = (7x+13y+id)%256), encoded through the JDK's ImageIO PNG
+      * writer. PNG is lossless, so any correct decoder recovers the
+      * pattern bit-exactly — the oracle recomputes the stats from
+      * (w, h, id) alone without ever seeing the compressed bytes
+      * (whose length IS encoder-dependent, hence not oracled).
+      */
+    def pngFull(w: Int, h: Int, id: Long): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val r = ((x * 5 + y * 17 + 3 * id) % 256).toInt
+          val g = ((x * 11 + y * 3 + 2 * id) % 256).toInt
+          val b = ((x * 7 + y * 13 + id) % 256).toInt
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
     }
   }
 
@@ -551,6 +580,77 @@ object Multimodal {
   def decodeBmpPixels(df: DataFrame, binaryCol: String, idCol: String): DataFrame =
     decodePartitions[PixelStats](df, binaryCol, idCol,
       () => new BmpPixelDecoder().decode _)
+      .select(col("_1").as(idCol),
+        col("_2.byteLen").as("byte_len"),
+        col("_2.width").as("width"), col("_2.height").as("height"),
+        col("_2.sumR").as("sum_r"), col("_2.sumG").as("sum_g"),
+        col("_2.sumB").as("sum_b"),
+        col("_2.luma0").as("luma0"), col("_2.luma1").as("luma1"),
+        col("_2.luma2").as("luma2"), col("_2.luma3").as("luma3"),
+        col("_2.cornerR").as("corner_r"), col("_2.ok").as("ok"))
+
+  /** REAL compressed-image pixel codec, pure JVM: PNG/JPEG/GIF/BMP
+    * decode through `javax.imageio` (those readers ship in the JDK —
+    * no native libs), extracting the same exact-integer PixelStats as
+    * BmpPixelDecoder. PNG/GIF/BMP are lossless, so decoded pixels are
+    * bit-exact and oracle-checkable arithmetically; JPEG decodes
+    * deterministically but lossily, so only its dimensions are
+    * oracle-grade. Malformed/unknown bytes come back `ok = false`,
+    * never an exception. One instance per partition; ImageIO's
+    * temp-file cache is disabled so executors never touch scratch
+    * disk for in-memory blobs.
+    */
+  final class ImageIoPixelDecoder {
+    javax.imageio.ImageIO.setUseCache(false)
+    private def bad(n: Long) =
+      PixelStats(n, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, ok = false)
+
+    def decode(bytes: Array[Byte]): PixelStats = {
+      val n = if (bytes == null) 0L else bytes.length.toLong
+      if (n == 0) return bad(n)
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        if (img == null) return bad(n) // no registered reader claimed it
+        val w = img.getWidth; val h = img.getHeight
+        if (w <= 0 || h <= 0 || w > (1 << 16) || h > (1 << 16)) return bad(n)
+        var sumR = 0L; var sumG = 0L; var sumB = 0L
+        val luma = new Array[Long](4)
+        // row-at-a-time bulk getRGB: bounded scratch (one int row), no
+        // per-pixel virtual dispatch into the color model
+        val row = new Array[Int](w)
+        var cornerR = 0
+        var y = 0
+        while (y < h) {
+          img.getRGB(0, y, w, 1, row, 0, w)
+          var x = 0
+          while (x < w) {
+            val rgb = row(x)
+            val r = (rgb >> 16) & 0xff
+            val g = (rgb >> 8) & 0xff
+            val b = rgb & 0xff
+            sumR += r; sumG += g; sumB += b
+            luma(((r * 299 + g * 587 + b * 114) / 1000) >> 6) += 1
+            if (x == 0 && y == 0) cornerR = r
+            x += 1
+          }
+          y += 1
+        }
+        PixelStats(n, w, h, sumR, sumG, sumB,
+          luma(0), luma(1), luma(2), luma(3), cornerR, ok = true)
+      } catch {
+        case scala.util.control.NonFatal(_) => bad(n)
+      }
+    }
+  }
+
+  /** Decode a binary column of compressed images (PNG/JPEG/GIF/BMP)
+    * into per-image pixel statistics via ImageIO — same partition
+    * shape as decodeBmpPixels.
+    */
+  def decodeImagePixels(df: DataFrame, binaryCol: String, idCol: String): DataFrame =
+    decodePartitions[PixelStats](df, binaryCol, idCol,
+      () => new ImageIoPixelDecoder().decode _)
       .select(col("_1").as(idCol),
         col("_2.byteLen").as("byte_len"),
         col("_2.width").as("width"), col("_2.height").as("height"),

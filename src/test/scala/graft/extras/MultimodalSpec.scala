@@ -49,11 +49,41 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(1).getInt(3) == 64 && out(1).getInt(4) == 32)
   }
 
-  test("FakeDecoder stub stays deterministic (full-pixel decode stand-in)") {
-    val dec = new Multimodal.FakeDecoder
+  test("ImageIO pixel decoder: lossless PNG round-trip is bit-exact") {
+    val dec = new Multimodal.ImageIoPixelDecoder
+    val bmpDec = new Multimodal.BmpPixelDecoder
+    // same pattern, two independent real codecs: the PNG round-trip
+    // must land on the BMP decoder's stats exactly (modulo byteLen,
+    // which is encoder-dependent for PNG)
+    for (id <- Seq(0L, 7L, 123L)) {
+      val png = dec.decode(Multimodal.ImageBytes.pngFull(6, 5, id))
+      val bmp = bmpDec.decode(Multimodal.ImageBytes.bmp(6, 5, id))
+      assert(png.ok && bmp.ok)
+      assert(png.copy(byteLen = 0) == bmp.copy(byteLen = 0),
+        s"PNG and BMP pixel stats diverged for id=$id")
+    }
+  }
+
+  test("ImageIO pixel decoder: JPEG decodes with exact dims; garbage rejected") {
+    val dec = new Multimodal.ImageIoPixelDecoder
+    // a real JPEG via the JDK encoder: lossy pixels, exact dimensions
+    val img = new java.awt.image.BufferedImage(
+      40, 30, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val jm = dec.decode(bos.toByteArray)
+    assert(jm.ok && jm.width == 40 && jm.height == 30)
+    assert(!dec.decode(null).ok)
+    assert(!dec.decode("not an image at all".getBytes).ok)
+    assert(!dec.decode(Multimodal.ImageBytes.png(4, 4)).ok,
+      "a header-only truncated PNG must be rejected by the full decoder")
+  }
+
+  test("FakeVideoFrameDecoder stub stays deterministic (video stand-in)") {
+    val dec = new Multimodal.FakeVideoFrameDecoder
     val m = dec.decode("abcdef".getBytes)
-    assert(m == Multimodal.MediaMeta(6, "png", 32 + 6 * 7 % 64, 32 + 6 * 13 % 64,
-      ok = true))
+    assert(m == Multimodal.MediaMeta(6, "frame", 32 + 6 * 7 % 64,
+      32 + 6 * 13 % 64, ok = true))
     assert(!dec.decode(null).ok)
   }
 
