@@ -163,8 +163,20 @@ final class GraftScan(props: Map[String, String],
       val root = props("root")
       val basin = props("basin")
       val stream = props("stream")
-      val m = Layout.readJson[StreamManifest](
+      def mf = Layout.readJson[StreamManifest](
         Layout.statePath(root, basin, stream)).getOrElse(StreamManifest())
+      // same flip-races-listing guard as the microbatch path: re-plan
+      // if a foreign compaction moved the generation mid-listing
+      var m = mf
+      var listed = FileIndex.listStatsUnion(
+        Layout.resolveDataDirs(root, basin, stream, m.generation))
+      var spins = 0
+      while (mf.generation != m.generation && spins < 8) {
+        m = mf
+        listed = FileIndex.listStatsUnion(
+          Layout.resolveDataDirs(root, basin, stream, m.generation))
+        spins += 1
+      }
       val lo = Seq(opt("startSeq").map(_.toLong).getOrElse(0L),
         m.trimPoint, seqLo).max
       val e = Seq(opt("endSeq").map(_.toLong).getOrElse(Long.MaxValue),
@@ -181,8 +193,7 @@ final class GraftScan(props: Map[String, String],
         math.max(ret, tsLo) // pushed timestamp lower bound prunes too
       }
       if (e <= lo) return Array.empty
-      FileIndex.listStatsUnion(
-        Layout.resolveDataDirs(root, basin, stream, m.generation))
+      listed
         .filter(st => st.maxSeq >= lo && st.minSeq < e &&
           st.maxTs >= cutoff && st.minTs < tsHi)
         .map(st => GraftInputPartition(st.path, lo, e, cutoff))
@@ -237,6 +248,29 @@ final class GraftMicroBatchStream(root: String, basin: String, stream: String,
     */
   private def dirsFor(m: StreamManifest): Seq[String] =
     Layout.resolveDataDirs(root, basin, stream, m.generation)
+
+  /** Manifest + listing consistent under a foreign compaction — the
+    * streaming twin of StreamStore.manifestAndFiles: if a flip (and a
+    * grace-expired sweep of the dir we resolved) lands between the
+    * manifest read and the listing, the listing comes back empty or
+    * partial while the offset range still advances, and the batch
+    * would silently read nothing. Re-read the manifest after listing;
+    * a moved generation re-plans. Terminates: each retry observes a
+    * strictly newer generation.
+    */
+  private def manifestAndFiles(): (StreamManifest, Seq[FileIndex.FileStats]) = {
+    var m = manifest
+    var files = FileIndex.listStatsUnion(dirsFor(m))
+    var fresh = manifest
+    var spins = 0
+    while (fresh.generation != m.generation && spins < 8) {
+      m = fresh
+      files = FileIndex.listStatsUnion(dirsFor(m))
+      fresh = manifest
+      spins += 1
+    }
+    (m, files)
+  }
 
   /** Resolved retention policy, cached with a short TTL: it changes
     * only via reconfigure, and resolving it per micro-batch per
@@ -368,7 +402,7 @@ final class GraftMicroBatchStream(root: String, basin: String, stream: String,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GraftOffset].seq
     val e = end.asInstanceOf[GraftOffset].seq
-    val m = manifest
+    val (m, files) = manifestAndFiles()
     // visibility: the batch path (StreamStore.visible) masks trimmed and
     // retention-expired rows; followers must agree (read.rs:112-131 —
     // a catch-up can never see trimmed keys)
@@ -378,7 +412,7 @@ final class GraftMicroBatchStream(root: String, basin: String, stream: String,
     // shared driver-side footer-stats cache (graft.log.FileIndex):
     // catch-up ranges open only the files overlapping [lo, e) that can
     // still hold unexpired rows
-    FileIndex.listStatsUnion(dirsFor(m))
+    files
       .filter(st => st.maxSeq >= lo && st.minSeq < e && st.maxTs >= cutoff)
       .map(st => GraftInputPartition(st.path, lo, e, cutoff))
       .toArray[InputPartition]

@@ -60,7 +60,10 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // exchange (arm⋈arm, hits agg, anchor⟕hits) moves <= 10 rows/query
     "ann_matryoshka_recall" -> 6,
     "j3_asof_join" -> 1,        // the whole point: union + ONE shuffle
-    "w3_funnel" -> 3)
+    "w3_funnel" -> 3,
+    // the MG point: candidate distinct + candidate recount only —
+    // never a full-vocabulary shuffle (the corpus join broadcasts)
+    "sketch_topk_mg" -> 2)
   // rank_mmr_diversify and emb_pca_* are deliberately NOT budgeted:
   // like corpus_mix_temperature below, their heavy subplans run inside
   // eager localCheckpoint() jobs, so the final plan string is vacuous
