@@ -19,6 +19,22 @@ object Bench {
     if (sorted.isEmpty) 0.0
     else sorted(math.min(sorted.size - 1, (p * sorted.size).toInt))
 
+  /** JSON string literal with FULL escaping (backslash, quote, and all
+    * control chars < 0x20 — exception messages routinely carry tabs
+    * and CRs from plan fragments; one raw control char would make the
+    * whole artifact unparseable, the exact failure this file's error
+    * capture exists to prevent). Mirrors Verify's q().
+    */
+  private def jsonStr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -215,9 +231,8 @@ object Bench {
     f""""append_mibps":$appendMibps%.3f,"read_mibps":$readMibps%.3f,"append_records_per_sec":${totalRecords / ingestSec}%.0f,"avg_record_bytes":${totalBytes / math.max(totalRecords, 1)},"ingest_sec":$ingestSec%.3f,"append_1kib_mibps":$append1kMibps%.3f,"read_1kib_mibps":$read1kMibps%.3f,"read_scan_mibps":$scanMibps%.3f,"read_verified":$readVerified,"ack_latency_ms":$ackJson"""
     } catch { case e: Throwable =>
       val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(160)}"
-        .replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", " ")
       System.err.println(s"bench workload failed: $msg")
-      s""""append_mibps":0,"read_mibps":0,"read_verified":false,"workload_error":"$msg""""
+      s""""append_mibps":0,"read_mibps":0,"read_verified":false,"workload_error":${jsonStr(msg)}"""
     }
 
     val qs = results.map { case (k, (w, _)) => "\"" + k + f"\":$w%.3f" }
@@ -226,9 +241,7 @@ object Bench {
       .mkString("{", ",", "}")
     val errJson =
       if (queryErrors.isEmpty) ""
-      else queryErrors.map { case (k, v) =>
-        "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"")
-          .replace("\n", " ") + "\"" }
+      else queryErrors.map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }
         .mkString(""","query_errors":{""", ",", "}")
     val total = results.map(_._2._1).sum
     val totalCpu = results.map(_._2._2).sum

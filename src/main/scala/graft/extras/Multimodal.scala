@@ -487,13 +487,13 @@ object Multimodal {
       .withColumn("frame_offset", col("frame_idx") * (col("byte_len") / k).cast("long"))
 
   // -------------------------------------------------------------------------
-  // FULL-PIXEL decode — real pixels, not a stub, for the one mainstream
-  // format that needs no codec library: uncompressed 24-bit BMP
-  // (BITMAPINFOHEADER, BI_RGB). JPEG/WebP full decode remains
-  // FakeDecoder (environment-limited: no libjpeg in this container),
-  // but the per-pixel feature-extraction path — channel sums, luma
+  // FULL-PIXEL decode — real pixels, not a stub. Two independent
+  // codecs: a hand-rolled one for uncompressed 24-bit BMP
+  // (BITMAPINFOHEADER, BI_RGB — this section), and ImageIoPixelDecoder
+  // below for compressed PNG/JPEG/GIF via the JDK's ImageIO readers.
+  // The per-pixel feature-extraction path — channel sums, luma
   // histogram, row-order-sensitive corner probe, padding handling —
-  // is exercised on genuine decoded bytes here.
+  // is exercised on genuine decoded bytes in both.
   // -------------------------------------------------------------------------
 
   /** Exact integer pixel statistics: channel sums and a 4-bin luma

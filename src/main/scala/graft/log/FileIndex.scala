@@ -140,6 +140,35 @@ object FileIndex {
     * migration move preserves names, so a file caught mid-move by the
     * two listings resolves to its post-move `gen=0` path.
     */
+  /** Manifest + union listing, CONSISTENT under a foreign compaction
+    * flip — the shared form of the guard used by every planner
+    * (StreamStore reads, the microbatch stream, the connector's batch
+    * scan): a flip (and a grace-expired sweep of the dir the manifest
+    * resolved to) landing between the manifest read and the listing
+    * yields an empty or partial listing, which a caller would serve as
+    * silently-missing rows, not an error. Re-read the manifest after
+    * listing; a moved generation re-plans. Terminates: each retry
+    * observes a strictly newer generation (the spin bound is a
+    * foreign-bug backstop). `first` may serve a cache; `recheck` must
+    * be authoritative enough to observe a foreign flip.
+    */
+  def consistentListing(first: () => StreamManifest,
+                        recheck: () => StreamManifest,
+                        dirs: StreamManifest => Seq[String])
+      : (StreamManifest, Seq[FileStats]) = {
+    var m = first()
+    var files = listStatsUnion(dirs(m))
+    var fresh = recheck()
+    var spins = 0
+    while (fresh.generation != m.generation && spins < 8) {
+      m = fresh
+      files = listStatsUnion(dirs(m))
+      fresh = recheck()
+      spins += 1
+    }
+    (m, files)
+  }
+
   def listStatsUnion(dirs: Seq[String]): Seq[FileStats] = dirs match {
     case Seq(one) => listStats(one)
     case many =>

@@ -148,32 +148,17 @@ final class StreamStore(val spark: SparkSession, val root: String) {
                           m: StreamManifest): Seq[String] =
     Layout.resolveDataDirs(root, basin, stream, m.generation)
 
-  /** Manifest + file listing, CONSISTENT under a foreign compaction:
-    * re-reads the manifest (authoritative, cache bypassed) after the
-    * listing and re-plans if the generation moved in between. The flip
-    * alone is safe — the old generation's files survive in place for
-    * sweepOldGens' grace — but a flip whose grace has ALREADY expired
-    * by the time we list (reader stalled between manifest read and
-    * listing, or an aggressive sweeper clock) deletes the very dir we
-    * resolved, and the listing comes back empty or partial: silent row
-    * loss, not an error. Each retry observes a strictly newer
-    * generation, so the loop terminates; the bound is a foreign-bug
-    * backstop.
+  /** Manifest + file listing via FileIndex.consistentListing (see its
+    * doc for the flip-races-listing scenario): first read may serve
+    * the mtime-keyed cache (hot path), rechecks bypass it so a foreign
+    * flip in the same mtime granule can't be missed.
     */
   private def manifestAndFiles(basin: String, stream: String)
-      : (StreamManifest, Seq[FileIndex.FileStats]) = {
-    var m = manifest(basin, stream)
-    var files = FileIndex.listStatsUnion(dataDirsFor(basin, stream, m))
-    var fresh = manifestFresh(basin, stream)
-    var spins = 0
-    while (fresh.generation != m.generation && spins < 8) {
-      m = fresh
-      files = FileIndex.listStatsUnion(dataDirsFor(basin, stream, m))
-      fresh = manifestFresh(basin, stream)
-      spins += 1
-    }
-    (m, files)
-  }
+      : (StreamManifest, Seq[FileIndex.FileStats]) =
+    FileIndex.consistentListing(
+      () => manifest(basin, stream),
+      () => manifestFresh(basin, stream),
+      m => dataDirsFor(basin, stream, m))
 
   /** Caller must hold the stream lock. */
   private def migrateLegacyLocked(basin: String, stream: String,

@@ -750,7 +750,7 @@ object CurationOps {
         |    AS ratio_micros,
         |  (sp.deflate_bytes * 1000000 // octet_length(encode(d.text))) < 300000
         |    AS flag_repetitive
-        |FROM documents d JOIN sp USING (doc_id)
+        |FROM documents d LEFT JOIN sp USING (doc_id)
         |ORDER BY doc_id""".stripMargin)),
 
     // MMR diversified rerank (Carbonell & Goldstein, SIGIR 1998 — the

@@ -35,16 +35,20 @@ object Records {
     *     rebase to nanos (`unix_micros * 1000`; exact, micros resolution)
     *     so every downstream `ts div 1000` / `div 1000000` consumer and
     *     the DuckDB `epoch_us(ts)` oracles agree bit-for-bit.
-    * Session timezone is pinned to UTC here so the NTZ→instant cast is
-    * identity and the view never depends on the caller's JVM zone.
+    * On the NTZ path the session timezone is pinned to UTC so the
+    * NTZ→instant cast is identity and the view never depends on the
+    * caller's JVM zone; the pin is scoped to that branch (every
+    * in-repo entrypoint already builds UTC sessions — the conf write
+    * only matters, and is documented to happen, for an external
+    * caller on the micros encoding).
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     raw.schema("ts").dataType match {
       case LongType => raw
       case TimestampNTZType | TimestampType =>
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         raw.withColumn(
           "ts", expr("unix_micros(cast(ts as timestamp)) * 1000L"))
       case other =>

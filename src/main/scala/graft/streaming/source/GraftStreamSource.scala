@@ -165,18 +165,20 @@ final class GraftScan(props: Map[String, String],
       val stream = props("stream")
       def mf = Layout.readJson[StreamManifest](
         Layout.statePath(root, basin, stream)).getOrElse(StreamManifest())
+      // empty/fully-bounded ranges exit before paying any listing or
+      // footer reads (pollers and startSeq/endSeq probes hit this a
+      // lot); the bounds are re-derived below from the guard's final
+      // manifest, so this is purely a fast path
+      val m0 = mf
+      if (Seq(opt("endSeq").map(_.toLong).getOrElse(Long.MaxValue),
+          m0.tailSeq, seqHi).min <=
+          Seq(opt("startSeq").map(_.toLong).getOrElse(0L),
+            m0.trimPoint, seqLo).max)
+        return Array.empty
       // same flip-races-listing guard as the microbatch path: re-plan
       // if a foreign compaction moved the generation mid-listing
-      var m = mf
-      var listed = FileIndex.listStatsUnion(
-        Layout.resolveDataDirs(root, basin, stream, m.generation))
-      var spins = 0
-      while (mf.generation != m.generation && spins < 8) {
-        m = mf
-        listed = FileIndex.listStatsUnion(
-          Layout.resolveDataDirs(root, basin, stream, m.generation))
-        spins += 1
-      }
+      val (m, listed) = FileIndex.consistentListing(() => mf, () => mf,
+        mm => Layout.resolveDataDirs(root, basin, stream, mm.generation))
       val lo = Seq(opt("startSeq").map(_.toLong).getOrElse(0L),
         m.trimPoint, seqLo).max
       val e = Seq(opt("endSeq").map(_.toLong).getOrElse(Long.MaxValue),
@@ -249,28 +251,14 @@ final class GraftMicroBatchStream(root: String, basin: String, stream: String,
   private def dirsFor(m: StreamManifest): Seq[String] =
     Layout.resolveDataDirs(root, basin, stream, m.generation)
 
-  /** Manifest + listing consistent under a foreign compaction — the
-    * streaming twin of StreamStore.manifestAndFiles: if a flip (and a
-    * grace-expired sweep of the dir we resolved) lands between the
-    * manifest read and the listing, the listing comes back empty or
-    * partial while the offset range still advances, and the batch
-    * would silently read nothing. Re-read the manifest after listing;
-    * a moved generation re-plans. Terminates: each retry observes a
-    * strictly newer generation.
+  /** Manifest + listing via FileIndex.consistentListing (see its doc):
+    * without the guard, a flip + grace-expired sweep between manifest
+    * read and listing makes a microbatch silently read nothing while
+    * its offset range still advances. `manifest` here is already an
+    * uncached authoritative read.
     */
-  private def manifestAndFiles(): (StreamManifest, Seq[FileIndex.FileStats]) = {
-    var m = manifest
-    var files = FileIndex.listStatsUnion(dirsFor(m))
-    var fresh = manifest
-    var spins = 0
-    while (fresh.generation != m.generation && spins < 8) {
-      m = fresh
-      files = FileIndex.listStatsUnion(dirsFor(m))
-      fresh = manifest
-      spins += 1
-    }
-    (m, files)
-  }
+  private def manifestAndFiles(): (StreamManifest, Seq[FileIndex.FileStats]) =
+    FileIndex.consistentListing(() => manifest, () => manifest, dirsFor)
 
   /** Resolved retention policy, cached with a short TTL: it changes
     * only via reconfigure, and resolving it per micro-batch per

@@ -23,6 +23,11 @@ class SchemaGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     .master("local[2]")
     .config("spark.sql.shuffle.partitions", "2")
     .config("spark.sql.session.timeZone", "UTC")
+    // set BEFORE any events.parquet read: on the TIMESTAMP(NANOS)
+    // encoding a plain read dies with PARQUET_TYPE_ILLEGAL — the
+    // opaque crash this canary exists to replace with a targeted
+    // message, so the canary itself must never hit it
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
@@ -66,8 +71,6 @@ class SchemaGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("events.ts physical encoding is one Records.events understands") {
-    // nanosAsLong must be set BEFORE the schema read, as in production.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ts = cols("events")("ts")
     info(s"events.ts physical type as read by Spark: $ts")
     assert(Set[DataType](LongType, TimestampNTZType, TimestampType)(ts),
