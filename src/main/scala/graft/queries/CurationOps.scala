@@ -65,6 +65,66 @@ object CurationOps {
 
   def defs: Seq[QueryDef] = Seq(
 
+    // Unicode normalization — the cleaning stage that runs BEFORE any
+    // hashing/dedup in a crawl pipeline (C4/RefinedWeb-style): the
+    // same visible text arrives as precomposed chars, combining-mark
+    // sequences, or with zero-width characters, and every downstream
+    // exact/near-dup signature diverges unless the corpus is NFC'd
+    // first. The corpus is ASCII, so each doc gets a deterministic
+    // "dirty" variant (doc_id%3==0: every 'e' becomes e+U+0301
+    // combining acute; ==1: a U+200B zero-width space appended; ==2:
+    // untouched), then the operator strips zero-width chars and
+    // applies NFC via java.text.Normalizer in mapPartitions. The
+    // oracle rebuilds the identical dirty text in SQL and recomputes
+    // every count through DuckDB's independent utf8proc
+    // nfc_normalize — canonical composition is Unicode-pinned, so the
+    // two implementations must agree exactly. All injected chars are
+    // BMP, so Spark's UTF-16 length and DuckDB's codepoint length
+    // coincide by construction. Scale shape: one narrow pass, no
+    // shuffle; normalization is embarrassingly parallel.
+    QueryDef("text_nfc_normalize",
+      (s, d) => {
+        import s.implicits._
+        val acute = 769.toChar.toString // combining acute (oracle chr(769))
+        val zw = 8203.toChar.toString   // zero-width space (chr(8203))
+        val dirty = docs(s, d).select(col("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            expr(s"replace(text, 'e', concat('e', '$acute'))"))
+            .when(col("doc_id") % 3 === 1,
+              concat(col("text"), lit(zw)))
+            .otherwise(col("text")).as("dt"))
+        dirty.as[(Long, String)].mapPartitions { it =>
+          it.map { case (id, t) =>
+            val noZw = t.replace(zw, "")
+            val nfc = java.text.Normalizer
+              .normalize(noZw, java.text.Normalizer.Form.NFC)
+            (id, nfc.length.toLong,
+              (t.length - noZw.length).toLong,
+              (noZw.length - nfc.length).toLong,
+              t.length != nfc.length)
+          }
+        }.toDF("doc_id", "clean_chars", "zw_removed", "recomposed", "changed")
+          .orderBy("doc_id")
+      },
+      Some("""WITH dirty AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3
+        |      WHEN 0 THEN replace(text, 'e', 'e' || chr(769))
+        |      WHEN 1 THEN text || chr(8203)
+        |      ELSE text END AS dt
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, dt,
+        |    replace(dt, chr(8203), '') AS nozw,
+        |    nfc_normalize(replace(dt, chr(8203), '')) AS clean
+        |  FROM dirty)
+        |SELECT doc_id,
+        |  CAST(length(clean) AS BIGINT) AS clean_chars,
+        |  CAST(length(dt) - length(nozw) AS BIGINT) AS zw_removed,
+        |  CAST(length(nozw) - length(clean) AS BIGINT) AS recomposed,
+        |  length(dt) != length(clean) AS changed
+        |FROM n ORDER BY doc_id""".stripMargin)),
+
     // URL-canonicalization dedup — the FIRST dedup of a crawl
     // pipeline: the same page is fetched under scheme/host case
     // variants, default ports, tracking query params, fragments and
