@@ -19,6 +19,31 @@ object Bench {
     if (sorted.isEmpty) 0.0
     else sorted(math.min(sorted.size - 1, (p * sorted.size).toInt))
 
+  /** Single-core host-speed calibration: a fixed xorshift spin whose
+    * wall time depends only on effective core speed (no allocation, no
+    * I/O, fits in registers). Reported as `cpu_calib_sec` so
+    * cross-round wall-clock comparisons can be discounted for
+    * shared-host slowdown — round 11 measured a UNIFORM ~1.4×
+    * wall+cpu elevation on completely untouched queries, which this
+    * one number would have attributed to the host immediately.
+    * min-of-3 rejects scheduler preemption spikes.
+    */
+  private def cpuCalibSec(): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0
+      while (i < (1 << 26)) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        i += 1
+      }
+      if (x == 42L) System.err.print("") // defeat dead-code elimination
+      (System.nanoTime() - t0) / 1e9
+    }
+    once() // warm the JIT, unbilled
+    Seq(once(), once(), once()).min
+  }
+
   /** JSON string literal with FULL escaping (backslash, quote, and all
     * control chars < 0x20 — exception messages routinely carry tabs
     * and CRs from plan fragments; one raw control char would make the
@@ -245,8 +270,9 @@ object Bench {
         .mkString(""","query_errors":{""", ",", "}")
     val total = results.map(_._2._1).sum
     val totalCpu = results.map(_._2._2).sum
+    val calib = cpuCalibSec()
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing":"best-of-2","total_cpu_sec":$totalCpu%.3f,"queries":$qs,"queries_cpu_sec":$qsCpu$errJson,"sf":"$sfDir",$workloadJson}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing":"best-of-2","total_cpu_sec":$totalCpu%.3f,"cpu_calib_sec":$calib%.4f,"queries":$qs,"queries_cpu_sec":$qsCpu$errJson,"sf":"$sfDir",$workloadJson}"""
     // The driver captures only the tail of stdout, which can truncate the
     // wall-clock `queries` map out of the round artifact (it did in r7,
     // leaving only `queries_cpu_sec` visible). Persist the full line to a

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -1139,6 +1140,111 @@ object PipelineOps {
         |  WHERE NOT g.is_train GROUP BY 1, 2)
         |SELECT doc_id, label, n_bigrams, score_micros, score_micros > 0 AS keep
         |FROM sc ORDER BY doc_id""".stripMargin)),
+
+    // Classifier EVALUATION for the quality model — the step a real
+    // curation pipeline runs before trusting any threshold: rank the
+    // HELD-OUT split (is_train = false; the model never saw it) by
+    // score, cut into ntile(10) deciles (both engines implement the
+    // SQL-standard earlier-buckets-larger rule; the (score, doc_id)
+    // order is total, so the split is deterministic), and emit the
+    // cumulative threshold-sweep curve: selecting deciles 1..d gives
+    // precision_ppm = cum_pos*1e6 div cum_docs, recall_ppm =
+    // cum_pos*1e6 div total_pos, and F1 via its integer-exact form
+    // 2*TP div (2TP+FP+FN) = 2*cum_pos*1e6 div (cum_docs+total_pos) —
+    // no floating point anywhere, so the oracle (which replays
+    // training, scoring, and the sweep from scratch in SQL) matches
+    // bit-for-bit. Scale shape: the corpus-sized work (tokenize,
+    // hash, score) is the same distributed plan as
+    // text_quality_model; only the EVAL SPLIT (bounded by
+    // construction — eval sets are small) passes through the single
+    // ranking window, and 10 rows come out.
+    QueryDef("quality_model_eval",
+      (s, d) => {
+        val (grams, totals, weights) = qualityTrainArtifacts(s, d)
+        val scored = grams.where(!col("is_train"))
+          .join(weights, Seq("h"), "left")
+          .crossJoin(broadcast(totals))
+          .withColumn("wm", coalesce(col("w_micros"), expr(
+            "CAST(floor((ln(1.0 / (npos + 65536.0)) - " +
+              "ln(1.0 / (nneg + 65536.0))) * 1000000 + 0.5) AS BIGINT)")))
+          .groupBy("doc_id", "label").agg(
+            sum(col("wm")).cast(LongType).as("score_micros"))
+        val ranked = scored.withColumn("decile",
+          ntile(10).over(Window.orderBy(
+            col("score_micros").desc, col("doc_id"))))
+        val byDecile = ranked.groupBy("decile").agg(
+          count(lit(1)).cast(LongType).as("n_docs"),
+          sum(col("label")).cast(LongType).as("n_pos"))
+        val cumW = Window.orderBy("decile")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        byDecile
+          .withColumn("cum_docs", sum(col("n_docs")).over(cumW).cast(LongType))
+          .withColumn("cum_pos", sum(col("n_pos")).over(cumW).cast(LongType))
+          .crossJoin(broadcast(
+            ranked.agg(sum(col("label")).cast(LongType).as("total_pos"))))
+          .select(col("decile"), col("n_docs"), col("n_pos"),
+            col("cum_docs"), col("cum_pos"),
+            expr("cum_pos * 1000000 div cum_docs").as("precision_ppm"),
+            expr("cum_pos * 1000000 div total_pos").as("recall_ppm"),
+            expr("2 * cum_pos * 1000000 div (cum_docs + total_pos)")
+              .as("f1_ppm"))
+          .orderBy("decile")
+      },
+      Some("""WITH corpus AS (
+        |  SELECT doc_id, text, 1 AS label FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 3000000,
+        |    text || ' click here buy now free winner subscribe today limited offer unsubscribe instantly',
+        |    0
+        |  FROM documents),
+        |sp AS (
+        |  SELECT doc_id, label, (doc_id % 3000000) % 2 = 0 AS is_train,
+        |    string_split(text, ' ') AS w
+        |  FROM corpus),
+        |grams AS (
+        |  SELECT doc_id, label, is_train,
+        |    CAST(('0x' || substr(md5(w[i] || ' ' || w[i + 1]), 1, 8))::UBIGINT
+        |      % 65536 AS BIGINT) AS h
+        |  FROM sp, unnest(range(1, len(w))) t(i)),
+        |tot AS (
+        |  SELECT CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS npos,
+        |    CAST(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nneg
+        |  FROM grams WHERE is_train),
+        |wt AS (
+        |  SELECT h,
+        |    CAST(floor((ln((sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) + 1.0)
+        |          / (npos + 65536.0)) -
+        |        ln((sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) + 1.0)
+        |          / (nneg + 65536.0))) * 1000000 + 0.5) AS BIGINT) AS w_micros
+        |  FROM grams, tot WHERE is_train GROUP BY h, npos, nneg),
+        |sc AS (
+        |  SELECT g.doc_id, g.label,
+        |    CAST(sum(COALESCE(w.w_micros,
+        |      CAST(floor((ln(1.0 / (t.npos + 65536.0)) -
+        |        ln(1.0 / (t.nneg + 65536.0))) * 1000000 + 0.5) AS BIGINT)))
+        |      AS BIGINT) AS score_micros
+        |  FROM grams g LEFT JOIN wt w USING (h), tot t
+        |  WHERE NOT g.is_train GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT label, score_micros,
+        |    ntile(10) OVER (ORDER BY score_micros DESC, doc_id) AS decile
+        |  FROM sc),
+        |db AS (
+        |  SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(label) AS BIGINT) AS n_pos
+        |  FROM rk GROUP BY 1),
+        |cum AS (
+        |  SELECT decile, n_docs, n_pos,
+        |    CAST(sum(n_docs) OVER (ORDER BY decile) AS BIGINT) AS cum_docs,
+        |    CAST(sum(n_pos) OVER (ORDER BY decile) AS BIGINT) AS cum_pos
+        |  FROM db),
+        |tp AS (SELECT CAST(sum(label) AS BIGINT) AS total_pos FROM rk)
+        |SELECT decile, n_docs, n_pos, cum_docs, cum_pos,
+        |  CAST(cum_pos * 1000000 // cum_docs AS BIGINT) AS precision_ppm,
+        |  CAST(cum_pos * 1000000 // total_pos AS BIGINT) AS recall_ppm,
+        |  CAST(2 * cum_pos * 1000000 // (cum_docs + total_pos) AS BIGINT)
+        |    AS f1_ppm
+        |FROM cum, tp ORDER BY decile""".stripMargin)),
 
     // DSIR-style importance resampling (Xie et al., "Data Selection
     // for Language Models via Importance Resampling", NeurIPS 2023):
