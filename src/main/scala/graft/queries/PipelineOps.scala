@@ -569,6 +569,44 @@ object PipelineOps {
         |  < (CASE WHEN lang = 'en' THEN '199a' ELSE '8000' END)
         |ORDER BY doc_id""".stripMargin)),
 
+    // Exact-k per-stratum PRIORITY sampling — the eval-set builder
+    // ("exactly k docs per language") that rate-based stratified
+    // sampling can't give: each doc's priority is md5(doc_id), the
+    // sample is the bottom-k priorities per stratum, so membership is
+    // a pure function of the corpus (stable across runs, partitions,
+    // retries; a doc added later only displaces the current rank-k
+    // member, never reshuffles the rest). The at-scale composition is
+    // built in: a hash-RATE prefilter (the sample_stratified form, a
+    // pushed-down scan predicate) cuts each stratum to ~rate*|stratum|
+    // BEFORE the exact ranking window, so the per-stratum window —
+    // the only skew-sensitive stage with few large strata — sees a
+    // bounded survivor set instead of the stratum. The prefilter is
+    // part of the spec (both engines apply it identically), so the
+    // result stays bit-deterministic even in the pathological case
+    // where a tiny stratum has fewer than k survivors.
+    QueryDef("sample_priority_k",
+      (s, d) => {
+        val k = 10
+        val pri = substring(md5s(col("doc_id").cast(StringType)), 1, 8)
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("priority"), col("doc_id"))
+        docs(s, d)
+          .select(col("doc_id"), col("lang"), pri.as("priority"))
+          .where(col("priority") < "8000") // rate prefilter, pushed to scan
+          .withColumn("rank", row_number().over(w).cast(LongType))
+          .where(col("rank") <= k)
+          .orderBy("lang", "rank")
+      },
+      Some("""SELECT doc_id, lang,
+        |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS priority,
+        |  CAST(row_number() OVER (PARTITION BY lang
+        |    ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id)
+        |    AS BIGINT) AS rank
+        |FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '8000'
+        |QUALIFY rank <= 10
+        |ORDER BY lang, rank""".stripMargin)),
+
     // Deterministic train/val/test split (98/1/1 by md5 bucket over
     // 4 hex chars, 65536 buckets): the assignment is a pure function
     // of doc_id, so it is stable across runs, re-partitions, task
