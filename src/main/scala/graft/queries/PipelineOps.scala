@@ -576,11 +576,15 @@ object PipelineOps {
     // a pure function of the corpus (stable across runs, partitions,
     // retries; a doc added later only displaces the current rank-k
     // member, never reshuffles the rest). The at-scale composition is
-    // built in: a hash-RATE prefilter (the sample_stratified form, a
-    // pushed-down scan predicate) cuts each stratum to ~rate*|stratum|
-    // BEFORE the exact ranking window, so the per-stratum window —
-    // the only skew-sensitive stage with few large strata — sees a
-    // bounded survivor set instead of the stratum. The prefilter is
+    // built in: a hash-RATE prefilter (the sample_stratified form)
+    // cuts each stratum to ~rate*|stratum| BEFORE the exact ranking
+    // window, so the per-stratum window — the only skew-sensitive
+    // stage with few large strata — sees a bounded survivor set
+    // instead of the stratum. (The predicate is over a COMPUTED md5
+    // column, so it cannot enter parquet PushedFilters; it evaluates
+    // scan-side before the exchange, which is what bounds the
+    // shuffle — the scan itself prunes to (doc_id, lang), verified
+    // via tools.Explain.) The prefilter is
     // part of the spec (both engines apply it identically), so the
     // result stays bit-deterministic even in the pathological case
     // where a tiny stratum has fewer than k survivors.
