@@ -211,6 +211,54 @@ object Multimodal {
       javax.imageio.ImageIO.write(img, "png", bos)
       bos.toByteArray
     }
+
+    /** COMPLETE real GIF with the same pattern — lossless BY
+      * CONSTRUCTION: the fixture images have ≤ w·h ≤ 72 distinct
+      * colors, well under GIF's 256-entry palette, so encoding via an
+      * exact-palette TYPE_BYTE_INDEXED image makes the JDK GIF writer
+      * a bijection on these pixels (setRGB's nearest-palette-entry
+      * lookup hits an exact entry for every pixel). Proves the GIF
+      * reader path of ImageIoPixelDecoder on genuine pixel data, not
+      * just headers.
+      */
+    def gifFull(w: Int, h: Int, id: Long): Array[Byte] = {
+      def rgbAt(x: Int, y: Int): Int = {
+        val r = ((x * 5 + y * 17 + 3 * id) % 256).toInt
+        val g = ((x * 11 + y * 3 + 2 * id) % 256).toInt
+        val b = ((x * 7 + y * 13 + id) % 256).toInt
+        (r << 16) | (g << 8) | b
+      }
+      val colors = (for (y <- 0 until h; x <- 0 until w) yield rgbAt(x, y))
+        .distinct.toArray
+      val icm = new java.awt.image.IndexColorModel(8, colors.length,
+        colors.map(c => ((c >> 16) & 0xff).toByte),
+        colors.map(c => ((c >> 8) & 0xff).toByte),
+        colors.map(c => (c & 0xff).toByte))
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, rgbAt(x, y)); x += 1 }
+        y += 1
+      }
+      // Interlace must be EXPLICITLY disabled: the JDK GIF writer
+      // interlaces by default, and the JDK reader de-interlaces
+      // heights < 8 incorrectly (rows come back in interlace storage
+      // order — found by the mm8 oracle on every h=4 fixture).
+      // Non-interlaced round-trips are exact at every size.
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("gif").next()
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      } finally { writer.dispose(); ios.close() }
+      bos.toByteArray
+    }
   }
 
   final case class AudioMeta(

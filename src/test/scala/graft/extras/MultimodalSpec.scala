@@ -57,10 +57,13 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     // which is encoder-dependent for PNG)
     for (id <- Seq(0L, 7L, 123L)) {
       val png = dec.decode(Multimodal.ImageBytes.pngFull(6, 5, id))
+      val gif = dec.decode(Multimodal.ImageBytes.gifFull(6, 5, id))
       val bmp = bmpDec.decode(Multimodal.ImageBytes.bmp(6, 5, id))
-      assert(png.ok && bmp.ok)
+      assert(png.ok && gif.ok && bmp.ok)
       assert(png.copy(byteLen = 0) == bmp.copy(byteLen = 0),
         s"PNG and BMP pixel stats diverged for id=$id")
+      assert(gif.copy(byteLen = 0) == bmp.copy(byteLen = 0),
+        s"GIF (exact-palette, lossless) diverged from BMP for id=$id")
     }
   }
 
