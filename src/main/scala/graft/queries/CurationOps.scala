@@ -63,6 +63,18 @@ object CurationOps {
           '(/index\\\\.html|/)+$$', '')"""
   }
 
+  /** The ONE text normalization the batch operator
+    * (text_nfc_normalize) and the streaming demo
+    * (e2e_stream_normalize_dedup) both apply — zero-width strip, then
+    * Unicode canonical composition. Shared so the live path can never
+    * drift from the batch-audited rule (same pattern as the URL canon
+    * chain).
+    */
+  private[queries] val ZeroWidthSpace = 8203.toChar.toString
+  private[queries] def nfcClean(s: String): String =
+    java.text.Normalizer.normalize(s.replace(ZeroWidthSpace, ""),
+      java.text.Normalizer.Form.NFC)
+
   def defs: Seq[QueryDef] = Seq(
 
     // Unicode normalization — the cleaning stage that runs BEFORE any
@@ -86,7 +98,7 @@ object CurationOps {
       (s, d) => {
         import s.implicits._
         val acute = 769.toChar.toString // combining acute (oracle chr(769))
-        val zw = 8203.toChar.toString   // zero-width space (chr(8203))
+        val zw = ZeroWidthSpace         // zero-width space (chr(8203))
         val dirty = docs(s, d).select(col("doc_id"),
           when(col("doc_id") % 3 === 0,
             expr(s"replace(text, 'e', concat('e', '$acute'))"))
@@ -96,8 +108,7 @@ object CurationOps {
         dirty.as[(Long, String)].mapPartitions { it =>
           it.map { case (id, t) =>
             val noZw = t.replace(zw, "")
-            val nfc = java.text.Normalizer
-              .normalize(noZw, java.text.Normalizer.Form.NFC)
+            val nfc = nfcClean(t)
             (id, nfc.length.toLong,
               (t.length - noZw.length).toLong,
               (noZw.length - nfc.length).toLong,

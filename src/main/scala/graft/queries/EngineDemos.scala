@@ -487,6 +487,66 @@ object EngineDemos {
         "no_duplicates_total" -> (second.size == second.distinct.size).toString)
     }},
 
+    // Streaming NORMALIZE-then-dedup: the Unicode cleaning stage
+    // running live IN FRONT of frontier dedup, sharing
+    // CurationOps.nfcClean with the batch text_nfc_normalize operator
+    // (same shared-rule pattern as the URL canon chain — the live
+    // path can never drift from the batch-audited normalization).
+    // The teeth: "café menu" arrives three ways — precomposed é,
+    // e+combining-acute, and the decomposed form with a zero-width
+    // space — which are THREE DIFFERENT byte strings (raw
+    // dropDuplicates keeps all three) but one visible text; after
+    // nfcClean they must collapse to ONE kept row, and a fourth
+    // spelling arriving after a checkpoint restart must still be
+    // dropped, proving the normalized key is what lives in the state
+    // store.
+    demo("e2e_stream_normalize_dedup", Seq(
+      "first_run_kept_count" -> "2",
+      "all_precomposed_no_zw" -> "true",
+      "second_run_new" -> "fresh doc",
+      "variant_dropped_across_restart" -> "true")) { (sp, st) =>
+      withDemoPartitions(sp) {
+      st.catalog.createStream("demo-basin1", "sn")
+      val acute = 769.toChar.toString
+      val zw = 8203.toChar.toString
+      val pre = "caf" + 233.toChar + " menu"      // precomposed é
+      val dec = "cafe" + acute + " menu"          // e + combining acute
+      val zwv = "cafe" + acute + " menu" + zw     // decomposed + zero-width
+      st.append("demo-basin1", "sn",
+        AppendInput(Seq(rec(pre), rec(dec), rec("plain doc"), rec(zwv))),
+        Some(1000))
+      def run(): Seq[String] = {
+        import sp.implicits._
+        val q = sp.readStream.format("graft-stream")
+          .option("root", st.root).option("basin", "demo-basin1")
+          .option("stream", "sn").load()
+          .selectExpr("CAST(body AS STRING) AS body")
+          .as[String].map(CurationOps.nfcClean)
+          .toDF("clean")
+          .dropDuplicates("clean")
+          .writeStream.format("parquet")
+          .option("path", s"${st.root}/_snsink")
+          .option("checkpointLocation", s"${st.root}/_snckpt")
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        sp.read.parquet(s"${st.root}/_snsink").select("clean")
+          .collect().map(_.getString(0)).toSeq.sorted
+      }
+      val first = run()
+      st.append("demo-basin1", "sn",
+        AppendInput(Seq(rec(dec), rec("fresh doc"))), Some(2000))
+      val second = run()
+      Seq(
+        "first_run_kept_count" -> first.size.toString,
+        "all_precomposed_no_zw" -> first.forall(s =>
+          s == java.text.Normalizer.normalize(
+            s, java.text.Normalizer.Form.NFC) &&
+          !s.contains(acute) && !s.contains(zw)).toString,
+        "second_run_new" -> (second.toSet -- first.toSet).mkString(","),
+        "variant_dropped_across_restart" ->
+          (second.size == first.size + 1).toString)
+    }},
+
     // Streaming NEAR-dup dedup: the streaming complement of
     // dedup_minhash_lsh. Each followed record computes its full
     // 16-min-hash signature SCALAR-side (per-record expressions — no
