@@ -29,7 +29,11 @@ object Verify {
     spark.stop()
   }
 
-  private def writeOracles(outDir: String): Unit = {
+  /** Shared with tools.VerifySome — ONE escaper and ONE
+    * __VERIFY_OUT__ substitution, so the fast subset-iteration path
+    * can never gate against a differently-built oracle file.
+    */
+  def writeOracles(outDir: String): Unit = {
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

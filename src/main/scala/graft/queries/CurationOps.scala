@@ -108,7 +108,9 @@ object CurationOps {
         dirty.as[(Long, String)].mapPartitions { it =>
           it.map { case (id, t) =>
             val noZw = t.replace(zw, "")
-            val nfc = nfcClean(t)
+            // nfcClean == normalize(strip(t)); strip already done once
+            val nfc = java.text.Normalizer
+              .normalize(noZw, java.text.Normalizer.Form.NFC)
             (id, nfc.length.toLong,
               (t.length - noZw.length).toLong,
               (noZw.length - nfc.length).toLong,

@@ -508,10 +508,13 @@ object EngineDemos {
       withDemoPartitions(sp) {
       st.catalog.createStream("demo-basin1", "sn")
       val acute = 769.toChar.toString
-      val zw = 8203.toChar.toString
+      val zw = CurationOps.ZeroWidthSpace // the SHARED strip set's char
       val pre = "caf" + 233.toChar + " menu"      // precomposed é
       val dec = "cafe" + acute + " menu"          // e + combining acute
       val zwv = "cafe" + acute + " menu" + zw     // decomposed + zero-width
+      val fourth = pre + zw                       // NEVER sent in run 1:
+      // byte-distinct from all three first-run spellings, so raw
+      // exact-dedup would KEEP it — only normalized-key state drops it
       st.append("demo-basin1", "sn",
         AppendInput(Seq(rec(pre), rec(dec), rec("plain doc"), rec(zwv))),
         Some(1000))
@@ -534,7 +537,7 @@ object EngineDemos {
       }
       val first = run()
       st.append("demo-basin1", "sn",
-        AppendInput(Seq(rec(dec), rec("fresh doc"))), Some(2000))
+        AppendInput(Seq(rec(fourth), rec("fresh doc"))), Some(2000))
       val second = run()
       Seq(
         "first_run_kept_count" -> first.size.toString,

@@ -596,7 +596,7 @@ object PipelineOps {
           .orderBy(col("priority"), col("doc_id"))
         docs(s, d)
           .select(col("doc_id"), col("lang"), pri.as("priority"))
-          .where(col("priority") < "8000") // rate prefilter, pushed to scan
+          .where(col("priority") < "8000") // rate prefilter (scan-side)
           .withColumn("rank", row_number().over(w).cast(LongType))
           .where(col("rank") <= k)
           .orderBy("lang", "rank")
@@ -1197,11 +1197,17 @@ object PipelineOps {
     // training, scoring, and the sweep from scratch in SQL) matches
     // bit-for-bit. Scale shape: the corpus-sized work (tokenize,
     // hash, score) is the same distributed plan as
-    // text_quality_model; only the EVAL SPLIT (bounded by
-    // construction — eval sets are small) passes through the single
-    // ranking window, and 10 rows come out.
+    // text_quality_model, and the GLOBAL RANKING never collapses to
+    // one partition — an unpartitioned ntile window would move the
+    // whole eval split (half the doubled corpus, NOT small) through
+    // a single task, so the decile assignment instead rides Spark's
+    // distributed range-partitioned sort + zipWithIndex (per-
+    // partition sizes → driver-side prefix offsets → local index
+    // assignment), replicating SQL ntile's earlier-buckets-larger
+    // rule arithmetically. 10 rows come out.
     QueryDef("quality_model_eval",
       (s, d) => {
+        import s.implicits._
         val (grams, totals, weights) = qualityTrainArtifacts(s, d)
         val scored = grams.where(!col("is_train"))
           .join(weights, Seq("h"), "left")
@@ -1211,20 +1217,37 @@ object PipelineOps {
               "ln(1.0 / (nneg + 65536.0))) * 1000000 + 0.5) AS BIGINT)")))
           .groupBy("doc_id", "label").agg(
             sum(col("wm")).cast(LongType).as("score_micros"))
-        val ranked = scored.withColumn("decile",
-          ntile(10).over(Window.orderBy(
-            col("score_micros").desc, col("doc_id"))))
-        val byDecile = ranked.groupBy("decile").agg(
-          count(lit(1)).cast(LongType).as("n_docs"),
-          sum(col("label")).cast(LongType).as("n_pos"))
+          .select(col("doc_id").cast(LongType), col("label").cast(LongType),
+            col("score_micros"))
+          .as[(Long, Long, Long)]
+        val n = scored.count()
+        // SQL ntile(10): first (n mod 10) buckets take ceil(n/10) rows
+        val ceilSz = (n + 9) / 10
+        val floorSz = n / 10
+        val rem = n % 10
+        val byDecile = scored
+          .orderBy(col("score_micros").desc, col("doc_id"))
+          .rdd.zipWithIndex
+          .map { case ((_, label, _), idx) =>
+            val d = if (idx < rem * ceilSz) idx / ceilSz
+                    else rem + (idx - rem * ceilSz) / floorSz
+            (d + 1, label)
+          }
+          .toDF("decile", "label")
+          .groupBy("decile").agg(
+            count(lit(1)).cast(LongType).as("n_docs"),
+            sum(col("label")).cast(LongType).as("n_pos"))
         val cumW = Window.orderBy("decile")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         byDecile
           .withColumn("cum_docs", sum(col("n_docs")).over(cumW).cast(LongType))
           .withColumn("cum_pos", sum(col("n_pos")).over(cumW).cast(LongType))
+          // total_pos falls out of the 10-row decile table — never
+          // re-execute the corpus-scale scoring plan for one number
           .crossJoin(broadcast(
-            ranked.agg(sum(col("label")).cast(LongType).as("total_pos"))))
-          .select(col("decile"), col("n_docs"), col("n_pos"),
+            byDecile.agg(sum(col("n_pos")).cast(LongType).as("total_pos"))))
+          .select(col("decile").cast(LongType).as("decile"),
+            col("n_docs"), col("n_pos"),
             col("cum_docs"), col("cum_pos"),
             expr("cum_pos * 1000000 div cum_docs").as("precision_ppm"),
             expr("cum_pos * 1000000 div total_pos").as("recall_ppm"),

@@ -297,6 +297,60 @@ object TextOps {
       .where(col("jaccard") >= t)
   }
 
+  /** The ONE definition of the compressed-image pixel matrix (mm7
+    * PNG, mm8 GIF — both lossless round-trips of the same arithmetic
+    * pattern): fixture dims/pattern, the decode plan, and the
+    * arithmetic oracle live here once, so a fix to the luma bucketing
+    * or corner probe can never apply to one format and miss the
+    * other. `byteFn` is the only per-format difference.
+    */
+  private def compressedPixelsQuery(
+      name: String, byteFn: (Int, Int, Long) => Array[Byte]): QueryDef =
+    QueryDef(name,
+      (s, d) => {
+        import s.implicits._
+        val ids = Records.events(s, d)
+          .select(col("event_id").cast(LongType)).as[Long]
+          .filter(_ < 200)
+        val blobs = ids.map { id =>
+          val w = (5 + id % 4).toInt
+          val h = (4 + id % 5).toInt
+          (id, byteFn(w, h, id))
+        }.toDF("event_id", "blob")
+        graft.extras.Multimodal.decodeImagePixels(blobs, "blob", "event_id")
+          .drop("byte_len")
+          .orderBy("event_id")
+      },
+      Some("""WITH ids AS (
+        |  SELECT event_id AS id, 5 + event_id % 4 AS w, 4 + event_id % 5 AS h
+        |  FROM events WHERE event_id < 200),
+        |px AS (
+        |  SELECT id, w, h, x, y,
+        |    (5 * x + 17 * y + 3 * id) % 256 AS r,
+        |    (11 * x + 3 * y + 2 * id) % 256 AS g,
+        |    (7 * x + 13 * y + id) % 256 AS b
+        |  FROM ids, unnest(range(0, w)) tx(x), unnest(range(0, h)) ty(y)),
+        |agg AS (
+        |  SELECT id, w, h,
+        |    CAST(sum(r) AS BIGINT) AS sum_r,
+        |    CAST(sum(g) AS BIGINT) AS sum_g,
+        |    CAST(sum(b) AS BIGINT) AS sum_b,
+        |    CAST(sum(CASE WHEN ((r*299 + g*587 + b*114) // 1000) // 64 = 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS luma0,
+        |    CAST(sum(CASE WHEN ((r*299 + g*587 + b*114) // 1000) // 64 = 1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS luma1,
+        |    CAST(sum(CASE WHEN ((r*299 + g*587 + b*114) // 1000) // 64 = 2
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS luma2,
+        |    CAST(sum(CASE WHEN ((r*299 + g*587 + b*114) // 1000) // 64 = 3
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS luma3
+        |  FROM px GROUP BY 1, 2, 3)
+        |SELECT id AS event_id,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  sum_r, sum_g, sum_b, luma0, luma1, luma2, luma3,
+        |  CAST((3 * id) % 256 AS INT) AS corner_r,
+        |  TRUE AS ok
+        |FROM agg ORDER BY event_id""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(
 
     // Exact dedup: md5 content hash, keep lowest doc_id per group.
@@ -796,50 +850,8 @@ object TextOps {
     // byte length is encoder-dependent and deliberately NOT in the
     // output. Scale shape identical to mm5: blobs stream through
     // mapPartitions, only 11-column stats rows come back.
-    QueryDef("mm7_png_pixels",
-      (s, d) => {
-        import s.implicits._
-        val ids = Records.events(s, d)
-          .select(col("event_id").cast(LongType)).as[Long]
-          .filter(_ < 200)
-        val blobs = ids.map { id =>
-          val w = (5 + id % 4).toInt
-          val h = (4 + id % 5).toInt
-          (id, graft.extras.Multimodal.ImageBytes.pngFull(w, h, id))
-        }.toDF("event_id", "blob")
-        graft.extras.Multimodal.decodeImagePixels(blobs, "blob", "event_id")
-          .drop("byte_len")
-          .orderBy("event_id")
-      },
-      Some("""WITH ids AS (
-        |  SELECT event_id AS id, 5 + event_id % 4 AS w, 4 + event_id % 5 AS h
-        |  FROM events WHERE event_id < 200),
-        |px AS (
-        |  SELECT id, w, h, x, y,
-        |    (5 * x + 17 * y + 3 * id) % 256 AS r,
-        |    (11 * x + 3 * y + 2 * id) % 256 AS g,
-        |    (7 * x + 13 * y + id) % 256 AS b
-        |  FROM ids, unnest(range(0, w)) tx(x), unnest(range(0, h)) ty(y)),
-        |agg AS (
-        |  SELECT id, w, h,
-        |    CAST(sum(r) AS BIGINT) AS sum_r,
-        |    CAST(sum(g) AS BIGINT) AS sum_g,
-        |    CAST(sum(b) AS BIGINT) AS sum_b,
-        |    CAST(sum(CASE WHEN ((r*299 + g*587 + b*114) // 1000) // 64 = 0
-        |      THEN 1 ELSE 0 END) AS BIGINT) AS luma0,
-        |    CAST(sum(CASE WHEN ((r*299 + g*587 + b*114) // 1000) // 64 = 1
-        |      THEN 1 ELSE 0 END) AS BIGINT) AS luma1,
-        |    CAST(sum(CASE WHEN ((r*299 + g*587 + b*114) // 1000) // 64 = 2
-        |      THEN 1 ELSE 0 END) AS BIGINT) AS luma2,
-        |    CAST(sum(CASE WHEN ((r*299 + g*587 + b*114) // 1000) // 64 = 3
-        |      THEN 1 ELSE 0 END) AS BIGINT) AS luma3
-        |  FROM px GROUP BY 1, 2, 3)
-        |SELECT id AS event_id,
-        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
-        |  sum_r, sum_g, sum_b, luma0, luma1, luma2, luma3,
-        |  CAST((3 * id) % 256 AS INT) AS corner_r,
-        |  TRUE AS ok
-        |FROM agg ORDER BY event_id""".stripMargin)),
+    compressedPixelsQuery("mm7_png_pixels",
+      graft.extras.Multimodal.ImageBytes.pngFull _),
 
     // GIF sibling of mm7 — completes the ImageIO format matrix (PNG
     // lossless-compressed, GIF palette-indexed, BMP uncompressed, all
@@ -847,50 +859,8 @@ object TextOps {
     // pattern behind an EXACT ≤72-color palette, so GIF encoding is
     // lossless by construction (see ImageBytes.gifFull) and the
     // oracle reuses mm7's arithmetic recomputation unchanged.
-    QueryDef("mm8_gif_pixels",
-      (s, d) => {
-        import s.implicits._
-        val ids = Records.events(s, d)
-          .select(col("event_id").cast(LongType)).as[Long]
-          .filter(_ < 200)
-        val blobs = ids.map { id =>
-          val w = (5 + id % 4).toInt
-          val h = (4 + id % 5).toInt
-          (id, graft.extras.Multimodal.ImageBytes.gifFull(w, h, id))
-        }.toDF("event_id", "blob")
-        graft.extras.Multimodal.decodeImagePixels(blobs, "blob", "event_id")
-          .drop("byte_len")
-          .orderBy("event_id")
-      },
-      Some("""WITH ids AS (
-        |  SELECT event_id AS id, 5 + event_id % 4 AS w, 4 + event_id % 5 AS h
-        |  FROM events WHERE event_id < 200),
-        |px AS (
-        |  SELECT id, w, h, x, y,
-        |    (5 * x + 17 * y + 3 * id) % 256 AS r,
-        |    (11 * x + 3 * y + 2 * id) % 256 AS g,
-        |    (7 * x + 13 * y + id) % 256 AS b
-        |  FROM ids, unnest(range(0, w)) tx(x), unnest(range(0, h)) ty(y)),
-        |agg AS (
-        |  SELECT id, w, h,
-        |    CAST(sum(r) AS BIGINT) AS sum_r,
-        |    CAST(sum(g) AS BIGINT) AS sum_g,
-        |    CAST(sum(b) AS BIGINT) AS sum_b,
-        |    CAST(sum(CASE WHEN ((r*299 + g*587 + b*114) // 1000) // 64 = 0
-        |      THEN 1 ELSE 0 END) AS BIGINT) AS luma0,
-        |    CAST(sum(CASE WHEN ((r*299 + g*587 + b*114) // 1000) // 64 = 1
-        |      THEN 1 ELSE 0 END) AS BIGINT) AS luma1,
-        |    CAST(sum(CASE WHEN ((r*299 + g*587 + b*114) // 1000) // 64 = 2
-        |      THEN 1 ELSE 0 END) AS BIGINT) AS luma2,
-        |    CAST(sum(CASE WHEN ((r*299 + g*587 + b*114) // 1000) // 64 = 3
-        |      THEN 1 ELSE 0 END) AS BIGINT) AS luma3
-        |  FROM px GROUP BY 1, 2, 3)
-        |SELECT id AS event_id,
-        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
-        |  sum_r, sum_g, sum_b, luma0, luma1, luma2, luma3,
-        |  CAST((3 * id) % 256 AS INT) AS corner_r,
-        |  TRUE AS ok
-        |FROM agg ORDER BY event_id""".stripMargin)),
+    compressedPixelsQuery("mm8_gif_pixels",
+      graft.extras.Multimodal.ImageBytes.gifFull _),
 
     // REAL audio-header decode end-to-end: valid 16-bit PCM WAV
     // headers with rate/channels/sample-count derived from event_id,

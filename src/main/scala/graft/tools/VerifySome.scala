@@ -1,6 +1,5 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
-import java.nio.file.{Files, Paths}
 
 /** Dev harness: Verify for a subset of queries — dumps only the named
   * queries' parquet plus the full oracle_sql.json, so
@@ -31,21 +30,7 @@ object VerifySome {
       println(f"[vs] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s wall, " +
         f"${(osBean.getProcessCpuTime - c0) / 1e9}%.2f cpu-s")
     }
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val outAbs = new java.io.File(outDir).getAbsolutePath
-    val json = graft.SparkEntry.oracleSql
-      .map { case (k, v) =>
-        s"${q(k)}: ${q(v.replace("__VERIFY_OUT__", outAbs))}" }
-      .mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    graft.Verify.writeOracles(outDir)
     spark.stop()
   }
 }
