@@ -14,10 +14,12 @@ import org.apache.spark.sql.functions._
   * 24-bit BMP (`BmpPixelDecoder` — padding, bottom-up rows, BGR,
   * per-pixel stats) and for compressed PNG/JPEG/GIF
   * (`ImageIoPixelDecoder` — the JDK ships those ImageIO readers).
-  * Only VIDEO frame extraction, which genuinely needs ffmpeg (absent
-  * from the JVM), stays behind the clearly-marked
-  * `FakeVideoFrameDecoder`; swap it for a JNI/javacv decoder and
-  * nothing else changes.
+  * Video frame extraction is REAL for uncompressed AVI
+  * (`AviFrameDecoder` — RIFF walk, every-Nth-frame sampling,
+  * per-frame DIB pixel decode); only CODEC-compressed video (H.264
+  * etc.), which genuinely needs ffmpeg (absent from the JVM), stays
+  * behind the clearly-marked `FakeVideoFrameDecoder` — swap it for a
+  * JNI/javacv decoder and nothing else changes.
   *
   * Scale notes: decode runs via `mapPartitions` so per-partition
   * decoder init is amortized (the Scala analog of `mapInPandas`
@@ -809,4 +811,247 @@ object Multimodal {
         col("_2.sumAll").as("sum_all"), col("_2.sumSqAll").as("sumsq_all"),
         col("_2.peakAbs").as("peak_abs"),
         col("_2.zeroCrossCh0").as("zc_ch0"), col("_2.ok").as("ok"))
+
+  // -------------------------------------------------------------------------
+  // REAL video frame extraction — uncompressed AVI ('DIB ' codec).
+  // mm4 walks MP4 box headers; this decodes actual FRAMES: RIFF/AVI
+  // is the one mainstream video container whose uncompressed form
+  // ('00db' chunks of raw bottom-up BGR DIBs) needs no codec library,
+  // so frame sampling + per-frame pixel stats are honestly computable
+  // pure-JVM. Codec-compressed video (H.264 etc.) still needs ffmpeg
+  // and stays behind FakeVideoFrameDecoder.
+  // -------------------------------------------------------------------------
+
+  /** Exact integer per-frame pixel statistics (same stat set as
+    * PixelStats so image and video share the oracle arithmetic).
+    */
+  final case class FrameStats(
+      frameIdx: Int, sumR: Long, sumG: Long, sumB: Long,
+      luma0: Long, luma1: Long, luma2: Long, luma3: Long, cornerR: Int)
+
+  /** Result of walking one AVI blob: container metadata + the sampled
+    * frames' stats. `nFrames` counts ALL video chunks in `movi`;
+    * `frames` holds every `sampleEvery`-th one, pixel-decoded.
+    */
+  final case class AviFrames(
+      byteLen: Long, width: Int, height: Int, nFrames: Int,
+      frames: Seq[FrameStats], ok: Boolean)
+
+  /** REAL AVI frame codec: verifies RIFF/'AVI ', walks `hdrl` to the
+    * video stream's BITMAPINFOHEADER (`strl`→`strf`; 24-bit BI_RGB
+    * only), then iterates the `movi` list's `00db`/`00dc` chunks,
+    * honoring RIFF word alignment, and pixel-decodes every
+    * `sampleEvery`-th frame — bottom-up row order, 4-byte row
+    * padding, BGR channel order, exactly the DIB rules BmpPixelDecoder
+    * proves on still images. Malformed, truncated, or codec-compressed
+    * bytes come back `ok = false`, never an exception.
+    *
+    * Frame sampling happens INSIDE the byte walk: an unsampled frame
+    * costs one chunk-header skip, no pixel reads — the shape that
+    * matters when one blob holds thousands of frames.
+    */
+  final class AviFrameDecoder(sampleEvery: Int) {
+    require(sampleEvery >= 1)
+    private def le16(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+        ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+    private def tag(b: Array[Byte], i: Int, t: String): Boolean =
+      b(i) == t(0).toByte && b(i + 1) == t(1).toByte &&
+        b(i + 2) == t(2).toByte && b(i + 3) == t(3).toByte
+
+    def decode(bytes: Array[Byte]): AviFrames = {
+      val n = if (bytes == null) 0L else bytes.length.toLong
+      def bad = AviFrames(n, 0, 0, 0, Nil, ok = false)
+      if (n < 24 || !tag(bytes, 0, "RIFF") || !tag(bytes, 8, "AVI "))
+        return bad
+      val riffEnd = math.min(n.toInt, 8 + le32(bytes, 4))
+      // pass 1: find strf (video BITMAPINFOHEADER) inside hdrl/strl
+      var w = 0; var h = 0
+      var i = 12
+      var moviStart = -1; var moviEnd = -1
+      while (i + 8 <= riffEnd) {
+        val ck = le32(bytes, i + 4)
+        if (ck < 0 || i + 8 + ck > riffEnd) return bad
+        if (tag(bytes, i, "LIST") && ck >= 4) {
+          if (tag(bytes, i + 8, "hdrl")) {
+            // walk hdrl children for LIST/strl, then strh+strf
+            var j = i + 12
+            val hdrlEnd = i + 8 + ck
+            while (j + 8 <= hdrlEnd && w == 0) {
+              val sk = le32(bytes, j + 4)
+              if (sk < 0 || j + 8 + sk > hdrlEnd) return bad
+              if (tag(bytes, j, "LIST") && sk >= 4 && tag(bytes, j + 8, "strl")) {
+                var k = j + 12
+                val strlEnd = j + 8 + sk
+                var isVids = false
+                while (k + 8 <= strlEnd && w == 0) {
+                  val ek = le32(bytes, k + 4)
+                  if (ek < 0 || k + 8 + ek > strlEnd) return bad
+                  if (tag(bytes, k, "strh") && ek >= 8)
+                    isVids = tag(bytes, k + 8, "vids")
+                  else if (tag(bytes, k, "strf") && isVids) {
+                    // BITMAPINFOHEADER: size/width/height/planes/
+                    // bitCount/compression at 0/4/8/12/14/16
+                    if (ek < 40) return bad
+                    val bw = le32(bytes, k + 8 + 4)
+                    val bh = le32(bytes, k + 8 + 8)
+                    val bits = le16(bytes, k + 8 + 14)
+                    val comp = le32(bytes, k + 8 + 16)
+                    // DIB frames are bottom-up (bh > 0) 24-bit BI_RGB;
+                    // dims are attacker-controlled — bound well under
+                    // sqrt(Int.Max) before any stride multiplication.
+                    if (bw <= 0 || bh <= 0 || bw > (1 << 14) ||
+                        bh > (1 << 14) || bits != 24 || comp != 0)
+                      return bad
+                    w = bw; h = bh
+                  }
+                  k += 8 + ek + (ek & 1) // RIFF chunks are word-aligned
+                }
+              }
+              j += 8 + sk + (sk & 1)
+            }
+          } else if (tag(bytes, i + 8, "movi")) {
+            moviStart = i + 12; moviEnd = i + 8 + ck
+          }
+        }
+        i += 8 + ck + (ck & 1)
+      }
+      if (w == 0 || moviStart < 0) return bad
+      val stride = ((w * 3 + 3) / 4) * 4
+      val frameBytes = stride * h
+      // pass 2: walk movi chunks, decode every sampleEvery-th frame
+      var frameIdx = 0
+      val out = Seq.newBuilder[FrameStats]
+      var p = moviStart
+      while (p + 8 <= moviEnd) {
+        val ck = le32(bytes, p + 4)
+        if (ck < 0 || p + 8 + ck > moviEnd) return bad
+        if (tag(bytes, p, "00db") || tag(bytes, p, "00dc")) {
+          if (ck != frameBytes) return bad // compressed or torn frame
+          if (frameIdx % sampleEvery == 0) {
+            var sumR = 0L; var sumG = 0L; var sumB = 0L
+            val luma = new Array[Long](4)
+            var cornerR = 0
+            var fileRow = 0
+            while (fileRow < h) {
+              val y = h - 1 - fileRow // DIB frames are bottom-up
+              val rowBase = p + 8 + fileRow * stride
+              var x = 0
+              while (x < w) {
+                val q = rowBase + x * 3
+                val b = bytes(q) & 0xff
+                val g = bytes(q + 1) & 0xff
+                val r = bytes(q + 2) & 0xff
+                sumR += r; sumG += g; sumB += b
+                luma(((r * 299 + g * 587 + b * 114) / 1000) >> 6) += 1
+                if (x == 0 && y == 0) cornerR = r
+                x += 1
+              }
+              fileRow += 1
+            }
+            out += FrameStats(frameIdx, sumR, sumG, sumB,
+              luma(0), luma(1), luma(2), luma(3), cornerR)
+          }
+          frameIdx += 1
+        }
+        p += 8 + ck + (ck & 1)
+      }
+      if (frameIdx == 0) bad
+      else AviFrames(n, w, h, frameIdx, out.result(), ok = true)
+    }
+  }
+
+  /** Builds a VALID uncompressed AVI: RIFF('AVI ') → LIST(hdrl:
+    * avih + LIST(strl: strh 'vids'/'DIB ' + strf BITMAPINFOHEADER))
+    * → LIST(movi: one '00db' raw-DIB chunk per frame). Frame f
+    * carries the fixture pixel pattern shifted by (23f, 29f, 31f) so
+    * per-frame stats differ and a frame-indexing bug is caught.
+    */
+  object VideoBytes2 {
+    def aviDib(w: Int, h: Int, nFrames: Int, id: Long): Array[Byte] = {
+      import java.nio.{ByteBuffer, ByteOrder}
+      val stride = ((w * 3 + 3) / 4) * 4
+      val frameBytes = stride * h
+      val moviSize = 4 + nFrames * (8 + frameBytes)
+      val hdrlSize = 4 + (8 + 56) + (8 + 116)
+      val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+      val buf = ByteBuffer.allocate(8 + riffSize).order(ByteOrder.LITTLE_ENDIAN)
+      def fourcc(t: String): Unit = buf.put(t.getBytes("US-ASCII"))
+      fourcc("RIFF"); buf.putInt(riffSize); fourcc("AVI ")
+      fourcc("LIST"); buf.putInt(hdrlSize); fourcc("hdrl")
+      fourcc("avih"); buf.putInt(56)
+      buf.putInt(40000)            // usec/frame (25 fps)
+        .putInt(0).putInt(0).putInt(0)
+        .putInt(nFrames).putInt(0).putInt(1).putInt(frameBytes)
+        .putInt(w).putInt(h)
+        .putInt(0).putInt(0).putInt(0).putInt(0)
+      fourcc("LIST"); buf.putInt(116); fourcc("strl")
+      fourcc("strh"); buf.putInt(56)
+      fourcc("vids"); fourcc("DIB ")
+      buf.putInt(0).putInt(0).putInt(0)
+        .putInt(1).putInt(25)      // scale=1, rate=25
+        .putInt(0).putInt(nFrames).putInt(frameBytes)
+        .putInt(-1).putInt(0)      // quality, sampleSize
+        .putShort(0.toShort).putShort(0.toShort)
+        .putShort(w.toShort).putShort(h.toShort) // rcFrame
+      fourcc("strf"); buf.putInt(40)
+      buf.putInt(40).putInt(w).putInt(h)
+        .putShort(1.toShort).putShort(24.toShort)
+        .putInt(0).putInt(frameBytes)
+        .putInt(0).putInt(0).putInt(0).putInt(0)
+      fourcc("LIST"); buf.putInt(moviSize); fourcc("movi")
+      var f = 0
+      while (f < nFrames) {
+        fourcc("00db"); buf.putInt(frameBytes)
+        var fileRow = 0
+        while (fileRow < h) {
+          val y = h - 1 - fileRow // bottom-up
+          var x = 0
+          while (x < w) {
+            val r = ((5 * x + 17 * y + 3 * id + 23 * f) % 256).toInt
+            val g = ((11 * x + 3 * y + 2 * id + 29 * f) % 256).toInt
+            val b = ((7 * x + 13 * y + id + 31 * f) % 256).toInt
+            buf.put(b.toByte).put(g.toByte).put(r.toByte)
+            x += 1
+          }
+          var pad = w * 3
+          while (pad < stride) { buf.put(0.toByte); pad += 1 }
+          fileRow += 1
+        }
+        f += 1
+      }
+      buf.array()
+    }
+  }
+
+  /** Decode a binary column of AVI blobs into per-sampled-frame pixel
+    * statistics with the REAL RIFF walker — one decoder instance per
+    * partition, frames exploded executor-side so only stats rows ever
+    * shuffle. Rejected blobs yield one `ok = false` marker row
+    * (frame_idx = -1) so corrupt inputs stay visible downstream.
+    */
+  def decodeAviFrames(df: DataFrame, binaryCol: String, idCol: String,
+                      sampleEvery: Int): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(binaryCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val dec = new AviFrameDecoder(sampleEvery)
+        it.flatMap { case (id, bytes) =>
+          val r = dec.decode(bytes)
+          if (!r.ok)
+            Iterator((id, r.byteLen, 0, 0, 0, -1, 0L, 0L, 0L,
+              0L, 0L, 0L, 0L, 0, false))
+          else r.frames.iterator.map(fs =>
+            (id, r.byteLen, r.width, r.height, r.nFrames, fs.frameIdx,
+              fs.sumR, fs.sumG, fs.sumB,
+              fs.luma0, fs.luma1, fs.luma2, fs.luma3, fs.cornerR, true))
+        }
+      }
+      .toDF(idCol, "byte_len", "width", "height", "n_frames", "frame_idx",
+        "sum_r", "sum_g", "sum_b", "luma0", "luma1", "luma2", "luma3",
+        "corner_r", "ok")
+  }
 }

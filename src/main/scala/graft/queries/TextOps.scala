@@ -976,6 +976,82 @@ object TextOps {
         |  CAST(320 + (event_id % 8) * 80 AS INT) AS width,
         |  CAST(240 + (event_id % 8) * 60 AS INT) AS height,
         |  TRUE AS ok
-        |FROM events ORDER BY event_id""".stripMargin))
+        |FROM events ORDER BY event_id""".stripMargin)),
+
+    // REAL video FRAME decode — mm4 parses container headers; this
+    // samples and pixel-decodes actual frames. Uncompressed AVI
+    // ('DIB ' codec, raw bottom-up BGR '00db' chunks) is the one
+    // mainstream video form needing no codec library, so the
+    // AviFrameDecoder's RIFF walk + every-2nd-frame sampling + the
+    // per-frame channel sums / 4-bin luma histogram / (0,0) corner
+    // probe are all honest byte work. Each frame's pixel pattern is
+    // shifted by the frame index, so a frame-indexing or sampling bug
+    // hash-mismatches; every 8th input is garbage bytes and must
+    // surface as an ok=false marker row (frame_idx = -1), never an
+    // exception. Scale shape: unsampled frames cost one chunk-header
+    // skip (no pixel reads); only stats rows shuffle.
+    QueryDef("mm9_avi_frames",
+      (s, d) => {
+        import s.implicits._
+        val ids = Records.events(s, d)
+          .select(col("event_id").cast(LongType)).as[Long]
+          .filter(_ < 120)
+        val blobs = ids.map { id =>
+          if (id % 8 == 7) (id, s"garbage-$id".getBytes("UTF-8"))
+          else {
+            val w = (5 + id % 4).toInt
+            val h = (4 + id % 5).toInt
+            val nf = (3 + id % 4).toInt
+            (id, graft.extras.Multimodal.VideoBytes2.aviDib(w, h, nf, id))
+          }
+        }.toDF("event_id", "blob")
+        graft.extras.Multimodal.decodeAviFrames(blobs, "blob", "event_id",
+          sampleEvery = 2)
+          .orderBy("event_id", "frame_idx")
+      },
+      Some("""WITH ids AS (
+        |  SELECT event_id AS id, 5 + event_id % 4 AS w, 4 + event_id % 5 AS h,
+        |    3 + event_id % 4 AS nf
+        |  FROM events WHERE event_id < 120),
+        |frames AS (
+        |  SELECT id, w, h, nf, f
+        |  FROM ids, unnest(range(0, nf)) tf(f)
+        |  WHERE id % 8 <> 7 AND f % 2 = 0),
+        |px AS (
+        |  SELECT id, w, h, nf, f, x, y,
+        |    (5 * x + 17 * y + 3 * id + 23 * f) % 256 AS r,
+        |    (11 * x + 3 * y + 2 * id + 29 * f) % 256 AS g,
+        |    (7 * x + 13 * y + id + 31 * f) % 256 AS b
+        |  FROM frames, unnest(range(0, w)) tx(x), unnest(range(0, h)) ty(y)),
+        |agg AS (
+        |  SELECT id, w, h, nf, f,
+        |    CAST(sum(r) AS BIGINT) AS sum_r,
+        |    CAST(sum(g) AS BIGINT) AS sum_g,
+        |    CAST(sum(b) AS BIGINT) AS sum_b,
+        |    CAST(sum(CASE WHEN ((r*299 + g*587 + b*114) // 1000) // 64 = 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS luma0,
+        |    CAST(sum(CASE WHEN ((r*299 + g*587 + b*114) // 1000) // 64 = 1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS luma1,
+        |    CAST(sum(CASE WHEN ((r*299 + g*587 + b*114) // 1000) // 64 = 2
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS luma2,
+        |    CAST(sum(CASE WHEN ((r*299 + g*587 + b*114) // 1000) // 64 = 3
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS luma3
+        |  FROM px GROUP BY 1, 2, 3, 4, 5)
+        |SELECT id AS event_id,
+        |  CAST(224 + nf * (8 + ((w * 3 + 3) // 4) * 4 * h) AS BIGINT) AS byte_len,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(nf AS INT) AS n_frames, CAST(f AS INT) AS frame_idx,
+        |  sum_r, sum_g, sum_b, luma0, luma1, luma2, luma3,
+        |  CAST((3 * id + 23 * f) % 256 AS INT) AS corner_r, TRUE AS ok
+        |FROM agg
+        |UNION ALL
+        |SELECT id AS event_id,
+        |  CAST(8 + length(CAST(id AS VARCHAR)) AS BIGINT) AS byte_len,
+        |  0 AS width, 0 AS height, 0 AS n_frames, -1 AS frame_idx,
+        |  CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |  CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |  CAST(0 AS BIGINT), 0 AS corner_r, FALSE AS ok
+        |FROM ids WHERE id % 8 = 7
+        |ORDER BY event_id, frame_idx""".stripMargin))
   )
 }

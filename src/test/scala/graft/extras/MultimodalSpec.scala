@@ -90,6 +90,32 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!dec.decode(null).ok)
   }
 
+  test("AviFrameDecoder: real frame sampling with exact per-frame stats") {
+    // 7x3, 3 frames, sampled every 2nd → frames 0 and 2
+    val bytes = Multimodal.VideoBytes2.aviDib(7, 3, 3, 11L)
+    val r = new Multimodal.AviFrameDecoder(2).decode(bytes)
+    assert(r.ok && r.width == 7 && r.height == 3 && r.nFrames == 3)
+    assert(r.frames.map(_.frameIdx) == Seq(0, 2))
+    // recompute frame 2's stats arithmetically (id=11, f=2)
+    val px = for (y <- 0 until 3; x <- 0 until 7) yield
+      ((5 * x + 17 * y + 33 + 46) % 256,
+       (11 * x + 3 * y + 22 + 58) % 256,
+       (7 * x + 13 * y + 11 + 62) % 256)
+    val f2 = r.frames(1)
+    assert(f2.sumR == px.map(_._1).sum && f2.sumG == px.map(_._2).sum &&
+      f2.sumB == px.map(_._3).sum)
+    assert(f2.cornerR == (33 + 46) % 256,
+      "corner probe catches bottom-up row-order bugs")
+    // byte-length formula used by the mm9 oracle
+    val stride = ((7 * 3 + 3) / 4) * 4
+    assert(bytes.length == 224 + 3 * (8 + stride * 3))
+    // rejection: garbage, truncation, and a sampleEvery=1 full decode
+    assert(!new Multimodal.AviFrameDecoder(1).decode("junk".getBytes).ok)
+    assert(!new Multimodal.AviFrameDecoder(1).decode(bytes.take(60)).ok)
+    assert(new Multimodal.AviFrameDecoder(1).decode(bytes)
+      .frames.map(_.frameIdx) == Seq(0, 1, 2))
+  }
+
   test("sampleFrames: k frames per blob with deterministic offsets") {
     import spark.implicits._
     val df = Seq((1L, Array.fill(100)(7: Byte))).toDF("media_id", "blob")
