@@ -969,6 +969,107 @@ object AnalyticsOps {
         |  round(exp(CAST(tot_micros AS DOUBLE) / dlen / 1000000.0), 6) AS ppl
         |FROM per_doc ORDER BY doc_id""".stripMargin)),
 
+    // Interpolated Kneser-Ney bigram LM (D = 0.75) on the same
+    // train/held-out split — the industry-standard smoothing the
+    // stupid-backoff variant above approximates. The discounted
+    // bigram probability interpolates with the CONTINUATION unigram
+    // P_cont(w) = |{v : c(vw) > 0}| / |bigram types| (how many
+    // contexts a word completes, not how often it occurs — the
+    // "Francisco" fix). All model state is exact integers (bigram
+    // counts, context totals cv, fan-outs n1f, fan-ins n1b, type
+    // total tt); the probability expression is written token-for-
+    // token identically in both engines and freezes to fixed-point
+    // micros per held token, so doc sums are order-invariant.
+    // Scale shape: model tables are vocabulary-bounded and broadcast;
+    // the held-out stream never shuffles except the final per-doc agg.
+    QueryDef("text_perplexity_kn",
+      (s, d) => {
+        def toks(df: DataFrame): DataFrame = df
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .select(col("doc_id"), explode(expr(
+            """transform(sequence(1, size(w)),
+                 i -> named_struct('tok', element_at(w, i),
+                   'prev', IF(i = 1, CAST(NULL AS STRING), element_at(w, i - 1))))"""))
+            .as("t"))
+          .select(col("doc_id"), col("t.tok").as("tok"), col("t.prev").as("prev"))
+        val all = docs(s, d).select(col("doc_id"), col("text"))
+        val train = toks(all.where(col("doc_id") % 2 === 0))
+        val heldOut = toks(all.where(col("doc_id") % 2 === 1))
+        val big = train.where(col("prev").isNotNull)
+          .groupBy("prev", "tok").agg(count(lit(1)).cast(LongType).as("cbi"))
+          .localCheckpoint()
+        val ctx = big.groupBy("prev").agg(
+          sum("cbi").cast(LongType).as("cv"),
+          count(lit(1)).cast(LongType).as("n1f"))
+        val cont = big.groupBy("tok").agg(count(lit(1)).cast(LongType).as("n1b"))
+        val types = big.agg(count(lit(1)).cast(LongType).as("tt"))
+        heldOut
+          .join(broadcast(big), Seq("prev", "tok"), "left")
+          .join(broadcast(ctx), Seq("prev"), "left")
+          .join(broadcast(cont), Seq("tok"), "left")
+          .crossJoin(broadcast(types))
+          .withColumn("backoff",
+            col("prev").isNotNull && col("cv").isNotNull && col("cbi").isNull)
+          .withColumn("nll_micros", expr(
+            """CAST(floor(CASE
+                 WHEN prev IS NULL OR cv IS NULL
+                   THEN ln(tt / COALESCE(n1b, 0.4e0))
+                 ELSE -ln(
+                   (GREATEST(COALESCE(cbi, 0) - 0.75e0, 0e0) / cv) +
+                   (0.75e0 * n1f / cv) * (COALESCE(n1b, 0.4e0) / tt))
+               END * 1000000 + 0.5) AS BIGINT)"""))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast(LongType).as("dlen"),
+            sum(when(col("backoff"), 1L).otherwise(0L))
+              .cast(LongType).as("n_backoff"),
+            sum("nll_micros").cast(LongType).as("tot_micros"))
+          .withColumn("avg_nll", round(
+            col("tot_micros").cast(DoubleType) / col("dlen") / 1000000.0, 6))
+          .withColumn("ppl", round(exp(
+            col("tot_micros").cast(DoubleType) / col("dlen") / 1000000.0), 6))
+          .select("doc_id", "dlen", "n_backoff", "avg_nll", "ppl")
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+        |  SELECT doc_id, w[i] AS tok,
+        |    CASE WHEN i = 1 THEN NULL ELSE w[i - 1] END AS prev
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |    unnest(range(1, len(w) + 1)) t(i)),
+        |train AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
+        |held AS (SELECT * FROM toks WHERE doc_id % 2 = 1),
+        |big AS (SELECT prev, tok, CAST(count(*) AS BIGINT) AS cbi
+        |  FROM train WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |ctx AS (SELECT prev, CAST(sum(cbi) AS BIGINT) AS cv,
+        |  CAST(count(*) AS BIGINT) AS n1f FROM big GROUP BY 1),
+        |cont AS (SELECT tok, CAST(count(*) AS BIGINT) AS n1b
+        |  FROM big GROUP BY 1),
+        |types AS (SELECT CAST(count(*) AS BIGINT) AS tt FROM big),
+        |scored AS (
+        |  SELECT h.doc_id,
+        |    (h.prev IS NOT NULL AND x.cv IS NOT NULL AND b.cbi IS NULL)
+        |      AS backoff,
+        |    CAST(floor(CASE
+        |        WHEN h.prev IS NULL OR x.cv IS NULL
+        |          THEN ln(tt / COALESCE(n1b, 0.4e0))
+        |        ELSE -ln(
+        |          (GREATEST(COALESCE(b.cbi, 0) - 0.75e0, 0e0) / x.cv) +
+        |          (0.75e0 * x.n1f / x.cv) * (COALESCE(n1b, 0.4e0) / tt))
+        |      END * 1000000 + 0.5) AS BIGINT) AS nll_micros
+        |  FROM held h
+        |  LEFT JOIN big b ON b.prev = h.prev AND b.tok = h.tok
+        |  LEFT JOIN ctx x ON x.prev = h.prev
+        |  LEFT JOIN cont c ON c.tok = h.tok
+        |  CROSS JOIN types),
+        |per_doc AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dlen,
+        |    CAST(sum(CASE WHEN backoff THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff,
+        |    CAST(sum(nll_micros) AS BIGINT) AS tot_micros
+        |  FROM scored GROUP BY 1)
+        |SELECT doc_id, dlen, n_backoff,
+        |  round(CAST(tot_micros AS DOUBLE) / dlen / 1000000.0, 6) AS avg_nll,
+        |  round(exp(CAST(tot_micros AS DOUBLE) / dlen / 1000000.0), 6) AS ppl
+        |FROM per_doc ORDER BY doc_id""".stripMargin)),
+
     // BM25 top-20 for a fixed 3-term keyword query (k1=1.2, b=0.75).
     // Scoring state is exact integers (tf, df, doc lengths) and the
     // per-(doc, term) contribution is frozen to fixed-point micros

@@ -617,6 +617,55 @@ object TextOps {
         |    x -> x IN ('der','und','die','das'))) AS BIGINT) AS de_score
         |FROM documents) ORDER BY doc_id""".stripMargin)),
 
+    // Character-level Shannon entropy per document — the standard
+    // gibberish/spam signal (low entropy = repeated filler, high =
+    // random noise; Gopher-style quality rules threshold on it).
+    // Integer-exact cross-engine: each distinct character's
+    // ln(dlen/c) freezes to fixed-point micros, multiplies by its
+    // exact count, and the per-doc sum of those integers is
+    // order-invariant; only the final bits conversion divides floats.
+    // Scale shape: one explode + two hash aggregations, all map-side
+    // combinable; per-doc distinct-char fanout is bounded by the
+    // alphabet, so the shuffle carries O(docs × alphabet) rows.
+    QueryDef("text_entropy",
+      (s, d) => {
+        val counts = docs(s, d)
+          .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+          .where(length(col("ch")) === 1)
+          .groupBy("doc_id", "ch")
+          .agg(count(lit(1)).cast(LongType).as("c"))
+        val dl = counts.groupBy("doc_id").agg(
+          sum("c").cast(LongType).as("dlen"),
+          count(lit(1)).cast(LongType).as("n_distinct"))
+        counts.join(dl, "doc_id")
+          .withColumn("tm", expr(
+            "CAST(floor(ln(CAST(dlen AS DOUBLE) / c) * 1000000 + 0.5) AS BIGINT) * c"))
+          .groupBy("doc_id", "dlen", "n_distinct")
+          .agg(sum("tm").cast(LongType).as("tot_micros"))
+          .withColumn("entropy_bits", round(
+            col("tot_micros").cast(DoubleType) / col("dlen") / 1000000.0
+              / math.log(2.0), 6))
+          .select("doc_id", "dlen", "n_distinct", "entropy_bits")
+          .orderBy("doc_id")
+      },
+      Some("""WITH counts AS (
+        |  SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |        FROM documents)
+        |  WHERE length(ch) = 1 GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS dlen,
+        |  CAST(count(*) AS BIGINT) AS n_distinct FROM counts GROUP BY 1),
+        |terms AS (
+        |  SELECT doc_id, dlen, n_distinct,
+        |    CAST(floor(ln(CAST(dlen AS DOUBLE) / c) * 1000000 + 0.5) AS BIGINT)
+        |      * c AS tm
+        |  FROM counts JOIN dl USING (doc_id))
+        |SELECT doc_id, dlen, n_distinct,
+        |  round(CAST(sum(tm) AS DOUBLE) / dlen / 1000000.0 / ln(2), 6)
+        |    AS entropy_bits
+        |FROM terms GROUP BY doc_id, dlen, n_distinct
+        |ORDER BY doc_id""".stripMargin)),
+
     // N-gram Jaccard near-dup pairs (exact, shingle-join candidates).
     QueryDef("dedup_ngram_jaccard",
       (s, d) => jaccardPairs(shingles(docsAug(s, d)))

@@ -962,7 +962,93 @@ object VectorOps {
         |  CAST(COALESCE(h.h, 0) * 100000 AS BIGINT) AS recall_ppm
         |FROM q LEFT JOIN hits h USING (q_id)
         |ORDER BY q_id""".stripMargin
-      })
+      }),
+
+    // Embedding outlier detection against the corpus centroid — the
+    // standard "weird vector" screen (mislabeled / off-distribution /
+    // corrupt rows) a training pipeline runs before clustering. Every
+    // float step is frozen to fixed-point micros so the result is
+    // engine-exact: per-dim centroid sums are integer (one 64-row
+    // aggregate, map-side combinable), each vector's dot/norm terms
+    // quantize per-dimension before their integer per-vector sums,
+    // and the population mean/std of the cosine come from exact
+    // integer sums — no order-dependent double accumulation anywhere.
+    // Scale shape: two corpus passes (centroid, then scores) + one
+    // scalar z-stats aggregate; the 64-row centroid broadcasts; no
+    // pairwise joins.
+    QueryDef("emb_outlier_centroid",
+      (s, d) => {
+        val q = emb(s, d).select(col("vec_id"),
+            posexplode(col("embedding")).as(Seq("dim", "v")))
+          .withColumn("vd", col("v").cast(DoubleType))
+        val cent = q.groupBy("dim").agg(
+            sum(expr("CAST(floor(vd * 1000000 + 0.5) AS BIGINT)"))
+              .cast(LongType).as("sq"),
+            count(lit(1)).cast(LongType).as("n"))
+          .withColumn("cj", expr("CAST(sq AS DOUBLE) / (n * 1000000.0)"))
+          .localCheckpoint()
+        val cn = cent.agg(
+          sum(expr("CAST(floor(cj * cj * 1000000 + 0.5) AS BIGINT)"))
+            .cast(LongType).as("nc"))
+        val pv = q.join(broadcast(cent.select("dim", "cj")), "dim")
+          .withColumn("tm", expr("CAST(floor(vd * cj * 1000000 + 0.5) AS BIGINT)"))
+          .withColumn("tv", expr("CAST(floor(vd * vd * 1000000 + 0.5) AS BIGINT)"))
+          .groupBy("vec_id").agg(
+            sum("tm").cast(LongType).as("dotm"),
+            sum("tv").cast(LongType).as("nv"))
+        val ci = pv.crossJoin(broadcast(cn))
+          .withColumn("cim", expr(
+            """CAST(floor(dotm / (sqrt(CAST(nv AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE)))
+               * 1000000 + 0.5) AS BIGINT)"""))
+        val st = ci.agg(count(lit(1)).cast(LongType).as("nn"),
+          sum("cim").cast(LongType).as("s1"),
+          sum(expr("cim * cim")).cast(LongType).as("s2"))
+        ci.crossJoin(broadcast(st))
+          .withColumn("csim", round(col("cim").cast(DoubleType) / 1000000.0, 6))
+          .withColumn("z", expr(
+            """round((cim - CAST(s1 AS DOUBLE) / nn)
+               / sqrt(CAST(s2 AS DOUBLE) / nn
+                 - (CAST(s1 AS DOUBLE) / nn) * (CAST(s1 AS DOUBLE) / nn)), 6)"""))
+          .withColumn("is_outlier", col("z") < -2.0)
+          .select("vec_id", "csim", "z", "is_outlier")
+          .orderBy("vec_id")
+      },
+      Some("""WITH q AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS vd
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT dim,
+        |    CAST(sum(CAST(floor(vd * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sq,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM q GROUP BY 1),
+        |cd AS (SELECT dim, CAST(sq AS DOUBLE) / (n * 1000000.0) AS cj FROM cent),
+        |cn AS (SELECT CAST(sum(CAST(floor(cj * cj * 1000000 + 0.5) AS BIGINT))
+        |  AS BIGINT) AS nc FROM cd),
+        |pv AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CAST(floor(vd * cj * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS dotm,
+        |    CAST(sum(CAST(floor(vd * vd * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS nv
+        |  FROM q JOIN cd USING (dim) GROUP BY 1),
+        |ci AS (
+        |  SELECT vec_id,
+        |    CAST(floor(dotm / (sqrt(CAST(nv AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE)))
+        |      * 1000000 + 0.5) AS BIGINT) AS cim
+        |  FROM pv, cn),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+        |  CAST(sum(cim) AS BIGINT) AS s1,
+        |  CAST(sum(cim * cim) AS BIGINT) AS s2 FROM ci)
+        |SELECT vec_id, round(CAST(cim AS DOUBLE) / 1000000.0, 6) AS csim,
+        |  round((cim - CAST(s1 AS DOUBLE) / nn)
+        |    / sqrt(CAST(s2 AS DOUBLE) / nn
+        |      - (CAST(s1 AS DOUBLE) / nn) * (CAST(s1 AS DOUBLE) / nn)), 6) AS z,
+        |  round((cim - CAST(s1 AS DOUBLE) / nn)
+        |    / sqrt(CAST(s2 AS DOUBLE) / nn
+        |      - (CAST(s1 AS DOUBLE) / nn) * (CAST(s1 AS DOUBLE) / nn)), 6) < -2.0
+        |    AS is_outlier
+        |FROM ci, st ORDER BY vec_id""".stripMargin))
   )
 
   // ---- PCA building blocks (shared by emb_pca_loadings/_project) ----------

@@ -288,7 +288,61 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.map(_.getAs[Long]("rank")).toSeq == (1L to 20L))
     assert(scores.forall(_ > 0.0))
   }
+
+  test("text_perplexity_kn: independent in-JVM rescore of held-out docs " +
+      "matches; discounted mass identity holds") {
+    val d = graft.TestData.requireSf("sf0.001")
+    val out = graft.SparkEntry.queries("text_perplexity_kn")(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val texts = spark.read.parquet(s"$d/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    // third implementation: plain Scala maps, no Spark, no SQL
+    val big = new scala.collection.mutable.HashMap[(String, String), Long]()
+    texts.toSeq.filter(_._1 % 2 == 0).foreach { case (_, t) =>
+      t.split(" ").sliding(2).foreach {
+        case Array(a, b) => big((a, b)) = big.getOrElse((a, b), 0L) + 1L
+        case _ =>
+      }
+    }
+    val cv = big.groupBy(_._1._1).map { case (v, m) => v -> m.values.sum }
+    val n1f = big.groupBy(_._1._1).map { case (v, m) => v -> m.size.toLong }
+    val n1b = big.groupBy(_._1._2).map { case (w, m) => w -> m.size.toLong }
+    val tt = big.size.toDouble
+    def nllMicros(prev: Option[String], tok: String): Long = {
+      val nb = n1b.get(tok).map(_.toDouble).getOrElse(0.4)
+      val nll = prev.flatMap(v => cv.get(v)) match {
+        case None => math.log(tt / nb)
+        case Some(cvv) =>
+          val v = prev.get
+          val cbi = big.getOrElse((v, tok), 0L).toDouble
+          -math.log(math.max(cbi - 0.75, 0.0) / cvv +
+            (0.75 * n1f(v) / cvv) * (nb / tt))
+      }
+      math.floor(nll * 1000000 + 0.5).toLong
+    }
+    for (id <- Seq(1L, 77L, 333L)) {
+      val w = texts(id).split(" ")
+      val tot = w.indices.map(i =>
+        nllMicros(if (i == 0) None else Some(w(i - 1)), w(i))).sum
+      val expAvg = tot.toDouble / w.length / 1e6
+      val got = out(id).getAs[Double]("avg_nll")
+      assert(math.abs(got - expAvg) < 1e-5, s"doc $id: $got vs $expAvg")
+      assert(out(id).getAs[Long]("dlen") == w.length.toLong)
+    }
+    // KN mass identity: for a seen context v, the discounted bigram
+    // mass plus the interpolation weight times sum(Pcont) (= 1 by
+    // construction) totals exactly 1
+    cv.keys.take(3).foreach { v =>
+      val seen = big.collect { case ((a, w), c) if a == v =>
+        math.max(c - 0.75, 0.0) / cv(v) }.sum
+      val lambda = 0.75 * n1f(v) / cv(v)
+      assert(math.abs(seen + lambda - 1.0) < 1e-9,
+        s"context $v: discounted mass ${seen + lambda}")
+    }
+  }
 }
+
 
 /** Indirection so the spec reaches the registered query without
   * duplicating its definition. */

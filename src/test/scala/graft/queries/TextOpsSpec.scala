@@ -121,4 +121,28 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
           s"doc $i: under-threshold footer was wrongly removed")
     }
   }
+
+  test("text_entropy: matches an independent in-JVM recompute; bounds hold") {
+    val d = graft.TestData.requireSf("sf0.001")
+    val out = graft.SparkEntry.queries("text_entropy")(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.size == 500)
+    val texts = spark.read.parquet(s"$d/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    for (id <- Seq(0L, 7L, 123L)) {
+      val cs = texts(id).toSeq.groupBy(identity).map(_._2.size)
+      val n = cs.sum.toDouble
+      val h = cs.map(c => c * math.log(n / c)).sum / n / math.log(2.0)
+      val got = out(id).getAs[Double]("entropy_bits")
+      assert(math.abs(got - h) < 1e-4, s"doc $id: $got vs direct $h")
+      assert(out(id).getAs[Long]("dlen") == texts(id).length.toLong)
+    }
+    // bounds: 0 <= H <= log2(distinct chars)
+    out.values.foreach { r =>
+      val h = r.getAs[Double]("entropy_bits")
+      val nd = r.getAs[Long]("n_distinct").toDouble
+      assert(h >= 0.0 && h <= math.log(nd) / math.log(2.0) + 1e-6, s"$r")
+    }
+  }
 }

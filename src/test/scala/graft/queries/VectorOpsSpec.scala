@@ -163,4 +163,23 @@ class VectorOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(allHits.exists(_ > 0L),
       "16-dim truncation lost everything for every query")
   }
+
+  test("emb_outlier_centroid: z-scores are standardized; csim bounded") {
+    val d = graft.TestData.requireSf("sf0.001")
+    val rows = graft.SparkEntry.queries("emb_outlier_centroid")(spark, d)
+      .collect()
+    assert(rows.length == 500)
+    val zs = rows.map(_.getAs[Double]("z"))
+    val mean = zs.sum / zs.length
+    val std = math.sqrt(zs.map(z => (z - mean) * (z - mean)).sum / zs.length)
+    assert(math.abs(mean) < 1e-3, s"z mean $mean")
+    assert(math.abs(std - 1.0) < 1e-3, s"z std $std")
+    rows.foreach { r =>
+      val c = r.getAs[Double]("csim")
+      assert(c >= -1.0 - 1e-6 && c <= 1.0 + 1e-6, s"csim out of range: $r")
+      assert(r.getAs[Boolean]("is_outlier") == (r.getAs[Double]("z") < -2.0))
+    }
+    assert(zs.count(_ < -2.0) < zs.length / 10,
+      "more than 10% flagged as outliers — threshold not selective")
+  }
 }
