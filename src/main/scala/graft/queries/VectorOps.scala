@@ -996,10 +996,13 @@ object VectorOps {
           .groupBy("vec_id").agg(
             sum("tm").cast(LongType).as("dotm"),
             sum("tv").cast(LongType).as("nv"))
+        // one row per vector — materialize so the z-stats aggregate and
+        // the final projection don't each re-run the corpus pass
         val ci = pv.crossJoin(broadcast(cn))
           .withColumn("cim", expr(
             """CAST(floor(dotm / (sqrt(CAST(nv AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE)))
                * 1000000 + 0.5) AS BIGINT)"""))
+          .localCheckpoint()
         val st = ci.agg(count(lit(1)).cast(LongType).as("nn"),
           sum("cim").cast(LongType).as("s1"),
           sum(expr("cim * cim")).cast(LongType).as("s2"))

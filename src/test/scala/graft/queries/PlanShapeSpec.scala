@@ -63,7 +63,17 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     "w3_funnel" -> 3,
     // the MG point: candidate distinct + candidate recount only —
     // never a full-vocabulary shuffle (the corpus join broadcasts)
-    "sketch_topk_mg" -> 2)
+    "sketch_topk_mg" -> 2,
+    // char counts + per-doc lengths + final doc agg; the counts⋈dl
+    // join broadcasts (O(docs) rows); alphabet bounds the fanout
+    "text_entropy" -> 4,
+    // model tables (ctx/cont aggs over the checkpointed bigram table)
+    // feed broadcasts; the held-out stream shuffles once for its
+    // per-doc agg — never on the corpus join
+    "text_perplexity_kn" -> 3)
+  // emb_outlier_centroid is not budgeted: its per-vector scores run
+  // inside an eager localCheckpoint() (like emb_pca_*), so the final
+  // plan string is vacuous
   // rank_mmr_diversify and emb_pca_* are deliberately NOT budgeted:
   // like corpus_mix_temperature below, their heavy subplans run inside
   // eager localCheckpoint() jobs, so the final plan string is vacuous
