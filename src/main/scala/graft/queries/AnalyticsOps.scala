@@ -1078,6 +1078,84 @@ object AnalyticsOps {
     // ranking function hash-comparable across engines. The top-20 is
     // orderBy+limit (TakeOrderedAndProject: per-partition heaps, no
     // global sort), with the rank window running over 20 survivors.
+    // Zipf-law fit over the corpus token distribution — the
+    // corpus-health diagnostic (a healthy natural-language corpus has
+    // slope near -1; synthetic/templated text flattens, boilerplate
+    // floods steepen). Least-squares over (ln rank, ln count) of the
+    // top-100 tokens: both logs freeze to fixed-point micros per
+    // rank, every regression moment (sx, sy, sxy, sxx, syy) is then
+    // an EXACT integer sum — the micros scale cancels in the slope,
+    // and slope/intercept/r² derive from those integers through
+    // expressions written character-identically in both engines.
+    // Scale shape: one token-count aggregation (map-side combinable)
+    // and a 100-row top-k (TakeOrderedAndProject — per-partition
+    // heaps, no global sort); the regression runs on 100 rows.
+    QueryDef("stats_zipf",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val counts = docs(s, d)
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).cast(LongType).as("cnt"))
+        val top = counts.orderBy(col("cnt").desc, col("tok")).limit(100)
+          .withColumn("rank", row_number()
+            .over(Window.orderBy(col("cnt").desc, col("tok"))).cast(LongType))
+        val m = top.select(
+          expr("CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)")
+            .as("xq"),
+          expr("CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)")
+            .as("yq"))
+          .agg(count(lit(1)).cast(LongType).as("n"),
+            sum("xq").cast(LongType).as("sx"),
+            sum("yq").cast(LongType).as("sy"),
+            sum(expr("xq * yq")).cast(LongType).as("sxy"),
+            sum(expr("xq * xq")).cast(LongType).as("sxx"),
+            sum(expr("yq * yq")).cast(LongType).as("syy"))
+        m.select(col("n"),
+          expr("""round(CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE), 6)""").as("slope"),
+          expr("""round((CAST(sy AS DOUBLE) / n
+                  - (CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE))
+                    * CAST(sx AS DOUBLE) / n) / 1000000.0, 6)""")
+            .as("intercept_ln"),
+          expr("""round(CAST(n * sxy - sx * sy AS DOUBLE)
+                  * CAST(n * sxy - sx * sy AS DOUBLE)
+                  / (CAST(n * sxx - sx * sx AS DOUBLE)
+                     * CAST(n * syy - sy * sy AS DOUBLE)), 6)""").as("r2"))
+      },
+      Some("""WITH counts AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY 1),
+        |top AS (
+        |  SELECT cnt, CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT)
+        |    AS rank
+        |  FROM counts ORDER BY cnt DESC, tok LIMIT 100),
+        |q AS (
+        |  SELECT
+        |    CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS xq,
+        |    CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS yq
+        |  FROM top),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(xq) AS BIGINT) AS sx, CAST(sum(yq) AS BIGINT) AS sy,
+        |    CAST(sum(xq * yq) AS BIGINT) AS sxy,
+        |    CAST(sum(xq * xq) AS BIGINT) AS sxx,
+        |    CAST(sum(yq * yq) AS BIGINT) AS syy
+        |  FROM q)
+        |SELECT n,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+        |  round((CAST(sy AS DOUBLE) / n
+        |    - (CAST(n * sxy - sx * sy AS DOUBLE)
+        |       / CAST(n * sxx - sx * sx AS DOUBLE))
+        |      * CAST(sx AS DOUBLE) / n) / 1000000.0, 6) AS intercept_ln,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    * CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / (CAST(n * sxx - sx * sx AS DOUBLE)
+        |       * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+        |FROM m""".stripMargin)),
+
     QueryDef("text_bm25_topk",
       (s, d) => {
         val w = Window.orderBy(col("micros").desc, col("doc_id"))

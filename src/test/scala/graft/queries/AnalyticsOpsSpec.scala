@@ -341,8 +341,38 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"context $v: discounted mass ${seen + lambda}")
     }
   }
-}
 
+  test("stats_zipf: slope/intercept/r2 match a plain-Scala regression replay") {
+    val d = graft.TestData.requireSf("sf0.001")
+    val row = graft.SparkEntry.queries("stats_zipf")(spark, d).collect()(0)
+    val texts = spark.read.parquet(s"$d/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    val counts = new scala.collection.mutable.HashMap[String, Long]()
+    texts.foreach(_.split(" ").foreach(t =>
+      counts(t) = counts.getOrElse(t, 0L) + 1L))
+    val top = counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(100)
+    val terms = top.zipWithIndex.map { case ((_, c), i) =>
+      (math.floor(math.log((i + 1).toDouble) * 1e6 + 0.5).toLong,
+       math.floor(math.log(c.toDouble) * 1e6 + 0.5).toLong)
+    }
+    val n = terms.size.toLong
+    val sx = terms.map(_._1).sum; val sy = terms.map(_._2).sum
+    val sxy = terms.map(t => t._1 * t._2).sum
+    val sxx = terms.map(t => t._1 * t._1).sum
+    val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+    assert(row.getAs[Long]("n") == n)
+    assert(math.abs(row.getAs[Double]("slope") - slope) < 1e-5,
+      s"slope ${row.getAs[Double]("slope")} vs replay $slope")
+    // a frequency-ranked distribution always slopes down; the
+    // synthetic corpus draws tokens near-uniformly, so the diagnostic
+    // correctly reports a SHALLOW slope and low explained variance —
+    // exactly the "this is not natural language" reading the operator
+    // exists to give (a real corpus fits slope ~ -1 with high r²)
+    assert(row.getAs[Double]("slope") < 0.0 &&
+      row.getAs[Double]("slope") > -0.5, s"expected shallow slope: $row")
+    assert(row.getAs[Double]("r2") > 0.0 && row.getAs[Double]("r2") <= 1.0)
+  }
+}
 
 /** Indirection so the spec reaches the registered query without
   * duplicating its definition. */
