@@ -1054,4 +1054,149 @@ object Multimodal {
         "sum_r", "sum_g", "sum_b", "luma0", "luma1", "luma2", "luma3",
         "corner_r", "ok")
   }
+
+  // -------------------------------------------------------------------------
+  // AIFF — the second mainstream uncompressed audio container. WAV is
+  // RIFF little-endian with an integer sample rate; AIFF is IFF
+  // BIG-endian with the rate stored as an 80-bit IEEE 754 extended
+  // float in the COMM chunk — the two encodings a real corpus's audio
+  // actually arrives in, and exactly the byte-level details
+  // (endianness, extended-float mantissa math) a decoder gets wrong
+  // silently. Same PcmStats as the WAV path so the stats algebra is
+  // shared.
+  // -------------------------------------------------------------------------
+
+  /** REAL AIFF codec: FORM/AIFF IFF walk (big-endian chunk sizes, odd
+    * sizes word-padded), COMM parsed including the 80-bit extended-
+    * float sample rate (sign + 15-bit exponent + explicit-1 64-bit
+    * mantissa), SSND's offset/blockSize honored, then every 16-bit
+    * big-endian PCM sample decoded into the shared PcmStats.
+    * Malformed, truncated, or compressed (AIFC) bytes come back
+    * `ok = false`, never an exception.
+    */
+  final class AiffPcmDecoder {
+    private def be16(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+    private def be32(b: Array[Byte], i: Int): Long =
+      ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+    private def tag(b: Array[Byte], i: Int, t: String): Boolean =
+      b(i) == t(0).toByte && b(i + 1) == t(1).toByte &&
+        b(i + 2) == t(2).toByte && b(i + 3) == t(3).toByte
+
+    /** 80-bit extended float at offset i → integer sample rate.
+      * value = mantissa × 2^(exp − 16383 − 63); the mantissa's top
+      * bit is explicit. Rates are small integers, so the shift is
+      * always rightward and exact — done in pure integer math.
+      */
+    private def extendedRate(b: Array[Byte], i: Int): Int = {
+      val se = be16(b, i)
+      if ((se & 0x8000) != 0) return -1 // negative rate: malformed
+      val exp = se & 0x7fff
+      var mant = 0L
+      var k = 0
+      while (k < 8) { mant = (mant << 8) | (b(i + 2 + k) & 0xffL); k += 1 }
+      if (mant == 0L) return 0
+      val shift = 16383 + 63 - exp
+      if (shift < 0 || shift > 63) return -1 // out of integer range
+      val r = mant >>> shift
+      if (shift > 0 && (mant & ((1L << shift) - 1)) != 0) -1 // non-integer
+      else if (r > Int.MaxValue) -1
+      else r.toInt
+    }
+
+    def decode(bytes: Array[Byte]): PcmStats = {
+      val n = if (bytes == null) 0L else bytes.length.toLong
+      def bad = PcmStats(n, 0, 0, 0L, 0L, 0L, 0, 0L, ok = false)
+      if (n < 12 || !tag(bytes, 0, "FORM") || !tag(bytes, 8, "AIFF"))
+        return bad
+      val formEnd = math.min(n, 8 + be32(bytes, 4)).toInt
+      var rate = 0; var ch = 0; var bits = 0; var commFrames = 0L
+      var dataOff = -1L
+      var i = 12
+      while (i + 8 <= formEnd) {
+        val ck = be32(bytes, i + 4)
+        if (ck < 0 || i + 8 + ck > formEnd) return bad
+        if (tag(bytes, i, "COMM")) {
+          if (ck < 18) return bad
+          ch = be16(bytes, i + 8)
+          commFrames = be32(bytes, i + 10)
+          bits = be16(bytes, i + 14)
+          rate = extendedRate(bytes, i + 16)
+        } else if (tag(bytes, i, "SSND")) {
+          val off = be32(bytes, i + 8) // extra offset into sound data
+          dataOff = i + 16 + off
+        }
+        i += (8 + ck + (ck & 1)).toInt // IFF chunks are word-aligned
+      }
+      if (rate <= 0 || ch <= 0 || bits != 16 || dataOff < 0 ||
+          commFrames < 0) return bad
+      val blockAlign = ch * 2
+      if (dataOff + commFrames * blockAlign > n) return bad
+      val total = commFrames * ch
+      var sum = 0L; var sumSq = 0L; var peak = 0; var zc = 0L
+      var havePrev = false; var prevNeg = false
+      var j = 0L
+      while (j < total) {
+        val v = be16(bytes, (dataOff + 2 * j).toInt).toShort.toInt
+        sum += v; sumSq += v.toLong * v
+        val a = math.abs(v); if (a > peak) peak = a
+        if (j % ch == 0) {
+          val neg = v < 0
+          if (havePrev && neg != prevNeg) zc += 1
+          prevNeg = neg; havePrev = true
+        }
+        j += 1
+      }
+      PcmStats(n, rate, ch, commFrames, sum, sumSq, peak, zc, ok = true)
+    }
+  }
+
+  /** COMPLETE AIFF: FORM(AIFF: COMM + SSND) with the fixture sample
+    * pattern of AudioBytes.wavPcm, so WAV and AIFF oracles share the
+    * sample arithmetic. Total size = 54 + frames*channels*2 bytes.
+    */
+  object AudioBytes2 {
+    def aiff(sampleRate: Int, channels: Int, frames: Long,
+             id: Long): Array[Byte] = {
+      val dataLen = frames * channels * 2
+      val out = java.nio.ByteBuffer.allocate((54 + dataLen).toInt)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      out.put("FORM".getBytes("US-ASCII")).putInt((46 + dataLen).toInt)
+      out.put("AIFF".getBytes("US-ASCII"))
+      out.put("COMM".getBytes("US-ASCII")).putInt(18)
+      out.putShort(channels.toShort)
+      out.putInt(frames.toInt)
+      out.putShort(16)
+      // 80-bit extended float: integer rate r = 1.m × 2^k
+      val k = 63 - java.lang.Long.numberOfLeadingZeros(sampleRate.toLong)
+      out.putShort((16383 + k).toShort)
+      out.putLong(sampleRate.toLong << (63 - k))
+      out.put("SSND".getBytes("US-ASCII")).putInt((8 + dataLen).toInt)
+      out.putInt(0).putInt(0) // offset, blockSize
+      val total = frames * channels
+      var j = 0L
+      while (j < total) {
+        out.putShort((((7 * j + 3 * id) % 4096) - 2048).toShort)
+        j += 1
+      }
+      out.array()
+    }
+  }
+
+  /** Decode a binary column of AIFF clips into per-clip PCM statistics
+    * with the REAL big-endian codec — same batch shape and same
+    * 10-column output as decodeWavPcm.
+    */
+  def decodeAiffPcm(df: DataFrame, binaryCol: String, idCol: String): DataFrame =
+    decodePartitions[PcmStats](df, binaryCol, idCol,
+      () => new AiffPcmDecoder().decode _)
+      .select(col("_1").as(idCol),
+        col("_2.byteLen").as("byte_len"),
+        col("_2.sampleRate").as("sample_rate"),
+        col("_2.channels").as("channels"),
+        col("_2.nFrames").as("n_frames"),
+        col("_2.sumAll").as("sum_all"), col("_2.sumSqAll").as("sumsq_all"),
+        col("_2.peakAbs").as("peak_abs"),
+        col("_2.zeroCrossCh0").as("zc_ch0"), col("_2.ok").as("ok"))
 }

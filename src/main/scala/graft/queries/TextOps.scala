@@ -999,6 +999,57 @@ object TextOps {
         |FROM ids JOIN agg USING (id) JOIN ch0 USING (id)
         |ORDER BY event_id""".stripMargin)),
 
+    // AIFF sibling of mm6 — the OTHER mainstream uncompressed audio
+    // container: IFF big-endian chunks (vs RIFF little-endian) and
+    // the sample rate as an 80-bit extended float in COMM (vs WAV's
+    // plain integer) — the two byte-level details a decoder gets
+    // wrong silently. The clips carry the same flat-interleaved
+    // sample pattern as mm6, decoded by the REAL AiffPcmDecoder
+    // (big-endian 16-bit samples this time), so the oracle reuses
+    // mm6's sample arithmetic with only the container overhead
+    // (54 bytes vs 56) changed. A rate parsed through the extended-
+    // float mantissa math wrong by even 1 Hz hash-mismatches.
+    QueryDef("mm10_aiff_pcm",
+      (s, d) => {
+        import s.implicits._
+        val ids = Records.events(s, d)
+          .select(col("event_id").cast(LongType)).as[Long]
+          .filter(_ < 300)
+        val blobs = ids.map { id =>
+          val rate = (8000 + (id % 5) * 4000).toInt
+          val ch = (1 + id % 2).toInt
+          val frames = 200 + id % 100
+          (id, graft.extras.Multimodal.AudioBytes2.aiff(rate, ch, frames, id))
+        }.toDF("event_id", "blob")
+        graft.extras.Multimodal.decodeAiffPcm(blobs, "blob", "event_id")
+          .orderBy("event_id")
+      },
+      Some("""WITH ids AS (
+        |  SELECT event_id AS id, 8000 + (event_id % 5) * 4000 AS rate,
+        |    1 + event_id % 2 AS ch, 200 + event_id % 100 AS frames
+        |  FROM events WHERE event_id < 300),
+        |smp AS (
+        |  SELECT id, ch, j, ((7 * j + 3 * id) % 4096) - 2048 AS v
+        |  FROM ids, unnest(range(0, frames * ch)) t(j)),
+        |ch0 AS (
+        |  SELECT id, CAST(count(*) FILTER (
+        |      WHERE prev IS NOT NULL AND (prev < 0) <> (v < 0)) AS BIGINT) AS zc
+        |  FROM (SELECT id, v, lag(v) OVER (PARTITION BY id ORDER BY j) AS prev
+        |        FROM smp WHERE j % ch = 0)
+        |  GROUP BY id),
+        |agg AS (
+        |  SELECT id, CAST(sum(v) AS BIGINT) AS sum_all,
+        |    CAST(sum(v * v) AS BIGINT) AS sumsq_all,
+        |    CAST(max(abs(v)) AS INT) AS peak_abs
+        |  FROM smp GROUP BY id)
+        |SELECT id AS event_id,
+        |  CAST(54 + frames * ch * 2 AS BIGINT) AS byte_len,
+        |  CAST(rate AS INT) AS sample_rate, CAST(ch AS INT) AS channels,
+        |  CAST(frames AS BIGINT) AS n_frames,
+        |  sum_all, sumsq_all, peak_abs, zc AS zc_ch0, TRUE AS ok
+        |FROM ids JOIN agg USING (id) JOIN ch0 USING (id)
+        |ORDER BY event_id""".stripMargin)),
+
     // REAL video-container decode end-to-end: minimal valid MP4s
     // (ftyp + moov(mvhd, trak(tkhd))) with timescale/duration/dims
     // derived from event_id, parsed back OUT OF THE BYTES by the MP4
