@@ -14,7 +14,7 @@ object SparkEntry {
   private def allDefs: Seq[QueryDef] =
     StreamOps.defs ++ Relational.defs ++ TemporalOps.defs ++ TextOps.defs ++
       PipelineOps.defs ++ VectorOps.defs ++ AnalyticsOps.defs ++
-      CurationOps.defs ++ EngineOps.defs ++ EngineDemos.defs
+      CurationOps.defs ++ CorpusOps.defs ++ EngineOps.defs ++ EngineDemos.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

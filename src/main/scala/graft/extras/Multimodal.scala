@@ -812,6 +812,107 @@ object Multimodal {
         col("_2.peakAbs").as("peak_abs"),
         col("_2.zeroCrossCh0").as("zc_ch0"), col("_2.ok").as("ok"))
 
+  /** Integer-exact 64-point Walsh–Hadamard sequency analysis of a
+    * clip's channel-0 PCM: 8 band energies over the natural-ordered
+    * coefficients c_k = Σ_j v_j·(−1)^popcount(j∧k). All arithmetic is
+    * 64-bit integer (|v|≤32768 ⇒ |c|≤2^21, Σc² ≤ 2^45), so Spark and
+    * the SQL oracle agree bit-for-bit — the audio analog of the
+    * integer-frozen pixel stats. ok=false mirrors WavPcmDecoder's
+    * malformed-input contract plus a <64-mono-samples floor.
+    */
+  final case class SpectrumStats(
+      byteLen: Long, sampleRate: Int, channels: Int,
+      b0: Long, b1: Long, b2: Long, b3: Long,
+      b4: Long, b5: Long, b6: Long, b7: Long, ok: Boolean)
+
+  /** Re-walks the RIFF chunks like WavPcmDecoder, takes the FIRST 64
+    * channel-0 samples, and runs the in-place fast Walsh–Hadamard
+    * butterfly — O(N log N), the transform shape that still holds when
+    * a clip is minutes long instead of 64 samples.
+    */
+  final class WavSpectrumDecoder {
+    private val pcm = new WavPcmDecoder()
+    private def le16(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], i: Int): Long =
+      (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+        ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+    private def tag(b: Array[Byte], i: Int, t: String): Boolean =
+      b(i) == t(0).toByte && b(i + 1) == t(1).toByte &&
+        b(i + 2) == t(2).toByte && b(i + 3) == t(3).toByte
+
+    def decode(bytes: Array[Byte]): SpectrumStats = {
+      val n = if (bytes == null) 0L else bytes.length.toLong
+      def bad = SpectrumStats(n, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, ok = false)
+      if (n < 12 || !tag(bytes, 0, "RIFF") || !tag(bytes, 8, "WAVE")) return bad
+      var i = 12
+      var rate = 0; var ch = 0; var bits = 0; var blockAlign = 0
+      var dataOff = -1L; var dataLen = -1L
+      while (i >= 0 && i + 8 <= bytes.length && (rate == 0 || dataOff < 0)) {
+        val len = le32(bytes, i + 4)
+        if (tag(bytes, i, "fmt ")) {
+          if (len < 16 || i + 8 + 16 > bytes.length) return bad
+          ch = le16(bytes, i + 10)
+          rate = le32(bytes, i + 12).toInt
+          blockAlign = le16(bytes, i + 20)
+          bits = le16(bytes, i + 22)
+        } else if (tag(bytes, i, "data")) {
+          dataOff = i + 8L; dataLen = len
+        }
+        val next = i.toLong + 8L + len + (len & 1L)
+        i = if (next > bytes.length.toLong) -1 else next.toInt
+      }
+      if (rate <= 0 || ch <= 0 || bits != 16 || blockAlign != ch * 2 ||
+          dataOff < 0 || dataLen < 0 || dataOff + dataLen > n) return bad
+      val frames = dataLen / blockAlign
+      if (frames < 64) return bad
+      val c = new Array[Long](64)
+      var j = 0
+      while (j < 64) {
+        c(j) = le16(bytes, (dataOff + 2L * j * ch).toInt).toShort.toLong
+        j += 1
+      }
+      // in-place fast Walsh–Hadamard butterfly (natural order)
+      var h = 1
+      while (h < 64) {
+        var base = 0
+        while (base < 64) {
+          var k = base
+          while (k < base + h) {
+            val x = c(k); val y = c(k + h)
+            c(k) = x + y; c(k + h) = x - y
+            k += 1
+          }
+          base += h * 2
+        }
+        h *= 2
+      }
+      def band(b: Int): Long = {
+        var e = 0L; var k = b * 8
+        while (k < b * 8 + 8) { e += c(k) * c(k); k += 1 }
+        e
+      }
+      SpectrumStats(n, rate, ch, band(0), band(1), band(2), band(3),
+        band(4), band(5), band(6), band(7), ok = true)
+    }
+  }
+
+  /** Decode a binary audio column into per-clip Walsh–Hadamard band
+    * energies — same partition-local streaming shape as decodeWavPcm.
+    */
+  def decodeWavSpectrum(df: DataFrame, binaryCol: String, idCol: String): DataFrame =
+    decodePartitions[SpectrumStats](df, binaryCol, idCol,
+      () => new WavSpectrumDecoder().decode _)
+      .select(col("_1").as(idCol),
+        col("_2.byteLen").as("byte_len"),
+        col("_2.sampleRate").as("sample_rate"),
+        col("_2.channels").as("channels"),
+        col("_2.b0").as("b0"), col("_2.b1").as("b1"),
+        col("_2.b2").as("b2"), col("_2.b3").as("b3"),
+        col("_2.b4").as("b4"), col("_2.b5").as("b5"),
+        col("_2.b6").as("b6"), col("_2.b7").as("b7"),
+        col("_2.ok").as("ok"))
+
   // -------------------------------------------------------------------------
   // REAL video frame extraction — uncompressed AVI ('DIB ' codec).
   // mm4 walks MP4 box headers; this decodes actual FRAMES: RIFF/AVI

@@ -1,0 +1,484 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-level diagnostics and document-quality rules from the
+  * published large-scale-pretraining playbooks, each integer-frozen so
+  * the DuckDB oracle agrees bit-for-bit:
+  *
+  *   - Gopher-style repetition/quality gate (Rae et al. 2021, table
+  *     A1): top-bigram character fraction, duplicated-trigram
+  *     character fraction, word-count and mean-word-length windows —
+  *     the standard heuristic filter stack applied before training.
+  *   - Heaps'-law vocabulary-growth curve: V(N) ~ K·N^β measured at
+  *     decile checkpoints with the same micros-frozen ln regression
+  *     as `stats_zipf` — the companion corpus-health diagnostic
+  *     (sub-linear vocab growth breaks ⇒ boilerplate flooding or
+  *     tokenizer damage).
+  *   - Per-source duplicate-rate audit: the dedup observability view
+  *     every pipeline keeps next to its dedup stage.
+  *   - Walsh–Hadamard audio sequency bands (mm11): REAL PCM decode +
+  *     an O(N log N) integer transform, the audio feature analog of
+  *     the per-pixel image stats.
+  *
+  * Scale notes per query inline; none uses a global (unpartitioned)
+  * window over row counts that grow with the corpus.
+  */
+object CorpusOps {
+
+  import TextOps.docs
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // Gopher repetition rules. All keep-thresholds are evaluated as
+    // exact INTEGER comparisons (top2_chars*5 <= n_chars is the 0.20
+    // cap; dup3_chars*50 <= n_chars*9 the 0.18 cap; 3n <= word_chars
+    // <= 10n the mean-word-length window), so the boolean can never
+    // flip on a last-ulp double difference between engines; the
+    // reported fractions are display-only round(…,6) columns.
+    // Scale: bigram/trigram counts shuffle one row per gram occurrence
+    // (same volume as text_top_ngrams); the top-bigram pick is a
+    // per-doc window (partitioned by doc_id — no global funnel).
+    QueryDef("text_gopher_repetition",
+      (s, d) => {
+        // tokenize ONCE and materialize: base stats, bigram counts,
+        // and trigram counts all read the token array, and Catalyst
+        // does not dedupe the shared scan+split subtree (same
+        // reasoning as text_rarity's checkpoint). The CASE guard
+        // matters because Spark's sequence(0, -1) DESCENDS ([0,-1])
+        // instead of returning empty — a 1-word doc would fabricate a
+        // null-padded gram.
+        val tok = docs(s, d).select(col("doc_id"),
+            length(col("text")).cast(LongType).as("n_chars_m"),
+            split(col("text"), " ").as("w"))
+          .localCheckpoint()
+        def grams(n: Int) = explode(expr(
+          s"""CASE WHEN size(w) >= $n THEN
+             |  transform(sequence(0, size(w) - $n),
+             |    i -> concat_ws(' ', ${(0 until n)
+                      .map(k => s"w[i+$k]").mkString(", ")}))
+             |ELSE array() END""".stripMargin)).as("g")
+        val base = tok.select(col("doc_id"), col("n_chars_m"),
+          size(col("w")).cast(LongType).as("n_words"),
+          size(filter(col("w"),
+            x => x.isin("the", "a", "and", "of", "to")))
+            .cast(LongType).as("stop_cnt"))
+        val wTop = Window.partitionBy("doc_id")
+          .orderBy(col("cnt").desc, col("g"))
+        val top2 = tok.select(col("doc_id"), grams(2))
+          .groupBy("doc_id", "g").agg(count(lit(1)).cast(LongType).as("cnt"))
+          .withColumn("rn", row_number().over(wTop)).where(col("rn") === 1)
+          .select(col("doc_id"), col("cnt").as("top2_cnt"),
+            (col("cnt") * length(col("g"))).cast(LongType).as("top2_chars"))
+        val dup3 = tok.select(col("doc_id"), grams(3))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+          .where(col("cnt") >= 2)
+          .groupBy("doc_id")
+          .agg(sum(col("cnt") * length(col("g")))
+            .cast(LongType).as("dup3_chars"))
+        base
+          .join(top2, Seq("doc_id"), "left")
+          .join(dup3, Seq("doc_id"), "left")
+          .na.fill(0L, Seq("top2_cnt", "top2_chars", "dup3_chars"))
+          .withColumn("word_chars", col("n_chars_m") - col("n_words") + 1)
+          .withColumn("top2_frac",
+            round(col("top2_chars").cast(DoubleType) / col("n_chars_m"), 6))
+          .withColumn("dup3_frac",
+            round(col("dup3_chars").cast(DoubleType) / col("n_chars_m"), 6))
+          .withColumn("mean_wlen",
+            round(col("word_chars").cast(DoubleType) / col("n_words"), 6))
+          .withColumn("keep",
+            col("n_words") >= 50 && col("n_words") <= 100000 &&
+              col("word_chars") >= lit(3) * col("n_words") &&
+              col("word_chars") <= lit(10) * col("n_words") &&
+              col("top2_chars") * 5 <= col("n_chars_m") &&
+              col("dup3_chars") * 50 <= col("n_chars_m") * 9 &&
+              col("stop_cnt") >= 2)
+          .select("doc_id", "n_words", "stop_cnt", "top2_cnt", "top2_chars",
+            "dup3_chars", "top2_frac", "dup3_frac", "mean_wlen", "keep")
+          .orderBy("doc_id")
+      },
+      Some("""WITH base AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_m,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('the', 'a', 'and', 'of', 'to'))) AS BIGINT) AS stop_cnt,
+        |    string_split(text, ' ') AS w
+        |  FROM documents),
+        |g2 AS (
+        |  SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |          i -> w[i] || ' ' || w[i+1])) AS g FROM base)
+        |  GROUP BY doc_id, g),
+        |top2 AS (
+        |  SELECT doc_id, cnt AS top2_cnt,
+        |    CAST(cnt * length(g) AS BIGINT) AS top2_chars
+        |  FROM g2 QUALIFY row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY cnt DESC, g) = 1),
+        |dup3 AS (
+        |  SELECT doc_id, CAST(sum(cnt * length(g)) AS BIGINT) AS dup3_chars
+        |  FROM (
+        |    SELECT doc_id, g, count(*) AS cnt
+        |    FROM (SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+        |            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+        |          FROM base)
+        |    GROUP BY doc_id, g)
+        |  WHERE cnt >= 2 GROUP BY doc_id)
+        |SELECT doc_id, n_words, stop_cnt,
+        |  coalesce(top2_cnt, 0) AS top2_cnt,
+        |  coalesce(top2_chars, 0) AS top2_chars,
+        |  coalesce(dup3_chars, 0) AS dup3_chars,
+        |  round(CAST(coalesce(top2_chars, 0) AS DOUBLE) / n_chars_m, 6)
+        |    AS top2_frac,
+        |  round(CAST(coalesce(dup3_chars, 0) AS DOUBLE) / n_chars_m, 6)
+        |    AS dup3_frac,
+        |  round(CAST(n_chars_m - n_words + 1 AS DOUBLE) / n_words, 6)
+        |    AS mean_wlen,
+        |  (n_words >= 50 AND n_words <= 100000
+        |    AND n_chars_m - n_words + 1 >= 3 * n_words
+        |    AND n_chars_m - n_words + 1 <= 10 * n_words
+        |    AND coalesce(top2_chars, 0) * 5 <= n_chars_m
+        |    AND coalesce(dup3_chars, 0) * 50 <= n_chars_m * 9
+        |    AND stop_cnt >= 2) AS keep
+        |FROM base
+        |LEFT JOIN top2 USING (doc_id)
+        |LEFT JOIN dup3 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)),
+
+    // Heaps'-law curve: cumulative vocabulary V and token count N at
+    // ten doc_id-decile checkpoints, plus the micros-frozen ln–ln
+    // regression slope (the Heaps β) repeated on every row.
+    // Scale: vocabulary first-occurrence is one groupBy(token) →
+    // min(doc_id); the checkpoint table is 10 constant rows broadcast
+    // against per-token/per-doc aggregates — no global sort, no
+    // all-rows window. At 100 TB the token groupBy is the same
+    // shuffle the corpus's tf/df statistics already pay.
+    QueryDef("stats_heaps_law",
+      (s, d) => {
+        val perDoc = docs(s, d).select(col("doc_id"),
+          size(split(col("text"), " ")).cast(LongType).as("n_toks"))
+        val firstOcc = docs(s, d)
+          .select(col("doc_id"),
+            explode(array_distinct(split(col("text"), " "))).as("tok"))
+          .groupBy("tok").agg(min("doc_id").as("fd"))
+        val cps = perDoc.agg(max("doc_id").as("maxd"))
+          .select(explode(sequence(lit(1), lit(10))).as("cp_idx"),
+            col("maxd"))
+          .withColumn("cp_doc",
+            (col("cp_idx") * (col("maxd") + 1)) / 10 - 1)
+          .select(col("cp_idx").cast(LongType), col("cp_doc").cast(LongType))
+        val nCum = cps.join(perDoc, perDoc("doc_id") <= cps("cp_doc"))
+          .groupBy("cp_idx", "cp_doc")
+          .agg(sum("n_toks").cast(LongType).as("n_tokens_cum"))
+        val vCum = cps.join(firstOcc, firstOcc("fd") <= cps("cp_doc"))
+          .groupBy("cp_idx")
+          .agg(count(lit(1)).cast(LongType).as("vocab_cum"))
+        val pts = nCum.join(vCum, Seq("cp_idx"))
+          .withColumn("xq", expr(
+            "CAST(floor(ln(CAST(n_tokens_cum AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)"))
+          .withColumn("yq", expr(
+            "CAST(floor(ln(CAST(vocab_cum AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)"))
+        val reg = pts.agg(count(lit(1)).cast(LongType).as("n"),
+            sum("xq").as("sx"), sum("yq").as("sy"),
+            sum(expr("xq * yq")).as("sxy"), sum(expr("xq * xq")).as("sxx"),
+            sum(expr("yq * yq")).as("syy"))
+          .select(
+            // a saturated (or degenerate) axis zeroes a variance term:
+            // tiny/fixed vocabularies reach full V early, making every
+            // yq equal — define beta/r2 as 0 there (flat curve), with
+            // the IDENTICAL case guard in the oracle
+            expr("""round(CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+                    ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE) END, 6)""")
+              .as("beta"),
+            expr("""round(CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0
+                    THEN 0.0
+                    ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                         * CAST(n * sxy - sx * sy AS DOUBLE)
+                         / (CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(n * syy - sy * sy AS DOUBLE)) END, 6)""")
+              .as("r2"))
+        pts.select("cp_idx", "cp_doc", "n_tokens_cum", "vocab_cum")
+          .crossJoin(broadcast(reg))
+          .orderBy("cp_idx")
+      },
+      Some("""WITH per_doc AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |first_occ AS (
+        |  SELECT tok, min(doc_id) AS fd
+        |  FROM (SELECT doc_id,
+        |          unnest(list_distinct(string_split(text, ' '))) AS tok
+        |        FROM documents)
+        |  GROUP BY tok),
+        |cps AS (
+        |  SELECT CAST(i AS BIGINT) AS cp_idx,
+        |    CAST(i * (maxd + 1) // 10 - 1 AS BIGINT) AS cp_doc
+        |  FROM (SELECT max(doc_id) AS maxd FROM per_doc),
+        |       unnest(range(1, 11)) t(i)),
+        |pts AS (
+        |  SELECT cp_idx, cp_doc,
+        |    (SELECT CAST(sum(n_toks) AS BIGINT) FROM per_doc
+        |     WHERE doc_id <= cp_doc) AS n_tokens_cum,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM first_occ
+        |     WHERE fd <= cp_doc) AS vocab_cum
+        |  FROM cps),
+        |q AS (
+        |  SELECT cp_idx, cp_doc, n_tokens_cum, vocab_cum,
+        |    CAST(floor(ln(CAST(n_tokens_cum AS DOUBLE)) * 1000000 + 0.5)
+        |      AS BIGINT) AS xq,
+        |    CAST(floor(ln(CAST(vocab_cum AS DOUBLE)) * 1000000 + 0.5)
+        |      AS BIGINT) AS yq
+        |  FROM pts),
+        |reg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(xq) AS BIGINT) AS sx, CAST(sum(yq) AS BIGINT) AS sy,
+        |    CAST(sum(xq * yq) AS BIGINT) AS sxy,
+        |    CAST(sum(xq * xq) AS BIGINT) AS sxx,
+        |    CAST(sum(yq * yq) AS BIGINT) AS syy
+        |  FROM q)
+        |SELECT cp_idx, cp_doc, n_tokens_cum, vocab_cum,
+        |  round(CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+        |    ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+        |         / CAST(n * sxx - sx * sx AS DOUBLE) END, 6) AS beta,
+        |  round(CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0
+        |    THEN 0.0
+        |    ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+        |         * CAST(n * sxy - sx * sy AS DOUBLE)
+        |         / (CAST(n * sxx - sx * sx AS DOUBLE)
+        |            * CAST(n * syy - sy * sy AS DOUBLE)) END, 6) AS r2
+        |FROM q, reg ORDER BY cp_idx""".stripMargin)),
+
+    // Dedup observability: per-source duplicate rate + largest exact-
+    // duplicate cluster. Two-level aggregation (source,text) →
+    // (source): the first groupBy carries the corpus, the second is
+    // tiny; the same shape at 100 TB with text replaced by a content
+    // hash (here text IS the key so the oracle needs no hash function
+    // shared across engines).
+    QueryDef("stats_dup_rate_by_source",
+      (s, d) => {
+        docs(s, d).groupBy("source", "text")
+          .agg(count(lit(1)).cast(LongType).as("cnt"))
+          .groupBy("source")
+          .agg(sum("cnt").cast(LongType).as("n_docs"),
+            count(lit(1)).cast(LongType).as("n_distinct"),
+            max("cnt").cast(LongType).as("max_cluster"))
+          .withColumn("dup_rate",
+            round((col("n_docs") - col("n_distinct")).cast(DoubleType)
+              / col("n_docs"), 6))
+          .orderBy("source")
+      },
+      Some("""SELECT source, CAST(sum(cnt) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  CAST(max(cnt) AS BIGINT) AS max_cluster,
+        |  round(CAST(sum(cnt) - count(*) AS DOUBLE) / sum(cnt), 6) AS dup_rate
+        |FROM (SELECT source, text, count(*) AS cnt
+        |      FROM documents GROUP BY source, text)
+        |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // mm11: REAL audio feature extraction — decode the WAV payload
+    // (full RIFF walk, every sample byte), then an integer-exact
+    // 64-point fast Walsh–Hadamard transform and 8 sequency-band
+    // energies. The oracle recomputes the generator's samples and the
+    // transform definition (c_k = Σ v_j·(−1)^popcount(j∧k)) directly
+    // in SQL — the decode and the O(N log N) butterfly are what's
+    // under test. Channel-0 samples sit at interleaved index j*ch, so
+    // the oracle's sample formula is v = ((7*(j*ch) + 3*id) % 4096) −
+    // 2048. Scale: embarrassingly parallel per-blob mapPartitions;
+    // only 13 scalar columns leave the executor per clip.
+    QueryDef("mm11_audio_wht",
+      (s, d) => {
+        import s.implicits._
+        val ids = Records.events(s, d)
+          .select(col("event_id").cast(LongType)).as[Long]
+          .filter(_ < 300)
+        val blobs = ids.map { id =>
+          val rate = (8000 + (id % 5) * 4000).toInt
+          val ch = (1 + id % 2).toInt
+          val frames = 200 + id % 100
+          (id, graft.extras.Multimodal.AudioBytes.wavPcm(rate, ch, frames, id))
+        }.toDF("event_id", "blob")
+        graft.extras.Multimodal.decodeWavSpectrum(blobs, "blob", "event_id")
+          .select(col("event_id"), col("sample_rate"), col("channels"),
+            expr("stack(8, 0, b0, 1, b1, 2, b2, 3, b3, 4, b4, 5, b5, 6, b6, 7, b7)")
+              .as(Seq("band", "energy")),
+            col("ok"))
+          .select(col("event_id"), col("sample_rate"), col("channels"),
+            col("band").cast(IntegerType), col("energy").cast(LongType),
+            col("ok"))
+          .orderBy("event_id", "band")
+      },
+      Some("""WITH ids AS (
+        |  SELECT event_id AS id,
+        |    CAST(8000 + (event_id % 5) * 4000 AS INT) AS rate,
+        |    CAST(1 + event_id % 2 AS INT) AS ch
+        |  FROM events WHERE event_id < 300),
+        |smp AS (
+        |  SELECT id, j, ((7 * (j * ch) + 3 * id) % 4096) - 2048 AS v
+        |  FROM ids, unnest(range(0, 64)) t(j)),
+        |coef AS (
+        |  SELECT id, k,
+        |    CAST(sum(v * (1 - 2 * (bit_count(CAST(j AS BIGINT) & k) % 2)))
+        |      AS BIGINT) AS c
+        |  FROM smp, unnest(range(0, 64)) u(k)
+        |  GROUP BY id, k)
+        |SELECT id AS event_id, rate AS sample_rate, ch AS channels,
+        |  CAST(k // 8 AS INT) AS band, CAST(sum(c * c) AS BIGINT) AS energy,
+        |  TRUE AS ok
+        |FROM coef JOIN ids USING (id)
+        |GROUP BY id, rate, ch, k // 8
+        |ORDER BY event_id, band""".stripMargin)),
+
+    // MinHash estimator calibration: for every LSH candidate pair,
+    // compare the signature's Jaccard ESTIMATE (matching hashes / 16)
+    // against the EXACT shingle Jaccard, bucketed by match count —
+    // the audit that tells you whether 16 hashes and a 4x4 banding
+    // are enough before you trust them on 100 TB. Exact values ride
+    // as integer micros (common·10⁶ div union) so bucket means are
+    // sums of integers with one final division — bit-stable across
+    // engines. Scale: candidates come through the SAME capped band
+    // buckets as dedup_minhash_lsh (no all-pairs anywhere); the
+    // signature join touches |cands| rows; output is ≤17 buckets.
+    QueryDef("dedup_minhash_eval",
+      (s, d) => {
+        import TextOps.{docsAug, shingles, minhashSig, bandsOfSig,
+          cappedCandidates, jaccardFor, BandBucketCap}
+        // both checkpoints measured at sf0.01 (tools/VerifySome): with
+        // them 44 cpu-s, without the sh one 49 — sh feeds three
+        // consumers (sig, jaccardFor A/B sides), sig feeds two
+        val sh = shingles(docsAug(s, d)).localCheckpoint()
+        val sig = minhashSig(sh).localCheckpoint()
+        val cands = cappedCandidates(bandsOfSig(sig), BandBucketCap)
+        val sigA = sig.toDF(sig.columns.map(c =>
+          if (c == "doc_id") "doc_a" else s"a_$c"): _*)
+        val sigB = sig.toDF(sig.columns.map(c =>
+          if (c == "doc_id") "doc_b" else s"b_$c"): _*)
+        val matches = (0 until 16)
+          .map(i => when(col(s"a_h$i") === col(s"b_h$i"), 1).otherwise(0))
+          .reduce(_ + _)
+        val est = cands.join(sigA, "doc_a").join(sigB, "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            matches.cast(LongType).as("matches"))
+        val exact = jaccardFor(cands, sh)
+          .withColumn("jmicros", expr(
+            "CAST(common * 1000000 DIV (na + nb - common) AS BIGINT)"))
+          .select("doc_a", "doc_b", "jmicros")
+        est.join(exact, Seq("doc_a", "doc_b"))
+          .groupBy("matches")
+          .agg(count(lit(1)).cast(LongType).as("n_pairs"),
+            sum("jmicros").cast(LongType).as("sum_jmicros"),
+            min("jmicros").cast(LongType).as("min_jmicros"),
+            max("jmicros").cast(LongType).as("max_jmicros"))
+          .withColumn("est_jaccard",
+            round(col("matches").cast(DoubleType) / 16.0, 6))
+          .withColumn("mean_exact", round(
+            col("sum_jmicros").cast(DoubleType) / col("n_pairs") / 1e6, 6))
+          .select("matches", "n_pairs", "est_jaccard", "mean_exact",
+            "min_jmicros", "max_jmicros")
+          .orderBy("matches")
+      },
+      Some(s"""WITH ${TextOps.DocsAugCte}, ${TextOps.ShinglesCte},
+        |${TextOps.ShingleCountsCte},
+        |${TextOps.MinhashCandsCtes},
+        |est AS (
+        |  SELECT cands.doc_a, cands.doc_b,
+        |    CAST(${(0 until 16).map(i =>
+                 s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END")
+                 .mkString(" + ")} AS BIGINT) AS matches
+        |  FROM cands
+        |  JOIN minh a ON a.doc_id = cands.doc_a
+        |  JOIN minh b ON b.doc_id = cands.doc_b),
+        |exact AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |    CAST(common * 1000000 // (na.n_sh + nb.n_sh - common) AS BIGINT)
+        |      AS jmicros
+        |  FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |          CAST(count(*) AS BIGINT) AS common
+        |        FROM shingles a JOIN shingles b
+        |          ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |        GROUP BY 1, 2) c
+        |  JOIN sh_counts na ON na.doc_id = c.doc_a
+        |  JOIN sh_counts nb ON nb.doc_id = c.doc_b
+        |  JOIN cands ON cands.doc_a = c.doc_a AND cands.doc_b = c.doc_b)
+        |SELECT matches, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  round(CAST(matches AS DOUBLE) / 16.0, 6) AS est_jaccard,
+        |  round(CAST(sum(jmicros) AS DOUBLE) / count(*) / 1e6, 6) AS mean_exact,
+        |  CAST(min(jmicros) AS BIGINT) AS min_jmicros,
+        |  CAST(max(jmicros) AS BIGINT) AS max_jmicros
+        |FROM est JOIN exact USING (doc_a, doc_b)
+        |GROUP BY matches ORDER BY matches""".stripMargin)),
+
+    // kNN label-vote classification accuracy over the embedding table
+    // — the standard representation-quality eval (a 10-class corpus
+    // here): exact cosine 10-NN per held-out query vector, majority
+    // vote, compare to the vector's own label. Scores ride the shared
+    // sequential-fold cosine rounded to 6dp (same parity contract as
+    // every ann_* query); vote ties break toward the smaller label in
+    // both engines. Scale: the 50-query probe set broadcasts against
+    // the corpus exactly like ann_bruteforce_topk — the IVF/PQ family
+    // is the at-scale retrieval path, this is its quality yardstick.
+    QueryDef("ann_knn_accuracy",
+      (s, d) => {
+        val all = s.read.parquet(s"$d/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"), col("label"))
+        val q = all.where(col("vec_id") < 50)
+          .select(col("vec_id").as("q_id"), col("embedding").as("vq"),
+            col("label").as("true_label"))
+        val wRank = Window.partitionBy("q_id")
+          .orderBy(col("score").desc, col("n_id"))
+        val top = all
+          .select(col("vec_id").as("n_id"), col("embedding").as("ve"),
+            col("label").as("n_label"))
+          .crossJoin(broadcast(q))
+          .where(col("n_id") =!= col("q_id"))
+          .withColumn("score", round(
+            graft.functions.GraftFunctions.cosine_sim(col("vq"), col("ve")), 6))
+          .withColumn("rank", row_number().over(wRank))
+          .where(col("rank") <= 10)
+        val wVote = Window.partitionBy("q_id")
+          .orderBy(col("votes").desc, col("n_label"))
+        val pred = top.groupBy("q_id", "true_label", "n_label")
+          .agg(count(lit(1)).cast(LongType).as("votes"))
+          .withColumn("vr", row_number().over(wVote)).where(col("vr") === 1)
+          .select(col("q_id"), col("true_label"),
+            col("n_label").as("pred_label"), col("votes"))
+          .withColumn("correct", col("pred_label") === col("true_label"))
+        val acc = pred.agg(
+          round(sum(when(col("correct"), 1).otherwise(0))
+            .cast(DoubleType) / count(lit(1)), 6).as("accuracy"))
+        pred.crossJoin(broadcast(acc))
+          .select("q_id", "true_label", "pred_label", "votes", "correct",
+            "accuracy")
+          .orderBy("q_id")
+      },
+      Some(s"""WITH q AS (
+        |  SELECT vec_id AS q_id, embedding AS vq, label AS true_label
+        |  FROM embeddings WHERE vec_id < 50),
+        |top AS (
+        |  SELECT q_id, true_label, n_id, n_label
+        |  FROM (
+        |    SELECT q.q_id, q.true_label, e.vec_id AS n_id,
+        |      e.label AS n_label,
+        |      round(${VectorOps.duckCosine("q.vq", "e.embedding")}, 6) AS score
+        |    FROM embeddings e, q WHERE e.vec_id <> q.q_id)
+        |  QUALIFY row_number() OVER (PARTITION BY q_id
+        |    ORDER BY score DESC, n_id) <= 10),
+        |pred AS (
+        |  SELECT q_id, true_label, n_label AS pred_label,
+        |    CAST(count(*) AS BIGINT) AS votes
+        |  FROM top GROUP BY q_id, true_label, n_label
+        |  QUALIFY row_number() OVER (PARTITION BY q_id
+        |    ORDER BY count(*) DESC, n_label) = 1),
+        |acc AS (
+        |  SELECT round(CAST(sum(CASE WHEN pred_label = true_label
+        |      THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS accuracy
+        |  FROM pred)
+        |SELECT q_id, true_label, pred_label, votes,
+        |  pred_label = true_label AS correct, accuracy
+        |FROM pred, acc ORDER BY q_id""".stripMargin))
+  )
+}

@@ -101,7 +101,13 @@ object TextOps {
     */
   // lazy: references BandBucketCap, which is defined further down the
   // object body — an eager val here would read 0 at init order
-  private[queries] lazy val MinhashVerifiedCtes: String = {
+
+  /** Signature + banding + capped candidate generation, ending in
+    * `cands(doc_a, doc_b)` and exposing `minh(doc_id, h0..h15)` — the
+    * prefix shared by the verified-pairs chain below and the
+    * estimator-calibration audit (CorpusOps dedup_minhash_eval).
+    */
+  private[queries] lazy val MinhashCandsCtes: String = {
     val minCols = (0 until 16)
       .map(i => s"min(substr(md5('${i / 4}:' || sh), ${1 + 8 * (i % 4)}, 8)) AS h$i")
       .mkString(", ")
@@ -120,7 +126,11 @@ object TextOps {
     |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     |  FROM bands_c a JOIN bands_c b
     |    ON a.band = b.band AND a.band_key = b.band_key
-    |   AND a.doc_id < b.doc_id),
+    |   AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  private[queries] lazy val MinhashVerifiedCtes: String = {
+    s"""$MinhashCandsCtes,
     |verified AS (
     |  SELECT c.doc_a, c.doc_b,
     |    round(CAST(common AS DOUBLE) / (na.n_sh + nb.n_sh - common), 6) AS jaccard
@@ -139,7 +149,12 @@ object TextOps {
     * shuffle carries one 16-hash row per doc, not 16x shingle rows),
     * then 4 bands x 4 rows exploded to (doc_id, band, band_key).
     */
-  private[graft] def minhashBands(sh: DataFrame): DataFrame = {
+  /** Per-doc 16-hash MinHash signature (doc_id, h0..h15) — the
+    * banding below and the estimator-calibration audit
+    * (CorpusOps dedup_minhash_eval) share it, so the signature
+    * definition exists exactly once.
+    */
+  private[graft] def minhashSig(sh: DataFrame): DataFrame = {
     // 4 md5s per shingle, 4 independent 8-hex-char sub-hashes each
     // -> 16 min-hash functions at 1/4 the digest cost
     val withH = sh.select(Seq(col("doc_id"), col("sh")) ++
@@ -149,7 +164,17 @@ object TextOps {
       val (a, k) = (i / 4, i % 4)
       min(substring(col(s"m$a"), 1 + 8 * k, 8)).as(s"h$i")
     }
-    val sig = withH.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+    withH.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+  }
+
+  private[graft] def minhashBands(sh: DataFrame): DataFrame =
+    bandsOfSig(minhashSig(sh))
+
+  /** 4 bands x 4 hashes exploded to (doc_id, band, band_key) from a
+    * precomputed signature — split out so a caller that also needs
+    * the raw signature (dedup_minhash_eval) aggregates it once.
+    */
+  private[graft] def bandsOfSig(sig: DataFrame): DataFrame =
     sig.select(col("doc_id"),
       explode(array((0 until 4).map(b => struct(
         lit(b).as("band"),
@@ -157,7 +182,6 @@ object TextOps {
           .as("band_key"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"),
         col("bk.band_key").as("band_key"))
-  }
 
   /** Exact jaccard restricted to given candidate pairs: explode each
     * pair's A-side shingles, match them against the B-side by (doc, sh)

@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Semantic guarantees of the corpus diagnostics that the DuckDB
+  * oracle witnesses but cannot prove:
+  *   - the fast WHT butterfly equals the O(N²) definition and obeys
+  *     Parseval (Σ_k c_k² = N·Σ_j v_j²) — the invariant that catches
+  *     a mis-ordered butterfly, which per-query hashes would only
+  *     surface as an opaque mismatch;
+  *   - the Gopher keep rule's integer thresholds agree with a direct
+  *     per-doc recomputation on crafted repetitive/clean docs;
+  *   - Heaps checkpoints are monotone (vocab and token counts can
+  *     never decrease along the curve).
+  */
+class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def sfDir: String = graft.TestData.requireSf("sf0.001")
+
+  private def naiveWht(v: Array[Long]): Array[Long] = {
+    val n = v.length
+    Array.tabulate(n) { k =>
+      var s = 0L
+      var j = 0
+      while (j < n) {
+        val sign = if (java.lang.Long.bitCount((j & k).toLong) % 2 == 0) 1 else -1
+        s += v(j) * sign
+        j += 1
+      }
+      s
+    }
+  }
+
+  test("fast WHT equals the O(N^2) definition and satisfies Parseval") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 20) {
+      val v = Array.fill(64)((rnd.nextInt(4096) - 2048).toLong)
+      // run the production decoder on a synthetic WAV carrying v as
+      // its first 64 mono samples
+      val bytes = {
+        val blockAlign = 2
+        val out = java.nio.ByteBuffer.allocate(56 + 64 * blockAlign)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        out.put("RIFF".getBytes("US-ASCII")).putInt(48 + 64 * blockAlign)
+        out.put("WAVE".getBytes("US-ASCII"))
+        out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        out.putShort(1).putShort(1).putInt(8000).putInt(16000)
+        out.putShort(2).putShort(16)
+        out.put("LIST".getBytes("US-ASCII")).putInt(4)
+        out.put("INFO".getBytes("US-ASCII"))
+        out.put("data".getBytes("US-ASCII")).putInt(64 * blockAlign)
+        v.foreach(x => out.putShort(x.toShort))
+        out.array()
+      }
+      val st = new graft.extras.Multimodal.WavSpectrumDecoder().decode(bytes)
+      assert(st.ok)
+      val c = naiveWht(v)
+      val bands = Array(st.b0, st.b1, st.b2, st.b3, st.b4, st.b5, st.b6, st.b7)
+      for (b <- 0 until 8) {
+        val expected = (b * 8 until b * 8 + 8).map(k => c(k) * c(k)).sum
+        assert(bands(b) == expected, s"band $b mismatch")
+      }
+      val parsevalLhs = bands.sum
+      val parsevalRhs = 64L * v.map(x => x * x).sum
+      assert(parsevalLhs == parsevalRhs, "Parseval violated")
+    }
+  }
+
+  test("WHT decoder rejects clips shorter than 64 mono samples") {
+    val bytes = graft.extras.Multimodal.AudioBytes.wavPcm(8000, 2, 30, 1L)
+    assert(!new graft.extras.Multimodal.WavSpectrumDecoder().decode(bytes).ok)
+  }
+
+  test("Gopher keep thresholds fire on crafted docs, end-to-end") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // clean: 60 five-char-ish words incl. stopwords, no repetition
+    val clean = (0 until 60).map(i => if (i % 10 == 0) "the" else s"word$i")
+      .mkString(" ")
+    // repetitive: one bigram dominates ("the haha" ... all "haha haha")
+    val repetitive = ("the the " + Seq.fill(58)("haha").mkString(" "))
+    // too short for the 50-word floor
+    val short = "the a of tiny doc"
+    // trigram-duplicated: a looping 3-gram phrase pushes duplicated-
+    // trigram chars far past the 18% cap.
+    val triLoop = (0 until 12).flatMap(i =>
+      Seq("alpha", "beta", "gamma", s"fill${i}a", s"fill${i}b",
+        s"fill${i}c", "the", "of")).mkString(" ")
+    val df = Seq((0L, clean), (1L, repetitive), (2L, short), (3L, triLoop))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("gopherspec").toString
+    df.select($"doc_id", $"text", lit("en").as("lang"),
+        lit("spec").as("source"), length($"text").cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = CorpusOps.defs.find(_.name == "text_gopher_repetition").get
+      .fn(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("keep"), r.getAs[Double]("top2_frac"),
+          r.getAs[Double]("dup3_frac"))).toMap
+    assert(out(0L)._1, "clean 60-word doc must be kept")
+    assert(!out(1L)._1 && out(1L)._2 > 0.20,
+      "repetitive doc must be dropped by the top-bigram cap")
+    assert(!out(2L)._1, "short doc must be dropped (word-count floor)")
+    assert(out(3L)._3 > 0.18,
+      s"trigram loop must exceed the dup-3-gram cap, got ${out(3L)._3}")
+    assert(!out(3L)._1, "trigram-looped doc must be dropped")
+  }
+
+  test("Heaps checkpoints are monotone and end at the full corpus") {
+    val rows = CorpusOps.defs.find(_.name == "stats_heaps_law").get
+      .fn(spark, sfDir).collect()
+    assert(rows.length == 10)
+    val ns = rows.map(_.getAs[Long]("n_tokens_cum"))
+    val vs = rows.map(_.getAs[Long]("vocab_cum"))
+    assert(ns.sameElements(ns.sorted), "token counts must be non-decreasing")
+    assert(vs.sameElements(vs.sorted), "vocab must be non-decreasing")
+    assert(rows.last.getAs[Long]("cp_idx") == 10L)
+  }
+}
