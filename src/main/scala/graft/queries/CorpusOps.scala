@@ -164,12 +164,17 @@ object CorpusOps {
           .select(col("doc_id"),
             explode(array_distinct(split(col("text"), " "))).as("tok"))
           .groupBy("tok").agg(min("doc_id").as("fd"))
+        // localCheckpoint: cps feeds BOTH cumulative joins below —
+        // uncheckpointed, its whole max(doc_id) agg subtree (a corpus
+        // scan) is planned twice (12-exchange plan observed via
+        // tools/Explain; 6 after)
         val cps = perDoc.agg(max("doc_id").as("maxd"))
           .select(explode(sequence(lit(1), lit(10))).as("cp_idx"),
             col("maxd"))
           .withColumn("cp_doc",
             (col("cp_idx") * (col("maxd") + 1)) / 10 - 1)
           .select(col("cp_idx").cast(LongType), col("cp_doc").cast(LongType))
+          .localCheckpoint()
         val nCum = cps.join(perDoc, perDoc("doc_id") <= cps("cp_doc"))
           .groupBy("cp_idx", "cp_doc")
           .agg(sum("n_toks").cast(LongType).as("n_tokens_cum"))

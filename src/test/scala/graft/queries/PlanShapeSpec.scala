@@ -70,7 +70,21 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // model tables (ctx/cont aggs over the checkpointed bigram table)
     // feed broadcasts; the held-out stream shuffles once for its
     // per-doc agg — never on the corpus join
-    "text_perplexity_kn" -> 3)
+    "text_perplexity_kn" -> 3,
+    // two gram-count groupBys + per-doc top window + the two stat
+    // joins back onto base (doc-keyed; broadcastable at small SF)
+    "text_gopher_repetition" -> 5,
+    // perDoc agg + firstOcc groupBy + the two 10-row-broadcast
+    // cumulative aggs (cps itself is checkpointed — its corpus agg
+    // must never be planned twice)
+    "stats_heaps_law" -> 6,
+    "stats_dup_rate_by_source" -> 2,
+    // cands + est signature join + candidate-restricted jaccard + the
+    // final 17-bucket agg; sh/sig subtrees sit behind checkpoints
+    "dedup_minhash_eval" -> 9,
+    // per-query top-k window + vote agg; the corpus side broadcasts
+    // against the 50-query probe, never shuffles on it
+    "ann_knn_accuracy" -> 3)
   // emb_outlier_centroid is not budgeted: its per-vector scores run
   // inside an eager localCheckpoint() (like emb_pca_*), so the final
   // plan string is vacuous
