@@ -484,6 +484,136 @@ object CorpusOps {
         |  FROM pred)
         |SELECT q_id, true_label, pred_label, votes,
         |  pred_label = true_label AS correct, accuracy
-        |FROM pred, acc ORDER BY q_id""".stripMargin))
+        |FROM pred, acc ORDER BY q_id""".stripMargin)),
+
+    // Novel-n-gram rate: fraction of each held-out doc's distinct
+    // 4-grams that never occur in the train split (doc_id % 10 != 0)
+    // — the standard memorization/novelty diagnostic reported beside
+    // perplexity. Shape: the train side collapses to DISTINCT grams
+    // (one groupBy), held-out grams left-anti join it on the gram key
+    // — the same shuffle the decontamination op pays, and the right
+    // one: gram-keyed, never doc-pairwise. Rates are exact integer
+    // ratios with one final rounded division.
+    QueryDef("stats_ngram_novelty",
+      (s, d) => {
+        // split in its own projection: a lambda referencing
+        // split(text) directly re-evaluates it per element_at (same
+        // trap TextOps.shingles documents)
+        val grams = docs(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .select(col("doc_id"),
+            explode(array_distinct(expr(
+              """CASE WHEN size(w) >= 4 THEN
+                |  transform(sequence(0, size(w) - 4),
+                |    i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3]))
+                |ELSE array() END""".stripMargin))).as("g"))
+        val train = grams.where(col("doc_id") % 10 =!= 0)
+          .select("g").distinct()
+        val held = grams.where(col("doc_id") % 10 === 0)
+        val novel = held.join(train, Seq("g"), "left_anti")
+          .groupBy("doc_id").agg(count(lit(1)).cast(LongType).as("n_novel"))
+        held.groupBy("doc_id").agg(count(lit(1)).cast(LongType).as("n_grams"))
+          .join(novel, Seq("doc_id"), "left")
+          .na.fill(0L, Seq("n_novel"))
+          .withColumn("novelty_rate",
+            round(col("n_novel").cast(DoubleType) / col("n_grams"), 6))
+          .orderBy("doc_id")
+      },
+      Some("""WITH grams AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, len(w) - 2),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])))
+        |    AS g
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |train AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 <> 0),
+        |held AS (SELECT * FROM grams WHERE doc_id % 10 = 0),
+        |novel AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_novel
+        |  FROM held WHERE g NOT IN (SELECT g FROM train)
+        |  GROUP BY doc_id)
+        |SELECT h.doc_id, h.n_grams, coalesce(n_novel, 0) AS n_novel,
+        |  round(CAST(coalesce(n_novel, 0) AS DOUBLE) / h.n_grams, 6)
+        |    AS novelty_rate
+        |FROM (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+        |      FROM held GROUP BY doc_id) h
+        |LEFT JOIN novel ON novel.doc_id = h.doc_id
+        |ORDER BY h.doc_id""".stripMargin)),
+
+    // Language-ID evaluation: confusion matrix of text_lang_id's
+    // prediction against the table's ground-truth lang column, with
+    // per-cell rates over the true class and the overall accuracy —
+    // the eval that belongs beside any heuristic classifier before
+    // its output drives a corpus split. Tiny output (#langs²); the
+    // only corpus-sized work is the same narrow scoring pass
+    // text_lang_id runs.
+    QueryDef("text_lang_confusion",
+      (s, d) => {
+        val w = split(col("text"), " ")
+        def score(markers: String*) =
+          size(filter(w, x => x.isin(markers: _*))).cast(LongType)
+        val pred = docs(s, d).select(col("doc_id"), col("lang"),
+            score("the", "and", "a", "of").as("en_score"),
+            score("el", "la", "de", "que").as("es_score"),
+            score("le", "les", "et", "un").as("fr_score"),
+            score("der", "und", "die", "das").as("de_score"))
+          .withColumn("predicted",
+            when(col("en_score") >= col("es_score") &&
+                 col("en_score") >= col("fr_score") &&
+                 col("en_score") >= col("de_score") && col("en_score") > 0, "en")
+            .when(col("es_score") >= col("fr_score") &&
+                  col("es_score") >= col("de_score") && col("es_score") > 0, "es")
+            .when(col("fr_score") >= col("de_score") && col("fr_score") > 0, "fr")
+            .when(col("de_score") > 0, "de")
+            .otherwise("unknown"))
+        val cells = pred.groupBy("lang", "predicted")
+          .agg(count(lit(1)).cast(LongType).as("n"))
+        val totals = pred.groupBy("lang")
+          .agg(count(lit(1)).cast(LongType).as("class_total"))
+        val acc = pred.agg(round(
+          sum(when(col("lang") === col("predicted"), 1).otherwise(0))
+            .cast(DoubleType) / count(lit(1)), 6).as("accuracy"))
+        cells.join(broadcast(totals), "lang")
+          .withColumn("cell_rate",
+            round(col("n").cast(DoubleType) / col("class_total"), 6))
+          .withColumn("is_correct", col("lang") === col("predicted"))
+          .crossJoin(broadcast(acc))
+          .select("lang", "predicted", "n", "class_total", "cell_rate",
+            "is_correct", "accuracy")
+          .orderBy("lang", "predicted")
+      },
+      Some("""WITH pred AS (
+        |  SELECT doc_id, lang,
+        |    CASE
+        |      WHEN en_score >= es_score AND en_score >= fr_score
+        |           AND en_score >= de_score AND en_score > 0 THEN 'en'
+        |      WHEN es_score >= fr_score AND es_score >= de_score
+        |           AND es_score > 0 THEN 'es'
+        |      WHEN fr_score >= de_score AND fr_score > 0 THEN 'fr'
+        |      WHEN de_score > 0 THEN 'de'
+        |      ELSE 'unknown' END AS predicted
+        |  FROM (SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('the','and','a','of'))) AS BIGINT) AS en_score,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('el','la','de','que'))) AS BIGINT) AS es_score,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('le','les','et','un'))) AS BIGINT) AS fr_score,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('der','und','die','das'))) AS BIGINT) AS de_score
+        |  FROM documents)),
+        |cells AS (
+        |  SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n
+        |  FROM pred GROUP BY lang, predicted),
+        |totals AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS class_total
+        |  FROM pred GROUP BY lang),
+        |acc AS (
+        |  SELECT round(CAST(sum(CASE WHEN lang = predicted THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 6) AS accuracy FROM pred)
+        |SELECT lang, predicted, n, class_total,
+        |  round(CAST(n AS DOUBLE) / class_total, 6) AS cell_rate,
+        |  lang = predicted AS is_correct, accuracy
+        |FROM cells JOIN totals USING (lang), acc
+        |ORDER BY lang, predicted""".stripMargin))
   )
 }

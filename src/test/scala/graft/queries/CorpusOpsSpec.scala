@@ -116,6 +116,30 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!out(3L)._1, "trigram-looped doc must be dropped")
   }
 
+  test("novelty rate is 0 for memorized held-out docs, 1 for unseen ones") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val copied = (0 until 30).map(i => s"tok$i").mkString(" ")
+    val unseen = (0 until 30).map(i => s"fresh$i").mkString(" ")
+    val mixed = ((0 until 10).map(i => s"tok$i") ++
+      (0 until 10).map(i => s"only$i")).mkString(" ")
+    // doc_id % 10 == 0 -> held out; others -> train
+    val df = Seq((0L, copied), (10L, unseen), (20L, mixed), (1L, copied))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("novspec").toString
+    df.select($"doc_id", $"text", lit("en").as("lang"),
+        lit("spec").as("source"), length($"text").cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = CorpusOps.defs.find(_.name == "stats_ngram_novelty").get
+      .fn(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("novelty_rate"))
+      .toMap
+    assert(out(0L) == 0.0, "doc copied from train must have zero novelty")
+    assert(out(10L) == 1.0, "all-unseen doc must be fully novel")
+    assert(out(20L) > 0.0 && out(20L) < 1.0,
+      s"mixed doc must be partially novel, got ${out(20L)}")
+  }
+
   test("Heaps checkpoints are monotone and end at the full corpus") {
     val rows = CorpusOps.defs.find(_.name == "stats_heaps_law").get
       .fn(spark, sfDir).collect()

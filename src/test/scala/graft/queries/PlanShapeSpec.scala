@@ -84,7 +84,11 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     "dedup_minhash_eval" -> 9,
     // per-query top-k window + vote agg; the corpus side broadcasts
     // against the 50-query probe, never shuffles on it
-    "ann_knn_accuracy" -> 3)
+    "ann_knn_accuracy" -> 3,
+    // train distinct + the gram-keyed anti join + two per-doc aggs —
+    // gram-keyed shuffles only, never doc-pairwise
+    "stats_ngram_novelty" -> 4,
+    "text_lang_confusion" -> 4)
   // emb_outlier_centroid is not budgeted: its per-vector scores run
   // inside an eager localCheckpoint() (like emb_pca_*), so the final
   // plan string is vacuous
