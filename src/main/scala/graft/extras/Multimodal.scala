@@ -186,6 +186,50 @@ object Multimodal {
       out.array()
     }
 
+    /** Real 24-bit BMP with a QUADRATIC pixel pattern — the near-dup
+      * fixture for perceptual hashing. `bmp`'s linear pattern has
+      * constant gradients, so every image in that family shares
+      * almost the same dHash (review-caught on the first
+      * mm12 fixture: cross-pattern Hamming was LOWER than
+      * intra-cluster); per-image curvature coefficients (ca, cb, cc)
+      * make patterns structurally distinct, while `delta` is a
+      * uniform brightness regrade that dHash should (nearly) ignore.
+      *   r = (ca·x² + cb·y² + cc·xy + 7x + 13y + base + delta) % 256
+      *   g = (cb·x² + ca·y² + cc·xy + 3x +  5y + 2·base + delta) % 256
+      *   b = ((ca+cb)·x² + cc·y² + 5x + 11y + 3·base + delta) % 256
+      */
+    def bmpQuad(w: Int, h: Int, ca: Int, cb: Int, cc: Int,
+                base: Int, delta: Int): Array[Byte] = {
+      val stride = ((w * 3 + 3) / 4) * 4
+      val size = 54 + stride * h
+      val out = java.nio.ByteBuffer.allocate(size)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put('B'.toByte).put('M'.toByte).putInt(size)
+        .putShort(0).putShort(0).putInt(54)
+      out.putInt(40).putInt(w).putInt(h).putShort(1)
+        .putShort(24).putInt(0).putInt(stride * h)
+        .putInt(2835).putInt(2835).putInt(0).putInt(0)
+      var fileRow = 0
+      while (fileRow < h) {
+        val y = h - 1 - fileRow // bottom-up
+        var x = 0
+        while (x < w) {
+          val b = ((ca + cb) * x * x + cc * y * y + 5 * x + 11 * y +
+            3 * base + delta) % 256
+          val g = (cb * x * x + ca * y * y + cc * x * y + 3 * x + 5 * y +
+            2 * base + delta) % 256
+          val r = (ca * x * x + cb * y * y + cc * x * y + 7 * x + 13 * y +
+            base + delta) % 256
+          out.put(b.toByte).put(g.toByte).put(r.toByte)
+          x += 1
+        }
+        var p = w * 3
+        while (p < stride) { out.put(0.toByte); p += 1 }
+        fileRow += 1
+      }
+      out.array()
+    }
+
     /** COMPLETE real PNG with the same arithmetic pixel pattern as
       * `bmp` (r = (5x+17y+3id)%256, g = (11x+3y+2id)%256,
       * b = (7x+13y+id)%256), encoded through the JDK's ImageIO PNG
@@ -621,6 +665,100 @@ object Multimodal {
         luma(0), luma(1), luma(2), luma(3), cornerR, ok = true)
     }
   }
+
+  /** Perceptual difference-hash (dHash) of a decoded image: luma
+    * averaged over a 9-column x 8-row grid, each bit = "is cell (gx,gy)
+    * brighter than its right neighbor". Uniform brightness shifts leave
+    * the comparisons — and so the hash — unchanged, which is exactly
+    * why pipelines dedup re-encoded/re-graded images with it. All
+    * integer: cell means never materialize, the comparison
+    * cross-multiplies luma sums by the neighbor cell's pixel count
+    * (lsumA·nB > lsumB·nA), so the SQL oracle reproduces every bit.
+    */
+  final case class DHash(byteLen: Long, width: Int, height: Int,
+                         hash: Long, ok: Boolean)
+
+  /** Same hardened BMP walk as BmpPixelDecoder, accumulating per-grid-
+    * cell luma sums instead of global stats. Grid mapping gx = x·9/w,
+    * gy = y·8/h (integer division) — identical in the oracle.
+    */
+  final class BmpDHashDecoder {
+    private def le16(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+        ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+    private def bad(n: Long) = DHash(n, 0, 0, 0L, ok = false)
+
+    def decode(bytes: Array[Byte]): DHash = {
+      if (bytes == null) return bad(0)
+      val n = bytes.length.toLong
+      if (n < 54 || bytes(0) != 'B' || bytes(1) != 'M') return bad(n)
+      val pixOff = le32(bytes, 10)
+      val hdrSize = le32(bytes, 14)
+      val w = le32(bytes, 18)
+      val hRaw = le32(bytes, 22)
+      val bitCount = le16(bytes, 28)
+      val compression = le32(bytes, 30)
+      val h = math.abs(hRaw)
+      val topDown = hRaw < 0
+      if (hdrSize < 40 || bitCount != 24 || compression != 0 ||
+          w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20) ||
+          pixOff < 54 || pixOff > n) return bad(n)
+      // the 9x8 grid needs at least one pixel per cell
+      if (w < 9 || h < 8) return bad(n)
+      val stride = ((w * 3 + 3) / 4) * 4
+      if (pixOff.toLong + stride.toLong * h > n) return bad(n)
+      val lsum = Array.ofDim[Long](9, 8)
+      val cnt = Array.ofDim[Long](9, 8)
+      var fileRow = 0
+      while (fileRow < h) {
+        val y = if (topDown) fileRow else h - 1 - fileRow
+        val gy = y * 8 / h
+        val rowBase = pixOff + fileRow * stride
+        var x = 0
+        while (x < w) {
+          val i = rowBase + x * 3
+          val b = bytes(i) & 0xff
+          val g = bytes(i + 1) & 0xff
+          val r = bytes(i + 2) & 0xff
+          val gx = x * 9 / w
+          lsum(gx)(gy) += r * 299L + g * 587L + b * 114L
+          cnt(gx)(gy) += 1L
+          x += 1
+        }
+        fileRow += 1
+      }
+      // 63 comparison bits, not 64: the hash stays in [0, 2^63) so
+      // signed-BIGINT shift arithmetic is identical in the SQL oracle
+      // (DuckDB raises on 1<<63); the dropped last comparison costs
+      // nothing for blocking or distance.
+      var hash = 0L
+      var gy = 0
+      while (gy < 8) {
+        var gx = 0
+        while (gx < 8 && gy * 8 + gx < 63) {
+          if (lsum(gx)(gy) * cnt(gx + 1)(gy) >
+              lsum(gx + 1)(gy) * cnt(gx)(gy))
+            hash |= 1L << (gy * 8 + gx)
+          gx += 1
+        }
+        gy += 1
+      }
+      DHash(n, w, h, hash, ok = true)
+    }
+  }
+
+  /** Decode a binary image column into per-image dHashes — one
+    * 5-column row per blob leaves the executor.
+    */
+  def decodeBmpDHash(df: DataFrame, binaryCol: String, idCol: String): DataFrame =
+    decodePartitions[DHash](df, binaryCol, idCol,
+      () => new BmpDHashDecoder().decode _)
+      .select(col("_1").as(idCol),
+        col("_2.byteLen").as("byte_len"),
+        col("_2.width").as("width"), col("_2.height").as("height"),
+        col("_2.hash").as("hash"), col("_2.ok").as("ok"))
 
   /** Decode a binary column into per-image pixel statistics with the
     * REAL BMP codec, one decoder instance per partition — the same

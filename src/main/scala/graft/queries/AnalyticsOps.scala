@@ -540,8 +540,12 @@ object AnalyticsOps {
           .groupBy("source").agg(
             sum(expr("shiftleft(CAST(1 AS BIGINT), 30 - m)")).cast(LongType).as("ssum"),
             sum(when(col("m") === 0, 1L).otherwise(0L)).cast(LongType).as("zeros"))
+        // pairs is already DISTINCT (source, item): per-source exact is
+        // a plain count — countDistinct here re-deduped a deduped
+        // table. Only the UNION row still needs an item-level distinct
+        // (an item may live in several sources).
         val exact = pairs.groupBy("source")
-          .agg(countDistinct("item").cast(LongType).as("exact_distinct"))
+          .agg(count(lit(1)).cast(LongType).as("exact_distinct"))
           .unionByName(pairs.agg(
             countDistinct("item").cast(LongType).as("exact_distinct"))
             .withColumn("source", lit("UNION")))

@@ -614,6 +614,109 @@ object CorpusOps {
         |  round(CAST(n AS DOUBLE) / class_total, 6) AS cell_rate,
         |  lang = predicted AS is_correct, accuracy
         |FROM cells JOIN totals USING (lang), acc
-        |ORDER BY lang, predicted""".stripMargin))
+        |ORDER BY lang, predicted""".stripMargin)),
+
+    // mm12: IMAGE near-dup dedup — dHash over REAL decoded BMP pixels,
+    // 16-bit band blocking, exact Hamming verification. This is the
+    // image-modality member of the dedup matrix (exact / minhash /
+    // simhash / embedding cover text and vectors): a uniform
+    // brightness regrade leaves dHash comparisons unchanged, so
+    // re-graded copies collide. Fixture: 40 QUADRATIC base patterns
+    // (per-cluster curvature coefficients — structurally distinct
+    // images) x 4 brightness-regraded variants (uniform +2k delta —
+    // identical hash up to mod-256 wrap cells, so intra-cluster
+    // Hamming is small but honestly nonzero). Scale: same blocking
+    // discipline as dedup_simhash — candidates only from shared
+    // 16-bit bands (bucket-capped), exact bit_count on candidates,
+    // never all-pairs.
+    QueryDef("mm12_image_phash",
+      (s, d) => {
+        import s.implicits._
+        val ids = Records.events(s, d)
+          .select(col("event_id").cast(LongType)).as[Long]
+          .filter(_ < 160)
+        val blobs = ids.map { id =>
+          val c = (id % 40).toInt; val k = (id / 40).toInt
+          (id, graft.extras.Multimodal.ImageBytes.bmpQuad(16, 16,
+            1 + c % 5, 1 + c % 7, c % 3, 11 * c, 2 * k))
+        }.toDF("event_id", "blob")
+        val hashes = graft.extras.Multimodal
+          .decodeBmpDHash(blobs, "blob", "event_id")
+          .where(col("ok"))
+          .select(col("event_id").as("id"), col("hash"))
+          .localCheckpoint()
+        val bands = hashes.select(col("id"),
+          explode(expr(
+            """transform(sequence(0, 3),
+              |  b -> named_struct('band', b,
+              |    'key', shiftright(hash, 16 * b) % 65536))"""
+              .stripMargin)).as("bk"))
+          .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+        val cands = bands.groupBy("band", "key")
+          .agg(sort_array(collect_list("id")).as("ds"))
+          .where(size(col("ds")).between(2, 64))
+          .select(explode(flatten(
+            transform(col("ds"), (x, i) =>
+              transform(slice(col("ds"), i + 2, size(col("ds"))),
+                y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+          .select(col("p.id_a"), col("p.id_b")).distinct()
+        cands
+          .join(hashes.select(col("id").as("id_a"), col("hash").as("ha")), "id_a")
+          .join(hashes.select(col("id").as("id_b"), col("hash").as("hb")), "id_b")
+          .withColumn("hamming",
+            expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
+          .where(col("hamming") <= 12)
+          .select("id_a", "id_b", "hamming")
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH ids AS (
+        |  SELECT event_id AS id,
+        |    1 + (event_id % 40) % 5 AS ca, 1 + (event_id % 40) % 7 AS cb,
+        |    (event_id % 40) % 3 AS cc, 11 * (event_id % 40) AS base,
+        |    2 * (event_id // 40) AS delta
+        |  FROM events WHERE event_id < 160),
+        |px AS (
+        |  SELECT id, x, y,
+        |    (ca * x * x + cb * y * y + cc * x * y + 7 * x + 13 * y
+        |      + base + delta) % 256 AS r,
+        |    (cb * x * x + ca * y * y + cc * x * y + 3 * x + 5 * y
+        |      + 2 * base + delta) % 256 AS g,
+        |    ((ca + cb) * x * x + cc * y * y + 5 * x + 11 * y
+        |      + 3 * base + delta) % 256 AS b
+        |  FROM ids, unnest(range(0, 16)) tx(x), unnest(range(0, 16)) ty(y)),
+        |cells AS (
+        |  SELECT id, CAST(x * 9 // 16 AS INT) AS gx,
+        |    CAST(y * 8 // 16 AS INT) AS gy,
+        |    CAST(sum(r * 299 + g * 587 + b * 114) AS BIGINT) AS lsum,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM px GROUP BY 1, 2, 3),
+        |bits AS (
+        |  SELECT a.id, a.gy, a.gx,
+        |    CASE WHEN a.lsum * b.n > b.lsum * a.n THEN 1 ELSE 0 END AS bit
+        |  FROM cells a JOIN cells b
+        |    ON b.id = a.id AND b.gy = a.gy AND b.gx = a.gx + 1
+        |  WHERE a.gx < 8 AND a.gy * 8 + a.gx < 63),
+        |hashes AS (
+        |  SELECT id, CAST(sum(CAST(bit AS BIGINT) << (gy * 8 + gx))
+        |    AS BIGINT) AS hash
+        |  FROM bits GROUP BY id),
+        |bands AS (
+        |  SELECT id, b, (hash >> (16 * b)) % 65536 AS key
+        |  FROM hashes, unnest(range(0, 4)) t(b)),
+        |buckets AS (
+        |  SELECT b, key FROM bands GROUP BY b, key
+        |  HAVING count(*) BETWEEN 2 AND 64),
+        |cands AS (
+        |  SELECT DISTINCT a.id AS id_a, bb.id AS id_b
+        |  FROM bands a
+        |  JOIN buckets bu ON bu.b = a.b AND bu.key = a.key
+        |  JOIN bands bb ON bb.b = a.b AND bb.key = a.key AND a.id < bb.id)
+        |SELECT id_a, id_b,
+        |  CAST(bit_count(xor(ha.hash, hb.hash)) AS BIGINT) AS hamming
+        |FROM cands
+        |JOIN hashes ha ON ha.id = cands.id_a
+        |JOIN hashes hb ON hb.id = cands.id_b
+        |WHERE bit_count(xor(ha.hash, hb.hash)) <= 12
+        |ORDER BY id_a, id_b""".stripMargin))
   )
 }

@@ -140,6 +140,41 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"mixed doc must be partially novel, got ${out(20L)}")
   }
 
+  test("dHash is invariant to wrap-free uniform brightness regrades") {
+    val dec = new graft.extras.Multimodal.BmpDHashDecoder()
+    // 9x8 (the exact grid floor) with zero curvature keeps every
+    // channel below 226, so the +30 regrade wraps nowhere and the
+    // hash must be IDENTICAL (the property that makes dHash a
+    // near-dup key)
+    def quad(delta: Int) = graft.extras.Multimodal.ImageBytes
+      .bmpQuad(9, 8, 0, 0, 0, 10, delta)
+    val h0 = dec.decode(quad(0))
+    val h30 = dec.decode(quad(30))
+    assert(h0.ok && h30.ok)
+    assert(h0.hash == h30.hash,
+      "uniform wrap-free regrade must not change a single dHash bit")
+    // structurally different curvature -> different hash
+    val other = dec.decode(graft.extras.Multimodal.ImageBytes
+      .bmpQuad(9, 8, 3, 5, 2, 10, 0))
+    assert(other.ok && other.hash != h0.hash)
+    // 63-bit contract: bit 63 is never set
+    assert(h0.hash >= 0 && other.hash >= 0)
+  }
+
+  test("dHash decoder rejects malformed and undersized images") {
+    val dec = new graft.extras.Multimodal.BmpDHashDecoder()
+    assert(!dec.decode(null).ok)
+    assert(!dec.decode(Array.fill[Byte](200)(0x42)).ok)
+    // real BMP but smaller than the 9x8 grid floor
+    assert(!dec.decode(
+      graft.extras.Multimodal.ImageBytes.bmp(8, 8, 1L)).ok)
+    val rnd = new scala.util.Random(3)
+    for (_ <- 0 until 50) {
+      val garbage = Array.fill[Byte](rnd.nextInt(400))(rnd.nextInt().toByte)
+      dec.decode(garbage) // must never throw
+    }
+  }
+
   test("Heaps checkpoints are monotone and end at the full corpus") {
     val rows = CorpusOps.defs.find(_.name == "stats_heaps_law").get
       .fn(spark, sfDir).collect()

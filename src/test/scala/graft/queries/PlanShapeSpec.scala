@@ -88,7 +88,10 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // train distinct + the gram-keyed anti join + two per-doc aggs —
     // gram-keyed shuffles only, never doc-pairwise
     "stats_ngram_novelty" -> 4,
-    "text_lang_confusion" -> 4)
+    "text_lang_confusion" -> 4,
+    // band-bucket agg + candidate distinct + final sort; the two
+    // hash-lookup joins broadcast (hashes sit behind a checkpoint)
+    "mm12_image_phash" -> 3)
   // emb_outlier_centroid is not budgeted: its per-vector scores run
   // inside an eager localCheckpoint() (like emb_pca_*), so the final
   // plan string is vacuous
