@@ -199,19 +199,23 @@ object Multimodal {
       *   b = ((ca+cb)·x² + cc·y² + 5x + 11y + 3·base + delta) % 256
       */
     def bmpQuad(w: Int, h: Int, ca: Int, cb: Int, cc: Int,
-                base: Int, delta: Int): Array[Byte] = {
+                base: Int, delta: Int,
+                topDown: Boolean = false): Array[Byte] = {
       val stride = ((w * 3 + 3) / 4) * 4
       val size = 54 + stride * h
       val out = java.nio.ByteBuffer.allocate(size)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       out.put('B'.toByte).put('M'.toByte).putInt(size)
         .putShort(0).putShort(0).putInt(54)
-      out.putInt(40).putInt(w).putInt(h).putShort(1)
+      // negative height = top-down row order: SAME pixels, different
+      // bytes — the container-level re-encode that perceptual dedup
+      // must collapse (e2e_stream_image_dedup's collision fixture)
+      out.putInt(40).putInt(w).putInt(if (topDown) -h else h).putShort(1)
         .putShort(24).putInt(0).putInt(stride * h)
         .putInt(2835).putInt(2835).putInt(0).putInt(0)
       var fileRow = 0
       while (fileRow < h) {
-        val y = h - 1 - fileRow // bottom-up
+        val y = if (topDown) fileRow else h - 1 - fileRow
         var x = 0
         while (x < w) {
           val b = ((ca + cb) * x * x + cc * y * y + 5 * x + 11 * y +

@@ -550,6 +550,65 @@ object EngineDemos {
           (second.size == first.size + 1).toString)
     }},
 
+    // Streaming IMAGE dedup: the image-modality member of the live
+    // dedup family, sharing BmpDHashDecoder with the batch
+    // mm12_image_phash operator (the shared-rule pattern again — the
+    // live perceptual key can never drift from the batch-audited
+    // one). The teeth: pattern A arrives twice as BYTE-DISTINCT files
+    // — bottom-up and top-down row order, the container-level
+    // re-encode exact-byte dedup misses — but identical pixels give
+    // identical dHash, so state keeps one; and a re-encoded copy of C
+    // arriving after a checkpoint restart is still dropped, proving
+    // the perceptual hash is what lives in the state store.
+    demo("e2e_stream_image_dedup", Seq(
+      "reencode_same_hash" -> "true",
+      "first_run_kept" -> "3",
+      "second_run_new" -> "1",
+      "reencoded_dropped_across_restart" -> "true")) { (sp, st) =>
+      withDemoPartitions(sp) {
+      st.catalog.createStream("demo-basin1", "img")
+      import graft.extras.Multimodal
+      def img(c: Int, topDown: Boolean = false) = Multimodal.ImageBytes
+        .bmpQuad(16, 16, 1 + c % 5, 1 + c % 7, c % 3, 11 * c, 0, topDown)
+      val dec = new Multimodal.BmpDHashDecoder()
+      st.append("demo-basin1", "img", AppendInput(Seq(
+        EnvelopeRecord(Nil, img(1)),
+        EnvelopeRecord(Nil, img(1, topDown = true)), // re-encoded A
+        EnvelopeRecord(Nil, img(2)),
+        EnvelopeRecord(Nil, img(3)))), Some(1000))
+      def run(): Seq[Long] = {
+        val q = Multimodal.decodeBmpDHash(
+            sp.readStream.format("graft-stream")
+              .option("root", st.root).option("basin", "demo-basin1")
+              .option("stream", "img").load()
+              .selectExpr("seq_num", "body"),
+            "body", "seq_num")
+          .where(org.apache.spark.sql.functions.col("ok"))
+          .dropDuplicates("hash")
+          .select("hash")
+          .writeStream.format("parquet")
+          .option("path", s"${st.root}/_imgsink")
+          .option("checkpointLocation", s"${st.root}/_imgckpt")
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        sp.read.parquet(s"${st.root}/_imgsink")
+          .collect().map(_.getLong(0)).toSeq.sorted
+      }
+      val first = run()
+      st.append("demo-basin1", "img", AppendInput(Seq(
+        EnvelopeRecord(Nil, img(3, topDown = true)), // re-encoded C
+        EnvelopeRecord(Nil, img(7)))), Some(2000))   // genuinely new
+      val second = run()
+      Seq(
+        "reencode_same_hash" ->
+          (dec.decode(img(1)).hash == dec.decode(img(1, topDown = true)).hash).toString,
+        "first_run_kept" -> first.size.toString,
+        "second_run_new" -> (second.toSet -- first.toSet).size.toString,
+        "reencoded_dropped_across_restart" ->
+          (second.toSet.contains(dec.decode(img(7)).hash) &&
+            second.size == first.size + 1).toString)
+    }},
+
     // Streaming NEAR-dup dedup: the streaming complement of
     // dedup_minhash_lsh. Each followed record computes its full
     // 16-min-hash signature SCALAR-side (per-record expressions — no
