@@ -420,6 +420,45 @@ object Multimodal {
       }
       out.array()
     }
+
+    /** `wavPcm` with every sample multiplied by an integer gain — the
+      * volume-regrade fixture for audio fingerprinting (gain ≤ 8
+      * keeps ±2048·8 inside 16-bit). An integer-scaled signal scales
+      * every WHT coefficient by exactly the same factor, so
+      * magnitude-comparison fingerprint bits are EXACTLY invariant.
+      * `step` sets the sawtooth rate: the default 7 never wraps
+      * inside a 64-sample window, which makes every clip a linear
+      * ramp with the SAME spectrum shape (the first mm13 fixture
+      * collapsed to one signature this way) — fingerprint fixtures
+      * must pass a per-pattern step so wrap counts, and thus
+      * spectra, differ.
+      */
+    def wavPcmScaled(sampleRate: Int, channels: Int, frames: Long,
+                     id: Long, gain: Int, step: Long = 7L): Array[Byte] = {
+      val blockAlign = channels * 2
+      val dataLen = frames * blockAlign
+      val out = java.nio.ByteBuffer.allocate((56 + dataLen).toInt)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes("US-ASCII")).putInt((48 + dataLen).toInt)
+      out.put("WAVE".getBytes("US-ASCII"))
+      out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      out.putShort(1)
+      out.putShort(channels.toShort)
+      out.putInt(sampleRate)
+      out.putInt(sampleRate * blockAlign)
+      out.putShort(blockAlign.toShort)
+      out.putShort(16)
+      out.put("LIST".getBytes("US-ASCII")).putInt(4)
+      out.put("INFO".getBytes("US-ASCII"))
+      out.put("data".getBytes("US-ASCII")).putInt(dataLen.toInt)
+      val total = frames * channels
+      var j = 0L
+      while (j < total) {
+        out.putShort((gain * (((step * j + 3 * id) % 4096) - 2048)).toShort)
+        j += 1
+      }
+      out.array()
+    }
   }
 
   final case class VideoMeta(
@@ -973,7 +1012,6 @@ object Multimodal {
     * a clip is minutes long instead of 64 samples.
     */
   final class WavSpectrumDecoder {
-    private val pcm = new WavPcmDecoder()
     private def le16(b: Array[Byte], i: Int): Int =
       (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
     private def le32(b: Array[Byte], i: Int): Long =
@@ -1038,6 +1076,93 @@ object Multimodal {
         band(4), band(5), band(6), band(7), ok = true)
     }
   }
+
+  /** Haitsma–Kalker-style sign-bit audio fingerprint over the WHT
+    * coefficients of the first 64 channel-0 samples: bit k (k < 63) =
+    * |c_k| > |c_{k+1}|. Comparisons are scale-free — an integer volume
+    * regrade multiplies every coefficient by the same gain and flips
+    * no bit — and stay in [0, 2^63) for exact signed-BIGINT SQL
+    * mirroring (same 63-bit contract as the image dHash).
+    */
+  final case class AudioFp(byteLen: Long, sampleRate: Int, channels: Int,
+                           sig: Long, ok: Boolean)
+
+  final class WavFingerprintDecoder {
+    private def le16(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], i: Int): Long =
+      (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+        ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+    private def tag(b: Array[Byte], i: Int, t: String): Boolean =
+      b(i) == t(0).toByte && b(i + 1) == t(1).toByte &&
+        b(i + 2) == t(2).toByte && b(i + 3) == t(3).toByte
+
+    def decode(bytes: Array[Byte]): AudioFp = {
+      val n = if (bytes == null) 0L else bytes.length.toLong
+      def bad = AudioFp(n, 0, 0, 0L, ok = false)
+      if (n < 12 || !tag(bytes, 0, "RIFF") || !tag(bytes, 8, "WAVE")) return bad
+      var i = 12
+      var rate = 0; var ch = 0; var bits = 0; var blockAlign = 0
+      var dataOff = -1L; var dataLen = -1L
+      while (i >= 0 && i + 8 <= bytes.length && (rate == 0 || dataOff < 0)) {
+        val len = le32(bytes, i + 4)
+        if (tag(bytes, i, "fmt ")) {
+          if (len < 16 || i + 8 + 16 > bytes.length) return bad
+          ch = le16(bytes, i + 10)
+          rate = le32(bytes, i + 12).toInt
+          blockAlign = le16(bytes, i + 20)
+          bits = le16(bytes, i + 22)
+        } else if (tag(bytes, i, "data")) {
+          dataOff = i + 8L; dataLen = len
+        }
+        val next = i.toLong + 8L + len + (len & 1L)
+        i = if (next > bytes.length.toLong) -1 else next.toInt
+      }
+      if (rate <= 0 || ch <= 0 || bits != 16 || blockAlign != ch * 2 ||
+          dataOff < 0 || dataLen < 0 || dataOff + dataLen > n) return bad
+      val frames = dataLen / blockAlign
+      if (frames < 64) return bad
+      val c = new Array[Long](64)
+      var j = 0
+      while (j < 64) {
+        c(j) = le16(bytes, (dataOff + 2L * j * ch).toInt).toShort.toLong
+        j += 1
+      }
+      var h = 1
+      while (h < 64) {
+        var base = 0
+        while (base < 64) {
+          var k = base
+          while (k < base + h) {
+            val x = c(k); val y = c(k + h)
+            c(k) = x + y; c(k + h) = x - y
+            k += 1
+          }
+          base += h * 2
+        }
+        h *= 2
+      }
+      var sig = 0L
+      var k = 0
+      while (k < 63) {
+        if (math.abs(c(k)) > math.abs(c(k + 1))) sig |= 1L << k
+        k += 1
+      }
+      AudioFp(n, rate, ch, sig, ok = true)
+    }
+  }
+
+  /** Decode a binary audio column into per-clip fingerprints — one
+    * 5-column row per blob leaves the executor.
+    */
+  def decodeWavFingerprint(df: DataFrame, binaryCol: String, idCol: String): DataFrame =
+    decodePartitions[AudioFp](df, binaryCol, idCol,
+      () => new WavFingerprintDecoder().decode _)
+      .select(col("_1").as(idCol),
+        col("_2.byteLen").as("byte_len"),
+        col("_2.sampleRate").as("sample_rate"),
+        col("_2.channels").as("channels"),
+        col("_2.sig").as("sig"), col("_2.ok").as("ok"))
 
   /** Decode a binary audio column into per-clip Walsh–Hadamard band
     * energies — same partition-local streaming shape as decodeWavPcm.

@@ -717,6 +717,104 @@ object CorpusOps {
         |JOIN hashes ha ON ha.id = cands.id_a
         |JOIN hashes hb ON hb.id = cands.id_b
         |WHERE bit_count(xor(ha.hash, hb.hash)) <= 12
+        |ORDER BY id_a, id_b""".stripMargin)),
+
+    // mm13: AUDIO near-dup dedup — a Haitsma–Kalker-style sign-bit
+    // fingerprint (|c_k| > |c_k+1| over the clip's WHT coefficients)
+    // from REAL WAV decode, blocked and verified exactly like mm12.
+    // The invariance is EXACT, not approximate: an integer volume
+    // regrade (gain 2/4/8 — the audio analog of the brightness
+    // regrade) multiplies every coefficient by the same factor and
+    // flips no comparison, so intra-cluster Hamming is exactly 0 and
+    // the match threshold is exact equality (the Shazam-style exact
+    // sub-fingerprint lookup), while different source patterns (a
+    // per-pattern sawtooth step => different wrap counts => different
+    // spectra) differ by >=1 bit, 40/160 distinct signatures. Completes
+    // the near-dup matrix: text (minhash/simhash), embeddings
+    // (cosine-LSH), images (dHash), audio (this).
+    QueryDef("mm13_audio_fingerprint",
+      (s, d) => {
+        import s.implicits._
+        val ids = Records.events(s, d)
+          .select(col("event_id").cast(LongType)).as[Long]
+          .filter(_ < 160)
+        val blobs = ids.map { id =>
+          val pid = id % 40
+          val gain = 1 << (id / 40).toInt
+          val ch = (1 + pid % 2).toInt
+          (id, graft.extras.Multimodal.AudioBytes
+            .wavPcmScaled(8000, ch, 200 + pid % 50, pid, gain,
+              step = 61 + 13 * pid))
+        }.toDF("event_id", "blob")
+        val sigs = graft.extras.Multimodal
+          .decodeWavFingerprint(blobs, "blob", "event_id")
+          .where(col("ok"))
+          .select(col("event_id").as("id"), col("sig"))
+          .localCheckpoint()
+        val bands = sigs.select(col("id"),
+          explode(expr(
+            """transform(sequence(0, 3),
+              |  b -> named_struct('band', b,
+              |    'key', shiftright(sig, 16 * b) % 65536))"""
+              .stripMargin)).as("bk"))
+          .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+        val cands = bands.groupBy("band", "key")
+          .agg(sort_array(collect_list("id")).as("ds"))
+          .where(size(col("ds")).between(2, 64))
+          .select(explode(flatten(
+            transform(col("ds"), (x, i) =>
+              transform(slice(col("ds"), i + 2, size(col("ds"))),
+                y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+          .select(col("p.id_a"), col("p.id_b")).distinct()
+        cands
+          .join(sigs.select(col("id").as("id_a"), col("sig").as("sa")), "id_a")
+          .join(sigs.select(col("id").as("id_b"), col("sig").as("sb")), "id_b")
+          .withColumn("hamming",
+            expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
+          .where(col("hamming") === 0)
+          .select("id_a", "id_b", "hamming")
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH ids AS (
+        |  SELECT event_id AS id, event_id % 40 AS pid,
+        |    CASE event_id // 40 WHEN 0 THEN 1 WHEN 1 THEN 2
+        |      WHEN 2 THEN 4 ELSE 8 END AS gain,
+        |    1 + (event_id % 40) % 2 AS ch,
+        |    61 + 13 * (event_id % 40) AS step
+        |  FROM events WHERE event_id < 160),
+        |smp AS (
+        |  SELECT id, j,
+        |    gain * (((step * (j * ch) + 3 * pid) % 4096) - 2048) AS v
+        |  FROM ids, unnest(range(0, 64)) t(j)),
+        |coef AS (
+        |  SELECT id, k,
+        |    CAST(sum(v * (1 - 2 * (bit_count(CAST(j AS BIGINT) & k) % 2)))
+        |      AS BIGINT) AS c
+        |  FROM smp, unnest(range(0, 64)) u(k)
+        |  GROUP BY id, k),
+        |sigs AS (
+        |  SELECT a.id,
+        |    CAST(sum(CASE WHEN abs(a.c) > abs(b.c)
+        |      THEN CAST(1 AS BIGINT) << a.k ELSE 0 END) AS BIGINT) AS sig
+        |  FROM coef a JOIN coef b ON b.id = a.id AND b.k = a.k + 1
+        |  WHERE a.k < 63 GROUP BY a.id),
+        |bands AS (
+        |  SELECT id, b, (sig >> (16 * b)) % 65536 AS key
+        |  FROM sigs, unnest(range(0, 4)) t(b)),
+        |buckets AS (
+        |  SELECT b, key FROM bands GROUP BY b, key
+        |  HAVING count(*) BETWEEN 2 AND 64),
+        |cands AS (
+        |  SELECT DISTINCT a.id AS id_a, bb.id AS id_b
+        |  FROM bands a
+        |  JOIN buckets bu ON bu.b = a.b AND bu.key = a.key
+        |  JOIN bands bb ON bb.b = a.b AND bb.key = a.key AND a.id < bb.id)
+        |SELECT id_a, id_b,
+        |  CAST(bit_count(xor(sa.sig, sb.sig)) AS BIGINT) AS hamming
+        |FROM cands
+        |JOIN sigs sa ON sa.id = cands.id_a
+        |JOIN sigs sb ON sb.id = cands.id_b
+        |WHERE bit_count(xor(sa.sig, sb.sig)) = 0
         |ORDER BY id_a, id_b""".stripMargin))
   )
 }

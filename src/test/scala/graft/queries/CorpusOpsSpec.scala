@@ -175,6 +175,29 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("audio fingerprint is exactly gain-invariant and step-sensitive") {
+    val dec = new graft.extras.Multimodal.WavFingerprintDecoder()
+    def clip(pid: Long, gain: Int, step: Long) = graft.extras.Multimodal
+      .AudioBytes.wavPcmScaled(8000, 1, 200, pid, gain, step)
+    for (gain <- Seq(2, 4, 8)) {
+      val a = dec.decode(clip(5, 1, 74))
+      val b = dec.decode(clip(5, gain, 74))
+      assert(a.ok && b.ok)
+      assert(a.sig == b.sig,
+        s"gain $gain flipped a fingerprint bit — invariance must be exact")
+    }
+    // different sawtooth step -> different wrap pattern -> different sig
+    val s1 = dec.decode(clip(5, 1, 74)).sig
+    val s2 = dec.decode(clip(6, 1, 87)).sig
+    assert(s1 != s2)
+    assert(s1 >= 0 && s2 >= 0, "63-bit contract: bit 63 never set")
+    // malformed input never throws, undersized rejected
+    assert(!dec.decode(null).ok)
+    assert(!dec.decode("RIFFxxxxWAVEgarbage".getBytes).ok)
+    assert(!dec.decode(graft.extras.Multimodal.AudioBytes
+      .wavPcm(8000, 2, 30, 1L)).ok)
+  }
+
   test("Heaps checkpoints are monotone and end at the full corpus") {
     val rows = CorpusOps.defs.find(_.name == "stats_heaps_law").get
       .fn(spark, sfDir).collect()

@@ -91,7 +91,8 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     "text_lang_confusion" -> 4,
     // band-bucket agg + candidate distinct + final sort; the two
     // hash-lookup joins broadcast (hashes sit behind a checkpoint)
-    "mm12_image_phash" -> 3)
+    "mm12_image_phash" -> 3,
+    "mm13_audio_fingerprint" -> 3)
   // emb_outlier_centroid is not budgeted: its per-vector scores run
   // inside an eager localCheckpoint() (like emb_pca_*), so the final
   // plan string is vacuous
