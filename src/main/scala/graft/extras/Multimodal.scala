@@ -1218,8 +1218,13 @@ object Multimodal {
     * costs one chunk-header skip, no pixel reads — the shape that
     * matters when one blob holds thousands of frames.
     */
-  final class AviFrameDecoder(sampleEvery: Int) {
-    require(sampleEvery >= 1)
+  /** Pass-1 of the AVI walk, shared by the frame-stats and
+    * frame-dHash decoders: RIFF/'AVI ' validation, `hdrl`→`strl`→
+    * `strf` for the video BITMAPINFOHEADER (24-bit BI_RGB only,
+    * bounded dims), and the `movi` extent. None = malformed.
+    */
+  private[extras] object AviHeader {
+    final case class Info(w: Int, h: Int, moviStart: Int, moviEnd: Int)
     private def le16(b: Array[Byte], i: Int): Int =
       (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
     private def le32(b: Array[Byte], i: Int): Int =
@@ -1229,19 +1234,17 @@ object Multimodal {
       b(i) == t(0).toByte && b(i + 1) == t(1).toByte &&
         b(i + 2) == t(2).toByte && b(i + 3) == t(3).toByte
 
-    def decode(bytes: Array[Byte]): AviFrames = {
+    def parse(bytes: Array[Byte]): Option[Info] = {
       val n = if (bytes == null) 0L else bytes.length.toLong
-      def bad = AviFrames(n, 0, 0, 0, Nil, ok = false)
       if (n < 24 || !tag(bytes, 0, "RIFF") || !tag(bytes, 8, "AVI "))
-        return bad
+        return None
       val riffEnd = math.min(n.toInt, 8 + le32(bytes, 4))
-      // pass 1: find strf (video BITMAPINFOHEADER) inside hdrl/strl
       var w = 0; var h = 0
       var i = 12
       var moviStart = -1; var moviEnd = -1
       while (i + 8 <= riffEnd) {
         val ck = le32(bytes, i + 4)
-        if (ck < 0 || i + 8 + ck > riffEnd) return bad
+        if (ck < 0 || i + 8 + ck > riffEnd) return None
         if (tag(bytes, i, "LIST") && ck >= 4) {
           if (tag(bytes, i + 8, "hdrl")) {
             // walk hdrl children for LIST/strl, then strh+strf
@@ -1249,20 +1252,20 @@ object Multimodal {
             val hdrlEnd = i + 8 + ck
             while (j + 8 <= hdrlEnd && w == 0) {
               val sk = le32(bytes, j + 4)
-              if (sk < 0 || j + 8 + sk > hdrlEnd) return bad
+              if (sk < 0 || j + 8 + sk > hdrlEnd) return None
               if (tag(bytes, j, "LIST") && sk >= 4 && tag(bytes, j + 8, "strl")) {
                 var k = j + 12
                 val strlEnd = j + 8 + sk
                 var isVids = false
                 while (k + 8 <= strlEnd && w == 0) {
                   val ek = le32(bytes, k + 4)
-                  if (ek < 0 || k + 8 + ek > strlEnd) return bad
+                  if (ek < 0 || k + 8 + ek > strlEnd) return None
                   if (tag(bytes, k, "strh") && ek >= 8)
                     isVids = tag(bytes, k + 8, "vids")
                   else if (tag(bytes, k, "strf") && isVids) {
                     // BITMAPINFOHEADER: size/width/height/planes/
                     // bitCount/compression at 0/4/8/12/14/16
-                    if (ek < 40) return bad
+                    if (ek < 40) return None
                     val bw = le32(bytes, k + 8 + 4)
                     val bh = le32(bytes, k + 8 + 8)
                     val bits = le16(bytes, k + 8 + 14)
@@ -1272,7 +1275,7 @@ object Multimodal {
                     // sqrt(Int.Max) before any stride multiplication.
                     if (bw <= 0 || bh <= 0 || bw > (1 << 14) ||
                         bh > (1 << 14) || bits != 24 || comp != 0)
-                      return bad
+                      return None
                     w = bw; h = bh
                   }
                   k += 8 + ek + (ek & 1) // RIFF chunks are word-aligned
@@ -1286,7 +1289,29 @@ object Multimodal {
         }
         i += 8 + ck + (ck & 1)
       }
-      if (w == 0 || moviStart < 0) return bad
+      if (w == 0 || moviStart < 0) None
+      else Some(Info(w, h, moviStart, moviEnd))
+    }
+  }
+
+  final class AviFrameDecoder(sampleEvery: Int) {
+    require(sampleEvery >= 1)
+    private def le32(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+        ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+    private def tag(b: Array[Byte], i: Int, t: String): Boolean =
+      b(i) == t(0).toByte && b(i + 1) == t(1).toByte &&
+        b(i + 2) == t(2).toByte && b(i + 3) == t(3).toByte
+
+    def decode(bytes: Array[Byte]): AviFrames = {
+      val n = if (bytes == null) 0L else bytes.length.toLong
+      def bad = AviFrames(n, 0, 0, 0, Nil, ok = false)
+      val info = AviHeader.parse(bytes) match {
+        case None => return bad
+        case Some(v) => v
+      }
+      val w = info.w; val h = info.h
+      val moviStart = info.moviStart; val moviEnd = info.moviEnd
       val stride = ((w * 3 + 3) / 4) * 4
       val frameBytes = stride * h
       // pass 2: walk movi chunks, decode every sampleEvery-th frame
@@ -1330,6 +1355,104 @@ object Multimodal {
       else AviFrames(n, w, h, frameIdx, out.result(), ok = true)
     }
   }
+
+  /** Clip-level perceptual hash: per-sampled-frame dHash (identical
+    * 9x8-grid integer rules as BmpDHashDecoder), then a MAJORITY vote
+    * per bit across the sampled frames — the standard way a clip
+    * signature absorbs per-frame noise. Same 63-bit positive-BIGINT
+    * contract as the image/audio fingerprints.
+    */
+  final case class VideoHash(byteLen: Long, width: Int, height: Int,
+                             nSampled: Int, hash: Long, ok: Boolean)
+
+  final class AviDHashDecoder(sampleEvery: Int) {
+    require(sampleEvery >= 1)
+    private def le32(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+        ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+    private def tag(b: Array[Byte], i: Int, t: String): Boolean =
+      b(i) == t(0).toByte && b(i + 1) == t(1).toByte &&
+        b(i + 2) == t(2).toByte && b(i + 3) == t(3).toByte
+
+    def decode(bytes: Array[Byte]): VideoHash = {
+      val n = if (bytes == null) 0L else bytes.length.toLong
+      def bad = VideoHash(n, 0, 0, 0, 0L, ok = false)
+      val info = AviHeader.parse(bytes) match {
+        case None => return bad
+        case Some(v) => v
+      }
+      val w = info.w; val h = info.h
+      if (w < 9 || h < 8) return bad
+      val stride = ((w * 3 + 3) / 4) * 4
+      val frameBytes = stride * h
+      val bitVotes = new Array[Int](63)
+      var sampled = 0
+      var frameIdx = 0
+      var p = info.moviStart
+      while (p + 8 <= info.moviEnd) {
+        val ck = le32(bytes, p + 4)
+        if (ck < 0 || p + 8 + ck > info.moviEnd) return bad
+        if (tag(bytes, p, "00db") || tag(bytes, p, "00dc")) {
+          if (ck != frameBytes) return bad // compressed or torn frame
+          if (frameIdx % sampleEvery == 0) {
+            val lsum = Array.ofDim[Long](9, 8)
+            val cnt = Array.ofDim[Long](9, 8)
+            var fileRow = 0
+            while (fileRow < h) {
+              val y = h - 1 - fileRow // DIB frames are bottom-up
+              val gy = y * 8 / h
+              val rowBase = p + 8 + fileRow * stride
+              var x = 0
+              while (x < w) {
+                val q = rowBase + x * 3
+                val b = bytes(q) & 0xff
+                val g = bytes(q + 1) & 0xff
+                val r = bytes(q + 2) & 0xff
+                val gx = x * 9 / w
+                lsum(gx)(gy) += r * 299L + g * 587L + b * 114L
+                cnt(gx)(gy) += 1L
+                x += 1
+              }
+              fileRow += 1
+            }
+            var gy = 0
+            while (gy < 8) {
+              var gx = 0
+              while (gx < 8 && gy * 8 + gx < 63) {
+                if (lsum(gx)(gy) * cnt(gx + 1)(gy) >
+                    lsum(gx + 1)(gy) * cnt(gx)(gy))
+                  bitVotes(gy * 8 + gx) += 1
+                gx += 1
+              }
+              gy += 1
+            }
+            sampled += 1
+          }
+          frameIdx += 1
+        }
+        p += 8 + ck + (ck & 1)
+      }
+      if (sampled == 0) return bad
+      var hash = 0L
+      var k = 0
+      while (k < 63) {
+        if (2 * bitVotes(k) > sampled) hash |= 1L << k
+        k += 1
+      }
+      VideoHash(n, w, h, sampled, hash, ok = true)
+    }
+  }
+
+  /** Decode a binary AVI column into per-clip majority dHashes. */
+  def decodeAviDHash(df: DataFrame, binaryCol: String, idCol: String,
+                     sampleEvery: Int): DataFrame =
+    decodePartitions[VideoHash](df, binaryCol, idCol,
+      () => new AviDHashDecoder(sampleEvery).decode _)
+      .select(col("_1").as(idCol),
+        col("_2.byteLen").as("byte_len"),
+        col("_2.width").as("width"), col("_2.height").as("height"),
+        col("_2.nSampled").as("n_sampled"),
+        col("_2.hash").as("hash"), col("_2.ok").as("ok"))
 
   /** Builds a VALID uncompressed AVI: RIFF('AVI ') → LIST(hdrl:
     * avih + LIST(strl: strh 'vids'/'DIB ' + strf BITMAPINFOHEADER))
@@ -1381,6 +1504,71 @@ object Multimodal {
             val r = ((5 * x + 17 * y + 3 * id + 23 * f) % 256).toInt
             val g = ((11 * x + 3 * y + 2 * id + 29 * f) % 256).toInt
             val b = ((7 * x + 13 * y + id + 31 * f) % 256).toInt
+            buf.put(b.toByte).put(g.toByte).put(r.toByte)
+            x += 1
+          }
+          var pad = w * 3
+          while (pad < stride) { buf.put(0.toByte); pad += 1 }
+          fileRow += 1
+        }
+        f += 1
+      }
+      buf.array()
+    }
+
+    /** `aviDib` with the QUADRATIC pixel family of ImageBytes.bmpQuad
+      * (per-clip curvature => structurally distinct clips; uniform
+      * `delta` => a brightness regrade dHash should absorb) plus the
+      * (23f, 29f, 31f) per-frame channel shifts, so per-frame hashes
+      * differ slightly and the majority vote has something to do.
+      */
+    def aviQuad(w: Int, h: Int, nFrames: Int, ca: Int, cb: Int, cc: Int,
+                base: Int, delta: Int): Array[Byte] = {
+      import java.nio.{ByteBuffer, ByteOrder}
+      val stride = ((w * 3 + 3) / 4) * 4
+      val frameBytes = stride * h
+      val moviSize = 4 + nFrames * (8 + frameBytes)
+      val hdrlSize = 4 + (8 + 56) + (8 + 116)
+      val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+      val buf = ByteBuffer.allocate(8 + riffSize).order(ByteOrder.LITTLE_ENDIAN)
+      def fourcc(t: String): Unit = buf.put(t.getBytes("US-ASCII"))
+      fourcc("RIFF"); buf.putInt(riffSize); fourcc("AVI ")
+      fourcc("LIST"); buf.putInt(hdrlSize); fourcc("hdrl")
+      fourcc("avih"); buf.putInt(56)
+      buf.putInt(40000)
+        .putInt(0).putInt(0).putInt(0)
+        .putInt(nFrames).putInt(0).putInt(1).putInt(frameBytes)
+        .putInt(w).putInt(h)
+        .putInt(0).putInt(0).putInt(0).putInt(0)
+      fourcc("LIST"); buf.putInt(116); fourcc("strl")
+      fourcc("strh"); buf.putInt(56)
+      fourcc("vids"); fourcc("DIB ")
+      buf.putInt(0).putInt(0).putInt(0)
+        .putInt(1).putInt(25)
+        .putInt(0).putInt(nFrames).putInt(frameBytes)
+        .putInt(-1).putInt(0)
+        .putShort(0.toShort).putShort(0.toShort)
+        .putShort(w.toShort).putShort(h.toShort)
+      fourcc("strf"); buf.putInt(40)
+      buf.putInt(40).putInt(w).putInt(h)
+        .putShort(1.toShort).putShort(24.toShort)
+        .putInt(0).putInt(frameBytes)
+        .putInt(0).putInt(0).putInt(0).putInt(0)
+      fourcc("LIST"); buf.putInt(moviSize); fourcc("movi")
+      var f = 0
+      while (f < nFrames) {
+        fourcc("00db"); buf.putInt(frameBytes)
+        var fileRow = 0
+        while (fileRow < h) {
+          val y = h - 1 - fileRow // bottom-up
+          var x = 0
+          while (x < w) {
+            val r = (ca * x * x + cb * y * y + cc * x * y + 7 * x +
+              13 * y + base + delta + 23 * f) % 256
+            val g = (cb * x * x + ca * y * y + cc * x * y + 3 * x +
+              5 * y + 2 * base + delta + 29 * f) % 256
+            val b = ((ca + cb) * x * x + cc * y * y + 5 * x + 11 * y +
+              3 * base + delta + 31 * f) % 256
             buf.put(b.toByte).put(g.toByte).put(r.toByte)
             x += 1
           }

@@ -815,6 +815,107 @@ object CorpusOps {
         |JOIN sigs sa ON sa.id = cands.id_a
         |JOIN sigs sb ON sb.id = cands.id_b
         |WHERE bit_count(xor(sa.sig, sb.sig)) = 0
+        |ORDER BY id_a, id_b""".stripMargin)),
+
+    // mm14: VIDEO near-dup dedup — per-sampled-frame dHash from REAL
+    // AVI frame decode (frames 0,2,4 of 6, sampled inside the byte
+    // walk), majority-voted into one clip signature, then the same
+    // band-block + exact-Hamming discipline as mm12/mm13. The last
+    // modality of the near-dup matrix. Fixture mirrors mm12's
+    // quadratic clusters (structurally distinct clips, uniform
+    // brightness regrades within a cluster) plus the (23f,29f,31f)
+    // per-frame shifts the majority vote must absorb.
+    QueryDef("mm14_video_phash",
+      (s, d) => {
+        import s.implicits._
+        val ids = Records.events(s, d)
+          .select(col("event_id").cast(LongType)).as[Long]
+          .filter(_ < 160)
+        val blobs = ids.map { id =>
+          val c = (id % 40).toInt; val k = (id / 40).toInt
+          (id, graft.extras.Multimodal.VideoBytes2.aviQuad(16, 16, 6,
+            1 + c % 5, 1 + c % 7, c % 3, 11 * c, 2 * k))
+        }.toDF("event_id", "blob")
+        val hashes = graft.extras.Multimodal
+          .decodeAviDHash(blobs, "blob", "event_id", sampleEvery = 2)
+          .where(col("ok"))
+          .select(col("event_id").as("id"), col("hash"))
+          .localCheckpoint()
+        val bands = hashes.select(col("id"),
+          explode(expr(
+            """transform(sequence(0, 3),
+              |  b -> named_struct('band', b,
+              |    'key', shiftright(hash, 16 * b) % 65536))"""
+              .stripMargin)).as("bk"))
+          .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+        val cands = bands.groupBy("band", "key")
+          .agg(sort_array(collect_list("id")).as("ds"))
+          .where(size(col("ds")).between(2, 64))
+          .select(explode(flatten(
+            transform(col("ds"), (x, i) =>
+              transform(slice(col("ds"), i + 2, size(col("ds"))),
+                y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+          .select(col("p.id_a"), col("p.id_b")).distinct()
+        cands
+          .join(hashes.select(col("id").as("id_a"), col("hash").as("ha")), "id_a")
+          .join(hashes.select(col("id").as("id_b"), col("hash").as("hb")), "id_b")
+          .withColumn("hamming",
+            expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
+          .where(col("hamming") <= 12)
+          .select("id_a", "id_b", "hamming")
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH ids AS (
+        |  SELECT event_id AS id,
+        |    1 + (event_id % 40) % 5 AS ca, 1 + (event_id % 40) % 7 AS cb,
+        |    (event_id % 40) % 3 AS cc, 11 * (event_id % 40) AS base,
+        |    2 * (event_id // 40) AS delta
+        |  FROM events WHERE event_id < 160),
+        |px AS (
+        |  SELECT id, f, x, y,
+        |    (ca * x * x + cb * y * y + cc * x * y + 7 * x + 13 * y
+        |      + base + delta + 23 * f) % 256 AS r,
+        |    (cb * x * x + ca * y * y + cc * x * y + 3 * x + 5 * y
+        |      + 2 * base + delta + 29 * f) % 256 AS g,
+        |    ((ca + cb) * x * x + cc * y * y + 5 * x + 11 * y
+        |      + 3 * base + delta + 31 * f) % 256 AS b
+        |  FROM ids, unnest([0, 2, 4]) tf(f),
+        |    unnest(range(0, 16)) tx(x), unnest(range(0, 16)) ty(y)),
+        |cells AS (
+        |  SELECT id, f, CAST(x * 9 // 16 AS INT) AS gx,
+        |    CAST(y * 8 // 16 AS INT) AS gy,
+        |    CAST(sum(r * 299 + g * 587 + b * 114) AS BIGINT) AS lsum,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM px GROUP BY 1, 2, 3, 4),
+        |bits AS (
+        |  SELECT a.id, a.f, a.gy * 8 + a.gx AS k,
+        |    CASE WHEN a.lsum * b.n > b.lsum * a.n THEN 1 ELSE 0 END AS bt
+        |  FROM cells a JOIN cells b
+        |    ON b.id = a.id AND b.f = a.f AND b.gy = a.gy AND b.gx = a.gx + 1
+        |  WHERE a.gx < 8 AND a.gy * 8 + a.gx < 63),
+        |maj AS (
+        |  SELECT id, k, CASE WHEN 2 * sum(bt) > 3 THEN 1 ELSE 0 END AS bit_v
+        |  FROM bits GROUP BY id, k),
+        |hashes AS (
+        |  SELECT id, CAST(sum(CAST(bit_v AS BIGINT) << k) AS BIGINT) AS hash
+        |  FROM maj GROUP BY id),
+        |bands AS (
+        |  SELECT id, b, (hash >> (16 * b)) % 65536 AS key
+        |  FROM hashes, unnest(range(0, 4)) t(b)),
+        |buckets AS (
+        |  SELECT b, key FROM bands GROUP BY b, key
+        |  HAVING count(*) BETWEEN 2 AND 64),
+        |cands AS (
+        |  SELECT DISTINCT a.id AS id_a, bb.id AS id_b
+        |  FROM bands a
+        |  JOIN buckets bu ON bu.b = a.b AND bu.key = a.key
+        |  JOIN bands bb ON bb.b = a.b AND bb.key = a.key AND a.id < bb.id)
+        |SELECT id_a, id_b,
+        |  CAST(bit_count(xor(ha.hash, hb.hash)) AS BIGINT) AS hamming
+        |FROM cands
+        |JOIN hashes ha ON ha.id = cands.id_a
+        |JOIN hashes hb ON hb.id = cands.id_b
+        |WHERE bit_count(xor(ha.hash, hb.hash)) <= 12
         |ORDER BY id_a, id_b""".stripMargin))
   )
 }

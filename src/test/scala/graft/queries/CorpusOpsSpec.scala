@@ -198,6 +198,38 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .wavPcm(8000, 2, 30, 1L)).ok)
   }
 
+  test("single-frame AVI dHash equals the BMP dHash bit-for-bit") {
+    // frame 0 of aviQuad carries exactly bmpQuad's pixels (the 23f/29f/
+    // 31f shifts vanish at f=0), so the two independent codecs must
+    // produce the same 63-bit hash — the cross-codec consistency proof
+    // for the video path (same pattern as the PNG-vs-BMP pixel check).
+    val bmpDec = new graft.extras.Multimodal.BmpDHashDecoder()
+    val aviDec = new graft.extras.Multimodal.AviDHashDecoder(1)
+    for (c <- Seq(0, 7, 23, 39)) {
+      val bmp = bmpDec.decode(graft.extras.Multimodal.ImageBytes
+        .bmpQuad(16, 16, 1 + c % 5, 1 + c % 7, c % 3, 11 * c, 4))
+      val avi = aviDec.decode(graft.extras.Multimodal.VideoBytes2
+        .aviQuad(16, 16, 1, 1 + c % 5, 1 + c % 7, c % 3, 11 * c, 4))
+      assert(bmp.ok && avi.ok)
+      assert(avi.nSampled == 1)
+      assert(bmp.hash == avi.hash, s"cluster $c: codecs disagree")
+    }
+  }
+
+  test("video dHash decoder rejects malformed and undersized clips") {
+    val dec = new graft.extras.Multimodal.AviDHashDecoder(2)
+    assert(!dec.decode(null).ok)
+    assert(!dec.decode("RIFFxxxxAVI garbage".getBytes).ok)
+    // valid AVI but frames smaller than the 9x8 grid floor
+    assert(!dec.decode(graft.extras.Multimodal.VideoBytes2
+      .aviDib(5, 4, 3, 1L)).ok)
+    val rnd = new scala.util.Random(11)
+    for (_ <- 0 until 50) {
+      val garbage = Array.fill[Byte](rnd.nextInt(500))(rnd.nextInt().toByte)
+      dec.decode(garbage) // must never throw
+    }
+  }
+
   test("Heaps checkpoints are monotone and end at the full corpus") {
     val rows = CorpusOps.defs.find(_.name == "stats_heaps_law").get
       .fn(spark, sfDir).collect()
