@@ -31,6 +31,107 @@ object CorpusOps {
 
   import TextOps.docs
 
+  /** mm12's image corpus — 160 quadratic-pattern BMPs (40 clusters x 4
+    * brightness regrades) decoded to per-image dHashes — shared with
+    * dedup_phash_cluster so pair detection and cluster selection can
+    * never disagree on the hash definition.
+    */
+  private def phashHashes(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ids = Records.events(s, d)
+      .select(col("event_id").cast(LongType)).as[Long]
+      .filter(_ < 160)
+    val blobs = ids.map { id =>
+      val c = (id % 40).toInt; val k = (id / 40).toInt
+      (id, graft.extras.Multimodal.ImageBytes.bmpQuad(16, 16,
+        1 + c % 5, 1 + c % 7, c % 3, 11 * c, 2 * k))
+    }.toDF("event_id", "blob")
+    graft.extras.Multimodal
+      .decodeBmpDHash(blobs, "blob", "event_id")
+      .where(col("ok"))
+      .select(col("event_id").as("id"), col("hash"))
+      .localCheckpoint()
+  }
+
+  /** 4x16-bit band blocking over an (id, hash) table → capped
+    * candidate pairs (id_a, id_b) — the blocking stage shared by all
+    * three fingerprint modalities (image/audio/video).
+    */
+  private def fingerprintCands(sigs: DataFrame): DataFrame = {
+    val bands = sigs.select(col("id"),
+      explode(expr(
+        """transform(sequence(0, 3),
+          |  b -> named_struct('band', b,
+          |    'key', shiftright(hash, 16 * b) % 65536))"""
+          .stripMargin)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    bands.groupBy("band", "key")
+      .agg(sort_array(collect_list("id")).as("ds"))
+      .where(size(col("ds")).between(2, 64))
+      .select(explode(flatten(
+        transform(col("ds"), (x, i) =>
+          transform(slice(col("ds"), i + 2, size(col("ds"))),
+            y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b")).distinct()
+  }
+
+  /** Candidate pairs with exact Hamming distance attached. */
+  private def fingerprintPairs(sigs: DataFrame): DataFrame =
+    fingerprintCands(sigs)
+      .join(sigs.select(col("id").as("id_a"), col("hash").as("ha")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("hash").as("hb")), "id_b")
+      .withColumn("hamming", expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
+
+  /** The shared SQL mirror of phashHashes + fingerprintCands for the
+    * image fixture, ending in `hashes(id, hash)` and
+    * `cands(id_a, id_b)` — used by both the mm12 oracle and the
+    * cluster oracle built on its pairs.
+    */
+  private val PhashCtes: String =
+    """ids AS (
+      |  SELECT event_id AS id,
+      |    1 + (event_id % 40) % 5 AS ca, 1 + (event_id % 40) % 7 AS cb,
+      |    (event_id % 40) % 3 AS cc, 11 * (event_id % 40) AS base,
+      |    2 * (event_id // 40) AS delta
+      |  FROM events WHERE event_id < 160),
+      |px AS (
+      |  SELECT id, x, y,
+      |    (ca * x * x + cb * y * y + cc * x * y + 7 * x + 13 * y
+      |      + base + delta) % 256 AS r,
+      |    (cb * x * x + ca * y * y + cc * x * y + 3 * x + 5 * y
+      |      + 2 * base + delta) % 256 AS g,
+      |    ((ca + cb) * x * x + cc * y * y + 5 * x + 11 * y
+      |      + 3 * base + delta) % 256 AS b
+      |  FROM ids, unnest(range(0, 16)) tx(x), unnest(range(0, 16)) ty(y)),
+      |cells AS (
+      |  SELECT id, CAST(x * 9 // 16 AS INT) AS gx,
+      |    CAST(y * 8 // 16 AS INT) AS gy,
+      |    CAST(sum(r * 299 + g * 587 + b * 114) AS BIGINT) AS lsum,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM px GROUP BY 1, 2, 3),
+      |bits AS (
+      |  SELECT a.id, a.gy, a.gx,
+      |    CASE WHEN a.lsum * b.n > b.lsum * a.n THEN 1 ELSE 0 END AS bit
+      |  FROM cells a JOIN cells b
+      |    ON b.id = a.id AND b.gy = a.gy AND b.gx = a.gx + 1
+      |  WHERE a.gx < 8 AND a.gy * 8 + a.gx < 63),
+      |hashes AS (
+      |  SELECT id, CAST(sum(CAST(bit AS BIGINT) << (gy * 8 + gx))
+      |    AS BIGINT) AS hash
+      |  FROM bits GROUP BY id),
+      |bands AS (
+      |  SELECT id, b, (hash >> (16 * b)) % 65536 AS key
+      |  FROM hashes, unnest(range(0, 4)) t(b)),
+      |buckets AS (
+      |  SELECT b, key FROM bands GROUP BY b, key
+      |  HAVING count(*) BETWEEN 2 AND 64),
+      |cands AS (
+      |  SELECT DISTINCT a.id AS id_a, bb.id AS id_b
+      |  FROM bands a
+      |  JOIN buckets bu ON bu.b = a.b AND bu.key = a.key
+      |  JOIN bands bb ON bb.b = a.b AND bb.key = a.key AND a.id < bb.id)"""
+      .stripMargin
+
   def defs: Seq[QueryDef] = Seq(
 
     // Gopher repetition rules. All keep-thresholds are evaluated as
@@ -631,86 +732,12 @@ object CorpusOps {
     // never all-pairs.
     QueryDef("mm12_image_phash",
       (s, d) => {
-        import s.implicits._
-        val ids = Records.events(s, d)
-          .select(col("event_id").cast(LongType)).as[Long]
-          .filter(_ < 160)
-        val blobs = ids.map { id =>
-          val c = (id % 40).toInt; val k = (id / 40).toInt
-          (id, graft.extras.Multimodal.ImageBytes.bmpQuad(16, 16,
-            1 + c % 5, 1 + c % 7, c % 3, 11 * c, 2 * k))
-        }.toDF("event_id", "blob")
-        val hashes = graft.extras.Multimodal
-          .decodeBmpDHash(blobs, "blob", "event_id")
-          .where(col("ok"))
-          .select(col("event_id").as("id"), col("hash"))
-          .localCheckpoint()
-        val bands = hashes.select(col("id"),
-          explode(expr(
-            """transform(sequence(0, 3),
-              |  b -> named_struct('band', b,
-              |    'key', shiftright(hash, 16 * b) % 65536))"""
-              .stripMargin)).as("bk"))
-          .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
-        val cands = bands.groupBy("band", "key")
-          .agg(sort_array(collect_list("id")).as("ds"))
-          .where(size(col("ds")).between(2, 64))
-          .select(explode(flatten(
-            transform(col("ds"), (x, i) =>
-              transform(slice(col("ds"), i + 2, size(col("ds"))),
-                y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
-          .select(col("p.id_a"), col("p.id_b")).distinct()
-        cands
-          .join(hashes.select(col("id").as("id_a"), col("hash").as("ha")), "id_a")
-          .join(hashes.select(col("id").as("id_b"), col("hash").as("hb")), "id_b")
-          .withColumn("hamming",
-            expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
+        fingerprintPairs(phashHashes(s, d))
           .where(col("hamming") <= 12)
           .select("id_a", "id_b", "hamming")
           .orderBy("id_a", "id_b")
       },
-      Some("""WITH ids AS (
-        |  SELECT event_id AS id,
-        |    1 + (event_id % 40) % 5 AS ca, 1 + (event_id % 40) % 7 AS cb,
-        |    (event_id % 40) % 3 AS cc, 11 * (event_id % 40) AS base,
-        |    2 * (event_id // 40) AS delta
-        |  FROM events WHERE event_id < 160),
-        |px AS (
-        |  SELECT id, x, y,
-        |    (ca * x * x + cb * y * y + cc * x * y + 7 * x + 13 * y
-        |      + base + delta) % 256 AS r,
-        |    (cb * x * x + ca * y * y + cc * x * y + 3 * x + 5 * y
-        |      + 2 * base + delta) % 256 AS g,
-        |    ((ca + cb) * x * x + cc * y * y + 5 * x + 11 * y
-        |      + 3 * base + delta) % 256 AS b
-        |  FROM ids, unnest(range(0, 16)) tx(x), unnest(range(0, 16)) ty(y)),
-        |cells AS (
-        |  SELECT id, CAST(x * 9 // 16 AS INT) AS gx,
-        |    CAST(y * 8 // 16 AS INT) AS gy,
-        |    CAST(sum(r * 299 + g * 587 + b * 114) AS BIGINT) AS lsum,
-        |    CAST(count(*) AS BIGINT) AS n
-        |  FROM px GROUP BY 1, 2, 3),
-        |bits AS (
-        |  SELECT a.id, a.gy, a.gx,
-        |    CASE WHEN a.lsum * b.n > b.lsum * a.n THEN 1 ELSE 0 END AS bit
-        |  FROM cells a JOIN cells b
-        |    ON b.id = a.id AND b.gy = a.gy AND b.gx = a.gx + 1
-        |  WHERE a.gx < 8 AND a.gy * 8 + a.gx < 63),
-        |hashes AS (
-        |  SELECT id, CAST(sum(CAST(bit AS BIGINT) << (gy * 8 + gx))
-        |    AS BIGINT) AS hash
-        |  FROM bits GROUP BY id),
-        |bands AS (
-        |  SELECT id, b, (hash >> (16 * b)) % 65536 AS key
-        |  FROM hashes, unnest(range(0, 4)) t(b)),
-        |buckets AS (
-        |  SELECT b, key FROM bands GROUP BY b, key
-        |  HAVING count(*) BETWEEN 2 AND 64),
-        |cands AS (
-        |  SELECT DISTINCT a.id AS id_a, bb.id AS id_b
-        |  FROM bands a
-        |  JOIN buckets bu ON bu.b = a.b AND bu.key = a.key
-        |  JOIN bands bb ON bb.b = a.b AND bb.key = a.key AND a.id < bb.id)
+      Some(s"""WITH $PhashCtes
         |SELECT id_a, id_b,
         |  CAST(bit_count(xor(ha.hash, hb.hash)) AS BIGINT) AS hamming
         |FROM cands
@@ -718,6 +745,53 @@ object CorpusOps {
         |JOIN hashes hb ON hb.id = cands.id_b
         |WHERE bit_count(xor(ha.hash, hb.hash)) <= 12
         |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Canonical-keeper selection over the image near-dup graph:
+    // connected components of mm12's verified pairs (same incident-
+    // only CC machinery as dedup_cluster_cc — singletons never enter
+    // the propagation), each >=2 cluster labeled by its minimum id.
+    // This is the step that turns pair DETECTION into a dedup
+    // DECISION: keep the representative, drop the rest. The oracle
+    // replays pairs + a recursive-CTE reachability closure.
+    QueryDef("dedup_phash_cluster",
+      (s, d) => {
+        val hashes = phashHashes(s, d)
+        val edges = fingerprintPairs(hashes)
+          .where(col("hamming") <= 12)
+          .select(col("id_a").as("a"), col("id_b").as("b"))
+        val labels = PipelineOps.ccIncident(edges)
+        val sized = labels.groupBy("rep").agg(count(lit(1)).as("cluster_size"))
+          .where(col("cluster_size") >= 2)
+        labels.join(sized, "rep")
+          .select(col("doc_id").as("id"),
+            col("rep").cast(LongType).as("cluster_rep"),
+            col("cluster_size").cast(LongType).as("cluster_size"))
+          .withColumn("is_keeper", col("id") === col("cluster_rep"))
+          .orderBy("id")
+      },
+      Some(s"""WITH RECURSIVE $PhashCtes,
+        |pairs AS (
+        |  SELECT id_a, id_b
+        |  FROM cands
+        |  JOIN hashes ha ON ha.id = cands.id_a
+        |  JOIN hashes hb ON hb.id = cands.id_b
+        |  WHERE bit_count(xor(ha.hash, hb.hash)) <= 12),
+        |bi AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION
+        |  SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM hashes
+        |  UNION
+        |  SELECT bi.b, reach.r FROM reach JOIN bi ON bi.a = reach.id),
+        |labels AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+        |sized AS (SELECT rep, CAST(count(*) AS BIGINT) AS cluster_size
+        |          FROM labels GROUP BY rep)
+        |SELECT l.id, CAST(l.rep AS BIGINT) AS cluster_rep,
+        |  s.cluster_size, l.id = l.rep AS is_keeper
+        |FROM labels l JOIN sized s ON s.rep = l.rep
+        |WHERE s.cluster_size >= 2
+        |ORDER BY l.id""".stripMargin)),
 
     // mm13: AUDIO near-dup dedup — a Haitsma–Kalker-style sign-bit
     // fingerprint (|c_k| > |c_k+1| over the clip's WHT coefficients)
@@ -749,28 +823,9 @@ object CorpusOps {
         val sigs = graft.extras.Multimodal
           .decodeWavFingerprint(blobs, "blob", "event_id")
           .where(col("ok"))
-          .select(col("event_id").as("id"), col("sig"))
+          .select(col("event_id").as("id"), col("sig").as("hash"))
           .localCheckpoint()
-        val bands = sigs.select(col("id"),
-          explode(expr(
-            """transform(sequence(0, 3),
-              |  b -> named_struct('band', b,
-              |    'key', shiftright(sig, 16 * b) % 65536))"""
-              .stripMargin)).as("bk"))
-          .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
-        val cands = bands.groupBy("band", "key")
-          .agg(sort_array(collect_list("id")).as("ds"))
-          .where(size(col("ds")).between(2, 64))
-          .select(explode(flatten(
-            transform(col("ds"), (x, i) =>
-              transform(slice(col("ds"), i + 2, size(col("ds"))),
-                y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
-          .select(col("p.id_a"), col("p.id_b")).distinct()
-        cands
-          .join(sigs.select(col("id").as("id_a"), col("sig").as("sa")), "id_a")
-          .join(sigs.select(col("id").as("id_b"), col("sig").as("sb")), "id_b")
-          .withColumn("hamming",
-            expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
+        fingerprintPairs(sigs)
           .where(col("hamming") === 0)
           .select("id_a", "id_b", "hamming")
           .orderBy("id_a", "id_b")
@@ -841,26 +896,7 @@ object CorpusOps {
           .where(col("ok"))
           .select(col("event_id").as("id"), col("hash"))
           .localCheckpoint()
-        val bands = hashes.select(col("id"),
-          explode(expr(
-            """transform(sequence(0, 3),
-              |  b -> named_struct('band', b,
-              |    'key', shiftright(hash, 16 * b) % 65536))"""
-              .stripMargin)).as("bk"))
-          .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
-        val cands = bands.groupBy("band", "key")
-          .agg(sort_array(collect_list("id")).as("ds"))
-          .where(size(col("ds")).between(2, 64))
-          .select(explode(flatten(
-            transform(col("ds"), (x, i) =>
-              transform(slice(col("ds"), i + 2, size(col("ds"))),
-                y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
-          .select(col("p.id_a"), col("p.id_b")).distinct()
-        cands
-          .join(hashes.select(col("id").as("id_a"), col("hash").as("ha")), "id_a")
-          .join(hashes.select(col("id").as("id_b"), col("hash").as("hb")), "id_b")
-          .withColumn("hamming",
-            expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
+        fingerprintPairs(hashes)
           .where(col("hamming") <= 12)
           .select("id_a", "id_b", "hamming")
           .orderBy("id_a", "id_b")

@@ -93,7 +93,10 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // hash-lookup joins broadcast (hashes sit behind a checkpoint)
     "mm12_image_phash" -> 3,
     "mm13_audio_fingerprint" -> 3,
-    "mm14_video_phash" -> 3)
+    "mm14_video_phash" -> 3,
+    // CC labels sit behind per-round checkpoints; what remains is the
+    // size agg + join-back + sort
+    "dedup_phash_cluster" -> 3)
   // emb_outlier_centroid is not budgeted: its per-vector scores run
   // inside an eager localCheckpoint() (like emb_pca_*), so the final
   // plan string is vacuous
