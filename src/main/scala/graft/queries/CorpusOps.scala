@@ -793,6 +793,165 @@ object CorpusOps {
         |WHERE s.cluster_size >= 2
         |ORDER BY l.id""".stripMargin)),
 
+    // Cross-source contamination matrix: for every ordered source
+    // pair, how many distinct 4-grams they share and what fraction of
+    // each side's gram set that is — the leak detector run before
+    // treating sources as independent (a benchmark set hiding inside
+    // a crawl shows up as a high containment cell). Scale: the join
+    // key is the gram, and per-gram fanout is bounded by the (small,
+    // constant) source count — never doc-pairwise, never corpus².
+    QueryDef("stats_contamination_matrix",
+      (s, d) => {
+        val grams = docs(s, d)
+          .select(col("source"), split(col("text"), " ").as("w"))
+          .select(col("source"),
+            explode(array_distinct(expr(
+              """CASE WHEN size(w) >= 4 THEN
+                |  transform(sequence(0, size(w) - 4),
+                |    i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3]))
+                |ELSE array() END""".stripMargin))).as("g"))
+          .distinct()
+          .localCheckpoint()
+        val counts = grams.groupBy("source")
+          .agg(count(lit(1)).cast(LongType).as("n_grams"))
+        val common = grams.toDF("src_a", "g")
+          .join(grams.toDF("src_b", "g"), "g")
+          .where(col("src_a") < col("src_b"))
+          .groupBy("src_a", "src_b")
+          .agg(count(lit(1)).cast(LongType).as("common_grams"))
+        common
+          .join(broadcast(counts.toDF("src_a", "n_a")), "src_a")
+          .join(broadcast(counts.toDF("src_b", "n_b")), "src_b")
+          .withColumn("frac_of_a",
+            round(col("common_grams").cast(DoubleType) / col("n_a"), 6))
+          .withColumn("frac_of_b",
+            round(col("common_grams").cast(DoubleType) / col("n_b"), 6))
+          .select("src_a", "src_b", "common_grams", "n_a", "n_b",
+            "frac_of_a", "frac_of_b")
+          .orderBy("src_a", "src_b")
+      },
+      Some("""WITH grams AS (
+        |  SELECT DISTINCT source, unnest(list_distinct(
+        |    list_transform(range(1, len(w) - 2),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])))
+        |    AS g
+        |  FROM (SELECT source, string_split(text, ' ') AS w FROM documents)),
+        |counts AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_grams
+        |  FROM grams GROUP BY source),
+        |common AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |    CAST(count(*) AS BIGINT) AS common_grams
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, common_grams,
+        |  ca.n_grams AS n_a, cb.n_grams AS n_b,
+        |  round(CAST(common_grams AS DOUBLE) / ca.n_grams, 6) AS frac_of_a,
+        |  round(CAST(common_grams AS DOUBLE) / cb.n_grams, 6) AS frac_of_b
+        |FROM common
+        |JOIN counts ca ON ca.source = src_a
+        |JOIN counts cb ON cb.source = src_b
+        |ORDER BY src_a, src_b""".stripMargin)),
+
+    // IVF tuning curve: mean recall@10 vs nprobe ∈ {1,2,4,8} against
+    // the brute-force top-10 — the operational audit that answers
+    // "how many cells must I probe for the recall I need" before an
+    // nprobe is hard-coded at 100 TB. One centroid-assignment pass is
+    // shared by all four curve points (the probe sets are nested by
+    // construction: arn <= nprobe), so the curve costs one extra
+    // explode over the single-nprobe query, not 4x.
+    QueryDef("ann_recall_curve",
+      (s, d) => {
+        val all = s.read.parquet(s"$d/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"))
+        val cents = all.where(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("c_id"), col("embedding").as("vc"))
+        val wAssign = Window.partitionBy("vec_id")
+          .orderBy(col("csim").desc, col("c_id"))
+        val ranked = all.crossJoin(broadcast(cents))
+          .withColumn("csim", round(
+            graft.functions.GraftFunctions.cosine_sim(col("embedding"), col("vc")), 6))
+          .withColumn("arn", row_number().over(wAssign))
+          .localCheckpoint()
+        val assigned = ranked.where(col("arn") === 1)
+          .select(col("vec_id").as("n_id"), col("embedding").as("ve"),
+            col("c_id").as("cell"))
+        val probes = ranked.where(col("vec_id") < 5 && col("arn") <= 8)
+          .select(explode(expr("filter(array(1, 2, 4, 8), np -> arn <= np)"))
+              .as("np"),
+            col("vec_id").as("q_id"), col("embedding").as("vq"),
+            col("c_id").as("cell"))
+        val wRank = Window.partitionBy("np", "q_id")
+          .orderBy(col("score").desc, col("n_id"))
+        val approx = assigned.join(broadcast(probes), "cell")
+          .where(col("n_id") =!= col("q_id"))
+          .withColumn("score", round(
+            graft.functions.GraftFunctions.cosine_sim(col("vq"), col("ve")), 6))
+          .withColumn("rank", row_number().over(wRank))
+          .where(col("rank") <= 10)
+          .select("np", "q_id", "n_id")
+        val q = all.where(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("vq"))
+        val wB = Window.partitionBy("q_id")
+          .orderBy(col("score").desc, col("n_id"))
+        val brute = all.select(col("vec_id").as("n_id"), col("embedding").as("ve"))
+          .crossJoin(broadcast(q))
+          .where(col("n_id") =!= col("q_id"))
+          .withColumn("score", round(
+            graft.functions.GraftFunctions.cosine_sim(col("vq"), col("ve")), 6))
+          .withColumn("brank", row_number().over(wB))
+          .where(col("brank") <= 10)
+          .select(col("q_id"), col("n_id"))
+        approx.join(brute, Seq("q_id", "n_id"), "left_semi")
+          .groupBy("np").agg(count(lit(1)).cast(LongType).as("hits"))
+          .withColumn("mean_recall10",
+            round(col("hits").cast(DoubleType) / (5 * 10), 6))
+          .select(col("np").cast(LongType), col("hits"), col("mean_recall10"))
+          .orderBy("np")
+      },
+      Some(s"""WITH cents AS (
+        |  SELECT vec_id AS c_id, embedding AS vc
+        |  FROM embeddings WHERE vec_id % 100 = 0),
+        |ranked AS (
+        |  SELECT e.vec_id, e.embedding, c.c_id,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      round(${VectorOps.duckCosine("e.embedding", "c.vc")}, 6) DESC,
+        |      c.c_id) AS arn
+        |  FROM embeddings e, cents c),
+        |assigned AS (
+        |  SELECT vec_id AS n_id, embedding AS ve, c_id AS cell
+        |  FROM ranked WHERE arn = 1),
+        |probes AS (
+        |  SELECT t.np, vec_id AS q_id, embedding AS vq, c_id AS cell
+        |  FROM ranked, unnest([1, 2, 4, 8]) t(np)
+        |  WHERE vec_id < 5 AND arn <= t.np),
+        |approx AS (
+        |  SELECT np, q_id, n_id
+        |  FROM (
+        |    SELECT p.np, p.q_id, a.n_id,
+        |      row_number() OVER (PARTITION BY p.np, p.q_id ORDER BY
+        |        round(${VectorOps.duckCosine("p.vq", "a.ve")}, 6) DESC,
+        |        a.n_id) AS rank
+        |    FROM assigned a JOIN probes p USING (cell)
+        |    WHERE a.n_id <> p.q_id)
+        |  WHERE rank <= 10),
+        |q AS (SELECT vec_id AS q_id, embedding AS vq
+        |      FROM embeddings WHERE vec_id < 5),
+        |brute AS (
+        |  SELECT q_id, n_id
+        |  FROM (
+        |    SELECT q.q_id, e.vec_id AS n_id,
+        |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+        |        round(${VectorOps.duckCosine("q.vq", "e.embedding")}, 6) DESC,
+        |        e.vec_id) AS brank
+        |    FROM embeddings e, q WHERE e.vec_id <> q.q_id)
+        |  WHERE brank <= 10)
+        |SELECT CAST(np AS BIGINT) AS np, CAST(count(*) AS BIGINT) AS hits,
+        |  round(CAST(count(*) AS DOUBLE) / 50, 6) AS mean_recall10
+        |FROM approx
+        |JOIN brute USING (q_id, n_id)
+        |GROUP BY np ORDER BY np""".stripMargin)),
+
     // mm13: AUDIO near-dup dedup — a Haitsma–Kalker-style sign-bit
     // fingerprint (|c_k| > |c_k+1| over the clip's WHT coefficients)
     // from REAL WAV decode, blocked and verified exactly like mm12.

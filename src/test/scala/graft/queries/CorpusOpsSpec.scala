@@ -230,6 +230,16 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("IVF recall curve is monotone in nprobe (nested probe sets)") {
+    val rows = CorpusOps.defs.find(_.name == "ann_recall_curve").get
+      .fn(spark, sfDir).collect()
+    assert(rows.length == 4)
+    val recalls = rows.sortBy(_.getAs[Long]("np")).map(_.getAs[Double]("mean_recall10"))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"probing more cells can only add candidates: ${recalls.mkString(",")}")
+    assert(recalls.head > 0.0)
+  }
+
   test("Heaps checkpoints are monotone and end at the full corpus") {
     val rows = CorpusOps.defs.find(_.name == "stats_heaps_law").get
       .fn(spark, sfDir).collect()

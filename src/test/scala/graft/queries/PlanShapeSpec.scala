@@ -96,7 +96,14 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     "mm14_video_phash" -> 3,
     // CC labels sit behind per-round checkpoints; what remains is the
     // size agg + join-back + sort
-    "dedup_phash_cluster" -> 3)
+    "dedup_phash_cluster" -> 3,
+    // gram distinct (checkpointed) + gram-keyed pair join + the two
+    // count aggs; source-count tables broadcast
+    "stats_contamination_matrix" -> 4,
+    // assignment behind a checkpoint; per-(np,q) windows, the
+    // approx⋈brute semi join (both sides <= 10 rows/query/np at any
+    // scale), and the 4-row curve agg
+    "ann_recall_curve" -> 5)
   // emb_outlier_centroid is not budgeted: its per-vector scores run
   // inside an eager localCheckpoint() (like emb_pca_*), so the final
   // plan string is vacuous
