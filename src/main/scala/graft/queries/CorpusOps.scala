@@ -952,6 +952,113 @@ object CorpusOps {
         |JOIN brute USING (q_id, n_id)
         |GROUP BY np ORDER BY np""".stripMargin)),
 
+    // Sequence-length coverage: for each candidate max_seq_len, how
+    // many docs fit untruncated and what fraction of corpus TOKENS
+    // survives truncation — the table consulted before hard-coding a
+    // context length (doc-fit and token-survival answer different
+    // questions; the second is what the loss actually sees). One
+    // narrow pass + a 6-row explode; exact integer sums, rounded
+    // display divisions.
+    QueryDef("stats_seqlen_coverage",
+      (s, d) => {
+        val perDoc = docs(s, d)
+          .select(size(split(col("text"), " ")).cast(LongType).as("n_toks"))
+          .localCheckpoint()
+        val totals = perDoc.agg(count(lit(1)).cast(LongType).as("total_docs"),
+          sum("n_toks").cast(LongType).as("total_toks"))
+        perDoc
+          .select(explode(expr(
+            "array(128, 256, 512, 1024, 2048, 4096)")).as("max_len"),
+            col("n_toks"))
+          .groupBy("max_len")
+          .agg(sum(when(col("n_toks") <= col("max_len"), 1L).otherwise(0L))
+              .cast(LongType).as("n_docs_fit"),
+            sum(least(col("n_toks"), col("max_len")))
+              .cast(LongType).as("toks_kept"))
+          .crossJoin(broadcast(totals))
+          .withColumn("frac_docs_fit",
+            round(col("n_docs_fit").cast(DoubleType) / col("total_docs"), 6))
+          .withColumn("frac_toks_kept",
+            round(col("toks_kept").cast(DoubleType) / col("total_toks"), 6))
+          .select(col("max_len").cast(LongType), col("n_docs_fit"),
+            col("toks_kept"), col("frac_docs_fit"), col("frac_toks_kept"))
+          .orderBy("max_len")
+      },
+      Some("""WITH per_doc AS (
+        |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS total_docs,
+        |               CAST(sum(n_toks) AS BIGINT) AS total_toks
+        |        FROM per_doc)
+        |SELECT CAST(max_len AS BIGINT) AS max_len,
+        |  CAST(sum(CASE WHEN n_toks <= max_len THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_docs_fit,
+        |  CAST(sum(least(n_toks, max_len)) AS BIGINT) AS toks_kept,
+        |  round(CAST(sum(CASE WHEN n_toks <= max_len THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / any_value(total_docs), 6) AS frac_docs_fit,
+        |  round(CAST(sum(least(n_toks, max_len)) AS DOUBLE)
+        |    / any_value(total_toks), 6) AS frac_toks_kept
+        |FROM per_doc, unnest([128, 256, 512, 1024, 2048, 4096]) t(max_len), tot
+        |GROUP BY max_len ORDER BY max_len""".stripMargin)),
+
+    // Quality-annealed curriculum KEY: each doc gets a quality decile
+    // (from a bounded 1001-level score histogram — never a global
+    // row_number over the corpus) and a deterministic md5 shuffle key;
+    // training order = sort by (decile, shuffle_key), low quality
+    // first, so later optimizer steps see cleaner data (the standard
+    // annealing schedule). Emitting the KEY rather than a position is
+    // the at-scale contract: the writer range-partitions by it, no
+    // single-partition window anywhere. Decile boundaries are exact
+    // integer comparisons on the cumulative histogram, so the
+    // assignment can never flip on a float.
+    QueryDef("curriculum_quality_order",
+      (s, d) => {
+        val base = docs(s, d).select(col("doc_id"),
+            size(split(col("text"), " ")).cast(LongType).as("n_toks"),
+            size(filter(split(col("text"), " "),
+              x => x.isin("the", "a", "and", "of", "to")))
+              .cast(LongType).as("stop_cnt"))
+          .withColumn("score_milli",
+            expr("CAST(stop_cnt * 1000 DIV n_toks AS BIGINT)"))
+          .localCheckpoint()
+        // <=1001-row histogram; the window over it is bounded, not
+        // corpus-sized
+        val wCum = Window.orderBy("score_milli")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val hist = base.groupBy("score_milli")
+          .agg(count(lit(1)).cast(LongType).as("n"))
+          .withColumn("cum_lt", coalesce(sum("n").over(wCum), lit(0L)))
+        val total = base.agg(count(lit(1)).cast(LongType).as("total"))
+        base.join(broadcast(hist.select("score_milli", "cum_lt")), "score_milli")
+          .crossJoin(broadcast(total))
+          .withColumn("decile",
+            least(lit(9L), expr("CAST(10 * cum_lt DIV total AS BIGINT)")))
+          .withColumn("shuffle_key",
+            md5(concat(lit("cur-"), col("doc_id").cast(StringType))))
+          .select("doc_id", "score_milli", "decile", "shuffle_key")
+          .orderBy("decile", "shuffle_key", "doc_id")
+      },
+      Some("""WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('the', 'a', 'and', 'of', 'to'))) AS BIGINT) AS stop_cnt
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id, stop_cnt * 1000 // n_toks AS score_milli FROM base),
+        |hist AS (
+        |  SELECT score_milli, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(coalesce(sum(count(*)) OVER (ORDER BY score_milli
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum_lt
+        |  FROM scored GROUP BY score_milli),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM scored)
+        |SELECT s.doc_id, CAST(s.score_milli AS BIGINT) AS score_milli,
+        |  least(9, 10 * h.cum_lt // total) AS decile,
+        |  md5('cur-' || s.doc_id) AS shuffle_key
+        |FROM scored s JOIN hist h USING (score_milli), tot
+        |ORDER BY decile, shuffle_key, doc_id""".stripMargin)),
+
     // mm13: AUDIO near-dup dedup — a Haitsma–Kalker-style sign-bit
     // fingerprint (|c_k| > |c_k+1| over the clip's WHT coefficients)
     // from REAL WAV decode, blocked and verified exactly like mm12.

@@ -103,7 +103,13 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // assignment behind a checkpoint; per-(np,q) windows, the
     // approx⋈brute semi join (both sides <= 10 rows/query/np at any
     // scale), and the 4-row curve agg
-    "ann_recall_curve" -> 5)
+    "ann_recall_curve" -> 5,
+    // explode x 6 lengths -> one agg; totals broadcast
+    "stats_seqlen_coverage" -> 2,
+    // decile via the bounded 1001-row histogram broadcast back onto
+    // the corpus — the whole point is NO corpus-sized window/sort
+    // before the final ordering
+    "curriculum_quality_order" -> 3)
   // emb_outlier_centroid is not budgeted: its per-vector scores run
   // inside an eager localCheckpoint() (like emb_pca_*), so the final
   // plan string is vacuous
