@@ -1443,6 +1443,58 @@ object Multimodal {
     }
   }
 
+  /** One row per blob from the modality router: the sniffed type, the
+    * modality-appropriate perceptual fingerprint, and the byte length.
+    */
+  final case class RoutedFp(byteLen: Long, modality: String,
+                            fp: Long, ok: Boolean)
+
+  /** Single-pass MODALITY ROUTER: sniff each blob's container magic
+    * and dispatch to the matching perceptual-fingerprint decoder —
+    * BMP → image dHash, RIFF/WAVE → audio WHT sign bits, RIFF/'AVI '
+    * → majority frame dHash. This is the ingest shape a mixed
+    * multimodal column needs at 100 TB: ONE partition pass, all
+    * decoders instantiated once per partition, no per-type re-scan of
+    * the blob store. Unrecognized or malformed blobs come back
+    * modality='unknown', ok=false — marker rows, never exceptions.
+    */
+  final class FingerprintRouter(videoSampleEvery: Int) {
+    private val bmp = new BmpDHashDecoder()
+    private val wav = new WavFingerprintDecoder()
+    private val avi = new AviDHashDecoder(videoSampleEvery)
+    private def tag(b: Array[Byte], i: Int, t: String): Boolean =
+      b.length >= i + t.length &&
+        (0 until t.length).forall(k => b(i + k) == t(k).toByte)
+
+    def decode(bytes: Array[Byte]): RoutedFp = {
+      val n = if (bytes == null) 0L else bytes.length.toLong
+      if (bytes == null || n < 12) return RoutedFp(n, "unknown", 0L, ok = false)
+      if (tag(bytes, 0, "BM")) {
+        val r = bmp.decode(bytes)
+        RoutedFp(n, "image", r.hash, r.ok)
+      } else if (tag(bytes, 0, "RIFF") && tag(bytes, 8, "WAVE")) {
+        val r = wav.decode(bytes)
+        RoutedFp(n, "audio", r.sig, r.ok)
+      } else if (tag(bytes, 0, "RIFF") && tag(bytes, 8, "AVI ")) {
+        val r = avi.decode(bytes)
+        RoutedFp(n, "video", r.hash, r.ok)
+      } else RoutedFp(n, "unknown", 0L, ok = false)
+    }
+  }
+
+  /** Route a mixed binary column through the fingerprint dispatcher —
+    * one 5-column row per blob leaves the executor.
+    */
+  def decodeRoutedFingerprint(df: DataFrame, binaryCol: String,
+                              idCol: String,
+                              videoSampleEvery: Int): DataFrame =
+    decodePartitions[RoutedFp](df, binaryCol, idCol,
+      () => new FingerprintRouter(videoSampleEvery).decode _)
+      .select(col("_1").as(idCol),
+        col("_2.byteLen").as("byte_len"),
+        col("_2.modality").as("modality"),
+        col("_2.fp").as("fp"), col("_2.ok").as("ok"))
+
   /** Decode a binary AVI column into per-clip majority dHashes. */
   def decodeAviDHash(df: DataFrame, binaryCol: String, idCol: String,
                      sampleEvery: Int): DataFrame =

@@ -1059,6 +1059,126 @@ object CorpusOps {
         |FROM scored s JOIN hist h USING (score_milli), tot
         |ORDER BY decile, shuffle_key, doc_id""".stripMargin)),
 
+    // mm15: the single-pass MODALITY ROUTER — a mixed binary column
+    // (images, audio, video, junk interleaved) sniffed by container
+    // magic and dispatched to the modality-appropriate perceptual
+    // fingerprint in ONE partition pass, decoders instantiated once
+    // per partition. This is the ingest shape a mixed multimodal
+    // column takes at 100 TB: no per-type re-scan of the blob store,
+    // unrecognized blobs become ok=false marker rows. The oracle
+    // recomputes all three fingerprint families (and the junk rows)
+    // from the generators' arithmetic and unions them.
+    QueryDef("mm15_modality_router",
+      (s, d) => {
+        import s.implicits._
+        val ids = Records.events(s, d)
+          .select(col("event_id").cast(LongType)).as[Long]
+          .filter(_ < 240)
+        val blobs = ids.map { id =>
+          val c = (id % 40).toInt
+          val blob = (id % 4) match {
+            case 0 => graft.extras.Multimodal.ImageBytes.bmpQuad(16, 16,
+              1 + c % 5, 1 + c % 7, c % 3, 11 * c, 0)
+            case 1 => graft.extras.Multimodal.AudioBytes.wavPcmScaled(
+              8000, 1, 100, c, 1, 61 + 13 * c)
+            case 2 => graft.extras.Multimodal.VideoBytes2.aviQuad(16, 16, 3,
+              1 + c % 5, 1 + c % 7, c % 3, 11 * c, 0)
+            case _ => s"junk-$id".getBytes("UTF-8")
+          }
+          (id, blob)
+        }.toDF("event_id", "blob")
+        graft.extras.Multimodal.decodeRoutedFingerprint(
+            blobs, "blob", "event_id", videoSampleEvery = 2)
+          .orderBy("event_id")
+      },
+      Some("""WITH ids AS (
+        |  SELECT event_id AS id, event_id % 40 AS c, event_id % 4 AS m
+        |  FROM events WHERE event_id < 240),
+        |img_px AS (
+        |  SELECT id, x, y,
+        |    ((1 + c % 5) * x * x + (1 + c % 7) * y * y + (c % 3) * x * y
+        |      + 7 * x + 13 * y + 11 * c) % 256 AS r,
+        |    ((1 + c % 7) * x * x + (1 + c % 5) * y * y + (c % 3) * x * y
+        |      + 3 * x + 5 * y + 22 * c) % 256 AS g,
+        |    ((2 + c % 5 + c % 7) * x * x + (c % 3) * y * y
+        |      + 5 * x + 11 * y + 33 * c) % 256 AS b
+        |  FROM ids, unnest(range(0, 16)) tx(x), unnest(range(0, 16)) ty(y)
+        |  WHERE m = 0),
+        |img_cells AS (
+        |  SELECT id, CAST(x * 9 // 16 AS INT) AS gx,
+        |    CAST(y * 8 // 16 AS INT) AS gy,
+        |    CAST(sum(r * 299 + g * 587 + b * 114) AS BIGINT) AS lsum,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM img_px GROUP BY 1, 2, 3),
+        |img_bits AS (
+        |  SELECT a.id, a.gy, a.gx,
+        |    CASE WHEN a.lsum * b.n > b.lsum * a.n THEN 1 ELSE 0 END AS bit
+        |  FROM img_cells a JOIN img_cells b
+        |    ON b.id = a.id AND b.gy = a.gy AND b.gx = a.gx + 1
+        |  WHERE a.gx < 8 AND a.gy * 8 + a.gx < 63),
+        |img_fp AS (
+        |  SELECT id, CAST(sum(CAST(bit AS BIGINT) << (gy * 8 + gx))
+        |    AS BIGINT) AS fp
+        |  FROM img_bits GROUP BY id),
+        |aud_smp AS (
+        |  SELECT id, j,
+        |    (((61 + 13 * c) * j + 3 * c) % 4096) - 2048 AS v
+        |  FROM ids, unnest(range(0, 64)) t(j) WHERE m = 1),
+        |aud_coef AS (
+        |  SELECT id, k,
+        |    CAST(sum(v * (1 - 2 * (bit_count(CAST(j AS BIGINT) & k) % 2)))
+        |      AS BIGINT) AS cf
+        |  FROM aud_smp, unnest(range(0, 64)) u(k)
+        |  GROUP BY id, k),
+        |aud_fp AS (
+        |  SELECT a.id,
+        |    CAST(sum(CASE WHEN abs(a.cf) > abs(b.cf)
+        |      THEN CAST(1 AS BIGINT) << a.k ELSE 0 END) AS BIGINT) AS fp
+        |  FROM aud_coef a JOIN aud_coef b ON b.id = a.id AND b.k = a.k + 1
+        |  WHERE a.k < 63 GROUP BY a.id),
+        |vid_px AS (
+        |  SELECT id, f, x, y,
+        |    ((1 + c % 5) * x * x + (1 + c % 7) * y * y + (c % 3) * x * y
+        |      + 7 * x + 13 * y + 11 * c + 23 * f) % 256 AS r,
+        |    ((1 + c % 7) * x * x + (1 + c % 5) * y * y + (c % 3) * x * y
+        |      + 3 * x + 5 * y + 22 * c + 29 * f) % 256 AS g,
+        |    ((2 + c % 5 + c % 7) * x * x + (c % 3) * y * y
+        |      + 5 * x + 11 * y + 33 * c + 31 * f) % 256 AS b
+        |  FROM ids, unnest([0, 2]) tf(f),
+        |    unnest(range(0, 16)) tx(x), unnest(range(0, 16)) ty(y)
+        |  WHERE m = 2),
+        |vid_cells AS (
+        |  SELECT id, f, CAST(x * 9 // 16 AS INT) AS gx,
+        |    CAST(y * 8 // 16 AS INT) AS gy,
+        |    CAST(sum(r * 299 + g * 587 + b * 114) AS BIGINT) AS lsum,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM vid_px GROUP BY 1, 2, 3, 4),
+        |vid_bits AS (
+        |  SELECT a.id, a.f, a.gy * 8 + a.gx AS k,
+        |    CASE WHEN a.lsum * b.n > b.lsum * a.n THEN 1 ELSE 0 END AS bt
+        |  FROM vid_cells a JOIN vid_cells b
+        |    ON b.id = a.id AND b.f = a.f AND b.gy = a.gy AND b.gx = a.gx + 1
+        |  WHERE a.gx < 8 AND a.gy * 8 + a.gx < 63),
+        |vid_maj AS (
+        |  SELECT id, k, CASE WHEN 2 * sum(bt) > 2 THEN 1 ELSE 0 END AS bit_v
+        |  FROM vid_bits GROUP BY id, k),
+        |vid_fp AS (
+        |  SELECT id, CAST(sum(CAST(bit_v AS BIGINT) << k) AS BIGINT) AS fp
+        |  FROM vid_maj GROUP BY id)
+        |SELECT i.id AS event_id,
+        |  CASE i.m WHEN 0 THEN 822 WHEN 1 THEN 256 WHEN 2 THEN 2552
+        |    ELSE 5 + length(CAST(i.id AS VARCHAR)) END AS byte_len,
+        |  CASE i.m WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |    WHEN 2 THEN 'video' ELSE 'unknown' END AS modality,
+        |  CASE i.m WHEN 0 THEN img_fp.fp WHEN 1 THEN aud_fp.fp
+        |    WHEN 2 THEN vid_fp.fp ELSE 0 END AS fp,
+        |  i.m <> 3 AS ok
+        |FROM ids i
+        |LEFT JOIN img_fp ON img_fp.id = i.id
+        |LEFT JOIN aud_fp ON aud_fp.id = i.id
+        |LEFT JOIN vid_fp ON vid_fp.id = i.id
+        |ORDER BY event_id""".stripMargin)),
+
     // mm13: AUDIO near-dup dedup — a Haitsma–Kalker-style sign-bit
     // fingerprint (|c_k| > |c_k+1| over the clip's WHT coefficients)
     // from REAL WAV decode, blocked and verified exactly like mm12.

@@ -240,6 +240,25 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recalls.head > 0.0)
   }
 
+  test("router fingerprints match the dedicated decoders per modality") {
+    import graft.extras.Multimodal
+    val router = new Multimodal.FingerprintRouter(2)
+    val img = Multimodal.ImageBytes.bmpQuad(16, 16, 2, 3, 1, 44, 0)
+    val aud = Multimodal.AudioBytes.wavPcmScaled(8000, 1, 100, 7, 1, 152)
+    val vid = Multimodal.VideoBytes2.aviQuad(16, 16, 3, 2, 3, 1, 44, 0)
+    val ri = router.decode(img)
+    assert(ri.modality == "image" &&
+      ri.fp == new Multimodal.BmpDHashDecoder().decode(img).hash)
+    val ra = router.decode(aud)
+    assert(ra.modality == "audio" &&
+      ra.fp == new Multimodal.WavFingerprintDecoder().decode(aud).sig)
+    val rv = router.decode(vid)
+    assert(rv.modality == "video" &&
+      rv.fp == new Multimodal.AviDHashDecoder(2).decode(vid).hash)
+    val junk = router.decode("not a container".getBytes)
+    assert(junk.modality == "unknown" && !junk.ok)
+  }
+
   test("Heaps checkpoints are monotone and end at the full corpus") {
     val rows = CorpusOps.defs.find(_.name == "stats_heaps_law").get
       .fn(spark, sfDir).collect()

@@ -109,7 +109,10 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // decile via the bounded 1001-row histogram broadcast back onto
     // the corpus — the whole point is NO corpus-sized window/sort
     // before the final ordering
-    "curriculum_quality_order" -> 3)
+    "curriculum_quality_order" -> 3,
+    // one mapPartitions dispatch + the final sort; a hash exchange
+    // here would mean the router started shuffling blobs
+    "mm15_modality_router" -> 0)
   // emb_outlier_centroid is not budgeted: its per-vector scores run
   // inside an eager localCheckpoint() (like emb_pca_*), so the final
   // plan string is vacuous
