@@ -911,13 +911,17 @@ object Multimodal {
       sumAll: Long, sumSqAll: Long, peakAbs: Int, zeroCrossCh0: Long,
       ok: Boolean)
 
-  /** REAL PCM codec: walks the RIFF chunk list (tolerant of unknown
-    * chunks between `fmt ` and `data`), requires 16-bit integer PCM
-    * with the payload fully present, then decodes every little-endian
-    * signed sample. Malformed, truncated, or non-16-bit bytes come
-    * back `ok = false`, never an exception.
+  /** The shared full-payload RIFF/WAVE walk: chunk list (tolerant of
+    * unknown chunks between `fmt ` and `data`), 16-bit integer PCM
+    * only, payload fully present. One parser for the three decoders
+    * that read sample bytes (stats, WHT spectrum, fingerprint), so
+    * the malformed-input surface is hardened exactly once.
     */
-  final class WavPcmDecoder {
+  private[extras] object WavHeader {
+    final case class Info(rate: Int, ch: Int, blockAlign: Int,
+                          dataOff: Long, dataLen: Long) {
+      def frames: Long = dataLen / blockAlign
+    }
     private def le16(b: Array[Byte], i: Int): Int =
       (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
     private def le32(b: Array[Byte], i: Int): Long =
@@ -927,17 +931,17 @@ object Multimodal {
       b(i) == t(0).toByte && b(i + 1) == t(1).toByte &&
         b(i + 2) == t(2).toByte && b(i + 3) == t(3).toByte
 
-    def decode(bytes: Array[Byte]): PcmStats = {
+    def parse(bytes: Array[Byte]): Option[Info] = {
       val n = if (bytes == null) 0L else bytes.length.toLong
-      def bad = PcmStats(n, 0, 0, 0L, 0L, 0L, 0, 0L, ok = false)
-      if (n < 12 || !tag(bytes, 0, "RIFF") || !tag(bytes, 8, "WAVE")) return bad
+      if (n < 12 || !tag(bytes, 0, "RIFF") || !tag(bytes, 8, "WAVE"))
+        return None
       var i = 12
       var rate = 0; var ch = 0; var bits = 0; var blockAlign = 0
       var dataOff = -1L; var dataLen = -1L
       while (i >= 0 && i + 8 <= bytes.length && (rate == 0 || dataOff < 0)) {
         val len = le32(bytes, i + 4)
         if (tag(bytes, i, "fmt ")) {
-          if (len < 16 || i + 8 + 16 > bytes.length) return bad
+          if (len < 16 || i + 8 + 16 > bytes.length) return None
           ch = le16(bytes, i + 10)
           rate = le32(bytes, i + 12).toInt
           blockAlign = le16(bytes, i + 20)
@@ -951,11 +955,33 @@ object Multimodal {
         val next = i.toLong + 8L + len + (len & 1L)
         i = if (next > bytes.length.toLong) -1 else next.toInt
       }
-      // unlike the header-only decoder, the PAYLOAD must be fully
-      // present — this decoder reads every sample byte
+      // the PAYLOAD must be fully present — these decoders read every
+      // sample byte
       if (rate <= 0 || ch <= 0 || bits != 16 || blockAlign != ch * 2 ||
-          dataOff < 0 || dataLen < 0 || dataOff + dataLen > n) return bad
-      val frames = dataLen / blockAlign
+          dataOff < 0 || dataLen < 0 || dataOff + dataLen > n) None
+      else Some(Info(rate, ch, blockAlign, dataOff, dataLen))
+    }
+  }
+
+  /** REAL PCM codec: the shared WavHeader walk, then every
+    * little-endian signed sample decoded into exact integer stats.
+    * Malformed, truncated, or non-16-bit bytes come back `ok = false`,
+    * never an exception.
+    */
+  final class WavPcmDecoder {
+    private def le16(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+
+    def decode(bytes: Array[Byte]): PcmStats = {
+      val n = if (bytes == null) 0L else bytes.length.toLong
+      def bad = PcmStats(n, 0, 0, 0L, 0L, 0L, 0, 0L, ok = false)
+      val info = WavHeader.parse(bytes) match {
+        case None => return bad
+        case Some(v) => v
+      }
+      val rate = info.rate; val ch = info.ch
+      val dataOff = info.dataOff
+      val frames = info.frames
       val total = frames * ch
       var sum = 0L; var sumSq = 0L; var peak = 0; var zc = 0L
       var havePrev = false; var prevNeg = false
@@ -1014,38 +1040,16 @@ object Multimodal {
   final class WavSpectrumDecoder {
     private def le16(b: Array[Byte], i: Int): Int =
       (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
-    private def le32(b: Array[Byte], i: Int): Long =
-      (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
-        ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
-    private def tag(b: Array[Byte], i: Int, t: String): Boolean =
-      b(i) == t(0).toByte && b(i + 1) == t(1).toByte &&
-        b(i + 2) == t(2).toByte && b(i + 3) == t(3).toByte
 
     def decode(bytes: Array[Byte]): SpectrumStats = {
       val n = if (bytes == null) 0L else bytes.length.toLong
       def bad = SpectrumStats(n, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, ok = false)
-      if (n < 12 || !tag(bytes, 0, "RIFF") || !tag(bytes, 8, "WAVE")) return bad
-      var i = 12
-      var rate = 0; var ch = 0; var bits = 0; var blockAlign = 0
-      var dataOff = -1L; var dataLen = -1L
-      while (i >= 0 && i + 8 <= bytes.length && (rate == 0 || dataOff < 0)) {
-        val len = le32(bytes, i + 4)
-        if (tag(bytes, i, "fmt ")) {
-          if (len < 16 || i + 8 + 16 > bytes.length) return bad
-          ch = le16(bytes, i + 10)
-          rate = le32(bytes, i + 12).toInt
-          blockAlign = le16(bytes, i + 20)
-          bits = le16(bytes, i + 22)
-        } else if (tag(bytes, i, "data")) {
-          dataOff = i + 8L; dataLen = len
-        }
-        val next = i.toLong + 8L + len + (len & 1L)
-        i = if (next > bytes.length.toLong) -1 else next.toInt
+      val info = WavHeader.parse(bytes) match {
+        case None => return bad
+        case Some(v) => v
       }
-      if (rate <= 0 || ch <= 0 || bits != 16 || blockAlign != ch * 2 ||
-          dataOff < 0 || dataLen < 0 || dataOff + dataLen > n) return bad
-      val frames = dataLen / blockAlign
-      if (frames < 64) return bad
+      val rate = info.rate; val ch = info.ch; val dataOff = info.dataOff
+      if (info.frames < 64) return bad
       val c = new Array[Long](64)
       var j = 0
       while (j < 64) {
@@ -1090,38 +1094,16 @@ object Multimodal {
   final class WavFingerprintDecoder {
     private def le16(b: Array[Byte], i: Int): Int =
       (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
-    private def le32(b: Array[Byte], i: Int): Long =
-      (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
-        ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
-    private def tag(b: Array[Byte], i: Int, t: String): Boolean =
-      b(i) == t(0).toByte && b(i + 1) == t(1).toByte &&
-        b(i + 2) == t(2).toByte && b(i + 3) == t(3).toByte
 
     def decode(bytes: Array[Byte]): AudioFp = {
       val n = if (bytes == null) 0L else bytes.length.toLong
       def bad = AudioFp(n, 0, 0, 0L, ok = false)
-      if (n < 12 || !tag(bytes, 0, "RIFF") || !tag(bytes, 8, "WAVE")) return bad
-      var i = 12
-      var rate = 0; var ch = 0; var bits = 0; var blockAlign = 0
-      var dataOff = -1L; var dataLen = -1L
-      while (i >= 0 && i + 8 <= bytes.length && (rate == 0 || dataOff < 0)) {
-        val len = le32(bytes, i + 4)
-        if (tag(bytes, i, "fmt ")) {
-          if (len < 16 || i + 8 + 16 > bytes.length) return bad
-          ch = le16(bytes, i + 10)
-          rate = le32(bytes, i + 12).toInt
-          blockAlign = le16(bytes, i + 20)
-          bits = le16(bytes, i + 22)
-        } else if (tag(bytes, i, "data")) {
-          dataOff = i + 8L; dataLen = len
-        }
-        val next = i.toLong + 8L + len + (len & 1L)
-        i = if (next > bytes.length.toLong) -1 else next.toInt
+      val info = WavHeader.parse(bytes) match {
+        case None => return bad
+        case Some(v) => v
       }
-      if (rate <= 0 || ch <= 0 || bits != 16 || blockAlign != ch * 2 ||
-          dataOff < 0 || dataLen < 0 || dataOff + dataLen > n) return bad
-      val frames = dataLen / blockAlign
-      if (frames < 64) return bad
+      val rate = info.rate; val ch = info.ch; val dataOff = info.dataOff
+      if (info.frames < 64) return bad
       val c = new Array[Long](64)
       var j = 0
       while (j < 64) {
