@@ -609,6 +609,73 @@ object EngineDemos {
             second.size == first.size + 1).toString)
     }},
 
+    // Streaming MODALITY-ROUTED dedup: the live form of
+    // mm15_modality_router + per-modality fingerprint dedup in one
+    // stateful stream. Mixed blobs (image/audio/junk) arrive on one
+    // stream; the SAME FingerprintRouter the batch query uses sniffs
+    // and fingerprints each, junk passes through as ok=false marker
+    // rows (never dropped silently), and dropDuplicates on
+    // (modality, fp) collapses a brightness-regraded image copy and a
+    // volume-regraded audio copy onto their originals — across a
+    // checkpoint restart.
+    demo("e2e_stream_router_dedup", Seq(
+      "first_run_kept" -> "audio:1,image:1,unknown:1",
+      "regrades_collapsed" -> "true",
+      "second_run_new" -> "image:1",
+      "regrade_dropped_across_restart" -> "true")) { (sp, st) =>
+      withDemoPartitions(sp) {
+      st.catalog.createStream("demo-basin1", "mx")
+      import graft.extras.Multimodal
+      // flat pattern: wrap-free, so a regrade has the IDENTICAL hash
+      def img(c: Int, delta: Int) = Multimodal.ImageBytes
+        .bmpQuad(9, 8, 0, 0, 0, 10 + c, delta)
+      // curved pattern: structurally distinct from the flat family
+      // (all flat images share one dHash — gradients never flip)
+      val imgNew = Multimodal.ImageBytes.bmpQuad(9, 8, 2, 3, 1, 10, 0)
+      def aud(pid: Long, gain: Int) = Multimodal.AudioBytes
+        .wavPcmScaled(8000, 1, 100, pid, gain, 61 + 13 * pid)
+      st.append("demo-basin1", "mx", AppendInput(Seq(
+        EnvelopeRecord(Nil, img(1, 0)),
+        EnvelopeRecord(Nil, img(1, 20)),       // regraded copy of image 1
+        EnvelopeRecord(Nil, aud(5, 1)),
+        EnvelopeRecord(Nil, aud(5, 4)),        // volume-regraded copy
+        EnvelopeRecord(Nil, "junk!".getBytes))), Some(1000))
+      def run(): Seq[(String, Long)] = {
+        val q = Multimodal.decodeRoutedFingerprint(
+            sp.readStream.format("graft-stream")
+              .option("root", st.root).option("basin", "demo-basin1")
+              .option("stream", "mx").load()
+              .selectExpr("seq_num", "body"),
+            "body", "seq_num", videoSampleEvery = 2)
+          .dropDuplicates("modality", "fp")
+          .selectExpr("modality", "fp")
+          .writeStream.format("parquet")
+          .option("path", s"${st.root}/_mxsink")
+          .option("checkpointLocation", s"${st.root}/_mxckpt")
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        sp.read.parquet(s"${st.root}/_mxsink")
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+      }
+      def byModality(rows: Seq[(String, Long)]): String =
+        rows.groupBy(_._1).toSeq.sortBy(_._1)
+          .map { case (m, xs) => s"$m:${xs.size}" }.mkString(",")
+      val dec = new Multimodal.FingerprintRouter(2)
+      val first = run()
+      st.append("demo-basin1", "mx", AppendInput(Seq(
+        EnvelopeRecord(Nil, aud(5, 8)),        // third regrade of the audio
+        EnvelopeRecord(Nil, imgNew))), Some(2000)) // genuinely new image
+      val second = run()
+      Seq(
+        "first_run_kept" -> byModality(first),
+        "regrades_collapsed" ->
+          (dec.decode(img(1, 0)).fp == dec.decode(img(1, 20)).fp &&
+            dec.decode(aud(5, 1)).fp == dec.decode(aud(5, 4)).fp).toString,
+        "second_run_new" -> byModality((second.toSet -- first.toSet).toSeq),
+        "regrade_dropped_across_restart" ->
+          (second.size == first.size + 1).toString)
+    }},
+
     // Streaming NEAR-dup dedup: the streaming complement of
     // dedup_minhash_lsh. Each followed record computes its full
     // 16-min-hash signature SCALAR-side (per-record expressions — no
