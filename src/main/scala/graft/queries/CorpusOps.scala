@@ -5,24 +5,27 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Corpus-level diagnostics and document-quality rules from the
-  * published large-scale-pretraining playbooks, each integer-frozen so
-  * the DuckDB oracle agrees bit-for-bit:
+/** Corpus-level diagnostics, document-quality rules, evaluation
+  * audits, and the multimodal near-dup family — each integer-frozen
+  * so the DuckDB oracle agrees bit-for-bit:
   *
-  *   - Gopher-style repetition/quality gate (Rae et al. 2021, table
-  *     A1): top-bigram character fraction, duplicated-trigram
-  *     character fraction, word-count and mean-word-length windows —
-  *     the standard heuristic filter stack applied before training.
-  *   - Heaps'-law vocabulary-growth curve: V(N) ~ K·N^β measured at
-  *     decile checkpoints with the same micros-frozen ln regression
-  *     as `stats_zipf` — the companion corpus-health diagnostic
-  *     (sub-linear vocab growth breaks ⇒ boilerplate flooding or
-  *     tokenizer damage).
-  *   - Per-source duplicate-rate audit: the dedup observability view
-  *     every pipeline keeps next to its dedup stage.
-  *   - Walsh–Hadamard audio sequency bands (mm11): REAL PCM decode +
-  *     an O(N log N) integer transform, the audio feature analog of
-  *     the per-pixel image stats.
+  *   - Quality gates & corpus health: the Gopher repetition rules
+  *     (Rae et al. 2021, table A1) with integer-exact thresholds;
+  *     Heaps'-law vocabulary growth at decile checkpoints (the
+  *     stats_zipf companion); per-source duplicate rates; the
+  *     cross-source contamination matrix; sequence-length/truncation
+  *     coverage; quality-annealed curriculum ordering keys.
+  *   - Estimator/model audits: MinHash-vs-exact-Jaccard calibration
+  *     over the capped LSH candidates; 10-NN label-vote accuracy;
+  *     the IVF recall-vs-nprobe curve; held-out novel-n-gram rate;
+  *     the lang-id confusion matrix.
+  *   - Multimodal fingerprints over REAL decode (mm11–mm15): WHT
+  *     sequency bands, image dHash, exact-gain-invariant audio
+  *     fingerprints, majority-voted video clip hashes, the
+  *     canonical-keeper cluster pass, and the single-pass modality
+  *     router — all sharing one band-blocking stage
+  *     (fingerprintCands) and the 63-bit positive-hash contract that
+  *     keeps the signed-BIGINT SQL mirror exact.
   *
   * Scale notes per query inline; none uses a global (unpartitioned)
   * window over row counts that grow with the corpus.
@@ -1189,9 +1192,10 @@ object CorpusOps {
     // the match threshold is exact equality (the Shazam-style exact
     // sub-fingerprint lookup), while different source patterns (a
     // per-pattern sawtooth step => different wrap counts => different
-    // spectra) differ by >=1 bit, 40/160 distinct signatures. Completes
-    // the near-dup matrix: text (minhash/simhash), embeddings
-    // (cosine-LSH), images (dHash), audio (this).
+    // spectra) differ by >=1 bit, 40/160 distinct signatures. The
+    // audio member of the near-dup matrix beside text
+    // (minhash/simhash), embeddings (cosine-LSH), images (mm12), and
+    // video (mm14).
     QueryDef("mm13_audio_fingerprint",
       (s, d) => {
         import s.implicits._
