@@ -58,24 +58,23 @@ object CorpusOps {
 
   /** 4x16-bit band blocking over an (id, hash) table → capped
     * candidate pairs (id_a, id_b) — the blocking stage shared by all
-    * three fingerprint modalities (image/audio/video).
+    * three fingerprint modalities (image/audio/video). Pair
+    * generation delegates to TextOps.cappedCandidates with the SAME
+    * bucket cap as the text LSH, so there is exactly one capped-
+    * bucket pair-explosion rule in the codebase (review-caught
+    * duplicate).
     */
   private def fingerprintCands(sigs: DataFrame): DataFrame = {
-    val bands = sigs.select(col("id"),
+    val bands = sigs.select(col("id").as("doc_id"),
       explode(expr(
         """transform(sequence(0, 3),
           |  b -> named_struct('band', b,
-          |    'key', shiftright(hash, 16 * b) % 65536))"""
+          |    'band_key', shiftright(hash, 16 * b) % 65536))"""
           .stripMargin)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    bands.groupBy("band", "key")
-      .agg(sort_array(collect_list("id")).as("ds"))
-      .where(size(col("ds")).between(2, 64))
-      .select(explode(flatten(
-        transform(col("ds"), (x, i) =>
-          transform(slice(col("ds"), i + 2, size(col("ds"))),
-            y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
-      .select(col("p.id_a"), col("p.id_b")).distinct()
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.band_key").as("band_key"))
+    TextOps.cappedCandidates(bands, TextOps.BandBucketCap)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
   }
 
   /** Candidate pairs with exact Hamming distance attached. */
@@ -85,12 +84,31 @@ object CorpusOps {
       .join(sigs.select(col("id").as("id_b"), col("hash").as("hb")), "id_b")
       .withColumn("hamming", expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
 
+  /** SQL mirror of fingerprintCands over a `(id, <sigCol>)` CTE named
+    * `sigTable` — ONE banding/cap definition for all three modality
+    * oracles, mirroring the single Spark-side helper (an edit to the
+    * band width or cap lands everywhere or nowhere).
+    */
+  private def fpBandCtesSql(sigTable: String, sigCol: String): String =
+    s"""bands AS (
+       |  SELECT id, b, ($sigCol >> (16 * b)) % 65536 AS key
+       |  FROM $sigTable, unnest(range(0, 4)) t(b)),
+       |buckets AS (
+       |  SELECT b, key FROM bands GROUP BY b, key
+       |  HAVING count(*) BETWEEN 2 AND ${TextOps.BandBucketCap}),
+       |cands AS (
+       |  SELECT DISTINCT a.id AS id_a, bb.id AS id_b
+       |  FROM bands a
+       |  JOIN buckets bu ON bu.b = a.b AND bu.key = a.key
+       |  JOIN bands bb ON bb.b = a.b AND bb.key = a.key AND a.id < bb.id)"""
+      .stripMargin
+
   /** The shared SQL mirror of phashHashes + fingerprintCands for the
     * image fixture, ending in `hashes(id, hash)` and
     * `cands(id_a, id_b)` — used by both the mm12 oracle and the
     * cluster oracle built on its pairs.
     */
-  private val PhashCtes: String =
+  private lazy val PhashCtes: String =
     """ids AS (
       |  SELECT event_id AS id,
       |    1 + (event_id % 40) % 5 AS ca, 1 + (event_id % 40) % 7 AS cb,
@@ -122,18 +140,8 @@ object CorpusOps {
       |  SELECT id, CAST(sum(CAST(bit AS BIGINT) << (gy * 8 + gx))
       |    AS BIGINT) AS hash
       |  FROM bits GROUP BY id),
-      |bands AS (
-      |  SELECT id, b, (hash >> (16 * b)) % 65536 AS key
-      |  FROM hashes, unnest(range(0, 4)) t(b)),
-      |buckets AS (
-      |  SELECT b, key FROM bands GROUP BY b, key
-      |  HAVING count(*) BETWEEN 2 AND 64),
-      |cands AS (
-      |  SELECT DISTINCT a.id AS id_a, bb.id AS id_b
-      |  FROM bands a
-      |  JOIN buckets bu ON bu.b = a.b AND bu.key = a.key
-      |  JOIN bands bb ON bb.b = a.b AND bb.key = a.key AND a.id < bb.id)"""
-      .stripMargin
+      |$fpTail"""
+      .stripMargin.replace("$fpTail", fpBandCtesSql("hashes", "hash"))
 
   def defs: Seq[QueryDef] = Seq(
 
@@ -275,9 +283,13 @@ object CorpusOps {
         val cps = perDoc.agg(max("doc_id").as("maxd"))
           .select(explode(sequence(lit(1), lit(10))).as("cp_idx"),
             col("maxd"))
+          // integer DIV, not `/`+cast: float division truncates toward
+          // zero while DuckDB's // floors, so a <=9-doc corpus would
+          // put cp_idx=1 at doc 0 here and doc -1 in the oracle
+          // (review-caught cross-engine parity edge)
           .withColumn("cp_doc",
-            (col("cp_idx") * (col("maxd") + 1)) / 10 - 1)
-          .select(col("cp_idx").cast(LongType), col("cp_doc").cast(LongType))
+            expr("CAST(cp_idx * (maxd + 1) DIV 10 - 1 AS BIGINT)"))
+          .select(col("cp_idx").cast(LongType), col("cp_doc"))
           .localCheckpoint()
         val nCum = cps.join(perDoc, perDoc("doc_id") <= cps("cp_doc"))
           .groupBy("cp_idx", "cp_doc")
@@ -556,6 +568,10 @@ object CorpusOps {
           .select(col("q_id"), col("true_label"),
             col("n_label").as("pred_label"), col("votes"))
           .withColumn("correct", col("pred_label") === col("true_label"))
+          // materialized: acc and the final select both consume pred,
+          // and without this the corpus-x-probe brute-force subtree is
+          // planned twice (review-caught)
+          .localCheckpoint()
         val acc = pred.agg(
           round(sum(when(col("correct"), 1).otherwise(0))
             .cast(DoubleType) / count(lit(1)), 6).as("accuracy"))
@@ -611,6 +627,9 @@ object CorpusOps {
                 |  transform(sequence(0, size(w) - 4),
                 |    i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3]))
                 |ELSE array() END""".stripMargin))).as("g"))
+          // three consumers (train distinct, anti-join side, per-doc
+          // counts) — materialize the gram explosion once
+          .localCheckpoint()
         val train = grams.where(col("doc_id") % 10 =!= 0)
           .select("g").distinct()
         val held = grams.where(col("doc_id") % 10 === 0)
@@ -669,6 +688,8 @@ object CorpusOps {
             .when(col("fr_score") >= col("de_score") && col("fr_score") > 0, "fr")
             .when(col("de_score") > 0, "de")
             .otherwise("unknown"))
+          // cells, totals, AND acc read pred — one scoring pass, not 3
+          .localCheckpoint()
         val cells = pred.groupBy("lang", "predicted")
           .agg(count(lit(1)).cast(LongType).as("n"))
         val totals = pred.groupBy("lang")
@@ -875,6 +896,10 @@ object CorpusOps {
           .withColumn("csim", round(
             graft.functions.GraftFunctions.cosine_sim(col("embedding"), col("vc")), 6))
           .withColumn("arn", row_number().over(wAssign))
+          // keep only the rows downstream reads (assignments + the
+          // probe set) BEFORE materializing: the full corpus x
+          // centroid ranking is ~C times larger (review-caught)
+          .where(col("arn") === 1 || (col("vec_id") < 5 && col("arn") <= 8))
           .localCheckpoint()
         val assigned = ranked.where(col("arn") === 1)
           .select(col("vec_id").as("n_id"), col("embedding").as("ve"),
@@ -1243,24 +1268,15 @@ object CorpusOps {
         |      THEN CAST(1 AS BIGINT) << a.k ELSE 0 END) AS BIGINT) AS sig
         |  FROM coef a JOIN coef b ON b.id = a.id AND b.k = a.k + 1
         |  WHERE a.k < 63 GROUP BY a.id),
-        |bands AS (
-        |  SELECT id, b, (sig >> (16 * b)) % 65536 AS key
-        |  FROM sigs, unnest(range(0, 4)) t(b)),
-        |buckets AS (
-        |  SELECT b, key FROM bands GROUP BY b, key
-        |  HAVING count(*) BETWEEN 2 AND 64),
-        |cands AS (
-        |  SELECT DISTINCT a.id AS id_a, bb.id AS id_b
-        |  FROM bands a
-        |  JOIN buckets bu ON bu.b = a.b AND bu.key = a.key
-        |  JOIN bands bb ON bb.b = a.b AND bb.key = a.key AND a.id < bb.id)
+        |$fpTail
         |SELECT id_a, id_b,
         |  CAST(bit_count(xor(sa.sig, sb.sig)) AS BIGINT) AS hamming
         |FROM cands
         |JOIN sigs sa ON sa.id = cands.id_a
         |JOIN sigs sb ON sb.id = cands.id_b
         |WHERE bit_count(xor(sa.sig, sb.sig)) = 0
-        |ORDER BY id_a, id_b""".stripMargin)),
+        |ORDER BY id_a, id_b""".stripMargin
+        .replace("$fpTail", fpBandCtesSql("sigs", "sig")))),
 
     // mm14: VIDEO near-dup dedup — per-sampled-frame dHash from REAL
     // AVI frame decode (frames 0,2,4 of 6, sampled inside the byte
@@ -1325,23 +1341,14 @@ object CorpusOps {
         |hashes AS (
         |  SELECT id, CAST(sum(CAST(bit_v AS BIGINT) << k) AS BIGINT) AS hash
         |  FROM maj GROUP BY id),
-        |bands AS (
-        |  SELECT id, b, (hash >> (16 * b)) % 65536 AS key
-        |  FROM hashes, unnest(range(0, 4)) t(b)),
-        |buckets AS (
-        |  SELECT b, key FROM bands GROUP BY b, key
-        |  HAVING count(*) BETWEEN 2 AND 64),
-        |cands AS (
-        |  SELECT DISTINCT a.id AS id_a, bb.id AS id_b
-        |  FROM bands a
-        |  JOIN buckets bu ON bu.b = a.b AND bu.key = a.key
-        |  JOIN bands bb ON bb.b = a.b AND bb.key = a.key AND a.id < bb.id)
+        |$fpTail
         |SELECT id_a, id_b,
         |  CAST(bit_count(xor(ha.hash, hb.hash)) AS BIGINT) AS hamming
         |FROM cands
         |JOIN hashes ha ON ha.id = cands.id_a
         |JOIN hashes hb ON hb.id = cands.id_b
         |WHERE bit_count(xor(ha.hash, hb.hash)) <= 12
-        |ORDER BY id_a, id_b""".stripMargin))
+        |ORDER BY id_a, id_b""".stripMargin
+        .replace("$fpTail", fpBandCtesSql("hashes", "hash"))))
   )
 }
