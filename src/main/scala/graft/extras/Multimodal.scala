@@ -1425,6 +1425,104 @@ object Multimodal {
     }
   }
 
+  /** Result of an integer box-filter downscale: output dims, per-
+    * channel sums of the RESIZED image, and a position-weighted
+    * checksum (weight 1 + x + 7y per output pixel) that catches a
+    * transposed, flipped, or mis-strided resize which bare channel
+    * sums cannot.
+    */
+  final case class ResizedStats(byteLen: Long, outW: Int, outH: Int,
+                                sumR: Long, sumG: Long, sumB: Long,
+                                wsum: Long, ok: Boolean)
+
+  /** REAL image resize: decode the BMP (same hardened walk as the
+    * pixel decoders), then a `factor`x`factor` box-filter downscale in
+    * EXACT integer arithmetic — each output pixel is the floor mean of
+    * its box (sum div factor², every box full because dims must divide
+    * evenly). The feature-extraction "resize" step of the multimodal
+    * brief with bit-reproducible semantics the SQL oracle replays.
+    */
+  final class BmpResizeDecoder(factor: Int) {
+    require(factor >= 1)
+    private def le16(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+        ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+    private def bad(n: Long) = ResizedStats(n, 0, 0, 0, 0, 0, 0, ok = false)
+
+    def decode(bytes: Array[Byte]): ResizedStats = {
+      if (bytes == null) return bad(0)
+      val n = bytes.length.toLong
+      if (n < 54 || bytes(0) != 'B' || bytes(1) != 'M') return bad(n)
+      val pixOff = le32(bytes, 10)
+      val hdrSize = le32(bytes, 14)
+      val w = le32(bytes, 18)
+      val hRaw = le32(bytes, 22)
+      val bitCount = le16(bytes, 28)
+      val compression = le32(bytes, 30)
+      val h = math.abs(hRaw)
+      val topDown = hRaw < 0
+      if (hdrSize < 40 || bitCount != 24 || compression != 0 ||
+          w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20) ||
+          pixOff < 54 || pixOff > n) return bad(n)
+      if (w % factor != 0 || h % factor != 0) return bad(n)
+      val stride = ((w * 3 + 3) / 4) * 4
+      if (pixOff.toLong + stride.toLong * h > n) return bad(n)
+      val ow = w / factor; val oh = h / factor
+      // box sums per output pixel, channel-major boxes
+      val boxR = Array.ofDim[Long](ow, oh)
+      val boxG = Array.ofDim[Long](ow, oh)
+      val boxB = Array.ofDim[Long](ow, oh)
+      var fileRow = 0
+      while (fileRow < h) {
+        val y = if (topDown) fileRow else h - 1 - fileRow
+        val oy = y / factor
+        val rowBase = pixOff + fileRow * stride
+        var x = 0
+        while (x < w) {
+          val i = rowBase + x * 3
+          val ox = x / factor
+          boxB(ox)(oy) += bytes(i) & 0xff
+          boxG(ox)(oy) += bytes(i + 1) & 0xff
+          boxR(ox)(oy) += bytes(i + 2) & 0xff
+          x += 1
+        }
+        fileRow += 1
+      }
+      val area = factor.toLong * factor
+      var sumR = 0L; var sumG = 0L; var sumB = 0L; var wsum = 0L
+      var oy = 0
+      while (oy < oh) {
+        var ox = 0
+        while (ox < ow) {
+          val r = boxR(ox)(oy) / area
+          val g = boxG(ox)(oy) / area
+          val b = boxB(ox)(oy) / area
+          sumR += r; sumG += g; sumB += b
+          wsum += (r + g + b) * (1L + ox + 7L * oy)
+          ox += 1
+        }
+        oy += 1
+      }
+      ResizedStats(n, ow, oh, sumR, sumG, sumB, wsum, ok = true)
+    }
+  }
+
+  /** Resize a binary image column with the REAL decoder — one 8-column
+    * stats row per blob leaves the executor.
+    */
+  def decodeBmpResized(df: DataFrame, binaryCol: String, idCol: String,
+                       factor: Int): DataFrame =
+    decodePartitions[ResizedStats](df, binaryCol, idCol,
+      () => new BmpResizeDecoder(factor).decode _)
+      .select(col("_1").as(idCol),
+        col("_2.byteLen").as("byte_len"),
+        col("_2.outW").as("out_w"), col("_2.outH").as("out_h"),
+        col("_2.sumR").as("sum_r2"), col("_2.sumG").as("sum_g2"),
+        col("_2.sumB").as("sum_b2"),
+        col("_2.wsum").as("wsum"), col("_2.ok").as("ok"))
+
   /** One row per blob from the modality router: the sniffed type, the
     * modality-appropriate perceptual fingerprint, and the byte length.
     */

@@ -1207,6 +1207,63 @@ object CorpusOps {
         |LEFT JOIN vid_fp ON vid_fp.id = i.id
         |ORDER BY event_id""".stripMargin)),
 
+    // mm16: REAL image resize — the feature-extraction step the
+    // multimodal brief names explicitly: a 2x2 integer box-filter
+    // downscale (each output pixel = floor mean of its box) over real
+    // BMP decode, reported as per-channel sums of the RESIZED image
+    // plus a position-weighted checksum that a transposed, flipped, or
+    // mis-strided resize cannot fake. The oracle recomputes the box
+    // means arithmetically from the quad pattern. Scale:
+    // embarrassingly parallel per-blob; 8 scalar columns per image
+    // leave the executor.
+    QueryDef("mm16_image_resize",
+      (s, d) => {
+        import s.implicits._
+        val ids = Records.events(s, d)
+          .select(col("event_id").cast(LongType)).as[Long]
+          .filter(_ < 200)
+        val blobs = ids.map { id =>
+          val c = (id % 40).toInt
+          // alternate row orders so the resize is proven on BOTH
+          // bottom-up and top-down files
+          (id, graft.extras.Multimodal.ImageBytes.bmpQuad(16, 16,
+            1 + c % 5, 1 + c % 7, c % 3, 11 * c, (id % 3).toInt,
+            topDown = id % 2 == 1))
+        }.toDF("event_id", "blob")
+        graft.extras.Multimodal
+          .decodeBmpResized(blobs, "blob", "event_id", factor = 2)
+          .orderBy("event_id")
+      },
+      Some("""WITH ids AS (
+        |  SELECT event_id AS id,
+        |    1 + (event_id % 40) % 5 AS ca, 1 + (event_id % 40) % 7 AS cb,
+        |    (event_id % 40) % 3 AS cc, 11 * (event_id % 40) AS base,
+        |    event_id % 3 AS delta
+        |  FROM events WHERE event_id < 200),
+        |px AS (
+        |  SELECT id, x, y,
+        |    (ca * x * x + cb * y * y + cc * x * y + 7 * x + 13 * y
+        |      + base + delta) % 256 AS r,
+        |    (cb * x * x + ca * y * y + cc * x * y + 3 * x + 5 * y
+        |      + 2 * base + delta) % 256 AS g,
+        |    ((ca + cb) * x * x + cc * y * y + 5 * x + 11 * y
+        |      + 3 * base + delta) % 256 AS b
+        |  FROM ids, unnest(range(0, 16)) tx(x), unnest(range(0, 16)) ty(y)),
+        |boxes AS (
+        |  SELECT id, CAST(x // 2 AS INT) AS ox, CAST(y // 2 AS INT) AS oy,
+        |    CAST(sum(r) // 4 AS BIGINT) AS r2,
+        |    CAST(sum(g) // 4 AS BIGINT) AS g2,
+        |    CAST(sum(b) // 4 AS BIGINT) AS b2
+        |  FROM px GROUP BY 1, 2, 3)
+        |SELECT id AS event_id, CAST(822 AS BIGINT) AS byte_len,
+        |  CAST(8 AS INT) AS out_w, CAST(8 AS INT) AS out_h,
+        |  CAST(sum(r2) AS BIGINT) AS sum_r2,
+        |  CAST(sum(g2) AS BIGINT) AS sum_g2,
+        |  CAST(sum(b2) AS BIGINT) AS sum_b2,
+        |  CAST(sum((r2 + g2 + b2) * (1 + ox + 7 * oy)) AS BIGINT) AS wsum,
+        |  TRUE AS ok
+        |FROM boxes GROUP BY id ORDER BY event_id""".stripMargin)),
+
     // mm13: AUDIO near-dup dedup — a Haitsma–Kalker-style sign-bit
     // fingerprint (|c_k| > |c_k+1| over the clip's WHT coefficients)
     // from REAL WAV decode, blocked and verified exactly like mm12.

@@ -259,6 +259,27 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(junk.modality == "unknown" && !junk.ok)
   }
 
+  test("resize: factor-1 equals the pixel decoder; row order is invisible") {
+    import graft.extras.Multimodal
+    val img = Multimodal.ImageBytes.bmpQuad(16, 16, 3, 2, 1, 25, 4)
+    // factor 1: every box is one pixel, so channel sums must equal the
+    // independent pixel-stats decoder's sums bit-for-bit
+    val r1 = new Multimodal.BmpResizeDecoder(1).decode(img)
+    val px = new Multimodal.BmpPixelDecoder().decode(img)
+    assert(r1.ok && px.ok)
+    assert(r1.sumR == px.sumR && r1.sumG == px.sumG && r1.sumB == px.sumB)
+    // identical pixels written top-down vs bottom-up resize identically
+    val td = Multimodal.ImageBytes.bmpQuad(16, 16, 3, 2, 1, 25, 4,
+      topDown = true)
+    val r2a = new Multimodal.BmpResizeDecoder(2).decode(img)
+    val r2b = new Multimodal.BmpResizeDecoder(2).decode(td)
+    assert(r2a.ok && r2b.ok)
+    assert(r2a == r2b.copy(byteLen = r2a.byteLen),
+      "row storage order must not leak into the resized stats")
+    // dims that don't divide by the factor are rejected, not mangled
+    assert(!new Multimodal.BmpResizeDecoder(3).decode(img).ok)
+  }
+
   test("Heaps checkpoints are monotone and end at the full corpus") {
     val rows = CorpusOps.defs.find(_.name == "stats_heaps_law").get
       .fn(spark, sfDir).collect()
