@@ -1523,6 +1523,77 @@ object Multimodal {
         col("_2.sumB").as("sum_b2"),
         col("_2.wsum").as("wsum"), col("_2.ok").as("ok"))
 
+  /** Result of integer decimation: the output rate/frame count and
+    * exact stats of the RESAMPLED channel-0 signal (sum, sum of
+    * squares, position-weighted checksum — the 1+j weight catches a
+    * phase-shifted or reversed decimation).
+    */
+  final case class ResampledStats(byteLen: Long, inRate: Int,
+                                  outRate: Int, outFrames: Long,
+                                  sum2: Long, sumSq2: Long, wsum: Long,
+                                  ok: Boolean)
+
+  /** REAL audio downsampling: the shared WavHeader walk, then
+    * decimation of channel 0 by `factor` with a box anti-alias — each
+    * output sample is the truncated mean of its `factor` consecutive
+    * input frames (exact integers, toward-zero division matching
+    * SQL's //; trailing partial boxes dropped).
+    * The audio analog of the mm16 image resize: the 44.1k->16k-style
+    * preprocessing step with bit-reproducible semantics.
+    */
+  final class WavResampleDecoder(factor: Int) {
+    require(factor >= 1)
+    private def le16(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+
+    def decode(bytes: Array[Byte]): ResampledStats = {
+      val n = if (bytes == null) 0L else bytes.length.toLong
+      def bad = ResampledStats(n, 0, 0, 0L, 0L, 0L, 0L, ok = false)
+      val info = WavHeader.parse(bytes) match {
+        case None => return bad
+        case Some(v) => v
+      }
+      val outFrames = info.frames / factor
+      if (outFrames == 0) return bad
+      var sum2 = 0L; var sumSq2 = 0L; var wsum = 0L
+      var o = 0L
+      while (o < outFrames) {
+        var acc = 0L
+        var k = 0
+        while (k < factor) {
+          // channel-0 sample of input frame o*factor+k
+          acc += le16(bytes,
+            (info.dataOff + 2L * ((o * factor + k) * info.ch)).toInt)
+            .toShort.toLong
+          k += 1
+        }
+        // plain /, not floorDiv: DuckDB's integer // TRUNCATES toward
+        // zero on negatives (-7//4 = -1), matching Java's / — a floor
+        // here diverges by 1 on every negative box (verified against
+        // the oracle both ways)
+        val v = acc / factor
+        sum2 += v; sumSq2 += v * v; wsum += v * (1L + o)
+        o += 1
+      }
+      ResampledStats(n, info.rate, info.rate / factor, outFrames,
+        sum2, sumSq2, wsum, ok = true)
+    }
+  }
+
+  /** Resample a binary audio column — one 8-column stats row per clip
+    * leaves the executor.
+    */
+  def decodeWavResampled(df: DataFrame, binaryCol: String, idCol: String,
+                         factor: Int): DataFrame =
+    decodePartitions[ResampledStats](df, binaryCol, idCol,
+      () => new WavResampleDecoder(factor).decode _)
+      .select(col("_1").as(idCol),
+        col("_2.byteLen").as("byte_len"),
+        col("_2.inRate").as("in_rate"), col("_2.outRate").as("out_rate"),
+        col("_2.outFrames").as("out_frames"),
+        col("_2.sum2").as("sum2"), col("_2.sumSq2").as("sumsq2"),
+        col("_2.wsum").as("wsum"), col("_2.ok").as("ok"))
+
   /** One row per blob from the modality router: the sniffed type, the
     * modality-appropriate perceptual fingerprint, and the byte length.
     */

@@ -1264,6 +1264,51 @@ object CorpusOps {
         |  TRUE AS ok
         |FROM boxes GROUP BY id ORDER BY event_id""".stripMargin)),
 
+    // mm17: REAL audio downsampling — decimation by 4 with a box
+    // anti-alias (each output sample = floor mean of 4 consecutive
+    // channel-0 frames), the 44.1k->16k-style preprocessing step, in
+    // exact integer arithmetic over real WAV decode. The 1+o
+    // position weight in the checksum catches a phase-shifted or
+    // reversed decimation that bare sums cannot. The audio analog of
+    // mm16's resize.
+    QueryDef("mm17_audio_resample",
+      (s, d) => {
+        import s.implicits._
+        val ids = Records.events(s, d)
+          .select(col("event_id").cast(LongType)).as[Long]
+          .filter(_ < 200)
+        val blobs = ids.map { id =>
+          val rate = (8000 + (id % 5) * 4000).toInt
+          val ch = (1 + id % 2).toInt
+          val frames = 200 + id % 100
+          (id, graft.extras.Multimodal.AudioBytes.wavPcm(rate, ch, frames, id))
+        }.toDF("event_id", "blob")
+        graft.extras.Multimodal
+          .decodeWavResampled(blobs, "blob", "event_id", factor = 4)
+          .orderBy("event_id")
+      },
+      Some("""WITH ids AS (
+        |  SELECT event_id AS id, 8000 + (event_id % 5) * 4000 AS rate,
+        |    1 + event_id % 2 AS ch, 200 + event_id % 100 AS frames
+        |  FROM events WHERE event_id < 200),
+        |smp AS (
+        |  SELECT id, o,
+        |    CAST(sum(((7 * ((o * 4 + k) * ch) + 3 * id) % 4096) - 2048)
+        |      // 4 AS BIGINT) AS v
+        |  FROM ids, unnest(range(0, frames // 4)) t(o),
+        |    unnest(range(0, 4)) u(k)
+        |  GROUP BY id, o)
+        |SELECT id AS event_id,
+        |  CAST(56 + frames * ch * 2 AS BIGINT) AS byte_len,
+        |  CAST(rate AS INT) AS in_rate, CAST(rate // 4 AS INT) AS out_rate,
+        |  CAST(frames // 4 AS BIGINT) AS out_frames,
+        |  CAST(sum(v) AS BIGINT) AS sum2,
+        |  CAST(sum(v * v) AS BIGINT) AS sumsq2,
+        |  CAST(sum(v * (1 + o)) AS BIGINT) AS wsum,
+        |  TRUE AS ok
+        |FROM ids JOIN smp USING (id)
+        |GROUP BY id, rate, ch, frames ORDER BY event_id""".stripMargin)),
+
     // mm13: AUDIO near-dup dedup — a Haitsma–Kalker-style sign-bit
     // fingerprint (|c_k| > |c_k+1| over the clip's WHT coefficients)
     // from REAL WAV decode, blocked and verified exactly like mm12.

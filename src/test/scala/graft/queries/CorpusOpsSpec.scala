@@ -280,6 +280,21 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!new Multimodal.BmpResizeDecoder(3).decode(img).ok)
   }
 
+  test("resample: factor-1 channel-0 sum equals the PCM decoder's mono sum") {
+    import graft.extras.Multimodal
+    // mono clip: PcmStats.sumAll covers exactly channel 0
+    val clip = Multimodal.AudioBytes.wavPcm(8000, 1, 150, 9L)
+    val rs = new Multimodal.WavResampleDecoder(1).decode(clip)
+    val px = new Multimodal.WavPcmDecoder().decode(clip)
+    assert(rs.ok && px.ok)
+    assert(rs.outFrames == px.nFrames && rs.sum2 == px.sumAll &&
+      rs.sumSq2 == px.sumSqAll)
+    // decimation shortens by the factor and never throws on garbage
+    val r4 = new Multimodal.WavResampleDecoder(4).decode(clip)
+    assert(r4.ok && r4.outFrames == 37 && r4.outRate == 2000)
+    assert(!new Multimodal.WavResampleDecoder(4).decode("xx".getBytes).ok)
+  }
+
   test("Heaps checkpoints are monotone and end at the full corpus") {
     val rows = CorpusOps.defs.find(_.name == "stats_heaps_law").get
       .fn(spark, sfDir).collect()
