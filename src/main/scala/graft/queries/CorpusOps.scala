@@ -1309,6 +1309,73 @@ object CorpusOps {
         |FROM ids JOIN smp USING (id)
         |GROUP BY id, rate, ch, frames ORDER BY event_id""".stripMargin)),
 
+    // Quantization-error audit: per-vector reconstruction MSE for the
+    // two compression levels the ANN family actually ships (int8
+    // max-abs scaling — ann_int8_topk's exact scheme — and the 1-bit
+    // sign + mean-magnitude code behind binary signatures). This is
+    // the "how much quality does each byte buy" table read before
+    // picking an index encoding at 100 TB. Same parity discipline as
+    // every vector op: sequential double folds in identical order on
+    // both engines, 6-decimal rounding at the edge.
+    QueryDef("emb_quantize_error",
+      (s, d) => {
+        s.read.parquet(s"$d/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"))
+          .withColumn("dim", size(col("embedding")).cast(LongType))
+          .withColumn("mx", expr(
+            """greatest(aggregate(embedding, CAST(0 AS DOUBLE),
+               (acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE)))),
+               CAST(1e-30 AS DOUBLE))"""))
+          .withColumn("mean_abs", expr(
+            """aggregate(embedding, CAST(0 AS DOUBLE),
+               (acc, x) -> acc + abs(CAST(x AS DOUBLE))) / dim"""))
+          .withColumn("mse_int8", round(expr(
+            """aggregate(embedding, CAST(0 AS DOUBLE), (acc, x) ->
+                 acc + (CAST(x AS DOUBLE)
+                   - floor(CAST(x AS DOUBLE) * (127.0 / mx) + 0.5)
+                     * mx / 127.0)
+                 * (CAST(x AS DOUBLE)
+                   - floor(CAST(x AS DOUBLE) * (127.0 / mx) + 0.5)
+                     * mx / 127.0)) / dim"""), 6))
+          .withColumn("mse_sign", round(expr(
+            """aggregate(embedding, CAST(0 AS DOUBLE), (acc, x) ->
+                 acc + (CAST(x AS DOUBLE)
+                   - CASE WHEN CAST(x AS DOUBLE) >= 0
+                       THEN mean_abs ELSE -mean_abs END)
+                 * (CAST(x AS DOUBLE)
+                   - CASE WHEN CAST(x AS DOUBLE) >= 0
+                       THEN mean_abs ELSE -mean_abs END)) / dim"""), 6))
+          .select(col("vec_id"), col("dim"), round(col("mx"), 6).as("mx"),
+            col("mse_int8"), col("mse_sign"))
+          .orderBy("vec_id")
+      },
+      Some("""SELECT vec_id, dim, round(mx, 6) AS mx,
+        |  round(list_reduce(list_transform(embedding, x ->
+        |    (CAST(x AS DOUBLE)
+        |      - floor(CAST(x AS DOUBLE) * (127.0 / mx) + 0.5) * mx / 127.0)
+        |    * (CAST(x AS DOUBLE)
+        |      - floor(CAST(x AS DOUBLE) * (127.0 / mx) + 0.5) * mx / 127.0)),
+        |    (a, b) -> a + b) / dim, 6) AS mse_int8,
+        |  round(list_reduce(list_transform(embedding, x ->
+        |    (CAST(x AS DOUBLE)
+        |      - CASE WHEN CAST(x AS DOUBLE) >= 0
+        |          THEN mean_abs ELSE -mean_abs END)
+        |    * (CAST(x AS DOUBLE)
+        |      - CASE WHEN CAST(x AS DOUBLE) >= 0
+        |          THEN mean_abs ELSE -mean_abs END)),
+        |    (a, b) -> a + b) / dim, 6) AS mse_sign
+        |FROM (
+        |  SELECT vec_id, embedding,
+        |    CAST(len(embedding) AS BIGINT) AS dim,
+        |    greatest(list_reduce(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE))), (a, b) -> greatest(a, b)), 1e-30)
+        |      AS mx,
+        |    list_reduce(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE))), (a, b) -> a + b)
+        |      / CAST(len(embedding) AS BIGINT) AS mean_abs
+        |  FROM embeddings)
+        |ORDER BY vec_id""".stripMargin)),
+
     // mm13: AUDIO near-dup dedup — a Haitsma–Kalker-style sign-bit
     // fingerprint (|c_k| > |c_k+1| over the clip's WHT coefficients)
     // from REAL WAV decode, blocked and verified exactly like mm12.

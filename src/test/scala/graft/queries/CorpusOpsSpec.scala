@@ -295,6 +295,20 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!new Multimodal.WavResampleDecoder(4).decode("xx".getBytes).ok)
   }
 
+  test("quantization-error audit: more bits never hurt, errors non-negative") {
+    val rows = CorpusOps.defs.find(_.name == "emb_quantize_error").get
+      .fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val i8 = r.getAs[Double]("mse_int8")
+      val sg = r.getAs[Double]("mse_sign")
+      assert(i8 >= 0.0 && sg >= 0.0)
+      assert(i8 <= sg,
+        s"vec ${r.getAs[Long]("vec_id")}: int8 must reconstruct at least " +
+          s"as well as the 1-bit code ($i8 vs $sg)")
+    }
+  }
+
   test("Heaps checkpoints are monotone and end at the full corpus") {
     val rows = CorpusOps.defs.find(_.name == "stats_heaps_law").get
       .fn(spark, sfDir).collect()

@@ -114,7 +114,8 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // here would mean the router started shuffling blobs
     "mm15_modality_router" -> 0,
     "mm16_image_resize" -> 0,
-    "mm17_audio_resample" -> 0)
+    "mm17_audio_resample" -> 0,
+    "emb_quantize_error" -> 0)
   // emb_outlier_centroid is not budgeted: its per-vector scores run
   // inside an eager localCheckpoint() (like emb_pca_*), so the final
   // plan string is vacuous
