@@ -4,16 +4,17 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 
-/** Semantic guarantees of the corpus diagnostics that the DuckDB
-  * oracle witnesses but cannot prove:
-  *   - the fast WHT butterfly equals the O(N²) definition and obeys
-  *     Parseval (Σ_k c_k² = N·Σ_j v_j²) — the invariant that catches
-  *     a mis-ordered butterfly, which per-query hashes would only
-  *     surface as an opaque mismatch;
-  *   - the Gopher keep rule's integer thresholds agree with a direct
-  *     per-doc recomputation on crafted repetitive/clean docs;
-  *   - Heaps checkpoints are monotone (vocab and token counts can
-  *     never decrease along the curve).
+/** Semantic guarantees of the corpus diagnostics and multimodal
+  * decoders that the DuckDB oracle witnesses but cannot prove:
+  * transform identities (fast WHT equals the O(N²) definition +
+  * Parseval), rule teeth on crafted fixtures (Gopher thresholds,
+  * novelty extremes, curve monotonicity for Heaps and the IVF recall
+  * sweep, quantization error ordering), perceptual-hash invariances
+  * (wrap-free regrades, gain scaling, row-storage order), cross-codec
+  * consistency (single-frame AVI == BMP dHash; factor-1 resize ==
+  * pixel stats; factor-1 resample == PCM stats), the router-vs-
+  * dedicated-decoder agreement, and malformed-input rejection for
+  * every decoder.
   */
 class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
