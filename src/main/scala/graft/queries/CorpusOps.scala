@@ -1376,6 +1376,64 @@ object CorpusOps {
         |  FROM embeddings)
         |ORDER BY vec_id""".stripMargin)),
 
+    // Packing-efficiency audit: per language, how many 2048-token
+    // packs the span packer needs, the utilization of those packs
+    // (waste = only the final partial pack), and how many documents
+    // straddle a pack boundary (the rows whole-doc packing either
+    // overflows or pads away — the count that justifies paying for
+    // span splitting). Pure integer arithmetic over the same bounded
+    // two-level prefix sum the packers share.
+    QueryDef("stats_pack_efficiency",
+      (s, d) => {
+        val perDoc = docs(s, d).select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+        // the packers' shared bucketed two-level prefix sum — window
+        // partitions stay bounded no matter how large one language is
+        PipelineOps.withStartTok(perDoc)
+          .withColumn("crosses",
+            when(expr("start_tok DIV 2048") =!=
+              expr("(start_tok + n_tokens - 1) DIV 2048"), 1L).otherwise(0L))
+          .groupBy("lang")
+          .agg(count(lit(1)).cast(LongType).as("n_docs"),
+            sum("n_tokens").cast(LongType).as("total_tokens"),
+            sum("crosses").cast(LongType).as("boundary_docs"))
+          .withColumn("n_packs",
+            expr("CAST((total_tokens + 2047) DIV 2048 AS BIGINT)"))
+          .withColumn("waste_tokens",
+            col("n_packs") * 2048L - col("total_tokens"))
+          .withColumn("util",
+            round(col("total_tokens").cast(DoubleType)
+              / (col("n_packs") * 2048L), 6))
+          .select("lang", "n_docs", "total_tokens", "n_packs",
+            "boundary_docs", "waste_tokens", "util")
+          .orderBy("lang")
+      },
+      Some("""WITH per_doc AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |pref AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS start_tok
+        |  FROM per_doc),
+        |agg AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |    CAST(sum(CASE WHEN start_tok // 2048
+        |      <> (start_tok + n_tokens - 1) // 2048 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS boundary_docs
+        |  FROM pref GROUP BY lang)
+        |SELECT lang, n_docs, total_tokens,
+        |  CAST((total_tokens + 2047) // 2048 AS BIGINT) AS n_packs,
+        |  boundary_docs,
+        |  CAST((total_tokens + 2047) // 2048 * 2048 - total_tokens AS BIGINT)
+        |    AS waste_tokens,
+        |  round(CAST(total_tokens AS DOUBLE)
+        |    / ((total_tokens + 2047) // 2048 * 2048), 6) AS util
+        |FROM agg ORDER BY lang""".stripMargin)),
+
     // mm13: AUDIO near-dup dedup — a Haitsma–Kalker-style sign-bit
     // fingerprint (|c_k| > |c_k+1| over the clip's WHT coefficients)
     // from REAL WAV decode, blocked and verified exactly like mm12.

@@ -131,7 +131,7 @@ object PipelineOps {
     * is ever language-sized. Input needs (doc_id, lang, n_tokens);
     * adds `start_tok`. Shared by pack_sequences and e2e_data_recipe.
     */
-  private def withStartTok(toks0: DataFrame): DataFrame = {
+  private[queries] def withStartTok(toks0: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = toks0.withColumn("bucket", (col("doc_id") / 4096L).cast(LongType))
     val wLocal = Window.partitionBy("lang", "bucket").orderBy("doc_id")

@@ -115,7 +115,9 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     "mm15_modality_router" -> 0,
     "mm16_image_resize" -> 0,
     "mm17_audio_resample" -> 0,
-    "emb_quantize_error" -> 0)
+    "emb_quantize_error" -> 0,
+    // bucketed prefix sum: (lang,bucket) window + bases agg + final agg
+    "stats_pack_efficiency" -> 4)
   // emb_outlier_centroid is not budgeted: its per-vector scores run
   // inside an eager localCheckpoint() (like emb_pca_*), so the final
   // plan string is vacuous
