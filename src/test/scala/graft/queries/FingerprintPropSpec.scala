@@ -75,6 +75,30 @@ class FingerprintPropSpec extends Properties("Fingerprints") {
       a.ok && b.ok && a.hash == b.hash && a.hash >= 0L
     }
 
+  property("resize conserves mass: resized channel sums within floor slack") =
+    // each output pixel floors a box mean, so the resized sum is
+    // bounded by the original sum / area from above and loses at most
+    // (area-1)/area per output pixel from below
+    forAll(Gen.choose(0, 39), Gen.oneOf(1, 2, 4)) { (c, factor) =>
+      val img = Multimodal.ImageBytes.bmpQuad(16, 16,
+        1 + c % 5, 1 + c % 7, c % 3, 11 * c, c % 3)
+      val rz = new Multimodal.BmpResizeDecoder(factor).decode(img)
+      val px = new Multimodal.BmpPixelDecoder().decode(img)
+      val area = factor.toLong * factor
+      val nOut = (16L / factor) * (16L / factor)
+      def ok(sumRz: Long, sumPx: Long): Boolean =
+        sumRz * area <= sumPx && sumRz * area >= sumPx - nOut * (area - 1)
+      rz.ok && px.ok && ok(rz.sumR, px.sumR) && ok(rz.sumG, px.sumG) &&
+        ok(rz.sumB, px.sumB)
+    }
+
+  property("resample output length and rate scale exactly with the factor") =
+    forAll(Gen.choose(0L, 4095L), Gen.oneOf(1, 2, 4, 5)) { (pid, factor) =>
+      val clip = Multimodal.AudioBytes.wavPcm(8000, 1, 200, pid)
+      val rs = new Multimodal.WavResampleDecoder(factor).decode(clip)
+      rs.ok && rs.outFrames == 200 / factor && rs.outRate == 8000 / factor
+    }
+
   property("video hash samples by frame INDEX: frame 0 of any clip == 1-frame clip") =
     forAll(Gen.choose(0, 39), Gen.choose(2, 6)) { (c, n) =>
       val single = new Multimodal.AviDHashDecoder(1)
