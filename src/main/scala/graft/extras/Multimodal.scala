@@ -1427,9 +1427,11 @@ object Multimodal {
 
   /** Result of an integer box-filter downscale: output dims, per-
     * channel sums of the RESIZED image, and a position-weighted
-    * checksum (weight 1 + x + 7y per output pixel) that catches a
-    * transposed, flipped, or mis-strided resize which bare channel
-    * sums cannot.
+    * checksum (weight 1 + ox + 8*oy per output pixel — the 8 multiplier
+    * makes the weight INJECTIVE on the 8-wide output grid; 7 collided
+    * for e.g. (7,0) vs (0,1), hiding a row-wrap stride bug,
+    * review-caught) that catches a transposed, flipped, or
+    * mis-strided resize which bare channel sums cannot.
     */
   final case class ResizedStats(byteLen: Long, outW: Int, outH: Int,
                                 sumR: Long, sumG: Long, sumB: Long,
@@ -1500,7 +1502,7 @@ object Multimodal {
           val g = boxG(ox)(oy) / area
           val b = boxB(ox)(oy) / area
           sumR += r; sumG += g; sumB += b
-          wsum += (r + g + b) * (1L + ox + 7L * oy)
+          wsum += (r + g + b) * (1L + ox + 8L * oy)
           ox += 1
         }
         oy += 1

@@ -84,6 +84,45 @@ object CorpusOps {
       .join(sigs.select(col("id").as("id_b"), col("hash").as("hb")), "id_b")
       .withColumn("hamming", expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
 
+  /** SQL mirror of the 64-point WHT coefficient definition over a
+    * `<smpTable>(id, j, v)` CTE — one transform definition for the
+    * mm11/mm13/mm15 oracles (same everywhere-or-nowhere rule as
+    * fpBandCtesSql; the copy-pasted version was review-caught).
+    */
+  private def whtCoefSql(smpTable: String, name: String): String =
+    s"""$name AS (
+       |  SELECT id, k,
+       |    CAST(sum(v * (1 - 2 * (bit_count(CAST(j AS BIGINT) & k) % 2)))
+       |      AS BIGINT) AS c
+       |  FROM $smpTable, unnest(range(0, 64)) u(k)
+       |  GROUP BY id, k)""".stripMargin
+
+  /** SQL mirror of the dHash grid-cell/comparison-bit rules over a
+    * `<pxTable>(id[, f], x, y, r, g, b)` CTE, emitting
+    * `<prefix>cells` and `<prefix>bits` — `frameKey` threads the
+    * per-frame key for clip hashing. One grid definition for the
+    * image (PhashCtes, mm15) and video (mm14, mm15) oracle chains.
+    */
+  private def dhashBitsSql(pxTable: String, prefix: String,
+                           frameKey: Boolean): String = {
+    val fSel = if (frameKey) "f, " else ""
+    val fGrp = if (frameKey) ", f" else ""
+    val fOut = if (frameKey) "a.f, " else ""
+    val fJoin = if (frameKey) " AND b.f = a.f" else ""
+    s"""${prefix}cells AS (
+       |  SELECT id, ${fSel}CAST(x * 9 // 16 AS INT) AS gx,
+       |    CAST(y * 8 // 16 AS INT) AS gy,
+       |    CAST(sum(r * 299 + g * 587 + b * 114) AS BIGINT) AS lsum,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM $pxTable GROUP BY id$fGrp, gx, gy),
+       |${prefix}bits AS (
+       |  SELECT a.id, ${fOut}a.gy, a.gx,
+       |    CASE WHEN a.lsum * b.n > b.lsum * a.n THEN 1 ELSE 0 END AS bit
+       |  FROM ${prefix}cells a JOIN ${prefix}cells b
+       |    ON b.id = a.id$fJoin AND b.gy = a.gy AND b.gx = a.gx + 1
+       |  WHERE a.gx < 8 AND a.gy * 8 + a.gx < 63)""".stripMargin
+  }
+
   /** SQL mirror of fingerprintCands over a `(id, <sigCol>)` CTE named
     * `sigTable` — ONE banding/cap definition for all three modality
     * oracles, mirroring the single Spark-side helper (an edit to the
@@ -124,24 +163,15 @@ object CorpusOps {
       |    ((ca + cb) * x * x + cc * y * y + 5 * x + 11 * y
       |      + 3 * base + delta) % 256 AS b
       |  FROM ids, unnest(range(0, 16)) tx(x), unnest(range(0, 16)) ty(y)),
-      |cells AS (
-      |  SELECT id, CAST(x * 9 // 16 AS INT) AS gx,
-      |    CAST(y * 8 // 16 AS INT) AS gy,
-      |    CAST(sum(r * 299 + g * 587 + b * 114) AS BIGINT) AS lsum,
-      |    CAST(count(*) AS BIGINT) AS n
-      |  FROM px GROUP BY 1, 2, 3),
-      |bits AS (
-      |  SELECT a.id, a.gy, a.gx,
-      |    CASE WHEN a.lsum * b.n > b.lsum * a.n THEN 1 ELSE 0 END AS bit
-      |  FROM cells a JOIN cells b
-      |    ON b.id = a.id AND b.gy = a.gy AND b.gx = a.gx + 1
-      |  WHERE a.gx < 8 AND a.gy * 8 + a.gx < 63),
+      |$dhash,
       |hashes AS (
       |  SELECT id, CAST(sum(CAST(bit AS BIGINT) << (gy * 8 + gx))
       |    AS BIGINT) AS hash
       |  FROM bits GROUP BY id),
       |$fpTail"""
-      .stripMargin.replace("$fpTail", fpBandCtesSql("hashes", "hash"))
+      .stripMargin
+      .replace("$dhash", dhashBitsSql("px", "", frameKey = false))
+      .replace("$fpTail", fpBandCtesSql("hashes", "hash"))
 
   def defs: Seq[QueryDef] = Seq(
 
@@ -283,12 +313,20 @@ object CorpusOps {
         val cps = perDoc.agg(max("doc_id").as("maxd"))
           .select(explode(sequence(lit(1), lit(10))).as("cp_idx"),
             col("maxd"))
-          // integer DIV, not `/`+cast: float division truncates toward
-          // zero while DuckDB's // floors, so a <=9-doc corpus would
-          // put cp_idx=1 at doc 0 here and doc -1 in the oracle
-          // (review-caught cross-engine parity edge)
+          // integer DIV, not `/`+cast: float division rounds where the
+          // oracle's integer // doesn't, so a <=9-doc corpus would put
+          // cp_idx=1 at doc 0 here and doc -1 in the oracle
+          // (review-caught cross-engine parity edge; note DuckDB's //
+          // TRUNCATES toward zero on negatives — operands here are
+          // non-negative so trunc == floor)
           .withColumn("cp_doc",
             expr("CAST(cp_idx * (maxd + 1) DIV 10 - 1 AS BIGINT)"))
+          // drop empty checkpoints (cp_doc < 0 on a <10-doc corpus):
+          // Spark's inner cumulative joins silently lose those rows
+          // while the oracle's scalar subqueries keep them and crash
+          // on ln(0) — filter identically in BOTH engines so the
+          // regression sees the same points (review-caught)
+          .where(col("cp_doc") >= 0)
           .select(col("cp_idx").cast(LongType), col("cp_doc"))
           .localCheckpoint()
         val nCum = cps.join(perDoc, perDoc("doc_id") <= cps("cp_doc"))
@@ -315,8 +353,11 @@ object CorpusOps {
                     ELSE CAST(n * sxy - sx * sy AS DOUBLE)
                          / CAST(n * sxx - sx * sx AS DOUBLE) END, 6)""")
               .as("beta"),
-            expr("""round(CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0
-                    THEN 0.0
+            // two separate zero checks, NEVER the integer product of
+            // the variance terms: both can be ~1e13 and their INT64
+            // product overflows (review-repro on a 5-doc corpus)
+            expr("""round(CASE WHEN n * sxx - sx * sx = 0
+                         OR n * syy - sy * sy = 0 THEN 0.0
                     ELSE CAST(n * sxy - sx * sy AS DOUBLE)
                          * CAST(n * sxy - sx * sy AS DOUBLE)
                          / (CAST(n * sxx - sx * sx AS DOUBLE)
@@ -340,7 +381,8 @@ object CorpusOps {
         |  SELECT CAST(i AS BIGINT) AS cp_idx,
         |    CAST(i * (maxd + 1) // 10 - 1 AS BIGINT) AS cp_doc
         |  FROM (SELECT max(doc_id) AS maxd FROM per_doc),
-        |       unnest(range(1, 11)) t(i)),
+        |       unnest(range(1, 11)) t(i)
+        |  WHERE i * (maxd + 1) // 10 - 1 >= 0),
         |pts AS (
         |  SELECT cp_idx, cp_doc,
         |    (SELECT CAST(sum(n_toks) AS BIGINT) FROM per_doc
@@ -366,8 +408,8 @@ object CorpusOps {
         |  round(CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
         |    ELSE CAST(n * sxy - sx * sy AS DOUBLE)
         |         / CAST(n * sxx - sx * sx AS DOUBLE) END, 6) AS beta,
-        |  round(CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0
-        |    THEN 0.0
+        |  round(CASE WHEN n * sxx - sx * sx = 0
+        |           OR n * syy - sy * sy = 0 THEN 0.0
         |    ELSE CAST(n * sxy - sx * sy AS DOUBLE)
         |         * CAST(n * sxy - sx * sy AS DOUBLE)
         |         / (CAST(n * sxx - sx * sx AS DOUBLE)
@@ -441,18 +483,14 @@ object CorpusOps {
         |smp AS (
         |  SELECT id, j, ((7 * (j * ch) + 3 * id) % 4096) - 2048 AS v
         |  FROM ids, unnest(range(0, 64)) t(j)),
-        |coef AS (
-        |  SELECT id, k,
-        |    CAST(sum(v * (1 - 2 * (bit_count(CAST(j AS BIGINT) & k) % 2)))
-        |      AS BIGINT) AS c
-        |  FROM smp, unnest(range(0, 64)) u(k)
-        |  GROUP BY id, k)
+        |$wht
         |SELECT id AS event_id, rate AS sample_rate, ch AS channels,
         |  CAST(k // 8 AS INT) AS band, CAST(sum(c * c) AS BIGINT) AS energy,
         |  TRUE AS ok
         |FROM coef JOIN ids USING (id)
         |GROUP BY id, rate, ch, k // 8
-        |ORDER BY event_id, band""".stripMargin)),
+        |ORDER BY event_id, band""".stripMargin
+        .replace("$wht", whtCoefSql("smp", "coef")))),
 
     // MinHash estimator calibration: for every LSH candidate pair,
     // compare the signature's Jaccard ESTIMATE (matching hashes / 16)
@@ -1132,18 +1170,7 @@ object CorpusOps {
         |      + 5 * x + 11 * y + 33 * c) % 256 AS b
         |  FROM ids, unnest(range(0, 16)) tx(x), unnest(range(0, 16)) ty(y)
         |  WHERE m = 0),
-        |img_cells AS (
-        |  SELECT id, CAST(x * 9 // 16 AS INT) AS gx,
-        |    CAST(y * 8 // 16 AS INT) AS gy,
-        |    CAST(sum(r * 299 + g * 587 + b * 114) AS BIGINT) AS lsum,
-        |    CAST(count(*) AS BIGINT) AS n
-        |  FROM img_px GROUP BY 1, 2, 3),
-        |img_bits AS (
-        |  SELECT a.id, a.gy, a.gx,
-        |    CASE WHEN a.lsum * b.n > b.lsum * a.n THEN 1 ELSE 0 END AS bit
-        |  FROM img_cells a JOIN img_cells b
-        |    ON b.id = a.id AND b.gy = a.gy AND b.gx = a.gx + 1
-        |  WHERE a.gx < 8 AND a.gy * 8 + a.gx < 63),
+        |$imgdh,
         |img_fp AS (
         |  SELECT id, CAST(sum(CAST(bit AS BIGINT) << (gy * 8 + gx))
         |    AS BIGINT) AS fp
@@ -1152,15 +1179,10 @@ object CorpusOps {
         |  SELECT id, j,
         |    (((61 + 13 * c) * j + 3 * c) % 4096) - 2048 AS v
         |  FROM ids, unnest(range(0, 64)) t(j) WHERE m = 1),
-        |aud_coef AS (
-        |  SELECT id, k,
-        |    CAST(sum(v * (1 - 2 * (bit_count(CAST(j AS BIGINT) & k) % 2)))
-        |      AS BIGINT) AS cf
-        |  FROM aud_smp, unnest(range(0, 64)) u(k)
-        |  GROUP BY id, k),
+        |$audwht,
         |aud_fp AS (
         |  SELECT a.id,
-        |    CAST(sum(CASE WHEN abs(a.cf) > abs(b.cf)
+        |    CAST(sum(CASE WHEN abs(a.c) > abs(b.c)
         |      THEN CAST(1 AS BIGINT) << a.k ELSE 0 END) AS BIGINT) AS fp
         |  FROM aud_coef a JOIN aud_coef b ON b.id = a.id AND b.k = a.k + 1
         |  WHERE a.k < 63 GROUP BY a.id),
@@ -1175,21 +1197,11 @@ object CorpusOps {
         |  FROM ids, unnest([0, 2]) tf(f),
         |    unnest(range(0, 16)) tx(x), unnest(range(0, 16)) ty(y)
         |  WHERE m = 2),
-        |vid_cells AS (
-        |  SELECT id, f, CAST(x * 9 // 16 AS INT) AS gx,
-        |    CAST(y * 8 // 16 AS INT) AS gy,
-        |    CAST(sum(r * 299 + g * 587 + b * 114) AS BIGINT) AS lsum,
-        |    CAST(count(*) AS BIGINT) AS n
-        |  FROM vid_px GROUP BY 1, 2, 3, 4),
-        |vid_bits AS (
-        |  SELECT a.id, a.f, a.gy * 8 + a.gx AS k,
-        |    CASE WHEN a.lsum * b.n > b.lsum * a.n THEN 1 ELSE 0 END AS bt
-        |  FROM vid_cells a JOIN vid_cells b
-        |    ON b.id = a.id AND b.f = a.f AND b.gy = a.gy AND b.gx = a.gx + 1
-        |  WHERE a.gx < 8 AND a.gy * 8 + a.gx < 63),
+        |$viddh,
         |vid_maj AS (
-        |  SELECT id, k, CASE WHEN 2 * sum(bt) > 2 THEN 1 ELSE 0 END AS bit_v
-        |  FROM vid_bits GROUP BY id, k),
+        |  SELECT id, gy * 8 + gx AS k,
+        |    CASE WHEN 2 * sum(bit) > 2 THEN 1 ELSE 0 END AS bit_v
+        |  FROM vid_bits GROUP BY id, gy * 8 + gx),
         |vid_fp AS (
         |  SELECT id, CAST(sum(CAST(bit_v AS BIGINT) << k) AS BIGINT) AS fp
         |  FROM vid_maj GROUP BY id)
@@ -1205,7 +1217,10 @@ object CorpusOps {
         |LEFT JOIN img_fp ON img_fp.id = i.id
         |LEFT JOIN aud_fp ON aud_fp.id = i.id
         |LEFT JOIN vid_fp ON vid_fp.id = i.id
-        |ORDER BY event_id""".stripMargin)),
+        |ORDER BY event_id""".stripMargin
+        .replace("$imgdh", dhashBitsSql("img_px", "img_", frameKey = false))
+        .replace("$audwht", whtCoefSql("aud_smp", "aud_coef"))
+        .replace("$viddh", dhashBitsSql("vid_px", "vid_", frameKey = true)))),
 
     // mm16: REAL image resize — the feature-extraction step the
     // multimodal brief names explicitly: a 2x2 integer box-filter
@@ -1260,7 +1275,7 @@ object CorpusOps {
         |  CAST(sum(r2) AS BIGINT) AS sum_r2,
         |  CAST(sum(g2) AS BIGINT) AS sum_g2,
         |  CAST(sum(b2) AS BIGINT) AS sum_b2,
-        |  CAST(sum((r2 + g2 + b2) * (1 + ox + 7 * oy)) AS BIGINT) AS wsum,
+        |  CAST(sum((r2 + g2 + b2) * (1 + ox + 8 * oy)) AS BIGINT) AS wsum,
         |  TRUE AS ok
         |FROM boxes GROUP BY id ORDER BY event_id""".stripMargin)),
 
@@ -1483,12 +1498,7 @@ object CorpusOps {
         |  SELECT id, j,
         |    gain * (((step * (j * ch) + 3 * pid) % 4096) - 2048) AS v
         |  FROM ids, unnest(range(0, 64)) t(j)),
-        |coef AS (
-        |  SELECT id, k,
-        |    CAST(sum(v * (1 - 2 * (bit_count(CAST(j AS BIGINT) & k) % 2)))
-        |      AS BIGINT) AS c
-        |  FROM smp, unnest(range(0, 64)) u(k)
-        |  GROUP BY id, k),
+        |$wht,
         |sigs AS (
         |  SELECT a.id,
         |    CAST(sum(CASE WHEN abs(a.c) > abs(b.c)
@@ -1503,6 +1513,7 @@ object CorpusOps {
         |JOIN sigs sb ON sb.id = cands.id_b
         |WHERE bit_count(xor(sa.sig, sb.sig)) = 0
         |ORDER BY id_a, id_b""".stripMargin
+        .replace("$wht", whtCoefSql("smp", "coef"))
         .replace("$fpTail", fpBandCtesSql("sigs", "sig")))),
 
     // mm14: VIDEO near-dup dedup — per-sampled-frame dHash from REAL
@@ -1550,21 +1561,11 @@ object CorpusOps {
         |      + 3 * base + delta + 31 * f) % 256 AS b
         |  FROM ids, unnest([0, 2, 4]) tf(f),
         |    unnest(range(0, 16)) tx(x), unnest(range(0, 16)) ty(y)),
-        |cells AS (
-        |  SELECT id, f, CAST(x * 9 // 16 AS INT) AS gx,
-        |    CAST(y * 8 // 16 AS INT) AS gy,
-        |    CAST(sum(r * 299 + g * 587 + b * 114) AS BIGINT) AS lsum,
-        |    CAST(count(*) AS BIGINT) AS n
-        |  FROM px GROUP BY 1, 2, 3, 4),
-        |bits AS (
-        |  SELECT a.id, a.f, a.gy * 8 + a.gx AS k,
-        |    CASE WHEN a.lsum * b.n > b.lsum * a.n THEN 1 ELSE 0 END AS bt
-        |  FROM cells a JOIN cells b
-        |    ON b.id = a.id AND b.f = a.f AND b.gy = a.gy AND b.gx = a.gx + 1
-        |  WHERE a.gx < 8 AND a.gy * 8 + a.gx < 63),
+        |$viddh,
         |maj AS (
-        |  SELECT id, k, CASE WHEN 2 * sum(bt) > 3 THEN 1 ELSE 0 END AS bit_v
-        |  FROM bits GROUP BY id, k),
+        |  SELECT id, gy * 8 + gx AS k,
+        |    CASE WHEN 2 * sum(bit) > 3 THEN 1 ELSE 0 END AS bit_v
+        |  FROM bits GROUP BY id, gy * 8 + gx),
         |hashes AS (
         |  SELECT id, CAST(sum(CAST(bit_v AS BIGINT) << k) AS BIGINT) AS hash
         |  FROM maj GROUP BY id),
@@ -1576,6 +1577,7 @@ object CorpusOps {
         |JOIN hashes hb ON hb.id = cands.id_b
         |WHERE bit_count(xor(ha.hash, hb.hash)) <= 12
         |ORDER BY id_a, id_b""".stripMargin
+        .replace("$viddh", dhashBitsSql("px", "", frameKey = true))
         .replace("$fpTail", fpBandCtesSql("hashes", "hash"))))
   )
 }

@@ -310,6 +310,26 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("Heaps on a <10-doc corpus drops empty deciles instead of diverging") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 5 docs: cp_idx 1 lands at cp_doc = -1 — both engines must DROP
+    // that checkpoint (the oracle used to crash on ln(0) while Spark
+    // silently lost the row; review-caught parity edge)
+    val df = (0L until 5L).map(i => (i, s"alpha beta w$i gamma"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("heapstiny").toString
+    df.select($"doc_id", $"text", lit("en").as("lang"),
+        lit("spec").as("source"), length($"text").cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = CorpusOps.defs.find(_.name == "stats_heaps_law").get
+      .fn(spark, tmp).collect()
+    assert(rows.nonEmpty && rows.length < 10,
+      s"expected only the non-empty deciles, got ${rows.length}")
+    assert(rows.forall(_.getAs[Long]("cp_doc") >= 0))
+    assert(rows.forall(_.getAs[Long]("vocab_cum") > 0))
+  }
+
   test("Heaps checkpoints are monotone and end at the full corpus") {
     val rows = CorpusOps.defs.find(_.name == "stats_heaps_law").get
       .fn(spark, sfDir).collect()
