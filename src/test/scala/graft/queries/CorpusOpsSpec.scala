@@ -310,6 +310,62 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("contamination matrix flags a planted cross-source duplicate") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val leaked = (0 until 20).map(i => s"bench$i").mkString(" ")
+    val cleanA = (0 until 20).map(i => s"acorp$i").mkString(" ")
+    val cleanB = (0 until 20).map(i => s"bcorp$i").mkString(" ")
+    val df = Seq(
+      (0L, leaked, "crawl"), (1L, cleanA, "crawl"),
+      (2L, leaked, "benchmark"), (3L, cleanB, "books"))
+      .toDF("doc_id", "text", "source")
+    val tmp = java.nio.file.Files.createTempDirectory("contamspec").toString
+    df.select($"doc_id", $"text", lit("en").as("lang"), $"source",
+        length($"text").cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = CorpusOps.defs.find(_.name == "stats_contamination_matrix").get
+      .fn(spark, tmp).collect()
+      .map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")) ->
+        r.getAs[Double]("frac_of_a")).toMap
+    // the leaked benchmark doc: every one of its grams is inside crawl
+    assert(out(("benchmark", "crawl")) == 1.0,
+      s"planted leak must show full containment, got $out")
+    // disjoint-vocabulary sources share nothing: no row at all
+    assert(!out.contains(("benchmark", "books")) &&
+      !out.contains(("books", "crawl")))
+  }
+
+  test("curriculum keys: deciles are ordered by score and cover the corpus") {
+    val rows = CorpusOps.defs.find(_.name == "curriculum_quality_order").get
+      .fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // equal scores always share a decile (thresholds come from the
+    // cumulative histogram), so decile score ranges are strictly
+    // disjoint and ordered
+    val byDecile = rows.groupBy(_.getAs[Long]("decile"))
+      .map { case (d, rs) => d -> rs.map(_.getAs[Long]("score_milli")) }
+    for (d <- byDecile.keys; e <- byDecile.keys if d < e) {
+      assert(byDecile(d).max < byDecile(e).min,
+        s"decile $d overlaps decile $e in score")
+    }
+    // every doc gets exactly one key; keys are distinct
+    val keys = rows.map(_.getAs[String]("shuffle_key"))
+    assert(keys.distinct.length == keys.length)
+  }
+
+  test("seqlen coverage is monotone and saturates at full token survival") {
+    val rows = CorpusOps.defs.find(_.name == "stats_seqlen_coverage").get
+      .fn(spark, sfDir).collect().sortBy(_.getAs[Long]("max_len"))
+    val fits = rows.map(_.getAs[Long]("n_docs_fit"))
+    val kept = rows.map(_.getAs[Long]("toks_kept"))
+    assert(fits.sameElements(fits.sorted), "doc fits must be non-decreasing")
+    assert(kept.sameElements(kept.sorted), "kept tokens must be non-decreasing")
+    // fixture docs are well under 4096 tokens: the top row keeps everything
+    assert(rows.last.getAs[Double]("frac_toks_kept") == 1.0)
+    assert(rows.last.getAs[Double]("frac_docs_fit") == 1.0)
+  }
+
   test("Heaps on a <10-doc corpus drops empty deciles instead of diverging") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
