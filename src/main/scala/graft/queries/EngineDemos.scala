@@ -65,6 +65,29 @@ object EngineDemos {
   private def withDemoPartitions[T](sp: SparkSession, n: Int = 4)(f: => T): T =
     withScopedConf(sp, "spark.sql.shuffle.partitions", n.toString)(f)
 
+  /** Dedup horizon for the live-dedup demo family. Every streaming
+    * dedup below is state-BOUNDED: the dedup key lives in the state
+    * store only while the event-time watermark is within this horizon
+    * of the record's timestamp — after that the key is evicted, so on
+    * a forever tail the state size is proportional to the horizon's
+    * key arrival rate, not to the stream's lifetime. (The batch dedup
+    * family needs no such bound; a batch scan ends.) The demos' pinned
+    * clocks (1000/2000 ms) sit far inside one horizon, so eviction
+    * never fires mid-demo and the expected outputs stay exact;
+    * StreamDedupStateSpec drives the clock PAST the horizon and pins
+    * the eviction behavior (bounded state, in-horizon dups still
+    * drop). */
+  private val DedupHorizon = "1 hour"
+
+  /** The one shared rule for bounded streaming dedup: requires an
+    * `ev_ts` TIMESTAMP column (derive with `timestamp_millis(
+    * timestamp)` from the source's ms-clock LONG), watermarks it at
+    * [[DedupHorizon]], and deduplicates on `keys` with
+    * watermark-bounded state. */
+  private def dedupWithinHorizon(df: DataFrame, keys: String*): DataFrame =
+    df.withWatermark("ev_ts", DedupHorizon)
+      .dropDuplicatesWithinWatermark(keys.toSeq)
+
   def defs: Seq[QueryDef] = Seq(
 
     // A4 — match_seq_num CAS (streamer.rs:352-359)
@@ -451,10 +474,10 @@ object EngineDemos {
     // second run replays bodies already seen in the first ("c", "a")
     // and must emit only the genuinely new "d": both the source's
     // resume offset AND the dedup state survive the restart. At scale
-    // the state is hash-partitioned by key across executors; a real
-    // pipeline bounds it with a watermark on the record timestamp —
-    // the synthetic bodies here are tiny and unbounded retention keeps
-    // the check deterministic.
+    // the state is hash-partitioned by key across executors and
+    // BOUNDED by the record-timestamp watermark (dedupWithinHorizon)
+    // — keys older than the horizon are evicted, so a forever tail
+    // holds only one horizon's worth of keys in state.
     demo("e2e_stream_dedup", Seq(
       "first_run_distinct" -> "a,b,c",
       "second_run_new" -> "d",
@@ -464,11 +487,13 @@ object EngineDemos {
         AppendInput(Seq(rec("a"), rec("b"), rec("a"), rec("c"),
           rec("b"), rec("a"))), Some(1000))
       def run(): Seq[String] = {
-        val q = sp.readStream.format("graft-stream")
+        val src = sp.readStream.format("graft-stream")
           .option("root", st.root).option("basin", "demo-basin1")
           .option("stream", "sd").load()
-          .selectExpr("CAST(body AS STRING) AS body")
-          .dropDuplicates("body")
+          .selectExpr("CAST(body AS STRING) AS body",
+            "timestamp_millis(timestamp) AS ev_ts")
+        val q = dedupWithinHorizon(src, "body")
+          .select("body")
           .writeStream.format("parquet")
           .option("path", s"${st.root}/_sdsink")
           .option("checkpointLocation", s"${st.root}/_sdckpt")
@@ -520,13 +545,16 @@ object EngineDemos {
         Some(1000))
       def run(): Seq[String] = {
         import sp.implicits._
-        val q = sp.readStream.format("graft-stream")
+        val src = sp.readStream.format("graft-stream")
           .option("root", st.root).option("basin", "demo-basin1")
           .option("stream", "sn").load()
-          .selectExpr("CAST(body AS STRING) AS body")
-          .as[String].map(CurationOps.nfcClean)
-          .toDF("clean")
-          .dropDuplicates("clean")
+          .selectExpr("CAST(body AS STRING) AS body",
+            "timestamp_millis(timestamp) AS ev_ts")
+          .as[(String, java.sql.Timestamp)]
+          .map { case (b, t) => (CurationOps.nfcClean(b), t) }
+          .toDF("clean", "ev_ts")
+        val q = dedupWithinHorizon(src, "clean")
+          .select("clean")
           .writeStream.format("parquet")
           .option("path", s"${st.root}/_snsink")
           .option("checkpointLocation", s"${st.root}/_snckpt")
@@ -577,14 +605,17 @@ object EngineDemos {
         EnvelopeRecord(Nil, img(2)),
         EnvelopeRecord(Nil, img(3)))), Some(1000))
       def run(): Seq[Long] = {
-        val q = Multimodal.decodeBmpDHash(
+        // the decoder's passthrough id column carries the record's
+        // ms clock so the perceptual key can be watermark-bounded
+        val src = Multimodal.decodeBmpDHash(
             sp.readStream.format("graft-stream")
               .option("root", st.root).option("basin", "demo-basin1")
               .option("stream", "img").load()
-              .selectExpr("seq_num", "body"),
-            "body", "seq_num")
+              .selectExpr("timestamp", "body"),
+            "body", "timestamp")
           .where(org.apache.spark.sql.functions.col("ok"))
-          .dropDuplicates("hash")
+          .selectExpr("hash", "timestamp_millis(timestamp) AS ev_ts")
+        val q = dedupWithinHorizon(src, "hash")
           .select("hash")
           .writeStream.format("parquet")
           .option("path", s"${st.root}/_imgsink")
@@ -641,13 +672,15 @@ object EngineDemos {
         EnvelopeRecord(Nil, aud(5, 4)),        // volume-regraded copy
         EnvelopeRecord(Nil, "junk!".getBytes))), Some(1000))
       def run(): Seq[(String, Long)] = {
-        val q = Multimodal.decodeRoutedFingerprint(
+        val src = Multimodal.decodeRoutedFingerprint(
             sp.readStream.format("graft-stream")
               .option("root", st.root).option("basin", "demo-basin1")
               .option("stream", "mx").load()
-              .selectExpr("seq_num", "body"),
-            "body", "seq_num", videoSampleEvery = 2)
-          .dropDuplicates("modality", "fp")
+              .selectExpr("timestamp", "body"),
+            "body", "timestamp", videoSampleEvery = 2)
+          .selectExpr("modality", "fp",
+            "timestamp_millis(timestamp) AS ev_ts")
+        val q = dedupWithinHorizon(src, "modality", "fp")
           .selectExpr("modality", "fp")
           .writeStream.format("parquet")
           .option("path", s"${st.root}/_mxsink")
@@ -689,8 +722,8 @@ object EngineDemos {
     // dedup would keep it), and it must be dropped ACROSS A RESTART,
     // proving the signature state lives in the checkpointed state
     // store. At 100 TB the state is hash-partitioned by band key
-    // across executors and a real pipeline bounds it with a
-    // watermark; tiny demo bodies keep unbounded retention exact.
+    // across executors and BOUNDED by the dedupWithinHorizon
+    // watermark — only one horizon's worth of band keys is retained.
     demo("e2e_stream_dedup_minhash", Seq(
       "first_run_kept" -> "a b c a b c|alpha one two three four|papa q r s t",
       "second_run_new" -> "zulu fresh doc here",
@@ -703,18 +736,19 @@ object EngineDemos {
       val bandExprs = (0 until 4).map(b =>
         s"md5(concat_ws('|', h${4 * b}, h${4 * b + 1}, h${4 * b + 2}, h${4 * b + 3})) AS b$b")
       def run(): Seq[String] = {
-        val q = sp.readStream.format("graft-stream")
+        val src = sp.readStream.format("graft-stream")
           .option("root", st.root).option("basin", "demo-basin1")
           .option("stream", "sm").load()
-          .selectExpr("CAST(body AS STRING) AS body")
-          .selectExpr("body", "split(body, ' ') AS w")
-          .selectExpr("body",
+          .selectExpr("CAST(body AS STRING) AS body",
+            "timestamp_millis(timestamp) AS ev_ts")
+          .selectExpr("body", "ev_ts", "split(body, ' ') AS w")
+          .selectExpr("body", "ev_ts",
             """array_distinct(transform(sequence(1, size(w) - 2),
                i -> concat(element_at(w, i), ' ', element_at(w, i + 1),
                  ' ', element_at(w, i + 2)))) AS sh""")
-          .selectExpr(Seq("body") ++ minExprs: _*)
-          .selectExpr(Seq("body") ++ bandExprs: _*)
-          .dropDuplicates("b0", "b1", "b2", "b3")
+          .selectExpr(Seq("body", "ev_ts") ++ minExprs: _*)
+          .selectExpr(Seq("body", "ev_ts") ++ bandExprs: _*)
+        val q = dedupWithinHorizon(src, "b0", "b1", "b2", "b3")
           .select("body")
           .writeStream.format("parquet")
           .option("path", s"${st.root}/_smsink")
@@ -755,8 +789,9 @@ object EngineDemos {
     // after a checkpoint restart and must still be dropped — the
     // canonical key lives in the checkpointed state store, proving
     // dedup state survives spelling churn AND restarts. At 100 TB
-    // the state is hash-partitioned by canonical key and bounded by
-    // a watermark in production; the tiny demo keeps it exact.
+    // the state is hash-partitioned by canonical key and BOUNDED by
+    // the dedupWithinHorizon watermark (a crawl frontier's natural
+    // revisit horizon); the demo's pinned clocks stay inside it.
     demo("e2e_stream_url_dedup", Seq(
       "first_run_pages" -> "pageA,pageB",
       "second_run_new" -> "pageC",
@@ -765,13 +800,14 @@ object EngineDemos {
       st.catalog.createStream("demo-basin1", "ud")
       def page(c: String) = s"https://www.site.example.com/p/$c"
       def run(): Seq[String] = {
-        val q = sp.readStream.format("graft-stream")
+        val src = sp.readStream.format("graft-stream")
           .option("root", st.root).option("basin", "demo-basin1")
           .option("stream", "ud").load()
-          .selectExpr("CAST(body AS STRING) AS raw")
-          .selectExpr("raw",
+          .selectExpr("CAST(body AS STRING) AS raw",
+            "timestamp_millis(timestamp) AS ev_ts")
+          .selectExpr("ev_ts",
             s"${CurationOps.canonUrlExpr("raw")} AS canon")
-          .dropDuplicates("canon")
+        val q = dedupWithinHorizon(src, "canon")
           .select("canon")
           .writeStream.format("parquet")
           .option("path", s"${st.root}/_udsink")
