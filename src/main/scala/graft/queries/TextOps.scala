@@ -36,8 +36,52 @@ object TextOps {
     base.unionAll(exact).unionAll(near)
   }
 
-  /** Distinct word-3-gram shingles per doc (1-based indexing to mirror
-    * the DuckDB formulation).
+  /** Space-free near-dup fixture: the docsAug pattern re-expressed in
+    * a script WITHOUT word boundaries — every doc is `text` with all
+    * spaces removed (one giant "token" per doc, the whitespace
+    * tokenizer's worst case), near-dups append a CJK tail so the
+    * multi-byte codepoint-slicing parity between engines is exercised
+    * too. Word-3-gram shingling is structurally blind here (no doc
+    * has 3 tokens); the char-5-gram fallback in [[shingles]] is what
+    * makes dedup see. */
+  private def docsSpaceless(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).where(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), regexp_replace(col("text"), " ", "").as("text"))
+    val near = base.where(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 2000000).as("doc_id"),
+        concat(col("text"), lit("尾部追加的字")).as("text"))
+    base.unionAll(near)
+  }
+
+  /** DuckDB mirror of [[docsSpaceless]], NAMED `docs_aug` so the
+    * shared [[ShinglesCte]] chain applies to it unchanged. */
+  private val SpacelessCte =
+    """docs_aug AS (
+      |  SELECT doc_id, replace(text, ' ', '') AS text
+      |  FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000,
+      |    replace(text, ' ', '') || '尾部追加的字'
+      |  FROM documents WHERE doc_id % 7 = 0 AND doc_id % 3 = 0
+      |)""".stripMargin
+
+  /** A doc whose chars-per-whitespace-token average exceeds this is
+    * treated as space-free script (CJK/Thai or pathological "words")
+    * and shingled by characters instead of words. */
+  private[graft] val SpaceFreeAvgTokLen = 20
+
+  /** Distinct shingles per doc — the ONE tokenization rule of the
+    * whole shingle-based dedup family (ngram-jaccard, prefix-filter,
+    * minhash-LSH, containment, incremental index, HLL/estimator
+    * audits): word 3-grams for spaced text, with a CHARACTER-5-GRAM
+    * FALLBACK for docs whose whitespace tokenization is degenerate
+    * (under 3 tokens, or average token length above
+    * [[SpaceFreeAvgTokLen]] chars — a CJK corpus is one "token" per
+    * doc). Without the fallback such docs produce an EMPTY shingle
+    * set and every dedup is silently blind to them. 1-based indexing
+    * mirrors the DuckDB formulation ([[ShinglesCte]] — keep the two
+    * in lockstep); both engines slice strings by codepoint, so
+    * multi-byte scripts hash identically across engines.
     */
   private[graft] def shingles(df: DataFrame): DataFrame = {
     // Materialize the token array in its own projection: referencing
@@ -45,13 +89,17 @@ object TextOps {
     // the split per element_at call (3x per shingle) — a projection
     // boundary makes it a per-row local.
     val w = col("w")
-    df.select(col("doc_id"), split(col("text"), " ").as("w"))
+    val t = col("text")
+    df.select(col("doc_id"), col("text"), split(col("text"), " ").as("w"))
       .select(col("doc_id"),
         explode(array_distinct(
-          when(size(w) >= 3,
+          when(size(w) >= 3 && length(t) <= lit(SpaceFreeAvgTokLen) * size(w),
             transform(sequence(lit(1), size(w) - 2),
               i => concat_ws(" ", element_at(w, i), element_at(w, i + 1),
                              element_at(w, i + 2))))
+          .when(length(t) >= 5,
+            transform(sequence(lit(1), length(t) - 4),
+              i => t.substr(i, lit(5))))
           .otherwise(array().cast(ArrayType(StringType))))).as("sh"))
   }
 
@@ -69,12 +117,20 @@ object TextOps {
       |  FROM documents WHERE doc_id % 13 = 0
       |)""".stripMargin
 
+  /** DuckDB mirror of [[shingles]] (identical word/char branch rule;
+    * DuckDB `range` is end-exclusive where Spark `sequence` is
+    * inclusive, hence the off-by-one bounds). */
   private[queries] val ShinglesCte =
-    """shingles AS (
+    s"""shingles AS (
       |  SELECT doc_id, unnest(list_distinct(
-      |    list_transform(range(1, len(w) - 1),
-      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM docs_aug)
+      |    CASE WHEN len(w) >= 3 AND length(text) <= $SpaceFreeAvgTokLen * len(w)
+      |      THEN list_transform(range(1, len(w) - 1),
+      |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+      |      WHEN length(text) >= 5
+      |      THEN list_transform(range(1, length(text) - 3),
+      |        i -> substr(text, i, 5))
+      |      ELSE []::VARCHAR[] END)) AS sh
+      |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM docs_aug)
       |)""".stripMargin
 
   private[queries] val ShingleCountsCte =
@@ -697,6 +753,23 @@ object TextOps {
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b"),
       Some(s"""WITH $DocsAugCte, $ShinglesCte, $ShingleCountsCte
+        |$JaccardSelect
+        |WHERE round(CAST(common AS DOUBLE) / (na.n_sh + nb.n_sh - common), 6) >= 0.6
+        |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // The char-5-gram fallback given teeth: the same exact-jaccard
+    // near-dup query over a SPACE-FREE corpus (docsSpaceless — every
+    // doc one giant token, the shape a CJK/Thai crawl hands the
+    // whitespace tokenizer). The word-3-gram path would return ZERO
+    // rows here; the fallback finds every planted near-dup pair, and
+    // the DuckDB oracle re-derives the same pairs through the shared
+    // ShinglesCte — including multi-byte codepoint slicing parity.
+    QueryDef("dedup_charngram",
+      (s, d) => jaccardPairs(shingles(docsSpaceless(s, d)))
+        .where(col("jaccard") >= 0.6)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b"),
+      Some(s"""WITH $SpacelessCte, $ShinglesCte, $ShingleCountsCte
         |$JaccardSelect
         |WHERE round(CAST(common AS DOUBLE) / (na.n_sh + nb.n_sh - common), 6) >= 0.6
         |ORDER BY doc_a, doc_b""".stripMargin)),

@@ -44,6 +44,9 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     "dedup_exact" -> 1,
     "dedup_url" -> 2,
     "dedup_minhash_lsh" -> 5,
+    // shingle-group + pair agg + two count joins (one broadcasts at
+    // this SF) + the final orderBy-side exchange
+    "dedup_charngram" -> 5,
     "dedup_near_edit" -> 2,     // 0 when the block join broadcasts
     "dedup_containment" -> 4,
     "text_keyphrase_tfidf" -> 4,

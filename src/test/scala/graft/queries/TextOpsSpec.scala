@@ -145,4 +145,54 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(h >= 0.0 && h <= math.log(nd) / math.log(2.0) + 1e-6, s"$r")
     }
   }
+
+  test("char-5-gram fallback: spaced text byte-identical to the legacy " +
+    "word-3-gram rule; space-free text gets char shingles") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val d = graft.TestData.requireSf("sf0.001")
+
+    // 1. The whitespace path is UNCHANGED: over the real (spaced)
+    // corpus the adaptive rule reproduces the legacy word-3-gram-only
+    // shingle multiset exactly — the fallback may only ever ADD
+    // coverage for degenerate docs, never perturb spaced text.
+    val spaced = spark.read.parquet(s"$d/documents.parquet")
+      .select("doc_id", "text")
+    val w = col("w")
+    val legacy = spaced
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(array_distinct(
+        when(size(w) >= 3,
+          transform(sequence(lit(1), size(w) - 2),
+            i => concat_ws(" ", element_at(w, i), element_at(w, i + 1),
+                           element_at(w, i + 2))))
+        .otherwise(array().cast(ArrayType(StringType))))).as("sh"))
+    val adaptive = TextOps.shingles(spaced)
+    assert(adaptive.exceptAll(legacy).isEmpty && legacy.exceptAll(adaptive).isEmpty,
+      "adaptive shingles diverged from the legacy word-3-gram rule on spaced text")
+
+    // 2. The fallback branches, pinned doc by doc:
+    val fx = spark.createDataFrame(Seq(
+      (1L, "abcdefg"),          // one token, 7 chars -> 3 char-5-grams
+      (2L, "中文的测试文本"),     // space-free CJK, 7 codepoints -> 3
+      (3L, "hi"),               // 2 chars: too short for either -> empty
+      (4L, "a b"),              // 2 tokens, 3 chars -> empty
+      (5L, "aaaaaaaaa bbbbbbbbbbbbb cccccccccccccccccccccccccccccccccccc"),
+      // ^ 3 tokens but 60 chars = avg 20/token -> still the word path
+      (6L, "xxxxxxxxxxxxxxxxxxxxx yyyyyyyyyyyyyyyyyyyyy zzzzzzzzzzzzzzzzzzzzz")
+      // ^ 3 tokens, 65 chars = avg > 20/token -> char path
+    )).toDF("doc_id", "text")
+    val got = TextOps.shingles(fx).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(got(1L) == Seq("abcde", "bcdef", "cdefg"))
+    assert(got(2L) == Seq("中文的测试", "文的测试文", "的测试文本"),
+      s"CJK codepoint slicing broke: ${got(2L)}")
+    assert(!got.contains(3L) && !got.contains(4L))
+    assert(got(5L) ==
+      Seq("aaaaaaaaa bbbbbbbbbbbbb cccccccccccccccccccccccccccccccccccc"))
+    // 13 DISTINCT grams: xxxxx/yyyyy/zzzzz + 5 boundary grams per gap
+    assert(got(6L).forall(_.length == 5) && got(6L).size == 13,
+      s"avg-token-length gate missed the char path: ${got(6L).take(3)}")
+  }
 }
