@@ -16,10 +16,12 @@ import org.apache.spark.sql.functions._
   * (`ImageIoPixelDecoder` — the JDK ships those ImageIO readers).
   * Video frame extraction is REAL for uncompressed AVI
   * (`AviFrameDecoder` — RIFF walk, every-Nth-frame sampling,
-  * per-frame DIB pixel decode); only CODEC-compressed video (H.264
-  * etc.), which genuinely needs ffmpeg (absent from the JVM), stays
-  * behind the clearly-marked `FakeVideoFrameDecoder` — swap it for a
-  * JNI/javacv decoder and nothing else changes.
+  * per-frame DIB pixel decode) AND for MJPEG AVI
+  * (`MjpegFrameDecoder` — every movi chunk a standalone JPEG through
+  * the same ImageIO reader), so compressed video decode is honest
+  * too. Inter-frame codecs (H.264 etc.) genuinely need ffmpeg
+  * (absent from the JVM) and surface as `ok = false`, never a fake
+  * answer.
   *
   * Scale notes: decode runs via `mapPartitions` so per-partition
   * decoder init is amortized (the Scala analog of `mapInPandas`
@@ -100,24 +102,6 @@ object Multimodal {
       }
 
       bad
-    }
-  }
-
-  /** STUB frame decoder for VIDEO only — deterministic from bytes;
-    * stands in for ffmpeg (genuinely absent from the JVM). Still
-    * images do NOT go through this: PNG/JPEG/GIF/BMP full-pixel
-    * decode is real (`ImageIoPixelDecoder` below — the JDK ships
-    * those ImageIO readers).
-    */
-  final class FakeVideoFrameDecoder {
-    def decode(bytes: Array[Byte]): MediaMeta = {
-      if (bytes == null || bytes.isEmpty)
-        MediaMeta(0, "unknown", 0, 0, ok = false)
-      else {
-        val n = bytes.length.toLong
-        MediaMeta(n, "frame",
-          (32 + (n * 7) % 64).toInt, (32 + (n * 13) % 64).toInt, ok = true)
-      }
     }
   }
 
@@ -1168,8 +1152,10 @@ object Multimodal {
   // is the one mainstream video container whose uncompressed form
   // ('00db' chunks of raw bottom-up BGR DIBs) needs no codec library,
   // so frame sampling + per-frame pixel stats are honestly computable
-  // pure-JVM. Codec-compressed video (H.264 etc.) still needs ffmpeg
-  // and stays behind FakeVideoFrameDecoder.
+  // pure-JVM. MJPEG AVI is additionally decodable pure-JVM
+  // (MjpegFrameDecoder below — each chunk is a standalone JPEG for
+  // the JDK's ImageIO reader); inter-frame codecs (H.264 etc.) still
+  // need ffmpeg and come back ok=false.
   // -------------------------------------------------------------------------
 
   /** Exact integer per-frame pixel statistics (same stat set as
@@ -1206,7 +1192,14 @@ object Multimodal {
     * bounded dims), and the `movi` extent. None = malformed.
     */
   private[extras] object AviHeader {
-    final case class Info(w: Int, h: Int, moviStart: Int, moviEnd: Int)
+    /** `codec` is "dib" (raw 24-bit BI_RGB bottom-up DIB frames) or
+      * "mjpg" (each movi chunk a standalone JPEG — the one COMPRESSED
+      * video form decodable with the JDK's own ImageIO JPEG reader,
+      * no ffmpeg). */
+    final case class Info(w: Int, h: Int, moviStart: Int, moviEnd: Int,
+                          codec: String)
+    /** 'MJPG' as a little-endian BITMAPINFOHEADER biCompression. */
+    private val MjpgFourcc = 0x47504A4D
     private def le16(b: Array[Byte], i: Int): Int =
       (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
     private def le32(b: Array[Byte], i: Int): Int =
@@ -1221,7 +1214,7 @@ object Multimodal {
       if (n < 24 || !tag(bytes, 0, "RIFF") || !tag(bytes, 8, "AVI "))
         return None
       val riffEnd = math.min(n.toInt, 8 + le32(bytes, 4))
-      var w = 0; var h = 0
+      var w = 0; var h = 0; var codec = ""
       var i = 12
       var moviStart = -1; var moviEnd = -1
       while (i + 8 <= riffEnd) {
@@ -1253,11 +1246,15 @@ object Multimodal {
                     val bits = le16(bytes, k + 8 + 14)
                     val comp = le32(bytes, k + 8 + 16)
                     // DIB frames are bottom-up (bh > 0) 24-bit BI_RGB;
-                    // dims are attacker-controlled — bound well under
+                    // MJPG chunks carry their own dims in the JPEG.
+                    // Dims are attacker-controlled — bound well under
                     // sqrt(Int.Max) before any stride multiplication.
                     if (bw <= 0 || bh <= 0 || bw > (1 << 14) ||
-                        bh > (1 << 14) || bits != 24 || comp != 0)
+                        bh > (1 << 14))
                       return None
+                    if (bits == 24 && comp == 0) codec = "dib"
+                    else if (comp == MjpgFourcc) codec = "mjpg"
+                    else return None
                     w = bw; h = bh
                   }
                   k += 8 + ek + (ek & 1) // RIFF chunks are word-aligned
@@ -1272,7 +1269,7 @@ object Multimodal {
         i += 8 + ck + (ck & 1)
       }
       if (w == 0 || moviStart < 0) None
-      else Some(Info(w, h, moviStart, moviEnd))
+      else Some(Info(w, h, moviStart, moviEnd, codec))
     }
   }
 
@@ -1292,6 +1289,7 @@ object Multimodal {
         case None => return bad
         case Some(v) => v
       }
+      if (info.codec != "dib") return bad // MJPEG -> MjpegFrameDecoder
       val w = info.w; val h = info.h
       val moviStart = info.moviStart; val moviEnd = info.moviEnd
       val stride = ((w * 3 + 3) / 4) * 4
@@ -1338,6 +1336,95 @@ object Multimodal {
     }
   }
 
+  /** One sampled MJPEG frame: the JPEG's own decoded dims plus a
+    * coarse mean-luma bucket (mean over all pixels, quantized to
+    * 40-level bins). JPEG decode is lossy, so per-pixel sums are not
+    * oracle arithmetic — but dims are exact and a solid-tone frame's
+    * mean luma lands within ±2 of the encoded tone, far inside a
+    * 40-wide bucket, so the bucket IS tolerance-free cross-engine
+    * arithmetic.
+    */
+  final case class MjpegFrame(frameIdx: Int, frameW: Int, frameH: Int,
+                              lumaBucket: Int)
+
+  final case class MjpegFrames(
+      byteLen: Long, width: Int, height: Int, nFrames: Int,
+      frames: Seq[MjpegFrame], ok: Boolean)
+
+  /** REAL codec-compressed video frame decode, pure JVM: MJPEG-in-AVI
+    * ('MJPG' biCompression), where every `00dc` movi chunk is a
+    * STANDALONE JPEG — the JDK's own ImageIO JPEG reader decodes it,
+    * no ffmpeg. Same two-pass shape as AviFrameDecoder: AviHeader
+    * walks the container once, then every `sampleEvery`-th chunk is
+    * sliced and handed to ImageIO; unsampled frames cost one
+    * chunk-header skip, no decode. Malformed containers, non-MJPEG
+    * codecs, and undecodable chunk bytes come back `ok = false`,
+    * never an exception. This retires the last multimodal stub: with
+    * it, image (BMP/PNG/GIF/JPEG), audio (WAV/AIFF) and video
+    * (DIB-AVI, MJPEG-AVI) all decode real payloads.
+    */
+  final class MjpegFrameDecoder(sampleEvery: Int) {
+    require(sampleEvery >= 1)
+    javax.imageio.ImageIO.setUseCache(false)
+    private def le32(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+        ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+    private def tag(b: Array[Byte], i: Int, t: String): Boolean =
+      b(i) == t(0).toByte && b(i + 1) == t(1).toByte &&
+        b(i + 2) == t(2).toByte && b(i + 3) == t(3).toByte
+
+    def decode(bytes: Array[Byte]): MjpegFrames = {
+      val n = if (bytes == null) 0L else bytes.length.toLong
+      def bad = MjpegFrames(n, 0, 0, 0, Nil, ok = false)
+      val info = AviHeader.parse(bytes) match {
+        case None => return bad
+        case Some(v) => v
+      }
+      if (info.codec != "mjpg") return bad
+      var frameIdx = 0
+      val out = Seq.newBuilder[MjpegFrame]
+      var p = info.moviStart
+      while (p + 8 <= info.moviEnd) {
+        val ck = le32(bytes, p + 4)
+        if (ck < 0 || p + 8 + ck > info.moviEnd) return bad
+        if (tag(bytes, p, "00dc") || tag(bytes, p, "00db")) {
+          if (frameIdx % sampleEvery == 0) {
+            try {
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytes, p + 8, ck))
+              if (img == null) return bad
+              val fw = img.getWidth; val fh = img.getHeight
+              if (fw <= 0 || fh <= 0 || fw > (1 << 14) || fh > (1 << 14))
+                return bad
+              var lsum = 0L
+              val row = new Array[Int](fw)
+              var y = 0
+              while (y < fh) {
+                img.getRGB(0, y, fw, 1, row, 0, fw)
+                var x = 0
+                while (x < fw) {
+                  val rgb = row(x)
+                  lsum += (((rgb >> 16) & 0xff) * 299 +
+                    ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+                  x += 1
+                }
+                y += 1
+              }
+              val mean = (lsum / (fw.toLong * fh)).toInt
+              out += MjpegFrame(frameIdx, fw, fh, (mean + 20) / 40)
+            } catch {
+              case scala.util.control.NonFatal(_) => return bad
+            }
+          }
+          frameIdx += 1
+        }
+        p += 8 + ck + (ck & 1)
+      }
+      if (frameIdx == 0) bad
+      else MjpegFrames(n, info.w, info.h, frameIdx, out.result(), ok = true)
+    }
+  }
+
   /** Clip-level perceptual hash: per-sampled-frame dHash (identical
     * 9x8-grid integer rules as BmpDHashDecoder), then a MAJORITY vote
     * per bit across the sampled frames — the standard way a clip
@@ -1363,6 +1450,7 @@ object Multimodal {
         case None => return bad
         case Some(v) => v
       }
+      if (info.codec != "dib") return bad // MJPEG -> MjpegFrameDecoder
       val w = info.w; val h = info.h
       if (w < 9 || h < 8) return bad
       val stride = ((w * 3 + 3) / 4) * 4
@@ -1721,6 +1809,63 @@ object Multimodal {
       buf.array()
     }
 
+    /** A VALID MJPEG AVI: same RIFF skeleton as `aviDib` but the
+      * stream fourcc / biCompression are 'MJPG' and every `00dc`
+      * chunk is a standalone JDK-ImageIO-encoded JPEG. Frame f is a
+      * SOLID gray of tone 40 + 40*((id+f)%5): solid tones survive
+      * lossy JPEG within ±2 luma levels, so the decoder's 40-wide
+      * luma bucket (= 1 + (id+f)%5) is exact oracle arithmetic while
+      * the bytes are genuine compressed video.
+      */
+    def aviMjpeg(w: Int, h: Int, nFrames: Int, id: Long): Array[Byte] = {
+      import java.nio.{ByteBuffer, ByteOrder}
+      val jpegs = (0 until nFrames).map { f =>
+        val tone = (40 + 40 * ((id + f) % 5)).toInt
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        val g2 = img.createGraphics()
+        g2.setColor(new java.awt.Color(tone, tone, tone))
+        g2.fillRect(0, 0, w, h); g2.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", bos)
+        bos.toByteArray
+      }
+      val moviSize = 4 + jpegs.map(j => 8 + j.length + (j.length & 1)).sum
+      val hdrlSize = 4 + (8 + 56) + (8 + 116)
+      val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+      val buf = ByteBuffer.allocate(8 + riffSize).order(ByteOrder.LITTLE_ENDIAN)
+      def fourcc(t: String): Unit = buf.put(t.getBytes("US-ASCII"))
+      fourcc("RIFF"); buf.putInt(riffSize); fourcc("AVI ")
+      fourcc("LIST"); buf.putInt(hdrlSize); fourcc("hdrl")
+      fourcc("avih"); buf.putInt(56)
+      buf.putInt(40000)            // usec/frame (25 fps)
+        .putInt(0).putInt(0).putInt(0)
+        .putInt(nFrames).putInt(0).putInt(1).putInt(0)
+        .putInt(w).putInt(h)
+        .putInt(0).putInt(0).putInt(0).putInt(0)
+      fourcc("LIST"); buf.putInt(116); fourcc("strl")
+      fourcc("strh"); buf.putInt(56)
+      fourcc("vids"); fourcc("MJPG")
+      buf.putInt(0).putInt(0).putInt(0)
+        .putInt(1).putInt(25)      // scale=1, rate=25
+        .putInt(0).putInt(nFrames).putInt(0)
+        .putInt(-1).putInt(0)      // quality, sampleSize
+        .putShort(0.toShort).putShort(0.toShort)
+        .putShort(w.toShort).putShort(h.toShort) // rcFrame
+      fourcc("strf"); buf.putInt(40)
+      buf.putInt(40).putInt(w).putInt(h)
+        .putShort(1.toShort).putShort(24.toShort)
+        .putInt(0x47504A4D)        // biCompression = 'MJPG'
+        .putInt(0)                 // biSizeImage (variable for MJPEG)
+        .putInt(0).putInt(0).putInt(0).putInt(0)
+      fourcc("LIST"); buf.putInt(moviSize); fourcc("movi")
+      jpegs.foreach { j =>
+        fourcc("00dc"); buf.putInt(j.length); buf.put(j)
+        if ((j.length & 1) == 1) buf.put(0.toByte) // RIFF word align
+      }
+      buf.array()
+    }
+
     /** `aviDib` with the QUADRATIC pixel family of ImageBytes.bmpQuad
       * (per-clip curvature => structurally distinct clips; uniform
       * `delta` => a brightness regrade dHash should absorb) plus the
@@ -1814,6 +1959,31 @@ object Multimodal {
       .toDF(idCol, "byte_len", "width", "height", "n_frames", "frame_idx",
         "sum_r", "sum_g", "sum_b", "luma0", "luma1", "luma2", "luma3",
         "corner_r", "ok")
+  }
+
+  /** Decode a binary column of MJPEG AVIs into one row per SAMPLED
+    * frame (container dims, frame count, per-frame JPEG dims + luma
+    * bucket); ok=false marker rows (frame_idx = -1) for undecodable
+    * blobs. No byte_len column on purpose: JPEG payload sizes are
+    * encoder-dependent, not oracle arithmetic.
+    */
+  def decodeMjpegFrames(df: DataFrame, binaryCol: String, idCol: String,
+                        sampleEvery: Int): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(binaryCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val dec = new MjpegFrameDecoder(sampleEvery)
+        it.flatMap { case (id, bytes) =>
+          val r = dec.decode(bytes)
+          if (!r.ok) Iterator((id, 0, 0, 0, -1, 0, 0, 0, false))
+          else r.frames.iterator.map(f =>
+            (id, r.width, r.height, r.nFrames, f.frameIdx,
+              f.frameW, f.frameH, f.lumaBucket, true))
+        }
+      }
+      .toDF(idCol, "width", "height", "n_frames", "frame_idx",
+        "frame_w", "frame_h", "luma_bucket", "ok")
   }
 
   // -------------------------------------------------------------------------

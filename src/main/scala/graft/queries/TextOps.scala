@@ -1249,6 +1249,55 @@ object TextOps {
         |  CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
         |  CAST(0 AS BIGINT), 0 AS corner_r, FALSE AS ok
         |FROM ids WHERE id % 8 = 7
+        |ORDER BY event_id, frame_idx""".stripMargin)),
+
+    // COMPRESSED video frame decode, pure JVM — the last multimodal
+    // stub retired: MJPEG-in-AVI, where every `00dc` movi chunk is a
+    // standalone JPEG decoded by the JDK's own ImageIO reader.
+    // JPEG is lossy, so the oracle pins what survives lossy decode
+    // tolerance-free: container dims, frame count, sampled frame
+    // indices, the JPEG's own decoded dims, and a 40-wide mean-luma
+    // bucket (solid-tone fixture frames decode within ±2 levels, far
+    // inside the bucket). Every 8th input is garbage and must surface
+    // as an ok=false marker row, never an exception. Scale shape:
+    // same as mm9 — unsampled frames cost one chunk-header skip (no
+    // JPEG decode), only stats rows shuffle.
+    QueryDef("mm18_mjpeg_frames",
+      (s, d) => {
+        import s.implicits._
+        val ids = Records.events(s, d)
+          .select(col("event_id").cast(LongType)).as[Long]
+          .filter(_ < 120)
+        val blobs = ids.map { id =>
+          if (id % 8 == 7) (id, s"garbage-$id".getBytes("UTF-8"))
+          else {
+            val w = (16 + (id % 3) * 8).toInt
+            val h = (16 + (id % 2) * 8).toInt
+            val nf = (3 + id % 4).toInt
+            (id, graft.extras.Multimodal.VideoBytes2.aviMjpeg(w, h, nf, id))
+          }
+        }.toDF("event_id", "blob")
+        graft.extras.Multimodal.decodeMjpegFrames(blobs, "blob", "event_id",
+          sampleEvery = 2)
+          .orderBy("event_id", "frame_idx")
+      },
+      Some("""WITH ids AS (
+        |  SELECT event_id AS id, 16 + (event_id % 3) * 8 AS w,
+        |    16 + (event_id % 2) * 8 AS h, 3 + event_id % 4 AS nf
+        |  FROM events WHERE event_id < 120),
+        |frames AS (
+        |  SELECT id, w, h, nf, f
+        |  FROM ids, unnest(range(0, nf)) tf(f)
+        |  WHERE id % 8 <> 7 AND f % 2 = 0)
+        |SELECT id AS event_id,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(nf AS INT) AS n_frames, CAST(f AS INT) AS frame_idx,
+        |  CAST(w AS INT) AS frame_w, CAST(h AS INT) AS frame_h,
+        |  CAST(1 + (id + f) % 5 AS INT) AS luma_bucket, TRUE AS ok
+        |FROM frames
+        |UNION ALL
+        |SELECT id AS event_id, 0, 0, 0, -1, 0, 0, 0, FALSE
+        |FROM ids WHERE id % 8 = 7
         |ORDER BY event_id, frame_idx""".stripMargin))
   )
 }

@@ -82,12 +82,35 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       "a header-only truncated PNG must be rejected by the full decoder")
   }
 
-  test("FakeVideoFrameDecoder stub stays deterministic (video stand-in)") {
-    val dec = new Multimodal.FakeVideoFrameDecoder
-    val m = dec.decode("abcdef".getBytes)
-    assert(m == Multimodal.MediaMeta(6, "frame", 32 + 6 * 7 % 64,
-      32 + 6 * 13 % 64, ok = true))
-    assert(!dec.decode(null).ok)
+  test("MjpegFrameDecoder: real JPEG frames from an MJPEG AVI; DIB " +
+    "decoders and MJPEG decoder reject each other's codec") {
+    val bytes = Multimodal.VideoBytes2.aviMjpeg(24, 16, 5, 7L)
+    val r = new Multimodal.MjpegFrameDecoder(2).decode(bytes)
+    assert(r.ok && r.width == 24 && r.height == 16 && r.nFrames == 5)
+    assert(r.frames.map(_.frameIdx) == Seq(0, 2, 4))
+    assert(r.frames.forall(f => f.frameW == 24 && f.frameH == 16),
+      "per-frame dims come from the decoded JPEG itself")
+    // solid tone 40+40*((7+f)%5) -> bucket 1+((7+f)%5): 3, 5, 2
+    assert(r.frames.map(_.lumaBucket) == Seq(3, 5, 2),
+      s"lossy-robust luma buckets: ${r.frames.map(_.lumaBucket)}")
+    // codec cross-rejection: no decoder silently misreads the other's
+    // payload bytes
+    assert(!new Multimodal.MjpegFrameDecoder(1)
+      .decode(Multimodal.VideoBytes2.aviDib(7, 3, 3, 11L)).ok)
+    assert(!new Multimodal.AviFrameDecoder(1).decode(bytes).ok)
+    assert(!new Multimodal.AviDHashDecoder(1).decode(bytes).ok)
+    assert(!new Multimodal.MjpegFrameDecoder(1).decode(null).ok)
+    assert(!new Multimodal.MjpegFrameDecoder(1)
+      .decode("garbage".getBytes).ok)
+    // a valid MJPEG container whose chunk bytes are NOT decodable
+    // JPEG must fail soft, not throw
+    val torn = bytes.clone()
+    // find the first 00dc chunk and corrupt its JPEG SOI marker
+    val idx = bytes.indices.find(i => i + 4 <= bytes.length &&
+      bytes(i) == '0' && bytes(i + 1) == '0' &&
+      bytes(i + 2) == 'd' && bytes(i + 3) == 'c').get
+    torn(idx + 8) = 0x00; torn(idx + 9) = 0x00
+    assert(!new Multimodal.MjpegFrameDecoder(1).decode(torn).ok)
   }
 
   test("AviFrameDecoder: real frame sampling with exact per-frame stats") {

@@ -118,6 +118,9 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     "mm15_modality_router" -> 0,
     "mm16_image_resize" -> 0,
     "mm17_audio_resample" -> 0,
+    // MJPEG decode is one mapPartitions pass; a hash exchange would
+    // mean compressed video blobs started shuffling
+    "mm18_mjpeg_frames" -> 0,
     "emb_quantize_error" -> 0,
     // bucketed prefix sum: (lang,bucket) window + bases agg + final agg
     "stats_pack_efficiency" -> 4)
