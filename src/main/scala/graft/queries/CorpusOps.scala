@@ -102,16 +102,20 @@ object CorpusOps {
     * `<prefix>cells` and `<prefix>bits` — `frameKey` threads the
     * per-frame key for clip hashing. One grid definition for the
     * image (PhashCtes, mm15) and video (mm14, mm15) oracle chains.
+    * `w`/`h` MUST be the pixel dims the pxTable's fixture was built
+    * with: the Scala decoder computes gx = x*9/w, gy = y*8/h from
+    * the decoded image, so a mirror hardcoding one fixture's dims
+    * would silently diverge if a future fixture changed size.
     */
   private def dhashBitsSql(pxTable: String, prefix: String,
-                           frameKey: Boolean): String = {
+                           frameKey: Boolean, w: Int, h: Int): String = {
     val fSel = if (frameKey) "f, " else ""
     val fGrp = if (frameKey) ", f" else ""
     val fOut = if (frameKey) "a.f, " else ""
     val fJoin = if (frameKey) " AND b.f = a.f" else ""
     s"""${prefix}cells AS (
-       |  SELECT id, ${fSel}CAST(x * 9 // 16 AS INT) AS gx,
-       |    CAST(y * 8 // 16 AS INT) AS gy,
+       |  SELECT id, ${fSel}CAST(x * 9 // $w AS INT) AS gx,
+       |    CAST(y * 8 // $h AS INT) AS gy,
        |    CAST(sum(r * 299 + g * 587 + b * 114) AS BIGINT) AS lsum,
        |    CAST(count(*) AS BIGINT) AS n
        |  FROM $pxTable GROUP BY id$fGrp, gx, gy),
@@ -170,16 +174,38 @@ object CorpusOps {
       |  FROM bits GROUP BY id),
       |$fpTail"""
       .stripMargin
-      .replace("$dhash", dhashBitsSql("px", "", frameKey = false))
+      .replace("$dhash", dhashBitsSql("px", "", frameKey = false, w = 16, h = 16))
       .replace("$fpTail", fpBandCtesSql("hashes", "hash"))
+
+  /** Video-clip fixture parameters shared BETWEEN the Spark calls and
+    * their oracle SQL: frame count and sample stride live here once,
+    * and [[vidFramesSql]]/[[vidMajSql]] derive the oracle's sampled
+    * frame list and majority-vote threshold from them — changing
+    * either parameter can no longer desynchronize the oracle
+    * silently (same shared-rule pattern as whtCoefSql/dhashBitsSql).
+    */
+  private val VidSampleEvery = 2
+  private val Mm14NFrames = 6
+  private val Mm15NFrames = 3
+  private def vidSampled(nFrames: Int): Seq[Int] =
+    0 until nFrames by VidSampleEvery
+  private def vidFramesSql(nFrames: Int): String =
+    vidSampled(nFrames).mkString("[", ", ", "]")
+  private def vidMajSql(nFrames: Int): String =
+    s"2 * sum(bit) > ${vidSampled(nFrames).size}"
 
   def defs: Seq[QueryDef] = Seq(
 
-    // Gopher repetition rules. All keep-thresholds are evaluated as
-    // exact INTEGER comparisons (top2_chars*5 <= n_chars is the 0.20
-    // cap; dup3_chars*50 <= n_chars*9 the 0.18 cap; 3n <= word_chars
-    // <= 10n the mean-word-length window), so the boolean can never
-    // flip on a last-ulp double difference between engines; the
+    // Gopher-INSPIRED repetition rules (threshold family after Rae
+    // et al. Table A1, not table-exact: there 0.20 caps the top-2-gram
+    // char fraction and 0.18 the top-3-gram fraction, with
+    // duplicate-n-gram caps starting at 5-grams/0.15 — here the 0.18
+    // cap is applied to the DUPLICATE-3-gram char fraction, a
+    // deliberately stricter small-n variant). All keep-thresholds are
+    // evaluated as exact INTEGER comparisons (top2_chars*5 <= n_chars
+    // is the 0.20 cap; dup3_chars*50 <= n_chars*9 the 0.18 cap;
+    // 3n <= word_chars <= 10n the mean-word-length window), so the
+    // boolean can never flip on a last-ulp double difference; the
     // reported fractions are display-only round(…,6) columns.
     // Scale: bigram/trigram counts shuffle one row per gram occurrence
     // (same volume as text_top_ngrams); the top-bigram pick is a
@@ -1147,14 +1173,14 @@ object CorpusOps {
               1 + c % 5, 1 + c % 7, c % 3, 11 * c, 0)
             case 1 => graft.extras.Multimodal.AudioBytes.wavPcmScaled(
               8000, 1, 100, c, 1, 61 + 13 * c)
-            case 2 => graft.extras.Multimodal.VideoBytes2.aviQuad(16, 16, 3,
-              1 + c % 5, 1 + c % 7, c % 3, 11 * c, 0)
+            case 2 => graft.extras.Multimodal.VideoBytes2.aviQuad(16, 16,
+              Mm15NFrames, 1 + c % 5, 1 + c % 7, c % 3, 11 * c, 0)
             case _ => s"junk-$id".getBytes("UTF-8")
           }
           (id, blob)
         }.toDF("event_id", "blob")
         graft.extras.Multimodal.decodeRoutedFingerprint(
-            blobs, "blob", "event_id", videoSampleEvery = 2)
+            blobs, "blob", "event_id", videoSampleEvery = VidSampleEvery)
           .orderBy("event_id")
       },
       Some("""WITH ids AS (
@@ -1194,13 +1220,13 @@ object CorpusOps {
         |      + 3 * x + 5 * y + 22 * c + 29 * f) % 256 AS g,
         |    ((2 + c % 5 + c % 7) * x * x + (c % 3) * y * y
         |      + 5 * x + 11 * y + 33 * c + 31 * f) % 256 AS b
-        |  FROM ids, unnest([0, 2]) tf(f),
+        |  FROM ids, unnest($vidframes) tf(f),
         |    unnest(range(0, 16)) tx(x), unnest(range(0, 16)) ty(y)
         |  WHERE m = 2),
         |$viddh,
         |vid_maj AS (
         |  SELECT id, gy * 8 + gx AS k,
-        |    CASE WHEN 2 * sum(bit) > 2 THEN 1 ELSE 0 END AS bit_v
+        |    CASE WHEN $vidmaj THEN 1 ELSE 0 END AS bit_v
         |  FROM vid_bits GROUP BY id, gy * 8 + gx),
         |vid_fp AS (
         |  SELECT id, CAST(sum(CAST(bit_v AS BIGINT) << k) AS BIGINT) AS fp
@@ -1218,9 +1244,11 @@ object CorpusOps {
         |LEFT JOIN aud_fp ON aud_fp.id = i.id
         |LEFT JOIN vid_fp ON vid_fp.id = i.id
         |ORDER BY event_id""".stripMargin
-        .replace("$imgdh", dhashBitsSql("img_px", "img_", frameKey = false))
+        .replace("$vidframes", vidFramesSql(Mm15NFrames))
+        .replace("$vidmaj", vidMajSql(Mm15NFrames))
+        .replace("$imgdh", dhashBitsSql("img_px", "img_", frameKey = false, w = 16, h = 16))
         .replace("$audwht", whtCoefSql("aud_smp", "aud_coef"))
-        .replace("$viddh", dhashBitsSql("vid_px", "vid_", frameKey = true)))),
+        .replace("$viddh", dhashBitsSql("vid_px", "vid_", frameKey = true, w = 16, h = 16)))),
 
     // mm16: REAL image resize — the feature-extraction step the
     // multimodal brief names explicitly: a 2x2 integer box-filter
@@ -1532,11 +1560,11 @@ object CorpusOps {
           .filter(_ < 160)
         val blobs = ids.map { id =>
           val c = (id % 40).toInt; val k = (id / 40).toInt
-          (id, graft.extras.Multimodal.VideoBytes2.aviQuad(16, 16, 6,
-            1 + c % 5, 1 + c % 7, c % 3, 11 * c, 2 * k))
+          (id, graft.extras.Multimodal.VideoBytes2.aviQuad(16, 16,
+            Mm14NFrames, 1 + c % 5, 1 + c % 7, c % 3, 11 * c, 2 * k))
         }.toDF("event_id", "blob")
         val hashes = graft.extras.Multimodal
-          .decodeAviDHash(blobs, "blob", "event_id", sampleEvery = 2)
+          .decodeAviDHash(blobs, "blob", "event_id", sampleEvery = VidSampleEvery)
           .where(col("ok"))
           .select(col("event_id").as("id"), col("hash"))
           .localCheckpoint()
@@ -1559,12 +1587,12 @@ object CorpusOps {
         |      + 2 * base + delta + 29 * f) % 256 AS g,
         |    ((ca + cb) * x * x + cc * y * y + 5 * x + 11 * y
         |      + 3 * base + delta + 31 * f) % 256 AS b
-        |  FROM ids, unnest([0, 2, 4]) tf(f),
+        |  FROM ids, unnest($vidframes) tf(f),
         |    unnest(range(0, 16)) tx(x), unnest(range(0, 16)) ty(y)),
         |$viddh,
         |maj AS (
         |  SELECT id, gy * 8 + gx AS k,
-        |    CASE WHEN 2 * sum(bit) > 3 THEN 1 ELSE 0 END AS bit_v
+        |    CASE WHEN $vidmaj THEN 1 ELSE 0 END AS bit_v
         |  FROM bits GROUP BY id, gy * 8 + gx),
         |hashes AS (
         |  SELECT id, CAST(sum(CAST(bit_v AS BIGINT) << k) AS BIGINT) AS hash
@@ -1577,7 +1605,9 @@ object CorpusOps {
         |JOIN hashes hb ON hb.id = cands.id_b
         |WHERE bit_count(xor(ha.hash, hb.hash)) <= 12
         |ORDER BY id_a, id_b""".stripMargin
-        .replace("$viddh", dhashBitsSql("px", "", frameKey = true))
+        .replace("$vidframes", vidFramesSql(Mm14NFrames))
+        .replace("$vidmaj", vidMajSql(Mm14NFrames))
+        .replace("$viddh", dhashBitsSql("px", "", frameKey = true, w = 16, h = 16))
         .replace("$fpTail", fpBandCtesSql("hashes", "hash"))))
   )
 }
