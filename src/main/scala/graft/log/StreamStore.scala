@@ -572,14 +572,33 @@ final class StreamStore(val spark: SparkSession, val root: String) {
     val commitPar = math.min(16, runSeq.size)
     try parallelMap(runSeq.keys.toSeq, commitPar) { case k @ (b, s) =>
       val m = tails(k)
-      val newM = m.copy(tailSeq = runSeq(k),
-        tailTs = math.max(m.tailTs, runTs(k)),
-        lastEpoch = epochId.getOrElse(m.lastEpoch), version = m.version + 1)
-      withStreamLock(b, s) {
+      val committed = withStreamLock(b, s) {
         val cur = manifestFresh(b, s)
-        if (cur.version != m.version)
+        // The staged files' seq_nums were assigned from the PLANNED
+        // tail (m.tailSeq), so the CAS precondition is the TAIL, not
+        // the raw version: a concurrent append/trim/fence command
+        // moved the tail and the staged numbering is wrong — abort
+        // with the files still staged (clean retry re-plans). A
+        // version bump that left the tail in place (a compact()
+        // generation flip, a maintenance rewrite) is benign: REBASE
+        // the commit on the fresh manifest and land in ITS generation
+        // — the three-way GenerationSpec race pins this (an abort
+        // here would fail a bulk ingest whose rows are still exactly
+        // at the tail; committing against the stale manifest would
+        // resurrect the pre-flip generation).
+        if (cur.tailSeq != m.tailSeq)
           throw new ManifestCasConflict(
-            s"ingest lost the commit race for $b/$s: expected v${m.version}, found v${cur.version}")
+            s"ingest lost the commit race for $b/$s: tail moved " +
+              s"${m.tailSeq} -> ${cur.tailSeq} (v${m.version} -> v${cur.version})")
+        if (cur.fencingToken != m.fencingToken)
+          throw new ManifestCasConflict(
+            s"ingest lost the commit race for $b/$s: fencing token changed")
+        if (cur.deletionPending)
+          throw new IllegalStateException(s"StreamDeletionPending: $b/$s")
+        val newM = cur.copy(tailSeq = runSeq(k),
+          tailTs = math.max(cur.tailTs, runTs(k)),
+          lastEpoch = epochId.getOrElse(cur.lastEpoch),
+          version = cur.version + 1)
         sweepOrphans(b, s, cur.tailSeq, cur.generation)
         val src = Paths.get(s"$stage/basin=$b/stream=${Layout.escape(s)}")
         val dst = Paths.get(Layout.genDir(root, b, s, cur.generation))
@@ -598,15 +617,17 @@ final class StreamStore(val spark: SparkSession, val root: String) {
         // same atomicity contract as unary append: a commit that fails
         // after the files entered the live dir must take them back out,
         // or a re-driven ingest duplicates their seq_nums
-        try saveManifestCas(b, s, newM, m.version)
+        try saveManifestCas(b, s, newM, cur.version)
         catch { case t: Throwable =>
           moved.foreach(Files.deleteIfExists(_))
           throw t
         }
+        newM
       }
       k -> AppendAck(
-        StreamPosition(m.tailSeq, 0), StreamPosition(newM.tailSeq, newM.tailTs),
-        StreamPosition(newM.tailSeq, newM.tailTs))
+        StreamPosition(m.tailSeq, 0),
+        StreamPosition(committed.tailSeq, committed.tailTs),
+        StreamPosition(committed.tailSeq, committed.tailTs))
     }.toMap
     finally deleteRecursively(Paths.get(stage)) // uncommitted files die staged
   }

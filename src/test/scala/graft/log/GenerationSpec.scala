@@ -299,4 +299,90 @@ class GenerationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(seqs == Seq(2L, 3L, 4L, 5L),
       s"stale-plan read lost rows or served the wrong generation: $seqs")
   }
+
+  test("three-way race: A compacts, B bulk-ingests off a stale manifest, " +
+    "follower C resumes after the grace expired — no dup, no gap, CAS lands") {
+    // The triple the pairwise tests above cover only two at a time:
+    //   A: trims + compacts (generation flip) + sweeps with EXPIRED
+    //      grace, so gen=0 is physically gone;
+    //   B: a SECOND store instance bulk-ingests via the staged-commit
+    //      path while its manifest cache is deterministically primed
+    //      with the PRE-flip manifest — its per-stream locked CAS must
+    //      land on the flipped generation (or internally retry), never
+    //      commit rows into the swept gen=0;
+    //   C: a checkpointed follower that consumed the pre-flip records,
+    //      was down across flip+sweep, and resumes from its offset
+    //      with the SAME stale-manifest priming — it must re-plan onto
+    //      gen=1 and deliver exactly the new rows: no re-emission of
+    //      pre-flip seqs, no silently skipped seq.
+    val st = freshStore()
+    st.catalog.createStream(Basin, "tri")
+    st.append(Basin, "tri", AppendInput((0 until 8).map(i => env(s"t$i"))), Some(1000L))
+    st.append(Basin, "tri", AppendInput(Seq(TrimCommand(3))), Some(1100L))
+
+    // C, run 1: follow and checkpoint everything appended so far
+    val sink = s"${st.root}/_trisink"
+    val ckpt = s"${st.root}/_trickpt"
+    def followOnce(): Seq[Long] = {
+      val q = spark.readStream.format("graft-stream")
+        .option("root", st.root).option("basin", Basin)
+        .option("stream", "tri").load()
+        .select("seq_num")
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      spark.read.parquet(sink).collect().map(_.getLong(0)).toSeq.sorted
+    }
+    val firstRun = followOnce()
+    assert(firstRun.nonEmpty && firstRun == firstRun.distinct)
+    val stale = st.manifest(Basin, "tri")
+    assert(stale.generation == 0L)
+
+    // A: flip + sweep with the grace already expired — gen=0 is GONE
+    st.compact(Basin, "tri")
+    assert(st.manifest(Basin, "tri").generation == 1L)
+    st.sweepOldGens(Basin, "tri",
+      nowMs = Some(System.currentTimeMillis() + 11 * 60 * 1000L))
+    assert(!Files.exists(Paths.get(Layout.genDir(st.root, Basin, "tri", 0L))),
+      "fixture: gen=0 must be swept for the race to have teeth")
+
+    // B: prime the cache with the PRE-flip manifest (the stale-serve
+    // corner), then bulk-ingest through the staged-commit path
+    ManifestCache.put(Layout.statePath(st.root, Basin, "tri"), stale)
+    val storeB = new StreamStore(spark, st.root)
+    import spark.implicits._
+    val bulk = Seq((Basin, "tri", 2000L, "b-new0"), (Basin, "tri", 2001L, "b-new1"))
+      .toDF("basin", "stream", "arrival", "b")
+      .selectExpr("basin", "stream",
+        "CAST(array() AS ARRAY<STRUCT<name: BINARY, value: BINARY>>) AS headers",
+        "CAST(b AS BINARY) AS body", "CAST(NULL AS BIGINT) AS ts_client",
+        "arrival")
+    storeB.ingest(bulk, Some(2000L))
+    // B's CAS landed: rows are in gen=1 (gen=0 no longer exists), and
+    // a fresh read serves the trimmed survivors + B's rows exactly once
+    val g1 = FileIndex.listStats(Layout.genDir(st.root, Basin, "tri", 1L))
+    assert(g1.exists(_.maxSeq >= 10L), "ingested rows must join gen=1")
+    assert(!Files.exists(Paths.get(Layout.genDir(st.root, Basin, "tri", 0L))),
+      "ingest must not resurrect the swept generation")
+    assert(bodies(st, "tri") ==
+      Seq("t3", "t4", "t5", "t6", "t7", "b-new0", "b-new1"))
+
+    // C, run 2: stale-primed again, resumes across flip+sweep
+    ManifestCache.put(Layout.statePath(st.root, Basin, "tri"), stale)
+    val secondRun = followOnce()
+    val newSeqs = secondRun.diff(firstRun)
+    // no dup: nothing the checkpoint already delivered is re-emitted
+    assert(secondRun.size == secondRun.distinct.size &&
+      firstRun.forall(s => secondRun.count(_ == s) == 1),
+      s"follower re-emitted pre-flip seqs: $secondRun")
+    // no gap: first ∪ second is exactly every VISIBLE seq, once.
+    // Fixture arithmetic: t0..t7 = seqs 0..7, trim@3 command = seq 8
+    // (trim applied before C's first plan, so 0..2 are correctly never
+    // delivered), B's two rows = seqs 9..10.
+    assert((firstRun ++ newSeqs).sorted == (3L to 10L),
+      s"dup/gap across the three-way race: first=$firstRun new=$newSeqs")
+    assert(newSeqs == Seq(9L, 10L),
+      s"resumed batch must be exactly B's appended rows: $newSeqs")
+  }
 }
