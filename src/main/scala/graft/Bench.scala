@@ -6,12 +6,18 @@ import org.apache.spark.sql.functions._
 import graft.log.StreamStore
 import graft.model._
 
-/** Per-round benchmark. Reports, in one JSON line:
+/** Per-round benchmark. Reports:
   * - per-query wall seconds over SPARK_GRAFT_SF_DIR (after a warm-up
-  *   pass so JVM/session startup is not billed to the first query);
+  *   pass so JVM/session startup is not billed to the first query),
+  *   raw AND calib-normalized (`queries_norm`);
   * - an s2-bench-style workload (cli/src/bench.rs:239-247 format):
   *   sustained append MiB/s (bulk ingest path), catch-up read MiB/s,
   *   and unary append ack latency min/p50/p90/p99/max.
+  *
+  * Output: the full JSON line (also persisted to BENCH_local.json),
+  * then a compact map-free summary as the FINAL stdout line — the
+  * driver's artifact keeps only a ~2000-char stdout tail, which the
+  * summary always fits inside as one complete JSON object.
   */
 object Bench {
 
@@ -28,6 +34,14 @@ object Bench {
     * one number would have attributed to the host immediately.
     * min-of-3 rejects scheduler preemption spikes.
     */
+  /** Quiet-host reference value of [[cpuCalibSec]] (measured on this
+    * container idle, r11/r12). `queries_norm` = wall * (this / calib):
+    * a run on a 1.4x-loaded host reports calib ~1.4x larger and its
+    * normalized times scale back down, so cross-round comparisons of
+    * `queries_norm` (BenchRegressionSpec, README round table) are
+    * host-load-proof. */
+  val CalibBaselineSec = 0.127
+
   private def cpuCalibSec(): Double = {
     def once(): Double = {
       val t0 = System.nanoTime()
@@ -271,17 +285,28 @@ object Bench {
     val total = results.map(_._2._1).sum
     val totalCpu = results.map(_._2._2).sum
     val calib = cpuCalibSec()
+    // Host-load-normalized wall times (see CalibBaselineSec): the map
+    // BenchRegressionSpec gates on and the README round table reports.
+    val normFactor = CalibBaselineSec / calib
+    val qsNorm = results.map { case (k, (w, _)) =>
+      "\"" + k + f"\":${w * normFactor}%.3f" }.mkString("{", ",", "}")
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing":"best-of-2","total_cpu_sec":$totalCpu%.3f,"cpu_calib_sec":$calib%.4f,"queries":$qs,"queries_cpu_sec":$qsCpu$errJson,"sf":"$sfDir",$workloadJson}"""
-    // The driver captures only the tail of stdout, which can truncate the
-    // wall-clock `queries` map out of the round artifact (it did in r7,
-    // leaving only `queries_cpu_sec` visible). Persist the full line to a
-    // file so the artifact always carries both maps.
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing":"best-of-2","total_cpu_sec":$totalCpu%.3f,"cpu_calib_sec":$calib%.4f,"calib_norm_factor":$normFactor%.4f,"queries":$qs,"queries_norm":$qsNorm,"queries_cpu_sec":$qsCpu$errJson,"sf":"$sfDir",$workloadJson}"""
+    // The driver captures only the LAST ~2000 chars of stdout, which
+    // cannot hold a 186-query map (r11's artifact carried only the
+    // alphabetic tail of one map). Persist the full line to a file, and
+    // print TWO parseable lines: the full JSON, then a compact summary
+    // WITHOUT the per-query maps as the final line — the summary fits
+    // entirely inside any tail window, so the round artifact always
+    // ends with one complete, parseable JSON object.
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_local.json"),
       (json + "\n").getBytes("UTF-8"))
     catch { case _: java.io.IOException => () } // bench output must not fail on an unwritable cwd
     println(json)
+    val summary =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing":"best-of-2","n_queries":${results.size},"n_query_errors":${queryErrors.size},"total_cpu_sec":$totalCpu%.3f,"cpu_calib_sec":$calib%.4f,"calib_norm_factor":$normFactor%.4f,"queries_in":"BENCH_local.json","sf":"$sfDir",$workloadJson}"""
+    println(summary)
     spark.stop()
   }
 }
