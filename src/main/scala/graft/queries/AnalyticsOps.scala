@@ -300,7 +300,15 @@ object AnalyticsOps {
     * column. Exposed for spec fixtures (accuracy on known
     * cardinalities).
     */
-  private[graft] def hllEstimate(items: DataFrame): DataFrame = {
+  /** `withExact = true` is the AUDIT mode the oracle checks (exact
+    * distinct + rel_err ride along to calibrate the sketch);
+    * `withExact = false` is the PRODUCTION mode at 100 TB — the
+    * register build is the only aggregation (items never survive the
+    * map-side dedup into a global distinct). PlanShapeSpec pins that
+    * the sketch-only plan carries no exact companion.
+    */
+  private[graft] def hllEstimate(items: DataFrame,
+                                 withExact: Boolean = true): DataFrame = {
     val s = items.sparkSession
     val sh = items.select(col("item")).distinct()
     val rho = sh
@@ -314,12 +322,14 @@ object AnalyticsOps {
     val acc = regs.agg(
       sum(expr("shiftleft(CAST(1 AS BIGINT), 30 - m)")).cast(LongType).as("ssum"),
       sum(when(col("m") === 0, 1L).otherwise(0L)).cast(LongType).as("zeros"))
-    val exact = sh.agg(count(lit(1)).cast(LongType).as("exact_distinct"))
-    acc.crossJoin(exact)
+    val est = acc
       .withColumn("raw", expr(
         s"$HllAlphaM2 / (CAST(ssum AS DOUBLE) / 1073741824.0)"))
       .withColumn("est_distinct", round(expr(
         s"CASE WHEN raw <= 2.5 * $HllM AND zeros > 0 THEN $HllM * ln(CAST($HllM AS DOUBLE) / zeros) ELSE raw END"), 6))
+    if (!withExact) return est.select("est_distinct", "zeros")
+    val exact = sh.agg(count(lit(1)).cast(LongType).as("exact_distinct"))
+    est.crossJoin(exact)
       .withColumn("rel_err", when(col("exact_distinct") === 0, lit(null)).otherwise(round(
         (col("est_distinct") - col("exact_distinct")) / col("exact_distinct"), 6)))
       .select("exact_distinct", "est_distinct", "zeros", "rel_err")
@@ -510,17 +520,29 @@ object AnalyticsOps {
     // sketch); AnalyticsOpsSpec proves it equals the directly-built
     // global sketch bit-for-bit.
     QueryDef("sketch_hll_merge",
-      (s, d) => {
-        val dd = docs(s, d)
-        // localCheckpoint: five consumers (registers, union registers,
-        // the source grid, two exact counts) would each re-run the
-        // shingle explode + join + distinct otherwise — same measured
-        // inversion as dedup_ngram_prefix's shingle table.
-        val pairs = TextOps.shingles(dd.select(col("doc_id"), col("text")))
+      (s, d) => hllMergeStats(s, d),
+      Some(mergeOracleSql)),
+  ) ++ moreDefs
+
+  /** `withExact = true` = the AUDIT mode sketch_hll_merge oracles
+    * (per-source exact counts + the UNION's item-level countDistinct
+    * calibrate the merge); `withExact = false` = the 100 TB
+    * PRODUCTION mode — register build and max-merge only, NO
+    * aggregation ever touches item granularity after the per-source
+    * dedup (PlanShapeSpec pins the exact companion's absence).
+    */
+  private[graft] def hllMergeStats(s: SparkSession, d: String,
+                                   withExact: Boolean = true): DataFrame = {
+    val dd = docs(s, d)
+    // localCheckpoint: five consumers (registers, union registers,
+    // the source grid, two exact counts) would each re-run the
+    // shingle explode + join + distinct otherwise — same measured
+    // inversion as dedup_ngram_prefix's shingle table.
+    val pairs = TextOps.shingles(dd.select(col("doc_id"), col("text")))
           .join(dd.select(col("doc_id"), col("source")), "doc_id")
           .select(col("source"), col("sh").as("item")).distinct()
           .localCheckpoint()
-        val rho = pairs
+    val rho = pairs
           .withColumn("hh", md5(col("item").cast(BinaryType)))
           .withColumn("bucket", expr(
             s"(16 * ${hexVal("substr(hh, 1, 1)")} + ${hexVal("substr(hh, 2, 1)")})"))
@@ -540,28 +562,33 @@ object AnalyticsOps {
           .groupBy("source").agg(
             sum(expr("shiftleft(CAST(1 AS BIGINT), 30 - m)")).cast(LongType).as("ssum"),
             sum(when(col("m") === 0, 1L).otherwise(0L)).cast(LongType).as("zeros"))
-        // pairs is already DISTINCT (source, item): per-source exact is
-        // a plain count — countDistinct here re-deduped a deduped
-        // table. Only the UNION row still needs an item-level distinct
-        // (an item may live in several sources).
-        val exact = pairs.groupBy("source")
-          .agg(count(lit(1)).cast(LongType).as("exact_distinct"))
-          .unionByName(pairs.agg(
-            countDistinct("item").cast(LongType).as("exact_distinct"))
-            .withColumn("source", lit("UNION")))
-        acc.join(exact, "source")
+        val est = acc
           .withColumn("raw", expr(
             s"$HllAlphaM2 / (CAST(ssum AS DOUBLE) / 1073741824.0)"))
           .withColumn("est_distinct", round(expr(
             s"""CASE WHEN raw <= 2.5 * $HllM AND zeros > 0
                 THEN $HllM * ln(CAST($HllM AS DOUBLE) / zeros)
                 ELSE raw END"""), 6))
+        if (!withExact)
+          return est.select("source", "est_distinct", "zeros").orderBy("source")
+        // pairs is already DISTINCT (source, item): per-source exact is
+        // a plain count — countDistinct here re-deduped a deduped
+        // table. Only the UNION row still needs an item-level distinct
+        // (an item may live in several sources) — the one aggregation
+        // the sketch-only mode above avoids.
+        val exact = pairs.groupBy("source")
+          .agg(count(lit(1)).cast(LongType).as("exact_distinct"))
+          .unionByName(pairs.agg(
+            countDistinct("item").cast(LongType).as("exact_distinct"))
+            .withColumn("source", lit("UNION")))
+        est.join(exact, "source")
           .withColumn("rel_err", when(col("exact_distinct") === 0, lit(null)).otherwise(round(
             (col("est_distinct") - col("exact_distinct")) / col("exact_distinct"), 6)))
           .select("source", "exact_distinct", "est_distinct", "zeros", "rel_err")
           .orderBy("source")
-      },
-      Some(s"""WITH sh AS (
+  }
+
+  private lazy val mergeOracleSql: String = s"""WITH sh AS (
         |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1),
         |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS item
         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
@@ -603,7 +630,9 @@ object AnalyticsOps {
         |  FROM acc a JOIN exact e USING (source))
         |SELECT source, exact_distinct, est_distinct, zeros,
         |  round((est_distinct - exact_distinct) / NULLIF(exact_distinct, 0), 6) AS rel_err
-        |FROM est ORDER BY source""".stripMargin)),
+        |FROM est ORDER BY source""".stripMargin
+
+  private def moreDefs: Seq[QueryDef] = Seq(
 
     // Distributed k-means over embeddings: k=8, init = vectors 0..7,
     // two Lloyd iterations, final assignment + cluster sizes.

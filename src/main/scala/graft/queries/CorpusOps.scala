@@ -194,6 +194,103 @@ object CorpusOps {
   private def vidMajSql(nFrames: Int): String =
     s"2 * sum(bit) > ${vidSampled(nFrames).size}"
 
+  /** `withExact = true` = the AUDIT mode the dedup_minhash_eval
+    * oracle checks: the exact shingle Jaccard rides beside the
+    * 16-hash signature estimate, bucketed by match count — the
+    * calibration that says whether the signature is trustworthy.
+    * `withExact = false` = the 100 TB PRODUCTION path: candidates +
+    * signature estimate only, WITHOUT the exact-jaccard shingle
+    * self-join (the expensive thing the audit exists to retire).
+    * PlanShapeSpec pins the exact branch's absence from that plan.
+    */
+  private[graft] def minhashEvalStats(s: SparkSession, d: String,
+                                      withExact: Boolean = true): DataFrame = {
+    import TextOps.{docsAug, shingles, minhashSig, bandsOfSig,
+      cappedCandidates, jaccardFor, BandBucketCap}
+    // both checkpoints measured at sf0.01 (tools/VerifySome): with
+    // them 44 cpu-s, without the sh one 49 — sh feeds three
+    // consumers (sig, jaccardFor A/B sides), sig feeds two
+    val sh = shingles(docsAug(s, d)).localCheckpoint()
+    val sig = minhashSig(sh).localCheckpoint()
+    val cands = cappedCandidates(bandsOfSig(sig), BandBucketCap)
+    val sigA = sig.toDF(sig.columns.map(c =>
+      if (c == "doc_id") "doc_a" else s"a_$c"): _*)
+    val sigB = sig.toDF(sig.columns.map(c =>
+      if (c == "doc_id") "doc_b" else s"b_$c"): _*)
+    val matches = (0 until 16)
+      .map(i => when(col(s"a_h$i") === col(s"b_h$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val est = cands.join(sigA, "doc_a").join(sigB, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        matches.cast(LongType).as("matches"))
+    if (!withExact)
+      return est.groupBy("matches")
+        .agg(count(lit(1)).cast(LongType).as("n_pairs"))
+        .withColumn("est_jaccard",
+          round(col("matches").cast(DoubleType) / 16.0, 6))
+        .select("matches", "n_pairs", "est_jaccard")
+        .orderBy("matches")
+    val exact = jaccardFor(cands, sh)
+      .withColumn("jmicros", expr(
+        "CAST(common * 1000000 DIV (na + nb - common) AS BIGINT)"))
+      .select("doc_a", "doc_b", "jmicros")
+    est.join(exact, Seq("doc_a", "doc_b"))
+      .groupBy("matches")
+      .agg(count(lit(1)).cast(LongType).as("n_pairs"),
+        sum("jmicros").cast(LongType).as("sum_jmicros"),
+        min("jmicros").cast(LongType).as("min_jmicros"),
+        max("jmicros").cast(LongType).as("max_jmicros"))
+      .withColumn("est_jaccard",
+        round(col("matches").cast(DoubleType) / 16.0, 6))
+      .withColumn("mean_exact", round(
+        col("sum_jmicros").cast(DoubleType) / col("n_pairs") / 1e6, 6))
+      .select("matches", "n_pairs", "est_jaccard", "mean_exact",
+        "min_jmicros", "max_jmicros")
+      .orderBy("matches")
+  }
+
+  /** `withError = true` = the AUDIT mode the emb_quantize_error
+    * oracle checks (exact int8/sign reconstruction MSE per vector);
+    * `withError = false` = the PRODUCTION quantization path — just
+    * the per-vector scale table (dim, mx), no error recompute.
+    */
+  private[graft] def embQuantizeStats(s: SparkSession, d: String,
+                                      withError: Boolean = true): DataFrame = {
+    val base = s.read.parquet(s"$d/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("dim", size(col("embedding")).cast(LongType))
+      .withColumn("mx", expr(
+        """greatest(aggregate(embedding, CAST(0 AS DOUBLE),
+           (acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE)))),
+           CAST(1e-30 AS DOUBLE))"""))
+    if (!withError)
+      return base.select(col("vec_id"), col("dim"),
+        round(col("mx"), 6).as("mx")).orderBy("vec_id")
+    base
+      .withColumn("mean_abs", expr(
+        """aggregate(embedding, CAST(0 AS DOUBLE),
+           (acc, x) -> acc + abs(CAST(x AS DOUBLE))) / dim"""))
+      .withColumn("mse_int8", round(expr(
+        """aggregate(embedding, CAST(0 AS DOUBLE), (acc, x) ->
+             acc + (CAST(x AS DOUBLE)
+               - floor(CAST(x AS DOUBLE) * (127.0 / mx) + 0.5)
+                 * mx / 127.0)
+             * (CAST(x AS DOUBLE)
+               - floor(CAST(x AS DOUBLE) * (127.0 / mx) + 0.5)
+                 * mx / 127.0)) / dim"""), 6))
+      .withColumn("mse_sign", round(expr(
+        """aggregate(embedding, CAST(0 AS DOUBLE), (acc, x) ->
+             acc + (CAST(x AS DOUBLE)
+               - CASE WHEN CAST(x AS DOUBLE) >= 0
+                   THEN mean_abs ELSE -mean_abs END)
+             * (CAST(x AS DOUBLE)
+               - CASE WHEN CAST(x AS DOUBLE) >= 0
+                   THEN mean_abs ELSE -mean_abs END)) / dim"""), 6))
+      .select(col("vec_id"), col("dim"), round(col("mx"), 6).as("mx"),
+        col("mse_int8"), col("mse_sign"))
+      .orderBy("vec_id")
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // Gopher-INSPIRED repetition rules (threshold family after Rae
@@ -529,43 +626,7 @@ object CorpusOps {
     // buckets as dedup_minhash_lsh (no all-pairs anywhere); the
     // signature join touches |cands| rows; output is ≤17 buckets.
     QueryDef("dedup_minhash_eval",
-      (s, d) => {
-        import TextOps.{docsAug, shingles, minhashSig, bandsOfSig,
-          cappedCandidates, jaccardFor, BandBucketCap}
-        // both checkpoints measured at sf0.01 (tools/VerifySome): with
-        // them 44 cpu-s, without the sh one 49 — sh feeds three
-        // consumers (sig, jaccardFor A/B sides), sig feeds two
-        val sh = shingles(docsAug(s, d)).localCheckpoint()
-        val sig = minhashSig(sh).localCheckpoint()
-        val cands = cappedCandidates(bandsOfSig(sig), BandBucketCap)
-        val sigA = sig.toDF(sig.columns.map(c =>
-          if (c == "doc_id") "doc_a" else s"a_$c"): _*)
-        val sigB = sig.toDF(sig.columns.map(c =>
-          if (c == "doc_id") "doc_b" else s"b_$c"): _*)
-        val matches = (0 until 16)
-          .map(i => when(col(s"a_h$i") === col(s"b_h$i"), 1).otherwise(0))
-          .reduce(_ + _)
-        val est = cands.join(sigA, "doc_a").join(sigB, "doc_b")
-          .select(col("doc_a"), col("doc_b"),
-            matches.cast(LongType).as("matches"))
-        val exact = jaccardFor(cands, sh)
-          .withColumn("jmicros", expr(
-            "CAST(common * 1000000 DIV (na + nb - common) AS BIGINT)"))
-          .select("doc_a", "doc_b", "jmicros")
-        est.join(exact, Seq("doc_a", "doc_b"))
-          .groupBy("matches")
-          .agg(count(lit(1)).cast(LongType).as("n_pairs"),
-            sum("jmicros").cast(LongType).as("sum_jmicros"),
-            min("jmicros").cast(LongType).as("min_jmicros"),
-            max("jmicros").cast(LongType).as("max_jmicros"))
-          .withColumn("est_jaccard",
-            round(col("matches").cast(DoubleType) / 16.0, 6))
-          .withColumn("mean_exact", round(
-            col("sum_jmicros").cast(DoubleType) / col("n_pairs") / 1e6, 6))
-          .select("matches", "n_pairs", "est_jaccard", "mean_exact",
-            "min_jmicros", "max_jmicros")
-          .orderBy("matches")
-      },
+      (s, d) => minhashEvalStats(s, d),
       Some(s"""WITH ${TextOps.DocsAugCte}, ${TextOps.ShinglesCte},
         |${TextOps.ShingleCountsCte},
         |${TextOps.MinhashCandsCtes},
@@ -1361,37 +1422,7 @@ object CorpusOps {
     // every vector op: sequential double folds in identical order on
     // both engines, 6-decimal rounding at the edge.
     QueryDef("emb_quantize_error",
-      (s, d) => {
-        s.read.parquet(s"$d/embeddings.parquet")
-          .select(col("vec_id"), col("embedding"))
-          .withColumn("dim", size(col("embedding")).cast(LongType))
-          .withColumn("mx", expr(
-            """greatest(aggregate(embedding, CAST(0 AS DOUBLE),
-               (acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE)))),
-               CAST(1e-30 AS DOUBLE))"""))
-          .withColumn("mean_abs", expr(
-            """aggregate(embedding, CAST(0 AS DOUBLE),
-               (acc, x) -> acc + abs(CAST(x AS DOUBLE))) / dim"""))
-          .withColumn("mse_int8", round(expr(
-            """aggregate(embedding, CAST(0 AS DOUBLE), (acc, x) ->
-                 acc + (CAST(x AS DOUBLE)
-                   - floor(CAST(x AS DOUBLE) * (127.0 / mx) + 0.5)
-                     * mx / 127.0)
-                 * (CAST(x AS DOUBLE)
-                   - floor(CAST(x AS DOUBLE) * (127.0 / mx) + 0.5)
-                     * mx / 127.0)) / dim"""), 6))
-          .withColumn("mse_sign", round(expr(
-            """aggregate(embedding, CAST(0 AS DOUBLE), (acc, x) ->
-                 acc + (CAST(x AS DOUBLE)
-                   - CASE WHEN CAST(x AS DOUBLE) >= 0
-                       THEN mean_abs ELSE -mean_abs END)
-                 * (CAST(x AS DOUBLE)
-                   - CASE WHEN CAST(x AS DOUBLE) >= 0
-                       THEN mean_abs ELSE -mean_abs END)) / dim"""), 6))
-          .select(col("vec_id"), col("dim"), round(col("mx"), 6).as("mx"),
-            col("mse_int8"), col("mse_sign"))
-          .orderBy("vec_id")
-      },
+      (s, d) => embQuantizeStats(s, d),
       Some("""SELECT vec_id, dim, round(mx, 6) AS mx,
         |  round(list_reduce(list_transform(embedding, x ->
         |    (CAST(x AS DOUBLE)

@@ -148,6 +148,50 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("sketch-only modes drop the exact companion from the plan " +
+    "(the audit's global distinct never runs on the production path)") {
+    // Each audit query's sketch-only mode must plan WITHOUT the exact
+    // companion: the output alias of the exact branch is absent from
+    // the physical plan string, and item-granularity aggregation is
+    // gone after the sketch build. The audit-mode plan keeps them (the
+    // contrast proves the assertion isn't vacuous).
+    def p(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    val d = sfDir
+
+    val hllAudit = p(AnalyticsOps.hllMergeStats(spark, d, withExact = true))
+    val hllSketch = p(AnalyticsOps.hllMergeStats(spark, d, withExact = false))
+    assert(hllAudit.contains("exact_distinct"), "audit mode lost its audit")
+    assert(!hllSketch.contains("exact_distinct"),
+      "sketch-only hll_merge still plans the exact distinct")
+    // the one item-keyed aggregation the audit needs (count(DISTINCT
+    // item) for the UNION row) must be gone: no aggregate keys on item
+    assert("""HashAggregate\(keys=\[[^\]]*\bitem#""".r
+      .findFirstIn(hllSketch).isEmpty,
+      "sketch-only hll_merge still aggregates at item granularity")
+
+    val evalAudit = p(CorpusOps.minhashEvalStats(spark, d, withExact = true))
+    val evalSketch = p(CorpusOps.minhashEvalStats(spark, d, withExact = false))
+    assert(evalAudit.contains("jmicros"), "audit mode lost its audit")
+    assert(!evalSketch.contains("jmicros"),
+      "sketch-only minhash_eval still plans the exact-jaccard join")
+
+    val qAudit = p(CorpusOps.embQuantizeStats(spark, d, withError = true))
+    val qSketch = p(CorpusOps.embQuantizeStats(spark, d, withError = false))
+    assert(qAudit.contains("mse_int8"), "audit mode lost its audit")
+    assert(!qSketch.contains("mse_int8") && !qSketch.contains("mse_sign"),
+      "error-free quantize mode still plans the MSE recompute")
+
+    import org.apache.spark.sql.functions.col
+    val items = TextOps.docs(spark, d)
+      .select(col("text").as("item"))
+    val deAudit = p(AnalyticsOps.hllEstimate(items, withExact = true))
+    val deSketch = p(AnalyticsOps.hllEstimate(items, withExact = false))
+    assert(deAudit.contains("exact_distinct") &&
+      !deSketch.contains("exact_distinct"),
+      "sketch-only hll_distinct still plans the exact distinct")
+  }
+
   // corpus_mix_temperature is deliberately NOT budgeted: its
   // corpus-side groupBys run inside eager localCheckpoint() jobs
   // during query construction, so the final executedPlan string shows
