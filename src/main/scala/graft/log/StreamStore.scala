@@ -552,9 +552,17 @@ final class StreamStore(val spark: SparkSession, val root: String) {
     // concurrent ingest (CAS conflict) leaves nothing behind that a
     // read could see as duplicate seq_nums.
     val stage = s"$root/_stage/ingest-${java.util.UUID.randomUUID()}"
-    val escUdf = udf((s: String) => Layout.escape(s))
+    // partition-dir escaping via a broadcast lookup of the batch's
+    // distinct stream names (all driver-known in `keys`): a codegen'd
+    // hash join instead of a per-row Scala UDF on the partition
+    // column — scales to any stream count where a literal CASE/map
+    // expression would blow up codegen at 10k+ streams.
+    val escDf = spark.createDataFrame(
+        keys.map { case (_, s) => (s, Layout.escape(s)) }.distinct.toSeq)
+      .toDF("stream", "stream_esc")
     assigned
-      .withColumn("stream", escUdf(col("stream")))
+      .join(broadcast(escDf), Seq("stream"))
+      .withColumn("stream", col("stream_esc")).drop("stream_esc")
       .sortWithinPartitions("basin", "stream", "seq_num")
       .write
       .partitionBy("basin", "stream")

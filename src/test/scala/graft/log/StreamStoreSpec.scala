@@ -363,6 +363,33 @@ class StreamStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.timestamp).sliding(2).forall(p => p.head <= p.last))
   }
 
+  test("bulk ingest escapes non-filesystem-safe stream names through the " +
+    "broadcast lookup (same dirs as the unary path)") {
+    val st = freshStore()
+    val odd = "sp ace/sl:ash~t"
+    st.catalog.createStream("test-basin", odd)
+    // seed through UNARY append, bulk-ingest on top: both paths must
+    // agree on the escaped directory or the seqs fork into two dirs
+    appendOk(st, odd, AppendInput(Seq(env("u0"))))
+    import spark.implicits._
+    val df = (0 until 3).map { i =>
+      ("test-basin", odd, Option(1000L + i), s"b$i".getBytes, i.toLong)
+    }.toDF("basin", "stream", "ts_client", "body", "arrival")
+      .withColumn("headers", org.apache.spark.sql.functions.expr(
+        "CAST(NULL AS ARRAY<STRUCT<name: BINARY, value: BINARY>>)"))
+      .select("basin", "stream", "ts_client", "headers", "body", "arrival")
+    st.ingest(df, Some(2000L))
+    val rows = st.readBatch("test-basin", odd,
+      ReadSpec(ReadStart(ReadFrom.SeqNum(0)))).toOption.get
+    assert(rows.map(_.seqNum) == (0L until 4L))
+    assert(rows.map(r => new String(r.body)) == Seq("u0", "b0", "b1", "b2"))
+    // and the on-disk dir is the escaped token, exactly once
+    val dir = java.nio.file.Paths.get(
+      Layout.genDir(st.root, "test-basin", odd, 0L))
+    assert(java.nio.file.Files.isDirectory(dir), s"missing $dir")
+    assert(dir.toString.contains(Layout.escape(odd)))
+  }
+
   test("bulk ingest commits 64 streams correctly through the parallel commit pool") {
     val st = freshStore()
     val names = (0 until 64).map(i => f"wide-$i%02d")
