@@ -757,22 +757,38 @@ object TextOps {
         |WHERE round(CAST(common AS DOUBLE) / (na.n_sh + nb.n_sh - common), 6) >= 0.6
         |ORDER BY doc_a, doc_b""".stripMargin)),
 
-    // The char-5-gram fallback given teeth: the same exact-jaccard
-    // near-dup query over a SPACE-FREE corpus (docsSpaceless — every
-    // doc one giant token, the shape a CJK/Thai crawl hands the
-    // whitespace tokenizer). The word-3-gram path would return ZERO
-    // rows here; the fallback finds every planted near-dup pair, and
-    // the DuckDB oracle re-derives the same pairs through the shared
-    // ShinglesCte — including multi-byte codepoint slicing parity.
+    // The char-5-gram fallback given teeth: near-dup pairs over a
+    // SPACE-FREE corpus (docsSpaceless — every doc one giant token,
+    // the shape a CJK/Thai crawl hands the whitespace tokenizer). The
+    // word-3-gram path would return ZERO rows here; the fallback
+    // finds every planted near-dup pair, and the DuckDB oracle
+    // re-derives the same pairs through the shared ShinglesCte —
+    // including multi-byte codepoint slicing parity. Candidates go
+    // through the SAME minhash-LSH + capped-bucket chain as
+    // dedup_minhash_lsh, NOT an all-pairs shingle join: char 5-grams
+    // are low-entropy (at sf0.1 the hottest gram sits in 573 of 715
+    // docs, sum(df^2) ~ 16M), so exact all-pairs is quadratic in
+    // document frequency — measured 9.8 s vs ~3 s for the LSH chain
+    // at sf0.1, and only the LSH shape survives 100 TB.
     QueryDef("dedup_charngram",
-      (s, d) => jaccardPairs(shingles(docsSpaceless(s, d)))
-        .where(col("jaccard") >= 0.6)
-        .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b"),
-      Some(s"""WITH $SpacelessCte, $ShinglesCte, $ShingleCountsCte
-        |$JaccardSelect
-        |WHERE round(CAST(common AS DOUBLE) / (na.n_sh + nb.n_sh - common), 6) >= 0.6
-        |ORDER BY doc_a, doc_b""".stripMargin)),
+      (s, d) => {
+        // checkpointed (unlike dedup_minhash_lsh, where recompute
+        // wins): char shingles are ~6x the rows of word 3-grams per
+        // doc and feed three consumers (signature + both jaccard
+        // sides) — measured 40 -> 35 cpu-s at sf0.01, and the LSH
+        // chain overall is 14.3 -> 5.0 s vs all-pairs at sf0.1
+        val sh = shingles(docsSpaceless(s, d)).localCheckpoint()
+        val bands = minhashBands(sh)
+        val cands = cappedCandidates(bands, BandBucketCap)
+        jaccardFor(cands, sh)
+          .where(col("jaccard") >= 0.6)
+          .select("doc_a", "doc_b", "jaccard")
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH $SpacelessCte, $ShinglesCte, $ShingleCountsCte,
+        |$MinhashVerifiedCtes
+        |SELECT doc_a, doc_b, jaccard FROM verified
+        |WHERE jaccard >= 0.6 ORDER BY doc_a, doc_b""".stripMargin)),
 
     // Same EXACT result through prefix filtering — the heavy-tail
     // scale path beside the baseline above (the ann_bruteforce /
