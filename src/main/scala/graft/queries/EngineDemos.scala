@@ -839,6 +839,72 @@ object EngineDemos {
           (second.count(_.endsWith("pageA")) == 1).toString)
     }},
 
+    // Streaming INDEX-PROBE dedup — the second half of the bounded
+    // live-dedup story. dedupWithinHorizon bounds the in-flight state
+    // to one time horizon; this demo covers the FULL HISTORY beyond
+    // that horizon the production way: the already-ingested corpus is
+    // folded once (batch) into the O(m)-bit Bloom position set of
+    // dedup_bloom — the SAME PipelineOps.bloomPositions rule, one
+    // definition, two tiers — and the stream probes it statelessly
+    // per record. A body from the historical corpus is dropped by the
+    // probe alone (no state-store entry exists or is created for it,
+    // across any number of restarts); only genuinely-fresh bodies
+    // enter the watermarked in-flight dedup. Net state at 100 TB:
+    // O(m) broadcast bits for all of history + one horizon of fresh
+    // keys — never proportional to the stream's lifetime.
+    demo("e2e_stream_bloom_probe", Seq(
+      "kept" -> "new-x|new-y|new-z",
+      "historical_dropped_by_probe_alone" -> "true",
+      "in_flight_dup_dropped_across_restart" -> "true")) { (sp, st) =>
+      withDemoPartitions(sp) {
+      st.catalog.createStream("demo-basin1", "bp")
+      import sp.implicits._
+      import org.apache.spark.sql.functions.{array_except, col, explode, size, typedlit}
+      // batch tier: the historical corpus's set bit positions (≤ m
+      // rows regardless of corpus size — that is the whole point)
+      val histBits = Seq("hist-a", "hist-b", "hist-c").toDF("text")
+        .select(explode(PipelineOps.bloomPositions(col("text"))).as("p"))
+        .distinct().as[Long].collect().toSeq.sorted
+      def run(): Seq[String] = {
+        val src = sp.readStream.format("graft-stream")
+          .option("root", st.root).option("basin", "demo-basin1")
+          .option("stream", "bp").load()
+          .selectExpr("CAST(body AS STRING) AS body",
+            "timestamp_millis(timestamp) AS ev_ts")
+          // stateless probe: all k positions set => probable
+          // historical dup, dropped before any state is touched
+          .where(size(array_except(
+            PipelineOps.bloomPositions(col("body")),
+            typedlit(histBits))) > 0)
+        val q = dedupWithinHorizon(src, "body")
+          .select("body")
+          .writeStream.format("parquet")
+          .option("path", s"${st.root}/_bpsink")
+          .option("checkpointLocation", s"${st.root}/_bpckpt")
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        sp.read.parquet(s"${st.root}/_bpsink").select("body")
+          .collect().map(_.getString(0)).toSeq.sorted
+      }
+      st.append("demo-basin1", "bp", AppendInput(Seq(
+        rec("hist-a"),   // historical: probe drops, statelessly
+        rec("new-x"), rec("new-x"),  // fresh + in-flight dup
+        rec("new-y"))), Some(1000))
+      val first = run()
+      st.append("demo-basin1", "bp", AppendInput(Seq(
+        rec("hist-b"),   // historical, never seen by THIS stream:
+                         // only the index can drop it
+        rec("new-x"),    // in-flight dup across the restart
+        rec("new-z"))), Some(2000))
+      val second = run()
+      Seq(
+        "kept" -> second.sorted.mkString("|"),
+        "historical_dropped_by_probe_alone" ->
+          (!second.exists(_.startsWith("hist"))).toString,
+        "in_flight_dup_dropped_across_restart" ->
+          (second.count(_ == "new-x") == 1).toString)
+    }},
+
     // Follow-during-compaction: a streaming follower keeps running
     // while compact() PHYSICALLY rewrites the stream it reads (trim
     // mask -> range-partitioned rewrite into the NEXT generation

@@ -389,6 +389,17 @@ object PipelineOps {
       s"\nSELECT round, l, r, merged, cnt FROM ($union) ORDER BY round"
   }
 
+  /** k md5-slice bit positions of `textCol` in an m-bit Bloom filter —
+    * ONE definition shared by the batch filter (dedup_bloom) and the
+    * live frontier probe (EngineDemos e2e_stream_bloom_probe), so the
+    * two tiers can never hash apart. */
+  private[graft] def bloomPositions(textCol: org.apache.spark.sql.Column,
+                                    k: Int = 4, m: Long = 2048L)
+      : org.apache.spark.sql.Column =
+    array((0 until k).map(i =>
+      conv(substring(TextOps.md5s(textCol), 1 + 8 * i, 8), 16, 10)
+        .cast(LongType) % m): _*)
+
   def defs: Seq[QueryDef] = Seq(
 
     // Tokenizer TRAINING: learn the corpus' first 6 BPE merges (see
@@ -477,14 +488,9 @@ object PipelineOps {
     // PipelineOpsSpec pins the no-false-negative guarantee.
     QueryDef("dedup_bloom",
       (s, d) => {
-        val k = 4
-        val m = 2048L
-        def position(i: Int) =
-          conv(substring(md5s(col("text")), 1 + 8 * i, 8), 16, 10)
-            .cast(LongType) % m
         def hashed(df: DataFrame) = df.select(
           col("doc_id"), col("text"),
-          array((0 until k).map(position): _*).as("pos"))
+          bloomPositions(col("text")).as("pos"))
         val dd = docs(s, d)
         val base = hashed(dd.where(col("doc_id") % 10 =!= 0))
         val incoming = hashed(dd.where(col("doc_id") % 10 === 0)
