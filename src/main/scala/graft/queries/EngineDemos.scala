@@ -713,41 +713,51 @@ object EngineDemos {
     // dedup_minhash_lsh. Each followed record computes its full
     // 16-min-hash signature SCALAR-side (per-record expressions — no
     // aggregation, so it composes with any downstream streaming op)
-    // using the exact seed scheme of the batch pipeline (4 md5 seeds
-    // x 4 8-char slices, banded 4x4), then `dropDuplicates` on the 4
-    // band keys: all-bands collision = the strongest LSH match. The
-    // teeth: "a b c a b c a b c" is DIFFERENT TEXT from the earlier
-    // "a b c a b c" but has the IDENTICAL 3-gram shingle SET, hence
-    // identical signature — it must be dropped as a near-dup (exact
-    // dedup would keep it), and it must be dropped ACROSS A RESTART,
-    // proving the signature state lives in the checkpointed state
-    // store. At 100 TB the state is hash-partitioned by band key
-    // across executors and BOUNDED by the dedupWithinHorizon
-    // watermark — only one horizon's worth of band keys is retained.
+    // over TextOps.shingleArray — the SAME adaptive word/char rule
+    // the whole batch dedup family tokenizes with, so a space-free
+    // (CJK) body shingles by character 5-grams in the live path too —
+    // with the exact seed scheme of the batch pipeline (4 md5 seeds
+    // x 4 8-char slices, banded 4x4), then watermark-bounded dedup on
+    // the 4 band keys: all-bands collision = the strongest LSH match.
+    // Degenerate bodies (under 5 chars: EMPTY shingle array, hence
+    // all-null signatures that would collide every tiny doc onto the
+    // first) fall back to an exact raw-body key instead — exact-dedup
+    // semantics for inputs too small to shingle, never cross-collapse.
+    // The teeth: "a b c a b c a b c" is DIFFERENT TEXT from the
+    // earlier "a b c a b c" but has the IDENTICAL 3-gram shingle SET,
+    // hence identical signature — dropped as a near-dup ACROSS A
+    // RESTART; the period-3 CJK body repeated once more has the
+    // identical char-5-gram SET — dropped the same way through the
+    // char branch; "hi"/"yo" are degenerate and must both survive.
+    // At 100 TB the state is hash-partitioned by band key across
+    // executors and BOUNDED by the dedupWithinHorizon watermark.
     demo("e2e_stream_dedup_minhash", Seq(
-      "first_run_kept" -> "a b c a b c|alpha one two three four|papa q r s t",
-      "second_run_new" -> "zulu fresh doc here",
+      "first_run_kept" ->
+        "a b c a b c|alpha one two three four|hi|papa q r s t|学习中学习中学习中",
+      "second_run_new" -> "yo|zulu fresh doc here",
       "near_dup_dropped_across_restart" -> "true",
+      "cjk_near_dup_dropped_across_restart" -> "true",
+      "degenerate_not_cross_collapsed" -> "true",
       "exact_dup_dropped" -> "true")) { (sp, st) => withDemoPartitions(sp) {
       st.catalog.createStream("demo-basin1", "sm")
       val minExprs = (0 until 16).map(i =>
         s"""array_min(transform(sh, x ->
             substr(md5(concat('${i / 4}:', x)), ${1 + 8 * (i % 4)}, 8))) AS h$i""")
       val bandExprs = (0 until 4).map(b =>
-        s"md5(concat_ws('|', h${4 * b}, h${4 * b + 1}, h${4 * b + 2}, h${4 * b + 3})) AS b$b")
+        s"""CASE WHEN size(sh) = 0 THEN concat('raw:', body)
+            ELSE md5(concat_ws('|', h${4 * b}, h${4 * b + 1}, h${4 * b + 2}, h${4 * b + 3}))
+            END AS b$b""")
       def run(): Seq[String] = {
+        import org.apache.spark.sql.functions.{col, split}
         val src = sp.readStream.format("graft-stream")
           .option("root", st.root).option("basin", "demo-basin1")
           .option("stream", "sm").load()
           .selectExpr("CAST(body AS STRING) AS body",
             "timestamp_millis(timestamp) AS ev_ts")
           .selectExpr("body", "ev_ts", "split(body, ' ') AS w")
-          .selectExpr("body", "ev_ts",
-            """array_distinct(transform(sequence(1, size(w) - 2),
-               i -> concat(element_at(w, i), ' ', element_at(w, i + 1),
-                 ' ', element_at(w, i + 2)))) AS sh""")
-          .selectExpr(Seq("body", "ev_ts") ++ minExprs: _*)
-          .selectExpr(Seq("body", "ev_ts") ++ bandExprs: _*)
+          .withColumn("sh", TextOps.shingleArray(col("body"), col("w")))
+          .selectExpr(Seq("body", "ev_ts", "sh") ++ minExprs: _*)
+          .selectExpr(Seq("body", "ev_ts", "sh") ++ bandExprs: _*)
         val q = dedupWithinHorizon(src, "b0", "b1", "b2", "b3")
           .select("body")
           .writeStream.format("parquet")
@@ -762,11 +772,16 @@ object EngineDemos {
         rec("alpha one two three four"),
         rec("a b c a b c"),
         rec("alpha one two three four"), // exact dup -> dropped
+        rec("学习中学习中学习中"),          // space-free: char-gram branch
+        rec("hi"),                        // degenerate: raw-key branch
         rec("papa q r s t"))), Some(1000))
       val first = run()
       st.append("demo-basin1", "sm", AppendInput(Seq(
         rec("a b c a b c a b c"), // near-dup: same shingle SET, new text
+        rec("学习中学习中学习中学习中"), // CJK near-dup: same char-gram SET
         rec("zulu fresh doc here"),
+        rec("hi"),                // degenerate exact dup across restart
+        rec("yo"),                // degenerate but NEW: must be kept
         rec("papa q r s t"))), Some(2000)) // exact dup across restart
       val second = run()
       Seq(
@@ -774,6 +789,11 @@ object EngineDemos {
         "second_run_new" -> (second.toSet -- first.toSet).toSeq.sorted.mkString("|"),
         "near_dup_dropped_across_restart" ->
           (!second.contains("a b c a b c a b c")).toString,
+        "cjk_near_dup_dropped_across_restart" ->
+          (!second.contains("学习中学习中学习中学习中") &&
+            second.count(_ == "学习中学习中学习中") == 1).toString,
+        "degenerate_not_cross_collapsed" ->
+          (second.count(_ == "hi") == 1 && second.count(_ == "yo") == 1).toString,
         "exact_dup_dropped" ->
           (second.count(_ == "papa q r s t") == 1 &&
             second.count(_ == "alpha one two three four") == 1).toString)

@@ -83,25 +83,28 @@ object TextOps {
     * in lockstep); both engines slice strings by codepoint, so
     * multi-byte scripts hash identically across engines.
     */
-  private[graft] def shingles(df: DataFrame): DataFrame = {
-    // Materialize the token array in its own projection: referencing
-    // `split(...)` directly inside the transform lambda re-evaluates
-    // the split per element_at call (3x per shingle) — a projection
-    // boundary makes it a per-row local.
-    val w = col("w")
-    val t = col("text")
+  /** The adaptive shingle rule as a single ARRAY-valued Column over a
+    * text column `t` and its pre-split token array `w` — shared by
+    * the batch [[shingles]] (which explodes it) and the per-record
+    * streaming minhash demo (which folds it into a signature without
+    * exploding). Keep `w` in its own projection: referencing
+    * `split(...)` directly inside the transform lambda re-evaluates
+    * the split per element_at call (3x per shingle). */
+  private[graft] def shingleArray(t: Column, w: Column): Column =
+    array_distinct(
+      when(size(w) >= 3 && length(t) <= lit(SpaceFreeAvgTokLen) * size(w),
+        transform(sequence(lit(1), size(w) - 2),
+          i => concat_ws(" ", element_at(w, i), element_at(w, i + 1),
+                         element_at(w, i + 2))))
+      .when(length(t) >= 5,
+        transform(sequence(lit(1), length(t) - 4),
+          i => t.substr(i, lit(5))))
+      .otherwise(array().cast(ArrayType(StringType))))
+
+  private[graft] def shingles(df: DataFrame): DataFrame =
     df.select(col("doc_id"), col("text"), split(col("text"), " ").as("w"))
       .select(col("doc_id"),
-        explode(array_distinct(
-          when(size(w) >= 3 && length(t) <= lit(SpaceFreeAvgTokLen) * size(w),
-            transform(sequence(lit(1), size(w) - 2),
-              i => concat_ws(" ", element_at(w, i), element_at(w, i + 1),
-                             element_at(w, i + 2))))
-          .when(length(t) >= 5,
-            transform(sequence(lit(1), length(t) - 4),
-              i => t.substr(i, lit(5))))
-          .otherwise(array().cast(ArrayType(StringType))))).as("sh"))
-  }
+        explode(shingleArray(col("text"), col("w"))).as("sh"))
 
   private[graft] def md5s(c: Column): Column = md5(c.cast(BinaryType))
 
