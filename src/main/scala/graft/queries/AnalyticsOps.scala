@@ -479,10 +479,9 @@ object AnalyticsOps {
           .select(col("sh").as("item"))
         hllEstimate(sh)
       },
-      Some(s"""WITH sh AS (
-        |  SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(w) - 1),
-        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
-        |  FROM (SELECT string_split(text, ' ') AS w FROM documents)),
+      Some(s"""WITH sh0 AS (
+        |  ${TextOps.shinglesSqlOver("documents")}),
+        |sh AS (SELECT DISTINCT sh AS s FROM sh0),
         |rho AS (
         |  SELECT (16 * ${hexVal("substr(hh, 1, 1)")} + ${hexVal("substr(hh, 2, 1)")}) AS bucket,
         |    ${rhoDuck("hh")} AS r
@@ -588,10 +587,9 @@ object AnalyticsOps {
           .orderBy("source")
   }
 
-  private lazy val mergeOracleSql: String = s"""WITH sh AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1),
-        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS item
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+  private lazy val mergeOracleSql: String = s"""WITH sh0 AS (
+        |  ${TextOps.shinglesSqlOver("documents")}),
+        |sh AS (SELECT doc_id, sh AS item FROM sh0),
         |pairs AS (SELECT DISTINCT d.source, sh.item
         |          FROM sh JOIN documents d USING (doc_id)),
         |rho AS (

@@ -918,14 +918,10 @@ object PipelineOps {
         top.withColumn("rank", row_number().over(w).cast(LongType))
           .orderBy("rank")
       },
-      Some("""WITH sh_df AS (
-        |  SELECT sh, CAST(count(*) AS BIGINT) AS df
-        |  FROM (
-        |    SELECT doc_id, unnest(list_distinct(
-        |      list_transform(range(1, len(w) - 1),
-        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
-        |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
-        |  GROUP BY sh)
+      Some(s"""WITH sh0 AS (
+        |  ${TextOps.shinglesSqlOver("documents")}),
+        |sh_df AS (
+        |  SELECT sh, CAST(count(*) AS BIGINT) AS df FROM sh0 GROUP BY sh)
         |SELECT sh, df,
         |  CAST(row_number() OVER (ORDER BY df DESC, sh) AS BIGINT) AS rank
         |FROM sh_df QUALIFY rank <= 20 ORDER BY rank""".stripMargin)),
@@ -1755,11 +1751,7 @@ object PipelineOps {
           s"SELECT doc_id, $b AS band, md5(h${4 * b} || '|' || h${4 * b + 1} || '|' " +
             s"|| h${4 * b + 2} || '|' || h${4 * b + 3}) AS band_key FROM $minh")
           .mkString("\n  UNION ALL\n  ")
-        def shCte(src: String) =
-          s"""SELECT doc_id, unnest(list_distinct(
-             |    list_transform(range(1, len(w) - 1),
-             |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
-             |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM $src)""".stripMargin
+        def shCte(src: String) = TextOps.shinglesSqlOver(src)
         s"""WITH inc AS (
         |  SELECT doc_id + 4000000 AS doc_id, text FROM documents WHERE doc_id % 11 = 0
         |  UNION ALL

@@ -120,12 +120,15 @@ object TextOps {
       |  FROM documents WHERE doc_id % 13 = 0
       |)""".stripMargin
 
-  /** DuckDB mirror of [[shingles]] (identical word/char branch rule;
-    * DuckDB `range` is end-exclusive where Spark `sequence` is
-    * inclusive, hence the off-by-one bounds). */
-  private[queries] val ShinglesCte =
-    s"""shingles AS (
-      |  SELECT doc_id, unnest(list_distinct(
+  /** DuckDB mirror of [[shingles]] over an arbitrary `(doc_id, text)`
+    * relation (identical word/char branch rule; DuckDB `range` is
+    * end-exclusive where Spark `sequence` is inclusive, hence the
+    * off-by-one bounds). EVERY oracle whose Spark side calls
+    * [[shingles]] must derive its SQL shingles through this — an
+    * inline word-3-gram re-derivation would silently drift from the
+    * char-fallback branch the moment a corpus doc triggers it. */
+  private[queries] def shinglesSqlOver(src: String): String =
+    s"""SELECT doc_id, unnest(list_distinct(
       |    CASE WHEN len(w) >= 3 AND length(text) <= $SpaceFreeAvgTokLen * len(w)
       |      THEN list_transform(range(1, len(w) - 1),
       |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
@@ -133,7 +136,12 @@ object TextOps {
       |      THEN list_transform(range(1, length(text) - 3),
       |        i -> substr(text, i, 5))
       |      ELSE []::VARCHAR[] END)) AS sh
-      |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM docs_aug)
+      |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM $src)"""
+      .stripMargin
+
+  private[queries] val ShinglesCte =
+    s"""shingles AS (
+      |  ${shinglesSqlOver("docs_aug")}
       |)""".stripMargin
 
   private[queries] val ShingleCountsCte =
