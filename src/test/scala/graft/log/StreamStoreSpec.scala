@@ -363,6 +363,46 @@ class StreamStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.timestamp).sliding(2).forall(p => p.head <= p.last))
   }
 
+  test("bulk ingest whose planned tail is stale ABORTS with files staged, " +
+    "and a re-planned retry lands cleanly (the CAS contract's other half)") {
+    // GenerationSpec's three-way race pins the BENIGN-rebase side
+    // (version bumped, tail unmoved -> commit proceeds); this is the
+    // real-conflict side: the tail MOVED after planning, so the staged
+    // seq numbering is wrong and the commit must abort atomically.
+    val st = freshStore()
+    st.catalog.createStream("test-basin", "race")
+    appendOk(st, "race", AppendInput(Seq(env("r0"))))
+    val planned = st.manifest("test-basin", "race") // tail = 1
+    // the tail moves AFTER our ingest would have planned...
+    appendOk(st, "race", AppendInput(Seq(env("r1"), env("r2")))) // tail = 3
+    // ...which we reproduce deterministically by re-priming the cache
+    // with the pre-move manifest (same trick as GenerationSpec)
+    ManifestCache.put(Layout.statePath(st.root, "test-basin", "race"), planned)
+    import spark.implicits._
+    def bulk = Seq(("test-basin", "race", 5000L, "x"),
+        ("test-basin", "race", 5001L, "y"))
+      .toDF("basin", "stream", "ts_client", "b")
+      .selectExpr("basin", "stream", "ts_client",
+        "CAST(NULL AS ARRAY<STRUCT<name: BINARY, value: BINARY>>) AS headers",
+        "CAST(b AS BINARY) AS body", "CAST(ts_client AS BIGINT) AS arrival")
+    val ex = intercept[ManifestCasConflict] { st.ingest(bulk, Some(5000L)) }
+    assert(ex.getMessage.contains("tail moved"))
+    // atomic: nothing of the losing ingest is visible, seqs contiguous
+    // (un-poison the cache first — the read-back must see the REAL
+    // manifest, not the fixture's stale plant)
+    ManifestCache.invalidate(Layout.statePath(st.root, "test-basin", "race"))
+    val after = st.readBatch("test-basin", "race",
+      ReadSpec(ReadStart(ReadFrom.SeqNum(0)))).toOption.get
+    assert(after.map(_.seqNum) == (0L until 3L))
+    assert(after.map(r => new String(r.body)) == Seq("r0", "r1", "r2"))
+    // clean retry: a re-planned ingest (fresh manifest) lands at the tail
+    st.ingest(bulk, Some(5000L))
+    val done = st.readBatch("test-basin", "race",
+      ReadSpec(ReadStart(ReadFrom.SeqNum(0)))).toOption.get
+    assert(done.map(_.seqNum) == (0L until 5L))
+    assert(done.map(r => new String(r.body)) == Seq("r0", "r1", "r2", "x", "y"))
+  }
+
   test("bulk ingest escapes non-filesystem-safe stream names through the " +
     "broadcast lookup (same dirs as the unary path)") {
     val st = freshStore()
