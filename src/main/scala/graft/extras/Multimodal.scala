@@ -1697,19 +1697,33 @@ object Multimodal {
     * multimodal column needs at 100 TB: ONE partition pass, all
     * decoders instantiated once per partition, no per-type re-scan of
     * the blob store. Unrecognized or malformed blobs come back
-    * modality='unknown', ok=false — marker rows, never exceptions.
+    * modality='unknown', ok=false — marker rows, never exceptions —
+    * keyed by a CONTENT hash (low 60 bits of md5), not a constant:
+    * a dedup keyed on (modality, fp) must exact-dedup distinct junk,
+    * never cross-collapse it onto one marker. Empty/null input is the
+    * one fp=0 case (there are no bytes to key).
     */
   final class FingerprintRouter(videoSampleEvery: Int) {
     private val bmp = new BmpDHashDecoder()
     private val wav = new WavFingerprintDecoder()
     private val avi = new AviDHashDecoder(videoSampleEvery)
+    private val md = java.security.MessageDigest.getInstance("MD5")
     private def tag(b: Array[Byte], i: Int, t: String): Boolean =
       b.length >= i + t.length &&
         (0 until t.length).forall(k => b(i + k) == t(k).toByte)
+    /** Low 60 bits of md5 (first 15 hex chars) — positive, and
+      * mirrorable in DuckDB as ('0x' || substr(md5(x),1,15))::UBIGINT. */
+    private def contentKey(b: Array[Byte]): Long = {
+      md.reset()
+      val d = md.digest(b)
+      java.lang.Long.parseLong(
+        d.take(8).map(x => f"$x%02x").mkString.take(15), 16)
+    }
 
     def decode(bytes: Array[Byte]): RoutedFp = {
       val n = if (bytes == null) 0L else bytes.length.toLong
-      if (bytes == null || n < 12) return RoutedFp(n, "unknown", 0L, ok = false)
+      if (bytes == null || n == 0) return RoutedFp(n, "unknown", 0L, ok = false)
+      if (n < 12) return RoutedFp(n, "unknown", contentKey(bytes), ok = false)
       if (tag(bytes, 0, "BM")) {
         val r = bmp.decode(bytes)
         RoutedFp(n, "image", r.hash, r.ok)
@@ -1719,7 +1733,7 @@ object Multimodal {
       } else if (tag(bytes, 0, "RIFF") && tag(bytes, 8, "AVI ")) {
         val r = avi.decode(bytes)
         RoutedFp(n, "video", r.hash, r.ok)
-      } else RoutedFp(n, "unknown", 0L, ok = false)
+      } else RoutedFp(n, "unknown", contentKey(bytes), ok = false)
     }
   }
 

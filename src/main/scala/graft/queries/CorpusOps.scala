@@ -1298,7 +1298,9 @@ object CorpusOps {
         |  CASE i.m WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
         |    WHEN 2 THEN 'video' ELSE 'unknown' END AS modality,
         |  CASE i.m WHEN 0 THEN img_fp.fp WHEN 1 THEN aud_fp.fp
-        |    WHEN 2 THEN vid_fp.fp ELSE 0 END AS fp,
+        |    WHEN 2 THEN vid_fp.fp
+        |    ELSE CAST(('0x' || substr(md5('junk-' || CAST(i.id AS VARCHAR)),
+        |      1, 15))::UBIGINT AS BIGINT) END AS fp,
         |  i.m <> 3 AS ok
         |FROM ids i
         |LEFT JOIN img_fp ON img_fp.id = i.id

@@ -645,14 +645,18 @@ object EngineDemos {
     // stateful stream. Mixed blobs (image/audio/junk) arrive on one
     // stream; the SAME FingerprintRouter the batch query uses sniffs
     // and fingerprints each, junk passes through as ok=false marker
-    // rows (never dropped silently), and dropDuplicates on
+    // rows (never dropped silently) keyed by a CONTENT hash — so two
+    // DIFFERENT junk blobs both survive (fp=constant would
+    // cross-collapse all junk onto the first marker) while a re-sent
+    // identical junk blob still drops — and the watermarked dedup on
     // (modality, fp) collapses a brightness-regraded image copy and a
     // volume-regraded audio copy onto their originals — across a
     // checkpoint restart.
     demo("e2e_stream_router_dedup", Seq(
-      "first_run_kept" -> "audio:1,image:1,unknown:1",
+      "first_run_kept" -> "audio:1,image:1,unknown:2",
       "regrades_collapsed" -> "true",
-      "second_run_new" -> "image:1",
+      "second_run_new" -> "image:1,unknown:1",
+      "junk_not_cross_collapsed_exact_junk_dropped" -> "true",
       "regrade_dropped_across_restart" -> "true")) { (sp, st) =>
       withDemoPartitions(sp) {
       st.catalog.createStream("demo-basin1", "mx")
@@ -670,7 +674,8 @@ object EngineDemos {
         EnvelopeRecord(Nil, img(1, 20)),       // regraded copy of image 1
         EnvelopeRecord(Nil, aud(5, 1)),
         EnvelopeRecord(Nil, aud(5, 4)),        // volume-regraded copy
-        EnvelopeRecord(Nil, "junk!".getBytes))), Some(1000))
+        EnvelopeRecord(Nil, "junk!".getBytes),
+        EnvelopeRecord(Nil, "junk?".getBytes))), Some(1000)) // DIFFERENT junk
       def run(): Seq[(String, Long)] = {
         val src = Multimodal.decodeRoutedFingerprint(
             sp.readStream.format("graft-stream")
@@ -697,6 +702,8 @@ object EngineDemos {
       val first = run()
       st.append("demo-basin1", "mx", AppendInput(Seq(
         EnvelopeRecord(Nil, aud(5, 8)),        // third regrade of the audio
+        EnvelopeRecord(Nil, "junk!".getBytes), // SAME junk re-sent -> drop
+        EnvelopeRecord(Nil, "junk#".getBytes), // fresh junk -> keep
         EnvelopeRecord(Nil, imgNew))), Some(2000)) // genuinely new image
       val second = run()
       Seq(
@@ -705,8 +712,11 @@ object EngineDemos {
           (dec.decode(img(1, 0)).fp == dec.decode(img(1, 20)).fp &&
             dec.decode(aud(5, 1)).fp == dec.decode(aud(5, 4)).fp).toString,
         "second_run_new" -> byModality((second.toSet -- first.toSet).toSeq),
+        "junk_not_cross_collapsed_exact_junk_dropped" ->
+          (second.count(_._1 == "unknown") == 3 &&
+            dec.decode("junk!".getBytes).fp != dec.decode("junk?".getBytes).fp).toString,
         "regrade_dropped_across_restart" ->
-          (second.size == first.size + 1).toString)
+          (second.size == first.size + 2).toString)
     }},
 
     // Streaming NEAR-dup dedup: the streaming complement of
