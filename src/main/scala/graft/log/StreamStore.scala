@@ -624,9 +624,13 @@ final class StreamStore(val spark: SparkSession, val root: String) {
         }
         // same atomicity contract as unary append: a commit that fails
         // after the files entered the live dir must take them back out,
-        // or a re-driven ingest duplicates their seq_nums
-        try saveManifestCas(b, s, newM, cur.version)
-        catch { case t: Throwable =>
+        // or a re-driven ingest duplicates their seq_nums (the
+        // beforeManifestCommit hook lets LinearizabilitySpec inject
+        // exactly that failure here too)
+        try {
+          beforeManifestCommit()
+          saveManifestCas(b, s, newM, cur.version)
+        } catch { case t: Throwable =>
           moved.foreach(Files.deleteIfExists(_))
           throw t
         }

@@ -84,6 +84,27 @@ class LinearizabilitySpec extends AnyFunSuite with BeforeAndAfterAll {
     def tail(): LinRes =
       try TailSeen(st.checkTail(Basin, Stream).seqNum)
       catch { case _: Throwable => Indefinite }
+    /** The SAME PlainAppend op executed through the bulk-ingest path
+      * (staged Spark write + per-stream tail-CAS commit) instead of
+      * the unary path: a committed ingest is model-identical to a
+      * committed append at the same seq range, so the checker needs
+      * no new op type — what is under test is that the two write
+      * paths interleave linearizably on one stream, the ingest
+      * aborting cleanly (Indefinite here, files die staged) whenever
+      * a unary append moves the tail mid-flight. */
+    def bulkIngest(op: PlainAppend): LinRes =
+      try {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val df = spark.createDataFrame(
+            op.bodies.zipWithIndex.map { case (b, k) => (Basin, Stream, k.toLong, b) })
+          .toDF("basin", "stream", "arrival", "b")
+          .selectExpr("basin", "stream",
+            "CAST(NULL AS BIGINT) AS ts_client",
+            "CAST(NULL AS ARRAY<STRUCT<name: BINARY, value: BINARY>>) AS headers",
+            "CAST(b AS BINARY) AS body", "arrival")
+        val ack = st.ingest(df)((Basin, Stream))
+        Committed(ack.start.seqNum, ack.end.seqNum)
+      } catch { case _: Throwable => Indefinite }
     def read(k: Int): LinRes =
       try st.readUnary(Basin, Stream,
         ReadSpec(ReadStart(ReadFrom.SeqNum(0)),
@@ -118,7 +139,8 @@ class LinearizabilitySpec extends AnyFunSuite with BeforeAndAfterAll {
     * instance B, lost-ack simulation client-side. Returns the full
     * labeled history plus the final log.
     */
-  private def runWorkload(seed: Long, nClients: Int, opsPerClient: Int)
+  private def runWorkload(seed: Long, nClients: Int, opsPerClient: Int,
+                          bulkEvery: Int = 0)
       : (Seq[LinEvent], Vector[(Long, String)], Long) = {
     val root = Files.createTempDirectory("graft-lin").toString
     val stores = newStores(root)
@@ -159,9 +181,12 @@ class LinearizabilitySpec extends AnyFunSuite with BeforeAndAfterAll {
             res
           }
           c % 4 match {
-            case 0 => // plain appender + reader
+            case 0 => // plain appender + reader (+ bulk ingester)
               val p = rnd.nextDouble()
-              if (p < 0.6) {
+              if (bulkEvery > 0 && i % bulkEvery == 0) {
+                val op = PlainAppend(bodies(2 + rnd.nextInt(3)))
+                record(op)(conn.bulkIngest(op))
+              } else if (p < 0.6) {
                 val op = PlainAppend(bodies(1 + rnd.nextInt(3)))
                 record(op)(conn.append(op))
               } else if (p < 0.8) record(TailCheck)(conn.tail())
@@ -245,6 +270,43 @@ class LinearizabilitySpec extends AnyFunSuite with BeforeAndAfterAll {
       "injection never fired, the may-or-may-not path is untested")
     assert(has(e => e.op.isInstanceOf[ReadPrefix] && e.res.isInstanceOf[ReadSeen]))
     assert(has(e => e.op == TailCheck && e.res.isInstanceOf[TailSeen]))
+  }
+
+  test("bulk ingest interleaved with unary appends/CAS/fencing linearizes " +
+    "(the two write paths share one log)") {
+    // Same harness, with client 0 pushing every 6th op through the
+    // staged-commit bulk path instead of the unary path (model-
+    // identical: a committed ingest is a committed append at its seq
+    // range). Under the concurrent mix the ingest's tail-CAS loses
+    // races (unary appends move the tail mid-flight) and the injected
+    // commit failures now also fire INSIDE the ingest commit (after
+    // the staged files moved into the live dir), so the checker
+    // verifies both the winning interleavings and the rollback: any
+    // dup/gap/out-of-thin-air row a partial ingest left behind would
+    // be a violation.
+    val all = scala.collection.mutable.ArrayBuffer.empty[LinEvent]
+    for (seed <- 11L to 13L) {
+      val (events, log, tail) =
+        runWorkload(seed, nClients = 4, opsPerClient = 18, bulkEvery = 6)
+      val violations = check(events, log, tail)
+      assert(violations.isEmpty,
+        s"seed $seed: ${violations.size} violations:\n${violations.take(10).mkString("\n")}")
+      assert(tail > 0, s"seed $seed: nothing committed")
+      all ++= events
+    }
+    // non-vacuous: at least one bulk ingest actually COMMITTED
+    // (multi-record plain appends from client 0's bulk slots), and at
+    // least one ended Indefinite (lost race or injected commit
+    // failure — the rollback path ran)
+    // bulk slots are identifiable from the body naming: client 0,
+    // op index i % bulkEvery == 0 (encoded as "b-<client>-<i>-<k>")
+    val bulkSlots = all.filter(e => e.client == 0 &&
+      e.op.isInstanceOf[PlainAppend] &&
+      e.op.asInstanceOf[PlainAppend].bodies.head.split("-")(2).toInt % 6 == 0)
+    assert(bulkSlots.exists(_.res.isInstanceOf[Committed]),
+      "no bulk ingest ever committed — the mixed-path claim is vacuous")
+    assert(bulkSlots.exists(_.res == Indefinite),
+      "no bulk ingest ever aborted — the rollback path went untested")
   }
 
   test("teeth: a store that skips the fencing check is caught") {
