@@ -363,6 +363,49 @@ class StreamStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.timestamp).sliding(2).forall(p => p.head <= p.last))
   }
 
+  test("mid-ingest hard crash (files moved, manifest not committed): " +
+    "orphans invisible, swept on next commit, retry lands without dup") {
+    // The one crash point the in-process rollback cannot cover: the
+    // process dies BETWEEN the staged files moving into the live gen
+    // dir and the manifest CAS. Fabricate exactly that on-disk state
+    // and pin the recovery contract: reads clamp at the committed
+    // tail (orphan rows invisible), the next commit's orphan sweep
+    // physically removes them, and the re-driven ingest reuses the
+    // orphaned seq range without duplicates.
+    val st = freshStore()
+    st.catalog.createStream("test-basin", "crash")
+    appendOk(st, "crash", AppendInput(Seq(env("c0"), env("c1")))) // tail = 2
+    val gen = st.manifest("test-basin", "crash").generation
+    val dir = Layout.genDir(st.root, "test-basin", "crash", gen)
+    // the dead ingest's file: seqs 2..3, starting exactly at the tail
+    DirectParquet.writeBatch(dir, Seq(
+      DirectParquet.Rec(2L, 9000L, Nil, "dead-x".getBytes, 10L),
+      DirectParquet.Rec(3L, 9000L, Nil, "dead-y".getBytes, 10L)))
+    // (1) invisible: reads clamp at the committed tail
+    val before = st.readBatch("test-basin", "crash",
+      ReadSpec(ReadStart(ReadFrom.SeqNum(0)))).toOption.get
+    assert(before.map(r => new String(r.body)) == Seq("c0", "c1"),
+      "orphan rows above the tail leaked into a read")
+    assert(st.checkTail("test-basin", "crash").seqNum == 2L)
+    // (2)+(3) a fresh instance (the restart) re-drives the ingest:
+    // the sweep removes the orphan file, the retry lands at seq 2
+    val st2 = new StreamStore(spark, st.root)
+    import spark.implicits._
+    val bulk = Seq(("test-basin", "crash", 9100L, "x"),
+        ("test-basin", "crash", 9101L, "y"))
+      .toDF("basin", "stream", "ts_client", "b")
+      .selectExpr("basin", "stream", "ts_client",
+        "CAST(NULL AS ARRAY<STRUCT<name: BINARY, value: BINARY>>) AS headers",
+        "CAST(b AS BINARY) AS body", "CAST(ts_client AS BIGINT) AS arrival")
+    st2.ingest(bulk, Some(9100L))
+    val after = st2.readBatch("test-basin", "crash",
+      ReadSpec(ReadStart(ReadFrom.SeqNum(0)))).toOption.get
+    assert(after.map(_.seqNum) == (0L until 4L),
+      s"dup/gap after orphan recovery: ${after.map(_.seqNum)}")
+    assert(after.map(r => new String(r.body)) == Seq("c0", "c1", "x", "y"),
+      "the dead ingest's rows resurrected beside the retry's")
+  }
+
   test("bulk ingest whose planned tail is stale ABORTS with files staged, " +
     "and a re-planned retry lands cleanly (the CAS contract's other half)") {
     // GenerationSpec's three-way race pins the BENIGN-rebase side
