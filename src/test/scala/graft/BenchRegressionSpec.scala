@@ -31,10 +31,15 @@ class BenchRegressionSpec extends AnyFunSuite {
     val local = java.nio.file.Paths.get("BENCH_local.json")
     assume(java.nio.file.Files.exists(local),
       "BENCH_local.json absent - bench has not run in this checkout")
-    val now = queriesNorm(java.nio.file.Files.readString(local))
+    val localJson = java.nio.file.Files.readString(local)
+    val now = queriesNorm(localJson)
     val snap = queriesNorm(java.nio.file.Files.readString(
       java.nio.file.Paths.get("scripts/bench_snapshot.json")))
     assert(now.nonEmpty && snap.nonEmpty)
+    // an erroring query reports a near-zero wall and would sail under
+    // every threshold — errors are failures here, not fast queries
+    assert(!localJson.contains("\"query_errors\""),
+      "bench recorded query errors — fix those before reading timings")
     val floor = 0.5 // seconds: sub-floor times are scheduler noise
     val regressed = now.toSeq.sortBy(_._1).flatMap { case (q, t) =>
       snap.get(q) match {
