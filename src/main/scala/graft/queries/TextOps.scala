@@ -634,6 +634,56 @@ object TextOps {
         |  CAST(length(text) AS BIGINT) AS n_chars_measured
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Token statistics under a BPE-ish REGEX pre-tokenizer — the
+    // GPT-2-family pattern shape (optionally-space-prefixed letter
+    // runs | digit runs | punctuation runs), restricted to the
+    // RE2-safe subset (no lookahead) so Java regex and DuckDB RE2
+    // compute the IDENTICAL piece list. This is what a real token
+    // budget is denominated in: `fertility_ppm` (pieces per
+    // whitespace word, ppm) is the whitespace-to-BPE conversion
+    // factor corpus planners apply, and punct_pieces exposes the
+    // punctuation-heavy docs whose whitespace counts undercount
+    // cost. Pure per-row expressions — no shuffle, scan parallelism
+    // is the operator's parallelism.
+    QueryDef("text_token_count_regex",
+      (s, d) => {
+        val pat = " ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+        val p = col("p")
+        // own projection so the extraction exists once per row (the
+        // shingles token-array rule); the remaining cost is the match
+        // work itself — ~n_pieces regex matches per doc for the two
+        // class counts, inherent to the audit
+        docs(s, d).select(col("doc_id"), col("text"),
+            expr(s"regexp_extract_all(text, '${pat.replace("\\", "\\\\")}', 0)")
+              .as("p"))
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast(LongType).as("n_words"),
+            size(p).cast(LongType).as("n_pieces"),
+            size(array_distinct(p)).cast(LongType).as("n_distinct_pieces"),
+            size(filter(p, x => x.rlike("^ ?\\p{N}+$")))
+              .cast(LongType).as("digit_pieces"),
+            size(filter(p, x => x.rlike("^ ?[^\\s\\p{L}\\p{N}]+$")))
+              .cast(LongType).as("punct_pieces"))
+          .withColumn("fertility_ppm",
+            expr("n_pieces * 1000000 div n_words").cast(LongType))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  CAST(len(p) AS BIGINT) AS n_pieces,
+        |  CAST(len(list_distinct(p)) AS BIGINT) AS n_distinct_pieces,
+        |  CAST(len(list_filter(p, x -> regexp_matches(x, '^ ?\p{N}+$')))
+        |    AS BIGINT) AS digit_pieces,
+        |  CAST(len(list_filter(p, x -> regexp_matches(x, '^ ?[^\s\p{L}\p{N}]+$')))
+        |    AS BIGINT) AS punct_pieces,
+        |  CAST(len(p) * 1000000 // len(string_split(text, ' ')) AS BIGINT)
+        |    AS fertility_ppm
+        |FROM (SELECT doc_id, text,
+        |        regexp_extract_all(text, ' ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')
+        |          AS p
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin)),
+
     // Quality scoring: stopword ratio, type-token ratio, mean token
     // length, and a keep/drop flag.
     QueryDef("text_quality",
