@@ -935,6 +935,76 @@ object EngineDemos {
           (second.count(_ == "new-x") == 1).toString)
     }},
 
+    // GATE-BEFORE-STATE ordering proof — the complement of
+    // e2e_stream_quality_gate (which serves the TRAINED model
+    // statelessly): here the HEURISTIC gate shares text_quality's
+    // exact keep rule (TextOps.qualityTokStop/qualityKeepExpr — one
+    // definition, two tiers) and runs IN FRONT of the stateful
+    // dedup, so rejected docs never consume dedup state. The teeth
+    // measure the ordering directly: the state-store row count
+    // equals the count of KEPT distinct docs, not of all arrivals —
+    // at 100 TB, gating after the state op would grow state with
+    // every spam doc ever seen.
+    demo("e2e_stream_gate_before_state", Seq(
+      "first_run_kept" -> "2",
+      "state_rows_equal_kept_not_arrivals" -> "2",
+      "dup_keeper_dropped_across_restart" -> "true",
+      "second_run_new" -> "1",
+      "second_state_rows" -> "3")) { (sp, st) => withDemoPartitions(sp) {
+      st.catalog.createStream("demo-basin1", "qg")
+      import org.apache.spark.sql.functions.{col, round}
+      def keeper(tag: String): String =
+        (Seq(tag) ++ (1 to 21).map(i => s"$tag-w$i")).mkString(" ")
+      val stoppy = // 20 tokens, half stopwords -> ratio 0.5, NOT < 0.5
+        (Seq.fill(2)(Seq("the", "a", "and", "of", "to")).flatten
+          ++ (1 to 10).map(i => s"s$i")).mkString(" ")
+      def run(): (Seq[String], Long) = {
+        val src0 = sp.readStream.format("graft-stream")
+          .option("root", st.root).option("basin", "demo-basin1")
+          .option("stream", "qg").load()
+          .selectExpr("CAST(body AS STRING) AS body",
+            "timestamp_millis(timestamp) AS ev_ts")
+        val (nTok, nStop) = TextOps.qualityTokStop(col("body"))
+        val gated = src0
+          .withColumn("n_tokens", nTok)
+          .withColumn("stop_ratio",
+            round(nStop.cast(org.apache.spark.sql.types.DoubleType)
+              / nTok, 6))
+          .where(TextOps.qualityKeepExpr(col("n_tokens"), col("stop_ratio")))
+        val q = dedupWithinHorizon(gated, "body")
+          .select("body")
+          .writeStream.format("parquet")
+          .option("path", s"${st.root}/_qgsink")
+          .option("checkpointLocation", s"${st.root}/_qgckpt")
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        val stateRows = q.recentProgress.toSeq
+          .flatMap(_.stateOperators).lastOption
+          .map(_.numRowsTotal).getOrElse(-1L)
+        (sp.read.parquet(s"${st.root}/_qgsink").select("body")
+          .collect().map(_.getString(0)).toSeq.sorted, stateRows)
+      }
+      st.append("demo-basin1", "qg", AppendInput(Seq(
+        rec(keeper("ka")),
+        rec("too short doc"),        // gate: under 20 tokens
+        rec(keeper("ka")),           // dup of a keeper (in-batch)
+        rec(stoppy),                 // gate: stop ratio not under 0.5
+        rec(keeper("kb")))), Some(1000))
+      val (first, state1) = run()
+      st.append("demo-basin1", "qg", AppendInput(Seq(
+        rec(keeper("ka")),           // keeper dup across the restart
+        rec(keeper("kc")),           // genuinely new keeper
+        rec(stoppy + " the"))), Some(2000)) // 11/21 stopwords: still gated
+      val (second, state2) = run()
+      Seq(
+        "first_run_kept" -> first.size.toString,
+        "state_rows_equal_kept_not_arrivals" -> state1.toString,
+        "dup_keeper_dropped_across_restart" ->
+          (second.count(_ == keeper("ka")) == 1).toString,
+        "second_run_new" -> (second.toSet -- first.toSet).size.toString,
+        "second_state_rows" -> state2.toString)
+    }},
+
     // Follow-during-compaction: a streaming follower keeps running
     // while compact() PHYSICALLY rewrites the stream it reads (trim
     // mask -> range-partitioned rewrite into the NEXT generation

@@ -108,6 +108,21 @@ object TextOps {
 
   private[graft] def md5s(c: Column): Column = md5(c.cast(BinaryType))
 
+  /** The text_quality token/stopword counters and keep rule as shared
+    * Columns — ONE definition for the batch scorer (text_quality) and
+    * the live heuristic gate (EngineDemos e2e_stream_gate_before_state), so
+    * the two tiers can never disagree on what survives. The keep rule
+    * takes the ROUNDED stop ratio, exactly as the batch query reports
+    * it — gating on the displayed number, not a twin of it. */
+  private[graft] def qualityTokStop(t: Column): (Column, Column) = {
+    val w = split(t, " ")
+    (size(w).cast(LongType),
+      size(filter(w, x => x.isin("the", "a", "and", "of", "to")))
+        .cast(LongType))
+  }
+  private[graft] def qualityKeepExpr(nTok: Column, stopRatio: Column): Column =
+    nTok >= 20 && stopRatio < 0.5
+
   // ---- shared DuckDB CTE fragments ----------------------------------------
 
   private[queries] val DocsAugCte =
@@ -685,14 +700,14 @@ object TextOps {
         |ORDER BY doc_id""".stripMargin)),
 
     // Quality scoring: stopword ratio, type-token ratio, mean token
-    // length, and a keep/drop flag.
+    // length, and a keep/drop flag (rule shared with the live gate —
+    // qualityTokStop/qualityKeepExpr exist exactly once).
     QueryDef("text_quality",
       (s, d) => {
-        val w = split(col("text"), " ")
+        val (nTok, nStop) = qualityTokStop(col("text"))
         docs(s, d).select(col("doc_id"),
-            size(w).cast(LongType).as("n_tokens"),
-            size(filter(w, x => x.isin("the", "a", "and", "of", "to")))
-              .cast(LongType).as("n_stop"),
+            nTok.as("n_tokens"),
+            nStop.as("n_stop"),
             length(col("text")).cast(LongType).as("n_chars_m"))
           .withColumn("stop_ratio",
             round(col("n_stop").cast(DoubleType) / col("n_tokens"), 6))
@@ -700,7 +715,7 @@ object TextOps {
             round((col("n_chars_m") - col("n_tokens") + 1).cast(DoubleType)
               / col("n_tokens"), 6))
           .withColumn("keep",
-            col("n_tokens") >= 20 && col("stop_ratio") < 0.5)
+            qualityKeepExpr(col("n_tokens"), col("stop_ratio")))
           .orderBy("doc_id")
       },
       Some("""SELECT doc_id, n_tokens, n_stop, n_chars_m,

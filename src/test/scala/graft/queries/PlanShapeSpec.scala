@@ -121,6 +121,8 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // MJPEG decode is one mapPartitions pass; a hash exchange would
     // mean compressed video blobs started shuffling
     "mm18_mjpeg_frames" -> 0,
+    // pure per-row regex stats; any exchange means text started moving
+    "text_token_count_regex" -> 0,
     "emb_quantize_error" -> 0,
     // bucketed prefix sum: (lang,bucket) window + bases agg + final agg
     "stats_pack_efficiency" -> 4)
