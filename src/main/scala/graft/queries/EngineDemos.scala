@@ -1818,6 +1818,97 @@ object EngineDemos {
         "pruned_read_is_partial" -> "true",
         "disk_equals_memory_top10" -> "true")))),
 
+    // CONTINUOUS ANN-index ingestion — e2e_ann_index proves the
+    // static layout (train once, write partitioned by cell, probe
+    // prunes directories); this proves the layout stays LIVE: new
+    // vectors arrive on a followed stream, each is assigned its cell
+    // by the same broadcast-centroid distance rule as a stateless
+    // scalar expression, and foreachBatch appends it into the
+    // cell-partitioned index — the shape continuous embedding ingest
+    // takes at 100 TB (no index rebuild, no shuffle; a micro-batch
+    // touches only the cell dirs its vectors map to). A probe after
+    // each run reads ONLY the probed cell (PartitionFilters pinned)
+    // and must see the just-streamed vectors; a checkpointed restart
+    // appends exactly the new arrivals (offsets resume — no replay,
+    // no duplicate rows). Exactly-once caveat, documented: a crash
+    // BETWEEN foreachBatch's write and the offset commit would
+    // replay one micro-batch; production pairs this sink with the
+    // epoch-id dedup the bulk-ingest path already implements.
+    QueryDef("e2e_stream_ann_ingest",
+      (sp, _) => withDemoPartitions(sp) {
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.Column
+        val st = freshStore(sp)
+        st.catalog.createStream("demo-basin1", "ann")
+        val idx = Files.createTempDirectory("graft-annstream").toString
+        // fixed unit centroids c0=(1,0,0,0), c1=(0,1,0,0)
+        def cellOf(x: Column, y: Column, z: Column, w: Column): Column =
+          when((x - 1) * (x - 1) + y * y + z * z + w * w
+            <= x * x + (y - 1) * (y - 1) + z * z + w * w, 0).otherwise(1)
+        // initial (batch-trained) index: one vector per cell
+        val init = sp.createDataFrame(Seq(
+            (100L, 0.8, 0.2, 0.0, 0.0), (101L, 0.1, 0.9, 0.1, 0.0)))
+          .toDF("vec_id", "vx", "vy", "vz", "vw")
+          .withColumn("cell", cellOf(col("vx"), col("vy"), col("vz"), col("vw")))
+        init.write.partitionBy("cell").mode("overwrite").parquet(idx)
+        def run(): Unit = {
+          val q = sp.readStream.format("graft-stream")
+            .option("root", st.root).option("basin", "demo-basin1")
+            .option("stream", "ann").load()
+            .selectExpr("CAST(body AS STRING) AS b")
+            .selectExpr("CAST(split(b, ',')[0] AS BIGINT) AS vec_id",
+              "CAST(split(b, ',')[1] AS DOUBLE) AS vx",
+              "CAST(split(b, ',')[2] AS DOUBLE) AS vy",
+              "CAST(split(b, ',')[3] AS DOUBLE) AS vz",
+              "CAST(split(b, ',')[4] AS DOUBLE) AS vw")
+            .withColumn("cell",
+              cellOf(col("vx"), col("vy"), col("vz"), col("vw")))
+            .writeStream
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              batch.write.partitionBy("cell").mode("append").parquet(idx)
+            }
+            .option("checkpointLocation", s"${st.root}/_annckpt")
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        def vec(id: Long, x: Double, y: Double): EnvelopeRecord =
+          rec(s"$id,$x,$y,0.0,0.0")
+        st.append("demo-basin1", "ann", AppendInput(Seq(
+          vec(1, 0.9, 0.1),    // -> cell 0
+          vec(2, 0.2, 1.1))),  // -> cell 1
+          Some(1000))
+        run()
+        st.append("demo-basin1", "ann", AppendInput(Seq(
+          vec(3, 0.05, 0.95))), // -> cell 1, across a restart
+          Some(2000))
+        run()
+        val byCell = sp.read.parquet(idx).groupBy("cell").count()
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).sorted
+          .map { case (c, n) => s"$c:$n" }.mkString(",")
+        // probe near c1: reads ONLY cell=1 and must serve vec 3
+        val probe = sp.read.parquet(idx).where(col("cell") === 1)
+        val planStr = probe.queryExecution.executedPlan.toString
+        val pushed = planStr.contains("PartitionFilters: [") &&
+          !planStr.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+            .trim.isEmpty
+        val servedIds = probe.select("vec_id").collect()
+          .map(_.getLong(0)).sorted.toSeq
+        val allIds = sp.read.parquet(idx).select("vec_id").collect()
+          .map(_.getLong(0)).toSeq
+        out(sp, Seq(
+          "index_rows_by_cell" -> byCell,
+          "probed_cell_serves_streamed_vecs" ->
+            (servedIds == Seq(2L, 3L, 101L)).toString,
+          "partition_filter_pushed" -> pushed.toString,
+          "no_dup_after_restart" ->
+            (allIds.size == allIds.distinct.size).toString))
+      },
+      Some(constOracle(Seq(
+        "index_rows_by_cell" -> "0:2,1:3",
+        "probed_cell_serves_streamed_vecs" -> "true",
+        "partition_filter_pushed" -> "true",
+        "no_dup_after_restart" -> "true")))),
+
     // The INVERTED INDEX as a storage layout — e2e_ann_index's text
     // sibling: postings (term, doc_id, tf, dlen) written
     // partitionBy(term-hash-bucket) so a query touches only its
