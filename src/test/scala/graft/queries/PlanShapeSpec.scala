@@ -44,6 +44,14 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     "dedup_exact" -> 1,
     "dedup_url" -> 2,
     "dedup_minhash_lsh" -> 5,
+    // shingle groupBy + pair agg + two count joins + final sort side
+    "dedup_ngram_jaccard" -> 5,
+    // 32 vote aggregates in ONE groupBy; no per-bit row explosion
+    "dedup_simhash" -> 2,
+    // df agg feeding TakeOrdered — never a global row_number window
+    "text_top_ngrams" -> 2,
+    // md5-bucket assignment + the per-split count summary
+    "sample_split" -> 2,
     // shingle-group + pair agg + two count joins (one broadcasts at
     // this SF) + the final orderBy-side exchange
     "dedup_charngram" -> 5,
