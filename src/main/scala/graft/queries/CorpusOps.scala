@@ -731,6 +731,117 @@ object CorpusOps {
         |  pred_label = true_label AS correct, accuracy
         |FROM pred, acc ORDER BY q_id""".stripMargin)),
 
+    // nDCG@10 retrieval-quality eval — the rank-aware complement of
+    // ann_knn_accuracy's majority vote (which scores only WHAT is in
+    // the top-10; nDCG scores WHERE). Relevance = label match, exact
+    // cosine ranking, and the discount weights 1/log2(r+1) are
+    // PRECOMPUTED in Scala as integer micros and string-interpolated
+    // into BOTH engines' query texts — log() never runs inside either
+    // engine, so libm last-ulp differences cannot break hash parity
+    // (the same freeze-the-floats discipline as every vector op).
+    // IDCG uses the standard total-relevant-capped-at-k ideal via a
+    // literal prefix-sum table. Scale: the probe set broadcasts
+    // against the corpus exactly like ann_knn_accuracy.
+    QueryDef("rank_ndcg_eval",
+      (s, d) => {
+        val wMicros = (1 to 10).map(r =>
+          math.round(1e6 / (math.log(r + 1) / math.log(2))))
+        val prefix = wMicros.scanLeft(0L)(_ + _).tail
+        val all = s.read.parquet(s"$d/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"), col("label"))
+        val q = all.where(col("vec_id") < 50)
+          .select(col("vec_id").as("q_id"), col("embedding").as("vq"),
+            col("label").as("true_label"))
+        // total relevant per query label (corpus minus the query itself)
+        val labelCounts = all.groupBy(col("label").as("true_label"))
+          .agg(count(lit(1)).cast(LongType).as("n_label_total"))
+        val wRank = Window.partitionBy("q_id")
+          .orderBy(col("score").desc, col("n_id"))
+        val wArr = array(wMicros.map(lit): _*)
+        val pArr = array(prefix.map(lit): _*)
+        val top = all
+          .select(col("vec_id").as("n_id"), col("embedding").as("ve"),
+            col("label").as("n_label"))
+          .crossJoin(broadcast(q))
+          .where(col("n_id") =!= col("q_id"))
+          .withColumn("score", round(
+            graft.functions.GraftFunctions.cosine_sim(col("vq"), col("ve")), 6))
+          .withColumn("rank", row_number().over(wRank))
+          .where(col("rank") <= 10)
+        val perQ = top
+          .withColumn("gain", when(col("n_label") === col("true_label"),
+            element_at(wArr, col("rank"))).otherwise(lit(0L)))
+          .groupBy("q_id", "true_label")
+          .agg(sum("gain").cast(LongType).as("dcg_micros"),
+            sum(when(col("n_label") === col("true_label"), 1L).otherwise(0L))
+              .cast(LongType).as("n_rel_top10"))
+          .join(broadcast(labelCounts), "true_label")
+          // the query's own vector is not retrievable
+          .withColumn("total_rel", col("n_label_total") - 1)
+          .withColumn("idcg_micros",
+            when(col("total_rel") <= 0L, lit(0L))
+              .otherwise(element_at(pArr,
+                least(col("total_rel"), lit(10L)).cast(IntegerType))))
+          .withColumn("ndcg_ppm",
+            when(col("idcg_micros") === 0L, lit(0L))
+              .otherwise(expr("dcg_micros * 1000000 div idcg_micros"))
+              .cast(LongType))
+          .select("q_id", "true_label", "n_rel_top10", "total_rel",
+            "dcg_micros", "idcg_micros", "ndcg_ppm")
+          .localCheckpoint()
+        val mean = perQ.agg(
+          expr("sum(ndcg_ppm) div count(1)").cast(LongType)
+            .as("mean_ndcg_ppm"))
+        perQ.crossJoin(broadcast(mean)).orderBy("q_id")
+      },
+      Some {
+        val wMicros = (1 to 10).map(r =>
+          math.round(1e6 / (math.log(r + 1) / math.log(2))))
+        val prefix = wMicros.scanLeft(0L)(_ + _).tail
+        s"""WITH q AS (
+        |  SELECT vec_id AS q_id, embedding AS vq, label AS true_label
+        |  FROM embeddings WHERE vec_id < 50),
+        |lc AS (
+        |  SELECT label AS true_label, CAST(count(*) AS BIGINT) AS n_label_total
+        |  FROM embeddings GROUP BY label),
+        |top AS (
+        |  SELECT q_id, true_label, n_label, rank
+        |  FROM (
+        |    SELECT q.q_id, q.true_label, e.label AS n_label,
+        |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+        |        round(${VectorOps.duckCosine("q.vq", "e.embedding")}, 6) DESC,
+        |        e.vec_id) AS rank
+        |    FROM embeddings e, q WHERE e.vec_id <> q.q_id)
+        |  WHERE rank <= 10),
+        |perq AS (
+        |  SELECT t.q_id, t.true_label,
+        |    CAST(sum(CASE WHEN n_label = t.true_label
+        |      THEN [${wMicros.mkString(", ")}][rank] ELSE 0 END) AS BIGINT)
+        |      AS dcg_micros,
+        |    CAST(sum(CASE WHEN n_label = t.true_label THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_rel_top10
+        |  FROM top t GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT p.q_id, p.true_label, p.n_rel_top10,
+        |    lc.n_label_total - 1 AS total_rel, p.dcg_micros,
+        |    CASE WHEN lc.n_label_total - 1 <= 0 THEN 0
+        |      ELSE [${prefix.mkString(", ")}]
+        |        [least(lc.n_label_total - 1, 10)] END AS idcg_micros
+        |  FROM perq p JOIN lc USING (true_label)),
+        |final AS (
+        |  SELECT q_id, true_label, n_rel_top10,
+        |    CAST(total_rel AS BIGINT) AS total_rel, dcg_micros,
+        |    CAST(idcg_micros AS BIGINT) AS idcg_micros,
+        |    CAST(CASE WHEN idcg_micros = 0 THEN 0
+        |      ELSE dcg_micros * 1000000 // idcg_micros END AS BIGINT)
+        |      AS ndcg_ppm
+        |  FROM scored)
+        |SELECT f.*, m.mean_ndcg_ppm FROM final f,
+        |  (SELECT CAST(sum(ndcg_ppm) // count(*) AS BIGINT)
+        |     AS mean_ndcg_ppm FROM final) m
+        |ORDER BY q_id""".stripMargin
+      }),
+
     // Novel-n-gram rate: fraction of each held-out doc's distinct
     // 4-grams that never occur in the train split (doc_id % 10 != 0)
     // — the standard memorization/novelty diagnostic reported beside
