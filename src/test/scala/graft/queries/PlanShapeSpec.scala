@@ -134,6 +134,10 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     "emb_quantize_error" -> 0,
     // bucketed prefix sum: (lang,bucket) window + bases agg + final agg
     "stats_pack_efficiency" -> 4)
+  // ann_knn_accuracy / rank_ndcg_eval are not budgeted: their
+  // brute-force probe subtree runs inside an eager localCheckpoint
+  // (review-added to avoid double-planning), so the final plan
+  // string is vacuous
   // emb_outlier_centroid is not budgeted: its per-vector scores run
   // inside an eager localCheckpoint() (like emb_pca_*), so the final
   // plan string is vacuous
