@@ -152,50 +152,48 @@ object FileIndex {
     * foreign-bug backstop). `first` may serve a cache; `recheck` must
     * be authoritative enough to observe a foreign flip.
     */
+  /** Default lister: the POSIX adapter's directory listing. Backends
+    * with their own listing source (object-store key index) pass a
+    * lister; read-only consumers of a POSIX mirror (the streaming
+    * source) keep the default. */
+  val posixLister: String => Seq[String] =
+    dir => PosixBackend.listData(Paths.get(dir)).map(_.toString)
+
   def consistentListing(first: () => StreamManifest,
                         recheck: () => StreamManifest,
-                        dirs: StreamManifest => Seq[String])
+                        dirs: StreamManifest => Seq[String],
+                        lister: String => Seq[String] = posixLister)
       : (StreamManifest, Seq[FileStats]) = {
     var m = first()
-    var files = listStatsUnion(dirs(m))
+    var files = listStatsUnion(dirs(m), lister)
     var fresh = recheck()
     var spins = 0
     while (fresh.generation != m.generation && spins < 8) {
       m = fresh
-      files = listStatsUnion(dirs(m))
+      files = listStatsUnion(dirs(m), lister)
       fresh = recheck()
       spins += 1
     }
     (m, files)
   }
 
-  def listStatsUnion(dirs: Seq[String]): Seq[FileStats] = dirs match {
-    case Seq(one) => listStats(one)
+  def listStatsUnion(dirs: Seq[String],
+                     lister: String => Seq[String] = posixLister)
+      : Seq[FileStats] = dirs match {
+    case Seq(one) => statsFor(lister(one))
     case many =>
       val byName = scala.collection.mutable.LinkedHashMap.empty[String, FileStats]
-      many.foreach(d => listStats(d).foreach { st =>
+      many.foreach(d => statsFor(lister(d)).foreach { st =>
         byName.update(Paths.get(st.path).getFileName.toString, st)
       })
       byName.values.toSeq.sortBy(_.minSeq)
   }
 
-  def listStats(dir: String): Seq[FileStats] = {
-    def attempt(): Seq[FileStats] = {
-      val d = Paths.get(dir)
-      if (!Files.exists(d)) return Nil
-      val s = Files.list(d)
-      try s.iterator().asScala
-        .filter(_.toString.endsWith(".parquet"))
-        .flatMap(p => tryStats(p.toString)).toSeq.sortBy(_.minSeq)
-      finally s.close()
-    }
-    try attempt()
-    catch {
-      case _: java.nio.file.NoSuchFileException
-           | _: java.io.FileNotFoundException
-           | _: java.io.UncheckedIOException => attempt()
-    }
-  }
+  /** Footer stats over an explicit file list (torn files drop out). */
+  def statsFor(paths: Seq[String]): Seq[FileStats] =
+    paths.flatMap(tryStats).sortBy(_.minSeq)
+
+  def listStats(dir: String): Seq[FileStats] = statsFor(posixLister(dir))
 
   /** Projected driver-side row scan in file order (= seq order; files
     * are written sorted). `f` returns false to stop early. Reads only

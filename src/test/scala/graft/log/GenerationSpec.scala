@@ -30,8 +30,11 @@ class GenerationSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private val Basin = "test-basin"
 
-  private def freshStore(): StreamStore = {
-    val dir = Files.createTempDirectory("graft-gen").toString
+  /** POSIX-rooted store (legacy/staleness tests are POSIX physics). */
+  private def freshStore(): StreamStore = freshStore(BackendHarness.PosixHarness)
+
+  private def freshStore(h: BackendHarness): StreamStore = {
+    val dir = h.freshRoot("graft-gen")
     val st = new StreamStore(spark, dir)
     st.catalog.createBasin(Basin,
       BasinConfig(defaultStreamConfig =
@@ -50,11 +53,12 @@ class GenerationSpec extends AnyFunSuite with BeforeAndAfterAll {
       .orderBy("seq_num").collect()
       .map(r => new String(r.getAs[Array[Byte]]("body"))).toSeq
 
-  test("appends land in gen=0; compact flips to gen=1; later appends land there") {
-    val st = freshStore()
+  for (h <- BackendHarness.all)
+  test(s"[${h.label}] appends land in gen=0; compact flips to gen=1; later appends land there") {
+    val st = freshStore(h)
     st.catalog.createStream(Basin, "s")
     st.append(Basin, "s", AppendInput(Seq(env("a"), env("b"))), Some(1000L))
-    assert(Files.exists(Paths.get(Layout.genDir(st.root, Basin, "s", 0L))))
+    assert(h.dataExists(st.root, Paths.get(Layout.genDir(st.root, Basin, "s", 0L))))
     st.append(Basin, "s", AppendInput(Seq(TrimCommand(1))), Some(1100L))
     st.compact(Basin, "s")
     assert(st.manifest(Basin, "s").generation == 1L)
@@ -65,15 +69,15 @@ class GenerationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bodies(st, "s") == Seq("b", "c"))
   }
 
-  test("crashed compaction (gen dir present, manifest not flipped) is invisible and recovered") {
-    val st = freshStore()
+  for (h <- BackendHarness.all)
+  test(s"[${h.label}] crashed compaction (gen dir present, manifest not flipped) is invisible and recovered") {
+    val st = freshStore(h)
     st.catalog.createStream(Basin, "c")
     st.append(Basin, "c", AppendInput(Seq(env("x"), env("y"))), Some(1000L))
     // fabricate the crash: a completed gen=1 rewrite whose manifest
-    // CAS never ran (process died between the move and the commit)
+    // CAS never ran (process died between the publish and the commit)
     val orphan = Paths.get(Layout.genDir(st.root, Basin, "c", 1L))
-    Files.createDirectories(orphan)
-    DirectParquet.writeBatch(orphan.toString, Seq(
+    h.fabricate(st.root, orphan, Seq(
       DirectParquet.Rec(0L, 1000L, Nil, "x".getBytes, 9L),
       DirectParquet.Rec(1L, 1000L, Nil, "y".getBytes, 9L)))
     // reads still route to the committed generation
@@ -87,13 +91,14 @@ class GenerationSpec extends AnyFunSuite with BeforeAndAfterAll {
     // grace-expired sweep removes BOTH the predecessor and the orphan
     st.sweepOldGens(Basin, "c", graceMs = 1000,
       nowMs = Some(System.currentTimeMillis() + 10 * 60 * 1000))
-    assert(!Files.exists(orphan))
-    assert(!Files.exists(Paths.get(Layout.genDir(st.root, Basin, "c", 0L))))
-    assert(Files.exists(Paths.get(Layout.genDir(st.root, Basin, "c", 2L))))
+    assert(!h.dataExists(st.root, orphan))
+    assert(!h.dataExists(st.root, Paths.get(Layout.genDir(st.root, Basin, "c", 0L))))
+    assert(h.dataExists(st.root, Paths.get(Layout.genDir(st.root, Basin, "c", 2L))))
   }
 
-  test("a plan captured before the flip still reads its files after compact") {
-    val st = freshStore()
+  for (h <- BackendHarness.all)
+  test(s"[${h.label}] a plan captured before the flip still reads its files after compact") {
+    val st = freshStore(h)
     st.catalog.createStream(Basin, "r")
     st.append(Basin, "r", AppendInput((0 until 8).map(i => env(s"r$i"))), Some(1000L))
     // the racing reader: a DataFrame planned over the current files
@@ -110,8 +115,9 @@ class GenerationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bodies(st, "r") == Seq("r4", "r5", "r6", "r7"))
   }
 
-  test("streaming ingest commits into the current generation after a flip") {
-    val st = freshStore()
+  for (h <- BackendHarness.all)
+  test(s"[${h.label}] streaming ingest commits into the current generation after a flip") {
+    val st = freshStore(h)
     st.catalog.createStream(Basin, "ing")
     st.append(Basin, "ing", AppendInput(Seq(env("seed"), env("s2"))), Some(1000L))
     st.append(Basin, "ing", AppendInput(Seq(TrimCommand(1))), Some(1100L))
@@ -130,8 +136,9 @@ class GenerationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bodies(st, "ing") == Seq("s2", "bulk1", "bulk2"))
   }
 
-  test("a SECOND store instance's pre-flip plan survives a compaction it never saw") {
-    val st = freshStore()
+  for (h <- BackendHarness.all)
+  test(s"[${h.label}] a SECOND store instance's pre-flip plan survives a compaction it never saw") {
+    val st = freshStore(h)
     st.catalog.createStream(Basin, "x")
     st.append(Basin, "x", AppendInput((0 until 6).map(i => env(s"x$i"))), Some(1000L))
     // the foreign reader: a separate StreamStore over the same root
@@ -254,13 +261,14 @@ class GenerationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bodies(st, "split") == Seq("moved0", "loose1", "new2"))
   }
 
-  test("visibleBasin masks out non-current generations (no duplicates inside grace)") {
-    val st = freshStore()
+  for (h <- BackendHarness.all)
+  test(s"[${h.label}] visibleBasin masks out non-current generations (no duplicates inside grace)") {
+    val st = freshStore(h)
     st.catalog.createStream(Basin, "vb")
     st.append(Basin, "vb", AppendInput((0 until 6).map(i => env(s"v$i"))), Some(1000L))
     st.append(Basin, "vb", AppendInput(Seq(TrimCommand(2))), Some(1100L))
-    st.compact(Basin, "vb") // gen=0 still on disk, inside grace
-    assert(Files.exists(Paths.get(Layout.genDir(st.root, Basin, "vb", 0L))))
+    st.compact(Basin, "vb") // gen=0 still present, inside grace
+    assert(h.dataExists(st.root, Paths.get(Layout.genDir(st.root, Basin, "vb", 0L))))
     val rows = st.visibleBasin(Basin).where("stream = 'vb'")
       .select("seq_num").collect().map(_.getLong(0)).sorted.toSeq
     assert(rows == Seq(2L, 3L, 4L, 5L, 6L), s"got $rows") // no gen-0 dupes

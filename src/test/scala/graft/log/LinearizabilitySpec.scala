@@ -116,6 +116,10 @@ class LinearizabilitySpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   private def newStores(root: String): Vector[StreamStore] = {
+    // two instances = two simulated drivers; on an object-backend
+    // root they share the registered in-memory "bucket", and with NO
+    // writer locks (the adapter's mutex is a no-op) every interleaving
+    // here is resolved by the manifest conditional-put alone
     val a = new StreamStore(spark, root)
     a.catalog.createBasin(Basin,
       BasinConfig(defaultStreamConfig =
@@ -139,10 +143,10 @@ class LinearizabilitySpec extends AnyFunSuite with BeforeAndAfterAll {
     * instance B, lost-ack simulation client-side. Returns the full
     * labeled history plus the final log.
     */
-  private def runWorkload(seed: Long, nClients: Int, opsPerClient: Int,
-                          bulkEvery: Int = 0)
+  private def runWorkload(h: BackendHarness, seed: Long, nClients: Int,
+                          opsPerClient: Int, bulkEvery: Int = 0)
       : (Seq[LinEvent], Vector[(Long, String)], Long) = {
-    val root = Files.createTempDirectory("graft-lin").toString
+    val root = h.freshRoot("graft-lin")
     val stores = newStores(root)
 
     // injected commit failures on instance B: the data file is written,
@@ -248,10 +252,11 @@ class LinearizabilitySpec extends AnyFunSuite with BeforeAndAfterAll {
   // Specs
   // ----------------------------------------------------------------
 
-  test("concurrent append/CAS/fencing/read histories linearize (5 seeds x 120 ops)") {
+  for (h <- BackendHarness.all)
+  test(s"[${h.label}] concurrent append/CAS/fencing/read histories linearize (5 seeds x 120 ops)") {
     val all = scala.collection.mutable.ArrayBuffer.empty[LinEvent]
     for (seed <- 1L to 5L) {
-      val (events, log, tail) = runWorkload(seed, nClients = 4, opsPerClient = 30)
+      val (events, log, tail) = runWorkload(h, seed, nClients = 4, opsPerClient = 30)
       val violations = check(events, log, tail)
       assert(violations.isEmpty,
         s"seed $seed: ${violations.size} violations:\n${violations.take(10).mkString("\n")}")
@@ -272,7 +277,8 @@ class LinearizabilitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(has(e => e.op == TailCheck && e.res.isInstanceOf[TailSeen]))
   }
 
-  test("bulk ingest interleaved with unary appends/CAS/fencing linearizes " +
+  for (h <- BackendHarness.all)
+  test(s"[${h.label}] bulk ingest interleaved with unary appends/CAS/fencing linearizes " +
     "(the two write paths share one log)") {
     // Same harness, with client 0 pushing every 6th op through the
     // staged-commit bulk path instead of the unary path (model-
@@ -287,7 +293,7 @@ class LinearizabilitySpec extends AnyFunSuite with BeforeAndAfterAll {
     val all = scala.collection.mutable.ArrayBuffer.empty[LinEvent]
     for (seed <- 11L to 13L) {
       val (events, log, tail) =
-        runWorkload(seed, nClients = 4, opsPerClient = 18, bulkEvery = 6)
+        runWorkload(h, seed, nClients = 4, opsPerClient = 18, bulkEvery = 6)
       val violations = check(events, log, tail)
       assert(violations.isEmpty,
         s"seed $seed: ${violations.size} violations:\n${violations.take(10).mkString("\n")}")

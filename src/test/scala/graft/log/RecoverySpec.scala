@@ -49,6 +49,17 @@ import LinModel._
   * and the CAS-guarded session retry resolves the indefinite op
   * exactly-once in every fault case.
   */
+/** Round 13: the whole crash matrix runs against BOTH storage
+  * backends ([[BackendHarness]]) — POSIX (rename/flock/mtime) and
+  * object-store semantics (conditional put, no locks, no torn
+  * objects). On the object backend the two write-tearing faults
+  * change physics: a PUT is atomic, so `KillMidDataWrite` means the
+  * object never landed (nothing to sweep), and there is no manifest
+  * temp file to tear (`KillMidManifestRename` degenerates to the
+  * whole-orphan case). The protocol-level verdicts — committed tail
+  * preserved, orphan invisible then swept, CAS retry exactly-once,
+  * stitched history linearizes — are identical.
+  */
 class RecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
 
   lazy val spark: SparkSession = SparkSession.builder()
@@ -75,8 +86,8 @@ class RecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
   // Store plumbing
   // ----------------------------------------------------------------
 
-  private def newRoot(): String = {
-    val root = Files.createTempDirectory("graft-rec").toString
+  private def newRoot(h: BackendHarness): String = {
+    val root = h.freshRoot("graft-rec")
     val st = new StreamStore(spark, root)
     st.catalog.createBasin(Basin,
       BasinConfig(defaultStreamConfig =
@@ -89,16 +100,8 @@ class RecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
   private def dataDir(root: String): Path =
     Paths.get(Layout.genDir(root, Basin, Stream, 0L))
 
-  private def listData(root: String): Set[String] = {
-    val d = dataDir(root)
-    if (!Files.exists(d)) Set.empty
-    else {
-      val s = Files.list(d)
-      try s.iterator().asScala.map(_.getFileName.toString)
-        .filter(_.endsWith(".parquet")).toSet
-      finally s.close()
-    }
-  }
+  private def listData(h: BackendHarness, root: String): Set[String] =
+    h.listData(root, dataDir(root))
 
   private def appendInput(bodies: Vector[String],
                           matchSeq: Option[Long] = None): AppendInput =
@@ -178,10 +181,11 @@ class RecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
   /** Runs `input` against `st` and kills it at `fault`; returns the
     * data-file names the dead process left in the stream directory.
     */
-  private def crashAppend(st: StreamStore, root: String, input: AppendInput,
-                          fault: Fault, seed: Long): Set[String] = {
+  private def crashAppend(h: BackendHarness, st: StreamStore, root: String,
+                          input: AppendInput, fault: Fault,
+                          seed: Long): Set[String] = {
     val dir = dataDir(root)
-    val before = listData(root)
+    val before = listData(h, root)
     val saved = ArrayBuffer.empty[(String, Array[Byte])]
     st.beforeManifestCommit = () => {
       val s = Files.list(dir)
@@ -200,15 +204,20 @@ class RecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally st.beforeManifestCommit = () => ()
     assert(saved.nonEmpty, "kill hook saw no in-flight data file")
     // the exception path cleaned up (it must); a killed process cannot
-    // — restore the dead writer's file
+    // — restore the dead writer's put. Backend physics differ exactly
+    // here: a mid-write kill leaves a footerless file on POSIX but
+    // NOTHING on an object store (PUT is atomic — the upload that
+    // never completed never existed).
+    if (fault == KillMidDataWrite && !h.supportsTorn) return Set.empty
     saved.foreach { case (name, bytes) =>
       val out = fault match {
         case KillMidDataWrite => bytes.take(bytes.length / 2) // no footer
         case _ => bytes
       }
-      Files.write(dir.resolve(name), out)
+      h.restoreDead(root, dir, name, out)
     }
-    if (fault == KillMidManifestRename) {
+    if (fault == KillMidManifestRename && h.supportsTorn) {
+      // rename mechanics: only POSIX has a manifest temp file to tear
       val state = Layout.statePath(root, Basin, Stream)
       Files.writeString(
         state.resolveSibling(s".tmp-torn-$seed.json"),
@@ -221,8 +230,8 @@ class RecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
   // One full kill/restart/retry scenario
   // ----------------------------------------------------------------
 
-  private def runScenario(seed: Long, fault: Fault): Unit = {
-    val root = newRoot()
+  private def runScenario(h: BackendHarness, seed: Long, fault: Fault): Unit = {
+    val root = newRoot(h)
     val rnd = new scala.util.Random(seed)
     val events = ArrayBuffer.empty[LinEvent]
 
@@ -242,7 +251,7 @@ class RecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
         stores1(rnd.nextInt(2)).append(Basin, Stream, crashInput)
           .fold(e => fail(s"append failed: $e"), _ => ())
         Set.empty
-      case f => crashAppend(stores1(rnd.nextInt(2)), root, crashInput, f, seed)
+      case f => crashAppend(h, stores1(rnd.nextInt(2)), root, crashInput, f, seed)
     }
 
     // ---- restart: the process is gone; fresh instances on the root
@@ -252,7 +261,7 @@ class RecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
     val committedTail =
       if (fault == KillAfterCommit) tailAtCrash + crashBodies.size else tailAtCrash
     if (fault != KillAfterCommit) {
-      assert(deadFiles.subsetOf(listData(root)),
+      assert(deadFiles.subsetOf(listData(h, root)),
         "kill simulation lost the dead writer's file")
     }
     val (logAfterRestart, tailAfterRestart) = finalState(stores2(0))
@@ -298,7 +307,7 @@ class RecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
 
     // the first commit on a fresh instance swept the dead writer's file
     if (fault != KillAfterCommit)
-      assert(deadFiles.intersect(listData(root)).isEmpty,
+      assert(deadFiles.intersect(listData(h, root)).isEmpty,
         "recovery did not sweep the dead writer's file")
 
     // ---- phase 2: workload continues on the restarted instances
@@ -324,22 +333,24 @@ class RecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
   // Specs: every fault point, ≥2 seeds each
   // ----------------------------------------------------------------
 
-  for ((fault, fi) <- Faults.zipWithIndex)
-    for (s <- 0 until 2) {
-      val seed = 100L * (fi + 1) + s
-      test(s"kill/restart at $fault recovers exactly-once (seed $seed)") {
-        runScenario(seed, fault)
+  for (h <- BackendHarness.all)
+    for ((fault, fi) <- Faults.zipWithIndex)
+      for (s <- 0 until 2) {
+        val seed = 100L * (fi + 1) + s
+        test(s"[${h.label}] kill/restart at $fault recovers exactly-once (seed $seed)") {
+          runScenario(h, seed, fault)
+        }
       }
-    }
 
   test("torn data file alone: reads skip it, recovery deletes it") {
     // No committed records at all — the very first append dies
     // mid-write. The footerless file must not wedge reads (the
     // pre-fix behavior: ParquetFileReader throws through listStats)
     // and must be gone after the first successful commit.
-    val root = newRoot()
+    val h = BackendHarness.PosixHarness // torn files are POSIX physics
+    val root = newRoot(h)
     val st1 = new StreamStore(spark, root)
-    val dead = crashAppend(st1, root,
+    val dead = crashAppend(h, st1, root,
       appendInput(Vector("t0", "t1")), KillMidDataWrite, seed = 999L)
     val st2 = new StreamStore(spark, root)
     assert(st2.checkTail(Basin, Stream).seqNum == 0L)
@@ -349,7 +360,7 @@ class RecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(log.isEmpty, "torn file leaked records into a read")
     st2.append(Basin, Stream, appendInput(Vector("fresh")))
       .fold(e => fail(e.toString), identity)
-    assert(dead.intersect(listData(root)).isEmpty, "torn file survived recovery")
+    assert(dead.intersect(listData(h, root)).isEmpty, "torn file survived recovery")
     val (log2, tail2) = finalState(st2)
     assert(tail2 == 1L && log2.map(_._2) == Vector("fresh"))
   }
