@@ -107,6 +107,12 @@ object GraftFunctions {
   def binary_sig(v: Column, word: Int): Column =
     Bridge.column(BinarySigExpr(Bridge.expression(v), word))
 
+  /** Column API: record_decrypt(body, key, aad) — per-record
+    * format-byte-dispatched AEAD decryption (A13 read path).
+    */
+  def record_decrypt(body: Column, key: Array[Byte], aad: Array[Byte]): Column =
+    Bridge.column(RecordDecryptExpr(Bridge.expression(body), key, aad))
+
   /** SQL registration: SELECT metered_size(headers, body),
     * cosine_sim(va, vb), int_dot(qa, qb) ...
     */

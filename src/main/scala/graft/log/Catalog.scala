@@ -100,12 +100,14 @@ object ConfigCodec {
   def encodeBasin(c: BasinConfig): Map[String, String] =
     encode(c.defaultStreamConfig) ++
       Map("create_stream_on_append" -> c.createStreamOnAppend.toString,
-          "create_stream_on_read" -> c.createStreamOnRead.toString)
+          "create_stream_on_read" -> c.createStreamOnRead.toString) ++
+      c.streamCipher.map(a => "stream_cipher" -> a.wireName)
 
   def decodeBasin(m: Map[String, String]): BasinConfig = BasinConfig(
     decode(m),
     m.get("create_stream_on_append").exists(_.toBoolean),
-    m.get("create_stream_on_read").exists(_.toBoolean))
+    m.get("create_stream_on_read").exists(_.toBoolean),
+    m.get("stream_cipher").flatMap(CipherAlgo.fromWire))
 }
 
 object Catalog {
@@ -118,7 +120,7 @@ object Catalog {
 
   /** Stable shard of a stream name (md5, not String.hashCode, so
     * sequential names like `s-1…s-N` spread evenly). */
-  private[log] def shardOf(stream: String): Int = {
+  private[graft] def shardOf(stream: String): Int = {
     val md = java.security.MessageDigest.getInstance("MD5")
     (md.digest(stream.getBytes("UTF-8"))(0) & 0xff) % NumShards
   }
@@ -169,7 +171,7 @@ object Catalog {
     * (plain lexical fallback would give them different keys and
     * split the control plane in two).
     */
-  private[log] def canonicalRoot(root: String): String = {
+  private[graft] def canonicalRoot(root: String): String = {
     // toRealPath on the RAW absolute path — never normalize() first:
     // lexical normalization folds '..' across symlinks ('/b/sym/../x'
     // is NOT '/b/x' when sym points elsewhere), which would key and
@@ -242,6 +244,12 @@ object Catalog {
     * Monotonicity is the invariant; an AtomicLong per path ever
     * written is cheap.
     */
+  /** Object-mode control-plane parse cache: path -> (etag, parsed).
+    * Shared JVM-wide for the same reason parseCache is; correctness
+    * rests on etag equality (content hash), not timestamps. */
+  private[log] val objectParseCache =
+    scala.collection.concurrent.TrieMap.empty[String, (String, AnyRef)]
+
   private val savesSincePurge = new java.util.concurrent.atomic.AtomicLong
   private[log] def purgeDeadEntries(): Unit = {
     if (savesSincePurge.incrementAndGet() % 1024 == 0 && parseCache.size > 4096)
@@ -285,12 +293,106 @@ final class Catalog(root: String) {
 
   private val basinsPath = Layout.basinsPath(canonRoot)
 
+  /** The physical-IO adapter governing this root — same resolution as
+    * StreamStore's data plane, so a root with an object-semantics
+    * backend installed gets an object-portable CONTROL plane too: the
+    * reference keeps basin/stream metadata in the same object-backed
+    * KV as records (lite/src/backend/kv/mod.rs:54-71, key types
+    * BasinMeta/StreamMeta), and this catalog follows suit — every
+    * document read comes from the backend and every mutation commits
+    * through `casMeta` (conditional put), no file locks, no renames.
+    * On POSIX the classic advisory path below (JVM monitors + atomic
+    * rename + (mtime,size) parse cache) remains the fast path.
+    */
+  private val backend = StorageBackend.forRoot(root)
+  private val objectMode = !backend.hasWriterMutex
+
   // JVM-global parse cache (see Catalog.parseCache for why it cannot
   // be per-instance)
   private def cache = Catalog.parseCache
 
+  /** Object-mode parse cache: etag-keyed (etags are content hashes, so
+    * a hit is exact). Lock-free: entries are only ever replaced with a
+    * parse of the SAME etag'd bytes or newer bytes; a stale install
+    * is corrected by the next read's etag mismatch. */
+  private def objCache = Catalog.objectParseCache
+
+  private def parseObj[A <: AnyRef: Manifest](key: String,
+                                              json: String, etag: String): A =
+    objCache.get(key) match {
+      case Some((t, v)) if t == etag => v.asInstanceOf[A]
+      case _ =>
+        val v = Layout.fromJsonString[A](json)
+        objCache.put(key, (etag, v))
+        v
+    }
+
+  /** Serialized read-modify-write of ONE control-plane document; every
+    * catalog mutation goes through here.
+    *
+    * `f` sees the current parse and returns (replacement, result);
+    * `None` = read-only outcome, nothing written.
+    *
+    * POSIX: the JVM monitor the caller holds serializes in-process
+    * writers; the write is an atomic rename (pre-existing semantics —
+    * cross-process POSIX catalog mutation remains advisory, exactly
+    * like before this abstraction).
+    *
+    * Object mode: load (json, etag) from the backend, apply `f`,
+    * commit with `casMeta` — If-Match on the loaded etag, or
+    * If-None-Match when the document did not exist. In-JVM writers
+    * already serialize on the catalog monitors, so a precondition
+    * failure means a FOREIGN driver committed between our load and
+    * put: re-run `f` on the fresh parse (f is pure in the document)
+    * and try again, bounded.
+    */
+  /** Test seam: runs between a mutation's document load and its
+    * conditional put (object mode only), so specs can inject the
+    * foreign-driver interleaving that forces the CAS-rebase path. */
+  private[log] var beforeCatalogCas: () => Unit = () => ()
+
+  private def mutateDoc[A <: AnyRef: Manifest, R](path: java.nio.file.Path,
+                                                  default: => A)
+      (f: A => (Option[A], R)): R = {
+    if (!objectMode) {
+      val (next, r) = f(loadCached(path, default))
+      next.foreach(saveFile(path, _))
+      return r
+    }
+    val key = path.toString
+    var attempts = 0
+    while (attempts < 64) {
+      val cur = backend.getMeta(key, fresh = true)
+      val parsed = cur match {
+        case Some((json, etag)) => parseObj[A](key, json, etag)
+        case None => default
+      }
+      val (next, r) = f(parsed)
+      next match {
+        case None => return r
+        case Some(doc) =>
+          beforeCatalogCas()
+          backend.casMeta(key, Layout.toJsonString(doc), cur.map(_._2)) match {
+            case Right(tag) => objCache.put(key, (tag, doc)); return r
+            case Left(_) => attempts += 1 // foreign commit won; rebase
+          }
+      }
+    }
+    throw new IllegalStateException(s"catalog CAS starvation on $key")
+  }
+
   private def loadCached[A <: AnyRef: Manifest](path: java.nio.file.Path,
                                                 default: => A): A = {
+    if (objectMode) {
+      // reads come from the backend's authoritative index (the local
+      // mirror files are write-through copies for foreign read-only
+      // tooling, never consulted here), cached by etag
+      val key = path.toString
+      return backend.getMeta(key, fresh = false) match {
+        case Some((json, etag)) => parseObj[A](key, json, etag)
+        case None => default
+      }
+    }
     if (!Files.exists(path)) { cache.remove(path.toString); return default }
     val key = path.toString
     val stamp0 = Catalog.writeStamp(key).get()
@@ -349,7 +451,13 @@ final class Catalog(root: String) {
     * without it the second instance's `ch.lock()` would throw
     * OverlappingFileLockException instead of waiting.
     */
-  if (Files.exists(Layout.catalogPath(canonRoot)) && !Files.exists(basinsPath))
+  // POSIX-only by construction: object roots are born on the sharded
+  // layout (the legacy single-file era predates the object adapter),
+  // so the migration — and its OS file lock and renames — never runs
+  // there. The `objectMode` guard makes that explicit rather than
+  // relying on catalog.json never existing under an object root.
+  if (!objectMode &&
+      Files.exists(Layout.catalogPath(canonRoot)) && !Files.exists(basinsPath))
     Catalog.globalLock(canonRoot, "__migrate__").synchronized {
       val legacy = Layout.catalogPath(canonRoot)
       Files.createDirectories(legacy.getParent)
@@ -404,17 +512,17 @@ final class Catalog(root: String) {
     lock.synchronized {
       if (!Caps.validBasinName(name)) Left(s"invalid basin name: $name")
       else {
-        val st = basinsFile()
         val enc = ConfigCodec.encodeBasin(config)
         val key = requestToken.map(idemKey(_, enc))
-        st.basins.find(b => b.name == name && b.deletedAt.isEmpty) match {
-          case Some(existing) if key.isDefined && existing.idempotencyKey == key =>
-            Right(existing) // idempotent retry
-          case Some(_) => Left("BasinAlreadyExists")
-          case None =>
-            val e = BasinEntry(name, enc, now(), None, key)
-            saveFile(basinsPath, st.copy(basins = st.basins :+ e))
-            Right(e)
+        mutateDoc(basinsPath, BasinsFile()) { st =>
+          st.basins.find(b => b.name == name && b.deletedAt.isEmpty) match {
+            case Some(existing) if key.isDefined && existing.idempotencyKey == key =>
+              (None, Right(existing)) // idempotent retry
+            case Some(_) => (None, Left("BasinAlreadyExists"))
+            case None =>
+              val e = BasinEntry(name, enc, now(), None, key)
+              (Some(st.copy(basins = st.basins :+ e)), Right(e))
+          }
         }
       }
     }
@@ -431,18 +539,18 @@ final class Catalog(root: String) {
     lock.synchronized {
       if (!Caps.validBasinName(name)) Left(s"invalid basin name: $name")
       else {
-        val st = basinsFile()
         val enc = ConfigCodec.encodeBasin(config)
-        st.basins.find(b => b.name == name && b.deletedAt.isEmpty) match {
-          case Some(e) if e.config == enc => Right(EnsureOutcome.Noop)
-          case Some(e) =>
-            saveFile(basinsPath, st.copy(basins = st.basins.map(x =>
-              if (x eq e) x.copy(config = enc) else x)))
-            Right(EnsureOutcome.Updated)
-          case None =>
-            saveFile(basinsPath,
-              st.copy(basins = st.basins :+ BasinEntry(name, enc, now())))
-            Right(EnsureOutcome.Created)
+        mutateDoc(basinsPath, BasinsFile()) { st =>
+          st.basins.find(b => b.name == name && b.deletedAt.isEmpty) match {
+            case Some(e) if e.config == enc => (None, Right(EnsureOutcome.Noop))
+            case Some(e) =>
+              (Some(st.copy(basins = st.basins.map(x =>
+                if (x eq e) x.copy(config = enc) else x))),
+                Right(EnsureOutcome.Updated))
+            case None =>
+              (Some(st.copy(basins = st.basins :+ BasinEntry(name, enc, now()))),
+                Right(EnsureOutcome.Created))
+          }
         }
       }
     }
@@ -456,14 +564,15 @@ final class Catalog(root: String) {
   def reconfigureBasin(name: String,
                        patch: BasinConfigPatch): Either[String, BasinConfig] =
     lock.synchronized {
-      val st = basinsFile()
-      st.basins.find(b => b.name == name && b.deletedAt.isEmpty) match {
-        case None => Left("BasinNotFound")
-        case Some(e) =>
-          val updated = patch.applyTo(ConfigCodec.decodeBasin(e.config))
-          saveFile(basinsPath, st.copy(basins = st.basins.map(x =>
-            if (x eq e) x.copy(config = ConfigCodec.encodeBasin(updated)) else x)))
-          Right(updated)
+      mutateDoc(basinsPath, BasinsFile()) { st =>
+        st.basins.find(b => b.name == name && b.deletedAt.isEmpty) match {
+          case None => (None, Left("BasinNotFound"))
+          case Some(e) =>
+            val updated = patch.applyTo(ConfigCodec.decodeBasin(e.config))
+            (Some(st.copy(basins = st.basins.map(x =>
+              if (x eq e) x.copy(config = ConfigCodec.encodeBasin(updated)) else x))),
+              Right(updated))
+        }
       }
     }
 
@@ -477,17 +586,18 @@ final class Catalog(root: String) {
       if (!Caps.validStreamName(name)) Left(s"invalid stream name: $name")
       else if (getBasin(basin).isEmpty) Left("BasinNotFound")
       else {
-        val (path, sh) = shardFor(basin, name)
+        val path = Layout.streamShardPath(canonRoot, basin, Catalog.shardOf(name))
         val enc = ConfigCodec.encode(config)
         val key = requestToken.map(idemKey(_, enc))
-        sh.streams.find(s => s.name == name && s.deletedAt.isEmpty) match {
-          case Some(existing) if key.isDefined && existing.idempotencyKey == key =>
-            Right(existing)
-          case Some(_) => Left("StreamAlreadyExists")
-          case None =>
-            val e = StreamEntry(basin, name, enc, now(), None, key)
-            saveFile(path, sh.copy(streams = sh.streams :+ e))
-            Right(e)
+        mutateDoc(path, StreamShard()) { sh =>
+          sh.streams.find(s => s.name == name && s.deletedAt.isEmpty) match {
+            case Some(existing) if key.isDefined && existing.idempotencyKey == key =>
+              (None, Right(existing))
+            case Some(_) => (None, Left("StreamAlreadyExists"))
+            case None =>
+              val e = StreamEntry(basin, name, enc, now(), None, key)
+              (Some(sh.copy(streams = sh.streams :+ e)), Right(e))
+          }
         }
       }
     }
@@ -509,14 +619,14 @@ final class Catalog(root: String) {
         var created = 0
         valid0.groupBy(Catalog.shardOf).foreach { case (shardNo, group) =>
           val path = Layout.streamShardPath(canonRoot, basin, shardNo)
-          val sh = shard(basin, shardNo)
-          val existing = sh.streams.iterator
-            .filter(_.deletedAt.isEmpty).map(_.name).toSet
-          val fresh = group.filterNot(existing)
-          if (fresh.nonEmpty) {
-            saveFile(path, sh.copy(streams = sh.streams ++
-              fresh.map(n => StreamEntry(basin, n, enc, t))))
-            created += fresh.size
+          created += mutateDoc(path, StreamShard()) { sh =>
+            val existing = sh.streams.iterator
+              .filter(_.deletedAt.isEmpty).map(_.name).toSet
+            val fresh = group.filterNot(existing)
+            if (fresh.nonEmpty)
+              (Some(sh.copy(streams = sh.streams ++
+                fresh.map(n => StreamEntry(basin, n, enc, t)))), fresh.size)
+            else (None, 0)
           }
         }
         if (invalid.nonEmpty) Left(s"invalid stream names: ${invalid.mkString(",")}")
@@ -530,18 +640,20 @@ final class Catalog(root: String) {
     basinLock(basin).synchronized {
       if (getBasin(basin).isEmpty) Left("BasinNotFound")
       else {
-        val (path, sh) = shardFor(basin, name)
+        val path = Layout.streamShardPath(canonRoot, basin, Catalog.shardOf(name))
         val enc = ConfigCodec.encode(config)
-        sh.streams.find(s => s.name == name && s.deletedAt.isEmpty) match {
-          case Some(e) if e.config == enc => Right(EnsureOutcome.Noop)
-          case Some(e) =>
-            saveFile(path, sh.copy(streams = sh.streams.map(x =>
-              if (x eq e) x.copy(config = enc) else x)))
-            Right(EnsureOutcome.Updated)
-          case None =>
-            saveFile(path, sh.copy(streams = sh.streams :+
-              StreamEntry(basin, name, enc, now())))
-            Right(EnsureOutcome.Created)
+        mutateDoc(path, StreamShard()) { sh =>
+          sh.streams.find(s => s.name == name && s.deletedAt.isEmpty) match {
+            case Some(e) if e.config == enc => (None, Right(EnsureOutcome.Noop))
+            case Some(e) =>
+              (Some(sh.copy(streams = sh.streams.map(x =>
+                if (x eq e) x.copy(config = enc) else x))),
+                Right(EnsureOutcome.Updated))
+            case None =>
+              (Some(sh.copy(streams = sh.streams :+
+                StreamEntry(basin, name, enc, now()))),
+                Right(EnsureOutcome.Created))
+          }
         }
       }
     }
@@ -550,14 +662,16 @@ final class Catalog(root: String) {
   def reconfigureStream(basin: String, name: String,
                         patch: StreamConfigPatch): Either[String, StreamConfig] =
     basinLock(basin).synchronized {
-      val (path, sh) = shardFor(basin, name)
-      sh.streams.find(s => s.name == name && s.deletedAt.isEmpty) match {
-        case None => Left("StreamNotFound")
-        case Some(e) =>
-          val updated = patch.applyTo(ConfigCodec.decode(e.config))
-          saveFile(path, sh.copy(streams = sh.streams.map(x =>
-            if (x eq e) x.copy(config = ConfigCodec.encode(updated)) else x)))
-          Right(updated)
+      val path = Layout.streamShardPath(canonRoot, basin, Catalog.shardOf(name))
+      mutateDoc(path, StreamShard()) { sh =>
+        sh.streams.find(s => s.name == name && s.deletedAt.isEmpty) match {
+          case None => (None, Left("StreamNotFound"))
+          case Some(e) =>
+            val updated = patch.applyTo(ConfigCodec.decode(e.config))
+            (Some(sh.copy(streams = sh.streams.map(x =>
+              if (x eq e) x.copy(config = ConfigCodec.encode(updated)) else x))),
+              Right(updated))
+        }
       }
     }
 
@@ -621,14 +735,14 @@ final class Catalog(root: String) {
     lock.synchronized {
       if (!Caps.validLocationName(name)) Left(s"invalid location name: $name")
       else {
-        val st = locationsFile()
-        st.locations.find(_.name == name) match {
-          case Some(l) if l.isPrivate == isPrivate => Right(l)
-          case Some(_) => Left("LocationAlreadyExists")
-          case None =>
-            val l = LocationInfo(name, isPrivate)
-            saveFile(locationsPath, st.copy(locations = st.locations :+ l))
-            Right(l)
+        mutateDoc(locationsPath, LocationsFile()) { st =>
+          st.locations.find(_.name == name) match {
+            case Some(l) if l.isPrivate == isPrivate => (None, Right(l))
+            case Some(_) => (None, Left("LocationAlreadyExists"))
+            case None =>
+              val l = LocationInfo(name, isPrivate)
+              (Some(st.copy(locations = st.locations :+ l)), Right(l))
+          }
         }
       }
     }
@@ -644,12 +758,12 @@ final class Catalog(root: String) {
     lock.synchronized {
       if (!Caps.validLocationName(name)) Left(s"invalid location name: $name")
       else {
-        val st = locationsFile()
-        st.locations.find(_.name == name) match {
-          case None => Left("LocationNotFound")
-          case Some(l) =>
-            saveFile(locationsPath, st.copy(default = Some(name)))
-            Right(l)
+        mutateDoc(locationsPath, LocationsFile()) { st =>
+          st.locations.find(_.name == name) match {
+            case None => (None, Left("LocationNotFound"))
+            case Some(l) =>
+              (Some(st.copy(default = Some(name))), Right(l))
+          }
         }
       }
     }
@@ -659,10 +773,12 @@ final class Catalog(root: String) {
     */
   def markStreamDeleted(basin: String, name: String): Unit =
     basinLock(basin).synchronized {
-      val (path, sh) = shardFor(basin, name)
-      saveFile(path, sh.copy(streams = sh.streams.map(s =>
-        if (s.name == name && s.deletedAt.isEmpty)
-          s.copy(deletedAt = Some(now())) else s)))
+      val path = Layout.streamShardPath(canonRoot, basin, Catalog.shardOf(name))
+      mutateDoc(path, StreamShard()) { sh =>
+        (Some(sh.copy(streams = sh.streams.map(s =>
+          if (s.name == name && s.deletedAt.isEmpty)
+            s.copy(deletedAt = Some(now())) else s))), ())
+      }
     }
 
   /** Takes BOTH the basin-list lock and the basin's stream lock (in
@@ -674,16 +790,19 @@ final class Catalog(root: String) {
     */
   def markBasinDeleted(name: String): Unit = lock.synchronized {
     basinLock(name).synchronized {
-      val st = basinsFile()
-      saveFile(basinsPath, st.copy(basins = st.basins.map(b =>
-        if (b.name == name && b.deletedAt.isEmpty) b.copy(deletedAt = Some(now()))
-        else b)))
+      mutateDoc(basinsPath, BasinsFile()) { st =>
+        (Some(st.copy(basins = st.basins.map(b =>
+          if (b.name == name && b.deletedAt.isEmpty) b.copy(deletedAt = Some(now()))
+          else b))), ())
+      }
     }
   }
 
   def hardDeleteStream(basin: String, name: String): Unit =
     basinLock(basin).synchronized {
-      val (path, sh) = shardFor(basin, name)
-      saveFile(path, sh.copy(streams = sh.streams.filterNot(_.name == name)))
+      val path = Layout.streamShardPath(canonRoot, basin, Catalog.shardOf(name))
+      mutateDoc(path, StreamShard()) { sh =>
+        (Some(sh.copy(streams = sh.streams.filterNot(_.name == name))), ())
+      }
     }
 }

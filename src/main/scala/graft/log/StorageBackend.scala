@@ -47,6 +47,14 @@ trait StorageBackend {
     * legacy detection/migration short-circuits. */
   def supportsLegacyLayout: Boolean
 
+  /** Whether `withWriterMutex` provides REAL cross-process mutual
+    * exclusion (POSIX OS file locks: yes; object stores: no — it's a
+    * no-op there). Destructive maintenance that infers "dead writer"
+    * from listings (orphan sweeps) must not trust the mutex when this
+    * is false — it has to fence through the manifest CAS instead
+    * (StreamStore.sweepOrphans). */
+  def hasWriterMutex: Boolean
+
   // ---- commit metadata (small JSON objects, CAS-tagged) ----
 
   /** Object bytes + etag; None when absent. `fresh = false` may serve
@@ -137,6 +145,7 @@ object StorageBackend {
 object PosixBackend extends StorageBackend {
   val name = "posix"
   val supportsLegacyLayout = true
+  val hasWriterMutex = true
 
   def getMeta(key: String, fresh: Boolean): Option[(String, String)] =
     if (fresh) ManifestCache.readFresh(Paths.get(key))
@@ -258,6 +267,7 @@ object PosixBackend extends StorageBackend {
 final class ObjectStoreBackend extends StorageBackend {
   val name = "object"
   val supportsLegacyLayout = false
+  val hasWriterMutex = false
 
   private final case class Obj(json: String, etag: String, putAtMs: Long)
   private val meta = new java.util.concurrent.ConcurrentHashMap[String, Obj]()
@@ -272,8 +282,37 @@ final class ObjectStoreBackend extends StorageBackend {
     md.digest(json.getBytes("UTF-8")).take(16).map(b => f"${b & 0xff}%02x").mkString
   }
 
-  private def norm(p: Path): String = p.toAbsolutePath.normalize.toString
+  /** Key canonicalization MUST match how roots are canonicalized for
+    * the backend registry (Catalog.canonicalRoot: symlink-resolving),
+    * or a store constructed through a symlink-aliased root would
+    * resolve to this same registered backend yet generate different
+    * object keys — two instances silently seeing disjoint buckets.
+    * toRealPath resolves the deepest existing ancestor; the (usually
+    * not-yet-existing) leaf remainder is appended lexically, exactly
+    * like canonicalRoot's fallback.
+    */
+  private def norm(p: Path): String = {
+    val abs = p.toAbsolutePath
+    try abs.toRealPath().toString
+    catch {
+      case _: java.io.IOException =>
+        val n = abs.normalize
+        var existing = n.getParent
+        while (existing != null && !Files.exists(existing))
+          existing = existing.getParent
+        if (existing == null) n.toString
+        else {
+          val real = existing.toRealPath()
+          real.resolve(existing.relativize(n)).toString
+        }
+    }
+  }
 
+  /** `fresh` is accepted for interface parity but IGNORED: both paths
+    * serve the single authoritative in-memory map — there is no cache
+    * tier in this adapter, so "fresh" and "cached" are the same read.
+    * Do NOT add a caching fast path behind `fresh = false` without
+    * moving commit-path reads to `fresh = true` semantics first. */
   def getMeta(key: String, fresh: Boolean): Option[(String, String)] =
     Option(meta.get(norm(Paths.get(key)))).map(o => (o.json, o.etag))
 

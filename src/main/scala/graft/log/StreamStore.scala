@@ -72,8 +72,25 @@ final class StreamStore(val spark: SparkSession, val root: String) {
   // OS lock file and the loser's FileChannel.lock() would throw
   // OverlappingFileLockException instead of waiting
   private val rootKey = Catalog.canonicalRoot(root)
-  private def lockFor(basin: String, stream: String): Object =
-    StreamStore.jvmLock(rootKey + "\u0000" + basin + "\u0000" + stream)
+
+  /** Test seam (object-backend linearizability): when set, this
+    * instance's commit sections use INSTANCE-scoped monitors instead
+    * of the JVM-global registry, so two simulated drivers in one JVM
+    * genuinely interleave and ONLY the manifest conditional-put
+    * carries safety — the exact situation of two real processes on
+    * one bucket. Honored only when the backend has no real writer
+    * mutex: isolated POSIX instances would hit the same OS file lock,
+    * and JVM file-locking throws on intra-process overlap.
+    */
+  private[log] var isolateJvmLocks: Boolean = false
+  private val instanceLocks = new ConcurrentHashMap[String, Object]()
+
+  private def lockFor(basin: String, stream: String): Object = {
+    val key = rootKey + "\u0000" + basin + "\u0000" + stream
+    if (isolateJvmLocks && !backend.hasWriterMutex)
+      instanceLocks.computeIfAbsent(key, _ => new Object)
+    else StreamStore.jvmLock(key)
+  }
 
   /** Cross-process critical section for one stream's commit path: the
     * JVM-global lock serializes writers in this process; the backend's
@@ -183,29 +200,66 @@ final class StreamStore(val spark: SparkSession, val root: String) {
     finally s.close()
   }
 
-  private def sweepOrphans(basin: String, stream: String, tailSeq: Long,
-                           generation: Long): Unit = {
-    if (!sweptStreams.add(basin + "\u0000" + stream)) return
+  /** Sweep a dead writer's leavings from the current generation, once
+    * per stream per store instance. Returns the (manifest, tag) the
+    * caller's commit must build on — identical to what was passed in
+    * unless the object-mode fence (below) moved the manifest.
+    *
+    * Deletion safety differs by adapter:
+    *
+    *  - POSIX (`hasWriterMutex`): the OS writer mutex we hold excludes
+    *    every live writer process, so any listed object with
+    *    `minSeq >= tail` (or an unreadable footer — a writer that died
+    *    MID data-file write; POSIX-only physics, an object PUT is
+    *    atomic) is a dead writer's — delete directly.
+    *  - Object store: NO mutex exists, so a listed object above the
+    *    tail may be a LIVE foreign driver's in-flight put whose
+    *    manifest CAS has not landed yet. Deleting it would not fail
+    *    that CAS (the sweep never touches the manifest) — the acked
+    *    tail would point at deleted data. So FENCE first: CAS-bump the
+    *    manifest version under our tag. If the bump lands, every
+    *    in-flight commit holding the old tag must fail its conditional
+    *    put, delete its own object (the commit failure path does) and
+    *    retry with a FRESH put — deleting the listed candidates
+    *    afterwards can never strand a committable object. If the bump
+    *    loses the race, a commit landed meanwhile: skip this sweep and
+    *    let a later commit re-evaluate against the new tail. (The
+    *    fence must CHANGE the manifest bytes — etags are content
+    *    hashes, so a byte-identical rewrite would not invalidate the
+    *    foreign tag; the version bump guarantees new bytes.)
+    */
+  private def sweepOrphans(basin: String, stream: String, m: StreamManifest,
+                           tag: Option[String]): (StreamManifest, Option[String]) = {
+    if (!sweptStreams.add(basin + "\u0000" + stream)) return (m, tag)
     // legacy loose files join gen=0 before anything else commits here
-    migrateLegacyLocked(basin, stream,
-      StreamManifest(tailSeq = tailSeq, generation = generation))
+    migrateLegacyLocked(basin, stream, m)
     // orphans can only live in the CURRENT generation: writers commit
     // into manifest.generation, and a generation flip is itself CAS'd
-    val dir = Paths.get(Layout.genDir(root, basin, stream, generation))
-    backend.listData(dir).foreach { p =>
+    val dir = Paths.get(Layout.genDir(root, basin, stream, m.generation))
+    val candidates = backend.listData(dir).filter { p =>
       FileIndex.tryStats(p.toString) match {
         // whole-object orphan: a writer died between its data put and
         // its manifest commit, leaving a complete object starting at
         // the committed tail
-        case Some(st) if st.minSeq >= tailSeq => backend.deleteData(p)
-        // torn file: a writer died MID data-file write (no footer) —
-        // POSIX-only physics; an object PUT is atomic, so the object
-        // adapter never lists one. We hold the stream lock and live
-        // writers write under it, so an unreadable footer here can
-        // only be a dead writer's partial file — by the durability
-        // order it was never part of committed state
-        case None => backend.deleteData(p)
-        case _ => ()
+        case Some(st) => st.minSeq >= m.tailSeq
+        // torn file (no parquet footer): dead mid-write on POSIX
+        case None => true
+      }
+    }
+    if (candidates.isEmpty) return (m, tag)
+    if (backend.hasWriterMutex) {
+      candidates.foreach(backend.deleteData)
+      (m, tag)
+    } else {
+      val fenced = m.copy(version = m.version + 1)
+      backend.casMeta(stateKey(basin, stream),
+        Layout.toJsonString(fenced), tag) match {
+        case Right(newTag) =>
+          candidates.foreach(backend.deleteData)
+          (fenced, Some(newTag))
+        case Left(_) =>
+          sweptStreams.remove(basin + "\u0000" + stream) // retry later
+          manifestTagged(basin, stream)
       }
     }
   }
@@ -303,8 +357,9 @@ final class StreamStore(val spark: SparkSession, val root: String) {
       case Left(e) => return Left(AppendError.InvalidBatch(e))
       case Right(_) =>
     }
+    val basinCfg = catalog.basinConfig(basin)
     val config = resolveStream(basin, stream,
-      autoCreate = catalog.basinConfig(basin).createStreamOnAppend) match {
+      autoCreate = basinCfg.createStreamOnAppend) match {
       case Some(c) => c
       case None =>
         // deletion-pending outranks not-found (streamer.rs:402-404):
@@ -315,13 +370,25 @@ final class StreamStore(val spark: SparkSession, val root: String) {
             AppendError.StreamDeletionPending
           else AppendError.StreamNotFound)
     }
+    // A13: per-basin cipher selection × per-call key material
+    // (encryption.rs EncryptionSpec::resolve — key without configured
+    // cipher → plaintext; cipher without key → error)
+    val cipherSpec: Option[CipherSpec] =
+      RecordCipher.resolve(basinCfg.streamCipher, cipher) match {
+        case Right(s) => s
+        case Left(e) => return Left(AppendError.EncryptionError(e))
+      }
     val ts = config.timestampingOrDefault
 
     withStreamLock(basin, stream) {
-      val (m, tag) = manifestTagged(basin, stream)
+      val (m0, tag0) = manifestTagged(basin, stream)
+      if (m0.deletionPending)
+        return Left(AppendError.StreamDeletionPending)
+      // the sweep may fence-bump (object mode) or refresh (lost race);
+      // the commit below MUST build on what it returns
+      val (m, tag) = sweepOrphans(basin, stream, m0, tag0)
       if (m.deletionPending)
         return Left(AppendError.StreamDeletionPending)
-      sweepOrphans(basin, stream, m.tailSeq, m.generation)
       // A5: fencing enforced only when a token is provided
       input.fencingToken match {
         case Some(t) if t != m.fencingToken =>
@@ -377,9 +444,9 @@ final class StreamStore(val spark: SparkSession, val root: String) {
           case c: CommandRecord => c.toEnvelopeForm
         }
         // A13: encrypt AFTER metering (metered size = plaintext size)
-        val body = cipher match {
-          case Some(key) =>
-            RecordCipher.encrypt(key, RecordCipher.aad(basin, stream), env.body)
+        val body = cipherSpec match {
+          case Some(spec) =>
+            RecordCipher.encrypt(spec, RecordCipher.aad(basin, stream), env.body)
           case None => env.body
         }
         DirectParquet.Rec(seq, t,
@@ -606,7 +673,10 @@ final class StreamStore(val spark: SparkSession, val root: String) {
     try parallelMap(runSeq.keys.toSeq, commitPar) { case k @ (b, s) =>
       val m = tails(k)
       val committed = withStreamLock(b, s) {
-        val (cur, tag) = manifestTagged(b, s)
+        val (cur0, tag0) = manifestTagged(b, s)
+        // sweep first (it may fence-bump or refresh the manifest) so
+        // the precondition checks and the commit see one state
+        val (cur, tag) = sweepOrphans(b, s, cur0, tag0)
         // The staged files' seq_nums were assigned from the PLANNED
         // tail (m.tailSeq), so the CAS precondition is the TAIL, not
         // the raw version: a concurrent append/trim/fence command
@@ -632,7 +702,6 @@ final class StreamStore(val spark: SparkSession, val root: String) {
           tailTs = math.max(cur.tailTs, runTs(k)),
           lastEpoch = epochId.getOrElse(cur.lastEpoch),
           version = cur.version + 1)
-        sweepOrphans(b, s, cur.tailSeq, cur.generation)
         val src = Paths.get(s"$stage/basin=$b/stream=${Layout.escape(s)}")
         val dst = Paths.get(Layout.genDir(root, b, s, cur.generation))
         val moved = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
@@ -827,11 +896,19 @@ final class StreamStore(val spark: SparkSession, val root: String) {
            cipher: Option[Array[Byte]] = None): Either[String, DataFrame] = {
     // C6 (core.rs:326-391): reading a missing stream fails unless the
     // basin opts into create_stream_on_read
+    val basinCfg = catalog.basinConfig(basin)
     val config = resolveStream(basin, stream,
-      autoCreate = catalog.basinConfig(basin).createStreamOnRead) match {
+      autoCreate = basinCfg.createStreamOnRead) match {
       case Some(c) => c
       case None => return Left(s"StreamNotFound: $basin/$stream")
     }
+    // A13: same resolution as the append path — the basin's cipher knob
+    // decides whether supplied key material decrypts or is ignored
+    val cipherSpec: Option[CipherSpec] =
+      RecordCipher.resolve(basinCfg.streamCipher, cipher) match {
+        case Right(s) => s
+        case Left(e) => return Left(s"EncryptionError: $e")
+      }
     val retCutoff: Option[Long] = config.retentionOrDefault match {
       case RetentionPolicy.Age(secs) =>
         Some(nowMs.getOrElse(System.currentTimeMillis()) - secs * 1000)
@@ -874,10 +951,11 @@ final class StreamStore(val spark: SparkSession, val root: String) {
         octet_length(col("headers")(0)("name")) === 0))
     // A13 read-side decryption as a codegen'd plan column (the
     // reference decrypts in the session loop, read.rs:74-91; the Spark
-    // analog is aes_decrypt inside the scan, not a driver loop)
-    cipher.foreach { key =>
+    // analog is record_decrypt inside the scan — per-record format-byte
+    // dispatch across both ciphers — not a driver loop)
+    cipherSpec.foreach { s =>
       df = df.withColumn("body",
-        RecordCipher.decryptColumn(col("body"), key, basin, stream))
+        RecordCipher.decryptColumn(col("body"), s.key, basin, stream))
     }
     var out = df.orderBy("seq_num")
     // the budget walk above already bounds rows; clamp so a count above

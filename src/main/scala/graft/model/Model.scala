@@ -259,7 +259,12 @@ final case class StreamConfigPatch(
 final case class BasinConfig(
     defaultStreamConfig: StreamConfig = StreamConfig(),
     createStreamOnAppend: Boolean = false,
-    createStreamOnRead: Boolean = false)
+    createStreamOnRead: Boolean = false,
+    /** Record cipher for the basin's streams (config.rs:323
+      * `stream_cipher`); key material still arrives per-call. None =
+      * plaintext even when a key is supplied (encryption.rs resolve).
+      */
+    streamCipher: Option[graft.log.CipherAlgo] = None)
 
 /** PATCH-style basin reconfigure — how `create_stream_on_append` gets
   * flipped on a live basin (lite/src/handlers/v1/basins.rs:264-274,
@@ -269,11 +274,13 @@ final case class BasinConfig(
 final case class BasinConfigPatch(
     defaultStreamConfig: StreamConfigPatch = StreamConfigPatch(),
     createStreamOnAppend: Patch[Boolean] = Patch.Keep,
-    createStreamOnRead: Patch[Boolean] = Patch.Keep) {
+    createStreamOnRead: Patch[Boolean] = Patch.Keep,
+    streamCipher: Patch[graft.log.CipherAlgo] = Patch.Keep) {
   def applyTo(c: BasinConfig): BasinConfig = BasinConfig(
     defaultStreamConfig.applyTo(c.defaultStreamConfig),
     Patch(createStreamOnAppend, Some(c.createStreamOnAppend)).getOrElse(false),
-    Patch(createStreamOnRead, Some(c.createStreamOnRead)).getOrElse(false))
+    Patch(createStreamOnRead, Some(c.createStreamOnRead)).getOrElse(false),
+    Patch(streamCipher, c.streamCipher))
 }
 
 // ---------------------------------------------------------------------------
@@ -328,6 +335,9 @@ object AppendError {
   final case class FencingTokenMismatch(current: String) extends AppendError
   case object TimestampMissing extends AppendError
   final case class InvalidBatch(reason: String) extends AppendError
+  /** Basin has a stream_cipher configured but key material is missing
+    * or malformed (common/src/encryption.rs:91-104). */
+  final case class EncryptionError(reason: String) extends AppendError
   case object StreamDeletionPending extends AppendError
   /** C6: the stream does not exist and the basin does not opt into
     * create_stream_on_append (ref core.rs:326-391). */

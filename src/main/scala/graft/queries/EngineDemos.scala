@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.log.{StreamStore, RecordCipher, LocationInfo, Layout}
+import graft.log.{StreamStore, CipherAlgo, LocationInfo, Layout}
 import graft.model._
 
 /** Deterministic engine-semantics checks exposed as oracle queries.
@@ -170,31 +170,66 @@ object EngineDemos {
         "oversize" -> (if (over.isLeft) "error" else "accepted"))
     },
 
-    // A13 — encryption round-trip; metering stays plaintext-sized
+    // A13 — encryption round-trip through BOTH reference ciphers
+    // (encryption.rs:9-12: format 0x01 AEGIS-256, 0x02 AES-256-GCM);
+    // per-basin stream_cipher selection (config.rs:323); metering stays
+    // plaintext-sized; key without configured cipher -> plaintext
     demo("e2e_a13_encryption", Seq(
-      "roundtrip" -> "secret-payload",
-      "stored_differs" -> "true",
-      "wrong_key" -> "auth_failed",
-      "metered_plaintext" -> "22")) { (_, st) =>
-      st.catalog.createStream("demo-basin1", "enc")
+      "aegis_roundtrip" -> "secret-payload",
+      "aegis_format_id" -> "1",
+      "gcm_roundtrip" -> "secret-payload",
+      "gcm_format_id" -> "2",
+      "stored_differs" -> "true,true",
+      "wrong_key" -> "auth_failed,auth_failed",
+      "metered_plaintext" -> "22,22",
+      "key_without_cipher" -> "plaintext",
+      "cipher_without_key" -> "missing_key")) { (_, st) =>
       val key = Array.fill(32)(0x24.toByte)
-      st.append("demo-basin1", "enc", AppendInput(Seq(rec("secret-payload"))),
+      val out = Seq(CipherAlgo.Aegis256 -> "enc-aegis-basin",
+                    CipherAlgo.Aes256Gcm -> "enc-gcm-basin").map { case (algo, basin) =>
+        st.catalog.createBasin(basin, BasinConfig(
+          defaultStreamConfig =
+            StreamConfig(retentionPolicy = Some(RetentionPolicy.Infinite)),
+          streamCipher = Some(algo)))
+        st.catalog.createStream(basin, "enc")
+        st.append(basin, "enc", AppendInput(Seq(rec("secret-payload"))),
+          Some(1000), Some(key))
+        val raw = st.visible(basin, "enc").collect().head
+        val plain = st.readBatch(basin, "enc",
+          ReadSpec(ReadStart(ReadFrom.SeqNum(0))), cipher = Some(key))
+          .toOption.get.head
+        val wrong = try {
+          st.readBatch(basin, "enc", ReadSpec(ReadStart(ReadFrom.SeqNum(0))),
+            cipher = Some(Array.fill(32)(0x25.toByte)))
+          "decrypted"
+        } catch { case _: Throwable => "auth_failed" }
+        val stored = raw.getAs[Array[Byte]](3)
+        (new String(plain.body), stored(0).toInt,
+          (!java.util.Arrays.equals(stored, "secret-payload".getBytes)).toString,
+          wrong, raw.getLong(4).toString)
+      }
+      // resolution edges (common/src/encryption.rs:113-131)
+      st.catalog.createStream("demo-basin1", "enc-plain")
+      st.append("demo-basin1", "enc-plain", AppendInput(Seq(rec("open"))),
         Some(1000), Some(key))
-      val raw = st.visible("demo-basin1", "enc").collect().head
-      val plain = st.readBatch("demo-basin1", "enc",
-        ReadSpec(ReadStart(ReadFrom.SeqNum(0))), cipher = Some(key))
-        .toOption.get.head
-      val wrong = try {
-        st.readBatch("demo-basin1", "enc", ReadSpec(ReadStart(ReadFrom.SeqNum(0))),
-          cipher = Some(Array.fill(32)(0x25.toByte)))
-        "decrypted"
-      } catch { case _: Throwable => "auth_failed" }
+      val plainStored = new String(st.visible("demo-basin1", "enc-plain")
+        .collect().head.getAs[Array[Byte]](3))
+      st.catalog.createStream("enc-aegis-basin", "nokey")
+      val noKey = st.append("enc-aegis-basin", "nokey", AppendInput(Seq(rec("x"))),
+        Some(1000)) match {
+        case Left(AppendError.EncryptionError(_)) => "missing_key"
+        case other => other.toString
+      }
       Seq(
-        "roundtrip" -> new String(plain.body),
-        "stored_differs" -> (!java.util.Arrays.equals(
-          raw.getAs[Array[Byte]](3), "secret-payload".getBytes)).toString,
-        "wrong_key" -> wrong,
-        "metered_plaintext" -> raw.getLong(4).toString)
+        "aegis_roundtrip" -> out(0)._1,
+        "aegis_format_id" -> out(0)._2.toString,
+        "gcm_roundtrip" -> out(1)._1,
+        "gcm_format_id" -> out(1)._2.toString,
+        "stored_differs" -> out.map(_._3).mkString(","),
+        "wrong_key" -> out.map(_._4).mkString(","),
+        "metered_plaintext" -> out.map(_._5).mkString(","),
+        "key_without_cipher" -> (if (plainStored == "open") "plaintext" else "encrypted"),
+        "cipher_without_key" -> noKey)
     },
 
     // R6 — re-chunking caps
@@ -1513,6 +1548,70 @@ object EngineDemos {
         "rows_from_second_instance" -> rows.size.toString,
         "manifest_version_advances" -> (version2 == 2L).toString,
         "stale_tag_commit_rejected" -> rejected.toString)
+    },
+
+    // C1-C5 on an OBJECT root — the control plane over conditional
+    // puts only (no file locks, no renames): the reference keeps
+    // basin/stream metadata in the same object-backed KV as records
+    // (lite/src/backend/kv/mod.rs:54-71, BasinMeta/StreamMeta keys).
+    // Creates/reconfigures from one driver are immediately visible to
+    // a second driver on the shared bucket; a stale-etag shard commit
+    // is rejected, and the rebase keeps both writers' streams.
+    demo("e2e_object_catalog", Seq(
+      "backend" -> "object",
+      "basin_visible_second_driver" -> "true",
+      "streams_listed_second_driver" -> "100",
+      "reconfigure_cross_driver" -> "infinite",
+      "config_merge_on_object" -> "standard",
+      "stale_shard_commit_rejected" -> "true",
+      "append_after_catalog_ops" -> "1")) { (sp, _) =>
+      val root = Files.createTempDirectory("graft-objcat").toString
+      graft.log.ObjectStoreBackend.install(root)
+      val a = new StreamStore(sp, root)
+      val b = new StreamStore(sp, root) // second simulated driver
+      a.catalog.createBasin("demo-basin1", BasinConfig(
+        defaultStreamConfig = StreamConfig(
+          retentionPolicy = Some(RetentionPolicy.Infinite),
+          storageClass = Some(StorageClass.Standard))))
+      a.catalog.createStreams("demo-basin1", (0 until 100).map(i => s"oc-$i"))
+      val visible = b.catalog.getBasin("demo-basin1").isDefined
+      val listed = b.catalog.listStreams("demo-basin1", limit = 1000).items.size
+      // reconfigure through A, read merged config through B
+      a.catalog.reconfigureStream("demo-basin1", "oc-7",
+        StreamConfigPatch(retentionPolicy = Patch.Set(RetentionPolicy.Infinite)))
+      val reconf = b.catalog.streamConfig("demo-basin1", "oc-7")
+        .flatMap(_.retentionPolicy) match {
+        case Some(RetentionPolicy.Infinite) => "infinite"
+        case other => other.toString
+      }
+      // C5 three-layer merge works identically on the object root:
+      // stream sets nothing for storage class -> basin default wins
+      val merged = b.catalog.streamConfig("demo-basin1", "oc-3")
+        .flatMap(_.storageClass) match {
+        case Some(StorageClass.Standard) => "standard"
+        case other => other.toString
+      }
+      // stale-etag rejection on a SHARD document (control plane uses
+      // the same conditional-put discipline as the data plane)
+      val backend = a.backend
+      val shardKey = Layout.streamShardPath(
+        graft.log.Catalog.canonicalRoot(root), "demo-basin1",
+        graft.log.Catalog.shardOf("oc-7")).toString
+      val (json, tag) = backend.getMeta(shardKey, fresh = true).get
+      a.catalog.reconfigureStream("demo-basin1", "oc-7",
+        StreamConfigPatch(retentionPolicy = Patch.Clear)) // moves the etag
+      val rejected = backend.casMeta(shardKey, json, Some(tag)).isLeft
+      // and the data plane still works over the same catalog
+      b.append("demo-basin1", "oc-0", AppendInput(Seq(rec("x"))), Some(1000))
+      Seq(
+        "backend" -> a.backend.name,
+        "basin_visible_second_driver" -> visible.toString,
+        "streams_listed_second_driver" -> listed.toString,
+        "reconfigure_cross_driver" -> reconf,
+        "config_merge_on_object" -> merged,
+        "stale_shard_commit_rejected" -> rejected.toString,
+        "append_after_catalog_ops" ->
+          a.checkTail("demo-basin1", "oc-0").seqNum.toString)
     },
 
     // T5 — basin deletion: every stream terminally trimmed, basin marked

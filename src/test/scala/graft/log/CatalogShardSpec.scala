@@ -264,4 +264,110 @@ class CatalogShardSpec extends AnyFunSuite {
     assert(writer.listStreams("race-basin", limit = 1000).items.size == 300)
     assert(reader.listStreams("race-basin", limit = 1000).items.size == 300)
   }
+
+  // ----------------------------------------------------------------
+  // Object-backend control plane: the same catalog over conditional
+  // puts only — no file locks, no renames (the reference keeps
+  // basin/stream meta in the object-backed KV with records,
+  // lite/src/backend/kv/mod.rs:54-71)
+  // ----------------------------------------------------------------
+
+  private def objectRoot(): String = {
+    val r = Files.createTempDirectory("graft-catobj").toString
+    ObjectStoreBackend.install(r)
+    r
+  }
+
+  test("object backend: full catalog lifecycle over casMeta; second driver sees everything") {
+    val r = objectRoot()
+    val a = new Catalog(r)
+    val b = new Catalog(r) // second simulated driver on the same bucket
+    assert(a.createBasin("obj-basin-x",
+      BasinConfig(createStreamOnAppend = true)).isRight)
+    assert(b.getBasin("obj-basin-x").isDefined)
+    assert(b.basinConfig("obj-basin-x").createStreamOnAppend)
+    assert(a.createBasin("obj-basin-x").swap.exists(_ == "BasinAlreadyExists"))
+
+    val names = (0 until 500).map(i => s"os-$i")
+    assert(a.createStreams("obj-basin-x", names) == Right(500))
+    assert(b.listStreams("obj-basin-x", limit = 1000).items.size == 500)
+    assert(b.createStream("obj-basin-x", "os-3").swap.exists(_ == "StreamAlreadyExists"))
+
+    // reconfigure through one driver, observe through the other
+    assert(a.reconfigureStream("obj-basin-x", "os-42",
+      StreamConfigPatch(retentionPolicy = Patch.Set(RetentionPolicy.Infinite))).isRight)
+    assert(b.streamConfig("obj-basin-x", "os-42")
+      .exists(_.retentionPolicy.contains(RetentionPolicy.Infinite)))
+    assert(b.ensureStream("obj-basin-x", "os-42",
+      StreamConfig(retentionPolicy = Some(RetentionPolicy.Infinite))) ==
+      Right(EnsureOutcome.Noop))
+
+    // lifecycle end: soft then hard delete, visible cross-driver
+    a.markStreamDeleted("obj-basin-x", "os-0")
+    assert(b.getStream("obj-basin-x", "os-0").isEmpty)
+    a.hardDeleteStream("obj-basin-x", "os-0")
+    assert(b.listStreams("obj-basin-x", limit = 1000).items.size == 499)
+    a.markBasinDeleted("obj-basin-x")
+    assert(b.getBasin("obj-basin-x").isEmpty)
+    assert(b.createStream("obj-basin-x", "nope").swap.exists(_ == "BasinNotFound"))
+  }
+
+  test("object backend: single-stream mutation rewrites only its own shard document") {
+    val r = objectRoot()
+    val cat = new Catalog(r)
+    cat.createBasin("obj-shard-basin")
+    assert(cat.createStreams("obj-shard-basin",
+      (0 until 5000).map(i => s"stream-$i")) == Right(5000))
+    Thread.sleep(5)
+    // the object adapter mirrors meta write-through to key paths, so
+    // the POSIX snapshot sees exactly which documents were re-put
+    val before = snapshot(r)
+    assert(cat.reconfigureStream("obj-shard-basin", "stream-31",
+      StreamConfigPatch(retentionPolicy = Patch.Set(RetentionPolicy.Infinite))).isRight)
+    val after = snapshot(r)
+    val changed = after.keySet.filter(k => before.get(k) != after.get(k))
+    assert(changed.size == 1, s"expected one rewritten shard doc, got $changed")
+    assert(changed.head == Layout.streamShardPath(
+      Catalog.canonicalRoot(r), "obj-shard-basin",
+      Catalog.shardOf("stream-31")).toString)
+  }
+
+  test("object backend: a foreign driver's interleaved commit forces CAS rebase, no lost update") {
+    val r = objectRoot()
+    val backend = StorageBackend.forRoot(r).asInstanceOf[ObjectStoreBackend]
+    val cat = new Catalog(r)
+    cat.createBasin("obj-cas-basin")
+    cat.createStream("obj-cas-basin", "seed") // shard doc exists
+
+    // between cat's load and its conditional put, a FOREIGN driver
+    // (simulated by a raw backend write) commits another stream into
+    // the same shard — cat's first CAS must fail and its retry must
+    // carry BOTH entries
+    val victimShard = Catalog.shardOf("seed")
+    // pick a second name hashing to the same shard
+    val collider = (0 until 10000).map(i => s"c-$i")
+      .find(n => Catalog.shardOf(n) == victimShard && n != "seed").get
+    val target = (0 until 10000).map(i => s"t-$i")
+      .find(n => Catalog.shardOf(n) == victimShard && n != "seed").get
+    val shardKey = Layout.streamShardPath(
+      Catalog.canonicalRoot(r), "obj-cas-basin", victimShard).toString
+
+    @volatile var fired = false
+    cat.beforeCatalogCas = () => if (!fired) {
+      fired = true
+      val (json, etag) = backend.getMeta(shardKey, fresh = true).get
+      val sh = Layout.fromJsonString[StreamShard](json)
+      val foreign = sh.copy(streams = sh.streams :+
+        StreamEntry("obj-cas-basin", collider, Map.empty, 123L))
+      assert(backend.casMeta(shardKey,
+        Layout.toJsonString(foreign), Some(etag)).isRight)
+    }
+    try {
+      assert(cat.createStream("obj-cas-basin", target).isRight)
+    } finally cat.beforeCatalogCas = () => ()
+    assert(fired, "the interleaving hook never ran — the test is vacuous")
+    val listed = cat.listStreams("obj-cas-basin", limit = 100).items.map(_.name).toSet
+    assert(listed == Set("seed", collider, target),
+      s"lost update after CAS rebase: $listed")
+  }
 }

@@ -117,16 +117,22 @@ class LinearizabilitySpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def newStores(root: String): Vector[StreamStore] = {
     // two instances = two simulated drivers; on an object-backend
-    // root they share the registered in-memory "bucket", and with NO
-    // writer locks (the adapter's mutex is a no-op) every interleaving
-    // here is resolved by the manifest conditional-put alone
+    // root they share the registered in-memory "bucket", and with the
+    // JVM-global commit monitor BYPASSED (isolateJvmLocks — honored
+    // only where the backend has no real writer mutex) every
+    // interleaving here is genuinely lockless and resolved by the
+    // manifest conditional-put alone, like two real processes on one
+    // S3 bucket. On POSIX roots the flag is a no-op and the OS file
+    // lock serializes, which is also what production does there.
     val a = new StreamStore(spark, root)
     a.catalog.createBasin(Basin,
       BasinConfig(defaultStreamConfig =
         StreamConfig(retentionPolicy = Some(RetentionPolicy.Infinite))))
       .fold(e => fail(e), identity)
     a.catalog.createStream(Basin, Stream).fold(e => fail(e), identity)
-    Vector(a, new StreamStore(spark, root))
+    val out = Vector(a, new StreamStore(spark, root))
+    out.foreach(_.isolateJvmLocks = true)
+    out
   }
 
   private def finalState(st: StreamStore): (Vector[(Long, String)], Long) = {
@@ -372,5 +378,73 @@ class LinearizabilitySpec extends AnyFunSuite with BeforeAndAfterAll {
     val violations = check(events.toSeq, log, tail)
     assert(violations.exists(_.contains("acked append absent from final log")),
       s"checker missed the lost ack; violations=$violations")
+  }
+
+  test("object backend: sweepOrphans cannot strand an acked tail on a deleted object " +
+    "(fence-by-manifest-CAS; the cross-driver race the no-op mutex cannot exclude)") {
+    // Deterministic repro of the race class: driver A is mid-commit
+    // (data object PUT, manifest CAS not yet issued) when driver B's
+    // commit path runs its orphan sweep and lists A's object above the
+    // committed tail. B's append then FAILS its own precondition (bad
+    // match_seq_num) so B never moves the manifest itself — in a
+    // sweep-without-fence design A's CAS would still succeed and the
+    // acked tail would point at B-deleted data. The fence makes one of
+    // two outcomes the only possibilities: A's CAS fails (tag was
+    // bumped) and a retry re-puts, or the sweep lost and deleted
+    // nothing. Either way: every acked record must be readable.
+    val h = BackendHarness.all.find(_.label == "object").get
+    val root = h.freshRoot("graft-sweeprace")
+    val stores = newStores(root) // isolateJvmLocks: genuinely lockless
+    // a committed prefix so the race is about records above a real tail
+    stores(0).append(Basin, Stream, AppendInput(Seq(
+      EnvelopeRecord(Nil, "base".getBytes))), Some(1000L))
+      .fold(e => fail(e.toString), identity)
+
+    val aPutDone = new CountDownLatch(1)
+    val bSweepDone = new CountDownLatch(1)
+    stores(0).beforeManifestCommit = () => {
+      aPutDone.countDown()
+      assert(bSweepDone.await(20, java.util.concurrent.TimeUnit.SECONDS),
+        "driver B never ran")
+    }
+    @volatile var aRes: Either[Throwable, Either[AppendError, AppendAck]] = null
+    val aThread = new Thread(() => {
+      aRes = try Right(stores(0).append(Basin, Stream,
+        AppendInput(Seq(EnvelopeRecord(Nil, "a-inflight".getBytes))), Some(2000L)))
+      catch { case t: Throwable => Left(t) }
+    }, "driver-a")
+    aThread.start()
+    assert(aPutDone.await(20, java.util.concurrent.TimeUnit.SECONDS))
+
+    // driver B: first commit on a fresh instance -> sweep runs; the
+    // append itself is rejected by CAS precondition so B's own commit
+    // never lands (sweep side effects are all that B leaves behind)
+    val bRes = stores(1).append(Basin, Stream,
+      AppendInput(Seq(EnvelopeRecord(Nil, "b".getBytes)), matchSeqNum = Some(99L)),
+      Some(2000L))
+    assert(bRes == Left(AppendError.SeqNumMismatch(99L, 1L)))
+    bSweepDone.countDown()
+    aThread.join(20000)
+    stores(0).beforeManifestCommit = () => ()
+
+    // resolve A like a real producer: exception = indefinite -> retry
+    aRes match {
+      case Right(Right(_)) => () // A's commit won (sweep lost its race)
+      case Right(Left(e)) => fail(s"unexpected append error: $e")
+      case Left(_) =>
+        stores(0).append(Basin, Stream,
+          AppendInput(Seq(EnvelopeRecord(Nil, "a-retry".getBytes))), Some(3000L))
+          .fold(e => fail(s"retry failed: $e"), identity)
+      case null => fail("driver A never finished")
+    }
+
+    // THE invariant the unfenced sweep violated: every seq below the
+    // acked tail is present and readable (no tail over deleted data)
+    val tail = stores(1).checkTail(Basin, Stream).seqNum
+    val log = stores(1).readBatch(Basin, Stream,
+      ReadSpec(ReadStart(ReadFrom.SeqNum(0))))
+      .fold(e => fail(s"read failed: $e"), identity)
+    assert(log.map(_.seqNum) == (0L until tail), s"gap below tail $tail")
+    assert(log.size == 2, s"expected base + one A record, got ${log.size}")
   }
 }

@@ -532,31 +532,57 @@ class StreamStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(st.checkTail("test-basin", "ts-require").seqNum == 1)
   }
 
-  test("encryption round-trip: AES-GCM bodies, plaintext metering (A13)") {
+  test("encryption round-trip: both ciphers, format bytes, plaintext metering (A13)") {
     val st = freshStore()
-    st.catalog.createStream("test-basin", "enc")
     val key = Array.fill(32)(0x24.toByte) // backend-test fixture key
-    appendOk2(st, "enc", AppendInput(Seq(env("secret-payload"))), key)
-    // stored bytes are NOT the plaintext
-    val raw = st.visible("test-basin", "enc").collect()
-    assert(!java.util.Arrays.equals(raw.head.getAs[Array[Byte]](3),
-      "secret-payload".getBytes))
-    // metered size is the PLAINTEXT size (8 + 14)
-    assert(raw.head.getLong(4) == 22)
-    // decrypting read returns the plaintext
-    val rows = st.readBatch("test-basin", "enc",
-      ReadSpec(ReadStart(ReadFrom.SeqNum(0))), cipher = Some(key)).toOption.get
-    assert(new String(rows.head.body) == "secret-payload")
-    // wrong key fails authentication
     val wrong = Array.fill(32)(0x25.toByte)
-    assertThrows[Exception](st.readBatch("test-basin", "enc",
-      ReadSpec(ReadStart(ReadFrom.SeqNum(0))), cipher = Some(wrong)).toOption.get)
-    // codegen'd column decrypt (aes_decrypt) also recovers plaintext
-    val viaCol = st.visible("test-basin", "enc")
-      .select(RecordCipher.decryptColumn(
-        org.apache.spark.sql.functions.col("body"), key, "test-basin", "enc")
-        .cast("string")).first().getString(0)
-    assert(viaCol == "secret-payload")
+    for ((algo, basin) <- Seq(
+        CipherAlgo.Aegis256 -> "enc-aegis-basin", CipherAlgo.Aes256Gcm -> "enc-gcm-basin")) {
+      st.catalog.createBasin(basin, BasinConfig(
+        defaultStreamConfig = StreamConfig(retentionPolicy = Some(RetentionPolicy.Infinite)),
+        streamCipher = Some(algo))).fold(e => fail(e), identity)
+      st.catalog.createStream(basin, "enc")
+      st.append(basin, "enc", AppendInput(Seq(env("secret-payload"))),
+        Some(1000000L), Some(key)).fold(e => fail(e.toString), identity)
+      val raw = st.visible(basin, "enc").collect()
+      val stored = raw.head.getAs[Array[Byte]](3)
+      // stored bytes are NOT the plaintext, and lead with the
+      // reference's format id (encryption.rs:9-12)
+      assert(!java.util.Arrays.equals(stored, "secret-payload".getBytes))
+      assert(stored(0) == algo.formatId)
+      assert(stored.length ==
+        1 + algo.nonceLen + "secret-payload".length + RecordCipher.TagLen)
+      // metered size is the PLAINTEXT size (8 + 14)
+      assert(raw.head.getLong(4) == 22)
+      // decrypting read returns the plaintext
+      val rows = st.readBatch(basin, "enc",
+        ReadSpec(ReadStart(ReadFrom.SeqNum(0))), cipher = Some(key)).toOption.get
+      assert(new String(rows.head.body) == "secret-payload")
+      // wrong key fails authentication
+      assertThrows[Exception](st.readBatch(basin, "enc",
+        ReadSpec(ReadStart(ReadFrom.SeqNum(0))), cipher = Some(wrong)).toOption.get)
+      // codegen'd column decrypt recovers plaintext for both formats
+      val viaCol = st.visible(basin, "enc")
+        .select(RecordCipher.decryptColumn(
+          org.apache.spark.sql.functions.col("body"), key, basin, "enc")
+          .cast("string")).first().getString(0)
+      assert(viaCol == "secret-payload")
+    }
+    // resolution rules (encryption.rs EncryptionSpec::resolve):
+    // key WITHOUT a configured cipher -> plaintext storage, key ignored
+    st.catalog.createStream("test-basin", "enc-plain")
+    appendOk2(st, "enc-plain", AppendInput(Seq(env("open-payload"))), key)
+    assert(new String(st.visible("test-basin", "enc-plain")
+      .collect().head.getAs[Array[Byte]](3)) == "open-payload")
+    // configured cipher WITHOUT key -> MissingKey error on both paths
+    st.catalog.createStream("enc-aegis-basin", "nokey")
+    st.append("enc-aegis-basin", "nokey", AppendInput(Seq(env("x"))), Some(1000L)) match {
+      case Left(AppendError.EncryptionError(msg)) =>
+        assert(msg.contains("missing encryption key"))
+      case other => fail(s"expected EncryptionError, got $other")
+    }
+    assert(st.read("enc-aegis-basin", "nokey",
+      ReadSpec(ReadStart(ReadFrom.SeqNum(0)))).swap.exists(_.contains("EncryptionError")))
   }
 
   private def appendOk2(st: StreamStore, stream: String, in: AppendInput,
@@ -921,23 +947,22 @@ class StreamStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("read-side decryption happens in the plan, not on the driver (A13)") {
     val st = freshStore()
-    st.catalog.createStream("test-basin", "encplan")
     val key = Array.fill(32)(0x11.toByte)
-    appendOk(st, "encplan", AppendInput(Seq(env("top-secret"))))
-    // re-append with cipher
-    val st2 = freshStore()
-    st2.catalog.createStream("test-basin", "encplan")
-    st2.append("test-basin", "encplan", AppendInput(Seq(env("top-secret"))),
+    st.catalog.createBasin("encplan-basin", BasinConfig(
+      defaultStreamConfig = StreamConfig(retentionPolicy = Some(RetentionPolicy.Infinite)),
+      streamCipher = Some(CipherAlgo.Aegis256))).fold(e => fail(e), identity)
+    st.catalog.createStream("encplan-basin", "encplan")
+    st.append("encplan-basin", "encplan", AppendInput(Seq(env("top-secret"))),
       Some(1000L), Some(key))
-    val df = st2.read("test-basin", "encplan",
+    val df = st.read("encplan-basin", "encplan",
       ReadSpec(ReadStart(ReadFrom.SeqNum(0))), cipher = Some(key))
       .fold(e => fail(e), identity)
-    // aes_decrypt is a plan expression (codegen'd), not a driver loop
+    // record_decrypt is a plan expression (codegen'd), not a driver loop
     assert(df.queryExecution.analyzed.toString.toLowerCase
-      .replace("_", "").contains("aesdecrypt"))
+      .replace("_", "").contains("recorddecrypt"))
     assert(new String(df.collect().head.getAs[Array[Byte]]("body")) == "top-secret")
     // readBatch routes through the same plan
-    val rec = st2.readBatch("test-basin", "encplan",
+    val rec = st.readBatch("encplan-basin", "encplan",
       ReadSpec(ReadStart(ReadFrom.SeqNum(0))), cipher = Some(key)).toOption.get.head
     assert(new String(rec.body) == "top-secret")
   }

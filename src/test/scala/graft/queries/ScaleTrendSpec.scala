@@ -1,0 +1,64 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.tools.ScaleTrend
+
+/** Scale-trend gate (VERDICT r12 #3 / r13 #3): growth exponents of
+  * the bucketed-dedup family across sf0.001 → 0.01 → 0.1 must stay
+  * near-linear. The single-sf bench cannot see superlinear candidate
+  * growth (the char-gram df² class); this spec measures it directly
+  * and fails when any bucketed-dedup query's last-decade exponent
+  * (log10 of the 10×-data CPU ratio) exceeds the gate.
+  *
+  * Gate = 1.35: a linear-scaling query measures ≲1.0 (fixed overhead
+  * pulls it lower), genuine quadratic candidate growth measures ≳1.7
+  * even half-masked by overhead — 1.35 separates the classes with
+  * margin for host noise (CPU-seconds-based, so external load barely
+  * moves it).
+  */
+class ScaleTrendSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val Gate = 1.35
+
+  test("bucketed-dedup queries scale near-linearly across three decades") {
+    val dirs = Seq("sf0.001", "sf0.01", "sf0.1").map(graft.TestData.requireSf)
+    val trends = ScaleTrend.measure(spark, ScaleTrend.DedupBucketed, dirs)
+    trends.foreach { t =>
+      info(f"${t.name}: cpu=${t.cpuSec.map(v => f"$v%.2f").mkString("/")}s " +
+        f"exponents=${t.exponents.map(v => f"$v%.2f").mkString(",")}")
+    }
+    val offenders = trends.filter(_.lastExponent > Gate)
+    assert(offenders.isEmpty,
+      "superlinear growth in bucketed dedup (candidate-set blowup?): " +
+        offenders.map(t => f"${t.name}=${t.lastExponent}%.2f").mkString(", "))
+    // non-vacuous: the measurement must have real work to fit against —
+    // every query must cost measurably more at sf0.1 than sf0.001
+    trends.foreach(t => assert(t.cpuSec.last > t.cpuSec.head,
+      s"${t.name}: no growth measured — fixture too small for this gate"))
+  }
+
+  test("the exponent fit itself detects a seeded quadratic (teeth)") {
+    // a synthetic cost series with perfect 10x-data quadratic growth
+    // must trip the gate; a linear one must not — guards against a
+    // future refactor neutering the fit (e.g. ratio of wrong decade)
+    val quad = ScaleTrend.Trend("seeded-quadratic",
+      cpuSec = Seq(0.04, 1.0, 100.0), wallSec = Seq(0, 0, 0))
+    assert(quad.lastExponent > Gate)
+    val lin = ScaleTrend.Trend("seeded-linear",
+      cpuSec = Seq(0.3, 1.0, 10.0), wallSec = Seq(0, 0, 0))
+    assert(lin.lastExponent <= Gate)
+  }
+}
