@@ -319,6 +319,64 @@ object Bench {
       s""""append_mibps":0,"read_mibps":0,"read_verified":false,"workload_error":${jsonStr(msg)}"""
     }
 
+    // ---- many-streams control plane (VERDICT r12 #7): 10k streams on
+    // one basin — bulk create, full 10-page listing, check_tail p99
+    // over a 200-stream sample, and one record through EVERY stream in
+    // a single bulk ingest (the 10k-manifest commit fan-out). Proves
+    // the hot paths stay flat in #streams: create is 64 shard writes,
+    // a list page is bounded-heap work over cached shards, check_tail
+    // is one cached manifest read, and the ingest commit loop is the
+    // 16-way parallelMap. Guarded like the workload: a failure here
+    // zeroes these keys, never the artifact.
+    val controlPlaneJson: String = try {
+      val rootCp = java.nio.file.Files.createTempDirectory("graft-bench10k").toString
+      val storeCp = new StreamStore(spark, rootCp)
+      storeCp.catalog.createBasin("bench-basin",
+        BasinConfig(defaultStreamConfig =
+          StreamConfig(retentionPolicy = Some(RetentionPolicy.Infinite))))
+      val nStreams = 10000
+      val names = (0 until nStreams).map(i => f"cp-$i%05d")
+      val tCreate0 = System.nanoTime()
+      storeCp.catalog.createStreams("bench-basin", names)
+      val createSec = (System.nanoTime() - tCreate0) / 1e9
+      val tList0 = System.nanoTime()
+      var after = ""; var listed = 0; var more = true
+      while (more) {
+        val p = storeCp.catalog.listStreams("bench-basin",
+          startAfter = after, limit = 1000)
+        listed += p.items.size
+        after = p.items.last.name
+        more = p.hasMore
+      }
+      val listSec = (System.nanoTime() - tList0) / 1e9
+      // one record through every stream, one bulk ingest job
+      val cpDf = spark.range(nStreams).select(
+        lit("bench-basin").as("basin"),
+        concat(lit("cp-"), format_string("%05d", col("id"))).as("stream"),
+        (lit(1700000000000L) + col("id")).as("ts_client"),
+        expr("CAST(NULL AS ARRAY<STRUCT<name: BINARY, value: BINARY>>)").as("headers"),
+        expr("CAST(md5(CAST(id AS STRING)) AS BINARY)").as("body"),
+        col("id").as("arrival"))
+      val tIng0 = System.nanoTime()
+      storeCp.ingest(cpDf)
+      val cpIngestSec = (System.nanoTime() - tIng0) / 1e9
+      // check_tail p99 over a deterministic 200-stream sample
+      val sample = (0 until 200).map(i => names(i * 50 % nStreams))
+      val tails = sample.map { s =>
+        val t0 = System.nanoTime()
+        val t = storeCp.checkTail("bench-basin", s)
+        val ms = (System.nanoTime() - t0) / 1e6
+        (ms, t.seqNum)
+      }
+      require(tails.forall(_._2 == 1L), "10k-stream ingest lost a record")
+      val lat = tails.map(_._1).sorted
+      f""""cp10k_streams":$listed,"cp10k_create_sec":$createSec%.3f,"cp10k_list_pages_sec":$listSec%.3f,"cp10k_ingest_sec":$cpIngestSec%.3f,"cp10k_checktail_p50_ms":${pct(lat, 0.50)}%.2f,"cp10k_checktail_p99_ms":${pct(lat, 0.99)}%.2f"""
+    } catch { case e: Throwable =>
+      val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(160)}"
+      System.err.println(s"bench control-plane phase failed: $msg")
+      s""""cp10k_streams":0,"cp10k_error":${jsonStr(msg)}"""
+    }
+
     val qs = results.map { case (k, (w, _)) => "\"" + k + f"\":$w%.3f" }
       .mkString("{", ",", "}")
     val qsCpu = results.map { case (k, (_, c)) => "\"" + k + f"\":$c%.3f" }
@@ -345,7 +403,7 @@ object Bench {
     val qsNorm = results.map { case (k, (w, _)) =>
       "\"" + k + f"\":${w * normFactor}%.3f" }.mkString("{", ",", "}")
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing":"median-of-3","total_cpu_sec":$totalCpu%.3f,"cpu_calib_sec":$calib%.4f,"par_calib_sec":$parCalib%.4f,"calib_norm_factor":$normFactor%.4f,"queries":$qs,"queries_norm":$qsNorm,"queries_cpu_sec":$qsCpu$errJson,"sf":"$sfDir",$workloadJson}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing":"median-of-3","total_cpu_sec":$totalCpu%.3f,"cpu_calib_sec":$calib%.4f,"par_calib_sec":$parCalib%.4f,"calib_norm_factor":$normFactor%.4f,"queries":$qs,"queries_norm":$qsNorm,"queries_cpu_sec":$qsCpu$errJson,"sf":"$sfDir",$workloadJson,$controlPlaneJson}"""
     // The driver captures only the LAST ~2000 chars of stdout, which
     // cannot hold a 186-query map (r11's artifact carried only the
     // alphabetic tail of one map). Persist the full line to a file, and
@@ -359,7 +417,7 @@ object Bench {
     catch { case _: java.io.IOException => () } // bench output must not fail on an unwritable cwd
     println(json)
     val summary =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing":"median-of-3","n_queries":${results.size},"n_query_errors":${queryErrors.size},"total_cpu_sec":$totalCpu%.3f,"cpu_calib_sec":$calib%.4f,"par_calib_sec":$parCalib%.4f,"calib_norm_factor":$normFactor%.4f,"queries_in":"BENCH_local.json","sf":"$sfDir",$workloadJson}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing":"median-of-3","n_queries":${results.size},"n_query_errors":${queryErrors.size},"total_cpu_sec":$totalCpu%.3f,"cpu_calib_sec":$calib%.4f,"par_calib_sec":$parCalib%.4f,"calib_norm_factor":$normFactor%.4f,"queries_in":"BENCH_local.json","sf":"$sfDir",$workloadJson,$controlPlaneJson}"""
     println(summary)
     spark.stop()
   }

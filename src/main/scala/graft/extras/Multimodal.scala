@@ -1192,12 +1192,16 @@ object Multimodal {
     * bounded dims), and the `movi` extent. None = malformed.
     */
   private[extras] object AviHeader {
-    /** `codec` is "dib" (raw 24-bit BI_RGB bottom-up DIB frames) or
-      * "mjpg" (each movi chunk a standalone JPEG — the one COMPRESSED
-      * video form decodable with the JDK's own ImageIO JPEG reader,
-      * no ffmpeg). */
+    /** `codec` is "dib" (raw 24-bit BI_RGB bottom-up DIB frames),
+      * "mjpg" (each movi chunk a standalone JPEG — decodable with the
+      * JDK's own ImageIO JPEG reader, no ffmpeg), or "rle8"
+      * (Microsoft RLE8, biCompression=BI_RLE8: 8-bit paletted frames
+      * with run/absolute/EOL/EOB/delta opcodes — the one mainstream
+      * INTER-FRAME codec whose spec is simple enough to decode pure
+      * JVM; `palette` holds its 0xRRGGBB entries). */
     final case class Info(w: Int, h: Int, moviStart: Int, moviEnd: Int,
-                          codec: String)
+                          codec: String,
+                          palette: Array[Int] = Array.emptyIntArray)
     /** 'MJPG' as a little-endian BITMAPINFOHEADER biCompression. */
     private val MjpgFourcc = 0x47504A4D
     private def le16(b: Array[Byte], i: Int): Int =
@@ -1215,6 +1219,7 @@ object Multimodal {
         return None
       val riffEnd = math.min(n.toInt, 8 + le32(bytes, 4))
       var w = 0; var h = 0; var codec = ""
+      var palette: Array[Int] = Array.emptyIntArray
       var i = 12
       var moviStart = -1; var moviEnd = -1
       while (i + 8 <= riffEnd) {
@@ -1254,7 +1259,21 @@ object Multimodal {
                       return None
                     if (bits == 24 && comp == 0) codec = "dib"
                     else if (comp == MjpgFourcc) codec = "mjpg"
-                    else return None
+                    else if (bits == 8 && comp == 1) {
+                      // BI_RLE8: palette follows the 40-byte header
+                      // as RGBQUADs (B,G,R,reserved); biClrUsed at
+                      // header offset 32, 0 meaning a full 256
+                      codec = "rle8"
+                      val used0 = le32(bytes, k + 8 + 32)
+                      val used = if (used0 == 0) 256 else used0
+                      if (used < 0 || used > 256 ||
+                          ek < 40 + 4 * used) return None
+                      palette = Array.tabulate(used) { pi =>
+                        val o = k + 8 + 40 + 4 * pi
+                        ((bytes(o + 2) & 0xff) << 16) |
+                          ((bytes(o + 1) & 0xff) << 8) | (bytes(o) & 0xff)
+                      }
+                    } else return None
                     w = bw; h = bh
                   }
                   k += 8 + ek + (ek & 1) // RIFF chunks are word-aligned
@@ -1269,7 +1288,7 @@ object Multimodal {
         i += 8 + ck + (ck & 1)
       }
       if (w == 0 || moviStart < 0) None
-      else Some(Info(w, h, moviStart, moviEnd, codec))
+      else Some(Info(w, h, moviStart, moviEnd, codec, palette))
     }
   }
 
@@ -1323,6 +1342,127 @@ object Multimodal {
                 x += 1
               }
               fileRow += 1
+            }
+            out += FrameStats(frameIdx, sumR, sumG, sumB,
+              luma(0), luma(1), luma(2), luma(3), cornerR)
+          }
+          frameIdx += 1
+        }
+        p += 8 + ck + (ck & 1)
+      }
+      if (frameIdx == 0) bad
+      else AviFrames(n, w, h, frameIdx, out.result(), ok = true)
+    }
+  }
+
+  /** MS-RLE8 inter-frame video decode, pure JVM — the codec class the
+    * DIB/MJPEG pair cannot represent: frames carry FORWARD state. An
+    * RLE8 frame is opcodes over a persistent canvas of palette
+    * indices:
+    *
+    *   count>0, idx         — paint `count` pixels of palette[idx]
+    *   0x00 0x00            — end of line (rest of row UNTOUCHED)
+    *   0x00 0x01            — end of bitmap (rest of frame UNTOUCHED)
+    *   0x00 0x02 dx dy      — delta: skip right dx, up dy rows
+    *                          (skipped pixels UNTOUCHED)
+    *   0x00 n>=3, n indices — absolute run (word-aligned)
+    *
+    * "Untouched" means the PREDECESSOR FRAME's pixels show through —
+    * the inter-frame carry this decoder exists for. Rows are
+    * bottom-up like every DIB. Stats per sampled frame are the same
+    * exact-integer set as AviFrameDecoder (palette-expanded RGB), so
+    * image/dib-video/rle-video share the oracle arithmetic.
+    * Malformed opcodes, out-of-canvas paints, truncated chunks →
+    * ok = false, never an exception.
+    */
+  final class Rle8FrameDecoder(sampleEvery: Int) {
+    require(sampleEvery >= 1)
+    private def le32(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+        ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+    private def tag(b: Array[Byte], i: Int, t: String): Boolean =
+      b(i) == t(0).toByte && b(i + 1) == t(1).toByte &&
+        b(i + 2) == t(2).toByte && b(i + 3) == t(3).toByte
+
+    def decode(bytes: Array[Byte]): AviFrames = {
+      val n = if (bytes == null) 0L else bytes.length.toLong
+      def bad = AviFrames(n, 0, 0, 0, Nil, ok = false)
+      val info = AviHeader.parse(bytes) match {
+        case None => return bad
+        case Some(v) => v
+      }
+      if (info.codec != "rle8") return bad
+      val w = info.w; val h = info.h
+      val pal = info.palette
+      // the persistent canvas: palette indices, file-row-major,
+      // index 0 everywhere before the first frame (keyframes are
+      // expected to cover it; an uncovered pixel is palette[0])
+      val canvas = new Array[Byte](w * h)
+      var frameIdx = 0
+      val out = Seq.newBuilder[FrameStats]
+      var p = info.moviStart
+      while (p + 8 <= info.moviEnd) {
+        val ck = le32(bytes, p + 4)
+        if (ck < 0 || p + 8 + ck > info.moviEnd) return bad
+        if (tag(bytes, p, "00dc") || tag(bytes, p, "00db")) {
+          // apply this frame's opcodes to the canvas
+          var q = p + 8
+          val qEnd = p + 8 + ck
+          var x = 0
+          var yf = 0 // file row (bottom-up)
+          var done = false
+          while (!done) {
+            if (q + 2 > qEnd) return bad // opcodes are 2-byte aligned
+            val b0 = bytes(q) & 0xff
+            val b1 = bytes(q + 1) & 0xff
+            q += 2
+            if (b0 > 0) { // encoded run
+              if (yf >= h || x + b0 > w) return bad
+              java.util.Arrays.fill(canvas, yf * w + x, yf * w + x + b0,
+                b1.toByte)
+              x += b0
+            } else b1 match {
+              case 0 => yf += 1; x = 0 // end of line
+              case 1 => done = true    // end of bitmap
+              case 2 =>                // delta
+                if (q + 2 > qEnd) return bad
+                x += bytes(q) & 0xff
+                yf += bytes(q + 1) & 0xff
+                q += 2
+                if (x > w || yf > h) return bad
+              case abs =>              // absolute mode, word-aligned
+                val len = abs + (abs & 1)
+                if (q + len > qEnd || yf >= h || x + abs > w) return bad
+                var i2 = 0
+                while (i2 < abs) {
+                  canvas(yf * w + x + i2) = bytes(q + i2)
+                  i2 += 1
+                }
+                q += len
+                x += abs
+            }
+          }
+          if (frameIdx % sampleEvery == 0) {
+            var sumR = 0L; var sumG = 0L; var sumB = 0L
+            val luma = new Array[Long](4)
+            var cornerR = 0
+            var yf2 = 0
+            while (yf2 < h) {
+              val y = h - 1 - yf2 // visual row
+              var x2 = 0
+              while (x2 < w) {
+                val idx = canvas(yf2 * w + x2) & 0xff
+                if (idx >= pal.length) return bad
+                val rgb = pal(idx)
+                val r = (rgb >> 16) & 0xff
+                val g = (rgb >> 8) & 0xff
+                val b = rgb & 0xff
+                sumR += r; sumG += g; sumB += b
+                luma(((r * 299 + g * 587 + b * 114) / 1000) >> 6) += 1
+                if (x2 == 0 && y == 0) cornerR = r
+                x2 += 1
+              }
+              yf2 += 1
             }
             out += FrameStats(frameIdx, sumR, sumG, sumB,
               luma(0), luma(1), luma(2), luma(3), cornerR)
@@ -1823,6 +1963,98 @@ object Multimodal {
       buf.array()
     }
 
+    /** A VALID MS-RLE8 AVI exercising every opcode family with real
+      * inter-frame carry. Frame 0 is a keyframe (absolute-mode rows,
+      * idx = (3x + 7yf + id) % 256, file rows bottom-up). Frame f>=1
+      * repaints ONLY file row rf = f % h: an encoded run of 2
+      * (idx = (13f + id) % 256) at x=0, a DELTA escape skipping
+      * x=2,3 (those pixels show the PREDECESSOR frame through), then
+      * count-1 runs (idx = (5x + 11f + id) % 256) to the row end;
+      * all other rows carry whole. The palette is closed-form
+      * (r,g,b)(i) = ((7i+3)%256, (5i+11)%256, (3i+17)%256), so every
+      * decoded pixel — including the carried ones — is exact oracle
+      * arithmetic.
+      */
+    def aviRle8(w: Int, h: Int, nFrames: Int, id: Long): Array[Byte] = {
+      import java.nio.{ByteBuffer, ByteOrder}
+      require(w >= 6 && w < 256 && h >= 2 && nFrames >= 1)
+      def frameChunk(f: Int): Array[Byte] = {
+        val bb = scala.collection.mutable.ArrayBuffer.empty[Byte]
+        def op(a: Int, b: Int): Unit = { bb += a.toByte; bb += b.toByte }
+        if (f == 0) {
+          var yf = 0
+          while (yf < h) {
+            op(0, w) // absolute mode, w >= 6 >= 3
+            var x = 0
+            while (x < w) { bb += (((3 * x + 7 * yf + id) % 256)).toByte; x += 1 }
+            if ((w & 1) == 1) bb += 0 // word alignment
+            op(0, 0) // EOL
+            yf += 1
+          }
+          op(0, 1) // EOB
+        } else {
+          val rf = f % h
+          var i = 0
+          while (i < rf) { op(0, 0); i += 1 } // skip rows 0..rf-1 (carry)
+          op(2, ((13 * f + id) % 256).toInt)  // run of 2 at x=0,1
+          op(0, 2); op(2, 0)                  // delta: skip x=2,3 (carry)
+          var x = 4
+          while (x < w) { op(1, ((5 * x + 11 * f + id) % 256).toInt); x += 1 }
+          op(0, 0) // EOL
+          op(0, 1) // EOB
+        }
+        bb.toArray
+      }
+      val chunks = (0 until nFrames).map(frameChunk)
+      val moviSize = 4 + chunks.map(c => 8 + c.length + (c.length & 1)).sum
+      val strfSize = 40 + 4 * 256
+      val strlSize = 4 + (8 + 56) + (8 + strfSize)
+      val hdrlSize = 4 + (8 + 56) + (8 + strlSize)
+      val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+      val buf = ByteBuffer.allocate(8 + riffSize).order(ByteOrder.LITTLE_ENDIAN)
+      def fourcc(t: String): Unit = buf.put(t.getBytes("US-ASCII"))
+      fourcc("RIFF"); buf.putInt(riffSize); fourcc("AVI ")
+      fourcc("LIST"); buf.putInt(hdrlSize); fourcc("hdrl")
+      fourcc("avih"); buf.putInt(56)
+      buf.putInt(40000)
+        .putInt(0).putInt(0).putInt(0)
+        .putInt(nFrames).putInt(0).putInt(1).putInt(w * h)
+        .putInt(w).putInt(h)
+        .putInt(0).putInt(0).putInt(0).putInt(0)
+      fourcc("LIST"); buf.putInt(strlSize); fourcc("strl")
+      fourcc("strh"); buf.putInt(56)
+      fourcc("vids"); fourcc("MRLE")
+      buf.putInt(0).putInt(0).putInt(0)
+        .putInt(1).putInt(25)
+        .putInt(0).putInt(nFrames).putInt(w * h)
+        .putInt(-1).putInt(0)
+        .putShort(0.toShort).putShort(0.toShort)
+        .putShort(w.toShort).putShort(h.toShort)
+      fourcc("strf"); buf.putInt(strfSize)
+      buf.putInt(40).putInt(w).putInt(h)
+        .putShort(1.toShort).putShort(8.toShort)
+        .putInt(1)                      // biCompression = BI_RLE8
+        .putInt(w * h)
+        .putInt(0).putInt(0)
+        .putInt(256)                    // biClrUsed
+        .putInt(0)
+      var pi = 0
+      while (pi < 256) {               // RGBQUAD: B, G, R, reserved
+        buf.put(((3 * pi + 17) % 256).toByte)
+        buf.put(((5 * pi + 11) % 256).toByte)
+        buf.put(((7 * pi + 3) % 256).toByte)
+        buf.put(0.toByte)
+        pi += 1
+      }
+      fourcc("LIST"); buf.putInt(moviSize); fourcc("movi")
+      chunks.foreach { c =>
+        fourcc("00dc"); buf.putInt(c.length)
+        buf.put(c)
+        if ((c.length & 1) == 1) buf.put(0.toByte)
+      }
+      buf.array()
+    }
+
     /** A VALID MJPEG AVI: same RIFF skeleton as `aviDib` but the
       * stream fourcc / biCompression are 'MJPG' and every `00dc`
       * chunk is a standalone JDK-ImageIO-encoded JPEG. Frame f is a
@@ -1971,6 +2203,34 @@ object Multimodal {
         }
       }
       .toDF(idCol, "byte_len", "width", "height", "n_frames", "frame_idx",
+        "sum_r", "sum_g", "sum_b", "luma0", "luma1", "luma2", "luma3",
+        "corner_r", "ok")
+  }
+
+  /** Decode a binary column of MS-RLE8 AVIs into one row per SAMPLED
+    * frame — same stat schema as decodeAviFrames minus byte_len (RLE
+    * payload sizes are encoder detail, not oracle arithmetic); the
+    * decoder carries the canvas across frames, so a sampled frame's
+    * stats reflect pixels painted by EARLIER unsampled frames.
+    */
+  def decodeRle8Frames(df: DataFrame, binaryCol: String, idCol: String,
+                       sampleEvery: Int): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(binaryCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val dec = new Rle8FrameDecoder(sampleEvery)
+        it.flatMap { case (id, bytes) =>
+          val r = dec.decode(bytes)
+          if (!r.ok)
+            Iterator((id, 0, 0, 0, -1, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0, false))
+          else r.frames.iterator.map(fs =>
+            (id, r.width, r.height, r.nFrames, fs.frameIdx,
+              fs.sumR, fs.sumG, fs.sumB,
+              fs.luma0, fs.luma1, fs.luma2, fs.luma3, fs.cornerR, true))
+        }
+      }
+      .toDF(idCol, "width", "height", "n_frames", "frame_idx",
         "sum_r", "sum_g", "sum_b", "luma0", "luma1", "luma2", "luma3",
         "corner_r", "ok")
   }

@@ -250,6 +250,14 @@ object Catalog {
   private[log] val objectParseCache =
     scala.collection.concurrent.TrieMap.empty[String, (String, AnyRef)]
 
+  /** Test-visible tally of control-plane document PARSES (cache
+    * misses). CatalogShardSpec uses deltas of this to pin that
+    * list-paging serves pages from the parse cache — the structural
+    * guarantee that a 10k-stream basin's page N does not re-parse all
+    * 64 shards (the failure mode if the cache keying broke).
+    */
+  private[log] val parseTally = new java.util.concurrent.atomic.AtomicLong
+
   private val savesSincePurge = new java.util.concurrent.atomic.AtomicLong
   private[log] def purgeDeadEntries(): Unit = {
     if (savesSincePurge.incrementAndGet() % 1024 == 0 && parseCache.size > 4096)
@@ -322,6 +330,7 @@ final class Catalog(root: String) {
     objCache.get(key) match {
       case Some((t, v)) if t == etag => v.asInstanceOf[A]
       case _ =>
+        Catalog.parseTally.incrementAndGet()
         val v = Layout.fromJsonString[A](json)
         objCache.put(key, (etag, v))
         v
@@ -401,6 +410,7 @@ final class Catalog(root: String) {
     cache.get(key) match {
       case Some((t, s, _, v)) if t == ft && s == size => v.asInstanceOf[A]
       case _ =>
+        Catalog.parseTally.incrementAndGet()
         val v = Layout.readJson[A](path).getOrElse(default)
         // Key the cache by the PRE-read stat: if a foreign process
         // replaces the file while we parse, the next call re-stats,
@@ -693,11 +703,28 @@ final class Catalog(root: String) {
                   startAfter: String = "", limit: Int = Caps.MaxListItems,
                   includeDeleted: Boolean = false): Page[StreamEntry] = {
     val n = math.min(limit, Caps.MaxListItems)
-    val all = basinStreams(basin)
-      .filter(s => s.name.startsWith(prefix) &&
-        s.name > startAfter && (includeDeleted || s.deletedAt.isEmpty))
-      .toList.sortBy(_.name)
-    Page(all.take(n), all.size > n)
+    // Bounded selection, not a full sort: keep the n+1 smallest
+    // matching names in a size-capped max-heap while streaming the
+    // (cached) shards. A page over a 100k-stream basin costs
+    // O(streams * log page) with no page-sized^2 blowup across a full
+    // pagination — and the shards themselves are parse-cached, so
+    // page N is heap work over in-memory entries, not 64 re-parses
+    // (CatalogShardSpec pins that with Catalog.parseTally).
+    val heap = new java.util.PriorityQueue[StreamEntry](
+      n + 1, Ordering.by[StreamEntry, String](_.name).reverse)
+    basinStreams(basin).foreach { st =>
+      if (st.name.startsWith(prefix) && st.name > startAfter &&
+          (includeDeleted || st.deletedAt.isEmpty)) {
+        if (heap.size < n + 1) heap.add(st)
+        else if (st.name < heap.peek().name) { heap.poll(); heap.add(st) }
+      }
+    }
+    val hasMore = heap.size > n
+    if (hasMore) heap.poll() // drop the (n+1)-th sentinel
+    val buf = new Array[StreamEntry](heap.size)
+    var i = heap.size - 1
+    while (i >= 0) { buf(i) = heap.poll(); i -= 1 } // max-heap drains descending
+    Page(scala.collection.immutable.ArraySeq.unsafeWrapArray(buf), hasMore)
   }
 
   def listBasins(prefix: String = "", startAfter: String = "",

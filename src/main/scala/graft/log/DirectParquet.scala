@@ -86,7 +86,14 @@ object DirectParquet {
                        body: Array[Byte], meteredSize: Long)
 
   /** Write one sorted batch file into `dir`; returns the file path. */
-  def writeBatch(dir: String, recs: Seq[Rec]): String = {
+  def writeBatch(dir: String, recs: Seq[Rec]): String =
+    writeIter(dir, recs.iterator)
+
+  /** Streaming variant (executor-side staged ingest writes): same
+    * file format, rows consumed from an iterator so one huge stream's
+    * partition slice never has to buffer in memory.
+    */
+  def writeIter(dir: String, recs: Iterator[Rec]): String = {
     Files.createDirectories(Paths.get(dir))
     val file = s"$dir/part-${java.util.UUID.randomUUID()}.snappy.parquet"
     val factory = new SimpleGroupFactory(schema)

@@ -45,6 +45,45 @@ final class ManifestCasConflict(msg: String)
   extends java.util.ConcurrentModificationException(msg)
 
 object StreamStore {
+
+  /** Executor-side staged-file writer for bulk ingest: streams one
+    * task's (basin, stream, seq)-sorted rows and cuts a DirectParquet
+    * file at every stream boundary, at the final staged path — no
+    * Hadoop committer (see the call site in ingest for why). Static
+    * (companion) so the closure ships without capturing the store.
+    * Row layout: basin(0), stream(1), seq_num(2), timestamp(3),
+    * headers(4), body(5), metered_size(6).
+    */
+  private[log] def writeStagedPartition(stagePath: String)
+                                       (rows: Iterator[org.apache.spark.sql.Row]): Unit = {
+    import org.apache.spark.sql.Row
+    val it = rows.buffered
+    def toRec(r: Row): DirectParquet.Rec = {
+      val headers: Seq[(Array[Byte], Array[Byte])] =
+        if (r.isNullAt(4)) Nil
+        else r.getSeq[Row](4).map { h =>
+          val n = if (h == null || h.isNullAt(0)) Array.emptyByteArray
+                  else h.getAs[Array[Byte]](0)
+          val v = if (h == null || h.isNullAt(1)) Array.emptyByteArray
+                  else h.getAs[Array[Byte]](1)
+          (n, v)
+        }
+      DirectParquet.Rec(r.getLong(2), r.getLong(3), headers,
+        if (r.isNullAt(5)) null else r.getAs[Array[Byte]](5),
+        r.getLong(6))
+    }
+    while (it.hasNext) {
+      val b = it.head.getString(0)
+      val st = it.head.getString(1)
+      val dir = s"$stagePath/basin=$b/stream=${Layout.escape(st)}"
+      DirectParquet.writeIter(dir, new Iterator[DirectParquet.Rec] {
+        def hasNext: Boolean = it.hasNext &&
+          it.head.getString(0) == b && it.head.getString(1) == st
+        def next(): DirectParquet.Rec = toRec(it.next())
+      })
+    }
+  }
+
   /** JVM-global lock registry keyed by (canonical root, basin, stream):
     * two StreamStore instances over one root in one process serialize
     * here (and share one lock object, so same-JVM FileChannel locks
@@ -644,21 +683,21 @@ final class StreamStore(val spark: SparkSession, val root: String) {
     // concurrent ingest (CAS conflict) leaves nothing behind that a
     // read could see as duplicate seq_nums.
     val stage = s"$root/_stage/ingest-${java.util.UUID.randomUUID()}"
-    // partition-dir escaping via a broadcast lookup of the batch's
-    // distinct stream names (all driver-known in `keys`): a codegen'd
-    // hash join instead of a per-row Scala UDF on the partition
-    // column — scales to any stream count where a literal CASE/map
-    // expression would blow up codegen at 10k+ streams.
-    val escDf = spark.createDataFrame(
-        keys.map { case (_, s) => (s, Layout.escape(s)) }.distinct.toSeq)
-      .toDF("stream", "stream_esc")
+    // Staged files are written EXECUTOR-DIRECT (DirectParquet), not
+    // through the Hadoop-committer dynamic-partition writer: at 10k
+    // one-record streams per batch the committer pays a task-temp
+    // rename per file plus a SERIAL driver-side job-commit rename
+    // sweep — measured 30+ s of a 44 s ingest against ~2 s of actual
+    // parquet bytes. Each task streams its (basin, stream, seq)-sorted
+    // run and cuts a new file at every stream boundary, writing at the
+    // final staged path directly; the staged dir is private to this
+    // ingest, so no committer atomicity is needed (the finally below
+    // removes it wholesale on any failure, and only the per-stream
+    // locked commit publishes files into the live prefix).
+    val stagePath = stage
     assigned
-      .join(broadcast(escDf), Seq("stream"))
-      .withColumn("stream", col("stream_esc")).drop("stream_esc")
       .sortWithinPartitions("basin", "stream", "seq_num")
-      .write
-      .partitionBy("basin", "stream")
-      .parquet(stage)
+      .foreachPartition(StreamStore.writeStagedPartition(stagePath) _)
     prepared.unpersist()
 
     // per-stream commit (no extra job): under the stream lock, verify
@@ -668,8 +707,11 @@ final class StreamStore(val spark: SparkSession, val root: String) {
     // Streams are independent (each under its own lock), so commits
     // run on a bounded pool: serial driver IO of ~1-3 ms per manifest
     // is fine at 8 streams but becomes the whole ingest at 10k+
-    // streams per batch.
-    val commitPar = math.min(16, runSeq.size)
+    // streams per batch. The work is driver-side filesystem IO
+    // (manifest read + data move + manifest CAS), not CPU, so the
+    // pool oversubscribes cores deliberately; 48 measured ~1.6x
+    // faster than 16 on the 10k-stream bench phase.
+    val commitPar = math.min(32, runSeq.size)
     try parallelMap(runSeq.keys.toSeq, commitPar) { case k @ (b, s) =>
       val m = tails(k)
       val committed = withStreamLock(b, s) {

@@ -1390,6 +1390,92 @@ object TextOps {
         |UNION ALL
         |SELECT id AS event_id, 0, 0, 0, -1, 0, 0, 0, FALSE
         |FROM ids WHERE id % 8 = 7
+        |ORDER BY event_id, frame_idx""".stripMargin)),
+
+    // INTER-FRAME video decode, pure JVM — the codec class DIB/MJPEG
+    // cannot represent: MS-RLE8 (BI_RLE8), whose delta/EOL/EOB
+    // opcodes leave pixels showing the PREDECESSOR frame through a
+    // persistent canvas. The fixture's frame 0 is an absolute-mode
+    // keyframe; every later frame repaints one row with an encoded
+    // run + a delta escape (skipping two pixels that CARRY) + count-1
+    // runs, so a sampled frame's stats depend on unsampled earlier
+    // frames — a decoder without real frame-to-frame state
+    // hash-mismatches. The oracle reconstructs the canvas in closed
+    // form (last-repaint time per pixel) and palette-expands with the
+    // same integer arithmetic. Every 8th input is garbage -> ok=false
+    // marker row. Scale shape: one mapPartitions pass, canvas is
+    // w*h bytes per blob, only stats rows shuffle.
+    QueryDef("mm19_rle_frames",
+      (s, d) => {
+        import s.implicits._
+        val ids = Records.events(s, d)
+          .select(col("event_id").cast(LongType)).as[Long]
+          .filter(_ < 120)
+        val blobs = ids.map { id =>
+          if (id % 8 == 7) (id, s"garbage-$id".getBytes("UTF-8"))
+          else {
+            val w = (6 + id % 3).toInt
+            val h = (4 + id % 3).toInt
+            val nf = (3 + id % 4).toInt
+            (id, graft.extras.Multimodal.VideoBytes2.aviRle8(w, h, nf, id))
+          }
+        }.toDF("event_id", "blob")
+        graft.extras.Multimodal.decodeRle8Frames(blobs, "blob", "event_id",
+          sampleEvery = 2)
+          .orderBy("event_id", "frame_idx")
+      },
+      Some("""WITH ids AS (
+        |  SELECT event_id AS id, 6 + event_id % 3 AS w, 4 + event_id % 3 AS h,
+        |    3 + event_id % 4 AS nf
+        |  FROM events WHERE event_id < 120),
+        |frames AS (
+        |  SELECT id, w, h, nf, f
+        |  FROM ids, unnest(range(0, nf)) tf(f)
+        |  WHERE id % 8 <> 7 AND f % 2 = 0),
+        |px AS (
+        |  SELECT id, w, h, nf, f, x, yf,
+        |    CASE WHEN f = 0 OR x IN (2, 3) THEN (3*x + 7*yf + id) % 256
+        |         WHEN f - ((((f - yf) % h) + h) % h) >= 1 THEN
+        |           CASE WHEN x < 2
+        |                THEN (13*(f - ((((f - yf) % h) + h) % h)) + id) % 256
+        |                ELSE (5*x + 11*(f - ((((f - yf) % h) + h) % h)) + id) % 256
+        |           END
+        |         ELSE (3*x + 7*yf + id) % 256
+        |    END AS pi
+        |  FROM frames, unnest(range(0, w)) tx(x), unnest(range(0, h)) ty(yf)),
+        |rgb AS (
+        |  SELECT id, w, h, nf, f, x, yf,
+        |    (7*pi + 3) % 256 AS r, (5*pi + 11) % 256 AS g,
+        |    (3*pi + 17) % 256 AS b
+        |  FROM px),
+        |agg AS (
+        |  SELECT id, w, h, nf, f,
+        |    CAST(sum(r) AS BIGINT) AS sum_r,
+        |    CAST(sum(g) AS BIGINT) AS sum_g,
+        |    CAST(sum(b) AS BIGINT) AS sum_b,
+        |    CAST(sum(CASE WHEN ((r*299 + g*587 + b*114) // 1000) // 64 = 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS luma0,
+        |    CAST(sum(CASE WHEN ((r*299 + g*587 + b*114) // 1000) // 64 = 1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS luma1,
+        |    CAST(sum(CASE WHEN ((r*299 + g*587 + b*114) // 1000) // 64 = 2
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS luma2,
+        |    CAST(sum(CASE WHEN ((r*299 + g*587 + b*114) // 1000) // 64 = 3
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS luma3
+        |  FROM rgb GROUP BY 1, 2, 3, 4, 5),
+        |corner AS (
+        |  SELECT id, f, r AS corner_r FROM rgb WHERE x = 0 AND yf = h - 1)
+        |SELECT a.id AS event_id,
+        |  CAST(a.w AS INT) AS width, CAST(a.h AS INT) AS height,
+        |  CAST(a.nf AS INT) AS n_frames, CAST(a.f AS INT) AS frame_idx,
+        |  a.sum_r, a.sum_g, a.sum_b, a.luma0, a.luma1, a.luma2, a.luma3,
+        |  CAST(c.corner_r AS INT) AS corner_r, TRUE AS ok
+        |FROM agg a JOIN corner c ON a.id = c.id AND a.f = c.f
+        |UNION ALL
+        |SELECT id AS event_id, 0, 0, 0, -1,
+        |  CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |  CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |  CAST(0 AS BIGINT), 0, FALSE
+        |FROM ids WHERE id % 8 = 7
         |ORDER BY event_id, frame_idx""".stripMargin))
   )
 }

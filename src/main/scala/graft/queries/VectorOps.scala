@@ -495,6 +495,200 @@ object VectorOps {
         |JOIN embeddings n ON n.vec_id = t.n_id
         |ORDER BY t.q_id, t.rank""".stripMargin)),
 
+    // PQ with LEARNED per-subspace codebooks — the production product
+    // quantizer (what Faiss trains): ann_pq_topk's codebook is the
+    // first 16 corpus vectors (deterministic but arbitrary geometry);
+    // here each of the 8 subspaces learns its own 16 centroids by
+    // k-means over the corpus SUBVECTORS (init = subvectors of those
+    // same 16 vectors, 2 Lloyd rounds, the cluster_kmeans machinery:
+    // fixed-point x1000 coordinates, exact BIGINT sums/counts, so
+    // DuckDB replays training bit-for-bit). Same bytes/vector as the
+    // fixed codebook (8 one-byte codes); per-subspace training is
+    // what reduces reconstruction error — AnalyticsOpsSpec pins that
+    // recall@10 (in-query, vs corpus-wide brute force) does not lose
+    // to the fixed codebook at equal budget. Scoring keeps vhat in
+    // quantized units (cosine is scale-invariant and BOTH engines
+    // fold identically, so the shared 1000x factor cancels the same
+    // way bit-for-bit).
+    // Scale: all 8 subspaces train in ONE flow — assignment is a
+    // broadcast join against 128 (m, code) centroids, the update is a
+    // map-side-combined aggregate to <= 8*16*8 rows; encode is one
+    // more broadcast pass. Linear in the corpus, like cluster_kmeans.
+    QueryDef("ann_pq_learned",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        def cosDbl(a: String, b: String) = expr(
+          s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                CAST(0 AS DOUBLE), (acc, v) -> acc + v)
+             / (sqrt(aggregate(transform($a, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)),
+                 CAST(0 AS DOUBLE), (acc, v) -> acc + v))
+              * sqrt(aggregate(transform($b, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)),
+                 CAST(0 AS DOUBLE), (acc, v) -> acc + v)))""")
+        val all = emb(s, d).select(col("vec_id"), col("embedding"))
+        // (vec_id, m, sv): quantized 8-dim subvector per subspace
+        val sub = all
+          .select(col("vec_id"), explode(sequence(lit(0), lit(7))).as("m"),
+            col("embedding"))
+          .withColumn("sv", expr(
+            """transform(slice(embedding, 8*m+1, 8),
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))"""))
+          .select("vec_id", "m", "sv")
+        val dist8 = expr(
+          """aggregate(sequence(1, 8), CAST(0 AS DOUBLE), (acc, j) ->
+             acc + (CAST(element_at(sv, j) AS DOUBLE)
+                     - CAST(element_at(sums, j) AS DOUBLE) / CAST(cnt AS DOUBLE))
+                 * (CAST(element_at(sv, j) AS DOUBLE)
+                     - CAST(element_at(sums, j) AS DOUBLE) / CAST(cnt AS DOUBLE)))""")
+        // argmin as a HASH AGGREGATE (min of struct = lexicographic
+        // (dist, code) — exactly the window's (dist asc, code asc)
+        // pick, since code is unique per group), not a window: the
+        // aggregate partial-combines map-side, so the 16x candidate
+        // fan-out never reaches an exchange+sort. The oracle keeps the
+        // QUALIFY row_number form — same argmin, results identical.
+        def assign(cents: DataFrame): DataFrame =
+          sub.join(broadcast(cents), "m")
+            .withColumn("dist", dist8)
+            .groupBy("vec_id", "m")
+            .agg(min(struct(col("dist"), col("code"), col("sv"))).as("best"))
+            .select(col("vec_id"), col("m"),
+              col("best.sv").as("sv"), col("best.code").as("code"))
+        def update(a: DataFrame): DataFrame =
+          a.select(col("m"), col("code"), col("sv"),
+              explode(expr("sequence(1, 8)")).as("j"))
+            .withColumn("x", expr("element_at(sv, j)"))
+            .groupBy("m", "code", "j")
+            .agg(sum("x").as("sj"), count(lit(1)).as("nv"))
+            .groupBy("m", "code")
+            .agg(expr("transform(array_sort(collect_list(struct(j, sj))), t -> t.sj)")
+              .as("sums"), max("nv").cast(LongType).as("cnt"))
+        val cents0 = sub.where(col("vec_id") < 16)
+          .select(col("m"), col("vec_id").cast(IntegerType).as("code"),
+            col("sv").as("sums"), lit(1L).as("cnt"))
+        val cents = update(assign(update(assign(cents0))))
+        // encode against the learned codebooks; vhat = concat of
+        // centroid means in quantized units (same hash-agg argmin)
+        val centsH = cents.withColumn("subhat",
+          expr("transform(sums, s -> CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE))"))
+        val recon = sub.join(broadcast(centsH), "m")
+          .withColumn("dist", dist8)
+          .groupBy("vec_id", "m")
+          .agg(min(struct(col("dist"), col("code"), col("subhat"))).as("best"))
+          .select(col("vec_id"), col("m"), col("best.subhat").as("subhat"))
+          .groupBy("vec_id")
+          .agg(expr(
+            """flatten(transform(array_sort(collect_list(struct(m, subhat))),
+               x -> x.subhat))""").as("vhat"))
+        val q = emb(s, d).where(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("vq"))
+        val wRank = Window.partitionBy("q_id")
+          .orderBy(col("pq_score").desc, col("n_id"))
+        val top = recon.select(col("vec_id").as("n_id"), col("vhat"))
+          .crossJoin(broadcast(q))
+          .where(col("n_id") =!= col("q_id"))
+          .withColumn("pq_score", round(cosDbl("vq", "vhat"), 6))
+          .withColumn("rank", row_number().over(wRank).cast(LongType))
+          .where(col("rank") <= 10)
+          .select("q_id", "n_id", "vq", "pq_score", "rank")
+          .localCheckpoint() // <= 50 rows; feeds recall + final join
+        val brute = all.select(col("vec_id").as("n_id"), col("embedding").as("ve"))
+          .crossJoin(broadcast(q))
+          .where(col("n_id") =!= col("q_id"))
+          .withColumn("score", round(cosine("vq", "ve"), 6))
+          .withColumn("brank", row_number().over(
+            Window.partitionBy("q_id").orderBy(col("score").desc, col("n_id"))))
+          .where(col("brank") <= 10)
+          .select(col("q_id"), col("n_id"))
+        val recall = top.join(brute, Seq("q_id", "n_id"), "left_semi")
+          .groupBy("q_id").agg(count(lit(1)).as("hits"))
+        top
+          .join(emb(s, d).select(col("vec_id").as("n_id"),
+            col("embedding").as("ve")), "n_id")
+          .withColumn("score", round(cosine("vq", "ve"), 6))
+          .join(broadcast(recall), Seq("q_id"), "left")
+          .withColumn("recall10",
+            coalesce(col("hits").cast(DoubleType), lit(0.0)) / 10.0)
+          .select("q_id", "n_id", "pq_score", "score", "rank", "recall10")
+          .orderBy("q_id", "rank")
+      },
+      Some {
+        val dst =
+          """list_reduce(list_transform(range(1, 9),
+             j -> (CAST(s.sv[j] AS DOUBLE) - CAST(c.sums[j] AS DOUBLE) / CAST(c.cnt AS DOUBLE))
+                * (CAST(s.sv[j] AS DOUBLE) - CAST(c.sums[j] AS DOUBLE) / CAST(c.cnt AS DOUBLE))),
+             (a, b) -> a + b)"""
+        def assignDuck(cents: String, out: String) =
+          s"""$out AS (
+             |  SELECT vec_id, m, sv, code FROM (
+             |    SELECT s.vec_id, s.m, s.sv, c.code,
+             |      row_number() OVER (PARTITION BY s.vec_id, s.m
+             |        ORDER BY $dst ASC, c.code) AS rn
+             |    FROM sub s JOIN $cents c ON s.m = c.m)
+             |  WHERE rn = 1)""".stripMargin
+        def updateDuck(a: String, out: String) =
+          s"""$out AS (
+             |  SELECT m, code, list(sj ORDER BY j) AS sums, max(nv) AS cnt FROM (
+             |    SELECT m, code, j.j AS j, CAST(sum(sv[j.j]) AS BIGINT) AS sj,
+             |      CAST(count(*) AS BIGINT) AS nv
+             |    FROM $a, (SELECT unnest(range(1, 9)) AS j) j
+             |    GROUP BY m, code, j.j)
+             |  GROUP BY m, code)""".stripMargin
+        s"""WITH sub AS (
+           |  SELECT vec_id, m.m AS m,
+           |    list_transform(embedding[8*m.m+1 : 8*m.m+8],
+           |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS sv
+           |  FROM embeddings, (SELECT unnest(range(0, 8)) AS m) m),
+           |cents0 AS (
+           |  SELECT m, CAST(vec_id AS INT) AS code, sv AS sums, CAST(1 AS BIGINT) AS cnt
+           |  FROM sub WHERE vec_id < 16),
+           |${assignDuck("cents0", "a1")},
+           |${updateDuck("a1", "u1")},
+           |${assignDuck("u1", "a2")},
+           |${updateDuck("a2", "u2")},
+           |codes AS (
+           |  SELECT vec_id, m, code FROM (
+           |    SELECT s.vec_id, s.m, c.code,
+           |      row_number() OVER (PARTITION BY s.vec_id, s.m
+           |        ORDER BY $dst ASC, c.code) AS rn
+           |    FROM sub s JOIN u2 c ON s.m = c.m)
+           |  WHERE rn = 1),
+           |recon AS (
+           |  SELECT d.vec_id,
+           |    flatten(list(list_transform(u.sums,
+           |      s -> CAST(s AS DOUBLE) / CAST(u.cnt AS DOUBLE)) ORDER BY d.m)) AS vhat
+           |  FROM codes d JOIN u2 u ON d.m = u.m AND d.code = u.code
+           |  GROUP BY d.vec_id),
+           |top AS (
+           |  SELECT q_id, n_id, pq_score,
+           |    CAST(row_number() OVER (PARTITION BY q_id
+           |      ORDER BY pq_score DESC, n_id) AS BIGINT) AS rank
+           |  FROM (
+           |    SELECT q.vec_id AS q_id, r.vec_id AS n_id,
+           |      round(${duckCosine("q.embedding", "r.vhat")}, 6) AS pq_score
+           |    FROM embeddings q, recon r
+           |    WHERE q.vec_id < 5 AND r.vec_id <> q.vec_id)
+           |  QUALIFY rank <= 10),
+           |brute AS (
+           |  SELECT q.vec_id AS q_id, n.vec_id AS n_id
+           |  FROM embeddings q, embeddings n
+           |  WHERE q.vec_id < 5 AND n.vec_id <> q.vec_id
+           |  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+           |    ORDER BY round(${duckCosine("q.embedding", "n.embedding")}, 6) DESC,
+           |      n.vec_id) <= 10),
+           |recall AS (
+           |  SELECT t.q_id, count(*) AS hits
+           |  FROM top t JOIN brute b ON t.q_id = b.q_id AND t.n_id = b.n_id
+           |  GROUP BY t.q_id)
+           |SELECT t.q_id, t.n_id, t.pq_score,
+           |  round(${duckCosine("q.embedding", "n.embedding")}, 6) AS score,
+           |  t.rank,
+           |  CAST(COALESCE(r.hits, 0) AS DOUBLE) / 10.0 AS recall10
+           |FROM top t
+           |JOIN embeddings q ON q.vec_id = t.q_id
+           |JOIN embeddings n ON n.vec_id = t.n_id
+           |LEFT JOIN recall r ON t.q_id = r.q_id
+           |ORDER BY t.q_id, t.rank""".stripMargin
+      }),
+
     // IVF+PQ — the production ANN shape (what Faiss IVFPQ runs): IVF
     // cells bound WHICH vectors a query touches (nprobe=2 of the
     // Voronoi partition), PQ codes bound HOW MUCH is read per touched

@@ -1,0 +1,44 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.log.StreamStore
+import graft.model._
+
+/** Ad-hoc profiler for the 10k-stream control-plane bench phase:
+  * splits ingest into its Spark-stage and commit-loop parts so pool
+  * sizing is measured, not guessed. Not part of the driver contract.
+  */
+object CpBench {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toInt else 10000
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (rep <- 0 until 2) {
+      val root = java.nio.file.Files.createTempDirectory("graft-cpb").toString
+      val st = new StreamStore(spark, root)
+      st.catalog.createBasin("bench-basin",
+        BasinConfig(defaultStreamConfig =
+          StreamConfig(retentionPolicy = Some(RetentionPolicy.Infinite))))
+      val names = (0 until n).map(i => f"cp-$i%05d")
+      val t0 = System.nanoTime()
+      st.catalog.createStreams("bench-basin", names)
+      val tCreate = (System.nanoTime() - t0) / 1e9
+      val df = spark.range(n).select(
+        lit("bench-basin").as("basin"),
+        concat(lit("cp-"), format_string("%05d", col("id"))).as("stream"),
+        (lit(1700000000000L) + col("id")).as("ts_client"),
+        expr("CAST(NULL AS ARRAY<STRUCT<name: BINARY, value: BINARY>>)").as("headers"),
+        expr("CAST(md5(CAST(id AS STRING)) AS BINARY)").as("body"),
+        col("id").as("arrival"))
+      val t1 = System.nanoTime()
+      st.ingest(df)
+      val tIngest = (System.nanoTime() - t1) / 1e9
+      println(f"[cpb] rep=$rep n=$n create=$tCreate%.2f s ingest=$tIngest%.2f s")
+    }
+    spark.stop()
+  }
+}

@@ -139,6 +139,50 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       .frames.map(_.frameIdx) == Seq(0, 1, 2))
   }
 
+  test("Rle8FrameDecoder: inter-frame carry — a sampled frame shows pixels " +
+    "painted by UNSAMPLED predecessors, and delta-skipped pixels show through") {
+    val id = 11L
+    val w = 6; val h = 4; val nf = 4
+    val bytes = Multimodal.VideoBytes2.aviRle8(w, h, nf, id)
+    val r = new Multimodal.Rle8FrameDecoder(2).decode(bytes)
+    assert(r.ok && r.width == w && r.height == h && r.nFrames == nf)
+    assert(r.frames.map(_.frameIdx) == Seq(0, 2))
+    def palR(i: Int) = (7 * i + 3) % 256
+    def base(x: Int, yf: Int) = ((3 * x + 7 * yf + id) % 256).toInt
+    // canvas at frame 2: frame 1 repainted row 1, frame 2 repainted
+    // row 2 (x=0,1 run; x=2,3 DELTA-CARRIED from frame 0; x>=4 runs)
+    def pix(x: Int, yf: Int, f: Int): Int = {
+      val repaints = (1 to f).filter(t => t % h == yf)
+      if (repaints.isEmpty || x == 2 || x == 3) base(x, yf)
+      else {
+        val t = repaints.max
+        if (x < 2) ((13 * t + id) % 256).toInt
+        else ((5 * x + 11 * t + id) % 256).toInt
+      }
+    }
+    val f2 = r.frames(1)
+    val expSumR = (for (yf <- 0 until h; x <- 0 until w)
+      yield palR(pix(x, yf, 2)).toLong).sum
+    assert(f2.sumR == expSumR, "frame-2 canvas must include frame-1's row")
+    // the carry is REAL: frame 2's stats differ from a hypothetical
+    // keyframe-only decode (frame 0 stats), because frames 1 and 2
+    // repainted rows
+    assert(f2.sumR != r.frames(0).sumR)
+    // corner probe: visual (0,0) = file row h-1; rows 0..2 were
+    // repainted by frames 1..2, row h-1=3 only if some t<=2 has
+    // t%4==3 — none, so the corner still shows the KEYFRAME pixel
+    assert(f2.cornerR == palR(base(0, h - 1)))
+    // full decode sees every frame; garbage and truncation reject
+    assert(new Multimodal.Rle8FrameDecoder(1).decode(bytes)
+      .frames.map(_.frameIdx) == Seq(0, 1, 2, 3))
+    assert(!new Multimodal.Rle8FrameDecoder(1).decode("junk".getBytes).ok)
+    assert(!new Multimodal.Rle8FrameDecoder(1).decode(bytes.take(200)).ok)
+    // a DIB avi is not an RLE8 avi (codec gate holds both ways)
+    assert(!new Multimodal.Rle8FrameDecoder(1)
+      .decode(Multimodal.VideoBytes2.aviDib(7, 3, 2, 1L)).ok)
+    assert(!new Multimodal.AviFrameDecoder(1).decode(bytes).ok)
+  }
+
   test("AIFF decoder: big-endian round-trip with 80-bit extended rate") {
     val dec = new Multimodal.AiffPcmDecoder
     val bytes = Multimodal.AudioBytes2.aiff(8000, 1, 200L, 0L)

@@ -265,6 +265,43 @@ class CatalogShardSpec extends AnyFunSuite {
     assert(reader.listStreams("race-basin", limit = 1000).items.size == 300)
   }
 
+  test("10k-stream paging: pages come from the parse cache, never a per-page re-parse sweep") {
+    val r = root()
+    val cat = new Catalog(r)
+    cat.createBasin("page-basin-10k")
+    val names = (0 until 10000).map(i => f"ps-$i%05d")
+    assert(cat.createStreams("page-basin-10k", names) == Right(10000))
+
+    // page 1 warms whatever shards need parsing; subsequent pages must
+    // be pure cache hits — the structural property that keeps a 10k
+    // (or 100k) stream listing from re-reading the control plane per
+    // page. Allow a tiny slack for unrelated cache churn.
+    cat.listStreams("page-basin-10k", limit = 1000)
+    val tally0 = Catalog.parseTally.get()
+    var after = ""
+    var pages = 0
+    val seen = Seq.newBuilder[String]
+    var more = true
+    while (more) {
+      val p = cat.listStreams("page-basin-10k", startAfter = after, limit = 1000)
+      seen ++= p.items.map(_.name)
+      after = p.items.last.name
+      pages += 1
+      more = p.hasMore
+    }
+    val reparses = Catalog.parseTally.get() - tally0
+    assert(pages == 10, s"expected 10 pages of 1000, got $pages")
+    assert(seen.result() == names, "pagination lost or re-ordered streams")
+    assert(reparses <= 2,
+      s"paging re-parsed $reparses control-plane docs across 10 pages — " +
+        "pages must serve from the parse cache")
+    // exclusive start_after + prefix compose with the bounded heap
+    val mid = cat.listStreams("page-basin-10k", prefix = "ps-00",
+      startAfter = "ps-00500", limit = 10)
+    assert(mid.items.map(_.name) == (501 to 510).map(i => f"ps-$i%05d"))
+    assert(mid.hasMore)
+  }
+
   // ----------------------------------------------------------------
   // Object-backend control plane: the same catalog over conditional
   // puts only — no file locks, no renames (the reference keeps

@@ -129,11 +129,18 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // MJPEG decode is one mapPartitions pass; a hash exchange would
     // mean compressed video blobs started shuffling
     "mm18_mjpeg_frames" -> 0,
+    // RLE8 inter-frame decode: same single-pass shape — the canvas
+    // lives inside the decoder, never in an exchange
+    "mm19_rle_frames" -> 0,
     // pure per-row regex stats; any exchange means text started moving
     "text_token_count_regex" -> 0,
     "emb_quantize_error" -> 0,
     // bucketed prefix sum: (lang,bucket) window + bases agg + final agg
     "stats_pack_efficiency" -> 4)
+  // ann_pq_learned is not budgeted: its top-50 candidate table is an
+  // eager localCheckpoint (feeds recall AND the final join), so the
+  // final plan string is vacuous; its training chain is hash-agg
+  // argmin + broadcast joins by construction (see the query comment)
   // ann_knn_accuracy / rank_ndcg_eval are not budgeted: their
   // brute-force probe subtree runs inside an eager localCheckpoint
   // (review-added to avoid double-planning), so the final plan
