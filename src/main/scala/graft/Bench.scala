@@ -298,6 +298,44 @@ object Bench {
         gok && gc == c && gn == n
       }
 
+    // encrypted 1 KiB workload (A13 at bench scale): same rows through
+    // an AEGIS-256 basin — appends encrypt executor-side inside the
+    // staged write, the catch-up decrypts via the codegen'd
+    // record_decrypt plan column and must reproduce the PLAINTEXT
+    // md5 chains (so `enc_verified` proves the full encrypt->decrypt
+    // loop at throughput, not just that bytes moved). MiB/s stays
+    // normalized to metered (= plaintext) bytes, so the enc/plain
+    // ratio IS the cipher overhead.
+    val root3 = java.nio.file.Files.createTempDirectory("graft-bench1ke").toString
+    val store3 = new StreamStore(spark, root3)
+    store3.catalog.createBasin("bench-basin",
+      BasinConfig(defaultStreamConfig =
+        StreamConfig(retentionPolicy = Some(RetentionPolicy.Infinite)),
+        streamCipher = Some(graft.log.CipherAlgo.Aegis256)))
+    (0 until 8).foreach(i => store3.catalog.createStream("bench-basin", s"s$i"))
+    val encKey = Array.tabulate(32)(i => (i * 7 + 3).toByte)
+    val tEnc0 = System.nanoTime()
+    store3.ingest(bigDf, cipher = Some(encKey))
+    val encSec = (System.nanoTime() - tEnc0) / 1e9
+    val encBytes = spark.read.parquet(s"$root3/data")
+      .agg(sum("metered_size")).first().getLong(0)
+    val append1kEncMibps = encBytes / 1048576.0 / encSec
+    val tEncR0 = System.nanoTime()
+    val decDf = (0 until 8).map { i =>
+      store3.visible("bench-basin", s"s$i")
+        .withColumn("body", graft.log.RecordCipher.decryptColumn(
+          col("body"), encKey, "bench-basin", s"s$i"))
+        .withColumn("stream", lit(s"s$i"))
+    }.reduce(_ unionByName _)
+    val gotEnc = streamChains(decDf, "seq_num")
+    val read1kEncSec = (System.nanoTime() - tEncR0) / 1e9
+    val read1kEncMibps = encBytes / 1048576.0 / read1kEncSec
+    val encVerified = expected.keySet == gotEnc.keySet &&
+      expected.forall { case (s, (c, n, _, _)) =>
+        val (gc, gn, _, gok) = gotEnc(s)
+        gok && gc == c && gn == n
+      }
+
     // unary append ack latency (small batches through the full A1-A7
     // path: validate -> fence/CAS -> assign -> parquet file -> manifest)
     val ackBatch = AppendInput(Seq.fill(10)(
@@ -312,7 +350,7 @@ object Bench {
       "p99" -> pct(acks, 0.99), "max" -> acks.last)
     val ackJson = Seq("min", "p50", "p90", "p99", "max")
       .map(k => "\"" + k + f"\":${ack(k)}%.1f").mkString("{", ",", "}")
-    f""""append_mibps":$appendMibps%.3f,"read_mibps":$readMibps%.3f,"append_records_per_sec":${totalRecords / ingestSec}%.0f,"avg_record_bytes":${totalBytes / math.max(totalRecords, 1)},"ingest_sec":$ingestSec%.3f,"append_1kib_mibps":$append1kMibps%.3f,"read_1kib_mibps":$read1kMibps%.3f,"read_scan_mibps":$scanMibps%.3f,"read_verified":$readVerified,"ack_latency_ms":$ackJson"""
+    f""""append_mibps":$appendMibps%.3f,"read_mibps":$readMibps%.3f,"append_records_per_sec":${totalRecords / ingestSec}%.0f,"avg_record_bytes":${totalBytes / math.max(totalRecords, 1)},"ingest_sec":$ingestSec%.3f,"append_1kib_mibps":$append1kMibps%.3f,"read_1kib_mibps":$read1kMibps%.3f,"append_1kib_enc_mibps":$append1kEncMibps%.3f,"read_1kib_enc_mibps":$read1kEncMibps%.3f,"enc_verified":$encVerified,"read_scan_mibps":$scanMibps%.3f,"read_verified":$readVerified,"ack_latency_ms":$ackJson"""
     } catch { case e: Throwable =>
       val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(160)}"
       System.err.println(s"bench workload failed: $msg")

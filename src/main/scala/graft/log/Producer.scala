@@ -35,7 +35,11 @@ final class Producer(store: StreamStore, basin: String, stream: String,
                      initialMatchSeqNum: Option[Long] = None,
                      nowMs: Option[Long] = None,
                      maxRetries: Int = 3,
-                     retryBackoffMs: Long = 10) {
+                     retryBackoffMs: Long = 10,
+                     /** A13: key material for a cipher-configured
+                       * basin; threads through the session to every
+                       * batch append. */
+                     cipher: Option[Array[Byte]] = None) {
 
   require(maxUnackedBytes >= 1024 * 1024,
     "max_unacked_bytes must be at least 1 MiB") // producer.rs:92-95
@@ -52,7 +56,7 @@ final class Producer(store: StreamStore, basin: String, stream: String,
   // retries happen inside the session (ordered, sdk/src/retry.rs);
   // only a retry-exhausted or non-retryable failure poisons
   private[log] val session =
-    new AppendSession(store, basin, stream, nowMs,
+    new AppendSession(store, basin, stream, nowMs, cipher,
       maxRetries = maxRetries, retryBackoffMs = retryBackoffMs)
   private val lock = new Object
   private var staged =

@@ -54,11 +54,13 @@ object StreamStore {
     * Row layout: basin(0), stream(1), seq_num(2), timestamp(3),
     * headers(4), body(5), metered_size(6).
     */
-  private[log] def writeStagedPartition(stagePath: String)
-                                       (rows: Iterator[org.apache.spark.sql.Row]): Unit = {
+  private[log] def writeStagedPartition(
+      stagePath: String, basinCiphers: Map[String, CipherSpec])
+      (rows: Iterator[org.apache.spark.sql.Row]): Unit = {
     import org.apache.spark.sql.Row
     val it = rows.buffered
-    def toRec(r: Row): DirectParquet.Rec = {
+    def toRec(r: Row, spec: Option[CipherSpec],
+              aad: Array[Byte]): DirectParquet.Rec = {
       val headers: Seq[(Array[Byte], Array[Byte])] =
         if (r.isNullAt(4)) Nil
         else r.getSeq[Row](4).map { h =>
@@ -68,18 +70,29 @@ object StreamStore {
                   else h.getAs[Array[Byte]](1)
           (n, v)
         }
-      DirectParquet.Rec(r.getLong(2), r.getLong(3), headers,
-        if (r.isNullAt(5)) null else r.getAs[Array[Byte]](5),
+      val plain = if (r.isNullAt(5)) null else r.getAs[Array[Byte]](5)
+      // A13: encrypt AFTER metering — metered_size (column 6) was
+      // computed on the plaintext body upstream, same contract as the
+      // unary path (encryption.rs:27-29)
+      val body = spec match {
+        case Some(sp) =>
+          RecordCipher.encrypt(sp, aad,
+            if (plain == null) Array.emptyByteArray else plain)
+        case None => plain
+      }
+      DirectParquet.Rec(r.getLong(2), r.getLong(3), headers, body,
         r.getLong(6))
     }
     while (it.hasNext) {
       val b = it.head.getString(0)
       val st = it.head.getString(1)
       val dir = s"$stagePath/basin=$b/stream=${Layout.escape(st)}"
+      val spec = basinCiphers.get(b)
+      val aad = RecordCipher.aad(b, st)
       DirectParquet.writeIter(dir, new Iterator[DirectParquet.Rec] {
         def hasNext: Boolean = it.hasNext &&
           it.head.getString(0) == b && it.head.getString(1) == st
-        def next(): DirectParquet.Rec = toRec(it.next())
+        def next(): DirectParquet.Rec = toRec(it.next(), spec, aad)
       })
     }
   }
@@ -538,11 +551,25 @@ final class StreamStore(val spark: SparkSession, val root: String) {
     * writer per stream is still required — callers serialize per store.
     */
   def ingest(df0: DataFrame, nowMs: Option[Long] = None,
-             epochId: Option[Long] = None): Map[(String, String), AppendAck] = {
+             epochId: Option[Long] = None,
+             cipher: Option[Array[Byte]] = None): Map[(String, String), AppendAck] = {
     import spark.implicits._
     val now = nowMs.getOrElse(System.currentTimeMillis())
     val allKeys = df0.select("basin", "stream").distinct().collect()
       .map(r => (r.getString(0), r.getString(1)))
+    // A13 on the BULK path: resolve each basin's stream_cipher against
+    // the per-call key EXACTLY like unary append (encryption.rs
+    // resolve — key without cipher = plaintext, cipher without key =
+    // error, which must reject the batch BEFORE any data moves).
+    // Encryption itself happens executor-side in the staged write —
+    // at 100 TB the driver never touches record bodies.
+    val basinCiphers: Map[String, CipherSpec] =
+      allKeys.map(_._1).distinct.flatMap { b =>
+        RecordCipher.resolve(catalog.basinConfig(b).streamCipher, cipher) match {
+          case Right(specOpt) => specOpt.map(b -> _)
+          case Left(e) => throw new IllegalStateException(s"EncryptionError: $e")
+        }
+      }.toMap
     // epoch dedup: a stream whose manifest already committed this epoch
     // is a replayed micro-batch -> skip it (exactly-once manifests)
     val keys = epochId match {
@@ -697,7 +724,7 @@ final class StreamStore(val spark: SparkSession, val root: String) {
     val stagePath = stage
     assigned
       .sortWithinPartitions("basin", "stream", "seq_num")
-      .foreachPartition(StreamStore.writeStagedPartition(stagePath) _)
+      .foreachPartition(StreamStore.writeStagedPartition(stagePath, basinCiphers) _)
     prepared.unpersist()
 
     // per-stream commit (no extra job): under the stream lock, verify

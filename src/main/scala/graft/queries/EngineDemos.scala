@@ -183,7 +183,9 @@ object EngineDemos {
       "wrong_key" -> "auth_failed,auth_failed",
       "metered_plaintext" -> "22,22",
       "key_without_cipher" -> "plaintext",
-      "cipher_without_key" -> "missing_key")) { (_, st) =>
+      "cipher_without_key" -> "missing_key",
+      "bulk_roundtrip" -> "bulk-0,bulk-1,bulk-2,bulk-3",
+      "bulk_format_id" -> "1")) { (sp, st) =>
       val key = Array.fill(32)(0x24.toByte)
       val out = Seq(CipherAlgo.Aegis256 -> "enc-aegis-basin",
                     CipherAlgo.Aes256Gcm -> "enc-gcm-basin").map { case (algo, basin) =>
@@ -220,6 +222,21 @@ object EngineDemos {
         case Left(AppendError.EncryptionError(_)) => "missing_key"
         case other => other.toString
       }
+      // A13 on the BULK path: the ingest job encrypts executor-side
+      // (per-basin cipher x per-call key, same resolution); the
+      // decrypting read recovers order + content
+      import sp.implicits._
+      st.catalog.createStream("enc-aegis-basin", "bulk")
+      val bulkDf = (0 until 4).map(i =>
+          ("enc-aegis-basin", "bulk", Option(1000L + i), s"bulk-$i".getBytes, i.toLong))
+        .toDF("basin", "stream", "ts_client", "body", "arrival")
+        .withColumn("headers",
+          org.apache.spark.sql.functions.expr("CAST(NULL AS ARRAY<STRUCT<name: BINARY, value: BINARY>>)"))
+        .select("basin", "stream", "ts_client", "headers", "body", "arrival")
+      st.ingest(bulkDf, Some(2000L), cipher = Some(key))
+      val bulkRows = st.readBatch("enc-aegis-basin", "bulk",
+        ReadSpec(ReadStart(ReadFrom.SeqNum(0))), cipher = Some(key)).toOption.get
+      val bulkRaw = st.visible("enc-aegis-basin", "bulk").collect().head
       Seq(
         "aegis_roundtrip" -> out(0)._1,
         "aegis_format_id" -> out(0)._2.toString,
@@ -229,7 +246,9 @@ object EngineDemos {
         "wrong_key" -> out.map(_._4).mkString(","),
         "metered_plaintext" -> out.map(_._5).mkString(","),
         "key_without_cipher" -> (if (plainStored == "open") "plaintext" else "encrypted"),
-        "cipher_without_key" -> noKey)
+        "cipher_without_key" -> noKey,
+        "bulk_roundtrip" -> bulkRows.map(r => new String(r.body)).mkString(","),
+        "bulk_format_id" -> bulkRaw.getAs[Array[Byte]](3)(0).toString)
     },
 
     // R6 — re-chunking caps

@@ -21,15 +21,22 @@ import graft.log.StreamStore
   */
 object StreamIngest {
 
+  /** `cipher`: key material for basins whose `stream_cipher` is
+    * configured (A13) — resolution and executor-side encryption are
+    * StreamStore.ingest's; plaintext basins ignore it.
+    */
   def start(store: StreamStore, raw: DataFrame,
             checkpointLocation: String,
-            trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
+            trigger: Trigger = Trigger.ProcessingTime("1 second"),
+            cipher: Option[Array[Byte]] = None): StreamingQuery =
     raw.writeStream
       .option("checkpointLocation", checkpointLocation)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         // epoch id makes replayed micro-batches idempotent per stream
-        if (!batch.isEmpty) { store.ingest(batch, epochId = Some(epochId)); () }
+        if (!batch.isEmpty) {
+          store.ingest(batch, epochId = Some(epochId), cipher = cipher); ()
+        }
       }
       .start()
 }

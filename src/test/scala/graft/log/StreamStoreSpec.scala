@@ -338,6 +338,53 @@ class StreamStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       == RetentionPolicy.Infinite)
   }
 
+  test("bulk ingest encrypts executor-side: both ciphers, plaintext metering, " +
+    "missing key rejected before any data moves (A13 on the 100 TB path)") {
+    val st = freshStore()
+    val key = Array.fill(32)(0x42.toByte)
+    import spark.implicits._
+    def mkDf(basin: String) = (0 until 20).map { i =>
+      (basin, s"enc-bulk-${i % 2}", Option(1000L + i),
+        s"bulk-secret-$i".getBytes, i.toLong)
+    }.toDF("basin", "stream", "ts_client", "body", "arrival")
+      .withColumn("headers", org.apache.spark.sql.functions.expr(
+        "CAST(NULL AS ARRAY<STRUCT<name: BINARY, value: BINARY>>)"))
+      .select("basin", "stream", "ts_client", "headers", "body", "arrival")
+    for ((algo, basin) <- Seq(CipherAlgo.Aegis256 -> "bulkenc-aegis",
+                              CipherAlgo.Aes256Gcm -> "bulkenc-gcm")) {
+      st.catalog.createBasin(basin, BasinConfig(
+        defaultStreamConfig = StreamConfig(retentionPolicy = Some(RetentionPolicy.Infinite)),
+        streamCipher = Some(algo))).fold(e => fail(e), identity)
+      (0 until 2).foreach(i => st.catalog.createStream(basin, s"enc-bulk-$i"))
+      val acks = st.ingest(mkDf(basin), Some(999999L), cipher = Some(key))
+      assert(acks((basin, "enc-bulk-0")).tail.seqNum == 10)
+      // stored bodies carry the format byte, never the plaintext;
+      // metered size is the PLAINTEXT size (8 + len)
+      val raw = st.visible(basin, "enc-bulk-0").collect()
+      raw.foreach { r =>
+        val stored = r.getAs[Array[Byte]](3)
+        assert(stored(0) == algo.formatId)
+        assert(!new String(stored).contains("bulk-secret"))
+        assert(r.getLong(4) == 8L + s"bulk-secret-${r.getLong(0) * 2}".length)
+      }
+      // decrypting read recovers every body in order
+      val rows = st.readBatch(basin, "enc-bulk-0",
+        ReadSpec(ReadStart(ReadFrom.SeqNum(0))), cipher = Some(key)).toOption.get
+      assert(rows.map(r => new String(r.body)) ==
+        (0 until 20 by 2).map(i => s"bulk-secret-$i"))
+      // wrong key fails authentication, not garbage
+      assertThrows[Exception](st.readBatch(basin, "enc-bulk-0",
+        ReadSpec(ReadStart(ReadFrom.SeqNum(0))),
+        cipher = Some(Array.fill(32)(0x43.toByte))).toOption.get)
+    }
+    // cipher configured, no key -> the batch is rejected up front and
+    // nothing commits
+    val ex = intercept[IllegalStateException](
+      st.ingest(mkDf("bulkenc-aegis"), Some(999999L)))
+    assert(ex.getMessage.contains("missing encryption key"))
+    assert(st.checkTail("bulkenc-aegis", "enc-bulk-0").seqNum == 10)
+  }
+
   test("bulk ingest: per-stream contiguous seqs + manifests committed") {
     val st = freshStore()
     st.catalog.createStream("test-basin", "bulk-a")

@@ -59,6 +59,59 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("an encrypted stream tails through the source with in-plan decryption (A13 x R8)") {
+    // bodies land encrypted (format-byte framing); the follower's
+    // pipeline composes the SAME codegen'd record_decrypt column the
+    // batch read path uses — live micro-batches decrypt in-plan,
+    // never on the driver, and a wrong key fails authentication
+    // instead of delivering garbage
+    val dir = Files.createTempDirectory("graft-src-enc").toString
+    val st = new StreamStore(spark, dir)
+    val key = Array.fill(32)(0x77.toByte)
+    st.catalog.createBasin("enc-src-basin", BasinConfig(
+      defaultStreamConfig = StreamConfig(retentionPolicy = Some(RetentionPolicy.Infinite)),
+      streamCipher = Some(graft.log.CipherAlgo.Aegis256)))
+    st.catalog.createStream("enc-src-basin", "s")
+    st.append("enc-src-basin", "s", AppendInput(Seq(env("cipher-a"), env("cipher-b"))),
+      Some(1000L), Some(key))
+
+    val stream = spark.readStream.format("graft-stream")
+      .option("root", dir).option("basin", "enc-src-basin").option("stream", "s")
+      .load()
+      .withColumn("body", graft.log.RecordCipher.decryptColumn(
+        col("body"), key, "enc-src-basin", "s"))
+    val q = stream.writeStream.format("memory").queryName("gsrcenc")
+      .option("checkpointLocation", s"$dir/_ckpt")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // catch-up batch decrypted
+      assert(spark.sql("SELECT CAST(body AS STRING) FROM gsrcenc ORDER BY seq_num")
+        .collect().map(_.getString(0)).toSeq == Seq("cipher-a", "cipher-b"))
+      // a LIVE append decrypts in the next micro-batch too
+      st.append("enc-src-basin", "s", AppendInput(Seq(env("cipher-c"))),
+        Some(2000L), Some(key))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT CAST(body AS STRING) FROM gsrcenc ORDER BY seq_num")
+        .collect().map(_.getString(0)).toSeq ==
+        Seq("cipher-a", "cipher-b", "cipher-c"))
+    } finally q.stop()
+    // raw tail (no decrypt column) delivers the encrypted framing —
+    // the source itself never sees plaintext
+    val raw = spark.readStream.format("graft-stream")
+      .option("root", dir).option("basin", "enc-src-basin").option("stream", "s")
+      .load()
+    val q2 = raw.writeStream.format("memory").queryName("gsrcraw")
+      .option("checkpointLocation", s"$dir/_ckpt2")
+      .outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      val b = spark.sql("SELECT body FROM gsrcraw WHERE seq_num = 0").first()
+        .getAs[Array[Byte]](0)
+      assert(b(0) == graft.log.CipherAlgo.Aegis256.formatId)
+    } finally q2.stop()
+  }
+
   test("checkpoint resumption continues exactly after the last offset (R9)") {
     val dir = Files.createTempDirectory("graft-src2").toString
     val st = new StreamStore(spark, dir)
