@@ -389,6 +389,180 @@ object PipelineOps {
       s"\nSELECT round, l, r, merged, cnt FROM ($union) ORDER BY round"
   }
 
+  // ---- Unigram-LM tokenizer (SentencePiece-style) -------------------------
+
+  /** Unigram-LM tokenizer training (Kudo, "Subword Regularization",
+    * ACL 2018 — the SentencePiece unigram model): seed a substring
+    * vocabulary from the corpus, Viterbi-segment every word against
+    * it, re-estimate piece frequencies from the segmentations (one
+    * EM round), prune to the keep-budget. This is the OTHER tokenizer
+    * family beside BPE (bpe_learn_merges): BPE grows a vocab
+    * bottom-up by merging; unigram starts from a large seed and
+    * prunes top-down against a per-word segmentation objective.
+    *
+    * The reference objective maximizes Σ log p(piece) — a float sum
+    * whose `ln` differs in the last ulp across engines. The
+    * cross-engine-exact surrogate here is the all-integer lexicographic
+    * objective (fewest pieces, then largest summed piece frequency,
+    * then lexicographically-smallest piece sequence): same shape
+    * (prefers long, frequent pieces), every comparison exact in both
+    * engines, so the DuckDB oracle replays training bit-for-bit.
+    *
+    * Scale shape: the ONLY corpus-sized work is the word-frequency
+    * groupBy (one map-side-combined shuffle) and the final doc join in
+    * the fertility query; everything else — substring seeding, the
+    * per-word Viterbi DP, the EM re-count — runs on the DISTINCT-word
+    * table, which Heaps' law keeps sublinear in the corpus. The DP is
+    * a single Catalyst `aggregate` lambda over ≤ [[UniMaxWordLen]]
+    * positions with ≤ [[UniMaxPieceLen]] incoming edges each (edges
+    * pre-resolved by ONE broadcast join against the ≤ 300-piece
+    * vocab), carrying the argmin segmentation in the DP state — no
+    * backtrace pass, no window, no shuffle.
+    */
+  private val UniMaxWordLen = 12
+  private val UniMaxPieceLen = 6
+  private val UniSeedV = 256
+  private val UniKeepV = 192
+
+  /** Distinct words + frequencies, capped at [[UniMaxWordLen]] chars
+    * (production shards longer words; the cap bounds the DP and is
+    * applied identically in the oracle and the fertility join). */
+  private def uniWords(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "" && length(col("w")) <= UniMaxWordLen)
+      .groupBy("w").agg(count(lit(1)).cast(LongType).as("freq"))
+
+  /** All candidate (start-1, end, substring) edges of `w` up to
+    * [[UniMaxPieceLen]] chars — DP position j = chars consumed. */
+  private val uniEdgesExpr: String =
+    s"""flatten(transform(sequence(1, length(w)), st ->
+          transform(sequence(st, least(length(w), st + ${UniMaxPieceLen - 1})), en ->
+            named_struct('j', st - 1, 'i', en,
+              'piece', substr(w, st, en - st + 1)))))"""
+
+  /** Viterbi-segment each distinct word against `vocab` (columns
+    * piece, f): returns (w, freq, pieces). The DP state at position i
+    * is the best named_struct('n', pieces, 'negf', -Σf, 'ps', seq) —
+    * array_min's lexicographic struct order IS the objective, and the
+    * winning state carries its own segmentation. Coverage: callers
+    * guarantee every single char is in `vocab`, so no position has an
+    * empty candidate set. */
+  private[graft] def uniSegment(words: DataFrame, vocab: DataFrame): DataFrame =
+    words.select(col("w"), col("freq"), explode(expr(uniEdgesExpr)).as("e"))
+      .select(col("w"), col("freq"), col("e.j").as("j"), col("e.i").as("i"),
+        col("e.piece").as("piece"))
+      .join(broadcast(vocab.select(col("piece"), col("f"))), "piece")
+      .groupBy("w", "freq")
+      .agg(collect_list(struct(col("i"), col("j"), col("f"), col("piece")))
+        .as("edges"))
+      .withColumn("pieces", expr(
+        """element_at(
+             aggregate(sequence(1, length(w)),
+               array(named_struct('n', CAST(0 AS BIGINT), 'negf', CAST(0 AS BIGINT),
+                                  'ps', CAST(array() AS ARRAY<STRING>))),
+               (acc, pos) -> concat(acc, array(
+                 array_min(transform(filter(edges, e -> e.i = pos),
+                   e -> named_struct(
+                     'n', element_at(acc, e.j + 1).n + CAST(1 AS BIGINT),
+                     'negf', element_at(acc, e.j + 1).negf - e.f,
+                     'ps', concat(element_at(acc, e.j + 1).ps, array(e.piece)))))))),
+             length(w) + 1).ps"""))
+      .select("w", "freq", "pieces")
+
+  /** Seed vocab (top-[[UniSeedV]] substrings by weighted occurrence
+    * count, plus every single char for coverage), the round-1
+    * segmentation, and EM-recounted frequencies. Returns
+    * (piece, freq0, freq1) with freq1 = 0 for unused seeds. */
+  private def uniTrained(s: SparkSession, d: String): DataFrame = {
+    val words = uniWords(s, d).localCheckpoint()
+    val pieces = words
+      .select(col("freq"), explode(expr(uniEdgesExpr)).as("e"))
+      .groupBy(col("e.piece").as("piece"))
+      .agg(sum("freq").cast(LongType).as("freq0"))
+    val top = pieces.orderBy(col("freq0").desc, col("piece")).limit(UniSeedV)
+    val singles = pieces.where(length(col("piece")) === 1)
+      .join(top.select("piece"), Seq("piece"), "left_anti")
+    val vocab0 = top.unionByName(singles).localCheckpoint()
+    val seg1 = uniSegment(words, vocab0.select(col("piece"), col("freq0").as("f")))
+    val freq1 = seg1.select(col("freq"), explode(col("pieces")).as("piece"))
+      .groupBy("piece").agg(sum("freq").cast(LongType).as("freq1"))
+    vocab0.join(freq1, Seq("piece"), "left")
+      .withColumn("freq1", coalesce(col("freq1"), lit(0L)))
+  }
+
+  /** Shared DuckDB CTE chain mirroring uniWords/uniEdges/uniTrained;
+    * `uniSegDuck` emits one segmentation pass against a vocab CTE.
+    *
+    * The DP is deliberately RELATIONAL — [[UniMaxWordLen]] unrolled
+    * position steps, each a join (frontier x in-vocab edges ending at
+    * this position) + window argmin — instead of the obvious
+    * `list_reduce` fold: DuckDB 1.0's list_reduce misbinds captured /
+    * accumulated list elements indexed inside the lambda body, and
+    * does so NONDETERMINISTICALLY at vectorized batch sizes (the same
+    * CTE chain returned different segmentations across evaluations in
+    * one process). The frontier carries only the last
+    * [[UniMaxPieceLen]] positions plus completed words, so each step's
+    * working set stays O(distinct words). */
+  private def uniSegDuck(vocab: String, fcol: String, out: String): String = {
+    val steps = (1 to UniMaxWordLen).flatMap { k =>
+      Seq(
+        s"""dp${k}_$out AS (
+           |  SELECT w, freq, pos, n, negf, ps FROM (
+           |    SELECT d.w, d.freq, CAST($k AS BIGINT) AS pos,
+           |      d.n + 1 AS n, d.negf - e.f AS negf, list_append(d.ps, e.piece) AS ps,
+           |      row_number() OVER (PARTITION BY d.w
+           |        ORDER BY d.n + 1, d.negf - e.f, list_append(d.ps, e.piece)) AS rn
+           |    FROM dpu${k - 1}_$out d
+           |    JOIN wedges_$out e ON e.w = d.w AND e.i = $k AND e.j = d.pos)
+           |  WHERE rn = 1)""".stripMargin,
+        s"""dpu${k}_$out AS MATERIALIZED (
+           |  SELECT * FROM dpu${k - 1}_$out
+           |  WHERE pos > $k - $UniMaxPieceLen OR pos = length(w)
+           |  UNION ALL SELECT * FROM dp${k}_$out)""".stripMargin)
+    }
+    (Seq(
+      s"""wedges_$out AS MATERIALIZED (
+         |  SELECT u.w, u.freq, t.e.i AS i, t.e.j AS j, v.$fcol AS f, t.e.piece AS piece
+         |  FROM uedges u, unnest(u.es) AS t(e)
+         |  JOIN $vocab v ON v.piece = t.e.piece)""".stripMargin,
+      s"""dpu0_$out AS (
+         |  SELECT w, freq, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS n,
+         |         CAST(0 AS BIGINT) AS negf, CAST([] AS VARCHAR[]) AS ps FROM uwords)""".stripMargin) ++
+      steps :+
+      s"""$out AS (
+         |  SELECT w, freq, ps AS pieces FROM dpu${UniMaxWordLen}_$out
+         |  WHERE pos = length(w))""".stripMargin).mkString(",\n")
+  }
+
+  private val uniTrainedDuck: String =
+    s"""uwords AS MATERIALIZED (
+       |  SELECT tok AS w, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  WHERE tok <> '' AND length(tok) <= $UniMaxWordLen GROUP BY tok),
+       |uedges AS MATERIALIZED (
+       |  SELECT w, freq,
+       |    flatten(list_transform(range(1, length(w) + 1), st ->
+       |      list_transform(range(st, least(length(w), st + ${UniMaxPieceLen - 1}) + 1), en ->
+       |        {'j': st - 1, 'i': en, 'piece': substr(w, CAST(st AS INTEGER), CAST(en - st + 1 AS INTEGER))}))) AS es
+       |  FROM uwords),
+       |upieces AS (
+       |  SELECT t.e.piece AS piece, CAST(sum(u.freq) AS BIGINT) AS freq0
+       |  FROM uedges u, unnest(u.es) AS t(e) GROUP BY 1),
+       |utop AS (SELECT piece, freq0 FROM upieces ORDER BY freq0 DESC, piece LIMIT $UniSeedV),
+       |uvocab0 AS MATERIALIZED (
+       |  SELECT piece, freq0 FROM utop
+       |  UNION ALL
+       |  SELECT piece, freq0 FROM upieces
+       |  WHERE length(piece) = 1 AND piece NOT IN (SELECT piece FROM utop)),
+       |${uniSegDuck("uvocab0", "freq0", "useg1")},
+       |uem AS (
+       |  SELECT piece, CAST(sum(freq) AS BIGINT) AS freq1
+       |  FROM (SELECT freq, unnest(pieces) AS piece FROM useg1) GROUP BY piece),
+       |uwithf AS (
+       |  SELECT v.piece, v.freq0, CAST(COALESCE(e.freq1, 0) AS BIGINT) AS freq1
+       |  FROM uvocab0 v LEFT JOIN uem e ON v.piece = e.piece),
+       |ukeep AS (SELECT piece FROM uwithf ORDER BY freq1 DESC, piece LIMIT $UniKeepV)""".stripMargin
+
   /** k md5-slice bit positions of `textCol` in an m-bit Bloom filter —
     * ONE definition shared by the batch filter (dedup_bloom) and the
     * live frontier probe (EngineDemos e2e_stream_bloom_probe), so the
@@ -414,6 +588,68 @@ object PipelineOps {
         bpeLearnPlan(words, 6)
       },
       Some(bpeLearnDuck(6))),
+
+    // Tokenizer TRAINING, unigram-LM family (see uniTrained): seed ->
+    // Viterbi-segment -> EM re-count -> prune. Output is the seed
+    // vocab with both frequency generations and the prune verdict —
+    // a piece with freq1 = 0 was seeded but never chosen by any
+    // word's optimal segmentation (exactly what unigram pruning
+    // exists to remove).
+    QueryDef("tok_unigram_train",
+      (s, d) => {
+        val withF = uniTrained(s, d).localCheckpoint()
+        val keep = withF.orderBy(col("freq1").desc, col("piece")).limit(UniKeepV)
+          .select(col("piece"), lit(true).as("k"))
+        withF.join(broadcast(keep), Seq("piece"), "left")
+          .withColumn("kept", coalesce(col("k"), length(col("piece")) === 1))
+          .select("piece", "freq0", "freq1", "kept")
+          .orderBy(col("freq1").desc, col("piece"))
+      },
+      Some(s"""WITH $uniTrainedDuck
+        |SELECT piece, freq0, freq1,
+        |  (piece IN (SELECT piece FROM ukeep) OR length(piece) = 1) AS kept
+        |FROM uwithf ORDER BY freq1 DESC, piece""".stripMargin)),
+
+    // Tokenizer APPLICATION at corpus scale: segment every document
+    // with the PRUNED unigram vocab (weights = the EM counts) and
+    // report per-doc fertility (pieces per word, ppm-exact). The
+    // per-word DP runs once per DISTINCT word; docs join against that
+    // table — the whole corpus is never segmented twice. Fertility is
+    // THE tokenizer-quality number a data pipeline tracks (lower =
+    // fewer pieces per word = cheaper training tokens).
+    QueryDef("tok_unigram_fertility",
+      (s, d) => {
+        val words = uniWords(s, d)
+        val withF = uniTrained(s, d).localCheckpoint()
+        val keep = withF.orderBy(col("freq1").desc, col("piece")).limit(UniKeepV)
+          .select(col("piece"), lit(true).as("k"))
+        val kept = withF.join(broadcast(keep), Seq("piece"), "left")
+          .where(coalesce(col("k"), length(col("piece")) === 1))
+          .select(col("piece"), col("freq1").as("f"))
+        val perWord = uniSegment(words, kept)
+          .select(col("w").as("tok"), size(col("pieces")).cast(LongType).as("np"))
+        docs(s, d).select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .where(col("tok") =!= "" && length(col("tok")) <= UniMaxWordLen)
+          .join(perWord, "tok")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast(LongType).as("n_words"),
+            sum("np").cast(LongType).as("n_pieces"))
+          .withColumn("fertility_ppm", expr("n_pieces * 1000000 div n_words"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $uniTrainedDuck,
+        |ukept AS (
+        |  SELECT piece, freq1 FROM uwithf
+        |  WHERE piece IN (SELECT piece FROM ukeep) OR length(piece) = 1),
+        |${uniSegDuck("ukept", "freq1", "useg2")}
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(s.np) AS BIGINT) AS n_pieces,
+        |  CAST(sum(s.np) * 1000000 // count(*) AS BIGINT) AS fertility_ppm
+        |FROM (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) dw
+        |JOIN (SELECT w, CAST(len(pieces) AS BIGINT) AS np FROM useg2) s ON s.w = dw.tok
+        |WHERE dw.tok <> '' AND length(dw.tok) <= $UniMaxWordLen
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // Near-duplicate clusters: minhash-LSH candidate pairs verified at
     // jaccard >= 0.5 become edges (the SAME bucketed pipeline as

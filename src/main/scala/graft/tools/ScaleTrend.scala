@@ -44,7 +44,7 @@ object ScaleTrend {
     "text_nfc_normalize",
     "ann_ivf_topk",
     "emb_pca_loadings",
-    "text_token_counts")
+    "text_token_count")
 
   final case class Trend(name: String, cpuSec: Seq[Double],
                          wallSec: Seq[Double]) {
