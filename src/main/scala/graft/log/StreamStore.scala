@@ -97,6 +97,69 @@ object StreamStore {
     }
   }
 
+  /** Task-retry/speculation gate for the committer-free staged ingest.
+    * Executor tasks write DirectParquet files at the final staged path
+    * with no Hadoop committer, so a retried or speculated task attempt
+    * can leave (a) a TORN file (died mid-write, no parquet footer) or
+    * (b) a complete DUPLICATE twin (same records, different UUID name)
+    * beside the winning attempt's output. Spark reports job success as
+    * soon as each partition has one successful attempt — it never
+    * cleans the losers' direct-path files. This selector re-derives,
+    * from parquet footers alone, exactly the file set a committer
+    * would have promoted:
+    *
+    *  - torn files (FileIndex.tryStats = None: tail magic missing) are
+    *    dropped — by the durability order they were never part of a
+    *    successful attempt;
+    *  - a file whose [minSeq,maxSeq] exactly duplicates an accepted
+    *    range is a retry/speculation twin of the same deterministic
+    *    partition output — dropped;
+    *  - the accepted files must tile [plannedTail, newTail) exactly
+    *    (each internally dense: rows == max-min+1) — any gap, partial
+    *    overlap, or short coverage aborts the stream's commit with its
+    *    files still staged, so nothing torn or duplicated can ever
+    *    enter the live generation under an acked tail.
+    *
+    * Reference analog: the storage submit is one atomic WriteBatch
+    * (lite/src/backend/streamer.rs:1010-1070) — this check makes the
+    * staged-file move equivalently idempotent under attempt-level
+    * duplication.
+    */
+  private[log] def selectStagedFiles(
+      paths: Seq[String], plannedTail: Long, newTail: Long,
+      basin: String, stream: String): Seq[FileIndex.FileStats] = {
+    // tryStats: None = provably torn (skip — a failed attempt's
+    // leavings); transient I/O errors still throw, failing the ingest
+    // loudly rather than silently dropping a complete file.
+    val sorted = paths.flatMap(FileIndex.tryStats)
+      .sortBy(s => (s.minSeq, s.path))
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[FileIndex.FileStats]
+    var cursor = plannedTail
+    sorted.foreach { st =>
+      if (st.maxSeq < cursor) {
+        // entirely behind the cursor: legal ONLY as an exact twin of an
+        // already-accepted range (a duplicated task attempt)
+        val twin = accepted.exists(a =>
+          a.minSeq == st.minSeq && a.maxSeq == st.maxSeq && a.rows == st.rows)
+        if (!twin) throw new IllegalStateException(
+          s"staged ingest invariant violated for $basin/$stream: " +
+            s"${st.path} covers [${st.minSeq},${st.maxSeq}] which partially " +
+            s"overlaps already-accepted coverage ending at ${cursor - 1}")
+      } else if (st.minSeq == cursor && st.rows == st.maxSeq - st.minSeq + 1) {
+        accepted += st
+        cursor = st.maxSeq + 1
+      } else throw new IllegalStateException(
+        s"staged ingest invariant violated for $basin/$stream: " +
+          s"${st.path} covers [${st.minSeq},${st.maxSeq}] rows=${st.rows}, " +
+          s"expected a dense file starting at seq $cursor")
+    }
+    if (cursor != newTail) throw new IllegalStateException(
+      s"staged ingest coverage gap for $basin/$stream: staged files tile " +
+        s"[$plannedTail,$cursor) but the planned commit needs " +
+        s"[$plannedTail,$newTail)")
+    accepted.toSeq
+  }
+
   /** JVM-global lock registry keyed by (canonical root, basin, stream):
     * two StreamStore instances over one root in one process serialize
     * here (and share one lock object, so same-JVM FileChannel locks
@@ -175,6 +238,13 @@ final class StreamStore(val spark: SparkSession, val root: String) {
     * (CAS race, IO error) that the orphan-cleanup contract is about.
     */
   private[log] var beforeManifestCommit: () => Unit = () => ()
+
+  /** Test hook: runs after bulk ingest's staged write completes and
+    * before any per-stream commit, receiving the stage root — lets
+    * specs plant the files a retried/speculated task attempt would
+    * leave (a torn part, a duplicate twin) and prove the commit gate
+    * rejects them (see StreamStore.selectStagedFiles). */
+  private[log] var beforeStagedCommit: String => Unit = _ => ()
 
   /** Crash recovery, run under the stream lock before this store
     * instance's FIRST commit to a stream: a writer that DIED between
@@ -726,6 +796,7 @@ final class StreamStore(val spark: SparkSession, val root: String) {
       .sortWithinPartitions("basin", "stream", "seq_num")
       .foreachPartition(StreamStore.writeStagedPartition(stagePath, basinCiphers) _)
     prepared.unpersist()
+    beforeStagedCommit(stage)
 
     // per-stream commit (no extra job): under the stream lock, verify
     // the CAS precondition, move the staged files into the live dir,
@@ -773,16 +844,25 @@ final class StreamStore(val spark: SparkSession, val root: String) {
           version = cur.version + 1)
         val src = Paths.get(s"$stage/basin=$b/stream=${Layout.escape(s)}")
         val dst = Paths.get(Layout.genDir(root, b, s, cur.generation))
+        val stagedPaths: Seq[String] =
+          if (!Files.exists(src)) Nil
+          else {
+            val parts = Files.list(src)
+            try parts.iterator().asScala.map(_.toString)
+              .filter(_.endsWith(".parquet")).toSeq
+            finally parts.close()
+          }
+        // Task-retry/speculation gate: promote only the file set that
+        // densely tiles [plannedTail, newTail) — torn attempt leavings
+        // and retried/speculated duplicate twins stay staged and die
+        // with the stage dir (see selectStagedFiles).
+        val acceptedFiles = StreamStore.selectStagedFiles(
+          stagedPaths, m.tailSeq, runSeq(k), b, s)
         val moved = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
-        if (Files.exists(src)) {
-          val parts = Files.list(src)
-          try parts.iterator().asScala
-            .filter(_.toString.endsWith(".parquet"))
-            .foreach { f =>
-              val d = dst.resolve(f.getFileName)
-              backend.putData(f, d); moved += d
-            }
-          finally parts.close()
+        acceptedFiles.foreach { st =>
+          val f = Paths.get(st.path)
+          val d = dst.resolve(f.getFileName)
+          backend.putData(f, d); moved += d
         }
         // same atomicity contract as unary append: a commit that fails
         // after the objects entered the live prefix must take them back
