@@ -322,9 +322,8 @@ object Bench {
     val append1kEncMibps = encBytes / 1048576.0 / encSec
     val tEncR0 = System.nanoTime()
     val decDf = (0 until 8).map { i =>
-      store3.visible("bench-basin", s"s$i")
-        .withColumn("body", graft.log.RecordCipher.decryptColumn(
-          col("body"), encKey, "bench-basin", s"s$i"))
+      graft.log.RecordCipher.decryptRecords(
+        store3.visible("bench-basin", s"s$i"), encKey, "bench-basin", s"s$i")
         .withColumn("stream", lit(s"s$i"))
     }.reduce(_ unionByName _)
     val gotEnc = streamChains(decDf, "seq_num")

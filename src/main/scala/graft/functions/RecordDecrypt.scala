@@ -4,21 +4,24 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types.{BinaryType, DataType}
 
 /** Native codegen'd record decryption for scans (A13).
   *
   * Dispatches per record on the reference's leading format byte
   * (storage/src/record/encryption.rs:1-29: 0x01 AEGIS-256 v1,
-  * 0x02 AES-256-GCM v1) and authenticates with the caller-supplied
-  * AAD; the key and AAD ride along as reference objects so the call
-  * sits inside whole-stage codegen — read-side decryption is a plan
-  * column, never a driver loop (the reference decrypts in its session
-  * loop, read.rs:74-91; this is the Spark analog).
+  * 0x02 AES-256-GCM v1), authenticates with the caller-supplied AAD,
+  * and decodes the decrypted payload as the byte-for-byte plaintext
+  * EnvelopeRecord encoding (headers INCLUDED — the reference encrypts
+  * the whole envelope, encryption.rs:243-272, not just the body), so
+  * the result is a struct<headers, body> the read plan projects back
+  * into the logical record columns. The key and AAD ride along as
+  * reference objects so the call sits inside whole-stage codegen —
+  * read-side decryption is a plan column, never a driver loop (the
+  * reference decrypts in its session loop, read.rs:74-91).
   *
   * Tag mismatch / unknown format throw (AEADBadTagException) and fail
-  * the task — auth failure is never silent garbage. Null body → null.
+  * the task — auth failure is never silent garbage. Null input → null.
   */
 case class RecordDecryptExpr(child: Expression, key: Array[Byte], aad: Array[Byte])
     extends UnaryExpression {
@@ -28,21 +31,21 @@ case class RecordDecryptExpr(child: Expression, key: Array[Byte], aad: Array[Byt
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires a BINARY argument, got ${child.dataType.catalogString}")
 
-  override def dataType: DataType = BinaryType
+  override def dataType: DataType = graft.log.EnvelopeCodec.structType
   override def nullable: Boolean = child.nullable
   override def prettyName: String = "record_decrypt"
 
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
     if (v == null) null
-    else graft.log.RecordCipher.decrypt(key, aad, v.asInstanceOf[Array[Byte]])
+    else graft.log.EnvelopeCodec.decryptToRow(key, aad, v.asInstanceOf[Array[Byte]])
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val keyRef = ctx.addReferenceObj("recKey", key, "byte[]")
     val aadRef = ctx.addReferenceObj("recAad", aad, "byte[]")
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.log.RecordCipher.decrypt($keyRef, $aadRef, $c);")
+      s"${ev.value} = graft.log.EnvelopeCodec.decryptToRow($keyRef, $aadRef, $c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -107,11 +107,16 @@ object DirectParquet {
         val g = factory.newGroup()
         g.add("seq_num", r.seqNum)
         g.add("timestamp", r.timestamp)
-        val headers = g.addGroup("headers")
-        r.headers.foreach { case (n, v) =>
-          val el = headers.addGroup("list").addGroup("element")
-          el.add("name", Binary.fromConstantByteArray(n))
-          el.add("value", Binary.fromConstantByteArray(v))
+        // headers == null (vs empty) marks an encrypted envelope whose
+        // headers are sealed inside the body (RecordCipher doc): skip
+        // the optional group so the stored column is NULL
+        if (r.headers != null) {
+          val headers = g.addGroup("headers")
+          r.headers.foreach { case (n, v) =>
+            val el = headers.addGroup("list").addGroup("element")
+            el.add("name", Binary.fromConstantByteArray(n))
+            el.add("value", Binary.fromConstantByteArray(v))
+          }
         }
         if (r.body != null) g.add("body", Binary.fromConstantByteArray(r.body))
         g.add("metered_size", r.meteredSize)

@@ -31,7 +31,7 @@ final case class CipherSpec(algo: CipherAlgo, key: Array[Byte]) {
     s"${algo.wireName} key must be ${RecordCipher.KeyLen} bytes, got ${key.length}")
 }
 
-/** A13 — per-record body encryption.
+/** A13 — per-record envelope encryption.
   *
   * Wire format follows the reference exactly
   * (storage/src/record/encryption.rs:1-29):
@@ -41,11 +41,24 @@ final case class CipherSpec(algo: CipherAlgo, key: Array[Byte]) {
   *   format 0x01 = AEGIS-256 v1 (32-byte nonce)
   *   format 0x02 = AES-256-GCM v1 (12-byte nonce)
   *
+  * The PLAINTEXT is the byte-for-byte EnvelopeRecord encoding —
+  * headers INCLUDED ([[EnvelopeCodec]]; encryption.rs:243-272
+  * encrypt_envelope_record) — so header names/values are never stored
+  * in clear on an encrypted basin. Command records stay plaintext,
+  * exactly like the reference (encryption.rs:211-213: Record::Command
+  * is always StoredRecord::Plaintext), which keeps command detection
+  * (R10 filters, trim/fence replay, read-limit planning) working on
+  * the stored form without key material. Stored shape on an encrypted
+  * basin: data rows have `headers = NULL` and `body = formatId ||
+  * nonce || ct(envelope encoding) || tag`; command rows keep the
+  * plaintext envelope form (one empty-name header).
+  *
   * The leading format byte identifies the full framing, so decrypt
   * dispatches per record and never needs out-of-band algorithm info —
   * only the 32-byte key. AAD = "basin\0stream" (the stream-id analog;
   * caller-supplied, not stored). Metered size is always the PLAINTEXT
-  * size (metering happens before encryption, encryption.rs:27-29).
+  * logical size (metering happens before encryption,
+  * encryption.rs:27-29).
   *
   * Cipher selection is per-basin config (`streamCipher`,
   * config.rs:323) combined with per-call key material via
@@ -114,6 +127,25 @@ object RecordCipher {
     }
   }
 
+  /** Encrypt one data envelope: the plaintext is the full wire-form
+    * EnvelopeRecord encoding (headers + body), never the body alone —
+    * encryption.rs:243-272. Null body encodes as empty (the
+    * reference's body is `Bytes`, never null).
+    */
+  def encryptEnvelope(spec: CipherSpec, aadBytes: Array[Byte],
+                      headers: Seq[(Array[Byte], Array[Byte])],
+                      body: Array[Byte]): Array[Byte] =
+    encrypt(spec, aadBytes, EnvelopeCodec.encode(headers, body))
+
+  /** Whether a stored row is the plaintext COMMAND envelope form (one
+    * empty-name header) — commands are never encrypted
+    * (encryption.rs:211-213), so this decides encrypt-vs-plaintext on
+    * write and decrypt-vs-passthrough on read.
+    */
+  def isCommandForm(headers: Seq[(Array[Byte], Array[Byte])]): Boolean =
+    headers != null && headers.size == 1 &&
+      (headers.head._1 == null || headers.head._1.isEmpty)
+
   /** Decrypt one record, dispatching on the leading format byte.
     * Throws on unknown format, short input, or tag mismatch — exactly
     * like the JCE AEADBadTagException path, so plan-level decryption
@@ -146,10 +178,22 @@ object RecordCipher {
     }
   }
 
-  /** Codegen'd decrypt for scans — per-record format-byte dispatch
-    * inside whole-stage codegen, both ciphers.
+  /** Codegen'd read-side decryption for scans — restores the logical
+    * (headers, body) columns from the stored form: encrypted data rows
+    * (stored `headers IS NULL`) decrypt + envelope-decode in-plan;
+    * plaintext command rows pass through untouched. Per-record
+    * format-byte dispatch, both ciphers, inside whole-stage codegen.
     */
-  def decryptColumn(body: Column, key: Array[Byte],
-                    basin: String, stream: String): Column =
-    graft.functions.GraftFunctions.record_decrypt(body, key, aad(basin, stream))
+  def decryptRecords(df: org.apache.spark.sql.DataFrame, key: Array[Byte],
+                     basin: String, stream: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, when}
+    val dec = graft.functions.GraftFunctions.record_decrypt(
+      col("body"), key, aad(basin, stream))
+    df.withColumn("_dec", when(col("headers").isNull, dec))
+      .withColumn("headers",
+        when(col("_dec").isNull, col("headers")).otherwise(col("_dec")("headers")))
+      .withColumn("body",
+        when(col("_dec").isNull, col("body")).otherwise(col("_dec")("body")))
+      .drop("_dec")
+  }
 }

@@ -73,15 +73,19 @@ object StreamStore {
       val plain = if (r.isNullAt(5)) null else r.getAs[Array[Byte]](5)
       // A13: encrypt AFTER metering — metered_size (column 6) was
       // computed on the plaintext body upstream, same contract as the
-      // unary path (encryption.rs:27-29)
-      val body = spec match {
-        case Some(sp) =>
-          RecordCipher.encrypt(sp, aad,
-            if (plain == null) Array.emptyByteArray else plain)
-        case None => plain
+      // unary path (encryption.rs:27-29). Commands stay plaintext;
+      // data envelopes seal their full wire encoding (headers
+      // included) under headers=NULL — identical stored shape to the
+      // unary path.
+      spec match {
+        case Some(sp) if !RecordCipher.isCommandForm(headers) =>
+          DirectParquet.Rec(r.getLong(2), r.getLong(3), null,
+            RecordCipher.encryptEnvelope(sp, aad, headers, plain),
+            r.getLong(6))
+        case _ =>
+          DirectParquet.Rec(r.getLong(2), r.getLong(3), headers, plain,
+            r.getLong(6))
       }
-      DirectParquet.Rec(r.getLong(2), r.getLong(3), headers, body,
-        r.getLong(6))
     }
     while (it.hasNext) {
       val b = it.head.getString(0)
@@ -565,14 +569,20 @@ final class StreamStore(val spark: SparkSession, val root: String) {
           case e: EnvelopeRecord => e
           case c: CommandRecord => c.toEnvelopeForm
         }
-        // A13: encrypt AFTER metering (metered size = plaintext size)
-        val body = cipherSpec match {
-          case Some(spec) =>
-            RecordCipher.encrypt(spec, RecordCipher.aad(basin, stream), env.body)
-          case None => env.body
+        val hs = env.headers.map(h => (h.name, h.value))
+        // A13: encrypt AFTER metering (metered size = plaintext size).
+        // Commands stay plaintext (encryption.rs:211-213); data
+        // envelopes encrypt their FULL wire encoding, headers included
+        // (encryption.rs:243-272), stored as headers=NULL + sealed body.
+        cipherSpec match {
+          case Some(spec) if !RecordCipher.isCommandForm(hs) =>
+            DirectParquet.Rec(seq, t, null,
+              RecordCipher.encryptEnvelope(spec,
+                RecordCipher.aad(basin, stream), hs, env.body),
+              rec.meteredSize)
+          case _ =>
+            DirectParquet.Rec(seq, t, hs, env.body, rec.meteredSize)
         }
-        DirectParquet.Rec(seq, t,
-          env.headers.map(h => (h.name, h.value)), body, rec.meteredSize)
       }
       // driver-direct write to LOCAL staging, then one atomic
       // whole-object publish into the generation dir: on POSIX a
@@ -1096,15 +1106,18 @@ final class StreamStore(val spark: SparkSession, val root: String) {
     retCutoff.foreach(rc => df = df.where(col("timestamp") >= rc))
     spec.end.until.foreach(u => df = df.where(col("timestamp") < u))
     if (ignoreCommands)
-      df = df.where(!(size(col("headers")) === 1 &&
+      // NULL headers = an encrypted data envelope (never a command —
+      // commands are stored plaintext, encryption.rs:211-213); the
+      // null-safe guard keeps those rows
+      df = df.where(col("headers").isNull || !(size(col("headers")) === 1 &&
         octet_length(col("headers")(0)("name")) === 0))
     // A13 read-side decryption as a codegen'd plan column (the
     // reference decrypts in the session loop, read.rs:74-91; the Spark
     // analog is record_decrypt inside the scan — per-record format-byte
-    // dispatch across both ciphers — not a driver loop)
+    // dispatch across both ciphers — not a driver loop): restores the
+    // logical (headers, body) from the sealed envelope encoding
     cipherSpec.foreach { s =>
-      df = df.withColumn("body",
-        RecordCipher.decryptColumn(col("body"), s.key, basin, stream))
+      df = RecordCipher.decryptRecords(df, s.key, basin, stream)
     }
     var out = df.orderBy("seq_num")
     // the budget walk above already bounds rows; clamp so a count above

@@ -54,7 +54,8 @@ object Follow {
       reader = reader.option("maxBytesPerTrigger", n))
     var df = reader.load()
     if (ignoreCommands)
-      df = df.where(!(size(col("headers")) === 1 &&
+      // null-safe: NULL headers = encrypted data envelope, never a command
+      df = df.where(col("headers").isNull || !(size(col("headers")) === 1 &&
         octet_length(col("headers")(0)("name")) === 0))
     df
   }

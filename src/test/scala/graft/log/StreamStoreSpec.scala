@@ -597,8 +597,14 @@ class StreamStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       // reference's format id (encryption.rs:9-12)
       assert(!java.util.Arrays.equals(stored, "secret-payload".getBytes))
       assert(stored(0) == algo.formatId)
+      // ciphertext length = the sealed ENVELOPE encoding (1 flag byte
+      // + body for a headerless record — headers are encrypted too,
+      // encryption.rs:243-272), not the bare body
       assert(stored.length ==
-        1 + algo.nonceLen + "secret-payload".length + RecordCipher.TagLen)
+        1 + algo.nonceLen + (1 + "secret-payload".length) + RecordCipher.TagLen)
+      // the stored headers column is NULL: nothing about the record's
+      // headers is visible in cleartext
+      assert(raw.head.isNullAt(2))
       // metered size is the PLAINTEXT size (8 + 14)
       assert(raw.head.getLong(4) == 22)
       // decrypting read returns the plaintext
@@ -608,13 +614,41 @@ class StreamStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       // wrong key fails authentication
       assertThrows[Exception](st.readBatch(basin, "enc",
         ReadSpec(ReadStart(ReadFrom.SeqNum(0))), cipher = Some(wrong)).toOption.get)
-      // codegen'd column decrypt recovers plaintext for both formats
-      val viaCol = st.visible(basin, "enc")
-        .select(RecordCipher.decryptColumn(
-          org.apache.spark.sql.functions.col("body"), key, basin, "enc")
-          .cast("string")).first().getString(0)
+      // codegen'd plan-level decrypt recovers plaintext for both formats
+      val viaCol = RecordCipher.decryptRecords(
+        st.visible(basin, "enc"), key, basin, "enc")
+        .select(org.apache.spark.sql.functions.col("body").cast("string"))
+        .first().getString(0)
       assert(viaCol == "secret-payload")
     }
+    // headers are sealed INSIDE the ciphertext (full-envelope
+    // encryption, encryption.rs:243-272): nothing header-shaped in
+    // storage, originals restored by a decrypting read — and commands
+    // stay plaintext so fence/trim replay and R10 need no key
+    st.catalog.createStream("enc-aegis-basin", "hdrs")
+    st.append("enc-aegis-basin", "hdrs", AppendInput(Seq(
+      env("with-headers", "content-type" -> "text/plain", "k" -> "v"),
+      FenceCommand("tok-1"))), Some(1000000L), Some(key))
+      .fold(e => fail(e.toString), identity)
+    val hraw = st.visible("enc-aegis-basin", "hdrs").orderBy("seq_num").collect()
+    assert(hraw(0).isNullAt(2), "encrypted data row leaked a headers column")
+    assert(!new String(hraw(0).getAs[Array[Byte]](3)).contains("content-type"))
+    val cmdHs = hraw(1).getSeq[org.apache.spark.sql.Row](2)
+    assert(cmdHs.size == 1 && cmdHs.head.getAs[Array[Byte]](0).isEmpty,
+      "command row must stay plaintext envelope form")
+    assert(new String(hraw(1).getAs[Array[Byte]](3), "UTF-8") == "tok-1")
+    val hdec = st.readBatch("enc-aegis-basin", "hdrs",
+      ReadSpec(ReadStart(ReadFrom.SeqNum(0))), cipher = Some(key)).toOption.get
+    assert(hdec.head.headers.map(h =>
+      (new String(h.name), new String(h.value))) ==
+      Seq("content-type" -> "text/plain", "k" -> "v"))
+    assert(new String(hdec.head.body) == "with-headers")
+    // R10 command filtering works WITHOUT key material (stored form)
+    val noCmd = st.readBatch("enc-aegis-basin", "hdrs",
+      ReadSpec(ReadStart(ReadFrom.SeqNum(0))), ignoreCommands = true,
+      cipher = Some(key)).toOption.get
+    assert(noCmd.map(_.seqNum) == Seq(0L))
+
     // resolution rules (encryption.rs EncryptionSpec::resolve):
     // key WITHOUT a configured cipher -> plaintext storage, key ignored
     st.catalog.createStream("test-basin", "enc-plain")

@@ -78,9 +78,9 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val stream = spark.readStream.format("graft-stream")
       .option("root", dir).option("basin", "enc-src-basin").option("stream", "s")
       .load()
-      .withColumn("body", graft.log.RecordCipher.decryptColumn(
-        col("body"), key, "enc-src-basin", "s"))
-    val q = stream.writeStream.format("memory").queryName("gsrcenc")
+    val decrypted = graft.log.RecordCipher.decryptRecords(
+      stream, key, "enc-src-basin", "s")
+    val q = decrypted.writeStream.format("memory").queryName("gsrcenc")
       .option("checkpointLocation", s"$dir/_ckpt")
       .outputMode("append").start()
     try {
