@@ -35,6 +35,17 @@ case class RecordDecryptExpr(child: Expression, key: Array[Byte], aad: Array[Byt
   override def nullable: Boolean = child.nullable
   override def prettyName: String = "record_decrypt"
 
+  /** Deliberately non-deterministic-flagged (the function IS pure):
+    * Catalyst inlines deterministic aliases into pushed-down predicates
+    * and collapsed projects, so a query touching both restored columns
+    * re-ran the cipher up to 4x per record (measured by
+    * EnvelopeCodec.decryptCalls; pinned in RecordDecryptPlanSpec). The
+    * flag pins the decrypt into ONE project node — predicates on
+    * pass-through columns (seq_num, timestamp) still push to the scan
+    * below it, which is where the read path applies them anyway.
+    */
+  override lazy val deterministic: Boolean = false
+
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
     if (v == null) null

@@ -136,6 +136,13 @@ object EnvelopeCodec {
     (headers.toSeq, java.util.Arrays.copyOfRange(enc, at, enc.length))
   }
 
+  /** Decrypt invocation counter (LongAdder: uncontended executor-side
+    * increments) — lets specs and probes pin "ONE decrypt per record":
+    * a plan that inlines the decrypt struct into both the headers and
+    * body projections would silently double cipher cost at 100 TB.
+    */
+  val decryptCalls = new java.util.concurrent.atomic.LongAdder
+
   /** Decrypt one stored encrypted-envelope record and decode it to the
     * Spark struct row (headers, body) — static-shaped so the codegen'd
     * read-plan expression calls it directly (one decrypt + decode per
@@ -143,6 +150,7 @@ object EnvelopeCodec {
     */
   def decryptToRow(key: Array[Byte], aad: Array[Byte],
                    enc: Array[Byte]): InternalRow = {
+    decryptCalls.increment()
     val plain = RecordCipher.decrypt(key, aad, enc)
     val (headers, body) = decode(plain)
     val arr = new Array[Any](headers.size)

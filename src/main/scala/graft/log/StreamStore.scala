@@ -1111,19 +1111,24 @@ final class StreamStore(val spark: SparkSession, val root: String) {
       // null-safe guard keeps those rows
       df = df.where(col("headers").isNull || !(size(col("headers")) === 1 &&
         octet_length(col("headers")(0)("name")) === 0))
-    // A13 read-side decryption as a codegen'd plan column (the
-    // reference decrypts in the session loop, read.rs:74-91; the Spark
-    // analog is record_decrypt inside the scan — per-record format-byte
-    // dispatch across both ciphers — not a driver loop): restores the
-    // logical (headers, body) from the sealed envelope encoding
-    cipherSpec.foreach { s =>
-      df = RecordCipher.decryptRecords(df, s.key, basin, stream)
-    }
     var out = df.orderBy("seq_num")
     // the budget walk above already bounds rows; clamp so a count above
     // 2^31 can't overflow into a negative limit
     spec.end.limit.count.foreach(c =>
       out = out.limit(math.min(c, Int.MaxValue.toLong).toInt))
+    // A13 read-side decryption as a codegen'd plan expression (the
+    // reference decrypts in the session loop, read.rs:74-91; the Spark
+    // analog is record_decrypt inside the plan — per-record format-byte
+    // dispatch across both ciphers — never a driver loop): restores the
+    // logical (headers, body) from the sealed envelope encoding.
+    // Applied ABOVE the sort + count limit deliberately: the sort's
+    // range exchange SAMPLES its child to pick partition bounds, so a
+    // decrypt below it would run the cipher twice per record (pinned
+    // in RecordDecryptPlanSpec), and a count-limited read should only
+    // pay the cipher for rows that survive the limit.
+    cipherSpec.foreach { s =>
+      out = RecordCipher.decryptRecords(out, s.key, basin, stream)
+    }
     Right(out)
   }
 
