@@ -473,8 +473,14 @@ object PipelineOps {
     * count, plus every single char for coverage), the round-1
     * segmentation, and EM-recounted frequencies. Returns
     * (piece, freq0, freq1) with freq1 = 0 for unused seeds. */
-  private def uniTrained(s: SparkSession, d: String): DataFrame = {
-    val words = uniWords(s, d).localCheckpoint()
+  private def uniTrained(s: SparkSession, d: String): DataFrame =
+    uniTrainFromWords(uniWords(s, d).localCheckpoint())
+
+  /** Training core over an explicit (w, freq) table — separated so
+    * UnigramLearnSpec can pin it against a sequential reference
+    * implementation on fixture vocabularies (the BpeLearnSpec
+    * pattern). */
+  private[graft] def uniTrainFromWords(words: DataFrame): DataFrame = {
     val pieces = words
       .select(col("freq"), explode(expr(uniEdgesExpr)).as("e"))
       .groupBy(col("e.piece").as("piece"))
