@@ -291,22 +291,7 @@ final class ObjectStoreBackend extends StorageBackend {
     * not-yet-existing) leaf remainder is appended lexically, exactly
     * like canonicalRoot's fallback.
     */
-  private def norm(p: Path): String = {
-    val abs = p.toAbsolutePath
-    try abs.toRealPath().toString
-    catch {
-      case _: java.io.IOException =>
-        val n = abs.normalize
-        var existing = n.getParent
-        while (existing != null && !Files.exists(existing))
-          existing = existing.getParent
-        if (existing == null) n.toString
-        else {
-          val real = existing.toRealPath()
-          real.resolve(existing.relativize(n)).toString
-        }
-    }
-  }
+  private def norm(p: Path): String = ObjectKeys.norm(p)
 
   /** `fresh` is accepted for interface parity but IGNORED: both paths
     * serve the single authoritative in-memory map — there is no cache

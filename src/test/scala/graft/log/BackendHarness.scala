@@ -37,7 +37,11 @@ sealed trait BackendHarness {
 }
 
 object BackendHarness {
-  val all: Seq[BackendHarness] = Seq(PosixHarness, ObjectHarness)
+  val all: Seq[BackendHarness] = Seq(PosixHarness, ObjectHarness, HttpHarness)
+
+  /** One shared localhost object server per test JVM (keys are
+    * canonical absolute paths, so a single server serves every root). */
+  lazy val sharedHttpEndpoint: String = HttpObjectServer.start()._2
 
   object PosixHarness extends BackendHarness {
     val label = "posix"
@@ -70,6 +74,37 @@ object BackendHarness {
     }
     private def backend(root: String): ObjectStoreBackend =
       StorageBackend.forRoot(root).asInstanceOf[ObjectStoreBackend]
+    def restoreDead(root: String, dir: Path, name: String,
+                    bytes: Array[Byte]): Unit =
+      backend(root).putDataBytes(dir.resolve(name), bytes)
+    def listData(root: String, dir: Path): Set[String] =
+      backend(root).listData(dir).map(_.getFileName.toString).toSet
+    def fabricate(root: String, dir: Path, recs: Seq[DirectParquet.Rec]): Unit = {
+      val scratch = Files.createTempDirectory("graft-fab")
+      val f = java.nio.file.Paths.get(
+        DirectParquet.writeBatch(scratch.toString, recs))
+      backend(root).putData(f, dir.resolve(f.getFileName))
+    }
+    def dataExists(root: String, dir: Path): Boolean =
+      backend(root).dataExists(dir)
+  }
+
+  /** Real-endpoint variant: same S3 semantics as ObjectHarness but
+    * every protocol operation is an actual HTTP round trip to
+    * [[sharedHttpEndpoint]] — request/response boundaries, encoding,
+    * and server-side CAS atomicity are all exercised for real (the
+    * reference's object_store_http analog). Cross-PROCESS coverage on
+    * the same server is HttpCrossProcessSpec. */
+  object HttpHarness extends BackendHarness {
+    val label = "http"
+    val supportsTorn = false
+    def freshRoot(prefix: String): String = {
+      val root = Files.createTempDirectory(prefix).toString
+      HttpObjectBackend.install(root, sharedHttpEndpoint)
+      root
+    }
+    private def backend(root: String): HttpObjectBackend =
+      StorageBackend.forRoot(root).asInstanceOf[HttpObjectBackend]
     def restoreDead(root: String, dir: Path, name: String,
                     bytes: Array[Byte]): Unit =
       backend(root).putDataBytes(dir.resolve(name), bytes)
