@@ -46,6 +46,20 @@ object ScaleTrend {
     "emb_pca_loadings",
     "text_token_count")
 
+  /** Training fan-outs — the next most plausible superlinear class
+    * after bucketed dedup (VERDICT r14 #5): Lloyd-round assignment
+    * joins (corpus x centroids) and tokenizer-training passes whose
+    * DP/EM tables must stay DISTINCT-word-sized (Heaps-sublinear),
+    * never corpus-sized. A broken broadcast hint or a segmentation
+    * accidentally applied per-document instead of per-distinct-word
+    * shows up here as an exponent jump before it costs real money.
+    */
+  val TrainingFanout: Seq[String] = Seq(
+    "ann_pq_learned",
+    "ann_ivf_kmeans",
+    "tok_unigram_train",
+    "tok_unigram_fertility")
+
   final case class Trend(name: String, cpuSec: Seq[Double],
                          wallSec: Seq[Double]) {
     /** Exponent per decade: cpu(i+1)/cpu(i) in log10. */
@@ -92,7 +106,8 @@ object ScaleTrend {
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
     val root = sys.env.getOrElse("GRAFT_TESTDATA", "/root/testdata")
-    val names = if (args.nonEmpty) args.toSeq else DedupBucketed ++ HotExtras
+    val names = if (args.nonEmpty) args.toSeq
+                else DedupBucketed ++ HotExtras ++ TrainingFanout
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
