@@ -360,6 +360,24 @@ final class Catalog(root: String) {
     * foreign-driver interleaving that forces the CAS-rebase path. */
   private[log] var beforeCatalogCas: () => Unit = () => ()
 
+  /** objectParseCache growth bound (the POSIX parseCache has the same
+    * discipline in Catalog.purgeDeadEntries): long-lived drivers that
+    * create and delete many streams/basins would otherwise accumulate
+    * dead-key parses forever. Same cadence (every 1024 saves, only
+    * past 4096 entries), scoped to THIS root's prefix so one catalog
+    * never evicts another root's live entries, and keyed on backend
+    * absence — the authoritative "this document no longer exists". */
+  private val objSavesSincePurge = new java.util.concurrent.atomic.AtomicLong
+  private def purgeObjCache(): Unit = {
+    if (objSavesSincePurge.incrementAndGet() % 1024 == 0 && objCache.size > 4096) {
+      val prefix = canonRoot + "/"
+      objCache.keys.foreach { k =>
+        if (k.startsWith(prefix) && backend.getMeta(k, fresh = false).isEmpty)
+          objCache.remove(k)
+      }
+    }
+  }
+
   private def mutateDoc[A <: AnyRef: Manifest, R](path: java.nio.file.Path,
                                                   default: => A)
       (f: A => (Option[A], R)): R = {
@@ -382,7 +400,8 @@ final class Catalog(root: String) {
         case Some(doc) =>
           beforeCatalogCas()
           backend.casMeta(key, Layout.toJsonString(doc), cur.map(_._2)) match {
-            case Right(tag) => objCache.put(key, (tag, doc)); return r
+            case Right(tag) =>
+              objCache.put(key, (tag, doc)); purgeObjCache(); return r
             case Left(_) => attempts += 1 // foreign commit won; rebase
           }
       }

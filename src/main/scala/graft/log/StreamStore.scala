@@ -818,8 +818,9 @@ final class StreamStore(val spark: SparkSession, val root: String) {
     // streams per batch. The work is driver-side filesystem IO
     // (manifest read + data move + manifest CAS), not CPU, so the
     // pool oversubscribes cores deliberately; 48 measured ~1.6x
-    // faster than 16 on the 10k-stream bench phase.
-    val commitPar = math.min(32, runSeq.size)
+    // faster than 16 on the 10k-stream bench phase (cap matches that
+    // measurement).
+    val commitPar = math.min(48, runSeq.size)
     try parallelMap(runSeq.keys.toSeq, commitPar) { case k @ (b, s) =>
       val m = tails(k)
       val committed = withStreamLock(b, s) {
