@@ -189,8 +189,12 @@ object HttpObjectServer {
 
     // a small pool: the commit protocol issues short blocking calls
     // from many driver threads (the 10k-stream ingest commits on a
-    // 32-thread pool)
-    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(16))
+    // 32-thread pool). DAEMON threads: HttpServer.stop() does not
+    // shut the executor down, and a non-daemon pool would pin the
+    // JVM open after the last demo/test finishes (observed: Verify
+    // hanging at exit after e2e_http_object).
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(16,
+      r => { val t = new Thread(r, "http-object-server"); t.setDaemon(true); t }))
     server.start()
     (server, s"http://127.0.0.1:${server.getAddress.getPort}")
   }
