@@ -414,6 +414,61 @@ object Bench {
       s""""cp10k_streams":0,"cp10k_error":${jsonStr(msg)}"""
     }
 
+    // ---- control plane over a REAL HTTP endpoint: the same flow at
+    // 2k streams through HttpObjectServer, so the artifact carries the
+    // protocol-round-trip overhead of the deployment-shaped adapter
+    // (every create/list/commit/check_tail is an actual HTTP request,
+    // conditional puts decided server-side) next to the POSIX numbers.
+    val httpControlPlaneJson: String = try {
+      val (server, endpoint) = graft.log.HttpObjectServer.start()
+      try {
+        val rootH = java.nio.file.Files.createTempDirectory("graft-benchhttp").toString
+        graft.log.HttpObjectBackend.install(rootH, endpoint)
+        val storeH = new StreamStore(spark, rootH)
+        storeH.catalog.createBasin("bench-basin",
+          BasinConfig(defaultStreamConfig =
+            StreamConfig(retentionPolicy = Some(RetentionPolicy.Infinite))))
+        val nH = 2000
+        val namesH = (0 until nH).map(i => f"hp-$i%05d")
+        val tC0 = System.nanoTime()
+        storeH.catalog.createStreams("bench-basin", namesH)
+        val hCreateSec = (System.nanoTime() - tC0) / 1e9
+        val tL0 = System.nanoTime()
+        var afterH = ""; var listedH = 0; var moreH = true
+        while (moreH) {
+          val p = storeH.catalog.listStreams("bench-basin",
+            startAfter = afterH, limit = 1000)
+          listedH += p.items.size
+          afterH = p.items.last.name
+          moreH = p.hasMore
+        }
+        val hListSec = (System.nanoTime() - tL0) / 1e9
+        val hDf = spark.range(nH).select(
+          lit("bench-basin").as("basin"),
+          concat(lit("hp-"), format_string("%05d", col("id"))).as("stream"),
+          (lit(1700000000000L) + col("id")).as("ts_client"),
+          expr("CAST(NULL AS ARRAY<STRUCT<name: BINARY, value: BINARY>>)").as("headers"),
+          expr("CAST(md5(CAST(id AS STRING)) AS BINARY)").as("body"),
+          col("id").as("arrival"))
+        val tI0 = System.nanoTime()
+        storeH.ingest(hDf)
+        val hIngestSec = (System.nanoTime() - tI0) / 1e9
+        val sampleH = (0 until 200).map(i => namesH(i * 10 % nH))
+        val tailsH = sampleH.map { s =>
+          val t0 = System.nanoTime()
+          val t = storeH.checkTail("bench-basin", s)
+          ((System.nanoTime() - t0) / 1e6, t.seqNum)
+        }
+        require(tailsH.forall(_._2 == 1L), "http-endpoint ingest lost a record")
+        val latH = tailsH.map(_._1).sorted
+        f""""cphttp_streams":$listedH,"cphttp_create_sec":$hCreateSec%.3f,"cphttp_list_pages_sec":$hListSec%.3f,"cphttp_ingest_sec":$hIngestSec%.3f,"cphttp_checktail_p50_ms":${pct(latH, 0.50)}%.2f,"cphttp_checktail_p99_ms":${pct(latH, 0.99)}%.2f"""
+      } finally server.stop(0)
+    } catch { case e: Throwable =>
+      val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(160)}"
+      System.err.println(s"bench http control-plane phase failed: $msg")
+      s""""cphttp_streams":0,"cphttp_error":${jsonStr(msg)}"""
+    }
+
     val qs = results.map { case (k, (w, _)) => "\"" + k + f"\":$w%.3f" }
       .mkString("{", ",", "}")
     val qsCpu = results.map { case (k, (_, c)) => "\"" + k + f"\":$c%.3f" }
@@ -440,7 +495,7 @@ object Bench {
     val qsNorm = results.map { case (k, (w, _)) =>
       "\"" + k + f"\":${w * normFactor}%.3f" }.mkString("{", ",", "}")
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing":"median-of-3","total_cpu_sec":$totalCpu%.3f,"cpu_calib_sec":$calib%.4f,"par_calib_sec":$parCalib%.4f,"calib_norm_factor":$normFactor%.4f,"queries":$qs,"queries_norm":$qsNorm,"queries_cpu_sec":$qsCpu$errJson,"sf":"$sfDir",$workloadJson,$controlPlaneJson}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing":"median-of-3","total_cpu_sec":$totalCpu%.3f,"cpu_calib_sec":$calib%.4f,"par_calib_sec":$parCalib%.4f,"calib_norm_factor":$normFactor%.4f,"queries":$qs,"queries_norm":$qsNorm,"queries_cpu_sec":$qsCpu$errJson,"sf":"$sfDir",$workloadJson,$controlPlaneJson,$httpControlPlaneJson}"""
     // The driver captures only the LAST ~2000 chars of stdout, which
     // cannot hold a 186-query map (r11's artifact carried only the
     // alphabetic tail of one map). Persist the full line to a file, and
@@ -454,7 +509,7 @@ object Bench {
     catch { case _: java.io.IOException => () } // bench output must not fail on an unwritable cwd
     println(json)
     val summary =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing":"median-of-3","n_queries":${results.size},"n_query_errors":${queryErrors.size},"total_cpu_sec":$totalCpu%.3f,"cpu_calib_sec":$calib%.4f,"par_calib_sec":$parCalib%.4f,"calib_norm_factor":$normFactor%.4f,"queries_in":"BENCH_local.json","sf":"$sfDir",$workloadJson,$controlPlaneJson}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing":"median-of-3","n_queries":${results.size},"n_query_errors":${queryErrors.size},"total_cpu_sec":$totalCpu%.3f,"cpu_calib_sec":$calib%.4f,"par_calib_sec":$parCalib%.4f,"calib_norm_factor":$normFactor%.4f,"queries_in":"BENCH_local.json","sf":"$sfDir",$workloadJson,$controlPlaneJson,$httpControlPlaneJson}"""
     println(summary)
     spark.stop()
   }
