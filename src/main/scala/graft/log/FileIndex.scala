@@ -46,6 +46,14 @@ object FileIndex {
 
   private val statsCache = TrieMap[String, FileStats]()
 
+  /** One shared Hadoop Configuration: construction costs ~5 ms and
+    * synchronizes on a class-global resource parse — a per-call
+    * `new Configuration()` serialized the 10k-stream commit's footer
+    * validation (measured: cp10k ingest 6 s -> 21 s when
+    * selectStagedFiles started statting every staged file). The
+    * object is read-only here, safe to share across threads. */
+  private val sharedConf = new Configuration()
+
   /** Exact per-file aggregates for limit planning (computed by one
     * projected scan per immutable file, ever). */
   final case class FileSums(metered: Long, cmdMetered: Long, cmdRows: Long)
@@ -85,6 +93,15 @@ object FileIndex {
     * the tail magic is present; None = the tail could not be read
     * (undetermined — callers must NOT treat the file as torn).
     */
+  /** Cheap whole-file sanity for the staged-commit gate: Some(true) =
+    * parquet tail magic intact; Some(false) = provably torn; None =
+    * undetermined (callers should fall back to the authoritative
+    * footer read). One 4-byte positioned read — no parquet parse, no
+    * Hadoop FileSystem (whose cache lock serialized 10k concurrent
+    * footer opens in the commit pool). */
+  private[log] def tailIntact(path: String): Option[Boolean] =
+    tornTail(path).map(torn => !torn)
+
   private def tornTail(path: String): Option[Boolean] = {
     val p = Paths.get(path)
     try {
@@ -110,7 +127,7 @@ object FileIndex {
   }
 
   def stats(path: String): FileStats = statsCache.getOrElseUpdate(path, {
-    val in = HadoopInputFile.fromPath(new Path(path), new Configuration())
+    val in = HadoopInputFile.fromPath(new Path(path), sharedConf)
     val reader = ParquetFileReader.open(in)
     try {
       val blocks = reader.getFooter.getBlocks.asScala
@@ -200,7 +217,9 @@ object FileIndex {
     * the planning columns (+ headers, needed for command detection).
     */
   def scanRows(path: String)(f: RowLite => Boolean): Unit = {
-    val conf = new Configuration()
+    // copy-constructor: this scan SETS the projection key, so it needs
+    // its own instance, but copying skips the global resource parse
+    val conf = new Configuration(sharedConf)
     val fileSchema = {
       val in = HadoopInputFile.fromPath(new Path(path), conf)
       val r = ParquetFileReader.open(in)
