@@ -71,7 +71,12 @@ final case class CipherSpec(algo: CipherAlgo, key: Array[Byte]) {
   */
 object RecordCipher {
 
-  private val rnd = new SecureRandom()
+  // per-thread: SecureRandom is internally locked, and a 32-thread
+  // executor encrypting a record-per-call nonce convoys on that one
+  // lock (32-byte AEGIS nonces, one per record, from every task)
+  private val rnd = new ThreadLocal[SecureRandom] {
+    override def initialValue(): SecureRandom = new SecureRandom()
+  }
   val KeyLen = 32
   val TagLen = 16
 
@@ -103,7 +108,7 @@ object RecordCipher {
   def encrypt(spec: CipherSpec, aadBytes: Array[Byte],
               plain: Array[Byte]): Array[Byte] = {
     val nonce = new Array[Byte](spec.algo.nonceLen)
-    rnd.nextBytes(nonce)
+    rnd.get().nextBytes(nonce)
     spec.algo match {
       case CipherAlgo.Aes256Gcm =>
         val c = gcm.get()

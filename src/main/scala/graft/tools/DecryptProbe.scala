@@ -25,14 +25,26 @@ object DecryptProbe {
       streamCipher = Some(CipherAlgo.Aegis256)))
     (0 until 8).foreach(i => st.catalog.createStream("probe-basin", s"s$i"))
     import spark.implicits._
-    val n = 64000
+    val n = 256000
     val payload = "x" * 1016
     val df = (0 until n).map(i => ("probe-basin", s"s${i % 8}", 1000L + i, payload))
       .toDF("basin", "stream", "ts_client", "bs")
       .selectExpr("basin", "stream", "ts_client",
         "CAST(NULL AS ARRAY<STRUCT<name: BINARY, value: BINARY>>) AS headers",
         "CAST(bs AS BINARY) AS body", "CAST(ts_client AS BIGINT) AS arrival")
+    // plain-ingest control (separate store, same df) to attribute the
+    // enc-vs-plain delta with warm JIT
+    val rootP = java.nio.file.Files.createTempDirectory("dec-probe-plain").toString
+    val stP = new StreamStore(spark, rootP)
+    stP.catalog.createBasin("probe-basin", BasinConfig(
+      defaultStreamConfig = StreamConfig(retentionPolicy = Some(RetentionPolicy.Infinite))))
+    (0 until 8).foreach(i => stP.catalog.createStream("probe-basin", s"s$i"))
+    val tP = System.nanoTime()
+    stP.ingest(df)
+    println(f"plain ingest: ${n * 1024 / 1048576.0 / ((System.nanoTime() - tP) / 1e9)}%.1f MiB/s")
+    val tI = System.nanoTime()
     st.ingest(df, cipher = Some(key))
+    println(f"enc ingest: ${n * 1024 / 1048576.0 / ((System.nanoTime() - tI) / 1e9)}%.1f MiB/s")
     val bytes = n.toLong * 1024
     def read() = (0 until 8).map(i =>
       RecordCipher.decryptRecords(st.visible("probe-basin", s"s$i"), key, "probe-basin", s"s$i"))
