@@ -321,11 +321,11 @@ object Bench {
       .agg(sum("metered_size")).first().getLong(0)
     val append1kEncMibps = encBytes / 1048576.0 / encSec
     val tEncR0 = System.nanoTime()
-    val decDf = (0 until 8).map { i =>
-      graft.log.RecordCipher.decryptRecords(
-        store3.visible("bench-basin", s"s$i"), encKey, "bench-basin", s"s$i")
-        .withColumn("stream", lit(s"s$i"))
-    }.reduce(_ unionByName _)
+    // basin-wide decrypting catch-up: ONE scan with a per-row AAD
+    // derived from the stream column — the same plan shape as the
+    // plaintext read above (never one union branch per stream)
+    val decDf = graft.log.RecordCipher.decryptBasin(
+      store3.visibleBasin("bench-basin"), encKey, "bench-basin")
     val gotEnc = streamChains(decDf, "seq_num")
     val read1kEncSec = (System.nanoTime() - tEncR0) / 1e9
     val read1kEncMibps = encBytes / 1048576.0 / read1kEncSec

@@ -111,7 +111,15 @@ object GraftFunctions {
     * format-byte-dispatched AEAD decryption (A13 read path).
     */
   def record_decrypt(body: Column, key: Array[Byte], aad: Array[Byte]): Column =
-    Bridge.column(RecordDecryptExpr(Bridge.expression(body), key, aad))
+    record_decrypt(body, key, org.apache.spark.sql.functions.lit(aad))
+
+  /** Column API with a per-row AAD column (basin-wide decrypting scan:
+    * the AAD derives from the `stream` column, so one project decrypts
+    * every stream — never one plan branch per stream).
+    */
+  def record_decrypt(body: Column, key: Array[Byte], aad: Column): Column =
+    Bridge.column(RecordDecryptExpr(
+      Bridge.expression(body), Bridge.expression(aad), key))
 
   /** SQL registration: SELECT metered_size(headers, body),
     * cosine_sim(va, vb), int_dot(qa, qb) ...

@@ -190,10 +190,34 @@ object RecordCipher {
     * format-byte dispatch, both ciphers, inside whole-stage codegen.
     */
   def decryptRecords(df: org.apache.spark.sql.DataFrame, key: Array[Byte],
-                     basin: String, stream: String): org.apache.spark.sql.DataFrame = {
+                     basin: String, stream: String): org.apache.spark.sql.DataFrame =
+    decryptWithAad(df,
+      org.apache.spark.sql.functions.lit(aad(basin, stream)), key)
+
+  /** Basin-wide decrypting scan: derives each record's AAD from its
+    * `stream` column, so decrypting an N-stream basin is ONE plan
+    * (scan → single decrypt project) — never N unioned per-stream
+    * branches. At 10k streams the union shape is a driver-side plan
+    * explosion; this one is the same plan at any stream count. The
+    * input df must carry the unescaped `stream` column
+    * (StreamStore.visibleBasin provides it).
+    */
+  def decryptBasin(df: org.apache.spark.sql.DataFrame, key: Array[Byte],
+                   basin: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    // aad(basin, stream) = UTF-8(basin) ++ 0x00 ++ UTF-8(stream):
+    // binary concat of the constant prefix with the UTF-8 cast of the
+    // per-row stream name reproduces it exactly.
+    val aadCol = concat(lit(aad(basin, "")), col("stream").cast("binary"))
+    decryptWithAad(df, aadCol, key)
+  }
+
+  private def decryptWithAad(df: org.apache.spark.sql.DataFrame,
+                             aadCol: org.apache.spark.sql.Column,
+                             key: Array[Byte]): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, when}
     val dec = graft.functions.GraftFunctions.record_decrypt(
-      col("body"), key, aad(basin, stream))
+      col("body"), key, aadCol)
     df.withColumn("_dec", when(col("headers").isNull, dec))
       .withColumn("headers",
         when(col("_dec").isNull, col("headers")).otherwise(col("_dec")("headers")))

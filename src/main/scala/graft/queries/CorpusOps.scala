@@ -32,7 +32,7 @@ import org.apache.spark.sql.types._
   */
 object CorpusOps {
 
-  import TextOps.docs
+  import TextOps.{docs, md5s}
 
   /** mm12's image corpus — 160 quadratic-pattern BMPs (40 clusters x 4
     * brightness regrades) decoded to per-image dHashes — shared with
@@ -412,6 +412,124 @@ object CorpusOps {
         |LEFT JOIN top2 USING (doc_id)
         |LEFT JOIN dup3 USING (doc_id)
         |ORDER BY doc_id""".stripMargin)),
+
+    // C4-style cleanup rules (Raffel et al. 2020, §2.2 "Colossal Clean
+    // Crawled Corpus"): LINE-level — keep only lines that end in
+    // terminal punctuation, have >= 3 words (C4 uses a short-line
+    // drop), and don't contain "javascript"; DOC-level — drop pages
+    // containing a curly brace, "lorem ipsum", or policy boilerplate
+    // ("privacy policy" et al.), and pages with too few surviving
+    // lines (stand-in for C4's 5-sentence floor). The synthetic corpus
+    // has no punctuation or newlines, so both engines build the same
+    // deterministically AUGMENTED line table (10-word lines; terminal
+    // punctuation, a "javascript" prefix, and the three poison lines
+    // keyed on doc_id/idx arithmetic) — the RULES then detect the
+    // signals purely by string predicates, exactly as on real crawl
+    // text, and the kept-lines md5 pins per-line semantics end-to-end.
+    // Scale: one explode to line granularity, one per-doc aggregate —
+    // narrow + a single map-side-combinable shuffle; nothing joins,
+    // nothing is global. A 100 TB crawl filter is exactly this shape.
+    QueryDef("text_c4_rules",
+      (s, d) => {
+        val tok = docs(s, d).select(col("doc_id"), split(col("text"), " ").as("w"))
+        val lines0 = tok.select(col("doc_id"), posexplode(expr(
+            """transform(sequence(0, CAST(ceil(size(w) / 10.0) AS INT) - 1),
+              |  i -> concat_ws(' ', slice(w, i * 10 + 1, 10)))""".stripMargin))
+            .as(Seq("idx", "line0")))
+          .select(col("doc_id"), col("idx").cast(LongType).as("idx"),
+            concat(
+              when((col("doc_id") * 5 + col("idx")) % 11 === 0,
+                lit("javascript ")).otherwise(lit("")),
+              col("line0"),
+              when((col("doc_id") + col("idx")) % 3 === 1, lit("."))
+                .otherwise(when((col("doc_id") + col("idx")) % 3 === 2, lit("!"))
+                  .otherwise(lit("")))).as("line"))
+        val ids = docs(s, d).select(col("doc_id"))
+        val poison =
+          ids.where(col("doc_id") % 23 === 0).select(col("doc_id"),
+              lit(1001L).as("idx"),
+              lit("function() { return cookie consent }").as("line"))
+            .unionAll(ids.where(col("doc_id") % 17 === 0).select(col("doc_id"),
+              lit(1002L).as("idx"),
+              lit("lorem ipsum dolor sit amet.").as("line")))
+            .unionAll(ids.where(col("doc_id") % 13 === 0).select(col("doc_id"),
+              lit(1003L).as("idx"),
+              lit("read our privacy policy and terms of use.").as("line")))
+        lines0.unionAll(poison)
+          .withColumn("kept",
+            (col("line").endsWith(".") || col("line").endsWith("!")) &&
+              size(split(col("line"), " ")) >= 3 &&
+              !col("line").contains("javascript"))
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).cast(LongType).as("n_lines"),
+            sum(when(col("kept"), 1L).otherwise(0L)).cast(LongType).as("n_kept"),
+            (sum(when(col("line").contains("{"), 1L).otherwise(0L)) > 0)
+              .as("has_brace"),
+            (sum(when(col("line").contains("lorem ipsum"), 1L).otherwise(0L)) > 0)
+              .as("has_lorem"),
+            (sum(when(col("line").contains("privacy policy"), 1L).otherwise(0L)) > 0)
+              .as("has_policy"),
+            md5s(array_join(expr("transform(filter(" +
+              "array_sort(collect_list(struct(idx, line, kept))), " +
+              "x -> x.kept), x -> x.line)"), "\n")).as("residual_md5"))
+          .withColumn("c4_keep",
+            !col("has_brace") && !col("has_lorem") && !col("has_policy") &&
+              col("n_kept") >= 3)
+          .select("doc_id", "n_lines", "n_kept", "has_brace", "has_lorem",
+            "has_policy", "c4_keep", "residual_md5")
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |lines0 AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS idx,
+        |    array_to_string(w[i * 10 + 1 : i * 10 + 10], ' ') AS line0
+        |  FROM tok,
+        |    unnest(range(0, CAST(ceil(len(w) / 10.0) AS INT))) t(i)),
+        |aug AS (
+        |  SELECT doc_id, idx,
+        |    (CASE WHEN (doc_id * 5 + idx) % 11 = 0
+        |       THEN 'javascript ' ELSE '' END)
+        |    || line0 ||
+        |    (CASE WHEN (doc_id + idx) % 3 = 1 THEN '.'
+        |          WHEN (doc_id + idx) % 3 = 2 THEN '!'
+        |          ELSE '' END) AS line
+        |  FROM lines0
+        |  UNION ALL
+        |  SELECT doc_id, 1001, 'function() { return cookie consent }'
+        |  FROM documents WHERE doc_id % 23 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 1002, 'lorem ipsum dolor sit amet.'
+        |  FROM documents WHERE doc_id % 17 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 1003, 'read our privacy policy and terms of use.'
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |ev AS (
+        |  SELECT doc_id, idx, line,
+        |    ((line LIKE '%.' OR line LIKE '%!')
+        |      AND len(string_split(line, ' ')) >= 3
+        |      AND NOT contains(line, 'javascript')) AS kept
+        |  FROM aug),
+        |agg AS (
+        |  SELECT doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_lines,
+        |    CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |    (sum(CASE WHEN contains(line, '{') THEN 1 ELSE 0 END) > 0)
+        |      AS has_brace,
+        |    (sum(CASE WHEN contains(line, 'lorem ipsum') THEN 1 ELSE 0 END) > 0)
+        |      AS has_lorem,
+        |    (sum(CASE WHEN contains(line, 'privacy policy') THEN 1 ELSE 0 END) > 0)
+        |      AS has_policy,
+        |    md5(COALESCE(
+        |      string_agg(line, chr(10) ORDER BY idx) FILTER (WHERE kept),
+        |      '')) AS residual_md5
+        |  FROM ev GROUP BY doc_id)
+        |SELECT doc_id, n_lines, n_kept, has_brace, has_lorem, has_policy,
+        |  (NOT has_brace AND NOT has_lorem AND NOT has_policy
+        |    AND n_kept >= 3) AS c4_keep,
+        |  residual_md5
+        |FROM agg ORDER BY doc_id""".stripMargin)),
 
     // Heaps'-law curve: cumulative vocabulary V and token count N at
     // ten doc_id-decile checkpoints, plus the micros-frozen ln–ln

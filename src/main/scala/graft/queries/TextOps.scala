@@ -540,6 +540,121 @@ object TextOps {
         |    '')) AS residual_md5
         |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Content-defined chunking dedup (LBFS/FastCDC family, word-level):
+    // a chunk boundary falls AFTER word i when the rolling 4-word
+    // window's md5 lands in a 1/8 hex slice — boundaries depend only
+    // on LOCAL content, so an edit near the start of a near-duplicate
+    // re-synchronizes within one window and every later chunk keeps
+    // its identity. The fixed-grid companion (8-word blocks) is
+    // computed from the SAME positions table: the output shows the
+    // prepended near-dups (+3M ids, a 3-word prefix that misaligns
+    // every fixed block) sharing almost all CDC chunks and ~zero
+    // fixed chunks — the CDC property, measured, in the result. Both
+    // engines hash identical windows (shared md5), so chunk ids match
+    // bit-for-bit. Scale: positions explode once (gram-query volume);
+    // the boundary cumsum is a per-doc window (doc-partitioned, never
+    // global); chunk assembly and the duplicate decision are
+    // key-partitioned aggregates on (doc, chunk) and chunk-hash — the
+    // same shuffles a 100 TB chunk-store dedup pays, no pairwise join
+    // anywhere.
+    QueryDef("dedup_cdc_chunks",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = docs(s, d).select(col("doc_id"), col("text"))
+        val corpus = base.unionAll(
+          base.where(col("doc_id") % 13 === 0).select(
+            (col("doc_id") + 3000000).as("doc_id"),
+            concat(lit("shifted prefix token "), col("text")).as("text")))
+        val pos = corpus
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .select(col("doc_id"), size(col("w")).cast(LongType).as("n_words"),
+            explode(expr(
+              """transform(sequence(1, size(w)), i -> struct(
+                |  CAST(i AS BIGINT) AS pos,
+                |  w[i - 1] AS word,
+                |  CASE WHEN i >= 4 AND substr(md5(CAST(
+                |      concat_ws(' ', slice(w, i - 3, 4)) AS BINARY)), 1, 1)
+                |      IN ('0', '1') THEN 1 ELSE 0 END AS bnd))"""
+                .stripMargin)).as("p"))
+          .select(col("doc_id"), col("n_words"), col("p.pos").as("pos"),
+            col("p.word").as("word"), col("p.bnd").as("bnd"))
+          .withColumn("cdc_id", coalesce(
+            sum("bnd").over(Window.partitionBy("doc_id").orderBy("pos")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .withColumn("fix_id", expr("CAST((pos - 1) DIV 8 AS BIGINT)"))
+          .localCheckpoint()
+        def chunks(idCol: String) = pos
+          .groupBy(col("doc_id"), col(idCol))
+          .agg(expr("md5(CAST(array_join(transform(" +
+            "array_sort(collect_list(struct(pos, word))), " +
+            "x -> x.word), ' ') AS BINARY))").as("ch"))
+          .localCheckpoint()
+        def share(ch: DataFrame, n: String, sh: String) = {
+          val dup = ch.groupBy("ch")
+            .agg(countDistinct("doc_id").as("df"))
+            .where(col("df") >= 2)
+            .select(col("ch"), lit(true).as("isdup"))
+          ch.join(dup, Seq("ch"), "left")
+            .groupBy("doc_id")
+            .agg(count(lit(1)).cast(LongType).as(n),
+              sum(when(col("isdup"), 1L).otherwise(0L)).cast(LongType).as(sh))
+        }
+        val words = pos.groupBy("doc_id").agg(max("n_words").as("n_words"))
+        words
+          .join(share(chunks("cdc_id"), "n_cdc", "cdc_shared"), "doc_id")
+          .join(share(chunks("fix_id"), "n_fixed", "fixed_shared"), "doc_id")
+          .select("doc_id", "n_words", "n_cdc", "cdc_shared",
+            "n_fixed", "fixed_shared")
+          .orderBy("doc_id")
+      },
+      Some("""WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, 'shifted prefix token ' || text
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+        |pos AS (
+        |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(i AS BIGINT) AS pos, w[i] AS word,
+        |    CASE WHEN i >= 4 AND substr(md5(
+        |        array_to_string(w[i - 3 : i], ' ')), 1, 1) IN ('0', '1')
+        |      THEN 1 ELSE 0 END AS bnd
+        |  FROM tok, unnest(range(1, len(w) + 1)) t(i)),
+        |cid AS (
+        |  SELECT doc_id, n_words, pos, word,
+        |    COALESCE(sum(bnd) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cdc_id,
+        |    (pos - 1) // 8 AS fix_id
+        |  FROM pos),
+        |cch AS (
+        |  SELECT doc_id, cdc_id,
+        |    md5(string_agg(word, ' ' ORDER BY pos)) AS ch
+        |  FROM cid GROUP BY doc_id, cdc_id),
+        |fch AS (
+        |  SELECT doc_id, fix_id,
+        |    md5(string_agg(word, ' ' ORDER BY pos)) AS ch
+        |  FROM cid GROUP BY doc_id, fix_id),
+        |cdup AS (SELECT ch FROM cch GROUP BY ch
+        |         HAVING count(DISTINCT doc_id) >= 2),
+        |fdup AS (SELECT ch FROM fch GROUP BY ch
+        |         HAVING count(DISTINCT doc_id) >= 2),
+        |cagg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cdc,
+        |    CAST(sum(CASE WHEN d.ch IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cdc_shared
+        |  FROM cch LEFT JOIN cdup d USING (ch) GROUP BY doc_id),
+        |fagg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fixed,
+        |    CAST(sum(CASE WHEN d.ch IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS fixed_shared
+        |  FROM fch LEFT JOIN fdup d USING (ch) GROUP BY doc_id),
+        |words AS (SELECT doc_id, max(n_words) AS n_words
+        |          FROM pos GROUP BY doc_id)
+        |SELECT doc_id, n_words, n_cdc, cdc_shared, n_fixed, fixed_shared
+        |FROM words JOIN cagg USING (doc_id) JOIN fagg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)),
+
     // CCNet-style per-SOURCE boilerplate removal: a line is boilerplate
     // when it appears in >= 30% of its source's documents (min 3) —
     // site headers/footers repeat within a domain, real content does

@@ -63,6 +63,17 @@ object DecryptProbe {
     val sec2 = (System.nanoTime() - t1) / 1e9
     println(f"decrypt read (headers+body referenced): ${bytes / 1048576.0 / sec2}%.1f MiB/s " +
       s"rows=$cnt decrypts=${EnvelopeCodec.decryptCalls.sum()}")
+    // basin-wide single-scan shape (the Bench enc-read plan): one
+    // decrypt project with stream-derived AAD, no per-stream unions
+    def readBasin() = RecordCipher.decryptBasin(
+      st.visibleBasin("probe-basin"), key, "probe-basin")
+    readBasin().agg(sum(octet_length(col("body")))).first() // warm
+    EnvelopeCodec.decryptCalls.reset()
+    val t2 = System.nanoTime()
+    val gotB = readBasin().agg(sum(octet_length(col("body")))).first().getLong(0)
+    val sec3 = (System.nanoTime() - t2) / 1e9
+    println(f"decrypt basin-wide read: ${bytes / 1048576.0 / sec3}%.1f MiB/s " +
+      s"(sum body bytes = $gotB) decrypts=${EnvelopeCodec.decryptCalls.sum()} rows=$n")
     spark.stop()
   }
 }

@@ -79,4 +79,47 @@ class RecordDecryptPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(calls <= 10L && calls > 0L,
       s"count-limited read should decrypt <= 10 records, measured $calls")
   }
+
+  test("basin-wide decrypting scan: one plan, per-row stream-derived " +
+    "AAD authenticates every stream, exactly one decrypt per record") {
+    val dir = Files.createTempDirectory("dec-basin").toString
+    val st = new StreamStore(spark, dir)
+    st.catalog.createBasin("enc-basin", BasinConfig(
+      defaultStreamConfig =
+        StreamConfig(retentionPolicy = Some(RetentionPolicy.Infinite)),
+      streamCipher = Some(CipherAlgo.Aegis256)))
+    val streams = Seq("alpha", "beta", "needs escaping/..")
+    streams.foreach(st.catalog.createStream("enc-basin", _))
+    streams.foreach { s =>
+      st.append("enc-basin", s, AppendInput((0 until 5).map(i =>
+        EnvelopeRecord(Seq(Header.utf8("h", s)), s"$s-$i".getBytes))),
+        Some(1000000L), Some(key))
+        .fold(e => fail(e.toString), identity)
+    }
+    val df = RecordCipher.decryptBasin(
+      st.visibleBasin("enc-basin"), key, "enc-basin")
+    EnvelopeCodec.decryptCalls.reset()
+    val rows = df.select(col("stream"), col("body"), col("headers")).collect()
+    assert(rows.length == 15)
+    // AAD bound the right stream name to each record: every body
+    // round-trips under its own stream's AAD (a cross-stream mixup
+    // would have thrown AEADBadTagException before this point), and
+    // the sealed headers decode to the stream name they were written
+    // with
+    rows.foreach { r =>
+      val s = r.getString(r.fieldIndex("stream"))
+      assert(new String(r.getAs[Array[Byte]]("body")).startsWith(s + "-"))
+      val hs = r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("headers"))
+      assert(new String(hs.head.getAs[Array[Byte]](1)) == s)
+    }
+    val calls = EnvelopeCodec.decryptCalls.sum()
+    assert(calls == 15L,
+      s"expected exactly 15 decrypts for 15 records, measured $calls")
+    // the scale property: the plan has NO union — one scan node serves
+    // every stream
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Union"),
+      "basin-wide decrypting scan must be a single scan, not " +
+        s"per-stream union branches:\n$plan")
+  }
 }

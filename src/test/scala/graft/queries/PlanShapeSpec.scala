@@ -136,7 +136,10 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     "text_token_count_regex" -> 0,
     "emb_quantize_error" -> 0,
     // bucketed prefix sum: (lang,bucket) window + bases agg + final agg
-    "stats_pack_efficiency" -> 4)
+    "stats_pack_efficiency" -> 4,
+    // line explode + poison unions feed ONE per-doc aggregate; a
+    // second hash exchange would mean the line table started joining
+    "text_c4_rules" -> 1)
   // ann_pq_learned is not budgeted: its top-50 candidate table is an
   // eager localCheckpoint (feeds recall AND the final join), so the
   // final plan string is vacuous; its training chain is hash-agg
