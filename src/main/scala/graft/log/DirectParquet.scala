@@ -55,7 +55,8 @@ object DirectParquet {
   /** parquet-mr OutputFile over NIO — skips Hadoop FS resolution and
     * .crc sidecars; close() = flush + fsync.
     */
-  private final class NioOutputFile(path: String) extends OutputFile {
+  private final class NioOutputFile(path: String, sync: Boolean)
+      extends OutputFile {
     override def create(blockSizeHint: Long): PositionOutputStream = {
       val ch = FileChannel.open(Paths.get(path),
         StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
@@ -71,7 +72,7 @@ object DirectParquet {
         override def flush(): Unit = buffered.flush()
         override def close(): Unit = {
           buffered.flush()
-          ch.force(true) // durability barrier: data before manifest
+          if (sync) ch.force(true) // durability barrier: data before manifest
           buffered.close()
         }
       }
@@ -92,12 +93,25 @@ object DirectParquet {
   /** Streaming variant (executor-side staged ingest writes): same
     * file format, rows consumed from an iterator so one huge stream's
     * partition slice never has to buffer in memory.
+    *
+    * `sync = false` skips the close-time fsync. Correct ONLY for
+    * STAGED bulk-ingest files: the POSIX adapter's durability class is
+    * process-crash (manifest renames are not fsynced either), where
+    * the page cache survives and no fsync is needed; a staged file
+    * that a kernel crash tears is caught by the commit gate's
+    * tail-magic check (selectStagedFiles) on the re-driven ingest.
+    * On deployment adapters the durability barrier is the object PUT
+    * itself (putData), not this local temp write. The unary append
+    * path keeps sync = true — its file IS the live object.
+    * Measured: 10k one-stream staged files on a journaled /tmp spent
+    * ~2 s of the cp10k ingest in close-time fsyncs alone.
     */
-  def writeIter(dir: String, recs: Iterator[Rec]): String = {
+  def writeIter(dir: String, recs: Iterator[Rec],
+                sync: Boolean = true): String = {
     Files.createDirectories(Paths.get(dir))
     val file = s"$dir/part-${java.util.UUID.randomUUID()}.snappy.parquet"
     val factory = new SimpleGroupFactory(schema)
-    val writer = ExampleParquetWriter.builder(new NioOutputFile(file))
+    val writer = ExampleParquetWriter.builder(new NioOutputFile(file, sync))
       .withConf(conf)
       .withType(schema)
       .withCompressionCodec(CompressionCodecName.SNAPPY)

@@ -81,10 +81,21 @@ object HttpObjectServer {
       if (body.nonEmpty) ex.getResponseBody.write(body)
       ex.close()
     }
+    // The JDK HttpServer swallows handler exceptions and leaves the
+    // exchange unanswered — a missing query param would hang the
+    // calling commit thread until its read timeout. Answer 500 loudly
+    // instead (best-effort: headers may already be out).
+    def safely(f: HttpExchange => Unit): com.sun.net.httpserver.HttpHandler =
+      (ex: HttpExchange) => try f(ex) catch {
+        case t: Throwable =>
+          try respond(ex, 500,
+            s"${t.getClass.getSimpleName}: ${t.getMessage}".getBytes(UTF_8))
+          catch { case _: Throwable => ex.close() }
+      }
 
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
 
-    server.createContext("/meta/", { ex =>
+    server.createContext("/meta/", safely { ex =>
       val key = keyOf(ex, "/meta")
       ex.getRequestMethod match {
         case "GET" =>
@@ -114,7 +125,7 @@ object HttpObjectServer {
       }
     })
 
-    server.createContext("/data/", { ex =>
+    server.createContext("/data/", safely { ex =>
       val key = keyOf(ex, "/data")
       ex.getRequestMethod match {
         case "PUT" =>
@@ -135,7 +146,7 @@ object HttpObjectServer {
       }
     })
 
-    server.createContext("/list", { ex =>
+    server.createContext("/list", safely { ex =>
       val q = query(ex)
       val prefix = q("prefix").stripSuffix("/") + "/"
       val out = q.getOrElse("mode", "data") match {
@@ -153,7 +164,7 @@ object HttpObjectServer {
       respond(ex, 200, out.mkString("\n").getBytes(UTF_8))
     })
 
-    server.createContext("/prefix", { ex => // DELETE /prefix?prefix=..
+    server.createContext("/prefix", safely { ex => // DELETE /prefix?prefix=..
       val q = query(ex)
       val dir = q("prefix").stripSuffix("/")
       val prefix = dir + "/"
@@ -171,7 +182,7 @@ object HttpObjectServer {
       respond(ex, 204)
     })
 
-    server.createContext("/time", { ex =>
+    server.createContext("/time", safely { ex =>
       val k = query(ex)("path").stripSuffix("/")
       val t = Option(prefixClock.get(k)).map(_.longValue())
         .orElse(Option(data.get(k)).map(_.longValue()))
@@ -188,7 +199,7 @@ object HttpObjectServer {
       }
     })
 
-    server.createContext("/touch", { ex =>
+    server.createContext("/touch", safely { ex =>
       val q = query(ex)
       prefixClock.put(q("path").stripSuffix("/"), java.lang.Long.valueOf(q("ms").toLong))
       respond(ex, 204)
@@ -244,6 +255,11 @@ final class HttpObjectBackend(endpoint: String) extends StorageBackend {
     val c = new java.net.URL(url).openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
     c.setRequestMethod(method)
+    // bounded waits: a stalled endpoint must surface as an IO error,
+    // not hang the 48-thread commit pool indefinitely (reads are
+    // generous for large data PUT echoes; localhost p50 is sub-ms)
+    c.setConnectTimeout(5000)
+    c.setReadTimeout(60000)
     headers.foreach { case (k, v) => c.setRequestProperty(k, v) }
     if (body != null) {
       c.setDoOutput(true)
@@ -268,7 +284,12 @@ final class HttpObjectBackend(endpoint: String) extends StorageBackend {
 
   def getMeta(key: String, fresh: Boolean): Option[(String, String)] = {
     val (code, body, etag) = exchange("GET", metaUrl(norm(Paths.get(key))))
-    if (code == 200) Some((new String(body, UTF_8), etag)) else None
+    // ONLY 404 means absent — mapping an unexpected 5xx to None would
+    // serve a live stream as fresh/tail-0 to read paths
+    if (code == 200) Some((new String(body, UTF_8), etag))
+    else if (code == 404) None
+    else throw new java.io.IOException(
+      s"getMeta $key -> HTTP $code: ${new String(body, UTF_8).take(160)}")
   }
 
   def casMeta(key: String, json: String, ifMatch: Option[String]): Either[String, String] = {
@@ -276,10 +297,15 @@ final class HttpObjectBackend(endpoint: String) extends StorageBackend {
       case Some(tag) => Seq("If-Match" -> tag)
       case None => Seq("If-None-Match" -> "*")
     }
-    val (code, _, etag) = exchange("PUT", metaUrl(norm(Paths.get(key))),
+    val (code, body, etag) = exchange("PUT", metaUrl(norm(Paths.get(key))),
       hdr, body = json.getBytes(UTF_8))
+    // ONLY 412 is a CAS conflict (Left = "foreign commit won; rebase"
+    // to Catalog.mutateDoc retry loops) — treating a persistent 5xx as
+    // a conflict would spin those loops forever; throw instead
     if (code == 200) Right(etag)
-    else Left(s"precondition failed for $key (HTTP $code)")
+    else if (code == 412) Left(s"precondition failed for $key (HTTP 412)")
+    else throw new java.io.IOException(
+      s"casMeta $key -> HTTP $code: ${new String(body, UTF_8).take(160)}")
   }
 
   def putMeta(key: String, json: String): Unit = {

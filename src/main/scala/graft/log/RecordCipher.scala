@@ -151,6 +151,37 @@ object RecordCipher {
     headers != null && headers.size == 1 &&
       (headers.head._1 == null || headers.head._1.isEmpty)
 
+  /** Wire-shape validation for the BULK ingest path (the unary path
+    * validates via Caps.validateBatch on typed records): an empty
+    * header name is the command marker, so it is only legal as a
+    * well-formed command — single empty-name header whose op id is
+    * known and whose payload parses (record/mod.rs:89-103
+    * UnknownCommand; envelope.rs:128-129 NameEmpty). Accepting any
+    * other empty-name shape would let isCommandForm misclassify a
+    * user record: stored cleartext on an encrypted basin and dropped
+    * by ignoreCommands reads. Returns an error message, or None if
+    * the record is well-formed. Executor-side: a throw fails the job
+    * before anything commits.
+    */
+  def validateWireShape(headers: Seq[(Array[Byte], Array[Byte])],
+                        body: Array[Byte]): Option[String] = {
+    if (headers == null) return None
+    if (isCommandForm(headers)) {
+      val op = new String(headers.head._2, "UTF-8")
+      val b = if (body == null) Array.emptyByteArray else body
+      op match {
+        case "fence" =>
+          if (b.length <= graft.model.Caps.MaxFencingTokenBytes) None
+          else Some(s"fence token exceeds ${graft.model.Caps.MaxFencingTokenBytes} bytes")
+        case "trim" =>
+          if (b.length == 8) None else Some("trim payload must be 8 bytes")
+        case other => Some(s"unknown command op: $other")
+      }
+    } else if (headers.exists(h => h._1 == null || h._1.isEmpty))
+      Some("empty header name (reserved for command records)")
+    else None
+  }
+
   /** Decrypt one record, dispatching on the leading format byte.
     * Throws on unknown format, short input, or tag mismatch — exactly
     * like the JCE AEADBadTagException path, so plan-level decryption

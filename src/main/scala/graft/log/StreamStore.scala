@@ -46,17 +46,32 @@ final class ManifestCasConflict(msg: String)
 
 object StreamStore {
 
+  /** One staged file written by a SUCCESSFUL task attempt, reported
+    * back to the driver through the job's own result channel — the
+    * committer-free equivalent of a task-commit message. The
+    * per-stream commit trusts these stats without re-opening the file
+    * (no per-file footer or tail-magic IO at 10k streams), and treats
+    * any staged file NOT in the report as a failed/speculated
+    * attempt's leavings to validate via [[StreamStore.stagedStats]].
+    * `name` is the file name (not path): the report must match
+    * whatever directory the commit lists, and executor/driver path
+    * prefixes are only guaranteed to agree on the shared-root part.
+    */
+  final case class StagedFile(basin: String, stream: String, name: String,
+                              minSeq: Long, maxSeq: Long, rows: Long)
+
   /** Executor-side staged-file writer for bulk ingest: streams one
     * task's (basin, stream, seq)-sorted rows and cuts a DirectParquet
     * file at every stream boundary, at the final staged path — no
     * Hadoop committer (see the call site in ingest for why). Static
     * (companion) so the closure ships without capturing the store.
     * Row layout: basin(0), stream(1), seq_num(2), timestamp(3),
-    * headers(4), body(5), metered_size(6).
+    * headers(4), body(5), metered_size(6). Returns one [[StagedFile]]
+    * report per file written, collected by the driver.
     */
   private[log] def writeStagedPartition(
       stagePath: String, basinCiphers: Map[String, CipherSpec])
-      (rows: Iterator[org.apache.spark.sql.Row]): Unit = {
+      (rows: Iterator[org.apache.spark.sql.Row]): Iterator[StagedFile] = {
     import org.apache.spark.sql.Row
     val it = rows.buffered
     def toRec(r: Row, spec: Option[CipherSpec],
@@ -71,6 +86,11 @@ object StreamStore {
           (n, v)
         }
       val plain = if (r.isNullAt(5)) null else r.getAs[Array[Byte]](5)
+      // reject malformed command-marker shapes BEFORE the shape-based
+      // encrypt dispatch below can misclassify them (see
+      // RecordCipher.validateWireShape) — fails the job, nothing commits
+      RecordCipher.validateWireShape(headers, plain).foreach(e =>
+        throw new IllegalArgumentException(s"invalid record: $e"))
       // A13: encrypt AFTER metering — metered_size (column 6) was
       // computed on the plaintext body upstream, same contract as the
       // unary path (encryption.rs:27-29). Commands stay plaintext;
@@ -87,6 +107,7 @@ object StreamStore {
             r.getLong(6))
       }
     }
+    val reports = scala.collection.mutable.ListBuffer.empty[StagedFile]
     while (it.hasNext) {
       val b = it.head.getString(0)
       val st = it.head.getString(1)
@@ -94,6 +115,8 @@ object StreamStore {
       val spec = basinCiphers.get(b)
       val aad = RecordCipher.aad(b, st)
       var minSeq = Long.MaxValue; var maxSeq = Long.MinValue; var rows = 0L
+      // sync=false: staged temp write, not the live object — see
+      // DirectParquet.writeIter's doc for the durability argument
       val file = DirectParquet.writeIter(dir, new Iterator[DirectParquet.Rec] {
         def hasNext: Boolean = it.hasNext &&
           it.head.getString(0) == b && it.head.getString(1) == st
@@ -104,18 +127,21 @@ object StreamStore {
           rows += 1
           r
         }
-      })
-      // embed the file's (minSeq, maxSeq, rows) in its name: the
-      // commit-time retry gate then validates tiling from names plus
-      // one 4-byte tail-magic read per file, instead of a parquet
-      // footer open per staged file — whose Hadoop FileSystem-cache
-      // lock serialized the 10k-stream commit (ingest 6 s -> 21 s).
-      // The rename is local to the private staged dir.
+      }, sync = false)
+      // embed the file's (minSeq, maxSeq, rows) in its name: files of
+      // attempts that died AFTER finishing a file but BEFORE reporting
+      // (task killed between files) can still be validated from the
+      // name plus one 4-byte tail-magic read instead of a parquet
+      // footer open (whose Hadoop FileSystem-cache lock serialized the
+      // 10k-stream commit). The rename is local to the staged dir.
       val from = java.nio.file.Paths.get(file)
       val named = from.resolveSibling(
         StreamStore.stagedName(from.getFileName.toString, minSeq, maxSeq, rows))
       java.nio.file.Files.move(from, named)
+      reports += StagedFile(b, st, named.getFileName.toString,
+        minSeq, maxSeq, rows)
     }
+    reports.iterator
   }
 
   /** Staged-file naming with embedded stats (see writeStagedPartition):
@@ -152,7 +178,8 @@ object StreamStore {
     * beside the winning attempt's output. Spark reports job success as
     * soon as each partition has one successful attempt — it never
     * cleans the losers' direct-path files. This selector re-derives,
-    * from parquet footers alone, exactly the file set a committer
+    * from the successful attempts' reports (with footer/tail-magic
+    * fallback for unreported extras), exactly the file set a committer
     * would have promoted:
     *
     *  - torn files (FileIndex.tryStats = None: tail magic missing) are
@@ -174,17 +201,32 @@ object StreamStore {
     */
   private[log] def selectStagedFiles(
       paths: Seq[String], plannedTail: Long, newTail: Long,
-      basin: String, stream: String): Seq[FileIndex.FileStats] = {
-    // stagedStats: None = provably torn (skip — a failed attempt's
-    // leavings); transient I/O errors still throw, failing the ingest
-    // loudly rather than silently dropping a complete file. Stats come
-    // from the writer-embedded filename (plus a 4-byte tail check)
-    // when present, the parquet footer otherwise.
-    val sorted = paths.flatMap(stagedStats)
-      .sortBy(s => (s.minSeq, s.path))
+      basin: String, stream: String,
+      reported: Map[String, StagedFile] = Map.empty)
+      : Seq[FileIndex.FileStats] = {
+    // Stats resolution, cheapest first: a file the job's successful
+    // attempts REPORTED (keyed by file name) is trusted without any
+    // IO — the listing already proved it exists, and the report came
+    // from the attempt Spark acked. Unreported extras (torn leavings,
+    // speculated twins, planted fixtures) fall back to stagedStats:
+    // None = provably torn (skip); transient I/O errors still throw,
+    // failing the ingest loudly rather than silently dropping a
+    // complete file.
+    val sorted = paths.flatMap { p =>
+      val name = Paths.get(p).getFileName.toString
+      reported.get(name) match {
+        case Some(r) =>
+          Some((FileIndex.FileStats(p, r.minSeq, r.maxSeq, 0L, 0L, r.rows), true))
+        case None => stagedStats(p).map((_, false))
+      }
+    }.sortBy { case (s, rep) => (s.minSeq, !rep, s.path) }
+    // reported-first at equal minSeq: when a completed loser twin sits
+    // beside the winner, the published copy is the attempt Spark
+    // reported as successful — committer semantics even when a
+    // nondeterministic upstream made the twins differ in content.
     val accepted = scala.collection.mutable.ArrayBuffer.empty[FileIndex.FileStats]
     var cursor = plannedTail
-    sorted.foreach { st =>
+    sorted.foreach { case (st, _) =>
       if (st.maxSeq < cursor) {
         // entirely behind the cursor: legal ONLY as an exact twin of an
         // already-accepted range (a duplicated task attempt)
@@ -680,8 +722,20 @@ final class StreamStore(val spark: SparkSession, val root: String) {
              cipher: Option[Array[Byte]] = None): Map[(String, String), AppendAck] = {
     import spark.implicits._
     val now = nowMs.getOrElse(System.currentTimeMillis())
+    // Phase timing for the profiling loop (GRAFT_INGEST_TIMING=1):
+    // the 10k-stream commit fan-out has regressed twice on costs that
+    // per-phase walls would have localized in one run.
+    val tLog = sys.env.contains("GRAFT_INGEST_TIMING") ||
+      sys.props.contains("graft.ingest.timing")
+    var tPhase = System.nanoTime()
+    def phase(name: String): Unit = if (tLog) {
+      val t = System.nanoTime()
+      System.err.println(f"[ingest-phase] $name ${(t - tPhase) / 1e9}%.3f s")
+      tPhase = t
+    }
     val allKeys = df0.select("basin", "stream").distinct().collect()
       .map(r => (r.getString(0), r.getString(1)))
+    phase("distinct-keys")
     // A13 on the BULK path: resolve each basin's stream_cipher against
     // the per-call key EXACTLY like unary append (encryption.rs
     // resolve — key without cipher = plaintext, cipher without key =
@@ -761,6 +815,7 @@ final class StreamStore(val spark: SparkSession, val root: String) {
         case TimestampingMode.Arrival => "arrival"
       }, t.uncapped)
     }
+    phase("plan-metadata")
     val tsConfigDf = spark.createDataFrame(tsConfig)
       .toDF("basin", "stream", "ts_mode", "ts_uncapped")
     val tsPicked = when(col("ts_mode") === "arrival", lit(now))
@@ -801,6 +856,7 @@ final class StreamStore(val spark: SparkSession, val root: String) {
       }
       stats.iterator.map { case ((b, s), (c, mx)) => (pid, b, s, c, mx) }
     }.collect()
+    phase("part-stats")
 
     // driver: prefix sums per stream across partitions
     val seqOffset = scala.collection.mutable.Map.empty[(Int, String, String), (Long, Long)]
@@ -860,10 +916,22 @@ final class StreamStore(val spark: SparkSession, val root: String) {
     // removes it wholesale on any failure, and only the per-stream
     // locked commit publishes files into the live prefix).
     val stagePath = stage
-    assigned
-      .sortWithinPartitions("basin", "stream", "seq_num")
-      .foreachPartition(StreamStore.writeStagedPartition(stagePath, basinCiphers) _)
+    // The job's result channel carries one StagedFile report per file
+    // a SUCCESSFUL attempt wrote (Spark returns exactly one attempt's
+    // result per partition) — the commit loop below validates tiling
+    // from these reports with ZERO per-file IO, probing only
+    // unexpected extras. O(#files) driver memory, same order as the
+    // partition-stats collect above.
+    val stagedReports: Map[(String, String), Map[String, StreamStore.StagedFile]] =
+      assigned
+        .sortWithinPartitions("basin", "stream", "seq_num")
+        .rdd
+        .mapPartitions(StreamStore.writeStagedPartition(stagePath, basinCiphers))
+        .collect()
+        .groupBy(r => (r.basin, r.stream))
+        .map { case (k, rs) => k -> rs.map(r => r.name -> r).toMap }
     prepared.unpersist()
+    phase("staged-write")
     beforeStagedCommit(stage)
 
     // per-stream commit (no extra job): under the stream lock, verify
@@ -879,13 +947,29 @@ final class StreamStore(val spark: SparkSession, val root: String) {
     // faster than 16 on the 10k-stream bench phase (cap matches that
     // measurement).
     val commitPar = math.min(48, runSeq.size)
-    try parallelMap(runSeq.keys.toSeq, commitPar) { case k @ (b, s) =>
+    // sub-step thread-time accounting for the profiling loop (tLog):
+    // aggregate nanos across the pool, printed once after the loop
+    val subNs = if (tLog) Map(
+      "lock" -> new java.util.concurrent.atomic.LongAdder,
+      "manifest" -> new java.util.concurrent.atomic.LongAdder,
+      "sweep" -> new java.util.concurrent.atomic.LongAdder,
+      "stagedList" -> new java.util.concurrent.atomic.LongAdder,
+      "stagedStats" -> new java.util.concurrent.atomic.LongAdder,
+      "putData" -> new java.util.concurrent.atomic.LongAdder,
+      "cas" -> new java.util.concurrent.atomic.LongAdder) else Map.empty[String, java.util.concurrent.atomic.LongAdder]
+    @inline def sub[A](name: String)(f: => A): A =
+      if (!tLog) f else {
+        val t0 = System.nanoTime()
+        try f finally subNs(name).add(System.nanoTime() - t0)
+      }
+    try {
+      val acked = parallelMap(runSeq.keys.toSeq, commitPar) { case k @ (b, s) =>
       val m = tails(k)
-      val committed = withStreamLock(b, s) {
-        val (cur0, tag0) = manifestTagged(b, s)
+      val committed = sub("lock")(withStreamLock(b, s) {
+        val (cur0, tag0) = sub("manifest")(manifestTagged(b, s))
         // sweep first (it may fence-bump or refresh the manifest) so
         // the precondition checks and the commit see one state
-        val (cur, tag) = sweepOrphans(b, s, cur0, tag0)
+        val (cur, tag) = sub("sweep")(sweepOrphans(b, s, cur0, tag0))
         // The staged files' seq_nums were assigned from the PLANNED
         // tail (m.tailSeq), so the CAS precondition is the TAIL, not
         // the raw version: a concurrent append/trim/fence command
@@ -913,7 +997,7 @@ final class StreamStore(val spark: SparkSession, val root: String) {
           version = cur.version + 1)
         val src = Paths.get(s"$stage/basin=$b/stream=${Layout.escape(s)}")
         val dst = Paths.get(Layout.genDir(root, b, s, cur.generation))
-        val stagedPaths: Seq[String] =
+        val stagedPaths: Seq[String] = sub("stagedList") {
           if (!Files.exists(src)) Nil
           else {
             val parts = Files.list(src)
@@ -921,18 +1005,20 @@ final class StreamStore(val spark: SparkSession, val root: String) {
               .filter(_.endsWith(".parquet")).toSeq
             finally parts.close()
           }
+        }
         // Task-retry/speculation gate: promote only the file set that
         // densely tiles [plannedTail, newTail) — torn attempt leavings
         // and retried/speculated duplicate twins stay staged and die
         // with the stage dir (see selectStagedFiles).
-        val acceptedFiles = StreamStore.selectStagedFiles(
-          stagedPaths, m.tailSeq, runSeq(k), b, s)
+        val acceptedFiles = sub("stagedStats")(StreamStore.selectStagedFiles(
+          stagedPaths, m.tailSeq, runSeq(k), b, s,
+          stagedReports.getOrElse(k, Map.empty)))
         val moved = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
-        acceptedFiles.foreach { st =>
+        sub("putData")(acceptedFiles.foreach { st =>
           val f = Paths.get(st.path)
           val d = dst.resolve(f.getFileName)
           backend.putData(f, d); moved += d
-        }
+        })
         // same atomicity contract as unary append: a commit that fails
         // after the objects entered the live prefix must take them back
         // out, or a re-driven ingest duplicates their seq_nums (the
@@ -940,19 +1026,35 @@ final class StreamStore(val spark: SparkSession, val root: String) {
         // exactly that failure here too)
         try {
           beforeManifestCommit()
-          saveManifestCas(b, s, newM, tag)
+          sub("cas")(saveManifestCas(b, s, newM, tag))
         } catch { case t: Throwable =>
           moved.foreach(backend.deleteData)
           throw t
         }
+        // committed: this stream's staged dir is spent (accepted files
+        // moved out; only torn/twin leavings remain). Delete it here,
+        // in the parallel loop, so the final serial stage sweep walks
+        // an almost-empty tree instead of 10k one-file dirs. Failed
+        // streams keep their dirs until that sweep (same contract).
+        deleteRecursively(src)
         newM
-      }
+      })
       k -> AppendAck(
         StreamPosition(m.tailSeq, 0),
         StreamPosition(committed.tailSeq, committed.tailTs),
         StreamPosition(committed.tailSeq, committed.tailTs))
-    }.toMap
-    finally deleteRecursively(Paths.get(stage)) // uncommitted files die staged
+      }.toMap
+      phase("commit-loop")
+      if (tLog) System.err.println("[ingest-commit-sub] " + subNs.toSeq
+        .map { case (n, a) => f"$n=${a.sum / 1e9}%.3f" }.mkString(" ") +
+        " thread-s")
+      acked
+    } finally {
+      // uncommitted files die staged (committed streams already
+      // removed their own dirs inside the commit loop above)
+      deleteRecursively(Paths.get(stage))
+      phase("stage-cleanup")
+    }
   }
 
   /** Map `f` over `items` on a bounded worker pool, preserving failure

@@ -153,7 +153,20 @@ object Caps {
         case None =>
           if (records.iterator.map(_.meteredSize).sum > MaxBatchMeteredBytes)
             Left("batch exceeds 1 MiB metered size")
-          else Right(())
+          else records.collectFirst {
+            // An empty header NAME is the command marker on the wire
+            // (record/mod.rs:89-103): in any other shape the reference
+            // rejects it at validation (envelope.rs:128-129 NameEmpty)
+            // — and so must we, because downstream dispatch (A13
+            // encrypt-vs-plaintext, R10 command filtering) classifies
+            // records by that shape; an accepted empty-name USER
+            // record would be stored cleartext on an encrypted basin
+            // and silently dropped by ignoreCommands reads.
+            case e: EnvelopeRecord
+                if e.headers.exists(_.name.isEmpty) &&
+                  CommandRecord.fromEnvelopeForm(e).isEmpty =>
+              Left("empty header name (reserved for command records)")
+          }.getOrElse(Right(()))
       }
     }
   }

@@ -12,12 +12,15 @@ import graft.model._
 object CpBench {
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toInt else 10000
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val cpus = if (args.length > 1) args(1) else "8"
+    System.setProperty("graft.ingest.timing", "1")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (rep <- 0 until 2) {
+    val reps = if (args.length > 2) args(2).toInt else 2
+    for (rep <- 0 until reps) {
       val root = java.nio.file.Files.createTempDirectory("graft-cpb").toString
       val st = new StreamStore(spark, root)
       st.catalog.createBasin("bench-basin",
@@ -38,6 +41,24 @@ object CpBench {
       st.ingest(df)
       val tIngest = (System.nanoTime() - t1) / 1e9
       println(f"[cpb] rep=$rep n=$n create=$tCreate%.2f s ingest=$tIngest%.2f s")
+      // delete the 30k-file root NOW (parallel), not via a later rm:
+      // accumulated roots distorted every subsequent fs measurement
+      val rp = java.nio.file.Paths.get(root)
+      val subs = java.nio.file.Files.walk(rp, 3).toArray.toSeq
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .filter(p => java.nio.file.Files.isDirectory(p) &&
+          rp.relativize(p).getNameCount == 3)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+      subs.foreach(d => pool.submit(new Runnable {
+        def run(): Unit = {
+          java.nio.file.Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.delete(f))
+        }
+      }))
+      pool.shutdown()
+      pool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS)
+      java.nio.file.Files.walk(rp).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.delete(f))
     }
     spark.stop()
   }

@@ -59,6 +59,42 @@ class ModelSpec extends AnyFunSuite {
     assert(CommandRecord.fromEnvelopeForm(bad).isEmpty)
   }
 
+  test("validateBatch rejects empty header names outside well-formed " +
+    "command shape (envelope.rs:128-129 NameEmpty, mod.rs:94 UnknownCommand)") {
+    // a USER record wearing an empty header name would be misclassified
+    // by shape-based dispatch (encrypted-basin cleartext, ignoreCommands
+    // drop) — the reference makes it unrepresentable at validation
+    def bad(e: EnvelopeRecord) =
+      Caps.validateBatch(Seq(e)).isLeft
+    assert(bad(EnvelopeRecord(
+      Seq(Header(Array.emptyByteArray, "not-an-op".getBytes)), "x".getBytes)))
+    assert(bad(EnvelopeRecord(
+      Seq(Header.utf8("a", "b"), Header(Array.emptyByteArray, "v".getBytes)),
+      "x".getBytes)))
+    assert(bad(EnvelopeRecord(
+      Seq(Header(Array.emptyByteArray, "trim".getBytes)), Array[Byte](1, 2, 3))))
+    // well-formed commands in envelope form still pass
+    assert(Caps.validateBatch(Seq(TrimCommand(5L).toEnvelopeForm)).isRight)
+    assert(Caps.validateBatch(Seq(FenceCommand("tok").toEnvelopeForm)).isRight)
+    // and normal user records are unaffected
+    assert(Caps.validateBatch(Seq(EnvelopeRecord(
+      Seq(Header.utf8("a", "b")), "x".getBytes))).isRight)
+  }
+
+  test("validateWireShape (bulk path) mirrors the same rules") {
+    import graft.log.RecordCipher.validateWireShape
+    def h(n: String, v: String) = (n.getBytes("UTF-8"), v.getBytes("UTF-8"))
+    assert(validateWireShape(Seq(h("a", "b")), "x".getBytes).isEmpty)
+    assert(validateWireShape(null, "x".getBytes).isEmpty)
+    assert(validateWireShape(Seq(h("", "trim")),
+      java.nio.ByteBuffer.allocate(8).putLong(3L).array()).isEmpty)
+    assert(validateWireShape(Seq(h("", "fence")), "tok".getBytes).isEmpty)
+    assert(validateWireShape(Seq(h("", "nope")), "x".getBytes).nonEmpty)
+    assert(validateWireShape(Seq(h("", "trim")), "123".getBytes).nonEmpty)
+    assert(validateWireShape(Seq(h("", "fence")), ("x" * 37).getBytes).nonEmpty)
+    assert(validateWireShape(Seq(h("a", "b"), h("", "v")), "x".getBytes).nonEmpty)
+  }
+
   test("non-command envelopes are not detected as commands") {
     val e = EnvelopeRecord(Seq(Header.utf8("a", "b")), "x".getBytes)
     assert(CommandRecord.fromEnvelopeForm(e).isEmpty)
