@@ -172,6 +172,12 @@ object AnalyticsOps {
 
   private[queries] val KmK = 8      // clusters; init = vectors 0..7
   private[queries] val KmScale = 1000 // fixed-point quantization of coordinates
+  /** dedup_semantic_kmeans skew budget: cells above this size are
+    * sub-bucketed by the shared hyperplane signature before the
+    * within-cell self-join (see the QueryDef doc). 128 is small enough
+    * that the sf0.01 fixture (about 520 vectors over 8 cells) actually
+    * exercises the oversized path. */
+  private[queries] val SemCellCap = 128L
 
   /** Squared L2 between quantized vector `qv` and centroid
     * (`sums`/`cnt`) as one sequential double fold — same element
@@ -667,23 +673,43 @@ object AnalyticsOps {
     // recipe for semantic dedup at corpus scale. Identical vectors
     // reach identical exact-arithmetic distances, so copies always
     // land in their original's cell and blocking loses no exact
-    // duplicate. k=8 here mirrors cluster_kmeans for oracle parity;
-    // production picks k ~ n/cell_budget so Σ cell² stays linear-ish,
-    // exactly as NPlanes does for the sign-LSH variant
-    // (dedup_embedding_cosine) — same corpus augmentation, so the two
-    // blocking strategies are directly comparable.
+    // duplicate. k=8 here mirrors cluster_kmeans for oracle parity.
+    //
+    // STRUCTURAL skew cap (not a comment-level promise): a cell larger
+    // than SemCellCap is sub-bucketed by the SAME random-hyperplane
+    // signature dedup_embedding_cosine blocks on, so the self-join key
+    // is (cluster, sub-bucket) and one hot cell can never go quadratic
+    // in corpus size — the two-level blocking real SemDeDup deployments
+    // use when k ~ n/cell_budget undershoots. Small cells keep sub = 0
+    // (exact within-cell search, no recall change); oversized cells
+    // trade the usual sign-LSH recall at the 0.99 band (exact copies
+    // share every bit, so planted duplicates are never lost). The
+    // oracle replays the size gate and the signature bit-for-bit.
     QueryDef("dedup_semantic_kmeans",
       (s, d) => {
         val base = emb(s, d).select(col("vec_id"), col("embedding"))
         val aug = base.unionAll(
           base.where(col("vec_id") % 23 === 0)
             .select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+        // materialize the assignment once: both self-join sides (and
+        // the cell-size aggregate) consume it, and without the
+        // checkpoint the 2-Lloyd-round subtree replays per consumer
         val asn = kmeansAssignments(aug, KmK, 2).select("vec_id", "cluster")
-        val a = asn.join(aug, "vec_id")
-          .select(col("cluster"), col("vec_id").as("id_a"), col("embedding").as("va"))
-        val b = asn.join(aug, "vec_id")
-          .select(col("cluster"), col("vec_id").as("id_b"), col("embedding").as("vb"))
-        a.join(b, Seq("cluster"))
+          .join(aug, "vec_id")
+          .localCheckpoint()
+        // <= k rows; rides a broadcast join, never a shuffle
+        val csize = asn.groupBy("cluster")
+          .agg(count(lit(1)).cast(LongType).as("csize"))
+        val keyed = asn
+          .join(broadcast(csize), "cluster")
+          .withColumn("sub", when(col("csize") > SemCellCap,
+              expr(VectorOps.hyperplaneSigSpark("embedding")).cast(LongType))
+            .otherwise(lit(0L)))
+        val a = keyed.select(col("cluster"), col("sub"),
+          col("vec_id").as("id_a"), col("embedding").as("va"))
+        val b = keyed.select(col("cluster"), col("sub"),
+          col("vec_id").as("id_b"), col("embedding").as("vb"))
+        a.join(b, Seq("cluster", "sub"))
           .where(col("id_a") < col("id_b"))
           .withColumn("score", round(
             graft.functions.GraftFunctions.cosine_sim(col("va"), col("vb")), 6))
@@ -706,12 +732,22 @@ object AnalyticsOps {
         |${kmUpdateDuck("a1", "cents1")},
         |${kmAssignDuck("cents1", "a2")},
         |${kmUpdateDuck("a2", "cents2")},
-        |${kmAssignDuck("cents2", "a3")}
-        |SELECT a3a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+        |${kmAssignDuck("cents2", "a3")},
+        |csize AS (
+        |  SELECT cluster, CAST(count(*) AS BIGINT) AS csize FROM a3 GROUP BY 1),
+        |keyed AS (
+        |  SELECT a3.cluster, a3.vec_id, g.embedding,
+        |    CASE WHEN c.csize > $SemCellCap
+        |      THEN CAST(${VectorOps.hyperplaneSigDuck("g.embedding")} AS BIGINT)
+        |      ELSE 0 END AS sub
+        |  FROM a3 JOIN aug g ON g.vec_id = a3.vec_id
+        |  JOIN csize c USING (cluster))
+        |SELECT ka.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(${semCosineDuck}, 6) AS score
-        |FROM a3 a3a JOIN a3 a3b ON a3a.cluster = a3b.cluster AND a3a.vec_id < a3b.vec_id
-        |JOIN aug a ON a.vec_id = a3a.vec_id
-        |JOIN aug b ON b.vec_id = a3b.vec_id
+        |FROM keyed ka JOIN keyed kb
+        |  ON ka.cluster = kb.cluster AND ka.sub = kb.sub AND ka.vec_id < kb.vec_id
+        |JOIN aug a ON a.vec_id = ka.vec_id
+        |JOIN aug b ON b.vec_id = kb.vec_id
         |WHERE round(${semCosineDuck}, 6) >= 0.99
         |ORDER BY id_a, id_b""".stripMargin)),
 

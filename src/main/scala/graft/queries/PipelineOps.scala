@@ -1464,6 +1464,16 @@ object PipelineOps {
           .select(col("doc_id").cast(LongType), col("label").cast(LongType),
             col("score_micros"))
           .as[(Long, Long, Long)]
+          // one execution of the corpus-scale scoring subtree: the
+          // count() below, orderBy's range-sampling pass, AND
+          // zipWithIndex's per-partition count job each re-ran the
+          // join+groupBy above (measured 3x the plan's cpu-s) — they
+          // now read this materialized 3-long-per-row split instead.
+          // A value-keyed histogram decile (curriculum_quality_order's
+          // trick) is NOT usable here: score_micros is an unbounded
+          // weight sum, so its histogram is corpus-sized, while the
+          // oracle's ntile(10) needs exact positions anyway.
+          .localCheckpoint()
         val n = scored.count()
         // SQL ntile(10): first (n mod 10) buckets take ceil(n/10) rows
         val ceilSz = (n + 9) / 10

@@ -60,8 +60,11 @@ object VectorOps {
   private def planeVals(p: Int): Seq[String] =
     (0 until EmbDim).map(j => if (planeSign(p, j) > 0) "1.0" else "-1.0")
 
-  /** NPlanes-bit signature of `v` as a Spark SQL expression. */
-  private def hyperplaneSigSpark(v: String): String =
+  /** NPlanes-bit signature of `v` as a Spark SQL expression.
+    * private[queries]: dedup_semantic_kmeans reuses the SAME planes to
+    * sub-bucket oversized k-means cells, so the two blocking families
+    * stay directly comparable. */
+  private[queries] def hyperplaneSigSpark(v: String): String =
     (0 until NPlanes).map { p =>
       val plane = planeVals(p).mkString("array(", ",", ")")
       s"""(CASE WHEN aggregate(zip_with($v, $plane,
@@ -71,7 +74,7 @@ object VectorOps {
     }.mkString("(", " + ", ")")
 
   /** Identical signature in DuckDB. */
-  private def hyperplaneSigDuck(v: String): String =
+  private[queries] def hyperplaneSigDuck(v: String): String =
     (0 until NPlanes).map { p =>
       val plane = planeVals(p).mkString("[", ",", "]")
       s"""(CASE WHEN list_reduce(list_transform(list_zip($v, $plane),

@@ -36,6 +36,9 @@ object ScaleTrend {
     "dedup_ngram_prefix",
     "dedup_simhash",
     "dedup_embedding_cosine",
+    // cell self-join under the SemCellCap sub-bucketing — the exact
+    // query class (one hot cell going quadratic) this audit catches
+    "dedup_semantic_kmeans",
     "dedup_cluster_cc")
 
   val HotExtras: Seq[String] = Seq(

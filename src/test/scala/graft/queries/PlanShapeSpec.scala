@@ -139,7 +139,14 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     "stats_pack_efficiency" -> 4,
     // line explode + poison unions feed ONE per-doc aggregate; a
     // second hash exchange would mean the line table started joining
-    "text_c4_rules" -> 1)
+    "text_c4_rules" -> 1,
+    // (cluster, sub)-keyed cell self-join with the SemCellCap LSH
+    // sub-bucketing, assignments behind a localCheckpoint: the
+    // assignment⋈embedding attach, the cell-size agg, and the two
+    // self-join sides shuffling on the blocking key. More means a
+    // corpus-keyed shuffle crept in before blocking (or the Lloyd
+    // subtree started replaying per join side again).
+    "dedup_semantic_kmeans" -> 4)
   // ann_pq_learned is not budgeted: its top-50 candidate table is an
   // eager localCheckpoint (feeds recall AND the final join), so the
   // final plan string is vacuous; its training chain is hash-agg
