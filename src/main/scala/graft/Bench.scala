@@ -415,10 +415,11 @@ object Bench {
     }
 
     // ---- control plane over a REAL HTTP endpoint: the same flow at
-    // 2k streams through HttpObjectServer, so the artifact carries the
-    // protocol-round-trip overhead of the deployment-shaped adapter
-    // (every create/list/commit/check_tail is an actual HTTP request,
-    // conditional puts decided server-side) next to the POSIX numbers.
+    // the SAME 10k streams as the POSIX phase above, so the two
+    // adapters' numbers are directly comparable. Every create/list/
+    // commit/check_tail is an actual HTTP request, conditional puts
+    // decided server-side; meta reads revalidate a client cache via
+    // If-None-Match/304.
     val httpControlPlaneJson: String = try {
       val (server, endpoint) = graft.log.HttpObjectServer.start()
       try {
@@ -428,7 +429,7 @@ object Bench {
         storeH.catalog.createBasin("bench-basin",
           BasinConfig(defaultStreamConfig =
             StreamConfig(retentionPolicy = Some(RetentionPolicy.Infinite))))
-        val nH = 2000
+        val nH = 10000
         val namesH = (0 until nH).map(i => f"hp-$i%05d")
         val tC0 = System.nanoTime()
         storeH.catalog.createStreams("bench-basin", namesH)
@@ -461,7 +462,35 @@ object Bench {
         }
         require(tailsH.forall(_._2 == 1L), "http-endpoint ingest lost a record")
         val latH = tailsH.map(_._1).sorted
-        f""""cphttp_streams":$listedH,"cphttp_create_sec":$hCreateSec%.3f,"cphttp_list_pages_sec":$hListSec%.3f,"cphttp_ingest_sec":$hIngestSec%.3f,"cphttp_checktail_p50_ms":${pct(latH, 0.50)}%.2f,"cphttp_checktail_p99_ms":${pct(latH, 0.99)}%.2f"""
+        // A8 pipelining vs the serial unary path, same endpoint: the
+        // serial loop pays (manifest read + data PUT + CAS) per batch;
+        // the session's group commit amortizes the barrier across the
+        // backlog — this ratio is the pipelining win the reference
+        // documents against object-storage latency (README:176).
+        storeH.catalog.createStream("bench-basin", "a8-serial")
+        storeH.catalog.createStream("bench-basin", "a8-pipe")
+        val nBatches = 200
+        val a8Batch = AppendInput(Seq.fill(10)(
+          EnvelopeRecord(Nil, Array.fill(256)(7: Byte))))
+        val tSer0 = System.nanoTime()
+        (0 until nBatches).foreach(_ =>
+          storeH.append("bench-basin", "a8-serial", a8Batch))
+        val serialSec = (System.nanoTime() - tSer0) / 1e9
+        val sessH = new graft.log.AppendSession(storeH, "bench-basin", "a8-pipe")
+        val tPipe0 = System.nanoTime()
+        val futsH = (0 until nBatches).map(_ => sessH.submit(a8Batch))
+        import scala.concurrent.duration._
+        futsH.foreach(f => require(
+          scala.concurrent.Await.result(f, 120.seconds).isRight,
+          "pipelined append failed"))
+        val pipeSec = (System.nanoTime() - tPipe0) / 1e9
+        sessH.close()
+        require(storeH.checkTail("bench-basin", "a8-serial").seqNum == nBatches * 10L &&
+          storeH.checkTail("bench-basin", "a8-pipe").seqNum == nBatches * 10L,
+          "a8 workload lost records")
+        val serialBps = nBatches / serialSec
+        val pipeBps = nBatches / pipeSec
+        f""""cphttp_streams":$listedH,"cphttp_create_sec":$hCreateSec%.3f,"cphttp_list_pages_sec":$hListSec%.3f,"cphttp_ingest_sec":$hIngestSec%.3f,"cphttp_checktail_p50_ms":${pct(latH, 0.50)}%.2f,"cphttp_checktail_p99_ms":${pct(latH, 0.99)}%.2f,"a8_http_serial_batches_per_sec":$serialBps%.1f,"a8_http_pipelined_batches_per_sec":$pipeBps%.1f,"a8_http_pipeline_speedup":${pipeBps / serialBps}%.2f"""
       } finally server.stop(0)
     } catch { case e: Throwable =>
       val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(160)}"

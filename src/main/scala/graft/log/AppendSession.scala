@@ -8,39 +8,54 @@ import graft.model._
 /** A8 — pipelined append session with the reference's poison/ordered-ack
   * contract (lite/src/backend/append.rs:95-273):
   *
-  *  - submissions are applied in submission order, one at a time, so
-  *    acks can never reorder (`FuturesOrdered` + per-stream actor in
-  *    the reference; a single worker draining a FIFO here);
-  *  - an ack is completed only after its batch is durable — Spark-side,
-  *    `StreamStore.append` returns only after the manifest commit, so
-  *    completion order == durability order;
+  *  - submissions are applied in submission order, so acks can never
+  *    reorder (`FuturesOrdered` + per-stream actor in the reference;
+  *    a single worker draining a FIFO here);
+  *  - an ack is completed only after its batch is durable — and
+  *    durability is a GROUP barrier: the drain takes every queued
+  *    submission (bounded by `groupMaxBatches`), applies them through
+  *    `StreamStore.appendGroup` under ONE manifest commit, and
+  *    completes their acks in order behind that shared barrier. This
+  *    is the reference's append pipelining ("Appends are pipelined to
+  *    improve performance against object storage latency",
+  *    README:176): while the caller keeps submitting, in-flight
+  *    batches amortize the object-store round trip instead of paying
+  *    read+PUT+CAS each.
   *  - a failed append POISONS the session (`SessionState.poisoned`,
   *    append.rs:99-131): every not-yet-applied submission and every
   *    later submit fails with `SessionPoisoned` instead of being
   *    applied, so an observer can never see an ack reorder past a failure —
-  *    acks for batches submitted before the failure still complete.
+  *    acks for batches submitted before the failure still complete
+  *    (appendGroup commits the valid prefix exactly like the serial
+  *    loop did).
   *
   * Transient failures retry IN PLACE with capped exponential backoff
   * before the session poisons (the reference SDK's retry policy,
   * sdk/src/retry.rs): a thrown `ManifestCasConflict` (a competing
   * writer racing the manifest commit) is retried up to `maxRetries`
-  * times — safe because the losing append deletes its data file before
-  * rethrowing, so the re-drive can't duplicate seq_nums. Everything
-  * else — deterministic rejections (SeqNumMismatch, fencing, caps…)
-  * AND IO failures (disk-full would fail identically every attempt) —
-  * never retries. Retrying on the single drain thread keeps the
-  * ordered-ack contract intact.
+  * times — safe because the losing group deletes its data object
+  * before rethrowing, so the re-drive can't duplicate seq_nums.
+  * Everything else — deterministic rejections (SeqNumMismatch,
+  * fencing, caps…) AND IO failures (disk-full would fail identically
+  * every attempt) — never retries. Retrying on the single drain
+  * thread keeps the ordered-ack contract intact.
   */
 final class AppendSession(store: StreamStore, basin: String, stream: String,
                           nowMs: Option[Long] = None,
                           cipher: Option[Array[Byte]] = None,
                           maxRetries: Int = 3,
-                          retryBackoffMs: Long = 10) {
+                          retryBackoffMs: Long = 10,
+                          groupMaxBatches: Int = 64) {
 
   /** The append op the drain loop applies — injectable so specs can
-    * exercise the retry matrix with scripted failures. */
-  @volatile private[log] var appendOp: AppendInput => Either[AppendError, AppendAck] =
+    * exercise the retry matrix with scripted failures. When a spec
+    * replaces it, the drain falls back to batch-at-a-time application
+    * (the scripted op sees every batch in order); the default path
+    * group-commits via [[StreamStore.appendGroup]]. */
+  private val defaultOp: AppendInput => Either[AppendError, AppendAck] =
     in => store.append(basin, stream, in, nowMs, cipher)
+  @volatile private[log] var appendOp: AppendInput => Either[AppendError, AppendAck] =
+    defaultOp
 
   /** Transient = worth retrying. ONLY the manifest-CAS race qualifies:
     * a competing writer advanced the tail, and `StreamStore.append`
@@ -94,42 +109,84 @@ final class AppendSession(store: StreamStore, basin: String, stream: String,
   private def drain(): Unit = {
     try {
       while (!closed || !queue.isEmpty) {
-        val next = lock.synchronized {
+        val first = lock.synchronized {
           var n = queue.poll()
           while (n == null && !closed) { lock.wait(50); n = queue.poll() }
           n
         }
-        if (next != null) {
-          if (poisoned) next.p.success(Left(SessionError.SessionPoisoned))
-          else {
-            // a THROWN failure (CAS conflict, IO error) must poison and
-            // complete the promise too — a dead worker with hanging
-            // futures would deadlock Producer permits forever; transient
-            // throws retry with capped backoff first (retry.rs)
-            var attempt = 0
-            var res: Either[AppendError, AppendAck] = null
-            while (res == null) {
-              try res = appendOp(next.input)
-              catch {
-                case e: Throwable if attempt < maxRetries && retryable(e) =>
-                  attempt += 1
-                  Thread.sleep(math.min(retryBackoffMs << (attempt - 1), 1000L))
-                case e: Throwable =>
-                  res = Left(AppendError.InvalidBatch(s"append threw: ${e.getMessage}"))
-              }
-            }
-            res match {
-              case Right(ack) => next.p.success(Right(ack))
-              case Left(e) =>
-                // poison BEFORE completing the failure, so no later
-                // submission can be admitted concurrently with the error
-                lock.synchronized { poisoned = true }
-                next.p.success(Left(SessionError.Append(e)))
-            }
+        if (first != null) {
+          // take the whole backlog (bounded): everything submitted
+          // while the previous group was committing rides ONE
+          // durability barrier — this is where pipelining throughput
+          // comes from on a high-RTT backend
+          val group = scala.collection.mutable.ArrayBuffer(first)
+          var more = queue.poll()
+          while (more != null && group.size < groupMaxBatches) {
+            group += more
+            more = if (group.size < groupMaxBatches) queue.poll() else null
           }
+          if (poisoned)
+            group.foreach(_.p.success(Left(SessionError.SessionPoisoned)))
+          else if (appendOp eq defaultOp) drainGroup(group.toSeq)
+          else group.foreach(drainOne)
         }
       }
     } finally drained.countDown()
+  }
+
+  /** Group-commit path: one appendGroup call (one manifest CAS) for
+    * the whole backlog; in-place retry of the WHOLE group on a
+    * transient CAS race (nothing committed — the group's object is
+    * deleted before the rethrow). */
+  private def drainGroup(group: Seq[Pending]): Unit = {
+    var attempt = 0
+    var out: (Seq[AppendAck], Option[(Int, AppendError)]) = null
+    while (out == null) {
+      try out = store.appendGroup(basin, stream, group.map(_.input), nowMs, cipher)
+      catch {
+        case e: Throwable if attempt < maxRetries && retryable(e) =>
+          attempt += 1
+          Thread.sleep(math.min(retryBackoffMs << (attempt - 1), 1000L))
+        case e: Throwable =>
+          out = (Nil, Some((0, AppendError.InvalidBatch(s"append threw: ${e.getMessage}"))))
+      }
+    }
+    val (acks, failure) = out
+    acks.zipWithIndex.foreach { case (a, i) => group(i).p.success(Right(a)) }
+    failure.foreach { case (idx, err) =>
+      // poison BEFORE completing the failure, so no later submission
+      // can be admitted concurrently with the error
+      lock.synchronized { poisoned = true }
+      group(idx).p.success(Left(SessionError.Append(err)))
+      group.drop(idx + 1).foreach(_.p.success(Left(SessionError.SessionPoisoned)))
+    }
+  }
+
+  /** Batch-at-a-time path, kept for scripted `appendOp` overrides: a
+    * THROWN failure (CAS conflict, IO error) must poison and complete
+    * the promise too — a dead worker with hanging futures would
+    * deadlock Producer permits forever; transient throws retry with
+    * capped backoff first (retry.rs). */
+  private def drainOne(next: Pending): Unit = {
+    if (poisoned) { next.p.success(Left(SessionError.SessionPoisoned)); return }
+    var attempt = 0
+    var res: Either[AppendError, AppendAck] = null
+    while (res == null) {
+      try res = appendOp(next.input)
+      catch {
+        case e: Throwable if attempt < maxRetries && retryable(e) =>
+          attempt += 1
+          Thread.sleep(math.min(retryBackoffMs << (attempt - 1), 1000L))
+        case e: Throwable =>
+          res = Left(AppendError.InvalidBatch(s"append threw: ${e.getMessage}"))
+      }
+    }
+    res match {
+      case Right(ack) => next.p.success(Right(ack))
+      case Left(e) =>
+        lock.synchronized { poisoned = true }
+        next.p.success(Left(SessionError.Append(e)))
+    }
   }
 
   /** Stop accepting submissions; pending ones still complete in order. */

@@ -101,7 +101,15 @@ object HttpObjectServer {
         case "GET" =>
           meta.get(key) match {
             case null => respond(ex, 404)
-            case o => respond(ex, 200, o.json.getBytes(UTF_8), Map("ETag" -> o.etag))
+            case o =>
+              // conditional GET: a revalidation hit skips the body
+              // (and the client's re-parse) without weakening
+              // consistency — the decision is the server's
+              val inm = Option(ex.getRequestHeaders.getFirst("If-None-Match"))
+              if (inm.contains(o.etag))
+                respond(ex, 304, Array.emptyByteArray, Map("ETag" -> o.etag))
+              else
+                respond(ex, 200, o.json.getBytes(UTF_8), Map("ETag" -> o.etag))
           }
         case "DELETE" =>
           meta.remove(key); respond(ex, 204)
@@ -282,12 +290,32 @@ final class HttpObjectBackend(endpoint: String) extends StorageBackend {
 
   private def metaUrl(key: String): String = s"$endpoint/meta${enc(key)}"
 
+  /** Client-side revalidation cache for meta reads: (json, etag) per
+    * key, served only on a server-confirmed 304 — every read still
+    * makes the round trip, so consistency is exactly the server's
+    * (check_tail at 10k streams re-reads one manifest forever; the
+    * cache spares the body transfer and the caller's re-parse).
+    * Bounded like Catalog.objCache: cleared wholesale past 64k keys —
+    * a refill costs one 200 per key, never a wrong answer. */
+  private val metaCache = new ConcurrentHashMap[String, (String, String)]()
+
   def getMeta(key: String, fresh: Boolean): Option[(String, String)] = {
-    val (code, body, etag) = exchange("GET", metaUrl(norm(Paths.get(key))))
+    val k = norm(Paths.get(key))
+    val cached = metaCache.get(k)
+    val hdr = cached match {
+      case null => Nil
+      case (_, tag) => Seq("If-None-Match" -> tag)
+    }
+    val (code, body, etag) = exchange("GET", metaUrl(k), hdr)
     // ONLY 404 means absent — mapping an unexpected 5xx to None would
     // serve a live stream as fresh/tail-0 to read paths
-    if (code == 200) Some((new String(body, UTF_8), etag))
-    else if (code == 404) None
+    if (code == 200) {
+      val v = (new String(body, UTF_8), etag)
+      if (metaCache.size > 65536) metaCache.clear()
+      metaCache.put(k, v)
+      Some(v)
+    } else if (code == 304) Some(cached)
+    else if (code == 404) { metaCache.remove(k); None }
     else throw new java.io.IOException(
       s"getMeta $key -> HTTP $code: ${new String(body, UTF_8).take(160)}")
   }
@@ -297,25 +325,30 @@ final class HttpObjectBackend(endpoint: String) extends StorageBackend {
       case Some(tag) => Seq("If-Match" -> tag)
       case None => Seq("If-None-Match" -> "*")
     }
-    val (code, body, etag) = exchange("PUT", metaUrl(norm(Paths.get(key))),
+    val k = norm(Paths.get(key))
+    val (code, body, etag) = exchange("PUT", metaUrl(k),
       hdr, body = json.getBytes(UTF_8))
     // ONLY 412 is a CAS conflict (Left = "foreign commit won; rebase"
     // to Catalog.mutateDoc retry loops) — treating a persistent 5xx as
     // a conflict would spin those loops forever; throw instead
-    if (code == 200) Right(etag)
+    if (code == 200) { metaCache.put(k, (json, etag)); Right(etag) }
     else if (code == 412) Left(s"precondition failed for $key (HTTP 412)")
     else throw new java.io.IOException(
       s"casMeta $key -> HTTP $code: ${new String(body, UTF_8).take(160)}")
   }
 
   def putMeta(key: String, json: String): Unit = {
-    val (code, _, _) = exchange("PUT", metaUrl(norm(Paths.get(key))),
+    val k = norm(Paths.get(key))
+    val (code, _, etag) = exchange("PUT", metaUrl(k),
       body = json.getBytes(UTF_8))
     require(code == 200, s"putMeta $key -> HTTP $code")
+    metaCache.put(k, (json, etag))
   }
 
   def deleteMeta(key: String): Unit = {
-    exchange("DELETE", metaUrl(norm(Paths.get(key))))
+    val k = norm(Paths.get(key))
+    exchange("DELETE", metaUrl(k))
+    metaCache.remove(k)
     ()
   }
 

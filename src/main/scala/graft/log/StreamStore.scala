@@ -561,15 +561,47 @@ final class StreamStore(val spark: SparkSession, val root: String) {
     * (A4), assigns positions (A2) and timestamps (A3, exact
     * streamer.rs:964-1008 semantics), applies in-band fence/trim
     * commands (A6/A7), commits one sorted parquet file + the manifest.
+    * The single-batch case of [[appendGroup]].
     */
   def append(basin: String, stream: String, input: AppendInput,
              nowMs: Option[Long] = None,
-             cipher: Option[Array[Byte]] = None): Either[AppendError, AppendAck] = {
-    val ackT0 = System.nanoTime()
-    Caps.validateBatch(input.records) match {
-      case Left(e) => return Left(AppendError.InvalidBatch(e))
-      case Right(_) =>
+             cipher: Option[Array[Byte]] = None): Either[AppendError, AppendAck] =
+    appendGroup(basin, stream, Seq(input), nowMs, cipher) match {
+      case (Seq(ack), None) => Right(ack)
+      case (_, Some((_, e))) => Left(e)
+      case other => throw new IllegalStateException(
+        s"appendGroup contract violation for one input: $other")
     }
+
+  /** A8 pipelining — GROUP COMMIT of submission-ordered batches with
+    * ONE manifest CAS, the store-side analog of the reference's
+    * durability watermark: appends are sequenced and staged eagerly
+    * and their acks release together when the shared durability
+    * barrier (the manifest commit) lands, so per-batch cost against a
+    * high-RTT object endpoint amortizes to ~(1 data PUT + 1/G CAS)
+    * instead of (read + PUT + CAS) per batch ("Appends are pipelined
+    * to improve performance against object storage latency",
+    * reference README:176; FuturesOrdered + PendingAppends.on_stable,
+    * lite/src/backend/append.rs:57,137-202; the storage submit is one
+    * atomic WriteBatch, lite/src/backend/streamer.rs:1010-1070).
+    *
+    * Semantics are EXACTLY the serial loop's: batch k validates
+    * against the state batches 0..k-1 left behind (rolled tail /
+    * fencing token / trim point), and on the first invalid batch the
+    * valid prefix still commits — returns (acks for 0..k-1,
+    * Some((k, error))). All-or-nothing within the prefix: the group's
+    * single data object and manifest CAS land together or not at all
+    * (a failed CAS deletes the object before rethrowing, so a
+    * re-driven group can never duplicate seq_nums).
+    */
+  def appendGroup(basin: String, stream: String, inputs: Seq[AppendInput],
+                  nowMs: Option[Long] = None,
+                  cipher: Option[Array[Byte]] = None)
+      : (Seq[AppendAck], Option[(Int, AppendError)]) = {
+    require(inputs.nonEmpty, "appendGroup needs at least one batch")
+    val ackT0 = System.nanoTime()
+    def failAll(e: AppendError): (Seq[AppendAck], Option[(Int, AppendError)]) =
+      (Nil, Some((0, e)))
     val basinCfg = catalog.basinConfig(basin)
     val config = resolveStream(basin, stream,
       autoCreate = basinCfg.createStreamOnAppend) match {
@@ -578,7 +610,7 @@ final class StreamStore(val spark: SparkSession, val root: String) {
         // deletion-pending outranks not-found (streamer.rs:402-404):
         // the soft-deleted stream's streamer still answers until the
         // terminal trim is reclaimed
-        return Left(
+        return failAll(
           if (manifest(basin, stream).deletionPending)
             AppendError.StreamDeletionPending
           else AppendError.StreamNotFound)
@@ -589,103 +621,142 @@ final class StreamStore(val spark: SparkSession, val root: String) {
     val cipherSpec: Option[CipherSpec] =
       RecordCipher.resolve(basinCfg.streamCipher, cipher) match {
         case Right(s) => s
-        case Left(e) => return Left(AppendError.EncryptionError(e))
+        case Left(e) => return failAll(AppendError.EncryptionError(e))
       }
     val ts = config.timestampingOrDefault
 
     withStreamLock(basin, stream) {
       val (m0, tag0) = manifestTagged(basin, stream)
       if (m0.deletionPending)
-        return Left(AppendError.StreamDeletionPending)
+        return failAll(AppendError.StreamDeletionPending)
       // the sweep may fence-bump (object mode) or refresh (lost race);
       // the commit below MUST build on what it returns
       val (m, tag) = sweepOrphans(basin, stream, m0, tag0)
       if (m.deletionPending)
-        return Left(AppendError.StreamDeletionPending)
-      // A5: fencing enforced only when a token is provided
-      input.fencingToken match {
-        case Some(t) if t != m.fencingToken =>
-          return Left(AppendError.FencingTokenMismatch(m.fencingToken))
-        case _ =>
-      }
-      // A4: CAS against the first assigned seq_num
-      input.matchSeqNum match {
-        case Some(n) if n != m.tailSeq =>
-          return Left(AppendError.SeqNumMismatch(n, m.tailSeq))
-        case _ =>
-      }
+        return failAll(AppendError.StreamDeletionPending)
       val now = nowMs.getOrElse(System.currentTimeMillis())
-      val clientTs: Seq[Option[Long]] =
-        if (input.clientTimestamps.nonEmpty) input.clientTimestamps
-        else Seq.fill(input.records.size)(None)
 
-      // A3: per-record mode -> cap -> monotone clamp
+      // Roll the manifest state batch by batch, stopping at the first
+      // invalid one — exactly the state a serial commit-per-batch loop
+      // would have validated each batch against.
+      var tail = m.tailSeq
       var maxTs = m.tailTs
-      val assigned = new scala.collection.mutable.ArrayBuffer[(Long, Long)]
-      for ((ct, i) <- clientTs.zipWithIndex) {
-        var t = ts.mode match {
-          case TimestampingMode.ClientPrefer => ct.getOrElse(now)
-          case TimestampingMode.ClientRequire =>
-            ct.getOrElse(return Left(AppendError.TimestampMissing))
-          case TimestampingMode.Arrival => now
-        }
-        if (!ts.uncapped && t > now) t = now
-        if (t < maxTs) t = maxTs else maxTs = t
-        assigned += ((m.tailSeq + i, t))
-      }
-
-      // A6/A7: apply commands in order
       var fence = m.fencingToken
       var trim = m.trimPoint
-      for ((rec, i) <- input.records.zipWithIndex) rec match {
-        case FenceCommand(token) => fence = token
-        case TrimCommand(p) =>
-          val candidate = math.min(p, assigned(i)._1 + 1)
-          if (candidate > trim) trim = candidate
-        case e: EnvelopeRecord =>
-          CommandRecord.fromEnvelopeForm(e).foreach {
-            case FenceCommand(token) => fence = token
-            case TrimCommand(p) =>
-              val candidate = math.min(p, assigned(i)._1 + 1)
-              if (candidate > trim) trim = candidate
+      val recs = scala.collection.mutable.ArrayBuffer.empty[DirectParquet.Rec]
+      val acks = scala.collection.mutable.ArrayBuffer.empty[AppendAck]
+      var failure: Option[(Int, AppendError)] = None
+      var bi = 0
+      while (bi < inputs.length && failure.isEmpty) {
+        val input = inputs(bi)
+        def fail(e: AppendError): Unit = failure = Some((bi, e))
+        Caps.validateBatch(input.records) match {
+          case Left(e) => fail(AppendError.InvalidBatch(e))
+          case Right(_) =>
+            // A5: fencing enforced only when a token is provided —
+            // against the ROLLED token (an earlier in-group fence
+            // command is visible to later batches, like serial)
+            input.fencingToken match {
+              case Some(t) if t != fence =>
+                fail(AppendError.FencingTokenMismatch(fence))
+              case _ =>
+                // A4: CAS against the first seq this batch would take
+                input.matchSeqNum match {
+                  case Some(n) if n != tail =>
+                    fail(AppendError.SeqNumMismatch(n, tail))
+                  case _ =>
+                }
+            }
+        }
+        if (failure.isEmpty) {
+          val clientTs: Seq[Option[Long]] =
+            if (input.clientTimestamps.nonEmpty) input.clientTimestamps
+            else Seq.fill(input.records.size)(None)
+          // A3: per-record mode -> cap -> monotone clamp. The clamp
+          // cursor is batch-LOCAL until the batch is accepted: a batch
+          // that fails mid-validation (TimestampMissing) must leave no
+          // trace in the committed prefix's tail timestamp.
+          val assigned = new scala.collection.mutable.ArrayBuffer[(Long, Long)]
+          var btMax = maxTs
+          for ((ct, i) <- clientTs.zipWithIndex if failure.isEmpty) {
+            val t0 = ts.mode match {
+              case TimestampingMode.ClientPrefer => Some(ct.getOrElse(now))
+              case TimestampingMode.ClientRequire => ct
+              case TimestampingMode.Arrival => Some(now)
+            }
+            t0 match {
+              case None => fail(AppendError.TimestampMissing)
+              case Some(raw) =>
+                var t = raw
+                if (!ts.uncapped && t > now) t = now
+                if (t < btMax) t = btMax else btMax = t
+                assigned += ((tail + i, t))
+            }
           }
+          if (failure.isEmpty) {
+            maxTs = btMax
+            // A6/A7: apply commands in order
+            for ((rec, i) <- input.records.zipWithIndex) rec match {
+              case FenceCommand(token) => fence = token
+              case TrimCommand(p) =>
+                val candidate = math.min(p, assigned(i)._1 + 1)
+                if (candidate > trim) trim = candidate
+              case e: EnvelopeRecord =>
+                CommandRecord.fromEnvelopeForm(e).foreach {
+                  case FenceCommand(token) => fence = token
+                  case TrimCommand(p) =>
+                    val candidate = math.min(p, assigned(i)._1 + 1)
+                    if (candidate > trim) trim = candidate
+                }
+            }
+            recs ++= input.records.zip(assigned).map { case (rec, (seq, t)) =>
+              val env = rec match {
+                case e: EnvelopeRecord => e
+                case c: CommandRecord => c.toEnvelopeForm
+              }
+              val hs = env.headers.map(h => (h.name, h.value))
+              // A13: encrypt AFTER metering (metered size = plaintext
+              // size). Commands stay plaintext (encryption.rs:211-213);
+              // data envelopes encrypt their FULL wire encoding,
+              // headers included (encryption.rs:243-272), stored as
+              // headers=NULL + sealed body.
+              cipherSpec match {
+                case Some(spec) if !RecordCipher.isCommandForm(hs) =>
+                  DirectParquet.Rec(seq, t, null,
+                    RecordCipher.encryptEnvelope(spec,
+                      RecordCipher.aad(basin, stream), hs, env.body),
+                    rec.meteredSize)
+                case _ =>
+                  DirectParquet.Rec(seq, t, hs, env.body, rec.meteredSize)
+              }
+            }
+            val first = assigned.head
+            val last = assigned.last
+            tail = last._1 + 1
+            acks += AppendAck(
+              StreamPosition(first._1, first._2),
+              StreamPosition(last._1 + 1, last._2),
+              StreamPosition(tail, maxTs)) // group-final tail patched below
+            bi += 1
+          }
+        }
       }
+      if (acks.isEmpty) return (Nil, failure)
 
-      val recs = input.records.zip(assigned).map { case (rec, (seq, t)) =>
-        val env = rec match {
-          case e: EnvelopeRecord => e
-          case c: CommandRecord => c.toEnvelopeForm
-        }
-        val hs = env.headers.map(h => (h.name, h.value))
-        // A13: encrypt AFTER metering (metered size = plaintext size).
-        // Commands stay plaintext (encryption.rs:211-213); data
-        // envelopes encrypt their FULL wire encoding, headers included
-        // (encryption.rs:243-272), stored as headers=NULL + sealed body.
-        cipherSpec match {
-          case Some(spec) if !RecordCipher.isCommandForm(hs) =>
-            DirectParquet.Rec(seq, t, null,
-              RecordCipher.encryptEnvelope(spec,
-                RecordCipher.aad(basin, stream), hs, env.body),
-              rec.meteredSize)
-          case _ =>
-            DirectParquet.Rec(seq, t, hs, env.body, rec.meteredSize)
-        }
-      }
-      // driver-direct write to LOCAL staging, then one atomic
+      // ONE data object + ONE manifest CAS for the whole accepted
+      // prefix. Driver-direct write to LOCAL staging, then one atomic
       // whole-object publish into the generation dir: on POSIX a
       // same-volume move, on an object store the PUT itself — either
-      // way a lister never observes a partial data object
+      // way a lister never observes a partial data object.
       val stagedDir = s"$root/_tmp"
-      val staged = Paths.get(DirectParquet.writeBatch(stagedDir, recs))
+      val staged = Paths.get(DirectParquet.writeBatch(stagedDir, recs.toSeq))
       val dataFile = Paths.get(Layout.genDir(root, basin, stream, m.generation))
         .resolve(staged.getFileName)
       backend.putData(staged, dataFile)
 
-      val first = assigned.head
-      val last = assigned.last
-      val newM = m.copy(tailSeq = last._1 + 1, tailTs = math.max(m.tailTs, last._2),
+      val newM = m.copy(tailSeq = tail, tailTs = maxTs,
         fencingToken = fence, trimPoint = trim, version = m.version + 1)
-      // the append must be ATOMIC: the data object precedes the
+      // the group must be ATOMIC: the data object precedes the
       // manifest commit (durability order), so a failed commit has to
       // take the object with it — an orphan above the committed tail
       // is invisible today (reads clamp at tail) but becomes duplicate
@@ -698,15 +769,19 @@ final class StreamStore(val spark: SparkSession, val root: String) {
         backend.deleteData(dataFile)
         throw t
       }
+      // acks carry the DURABLE tail (the group's committed end), like
+      // the reference's on_stable watermark completing every pending
+      // ack with the stable position (append.rs:180-191)
+      val sealed0 = acks.toSeq.map(a =>
+        a.copy(tail = StreamPosition(newM.tailSeq, newM.tailTs)))
       // M5: the reference's server histograms (lite/src/metrics.rs)
-      ServerMetrics.appendAckLatency.observe((System.nanoTime() - ackT0) / 1e9)
-      ServerMetrics.appendBatchRecords.observe(input.records.size.toDouble)
-      ServerMetrics.appendBatchBytes.observe(
-        input.records.iterator.map(_.meteredSize).sum.toDouble)
-      Right(AppendAck(
-        StreamPosition(first._1, first._2),
-        StreamPosition(last._1 + 1, last._2),
-        StreamPosition(newM.tailSeq, newM.tailTs)))
+      sealed0.zip(inputs).foreach { case (_, input) =>
+        ServerMetrics.appendAckLatency.observe((System.nanoTime() - ackT0) / 1e9)
+        ServerMetrics.appendBatchRecords.observe(input.records.size.toDouble)
+        ServerMetrics.appendBatchBytes.observe(
+          input.records.iterator.map(_.meteredSize).sum.toDouble)
+      }
+      (sealed0, failure)
     }
   }
 

@@ -308,6 +308,75 @@ object EngineDemos {
         }))
     },
 
+    // Declarative catalog apply/diff (cli/src/apply.rs, cli/src/diff.rs):
+    // dry-run plans, idempotent re-apply, and the apply.rs:176-178
+    // defaults-before-comparison rule (a stored explicit default is
+    // "unchanged" against a spec that omits the field).
+    demo("e2e_catalog_apply", Seq(
+      "dry_run_v1" -> "basin:created,stream/s1:created,stream/s2:created",
+      "dry_run_touched_nothing" -> "absent",
+      "apply_v1" -> "basin:created,stream/s1:created,stream/s2:created",
+      "reapply_v1" -> "basin:unchanged,stream/s1:unchanged,stream/s2:unchanged",
+      "stored_default_vs_omitted_spec" -> "unchanged",
+      "apply_v2" -> "basin:updated,stream/s1:unchanged,stream/s2:updated,stream/s3:created",
+      "v2_basin_diff" -> "create_stream_on_append:false->true",
+      "v2_s2_diff" -> "retention_policy:3600s->infinite",
+      "v2_s3_create_fields" -> "timestamping.mode:->arrival",
+      "merged_s1_retention" -> "7200")) { (_, st) =>
+      import graft.log.CatalogApply
+      val cat = st.catalog
+      def fmt(es: Seq[CatalogApply.Entry]): String = es.map(e =>
+        (if (e.kind == "basin") "basin" else s"stream/${e.stream}") +
+          s":${e.action}").mkString(",")
+      val v1 = CatalogApply.parse(
+        """{"basins":[{"name":"apply-basin-01",
+          |  "config":{"retention_age_secs":"7200"},
+          |  "streams":[
+          |    {"name":"s1"},
+          |    {"name":"s2","config":{"retention_age_secs":"3600"}}]}]}"""
+          .stripMargin)
+      val dry = CatalogApply.plan(cat, v1)
+      val untouched = if (cat.getBasin("apply-basin-01").isEmpty) "absent" else "created"
+      val applied = CatalogApply.apply(cat, v1)
+      val reapplied = CatalogApply.apply(cat, v1)
+      // stored EXPLICIT default vs omitted spec field: create s-def
+      // with the system-default retention spelled out, then plan a
+      // spec that says nothing about it — must be unchanged
+      cat.createStream("apply-basin-01", "s-def",
+        StreamConfig(retentionPolicy = Some(RetentionPolicy.Default)))
+      val defPlan = CatalogApply.plan(cat, CatalogApply.parse(
+        """{"basins":[{"name":"apply-basin-01",
+          |  "config":{"retention_age_secs":"7200"},
+          |  "streams":[{"name":"s-def"}]}]}""".stripMargin))
+      val v2 = CatalogApply.parse(
+        """{"basins":[{"name":"apply-basin-01",
+          |  "config":{"retention_age_secs":"7200","create_stream_on_append":"true"},
+          |  "streams":[
+          |    {"name":"s1"},
+          |    {"name":"s2","config":{"retention_age_secs":"infinite"}},
+          |    {"name":"s3","config":{"timestamping_mode":"arrival"}}]}]}"""
+          .stripMargin)
+      val applied2 = CatalogApply.apply(cat, v2)
+      Seq(
+        "dry_run_v1" -> fmt(dry),
+        "dry_run_touched_nothing" -> untouched,
+        "apply_v1" -> fmt(applied),
+        "reapply_v1" -> fmt(reapplied),
+        "stored_default_vs_omitted_spec" ->
+          defPlan.find(_.stream == "s-def").map(_.action).getOrElse("missing"),
+        "apply_v2" -> fmt(applied2),
+        "v2_basin_diff" -> applied2.head.diffString,
+        "v2_s2_diff" ->
+          applied2.find(_.stream == "s2").map(_.diffString).getOrElse(""),
+        "v2_s3_create_fields" ->
+          applied2.find(_.stream == "s3").map(_.diffString).getOrElse(""),
+        "merged_s1_retention" ->
+          (cat.streamConfig("apply-basin-01", "s1").get.retentionPolicy match {
+            case Some(RetentionPolicy.Age(s)) => s.toString
+            case other => other.toString
+          }))
+    },
+
     // C8 — locations: list / get default / set default + reference name
     // rules (lite/src/handlers/v1/locations.rs:1-74, common/src/location.rs:8-45)
     demo("e2e_c8_locations", Seq(
