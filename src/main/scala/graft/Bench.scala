@@ -53,7 +53,7 @@ object Bench {
     * up in its wall time the way they show up in a shuffle stage. */
   val ParCalibBaselineSec = 0.309
 
-  private def cpuCalibSec(): Double = {
+  private[graft] def cpuCalibSec(): Double = {
     def once(): Double = {
       val t0 = System.nanoTime()
       var x = 0x9E3779B97F4A7C15L
@@ -72,7 +72,7 @@ object Bench {
   /** Parallel host-load probe (see [[ParCalibBaselineSec]]): wall time
     * for 16 concurrent alloc+fill+sort threads. min-of-3 after a JIT
     * warm pass, mirroring [[cpuCalibSec]]. */
-  private def parCalibSec(): Double = {
+  private[graft] def parCalibSec(): Double = {
     def once(): Double = {
       val t0 = System.nanoTime()
       val threads = (0 until 16).map { t =>

@@ -103,15 +103,137 @@ class BenchRegressionSpec extends AnyFunSuite {
       snap._1, snap._2,
       perQueryTrusted = artifactJson.contains("\"timing\":\"median-of-3\""))
 
-  private def snapshot(): (Map[String, Double], Map[String, Double]) = {
-    val json = java.nio.file.Files.readString(
-      java.nio.file.Paths.get("scripts/bench_snapshot.json"))
+  private def snapshotFrom(path: String): (Map[String, Double], Map[String, Double]) = {
+    val json = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
     (numMap(json, "queries_norm"),
       if (json.contains("\"queries_cpu_sec\"")) numMap(json, "queries_cpu_sec")
       else Map.empty)
   }
 
-  test("no query regressed vs snapshot (per-query + aggregate gate)") {
+  private def snapshot(): (Map[String, Double], Map[String, Double]) =
+    snapshotFrom("scripts/bench_snapshot.json")
+
+  /** The r14-era snapshot the two driver-artifact FIXTURES compare
+    * against: a historical artifact is only meaningful against its
+    * CONTEMPORARY baseline — after a genuinely-faster snapshot lands,
+    * old runs trip the aggregate threshold for the boring reason that
+    * the code got faster since. */
+  private def eraSnapshot(): (Map[String, Double], Map[String, Double]) =
+    snapshotFrom("scripts/bench_snapshot_r14.json")
+
+  // ---- live re-measurement (the round-15 fix) --------------------------
+  //
+  // The r15 driver artifact proved the per-query rule's last inference
+  // step wrong too: SUSTAINED host contention inflates a sparse set of
+  // queries in wall AND cpu across all three median passes (median
+  // ratio over 200 shared queries was 1.02 while six queries read
+  // 2.5-6x), so no property OF THE ARTIFACT can separate those six
+  // from a real regression. What can is measurement: re-run the
+  // flagged query here and now, min-of-3, calib-normalized — a real
+  // regression reproduces on any host, a contention ghost does not.
+  // Zero cost when nothing is flagged (the steady state).
+
+  private lazy val remeasureSession = {
+    val s = org.apache.spark.sql.SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  /** min-of-3 (calib-normalized wall, process-cpu) for one query —
+    * the floor, not the median, of a fresh measurement. */
+  private def measure(q: String, sfDir: String): Option[(Double, Double)] = {
+    val fn = SparkEntry.queries.getOrElse(q, return None)
+    val s = remeasureSession
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    fn(s, sfDir).count() // warm (JIT, plan cache)
+    val passes = (0 until 3).map { _ =>
+      val c0 = osBean.getProcessCpuTime
+      val t0 = System.nanoTime()
+      fn(s, sfDir).count()
+      ((System.nanoTime() - t0) / 1e9, (osBean.getProcessCpuTime - c0) / 1e9)
+    }
+    val normFactor = math.min(
+      Bench.CalibBaselineSec / Bench.cpuCalibSec(),
+      Bench.ParCalibBaselineSec / Bench.parCalibSec())
+    Some((passes.map(_._1).min * normFactor, passes.map(_._2).min))
+  }
+
+  /** Sentinels for environment self-calibration: the 3 UNflagged
+    * queries of the same family (e2e_stream_* / e2e_* / global)
+    * closest in snapshot cost. The re-measure session is NOT the
+    * bench's (local[8] vs local[32], possibly an inherited test
+    * session) — some demo classes run 3-5x slower in it for reasons
+    * that have nothing to do with either the artifact or the code, so
+    * thresholds scale by what the same environment does to the
+    * flagged query's own peers. */
+  private def sentinelsFor(q: String,
+                           snapNorm: Map[String, Double]): Seq[String] = {
+    val fam =
+      if (q.startsWith("e2e_stream_")) "e2e_stream_"
+      else if (q.startsWith("e2e_")) "e2e_"
+      else ""
+    val ref = snapNorm.getOrElse(q, 0.0)
+    val cands = snapNorm.keys.filter(k => k != q && k.startsWith(fam)).toSeq
+    (if (cands.size >= 3) cands else snapNorm.keys.filterNot(_ == q).toSeq)
+      .sortBy(k => (math.abs(snapNorm(k) - ref), k)).take(3)
+  }
+
+  /** Re-run one flagged query; true = the regression REPRODUCES:
+    * min-of-3 norm > 2x snapshot AND cpu > 1.5x snapshot, both after
+    * scaling by the sentinel-measured environment factor. */
+  private def remeasureConfirms(q: String, sfDir: String,
+                                snapNorm: Map[String, Double],
+                                snapCpu: Map[String, Double]): Boolean = {
+    val measured =
+      try measure(q, sfDir)
+      catch { case _: Throwable => return true } // erroring = fail loudly
+    val (norm, cpuMin) = measured.getOrElse(
+      return false) // renamed/retired since the artifact: snapshot is stale, not the code
+    def median(xs: Seq[Double]): Double =
+      if (xs.isEmpty) 1.0 else xs.sorted.apply(xs.size / 2)
+    val sent = sentinelsFor(q, snapNorm).flatMap { sq =>
+      try measure(sq, sfDir).map(m => (sq, m)) catch { case _: Throwable => None }
+    }
+    val envW = math.max(1.0, median(sent.collect {
+      case (sq, (w, _)) if snapNorm.getOrElse(sq, 0.0) > 1e-3 => w / snapNorm(sq) }))
+    val envC = math.max(1.0, median(sent.collect {
+      case (sq, (_, c)) if snapCpu.getOrElse(sq, 0.0) > 1e-3 => c / snapCpu(sq) }))
+    val confirmed = snapNorm.get(q).exists(sn => norm > 2.0 * envW * sn) &&
+      snapCpu.get(q).forall(sc => cpuMin > 1.5 * envC * sc)
+    System.err.println(f"[bench-gate] re-measured $q: norm $norm%.2f s " +
+      f"(snapshot ${snapNorm.getOrElse(q, 0.0)}%.2f, env x$envW%.2f), " +
+      f"cpu $cpuMin%.2f s (snapshot ${snapCpu.getOrElse(q, 0.0)}%.2f, env x$envC%.2f) -> " +
+      (if (confirmed) "CONFIRMED regression" else "not reproduced (host contention)"))
+    confirmed
+  }
+
+  /** Full live verdict for an artifact: pure gate, then re-measure
+    * each per-query flag; only reproduced regressions (and aggregate
+    * flags, which re-measuring one query cannot settle) remain. */
+  private def liveVerdict(artifactJson: String,
+                          snap: (Map[String, Double], Map[String, Double]))
+      : Seq[String] = {
+    val flagged = gate(artifactJson, snap)
+    if (flagged.isEmpty) return Nil
+    val sfDir = """"sf"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(artifactJson)
+      .map(_.group(1)).getOrElse("/root/testdata/sf0.1")
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(sfDir)))
+      return flagged // can't re-measure without the data: keep the flags
+    flagged.filter { line =>
+      line.startsWith("AGGREGATE") ||
+        remeasureConfirms(line.takeWhile(_ != ':'), sfDir, snap._1, snap._2)
+    }
+  }
+
+  test("no query regressed vs snapshot (per-query + aggregate gate, " +
+    "flags confirmed by live re-measurement)") {
     val local = java.nio.file.Paths.get("BENCH_local.json")
     assume(java.nio.file.Files.exists(local),
       "BENCH_local.json absent - bench has not run in this checkout")
@@ -120,10 +242,37 @@ class BenchRegressionSpec extends AnyFunSuite {
     // every threshold — errors are failures here, not fast queries
     assert(!localJson.contains("\"query_errors\""),
       "bench recorded query errors — fix those before reading timings")
-    val flagged = gate(localJson, snapshot())
-    assert(flagged.isEmpty,
+    val confirmed = liveVerdict(localJson, snapshot())
+    assert(confirmed.isEmpty,
       s"bench regressions (re-audit or refresh snapshot):\n  " +
-        flagged.mkString("\n  "))
+        confirmed.mkString("\n  "))
+  }
+
+  test("re-measurement clears the round-15 driver artifact's contention " +
+    "ghosts and confirms only the intentional a13 change") {
+    // The run that falsified the r12-era cpu-corroboration rule: six
+    // queries 2.5-6x normalized WITH cpu risen in step, five of them
+    // on code whose quiet-host run matched the era snapshot. The pure
+    // gate MUST flag them (no artifact property separates them from
+    // real regressions); the live re-measurement clears the five
+    // ghosts and CONFIRMS e2e_a13_encryption — which really did get
+    // slower vs the r14-era snapshot (the intentional full-envelope
+    // seal; the round-15 discipline failure was not refreshing the
+    // snapshot for it). Fixture baseline = the era snapshot: a
+    // historical artifact against today's faster baseline flags the
+    // boring "code got faster since" direction instead.
+    val driver = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("scripts/bench_driver_r15.json"))
+    val flagged = gate(driver, eraSnapshot())
+    assert(flagged.nonEmpty && flagged.forall(!_.startsWith("AGGREGATE")),
+      s"fixture drifted: expected per-query flags only, got $flagged")
+    assume(java.nio.file.Files.exists(
+      java.nio.file.Paths.get("/root/testdata/sf0.1")),
+      "sf0.1 testdata absent - cannot exercise the re-measure path")
+    val confirmed = liveVerdict(driver, eraSnapshot())
+    assert(confirmed.forall(_.startsWith("e2e_a13_encryption:")),
+      s"re-measurement failed to clear the r15 driver's contention ghosts:\n  " +
+        confirmed.mkString("\n  "))
   }
 
   test("gate does NOT fire on the round-12 driver artifact (bursty host contention)") {
@@ -132,7 +281,7 @@ class BenchRegressionSpec extends AnyFunSuite {
     // load, on code byte-identical to the snapshot's.
     val driver = java.nio.file.Files.readString(
       java.nio.file.Paths.get("scripts/bench_driver_r12.json"))
-    val flagged = gate(driver, snapshot())
+    val flagged = gate(driver, eraSnapshot())
     assert(flagged.isEmpty,
       s"gate would have red-flagged the healthy r12 driver run:\n  " +
         flagged.mkString("\n  "))
