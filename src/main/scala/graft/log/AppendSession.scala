@@ -45,7 +45,8 @@ final class AppendSession(store: StreamStore, basin: String, stream: String,
                           cipher: Option[Array[Byte]] = None,
                           maxRetries: Int = 3,
                           retryBackoffMs: Long = 10,
-                          groupMaxBatches: Int = 64) {
+                          groupMaxBatches: Int = 64,
+                          groupMaxBytes: Long = 8L * 1024 * 1024) {
 
   /** The append op the drain loop applies — injectable so specs can
     * exercise the retry matrix with scripted failures. When a spec
@@ -115,15 +116,24 @@ final class AppendSession(store: StreamStore, basin: String, stream: String,
           n
         }
         if (first != null) {
-          // take the whole backlog (bounded): everything submitted
-          // while the previous group was committing rides ONE
-          // durability barrier — this is where pipelining throughput
-          // comes from on a high-RTT backend
+          // take the whole backlog (bounded in batches AND metered
+          // bytes — the group becomes one parquet object and one
+          // in-memory record run): everything submitted while the
+          // previous group was committing rides ONE durability
+          // barrier — this is where pipelining throughput comes from
+          // on a high-RTT backend
+          def bytesOf(p: Pending): Long =
+            p.input.records.iterator.map(_.meteredSize).sum
           val group = scala.collection.mutable.ArrayBuffer(first)
+          var groupBytes = bytesOf(first)
           var more = queue.poll()
-          while (more != null && group.size < groupMaxBatches) {
+          while (more != null) {
             group += more
-            more = if (group.size < groupMaxBatches) queue.poll() else null
+            groupBytes += bytesOf(more)
+            more =
+              if (group.size < groupMaxBatches && groupBytes < groupMaxBytes)
+                queue.poll()
+              else null
           }
           if (poisoned)
             group.foreach(_.p.success(Left(SessionError.SessionPoisoned)))

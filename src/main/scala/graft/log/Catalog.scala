@@ -715,6 +715,17 @@ final class Catalog(root: String) {
     shardFor(basin, name)._2.streams
       .find(s => s.name == name && s.deletedAt.isEmpty)
 
+  /** Bulk planning read: every LIVE stream's raw (unmerged) config in
+    * one shard sweep — 64 cached/conditional-GET shard loads instead
+    * of one point lookup per stream. The 10k-stream bulk-ingest
+    * planning was paying 2 x 10k metadata round trips over an HTTP
+    * endpoint for exactly this information (existence check + ts
+    * config); merge over basin defaults caller-side like
+    * [[streamConfig]] does. */
+  def liveStreamConfigs(basin: String): Map[String, StreamConfig] =
+    basinStreams(basin).filter(_.deletedAt.isEmpty)
+      .map(e => e.name -> ConfigCodec.decode(e.config)).toMap
+
   /** C1: prefix + exclusive start_after + limit (≤1000), has_more.
     * Ref streams.rs:34-77, resources.rs:27-46.
     */

@@ -850,13 +850,22 @@ final class StreamStore(val spark: SparkSession, val root: String) {
       parallelMap(keys.toSeq, planPar) { case k @ (b, s) =>
         k -> manifest(b, s)
       }.toMap
+    // One shard sweep per basin answers BOTH planning questions
+    // (existence for auto-create, raw config for timestamping) — the
+    // per-stream point lookups this replaces were 2 x 10k metadata
+    // round trips over an HTTP endpoint (~4 s of the 10k ingest).
+    val liveCfg: Map[String, Map[String, StreamConfig]] =
+      keys.map(_._1).distinct.map(b => b -> catalog.liveStreamConfigs(b)).toMap
+    val basinDefault: Map[String, StreamConfig] =
+      keys.map(_._1).distinct.map(b =>
+        b -> catalog.basinConfig(b).defaultStreamConfig).toMap
     keys.groupBy(_._1).foreach { case (b, ks) =>
       ks.find { k => tails(k).deletionPending }.foreach {
         case (_, s) => throw new IllegalStateException(
           s"StreamDeletionPending: $b/$s")
       }
       val missing = ks.collect {
-        case (_, s) if catalog.getStream(b, s).isEmpty => s
+        case (_, s) if !liveCfg(b).contains(s) => s
       }
       if (missing.nonEmpty) {
         if (!catalog.basinConfig(b).createStreamOnAppend)
@@ -879,10 +888,14 @@ final class StreamStore(val spark: SparkSession, val root: String) {
     // configs ride a broadcast join; ClientRequire rejects the batch
     // when a client timestamp is missing (codegen'd raise_error — the
     // job fails, nothing commits, mirroring the unary TimestampMissing).
-    // parallel for the same reason as the manifest sweep above: one
-    // config resolution per stream, each a metadata read
-    val tsConfig = parallelMap(keys.toSeq, planPar) { case (b, s) =>
-      val t = catalog.streamConfig(b, s).getOrElse(StreamConfig.SystemDefault)
+    // Configs come from the per-basin shard sweep above (streams auto-
+    // created moments ago carry the empty default config, the same
+    // bytes createStreams just wrote) — pure in-memory merge, zero
+    // per-stream metadata reads.
+    val tsConfig = keys.toSeq.map { case (b, s) =>
+      val t = liveCfg(b).getOrElse(s, StreamConfig())
+        .mergedOver(basinDefault(b))
+        .mergedOver(StreamConfig.SystemDefault)
         .timestampingOrDefault
       (b, s, t.mode match {
         case TimestampingMode.ClientPrefer => "client-prefer"

@@ -14,6 +14,7 @@ import graft.model._
 object CpHttpBench {
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toInt else 2000
+    System.setProperty("graft.ingest.timing", "1")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false").getOrCreate()
