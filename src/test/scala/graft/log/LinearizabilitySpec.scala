@@ -150,7 +150,8 @@ class LinearizabilitySpec extends AnyFunSuite with BeforeAndAfterAll {
     * labeled history plus the final log.
     */
   private def runWorkload(h: BackendHarness, seed: Long, nClients: Int,
-                          opsPerClient: Int, bulkEvery: Int = 0)
+                          opsPerClient: Int, bulkEvery: Int = 0,
+                          sessEvery: Int = 0)
       : (Seq[LinEvent], Vector[(Long, String)], Long) = {
     val root = h.freshRoot("graft-lin")
     val stores = newStores(root)
@@ -191,9 +192,39 @@ class LinearizabilitySpec extends AnyFunSuite with BeforeAndAfterAll {
             res
           }
           c % 4 match {
-            case 0 => // plain appender + reader (+ bulk ingester)
+            case 0 => // plain appender + reader (+ bulk ingester / session)
               val p = rnd.nextDouble()
-              if (bulkEvery > 0 && i % bulkEvery == 0) {
+              if (sessEvery > 0 && i % sessEvery == 0) {
+                // A8 grouped session: 3 batches through ONE
+                // AppendSession whose drain group-commits its backlog
+                // — each batch is its own history event (submit time
+                // to ack time), so the checker holds the GROUP commit
+                // to the same linearizability rules as every other
+                // write. Poisoned / thrown batches record Indefinite
+                // (sound: they may or may not have committed; the
+                // final log resolves them).
+                val st = stores(rnd.nextInt(stores.size))
+                val sess = new AppendSession(st, Basin, Stream,
+                  retryBackoffMs = 1)
+                val submitted = (0 until 3).map { k =>
+                  val op = PlainAppend((0 until 1 + rnd.nextInt(2))
+                    .map(j => s"b-$c-$i-g$k$j").toVector)
+                  val t0 = System.nanoTime()
+                  val fut = sess.submit(AppendInput(
+                    op.bodies.map(b => EnvelopeRecord(Nil, b.getBytes("UTF-8")))))
+                  (op, t0, fut)
+                }
+                submitted.foreach { case (op, t0, fut) =>
+                  val res =
+                    try scala.concurrent.Await.result(fut,
+                      scala.concurrent.duration.Duration(60, "seconds")) match {
+                      case Right(ack) => Committed(ack.start.seqNum, ack.end.seqNum)
+                      case Left(_) => Indefinite
+                    } catch { case _: Throwable => Indefinite }
+                  events(c) += LinEvent(c, op, t0, System.nanoTime(), res)
+                }
+                sess.close()
+              } else if (bulkEvery > 0 && i % bulkEvery == 0) {
                 val op = PlainAppend(bodies(2 + rnd.nextInt(3)))
                 record(op)(conn.bulkIngest(op))
               } else if (p < 0.6) {
@@ -319,6 +350,43 @@ class LinearizabilitySpec extends AnyFunSuite with BeforeAndAfterAll {
       "no bulk ingest ever committed — the mixed-path claim is vacuous")
     assert(bulkSlots.exists(_.res == Indefinite),
       "no bulk ingest ever aborted — the rollback path went untested")
+  }
+
+  for (h <- BackendHarness.all)
+  test(s"[${h.label}] grouped append sessions (A8 group commit) interleave " +
+    "linearizably with unary appends/CAS/fencing") {
+    // Client 0 pushes every 6th slot through an AppendSession whose
+    // drain GROUP-COMMITS its backlog (one data object + one manifest
+    // CAS for several batches): under the concurrent mix the group's
+    // CAS loses races to unary appends on the other store and retries
+    // in place, and the injected commit failures fire inside the
+    // group commit after its object entered the live dir — any
+    // dup/gap/out-of-thin-air row the rollback or retry left behind
+    // is a checker violation, exactly as for the other write paths.
+    val all = scala.collection.mutable.ArrayBuffer.empty[LinEvent]
+    var seed = 21L
+    def sessEvents = all.filter(e => e.client == 0 &&
+      e.op.isInstanceOf[PlainAppend] &&
+      e.op.asInstanceOf[PlainAppend].bodies.head.contains("-g"))
+    def covered = sessEvents.exists(_.res.isInstanceOf[Committed]) &&
+      sessEvents.exists(_.res == Indefinite)
+    while (seed <= 28L && !(seed > 23L && covered)) {
+      val (events, log, tail) =
+        runWorkload(h, seed, nClients = 4, opsPerClient = 18, sessEvery = 6)
+      val violations = check(events, log, tail)
+      assert(violations.isEmpty,
+        s"seed $seed: ${violations.size} violations:\n${violations.take(10).mkString("\n")}")
+      assert(tail > 0, s"seed $seed: nothing committed")
+      all ++= events
+      seed += 1
+    }
+    // non-vacuous: some session batch really committed, and some ended
+    // Indefinite (injected commit failure inside a group, or a
+    // poisoned successor) — the group rollback/poison path ran
+    assert(sessEvents.exists(_.res.isInstanceOf[Committed]),
+      "no grouped session batch ever committed — the claim is vacuous")
+    assert(sessEvents.exists(_.res == Indefinite),
+      "no grouped session batch ever failed — rollback/poison untested")
   }
 
   test("teeth: a store that skips the fencing check is caught") {
