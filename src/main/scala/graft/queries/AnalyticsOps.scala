@@ -174,10 +174,12 @@ object AnalyticsOps {
   private[queries] val KmScale = 1000 // fixed-point quantization of coordinates
   /** dedup_semantic_kmeans skew budget: cells above this size are
     * sub-bucketed by the shared hyperplane signature before the
-    * within-cell self-join (see the QueryDef doc). 128 is small enough
-    * that the sf0.01 fixture (about 520 vectors over 8 cells) actually
-    * exercises the oversized path. */
-  private[queries] val SemCellCap = 128L
+    * within-cell self-join (see the QueryDef doc). 64 matches the
+    * repo-wide capped-bucket discipline (TextOps.cappedCandidates) AND
+    * puts the oversized path under the DuckDB hash gate: the sf0.01
+    * fixture's cells run 54-75 members, so four of eight cells
+    * sub-bucket at the oracle scale (all eight do at sf0.1). */
+  private[queries] val SemCellCap = 64L
 
   /** Squared L2 between quantized vector `qv` and centroid
     * (`sums`/`cnt`) as one sequential double fold — same element

@@ -314,6 +314,25 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("semantic dedup: the SemCellCap sub-bucketing path ENGAGES at " +
+    "fixture scale (oversized cells exist) and still finds every copy") {
+    import org.apache.spark.sql.functions._
+    // rebuild the query's own augmented corpus + assignment
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val aug = base.unionAll(base.where(col("vec_id") % 23 === 0)
+      .select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+    val sizes = AnalyticsOps.kmeansAssignments(aug, AnalyticsOps.KmK, 2)
+      .groupBy("cluster").count().collect().map(_.getLong(1))
+    assert(sizes.exists(_ > AnalyticsOps.SemCellCap),
+      s"no cell exceeds SemCellCap=${AnalyticsOps.SemCellCap} at fixture " +
+        s"scale (sizes ${sizes.sorted.mkString(",")}) — the sub-bucketing " +
+        "path is no longer oracle-verified; lower the cap or grow the fixture")
+    // (the copy-recovery test above already proves no planted pair is
+    // lost; with oversized cells guaranteed here, that proof now
+    // covers the sub-bucketed path, not just small-cell exact search)
+  }
+
   test("bm25 ranks a doc made of query terms above everything") {
     // run the full query over testdata and check ranking invariants
     val out = SparkEntryQueries.bm25(spark, sfDir).collect()
