@@ -61,6 +61,11 @@ object CpHttpBench {
       }.sorted
       println(f"[cphttp] n=$n listed=$listed create=$tCreate%.2f list=$tList%.2f " +
         f"ingest=$tIngest%.2f checktail p50=${lat(100)}%.2f p99=${lat(198)}%.2f ms")
+      // delete the ~30k-file root NOW: accumulated probe roots on the
+      // disk-backed /tmp distorted every later fs measurement
+      java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
     } finally { server.stop(0); spark.stop() }
   }
 }
