@@ -145,9 +145,18 @@ class BenchRegressionSpec extends AnyFunSuite {
     s
   }
 
+  // one measurement per query per suite run: flagged queries share
+  // sentinels (same family), and the r15 fixture re-measures six —
+  // without the memo that is ~24 extra min-of-3 runs per `sbt test`
+  private val measured =
+    scala.collection.mutable.Map.empty[(String, String), Option[(Double, Double)]]
+
+  private def measure(q: String, sfDir: String): Option[(Double, Double)] =
+    measured.getOrElseUpdate((q, sfDir), measureUncached(q, sfDir))
+
   /** min-of-3 (calib-normalized wall, process-cpu) for one query —
     * the floor, not the median, of a fresh measurement. */
-  private def measure(q: String, sfDir: String): Option[(Double, Double)] = {
+  private def measureUncached(q: String, sfDir: String): Option[(Double, Double)] = {
     val fn = SparkEntry.queries.getOrElse(q, return None)
     val s = remeasureSession
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
