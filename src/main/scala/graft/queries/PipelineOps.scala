@@ -709,6 +709,85 @@ object PipelineOps {
         |WHERE s.cluster_size >= 2
         |ORDER BY doc_id""".stripMargin)),
 
+    // Canonical-document selection — the step a real pipeline runs
+    // AFTER clustering: inside every near-dup cluster keep exactly one
+    // member (highest quality score, smallest doc_id on ties) and emit
+    // the keep/drop verdict per member — the drop list is what
+    // actually gets filtered before training, and "keep the BEST, not
+    // the first-seen" is why this is not just dedup_cluster_cc with a
+    // min(). Quality is the same integer-exact stopword-density
+    // score_milli curriculum_quality_order uses (mirrored in SQL).
+    // Scale shape: clusters/labels cover only edge-incident docs (the
+    // duplicate-involved subset), the per-cluster argmax is a
+    // map-side-combinable min(struct(1000-score, doc_id)) — never a
+    // window over the corpus — and the winner table (<= #clusters
+    // rows) broadcasts back onto the members.
+    QueryDef("dedup_keep_best",
+      (s, d) => {
+        val edges = nearDupEdges(s, d)
+        val labels = ccIncident(edges)
+        val sized = labels.groupBy("rep").agg(count(lit(1)).as("cluster_size"))
+          .where(col("cluster_size") >= 2)
+        val members = labels.join(sized, "rep")
+        val scored = docsAug(s, d).select(col("doc_id"),
+            size(split(col("text"), " ")).cast(LongType).as("n_toks"),
+            size(filter(split(col("text"), " "),
+              x => x.isin("the", "a", "and", "of", "to")))
+              .cast(LongType).as("stop_cnt"))
+          .withColumn("score_milli",
+            expr("CAST(stop_cnt * 1000 DIV n_toks AS BIGINT)"))
+          .select("doc_id", "score_milli")
+        val withScore = members.join(scored, "doc_id")
+        // argmax(score, tiebreak min doc_id) as an aggregate: the
+        // struct orders by (1000 - score) ASC then doc_id ASC, so its
+        // min is the highest-scoring, lowest-id member
+        val best = withScore.groupBy("rep").agg(
+          min(struct((lit(1000L) - col("score_milli")).as("inv"),
+            col("doc_id").as("kept"))).as("b"))
+          .select(col("rep"), col("b.kept").as("kept_doc"))
+        withScore.join(broadcast(best), "rep")
+          .select(col("doc_id"),
+            col("rep").cast(LongType).as("cluster_rep"),
+            col("cluster_size").cast(LongType).as("cluster_size"),
+            col("score_milli"),
+            (col("doc_id") === col("kept_doc")).as("keep"),
+            col("kept_doc").cast(LongType).as("kept_doc"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $DocsAugCte, $ShinglesCte, $ShingleCountsCte,
+        |$MinhashVerifiedCtes,
+        |bi AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM verified WHERE jaccard >= 0.5
+        |  UNION
+        |  SELECT doc_b, doc_a FROM verified WHERE jaccard >= 0.5),
+        |reach(doc, r) AS (
+        |  SELECT doc_id, doc_id FROM docs_aug
+        |  UNION
+        |  SELECT bi.b, reach.r FROM reach JOIN bi ON bi.a = reach.doc),
+        |labels AS (SELECT doc, min(r) AS rep FROM reach GROUP BY doc),
+        |sized AS (SELECT rep, CAST(count(*) AS BIGINT) AS cluster_size
+        |          FROM labels GROUP BY rep HAVING count(*) >= 2),
+        |scored AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |        x -> x IN ('the', 'a', 'and', 'of', 'to'))) * 1000
+        |      // len(string_split(text, ' ')) AS BIGINT) AS score_milli
+        |  FROM docs_aug),
+        |members AS (
+        |  SELECT l.doc AS doc_id, l.rep, s.cluster_size, sc.score_milli
+        |  FROM labels l JOIN sized s USING (rep)
+        |  JOIN scored sc ON sc.doc_id = l.doc),
+        |best AS (
+        |  SELECT rep, doc_id AS kept_doc FROM members
+        |  QUALIFY row_number() OVER (PARTITION BY rep
+        |    ORDER BY score_milli DESC, doc_id) = 1)
+        |SELECT m.doc_id, CAST(m.rep AS BIGINT) AS cluster_rep,
+        |  m.cluster_size, m.score_milli,
+        |  m.doc_id = b.kept_doc AS keep,
+        |  CAST(b.kept_doc AS BIGINT) AS kept_doc
+        |FROM members m JOIN best b USING (rep)
+        |ORDER BY doc_id""".stripMargin)),
+
     // Incremental-corpus dedup via an EXPLICIT Bloom filter: the
     // already-ingested corpus (doc_id % 10 != 0) is summarized as the
     // distinct set of k=4 bit positions (positions = four 8-hex-char

@@ -39,7 +39,10 @@ object ScaleTrend {
     // cell self-join under the SemCellCap sub-bucketing — the exact
     // query class (one hot cell going quadratic) this audit catches
     "dedup_semantic_kmeans",
-    "dedup_cluster_cc")
+    "dedup_cluster_cc",
+    // keep-best rides the same CC chain plus a per-cluster argmax —
+    // a corpus-sized window here would show as an exponent jump
+    "dedup_keep_best")
 
   val HotExtras: Seq[String] = Seq(
     "dedup_exact",

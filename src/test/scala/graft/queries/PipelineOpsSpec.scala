@@ -221,4 +221,24 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"revision recall ${found.toDouble / revs.size}")
     assert(revs.filter(_._4).forall(_._3.exists(_ >= 0.5)))
   }
+
+  test("dedup_keep_best: exactly one keeper per cluster, and it is the " +
+    "best member (score desc, doc_id asc)") {
+    val out = graft.SparkEntry.queries("dedup_keep_best")(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("cluster_rep"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("score_milli"), r.getAs[Boolean]("keep"),
+        r.getAs[Long]("kept_doc")))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (rep, ms) =>
+      val kept = ms.filter(_._4)
+      assert(kept.length == 1, s"cluster $rep kept ${kept.length} members")
+      val k = kept.head
+      assert(ms.forall(_._5 == k._2), s"cluster $rep disagrees on kept_doc")
+      // nobody in the cluster beats the keeper under (score desc, id asc)
+      assert(!ms.exists(m => m._3 > k._3 || (m._3 == k._3 && m._2 < k._2)),
+        s"cluster $rep kept ${k._2} (score ${k._3}) but a better member exists")
+      assert(ms.length >= 2, s"singleton cluster $rep leaked into the output")
+    }
+  }
 }

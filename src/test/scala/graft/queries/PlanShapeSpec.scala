@@ -108,6 +108,11 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // CC labels sit behind per-round checkpoints; what remains is the
     // size agg + join-back + sort
     "dedup_phash_cluster" -> 3,
+    // members⋈score joins + the per-cluster argmax agg + the final
+    // sort side (CC labels sit behind checkpoints); more means the
+    // argmax became a window or the score projection started
+    // shuffling the corpus
+    "dedup_keep_best" -> 4,
     // gram distinct (checkpointed) + gram-keyed pair join + the two
     // count aggs; source-count tables broadcast
     "stats_contamination_matrix" -> 4,
