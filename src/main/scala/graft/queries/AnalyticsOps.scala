@@ -753,6 +753,96 @@ object AnalyticsOps {
         |WHERE round(${semCosineDuck}, 6) >= 0.99
         |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Cross-document duplicated-substring REMOVAL — the transform half
+    // of exact substring dedup (Lee et al. 2022 "Deduplicating
+    // Training Data Makes Language Models Better": keep ONE copy of
+    // every duplicated span, rewrite the rest). Ownership rule is
+    // deterministic: the LOWEST doc_id containing a token 8-gram owns
+    // it; every position of that gram in a HIGHER doc is flagged and
+    // the union of flagged [pos, pos+7] windows is cut from the doc.
+    // Emits per doc the kept/removed token counts and md5 of the
+    // REWRITTEN text (an exact near-copy collapses to kept_tokens = 0,
+    // NULL hash — the planted %31 copies in the augmented corpus).
+    // Scale shape: gram ownership is one partial-aggregated groupBy
+    // (min doc_id per gram — never pairwise), flagged positions
+    // explode to at most 8x the flagged-span count, and the rewrite is
+    // a per-doc sorted collect over that doc's own tokens (arrays
+    // bounded by document length, the same bound every tokenizer op
+    // here lives with).
+    QueryDef("text_substring_remove",
+      (s, d) => {
+        val aug = TextOps.docsAug(s, d)
+        val toks = aug.select(col("doc_id"), split(col("text"), " ").as("w"))
+        val spans = toks
+          .where(size(col("w")) >= 8) // Spark sequence(1, n<1) DESCENDS
+          .select(col("doc_id"),
+            explode(expr("sequence(1, size(w) - 7)")).as("pos"),
+            col("w"))
+          .withColumn("g", md5(concat_ws(" ",
+            expr("slice(w, pos, 8)")).cast(BinaryType)))
+          .select("doc_id", "pos", "g")
+        val owner = spans.groupBy("g").agg(min("doc_id").as("owner"))
+        val flagged = spans.join(owner, "g")
+          .where(col("doc_id") > col("owner"))
+          .select("doc_id", "pos")
+        val removedIdx = flagged
+          .select(col("doc_id"), explode(expr("sequence(pos, pos + 7)")).as("idx"))
+          .distinct()
+        val tokIdx = toks.select(col("doc_id"),
+            posexplode(col("w")).as(Seq("idx0", "tok")))
+          .withColumn("idx", col("idx0") + 1).drop("idx0")
+        val kept = tokIdx.join(removedIdx, Seq("doc_id", "idx"), "left_anti")
+        val perDoc = kept.groupBy("doc_id").agg(
+            count(lit(1)).cast(LongType).as("kept_tokens"),
+            sort_array(collect_list(struct(col("idx").as("i"),
+              col("tok").as("tok")))).as("ks"))
+          .withColumn("cleaned_hash",
+            md5(concat_ws(" ", expr("transform(ks, x -> x.tok)"))
+              .cast(BinaryType)))
+          .select("doc_id", "kept_tokens", "cleaned_hash")
+        val dl = toks.select(col("doc_id"),
+          size(col("w")).cast(LongType).as("n_tokens"))
+        dl.join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+            (col("n_tokens") - coalesce(col("kept_tokens"), lit(0L)))
+              .as("removed_tokens"),
+            col("cleaned_hash"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${TextOps.DocsAugCte},
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM docs_aug),
+        |spans AS (
+        |  SELECT doc_id, i AS pos, md5(array_to_string(w[i:i+7], ' ')) AS g
+        |  FROM toks, unnest(range(1, len(w) - 6)) t(i)),
+        |owner AS (SELECT g, min(doc_id) AS owner FROM spans GROUP BY g),
+        |flagged AS (
+        |  SELECT s.doc_id, s.pos FROM spans s JOIN owner o USING (g)
+        |  WHERE s.doc_id > o.owner),
+        |removed AS (
+        |  SELECT DISTINCT doc_id, pos + k AS idx
+        |  FROM flagged, unnest(range(0, 8)) t(k)),
+        |tok_idx AS (
+        |  SELECT doc_id, i AS idx, w[i] AS tok
+        |  FROM toks, unnest(range(1, len(w) + 1)) t(i)),
+        |kept AS (
+        |  SELECT t.doc_id, t.idx, t.tok
+        |  FROM tok_idx t LEFT JOIN removed r
+        |    ON r.doc_id = t.doc_id AND r.idx = t.idx
+        |  WHERE r.idx IS NULL),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+        |    md5(string_agg(tok, ' ' ORDER BY idx)) AS cleaned_hash
+        |  FROM kept GROUP BY doc_id),
+        |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |       FROM docs_aug)
+        |SELECT dl.doc_id, dl.n_tokens,
+        |  COALESCE(a.kept_tokens, 0) AS kept_tokens,
+        |  dl.n_tokens - COALESCE(a.kept_tokens, 0) AS removed_tokens,
+        |  a.cleaned_hash
+        |FROM dl LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)),
+
     // Cross-document duplicated-substring detection — the span-level
     // dedup signal (find token 8-grams appearing in >= 2 distinct
     // docs, then the fraction of each doc covered by such spans).

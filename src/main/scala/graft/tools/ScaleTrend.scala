@@ -42,7 +42,10 @@ object ScaleTrend {
     "dedup_cluster_cc",
     // keep-best rides the same CC chain plus a per-cluster argmax —
     // a corpus-sized window here would show as an exponent jump
-    "dedup_keep_best")
+    "dedup_keep_best",
+    // span REMOVAL: gram-keyed shuffles + per-doc rewrite only — a
+    // pairwise doc comparison would jump the exponent immediately
+    "text_substring_remove")
 
   val HotExtras: Seq[String] = Seq(
     "dedup_exact",

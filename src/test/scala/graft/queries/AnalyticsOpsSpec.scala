@@ -333,6 +333,44 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // covers the sub-bucketed path, not just small-cell exact search)
   }
 
+  test("substring removal: exact copies collapse to zero tokens, " +
+    "near-copies keep only their novel suffix region, counts reconcile") {
+    val out = graft.SparkEntry.queries("text_substring_remove")(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("kept_tokens"), r.getAs[Long]("removed_tokens"),
+        r.getAs[String]("cleaned_hash"))).toMap
+    out.foreach { case (id, (n, k, rm, h)) =>
+      assert(k + rm == n, s"doc $id: kept $k + removed $rm != $n")
+      assert((k == 0) == (h == null), s"doc $id: hash nullity mismatch")
+    }
+    // an exact copy (%17 aug, +1000000) owns none of its grams -> every
+    // 8-gram window is flagged -> all tokens removed (docs are >= 8 tok)
+    val copies = out.keys.filter(id => id >= 1000000L && id < 2000000L)
+    assert(copies.nonEmpty)
+    copies.foreach { id =>
+      assert(out(id)._2 == 0, s"copy $id kept ${out(id)._2} tokens")
+    }
+    // originals as a population keep most of their text (a FEW base
+    // docs are natural near-dups of earlier docs — the generator
+    // repeats templates — and legitimately lose their grams to the
+    // earlier owner, so this is an aggregate claim, not per-doc)
+    val base = out.filter(_._1 < 1000000L).values
+    val mostlyKept = base.count { case (n, k, _, _) => k * 2 >= n }
+    assert(mostlyKept * 2 > base.size,
+      s"only $mostlyKept/${base.size} base docs kept >= half their tokens")
+    // a near-copy (%13 aug, + " near duplicate suffix") keeps AT MOST
+    // the last 10 tokens: the 3 novel suffix tokens plus the <= 7
+    // preceding ones whose 8-gram windows straddle into the suffix
+    val nears = out.keys.filter(_ >= 2000000L)
+    assert(nears.nonEmpty)
+    nears.foreach { id =>
+      val (n, k, _, _) = out(id)
+      assert(k <= 10, s"near-copy $id kept $k tokens (> suffix region)")
+      assert(k >= 3, s"near-copy $id lost its novel suffix")
+    }
+  }
+
   test("bm25 ranks a doc made of query terms above everything") {
     // run the full query over testdata and check ranking invariants
     val out = SparkEntryQueries.bm25(spark, sfDir).collect()

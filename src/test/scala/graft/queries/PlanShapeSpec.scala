@@ -151,7 +151,11 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // self-join sides shuffling on the blocking key. More means a
     // corpus-keyed shuffle crept in before blocking (or the Lloyd
     // subtree started replaying per join side again).
-    "dedup_semantic_kmeans" -> 4)
+    "dedup_semantic_kmeans" -> 4,
+    // gram-ownership agg + flagged join + removed-idx distinct + the
+    // token anti-join + per-doc rewrite agg + final sort; more means
+    // span removal started a pairwise or corpus-keyed shuffle
+    "text_substring_remove" -> 3)
   // ann_pq_learned is not budgeted: its top-50 candidate table is an
   // eager localCheckpoint (feeds recall AND the final join), so the
   // final plan string is vacuous; its training chain is hash-agg
