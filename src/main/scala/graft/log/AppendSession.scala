@@ -124,16 +124,22 @@ final class AppendSession(store: StreamStore, basin: String, stream: String,
           // on a high-RTT backend
           def bytesOf(p: Pending): Long =
             p.input.records.iterator.map(_.meteredSize).sum
+          // peek-before-poll keeps groupMaxBytes a HARD cap (ADVICE
+          // r16: poll-then-check could overshoot by one full batch) —
+          // safe because this drain thread is the queue's only
+          // consumer; a batch that would overshoot stays queued and
+          // leads the next group. The first batch always rides even
+          // if it alone exceeds the cap (it must commit eventually).
           val group = scala.collection.mutable.ArrayBuffer(first)
           var groupBytes = bytesOf(first)
-          var more = queue.poll()
-          while (more != null) {
+          var more = queue.peek()
+          while (more != null &&
+                 group.size < groupMaxBatches &&
+                 groupBytes + bytesOf(more) <= groupMaxBytes) {
+            queue.poll()
             group += more
             groupBytes += bytesOf(more)
-            more =
-              if (group.size < groupMaxBatches && groupBytes < groupMaxBytes)
-                queue.poll()
-              else null
+            more = queue.peek()
           }
           if (poisoned)
             group.foreach(_.p.success(Left(SessionError.SessionPoisoned)))

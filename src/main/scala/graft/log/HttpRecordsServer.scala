@@ -1,0 +1,436 @@
+package graft.log
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.Base64
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.model._
+import graft.streaming.ReadSession
+
+/** HTTP v1 **records serving** — the reference's day-one client
+  * surface (lite/src/handlers/v1/records.rs:30-36; paths.rs
+  * `/streams/{stream}/records[...]`) at lite fidelity over the JDK
+  * HttpServer, the same zero-dependency harness as
+  * [[HttpObjectServer]] (which serves the storage BACKEND protocol;
+  * this server serves the CLIENT records API in front of a
+  * [[StreamStore]]):
+  *
+  *  - `GET /v1/streams/{stream}/records/tail` → TailResponse JSON
+  *    (records.rs:117-127).
+  *  - `POST /v1/streams/{stream}/records` → unary append: JSON
+  *    AppendInput (`records: [{timestamp?, headers: [[n,v]...],
+  *    body}]`, `match_seq_num?`, `fencing_token?`) → 200 AppendAck
+  *    `{start, end, tail}`; 412 + AppendConditionFailed
+  *    (`{"seq_num_mismatch": n}` / `{"fencing_token_mismatch": t}`,
+  *    records.rs:356, api AppendConditionFailed) on a failed
+  *    condition; 404/409/400 per error class.
+  *  - `GET /v1/streams/{stream}/records` → unary read (JSON ReadBatch
+  *    `{records, tail}`; long-poll via `wait`, clamped to 60 s like
+  *    MAX_UNARY_READ_WAIT, handlers/v1/mod.rs:14) — or, with
+  *    `Accept: text/event-stream`, an SSE session: `batch` events
+  *    whose `id:` carries `seq_num,count,bytes` (sse.rs LastEventId),
+  *    `ping` heartbeats with the tail, a terminal `data: [DONE]`, and
+  *    `Last-Event-ID` reconnect resume — start := seq+1, count/bytes
+  *    budgets decremented (records.rs:49-65 apply_last_event_id).
+  *    Query params: one of `seq_num`/`timestamp`/`tail_offset`, plus
+  *    `clamp`, `count`, `bytes`, `until`, `wait` (seconds).
+  *
+  * Basin is addressed by the `s2-basin` header (common basin.rs:13);
+  * record body/header encoding by `s2-format`: `raw` (UTF-8, default)
+  * or `base64` (api data::Format). An encryption key may be supplied
+  * via `s2-encryption-key` (base64, 32 bytes) exactly where the
+  * reference takes S2_ENCRYPTION_KEY_HEADER.
+  *
+  * Scoped out, documented: the S2S framed-proto request/response mode
+  * and proto response mime (records.rs:266-293,405-455) — binary
+  * protobuf framing is an axum/prost serialization artifact; JSON +
+  * SSE is the complete lite-fidelity behavior set (every outcome the
+  * S2S mode can produce is observable through these two).
+  *
+  * Serving is read-session-driven: the SSE loop runs the repo's
+  * [[ReadSession]] wait-budget machine (R8), so heartbeat cadence,
+  * wait expiry and limit accounting are the single implementation the
+  * rest of the engine already proves.
+  */
+object HttpRecordsServer {
+
+  private val BasinHeader = "S2-basin"
+  private val FormatHeader = "S2-format"
+  private val KeyHeader = "S2-encryption-key"
+
+  // -------------------------------------------------------------------
+  // JSON encoding (api/src/v1/stream/json.rs shapes)
+  // -------------------------------------------------------------------
+
+  private def jsonEsc(s: String): String = {
+    val b = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '"' => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case c if c < 0x20 => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.toString
+  }
+
+  private def encodeBytes(base64: Boolean, bytes: Array[Byte]): String =
+    if (base64) Base64.getEncoder.encodeToString(bytes)
+    else new String(bytes, UTF_8)
+
+  private def decodeBytes(base64: Boolean, s: String): Array[Byte] =
+    if (base64) Base64.getDecoder.decode(s) else s.getBytes(UTF_8)
+
+  private def posJson(p: StreamPosition): String =
+    s"""{"seq_num":${p.seqNum},"timestamp":${p.timestamp}}"""
+
+  private def recordJson(base64: Boolean, r: SequencedRecord): String = {
+    val hs =
+      if (r.headers.isEmpty) ""
+      else r.headers.map(h =>
+        s"""["${jsonEsc(encodeBytes(base64, h.name))}","${jsonEsc(encodeBytes(base64, h.value))}"]""")
+        .mkString(""","headers":[""", ",", "]")
+    val body =
+      if (r.body.isEmpty) ""
+      else s""","body":"${jsonEsc(encodeBytes(base64, r.body))}""""
+    s"""{"seq_num":${r.seqNum},"timestamp":${r.timestamp}$hs$body}"""
+  }
+
+  private def batchJson(base64: Boolean, records: Seq[SequencedRecord],
+                        tail: Option[StreamPosition]): String = {
+    val t = tail.fold("")(p => s""","tail":${posJson(p)}""")
+    s"""{"records":[${records.map(recordJson(base64, _)).mkString(",")}]$t}"""
+  }
+
+  private def errJson(code: String, message: String): String =
+    s"""{"code":"$code","message":"${jsonEsc(message)}"}"""
+
+  // -------------------------------------------------------------------
+  // Request parsing
+  // -------------------------------------------------------------------
+
+  private def query(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).getOrElse("").split('&')
+      .filter(_.contains('=')).map { kv =>
+        val i = kv.indexOf('=')
+        kv.take(i) -> java.net.URLDecoder.decode(kv.drop(i + 1), "UTF-8")
+      }.toMap
+
+  private final case class BadRequest(msg: String) extends RuntimeException(msg)
+
+  private def parseStart(q: Map[String, String]): ReadStart = {
+    val picks = Seq("seq_num", "timestamp", "tail_offset").filter(q.contains)
+    if (picks.size > 1) throw BadRequest(
+      "only one of seq_num, timestamp, or tail_offset can be provided")
+    val from = picks.headOption match {
+      case Some("timestamp") => ReadFrom.Timestamp(q("timestamp").toLong)
+      case Some("tail_offset") => ReadFrom.TailOffset(q("tail_offset").toLong)
+      case _ => ReadFrom.SeqNum(q.getOrElse("seq_num", "0").toLong)
+    }
+    ReadStart(from, clamp = q.get("clamp").contains("true"))
+  }
+
+  private def parseAppendInput(json: String, base64: Boolean): AppendInput = {
+    val root = JsonMethods.parse(json)
+    val recs = root \ "records" match {
+      case JArray(rs) => rs
+      case _ => throw BadRequest("records array required")
+    }
+    val parsed = recs.map { r =>
+      val headers = r \ "headers" match {
+        case JArray(hs) => hs.map {
+          case JArray(List(JString(n), JString(v))) =>
+            Header(decodeBytes(base64, n), decodeBytes(base64, v))
+          case other => throw BadRequest(s"malformed header: $other")
+        }
+        case JNothing => Nil
+        case other => throw BadRequest(s"malformed headers: $other")
+      }
+      val body = r \ "body" match {
+        case JString(s) => decodeBytes(base64, s)
+        case JNothing => Array.emptyByteArray
+        case other => throw BadRequest(s"malformed body: $other")
+      }
+      val ts = r \ "timestamp" match {
+        case JInt(t) => Some(t.toLong)
+        case JLong(t) => Some(t)
+        case JNothing => None
+        case other => throw BadRequest(s"malformed timestamp: $other")
+      }
+      (EnvelopeRecord(headers, body), ts)
+    }
+    AppendInput(
+      records = parsed.map(_._1),
+      matchSeqNum = root \ "match_seq_num" match {
+        case JInt(n) => Some(n.toLong)
+        case JLong(n) => Some(n)
+        case _ => None
+      },
+      fencingToken = root \ "fencing_token" match {
+        case JString(t) => Some(t)
+        case _ => None
+      },
+      clientTimestamps = parsed.map(_._2))
+  }
+
+  /** Last-Event-ID: `seq_num,count,bytes` (sse.rs:32-74). */
+  private def parseLastEventId(s: String): (Long, Long, Long) =
+    s.split(',') match {
+      case Array(a, b, c) => (a.trim.toLong, b.trim.toLong, c.trim.toLong)
+      case _ => throw BadRequest(s"invalid Last-Event-ID: $s")
+    }
+
+  // -------------------------------------------------------------------
+  // Server
+  // -------------------------------------------------------------------
+
+  /** Start a records server over `store` on an ephemeral localhost
+    * port; returns (server, endpoint). `nowMs` pins the append clock
+    * for deterministic demos (None = wall clock, like production). */
+  def start(store: StreamStore, nowMs: Option[Long] = None): (HttpServer, String) = {
+    System.setProperty("sun.net.httpserver.nodelay", "true")
+
+    def respond(ex: HttpExchange, code: Int, body: Array[Byte] = Array.emptyByteArray,
+                contentType: String = "application/json"): Unit = {
+      if (body.nonEmpty)
+        ex.getResponseHeaders.set("Content-Type", contentType)
+      ex.sendResponseHeaders(code, if (body.isEmpty) -1 else body.length.toLong)
+      if (body.nonEmpty) ex.getResponseBody.write(body)
+      ex.close()
+    }
+    def safely(f: HttpExchange => Unit): com.sun.net.httpserver.HttpHandler =
+      (ex: HttpExchange) => try f(ex) catch {
+        case BadRequest(m) =>
+          try respond(ex, 400, errJson("invalid", m).getBytes(UTF_8))
+          catch { case _: Throwable => ex.close() }
+        case t: Throwable =>
+          try respond(ex, 500,
+            errJson("internal", s"${t.getClass.getSimpleName}: ${t.getMessage}")
+              .getBytes(UTF_8))
+          catch { case _: Throwable => ex.close() }
+      }
+
+    def basinOf(ex: HttpExchange): String =
+      Option(ex.getRequestHeaders.getFirst(BasinHeader))
+        .getOrElse(throw BadRequest("missing s2-basin header"))
+    def base64Of(ex: HttpExchange): Boolean =
+      Option(ex.getRequestHeaders.getFirst(FormatHeader)) match {
+        case None | Some("raw") => false
+        case Some("base64") => true
+        case Some(other) => throw BadRequest(s"unknown s2-format: $other")
+      }
+    def keyOf(ex: HttpExchange): Option[Array[Byte]] =
+      Option(ex.getRequestHeaders.getFirst(KeyHeader)).map { s =>
+        try Base64.getDecoder.decode(s)
+        catch { case _: IllegalArgumentException =>
+          throw BadRequest("malformed s2-encryption-key") }
+      }
+
+    // ---- POST append (records.rs:376-404, Unary arm) ----------------
+    def appendConditionFailed(e: AppendError): Option[String] = e match {
+      // the reference returns the EXPECTED value for a retry: the next
+      // seq num / the current token (api AppendConditionFailed)
+      case AppendError.SeqNumMismatch(_, actual) =>
+        Some(s"""{"seq_num_mismatch":$actual}""")
+      case AppendError.FencingTokenMismatch(current) =>
+        Some(s"""{"fencing_token_mismatch":"${jsonEsc(current)}"}""")
+      case _ => None
+    }
+    def handleAppend(ex: HttpExchange, basin: String, stream: String): Unit = {
+      val base64 = base64Of(ex)
+      val input = parseAppendInput(
+        new String(ex.getRequestBody.readAllBytes(), UTF_8), base64)
+      store.append(basin, stream, input, nowMs, keyOf(ex)) match {
+        case Right(ack) =>
+          respond(ex, 200, (s"""{"start":${posJson(ack.start)},""" +
+            s""""end":${posJson(ack.end)},"tail":${posJson(ack.tail)}}""")
+            .getBytes(UTF_8))
+        case Left(e) => appendConditionFailed(e) match {
+          case Some(body) => respond(ex, 412, body.getBytes(UTF_8))
+          case None => e match {
+            case AppendError.StreamNotFound =>
+              respond(ex, 404, errJson("not_found", s"$basin/$stream").getBytes(UTF_8))
+            case AppendError.StreamDeletionPending =>
+              respond(ex, 409, errJson("conflict", "stream deletion pending").getBytes(UTF_8))
+            case AppendError.InvalidBatch(r) =>
+              respond(ex, 400, errJson("invalid", r).getBytes(UTF_8))
+            case AppendError.TimestampMissing =>
+              respond(ex, 400, errJson("invalid", "timestamp required").getBytes(UTF_8))
+            case AppendError.EncryptionError(r) =>
+              respond(ex, 400, errJson("bad_header", r).getBytes(UTF_8))
+            case other =>
+              respond(ex, 500, errJson("internal", other.toString).getBytes(UTF_8))
+          }
+        }
+      }
+    }
+
+    // ---- GET unary read (records.rs:186-209 + merge_read_session) ---
+    def handleUnaryRead(ex: HttpExchange, basin: String, stream: String): Unit = {
+      val q = query(ex)
+      val base64 = base64Of(ex)
+      val cipher = keyOf(ex)
+      val start = parseStart(q)
+      val until = q.get("until").map(_.toLong)
+      // MAX_UNARY_READ_WAIT = 60 s (handlers/v1/mod.rs:14)
+      val waitMs = math.min(q.get("wait").map(_.toLong).getOrElse(0L), 60L) * 1000L
+      val limit = ReadLimit(q.get("count").map(_.toLong), q.get("bytes").map(_.toLong))
+      // the start timestamp must not defeat the until bound (records.rs:38-47)
+      (start.from, until) match {
+        case (ReadFrom.Timestamp(ts), Some(u)) if ts >= u =>
+          throw BadRequest("start `timestamp` exceeds or equal to `until`")
+        case _ => ()
+      }
+      val spec = ReadSpec(start, ReadEnd(limit, until))
+      val deadline = System.currentTimeMillis() + waitMs
+      var out: Either[String, Seq[SequencedRecord]] = null
+      var looping = true
+      while (looping) {
+        out = store.readUnary(basin, stream, spec, cipher = cipher)
+        looping = out.exists(_.isEmpty) && System.currentTimeMillis() < deadline
+        if (looping) Thread.sleep(10)
+      }
+      out match {
+        case Right(records) =>
+          val tail = store.checkTail(basin, stream)
+          respond(ex, 200, batchJson(base64, records, Some(tail)).getBytes(UTF_8))
+        case Left(err) if err.startsWith("RANGE_NOT_SATISFIABLE") =>
+          // 416 carries the tail so the client can re-aim (records.rs:153)
+          val tail = store.checkTail(basin, stream)
+          respond(ex, 416, s"""{"tail":${posJson(tail)}}""".getBytes(UTF_8))
+        case Left(err) if err.startsWith("StreamNotFound") =>
+          respond(ex, 404, errJson("not_found", err).getBytes(UTF_8))
+        case Left(err) =>
+          respond(ex, 400, errJson("invalid", err).getBytes(UTF_8))
+      }
+    }
+
+    // ---- GET SSE read (records.rs:210-265) ---------------------------
+    def handleSseRead(ex: HttpExchange, basin: String, stream: String): Unit = {
+      val q = query(ex)
+      val base64 = base64Of(ex)
+      val cipher = keyOf(ex)
+      val lastEventId = Option(ex.getRequestHeaders.getFirst("Last-Event-ID"))
+        .map(parseLastEventId)
+      // apply_last_event_id (records.rs:49-65): resume after seq, with
+      // the already-delivered count/bytes subtracted from the budgets
+      var start = parseStart(q)
+      var count = q.get("count").map(_.toLong)
+      var bytes = q.get("bytes").map(_.toLong)
+      lastEventId.foreach { case (seq, c, b) =>
+        start = ReadStart(ReadFrom.SeqNum(seq + 1), start.clamp)
+        count = count.map(v => math.max(0L, v - c))
+        bytes = bytes.map(v => math.max(0L, v - b))
+      }
+      val until = q.get("until").map(_.toLong)
+      (start.from, until) match {
+        case (ReadFrom.Timestamp(ts), Some(u)) if ts >= u =>
+          throw BadRequest("start `timestamp` exceeds or equal to `until`")
+        case _ => ()
+      }
+      // wait default: infinite when unbounded, 0 when bounded (api
+      // ReadEnd doc) — a bounded SSE session ends with [DONE]
+      val bounded = count.isDefined || bytes.isDefined || until.isDefined
+      val waitMs = q.get("wait").map(_.toLong * 1000L)
+        .orElse(if (bounded) Some(0L) else None)
+
+      // resolve the start to a concrete seq for the session machine
+      val startSeq: Long = start.from match {
+        case ReadFrom.SeqNum(n) => n
+        case ReadFrom.TailOffset(k) =>
+          math.max(store.checkTail(basin, stream).seqNum - k, 0L)
+        case ReadFrom.Timestamp(ts) =>
+          // R2 start resolution via the engine's own probe: first
+          // visible record at/after ts, else the tail
+          store.read(basin, stream,
+            ReadSpec(ReadStart(ReadFrom.Timestamp(ts), clamp = true),
+              ReadEnd(ReadLimit(count = Some(1)))), cipher = cipher)
+            .toOption
+            .flatMap(df => df.collect().headOption.map(_.getLong(0)))
+            .getOrElse(store.checkTail(basin, stream).seqNum)
+      }
+      // unsatisfiable start without clamp: 416 BEFORE the stream opens
+      val tail0 = store.checkTail(basin, stream)
+      if (!start.clamp && startSeq > tail0.seqNum) {
+        respond(ex, 416, s"""{"tail":${posJson(tail0)}}""".getBytes(UTF_8))
+        return
+      }
+
+      ex.getResponseHeaders.set("Content-Type", "text/event-stream")
+      ex.getResponseHeaders.set("Cache-Control", "no-cache, no-transform")
+      ex.getResponseHeaders.set("x-accel-buffering", "no")
+      ex.sendResponseHeaders(200, 0) // chunked
+      val os = ex.getResponseBody
+      def emit(s: String): Unit = { os.write(s.getBytes(UTF_8)); os.flush() }
+
+      val session = new ReadSession(store, basin, stream,
+        math.min(startSeq, tail0.seqNum),
+        ReadLimit(count, bytes), until, waitMs)
+      var processedCount = 0L
+      var processedBytes = 0L
+      var open = true
+      try {
+        while (open) {
+          session.poll() match {
+            case session.Event.Batch(records, tail) if records.nonEmpty =>
+              processedCount += records.size
+              processedBytes += records.iterator
+                .map(r => EnvelopeRecord(r.headers, r.body).meteredSize).sum
+              val id = s"${records.last.seqNum},$processedCount,$processedBytes"
+              emit(s"event: batch\nid: $id\ndata: " +
+                batchJson(base64, records, Some(tail)) + "\n\n")
+            case session.Event.Batch(_, _) => () // empty: skip
+            case session.Event.Heartbeat(tail) =>
+              emit("event: ping\ndata: " +
+                s"""{"timestamp":${System.currentTimeMillis()},"tail":${posJson(tail)}}""" +
+                "\n\n")
+            case session.Event.Idle => Thread.sleep(5)
+            case session.Event.Closed(reason) =>
+              open = false
+              if (reason == "limit_exhausted" || reason == "wait_expired" ||
+                  reason == "until_or_limit")
+                emit("data: [DONE]\n\n") // done_event (records.rs:251-253)
+              else
+                emit(s"event: error\ndata: ${jsonEsc(reason)}\n\n")
+          }
+        }
+      } catch {
+        // client went away mid-stream (the reconnect path): just drop
+        case _: java.io.IOException => ()
+      } finally ex.close()
+    }
+
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/v1/streams/", safely { ex =>
+      val path = ex.getRequestURI.getPath.stripPrefix("/v1/streams/")
+      val (stream, kind) =
+        if (path.endsWith("/records/tail"))
+          (path.stripSuffix("/records/tail"), "tail")
+        else if (path.endsWith("/records"))
+          (path.stripSuffix("/records"), "records")
+        else ("", "")
+      val basin = basinOf(ex)
+      (ex.getRequestMethod, kind) match {
+        case ("GET", "tail") =>
+          val t = store.checkTail(basin, stream)
+          respond(ex, 200, s"""{"tail":${posJson(t)}}""".getBytes(UTF_8))
+        case ("POST", "records") => handleAppend(ex, basin, stream)
+        case ("GET", "records") =>
+          val accept = Option(ex.getRequestHeaders.getFirst("Accept")).getOrElse("")
+          if (accept.contains("text/event-stream")) handleSseRead(ex, basin, stream)
+          else handleUnaryRead(ex, basin, stream)
+        case _ => respond(ex, 405)
+      }
+    })
+    // daemon threads: HttpServer.stop() does not shut the executor
+    // down (see HttpObjectServer); SSE sessions hold threads for their
+    // lifetime, so give the pool headroom
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(16,
+      r => { val t = new Thread(r, "http-records-server"); t.setDaemon(true); t }))
+    server.start()
+    (server, s"http://127.0.0.1:${server.getAddress.getPort}")
+  }
+}

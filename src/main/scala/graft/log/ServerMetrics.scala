@@ -60,9 +60,17 @@ object ServerMetrics {
   val appendBatchBytes = new Histogram("s2_append_batch_bytes",
     "Append batch size in bytes",
     Array(512.0, 1024.0, 4096.0, 16384.0, 65536.0, 262144.0, 524288.0, 1048576.0))
+  // extension beyond the reference set: A8 group-commit fan-in (how
+  // many pipelined batches shared one durability barrier) — ack
+  // latency observes once per group, so this is the weight needed to
+  // recover per-batch totals
+  val appendGroupBatches = new Histogram("s2_append_group_batches",
+    "Batches sharing one append group commit",
+    Array(1.0, 2.0, 4.0, 8.0, 16.0, 32.0, 64.0))
 
   private def all: Seq[Histogram] =
-    Seq(appendPermitLatency, appendAckLatency, appendBatchRecords, appendBatchBytes)
+    Seq(appendPermitLatency, appendAckLatency, appendBatchRecords,
+      appendBatchBytes, appendGroupBatches)
 
   /** The /metrics text payload (metrics.rs:66-73). */
   def gather(): String = all.map(_.expose).mkString

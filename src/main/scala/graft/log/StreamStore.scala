@@ -216,6 +216,17 @@ object StreamStore {
       val name = Paths.get(p).getFileName.toString
       reported.get(name) match {
         case Some(r) =>
+          // the report carries the stats (no footer open), but the
+          // promoted bytes still get the 4-byte tail-magic probe
+          // (ADVICE r16: staged writes are sync=false — one pread per
+          // file buys back the torn-file detection the footer read
+          // used to provide). A torn REPORTED file is not a skippable
+          // twin — the acked attempt's output is damaged — so fail
+          // the ingest loudly with its files still staged.
+          if (FileIndex.tailIntact(p).contains(false))
+            throw new IllegalStateException(
+              s"staged file $p was reported complete by its task but " +
+                "lacks the parquet tail magic — torn staged write")
           Some((FileIndex.FileStats(p, r.minSeq, r.maxSeq, 0L, 0L, r.rows), true))
         case None => stagedStats(p).map((_, false))
       }
@@ -602,6 +613,17 @@ final class StreamStore(val spark: SparkSession, val root: String) {
     val ackT0 = System.nanoTime()
     def failAll(e: AppendError): (Seq[AppendAck], Option[(Int, AppendError)]) =
       (Nil, Some((0, e)))
+    // Validation-first error precedence (ADVICE r16): the reference
+    // validates record shape at request PARSE, before streamer
+    // dispatch, so statically invalid input fails InvalidBatch even on
+    // a missing/deletion-pending stream — and never takes the stream
+    // lock when nothing ahead of it could commit. Later batches keep
+    // their per-index verdict for the roll loop below (prefix-commit
+    // semantics unchanged).
+    val staticErr: IndexedSeq[Option[AppendError]] = inputs.iterator.map(in =>
+      Caps.validateBatch(in.records).left.toOption
+        .map(AppendError.InvalidBatch(_))).toIndexedSeq
+    staticErr.head.foreach(e => return failAll(e))
     val basinCfg = catalog.basinConfig(basin)
     val config = resolveStream(basin, stream,
       autoCreate = basinCfg.createStreamOnAppend) match {
@@ -650,9 +672,9 @@ final class StreamStore(val spark: SparkSession, val root: String) {
       while (bi < inputs.length && failure.isEmpty) {
         val input = inputs(bi)
         def fail(e: AppendError): Unit = failure = Some((bi, e))
-        Caps.validateBatch(input.records) match {
-          case Left(e) => fail(AppendError.InvalidBatch(e))
-          case Right(_) =>
+        staticErr(bi) match {
+          case Some(e) => fail(e)
+          case None =>
             // A5: fencing enforced only when a token is provided —
             // against the ROLLED token (an earlier in-group fence
             // command is visible to later batches, like serial)
@@ -774,9 +796,16 @@ final class StreamStore(val spark: SparkSession, val root: String) {
       // ack with the stable position (append.rs:180-191)
       val sealed0 = acks.toSeq.map(a =>
         a.copy(tail = StreamPosition(newM.tailSeq, newM.tailTs)))
-      // M5: the reference's server histograms (lite/src/metrics.rs)
-      sealed0.zip(inputs).foreach { case (_, input) =>
-        ServerMetrics.appendAckLatency.observe((System.nanoTime() - ackT0) / 1e9)
+      // M5: the reference's server histograms (lite/src/metrics.rs).
+      // Ack latency observes once per GROUP — the shared durability
+      // barrier IS every batch's ack wait, so per-batch observation
+      // would count one wait N times and inflate the histogram under
+      // pipelining (ADVICE r16). Batch-shape histograms stay
+      // per-accepted-batch; the group fan-in gets its own histogram so
+      // pipelining depth is visible.
+      ServerMetrics.appendAckLatency.observe((System.nanoTime() - ackT0) / 1e9)
+      ServerMetrics.appendGroupBatches.observe(sealed0.size.toDouble)
+      inputs.take(sealed0.size).foreach { input =>
         ServerMetrics.appendBatchRecords.observe(input.records.size.toDouble)
         ServerMetrics.appendBatchBytes.observe(
           input.records.iterator.map(_.meteredSize).sum.toDouble)

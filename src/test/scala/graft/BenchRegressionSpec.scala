@@ -225,17 +225,20 @@ class BenchRegressionSpec extends AnyFunSuite {
 
   /** Full live verdict for an artifact: pure gate, then re-measure
     * each per-query flag; only reproduced regressions (and aggregate
-    * flags, which re-measuring one query cannot settle) remain. */
+    * flags, which re-measuring one query cannot settle) remain in
+    * `_1`. `_2` = flags the re-measurement DROPPED as contention
+    * ghosts — callers must surface them (ADVICE r16: a reproduced
+    * 1.2-2x regression lands here, and silence would bury it). */
   private def liveVerdict(artifactJson: String,
                           snap: (Map[String, Double], Map[String, Double]))
-      : Seq[String] = {
+      : (Seq[String], Seq[String]) = {
     val flagged = gate(artifactJson, snap)
-    if (flagged.isEmpty) return Nil
+    if (flagged.isEmpty) return (Nil, Nil)
     val sfDir = """"sf"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(artifactJson)
       .map(_.group(1)).getOrElse("/root/testdata/sf0.1")
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(sfDir)))
-      return flagged // can't re-measure without the data: keep the flags
-    flagged.filter { line =>
+      return (flagged, Nil) // can't re-measure without the data: keep the flags
+    flagged.partition { line =>
       line.startsWith("AGGREGATE") ||
         remeasureConfirms(line.takeWhile(_ != ':'), sfDir, snap._1, snap._2)
     }
@@ -251,7 +254,12 @@ class BenchRegressionSpec extends AnyFunSuite {
     // every threshold — errors are failures here, not fast queries
     assert(!localJson.contains("\"query_errors\""),
       "bench recorded query errors — fix those before reading timings")
-    val confirmed = liveVerdict(localJson, snapshot())
+    val (confirmed, dropped) = liveVerdict(localJson, snapshot())
+    // dropped ≠ invisible: every cleared flag prints in the test
+    // report so a moderate (1.2-2x) reproduced drift still gets eyes
+    // even though it no longer fails the build (ADVICE r16)
+    dropped.foreach(d => info(s"DROPPED as contention ghost (re-measure " +
+      s"did not confirm ≥2x): $d"))
     assert(confirmed.isEmpty,
       s"bench regressions (re-audit or refresh snapshot):\n  " +
         confirmed.mkString("\n  "))
@@ -278,7 +286,7 @@ class BenchRegressionSpec extends AnyFunSuite {
     assume(java.nio.file.Files.exists(
       java.nio.file.Paths.get("/root/testdata/sf0.1")),
       "sf0.1 testdata absent - cannot exercise the re-measure path")
-    val confirmed = liveVerdict(driver, eraSnapshot())
+    val (confirmed, _) = liveVerdict(driver, eraSnapshot())
     assert(confirmed.forall(_.startsWith("e2e_a13_encryption:")),
       s"re-measurement failed to clear the r15 driver's contention ghosts:\n  " +
         confirmed.mkString("\n  "))

@@ -337,6 +337,11 @@ class LinearizabilitySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(tail > 0, s"seed $seed: nothing committed")
       all ++= events
     }
+    // Deterministic fault coverage — by construction, not seed luck:
+    // one bulk ingest driven through a forced commit failure (must end
+    // Indefinite, files die staged) and one clean ingest (must
+    // commit), both history-checked against the final log.
+    all ++= directedBulkFaults(h)
     // non-vacuous: at least one bulk ingest actually COMMITTED
     // (multi-record plain appends from client 0's bulk slots), and at
     // least one ended Indefinite (lost race or injected commit
@@ -352,6 +357,41 @@ class LinearizabilitySpec extends AnyFunSuite with BeforeAndAfterAll {
       "no bulk ingest ever aborted — the rollback path went untested")
   }
 
+  /** Deterministic bulk-ingest fault coverage: one ingest is forced
+    * through a `beforeManifestCommit` failure (the same seam
+    * StagedCommitSpec uses) so it MUST end Indefinite with its files
+    * dead staged, then a clean ingest MUST commit. The resulting
+    * history is checked against the final log like any other, so the
+    * forced abort leaving any row behind would be a violation. */
+  private def directedBulkFaults(h: BackendHarness): Seq[LinEvent] = {
+    val root = h.freshRoot("graft-lin-dbulk")
+    val stores = newStores(root)
+    val events = scala.collection.mutable.ArrayBuffer.empty[LinEvent]
+    def runBulk(i: Int): Unit = {
+      val conn = new ClientConn(stores(1))
+      val op = PlainAppend(Vector(s"b-0-$i-0", s"b-0-$i-1"))
+      val t0 = System.nanoTime()
+      val res = conn.bulkIngest(op)
+      events += LinEvent(0, op, t0, System.nanoTime(), res)
+    }
+    val failOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+    stores(1).beforeManifestCommit = () =>
+      if (failOnce.getAndSet(false))
+        throw new RuntimeException("forced bulk commit failure")
+    runBulk(0) // i % 6 == 0: counted as a bulk slot by the filter
+    stores(1).beforeManifestCommit = () => ()
+    runBulk(6)
+    val (log, tail) = finalState(stores(0))
+    val violations = check(events.toSeq, log, tail)
+    assert(violations.isEmpty,
+      s"directed bulk faults: ${violations.size} violations:\n${violations.take(10).mkString("\n")}")
+    assert(events.head.res == Indefinite,
+      s"forced-failure ingest did not end Indefinite: ${events.head.res}")
+    assert(events.last.res.isInstanceOf[Committed],
+      s"clean ingest did not commit: ${events.last.res}")
+    events.toSeq
+  }
+
   for (h <- BackendHarness.all)
   test(s"[${h.label}] grouped append sessions (A8 group commit) interleave " +
     "linearizably with unary appends/CAS/fencing") {
@@ -364,13 +404,7 @@ class LinearizabilitySpec extends AnyFunSuite with BeforeAndAfterAll {
     // dup/gap/out-of-thin-air row the rollback or retry left behind
     // is a checker violation, exactly as for the other write paths.
     val all = scala.collection.mutable.ArrayBuffer.empty[LinEvent]
-    var seed = 21L
-    def sessEvents = all.filter(e => e.client == 0 &&
-      e.op.isInstanceOf[PlainAppend] &&
-      e.op.asInstanceOf[PlainAppend].bodies.head.contains("-g"))
-    def covered = sessEvents.exists(_.res.isInstanceOf[Committed]) &&
-      sessEvents.exists(_.res == Indefinite)
-    while (seed <= 28L && !(seed > 23L && covered)) {
+    for (seed <- 21L to 23L) {
       val (events, log, tail) =
         runWorkload(h, seed, nClients = 4, opsPerClient = 18, sessEvery = 6)
       val violations = check(events, log, tail)
@@ -378,8 +412,17 @@ class LinearizabilitySpec extends AnyFunSuite with BeforeAndAfterAll {
         s"seed $seed: ${violations.size} violations:\n${violations.take(10).mkString("\n")}")
       assert(tail > 0, s"seed $seed: nothing committed")
       all ++= events
-      seed += 1
     }
+    // Deterministic fault coverage — by construction, not seed luck
+    // (the seeded sweep above stays as the exploration layer): one
+    // group forced through a beforeManifestCommit failure (every batch
+    // must end Indefinite — rollback + poison ran), one group forced
+    // through a real ManifestCasConflict (the session must retry the
+    // whole group in place and commit).
+    all ++= directedGroupFaults(h)
+    def sessEvents = all.filter(e => e.client == 0 &&
+      e.op.isInstanceOf[PlainAppend] &&
+      e.op.asInstanceOf[PlainAppend].bodies.head.contains("-g"))
     // non-vacuous: some session batch really committed, and some ended
     // Indefinite (injected commit failure inside a group, or a
     // poisoned successor) — the group rollback/poison path ran
@@ -387,6 +430,76 @@ class LinearizabilitySpec extends AnyFunSuite with BeforeAndAfterAll {
       "no grouped session batch ever committed — the claim is vacuous")
     assert(sessEvents.exists(_.res == Indefinite),
       "no grouped session batch ever failed — rollback/poison untested")
+  }
+
+  /** Deterministic A8 group-commit fault coverage, same devices
+    * AppendGroupSpec/StagedCommitSpec use:
+    *  (a) a forced `beforeManifestCommit` RuntimeException on the
+    *      group's one commit — the whole group must end Indefinite
+    *      (first batch rolled back, successors poisoned) and leave no
+    *      row in the log;
+    *  (b) a forced foreign manifest write between the group's manifest
+    *      read and its CAS — a real ManifestCasConflict the session
+    *      must absorb by retrying the whole group in place, so every
+    *      batch commits on the second attempt.
+    * Both histories are checked against the final log: a leaked row
+    * from (a) or a duplicate seq from (b)'s retry is a violation. */
+  private def directedGroupFaults(h: BackendHarness): Seq[LinEvent] = {
+    val root = h.freshRoot("graft-lin-dgroup")
+    val stores = newStores(root)
+    val events = scala.collection.mutable.ArrayBuffer.empty[LinEvent]
+    def runSession(tag: String): Seq[LinRes] = {
+      val st = stores(1)
+      val sess = new AppendSession(st, Basin, Stream, retryBackoffMs = 1)
+      val submitted = (0 until 3).map { k =>
+        val op = PlainAppend(Vector(s"b-0-9$tag-g$k"))
+        val t0 = System.nanoTime()
+        val fut = sess.submit(AppendInput(
+          op.bodies.map(b => EnvelopeRecord(Nil, b.getBytes("UTF-8")))))
+        (op, t0, fut)
+      }
+      val out = submitted.map { case (op, t0, fut) =>
+        val res =
+          try scala.concurrent.Await.result(fut,
+            scala.concurrent.duration.Duration(60, "seconds")) match {
+            case Right(ack) => Committed(ack.start.seqNum, ack.end.seqNum)
+            case Left(_) => Indefinite
+          } catch { case _: Throwable => Indefinite }
+        events += LinEvent(0, op, t0, System.nanoTime(), res)
+        res
+      }
+      sess.close()
+      out
+    }
+    // (a) forced commit failure: non-retryable, fires exactly once on
+    // this store's next (= the group's) manifest commit
+    val failOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+    stores(1).beforeManifestCommit = () =>
+      if (failOnce.getAndSet(false))
+        throw new RuntimeException("forced group commit failure")
+    val aborted = runSession("f")
+    stores(1).beforeManifestCommit = () => ()
+    assert(aborted.forall(_ == Indefinite),
+      s"forced-failure group did not fully abort: $aborted")
+    // (b) forced CAS race: a foreign manifest write invalidates the
+    // group's etag mid-commit; the session retries the group in place
+    val raceOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+    stores(1).beforeManifestCommit = () =>
+      if (raceOnce.getAndSet(false)) {
+        val key = Layout.statePath(stores(1).root, Basin, Stream).toString
+        val cur = stores(1).manifest(Basin, Stream)
+        stores(1).backend.putMeta(key,
+          Layout.toJsonString(cur.copy(version = cur.version + 7)))
+      }
+    val retried = runSession("c")
+    stores(1).beforeManifestCommit = () => ()
+    assert(retried.forall(_.isInstanceOf[Committed]),
+      s"CAS-raced group did not commit after in-place retry: $retried")
+    val (log, tail) = finalState(stores(0))
+    val violations = check(events.toSeq, log, tail)
+    assert(violations.isEmpty,
+      s"directed group faults: ${violations.size} violations:\n${violations.take(10).mkString("\n")}")
+    events.toSeq
   }
 
   test("teeth: a store that skips the fencing check is caught") {
