@@ -434,3 +434,81 @@ object HttpRecordsServer {
     (server, s"http://127.0.0.1:${server.getAddress.getPort}")
   }
 }
+
+/** Minimal client for [[HttpRecordsServer]] — what a day-one user's
+  * SDK does over these routes: unary request/response plus an SSE
+  * consumer that can stop mid-stream (dropping the connection) and
+  * resume with `Last-Event-ID`, the reference SDK's reconnect
+  * discipline. Shared by the e2e demo and the spec; not a public API.
+  */
+private[graft] object HttpRecordsClient {
+
+  final case class SseEvent(event: Option[String], id: Option[String], data: String)
+
+  def request(method: String, url: String,
+              headers: Seq[(String, String)] = Nil,
+              body: Array[Byte] = null): (Int, String) = {
+    val c = new java.net.URL(url).openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    c.setRequestMethod(method)
+    c.setConnectTimeout(5000)
+    c.setReadTimeout(65000)
+    headers.foreach { case (k, v) => c.setRequestProperty(k, v) }
+    if (body != null) {
+      c.setDoOutput(true)
+      c.setFixedLengthStreamingMode(body.length)
+      val os = c.getOutputStream
+      try os.write(body) finally os.close()
+    }
+    val code = c.getResponseCode
+    val is = if (code >= 400) c.getErrorStream else c.getInputStream
+    val out = if (is == null) "" else
+      try new String(is.readAllBytes(), UTF_8) finally is.close()
+    (code, out)
+  }
+
+  /** Consume an SSE response: parse events until `[DONE]`, an `error`
+    * event, EOF, or — when `stopAfter` is hit — CLOSE the connection
+    * mid-stream (the reconnect scenario). Returns the events seen. */
+  def readSse(url: String, headers: Seq[(String, String)] = Nil,
+              stopAfter: Int = Int.MaxValue): Seq[SseEvent] = {
+    val c = new java.net.URL(url).openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    c.setRequestMethod("GET")
+    c.setConnectTimeout(5000)
+    c.setReadTimeout(65000)
+    c.setRequestProperty("Accept", "text/event-stream")
+    headers.foreach { case (k, v) => c.setRequestProperty(k, v) }
+    require(c.getResponseCode == 200,
+      s"SSE open failed: HTTP ${c.getResponseCode}")
+    val in = new java.io.BufferedReader(
+      new java.io.InputStreamReader(c.getInputStream, UTF_8))
+    val out = scala.collection.mutable.ArrayBuffer.empty[SseEvent]
+    try {
+      var event: Option[String] = None
+      var id: Option[String] = None
+      val data = new StringBuilder
+      var open = true
+      while (open) {
+        val line = in.readLine()
+        if (line == null) open = false
+        else if (line.isEmpty) {
+          if (data.nonEmpty || event.isDefined) {
+            out += SseEvent(event, id, data.toString)
+            if (data.toString == "[DONE]" || event.contains("error") ||
+                out.size >= stopAfter)
+              open = false // stopAfter: hang up mid-stream
+          }
+          event = None; id = None; data.clear()
+        }
+        else if (line.startsWith("event: ")) event = Some(line.drop(7))
+        else if (line.startsWith("id: ")) id = Some(line.drop(4))
+        else if (line.startsWith("data: ")) {
+          if (data.nonEmpty) data.append('\n')
+          data.append(line.drop(6))
+        }
+      }
+    } finally { in.close(); c.disconnect() }
+    out.toSeq
+  }
+}

@@ -1769,6 +1769,81 @@ object EngineDemos {
       } finally server.stop(0)
     },
 
+    // The v1 RECORDS serving surface (VERDICT r16 #5): the day-one
+    // client API the reference serves over HTTP (records.rs:30-36 —
+    // check_tail / unary append / unary read / SSE session), here over
+    // HttpRecordsServer in front of a StreamStore. The SSE leg is the
+    // reconnect discipline end-to-end: a client consumes the catch-up
+    // batch (id: seq,count,bytes — sse.rs LastEventId), HANGS UP
+    // mid-stream, a record lands while it is away, and the reconnect
+    // with Last-Event-ID resumes exactly after the last delivered seq
+    // (records.rs:49-65) — the assembled body sequence proves every
+    // record was delivered exactly once across the two connections.
+    demo("e2e_http_records", Seq(
+      "append_ack" -> "0..3,tail=3",
+      "cas_412" -> "412:seq_num_mismatch:3",
+      "tail_check" -> "3",
+      "unary_read" -> "r0,r1,r2",
+      "sse_catchup" -> "r0,r1,r2@2,3,30",
+      "sse_resume" -> "batch:r3@3,1,10;ping;done",
+      "all_bodies_exactly_once" -> "r0,r1,r2,r3")) { (_, st) =>
+      val (server, endpoint) = graft.log.HttpRecordsServer.start(st, Some(1000L))
+      try {
+        import graft.log.HttpRecordsClient._
+        st.catalog.createStream("demo-basin1", "hr")
+        val base = s"$endpoint/v1/streams/hr/records"
+        val hdr = Seq("s2-basin" -> "demo-basin1")
+        def seqOf(json: String, field: String): String =
+          (s""""$field":\\{"seq_num":(\\d+)""").r
+            .findFirstMatchIn(json).map(_.group(1)).getOrElse("?")
+        def bodiesOf(json: String): String =
+          """"body":"([^"]+)"""".r.findAllMatchIn(json)
+            .map(_.group(1)).mkString(",")
+        // unary append over HTTP
+        val (a1, ack) = request("POST", base, hdr,
+          """{"records":[{"body":"r0"},{"body":"r1"},{"body":"r2"}]}"""
+            .getBytes("UTF-8"))
+        val appendAck = if (a1 == 200)
+          s"${seqOf(ack, "start")}..${seqOf(ack, "end")},tail=${seqOf(ack, "tail")}"
+        else s"HTTP $a1"
+        // stale CAS -> 412 with the expected NEXT seq in the body
+        val (c2, condFail) = request("POST", base, hdr,
+          """{"records":[{"body":"x"}],"match_seq_num":0}""".getBytes("UTF-8"))
+        val cas412 = s"$c2:" + """"?(\w+)"?:(\d+)""".r
+          .findFirstMatchIn(condFail).map(m => s"${m.group(1)}:${m.group(2)}")
+          .getOrElse(condFail)
+        val (_, tailJson) = request("GET", s"$base/tail", hdr)
+        // unary JSON read
+        val (_, readJson) = request("GET", s"$base?seq_num=0", hdr)
+        // SSE catch-up, then hang up MID-STREAM after the first batch
+        val catchup = readSse(s"$base?seq_num=0&wait=5", hdr, stopAfter = 1)
+        val firstBatch = catchup.head
+        val sseCatchup = s"${bodiesOf(firstBatch.data)}@${firstBatch.id.getOrElse("?")}"
+        // a record lands while the client is away
+        request("POST", base, hdr, """{"records":[{"body":"r3"}]}""".getBytes("UTF-8"))
+        // reconnect with Last-Event-ID: resume exactly after seq 2
+        val resumed = readSse(s"$base?wait=1", hdr :+
+          ("Last-Event-ID" -> firstBatch.id.get))
+        val sseResume = resumed.map {
+          case SseEvent(Some("batch"), Some(id), data) => s"batch:${bodiesOf(data)}@$id"
+          case SseEvent(Some("ping"), _, _) => "ping"
+          case SseEvent(None, _, "[DONE]") => "done"
+          case other => s"unexpected:$other"
+        }.mkString(";")
+        val allBodies = bodiesOf(firstBatch.data) + "," +
+          resumed.collect { case SseEvent(Some("batch"), _, d) => bodiesOf(d) }
+            .mkString(",")
+        Seq(
+          "append_ack" -> appendAck,
+          "cas_412" -> cas412,
+          "tail_check" -> seqOf(tailJson, "tail"),
+          "unary_read" -> bodiesOf(readJson),
+          "sse_catchup" -> sseCatchup,
+          "sse_resume" -> sseResume,
+          "all_bodies_exactly_once" -> allBodies)
+      } finally server.stop(0)
+    },
+
     // T5 — basin deletion: every stream terminally trimmed, basin marked
     demo("e2e_t5_basin_delete", Seq(
       "streams_deletion_pending" -> "3",

@@ -1,0 +1,211 @@
+package graft.log
+
+import java.nio.file.Files
+import java.util.Base64
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.model._
+import HttpRecordsClient._
+
+/** The v1 records serving surface (HttpRecordsServer) against the
+  * reference handler semantics (lite/src/handlers/v1/records.rs):
+  * unary append/read JSON shapes, condition-failed 412 bodies,
+  * 404/416 mapping, base64 format, encryption-key header, long-poll
+  * unary reads, and the SSE session's Last-Event-ID budget
+  * arithmetic (records.rs:49-65). The e2e demo covers the happy
+  * reconnect path inside the oracle gate; this spec covers the edges.
+  */
+class HttpRecordsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def served(cipher: Option[CipherAlgo] = None)
+      : (StreamStore, com.sun.net.httpserver.HttpServer, String) = {
+    val st = new StreamStore(spark,
+      Files.createTempDirectory("graft-http-records").toString)
+    st.catalog.createBasin("rec-basin",
+      BasinConfig(
+        defaultStreamConfig =
+          StreamConfig(retentionPolicy = Some(RetentionPolicy.Infinite)),
+        streamCipher = cipher))
+    st.catalog.createStream("rec-basin", "s")
+    val (server, endpoint) = HttpRecordsServer.start(st, Some(1000L))
+    (st, server, endpoint)
+  }
+
+  private val hdr = Seq("s2-basin" -> "rec-basin")
+
+  test("unary append ack, tail check, and unary read round-trip the " +
+    "reference JSON shapes (headers as [name,value] pairs, tail present)") {
+    val (_, server, ep) = served()
+    try {
+      val (code, ack) = request("POST", s"$ep/v1/streams/s/records", hdr,
+        """{"records":[{"body":"a","headers":[["k","v"]]},{"body":"b"}]}"""
+          .getBytes("UTF-8"))
+      assert(code == 200, ack)
+      assert(ack.contains(""""start":{"seq_num":0,"timestamp":1000}"""), ack)
+      assert(ack.contains(""""end":{"seq_num":2"""), ack)
+      assert(ack.contains(""""tail":{"seq_num":2"""), ack)
+      val (tc, tail) = request("GET", s"$ep/v1/streams/s/records/tail", hdr)
+      assert(tc == 200 && tail == """{"tail":{"seq_num":2,"timestamp":1000}}""", tail)
+      val (rc, batch) = request("GET", s"$ep/v1/streams/s/records?seq_num=0", hdr)
+      assert(rc == 200, batch)
+      assert(batch.contains(""""headers":[["k","v"]]"""), batch)
+      assert(batch.contains(""""body":"a""""), batch)
+      assert(batch.contains(""""tail":{"seq_num":2"""), batch)
+      // count limit honored
+      val (_, one) = request("GET", s"$ep/v1/streams/s/records?seq_num=0&count=1", hdr)
+      assert(one.contains(""""body":"a"""") && !one.contains(""""body":"b""""), one)
+    } finally server.stop(0)
+  }
+
+  test("412 condition-failed bodies carry the EXPECTED value: next seq " +
+    "for CAS, current token for fencing (api AppendConditionFailed)") {
+    val (st, server, ep) = served()
+    try {
+      st.append("rec-basin", "s", AppendInput(Seq(EnvelopeRecord(Nil, "x".getBytes))),
+        Some(1000L))
+      val (c1, b1) = request("POST", s"$ep/v1/streams/s/records", hdr,
+        """{"records":[{"body":"y"}],"match_seq_num":0}""".getBytes("UTF-8"))
+      assert(c1 == 412 && b1 == """{"seq_num_mismatch":1}""", s"$c1 $b1")
+      st.append("rec-basin", "s", AppendInput(Seq(FenceCommand("tok-A"))), Some(1000L))
+      val (c2, b2) = request("POST", s"$ep/v1/streams/s/records", hdr,
+        """{"records":[{"body":"y"}],"fencing_token":"stale"}""".getBytes("UTF-8"))
+      assert(c2 == 412 && b2 == """{"fencing_token_mismatch":"tok-A"}""", s"$c2 $b2")
+    } finally server.stop(0)
+  }
+
+  test("error mapping: 404 for a missing stream, 416 with the tail for " +
+    "an unsatisfiable start, clamp=true reads from the tail instead") {
+    val (_, server, ep) = served()
+    try {
+      val (c1, b1) = request("POST", s"$ep/v1/streams/nope/records", hdr,
+        """{"records":[{"body":"x"}]}""".getBytes("UTF-8"))
+      assert(c1 == 404, s"$c1 $b1")
+      val (c2, _) = request("GET", s"$ep/v1/streams/nope/records?seq_num=0", hdr)
+      assert(c2 == 404)
+      val (c3, b3) = request("GET", s"$ep/v1/streams/s/records?seq_num=99", hdr)
+      assert(c3 == 416 && b3 == """{"tail":{"seq_num":0,"timestamp":0}}""", s"$c3 $b3")
+      val (c4, b4) = request("GET",
+        s"$ep/v1/streams/s/records?seq_num=99&clamp=true&wait=0", hdr)
+      assert(c4 == 200 && b4.contains(""""records":[]"""), s"$c4 $b4")
+      // two start positions at once is a validation error
+      val (c5, _) = request("GET",
+        s"$ep/v1/streams/s/records?seq_num=0&timestamp=5", hdr)
+      assert(c5 == 400)
+      // start timestamp >= until rejected (records.rs:38-47)
+      val (c6, b6) = request("GET",
+        s"$ep/v1/streams/s/records?timestamp=5&until=5", hdr)
+      assert(c6 == 400 && b6.contains("exceeds or equal to `until`"), s"$c6 $b6")
+    } finally server.stop(0)
+  }
+
+  test("s2-format: base64 round-trips arbitrary binary bodies and headers") {
+    val (_, server, ep) = served()
+    try {
+      val body = Array[Byte](0, 1, -1, 127, -128, 64)
+      val b64 = Base64.getEncoder.encodeToString(body)
+      val fmt = hdr :+ ("s2-format" -> "base64")
+      val (c1, _) = request("POST", s"$ep/v1/streams/s/records", fmt,
+        s"""{"records":[{"body":"$b64","headers":[["${
+          Base64.getEncoder.encodeToString("k".getBytes)}","${
+          Base64.getEncoder.encodeToString(Array[Byte](-5, 9))}"]]}]}"""
+          .getBytes("UTF-8"))
+      assert(c1 == 200)
+      val (c2, read) = request("GET", s"$ep/v1/streams/s/records?seq_num=0", fmt)
+      assert(c2 == 200 && read.contains(s""""body":"$b64""""), read)
+      assert(read.contains(Base64.getEncoder.encodeToString(Array[Byte](-5, 9))), read)
+    } finally server.stop(0)
+  }
+
+  test("s2-encryption-key header: encrypted basin round-trips through " +
+    "HTTP append and read with the key applied server-side") {
+    val (st, server, ep) = served(Some(CipherAlgo.Aegis256))
+    try {
+      val key = Array.fill(32)(0x42.toByte)
+      val keyHdr = hdr :+ ("s2-encryption-key" -> Base64.getEncoder.encodeToString(key))
+      val (c1, _) = request("POST", s"$ep/v1/streams/s/records", keyHdr,
+        """{"records":[{"body":"secret","headers":[["h","v"]]}]}""".getBytes("UTF-8"))
+      assert(c1 == 200)
+      val (c2, read) = request("GET", s"$ep/v1/streams/s/records?seq_num=0", keyHdr)
+      assert(c2 == 200 && read.contains(""""body":"secret""""), read)
+      assert(read.contains(""""headers":[["h","v"]]"""), read)
+      // stored form is sealed: no cleartext headers on disk
+      assert(st.visible("rec-basin", "s").collect().head.isNullAt(2))
+    } finally server.stop(0)
+  }
+
+  test("long-poll unary read: wait blocks until a record lands, then " +
+    "returns it (MAX_UNARY_READ_WAIT long-poll, records.rs:78-81)") {
+    val (st, server, ep) = served()
+    try {
+      val t0 = System.nanoTime()
+      val fut = scala.concurrent.Future {
+        request("GET", s"$ep/v1/streams/s/records?seq_num=0&wait=30", hdr)
+      }(scala.concurrent.ExecutionContext.global)
+      Thread.sleep(300)
+      st.append("rec-basin", "s", AppendInput(Seq(EnvelopeRecord(Nil, "late".getBytes))),
+        Some(1000L))
+      val (code, body) = scala.concurrent.Await.result(fut,
+        scala.concurrent.duration.Duration(30, "seconds"))
+      val elapsedSec = (System.nanoTime() - t0) / 1e9
+      assert(code == 200 && body.contains(""""body":"late""""), body)
+      assert(elapsedSec < 20, s"long-poll did not return early: $elapsedSec s")
+    } finally server.stop(0)
+  }
+
+  test("SSE Last-Event-ID arithmetic: count budget is decremented by the " +
+    "records already delivered (apply_last_event_id, records.rs:49-65)") {
+    val (st, server, ep) = served()
+    try {
+      (0 until 3).foreach(i => st.append("rec-basin", "s",
+        AppendInput(Seq(EnvelopeRecord(Nil, s"r$i".getBytes))), Some(1000L)))
+      // conn 1: count=2 -> r0,r1 then [DONE]
+      val conn1 = readSse(s"$ep/v1/streams/s/records?seq_num=0&count=2", hdr)
+      val batch1 = conn1.collect { case SseEvent(Some("batch"), id, d) => (id, d) }
+      assert(batch1.size == 1, conn1)
+      assert(batch1.head._2.contains("r0") && batch1.head._2.contains("r1") &&
+        !batch1.head._2.contains("r2"), batch1)
+      assert(batch1.head._1.contains("1,2,20"), batch1) // seq 1, 2 records, 20 bytes
+      assert(conn1.last.data == "[DONE]", conn1)
+      // reconnect asking count=3 with that id: only 3-2=1 record remains
+      val conn2 = readSse(s"$ep/v1/streams/s/records?seq_num=0&count=3", hdr :+
+        ("Last-Event-ID" -> batch1.head._1.get))
+      val batch2 = conn2.collect { case SseEvent(Some("batch"), id, d) => (id, d) }
+      assert(batch2.size == 1 && batch2.head._2.contains("r2") &&
+        !batch2.head._2.contains("r1"), conn2)
+      assert(batch2.head._1.contains("2,1,10"), batch2)
+      assert(conn2.last.data == "[DONE]", conn2)
+    } finally server.stop(0)
+  }
+
+  test("SSE wait budget: at the tail the session emits one immediate ping " +
+    "then [DONE] on expiry; heartbeats never extend the budget") {
+    val (st, server, ep) = served()
+    try {
+      st.append("rec-basin", "s", AppendInput(Seq(EnvelopeRecord(Nil, "x".getBytes))),
+        Some(1000L))
+      val events = readSse(s"$ep/v1/streams/s/records?seq_num=0&wait=1", hdr)
+      val kinds = events.map {
+        case SseEvent(Some("batch"), _, _) => "batch"
+        case SseEvent(Some("ping"), _, _) => "ping"
+        case SseEvent(None, _, "[DONE]") => "done"
+        case other => other.toString
+      }
+      assert(kinds == Seq("batch", "ping", "done"), kinds)
+      // ping carries the tail
+      val ping = events.collect { case SseEvent(Some("ping"), _, d) => d }.head
+      assert(ping.contains(""""tail":{"seq_num":1"""), ping)
+    } finally server.stop(0)
+  }
+}
