@@ -46,11 +46,19 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   */
 object HttpObjectServer {
 
-  private final case class Obj(json: String, etag: String, putAtMs: Long)
+  /** `nonce` = the `X-Put-Nonce` of the PUT that wrote this version —
+    * the per-write witness a client whose response was LOST uses to
+    * decide whether the surviving write is its own (the load-bearing
+    * user-metadata discipline slatedb runs on real S3: a retried
+    * writer re-reads its put-id after a timeout, sim/src/s3.rs:57-62).
+    */
+  private final case class Obj(json: String, etag: String, putAtMs: Long,
+                               nonce: String = "")
 
   /** Start a server on an ephemeral localhost port; returns it and the
-    * endpoint URI string. */
-  def start(): (HttpServer, String) = {
+    * endpoint URI string. `nonceHistoryCap` bounds the per-key applied-
+    * nonce history (tests shrink it to exercise the `unknown` path). */
+  def start(nonceHistoryCap: Int = 128): (HttpServer, String) = {
     // TCP_NODELAY on the server's sockets: without it, small
     // keep-alive request/response pairs hit the classic Nagle +
     // delayed-ACK interaction — ~40 ms stalls per round trip
@@ -95,21 +103,51 @@ object HttpObjectServer {
 
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
 
+    // Per-key history of APPLIED put nonces (bounded), the decidable
+    // form of slatedb's put-id re-read (a versioned S3 bucket exposes
+    // the same information via ListObjectVersions): a client whose
+    // conditional PUT lost its response asks `X-Probe-Nonce: n` on a
+    // GET and learns, authoritatively, whether that write applied —
+    // `X-Nonce-Applied: 1` (in history), `0` (provably never applied),
+    // or `unknown` (history truncated past the cap; the client must
+    // fall back to IndeterminateCommit). Every applied PUT is recorded
+    // so the truncation accounting stays honest.
+    val nonceHist = new ConcurrentHashMap[String, java.util.ArrayDeque[String]]()
+    val histTruncated = ConcurrentHashMap.newKeySet[String]()
+    def recordNonce(key: String, nonce: String): Unit = {
+      val dq = nonceHist.computeIfAbsent(key, _ => new java.util.ArrayDeque[String]())
+      dq.synchronized {
+        dq.addLast(nonce)
+        if (dq.size > nonceHistoryCap) { dq.removeFirst(); histTruncated.add(key) }
+      }
+    }
+    def nonceApplied(key: String, nonce: String): String = {
+      val dq = nonceHist.get(key)
+      val present = dq != null && dq.synchronized(dq.contains(nonce))
+      if (present) "1"
+      else if (histTruncated.contains(key)) "unknown"
+      else "0"
+    }
+
     server.createContext("/meta/", safely { ex =>
       val key = keyOf(ex, "/meta")
       ex.getRequestMethod match {
         case "GET" =>
+          val probe = Option(ex.getRequestHeaders.getFirst("X-Probe-Nonce"))
+          val probeHs = probe.map(n =>
+            Map("X-Nonce-Applied" -> nonceApplied(key, n))).getOrElse(Map.empty)
           meta.get(key) match {
-            case null => respond(ex, 404)
+            case null => respond(ex, 404, Array.emptyByteArray, probeHs)
             case o =>
               // conditional GET: a revalidation hit skips the body
               // (and the client's re-parse) without weakening
               // consistency — the decision is the server's
+              val hs = Map("ETag" -> o.etag, "X-Put-Nonce" -> o.nonce) ++ probeHs
               val inm = Option(ex.getRequestHeaders.getFirst("If-None-Match"))
               if (inm.contains(o.etag))
-                respond(ex, 304, Array.emptyByteArray, Map("ETag" -> o.etag))
+                respond(ex, 304, Array.emptyByteArray, hs)
               else
-                respond(ex, 200, o.json.getBytes(UTF_8), Map("ETag" -> o.etag))
+                respond(ex, 200, o.json.getBytes(UTF_8), hs)
           }
         case "DELETE" =>
           meta.remove(key); respond(ex, 204)
@@ -117,7 +155,8 @@ object HttpObjectServer {
           val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
           val ifMatch = Option(ex.getRequestHeaders.getFirst("If-Match"))
           val ifNoneMatch = Option(ex.getRequestHeaders.getFirst("If-None-Match"))
-          val next = Obj(body, etagOf(body), System.currentTimeMillis())
+          val nonce = Option(ex.getRequestHeaders.getFirst("X-Put-Nonce")).getOrElse("")
+          val next = Obj(body, etagOf(body), System.currentTimeMillis(), nonce)
           // the CAS decision and the write are one atomic per-key step
           var ok = true
           meta.compute(key, (_, cur) => (ifMatch, ifNoneMatch) match {
@@ -127,7 +166,10 @@ object HttpObjectServer {
               if (cur == null) next else { ok = false; cur }
             case _ => next // unconditional
           })
-          if (ok) respond(ex, 200, Array.emptyByteArray, Map("ETag" -> next.etag))
+          if (ok) {
+            recordNonce(key, nonce)
+            respond(ex, 200, Array.emptyByteArray, Map("ETag" -> next.etag))
+          }
           else respond(ex, 412)
         case _ => respond(ex, 405)
       }
@@ -253,13 +295,36 @@ final class HttpObjectBackend(endpoint: String) extends StorageBackend {
 
   private def norm(p: Path): String = ObjectKeys.norm(p)
 
-  /** One HTTP exchange. Returns (status, body, etag). Streams are
-    * fully drained and closed so the connection returns to the JDK
-    * keep-alive cache. */
+  private final case class Rsp(code: Int, body: Array[Byte],
+                               etag: String, nonce: String,
+                               nonceApplied: String)
+
+  /** Bounded retry for IDEMPOTENT calls (reads, lists, deletes,
+    * unconditional/content-identical puts): a real wire drops, resets
+    * and delays — each retried exchange is safe to replay verbatim.
+    * Conditional puts must NOT ride this blindly; casMeta runs its own
+    * lost-response protocol. */
+  private val MaxAttempts = 4
+  private def retrying[A](what: String)(f: => A): A = {
+    var last: java.io.IOException = null
+    var attempt = 0
+    while (attempt < MaxAttempts) {
+      try return f
+      catch { case io: java.io.IOException =>
+        last = io
+        attempt += 1
+        if (attempt < MaxAttempts) Thread.sleep(5L * attempt)
+      }
+    }
+    throw last
+  }
+
+  /** One HTTP exchange. Streams are fully drained and closed so the
+    * connection returns to the JDK keep-alive cache. */
   private def exchange(method: String, url: String,
                        headers: Seq[(String, String)] = Nil,
                        body: Array[Byte] = null,
-                       bodyFile: Path = null): (Int, Array[Byte], String) = {
+                       bodyFile: Path = null): Rsp = {
     val c = new java.net.URL(url).openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
     c.setRequestMethod(method)
@@ -285,7 +350,9 @@ final class HttpObjectBackend(endpoint: String) extends StorageBackend {
     val out =
       if (is == null) Array.emptyByteArray
       else try is.readAllBytes() finally is.close()
-    (code, out, Option(c.getHeaderField("ETag")).getOrElse(""))
+    Rsp(code, out, Option(c.getHeaderField("ETag")).getOrElse(""),
+      Option(c.getHeaderField("X-Put-Nonce")).getOrElse(""),
+      Option(c.getHeaderField("X-Nonce-Applied")).getOrElse(""))
   }
 
   private def metaUrl(key: String): String = s"$endpoint/meta${enc(key)}"
@@ -299,53 +366,148 @@ final class HttpObjectBackend(endpoint: String) extends StorageBackend {
     * a refill costs one 200 per key, never a wrong answer. */
   private val metaCache = new ConcurrentHashMap[String, (String, String)]()
 
-  def getMeta(key: String, fresh: Boolean): Option[(String, String)] = {
+  def getMeta(key: String, fresh: Boolean): Option[(String, String)] = retrying("getMeta") {
     val k = norm(Paths.get(key))
     val cached = metaCache.get(k)
     val hdr = cached match {
       case null => Nil
       case (_, tag) => Seq("If-None-Match" -> tag)
     }
-    val (code, body, etag) = exchange("GET", metaUrl(k), hdr)
+    val r = exchange("GET", metaUrl(k), hdr)
     // ONLY 404 means absent — mapping an unexpected 5xx to None would
     // serve a live stream as fresh/tail-0 to read paths
-    if (code == 200) {
-      val v = (new String(body, UTF_8), etag)
+    if (r.code == 200) {
+      val v = (new String(r.body, UTF_8), r.etag)
       if (metaCache.size > 65536) metaCache.clear()
       metaCache.put(k, v)
       Some(v)
-    } else if (code == 304) Some(cached)
-    else if (code == 404) { metaCache.remove(k); None }
+    } else if (r.code == 304) Some(cached)
+    else if (r.code == 404) { metaCache.remove(k); None }
     else throw new java.io.IOException(
-      s"getMeta $key -> HTTP $code: ${new String(body, UTF_8).take(160)}")
+      s"getMeta $key -> HTTP ${r.code}: ${new String(r.body, UTF_8).take(160)}")
   }
 
+  /** Conditional put with the LOST-RESPONSE protocol a real wire
+    * demands (the reference's storage layer runs the same discipline
+    * on S3 — slatedb stamps each write with a put-id and re-reads
+    * after a timeout to learn whether the winning write is its own,
+    * sim/src/s3.rs:57-62):
+    *
+    *  - every attempt carries a fresh `X-Put-Nonce`, stored by the
+    *    server as the version's writer witness;
+    *  - a timed-out/reset PUT probes the authoritative state: nonce
+    *    ours -> the write APPLIED (success); precondition still holds
+    *    -> it did NOT apply (safe to replay the conditional put);
+    *  - a 412 after a lost response probes the same way before being
+    *    believed — the classic S3 retry-after-timeout double-PUT would
+    *    otherwise read our own committed write as a foreign winner;
+    *  - a foreign write observed during the outage makes the outcome
+    *    undecidable from here: [[IndeterminateCommit]], and the caller
+    *    must not roll back side effects a landed commit references.
+    */
   def casMeta(key: String, json: String, ifMatch: Option[String]): Either[String, String] = {
-    val hdr = ifMatch match {
+    val k = norm(Paths.get(key))
+    val nonce = java.util.UUID.randomUUID().toString
+    val hdr = (ifMatch match {
       case Some(tag) => Seq("If-Match" -> tag)
       case None => Seq("If-None-Match" -> "*")
+    }) :+ ("X-Put-Nonce" -> nonce)
+    val payload = json.getBytes(UTF_8)
+    // Authoritative probe with the nonce question attached:
+    // Some(true) = our PUT applied (even if since overwritten),
+    // Some(false) = provably never applied, None = history truncated
+    // (undecidable). `cur` = the current object, None when absent.
+    def probeVerdict(): (Option[Boolean], Option[Rsp]) = retrying("casMeta probe") {
+      val r = exchange("GET", metaUrl(k), Seq("X-Probe-Nonce" -> nonce))
+      if (r.code != 200 && r.code != 404)
+        throw new java.io.IOException(s"casMeta probe $key -> HTTP ${r.code}")
+      val applied = r.nonceApplied match {
+        case "1" => Some(true)
+        case "0" => Some(false)
+        // a server without nonce history: the CURRENT version's nonce
+        // still decides the common single-writer case
+        case _ => if (r.code == 200 && r.nonce == nonce) Some(true) else None
+      }
+      (applied, if (r.code == 200) Some(r) else None)
     }
-    val k = norm(Paths.get(key))
-    val (code, body, etag) = exchange("PUT", metaUrl(k),
-      hdr, body = json.getBytes(UTF_8))
-    // ONLY 412 is a CAS conflict (Left = "foreign commit won; rebase"
-    // to Catalog.mutateDoc retry loops) — treating a persistent 5xx as
-    // a conflict would spin those loops forever; throw instead
-    if (code == 200) { metaCache.put(k, (json, etag)); Right(etag) }
-    else if (code == 412) Left(s"precondition failed for $key (HTTP 412)")
-    else throw new java.io.IOException(
-      s"casMeta $key -> HTTP $code: ${new String(body, UTF_8).take(160)}")
+    def accept(cur: Option[Rsp]): Either[String, String] = {
+      // our write applied. Cache the CURRENT state (which may be a
+      // foreign successor, not our json — caching ours against the
+      // current etag would poison later 304 revalidations).
+      cur.foreach(c => metaCache.put(k, (new String(c.body, UTF_8), c.etag)))
+      Right(cur.map(_.etag).getOrElse(""))
+    }
+    var attempt = 0
+    while (true) {
+      val sent =
+        try Some(exchange("PUT", metaUrl(k), hdr, body = payload))
+        catch { case _: java.io.IOException => None }
+      sent match {
+        case Some(r) if r.code == 200 =>
+          metaCache.put(k, (json, r.etag)); return Right(r.etag)
+        case Some(r) if r.code == 412 =>
+          // ONLY 412 is a CAS conflict — but the answering response
+          // can be a network-level DUPLICATE of our own applied PUT
+          // (the S3 retry double-PUT); the applied-nonce probe decides
+          probeVerdict() match {
+            case (Some(true), cur) => return accept(cur)
+            case (Some(false), _) =>
+              return Left(s"precondition failed for $key (HTTP 412)")
+            case (None, _) =>
+              throw new IndeterminateCommit(
+                s"casMeta $key: 412 with truncated nonce history — cannot " +
+                  "decide whether an earlier duplicate of our put applied")
+          }
+        case Some(r) =>
+          // a RESPONDED non-2xx/412 (server 5xx before applying):
+          // definite failure — treating it as a conflict would spin
+          // Catalog.mutateDoc rebase loops forever; throw instead
+          throw new java.io.IOException(
+            s"casMeta $key -> HTTP ${r.code}: ${new String(r.body, UTF_8).take(160)}")
+        case None =>
+          // response lost: applied or not?
+          probeVerdict() match {
+            case (Some(true), cur) => return accept(cur)
+            case (verdict, cur) =>
+              val preconditionHolds = (cur, ifMatch) match {
+                case (Some(c), Some(tag)) => c.etag == tag // unchanged
+                case (None, None) => true // still absent
+                case _ => false
+              }
+              if (verdict == Some(false) || preconditionHolds) {
+                if (!preconditionHolds)
+                  // never applied AND the precondition is gone: a
+                  // foreign write definitely won
+                  return Left(s"precondition failed for $key (lost race " +
+                    "during outage)")
+                // provably not applied, base unchanged: replay (bounded)
+                attempt += 1
+                if (attempt >= MaxAttempts) throw new java.io.IOException(
+                  s"casMeta $key: ${MaxAttempts} attempts all lost their response " +
+                    "with the base state unchanged")
+                Thread.sleep(5L * attempt)
+              } else
+                // undecidable: history truncated AND the state moved
+                throw new IndeterminateCommit(
+                  s"casMeta $key: response lost, nonce history truncated and " +
+                    "a foreign write landed during the outage — cannot decide " +
+                    "whether our conditional put applied; side effects must " +
+                    "not be rolled back")
+          }
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
-  def putMeta(key: String, json: String): Unit = {
+  def putMeta(key: String, json: String): Unit = retrying("putMeta") {
+    // unconditional last-writer-wins put: replay-idempotent
     val k = norm(Paths.get(key))
-    val (code, _, etag) = exchange("PUT", metaUrl(k),
-      body = json.getBytes(UTF_8))
-    require(code == 200, s"putMeta $key -> HTTP $code")
-    metaCache.put(k, (json, etag))
+    val r = exchange("PUT", metaUrl(k), body = json.getBytes(UTF_8))
+    require(r.code == 200, s"putMeta $key -> HTTP ${r.code}")
+    metaCache.put(k, (json, r.etag))
   }
 
-  def deleteMeta(key: String): Unit = {
+  def deleteMeta(key: String): Unit = retrying("deleteMeta") {
     val k = norm(Paths.get(key))
     exchange("DELETE", metaUrl(k))
     metaCache.remove(k)
@@ -355,24 +517,30 @@ final class HttpObjectBackend(endpoint: String) extends StorageBackend {
   def withWriterMutex[A](lockKey: Path)(f: => A): A = f // no locks on object stores
 
   def putData(stagedLocal: Path, dest: Path): Unit = {
-    val (code, _, _) = exchange("PUT", s"$endpoint/data${enc(norm(dest))}",
-      bodyFile = stagedLocal)
-    require(code == 200, s"putData $dest -> HTTP $code")
+    // whole-object put of identical bytes: replay-idempotent (the S3
+    // double-PUT after a timeout re-materializes the same object)
+    retrying("putData") {
+      val r = exchange("PUT", s"$endpoint/data${enc(norm(dest))}",
+        bodyFile = stagedLocal)
+      require(r.code == 200, s"putData $dest -> HTTP ${r.code}")
+    }
     Files.deleteIfExists(stagedLocal)
     ()
   }
 
   /** Crash-sim seam (BackendHarness): publish raw bytes as an object. */
-  private[log] def putDataBytes(dest: Path, bytes: Array[Byte]): Unit = {
-    val (code, _, _) = exchange("PUT", s"$endpoint/data${enc(norm(dest))}",
-      body = bytes)
-    require(code == 200, s"putDataBytes $dest -> HTTP $code")
-  }
+  private[log] def putDataBytes(dest: Path, bytes: Array[Byte]): Unit =
+    retrying("putDataBytes") {
+      val r = exchange("PUT", s"$endpoint/data${enc(norm(dest))}",
+        body = bytes)
+      require(r.code == 200, s"putDataBytes $dest -> HTTP ${r.code}")
+    }
 
-  private def list(mode: String, dir: Path): Seq[String] = {
-    val (_, body, _) = exchange("GET",
+  private def list(mode: String, dir: Path): Seq[String] = retrying("list") {
+    val r = exchange("GET",
       s"$endpoint/list?mode=$mode&prefix=${URLEncoder.encode(norm(dir), "UTF-8")}")
-    val s = new String(body, UTF_8)
+    require(r.code == 200, s"list $dir -> HTTP ${r.code}")
+    val s = new String(r.body, UTF_8)
     if (s.isEmpty) Nil else s.split('\n').toSeq
   }
 
@@ -380,24 +548,24 @@ final class HttpObjectBackend(endpoint: String) extends StorageBackend {
   def listSubdirs(dir: Path): Seq[String] = list("subdirs", dir)
   def dataExists(dir: Path): Boolean = list("exists", dir).nonEmpty
 
-  def deleteData(file: Path): Unit = {
+  def deleteData(file: Path): Unit = retrying("deleteData") {
     exchange("DELETE", s"$endpoint/data${enc(norm(file))}")
     ()
   }
 
-  def deletePrefix(dir: Path): Unit = {
+  def deletePrefix(dir: Path): Unit = retrying("deletePrefix") {
     exchange("DELETE",
       s"$endpoint/prefix?prefix=${URLEncoder.encode(norm(dir), "UTF-8")}")
     ()
   }
 
-  def timeOf(path: Path): Option[Long] = {
-    val (code, body, _) = exchange("GET",
+  def timeOf(path: Path): Option[Long] = retrying("timeOf") {
+    val r = exchange("GET",
       s"$endpoint/time?path=${URLEncoder.encode(norm(path), "UTF-8")}")
-    if (code == 200) Some(new String(body, UTF_8).toLong) else None
+    if (r.code == 200) Some(new String(r.body, UTF_8).toLong) else None
   }
 
-  def touch(path: Path, nowMs: Long): Unit = {
+  def touch(path: Path, nowMs: Long): Unit = retrying("touch") {
     exchange("POST",
       s"$endpoint/touch?path=${URLEncoder.encode(norm(path), "UTF-8")}&ms=$nowMs")
     ()

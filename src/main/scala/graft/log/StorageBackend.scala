@@ -39,6 +39,21 @@ import scala.jdk.CollectionConverters._
   * protocol-visible state (what exists, what etag, what time) lives
   * in the adapter's authoritative index.
   */
+/** A conditional put whose outcome could not be established: the
+  * request may have applied server-side with its response lost, and a
+  * foreign write during the outage made the ownership probe
+  * inconclusive. Distinct from [[ManifestCasConflict]] (definitely
+  * lost) and from IO errors on responded calls (definitely not
+  * applied): callers must NOT roll back side effects that a landed
+  * commit would reference — StreamStore keeps the group's data object
+  * (invisible above the committed tail; sweepOrphans fences and
+  * reclaims it if the commit in fact lost) and surfaces the append as
+  * indefinite, exactly how the reference treats a lost-response write
+  * (slatedb's put-id re-read discipline, sim/src/s3.rs:57-62).
+  */
+final class IndeterminateCommit(msg: String, cause: Throwable = null)
+  extends RuntimeException(msg, cause)
+
 trait StorageBackend {
   def name: String
 

@@ -454,7 +454,19 @@ final class StreamStore(val spark: SparkSession, val root: String) {
     */
   private def sweepOrphans(basin: String, stream: String, m: StreamManifest,
                            tag: Option[String]): (StreamManifest, Option[String]) = {
-    if (!sweptStreams.add(basin + "\u0000" + stream)) return (m, tag)
+    // The once-per-instance memo is sound only where a LIVE instance
+    // can never create an orphan of its own: on POSIX every failed
+    // commit deletes its object (local IO is never indeterminate), so
+    // orphans come only from dead processes and one sweep per stream
+    // suffices. On object adapters a lost-response commit may KEEP its
+    // object (IndeterminateCommit, see appendGroup) while OTHER
+    // writers keep committing -- every commit must re-sweep, or a
+    // competing writer re-assigns the kept object's seq range beside
+    // it (NetFaultSpec's ghost row; caught live by the flaky-http
+    // linearizability run). The re-sweep is one listData round trip --
+    // footer stats are cached per path.
+    if (backend.hasWriterMutex && !sweptStreams.add(basin + "\u0000" + stream))
+      return (m, tag)
     // legacy loose files join gen=0 before anything else commits here
     migrateLegacyLocked(basin, stream, m)
     // orphans can only live in the CURRENT generation: writers commit
@@ -783,13 +795,30 @@ final class StreamStore(val spark: SparkSession, val root: String) {
       // take the object with it — an orphan above the committed tail
       // is invisible today (reads clamp at tail) but becomes duplicate
       // seq_nums the moment a retry or competing writer re-commits
-      // that range
+      // that range. EXCEPTION: an INDETERMINATE commit (lost response
+      // on a real wire) may have LANDED — deleting the object then
+      // would strand committed records under an advanced tail. Keep
+      // it: if the commit in fact lost, the object sits above the
+      // committed tail (invisible) and sweepOrphans fences + reclaims
+      // it before any writer re-assigns the range; if it landed, the
+      // records are live and correct. Either way the caller sees the
+      // append as indefinite, like the reference's lost-response
+      // writes.
       try {
         beforeManifestCommit()
         saveManifestCas(basin, stream, newM, tag)
-      } catch { case t: Throwable =>
-        backend.deleteData(dataFile)
-        throw t
+      } catch {
+        case ind: IndeterminateCommit =>
+          // the kept object invalidates sweepOrphans' once-per-stream
+          // memo: if this commit in fact lost, the next append on THIS
+          // instance must re-sweep or it would re-assign the orphan's
+          // seq range beside it (NetFaultSpec pins this with a ghost
+          // row that must not survive)
+          sweptStreams.remove(basin + "\u0000" + stream)
+          throw ind
+        case t: Throwable =>
+          backend.deleteData(dataFile)
+          throw t
       }
       // acks carry the DURABLE tail (the group's committed end), like
       // the reference's on_stable watermark completing every pending
@@ -1144,9 +1173,15 @@ final class StreamStore(val spark: SparkSession, val root: String) {
         try {
           beforeManifestCommit()
           sub("cas")(saveManifestCas(b, s, newM, tag))
-        } catch { case t: Throwable =>
-          moved.foreach(backend.deleteData)
-          throw t
+        } catch {
+          // indeterminate commit: may have landed — keep the moved
+          // objects and force a re-sweep (see appendGroup)
+          case ind: IndeterminateCommit =>
+            sweptStreams.remove(b + "\u0000" + s)
+            throw ind
+          case t: Throwable =>
+            moved.foreach(backend.deleteData)
+            throw t
         }
         // committed: this stream's staged dir is spent (accepted files
         // moved out; only torn/twin leavings remain). Delete it here,

@@ -37,11 +37,21 @@ sealed trait BackendHarness {
 }
 
 object BackendHarness {
-  val all: Seq[BackendHarness] = Seq(PosixHarness, ObjectHarness, HttpHarness)
+  val all: Seq[BackendHarness] =
+    Seq(PosixHarness, ObjectHarness, HttpHarness, FlakyHttpHarness)
 
   /** One shared localhost object server per test JVM (keys are
     * canonical absolute paths, so a single server serves every root). */
   lazy val sharedHttpEndpoint: String = HttpObjectServer.start()._2
+
+  /** One shared fault-injecting proxy in front of [[sharedHttpEndpoint]]
+    * (seeded; every request identity faulted at most once, so bounded
+    * client retries always make progress — see NetFaultProxy). */
+  lazy val sharedFlakyEndpoint: String = {
+    val (_, ep, controls) = NetFaultProxy.start(sharedHttpEndpoint, seed = 17L)
+    controls.faultP = 0.20
+    ep
+  }
 
   object PosixHarness extends BackendHarness {
     val label = "posix"
@@ -101,6 +111,38 @@ object BackendHarness {
     def freshRoot(prefix: String): String = {
       val root = Files.createTempDirectory(prefix).toString
       HttpObjectBackend.install(root, sharedHttpEndpoint)
+      root
+    }
+    private def backend(root: String): HttpObjectBackend =
+      StorageBackend.forRoot(root).asInstanceOf[HttpObjectBackend]
+    def restoreDead(root: String, dir: Path, name: String,
+                    bytes: Array[Byte]): Unit =
+      backend(root).putDataBytes(dir.resolve(name), bytes)
+    def listData(root: String, dir: Path): Set[String] =
+      backend(root).listData(dir).map(_.getFileName.toString).toSet
+    def fabricate(root: String, dir: Path, recs: Seq[DirectParquet.Rec]): Unit = {
+      val scratch = Files.createTempDirectory("graft-fab")
+      val f = java.nio.file.Paths.get(
+        DirectParquet.writeBatch(scratch.toString, recs))
+      backend(root).putData(f, dir.resolve(f.getFileName))
+    }
+    def dataExists(root: String, dir: Path): Boolean =
+      backend(root).dataExists(dir)
+  }
+
+  /** HTTP adapter behind the seeded fault-injecting proxy: every
+    * protocol call can be dropped, lose its response, be duplicated,
+    * or delayed — the turmoil-network discipline (sim/src/net.rs)
+    * applied to the one backend that talks a real wire. Suites
+    * iterating `all` thus run the crash matrix and the
+    * linearizability workloads under network faults too; the
+    * at-most-once fault rule keeps them deterministic. */
+  object FlakyHttpHarness extends BackendHarness {
+    val label = "flaky-http"
+    val supportsTorn = false
+    def freshRoot(prefix: String): String = {
+      val root = Files.createTempDirectory(prefix).toString
+      HttpObjectBackend.install(root, sharedFlakyEndpoint)
       root
     }
     private def backend(root: String): HttpObjectBackend =
