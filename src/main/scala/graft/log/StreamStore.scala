@@ -1386,7 +1386,37 @@ final class StreamStore(val spark: SparkSession, val root: String) {
         Some(nowMs.getOrElse(System.currentTimeMillis()) - secs * 1000)
       case RetentionPolicy.Infinite => None
     }
-    val (m, files) = manifestAndFiles(basin, stream)
+    var (m, files) = manifestAndFiles(basin, stream)
+    // Transient listed-loser window: between a winner's manifest
+    // commit and a definite loser's eager self-delete (object
+    // adapters, milliseconds), a listing can show BOTH objects
+    // covering one sub-tail seq range — serving them would duplicate
+    // seq_nums. The committed set always tiles disjointly, so overlap
+    // below the tail is provably not a committed state: re-list
+    // briefly (the loser's delete or the next writer's sweep resolves
+    // it), and fail LOUDLY if it persists rather than guess which
+    // object is real. (Same-range overlap above the tail is the
+    // normal in-flight-commit state and stays invisible via the tail
+    // clamp below.)
+    locally {
+      def overlapBelowTail(fs: Seq[FileIndex.FileStats], tail: Long): Boolean = {
+        val below = fs.filter(_.minSeq < tail).sortBy(f => (f.minSeq, f.path))
+        below.nonEmpty && below.zip(below.tail).exists {
+          case (a, b) => b.minSeq <= a.maxSeq
+        }
+      }
+      var tries = 0
+      while (overlapBelowTail(files, m.tailSeq) && tries < 40) {
+        tries += 1
+        Thread.sleep(25)
+        val fresh = manifestAndFiles(basin, stream)
+        m = fresh._1; files = fresh._2
+      }
+      if (overlapBelowTail(files, m.tailSeq))
+        return Left(s"OverlappingDataObjects: $basin/$stream lists data " +
+          "objects with overlapping seq ranges below the committed tail " +
+          "that did not resolve — refusing to serve duplicate seq_nums")
+    }
 
     val start: Long = spec.start.from match {
       case ReadFrom.SeqNum(n) => n

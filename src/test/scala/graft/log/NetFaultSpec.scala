@@ -231,6 +231,42 @@ class NetFaultSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bodies(st, "nf6") == Seq((0L, "maybe"), (1L, "next")))
   }
 
+  test("reader overlap guard: duplicate-range objects below the tail are " +
+    "never served — the read re-lists until the loser vanishes, and fails " +
+    "loudly if the overlap persists") {
+    val (st, controls, direct, root) = faultRig()
+    st.catalog.createStream(Basin, "nf7").fold(e => fail(e), identity)
+    assert(st.append(Basin, "nf7", AppendInput(Seq(env("real"))), Some(1000L)).isRight)
+    val gen = st.manifest(Basin, "nf7").generation
+    val genDir = java.nio.file.Paths.get(
+      Layout.genDir(Catalog.canonicalRoot(root), Basin, "nf7", gen))
+    def plantGhost(): java.nio.file.Path = {
+      // a loser twin covering the SAME committed range with a
+      // different body — what a crashed/slow loser leaves listed in
+      // the ms between the winner's commit and its own delete
+      val scratch = Files.createTempDirectory("graft-nf7")
+      val f = java.nio.file.Paths.get(DirectParquet.writeBatch(scratch.toString,
+        Seq(DirectParquet.Rec(0L, 999L, Nil, "ghost".getBytes("UTF-8"), 13L))))
+      val dest = genDir.resolve(f.getFileName)
+      direct.putData(f, dest)
+      dest
+    }
+    // resolving case: the loser's delete lands while the reader waits
+    val ghost1 = plantGhost()
+    val deleter = new Thread(() => { Thread.sleep(200); direct.deleteData(ghost1) })
+    deleter.start()
+    val rows = bodies(st, "nf7")
+    deleter.join()
+    assert(rows == Seq((0L, "real")),
+      s"reader served a transient loser twin: $rows")
+    // persisting case: no one deletes — the read must refuse loudly,
+    // never serve duplicate seq_nums
+    plantGhost()
+    val res = st.readBatch(Basin, "nf7", ReadSpec(ReadStart(ReadFrom.SeqNum(0))))
+    assert(res.isLeft && res.swap.toOption.get.contains("OverlappingDataObjects"),
+      s"persistent overlap must fail loudly: $res")
+  }
+
   test("seeded chaos: concurrent appends/CAS/reads through the flaky " +
     "proxy linearize — retries absorb the faults, the checker sees no " +
     "violations, and faults really were injected") {
