@@ -154,6 +154,15 @@ object StreamStore {
   private val StagedNameStats =
     """.*\.s(\d+)\.e(\d+)\.r(\d+)\.snappy\.parquet$""".r
 
+  /** minSeq from a stats-embedded file name; None for plain names.
+    * Every COMMIT path publishes stats-named objects (appendGroup,
+    * staged ingest, compaction), so the object-mode per-commit sweep
+    * can decide candidacy from the listing alone. */
+  private[log] def nameMinSeq(name: String): Option[Long] = name match {
+    case StagedNameStats(s, _, _) => Some(s.toLong)
+    case _ => None
+  }
+
   /** Stats of one staged file for the commit gate: from the embedded
     * name when present (plus the cheap tail-magic check — a torn dead
     * attempt still gets dropped), else the authoritative footer read.
@@ -473,13 +482,21 @@ final class StreamStore(val spark: SparkSession, val root: String) {
     // into manifest.generation, and a generation flip is itself CAS'd
     val dir = Paths.get(Layout.genDir(root, basin, stream, m.generation))
     val candidates = backend.listData(dir).filter { p =>
-      FileIndex.tryStats(p.toString) match {
-        // whole-object orphan: a writer died between its data put and
-        // its manifest commit, leaving a complete object starting at
-        // the committed tail
-        case Some(st) => st.minSeq >= m.tailSeq
-        // torn file (no parquet footer): dead mid-write on POSIX
-        case None => true
+      // name-embedded stats first: zero IO for the overwhelmingly
+      // common committed-below-tail file (every commit path publishes
+      // stats-named objects; atomic publish means a stats-named file
+      // is never torn). Nameless files (legacy layout, fabricated
+      // leavings) fall back to the footer/tail probe.
+      StreamStore.nameMinSeq(p.getFileName.toString) match {
+        case Some(minSeq) => minSeq >= m.tailSeq
+        case None => FileIndex.tryStats(p.toString) match {
+          // whole-object orphan: a writer died between its data put and
+          // its manifest commit, leaving a complete object starting at
+          // the committed tail
+          case Some(st) => st.minSeq >= m.tailSeq
+          // torn file (no parquet footer): dead mid-write on POSIX
+          case None => true
+        }
       }
     }
     if (candidates.isEmpty) return (m, tag)
@@ -784,8 +801,13 @@ final class StreamStore(val spark: SparkSession, val root: String) {
       // way a lister never observes a partial data object.
       val stagedDir = s"$root/_tmp"
       val staged = Paths.get(DirectParquet.writeBatch(stagedDir, recs.toSeq))
+      // stats-embedded COMMITTED name: object-mode sweeps run on every
+      // commit (see sweepOrphans) and must decide candidacy from the
+      // LISTING alone — a per-file footer read per commit is an O(n)
+      // tax on the serial append path
       val dataFile = Paths.get(Layout.genDir(root, basin, stream, m.generation))
-        .resolve(staged.getFileName)
+        .resolve(StreamStore.stagedName(staged.getFileName.toString,
+          recs.head.seqNum, recs.last.seqNum, recs.size.toLong))
       backend.putData(staged, dataFile)
 
       val newM = m.copy(tailSeq = tail, tailTs = maxTs,
@@ -1645,7 +1667,13 @@ final class StreamStore(val spark: SparkSession, val root: String) {
         val parts = Files.list(tmp)
         try parts.iterator().asScala
           .filter(_.toString.endsWith(".parquet")).toSeq
-          .foreach(f => backend.putData(f, dst.resolve(f.getFileName)))
+          .foreach { f =>
+            // stats-embedded names like every other commit path (one
+            // footer read here keeps post-flip sweeps listing-only)
+            val st = FileIndex.stats(f.toString)
+            backend.putData(f, dst.resolve(StreamStore.stagedName(
+              f.getFileName.toString, st.minSeq, st.maxSeq, st.rows)))
+          }
         finally parts.close()
         deleteRecursively(tmp) // local scratch remainder (_SUCCESS etc.)
         // grace counts from the FLIP — an idle stream's old gen would
