@@ -51,6 +51,25 @@ import graft.streaming.ReadSession
   * SSE is the complete lite-fidelity behavior set (every outcome the
   * S2S mode can produce is observable through these two).
   *
+  * The same server also carries the v1 CATALOG surface — the other
+  * two non-stub handler files in the reference's lite router
+  * (handlers/v1/mod.rs:24-30; access-tokens, metrics and locations
+  * handlers are NotImplemented there):
+  *
+  *  - `/v1/basins`: GET list (prefix/start_after/limit →
+  *    ListBasinsResponse), POST create (CreateBasinRequest; 201 +
+  *    `s2-provision-result: created|noop`, idempotent retry via the
+  *    `s2-request-token` header, basins.rs:60-120).
+  *  - `/v1/basins/{basin}`: GET config, PUT ensure (201 created /
+  *    200 updated|noop + provision header), DELETE (202 Accepted),
+  *    PATCH reconfigure (tri-state `Maybe` fields — absent keeps,
+  *    null resets, value sets; basins.rs:122-274).
+  *  - `/v1/streams` (basin via `s2-basin`): GET list →
+  *    ListStreamsResponse, POST create → 201 StreamInfo
+  *    (streams.rs:18-150).
+  *  - `/v1/streams/{stream}`: GET merged config / PUT ensure /
+  *    DELETE / PATCH reconfigure (streams.rs:152-340).
+  *
   * Serving is read-session-driven: the SSE loop runs the repo's
   * [[ReadSession]] wait-budget machine (R8), so heartbeat cadence,
   * wait expiry and limit accounting are the single implementation the
@@ -61,6 +80,8 @@ object HttpRecordsServer {
   private val BasinHeader = "S2-basin"
   private val FormatHeader = "S2-format"
   private val KeyHeader = "S2-encryption-key"
+  private val RequestTokenHeader = "S2-request-token"
+  private val ProvisionHeader = "S2-provision-result"
 
   // -------------------------------------------------------------------
   // JSON encoding (api/src/v1/stream/json.rs shapes)
@@ -184,6 +205,478 @@ object HttpRecordsServer {
     }
 
   // -------------------------------------------------------------------
+  // Shared response plumbing
+  // -------------------------------------------------------------------
+
+  private def respond(ex: HttpExchange, code: Int,
+                      body: Array[Byte] = Array.emptyByteArray,
+                      contentType: String = "application/json"): Unit = {
+    if (body.nonEmpty)
+      ex.getResponseHeaders.set("Content-Type", contentType)
+    ex.sendResponseHeaders(code, if (body.isEmpty) -1 else body.length.toLong)
+    if (body.nonEmpty) ex.getResponseBody.write(body)
+    ex.close()
+  }
+
+  private def safely(f: HttpExchange => Unit): com.sun.net.httpserver.HttpHandler =
+    (ex: HttpExchange) => try f(ex) catch {
+      case BadRequest(m) =>
+        try respond(ex, 400, errJson("invalid", m).getBytes(UTF_8))
+        catch { case _: Throwable => ex.close() }
+      case t: Throwable =>
+        try respond(ex, 500,
+          errJson("internal", s"${t.getClass.getSimpleName}: ${t.getMessage}")
+            .getBytes(UTF_8))
+        catch { case _: Throwable => ex.close() }
+    }
+
+  private def basinOf(ex: HttpExchange): String =
+    Option(ex.getRequestHeaders.getFirst(BasinHeader))
+      .getOrElse(throw BadRequest("missing s2-basin header"))
+
+  private def bodyString(ex: HttpExchange): String =
+    new String(ex.getRequestBody.readAllBytes(), UTF_8)
+
+  // -------------------------------------------------------------------
+  // v1 catalog JSON — the api/src/v1/{basin.rs,stream/mod.rs,config.rs}
+  // wire shapes: kebab-case enum names, externally-tagged retention
+  // (`{"age":N}` / `{"infinite":{}}`), RFC-3339 info timestamps, and
+  // tri-state reconfiguration fields (serde `Maybe<Option<T>>`:
+  // absent = keep, null = reset-to-default, value = set — the repo's
+  // Patch Keep/Clear/Set).
+  // -------------------------------------------------------------------
+
+  private def rfc3339(ms: Long): String =
+    java.time.Instant.ofEpochMilli(ms).toString
+
+  private def storageClassName(sc: StorageClass): String = sc match {
+    case StorageClass.Standard => "standard"
+    case StorageClass.Express => "express"
+  }
+
+  private def tsModeName(m: TimestampingMode): String = m match {
+    case TimestampingMode.ClientPrefer => "client-prefer"
+    case TimestampingMode.ClientRequire => "client-require"
+    case TimestampingMode.Arrival => "arrival"
+  }
+
+  private def retentionJson(r: RetentionPolicy): String = r match {
+    case RetentionPolicy.Age(s) => s"""{"age":$s}"""
+    case RetentionPolicy.Infinite => """{"infinite":{}}"""
+  }
+
+  private def timestampingJson(t: Timestamping): String =
+    s"""{"mode":"${tsModeName(t.mode)}","uncapped":${t.uncapped}}"""
+
+  /** Resolved full form — `From<common StreamConfig>` (config.rs:
+    * every field present). Used for GET responses, which return the
+    * effective (default-resolved) configuration. */
+  private def streamConfigJson(c: StreamConfig): String =
+    s"""{"storage_class":"${storageClassName(c.storageClassOrDefault)}",""" +
+      s""""retention_policy":${retentionJson(c.retentionOrDefault)},""" +
+      s""""timestamping":${timestampingJson(c.timestampingOrDefault)},""" +
+      s""""delete_on_empty":{"min_age_secs":${c.deleteOnEmptyOrDefault.minAgeSeconds}}}"""
+
+  /** Optional form — `StreamConfig::to_opt`: only explicitly-set
+    * fields, absent entirely when all-default (config.rs to_opt). */
+  private def streamConfigOptJson(c: StreamConfig): Option[String] = {
+    val fields = Seq(
+      c.storageClass.map(sc => s""""storage_class":"${storageClassName(sc)}""""),
+      c.retentionPolicy.map(r => s""""retention_policy":${retentionJson(r)}"""),
+      c.timestamping.map(t => s""""timestamping":${timestampingJson(t)}"""),
+      c.deleteOnEmpty.map(d =>
+        s""""delete_on_empty":{"min_age_secs":${d.minAgeSeconds}}""")).flatten
+    if (fields.isEmpty) None else Some(fields.mkString("{", ",", "}"))
+  }
+
+  private def basinConfigJson(c: BasinConfig): String = {
+    val dsc = streamConfigOptJson(c.defaultStreamConfig)
+      .fold(""""default_stream_config":null""")(j => s""""default_stream_config":$j""")
+    val cipher = c.streamCipher
+      .fold(""""stream_cipher":null""")(a => s""""stream_cipher":"${a.wireName}"""")
+    s"""{$dsc,$cipher,"create_stream_on_append":${c.createStreamOnAppend},""" +
+      s""""create_stream_on_read":${c.createStreamOnRead}}"""
+  }
+
+  private def basinInfoJson(e: BasinEntry, location: Option[String]): String = {
+    val loc = location.fold(""""location":null""")(l => s""""location":"${jsonEsc(l)}"""")
+    val del = e.deletedAt.fold(""""deleted_at":null""")(t => s""""deleted_at":"${rfc3339(t)}"""")
+    val state = if (e.deletedAt.isDefined) "deleting" else "active"
+    s"""{"name":"${jsonEsc(e.name)}",$loc,"created_at":"${rfc3339(e.createdAt)}",""" +
+      s"""$del,"state":"$state"}"""
+  }
+
+  private def streamInfoJson(e: StreamEntry, cipher: Option[CipherAlgo]): String = {
+    val del = e.deletedAt.fold(""""deleted_at":null""")(t => s""""deleted_at":"${rfc3339(t)}"""")
+    val ci = cipher.fold(""""cipher":null""")(a => s""""cipher":"${a.wireName}"""")
+    s"""{"name":"${jsonEsc(e.name)}","created_at":"${rfc3339(e.createdAt)}",$del,$ci}"""
+  }
+
+  // ---- config parsing --------------------------------------------------
+
+  private def jOpt[T](j: JValue)(f: JValue => T): Option[T] = j match {
+    case JNothing | JNull => None
+    case v => Some(f(v))
+  }
+
+  private def jLong(j: JValue, what: String): Long = j match {
+    case JInt(n) => n.toLong
+    case JLong(n) => n
+    case other => throw BadRequest(s"malformed $what: $other")
+  }
+
+  private def jBool(j: JValue, what: String): Boolean = j match {
+    case JBool(b) => b
+    case other => throw BadRequest(s"malformed $what: $other")
+  }
+
+  private def parseStorageClass(j: JValue): StorageClass = j match {
+    case JString("standard") => StorageClass.Standard
+    case JString("express") => StorageClass.Express
+    case other => throw BadRequest(s"invalid storage_class: $other")
+  }
+
+  private def parseTsMode(j: JValue): TimestampingMode = j match {
+    case JString("client-prefer") => TimestampingMode.ClientPrefer
+    case JString("client-require") => TimestampingMode.ClientRequire
+    case JString("arrival") => TimestampingMode.Arrival
+    case other => throw BadRequest(s"invalid timestamping mode: $other")
+  }
+
+  private def parseRetention(j: JValue): RetentionPolicy = j match {
+    case o: JObject => (o \ "age", o \ "infinite") match {
+      case (JNothing, JNothing) =>
+        throw BadRequest("retention_policy needs `age` or `infinite`")
+      case (age, JNothing) =>
+        val secs = jLong(age, "retention age")
+        if (secs <= 0) throw BadRequest("retention age must be > 0 seconds")
+        RetentionPolicy.Age(secs)
+      case (JNothing, _) => RetentionPolicy.Infinite
+      case _ => throw BadRequest("retention_policy is age XOR infinite")
+    }
+    case other => throw BadRequest(s"malformed retention_policy: $other")
+  }
+
+  /** Full-config timestamping: optional leaves default (api
+    * TimestampingConfig { mode: Option, uncapped: Option }). */
+  private def parseTimestamping(j: JValue): Timestamping = j match {
+    case o: JObject => Timestamping(
+      mode = jOpt(o \ "mode")(parseTsMode).getOrElse(TimestampingMode.ClientPrefer),
+      uncapped = jOpt(o \ "uncapped")(jBool(_, "uncapped")).getOrElse(false))
+    case other => throw BadRequest(s"malformed timestamping: $other")
+  }
+
+  private def parseDeleteOnEmpty(j: JValue): DeleteOnEmpty = j match {
+    case o: JObject =>
+      DeleteOnEmpty(jOpt(o \ "min_age_secs")(jLong(_, "min_age_secs")).getOrElse(0L))
+    case other => throw BadRequest(s"malformed delete_on_empty: $other")
+  }
+
+  private def parseStreamConfig(j: JValue): StreamConfig = j match {
+    case JNothing | JNull => StreamConfig()
+    case o: JObject => StreamConfig(
+      storageClass = jOpt(o \ "storage_class")(parseStorageClass),
+      retentionPolicy = jOpt(o \ "retention_policy")(parseRetention),
+      timestamping = jOpt(o \ "timestamping")(parseTimestamping),
+      deleteOnEmpty = jOpt(o \ "delete_on_empty")(parseDeleteOnEmpty))
+    case other => throw BadRequest(s"malformed config: $other")
+  }
+
+  private def parseCipher(j: JValue): CipherAlgo = j match {
+    case JString(s) => CipherAlgo.fromWire(s)
+      .getOrElse(throw BadRequest(s"unknown stream_cipher: $s"))
+    case other => throw BadRequest(s"malformed stream_cipher: $other")
+  }
+
+  private def parseBasinConfig(j: JValue): BasinConfig = j match {
+    case JNothing | JNull => BasinConfig()
+    case o: JObject => BasinConfig(
+      defaultStreamConfig = parseStreamConfig(o \ "default_stream_config"),
+      createStreamOnAppend =
+        jOpt(o \ "create_stream_on_append")(jBool(_, "create_stream_on_append"))
+          .getOrElse(false),
+      createStreamOnRead =
+        jOpt(o \ "create_stream_on_read")(jBool(_, "create_stream_on_read"))
+          .getOrElse(false),
+      streamCipher = jOpt(o \ "stream_cipher")(parseCipher))
+    case other => throw BadRequest(s"malformed config: $other")
+  }
+
+  /** serde `Maybe<Option<T>>` → Patch: absent = Keep, null = Clear. */
+  private def patchOf[T](j: JValue)(f: JValue => T): Patch[T] = j match {
+    case JNothing => Patch.Keep
+    case JNull => Patch.Clear
+    case v => Patch.Set(f(v))
+  }
+
+  /** StreamReconfiguration (config.rs:601-640). The nested
+    * timestamping reconfiguration is itself tri-state per leaf; the
+    * repo patches timestamping as a whole, so unspecified leaves are
+    * resolved against `current` before the Set. */
+  private def parseStreamPatch(j: JValue, current: StreamConfig): StreamConfigPatch =
+    j match {
+      case o: JObject => StreamConfigPatch(
+        storageClass = patchOf(o \ "storage_class")(parseStorageClass),
+        retentionPolicy = patchOf(o \ "retention_policy")(parseRetention),
+        timestamping = patchOf(o \ "timestamping") { tj =>
+          val cur = current.timestampingOrDefault
+          Timestamping(
+            mode = tj \ "mode" match {
+              case JNothing => cur.mode
+              case JNull => TimestampingMode.ClientPrefer
+              case v => parseTsMode(v)
+            },
+            uncapped = tj \ "uncapped" match {
+              case JNothing => cur.uncapped
+              case JNull => false
+              case v => jBool(v, "uncapped")
+            })
+        },
+        deleteOnEmpty = patchOf(o \ "delete_on_empty") { dj =>
+          val cur = current.deleteOnEmptyOrDefault
+          DeleteOnEmpty(dj \ "min_age_secs" match {
+            case JNothing => cur.minAgeSeconds
+            case JNull => 0L
+            case v => jLong(v, "min_age_secs")
+          })
+        })
+      case other => throw BadRequest(s"malformed reconfiguration: $other")
+    }
+
+  /** BasinReconfiguration (config.rs:503-525). */
+  private def parseBasinPatch(j: JValue, current: BasinConfig): BasinConfigPatch =
+    j match {
+      case o: JObject => BasinConfigPatch(
+        defaultStreamConfig = o \ "default_stream_config" match {
+          case JNothing => StreamConfigPatch()
+          case JNull => StreamConfigPatch(
+            Patch.Clear, Patch.Clear, Patch.Clear, Patch.Clear)
+          case v => parseStreamPatch(v, current.defaultStreamConfig)
+        },
+        createStreamOnAppend = patchOf(o \ "create_stream_on_append")(
+          jBool(_, "create_stream_on_append")),
+        createStreamOnRead = patchOf(o \ "create_stream_on_read")(
+          jBool(_, "create_stream_on_read")),
+        streamCipher = patchOf(o \ "stream_cipher")(parseCipher))
+      case other => throw BadRequest(s"malformed reconfiguration: $other")
+    }
+
+  // -------------------------------------------------------------------
+  // v1 catalog serving (basins.rs / streams.rs — the two non-stub
+  // handler files in the reference's lite server; access-tokens,
+  // metrics and locations are NotImplemented there,
+  // access_tokens.rs:44/73/101)
+  // -------------------------------------------------------------------
+
+  private def installCatalogRoutes(server: HttpServer, store: StreamStore): Unit = {
+    val cat = store.catalog
+
+    def listParams(q: Map[String, String]): (String, String, Int) = (
+      q.getOrElse("prefix", ""),
+      q.getOrElse("start_after", ""),
+      q.get("limit").map { s =>
+        val n = try s.toInt catch {
+          case _: NumberFormatException => throw BadRequest(s"malformed limit: $s")
+        }
+        if (n < 0) throw BadRequest("limit must be >= 0")
+        n
+      }.getOrElse(Caps.MaxListItems))
+
+    def provisioned(ex: HttpExchange, outcome: String, code: Int,
+                    body: String): Unit = {
+      ex.getResponseHeaders.set(ProvisionHeader, outcome)
+      respond(ex, code, body.getBytes(UTF_8))
+    }
+
+    // ---- /v1/basins + /v1/basins/{basin} (basins.rs:16-25) ----------
+    server.createContext("/v1/basins", safely { ex =>
+      val name = ex.getRequestURI.getPath.stripPrefix("/v1/basins").stripPrefix("/")
+      (ex.getRequestMethod, name.isEmpty) match {
+        case ("GET", true) => // list_basins
+          val (p, sa, lim) = listParams(query(ex))
+          val page = cat.listBasins(p, sa, lim)
+          val loc = cat.defaultLocation().map(_.name)
+          respond(ex, 200,
+            (s"""{"basins":[${page.items.map(basinInfoJson(_, loc)).mkString(",")}],""" +
+              s""""has_more":${page.hasMore}}""").getBytes(UTF_8))
+
+        case ("POST", true) => // create_basin: 201 + s2-provision-result
+          val root = JsonMethods.parse(bodyString(ex))
+          val bn = root \ "basin" match {
+            case JString(s) => s
+            case _ => throw BadRequest("basin name required")
+          }
+          val config = parseBasinConfig(root \ "config")
+          val token = Option(ex.getRequestHeaders.getFirst(RequestTokenHeader))
+          val existed = cat.getBasin(bn).isDefined
+          cat.createBasin(bn, config, token) match {
+            case Right(e) =>
+              provisioned(ex, if (existed) "noop" else "created", 201,
+                basinInfoJson(e, cat.defaultLocation().map(_.name)))
+            case Left("BasinAlreadyExists") =>
+              respond(ex, 409, errJson("conflict", "basin already exists").getBytes(UTF_8))
+            case Left(err) =>
+              respond(ex, 400, errJson("invalid", err).getBytes(UTF_8))
+          }
+
+        case ("GET", false) => // get_basin_config
+          cat.getBasin(name) match {
+            case None =>
+              respond(ex, 404, errJson("not_found", name).getBytes(UTF_8))
+            case Some(e) =>
+              respond(ex, 200,
+                basinConfigJson(ConfigCodec.decodeBasin(e.config)).getBytes(UTF_8))
+          }
+
+        case ("PUT", false) => // ensure_basin: optional {config} body
+          val body = bodyString(ex)
+          val config =
+            if (body.isBlank) BasinConfig()
+            else parseBasinConfig(JsonMethods.parse(body) \ "config")
+          cat.ensureBasin(name, config) match {
+            case Right(outcome) =>
+              val e = cat.getBasin(name).get
+              val (code, tag) = outcome match {
+                case EnsureOutcome.Created => (201, "created")
+                case EnsureOutcome.Updated => (200, "updated")
+                case EnsureOutcome.Noop => (200, "noop")
+              }
+              provisioned(ex, tag, code,
+                basinInfoJson(e, cat.defaultLocation().map(_.name)))
+            case Left(err) =>
+              respond(ex, 400, errJson("invalid", err).getBytes(UTF_8))
+          }
+
+        case ("DELETE", false) => // delete_basin: 202 Accepted
+          if (cat.getBasin(name).isEmpty)
+            respond(ex, 404, errJson("not_found", name).getBytes(UTF_8))
+          else { store.deleteBasin(name); respond(ex, 202) }
+
+        case ("PATCH", false) => // reconfigure_basin
+          cat.getBasin(name) match {
+            case None =>
+              respond(ex, 404, errJson("not_found", name).getBytes(UTF_8))
+            case Some(e) =>
+              val patch = parseBasinPatch(
+                JsonMethods.parse(bodyString(ex)), ConfigCodec.decodeBasin(e.config))
+              cat.reconfigureBasin(name, patch) match {
+                case Right(cfg) =>
+                  respond(ex, 200, basinConfigJson(cfg).getBytes(UTF_8))
+                case Left(err) =>
+                  respond(ex, 404, errJson("not_found", err).getBytes(UTF_8))
+              }
+          }
+
+        case _ => respond(ex, 405)
+      }
+    })
+
+    // ---- /v1/streams exact: list_streams / create_stream ------------
+    // (longest-prefix routing sends /v1/streams/... to the records
+    // context; this one only sees the collection path)
+    server.createContext("/v1/streams", safely { ex =>
+      val basin = basinOf(ex)
+      ex.getRequestMethod match {
+        case "GET" =>
+          if (cat.getBasin(basin).isEmpty)
+            respond(ex, 404, errJson("not_found", basin).getBytes(UTF_8))
+          else {
+            val (p, sa, lim) = listParams(query(ex))
+            val page = cat.listStreams(basin, p, sa, lim)
+            val cipher = cat.basinConfig(basin).streamCipher
+            respond(ex, 200,
+              (s"""{"streams":[${page.items.map(streamInfoJson(_, cipher)).mkString(",")}],""" +
+                s""""has_more":${page.hasMore}}""").getBytes(UTF_8))
+          }
+        case "POST" =>
+          val root = JsonMethods.parse(bodyString(ex))
+          val sn = root \ "stream" match {
+            case JString(s) => s
+            case _ => throw BadRequest("stream name required")
+          }
+          val config = parseStreamConfig(root \ "config")
+          val token = Option(ex.getRequestHeaders.getFirst(RequestTokenHeader))
+          val existed = cat.getStream(basin, sn).isDefined
+          cat.createStream(basin, sn, config, token) match {
+            case Right(e) =>
+              provisioned(ex, if (existed) "noop" else "created", 201,
+                streamInfoJson(e, cat.basinConfig(basin).streamCipher))
+            case Left("StreamAlreadyExists") =>
+              respond(ex, 409, errJson("conflict", "stream already exists").getBytes(UTF_8))
+            case Left("BasinNotFound") =>
+              respond(ex, 404, errJson("not_found", basin).getBytes(UTF_8))
+            case Left(err) =>
+              respond(ex, 400, errJson("invalid", err).getBytes(UTF_8))
+          }
+        case _ => respond(ex, 405)
+      }
+    })
+  }
+
+  /** /v1/streams/{stream} config routes (streams.rs GET_CONFIG /
+    * ENSURE / DELETE / RECONFIGURE — stream addressed by path, basin
+    * by the s2-basin header). */
+  private def handleStreamConfig(store: StreamStore, ex: HttpExchange,
+                                 basin: String, stream: String): Unit = {
+    val cat = store.catalog
+    ex.getRequestMethod match {
+      case "GET" => // merged effective config (C5)
+        cat.streamConfig(basin, stream) match {
+          case None =>
+            respond(ex, 404, errJson("not_found", s"$basin/$stream").getBytes(UTF_8))
+          case Some(c) =>
+            respond(ex, 200, streamConfigJson(c).getBytes(UTF_8))
+        }
+      case "PUT" => // ensure_stream: body IS the (optional) StreamConfig
+        val body = bodyString(ex)
+        val config =
+          if (body.isBlank) StreamConfig()
+          else parseStreamConfig(JsonMethods.parse(body))
+        cat.ensureStream(basin, stream, config) match {
+          case Right(outcome) =>
+            val e = cat.getStream(basin, stream).get
+            val (code, tag) = outcome match {
+              case EnsureOutcome.Created => (201, "created")
+              case EnsureOutcome.Updated => (200, "updated")
+              case EnsureOutcome.Noop => (200, "noop")
+            }
+            ex.getResponseHeaders.set(ProvisionHeader, tag)
+            respond(ex, code,
+              streamInfoJson(e, cat.basinConfig(basin).streamCipher).getBytes(UTF_8))
+          case Left("BasinNotFound") =>
+            respond(ex, 404, errJson("not_found", basin).getBytes(UTF_8))
+          case Left(err) =>
+            respond(ex, 400, errJson("invalid", err).getBytes(UTF_8))
+        }
+      case "DELETE" => // 202; deletion is T4's pending + reclaim path
+        if (cat.getStream(basin, stream).isEmpty)
+          respond(ex, 404, errJson("not_found", s"$basin/$stream").getBytes(UTF_8))
+        else { store.deleteStream(basin, stream); respond(ex, 202) }
+      case "PATCH" =>
+        cat.getStream(basin, stream) match {
+          case None =>
+            respond(ex, 404, errJson("not_found", s"$basin/$stream").getBytes(UTF_8))
+          case Some(e) =>
+            val patch = parseStreamPatch(
+              JsonMethods.parse(bodyString(ex)), ConfigCodec.decode(e.config))
+            cat.reconfigureStream(basin, stream, patch) match {
+              case Right(_) =>
+                // reference returns the resolved post-patch config;
+                // resolve through the C5 merge (stream > basin >
+                // system) exactly like GET, so a field the patch left
+                // unset still reads as the basin default
+                respond(ex, 200,
+                  streamConfigJson(cat.streamConfig(basin, stream)
+                    .getOrElse(StreamConfig())).getBytes(UTF_8))
+              case Left(err) =>
+                respond(ex, 404, errJson("not_found", err).getBytes(UTF_8))
+            }
+        }
+      case _ => respond(ex, 405)
+    }
+  }
+
+  // -------------------------------------------------------------------
   // Server
   // -------------------------------------------------------------------
 
@@ -193,29 +686,6 @@ object HttpRecordsServer {
   def start(store: StreamStore, nowMs: Option[Long] = None): (HttpServer, String) = {
     System.setProperty("sun.net.httpserver.nodelay", "true")
 
-    def respond(ex: HttpExchange, code: Int, body: Array[Byte] = Array.emptyByteArray,
-                contentType: String = "application/json"): Unit = {
-      if (body.nonEmpty)
-        ex.getResponseHeaders.set("Content-Type", contentType)
-      ex.sendResponseHeaders(code, if (body.isEmpty) -1 else body.length.toLong)
-      if (body.nonEmpty) ex.getResponseBody.write(body)
-      ex.close()
-    }
-    def safely(f: HttpExchange => Unit): com.sun.net.httpserver.HttpHandler =
-      (ex: HttpExchange) => try f(ex) catch {
-        case BadRequest(m) =>
-          try respond(ex, 400, errJson("invalid", m).getBytes(UTF_8))
-          catch { case _: Throwable => ex.close() }
-        case t: Throwable =>
-          try respond(ex, 500,
-            errJson("internal", s"${t.getClass.getSimpleName}: ${t.getMessage}")
-              .getBytes(UTF_8))
-          catch { case _: Throwable => ex.close() }
-      }
-
-    def basinOf(ex: HttpExchange): String =
-      Option(ex.getRequestHeaders.getFirst(BasinHeader))
-        .getOrElse(throw BadRequest("missing s2-basin header"))
     def base64Of(ex: HttpExchange): Boolean =
       Option(ex.getRequestHeaders.getFirst(FormatHeader)) match {
         case None | Some("raw") => false
@@ -422,9 +892,15 @@ object HttpRecordsServer {
           val accept = Option(ex.getRequestHeaders.getFirst("Accept")).getOrElse("")
           if (accept.contains("text/event-stream")) handleSseRead(ex, basin, stream)
           else handleUnaryRead(ex, basin, stream)
+        case (_, "") if path.nonEmpty =>
+          // /v1/streams/{stream} without a records suffix: the stream
+          // CONFIG routes (streams.rs GET_CONFIG/ENSURE/DELETE/
+          // RECONFIGURE share the path, split by method)
+          handleStreamConfig(store, ex, basin, path)
         case _ => respond(ex, 405)
       }
     })
+    installCatalogRoutes(server, store)
     // daemon threads: HttpServer.stop() does not shut the executor
     // down (see HttpObjectServer); SSE sessions hold threads for their
     // lifetime, so give the pool headroom
@@ -444,6 +920,26 @@ object HttpRecordsServer {
 private[graft] object HttpRecordsClient {
 
   final case class SseEvent(event: Option[String], id: Option[String], data: String)
+
+  private lazy val httpClient = java.net.http.HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(5)).build()
+
+  /** Like [[request]] but over java.net.http — HttpURLConnection
+    * refuses the PATCH method the reconfigure routes use. Returns
+    * (status, body, response headers). */
+  def requestAny(method: String, url: String,
+                 headers: Seq[(String, String)] = Nil,
+                 body: Array[Byte] = null): (Int, String, java.net.http.HttpHeaders) = {
+    val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+      .timeout(java.time.Duration.ofSeconds(65))
+      .method(method, if (body == null)
+        java.net.http.HttpRequest.BodyPublishers.noBody()
+      else java.net.http.HttpRequest.BodyPublishers.ofByteArray(body))
+    headers.foreach { case (k, v) => b.header(k, v) }
+    val resp = httpClient.send(b.build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body(), resp.headers())
+  }
 
   def request(method: String, url: String,
               headers: Seq[(String, String)] = Nil,

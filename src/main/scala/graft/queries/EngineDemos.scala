@@ -1844,6 +1844,96 @@ object EngineDemos {
       } finally server.stop(0)
     },
 
+    // The v1 CATALOG serving surface: basins + streams CRUD over the
+    // same HTTP server — the other two non-stub handler files in the
+    // reference's lite router (basins.rs/streams.rs; access-tokens,
+    // metrics and locations are NotImplemented in lite). Exercises the
+    // reference status-code/header contract end-to-end: 201 +
+    // s2-provision-result on create, 409 duplicate, idempotent
+    // s2-request-token retry as noop, PUT ensure's
+    // created->noop->updated ladder, tri-state PATCH (absent keeps,
+    // value sets), merged stream-config GET, paged list, and 202
+    // Accepted deletes that 404 on re-access.
+    demo("e2e_http_catalog", Seq(
+      "create_basin" -> "201:created",
+      "create_dup" -> "409",
+      "idem_retry" -> "201:noop",
+      "ensure_ladder" -> "201:created,200:noop,200:updated",
+      "patch_flag_keeps_cipher" -> "true:aegis-256",
+      "stream_create" -> "201:created:aegis-256",
+      "merged_config" -> "standard,age:3600",
+      "stream_patch" -> "express,age:3600",
+      "list_page" -> "s-a,s-b,more=true",
+      "delete_stream" -> "202,404",
+      "delete_basin" -> "202,404")) { (_, st) =>
+      val (server, endpoint) = graft.log.HttpRecordsServer.start(st, Some(1000L))
+      try {
+        import graft.log.HttpRecordsClient.requestAny
+        def utf8(s: String) = s.getBytes("UTF-8")
+        def prov(h: java.net.http.HttpHeaders): String =
+          h.firstValue("s2-provision-result").orElse("?")
+        val basins = s"$endpoint/v1/basins"
+        val xCfg =
+          """{"basin":"hc-basin-x1","config":{"stream_cipher":"aegis-256",
+            |"default_stream_config":{"storage_class":"standard",
+            |"retention_policy":{"age":3600}}}}""".stripMargin
+        val (c1, _, h1) = requestAny("POST", basins, Nil, utf8(xCfg))
+        val (c2, _, _) = requestAny("POST", basins, Nil, utf8(xCfg))
+        val tok = Seq("s2-request-token" -> "hc-tok-1")
+        requestAny("POST", basins, tok, utf8("""{"basin":"hc-basin-y1"}"""))
+        val (c3, _, h3) =
+          requestAny("POST", basins, tok, utf8("""{"basin":"hc-basin-y1"}"""))
+        val ensureBody = utf8("""{"config":{"create_stream_on_append":true}}""")
+        val ladder = Seq(
+          requestAny("PUT", s"$basins/hc-basin-z1", Nil, ensureBody),
+          requestAny("PUT", s"$basins/hc-basin-z1", Nil, ensureBody),
+          requestAny("PUT", s"$basins/hc-basin-z1", Nil,
+            utf8("""{"config":{"create_stream_on_append":false}}""")))
+          .map { case (c, _, h) => s"$c:${prov(h)}" }.mkString(",")
+        val (_, pb, _) = requestAny("PATCH", s"$basins/hc-basin-x1", Nil,
+          utf8("""{"create_stream_on_read":true}"""))
+        def field(json: String, re: String): String =
+          re.r.findFirstMatchIn(json).map(_.group(1)).getOrElse("?")
+        val patchFlag = field(pb, """"create_stream_on_read":(\w+)""") + ":" +
+          field(pb, """"stream_cipher":"([^"]+)"""")
+        // streams under the new basin (s2-basin header routing)
+        val hdr = Seq("s2-basin" -> "hc-basin-x1")
+        val streams = s"$endpoint/v1/streams"
+        val (sc, sb, sh) = requestAny("POST", streams, hdr,
+          utf8("""{"stream":"s-a"}"""))
+        val streamCreate =
+          s"$sc:${prov(sh)}:${field(sb, """"cipher":"([^"]+)"""")}"
+        def cfgView(json: String): String =
+          field(json, """"storage_class":"(\w+)"""") + "," +
+            "age:" + field(json, """"retention_policy":\{"age":(\d+)""")
+        val (_, g1, _) = requestAny("GET", s"$streams/s-a", hdr)
+        val (_, p1, _) = requestAny("PATCH", s"$streams/s-a", hdr,
+          utf8("""{"storage_class":"express"}"""))
+        requestAny("POST", streams, hdr, utf8("""{"stream":"s-b"}"""))
+        requestAny("POST", streams, hdr, utf8("""{"stream":"s-c"}"""))
+        val (_, l1, _) = requestAny("GET", s"$streams?prefix=s-&limit=2", hdr)
+        val listPage = """"name":"([^"]+)"""".r.findAllMatchIn(l1)
+          .map(_.group(1)).mkString(",") +
+          s",more=${field(l1, """"has_more":(\w+)""")}"
+        val (d1, _, _) = requestAny("DELETE", s"$streams/s-c", hdr)
+        val (d2, _, _) = requestAny("GET", s"$streams/s-c", hdr)
+        val (d3, _, _) = requestAny("DELETE", s"$basins/hc-basin-z1")
+        val (d4, _, _) = requestAny("GET", s"$basins/hc-basin-z1")
+        Seq(
+          "create_basin" -> s"$c1:${prov(h1)}",
+          "create_dup" -> c2.toString,
+          "idem_retry" -> s"$c3:${prov(h3)}",
+          "ensure_ladder" -> ladder,
+          "patch_flag_keeps_cipher" -> patchFlag,
+          "stream_create" -> streamCreate,
+          "merged_config" -> cfgView(g1),
+          "stream_patch" -> cfgView(p1),
+          "list_page" -> listPage,
+          "delete_stream" -> s"$d1,$d2",
+          "delete_basin" -> s"$d3,$d4")
+      } finally server.stop(0)
+    },
+
     // T5 — basin deletion: every stream terminally trimmed, basin marked
     demo("e2e_t5_basin_delete", Seq(
       "streams_deletion_pending" -> "3",
