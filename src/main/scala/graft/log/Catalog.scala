@@ -45,6 +45,67 @@ final case class LocationsFile(
     locations: List[LocationInfo] = Nil,
     default: Option[String] = None)
 
+/** C7 — a persisted access token (common access.rs AccessTokenInfo;
+  * api access.rs:166-178). Scope is stored flattened the same way
+  * configs are (plain strings/bools, json4s round-trip without custom
+  * serializers): each resource set as (kind, value) with kind in
+  * none|exact|prefix, the three op-group rows as six flags, the
+  * explicit op set by name.
+  */
+final case class TokenEntry(
+    id: String,
+    expiresAtMs: Option[Long] = None,
+    autoPrefixStreams: Boolean = false,
+    basinsKind: String = "none", basinsValue: String = "",
+    streamsKind: String = "none", streamsValue: String = "",
+    tokensKind: String = "none", tokensValue: String = "",
+    accountRead: Boolean = false, accountWrite: Boolean = false,
+    basinRead: Boolean = false, basinWrite: Boolean = false,
+    streamRead: Boolean = false, streamWrite: Boolean = false,
+    ops: List[String] = Nil,
+    createdAt: Long = 0L) {
+
+  def toToken: graft.model.AccessToken = {
+    import graft.model._
+    def rs(kind: String, value: String): ResourceSet = kind match {
+      case "exact" => ResourceSet.Exact(value)
+      case "prefix" => ResourceSet.Prefix(value)
+      case _ => ResourceSet.None
+    }
+    AccessToken(id, AccessTokenScope(
+      basins = rs(basinsKind, basinsValue),
+      streams = rs(streamsKind, streamsValue),
+      accessTokens = rs(tokensKind, tokensValue),
+      opGroups = PermittedOperationGroups(accountRead, accountWrite,
+        basinRead, basinWrite, streamRead, streamWrite),
+      ops = ops.map(Op.withName).toSet),
+      expiresAtMs, autoPrefixStreams)
+  }
+}
+
+object TokenEntry {
+  def from(t: graft.model.AccessToken, createdAt: Long): TokenEntry = {
+    import graft.model._
+    def flat(r: ResourceSet): (String, String) = r match {
+      case ResourceSet.None => ("none", "")
+      case ResourceSet.Exact(v) => ("exact", v)
+      case ResourceSet.Prefix(p) => ("prefix", p)
+    }
+    val (bk, bv) = flat(t.scope.basins)
+    val (sk, sv) = flat(t.scope.streams)
+    val (tk, tv) = flat(t.scope.accessTokens)
+    val g = t.scope.opGroups
+    TokenEntry(t.id, t.expiresAtMs, t.autoPrefixStreams,
+      bk, bv, sk, sv, tk, tv,
+      g.accountRead, g.accountWrite, g.basinRead, g.basinWrite,
+      g.streamRead, g.streamWrite,
+      t.scope.ops.toList.map(_.toString).sorted, createdAt)
+  }
+}
+
+/** On-disk shape of `access_tokens.json`. */
+final case class TokensFile(tokens: List[TokenEntry] = Nil)
+
 final case class Page[T](items: Seq[T], hasMore: Boolean)
 
 sealed trait EnsureOutcome
@@ -824,6 +885,61 @@ final class Catalog(root: String) {
         }
       }
     }
+
+  // ---- access tokens (C7 registry) ----
+  //
+  // The reference's serving surface is list/issue/revoke
+  // (lite/src/handlers/v1/access_tokens.rs paths; lite stubs the
+  // handlers — the cloud implements them). The registry persists
+  // TokenEntry rows in one catalog file with the same mutateDoc
+  // discipline as locations; authorization itself is the pure
+  // model predicate (model/Access.scala), evaluated by callers.
+
+  private val tokensPath =
+    java.nio.file.Paths.get(canonRoot, "_catalog", "access_tokens.json")
+
+  private def tokensFile(): TokensFile = loadCached(tokensPath, TokensFile())
+
+  /** Issue: unique id (1-96 bytes, caps.rs MAX_ACCESS_TOKEN_ID_LEN);
+    * auto_prefix_streams requires a prefix stream scope (api
+    * access.rs:355-357 "which must be a prefix"). */
+  def issueToken(t: graft.model.AccessToken): Either[String, TokenEntry] =
+    lock.synchronized {
+      if (!Caps.validAccessTokenId(t.id)) Left(s"invalid token id: ${t.id}")
+      else if (t.autoPrefixStreams && !t.scope.streams.isInstanceOf[
+        graft.model.ResourceSet.Prefix])
+        Left("auto_prefix_streams requires a prefix stream scope")
+      else mutateDoc(tokensPath, TokensFile()) { st =>
+        st.tokens.find(_.id == t.id) match {
+          case Some(_) => (None, Left("AccessTokenExists"))
+          case None =>
+            val e = TokenEntry.from(t, now())
+            (Some(st.copy(tokens = st.tokens :+ e)), Right(e))
+        }
+      }
+    }
+
+  def getToken(id: String): Option[graft.model.AccessToken] =
+    tokensFile().tokens.find(_.id == id).map(_.toToken)
+
+  /** List with the standard prefix/start_after/limit page contract. */
+  def listTokens(prefix: String = "", startAfter: String = "",
+                 limit: Int = Caps.MaxListItems): Page[TokenEntry] = {
+    val n = math.min(limit, Caps.MaxListItems)
+    val all = tokensFile().tokens
+      .filter(t => t.id.startsWith(prefix) && t.id > startAfter)
+      .sortBy(_.id)
+    Page(all.take(n), all.size > n)
+  }
+
+  /** Revoke: true when the token existed. */
+  def revokeToken(id: String): Boolean = lock.synchronized {
+    mutateDoc(tokensPath, TokensFile()) { st =>
+      if (st.tokens.exists(_.id == id))
+        (Some(st.copy(tokens = st.tokens.filterNot(_.id == id))), true)
+      else (None, false)
+    }
+  }
 
   /** T4 part 1: soft delete (deleted_at set; physical reclaim is the
     * trim executor's job).

@@ -468,7 +468,9 @@ object HttpRecordsServer {
   // access_tokens.rs:44/73/101)
   // -------------------------------------------------------------------
 
-  private def installCatalogRoutes(server: HttpServer, store: StreamStore): Unit = {
+  private def installCatalogRoutes(server: HttpServer, store: StreamStore,
+                                   meter: UsageMeter,
+                                   nowClock: () => Long): Unit = {
     val cat = store.catalog
 
     def listParams(q: Map[String, String]): (String, String, Int) = (
@@ -491,6 +493,8 @@ object HttpRecordsServer {
     // ---- /v1/basins + /v1/basins/{basin} (basins.rs:16-25) ----------
     server.createContext("/v1/basins", safely { ex =>
       val name = ex.getRequestURI.getPath.stripPrefix("/v1/basins").stripPrefix("/")
+      // basin-addressed control-plane RPC → the BasinOps metric set
+      if (name.nonEmpty) meter.record("basin", name, "", nowClock())
       (ex.getRequestMethod, name.isEmpty) match {
         case ("GET", true) => // list_basins
           val (p, sa, lim) = listParams(query(ex))
@@ -576,6 +580,7 @@ object HttpRecordsServer {
     // context; this one only sees the collection path)
     server.createContext("/v1/streams", safely { ex =>
       val basin = basinOf(ex)
+      meter.record("basin", basin, "", nowClock())
       ex.getRequestMethod match {
         case "GET" =>
           if (cat.getBasin(basin).isEmpty)
@@ -610,6 +615,277 @@ object HttpRecordsServer {
           }
         case _ => respond(ex, 405)
       }
+    })
+  }
+
+  // -------------------------------------------------------------------
+  // v1 account serving: access tokens, locations, metrics
+  // (lite/src/handlers/v1/{access_tokens,locations,metrics}.rs declare
+  // these routes but return NotImplemented — the cloud implements
+  // them; here they are served for REAL against the repo's C7 token
+  // registry, C8 location registry, and an RPC-level usage meter, at
+  // the documented api/src/v1 wire shapes)
+  // -------------------------------------------------------------------
+
+  /** Op wire names are kebab-case serde (api access.rs Operation). */
+  private def kebab(s: String): String =
+    s.replaceAll("([a-z0-9])([A-Z])", "$1-$2").toLowerCase
+  private def opWire(v: Op.Value): String = v match {
+    case Op.GetLocation => "get-default-location"
+    case o => kebab(o.toString)
+  }
+  private val opFromWire: Map[String, Op.Value] =
+    Op.values.toSeq.map(v => opWire(v) -> v).toMap
+
+  private def rwJson(read: Boolean, write: Boolean): String =
+    s"""{"read":$read,"write":$write}"""
+
+  private def scopeJson(e: TokenEntry): String = {
+    def rs(kind: String, value: String): Option[String] = kind match {
+      case "exact" => Some(s"""{"exact":"${jsonEsc(value)}"}""")
+      case "prefix" => Some(s"""{"prefix":"${jsonEsc(value)}"}""")
+      case _ => None
+    }
+    val fields = Seq(
+      rs(e.basinsKind, e.basinsValue).map(j => s""""basins":$j"""),
+      rs(e.streamsKind, e.streamsValue).map(j => s""""streams":$j"""),
+      rs(e.tokensKind, e.tokensValue).map(j => s""""access_tokens":$j"""),
+      Some(s""""op_groups":{"account":${rwJson(e.accountRead, e.accountWrite)},""" +
+        s""""basin":${rwJson(e.basinRead, e.basinWrite)},""" +
+        s""""stream":${rwJson(e.streamRead, e.streamWrite)}}"""),
+      if (e.ops.isEmpty) None
+      else Some(e.ops.map(o => s""""${opWire(Op.withName(o))}"""")
+        .mkString(""""ops":[""", ",", "]"))).flatten
+    fields.mkString("{", ",", "}")
+  }
+
+  private def tokenInfoJson(e: TokenEntry): String = {
+    val exp = e.expiresAtMs.fold("")(t => s""""expires_at":"${rfc3339(t)}",""")
+    s"""{"id":"${jsonEsc(e.id)}",$exp"auto_prefix_streams":${e.autoPrefixStreams},""" +
+      s""""scope":${scopeJson(e)}}"""
+  }
+
+  private def parseResourceSet(j: JValue): graft.model.ResourceSet = j match {
+    case JNothing | JNull => graft.model.ResourceSet.None
+    case o: JObject => (o \ "exact", o \ "prefix") match {
+      // MaybeEmpty: an empty exact string means "match nothing"
+      // (api access.rs:450-462 empty_exact_converts_to_resource_set_none)
+      case (JString(""), JNothing) => graft.model.ResourceSet.None
+      case (JString(v), JNothing) => graft.model.ResourceSet.Exact(v)
+      case (JNothing, JString(p)) => graft.model.ResourceSet.Prefix(p)
+      case _ => throw BadRequest("resource set is exact XOR prefix")
+    }
+    case other => throw BadRequest(s"malformed resource set: $other")
+  }
+
+  private def parseScope(j: JValue): AccessTokenScope = j match {
+    case JNothing | JNull => AccessTokenScope()
+    case o: JObject =>
+      def rw(g: JValue): (Boolean, Boolean) = g match {
+        case JNothing | JNull => (false, false)
+        case go: JObject => (
+          jOpt(go \ "read")(jBool(_, "read")).getOrElse(false),
+          jOpt(go \ "write")(jBool(_, "write")).getOrElse(false))
+        case other => throw BadRequest(s"malformed op group row: $other")
+      }
+      val (ar, aw) = rw(o \ "op_groups" \ "account")
+      val (br, bw) = rw(o \ "op_groups" \ "basin")
+      val (sr, sw) = rw(o \ "op_groups" \ "stream")
+      val ops = o \ "ops" match {
+        case JNothing | JNull => Set.empty[Op.Value]
+        case JArray(vs) => vs.map {
+          case JString(s) => opFromWire.getOrElse(s,
+            throw BadRequest(s"unknown operation: $s"))
+          case other => throw BadRequest(s"malformed op: $other")
+        }.toSet
+        case other => throw BadRequest(s"malformed ops: $other")
+      }
+      AccessTokenScope(
+        basins = parseResourceSet(o \ "basins"),
+        streams = parseResourceSet(o \ "streams"),
+        accessTokens = parseResourceSet(o \ "access_tokens"),
+        opGroups = PermittedOperationGroups(ar, aw, br, bw, sr, sw),
+        ops = ops)
+    case other => throw BadRequest(s"malformed scope: $other")
+  }
+
+  private def locationJson(l: LocationInfo): String =
+    s"""{"name":"${jsonEsc(l.name)}","is_private":${l.isPrivate}}"""
+
+  private def metricJson(shape: String, name: String, unit: String,
+                         interval: Option[String],
+                         values: Seq[(Long, Double)]): String = {
+    val iv = interval.fold("")(i => s""""interval":"$i",""")
+    val vs = values.map { case (t, v) => s"[$t,$v]" }.mkString(",")
+    s"""{"$shape":{"name":"$name","unit":"$unit",$iv"values":[$vs]}}"""
+  }
+
+  private def installAccountRoutes(server: HttpServer, store: StreamStore,
+                                   meter: UsageMeter,
+                                   nowClock: () => Long): Unit = {
+    val cat = store.catalog
+
+    // ---- /v1/access-tokens (paths access_tokens LIST/ISSUE/REVOKE) --
+    server.createContext("/v1/access-tokens", safely { ex =>
+      val id = ex.getRequestURI.getPath
+        .stripPrefix("/v1/access-tokens").stripPrefix("/")
+      (ex.getRequestMethod, id.isEmpty) match {
+        case ("GET", true) =>
+          val q = query(ex)
+          val page = cat.listTokens(q.getOrElse("prefix", ""),
+            q.getOrElse("start_after", ""),
+            q.get("limit").map(_.toInt).getOrElse(Caps.MaxListItems))
+          respond(ex, 200,
+            (s"""{"access_tokens":[${page.items.map(tokenInfoJson).mkString(",")}],""" +
+              s""""has_more":${page.hasMore}}""").getBytes(UTF_8))
+        case ("POST", true) =>
+          val root = JsonMethods.parse(bodyString(ex))
+          val tid = root \ "id" match {
+            case JString(s) => s
+            case _ => throw BadRequest("token id required")
+          }
+          val expires = root \ "expires_at" match {
+            case JString(s) =>
+              try Some(java.time.Instant.parse(s).toEpochMilli)
+              catch { case _: java.time.format.DateTimeParseException =>
+                throw BadRequest(s"malformed expires_at: $s") }
+            case JNothing | JNull => None
+            case other => throw BadRequest(s"malformed expires_at: $other")
+          }
+          val auto = jOpt(root \ "auto_prefix_streams")(
+            jBool(_, "auto_prefix_streams")).getOrElse(false)
+          val token = try AccessToken(tid, parseScope(root \ "scope"),
+            expires, auto)
+          catch { case e: IllegalArgumentException =>
+            throw BadRequest(e.getMessage) }
+          cat.issueToken(token) match {
+            case Right(_) =>
+              // the bearer string: lite-analog tokens ARE their id
+              // (the cloud mints an opaque secret; there is no secret
+              // store here and the registry is the account boundary)
+              respond(ex, 201,
+                s"""{"access_token":"${jsonEsc(tid)}"}""".getBytes(UTF_8))
+            case Left("AccessTokenExists") =>
+              respond(ex, 409, errJson("conflict", "token id exists").getBytes(UTF_8))
+            case Left(err) =>
+              respond(ex, 400, errJson("invalid", err).getBytes(UTF_8))
+          }
+        case ("DELETE", false) =>
+          if (cat.revokeToken(id)) respond(ex, 204)
+          else respond(ex, 404, errJson("not_found", id).getBytes(UTF_8))
+        case _ => respond(ex, 405)
+      }
+    })
+
+    // ---- /v1/locations (LIST / DEFAULT get+put) ----------------------
+    server.createContext("/v1/locations", safely { ex =>
+      val rest = ex.getRequestURI.getPath
+        .stripPrefix("/v1/locations").stripPrefix("/")
+      (ex.getRequestMethod, rest) match {
+        case ("GET", "") =>
+          respond(ex, 200,
+            cat.listLocations().map(locationJson)
+              .mkString("[", ",", "]").getBytes(UTF_8))
+        case ("GET", "default") =>
+          cat.defaultLocation() match {
+            case Some(l) => respond(ex, 200, locationJson(l).getBytes(UTF_8))
+            case None =>
+              respond(ex, 404, errJson("not_found", "no default location")
+                .getBytes(UTF_8))
+          }
+        case ("PUT", "default") =>
+          // SetDefaultLocationRequest = LocationName: a bare JSON string
+          val name = JsonMethods.parse(bodyString(ex)) match {
+            case JString(s) => s
+            case other => throw BadRequest(s"malformed location name: $other")
+          }
+          cat.setDefaultLocation(name) match {
+            case Right(l) => respond(ex, 200, locationJson(l).getBytes(UTF_8))
+            case Left("LocationNotFound") =>
+              respond(ex, 404, errJson("not_found", name).getBytes(UTF_8))
+            case Left(err) =>
+              respond(ex, 400, errJson("invalid", err).getBytes(UTF_8))
+          }
+        case _ => respond(ex, 405)
+      }
+    })
+
+    // ---- /v1/metrics[/{basin}[/{stream}]] ---------------------------
+    def handleMetrics(ex: HttpExchange): Unit = {
+      val rest = ex.getRequestURI.getPath
+        .stripPrefix("/v1/metrics").stripPrefix("/")
+      val q = query(ex)
+      val set = q.getOrElse("set", throw BadRequest("set required"))
+      val nowSec = nowClock() / 1000L
+      val endSec = q.get("end").map(_.toLong).getOrElse(nowSec + 60L)
+      val startSec = q.get("start").map(_.toLong).getOrElse(endSec - 3600L)
+      val (ivName, ivSec) = q.getOrElse("interval", "minute") match {
+        case "minute" => ("minute", 60L)
+        case "hour" => ("hour", 3600L)
+        case "day" => ("day", 86400L)
+        case other => throw BadRequest(s"unknown interval: $other")
+      }
+      def accum(name: String, unit: String, kind: String,
+                basin: Option[String], stream: Option[String],
+                bytes: Boolean): String =
+        metricJson("accumulation", name, unit, Some(ivName),
+          meter.series(kind, basin, stream, startSec, endSec, ivSec, bytes))
+      def storageGauge(name: String, df: org.apache.spark.sql.DataFrame): String = {
+        // exact metered stored bytes; the scan is pruned to the one
+        // metered_size column, so cost ~ row count, not data volume
+        val row = df.agg(org.apache.spark.sql.functions
+          .sum("metered_size")).collect()(0)
+        val v = if (row.isNullAt(0)) 0d else row.getLong(0).toDouble
+        metricJson("gauge", name, "bytes", None, Seq((nowSec, v)))
+      }
+      def ok(metrics: String*): Unit =
+        respond(ex, 200,
+          metrics.mkString("""{"values":[""", ",", "]}").getBytes(UTF_8))
+
+      val slash = rest.indexOf('/')
+      (rest, slash) match {
+        case ("", _) => set match { // account level (metrics.rs ACCOUNT)
+          case "active-basins" =>
+            val basins = meter.activeBasins(startSec, endSec)
+              .map(b => s""""${jsonEsc(b)}"""").mkString(",")
+            ok(s"""{"label":{"name":"active_basins","values":[$basins]}}""")
+          case "account-ops" => // append RPC count, per interval
+            ok(accum("account_ops", "operations", "append", None, None,
+              bytes = false))
+          case other => throw BadRequest(s"unknown account metric set: $other")
+        }
+        case (basin, -1) => // basin level
+          if (cat.getBasin(basin).isEmpty)
+            respond(ex, 404, errJson("not_found", basin).getBytes(UTF_8))
+          else set match {
+            case "append-ops" =>
+              ok(accum("append_ops", "operations", "append", Some(basin), None, bytes = false))
+            case "read-ops" =>
+              ok(accum("read_ops", "operations", "read", Some(basin), None, bytes = false))
+            case "append-throughput" =>
+              ok(accum("append_throughput", "bytes", "append", Some(basin), None, bytes = true))
+            case "read-throughput" =>
+              ok(accum("read_throughput", "bytes", "read", Some(basin), None, bytes = true))
+            case "basin-ops" =>
+              ok(accum("basin_ops", "operations", "basin", Some(basin), None, bytes = false))
+            case "storage" =>
+              ok(storageGauge("storage", store.visibleBasin(basin)))
+            case other => throw BadRequest(s"unknown basin metric set: $other")
+          }
+        case (bs, i) => // stream level: {basin}/{stream...}
+          val (basin, stream) = (bs.take(i), bs.drop(i + 1))
+          if (cat.getStream(basin, stream).isEmpty)
+            respond(ex, 404, errJson("not_found", s"$basin/$stream").getBytes(UTF_8))
+          else set match {
+            case "storage" =>
+              ok(storageGauge("storage", store.visible(basin, stream)))
+            case other => throw BadRequest(s"unknown stream metric set: $other")
+          }
+      }
+    }
+    server.createContext("/v1/metrics", safely { ex =>
+      if (ex.getRequestMethod != "GET") respond(ex, 405)
+      else handleMetrics(ex)
     })
   }
 
@@ -686,6 +962,11 @@ object HttpRecordsServer {
   def start(store: StreamStore, nowMs: Option[Long] = None): (HttpServer, String) = {
     System.setProperty("sun.net.httpserver.nodelay", "true")
 
+    // RPC-level usage accounting for /v1/metrics; the pinned demo
+    // clock also pins the metric buckets (deterministic oracles)
+    val meter = new UsageMeter
+    def nowClock(): Long = nowMs.getOrElse(System.currentTimeMillis())
+
     def base64Of(ex: HttpExchange): Boolean =
       Option(ex.getRequestHeaders.getFirst(FormatHeader)) match {
         case None | Some("raw") => false
@@ -715,6 +996,8 @@ object HttpRecordsServer {
         new String(ex.getRequestBody.readAllBytes(), UTF_8), base64)
       store.append(basin, stream, input, nowMs, keyOf(ex)) match {
         case Right(ack) =>
+          meter.record("append", basin, stream, nowClock(),
+            bytes = input.records.iterator.map(_.meteredSize).sum)
           respond(ex, 200, (s"""{"start":${posJson(ack.start)},""" +
             s""""end":${posJson(ack.end)},"tail":${posJson(ack.tail)}}""")
             .getBytes(UTF_8))
@@ -765,6 +1048,9 @@ object HttpRecordsServer {
       }
       out match {
         case Right(records) =>
+          meter.record("read", basin, stream, nowClock(),
+            bytes = records.iterator
+              .map(r => EnvelopeRecord(r.headers, r.body).meteredSize).sum)
           val tail = store.checkTail(basin, stream)
           respond(ex, 200, batchJson(base64, records, Some(tail)).getBytes(UTF_8))
         case Left(err) if err.startsWith("RANGE_NOT_SATISFIABLE") =>
@@ -847,8 +1133,10 @@ object HttpRecordsServer {
           session.poll() match {
             case session.Event.Batch(records, tail) if records.nonEmpty =>
               processedCount += records.size
-              processedBytes += records.iterator
+              val batchBytes = records.iterator
                 .map(r => EnvelopeRecord(r.headers, r.body).meteredSize).sum
+              processedBytes += batchBytes
+              meter.record("read", basin, stream, nowClock(), bytes = batchBytes)
               val id = s"${records.last.seqNum},$processedCount,$processedBytes"
               emit(s"event: batch\nid: $id\ndata: " +
                 batchJson(base64, records, Some(tail)) + "\n\n")
@@ -896,11 +1184,13 @@ object HttpRecordsServer {
           // /v1/streams/{stream} without a records suffix: the stream
           // CONFIG routes (streams.rs GET_CONFIG/ENSURE/DELETE/
           // RECONFIGURE share the path, split by method)
+          meter.record("basin", basin, "", nowClock())
           handleStreamConfig(store, ex, basin, path)
         case _ => respond(ex, 405)
       }
     })
-    installCatalogRoutes(server, store)
+    installCatalogRoutes(server, store, meter, nowClock)
+    installAccountRoutes(server, store, meter, nowClock)
     // daemon threads: HttpServer.stop() does not shut the executor
     // down (see HttpObjectServer); SSE sessions hold threads for their
     // lifetime, so give the pool headroom

@@ -36,10 +36,28 @@ object Op extends Enumeration {
     ListStreams, GetStreamConfig, CheckTail, Read,
     AccountMetrics, BasinMetrics, StreamMetrics, ListLocations, GetLocation)
   val WriteGroup: Set[Value] = values.toSet -- ReadGroup
+
+  /** Level scoping for the three op-group rows (access.rs
+    * PermittedOperationGroups { account, basin, stream }): basin-level
+    * groups cover stream management + basin metrics; stream-level
+    * groups cover the data plane on a stream; the account row covers
+    * everything (the top of the hierarchy). */
+  val BasinLevel: Set[Value] = Set(ListStreams, CreateStream, DeleteStream,
+    GetStreamConfig, ReconfigureStream, BasinMetrics)
+  val StreamLevel: Set[Value] = Set(CheckTail, Append, Read, Trim, Fence,
+    StreamMetrics)
 }
 
+/** Per-level read/write rows (common access.rs:206-217
+  * PermittedOperationGroups { account, basin, stream:
+  * ReadWritePermissions }). The account row spans all operations;
+  * basin/stream rows span only their level's ops (Op.BasinLevel /
+  * Op.StreamLevel).
+  */
 final case class PermittedOperationGroups(
-    accountRead: Boolean = false, accountWrite: Boolean = false)
+    accountRead: Boolean = false, accountWrite: Boolean = false,
+    basinRead: Boolean = false, basinWrite: Boolean = false,
+    streamRead: Boolean = false, streamWrite: Boolean = false)
 
 final case class AccessTokenScope(
     basins: ResourceSet = ResourceSet.None,
@@ -58,11 +76,20 @@ final case class AccessToken(
     autoPrefixStreams: Boolean = false) {
   require(id.getBytes("UTF-8").length <= 96, "token id must be <= 96 bytes")
 
-  def opAllowed(op: Op.Value): Boolean =
-    (scope.ops.nonEmpty && scope.ops.contains(op)) ||
-      (scope.ops.isEmpty &&
-        ((scope.opGroups.accountRead && Op.ReadGroup(op)) ||
-         (scope.opGroups.accountWrite && Op.WriteGroup(op))))
+  /** "A union of allowed operations and groups is used as an
+    * effective set of allowed operations" (api access.rs:383-384):
+    * the explicit op list and the group grants compose additively —
+    * an explicit set does NOT mask the groups. */
+  def opAllowed(op: Op.Value): Boolean = {
+    val g = scope.opGroups
+    scope.ops.contains(op) ||
+      (g.accountRead && Op.ReadGroup(op)) ||
+      (g.accountWrite && Op.WriteGroup(op)) ||
+      (g.basinRead && Op.BasinLevel(op) && Op.ReadGroup(op)) ||
+      (g.basinWrite && Op.BasinLevel(op) && Op.WriteGroup(op)) ||
+      (g.streamRead && Op.StreamLevel(op) && Op.ReadGroup(op)) ||
+      (g.streamWrite && Op.StreamLevel(op) && Op.WriteGroup(op))
+  }
 
   def authorize(op: Op.Value, basin: String = "", stream: String = "",
                 nowMs: Long = System.currentTimeMillis()): Boolean =

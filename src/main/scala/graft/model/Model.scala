@@ -132,6 +132,12 @@ object Caps {
     len >= 1 && len <= MaxStreamNameBytes && n != "." && n != ".."
   }
 
+  /** Access token id: 1-96 bytes (caps.rs MAX_ACCESS_TOKEN_ID_LEN). */
+  def validAccessTokenId(id: String): Boolean = {
+    val len = id.getBytes("UTF-8").length
+    len >= 1 && len <= 96
+  }
+
   /** Location: 1-64 chars of ASCII alnum + `:` `-` `.` (uppercase
     * allowed, multibyte rejected). Ref: common/src/location.rs:8-45.
     */

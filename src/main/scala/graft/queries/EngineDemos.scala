@@ -1934,6 +1934,104 @@ object EngineDemos {
       } finally server.stop(0)
     },
 
+    // The v1 ACCOUNT serving surface: access tokens, locations and
+    // metrics over the same server — routes the reference declares
+    // but stubs in lite (access_tokens.rs:44/73/101,
+    // locations.rs/metrics.rs NotImplemented), served for REAL here
+    // against the C7 token registry, the C8 location registry, and an
+    // RPC-level usage meter. The pinned demo clock (1000 ms → minute
+    // bucket 0) makes every accumulation bucket deterministic, and the
+    // metered-bytes invariant ties two independent paths together:
+    // append-throughput (counted at the serving edge) must equal the
+    // stream's storage gauge (summed from the stored parquet)
+    demo("e2e_http_account", Seq(
+      "account_ops" -> "2.0@0",
+      "append_throughput_eq_storage" -> "true",
+      "read_ops" -> "1.0",
+      "basin_ops" -> "1.0",
+      "active_basins" -> "hm-basin-a1",
+      "token_issue" -> "201:tok-hm-1",
+      "token_scope" -> "prefix=logs-;ops=append,get-default-location;stream_read=true",
+      "token_dup" -> "409",
+      "token_revoke" -> "204,404",
+      "location_default" -> "200:aws:us-east-1")) { (_, st) =>
+      val (server, endpoint) = graft.log.HttpRecordsServer.start(st, Some(1000L))
+      try {
+        import graft.log.HttpRecordsClient.requestAny
+        def utf8(s: String) = s.getBytes("UTF-8")
+        requestAny("POST", s"$endpoint/v1/basins", Nil, utf8(
+          """{"basin":"hm-basin-a1","config":{"default_stream_config":
+            |{"retention_policy":{"infinite":{}}}}}""".stripMargin))
+        val hdr = Seq("s2-basin" -> "hm-basin-a1")
+        requestAny("POST", s"$endpoint/v1/streams", hdr, utf8("""{"stream":"m"}"""))
+        val rec = s"$endpoint/v1/streams/m/records"
+        requestAny("POST", rec, hdr,
+          utf8("""{"records":[{"body":"r0"},{"body":"r1"}]}"""))
+        requestAny("POST", rec, hdr, utf8("""{"records":[{"body":"r2"}]}"""))
+        requestAny("GET", s"$rec?seq_num=0", hdr)
+
+        def point(json: String): String =
+          """\[(\d+),([0-9.]+)\]""".r.findFirstMatchIn(json)
+            .map(m => s"${m.group(2)}@${m.group(1)}").getOrElse("?")
+        def metric(path: String, set: String): String =
+          requestAny("GET",
+            s"$endpoint/v1/metrics$path?set=$set&start=0&end=300")._2
+        val accountOps = point(metric("", "account-ops"))
+        val tpVal = point(metric("/hm-basin-a1", "append-throughput"))
+          .takeWhile(_ != '@')
+        val storageVal = point(requestAny("GET",
+          s"$endpoint/v1/metrics/hm-basin-a1/m?set=storage")._2)
+          .takeWhile(_ != '@')
+        val readOps = point(metric("/hm-basin-a1", "read-ops")).takeWhile(_ != '@')
+        val basinOps = point(metric("/hm-basin-a1", "basin-ops")).takeWhile(_ != '@')
+        val active = """"values":\["([^"]*)"\]""".r
+          .findFirstMatchIn(metric("", "active-basins"))
+          .map(_.group(1)).getOrElse("?")
+
+        // tokens: issue / scope round-trip / duplicate / revoke
+        val tokUrl = s"$endpoint/v1/access-tokens"
+        val issue =
+          """{"id":"tok-hm-1","scope":{"streams":{"prefix":"logs-"},
+            |"op_groups":{"stream":{"read":true}},
+            |"ops":["append","get-default-location"]}}""".stripMargin
+        val (tc1, tb1, _) = requestAny("POST", tokUrl, Nil, utf8(issue))
+        val tokenIssue = s"$tc1:" + """"access_token":"([^"]+)"""".r
+          .findFirstMatchIn(tb1).map(_.group(1)).getOrElse("?")
+        val (_, tl, _) = requestAny("GET", tokUrl)
+        val tokenScope = Seq(
+          "prefix=" + """"streams":\{"prefix":"([^"]*)"\}""".r
+            .findFirstMatchIn(tl).map(_.group(1)).getOrElse("?"),
+          "ops=" + """"ops":\[([^\]]*)\]""".r.findFirstMatchIn(tl)
+            .map(_.group(1).replace("\"", "")).getOrElse("?"),
+          "stream_read=" + """"stream":\{"read":(\w+)""".r
+            .findFirstMatchIn(tl).map(_.group(1)).getOrElse("?"))
+          .mkString(";")
+        val (tc2, _, _) = requestAny("POST", tokUrl, Nil, utf8(issue))
+        val (tr1, _, _) = requestAny("DELETE", s"$tokUrl/tok-hm-1")
+        val (tr2, _, _) = requestAny("DELETE", s"$tokUrl/tok-hm-1")
+
+        // locations: operator-registered, default set over HTTP
+        st.catalog.registerLocation("aws:us-east-1")
+        val (lc, lb, _) = requestAny("PUT", s"$endpoint/v1/locations/default",
+          Nil, utf8(""""aws:us-east-1""""))
+        val locDefault = s"$lc:" + """"name":"([^"]+)"""".r
+          .findFirstMatchIn(lb).map(_.group(1)).getOrElse("?")
+
+        Seq(
+          "account_ops" -> accountOps,
+          "append_throughput_eq_storage" ->
+            (tpVal != "?" && tpVal == storageVal).toString,
+          "read_ops" -> readOps,
+          "basin_ops" -> basinOps,
+          "active_basins" -> active,
+          "token_issue" -> tokenIssue,
+          "token_scope" -> tokenScope,
+          "token_dup" -> tc2.toString,
+          "token_revoke" -> s"$tr1,$tr2",
+          "location_default" -> locDefault)
+      } finally server.stop(0)
+    },
+
     // T5 — basin deletion: every stream terminally trimmed, basin marked
     demo("e2e_t5_basin_delete", Seq(
       "streams_deletion_pending" -> "3",

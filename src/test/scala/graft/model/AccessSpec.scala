@@ -24,13 +24,34 @@ class AccessSpec extends AnyFunSuite {
     assert(!t.authorize(Op.DeleteStream, "b", "s"))
   }
 
-  test("explicit op set overrides groups") {
+  test("explicit ops UNION with groups (api access.rs:383-384: 'a " +
+    "union of allowed operations and groups')") {
     val t = AccessToken("t2", AccessTokenScope(
       basins = ResourceSet.Prefix(""), streams = ResourceSet.Prefix(""),
       opGroups = PermittedOperationGroups(accountRead = true),
       ops = Set(Op.Append)))
-    assert(t.authorize(Op.Append, "b", "s"))
-    assert(!t.authorize(Op.Read, "b", "s")) // group ignored when ops set
+    assert(t.authorize(Op.Append, "b", "s")) // from the explicit set
+    assert(t.authorize(Op.Read, "b", "s"))   // from the read group
+    assert(!t.authorize(Op.DeleteStream, "b", "s")) // in neither
+  }
+
+  test("basin/stream group rows are level-scoped: basin write grants " +
+    "stream management but not the data plane or account ops") {
+    val basinW = AccessToken("t2b", AccessTokenScope(
+      basins = ResourceSet.Prefix(""), streams = ResourceSet.Prefix(""),
+      opGroups = PermittedOperationGroups(basinWrite = true)))
+    assert(basinW.authorize(Op.CreateStream, "b", "s"))
+    assert(basinW.authorize(Op.DeleteStream, "b", "s"))
+    assert(!basinW.authorize(Op.Append, "b", "s"))     // stream level
+    assert(!basinW.authorize(Op.CreateBasin, "b"))     // account level
+    assert(!basinW.authorize(Op.ListStreams, "b"))     // read, not write
+    val streamR = AccessToken("t2c", AccessTokenScope(
+      basins = ResourceSet.Prefix(""), streams = ResourceSet.Prefix(""),
+      opGroups = PermittedOperationGroups(streamRead = true)))
+    assert(streamR.authorize(Op.Read, "b", "s"))
+    assert(streamR.authorize(Op.CheckTail, "b", "s"))
+    assert(!streamR.authorize(Op.Append, "b", "s"))
+    assert(!streamR.authorize(Op.ListStreams, "b"))    // basin level
   }
 
   test("scope restricts basin/stream; expiry enforced") {
