@@ -142,6 +142,11 @@ object HttpRecordsServer {
 
   private final case class BadRequest(msg: String) extends RuntimeException(msg)
 
+  /** Authorization failure: 401 (no/unknown/expired bearer) or 403
+    * (live token, operation or resource out of scope). */
+  private final case class Denied(code: Int, msg: String)
+    extends RuntimeException(msg)
+
   private def parseStart(q: Map[String, String]): ReadStart = {
     val picks = Seq("seq_num", "timestamp", "tail_offset").filter(q.contains)
     if (picks.size > 1) throw BadRequest(
@@ -223,6 +228,11 @@ object HttpRecordsServer {
       case BadRequest(m) =>
         try respond(ex, 400, errJson("invalid", m).getBytes(UTF_8))
         catch { case _: Throwable => ex.close() }
+      case Denied(code, m) =>
+        try respond(ex, code,
+          errJson(if (code == 401) "unauthenticated" else "forbidden", m)
+            .getBytes(UTF_8))
+        catch { case _: Throwable => ex.close() }
       case t: Throwable =>
         try respond(ex, 500,
           errJson("internal", s"${t.getClass.getSimpleName}: ${t.getMessage}")
@@ -233,6 +243,51 @@ object HttpRecordsServer {
   private def basinOf(ex: HttpExchange): String =
     Option(ex.getRequestHeaders.getFirst(BasinHeader))
       .getOrElse(throw BadRequest("missing s2-basin header"))
+
+  /** Bearer enforcement against the C7 token registry. With
+    * `requireAuth` off (the default, lite's open posture) every check
+    * is a no-op; with it on, each route resolves `Authorization:
+    * Bearer <id>` and authorizes its mapped Operation against the
+    * token's scope — 401 for missing/unknown/expired bearers, 403 for
+    * a live token whose scope excludes the op or resource. Stream
+    * names are namespaced through `auto_prefix_streams` BEFORE scope
+    * checks, so a tenant token authorizes (and operates on) the
+    * prefixed effective name (api access.rs:355-357).
+    */
+  private[log] final class AuthCtx(requireAuth: Boolean, cat: Catalog,
+                                   nowClock: () => Long) {
+    def bearer(ex: HttpExchange): Option[AccessToken] =
+      if (!requireAuth) None
+      else {
+        val hdr = Option(ex.getRequestHeaders.getFirst("Authorization"))
+          .getOrElse(throw Denied(401, "missing Authorization header"))
+        if (!hdr.startsWith("Bearer "))
+          throw Denied(401, "expected a bearer token")
+        val tok = cat.getToken(hdr.drop(7).trim)
+          .getOrElse(throw Denied(401, "unknown access token"))
+        if (tok.expiresAtMs.exists(nowClock() >= _))
+          throw Denied(401, "access token expired")
+        Some(tok)
+      }
+
+    def check(tok: Option[AccessToken], op: Op.Value,
+              basin: String = "", stream: String = ""): Unit =
+      tok.foreach { t =>
+        if (!t.authorize(op, basin, stream, nowClock()))
+          throw Denied(403, s"${opWire(op)} not permitted by token scope")
+      }
+
+    /** Token-management resource gate: the bearer's access_tokens set
+      * must contain the target id. */
+    def checkTokenResource(tok: Option[AccessToken], id: String): Unit =
+      tok.foreach { t =>
+        if (!t.scope.accessTokens.matches(id))
+          throw Denied(403, s"token id out of scope: $id")
+      }
+
+    def effectiveStream(tok: Option[AccessToken], requested: String): String =
+      tok.map(_.effectiveStreamName(requested)).getOrElse(requested)
+  }
 
   private def bodyString(ex: HttpExchange): String =
     new String(ex.getRequestBody.readAllBytes(), UTF_8)
@@ -470,7 +525,8 @@ object HttpRecordsServer {
 
   private def installCatalogRoutes(server: HttpServer, store: StreamStore,
                                    meter: UsageMeter,
-                                   nowClock: () => Long): Unit = {
+                                   nowClock: () => Long,
+                                   authx: AuthCtx): Unit = {
     val cat = store.catalog
 
     def listParams(q: Map[String, String]): (String, String, Int) = (
@@ -495,13 +551,25 @@ object HttpRecordsServer {
       val name = ex.getRequestURI.getPath.stripPrefix("/v1/basins").stripPrefix("/")
       // basin-addressed control-plane RPC → the BasinOps metric set
       if (name.nonEmpty) meter.record("basin", name, "", nowClock())
+      val tok = authx.bearer(ex)
+      if (name.nonEmpty) authx.check(tok, ex.getRequestMethod match {
+        case "GET" => Op.GetBasinConfig
+        case "PUT" => Op.CreateBasin
+        case "DELETE" => Op.DeleteBasin
+        case "PATCH" => Op.ReconfigureBasin
+        case _ => Op.GetBasinConfig
+      }, name)
       (ex.getRequestMethod, name.isEmpty) match {
         case ("GET", true) => // list_basins
+          authx.check(tok, Op.ListBasins)
           val (p, sa, lim) = listParams(query(ex))
           val page = cat.listBasins(p, sa, lim)
+          // scope-filter the listing: a token sees only its basins
+          val items = page.items.filter(b =>
+            tok.forall(_.scope.basins.matches(b.name)))
           val loc = cat.defaultLocation().map(_.name)
           respond(ex, 200,
-            (s"""{"basins":[${page.items.map(basinInfoJson(_, loc)).mkString(",")}],""" +
+            (s"""{"basins":[${items.map(basinInfoJson(_, loc)).mkString(",")}],""" +
               s""""has_more":${page.hasMore}}""").getBytes(UTF_8))
 
         case ("POST", true) => // create_basin: 201 + s2-provision-result
@@ -510,6 +578,7 @@ object HttpRecordsServer {
             case JString(s) => s
             case _ => throw BadRequest("basin name required")
           }
+          authx.check(tok, Op.CreateBasin, bn)
           val config = parseBasinConfig(root \ "config")
           val token = Option(ex.getRequestHeaders.getFirst(RequestTokenHeader))
           val existed = cat.getBasin(bn).isDefined
@@ -581,24 +650,43 @@ object HttpRecordsServer {
     server.createContext("/v1/streams", safely { ex =>
       val basin = basinOf(ex)
       meter.record("basin", basin, "", nowClock())
+      val tok = authx.bearer(ex)
+      // auto_prefix_streams: list under the forced prefix and strip it
+      // from results ("the prefix will be stripped when listing
+      // streams", api access.rs:355-357)
+      val autoPrefix = tok.collect {
+        case t if t.autoPrefixStreams => t.scope.streams match {
+          case graft.model.ResourceSet.Prefix(p) => p
+          case _ => ""
+        }
+      }.filter(_.nonEmpty)
       ex.getRequestMethod match {
         case "GET" =>
+          authx.check(tok, Op.ListStreams, basin)
           if (cat.getBasin(basin).isEmpty)
             respond(ex, 404, errJson("not_found", basin).getBytes(UTF_8))
           else {
-            val (p, sa, lim) = listParams(query(ex))
+            val (p0, sa0, lim) = listParams(query(ex))
+            val p = autoPrefix.fold(p0)(_ + p0)
+            val sa = autoPrefix.filter(_ => sa0.nonEmpty).fold(sa0)(_ + sa0)
             val page = cat.listStreams(basin, p, sa, lim)
+            val items = page.items
+              .filter(s => tok.forall(_.scope.streams.matches(s.name)))
+              .map(s => autoPrefix.fold(s)(ap =>
+                s.copy(name = s.name.stripPrefix(ap))))
             val cipher = cat.basinConfig(basin).streamCipher
             respond(ex, 200,
-              (s"""{"streams":[${page.items.map(streamInfoJson(_, cipher)).mkString(",")}],""" +
+              (s"""{"streams":[${items.map(streamInfoJson(_, cipher)).mkString(",")}],""" +
                 s""""has_more":${page.hasMore}}""").getBytes(UTF_8))
           }
         case "POST" =>
           val root = JsonMethods.parse(bodyString(ex))
-          val sn = root \ "stream" match {
+          val sn0 = root \ "stream" match {
             case JString(s) => s
             case _ => throw BadRequest("stream name required")
           }
+          val sn = authx.effectiveStream(tok, sn0)
+          authx.check(tok, Op.CreateStream, basin, sn)
           val config = parseStreamConfig(root \ "config")
           val token = Option(ex.getRequestHeaders.getFirst(RequestTokenHeader))
           val existed = cat.getStream(basin, sn).isDefined
@@ -722,21 +810,26 @@ object HttpRecordsServer {
 
   private def installAccountRoutes(server: HttpServer, store: StreamStore,
                                    meter: UsageMeter,
-                                   nowClock: () => Long): Unit = {
+                                   nowClock: () => Long,
+                                   authx: AuthCtx): Unit = {
     val cat = store.catalog
 
     // ---- /v1/access-tokens (paths access_tokens LIST/ISSUE/REVOKE) --
     server.createContext("/v1/access-tokens", safely { ex =>
       val id = ex.getRequestURI.getPath
         .stripPrefix("/v1/access-tokens").stripPrefix("/")
+      val tok = authx.bearer(ex)
       (ex.getRequestMethod, id.isEmpty) match {
         case ("GET", true) =>
+          authx.check(tok, Op.ListAccessTokens)
           val q = query(ex)
           val page = cat.listTokens(q.getOrElse("prefix", ""),
             q.getOrElse("start_after", ""),
             q.get("limit").map(_.toInt).getOrElse(Caps.MaxListItems))
+          val items = page.items.filter(e =>
+            tok.forall(_.scope.accessTokens.matches(e.id)))
           respond(ex, 200,
-            (s"""{"access_tokens":[${page.items.map(tokenInfoJson).mkString(",")}],""" +
+            (s"""{"access_tokens":[${items.map(tokenInfoJson).mkString(",")}],""" +
               s""""has_more":${page.hasMore}}""").getBytes(UTF_8))
         case ("POST", true) =>
           val root = JsonMethods.parse(bodyString(ex))
@@ -744,6 +837,8 @@ object HttpRecordsServer {
             case JString(s) => s
             case _ => throw BadRequest("token id required")
           }
+          authx.check(tok, Op.IssueAccessToken)
+          authx.checkTokenResource(tok, tid)
           val expires = root \ "expires_at" match {
             case JString(s) =>
               try Some(java.time.Instant.parse(s).toEpochMilli)
@@ -771,6 +866,8 @@ object HttpRecordsServer {
               respond(ex, 400, errJson("invalid", err).getBytes(UTF_8))
           }
         case ("DELETE", false) =>
+          authx.check(tok, Op.RevokeAccessToken)
+          authx.checkTokenResource(tok, id)
           if (cat.revokeToken(id)) respond(ex, 204)
           else respond(ex, 404, errJson("not_found", id).getBytes(UTF_8))
         case _ => respond(ex, 405)
@@ -781,6 +878,13 @@ object HttpRecordsServer {
     server.createContext("/v1/locations", safely { ex =>
       val rest = ex.getRequestURI.getPath
         .stripPrefix("/v1/locations").stripPrefix("/")
+      val tok = authx.bearer(ex)
+      (ex.getRequestMethod, rest) match {
+        case ("GET", "") => authx.check(tok, Op.ListLocations)
+        case ("GET", "default") => authx.check(tok, Op.GetLocation)
+        case ("PUT", "default") => authx.check(tok, Op.SetDefaultLocation)
+        case _ => ()
+      }
       (ex.getRequestMethod, rest) match {
         case ("GET", "") =>
           respond(ex, 200,
@@ -814,6 +918,14 @@ object HttpRecordsServer {
     def handleMetrics(ex: HttpExchange): Unit = {
       val rest = ex.getRequestURI.getPath
         .stripPrefix("/v1/metrics").stripPrefix("/")
+      val tok = authx.bearer(ex)
+      locally {
+        val slash0 = rest.indexOf('/')
+        if (rest.isEmpty) authx.check(tok, Op.AccountMetrics)
+        else if (slash0 < 0) authx.check(tok, Op.BasinMetrics, rest)
+        else authx.check(tok, Op.StreamMetrics,
+          rest.take(slash0), rest.drop(slash0 + 1))
+      }
       val q = query(ex)
       val set = q.getOrElse("set", throw BadRequest("set required"))
       val nowSec = nowClock() / 1000L
@@ -893,8 +1005,17 @@ object HttpRecordsServer {
     * ENSURE / DELETE / RECONFIGURE — stream addressed by path, basin
     * by the s2-basin header). */
   private def handleStreamConfig(store: StreamStore, ex: HttpExchange,
-                                 basin: String, stream: String): Unit = {
+                                 basin: String, stream: String,
+                                 authx: AuthCtx,
+                                 tok: Option[AccessToken]): Unit = {
     val cat = store.catalog
+    ex.getRequestMethod match {
+      case "GET" => authx.check(tok, Op.GetStreamConfig, basin, stream)
+      case "PUT" => authx.check(tok, Op.CreateStream, basin, stream)
+      case "DELETE" => authx.check(tok, Op.DeleteStream, basin, stream)
+      case "PATCH" => authx.check(tok, Op.ReconfigureStream, basin, stream)
+      case _ => ()
+    }
     ex.getRequestMethod match {
       case "GET" => // merged effective config (C5)
         cat.streamConfig(basin, stream) match {
@@ -959,13 +1080,15 @@ object HttpRecordsServer {
   /** Start a records server over `store` on an ephemeral localhost
     * port; returns (server, endpoint). `nowMs` pins the append clock
     * for deterministic demos (None = wall clock, like production). */
-  def start(store: StreamStore, nowMs: Option[Long] = None): (HttpServer, String) = {
+  def start(store: StreamStore, nowMs: Option[Long] = None,
+            requireAuth: Boolean = false): (HttpServer, String) = {
     System.setProperty("sun.net.httpserver.nodelay", "true")
 
     // RPC-level usage accounting for /v1/metrics; the pinned demo
     // clock also pins the metric buckets (deterministic oracles)
     val meter = new UsageMeter
     def nowClock(): Long = nowMs.getOrElse(System.currentTimeMillis())
+    val authx = new AuthCtx(requireAuth, store.catalog, () => nowClock())
 
     def base64Of(ex: HttpExchange): Boolean =
       Option(ex.getRequestHeaders.getFirst(FormatHeader)) match {
@@ -1164,19 +1287,28 @@ object HttpRecordsServer {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/v1/streams/", safely { ex =>
       val path = ex.getRequestURI.getPath.stripPrefix("/v1/streams/")
-      val (stream, kind) =
+      val (streamRaw, kind) =
         if (path.endsWith("/records/tail"))
           (path.stripSuffix("/records/tail"), "tail")
         else if (path.endsWith("/records"))
           (path.stripSuffix("/records"), "records")
-        else ("", "")
+        else (path, "")
       val basin = basinOf(ex)
+      val tok = authx.bearer(ex)
+      // tenant namespacing happens BEFORE scope checks and dispatch:
+      // the effective (prefixed) name is what gets authorized and
+      // operated on (access.rs auto_prefix_streams)
+      val stream = authx.effectiveStream(tok, streamRaw)
       (ex.getRequestMethod, kind) match {
         case ("GET", "tail") =>
+          authx.check(tok, Op.CheckTail, basin, stream)
           val t = store.checkTail(basin, stream)
           respond(ex, 200, s"""{"tail":${posJson(t)}}""".getBytes(UTF_8))
-        case ("POST", "records") => handleAppend(ex, basin, stream)
+        case ("POST", "records") =>
+          authx.check(tok, Op.Append, basin, stream)
+          handleAppend(ex, basin, stream)
         case ("GET", "records") =>
+          authx.check(tok, Op.Read, basin, stream)
           val accept = Option(ex.getRequestHeaders.getFirst("Accept")).getOrElse("")
           if (accept.contains("text/event-stream")) handleSseRead(ex, basin, stream)
           else handleUnaryRead(ex, basin, stream)
@@ -1185,12 +1317,12 @@ object HttpRecordsServer {
           // CONFIG routes (streams.rs GET_CONFIG/ENSURE/DELETE/
           // RECONFIGURE share the path, split by method)
           meter.record("basin", basin, "", nowClock())
-          handleStreamConfig(store, ex, basin, path)
+          handleStreamConfig(store, ex, basin, stream, authx, tok)
         case _ => respond(ex, 405)
       }
     })
-    installCatalogRoutes(server, store, meter, nowClock)
-    installAccountRoutes(server, store, meter, nowClock)
+    installCatalogRoutes(server, store, meter, nowClock, authx)
+    installAccountRoutes(server, store, meter, nowClock, authx)
     // daemon threads: HttpServer.stop() does not shut the executor
     // down (see HttpObjectServer); SSE sessions hold threads for their
     // lifetime, so give the pool headroom

@@ -2032,6 +2032,124 @@ object EngineDemos {
       } finally server.stop(0)
     },
 
+    // Bearer ENFORCEMENT over the whole v1 surface: the C7 scope
+    // model actually gates serving (401 missing/unknown/expired, 403
+    // out-of-scope op or resource, per-route Operation mapping), and
+    // auto_prefix_streams namespaces a tenant's world at the edge —
+    // "orders" physically lands on "t1-orders", listings strip the
+    // prefix, and a foreign name maps INTO the tenant prefix (404,
+    // never a cross-tenant 403 oracle). Tokens are seeded through the
+    // catalog: the operator bootstrap path, since token serving
+    // itself requires a token.
+    demo("e2e_http_auth", Seq(
+      "anon_or_bad_bearer" -> "401,401,401",
+      "in_scope_data_plane" -> "200,200,200",
+      "out_of_scope" -> "403,403,403",
+      "ops_union" -> "200,403",
+      "auto_prefix_create" -> "t1-orders",
+      "auto_prefix_roundtrip" -> "tenant-data",
+      "list_stripped" -> "orders:true,t1-:false,foreign:false",
+      "token_mgmt_gate" -> "201,403,204")) { (sp, _) =>
+      // fresh store WITHOUT the open-posture server the other demos
+      // use: this one runs requireAuth = true end to end
+      val st = new StreamStore(sp,
+        Files.createTempDirectory("graft-demo-auth").toString)
+      st.catalog.createBasin("auth-basin-a1", BasinConfig(
+        defaultStreamConfig =
+          StreamConfig(retentionPolicy = Some(RetentionPolicy.Infinite))))
+      st.catalog.createStream("auth-basin-a1", "app-x")
+      st.catalog.createStream("auth-basin-a1", "other-s")
+      st.catalog.issueToken(AccessToken("rw-tok", AccessTokenScope(
+        basins = ResourceSet.Exact("auth-basin-a1"),
+        streams = ResourceSet.Prefix("app-"),
+        opGroups = PermittedOperationGroups(
+          streamRead = true, streamWrite = true))))
+      st.catalog.issueToken(AccessToken("old-tok", AccessTokenScope(
+        basins = ResourceSet.Prefix(""), streams = ResourceSet.Prefix(""),
+        opGroups = PermittedOperationGroups(accountWrite = true)),
+        expiresAtMs = Some(500L))) // pinned clock is 1000
+      st.catalog.issueToken(AccessToken("append-only", AccessTokenScope(
+        basins = ResourceSet.Prefix(""), streams = ResourceSet.Prefix(""),
+        ops = Set(Op.Append))))
+      st.catalog.issueToken(AccessToken("tenant1", AccessTokenScope(
+        basins = ResourceSet.Exact("auth-basin-a1"),
+        streams = ResourceSet.Prefix("t1-"),
+        opGroups = PermittedOperationGroups(
+          basinRead = true, basinWrite = true,
+          streamRead = true, streamWrite = true)),
+        autoPrefixStreams = true))
+      st.catalog.issueToken(AccessToken("mgr-sub", AccessTokenScope(
+        accessTokens = ResourceSet.Prefix("sub-"),
+        ops = Set(Op.IssueAccessToken, Op.RevokeAccessToken))))
+      val (server, endpoint) =
+        graft.log.HttpRecordsServer.start(st, Some(1000L), requireAuth = true)
+      try {
+        import graft.log.HttpRecordsClient.requestAny
+        def utf8(s: String) = s.getBytes("UTF-8")
+        def hdr(tok: String) = Seq("s2-basin" -> "auth-basin-a1",
+          "Authorization" -> s"Bearer $tok")
+        val rec = s"$endpoint/v1/streams/app-x/records"
+        val body = utf8("""{"records":[{"body":"a"}]}""")
+
+        val anon = Seq(
+          requestAny("POST", rec, Seq("s2-basin" -> "auth-basin-a1"), body)._1,
+          requestAny("POST", rec, hdr("nope-tok"), body)._1,
+          requestAny("POST", rec, hdr("old-tok"), body)._1).mkString(",")
+        val inScope = Seq(
+          requestAny("POST", rec, hdr("rw-tok"), body)._1,
+          requestAny("GET", s"$rec?seq_num=0", hdr("rw-tok"))._1,
+          requestAny("GET", s"$rec/tail", hdr("rw-tok"))._1).mkString(",")
+        val outScope = Seq(
+          requestAny("GET", s"$endpoint/v1/streams/sys-y/records?seq_num=0",
+            hdr("rw-tok"))._1,
+          requestAny("POST", rec, Seq("s2-basin" -> "other-basin-b2",
+            "Authorization" -> "Bearer rw-tok"), body)._1,
+          requestAny("DELETE", s"$endpoint/v1/streams/app-x",
+            hdr("rw-tok"))._1).mkString(",")
+        val opsUnion = Seq(
+          requestAny("POST", rec, hdr("append-only"), body)._1,
+          requestAny("GET", s"$rec?seq_num=0", hdr("append-only"))._1)
+          .mkString(",")
+
+        requestAny("POST", s"$endpoint/v1/streams", hdr("tenant1"),
+          utf8("""{"stream":"orders"}"""))
+        val created =
+          if (st.catalog.getStream("auth-basin-a1", "t1-orders").isDefined)
+            "t1-orders" else "?"
+        requestAny("POST", s"$endpoint/v1/streams/orders/records",
+          hdr("tenant1"), utf8("""{"records":[{"body":"tenant-data"}]}"""))
+        val roundtrip = st.readBatch("auth-basin-a1", "t1-orders",
+          ReadSpec(ReadStart(ReadFrom.SeqNum(0)))).toOption.get
+          .map(r => new String(r.body)).mkString(",")
+        val (_, lst, _) = requestAny("GET", s"$endpoint/v1/streams",
+          hdr("tenant1"))
+        val listStripped = Seq(
+          "orders:" + lst.contains(""""name":"orders""""),
+          "t1-:" + lst.contains("t1-"),
+          "foreign:" + lst.contains("other-s")).mkString(",")
+
+        val tokUrl = s"$endpoint/v1/access-tokens"
+        def auth(t: String) = Seq("Authorization" -> s"Bearer $t")
+        val mgmt = Seq(
+          requestAny("POST", tokUrl, auth("mgr-sub"),
+            utf8("""{"id":"sub-a","scope":{}}"""))._1,
+          requestAny("POST", tokUrl, auth("mgr-sub"),
+            utf8("""{"id":"other-a","scope":{}}"""))._1,
+          requestAny("DELETE", s"$tokUrl/sub-a", auth("mgr-sub"))._1)
+          .mkString(",")
+
+        Seq(
+          "anon_or_bad_bearer" -> anon,
+          "in_scope_data_plane" -> inScope,
+          "out_of_scope" -> outScope,
+          "ops_union" -> opsUnion,
+          "auto_prefix_create" -> created,
+          "auto_prefix_roundtrip" -> roundtrip,
+          "list_stripped" -> listStripped,
+          "token_mgmt_gate" -> mgmt)
+      } finally server.stop(0)
+    },
+
     // T5 — basin deletion: every stream terminally trimmed, basin marked
     demo("e2e_t5_basin_delete", Seq(
       "streams_deletion_pending" -> "3",
