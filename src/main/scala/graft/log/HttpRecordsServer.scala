@@ -1113,10 +1113,21 @@ object HttpRecordsServer {
         Some(s"""{"fencing_token_mismatch":"${jsonEsc(current)}"}""")
       case _ => None
     }
-    def handleAppend(ex: HttpExchange, basin: String, stream: String): Unit = {
+    def handleAppend(ex: HttpExchange, basin: String, stream: String,
+                     tok: Option[AccessToken]): Unit = {
       val base64 = base64Of(ex)
       val input = parseAppendInput(
         new String(ex.getRequestBody.readAllBytes(), UTF_8), base64)
+      // in-band commands ride the append route but are distinct
+      // operations in the scope model (access.rs Trim / Fence): a
+      // token holding only Append must not trim or fence through a
+      // command record
+      input.records.iterator
+        .collect { case e: EnvelopeRecord => e }
+        .flatMap(CommandRecord.fromEnvelopeForm).foreach {
+          case _: TrimCommand => authx.check(tok, Op.Trim, basin, stream)
+          case _: FenceCommand => authx.check(tok, Op.Fence, basin, stream)
+        }
       store.append(basin, stream, input, nowMs, keyOf(ex)) match {
         case Right(ack) =>
           meter.record("append", basin, stream, nowClock(),
@@ -1306,7 +1317,7 @@ object HttpRecordsServer {
           respond(ex, 200, s"""{"tail":${posJson(t)}}""".getBytes(UTF_8))
         case ("POST", "records") =>
           authx.check(tok, Op.Append, basin, stream)
-          handleAppend(ex, basin, stream)
+          handleAppend(ex, basin, stream, tok)
         case ("GET", "records") =>
           authx.check(tok, Op.Read, basin, stream)
           val accept = Option(ex.getRequestHeaders.getFirst("Accept")).getOrElse("")

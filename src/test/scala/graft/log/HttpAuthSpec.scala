@@ -157,6 +157,43 @@ class HttpAuthSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally server.stop(0)
   }
 
+  test("in-band trim/fence commands on the append route require the " +
+    "Trim/Fence ops, not just Append") {
+    val (st, server, ep) = served()
+    try {
+      st.catalog.issueToken(AccessToken("append-only2", AccessTokenScope(
+        basins = ResourceSet.Prefix(""), streams = ResourceSet.Prefix(""),
+        ops = Set(Op.Append))))
+      st.catalog.issueToken(AccessToken("maintainer", AccessTokenScope(
+        basins = ResourceSet.Prefix(""), streams = ResourceSet.Prefix(""),
+        ops = Set(Op.Append, Op.Trim, Op.Fence))))
+      val rec = s"$ep/v1/streams/app-x/records"
+      // seed three data records
+      assert(requestAny("POST", rec, hdr("maintainer"),
+        utf8("""{"records":[{"body":"a"},{"body":"b"},{"body":"c"}]}"""))._1 == 200)
+      // trim command: single header ["", "trim"], body = 8-byte BE seq
+      // (base64 format keeps the binary payload JSON-safe)
+      val b64 = Seq("s2-format" -> "base64")
+      val trimBody =
+        """{"records":[{"headers":[["","dHJpbQ=="]],"body":"AAAAAAAAAAI="}]}"""
+      val (t1, tb1, _) = requestAny("POST", rec, hdr("append-only2") ++ b64,
+        utf8(trimBody))
+      assert(t1 == 403, s"$t1 $tb1")
+      val (t2, tb2, _) = requestAny("POST", rec, hdr("maintainer") ++ b64,
+        utf8(trimBody))
+      assert(t2 == 200, s"$t2 $tb2")
+      assert(st.manifest("auth-basin-a1", "app-x").trimPoint == 2L)
+      // fence: ["", "fence"], body = token bytes
+      val fenceBody =
+        """{"records":[{"headers":[["","ZmVuY2U="]],"body":"enp6"}]}"""
+      assert(requestAny("POST", rec, hdr("append-only2") ++ b64,
+        utf8(fenceBody))._1 == 403)
+      assert(requestAny("POST", rec, hdr("maintainer") ++ b64,
+        utf8(fenceBody))._1 == 200)
+      assert(st.manifest("auth-basin-a1", "app-x").fencingToken == "zzz")
+    } finally server.stop(0)
+  }
+
   test("token management is resource-gated by the access_tokens set") {
     val (st, server, ep) = served()
     try {
