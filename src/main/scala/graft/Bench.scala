@@ -498,6 +498,8 @@ object Bench {
       s""""cphttp_streams":0,"cphttp_error":${jsonStr(msg)}"""
     }
 
+    val recordsApiJson: String = recordsApiPhaseJson(spark)
+
     val qs = results.map { case (k, (w, _)) => "\"" + k + f"\":$w%.3f" }
       .mkString("{", ",", "}")
     val qsCpu = results.map { case (k, (_, c)) => "\"" + k + f"\":$c%.3f" }
@@ -524,7 +526,7 @@ object Bench {
     val qsNorm = results.map { case (k, (w, _)) =>
       "\"" + k + f"\":${w * normFactor}%.3f" }.mkString("{", ",", "}")
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing":"median-of-3","total_cpu_sec":$totalCpu%.3f,"cpu_calib_sec":$calib%.4f,"par_calib_sec":$parCalib%.4f,"calib_norm_factor":$normFactor%.4f,"queries":$qs,"queries_norm":$qsNorm,"queries_cpu_sec":$qsCpu$errJson,"sf":"$sfDir",$workloadJson,$controlPlaneJson,$httpControlPlaneJson}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing":"median-of-3","total_cpu_sec":$totalCpu%.3f,"cpu_calib_sec":$calib%.4f,"par_calib_sec":$parCalib%.4f,"calib_norm_factor":$normFactor%.4f,"queries":$qs,"queries_norm":$qsNorm,"queries_cpu_sec":$qsCpu$errJson,"sf":"$sfDir",$workloadJson,$controlPlaneJson,$httpControlPlaneJson,$recordsApiJson}"""
     // The driver captures only the LAST ~2000 chars of stdout, which
     // cannot hold a 186-query map (r11's artifact carried only the
     // alphabetic tail of one map). Persist the full line to a file, and
@@ -538,8 +540,88 @@ object Bench {
     catch { case _: java.io.IOException => () } // bench output must not fail on an unwritable cwd
     println(json)
     val summary =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing":"median-of-3","n_queries":${results.size},"n_query_errors":${queryErrors.size},"total_cpu_sec":$totalCpu%.3f,"cpu_calib_sec":$calib%.4f,"par_calib_sec":$parCalib%.4f,"calib_norm_factor":$normFactor%.4f,"queries_in":"BENCH_local.json","sf":"$sfDir",$workloadJson,$controlPlaneJson,$httpControlPlaneJson}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing":"median-of-3","n_queries":${results.size},"n_query_errors":${queryErrors.size},"total_cpu_sec":$totalCpu%.3f,"cpu_calib_sec":$calib%.4f,"par_calib_sec":$parCalib%.4f,"calib_norm_factor":$normFactor%.4f,"queries_in":"BENCH_local.json","sf":"$sfDir",$workloadJson,$controlPlaneJson,$httpControlPlaneJson,$recordsApiJson}"""
     println(summary)
     spark.stop()
   }
+
+  /** v1 records-API serving phase (round 17): the HTTP surface a
+    * day-one client talks — concurrent unary append RPCs (JSON parse +
+    * engine append + ack per request), one SSE catch-up session
+    * through the ReadSession machine, and an integrity check that the
+    * /v1/metrics meter counted exactly the RPCs served under load.
+    * Factored out so the phase is testable without the 200-query
+    * sweep (tools.RecordsApiProbe). */
+  private[graft] def recordsApiPhaseJson(spark: SparkSession): String = try {
+      val rootR = java.nio.file.Files.createTempDirectory("graft-benchrecords").toString
+      val storeR = new StreamStore(spark, rootR)
+      storeR.catalog.createBasin("bench-basin",
+        BasinConfig(defaultStreamConfig =
+          StreamConfig(retentionPolicy = Some(RetentionPolicy.Infinite))))
+      val (serverR, epR) = graft.log.HttpRecordsServer.start(storeR)
+      try {
+        import graft.log.HttpRecordsClient
+        val hdrR = Seq("s2-basin" -> "bench-basin")
+        val nThreads = 8
+        val perThread = 50
+        val recsPerRpc = 10
+        (0 until nThreads).foreach(i =>
+          storeR.catalog.createStream("bench-basin", s"ra-$i"))
+        val oneRec = s"""{"body":"${"x" * 256}"}"""
+        val rpcBody = (s"""{"records":[""" +
+          Seq.fill(recsPerRpc)(oneRec).mkString(",") + "]}").getBytes("UTF-8")
+        val failures = new java.util.concurrent.atomic.AtomicInteger
+        val tA0 = System.nanoTime()
+        val threadsR = (0 until nThreads).map { i =>
+          new Thread(() => (0 until perThread).foreach { _ =>
+            val (c, _) = HttpRecordsClient.request("POST",
+              s"$epR/v1/streams/ra-$i/records", hdrR, rpcBody)
+            if (c != 200) failures.incrementAndGet()
+          })
+        }
+        threadsR.foreach(_.start()); threadsR.foreach(_.join())
+        val apSec = (System.nanoTime() - tA0) / 1e9
+        val rpcs = nThreads * perThread
+        require(failures.get() == 0, s"${failures.get()} append RPCs failed")
+        require((0 until nThreads).forall(i => storeR
+          .checkTail("bench-basin", s"ra-$i").seqNum == perThread * recsPerRpc),
+          "records-api workload lost records")
+        // SSE catch-up: one session draining a stream under a count
+        // budget, terminal [DONE]. One unbilled warm pass first — the
+        // phase may run on a cold session (RecordsApiProbe), where the
+        // first read plan's codegen would be billed to the session.
+        val sseWant = perThread * recsPerRpc
+        HttpRecordsClient.readSse(
+          s"$epR/v1/streams/ra-1/records?seq_num=0&count=$sseWant", hdrR)
+        // serve the timed session from compacted storage — the
+        // steady-state layout (50 per-RPC objects is the just-written
+        // transient; T1 compaction folds them into scan-sized files)
+        storeR.compact("bench-basin", "ra-0")
+        val tS0 = System.nanoTime()
+        val evs = HttpRecordsClient.readSse(
+          s"$epR/v1/streams/ra-0/records?seq_num=0&count=$sseWant", hdrR)
+        val sseSec = (System.nanoTime() - tS0) / 1e9
+        // count records by their body field — the batch frame's tail
+        // object also carries a seq_num, so seq_num occurrences
+        // overcount by one per event
+        val sseRecords = evs.collect { case e if e.event.contains("batch") =>
+          """"body":"""".r.findAllIn(e.data).size }.sum
+        require(evs.lastOption.exists(_.data == "[DONE]") &&
+          sseRecords == sseWant, s"sse session delivered $sseRecords/$sseWant")
+        // metrics integrity: the meter must have counted exactly the
+        // append RPCs this phase issued
+        val (mc, mb) = HttpRecordsClient.request("GET",
+          s"$epR/v1/metrics?set=account-ops&start=0&end=${Long.MaxValue / 2000}")
+        val metered = """\[\d+,([0-9.]+)\]""".r.findAllMatchIn(mb)
+          .map(_.group(1).toDouble).sum
+        require(mc == 200 && metered == rpcs.toDouble,
+          s"metrics meter counted $metered of $rpcs append RPCs")
+        f""""records_api_append_rps":${rpcs / apSec}%.1f,"records_api_append_mibps":${rpcs.toLong * recsPerRpc * (256 + 8) / apSec / 1048576}%.3f,"records_api_sse_records_per_sec":${sseRecords / sseSec}%.0f,"records_api_metered_ok":true"""
+      } finally serverR.stop(0)
+    } catch { case e: Throwable =>
+      val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(160)}"
+      System.err.println(s"bench records-api phase failed: $msg")
+      s""""records_api_append_rps":0,"records_api_error":${jsonStr(msg)}"""
+    }
+
 }
