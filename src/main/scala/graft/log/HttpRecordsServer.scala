@@ -999,6 +999,17 @@ object HttpRecordsServer {
       if (ex.getRequestMethod != "GET") respond(ex, 405)
       else handleMetrics(ex)
     })
+
+    // ---- /metrics (root): the Prometheus text exposition lite serves
+    // (handlers/mod.rs:15 route + metrics.rs gather) — M5's histogram
+    // registry at the conventional scrape path, distinct from the
+    // /v1/metrics usage API above. Unauthenticated like the reference
+    // (a scrape endpoint, not account data).
+    server.createContext("/metrics", safely { ex =>
+      if (ex.getRequestMethod != "GET") respond(ex, 405)
+      else respond(ex, 200, ServerMetrics.gather().getBytes(UTF_8),
+        contentType = "text/plain; version=0.0.4")
+    })
   }
 
   /** /v1/streams/{stream} config routes (streams.rs GET_CONFIG /

@@ -205,6 +205,13 @@ class HttpAccountApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       val (s404, _, _) = requestAny("GET",
         s"$ep/v1/metrics/met-basin-a1/nope?set=storage")
       assert(s404 == 404)
+
+      // root /metrics: the Prometheus text exposition (lite
+      // handlers/mod.rs:15) — M5 histograms observed by the appends
+      val (pc, pb, ph) = requestAny("GET", s"$ep/metrics")
+      assert(pc == 200 &&
+        ph.firstValue("Content-Type").orElse("").startsWith("text/plain"), pb)
+      assert(pb.contains("s2_append_ack_latency_seconds_bucket"), pb.take(300))
     } finally server.stop(0)
   }
 }
