@@ -825,7 +825,10 @@ object HttpRecordsServer {
           val q = query(ex)
           val page = cat.listTokens(q.getOrElse("prefix", ""),
             q.getOrElse("start_after", ""),
-            q.get("limit").map(_.toInt).getOrElse(Caps.MaxListItems))
+            q.get("limit").map { s =>
+              try s.toInt catch { case _: NumberFormatException =>
+                throw BadRequest(s"malformed limit: $s") }
+            }.getOrElse(Caps.MaxListItems))
           val items = page.items.filter(e =>
             tok.forall(_.scope.accessTokens.matches(e.id)))
           respond(ex, 200,
