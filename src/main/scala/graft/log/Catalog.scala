@@ -920,7 +920,10 @@ final class Catalog(root: String) {
     }
 
   def getToken(id: String): Option[graft.model.AccessToken] =
-    tokensFile().tokens.find(_.id == id).map(_.toToken)
+    getTokenEntry(id).map(_.toToken)
+
+  def getTokenEntry(id: String): Option[TokenEntry] =
+    tokensFile().tokens.find(_.id == id)
 
   /** List with the standard prefix/start_after/limit page contract. */
   def listTokens(prefix: String = "", startAfter: String = "",

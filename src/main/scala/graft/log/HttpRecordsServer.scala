@@ -292,6 +292,57 @@ object HttpRecordsServer {
   private def bodyString(ex: HttpExchange): String =
     new String(ex.getRequestBody.readAllBytes(), UTF_8)
 
+  /** Path guard for the JDK HttpServer's RAW-prefix context matching:
+    * a context registered at "/v1/basins" also receives
+    * "/v1/basinsjunk", which must be an unknown route (404), not a
+    * basin named "junk". Returns the remainder after the context ("" =
+    * the collection path) or None for a non-boundary match. */
+  private def pathUnder(ex: HttpExchange, ctx: String): Option[String] = {
+    val p = ex.getRequestURI.getPath
+    if (p == ctx) Some("")
+    else if (p.startsWith(ctx + "/")) Some(p.drop(ctx.length + 1))
+    else None
+  }
+
+  private def listParams(q: Map[String, String]): (String, String, Int) = (
+    q.getOrElse("prefix", ""),
+    q.getOrElse("start_after", ""),
+    q.get("limit").map { s =>
+      val n = try s.toInt catch {
+        case _: NumberFormatException => throw BadRequest(s"malformed limit: $s")
+      }
+      if (n < 0) throw BadRequest("limit must be >= 0")
+      n
+    }.getOrElse(Caps.MaxListItems))
+
+  private def longParam(q: Map[String, String], name: String): Option[Long] =
+    q.get(name).map { s =>
+      try s.toLong catch {
+        case _: NumberFormatException => throw BadRequest(s"malformed $name: $s")
+      }
+    }
+
+  /** Scope-aware listing: the resource-set scope is pushed INTO the
+    * catalog listing (narrowed prefix / point lookup) so pagination
+    * and has_more are computed over exactly the visible rows —
+    * post-filtering a fetched page breaks the cursor contract (an
+    * empty page with has_more=true and no name to advance past). */
+  private def scopedPage[T](rs: Option[graft.model.ResourceSet],
+                            prefix: String, startAfter: String, limit: Int,
+                            list: (String, String, Int) => Page[T],
+                            exact: String => Option[T]): Page[T] = rs match {
+    case scala.None => list(prefix, startAfter, limit)
+    case Some(graft.model.ResourceSet.Prefix(p)) =>
+      if (p.startsWith(prefix)) list(p, startAfter, limit)
+      else if (prefix.startsWith(p)) list(prefix, startAfter, limit)
+      else Page(Nil, hasMore = false)
+    case Some(graft.model.ResourceSet.Exact(v)) =>
+      if (v.startsWith(prefix) && v > startAfter && limit > 0)
+        Page(exact(v).toSeq, hasMore = false)
+      else Page(Nil, hasMore = false)
+    case Some(graft.model.ResourceSet.None) => Page(Nil, hasMore = false)
+  }
+
   // -------------------------------------------------------------------
   // v1 catalog JSON — the api/src/v1/{basin.rs,stream/mod.rs,config.rs}
   // wire shapes: kebab-case enum names, externally-tagged retention
@@ -529,17 +580,6 @@ object HttpRecordsServer {
                                    authx: AuthCtx): Unit = {
     val cat = store.catalog
 
-    def listParams(q: Map[String, String]): (String, String, Int) = (
-      q.getOrElse("prefix", ""),
-      q.getOrElse("start_after", ""),
-      q.get("limit").map { s =>
-        val n = try s.toInt catch {
-          case _: NumberFormatException => throw BadRequest(s"malformed limit: $s")
-        }
-        if (n < 0) throw BadRequest("limit must be >= 0")
-        n
-      }.getOrElse(Caps.MaxListItems))
-
     def provisioned(ex: HttpExchange, outcome: String, code: Int,
                     body: String): Unit = {
       ex.getResponseHeaders.set(ProvisionHeader, outcome)
@@ -548,28 +588,39 @@ object HttpRecordsServer {
 
     // ---- /v1/basins + /v1/basins/{basin} (basins.rs:16-25) ----------
     server.createContext("/v1/basins", safely { ex =>
-      val name = ex.getRequestURI.getPath.stripPrefix("/v1/basins").stripPrefix("/")
-      // basin-addressed control-plane RPC → the BasinOps metric set
-      if (name.nonEmpty) meter.record("basin", name, "", nowClock())
+      pathUnder(ex, "/v1/basins") match {
+        case scala.None =>
+          respond(ex, 404, errJson("not_found",
+            ex.getRequestURI.getPath).getBytes(UTF_8))
+        case Some(name) => handleBasinRoute(ex, name)
+      }
+    })
+
+    def handleBasinRoute(ex: HttpExchange, name: String): Unit = {
       val tok = authx.bearer(ex)
-      if (name.nonEmpty) authx.check(tok, ex.getRequestMethod match {
-        case "GET" => Op.GetBasinConfig
-        case "PUT" => Op.CreateBasin
-        case "DELETE" => Op.DeleteBasin
-        case "PATCH" => Op.ReconfigureBasin
-        case _ => Op.GetBasinConfig
-      }, name)
+      if (name.nonEmpty) {
+        authx.check(tok, ex.getRequestMethod match {
+          case "GET" => Op.GetBasinConfig
+          case "PUT" => Op.CreateBasin
+          case "DELETE" => Op.DeleteBasin
+          case "PATCH" => Op.ReconfigureBasin
+          case _ => Op.GetBasinConfig
+        }, name)
+        // basin-addressed control-plane RPC → the BasinOps metric set
+        // (AFTER auth: anonymous or out-of-scope probes must not
+        // inject label values or inflate usage accounting)
+        meter.record("basin", name, "", nowClock())
+      }
       (ex.getRequestMethod, name.isEmpty) match {
         case ("GET", true) => // list_basins
           authx.check(tok, Op.ListBasins)
           val (p, sa, lim) = listParams(query(ex))
-          val page = cat.listBasins(p, sa, lim)
-          // scope-filter the listing: a token sees only its basins
-          val items = page.items.filter(b =>
-            tok.forall(_.scope.basins.matches(b.name)))
+          // the basin scope narrows the LISTING itself (see scopedPage)
+          val page = scopedPage(tok.map(_.scope.basins), p, sa, lim,
+            cat.listBasins, cat.getBasin)
           val loc = cat.defaultLocation().map(_.name)
           respond(ex, 200,
-            (s"""{"basins":[${items.map(basinInfoJson(_, loc)).mkString(",")}],""" +
+            (s"""{"basins":[${page.items.map(basinInfoJson(_, loc)).mkString(",")}],""" +
               s""""has_more":${page.hasMore}}""").getBytes(UTF_8))
 
         case ("POST", true) => // create_basin: 201 + s2-provision-result
@@ -642,14 +693,21 @@ object HttpRecordsServer {
 
         case _ => respond(ex, 405)
       }
-    })
+    }
 
     // ---- /v1/streams exact: list_streams / create_stream ------------
     // (longest-prefix routing sends /v1/streams/... to the records
-    // context; this one only sees the collection path)
+    // context; this one only sees the collection path — and, because
+    // JDK context matching is raw-prefix, the boundary guard here
+    // rejects /v1/streamsjunk)
     server.createContext("/v1/streams", safely { ex =>
+      if (pathUnder(ex, "/v1/streams").contains("")) handleStreamsCollection(ex)
+      else respond(ex, 404, errJson("not_found",
+        ex.getRequestURI.getPath).getBytes(UTF_8))
+    })
+
+    def handleStreamsCollection(ex: HttpExchange): Unit = {
       val basin = basinOf(ex)
-      meter.record("basin", basin, "", nowClock())
       val tok = authx.bearer(ex)
       // auto_prefix_streams: list under the forced prefix and strip it
       // from results ("the prefix will be stripped when listing
@@ -663,17 +721,19 @@ object HttpRecordsServer {
       ex.getRequestMethod match {
         case "GET" =>
           authx.check(tok, Op.ListStreams, basin)
+          meter.record("basin", basin, "", nowClock())
           if (cat.getBasin(basin).isEmpty)
             respond(ex, 404, errJson("not_found", basin).getBytes(UTF_8))
           else {
             val (p0, sa0, lim) = listParams(query(ex))
             val p = autoPrefix.fold(p0)(_ + p0)
             val sa = autoPrefix.filter(_ => sa0.nonEmpty).fold(sa0)(_ + sa0)
-            val page = cat.listStreams(basin, p, sa, lim)
-            val items = page.items
-              .filter(s => tok.forall(_.scope.streams.matches(s.name)))
-              .map(s => autoPrefix.fold(s)(ap =>
-                s.copy(name = s.name.stripPrefix(ap))))
+            // stream scope pushed into the listing (pagination over
+            // exactly the visible rows); auto-prefix strips after
+            val page = scopedPage(tok.map(_.scope.streams), p, sa, lim,
+              cat.listStreams(basin, _, _, _), cat.getStream(basin, _))
+            val items = page.items.map(s => autoPrefix.fold(s)(ap =>
+              s.copy(name = s.name.stripPrefix(ap))))
             val cipher = cat.basinConfig(basin).streamCipher
             respond(ex, 200,
               (s"""{"streams":[${items.map(streamInfoJson(_, cipher)).mkString(",")}],""" +
@@ -687,6 +747,7 @@ object HttpRecordsServer {
           }
           val sn = authx.effectiveStream(tok, sn0)
           authx.check(tok, Op.CreateStream, basin, sn)
+          meter.record("basin", basin, "", nowClock())
           val config = parseStreamConfig(root \ "config")
           val token = Option(ex.getRequestHeaders.getFirst(RequestTokenHeader))
           val existed = cat.getStream(basin, sn).isDefined
@@ -703,7 +764,7 @@ object HttpRecordsServer {
           }
         case _ => respond(ex, 405)
       }
-    })
+    }
   }
 
   // -------------------------------------------------------------------
@@ -816,23 +877,24 @@ object HttpRecordsServer {
 
     // ---- /v1/access-tokens (paths access_tokens LIST/ISSUE/REVOKE) --
     server.createContext("/v1/access-tokens", safely { ex =>
-      val id = ex.getRequestURI.getPath
-        .stripPrefix("/v1/access-tokens").stripPrefix("/")
+      pathUnder(ex, "/v1/access-tokens") match {
+        case scala.None =>
+          respond(ex, 404, errJson("not_found",
+            ex.getRequestURI.getPath).getBytes(UTF_8))
+        case Some(id) => handleTokenRoute(ex, id)
+      }
+    })
+
+    def handleTokenRoute(ex: HttpExchange, id: String): Unit = {
       val tok = authx.bearer(ex)
       (ex.getRequestMethod, id.isEmpty) match {
         case ("GET", true) =>
           authx.check(tok, Op.ListAccessTokens)
-          val q = query(ex)
-          val page = cat.listTokens(q.getOrElse("prefix", ""),
-            q.getOrElse("start_after", ""),
-            q.get("limit").map { s =>
-              try s.toInt catch { case _: NumberFormatException =>
-                throw BadRequest(s"malformed limit: $s") }
-            }.getOrElse(Caps.MaxListItems))
-          val items = page.items.filter(e =>
-            tok.forall(_.scope.accessTokens.matches(e.id)))
+          val (p, sa, lim) = listParams(query(ex))
+          val page = scopedPage(tok.map(_.scope.accessTokens), p, sa, lim,
+            cat.listTokens, cat.getTokenEntry)
           respond(ex, 200,
-            (s"""{"access_tokens":[${items.map(tokenInfoJson).mkString(",")}],""" +
+            (s"""{"access_tokens":[${page.items.map(tokenInfoJson).mkString(",")}],""" +
               s""""has_more":${page.hasMore}}""").getBytes(UTF_8))
         case ("POST", true) =>
           val root = JsonMethods.parse(bodyString(ex))
@@ -856,7 +918,25 @@ object HttpRecordsServer {
             expires, auto)
           catch { case e: IllegalArgumentException =>
             throw BadRequest(e.getMessage) }
-          cat.issueToken(token) match {
+          // scope subsetting: a bearer may only mint tokens within
+          // its own grant — without this, IssueAccessToken alone is
+          // indirect full account access. Expiry defaults to, and may
+          // not exceed, the issuer's ("If not set, the expiration
+          // will be set to that of the requestor's token",
+          // api access.rs:351-352).
+          val issued = tok match {
+            case Some(issuer) =>
+              if (!token.scope.within(issuer.scope))
+                throw Denied(403, "issued scope exceeds issuer scope")
+              (token.expiresAtMs, issuer.expiresAtMs) match {
+                case (scala.None, e) => token.copy(expiresAtMs = e)
+                case (Some(t), Some(e)) if t > e =>
+                  throw Denied(403, "issued expiry exceeds issuer expiry")
+                case _ => token
+              }
+            case scala.None => token
+          }
+          cat.issueToken(issued) match {
             case Right(_) =>
               // the bearer string: lite-analog tokens ARE their id
               // (the cloud mints an opaque secret; there is no secret
@@ -875,12 +955,19 @@ object HttpRecordsServer {
           else respond(ex, 404, errJson("not_found", id).getBytes(UTF_8))
         case _ => respond(ex, 405)
       }
-    })
+    }
 
     // ---- /v1/locations (LIST / DEFAULT get+put) ----------------------
     server.createContext("/v1/locations", safely { ex =>
-      val rest = ex.getRequestURI.getPath
-        .stripPrefix("/v1/locations").stripPrefix("/")
+      pathUnder(ex, "/v1/locations") match {
+        case scala.None =>
+          respond(ex, 404, errJson("not_found",
+            ex.getRequestURI.getPath).getBytes(UTF_8))
+        case Some(rest) => handleLocationRoute(ex, rest)
+      }
+    })
+
+    def handleLocationRoute(ex: HttpExchange, rest: String): Unit = {
       val tok = authx.bearer(ex)
       (ex.getRequestMethod, rest) match {
         case ("GET", "") => authx.check(tok, Op.ListLocations)
@@ -915,13 +1002,20 @@ object HttpRecordsServer {
           }
         case _ => respond(ex, 405)
       }
-    })
+    }
 
     // ---- /v1/metrics[/{basin}[/{stream}]] ---------------------------
-    def handleMetrics(ex: HttpExchange): Unit = {
-      val rest = ex.getRequestURI.getPath
-        .stripPrefix("/v1/metrics").stripPrefix("/")
+    def handleMetrics(ex: HttpExchange, rest0: String): Unit = {
       val tok = authx.bearer(ex)
+      // tenant namespacing applies here like every other stream route:
+      // the metrics path carries the UNPREFIXED name for an
+      // auto-prefix token
+      val rest = {
+        val slash0 = rest0.indexOf('/')
+        if (slash0 < 0) rest0
+        else rest0.take(slash0 + 1) +
+          authx.effectiveStream(tok, rest0.drop(slash0 + 1))
+      }
       locally {
         val slash0 = rest.indexOf('/')
         if (rest.isEmpty) authx.check(tok, Op.AccountMetrics)
@@ -932,8 +1026,8 @@ object HttpRecordsServer {
       val q = query(ex)
       val set = q.getOrElse("set", throw BadRequest("set required"))
       val nowSec = nowClock() / 1000L
-      val endSec = q.get("end").map(_.toLong).getOrElse(nowSec + 60L)
-      val startSec = q.get("start").map(_.toLong).getOrElse(endSec - 3600L)
+      val endSec = longParam(q, "end").getOrElse(nowSec + 60L)
+      val startSec = longParam(q, "start").getOrElse(endSec - 3600L)
       val (ivName, ivSec) = q.getOrElse("interval", "minute") match {
         case "minute" => ("minute", 60L)
         case "hour" => ("hour", 3600L)
@@ -999,8 +1093,13 @@ object HttpRecordsServer {
       }
     }
     server.createContext("/v1/metrics", safely { ex =>
-      if (ex.getRequestMethod != "GET") respond(ex, 405)
-      else handleMetrics(ex)
+      (pathUnder(ex, "/v1/metrics"), ex.getRequestMethod) match {
+        case (scala.None, _) =>
+          respond(ex, 404, errJson("not_found",
+            ex.getRequestURI.getPath).getBytes(UTF_8))
+        case (_, m) if m != "GET" => respond(ex, 405)
+        case (Some(rest), _) => handleMetrics(ex, rest)
+      }
     })
 
     // ---- /metrics (root): the Prometheus text exposition lite serves
@@ -1009,7 +1108,10 @@ object HttpRecordsServer {
     // /v1/metrics usage API above. Unauthenticated like the reference
     // (a scrape endpoint, not account data).
     server.createContext("/metrics", safely { ex =>
-      if (ex.getRequestMethod != "GET") respond(ex, 405)
+      if (ex.getRequestURI.getPath != "/metrics")
+        respond(ex, 404, errJson("not_found",
+          ex.getRequestURI.getPath).getBytes(UTF_8))
+      else if (ex.getRequestMethod != "GET") respond(ex, 405)
       else respond(ex, 200, ServerMetrics.gather().getBytes(UTF_8),
         contentType = "text/plain; version=0.0.4")
     })
@@ -1021,7 +1123,8 @@ object HttpRecordsServer {
   private def handleStreamConfig(store: StreamStore, ex: HttpExchange,
                                  basin: String, stream: String,
                                  authx: AuthCtx,
-                                 tok: Option[AccessToken]): Unit = {
+                                 tok: Option[AccessToken],
+                                 meterRpc: () => Unit): Unit = {
     val cat = store.catalog
     ex.getRequestMethod match {
       case "GET" => authx.check(tok, Op.GetStreamConfig, basin, stream)
@@ -1030,6 +1133,7 @@ object HttpRecordsServer {
       case "PATCH" => authx.check(tok, Op.ReconfigureStream, basin, stream)
       case _ => ()
     }
+    meterRpc() // after auth: denied probes must not pollute usage
     ex.getRequestMethod match {
       case "GET" => // merged effective config (C5)
         cat.streamConfig(basin, stream) match {
@@ -1341,8 +1445,8 @@ object HttpRecordsServer {
           // /v1/streams/{stream} without a records suffix: the stream
           // CONFIG routes (streams.rs GET_CONFIG/ENSURE/DELETE/
           // RECONFIGURE share the path, split by method)
-          meter.record("basin", basin, "", nowClock())
-          handleStreamConfig(store, ex, basin, stream, authx, tok)
+          handleStreamConfig(store, ex, basin, stream, authx, tok,
+            () => meter.record("basin", basin, "", nowClock()))
         case _ => respond(ex, 405)
       }
     })

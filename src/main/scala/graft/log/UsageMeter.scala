@@ -1,7 +1,7 @@
 package graft.log
 
 import java.util.concurrent.ConcurrentHashMap
-import java.util.concurrent.atomic.LongAdder
+import java.util.concurrent.atomic.{AtomicLong, LongAdder}
 
 /** RPC-level usage accounting backing the `/v1/metrics` serving
   * surface (api/src/v1/metrics.rs metric sets; lite stubs the
@@ -14,31 +14,52 @@ import java.util.concurrent.atomic.LongAdder
   * time. Kinds: `append` / `read` (data-plane RPCs with byte volumes)
   * and `basin` (control-plane RPCs, the BasinOps set).
   *
-  * Memory bound: the map is capped at [[UsageMeter.MaxCells]] cells;
-  * when full, the oldest minute's cells are evicted (coarse horizon
-  * trim, not an LRU — metrics older than the horizon read as zero,
-  * which is the documented behavior of a bounded retention window).
+  * Memory bound, two tiers: past [[UsageMeter.MaxCells]] cells the
+  * OLDEST minute's cells are evicted (a horizon trim — old metrics
+  * read as zero), tracked through a monotone `minMinute` watermark so
+  * the full-key scan runs once per evicted minute, not once per
+  * record. If a SINGLE minute alone floods past 2×MaxCells distinct
+  * cells, new cells in that minute are refused (existing counters
+  * keep counting; the live minute is never wiped) — the hard cap
+  * holds without the eviction ever deleting the bucket being written.
   */
 final class UsageMeter {
   import UsageMeter._
 
   private val cells = new ConcurrentHashMap[Key, Cell]()
+  private val minMinute = new AtomicLong(Long.MaxValue)
 
   def record(kind: String, basin: String, stream: String,
              nowMs: Long, ops: Long = 1L, bytes: Long = 0L): Unit = {
-    val key = Key(basin, stream, kind, nowMs / 60000L * 60L)
-    val cell = cells.computeIfAbsent(key, _ => new Cell)
+    val minute = nowMs / 60000L * 60L
+    val key = Key(basin, stream, kind, minute)
+    var cell = cells.get(key)
+    if (cell == null) {
+      if (cells.size >= MaxCells) {
+        val oldest = minMinute.get()
+        if (oldest < minute) evictMinute(oldest)
+        else if (cells.size >= 2 * MaxCells) return // single-minute flood
+      }
+      cell = cells.computeIfAbsent(key, _ => new Cell)
+      // monotone-min watermark (racy CAS loop; ties are fine)
+      var cur = minMinute.get()
+      while (minute < cur && !minMinute.compareAndSet(cur, minute))
+        cur = minMinute.get()
+    }
     cell.ops.add(ops)
     cell.bytes.add(bytes)
-    if (cells.size > MaxCells) evictOldestMinute()
   }
 
-  private def evictOldestMinute(): Unit = {
-    var oldest = Long.MaxValue
+  /** Drop every cell of `minute` and recompute the watermark — one
+    * full scan per evicted minute (amortized over the many records
+    * that filled it). */
+  private def evictMinute(minute: Long): Unit = synchronized {
+    if (minMinute.get() != minute) return // another thread evicted it
+    cells.keySet.removeIf(_.minuteSec == minute)
+    var newMin = Long.MaxValue
     cells.keys.asIterator().forEachRemaining(k =>
-      if (k.minuteSec < oldest) oldest = k.minuteSec)
-    if (oldest != Long.MaxValue)
-      cells.keySet.removeIf(_.minuteSec == oldest)
+      if (k.minuteSec < newMin) newMin = k.minuteSec)
+    minMinute.set(newMin)
   }
 
   /** Accumulated (bucketStartSec, value) points over [startSec,

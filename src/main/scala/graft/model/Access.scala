@@ -21,6 +21,16 @@ object ResourceSet {
   final case class Exact(value: String) extends ResourceSet
   /** Empty prefix matches everything. */
   final case class Prefix(prefix: String) extends ResourceSet
+
+  /** Is every name `a` matches also matched by `b`? (None ⊆ all;
+    * Exact(v) ⊆ b iff b matches v; Prefix(p) ⊆ Prefix(q) iff q is a
+    * prefix of p — a prefix set is never inside an exact set.) */
+  def subset(a: ResourceSet, b: ResourceSet): Boolean = (a, b) match {
+    case (None, _) => true
+    case (Exact(v), _) => b.matches(v)
+    case (Prefix(p), Prefix(q)) => p.startsWith(q)
+    case (Prefix(_), _) => false
+  }
 }
 
 /** The 24 operations of the reference API surface (access.rs op enum). */
@@ -65,7 +75,30 @@ final case class AccessTokenScope(
     accessTokens: ResourceSet = ResourceSet.None,
     opGroups: PermittedOperationGroups = PermittedOperationGroups(),
     /** explicit op allow-list; empty = defer to groups */
-    ops: Set[Op.Value] = Set.empty)
+    ops: Set[Op.Value] = Set.empty) {
+
+  /** Union of explicit ops and group grants (api access.rs:383-384). */
+  def allowsOp(op: Op.Value): Boolean =
+    ops.contains(op) ||
+      (opGroups.accountRead && Op.ReadGroup(op)) ||
+      (opGroups.accountWrite && Op.WriteGroup(op)) ||
+      (opGroups.basinRead && Op.BasinLevel(op) && Op.ReadGroup(op)) ||
+      (opGroups.basinWrite && Op.BasinLevel(op) && Op.WriteGroup(op)) ||
+      (opGroups.streamRead && Op.StreamLevel(op) && Op.ReadGroup(op)) ||
+      (opGroups.streamWrite && Op.StreamLevel(op) && Op.WriteGroup(op))
+
+  /** Scope subsetting for token issuance: a token may only mint
+    * tokens whose effective grant is contained in its own — every
+    * resource set inside the issuer's, every allowed operation also
+    * allowed for the issuer. Without this, ops={IssueAccessToken}
+    * alone is indirect full account access.
+    */
+  def within(outer: AccessTokenScope): Boolean =
+    ResourceSet.subset(basins, outer.basins) &&
+      ResourceSet.subset(streams, outer.streams) &&
+      ResourceSet.subset(accessTokens, outer.accessTokens) &&
+      Op.values.forall(op => !allowsOp(op) || outer.allowsOp(op))
+}
 
 final case class AccessToken(
     id: String,
@@ -80,16 +113,7 @@ final case class AccessToken(
     * effective set of allowed operations" (api access.rs:383-384):
     * the explicit op list and the group grants compose additively —
     * an explicit set does NOT mask the groups. */
-  def opAllowed(op: Op.Value): Boolean = {
-    val g = scope.opGroups
-    scope.ops.contains(op) ||
-      (g.accountRead && Op.ReadGroup(op)) ||
-      (g.accountWrite && Op.WriteGroup(op)) ||
-      (g.basinRead && Op.BasinLevel(op) && Op.ReadGroup(op)) ||
-      (g.basinWrite && Op.BasinLevel(op) && Op.WriteGroup(op)) ||
-      (g.streamRead && Op.StreamLevel(op) && Op.ReadGroup(op)) ||
-      (g.streamWrite && Op.StreamLevel(op) && Op.WriteGroup(op))
-  }
+  def opAllowed(op: Op.Value): Boolean = scope.allowsOp(op)
 
   def authorize(op: Op.Value, basin: String = "", stream: String = "",
                 nowMs: Long = System.currentTimeMillis()): Boolean =

@@ -206,12 +206,34 @@ class HttpAccountApiSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"$ep/v1/metrics/met-basin-a1/nope?set=storage")
       assert(s404 == 404)
 
+      // malformed start/end are 400s like every other param
+      val (t400a, _, _) = requestAny("GET", s"$ep/v1/metrics?set=account-ops&start=abc")
+      assert(t400a == 400)
+      val (t400b, _, _) = requestAny("GET", s"$ep/v1/metrics?set=account-ops&end=xyz")
+      assert(t400b == 400)
+
       // root /metrics: the Prometheus text exposition (lite
       // handlers/mod.rs:15) — M5 histograms observed by the appends
       val (pc, pb, ph) = requestAny("GET", s"$ep/metrics")
       assert(pc == 200 &&
         ph.firstValue("Content-Type").orElse("").startsWith("text/plain"), pb)
       assert(pb.contains("s2_append_ack_latency_seconds_bucket"), pb.take(300))
+    } finally server.stop(0)
+  }
+
+  test("JDK raw-prefix context matching is boundary-guarded: " +
+    "/v1/basinsjunk is an unknown route, not basin 'junk'") {
+    val (_, server, ep) = served()
+    try {
+      assert(requestAny("GET", s"$ep/v1/basinsjunk")._1 == 404)
+      assert(requestAny("GET", s"$ep/v1/streamsjunk")._1 == 404)
+      assert(requestAny("GET", s"$ep/v1/access-tokensjunk")._1 == 404)
+      assert(requestAny("GET", s"$ep/v1/locationsx")._1 == 404)
+      assert(requestAny("GET", s"$ep/v1/metricsx?set=account-ops")._1 == 404)
+      assert(requestAny("GET", s"$ep/metricsx")._1 == 404)
+      // negative token-list limit: 400 like the catalog lists
+      assert(requestAny("GET", s"$ep/v1/access-tokens?limit=-1")._1 == 400)
+      assert(requestAny("GET", s"$ep/v1/access-tokens?limit=wat")._1 == 400)
     } finally server.stop(0)
   }
 }

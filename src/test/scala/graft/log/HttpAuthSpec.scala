@@ -194,6 +194,105 @@ class HttpAuthSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally server.stop(0)
   }
 
+  test("issuance is scope-subset-gated: a token cannot mint a grant " +
+    "beyond its own, and expiry is inherited and capped") {
+    val (st, server, ep) = served()
+    try {
+      st.catalog.issueToken(AccessToken("issuer-ltd", AccessTokenScope(
+        streams = ResourceSet.Prefix("t9-"),
+        accessTokens = ResourceSet.Prefix("sub-"),
+        opGroups = PermittedOperationGroups(streamRead = true),
+        ops = Set(Op.IssueAccessToken)),
+        expiresAtMs = Some(500000L))) // pinned now is 120000
+      val url = s"$ep/v1/access-tokens"
+      def auth = Seq("Authorization" -> "Bearer issuer-ltd")
+      // escalation attempts: wider resource set, wider ops — 403
+      assert(requestAny("POST", url, auth,
+        utf8("""{"id":"sub-esc1","scope":{"streams":{"prefix":""}}}"""))._1 == 403)
+      assert(requestAny("POST", url, auth,
+        utf8("""{"id":"sub-esc2","scope":{"op_groups":{"account":{"write":true}}}}"""))
+        ._1 == 403)
+      assert(requestAny("POST", url, auth,
+        utf8("""{"id":"sub-esc3","scope":{"ops":["append"]}}"""))._1 == 403)
+      // within the grant: narrower stream prefix + a subset op — 201,
+      // and the unset expiry inherits the issuer's
+      assert(requestAny("POST", url, auth,
+        utf8("""{"id":"sub-ok","scope":{"streams":{"prefix":"t9-app-"},
+          |"op_groups":{"stream":{"read":true}}}}""".stripMargin))._1 == 201)
+      assert(st.catalog.getToken("sub-ok").get.expiresAtMs.contains(500000L))
+      // expiry beyond the issuer's: 403
+      assert(requestAny("POST", url, auth,
+        utf8("""{"id":"sub-late","expires_at":"2030-01-01T00:00:00Z",
+          |"scope":{}}""".stripMargin))._1 == 403)
+    } finally server.stop(0)
+  }
+
+  test("denied and anonymous probes never pollute usage metrics, and " +
+    "metrics paths honor auto_prefix_streams") {
+    val (st, server, ep) = served()
+    try {
+      st.catalog.issueToken(AccessToken("admin-t", AccessTokenScope(
+        basins = ResourceSet.Prefix(""), streams = ResourceSet.Prefix(""),
+        opGroups = PermittedOperationGroups(accountRead = true,
+          accountWrite = true))))
+      st.catalog.issueToken(AccessToken("tenant9", AccessTokenScope(
+        basins = ResourceSet.Exact("auth-basin-a1"),
+        streams = ResourceSet.Prefix("t9-"),
+        opGroups = PermittedOperationGroups(
+          basinRead = true, basinWrite = true,
+          streamRead = true, streamWrite = true),
+        ops = Set(Op.StreamMetrics)),
+        autoPrefixStreams = true))
+      def admin = Seq("Authorization" -> "Bearer admin-t")
+      // anonymous + out-of-scope probes against attacker-chosen names
+      requestAny("GET", s"$ep/v1/basins/evil-basin-name1")
+      requestAny("DELETE", s"$ep/v1/basins/evil-basin-name2",
+        Seq("Authorization" -> "Bearer tenant9"))
+      val (_, ab, _) = requestAny("GET",
+        s"$ep/v1/metrics?set=active-basins&start=0&end=9999999", admin)
+      assert(!ab.contains("evil-basin-name"), ab)
+
+      // tenant appends through the unprefixed name, then reads its
+      // storage metric through the SAME unprefixed name
+      requestAny("POST", s"$ep/v1/streams", hdr("tenant9"),
+        utf8("""{"stream":"orders"}"""))
+      requestAny("POST", s"$ep/v1/streams/orders/records", hdr("tenant9"),
+        utf8("""{"records":[{"body":"x"}]}"""))
+      val (mc, mb, _) = requestAny("GET",
+        s"$ep/v1/metrics/auth-basin-a1/orders?set=storage",
+        Seq("Authorization" -> "Bearer tenant9"))
+      assert(mc == 200 && mb.contains(""""gauge""""), s"$mc $mb")
+    } finally server.stop(0)
+  }
+
+  test("scoped listings page over exactly the visible rows (scope " +
+    "pushed into the catalog listing, not post-filtered)") {
+    val (st, server, ep) = served()
+    try {
+      (0 until 5).foreach(i => st.catalog.createBasin(f"zz-basin-$i%02d"))
+      st.catalog.issueToken(AccessToken("zz-only", AccessTokenScope(
+        basins = ResourceSet.Prefix("zz-"),
+        opGroups = PermittedOperationGroups(accountRead = true))))
+      def auth = Seq("Authorization" -> "Bearer zz-only")
+      // auth-basin-a1 sorts before zz-*: a post-filter would return an
+      // empty first page with has_more=true and no cursor to advance
+      val (_, p1, _) = requestAny("GET", s"$ep/v1/basins?limit=2", auth)
+      assert(p1.contains("zz-basin-00") && p1.contains("zz-basin-01") &&
+        !p1.contains("auth-basin-a1") && p1.contains(""""has_more":true"""), p1)
+      val (_, p2, _) = requestAny("GET",
+        s"$ep/v1/basins?start_after=zz-basin-03", auth)
+      assert(p2.contains("zz-basin-04") && p2.contains(""""has_more":false"""), p2)
+      // Exact scope: the listing is the point lookup
+      st.catalog.issueToken(AccessToken("one-basin", AccessTokenScope(
+        basins = ResourceSet.Exact("zz-basin-02"),
+        opGroups = PermittedOperationGroups(accountRead = true))))
+      val (_, p3, _) = requestAny("GET", s"$ep/v1/basins",
+        Seq("Authorization" -> "Bearer one-basin"))
+      assert(p3.contains("zz-basin-02") && !p3.contains("zz-basin-01") &&
+        p3.contains(""""has_more":false"""), p3)
+    } finally server.stop(0)
+  }
+
   test("token management is resource-gated by the access_tokens set") {
     val (st, server, ep) = served()
     try {

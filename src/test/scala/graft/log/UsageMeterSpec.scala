@@ -32,6 +32,20 @@ class UsageMeterSpec extends AnyFunSuite {
     assert(m.activeBasins(3000, 7200) == Seq("b2"))
   }
 
+  test("a single-minute cell flood is refused past the hard cap — the " +
+    "live minute is never wiped and existing counters keep counting") {
+    val m = new UsageMeter
+    val distinct = 2 * UsageMeter.MaxCells + 100
+    (0 until distinct).foreach(s => m.record("append", "b", s"s$s", 0L))
+    val total = m.series("append", Some("b"), None, 0, 60, 60,
+      wantBytes = false).map(_._2).sum
+    assert(total == 2d * UsageMeter.MaxCells) // overflow cells refused
+    // an existing cell still counts after the flood
+    m.record("append", "b", "s0", 0L, ops = 5)
+    assert(m.series("append", Some("b"), Some("s0"), 0, 60, 60,
+      wantBytes = false) == Seq((0L, 6d)))
+  }
+
   test("cell count stays bounded: oldest minute evicted past MaxCells") {
     val m = new UsageMeter
     // MaxCells distinct (stream, minute) cells + one more minute
