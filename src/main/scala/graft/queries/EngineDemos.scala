@@ -2049,7 +2049,10 @@ object EngineDemos {
       "auto_prefix_create" -> "t1-orders",
       "auto_prefix_roundtrip" -> "tenant-data",
       "list_stripped" -> "orders:true,t1-:false,foreign:false",
-      "token_mgmt_gate" -> "201,403,204")) { (sp, _) =>
+      "token_mgmt_gate" -> "201,403,204",
+      // issuance is scope-subset-gated: minting a wider grant than
+      // the bearer's own is 403 even inside the managed id namespace
+      "issue_escalation" -> "403")) { (sp, _) =>
       // fresh store WITHOUT the open-posture server the other demos
       // use: this one runs requireAuth = true end to end
       val st = new StreamStore(sp,
@@ -2137,6 +2140,9 @@ object EngineDemos {
             utf8("""{"id":"other-a","scope":{}}"""))._1,
           requestAny("DELETE", s"$tokUrl/sub-a", auth("mgr-sub"))._1)
           .mkString(",")
+        val escalation = requestAny("POST", tokUrl, auth("mgr-sub"),
+          utf8("""{"id":"sub-esc","scope":{
+            |"op_groups":{"account":{"write":true}}}}""".stripMargin))._1
 
         Seq(
           "anon_or_bad_bearer" -> anon,
@@ -2146,7 +2152,8 @@ object EngineDemos {
           "auto_prefix_create" -> created,
           "auto_prefix_roundtrip" -> roundtrip,
           "list_stripped" -> listStripped,
-          "token_mgmt_gate" -> mgmt)
+          "token_mgmt_gate" -> mgmt,
+          "issue_escalation" -> escalation.toString)
       } finally server.stop(0)
     },
 
