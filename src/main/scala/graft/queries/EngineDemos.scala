@@ -1865,7 +1865,10 @@ object EngineDemos {
       "stream_patch" -> "express,age:3600",
       "list_page" -> "s-a,s-b,more=true",
       "delete_stream" -> "202,404",
-      "delete_basin" -> "202,404")) { (_, st) =>
+      "delete_basin" -> "202,404",
+      // C6 over the wire: after PATCHing create_stream_on_append on,
+      // appending to a nonexistent stream provisions it in-band
+      "auto_create_on_append" -> "404,200,true")) { (_, st) =>
       val (server, endpoint) = graft.log.HttpRecordsServer.start(st, Some(1000L))
       try {
         import graft.log.HttpRecordsClient.requestAny
@@ -1919,6 +1922,19 @@ object EngineDemos {
         val (d2, _, _) = requestAny("GET", s"$streams/s-c", hdr)
         val (d3, _, _) = requestAny("DELETE", s"$basins/hc-basin-z1")
         val (d4, _, _) = requestAny("GET", s"$basins/hc-basin-z1")
+        // C6 auto-create through the serving layer: 404 before the
+        // flag, 200 + provisioned stream after (hc-basin-y1: no
+        // stream cipher, so the keyless append is valid once created)
+        val hdrY = Seq("s2-basin" -> "hc-basin-y1")
+        val autoBody = utf8("""{"records":[{"body":"auto"}]}""")
+        val (ac0, _, _) = requestAny("POST",
+          s"$endpoint/v1/streams/auto-s/records", hdrY, autoBody)
+        requestAny("PATCH", s"$basins/hc-basin-y1", Nil,
+          utf8("""{"create_stream_on_append":true}"""))
+        val (ac1, _, _) = requestAny("POST",
+          s"$endpoint/v1/streams/auto-s/records", hdrY, autoBody)
+        val autoCreated =
+          st.catalog.getStream("hc-basin-y1", "auto-s").isDefined
         Seq(
           "create_basin" -> s"$c1:${prov(h1)}",
           "create_dup" -> c2.toString,
@@ -1930,7 +1946,8 @@ object EngineDemos {
           "stream_patch" -> cfgView(p1),
           "list_page" -> listPage,
           "delete_stream" -> s"$d1,$d2",
-          "delete_basin" -> s"$d3,$d4")
+          "delete_basin" -> s"$d3,$d4",
+          "auto_create_on_append" -> s"$ac0,$ac1,$autoCreated")
       } finally server.stop(0)
     },
 
