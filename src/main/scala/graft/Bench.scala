@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -53,6 +55,25 @@ object Bench {
     * up in its wall time the way they show up in a shuffle stage. */
   val ParCalibBaselineSec = 0.309
 
+  /** Cumulative stop-the-world GC seconds of this JVM (all collectors).
+    * Recorded per query and per run so an anomalous driver artifact is
+    * adjudicable FROM THE ARTIFACT (VERDICT r17 #2: same-code
+    * process-CPU 7-49x on the shuffle-heavy tier with both calib
+    * probes quiet is a GC/memory signature, but the artifact carried
+    * no GC evidence — wall contention cannot inflate process-CPU 49x;
+    * collector threads billing to the process can). */
+  private[graft] def gcTimeSec(): Double =
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum / 1e3
+
+  /** Peak heap usage (MiB) across all heap memory pools since start
+    * (the JVM tracks pool peaks natively — no sampling thread). */
+  private[graft] def heapPeakMb(): Long =
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
+      .map(p => Option(p.getPeakUsage).map(_.getUsed).getOrElse(0L))
+      .sum / (1024 * 1024)
+
   private[graft] def cpuCalibSec(): Double = {
     def once(): Double = {
       val t0 = System.nanoTime()
@@ -90,6 +111,57 @@ object Bench {
     once()
     Seq(once(), once(), once()).min
   }
+
+  // -------------------------------------------------------------------
+  // Re-measurement environment (BenchRegressionSpec + Rm8Baseline tool)
+  // -------------------------------------------------------------------
+
+  /** The flag-confirmation session: local[8] so a re-measurement
+    * doesn't commandeer the whole host mid-suite. getOrCreate — in a
+    * test JVM an earlier suite's session may be inherited instead
+    * (the structural skew the spec's sentinel scaling absorbs). */
+  private[graft] def remeasureSession(): SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  /** min-of-3 (calib-normalized wall, process-cpu) for one query after
+    * an unbilled warm pass — the single measurement definition behind
+    * per-query flag confirmation, the AGGREGATE flag's sampled
+    * re-measurement, and the `queries_rm8` snapshot baseline those
+    * sampled sums compare against (same code = same environment
+    * class, so baseline and live values are commensurable). None if
+    * the query no longer exists. */
+  private[graft] def minOf3Norm(spark: SparkSession, name: String,
+                                sfDir: String): Option[(Double, Double)] = {
+    val fn = SparkEntry.queries.getOrElse(name, return None)
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    fn(spark, sfDir).count() // warm (JIT, plan cache)
+    val passes = (0 until 3).map { _ =>
+      val c0 = osBean.getProcessCpuTime
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).count()
+      ((System.nanoTime() - t0) / 1e9, (osBean.getProcessCpuTime - c0) / 1e9)
+    }
+    val normFactor = math.min(
+      CalibBaselineSec / cpuCalibSec(), ParCalibBaselineSec / parCalibSec())
+    Some((passes.map(_._1).min * normFactor, passes.map(_._2).min))
+  }
+
+  /** The AGGREGATE flag's deterministic re-measure sample: the top-n
+    * snapshot queries by normalized cost (ties by name). Defined here
+    * so the snapshot tool and the gate can never disagree on it. */
+  private[graft] def rm8Sample(snapNorm: Map[String, Double],
+                               n: Int = 16): Seq[String] =
+    snapNorm.toSeq.sortBy { case (k, v) => (-v, k) }.take(n).map(_._1)
 
   /** JSON string literal with FULL escaping (backslash, quote, and all
     * control chars < 0x20 — exception messages routinely carry tabs
@@ -160,7 +232,8 @@ object Bench {
     val queryErrors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def timed(name: String,
               fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : (Double, Double) = {
+        : (Double, Double, Double) = {
+      val g0 = gcTimeSec()
       val c0 = osBean.getProcessCpuTime
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case e: Throwable =>
@@ -170,7 +243,8 @@ object Bench {
         queryErrors.getOrElseUpdate(name,
           s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(160)}")
       }
-      ((System.nanoTime() - t0) / 1e9, (osBean.getProcessCpuTime - c0) / 1e9)
+      ((System.nanoTime() - t0) / 1e9, (osBean.getProcessCpuTime - c0) / 1e9,
+        gcTimeSec() - g0)
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val passes = Seq(timed(name, fn), timed(name, fn), timed(name, fn))
@@ -500,9 +574,11 @@ object Bench {
 
     val recordsApiJson: String = recordsApiPhaseJson(spark)
 
-    val qs = results.map { case (k, (w, _)) => "\"" + k + f"\":$w%.3f" }
+    val qs = results.map { case (k, (w, _, _)) => "\"" + k + f"\":$w%.3f" }
       .mkString("{", ",", "}")
-    val qsCpu = results.map { case (k, (_, c)) => "\"" + k + f"\":$c%.3f" }
+    val qsCpu = results.map { case (k, (_, c, _)) => "\"" + k + f"\":$c%.3f" }
+      .mkString("{", ",", "}")
+    val qsGc = results.map { case (k, (_, _, g)) => "\"" + k + f"\":$g%.3f" }
       .mkString("{", ",", "}")
     val errJson =
       if (queryErrors.isEmpty) ""
@@ -510,6 +586,12 @@ object Bench {
         .mkString(""","query_errors":{""", ",", "}")
     val total = results.map(_._2._1).sum
     val totalCpu = results.map(_._2._2).sum
+    // run-level GC/heap evidence (VERDICT r17 #2): gc_sec is the
+    // JVM's cumulative collection time at artifact-write (covers the
+    // workload phases too, which run before this line), heap_max_mb
+    // the native pool peak — both zero-cost bean reads
+    val gcRunSec = gcTimeSec()
+    val heapMaxMb = heapPeakMb()
     val calib = cpuCalibSec()
     val parCalib = parCalibSec()
     // Host-load-normalized wall times (see CalibBaselineSec /
@@ -523,10 +605,10 @@ object Bench {
     // the probes don't move when only a query's code slows down.
     val normFactor =
       math.min(CalibBaselineSec / calib, ParCalibBaselineSec / parCalib)
-    val qsNorm = results.map { case (k, (w, _)) =>
+    val qsNorm = results.map { case (k, (w, _, _)) =>
       "\"" + k + f"\":${w * normFactor}%.3f" }.mkString("{", ",", "}")
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing":"median-of-3","total_cpu_sec":$totalCpu%.3f,"cpu_calib_sec":$calib%.4f,"par_calib_sec":$parCalib%.4f,"calib_norm_factor":$normFactor%.4f,"queries":$qs,"queries_norm":$qsNorm,"queries_cpu_sec":$qsCpu$errJson,"sf":"$sfDir",$workloadJson,$controlPlaneJson,$httpControlPlaneJson,$recordsApiJson}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing":"median-of-3","total_cpu_sec":$totalCpu%.3f,"gc_sec":$gcRunSec%.3f,"heap_max_mb":$heapMaxMb,"cpu_calib_sec":$calib%.4f,"par_calib_sec":$parCalib%.4f,"calib_norm_factor":$normFactor%.4f,"queries":$qs,"queries_norm":$qsNorm,"queries_cpu_sec":$qsCpu,"queries_gc_sec":$qsGc$errJson,"sf":"$sfDir",$workloadJson,$controlPlaneJson,$httpControlPlaneJson,$recordsApiJson}"""
     // The driver captures only the LAST ~2000 chars of stdout, which
     // cannot hold a 186-query map (r11's artifact carried only the
     // alphabetic tail of one map). Persist the full line to a file, and
@@ -540,7 +622,7 @@ object Bench {
     catch { case _: java.io.IOException => () } // bench output must not fail on an unwritable cwd
     println(json)
     val summary =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing":"median-of-3","n_queries":${results.size},"n_query_errors":${queryErrors.size},"total_cpu_sec":$totalCpu%.3f,"cpu_calib_sec":$calib%.4f,"par_calib_sec":$parCalib%.4f,"calib_norm_factor":$normFactor%.4f,"queries_in":"BENCH_local.json","sf":"$sfDir",$workloadJson,$controlPlaneJson,$httpControlPlaneJson,$recordsApiJson}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing":"median-of-3","n_queries":${results.size},"n_query_errors":${queryErrors.size},"total_cpu_sec":$totalCpu%.3f,"gc_sec":$gcRunSec%.3f,"heap_max_mb":$heapMaxMb,"cpu_calib_sec":$calib%.4f,"par_calib_sec":$parCalib%.4f,"calib_norm_factor":$normFactor%.4f,"queries_in":"BENCH_local.json","sf":"$sfDir",$workloadJson,$controlPlaneJson,$httpControlPlaneJson,$recordsApiJson}"""
     println(summary)
     spark.stop()
   }

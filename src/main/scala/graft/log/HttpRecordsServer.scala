@@ -45,11 +45,19 @@ import graft.streaming.ReadSession
   * via `s2-encryption-key` (base64, 32 bytes) exactly where the
   * reference takes S2_ENCRYPTION_KEY_HEADER.
   *
-  * Scoped out, documented: the S2S framed-proto request/response mode
-  * and proto response mime (records.rs:266-293,405-455) — binary
-  * protobuf framing is an axum/prost serialization artifact; JSON +
-  * SSE is the complete lite-fidelity behavior set (every outcome the
-  * S2S mode can produce is observable through these two).
+  * The S2S framed session mode is served too (round 18): a request
+  * whose content type has the `s2s` prefix selects it, exactly like the
+  * reference extractor (extract.rs:54-95) — POST becomes a framed
+  * APPEND SESSION (each input frame = one AppendInput, pipelined
+  * through [[AppendSession]], one ack frame per input in submission
+  * order, terminal frame on failure; records.rs:405-455), GET a
+  * framed READ SESSION (one frame per batch, heartbeats as empty
+  * ReadBatch frames, clean close on limit exhaustion;
+  * records.rs:266-293). Framing is byte-exact to the reference
+  * (3-byte length + flag byte, per-frame gzip >= 1 KiB negotiated by
+  * Accept-Encoding); payloads are the repo's canonical v1 JSON
+  * shapes rather than prost protobuf — see [[S2sCodec]] for that
+  * documented divergence (content type `s2s/json`).
   *
   * The same server also carries the v1 CATALOG surface — the other
   * two non-stub handler files in the reference's lite router
@@ -1039,14 +1047,12 @@ object HttpRecordsServer {
                 bytes: Boolean): String =
         metricJson("accumulation", name, unit, Some(ivName),
           meter.series(kind, basin, stream, startSec, endSec, ivSec, bytes))
-      def storageGauge(name: String, df: org.apache.spark.sql.DataFrame): String = {
-        // exact metered stored bytes; the scan is pruned to the one
-        // metered_size column, so cost ~ row count, not data volume
-        val row = df.agg(org.apache.spark.sql.functions
-          .sum("metered_size")).collect()(0)
-        val v = if (row.isNullAt(0)) 0d else row.getLong(0).toDouble
-        metricJson("gauge", name, "bytes", None, Seq((nowSec, v)))
-      }
+      def storageGauge(name: String, bytes: Long): String =
+        // exact metered stored bytes, served from the FileIndex footer
+        // caches — NO Spark job on the RPC path (a per-scrape data
+        // scan grows with corpus size; MetricsGaugeSpec pins this
+        // value equal to the full Spark scan)
+        metricJson("gauge", name, "bytes", None, Seq((nowSec, bytes.toDouble)))
       def ok(metrics: String*): Unit =
         respond(ex, 200,
           metrics.mkString("""{"values":[""", ",", "]}").getBytes(UTF_8))
@@ -1078,7 +1084,7 @@ object HttpRecordsServer {
             case "basin-ops" =>
               ok(accum("basin_ops", "operations", "basin", Some(basin), None, bytes = false))
             case "storage" =>
-              ok(storageGauge("storage", store.visibleBasin(basin)))
+              ok(storageGauge("storage", store.basinStorageBytesFast(basin)))
             case other => throw BadRequest(s"unknown basin metric set: $other")
           }
         case (bs, i) => // stream level: {basin}/{stream...}
@@ -1087,7 +1093,7 @@ object HttpRecordsServer {
             respond(ex, 404, errJson("not_found", s"$basin/$stream").getBytes(UTF_8))
           else set match {
             case "storage" =>
-              ok(storageGauge("storage", store.visible(basin, stream)))
+              ok(storageGauge("storage", store.storageBytesFast(basin, stream)))
             case other => throw BadRequest(s"unknown stream metric set: $other")
           }
       }
@@ -1231,46 +1237,209 @@ object HttpRecordsServer {
         Some(s"""{"fencing_token_mismatch":"${jsonEsc(current)}"}""")
       case _ => None
     }
-    def handleAppend(ex: HttpExchange, basin: String, stream: String,
-                     tok: Option[AccessToken]): Unit = {
-      val base64 = base64Of(ex)
-      val input = parseAppendInput(
-        new String(ex.getRequestBody.readAllBytes(), UTF_8), base64)
-      // in-band commands ride the append route but are distinct
-      // operations in the scope model (access.rs Trim / Fence): a
-      // token holding only Append must not trim or fence through a
-      // command record
+    // shared by the unary route and the S2S session: one (status,
+    // body) mapping per AppendError class
+    def appendErrorParts(basin: String, stream: String,
+                         e: AppendError): (Int, String) =
+      appendConditionFailed(e) match {
+        case Some(body) => (412, body)
+        case None => e match {
+          case AppendError.StreamNotFound =>
+            (404, errJson("not_found", s"$basin/$stream"))
+          case AppendError.StreamDeletionPending =>
+            (409, errJson("conflict", "stream deletion pending"))
+          case AppendError.InvalidBatch(r) => (400, errJson("invalid", r))
+          case AppendError.TimestampMissing =>
+            (400, errJson("invalid", "timestamp required"))
+          case AppendError.EncryptionError(r) => (400, errJson("bad_header", r))
+          case other => (500, errJson("internal", other.toString))
+        }
+      }
+
+    // in-band commands ride the append route but are distinct
+    // operations in the scope model (access.rs Trim / Fence): a
+    // token holding only Append must not trim or fence through a
+    // command record
+    def checkCommandScopes(input: AppendInput, basin: String, stream: String,
+                           tok: Option[AccessToken]): Unit =
       input.records.iterator
         .collect { case e: EnvelopeRecord => e }
         .flatMap(CommandRecord.fromEnvelopeForm).foreach {
           case _: TrimCommand => authx.check(tok, Op.Trim, basin, stream)
           case _: FenceCommand => authx.check(tok, Op.Fence, basin, stream)
         }
+
+    def ackJson(ack: AppendAck): String =
+      s"""{"start":${posJson(ack.start)},""" +
+        s""""end":${posJson(ack.end)},"tail":${posJson(ack.tail)}}"""
+
+    def handleAppend(ex: HttpExchange, basin: String, stream: String,
+                     tok: Option[AccessToken]): Unit = {
+      val base64 = base64Of(ex)
+      val input = parseAppendInput(
+        new String(ex.getRequestBody.readAllBytes(), UTF_8), base64)
+      checkCommandScopes(input, basin, stream, tok)
       store.append(basin, stream, input, nowMs, keyOf(ex)) match {
         case Right(ack) =>
           meter.record("append", basin, stream, nowClock(),
             bytes = input.records.iterator.map(_.meteredSize).sum)
-          respond(ex, 200, (s"""{"start":${posJson(ack.start)},""" +
-            s""""end":${posJson(ack.end)},"tail":${posJson(ack.tail)}}""")
-            .getBytes(UTF_8))
-        case Left(e) => appendConditionFailed(e) match {
-          case Some(body) => respond(ex, 412, body.getBytes(UTF_8))
-          case None => e match {
-            case AppendError.StreamNotFound =>
-              respond(ex, 404, errJson("not_found", s"$basin/$stream").getBytes(UTF_8))
-            case AppendError.StreamDeletionPending =>
-              respond(ex, 409, errJson("conflict", "stream deletion pending").getBytes(UTF_8))
-            case AppendError.InvalidBatch(r) =>
-              respond(ex, 400, errJson("invalid", r).getBytes(UTF_8))
-            case AppendError.TimestampMissing =>
-              respond(ex, 400, errJson("invalid", "timestamp required").getBytes(UTF_8))
-            case AppendError.EncryptionError(r) =>
-              respond(ex, 400, errJson("bad_header", r).getBytes(UTF_8))
-            case other =>
-              respond(ex, 500, errJson("internal", other.toString).getBytes(UTF_8))
+          respond(ex, 200, ackJson(ack).getBytes(UTF_8))
+        case Left(e) =>
+          val (code, body) = appendErrorParts(basin, stream, e)
+          respond(ex, code, body.getBytes(UTF_8))
+      }
+    }
+
+    // ---- S2S framed session mode (records.rs:199-294, 405-455) ------
+    // The same engine machinery as the JSON/SSE routes — AppendSession
+    // (A8 pipelining) behind the append arm, ReadSession (R8 wait
+    // budgets) behind the read arm — behind the reference's binary
+    // frame codec. Payloads are the repo's canonical v1 JSON shapes
+    // (see S2sCodec doc for the prost divergence); per-frame gzip
+    // >= 1 KiB when the client's Accept-Encoding negotiates it.
+    def s2sGzipOk(ex: HttpExchange): Boolean = S2sCodec.gzipNegotiated(
+      Option(ex.getRequestHeaders.getFirst("Accept-Encoding")))
+
+    def s2sOpen(ex: HttpExchange): java.io.OutputStream = {
+      ex.getResponseHeaders.set("Content-Type", S2sCodec.ContentType)
+      ex.getResponseHeaders.set("Cache-Control", "no-cache, no-transform")
+      ex.getResponseHeaders.set("x-accel-buffering", "no")
+      ex.sendResponseHeaders(200, 0) // chunked; outcome rides in frames
+      ex.getResponseBody
+    }
+
+    def handleS2sAppend(ex: HttpExchange, basin: String, stream: String,
+                        tok: Option[AccessToken]): Unit = {
+      val base64 = base64Of(ex)
+      val gzipOk = s2sGzipOk(ex)
+      val os = s2sOpen(ex)
+      val session = new AppendSession(store, basin, stream, nowMs, keyOf(ex))
+      try {
+        // reader: decode input frames and submit while acks for
+        // earlier batches are already streaming back — the pipelining
+        // the reference gets from FuturesOrdered (append.rs:137-202).
+        // Futures complete in submission order, so draining the queue
+        // in order writes acks in order.
+        val pending = new java.util.concurrent.LinkedBlockingQueue[
+          Option[scala.concurrent.Future[Either[session.SessionError, AppendAck]]]]()
+        val readerErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+        val reader = new Thread(() => {
+          try {
+            val in = ex.getRequestBody
+            var next = S2sCodec.readFrame(in)
+            while (next.isDefined) {
+              val f = next.get
+              if (f.terminal)
+                throw new java.io.IOException("unexpected terminal frame as input")
+              val input = parseAppendInput(f.payloadUtf8, base64)
+              checkCommandScopes(input, basin, stream, tok)
+              pending.put(Some(session.submit(input)))
+              next = S2sCodec.readFrame(in)
+            }
+          } catch { case t: Throwable => readerErr.set(t) }
+          finally pending.put(None) // end-of-inputs sentinel
+        }, s"s2s-append-reader-$stream")
+        reader.setDaemon(true)
+        reader.start()
+        var open = true
+        while (open) pending.take() match {
+          case None =>
+            open = false
+            Option(readerErr.get()).foreach { t =>
+              val reason = t match {
+                case BadRequest(m) => m
+                case other => Option(other.getMessage).getOrElse(other.toString)
+              }
+              S2sCodec.writeTerminal(os, 400, errJson("invalid", reason))
+            }
+          case Some(fut) =>
+            scala.concurrent.Await.result(
+              fut, scala.concurrent.duration.Duration.Inf) match {
+              case Right(ack) =>
+                meter.record("append", basin, stream, nowClock())
+                S2sCodec.writeFrame(os, ackJson(ack).getBytes(UTF_8), gzipOk)
+              case Left(session.SessionError.Append(e)) =>
+                val (code, body) = appendErrorParts(basin, stream, e)
+                S2sCodec.writeTerminal(os, code, body)
+                open = false // poisoned: later futures all fail too
+              case Left(_) => // poisoned/closed follow-on: already terminal
+                open = false
+            }
+        }
+        reader.join(5000)
+      } catch {
+        case _: java.io.IOException => () // client went away mid-session
+      } finally { session.close(); ex.close() }
+    }
+
+    def handleS2sRead(ex: HttpExchange, basin: String, stream: String): Unit = {
+      val q = query(ex)
+      val base64 = base64Of(ex)
+      val cipher = keyOf(ex)
+      val gzipOk = s2sGzipOk(ex)
+      val start = parseStart(q)
+      val count = q.get("count").map(_.toLong)
+      val bytes = q.get("bytes").map(_.toLong)
+      val until = q.get("until").map(_.toLong)
+      (start.from, until) match {
+        case (ReadFrom.Timestamp(ts), Some(u)) if ts >= u =>
+          throw BadRequest("start `timestamp` exceeds or equal to `until`")
+        case _ => ()
+      }
+      val bounded = count.isDefined || bytes.isDefined || until.isDefined
+      val waitMs = q.get("wait").map(_.toLong * 1000L)
+        .orElse(if (bounded) Some(0L) else None)
+      val startSeq: Long = start.from match {
+        case ReadFrom.SeqNum(n) => n
+        case ReadFrom.TailOffset(k) =>
+          math.max(store.checkTail(basin, stream).seqNum - k, 0L)
+        case ReadFrom.Timestamp(ts) =>
+          store.read(basin, stream,
+            ReadSpec(ReadStart(ReadFrom.Timestamp(ts), clamp = true),
+              ReadEnd(ReadLimit(count = Some(1)))), cipher = cipher)
+            .toOption
+            .flatMap(df => df.collect().headOption.map(_.getLong(0)))
+            .getOrElse(store.checkTail(basin, stream).seqNum)
+      }
+      val tail0 = store.checkTail(basin, stream)
+      if (!start.clamp && startSeq > tail0.seqNum) {
+        respond(ex, 416, s"""{"tail":${posJson(tail0)}}""".getBytes(UTF_8))
+        return
+      }
+      val os = s2sOpen(ex)
+      val session = new ReadSession(store, basin, stream,
+        math.min(startSeq, tail0.seqNum),
+        ReadLimit(count, bytes), until, waitMs)
+      var open = true
+      try {
+        while (open) {
+          session.poll() match {
+            case session.Event.Batch(records, tail) if records.nonEmpty =>
+              meter.record("read", basin, stream, nowClock(),
+                bytes = records.iterator
+                  .map(r => EnvelopeRecord(r.headers, r.body).meteredSize).sum)
+              S2sCodec.writeFrame(os,
+                batchJson(base64, records, Some(tail)).getBytes(UTF_8), gzipOk)
+            case session.Event.Batch(_, _) => ()
+            case session.Event.Heartbeat(tail) =>
+              // heartbeat = an EMPTY ReadBatch carrying the tail —
+              // exactly the reference's S2s heartbeat mapping
+              // (records.rs:276-281)
+              S2sCodec.writeFrame(os,
+                batchJson(base64, Nil, Some(tail)).getBytes(UTF_8), gzipOk)
+            case session.Event.Idle => Thread.sleep(5)
+            case session.Event.Closed(reason) =>
+              open = false
+              if (reason != "limit_exhausted" && reason != "wait_expired" &&
+                  reason != "until_or_limit")
+                S2sCodec.writeTerminal(os, 400, errJson("invalid", reason))
+              // clean exhaustion = clean stream end, no done frame
+              // (FramedMessageStream yields None, s2s.rs:340-343)
           }
         }
-      }
+      } catch {
+        case _: java.io.IOException => ()
+      } finally ex.close()
     }
 
     // ---- GET unary read (records.rs:186-209 + merge_read_session) ---
@@ -1435,11 +1604,18 @@ object HttpRecordsServer {
           respond(ex, 200, s"""{"tail":${posJson(t)}}""".getBytes(UTF_8))
         case ("POST", "records") =>
           authx.check(tok, Op.Append, basin, stream)
-          handleAppend(ex, basin, stream, tok)
+          // mode dispatch mirrors the reference extractor
+          // (extract.rs:54-95): an s2s content type selects the
+          // framed session; anything else is the unary JSON arm
+          val ctype = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
+          if (ctype.startsWith("s2s/")) handleS2sAppend(ex, basin, stream, tok)
+          else handleAppend(ex, basin, stream, tok)
         case ("GET", "records") =>
           authx.check(tok, Op.Read, basin, stream)
+          val ctype = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
           val accept = Option(ex.getRequestHeaders.getFirst("Accept")).getOrElse("")
-          if (accept.contains("text/event-stream")) handleSseRead(ex, basin, stream)
+          if (ctype.startsWith("s2s/")) handleS2sRead(ex, basin, stream)
+          else if (accept.contains("text/event-stream")) handleSseRead(ex, basin, stream)
           else handleUnaryRead(ex, basin, stream)
         case (_, "") if path.nonEmpty =>
           // /v1/streams/{stream} without a records suffix: the stream
@@ -1554,6 +1730,64 @@ private[graft] object HttpRecordsClient {
           if (data.nonEmpty) data.append('\n')
           data.append(line.drop(6))
         }
+      }
+    } finally { in.close(); c.disconnect() }
+    out.toSeq
+  }
+
+  /** S2S framed APPEND session: streams each input (an AppendInput
+    * JSON body) as one frame over a single chunked POST, then drains
+    * the response frames (one ack per input, or a terminal). `gzip` =
+    * offer Accept-Encoding gzip AND compress >=1 KiB input frames,
+    * the client half of the negotiation. */
+  def s2sAppendSession(url: String, headers: Seq[(String, String)],
+                       inputs: Seq[String],
+                       gzip: Boolean = false): Seq[S2sCodec.Frame] = {
+    val c = new java.net.URL(url).openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    c.setRequestMethod("POST")
+    c.setConnectTimeout(5000)
+    c.setReadTimeout(65000)
+    c.setRequestProperty("Content-Type", S2sCodec.ContentType)
+    if (gzip) c.setRequestProperty("Accept-Encoding", "gzip")
+    headers.foreach { case (k, v) => c.setRequestProperty(k, v) }
+    c.setDoOutput(true)
+    c.setChunkedStreamingMode(0)
+    val os = c.getOutputStream
+    try {
+      inputs.foreach(i => S2sCodec.writeFrame(os, i.getBytes(UTF_8), gzip))
+    } finally os.close()
+    require(c.getResponseCode == 200,
+      s"s2s append session open failed: HTTP ${c.getResponseCode}")
+    drainFrames(c)
+  }
+
+  /** S2S framed READ session: GET with the s2s content type selecting
+    * the framed mode; returns every frame until the server closes
+    * (clean exhaustion) or a terminal arrives. */
+  def s2sReadSession(url: String, headers: Seq[(String, String)],
+                     gzip: Boolean = false): Seq[S2sCodec.Frame] = {
+    val c = new java.net.URL(url).openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    c.setRequestMethod("GET")
+    c.setConnectTimeout(5000)
+    c.setReadTimeout(65000)
+    c.setRequestProperty("Content-Type", S2sCodec.ContentType)
+    if (gzip) c.setRequestProperty("Accept-Encoding", "gzip")
+    headers.foreach { case (k, v) => c.setRequestProperty(k, v) }
+    require(c.getResponseCode == 200,
+      s"s2s read session open failed: HTTP ${c.getResponseCode}")
+    drainFrames(c)
+  }
+
+  private def drainFrames(c: java.net.HttpURLConnection): Seq[S2sCodec.Frame] = {
+    val in = c.getInputStream
+    val out = scala.collection.mutable.ArrayBuffer.empty[S2sCodec.Frame]
+    try {
+      var next = S2sCodec.readFrame(in)
+      while (next.isDefined) {
+        out += next.get
+        if (next.get.terminal) next = None else next = S2sCodec.readFrame(in)
       }
     } finally { in.close(); c.disconnect() }
     out.toSeq

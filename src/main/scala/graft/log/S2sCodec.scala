@@ -1,0 +1,153 @@
+package graft.log
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, EOFException, InputStream, OutputStream}
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+/** The S2S framed session codec — the reference's binary wire format
+  * for append/read sessions (api/src/v1/stream/s2s.rs:11-56), byte-
+  * exact framing:
+  *
+  * {{{
+  *   REGULAR:  [3-byte BE length][1 flag byte][payload]
+  *   TERMINAL: [3-byte BE length][1 flag byte][2-byte BE HTTP status][JSON body]
+  *   length = flags + payload (excludes the length prefix itself)
+  *   flags  = T CC xxxxx — bit7 terminal; bits6-5 compression
+  *            (0 none, 1 zstd, 2 gzip); low 5 reserved zero
+  * }}}
+  *
+  * Per-frame compression applies when the payload reaches 1 KiB
+  * (COMPRESSION_THRESHOLD_BYTES) and the peer negotiated an algorithm
+  * via Accept-Encoding (s2s.rs:66-83 from_accept_encoding); frames
+  * are capped at 2 MiB compressed AND decompressed (MAX_FRAME_BYTES /
+  * MAX_DECOMPRESSED_PAYLOAD_BYTES). Gzip only here: zstd has no JDK
+  * implementation and the negotiation simply never selects it.
+  *
+  * One deliberate divergence, documented at the server: frame
+  * PAYLOADS are the repo's v1 JSON shapes (the same AppendInput /
+  * ReadBatch bodies the unary routes speak), not prost-encoded
+  * protobuf — the proto codec is an axum/prost serialization
+  * artifact, and the repo-wide JSON codec keeps one canonical
+  * encoding per message. The content type is `s2s/json` accordingly
+  * (reference: `s2s/proto`).
+  */
+object S2sCodec {
+
+  val ContentType = "s2s/json"
+
+  val CompressionThreshold = 1024
+  val MaxFrameBytes: Int = 2 * 1024 * 1024
+
+  val CompNone = 0
+  val CompZstd = 1 // never produced (no JDK zstd); decode rejects it
+  val CompGzip = 2
+
+  /** One decoded frame. `compression` is the algorithm that was on
+    * the wire (payload arrives decompressed); specs use it to pin the
+    * >1 KiB gzip contract. */
+  final case class Frame(terminal: Boolean, compression: Int,
+                         payload: Array[Byte], status: Int = 0) {
+    def payloadUtf8: String = new String(payload, "UTF-8")
+  }
+
+  /** True iff the peer's Accept-Encoding negotiates gzip
+    * (s2s.rs:66-83; zstd would win there, but the JVM side never
+    * offers or accepts it). */
+  def gzipNegotiated(acceptEncoding: Option[String]): Boolean =
+    acceptEncoding.exists(_.split(',').exists(
+      _.trim.split(';').head.trim.equalsIgnoreCase("gzip")))
+
+  private def gzip(data: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(data.length / 2 + 64)
+    val g = new GZIPOutputStream(bos)
+    g.write(data); g.close()
+    bos.toByteArray
+  }
+
+  private def gunzipBounded(data: Array[Byte]): Array[Byte] = {
+    val in = new GZIPInputStream(new ByteArrayInputStream(data))
+    val out = new ByteArrayOutputStream(math.min(data.length * 2, MaxFrameBytes))
+    val buf = new Array[Byte](8192)
+    var total = 0
+    var n = in.read(buf)
+    while (n >= 0) {
+      total += n
+      if (total > MaxFrameBytes)
+        throw new java.io.IOException("decompressed payload exceeds limit")
+      out.write(buf, 0, n)
+      n = in.read(buf)
+    }
+    out.toByteArray
+  }
+
+  private def header(flags: Int, bodyLen: Int): Array[Byte] = {
+    val len = bodyLen + 1 // flags byte rides inside the length
+    require(len <= MaxFrameBytes, s"frame exceeds ${MaxFrameBytes}B limit")
+    Array[Byte](((len >> 16) & 0xff).toByte, ((len >> 8) & 0xff).toByte,
+      (len & 0xff).toByte, flags.toByte)
+  }
+
+  /** Encode one regular frame; compresses iff negotiated AND the
+    * payload reaches the 1 KiB threshold (s2s.rs:104-116). */
+  def writeFrame(os: OutputStream, payload: Array[Byte],
+                 gzipOk: Boolean): Unit = {
+    val (comp, wire) =
+      if (gzipOk && payload.length >= CompressionThreshold)
+        (CompGzip, gzip(payload))
+      else (CompNone, payload)
+    os.write(header(comp << 5, wire.length))
+    os.write(wire)
+    os.flush()
+  }
+
+  /** Encode the terminal frame: 2-byte HTTP status + JSON body
+    * (never compressed — error bodies are small). */
+  def writeTerminal(os: OutputStream, status: Int, body: String): Unit = {
+    val b = body.getBytes("UTF-8")
+    os.write(header(0x80, 2 + b.length))
+    os.write((status >> 8) & 0xff); os.write(status & 0xff)
+    os.write(b)
+    os.flush()
+  }
+
+  private def readFully(in: InputStream, n: Int): Option[Array[Byte]] = {
+    val buf = new Array[Byte](n)
+    var off = 0
+    while (off < n) {
+      val r = in.read(buf, off, n - off)
+      if (r < 0) return None
+      off += r
+    }
+    Some(buf)
+  }
+
+  /** Decode the next frame; None on clean EOF at a frame boundary.
+    * EOF inside a frame (a torn session) throws — the caller must
+    * not mistake a truncated stream for a clean end. */
+  def readFrame(in: InputStream): Option[Frame] = {
+    val hdr = readFully(in, 3).getOrElse(return None)
+    val len = ((hdr(0) & 0xff) << 16) | ((hdr(1) & 0xff) << 8) | (hdr(2) & 0xff)
+    if (len > MaxFrameBytes)
+      throw new java.io.IOException(s"frame of $len B exceeds decode limit")
+    if (len < 1) throw new java.io.IOException("frame shorter than its flag byte")
+    val body = readFully(in, len).getOrElse(
+      throw new EOFException("stream torn mid-frame"))
+    val flags = body(0) & 0xff
+    val terminal = (flags & 0x80) != 0
+    val comp = (flags >> 5) & 0x3
+    if (terminal) {
+      if (len < 3) throw new java.io.IOException("terminal frame missing status")
+      val status = ((body(1) & 0xff) << 8) | (body(2) & 0xff)
+      Some(Frame(terminal = true, comp,
+        java.util.Arrays.copyOfRange(body, 3, len), status))
+    } else {
+      val raw = java.util.Arrays.copyOfRange(body, 1, len)
+      val payload = comp match {
+        case CompNone => raw
+        case CompGzip => gunzipBounded(raw)
+        case other =>
+          throw new java.io.IOException(s"unsupported compression $other (zstd has no JVM codec)")
+      }
+      Some(Frame(terminal = false, comp, payload))
+    }
+  }
+}

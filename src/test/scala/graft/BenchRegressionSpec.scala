@@ -95,31 +95,36 @@ class BenchRegressionSpec extends AnyFunSuite {
     perQuery ++ aggregate
   }
 
-  private def gate(artifactJson: String,
-                   snap: (Map[String, Double], Map[String, Double])): Seq[String] =
+  /** norm/cpu = the local[32] bench baselines the pure gate compares
+    * against; rm8 = the AGGREGATE flag's re-measure baseline — the
+    * same sampled queries measured by Bench.minOf3Norm in the
+    * remeasure environment class at snapshot time (tools.Rm8Baseline),
+    * so a live sampled sum is commensurable with it. */
+  private case class Snap(norm: Map[String, Double], cpu: Map[String, Double],
+                          rm8: Map[String, Double])
+
+  private def gate(artifactJson: String, snap: Snap): Seq[String] =
     regressions(
       numMap(artifactJson, "queries_norm"),
       numMap(artifactJson, "queries_cpu_sec"),
-      snap._1, snap._2,
+      snap.norm, snap.cpu,
       perQueryTrusted = artifactJson.contains("\"timing\":\"median-of-3\""))
 
-  private def snapshotFrom(path: String): (Map[String, Double], Map[String, Double]) = {
+  private def snapshotFrom(path: String): Snap = {
     val json = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
-    (numMap(json, "queries_norm"),
-      if (json.contains("\"queries_cpu_sec\"")) numMap(json, "queries_cpu_sec")
-      else Map.empty)
+    def opt(field: String) =
+      if (json.contains("\"" + field + "\"")) numMap(json, field) else Map.empty[String, Double]
+    Snap(numMap(json, "queries_norm"), opt("queries_cpu_sec"), opt("queries_rm8"))
   }
 
-  private def snapshot(): (Map[String, Double], Map[String, Double]) =
-    snapshotFrom("scripts/bench_snapshot.json")
+  private def snapshot(): Snap = snapshotFrom("scripts/bench_snapshot.json")
 
   /** The r14-era snapshot the two driver-artifact FIXTURES compare
     * against: a historical artifact is only meaningful against its
     * CONTEMPORARY baseline — after a genuinely-faster snapshot lands,
     * old runs trip the aggregate threshold for the boring reason that
     * the code got faster since. */
-  private def eraSnapshot(): (Map[String, Double], Map[String, Double]) =
-    snapshotFrom("scripts/bench_snapshot_r14.json")
+  private def eraSnapshot(): Snap = snapshotFrom("scripts/bench_snapshot_r14.json")
 
   // ---- live re-measurement (the round-15 fix) --------------------------
   //
@@ -133,46 +138,16 @@ class BenchRegressionSpec extends AnyFunSuite {
   // regression reproduces on any host, a contention ghost does not.
   // Zero cost when nothing is flagged (the steady state).
 
-  private lazy val remeasureSession = {
-    val s = org.apache.spark.sql.SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("ERROR")
-    s
-  }
-
   // one measurement per query per suite run: flagged queries share
-  // sentinels (same family), and the r15 fixture re-measures six —
-  // without the memo that is ~24 extra min-of-3 runs per `sbt test`
+  // sentinels (same family), the AGGREGATE sample overlaps both, and
+  // the r15 fixture re-measures six — without the memo that is ~24
+  // extra min-of-3 runs per `sbt test`
   private val measured =
     scala.collection.mutable.Map.empty[(String, String), Option[(Double, Double)]]
 
   private def measure(q: String, sfDir: String): Option[(Double, Double)] =
-    measured.getOrElseUpdate((q, sfDir), measureUncached(q, sfDir))
-
-  /** min-of-3 (calib-normalized wall, process-cpu) for one query —
-    * the floor, not the median, of a fresh measurement. */
-  private def measureUncached(q: String, sfDir: String): Option[(Double, Double)] = {
-    val fn = SparkEntry.queries.getOrElse(q, return None)
-    val s = remeasureSession
-    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
-    fn(s, sfDir).count() // warm (JIT, plan cache)
-    val passes = (0 until 3).map { _ =>
-      val c0 = osBean.getProcessCpuTime
-      val t0 = System.nanoTime()
-      fn(s, sfDir).count()
-      ((System.nanoTime() - t0) / 1e9, (osBean.getProcessCpuTime - c0) / 1e9)
-    }
-    val normFactor = math.min(
-      Bench.CalibBaselineSec / Bench.cpuCalibSec(),
-      Bench.ParCalibBaselineSec / Bench.parCalibSec())
-    Some((passes.map(_._1).min * normFactor, passes.map(_._2).min))
-  }
+    measured.getOrElseUpdate((q, sfDir),
+      Bench.minOf3Norm(Bench.remeasureSession(), q, sfDir))
 
   /** Sentinels for environment self-calibration: the 3 UNflagged
     * queries of the same family (e2e_stream_* / e2e_* / global)
@@ -192,6 +167,41 @@ class BenchRegressionSpec extends AnyFunSuite {
     val cands = snapNorm.keys.filter(k => k != q && k.startsWith(fam)).toSeq
     (if (cands.size >= 3) cands else snapNorm.keys.filterNot(_ == q).toSeq)
       .sortBy(k => (math.abs(snapNorm(k) - ref), k)).take(3)
+  }
+
+  /** The AGGREGATE flag's decision on MEASURED data, pure so the teeth
+    * test exercises it directly: the live sampled sum reproduces a
+    * broad regression iff it exceeds 1.4x the rm8 baseline sum over
+    * the shared sample (the same multiplier as the pure gate — both
+    * sums are min-of-3 calib-normalized from the same measurement
+    * definition, Bench.minOf3Norm). Requires >= 8 commensurable
+    * queries: below that the sample can't support an aggregate
+    * verdict and the caller must KEEP the artifact's flag. None =
+    * cannot adjudicate (keep flag); Some(b) = measured verdict. */
+  private def aggregateReproduces(live: Map[String, Double],
+                                  rm8: Map[String, Double]): Option[Boolean] = {
+    val shared = (live.keySet intersect rm8.keySet).toSeq.sorted
+    if (shared.size < 8) return None
+    val liveSum = shared.map(live).sum
+    val baseSum = shared.map(rm8).sum
+    System.err.println(f"[bench-gate] AGGREGATE re-measured ${shared.size} " +
+      f"sampled queries: live sum $liveSum%.1f s vs rm8 baseline $baseSum%.1f s " +
+      f"(${liveSum / math.max(baseSum, 1e-9)}%.2fx, threshold 1.4x)")
+    Some(liveSum > 1.4 * baseSum)
+  }
+
+  /** Live wiring of [[aggregateReproduces]]: re-measure the snapshot's
+    * rm8 sample (memoized — the per-query flags' own measurements and
+    * sentinels overlap it heavily) and decide from sums. A sampled
+    * query that ERRORS keeps the flag loudly, same rule as the
+    * per-query path. */
+  private def aggregateConfirmsLive(sfDir: String, snap: Snap): Boolean = {
+    if (snap.rm8.isEmpty) return true // no baseline: cannot clear, keep the flag
+    val live = snap.rm8.keys.toSeq.sorted.flatMap { q =>
+      try measure(q, sfDir).map(m => q -> m._1)
+      catch { case _: Throwable => return true } // erroring = fail loudly
+    }.toMap
+    aggregateReproduces(live, snap.rm8).getOrElse(true)
   }
 
   /** Re-run one flagged query; true = the regression REPRODUCES:
@@ -224,13 +234,16 @@ class BenchRegressionSpec extends AnyFunSuite {
   }
 
   /** Full live verdict for an artifact: pure gate, then re-measure
-    * each per-query flag; only reproduced regressions (and aggregate
-    * flags, which re-measuring one query cannot settle) remain in
-    * `_1`. `_2` = flags the re-measurement DROPPED as contention
-    * ghosts — callers must surface them (ADVICE r16: a reproduced
-    * 1.2-2x regression lands here, and silence would bury it). */
-  private def liveVerdict(artifactJson: String,
-                          snap: (Map[String, Double], Map[String, Double]))
+    * each flag — per-query flags individually (sentinel-scaled), the
+    * AGGREGATE flag by the sampled-sum rule (r17 next-round #1: the
+    * r17 driver artifact turned the suite red through the aggregate
+    * path alone while the per-query re-measurements refuted all 10 of
+    * its flags at parity; the aggregate must be confirmable by the
+    * same discipline). Only reproduced regressions remain in `_1`.
+    * `_2` = flags the re-measurement DROPPED as contention ghosts —
+    * callers must surface them (ADVICE r16: a reproduced 1.2-2x
+    * regression lands here, and silence would bury it). */
+  private def liveVerdict(artifactJson: String, snap: Snap)
       : (Seq[String], Seq[String]) = {
     val flagged = gate(artifactJson, snap)
     if (flagged.isEmpty) return (Nil, Nil)
@@ -239,8 +252,8 @@ class BenchRegressionSpec extends AnyFunSuite {
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(sfDir)))
       return (flagged, Nil) // can't re-measure without the data: keep the flags
     flagged.partition { line =>
-      line.startsWith("AGGREGATE") ||
-        remeasureConfirms(line.takeWhile(_ != ':'), sfDir, snap._1, snap._2)
+      if (line.startsWith("AGGREGATE")) aggregateConfirmsLive(sfDir, snap)
+      else remeasureConfirms(line.takeWhile(_ != ':'), sfDir, snap.norm, snap.cpu)
     }
   }
 
@@ -254,6 +267,13 @@ class BenchRegressionSpec extends AnyFunSuite {
     // every threshold — errors are failures here, not fast queries
     assert(!localJson.contains("\"query_errors\""),
       "bench recorded query errors — fix those before reading timings")
+    // surface the artifact's own GC/heap evidence beside the env
+    // factors (VERDICT r17 #2): a quiet-calib run whose CPU inflates
+    // 10x+ with gc_sec in the tens is a GC-pressure run, adjudicable
+    // from the artifact without re-measurement
+    for (m <- """"(gc_sec|heap_max_mb|cpu_calib_sec|par_calib_sec)":([0-9.]+)""".r
+           .findAllMatchIn(localJson))
+      info(s"artifact ${m.group(1)} = ${m.group(2)}")
     val (confirmed, dropped) = liveVerdict(localJson, snapshot())
     // dropped ≠ invisible: every cleared flag prints in the test
     // report so a moderate (1.2-2x) reproduced drift still gets eyes
@@ -305,7 +325,7 @@ class BenchRegressionSpec extends AnyFunSuite {
   }
 
   test("gate KEEPS its teeth: seeded regressions fire") {
-    val (snapNorm, snapCpu) = snapshot()
+    val Snap(snapNorm, snapCpu, _) = snapshot()
     assume(snapCpu.nonEmpty, "snapshot predates cpu tracking")
     // 1. a single-query 3x algorithmic regression (wall AND cpu rise)
     val q = snapNorm.filter { case (k, v) => v > 1.0 && snapCpu.contains(k) }
@@ -328,5 +348,26 @@ class BenchRegressionSpec extends AnyFunSuite {
       perQueryTrusted = false)
     assert(oldFmt.exists(_.startsWith("AGGREGATE")),
       s"aggregate must not depend on artifact format: $oldFmt")
+  }
+
+  test("AGGREGATE confirmation: sampled-sum rule keeps teeth and clears ghosts") {
+    val rm8 = snapshot().rm8
+    assert(rm8.size >= 8,
+      s"snapshot carries only ${rm8.size} rm8 baselines — refresh via tools.Rm8Baseline")
+    // the sample is the one Bench.rm8Sample defines over the snapshot,
+    // so tool and gate can never disagree on its membership
+    assert(rm8.keySet == Bench.rm8Sample(snapshot().norm).toSet,
+      "queries_rm8 keys drifted from Bench.rm8Sample of queries_norm")
+    // a live sample at baseline parity (the contended-artifact case:
+    // the code did not change, only the driver's host was loud) clears
+    assert(aggregateReproduces(rm8, rm8) == Some(false),
+      "parity sample must clear the AGGREGATE flag")
+    // a broad 1.6x live regression (the wait-class seeding from the
+    // pure-gate teeth test, but MEASURED this time) confirms
+    assert(aggregateReproduces(rm8.map { case (k, v) => k -> v * 1.6 }, rm8)
+      == Some(true), "reproduced broad regression must confirm")
+    // too few commensurable queries = cannot adjudicate (keep flag)
+    assert(aggregateReproduces(rm8.take(3), rm8).isEmpty,
+      "a 3-query sample must not support an aggregate verdict")
   }
 }

@@ -83,7 +83,8 @@ object NetFaultProxy {
       val is = if (code >= 400) c.getErrorStream else c.getInputStream
       val out = if (is == null) Array.emptyByteArray
                 else try is.readAllBytes() finally is.close()
-      val echo = Seq("ETag", "X-Put-Nonce", "X-Nonce-Applied").flatMap(h =>
+      val echo = Seq("ETag", "X-Put-Nonce", "X-Nonce-Applied",
+        "S2-provision-result").flatMap(h =>
         Option(c.getHeaderField(h)).map(h -> _))
       (code, out, echo)
     }
@@ -93,8 +94,12 @@ object NetFaultProxy {
       val method = ex.getRequestMethod
       val pathQ = ex.getRequestURI.getRawPath +
         Option(ex.getRequestURI.getRawQuery).map("?" + _).getOrElse("")
+      // storage-backend protocol headers + the v1 records/catalog API's
+      // (r17 task #4: the serving layer goes under the same proxy)
       val fwdHeaders = Seq("If-Match", "If-None-Match", "X-Put-Nonce",
-        "X-Probe-Nonce", "Content-Type").flatMap(h =>
+        "X-Probe-Nonce", "Content-Type", "S2-basin", "S2-format",
+        "S2-request-token", "S2-encryption-key", "Authorization",
+        "Accept", "Last-Event-ID").flatMap(h =>
         Option(ex.getRequestHeaders.getFirst(h)).map(h -> _))
       val nonce = fwdHeaders.collectFirst { case ("X-Put-Nonce", v) => v }.getOrElse("")
       val body = ex.getRequestBody.readAllBytes()
