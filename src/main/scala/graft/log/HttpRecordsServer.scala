@@ -221,14 +221,53 @@ object HttpRecordsServer {
   // Shared response plumbing
   // -------------------------------------------------------------------
 
+  /** Unary response write, with the reference's router-wide
+    * compression layer (handlers/v1/mod.rs:17-29): gzip when the
+    * client's Accept-Encoding negotiates it AND the body reaches
+    * 1 KiB (SizeAbove(1024)). SSE and S2S responses never pass
+    * through here — they stream their own bodies — which realizes the
+    * NotForContentType(SSE)/NotForContentType(s2s) predicate
+    * structurally (S2S does its own per-frame compression instead). */
   private def respond(ex: HttpExchange, code: Int,
                       body: Array[Byte] = Array.emptyByteArray,
                       contentType: String = "application/json"): Unit = {
-    if (body.nonEmpty)
+    val out =
+      if (body.length >= S2sCodec.CompressionThreshold &&
+          S2sCodec.gzipNegotiated(
+            Option(ex.getRequestHeaders.getFirst("Accept-Encoding")))) {
+        ex.getResponseHeaders.set("Content-Encoding", "gzip")
+        val bos = new java.io.ByteArrayOutputStream(body.length / 2 + 64)
+        val g = new java.util.zip.GZIPOutputStream(bos)
+        g.write(body); g.close()
+        bos.toByteArray
+      } else body
+    if (out.nonEmpty)
       ex.getResponseHeaders.set("Content-Type", contentType)
-    ex.sendResponseHeaders(code, if (body.isEmpty) -1 else body.length.toLong)
-    if (body.nonEmpty) ex.getResponseBody.write(body)
+    ex.sendResponseHeaders(code, if (out.isEmpty) -1 else out.length.toLong)
+    if (out.nonEmpty) ex.getResponseBody.write(out)
     ex.close()
+  }
+
+  /** Unary request body, with the reference's request-decompression
+    * layer (handlers/v1/mod.rs:30-33): a `Content-Encoding: gzip`
+    * body is inflated (bounded — a batch is ≤ 1 MiB metered, so 16
+    * MiB of JSON+base64 expansion is generous); an encoding the
+    * layer doesn't support answers 415, matching tower-http's
+    * RequestDecompressionLayer. */
+  private def requestBytes(ex: HttpExchange): Array[Byte] = {
+    val raw = ex.getRequestBody.readAllBytes()
+    Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
+      .map(_.trim.toLowerCase) match {
+      case None | Some("identity") | Some("") => raw
+      case Some("gzip") =>
+        try S2sCodec.gunzip(raw, 16 * 1024 * 1024)
+        catch {
+          case _: java.io.IOException =>
+            throw BadRequest("malformed or oversized gzip request body")
+        }
+      case Some(other) =>
+        throw Denied(415, s"unsupported content-encoding: $other")
+    }
   }
 
   private def safely(f: HttpExchange => Unit): com.sun.net.httpserver.HttpHandler =
@@ -238,8 +277,11 @@ object HttpRecordsServer {
         catch { case _: Throwable => ex.close() }
       case Denied(code, m) =>
         try respond(ex, code,
-          errJson(if (code == 401) "unauthenticated" else "forbidden", m)
-            .getBytes(UTF_8))
+          errJson(code match {
+            case 401 => "unauthenticated"
+            case 415 => "unsupported"
+            case _ => "forbidden"
+          }, m).getBytes(UTF_8))
         catch { case _: Throwable => ex.close() }
       case t: Throwable =>
         try respond(ex, 500,
@@ -298,7 +340,7 @@ object HttpRecordsServer {
   }
 
   private def bodyString(ex: HttpExchange): String =
-    new String(ex.getRequestBody.readAllBytes(), UTF_8)
+    new String(requestBytes(ex), UTF_8)
 
   /** Path guard for the JDK HttpServer's RAW-prefix context matching:
     * a context registered at "/v1/basins" also receives
@@ -1276,8 +1318,7 @@ object HttpRecordsServer {
     def handleAppend(ex: HttpExchange, basin: String, stream: String,
                      tok: Option[AccessToken]): Unit = {
       val base64 = base64Of(ex)
-      val input = parseAppendInput(
-        new String(ex.getRequestBody.readAllBytes(), UTF_8), base64)
+      val input = parseAppendInput(new String(requestBytes(ex), UTF_8), base64)
       checkCommandScopes(input, basin, stream, tok)
       store.append(basin, stream, input, nowMs, keyOf(ex)) match {
         case Right(ack) =>
@@ -1666,6 +1707,31 @@ private[graft] object HttpRecordsClient {
     val resp = httpClient.send(b.build(),
       java.net.http.HttpResponse.BodyHandlers.ofString())
     (resp.statusCode(), resp.body(), resp.headers())
+  }
+
+  /** Like [[request]] but returns the RAW response bytes plus the
+    * Content-Encoding header — the unary compression layer's test
+    * surface (HttpURLConnection does not transparently inflate). */
+  def requestRaw(method: String, url: String,
+                 headers: Seq[(String, String)] = Nil,
+                 body: Array[Byte] = null): (Int, Array[Byte], Option[String]) = {
+    val c = new java.net.URL(url).openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    c.setRequestMethod(method)
+    c.setConnectTimeout(5000)
+    c.setReadTimeout(65000)
+    headers.foreach { case (k, v) => c.setRequestProperty(k, v) }
+    if (body != null) {
+      c.setDoOutput(true)
+      c.setFixedLengthStreamingMode(body.length)
+      val os = c.getOutputStream
+      try os.write(body) finally os.close()
+    }
+    val code = c.getResponseCode
+    val is = if (code >= 400) c.getErrorStream else c.getInputStream
+    val out = if (is == null) Array.emptyByteArray
+              else try is.readAllBytes() finally is.close()
+    (code, out, Option(c.getHeaderField("Content-Encoding")))
   }
 
   def request(method: String, url: String,

@@ -63,15 +63,22 @@ object S2sCodec {
     bos.toByteArray
   }
 
-  private def gunzipBounded(data: Array[Byte]): Array[Byte] = {
+  private def gunzipBounded(data: Array[Byte]): Array[Byte] =
+    gunzip(data, MaxFrameBytes)
+
+  /** Bounded gunzip, shared with the unary routes' request-
+    * decompression layer (handlers/v1/mod.rs:30-33
+    * RequestDecompressionLayer): expansion beyond `cap` throws rather
+    * than materializing a zip bomb. */
+  private[log] def gunzip(data: Array[Byte], cap: Int): Array[Byte] = {
     val in = new GZIPInputStream(new ByteArrayInputStream(data))
-    val out = new ByteArrayOutputStream(math.min(data.length * 2, MaxFrameBytes))
+    val out = new ByteArrayOutputStream(math.min(data.length * 2, cap))
     val buf = new Array[Byte](8192)
     var total = 0
     var n = in.read(buf)
     while (n >= 0) {
       total += n
-      if (total > MaxFrameBytes)
+      if (total > cap)
         throw new java.io.IOException("decompressed payload exceeds limit")
       out.write(buf, 0, n)
       n = in.read(buf)
@@ -109,20 +116,27 @@ object S2sCodec {
     os.flush()
   }
 
+  /** None on EOF before the FIRST byte (a clean boundary); throws on
+    * EOF after a partial read — a length prefix torn mid-way is a torn
+    * session, not a clean close. */
   private def readFully(in: InputStream, n: Int): Option[Array[Byte]] = {
     val buf = new Array[Byte](n)
     var off = 0
     while (off < n) {
       val r = in.read(buf, off, n - off)
-      if (r < 0) return None
+      if (r < 0) {
+        if (off == 0) return None
+        throw new EOFException("stream torn mid-frame")
+      }
       off += r
     }
     Some(buf)
   }
 
   /** Decode the next frame; None on clean EOF at a frame boundary.
-    * EOF inside a frame (a torn session) throws — the caller must
-    * not mistake a truncated stream for a clean end. */
+    * EOF inside a frame — including inside the 3-byte length prefix —
+    * throws (a torn session): the caller must not mistake a truncated
+    * stream for a clean end. */
   def readFrame(in: InputStream): Option[Frame] = {
     val hdr = readFully(in, 3).getOrElse(return None)
     val len = ((hdr(0) & 0xff) << 16) | ((hdr(1) & 0xff) << 8) | (hdr(2) & 0xff)

@@ -1944,6 +1944,82 @@ object EngineDemos {
       } finally server.stop(0)
     },
 
+    // The router-wide unary compression layer (handlers/v1/mod.rs:
+    // 16-34): responses >= 1 KiB gzip when Accept-Encoding negotiates
+    // it (SizeAbove(1024)), SSE is exempt (NotForContentType), and
+    // request bodies arrive gzip-encoded (RequestDecompressionLayer)
+    // with unsupported encodings answering 415. S2S does its own
+    // per-frame compression (pinned in e2e_http_s2s), so this demo is
+    // the UNARY half of the reference's compression contract.
+    demo("e2e_http_gzip", Seq(
+      "unary_gzip" -> "enc:gzip,inflated_equal:true,wire_smaller:true",
+      "small_plain" -> "enc:none",
+      "unnegotiated_plain" -> "enc:none",
+      "sse_exempt" -> "enc:none,bodies:4",
+      "gzip_request" -> "200:z0,z1",
+      "unsupported_encoding" -> "415")) { (_, st) =>
+      val (server, endpoint) = graft.log.HttpRecordsServer.start(st, Some(1000L))
+      try {
+        import graft.log.HttpRecordsClient.{request, requestRaw}
+        st.catalog.createStream("demo-basin1", "gz")
+        val base = s"$endpoint/v1/streams/gz/records"
+        val hdr = Seq("s2-basin" -> "demo-basin1")
+        // corpus: 4 KiB of compressible body across 4 records
+        val seed = (0 until 4).map(i => s"""{"body":"${("ab" * 512) + i}"}""")
+        request("POST", base, hdr,
+          s"""{"records":[${seed.mkString(",")}]}""".getBytes("UTF-8"))
+        def gunzip(b: Array[Byte]): String = new String(
+          new java.util.zip.GZIPInputStream(
+            new java.io.ByteArrayInputStream(b)).readAllBytes(), "UTF-8")
+        // >1 KiB unary read, negotiated: gzip on the wire, inflates to
+        // exactly the un-negotiated body
+        val readUrl = s"$base?seq_num=0&count=4"
+        val (_, plainBody) = request("GET", readUrl, hdr)
+        val (_, zBody, zEnc) = requestRaw("GET", readUrl,
+          hdr :+ ("Accept-Encoding" -> "gzip"))
+        val unary = s"enc:${zEnc.getOrElse("none")}," +
+          s"inflated_equal:${gunzip(zBody) == plainBody}," +
+          s"wire_smaller:${zBody.length < plainBody.length}"
+        // < 1 KiB response stays plain even when negotiated
+        val (_, _, tailEnc) = requestRaw("GET", s"$base/tail",
+          hdr :+ ("Accept-Encoding" -> "gzip"))
+        // > 1 KiB response without negotiation stays plain
+        val (_, rawBody, rawEnc) = requestRaw("GET", readUrl, hdr)
+        val unneg = s"enc:${rawEnc.getOrElse("none")}"
+        require(new String(rawBody, "UTF-8") == plainBody)
+        // SSE is exempt from the layer: events arrive readable even
+        // with gzip negotiated (the client below parses plaintext)
+        val (_, sseBytes, sseEnc) = requestRaw("GET",
+          s"$base?seq_num=0&count=4&wait=1",
+          hdr ++ Seq("Accept" -> "text/event-stream",
+            "Accept-Encoding" -> "gzip"))
+        val sseRow = s"enc:${sseEnc.getOrElse("none")},bodies:${
+          """"body":"""".r.findAllIn(new String(sseBytes, "UTF-8")).size}"
+        // gzip-encoded REQUEST body: inflated by the layer, lands
+        val reqJson = """{"records":[{"body":"z0"},{"body":"z1"}]}"""
+        val bos = new java.io.ByteArrayOutputStream()
+        val g = new java.util.zip.GZIPOutputStream(bos)
+        g.write(reqJson.getBytes("UTF-8")); g.close()
+        st.catalog.createStream("demo-basin1", "gz-req")
+        val reqBase = s"$endpoint/v1/streams/gz-req/records"
+        val (zc, _) = request("POST", reqBase,
+          hdr :+ ("Content-Encoding" -> "gzip"), bos.toByteArray)
+        val (_, landed) = request("GET", s"$reqBase?seq_num=0&count=2", hdr)
+        val gzReq = s"$zc:" + """"body":"([^"]+)"""".r
+          .findAllMatchIn(landed).map(_.group(1)).mkString(",")
+        // an encoding the layer doesn't support answers 415
+        val (uc, _) = request("POST", reqBase,
+          hdr :+ ("Content-Encoding" -> "br"), reqJson.getBytes("UTF-8"))
+        Seq(
+          "unary_gzip" -> unary,
+          "small_plain" -> s"enc:${tailEnc.getOrElse("none")}",
+          "unnegotiated_plain" -> unneg,
+          "sse_exempt" -> sseRow,
+          "gzip_request" -> gzReq,
+          "unsupported_encoding" -> uc.toString)
+      } finally server.stop(0)
+    },
+
     // The v1 CATALOG serving surface: basins + streams CRUD over the
     // same HTTP server — the other two non-stub handler files in the
     // reference's lite router (basins.rs/streams.rs; access-tokens,

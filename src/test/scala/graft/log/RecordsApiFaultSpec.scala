@@ -188,6 +188,86 @@ class RecordsApiFaultSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { proxy.stop(0); server.stop(0) }
   }
 
+  test("(e) S2S framed append session, response lost: chained retry answers an in-band terminal 412 = exactly-once") {
+    val (st, server, proxy, proxyEp, controls) = harness()
+    try {
+      st.catalog.createStream("fault-basin", "s2scas")
+      val url = s"$proxyEp/v1/streams/s2scas/records"
+      // the SDK chain, framed: every input conditions on its own
+      // position, so a replay of the WHOLE session is decidable
+      val inputs = Seq(
+        """{"records":[{"body":"c0"},{"body":"c1"}],"match_seq_num":0}""",
+        """{"records":[{"body":"c2"},{"body":"c3"}],"match_seq_num":2}""")
+      var armed = true
+      controls.script = (m, p, _) =>
+        if (m == "POST" && p.endsWith("/s2scas/records") && armed) {
+          armed = false; NetFaultProxy.Fault.DropResponse
+        } else NetFaultProxy.Fault.None
+      // first attempt: applied server-side (both frames), acks swallowed
+      val lost = try Some(HttpRecordsClient.s2sAppendSession(url, hdr, inputs))
+        catch { case _: java.io.IOException => None }
+      assert(lost.isEmpty, "ack frames should have been swallowed")
+      // blind resend of the same framed session: the first frame's
+      // condition fails against the landed tail — the 412 rides IN a
+      // terminal frame (not an HTTP error), and its mismatch equals
+      // chain start + total records, the "my whole session landed"
+      // signal (sdk/src/batching.rs:138-159 over s2s framing)
+      val frames = HttpRecordsClient.s2sAppendSession(url, hdr, inputs)
+      assert(frames.size == 1 && frames.head.terminal,
+        s"expected a lone terminal frame, got $frames")
+      assert(frames.head.status == 412, s"terminal status ${frames.head.status}")
+      assert(frames.head.payloadUtf8.contains("\"seq_num_mismatch\":4"),
+        s"mismatch must reveal the landed session: ${frames.head.payloadUtf8}")
+      assert(bodiesIn(st, "s2scas") == Seq("c0", "c1", "c2", "c3")) // once
+      assert(controls.injected.get() == 1)
+    } finally { proxy.stop(0); server.stop(0) }
+  }
+
+  test("(f) S2S framed read killed mid-frame: seq resume delivers exactly the remainder") {
+    val (st, server, proxy, proxyEp, controls) = harness()
+    try {
+      st.catalog.createStream("fault-basin", "s2sread")
+      st.append("fault-basin", "s2sread",
+        AppendInput(Seq(EnvelopeRecord(Nil, utf8("f0")), EnvelopeRecord(Nil, utf8("f1")))))
+        .fold(e => fail(e.toString), identity)
+      // live framed follow directly against the server (the kill is
+      // client-side, as in (c))
+      val base = s"http://${server.getAddress.getHostString}:${server.getAddress.getPort}"
+      val c = new java.net.URL(s"$base/v1/streams/s2sread/records?seq_num=0&wait=30")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      c.setRequestProperty("Content-Type", S2sCodec.ContentType)
+      hdr.foreach { case (k, v) => c.setRequestProperty(k, v) }
+      assert(c.getResponseCode == 200)
+      val in = c.getInputStream
+      def bodiesOf(f: S2sCodec.Frame): Seq[String] =
+        """"body":"([^"]+)"""".r.findAllMatchIn(f.payloadUtf8).map(_.group(1)).toSeq
+      def lastRecordSeq(f: S2sCodec.Frame): Long = {
+        val recordsOnly = f.payloadUtf8.replaceAll(""""tail":\{[^}]*\}""", "")
+        """"seq_num":(\d+)""".r.findAllMatchIn(recordsOnly).map(_.group(1).toLong).max
+      }
+      // first COMPLETE frame carrying records = the catch-up batch (an
+      // empty-batch heartbeat frame may legitimately precede it)
+      var f1 = S2sCodec.readFrame(in).getOrElse(fail("no catch-up frame"))
+      while (bodiesOf(f1).isEmpty)
+        f1 = S2sCodec.readFrame(in).getOrElse(fail("session closed before catch-up"))
+      assert(bodiesOf(f1) == Seq("f0", "f1"), s"catch-up frame: ${f1.payloadUtf8}")
+      // a second batch lands while connected; its frame starts flowing
+      st.append("fault-basin", "s2sread",
+        AppendInput(Seq(EnvelopeRecord(Nil, utf8("f2")), EnvelopeRecord(Nil, utf8("f3")))))
+        .fold(e => fail(e.toString), identity)
+      // read INTO the next frame (2 bytes — inside its length prefix,
+      // never to a boundary), then kill: received but never processed
+      assert(in.read() >= 0 && in.read() >= 0, "next frame never started")
+      c.disconnect()
+      // resume from the last COMPLETE frame's last record: exactly the
+      // remainder — nothing duplicated, nothing lost
+      val resumed = HttpRecordsClient.s2sReadSession(
+        s"$base/v1/streams/s2sread/records?seq_num=${lastRecordSeq(f1) + 1}&count=2", hdr)
+      assert(resumed.flatMap(bodiesOf) == Seq("f2", "f3"),
+        s"resume delivered ${resumed.map(_.payloadUtf8)}")
+    } finally { proxy.stop(0); server.stop(0) }
+  }
+
   test("seeded sweep: chained-CAS client sustains randomized faults with exactly-once content") {
     val (st, server, proxy, proxyEp, controls) = harness()
     try {
