@@ -55,9 +55,13 @@ import graft.streaming.ReadSession
   * ReadBatch frames, clean close on limit exhaustion;
   * records.rs:266-293). Framing is byte-exact to the reference
   * (3-byte length + flag byte, per-frame gzip >= 1 KiB negotiated by
-  * Accept-Encoding); payloads are the repo's canonical v1 JSON
-  * shapes rather than prost protobuf — see [[S2sCodec]] for that
-  * documented divergence (content type `s2s/json`).
+  * Accept-Encoding); `s2s/proto` payloads are real protobuf
+  * ([[ProtoCodec]], the prost wire shapes), `s2s/json` a retained
+  * JSON-payload extension. The UNARY record routes likewise
+  * negotiate protobuf bodies via `application/protobuf` /
+  * `application/x-protobuf` Content-Type (request) and Accept
+  * (response), defaulting to JSON (extract.rs:95-121, mime.rs:41-46);
+  * error bodies stay JSON ErrorInfo in every encoding.
   *
   * The same server also carries the v1 CATALOG surface — the other
   * two non-stub handler files in the reference's lite router
@@ -1317,15 +1321,32 @@ object HttpRecordsServer {
 
     def handleAppend(ex: HttpExchange, basin: String, stream: String,
                      tok: Option[AccessToken]): Unit = {
-      val base64 = base64Of(ex)
-      val input = parseAppendInput(new String(requestBytes(ex), UTF_8), base64)
+      // request encoding from Content-Type, response encoding from
+      // Accept, each defaulting to JSON (extract.rs:95-121
+      // JsonOrProto). Proto bodies carry raw bytes, so the s2-format
+      // header only applies to the JSON arm.
+      val input =
+        if (ProtoCodec.isProtoMime(
+              Option(ex.getRequestHeaders.getFirst("Content-Type")))) {
+          try ProtoCodec.decodeAppendInput(requestBytes(ex))
+          catch { case ProtoCodec.MalformedProto(m) =>
+            throw BadRequest(s"malformed protobuf AppendInput: $m") }
+        } else
+          parseAppendInput(new String(requestBytes(ex), UTF_8), base64Of(ex))
       checkCommandScopes(input, basin, stream, tok)
+      val protoResp = ProtoCodec.isProtoMime(
+        Option(ex.getRequestHeaders.getFirst("Accept")))
       store.append(basin, stream, input, nowMs, keyOf(ex)) match {
         case Right(ack) =>
           meter.record("append", basin, stream, nowClock(),
             bytes = input.records.iterator.map(_.meteredSize).sum)
-          respond(ex, 200, ackJson(ack).getBytes(UTF_8))
+          if (protoResp)
+            respond(ex, 200, ProtoCodec.encodeAppendAck(ack),
+              ProtoCodec.ContentType)
+          else respond(ex, 200, ackJson(ack).getBytes(UTF_8))
         case Left(e) =>
+          // error bodies stay JSON ErrorInfo in every encoding
+          // (records.rs response declarations)
           val (code, body) = appendErrorParts(basin, stream, e)
           respond(ex, code, body.getBytes(UTF_8))
       }
@@ -1341,19 +1362,29 @@ object HttpRecordsServer {
     def s2sGzipOk(ex: HttpExchange): Boolean = S2sCodec.gzipNegotiated(
       Option(ex.getRequestHeaders.getFirst("Accept-Encoding")))
 
-    def s2sOpen(ex: HttpExchange): java.io.OutputStream = {
-      ex.getResponseHeaders.set("Content-Type", S2sCodec.ContentType)
+    def s2sOpen(ex: HttpExchange, contentType: String): java.io.OutputStream = {
+      ex.getResponseHeaders.set("Content-Type", contentType)
       ex.getResponseHeaders.set("Cache-Control", "no-cache, no-transform")
       ex.getResponseHeaders.set("x-accel-buffering", "no")
       ex.sendResponseHeaders(200, 0) // chunked; outcome rides in frames
       ex.getResponseBody
     }
 
+    // `s2s/proto` selects prost-shaped protobuf payloads exactly like
+    // the reference (is_s2s_proto, mime.rs:48-51); `s2s/json` is the
+    // retained JSON-payload extension. Terminal frames carry
+    // status+JSON in BOTH modes (s2s.rs TERMINAL layout).
+    def s2sProtoMode(ex: HttpExchange): Boolean =
+      Option(ex.getRequestHeaders.getFirst("Content-Type"))
+        .map(_.split(';')(0).trim.toLowerCase).contains(S2sCodec.ProtoContentType)
+
     def handleS2sAppend(ex: HttpExchange, basin: String, stream: String,
                         tok: Option[AccessToken]): Unit = {
       val base64 = base64Of(ex)
+      val proto = s2sProtoMode(ex)
       val gzipOk = s2sGzipOk(ex)
-      val os = s2sOpen(ex)
+      val os = s2sOpen(ex,
+        if (proto) S2sCodec.ProtoContentType else S2sCodec.ContentType)
       val session = new AppendSession(store, basin, stream, nowMs, keyOf(ex))
       try {
         // reader: decode input frames and submit while acks for
@@ -1372,7 +1403,12 @@ object HttpRecordsServer {
               val f = next.get
               if (f.terminal)
                 throw new java.io.IOException("unexpected terminal frame as input")
-              val input = parseAppendInput(f.payloadUtf8, base64)
+              val input =
+                if (proto) {
+                  try ProtoCodec.decodeAppendInput(f.payload)
+                  catch { case ProtoCodec.MalformedProto(m) =>
+                    throw BadRequest(s"malformed protobuf AppendInput: $m") }
+                } else parseAppendInput(f.payloadUtf8, base64)
               checkCommandScopes(input, basin, stream, tok)
               pending.put(Some(session.submit(input)))
               next = S2sCodec.readFrame(in)
@@ -1398,7 +1434,9 @@ object HttpRecordsServer {
               fut, scala.concurrent.duration.Duration.Inf) match {
               case Right(ack) =>
                 meter.record("append", basin, stream, nowClock())
-                S2sCodec.writeFrame(os, ackJson(ack).getBytes(UTF_8), gzipOk)
+                S2sCodec.writeFrame(os,
+                  if (proto) ProtoCodec.encodeAppendAck(ack)
+                  else ackJson(ack).getBytes(UTF_8), gzipOk)
               case Left(session.SessionError.Append(e)) =>
                 val (code, body) = appendErrorParts(basin, stream, e)
                 S2sCodec.writeTerminal(os, code, body)
@@ -1417,7 +1455,12 @@ object HttpRecordsServer {
       val q = query(ex)
       val base64 = base64Of(ex)
       val cipher = keyOf(ex)
+      val proto = s2sProtoMode(ex)
       val gzipOk = s2sGzipOk(ex)
+      def batchFrame(records: Seq[SequencedRecord],
+                     tail: StreamPosition): Array[Byte] =
+        if (proto) ProtoCodec.encodeReadBatch(records, Some(tail))
+        else batchJson(base64, records, Some(tail)).getBytes(UTF_8)
       val start = parseStart(q)
       val count = q.get("count").map(_.toLong)
       val bytes = q.get("bytes").map(_.toLong)
@@ -1447,7 +1490,8 @@ object HttpRecordsServer {
         respond(ex, 416, s"""{"tail":${posJson(tail0)}}""".getBytes(UTF_8))
         return
       }
-      val os = s2sOpen(ex)
+      val os = s2sOpen(ex,
+        if (proto) S2sCodec.ProtoContentType else S2sCodec.ContentType)
       val session = new ReadSession(store, basin, stream,
         math.min(startSeq, tail0.seqNum),
         ReadLimit(count, bytes), until, waitMs)
@@ -1459,15 +1503,13 @@ object HttpRecordsServer {
               meter.record("read", basin, stream, nowClock(),
                 bytes = records.iterator
                   .map(r => EnvelopeRecord(r.headers, r.body).meteredSize).sum)
-              S2sCodec.writeFrame(os,
-                batchJson(base64, records, Some(tail)).getBytes(UTF_8), gzipOk)
+              S2sCodec.writeFrame(os, batchFrame(records, tail), gzipOk)
             case session.Event.Batch(_, _) => ()
             case session.Event.Heartbeat(tail) =>
               // heartbeat = an EMPTY ReadBatch carrying the tail —
               // exactly the reference's S2s heartbeat mapping
               // (records.rs:276-281)
-              S2sCodec.writeFrame(os,
-                batchJson(base64, Nil, Some(tail)).getBytes(UTF_8), gzipOk)
+              S2sCodec.writeFrame(os, batchFrame(Nil, tail), gzipOk)
             case session.Event.Idle => Thread.sleep(5)
             case session.Event.Closed(reason) =>
               open = false
@@ -1514,7 +1556,15 @@ object HttpRecordsServer {
             bytes = records.iterator
               .map(r => EnvelopeRecord(r.headers, r.body).meteredSize).sum)
           val tail = store.checkTail(basin, stream)
-          respond(ex, 200, batchJson(base64, records, Some(tail)).getBytes(UTF_8))
+          // Accept negotiates the response encoding (extract.rs:158-166);
+          // proto carries raw bytes so s2-format only shapes the JSON arm
+          if (ProtoCodec.isProtoMime(
+                Option(ex.getRequestHeaders.getFirst("Accept"))))
+            respond(ex, 200, ProtoCodec.encodeReadBatch(records, Some(tail)),
+              ProtoCodec.ContentType)
+          else
+            respond(ex, 200,
+              batchJson(base64, records, Some(tail)).getBytes(UTF_8))
         case Left(err) if err.startsWith("RANGE_NOT_SATISFIABLE") =>
           // 416 carries the tail so the client can re-aim (records.rs:153)
           val tail = store.checkTail(basin, stream)
@@ -1734,6 +1784,30 @@ private[graft] object HttpRecordsClient {
     (code, out, Option(c.getHeaderField("Content-Encoding")))
   }
 
+  /** Binary request/response for the protobuf unary routes: returns
+    * (status, raw body bytes, response Content-Type). */
+  def requestBinary(method: String, url: String,
+                    headers: Seq[(String, String)] = Nil,
+                    body: Array[Byte] = null): (Int, Array[Byte], String) = {
+    val c = new java.net.URL(url).openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    c.setRequestMethod(method)
+    c.setConnectTimeout(5000)
+    c.setReadTimeout(65000)
+    headers.foreach { case (k, v) => c.setRequestProperty(k, v) }
+    if (body != null) {
+      c.setDoOutput(true)
+      c.setFixedLengthStreamingMode(body.length)
+      val os = c.getOutputStream
+      try os.write(body) finally os.close()
+    }
+    val code = c.getResponseCode
+    val is = if (code >= 400) c.getErrorStream else c.getInputStream
+    val out = if (is == null) Array.emptyByteArray
+              else try is.readAllBytes() finally is.close()
+    (code, out, Option(c.getHeaderField("Content-Type")).getOrElse(""))
+  }
+
   def request(method: String, url: String,
               headers: Seq[(String, String)] = Nil,
               body: Array[Byte] = null): (Int, String) = {
@@ -1808,20 +1882,29 @@ private[graft] object HttpRecordsClient {
     * the client half of the negotiation. */
   def s2sAppendSession(url: String, headers: Seq[(String, String)],
                        inputs: Seq[String],
-                       gzip: Boolean = false): Seq[S2sCodec.Frame] = {
+                       gzip: Boolean = false): Seq[S2sCodec.Frame] =
+    s2sAppendSessionRaw(url, headers, inputs.map(_.getBytes(UTF_8)), gzip,
+      S2sCodec.ContentType)
+
+  /** Encoding-agnostic framed append session: `frames` are the raw
+    * payload bytes (proto AppendInput under `s2s/proto`, JSON under
+    * `s2s/json`). */
+  def s2sAppendSessionRaw(url: String, headers: Seq[(String, String)],
+                          frames: Seq[Array[Byte]], gzip: Boolean,
+                          contentType: String): Seq[S2sCodec.Frame] = {
     val c = new java.net.URL(url).openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
     c.setRequestMethod("POST")
     c.setConnectTimeout(5000)
     c.setReadTimeout(65000)
-    c.setRequestProperty("Content-Type", S2sCodec.ContentType)
+    c.setRequestProperty("Content-Type", contentType)
     if (gzip) c.setRequestProperty("Accept-Encoding", "gzip")
     headers.foreach { case (k, v) => c.setRequestProperty(k, v) }
     c.setDoOutput(true)
     c.setChunkedStreamingMode(0)
     val os = c.getOutputStream
     try {
-      inputs.foreach(i => S2sCodec.writeFrame(os, i.getBytes(UTF_8), gzip))
+      frames.foreach(i => S2sCodec.writeFrame(os, i, gzip))
     } finally os.close()
     require(c.getResponseCode == 200,
       s"s2s append session open failed: HTTP ${c.getResponseCode}")
@@ -1832,13 +1915,15 @@ private[graft] object HttpRecordsClient {
     * the framed mode; returns every frame until the server closes
     * (clean exhaustion) or a terminal arrives. */
   def s2sReadSession(url: String, headers: Seq[(String, String)],
-                     gzip: Boolean = false): Seq[S2sCodec.Frame] = {
+                     gzip: Boolean = false,
+                     contentType: String = S2sCodec.ContentType)
+      : Seq[S2sCodec.Frame] = {
     val c = new java.net.URL(url).openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
     c.setRequestMethod("GET")
     c.setConnectTimeout(5000)
     c.setReadTimeout(65000)
-    c.setRequestProperty("Content-Type", S2sCodec.ContentType)
+    c.setRequestProperty("Content-Type", contentType)
     if (gzip) c.setRequestProperty("Accept-Encoding", "gzip")
     headers.foreach { case (k, v) => c.setRequestProperty(k, v) }
     require(c.getResponseCode == 200,

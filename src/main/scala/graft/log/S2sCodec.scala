@@ -22,17 +22,19 @@ import java.util.zip.{GZIPInputStream, GZIPOutputStream}
   * MAX_DECOMPRESSED_PAYLOAD_BYTES). Gzip only here: zstd has no JDK
   * implementation and the negotiation simply never selects it.
   *
-  * One deliberate divergence, documented at the server: frame
-  * PAYLOADS are the repo's v1 JSON shapes (the same AppendInput /
-  * ReadBatch bodies the unary routes speak), not prost-encoded
-  * protobuf — the proto codec is an axum/prost serialization
-  * artifact, and the repo-wide JSON codec keeps one canonical
-  * encoding per message. The content type is `s2s/json` accordingly
-  * (reference: `s2s/proto`).
+  * Two payload encodings ride these frames, selected by content
+  * type: `s2s/proto` — the reference's prost-shaped protobuf
+  * messages (AppendInput in, AppendAck / ReadBatch out), encoded by
+  * [[ProtoCodec]] — and `s2s/json`, a retained extension carrying
+  * the repo's v1 JSON shapes (the same bodies the unary routes
+  * speak). Terminal frames carry 2-byte status + JSON in both modes,
+  * exactly as in the reference (s2s.rs TERMINAL layout).
   */
 object S2sCodec {
 
   val ContentType = "s2s/json"
+  /** The reference's framed content type (mime.rs:48-51 is_s2s_proto). */
+  val ProtoContentType = "s2s/proto"
 
   val CompressionThreshold = 1024
   val MaxFrameBytes: Int = 2 * 1024 * 1024

@@ -2020,6 +2020,121 @@ object EngineDemos {
       } finally server.stop(0)
     },
 
+    // The protobuf encodings of the records API — the reference's
+    // OTHER two wire modes beyond JSON/SSE: unary bodies negotiated
+    // by application/protobuf Content-Type (request) / Accept
+    // (response) (extract.rs:95-121, mime.rs:41-46), and the
+    // s2s/proto framed session mode whose frames carry prost-shaped
+    // AppendInput / AppendAck / ReadBatch (records.rs:199-294,
+    // 405-455). ProtoCodec is the hand-written wire codec; this demo
+    // proves the full negotiation + cross-encoding equality: what
+    // protobuf writes, JSON reads, byte for byte.
+    demo("e2e_http_proto", Seq(
+      "unary_append_proto" -> "ct:application/protobuf,start:0,end:2,tail:2",
+      "unary_read_proto" -> "ct:application/protobuf,bodies:p0|p1,tail:2",
+      "cross_encoding" -> "equal:true",
+      "s2s_proto_session" -> "ct:s2s/proto,acks:0-2|2-4",
+      "s2s_proto_read" -> "bodies:p0|p1|s0|s1,gzip_equal:true",
+      "s2s_proto_cas" -> "terminal:412,mismatch:4")) { (_, st) =>
+      val (server, endpoint) = graft.log.HttpRecordsServer.start(st, Some(1000L))
+      try {
+        import graft.log.{HttpRecordsClient, ProtoCodec, S2sCodec}
+        import graft.log.HttpRecordsClient.{request, requestBinary}
+        import graft.model.{AppendInput => MInput, EnvelopeRecord => MEnv}
+        st.catalog.createStream("demo-basin1", "pb")
+        val base = s"$endpoint/v1/streams/pb/records"
+        val hdr = Seq("s2-basin" -> "demo-basin1")
+        def env(s: String) = MEnv(Nil, s.getBytes("UTF-8"))
+        // unary proto append: proto request body AND proto ack
+        val in1 = MInput(Seq(env("p0"), env("p1")),
+          clientTimestamps = Seq(None, None))
+        val (c1, ackBytes, ct1) = requestBinary("POST", base,
+          hdr ++ Seq("Content-Type" -> ProtoCodec.ContentType,
+            "Accept" -> ProtoCodec.ContentType),
+          ProtoCodec.encodeAppendInput(in1))
+        require(c1 == 200, s"proto append: HTTP $c1")
+        val ack = ProtoCodec.decodeAppendAck(ackBytes)
+        val unaryAppend = s"ct:$ct1,start:${ack.start.seqNum}," +
+          s"end:${ack.end.seqNum},tail:${ack.tail.seqNum}"
+        // unary proto read: Accept negotiates a proto ReadBatch
+        val (_, batchBytes, ct2) = requestBinary("GET",
+          s"$base?seq_num=0&count=2", hdr :+ ("Accept" -> ProtoCodec.ContentType))
+        val (recs, tail) = ProtoCodec.decodeReadBatch(batchBytes)
+        val unaryRead = s"ct:$ct2,bodies:${
+          recs.map(r => new String(r.body, "UTF-8")).mkString("|")},tail:${
+          tail.fold(-1L)(_.seqNum)}"
+        // cross-encoding: the JSON read of the SAME range must carry
+        // identical positions and bodies
+        val (_, jsonBody) = request("GET", s"$base?seq_num=0&count=2", hdr)
+        val jsonPairs = """"seq_num":(\d+)[^}]*"body":"([^"]+)"""".r
+          .findAllMatchIn(jsonBody).map(m => (m.group(1).toLong, m.group(2))).toSeq
+        val protoPairs = recs.map(r => (r.seqNum, new String(r.body, "UTF-8")))
+        val cross = s"equal:${jsonPairs == protoPairs}"
+        // s2s/proto framed append session: two pipelined proto inputs
+        st.catalog.createStream("demo-basin1", "pb-s2s")
+        val s2sBase = s"$endpoint/v1/streams/pb-s2s/records"
+        val sIn = Seq(
+          MInput(Seq(env("s0"), env("s1")), clientTimestamps = Seq(None, None)),
+          MInput(Seq(env("s2"), env("s3")), clientTimestamps = Seq(None, None)))
+        val ackFrames = HttpRecordsClient.s2sAppendSessionRaw(s2sBase, hdr,
+          sIn.map(ProtoCodec.encodeAppendInput), gzip = false,
+          S2sCodec.ProtoContentType)
+        val acks = ackFrames.map(f => ProtoCodec.decodeAppendAck(f.payload))
+        val s2sSession = s"ct:${S2sCodec.ProtoContentType},acks:${
+          acks.map(a => s"${a.start.seqNum}-${a.end.seqNum}").mkString("|")}"
+        // s2s/proto framed read across streams pb (p0,p1) via a
+        // second session on pb-s2s; also prove per-frame gzip leaves
+        // proto payloads intact: pad a >1 KiB record and compare the
+        // gzip'd and plain sessions' decoded bodies
+        val plainFrames = HttpRecordsClient.s2sReadSession(
+          s"$s2sBase?seq_num=0&count=2", hdr,
+          gzip = false, contentType = S2sCodec.ProtoContentType)
+        val pbFrames = HttpRecordsClient.s2sReadSession(
+          s"$base?seq_num=0&count=2", hdr,
+          gzip = false, contentType = S2sCodec.ProtoContentType)
+        def frameBodies(fs: Seq[S2sCodec.Frame]): Seq[String] = fs
+          .filterNot(_.terminal)
+          .flatMap(f => ProtoCodec.decodeReadBatch(f.payload)._1)
+          .map(r => new String(r.body, "UTF-8"))
+        st.catalog.createStream("demo-basin1", "pb-gz")
+        request("POST", s"$endpoint/v1/streams/pb-gz/records", hdr,
+          s"""{"records":[{"body":"${"gg" * 600}"}]}""".getBytes("UTF-8"))
+        val gzUrl = s"$endpoint/v1/streams/pb-gz/records?seq_num=0&count=1"
+        val gzFrames = HttpRecordsClient.s2sReadSession(gzUrl, hdr,
+          gzip = true, contentType = S2sCodec.ProtoContentType)
+        val plainGz = HttpRecordsClient.s2sReadSession(gzUrl, hdr,
+          gzip = false, contentType = S2sCodec.ProtoContentType)
+        val gzDataFrames = gzFrames.filterNot(_.terminal)
+          .filter(f => ProtoCodec.decodeReadBatch(f.payload)._1.nonEmpty)
+        require(gzDataFrames.forall(_.compression == S2sCodec.CompGzip),
+          "a >1 KiB proto frame must ride gzip'd when negotiated")
+        val s2sRead = s"bodies:${
+          (frameBodies(pbFrames) ++ frameBodies(plainFrames)).mkString("|")
+        },gzip_equal:${frameBodies(gzFrames) == frameBodies(plainGz)}"
+        // blind replay of the whole framed-proto session: in-band
+        // terminal 412, mismatch = chain start + session records
+        val chained = Seq(
+          MInput(Seq(env("s0"), env("s1")), matchSeqNum = Some(0L),
+            clientTimestamps = Seq(None, None)),
+          MInput(Seq(env("s2"), env("s3")), matchSeqNum = Some(2L),
+            clientTimestamps = Seq(None, None)))
+        val replay = HttpRecordsClient.s2sAppendSessionRaw(s2sBase, hdr,
+          chained.map(ProtoCodec.encodeAppendInput), gzip = false,
+          S2sCodec.ProtoContentType)
+        val term = replay.head
+        val mismatch = """"seq_num_mismatch":(\d+)""".r
+          .findFirstMatchIn(term.payloadUtf8).map(_.group(1)).getOrElse("?")
+        val cas = s"terminal:${term.status},mismatch:$mismatch"
+        Seq(
+          "unary_append_proto" -> unaryAppend,
+          "unary_read_proto" -> unaryRead,
+          "cross_encoding" -> cross,
+          "s2s_proto_session" -> s2sSession,
+          "s2s_proto_read" -> s2sRead,
+          "s2s_proto_cas" -> cas)
+      } finally server.stop(0)
+    },
+
     // The v1 CATALOG serving surface: basins + streams CRUD over the
     // same HTTP server — the other two non-stub handler files in the
     // reference's lite router (basins.rs/streams.rs; access-tokens,
