@@ -84,7 +84,7 @@ object NetFaultProxy {
       val out = if (is == null) Array.emptyByteArray
                 else try is.readAllBytes() finally is.close()
       val echo = Seq("ETag", "X-Put-Nonce", "X-Nonce-Applied",
-        "S2-provision-result").flatMap(h =>
+        "S2-provision-result", "Content-Type").flatMap(h =>
         Option(c.getHeaderField(h)).map(h -> _))
       (code, out, echo)
     }

@@ -268,6 +268,63 @@ class RecordsApiFaultSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { proxy.stop(0); server.stop(0) }
   }
 
+  test("(g) s2s/proto framed session, response lost: the chained-retry contract holds on the protobuf wire") {
+    val (st, server, proxy, proxyEp, controls) = harness()
+    try {
+      st.catalog.createStream("fault-basin", "pbcas")
+      val url = s"$proxyEp/v1/streams/pbcas/records"
+      def env(s: String) = EnvelopeRecord(Nil, utf8(s))
+      // the SDK chain as PROTO frames: same conditioning, binary wire
+      val inputs = Seq(
+        AppendInput(Seq(env("g0"), env("g1")), matchSeqNum = Some(0L),
+          clientTimestamps = Seq(None, None)),
+        AppendInput(Seq(env("g2"), env("g3")), matchSeqNum = Some(2L),
+          clientTimestamps = Seq(None, None)))
+      val frames = inputs.map(ProtoCodec.encodeAppendInput)
+      var armed = true
+      controls.script = (m, p, _) =>
+        if (m == "POST" && p.endsWith("/pbcas/records") && armed) {
+          armed = false; NetFaultProxy.Fault.DropResponse
+        } else NetFaultProxy.Fault.None
+      val lost = try Some(HttpRecordsClient.s2sAppendSessionRaw(url, hdr,
+        frames, gzip = false, S2sCodec.ProtoContentType))
+        catch { case _: java.io.IOException => None }
+      assert(lost.isEmpty, "ack frames should have been swallowed")
+      // blind framed-proto resend: in-band terminal 412, mismatch =
+      // chain start + total records — identical to the JSON wire (e)
+      val replay = HttpRecordsClient.s2sAppendSessionRaw(url, hdr,
+        frames, gzip = false, S2sCodec.ProtoContentType)
+      assert(replay.size == 1 && replay.head.terminal &&
+        replay.head.status == 412, s"expected lone terminal 412: $replay")
+      assert(replay.head.payloadUtf8.contains("\"seq_num_mismatch\":4"),
+        s"terminal body: ${replay.head.payloadUtf8}")
+      assert(bodiesIn(st, "pbcas") == Seq("g0", "g1", "g2", "g3")) // once
+      assert(controls.injected.get() == 1)
+      // and the unary proto wire: the same lost-response retry answers
+      // 412 whose body is JSON ErrorInfo even under Accept: protobuf
+      val unaryUrl = s"$proxyEp/v1/streams/pbcas/records"
+      val one = ProtoCodec.encodeAppendInput(AppendInput(Seq(env("g4")),
+        matchSeqNum = Some(4L), clientTimestamps = Seq(None)))
+      armed = true
+      controls.script = (m, p, _) =>
+        if (m == "POST" && p.endsWith("/pbcas/records") && armed) {
+          armed = false; NetFaultProxy.Fault.DropResponse
+        } else NetFaultProxy.Fault.None
+      val protoHdr = hdr ++ Seq("Content-Type" -> ProtoCodec.ContentType,
+        "Accept" -> ProtoCodec.ContentType)
+      val lostUnary = try Some(HttpRecordsClient.requestBinary(
+        "POST", unaryUrl, protoHdr, one))
+        catch { case _: java.io.IOException => None }
+      assert(lostUnary.isEmpty)
+      val (rc, rbody, rct) = HttpRecordsClient.requestBinary(
+        "POST", unaryUrl, protoHdr, one)
+      assert(rc == 412 && rct.startsWith("application/json"),
+        s"unary proto retry: $rc $rct")
+      assert(new String(rbody, "UTF-8").contains("\"seq_num_mismatch\":5"))
+      assert(bodiesIn(st, "pbcas") == Seq("g0", "g1", "g2", "g3", "g4"))
+    } finally { proxy.stop(0); server.stop(0) }
+  }
+
   test("seeded sweep: chained-CAS client sustains randomized faults with exactly-once content") {
     val (st, server, proxy, proxyEp, controls) = harness()
     try {
