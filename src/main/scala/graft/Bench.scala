@@ -698,7 +698,40 @@ object Bench {
           .map(_.group(1).toDouble).sum
         require(mc == 200 && metered == rpcs.toDouble,
           s"metrics meter counted $metered of $rpcs append RPCs")
-        f""""records_api_append_rps":${rpcs / apSec}%.1f,"records_api_append_mibps":${rpcs.toLong * recsPerRpc * (256 + 8) / apSec / 1048576}%.3f,"records_api_sse_records_per_sec":${sseRecords / sseSec}%.0f,"records_api_metered_ok":true"""
+        // s2s/proto framed session throughput (round 18): one
+        // pipelined binary append session (all batches in flight, acks
+        // drained after) and one framed read session from compacted
+        // storage — the wire a real SDK speaks, measured AFTER the
+        // metering integrity check since framed appends meter too
+        import graft.log.{ProtoCodec, S2sCodec}
+        import graft.model.{AppendInput => MInput, EnvelopeRecord => MEnv}
+        storeR.catalog.createStream("bench-basin", "ra-pb")
+        val pbBatches = 100
+        val pbFrame = ProtoCodec.encodeAppendInput(MInput(
+          Seq.fill(recsPerRpc)(MEnv(Nil, ("x" * 256).getBytes("UTF-8"))),
+          clientTimestamps = Seq.fill(recsPerRpc)(None)))
+        val tP0 = System.nanoTime()
+        val pbAcks = HttpRecordsClient.s2sAppendSessionRaw(
+          s"$epR/v1/streams/ra-pb/records", hdrR,
+          Seq.fill(pbBatches)(pbFrame), gzip = false,
+          S2sCodec.ProtoContentType)
+        val pbApSec = (System.nanoTime() - tP0) / 1e9
+        require(pbAcks.size == pbBatches && pbAcks.forall(!_.terminal),
+          s"framed-proto session acked ${pbAcks.size}/$pbBatches")
+        storeR.compact("bench-basin", "ra-pb")
+        val pbWant = pbBatches * recsPerRpc
+        HttpRecordsClient.s2sReadSession( // unbilled codegen warm pass
+          s"$epR/v1/streams/ra-pb/records?seq_num=0&count=$pbWant", hdrR,
+          gzip = false, contentType = S2sCodec.ProtoContentType)
+        val tR0 = System.nanoTime()
+        val pbFrames = HttpRecordsClient.s2sReadSession(
+          s"$epR/v1/streams/ra-pb/records?seq_num=0&count=$pbWant", hdrR,
+          gzip = false, contentType = S2sCodec.ProtoContentType)
+        val pbRdSec = (System.nanoTime() - tR0) / 1e9
+        val pbRead = pbFrames.filterNot(_.terminal)
+          .map(f => ProtoCodec.decodeReadBatch(f.payload)._1.size).sum
+        require(pbRead == pbWant, s"framed-proto read $pbRead/$pbWant")
+        f""""records_api_append_rps":${rpcs / apSec}%.1f,"records_api_append_mibps":${rpcs.toLong * recsPerRpc * (256 + 8) / apSec / 1048576}%.3f,"records_api_sse_records_per_sec":${sseRecords / sseSec}%.0f,"records_api_s2s_proto_batches_per_sec":${pbBatches / pbApSec}%.1f,"records_api_s2s_proto_read_records_per_sec":${pbRead / pbRdSec}%.0f,"records_api_metered_ok":true"""
       } finally serverR.stop(0)
     } catch { case e: Throwable =>
       val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(160)}"

@@ -346,6 +346,42 @@ object HttpRecordsServer {
   private def bodyString(ex: HttpExchange): String =
     new String(requestBytes(ex), UTF_8)
 
+  /** is_json (api/src/mime.rs:37-39): `application/json` or an
+    * an application-typed +json suffix; parameters ignored, first
+    * comma-separated mime only (mime.rs parse). */
+  private def isJsonMime(h: String): Boolean = {
+    val m = h.split(',')(0).split(';')(0).trim.toLowerCase
+    m == "application/json" ||
+      (m.startsWith("application/") && m.endsWith("+json"))
+  }
+
+  private val MissingCtMsg =
+    "Expected request with `Content-Type: application/json`"
+
+  /** The strict Json extractor's content-type gate (api/src/data.rs:
+    * 210-218): a JSON request body REQUIRES a json Content-Type —
+    * missing or non-json answers 415, exactly the reference's
+    * MissingContentType rejection. */
+  private def jsonBody(ex: HttpExchange): String = {
+    if (!Option(ex.getRequestHeaders.getFirst("Content-Type"))
+          .exists(isJsonMime))
+      throw Denied(415, MissingCtMsg)
+    bodyString(ex)
+  }
+
+  /** The JsonOpt extractor (api/src/data.rs:240-262 OptionalFromRequest):
+    * NO Content-Type means no body (None — the ensure routes' default-
+    * config form), a non-json Content-Type is 415, a json Content-Type
+    * with an empty body is None. */
+  private def jsonBodyOpt(ex: HttpExchange): Option[String] =
+    Option(ex.getRequestHeaders.getFirst("Content-Type")) match {
+      case scala.None => scala.None
+      case Some(ct) if !isJsonMime(ct) => throw Denied(415, MissingCtMsg)
+      case Some(_) =>
+        val b = bodyString(ex)
+        if (b.isBlank) scala.None else Some(b)
+    }
+
   /** Path guard for the JDK HttpServer's RAW-prefix context matching:
     * a context registered at "/v1/basins" also receives
     * "/v1/basinsjunk", which must be an unknown route (404), not a
@@ -678,7 +714,7 @@ object HttpRecordsServer {
               s""""has_more":${page.hasMore}}""").getBytes(UTF_8))
 
         case ("POST", true) => // create_basin: 201 + s2-provision-result
-          val root = JsonMethods.parse(bodyString(ex))
+          val root = JsonMethods.parse(jsonBody(ex))
           val bn = root \ "basin" match {
             case JString(s) => s
             case _ => throw BadRequest("basin name required")
@@ -706,11 +742,11 @@ object HttpRecordsServer {
                 basinConfigJson(ConfigCodec.decodeBasin(e.config)).getBytes(UTF_8))
           }
 
-        case ("PUT", false) => // ensure_basin: optional {config} body
-          val body = bodyString(ex)
-          val config =
-            if (body.isBlank) BasinConfig()
-            else parseBasinConfig(JsonMethods.parse(body) \ "config")
+        case ("PUT", false) => // ensure_basin: optional {config} body (JsonOpt)
+          val config = jsonBodyOpt(ex) match {
+            case scala.None => BasinConfig()
+            case Some(body) => parseBasinConfig(JsonMethods.parse(body) \ "config")
+          }
           cat.ensureBasin(name, config) match {
             case Right(outcome) =>
               val e = cat.getBasin(name).get
@@ -736,7 +772,7 @@ object HttpRecordsServer {
               respond(ex, 404, errJson("not_found", name).getBytes(UTF_8))
             case Some(e) =>
               val patch = parseBasinPatch(
-                JsonMethods.parse(bodyString(ex)), ConfigCodec.decodeBasin(e.config))
+                JsonMethods.parse(jsonBody(ex)), ConfigCodec.decodeBasin(e.config))
               cat.reconfigureBasin(name, patch) match {
                 case Right(cfg) =>
                   respond(ex, 200, basinConfigJson(cfg).getBytes(UTF_8))
@@ -794,7 +830,7 @@ object HttpRecordsServer {
                 s""""has_more":${page.hasMore}}""").getBytes(UTF_8))
           }
         case "POST" =>
-          val root = JsonMethods.parse(bodyString(ex))
+          val root = JsonMethods.parse(jsonBody(ex))
           val sn0 = root \ "stream" match {
             case JString(s) => s
             case _ => throw BadRequest("stream name required")
@@ -951,7 +987,7 @@ object HttpRecordsServer {
             (s"""{"access_tokens":[${page.items.map(tokenInfoJson).mkString(",")}],""" +
               s""""has_more":${page.hasMore}}""").getBytes(UTF_8))
         case ("POST", true) =>
-          val root = JsonMethods.parse(bodyString(ex))
+          val root = JsonMethods.parse(jsonBody(ex))
           val tid = root \ "id" match {
             case JString(s) => s
             case _ => throw BadRequest("token id required")
@@ -1043,7 +1079,7 @@ object HttpRecordsServer {
           }
         case ("PUT", "default") =>
           // SetDefaultLocationRequest = LocationName: a bare JSON string
-          val name = JsonMethods.parse(bodyString(ex)) match {
+          val name = JsonMethods.parse(jsonBody(ex)) match {
             case JString(s) => s
             case other => throw BadRequest(s"malformed location name: $other")
           }
@@ -1194,11 +1230,11 @@ object HttpRecordsServer {
           case Some(c) =>
             respond(ex, 200, streamConfigJson(c).getBytes(UTF_8))
         }
-      case "PUT" => // ensure_stream: body IS the (optional) StreamConfig
-        val body = bodyString(ex)
-        val config =
-          if (body.isBlank) StreamConfig()
-          else parseStreamConfig(JsonMethods.parse(body))
+      case "PUT" => // ensure_stream: body IS the (optional) StreamConfig (JsonOpt)
+        val config = jsonBodyOpt(ex) match {
+          case scala.None => StreamConfig()
+          case Some(body) => parseStreamConfig(JsonMethods.parse(body))
+        }
         cat.ensureStream(basin, stream, config) match {
           case Right(outcome) =>
             val e = cat.getStream(basin, stream).get
@@ -1225,7 +1261,7 @@ object HttpRecordsServer {
             respond(ex, 404, errJson("not_found", s"$basin/$stream").getBytes(UTF_8))
           case Some(e) =>
             val patch = parseStreamPatch(
-              JsonMethods.parse(bodyString(ex)), ConfigCodec.decode(e.config))
+              JsonMethods.parse(jsonBody(ex)), ConfigCodec.decode(e.config))
             cat.reconfigureStream(basin, stream, patch) match {
               case Right(_) =>
                 // reference returns the resolved post-patch config;
@@ -1332,7 +1368,10 @@ object HttpRecordsServer {
           catch { case ProtoCodec.MalformedProto(m) =>
             throw BadRequest(s"malformed protobuf AppendInput: $m") }
         } else
-          parseAppendInput(new String(requestBytes(ex), UTF_8), base64Of(ex))
+          // the JSON arm is the strict Json extractor: a json
+          // Content-Type is REQUIRED (missing/other answers 415), the
+          // reference's AppendRequest default arm (extract.rs:95-121)
+          parseAppendInput(jsonBody(ex), base64Of(ex))
       checkCommandScopes(input, basin, stream, tok)
       val protoResp = ProtoCodec.isProtoMime(
         Option(ex.getRequestHeaders.getFirst("Accept")))
@@ -1745,9 +1784,19 @@ private[graft] object HttpRecordsClient {
   /** Like [[request]] but over java.net.http — HttpURLConnection
     * refuses the PATCH method the reconfigure routes use. Returns
     * (status, body, response headers). */
+  /** JSON bodies require `Content-Type: application/json` server-side
+    * (the strict Json extractor); the SDK-shaped helpers default it
+    * when the caller sends a body without naming an encoding. */
+  private def withDefaultJsonCt(headers: Seq[(String, String)],
+                                body: Array[Byte]): Seq[(String, String)] =
+    if (body != null && !headers.exists(_._1.equalsIgnoreCase("Content-Type")))
+      headers :+ ("Content-Type" -> "application/json")
+    else headers
+
   def requestAny(method: String, url: String,
-                 headers: Seq[(String, String)] = Nil,
+                 headers0: Seq[(String, String)] = Nil,
                  body: Array[Byte] = null): (Int, String, java.net.http.HttpHeaders) = {
+    val headers = withDefaultJsonCt(headers0, body)
     val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
       .timeout(java.time.Duration.ofSeconds(65))
       .method(method, if (body == null)
@@ -1809,8 +1858,9 @@ private[graft] object HttpRecordsClient {
   }
 
   def request(method: String, url: String,
-              headers: Seq[(String, String)] = Nil,
+              headers0: Seq[(String, String)] = Nil,
               body: Array[Byte] = null): (Int, String) = {
+    val headers = withDefaultJsonCt(headers0, body)
     val c = new java.net.URL(url).openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
     c.setRequestMethod(method)

@@ -2135,6 +2135,60 @@ object EngineDemos {
       } finally server.stop(0)
     },
 
+    // The content-type contract of the JSON routes (api/src/data.rs):
+    // a JSON request body REQUIRES `Content-Type: application/json`
+    // (or an application/*+json suffix) — the strict Json extractor
+    // answers 415 MissingContentType otherwise — while the ensure
+    // routes' OPTIONAL bodies (JsonOpt, data.rs:240-262) treat a
+    // missing Content-Type as "no body" (defaults apply) and still
+    // 415 a non-json one. Pinned against raw requests that name no
+    // encoding (the SDK-shaped client helpers default the header).
+    demo("e2e_http_content_type", Seq(
+      "append_no_ct" -> "415",
+      "append_wrong_ct" -> "415",
+      "append_json_ct" -> "200",
+      "append_suffix_json" -> "200",
+      "create_no_ct" -> "415",
+      "ensure_no_ct" -> "201:created",
+      "ensure_wrong_ct" -> "415",
+      "patch_wrong_ct" -> "415")) { (_, st) =>
+      val (server, endpoint) = graft.log.HttpRecordsServer.start(st, Some(1000L))
+      try {
+        import graft.log.HttpRecordsClient.{requestAny, requestBinary}
+        st.catalog.createStream("demo-basin1", "ct")
+        val url = s"$endpoint/v1/streams/ct/records"
+        val hdr = Seq("s2-basin" -> "demo-basin1")
+        val body = """{"records":[{"body":"c"}]}""".getBytes("UTF-8")
+        def code(r: (Int, Array[Byte], String)) = r._1.toString
+        // ensure with NO content type = no body (JsonOpt None) =
+        // default config; a fresh stream provisions 201 created
+        // (requestAny sends no Content-Type when there is no body)
+        val (ensC, _, ensH) = requestAny("PUT",
+          s"$endpoint/v1/streams/ct-ens", hdr)
+        val ensTag = ensH.firstValue("s2-provision-result").orElse("?")
+        Seq(
+          "append_no_ct" -> code(requestBinary("POST", url, hdr, body)),
+          "append_wrong_ct" -> code(requestBinary("POST", url,
+            hdr :+ ("Content-Type" -> "text/plain"), body)),
+          "append_json_ct" -> code(requestBinary("POST", url,
+            hdr :+ ("Content-Type" -> "application/json; charset=utf-8"), body)),
+          "append_suffix_json" -> code(requestBinary("POST", url,
+            hdr :+ ("Content-Type" -> "application/vnd.s2+json"), body)),
+          "create_no_ct" -> code(requestBinary("POST",
+            s"$endpoint/v1/streams", hdr, """{"stream":"ct2"}""".getBytes("UTF-8"))),
+          "ensure_no_ct" -> s"$ensC:$ensTag",
+          "ensure_wrong_ct" -> code(requestBinary("PUT",
+            s"$endpoint/v1/streams/ct-ens2",
+            hdr :+ ("Content-Type" -> "text/plain"),
+            """{"retention_policy":{"age":"infinite"}}""".getBytes("UTF-8"))),
+          {
+            val (c, _, _) = requestAny("PATCH", s"$endpoint/v1/streams/ct",
+              hdr :+ ("Content-Type" -> "text/plain"), "{}".getBytes("UTF-8"))
+            "patch_wrong_ct" -> c.toString
+          })
+      } finally server.stop(0)
+    },
+
     // The v1 CATALOG serving surface: basins + streams CRUD over the
     // same HTTP server — the other two non-stub handler files in the
     // reference's lite router (basins.rs/streams.rs; access-tokens,
