@@ -141,6 +141,26 @@ object HttpRecordsServer {
   private def errJson(code: String, message: String): String =
     s"""{"code":"$code","message":"${jsonEsc(message)}"}"""
 
+  /** True iff the failure is an AEAD auth failure (wrong key / corrupt
+    * record) anywhere in the cause chain — plan-level decryption
+    * surfaces it wrapped in Spark's task-failure exceptions. Maps to
+    * the reference's `decryption_failed` error (records.rs wrong-key
+    * test: 400 + "record decryption failed"). */
+  private def decryptionFailure(t: Throwable): Boolean = {
+    var c: Throwable = t
+    var depth = 0
+    while (c != null && depth < 16) {
+      if (c.isInstanceOf[javax.crypto.AEADBadTagException]) return true
+      if (c.getMessage != null && c.getMessage.contains("AEADBadTagException"))
+        return true
+      c = c.getCause; depth += 1
+    }
+    false
+  }
+
+  private val DecryptionFailedBody: String =
+    errJson("decryption_failed", "record decryption failed")
+
   // -------------------------------------------------------------------
   // Request parsing
   // -------------------------------------------------------------------
@@ -282,6 +302,7 @@ object HttpRecordsServer {
       case Denied(code, m) =>
         try respond(ex, code,
           errJson(code match {
+            case 400 => "bad_header" // key-vs-config rejections
             case 401 => "unauthenticated"
             case 415 => "unsupported"
             case _ => "forbidden"
@@ -1490,10 +1511,22 @@ object HttpRecordsServer {
       } finally { session.close(); ex.close() }
     }
 
+    // Key-vs-config mismatch on a SESSION read rejects BEFORE the
+    // stream opens (records.rs:838-866: 400 bad_header "missing
+    // encryption key"), since once the 200 + stream starts the only
+    // error channel left is in-band.
+    def checkReadCipher(basin: String, cipher: Option[Array[Byte]]): Unit =
+      RecordCipher.resolve(
+        store.catalog.basinConfig(basin).streamCipher, cipher) match {
+        case Left(e) => throw Denied(400, e)
+        case Right(_) => ()
+      }
+
     def handleS2sRead(ex: HttpExchange, basin: String, stream: String): Unit = {
       val q = query(ex)
       val base64 = base64Of(ex)
       val cipher = keyOf(ex)
+      checkReadCipher(basin, cipher)
       val proto = s2sProtoMode(ex)
       val gzipOk = s2sGzipOk(ex)
       def batchFrame(records: Seq[SequencedRecord],
@@ -1533,7 +1566,7 @@ object HttpRecordsServer {
         if (proto) S2sCodec.ProtoContentType else S2sCodec.ContentType)
       val session = new ReadSession(store, basin, stream,
         math.min(startSeq, tail0.seqNum),
-        ReadLimit(count, bytes), until, waitMs)
+        ReadLimit(count, bytes), until, waitMs, cipher = cipher)
       var open = true
       try {
         while (open) {
@@ -1560,6 +1593,11 @@ object HttpRecordsServer {
           }
         }
       } catch {
+        case t: Throwable if decryptionFailure(t) =>
+          // wrong key mid-session: the only error channel after the
+          // 200 is in-band — terminal decryption_failed frame
+          try S2sCodec.writeTerminal(os, 400, DecryptionFailedBody)
+          catch { case _: java.io.IOException => () }
         case _: java.io.IOException => ()
       } finally ex.close()
     }
@@ -1569,6 +1607,7 @@ object HttpRecordsServer {
       val q = query(ex)
       val base64 = base64Of(ex)
       val cipher = keyOf(ex)
+      checkReadCipher(basin, cipher)
       val start = parseStart(q)
       val until = q.get("until").map(_.toLong)
       // MAX_UNARY_READ_WAIT = 60 s (handlers/v1/mod.rs:14)
@@ -1584,10 +1623,16 @@ object HttpRecordsServer {
       val deadline = System.currentTimeMillis() + waitMs
       var out: Either[String, Seq[SequencedRecord]] = null
       var looping = true
-      while (looping) {
+      try while (looping) {
         out = store.readUnary(basin, stream, spec, cipher = cipher)
         looping = out.exists(_.isEmpty) && System.currentTimeMillis() < deadline
         if (looping) Thread.sleep(10)
+      } catch {
+        // wrong key (right length, wrong bytes): AEAD auth failure
+        // inside the decrypt plan → 400 decryption_failed
+        case t: Throwable if decryptionFailure(t) =>
+          respond(ex, 400, DecryptionFailedBody.getBytes(UTF_8))
+          return
       }
       out match {
         case Right(records) =>
@@ -1620,6 +1665,7 @@ object HttpRecordsServer {
       val q = query(ex)
       val base64 = base64Of(ex)
       val cipher = keyOf(ex)
+      checkReadCipher(basin, cipher)
       val lastEventId = Option(ex.getRequestHeaders.getFirst("Last-Event-ID"))
         .map(parseLastEventId)
       // apply_last_event_id (records.rs:49-65): resume after seq, with
@@ -1675,7 +1721,7 @@ object HttpRecordsServer {
 
       val session = new ReadSession(store, basin, stream,
         math.min(startSeq, tail0.seqNum),
-        ReadLimit(count, bytes), until, waitMs)
+        ReadLimit(count, bytes), until, waitMs, cipher = cipher)
       var processedCount = 0L
       var processedBytes = 0L
       var open = true
@@ -1707,6 +1753,10 @@ object HttpRecordsServer {
           }
         }
       } catch {
+        case t: Throwable if decryptionFailure(t) =>
+          // wrong key mid-session: in-band SSE error event
+          try emit(s"event: error\ndata: $DecryptionFailedBody\n\n")
+          catch { case _: java.io.IOException => () }
         // client went away mid-stream (the reconnect path): just drop
         case _: java.io.IOException => ()
       } finally ex.close()

@@ -36,7 +36,12 @@ final class ReadSession(store: StreamStore, basin: String, stream: String,
                         waitMs: Option[Long] = None,
                         clock: () => Long = () => System.currentTimeMillis(),
                         heartbeatMs: () => Long = () =>
-                          5000L + scala.util.Random.nextLong(10000L)) {
+                          5000L + scala.util.Random.nextLong(10000L),
+                        /** client-supplied key for encrypted streams
+                          * (s2-encryption-key): the reference threads it
+                          * into EVERY read mode, sessions included
+                          * (extract.rs EventStream/S2s arms). */
+                        cipher: Option[Array[Byte]] = None) {
 
   sealed trait Event
   object Event {
@@ -84,7 +89,7 @@ final class ReadSession(store: StreamStore, basin: String, stream: String,
         bytes = Some(math.min(remBytes, Caps.MaxBatchMeteredBytes)))
       store.readBatch(basin, stream,
         ReadSpec(ReadStart(ReadFrom.SeqNum(nextSeq)),
-          ReadEnd(chunk, until))) match {
+          ReadEnd(chunk, until)), cipher = cipher) match {
         case Left(e) => close(e)
         case Right(records) if records.isEmpty =>
           // Disambiguate: denied by the session limit / until bound,
@@ -94,7 +99,7 @@ final class ReadSession(store: StreamStore, basin: String, stream: String,
           // not treated as a close.
           store.readBatch(basin, stream,
             ReadSpec(ReadStart(ReadFrom.SeqNum(nextSeq)),
-              ReadEnd(ReadLimit(count = Some(1))))) match {
+              ReadEnd(ReadLimit(count = Some(1)))), cipher = cipher) match {
             case Right(probe) if probe.isEmpty =>
               nextSeq = tail.seqNum // nothing visible below tail: follow
               poll()

@@ -145,6 +145,74 @@ class HttpRecordsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally server.stop(0)
   }
 
+  test("encrypted SESSION reads: s2s without the key rejects 400 bad_header " +
+    "BEFORE the stream opens; with the key, frames decrypt (records.rs:838-900); " +
+    "SSE likewise threads the key") {
+    val (st, server, ep) = served(Some(CipherAlgo.Aegis256))
+    try {
+      val key = Array.fill(32)(0x42.toByte)
+      val keyB64 = Base64.getEncoder.encodeToString(key)
+      val keyHdr = hdr :+ ("s2-encryption-key" -> keyB64)
+      request("POST", s"$ep/v1/streams/s/records", keyHdr,
+        """{"records":[{"body":"secret"}]}""".getBytes("UTF-8"))
+      // (1) s2s read, NO key: HTTP 400 bad_header before any frame
+      val (c1, b1, _) = HttpRecordsClient.requestBinary("GET",
+        s"$ep/v1/streams/s/records?seq_num=0&count=1",
+        hdr :+ ("Content-Type" -> S2sCodec.ProtoContentType))
+      assert(c1 == 400, s"expected pre-stream rejection, got $c1")
+      val e1 = new String(b1, "UTF-8")
+      assert(e1.contains("\"bad_header\"") &&
+        e1.contains("missing encryption key"), e1)
+      // (2) s2s read WITH the key: a proto batch frame carrying the
+      // decrypted body
+      val frames = HttpRecordsClient.s2sReadSession(
+        s"$ep/v1/streams/s/records?seq_num=0&count=1", keyHdr,
+        contentType = S2sCodec.ProtoContentType)
+      val recs = frames.filterNot(_.terminal)
+        .flatMap(f => ProtoCodec.decodeReadBatch(f.payload)._1)
+      assert(recs.map(r => new String(r.body, "UTF-8")) == Seq("secret"),
+        s"frames: ${frames.map(_.payloadUtf8)}")
+      // (3) SSE with the key: decrypted body in the event stream; and
+      // without it, the same pre-stream 400
+      val evs = HttpRecordsClient.readSse(
+        s"$ep/v1/streams/s/records?seq_num=0&count=1", keyHdr)
+      assert(evs.exists(_.data.contains(""""body":"secret"""")),
+        evs.map(_.data).mkString("|"))
+      val (c2, b2, _) = HttpRecordsClient.requestBinary("GET",
+        s"$ep/v1/streams/s/records?seq_num=0&count=1",
+        hdr :+ ("Accept" -> "text/event-stream"))
+      assert(c2 == 400 && new String(b2, "UTF-8").contains("bad_header"),
+        s"$c2 ${new String(b2, "UTF-8")}")
+    } finally server.stop(0)
+  }
+
+  test("WRONG key (right length): unary read answers 400 decryption_failed " +
+    "(records.rs wrong-key test); an s2s session surfaces it as an in-band " +
+    "terminal frame") {
+    val (st, server, ep) = served(Some(CipherAlgo.Aegis256))
+    try {
+      val rightHdr = hdr :+ ("s2-encryption-key" ->
+        Base64.getEncoder.encodeToString(Array.fill(32)(0x42.toByte)))
+      val wrongHdr = hdr :+ ("s2-encryption-key" ->
+        Base64.getEncoder.encodeToString(Array.fill(32)(0x24.toByte)))
+      request("POST", s"$ep/v1/streams/s/records", rightHdr,
+        """{"records":[{"body":"secret"}]}""".getBytes("UTF-8"))
+      val (c1, b1) = request("GET", s"$ep/v1/streams/s/records?seq_num=0", wrongHdr)
+      assert(c1 == 400, s"$c1 $b1")
+      assert(b1.contains("\"decryption_failed\"") &&
+        b1.contains("record decryption failed"), b1)
+      // session form: the 200 + stream already started, so the error
+      // is an in-band terminal decryption_failed frame
+      val frames = HttpRecordsClient.s2sReadSession(
+        s"$ep/v1/streams/s/records?seq_num=0&count=1", wrongHdr,
+        contentType = S2sCodec.ProtoContentType)
+      assert(frames.nonEmpty && frames.last.terminal &&
+        frames.last.status == 400 &&
+        frames.last.payloadUtf8.contains("decryption_failed"),
+        s"frames: ${frames.map(f => (f.terminal, f.status, f.payloadUtf8))}")
+    } finally server.stop(0)
+  }
+
   test("long-poll unary read: wait blocks until a record lands, then " +
     "returns it (MAX_UNARY_READ_WAIT long-poll, records.rs:78-81)") {
     val (st, server, ep) = served()
