@@ -174,14 +174,29 @@ object HttpRecordsServer {
 
   private final case class BadRequest(msg: String) extends RuntimeException(msg)
 
+  /** Semantic validation failure (well-formed request, invalid
+    * values): the reference's ErrorCode::Invalid / JSON DataError
+    * class, answered 422 UNPROCESSABLE_ENTITY (api/src/v1/error.rs:76,
+    * data.rs classify_sonic_error TypeUnmatched/NotFound→422) — as
+    * opposed to BadRequest's 400 for malformed syntax, queries and
+    * headers (BadJson-syntax/BadQuery/BadHeader). */
+  private final case class Invalid(msg: String) extends RuntimeException(msg)
+
   /** Authorization failure: 401 (no/unknown/expired bearer) or 403
     * (live token, operation or resource out of scope). */
   private final case class Denied(code: Int, msg: String)
     extends RuntimeException(msg)
 
+  /** JSON SYNTAX errors are 400 (the reference's SyntaxError class,
+    * data.rs classify_sonic_error default arm); shape/type errors on a
+    * parsed document are the 422 Invalid class. */
+  private def parseJson(s: String): JValue =
+    try JsonMethods.parse(s)
+    catch { case e: Exception => throw BadRequest(s"malformed json: ${e.getMessage}") }
+
   private def parseStart(q: Map[String, String]): ReadStart = {
     val picks = Seq("seq_num", "timestamp", "tail_offset").filter(q.contains)
-    if (picks.size > 1) throw BadRequest(
+    if (picks.size > 1) throw Invalid(
       "only one of seq_num, timestamp, or tail_offset can be provided")
     val from = picks.headOption match {
       case Some("timestamp") => ReadFrom.Timestamp(q("timestamp").toLong)
@@ -192,31 +207,31 @@ object HttpRecordsServer {
   }
 
   private def parseAppendInput(json: String, base64: Boolean): AppendInput = {
-    val root = JsonMethods.parse(json)
+    val root = parseJson(json)
     val recs = root \ "records" match {
       case JArray(rs) => rs
-      case _ => throw BadRequest("records array required")
+      case _ => throw Invalid("records array required")
     }
     val parsed = recs.map { r =>
       val headers = r \ "headers" match {
         case JArray(hs) => hs.map {
           case JArray(List(JString(n), JString(v))) =>
             Header(decodeBytes(base64, n), decodeBytes(base64, v))
-          case other => throw BadRequest(s"malformed header: $other")
+          case other => throw Invalid(s"malformed header: $other")
         }
         case JNothing => Nil
-        case other => throw BadRequest(s"malformed headers: $other")
+        case other => throw Invalid(s"malformed headers: $other")
       }
       val body = r \ "body" match {
         case JString(s) => decodeBytes(base64, s)
         case JNothing => Array.emptyByteArray
-        case other => throw BadRequest(s"malformed body: $other")
+        case other => throw Invalid(s"malformed body: $other")
       }
       val ts = r \ "timestamp" match {
         case JInt(t) => Some(t.toLong)
         case JLong(t) => Some(t)
         case JNothing => None
-        case other => throw BadRequest(s"malformed timestamp: $other")
+        case other => throw Invalid(s"malformed timestamp: $other")
       }
       (EnvelopeRecord(headers, body), ts)
     }
@@ -298,6 +313,9 @@ object HttpRecordsServer {
     (ex: HttpExchange) => try f(ex) catch {
       case BadRequest(m) =>
         try respond(ex, 400, errJson("invalid", m).getBytes(UTF_8))
+        catch { case _: Throwable => ex.close() }
+      case Invalid(m) =>
+        try respond(ex, 422, errJson("invalid", m).getBytes(UTF_8))
         catch { case _: Throwable => ex.close() }
       case Denied(code, m) =>
         try respond(ex, code,
@@ -539,39 +557,39 @@ object HttpRecordsServer {
   private def jLong(j: JValue, what: String): Long = j match {
     case JInt(n) => n.toLong
     case JLong(n) => n
-    case other => throw BadRequest(s"malformed $what: $other")
+    case other => throw Invalid(s"malformed $what: $other")
   }
 
   private def jBool(j: JValue, what: String): Boolean = j match {
     case JBool(b) => b
-    case other => throw BadRequest(s"malformed $what: $other")
+    case other => throw Invalid(s"malformed $what: $other")
   }
 
   private def parseStorageClass(j: JValue): StorageClass = j match {
     case JString("standard") => StorageClass.Standard
     case JString("express") => StorageClass.Express
-    case other => throw BadRequest(s"invalid storage_class: $other")
+    case other => throw Invalid(s"invalid storage_class: $other")
   }
 
   private def parseTsMode(j: JValue): TimestampingMode = j match {
     case JString("client-prefer") => TimestampingMode.ClientPrefer
     case JString("client-require") => TimestampingMode.ClientRequire
     case JString("arrival") => TimestampingMode.Arrival
-    case other => throw BadRequest(s"invalid timestamping mode: $other")
+    case other => throw Invalid(s"invalid timestamping mode: $other")
   }
 
   private def parseRetention(j: JValue): RetentionPolicy = j match {
     case o: JObject => (o \ "age", o \ "infinite") match {
       case (JNothing, JNothing) =>
-        throw BadRequest("retention_policy needs `age` or `infinite`")
+        throw Invalid("retention_policy needs `age` or `infinite`")
       case (age, JNothing) =>
         val secs = jLong(age, "retention age")
-        if (secs <= 0) throw BadRequest("retention age must be > 0 seconds")
+        if (secs <= 0) throw Invalid("retention age must be > 0 seconds")
         RetentionPolicy.Age(secs)
       case (JNothing, _) => RetentionPolicy.Infinite
-      case _ => throw BadRequest("retention_policy is age XOR infinite")
+      case _ => throw Invalid("retention_policy is age XOR infinite")
     }
-    case other => throw BadRequest(s"malformed retention_policy: $other")
+    case other => throw Invalid(s"malformed retention_policy: $other")
   }
 
   /** Full-config timestamping: optional leaves default (api
@@ -580,13 +598,13 @@ object HttpRecordsServer {
     case o: JObject => Timestamping(
       mode = jOpt(o \ "mode")(parseTsMode).getOrElse(TimestampingMode.ClientPrefer),
       uncapped = jOpt(o \ "uncapped")(jBool(_, "uncapped")).getOrElse(false))
-    case other => throw BadRequest(s"malformed timestamping: $other")
+    case other => throw Invalid(s"malformed timestamping: $other")
   }
 
   private def parseDeleteOnEmpty(j: JValue): DeleteOnEmpty = j match {
     case o: JObject =>
       DeleteOnEmpty(jOpt(o \ "min_age_secs")(jLong(_, "min_age_secs")).getOrElse(0L))
-    case other => throw BadRequest(s"malformed delete_on_empty: $other")
+    case other => throw Invalid(s"malformed delete_on_empty: $other")
   }
 
   private def parseStreamConfig(j: JValue): StreamConfig = j match {
@@ -596,13 +614,13 @@ object HttpRecordsServer {
       retentionPolicy = jOpt(o \ "retention_policy")(parseRetention),
       timestamping = jOpt(o \ "timestamping")(parseTimestamping),
       deleteOnEmpty = jOpt(o \ "delete_on_empty")(parseDeleteOnEmpty))
-    case other => throw BadRequest(s"malformed config: $other")
+    case other => throw Invalid(s"malformed config: $other")
   }
 
   private def parseCipher(j: JValue): CipherAlgo = j match {
     case JString(s) => CipherAlgo.fromWire(s)
-      .getOrElse(throw BadRequest(s"unknown stream_cipher: $s"))
-    case other => throw BadRequest(s"malformed stream_cipher: $other")
+      .getOrElse(throw Invalid(s"unknown stream_cipher: $s"))
+    case other => throw Invalid(s"malformed stream_cipher: $other")
   }
 
   private def parseBasinConfig(j: JValue): BasinConfig = j match {
@@ -616,7 +634,7 @@ object HttpRecordsServer {
         jOpt(o \ "create_stream_on_read")(jBool(_, "create_stream_on_read"))
           .getOrElse(false),
       streamCipher = jOpt(o \ "stream_cipher")(parseCipher))
-    case other => throw BadRequest(s"malformed config: $other")
+    case other => throw Invalid(s"malformed config: $other")
   }
 
   /** serde `Maybe<Option<T>>` → Patch: absent = Keep, null = Clear. */
@@ -657,7 +675,7 @@ object HttpRecordsServer {
             case v => jLong(v, "min_age_secs")
           })
         })
-      case other => throw BadRequest(s"malformed reconfiguration: $other")
+      case other => throw Invalid(s"malformed reconfiguration: $other")
     }
 
   /** BasinReconfiguration (config.rs:503-525). */
@@ -675,7 +693,7 @@ object HttpRecordsServer {
         createStreamOnRead = patchOf(o \ "create_stream_on_read")(
           jBool(_, "create_stream_on_read")),
         streamCipher = patchOf(o \ "stream_cipher")(parseCipher))
-      case other => throw BadRequest(s"malformed reconfiguration: $other")
+      case other => throw Invalid(s"malformed reconfiguration: $other")
     }
 
   // -------------------------------------------------------------------
@@ -735,7 +753,7 @@ object HttpRecordsServer {
               s""""has_more":${page.hasMore}}""").getBytes(UTF_8))
 
         case ("POST", true) => // create_basin: 201 + s2-provision-result
-          val root = JsonMethods.parse(jsonBody(ex))
+          val root = parseJson(jsonBody(ex))
           val bn = root \ "basin" match {
             case JString(s) => s
             case _ => throw BadRequest("basin name required")
@@ -751,7 +769,7 @@ object HttpRecordsServer {
             case Left("BasinAlreadyExists") =>
               respond(ex, 409, errJson("conflict", "basin already exists").getBytes(UTF_8))
             case Left(err) =>
-              respond(ex, 400, errJson("invalid", err).getBytes(UTF_8))
+              respond(ex, 422, errJson("invalid", err).getBytes(UTF_8))
           }
 
         case ("GET", false) => // get_basin_config
@@ -766,7 +784,7 @@ object HttpRecordsServer {
         case ("PUT", false) => // ensure_basin: optional {config} body (JsonOpt)
           val config = jsonBodyOpt(ex) match {
             case scala.None => BasinConfig()
-            case Some(body) => parseBasinConfig(JsonMethods.parse(body) \ "config")
+            case Some(body) => parseBasinConfig(parseJson(body) \ "config")
           }
           cat.ensureBasin(name, config) match {
             case Right(outcome) =>
@@ -779,7 +797,7 @@ object HttpRecordsServer {
               provisioned(ex, tag, code,
                 basinInfoJson(e, cat.defaultLocation().map(_.name)))
             case Left(err) =>
-              respond(ex, 400, errJson("invalid", err).getBytes(UTF_8))
+              respond(ex, 422, errJson("invalid", err).getBytes(UTF_8))
           }
 
         case ("DELETE", false) => // delete_basin: 202 Accepted
@@ -793,7 +811,7 @@ object HttpRecordsServer {
               respond(ex, 404, errJson("not_found", name).getBytes(UTF_8))
             case Some(e) =>
               val patch = parseBasinPatch(
-                JsonMethods.parse(jsonBody(ex)), ConfigCodec.decodeBasin(e.config))
+                parseJson(jsonBody(ex)), ConfigCodec.decodeBasin(e.config))
               cat.reconfigureBasin(name, patch) match {
                 case Right(cfg) =>
                   respond(ex, 200, basinConfigJson(cfg).getBytes(UTF_8))
@@ -851,7 +869,7 @@ object HttpRecordsServer {
                 s""""has_more":${page.hasMore}}""").getBytes(UTF_8))
           }
         case "POST" =>
-          val root = JsonMethods.parse(jsonBody(ex))
+          val root = parseJson(jsonBody(ex))
           val sn0 = root \ "stream" match {
             case JString(s) => s
             case _ => throw BadRequest("stream name required")
@@ -871,7 +889,7 @@ object HttpRecordsServer {
             case Left("BasinNotFound") =>
               respond(ex, 404, errJson("not_found", basin).getBytes(UTF_8))
             case Left(err) =>
-              respond(ex, 400, errJson("invalid", err).getBytes(UTF_8))
+              respond(ex, 422, errJson("invalid", err).getBytes(UTF_8))
           }
         case _ => respond(ex, 405)
       }
@@ -1008,7 +1026,7 @@ object HttpRecordsServer {
             (s"""{"access_tokens":[${page.items.map(tokenInfoJson).mkString(",")}],""" +
               s""""has_more":${page.hasMore}}""").getBytes(UTF_8))
         case ("POST", true) =>
-          val root = JsonMethods.parse(jsonBody(ex))
+          val root = parseJson(jsonBody(ex))
           val tid = root \ "id" match {
             case JString(s) => s
             case _ => throw BadRequest("token id required")
@@ -1028,7 +1046,8 @@ object HttpRecordsServer {
           val token = try AccessToken(tid, parseScope(root \ "scope"),
             expires, auto)
           catch { case e: IllegalArgumentException =>
-            throw BadRequest(e.getMessage) }
+            // id caps / scope-shape rules: the Validation class → 422
+            throw Invalid(e.getMessage) }
           // scope subsetting: a bearer may only mint tokens within
           // its own grant — without this, IssueAccessToken alone is
           // indirect full account access. Expiry defaults to, and may
@@ -1057,7 +1076,7 @@ object HttpRecordsServer {
             case Left("AccessTokenExists") =>
               respond(ex, 409, errJson("conflict", "token id exists").getBytes(UTF_8))
             case Left(err) =>
-              respond(ex, 400, errJson("invalid", err).getBytes(UTF_8))
+              respond(ex, 422, errJson("invalid", err).getBytes(UTF_8))
           }
         case ("DELETE", false) =>
           authx.check(tok, Op.RevokeAccessToken)
@@ -1100,7 +1119,7 @@ object HttpRecordsServer {
           }
         case ("PUT", "default") =>
           // SetDefaultLocationRequest = LocationName: a bare JSON string
-          val name = JsonMethods.parse(jsonBody(ex)) match {
+          val name = parseJson(jsonBody(ex)) match {
             case JString(s) => s
             case other => throw BadRequest(s"malformed location name: $other")
           }
@@ -1109,7 +1128,7 @@ object HttpRecordsServer {
             case Left("LocationNotFound") =>
               respond(ex, 404, errJson("not_found", name).getBytes(UTF_8))
             case Left(err) =>
-              respond(ex, 400, errJson("invalid", err).getBytes(UTF_8))
+              respond(ex, 422, errJson("invalid", err).getBytes(UTF_8))
           }
         case _ => respond(ex, 405)
       }
@@ -1254,7 +1273,7 @@ object HttpRecordsServer {
       case "PUT" => // ensure_stream: body IS the (optional) StreamConfig (JsonOpt)
         val config = jsonBodyOpt(ex) match {
           case scala.None => StreamConfig()
-          case Some(body) => parseStreamConfig(JsonMethods.parse(body))
+          case Some(body) => parseStreamConfig(parseJson(body))
         }
         cat.ensureStream(basin, stream, config) match {
           case Right(outcome) =>
@@ -1270,7 +1289,7 @@ object HttpRecordsServer {
           case Left("BasinNotFound") =>
             respond(ex, 404, errJson("not_found", basin).getBytes(UTF_8))
           case Left(err) =>
-            respond(ex, 400, errJson("invalid", err).getBytes(UTF_8))
+            respond(ex, 422, errJson("invalid", err).getBytes(UTF_8))
         }
       case "DELETE" => // 202; deletion is T4's pending + reclaim path
         if (cat.getStream(basin, stream).isEmpty)
@@ -1282,7 +1301,7 @@ object HttpRecordsServer {
             respond(ex, 404, errJson("not_found", s"$basin/$stream").getBytes(UTF_8))
           case Some(e) =>
             val patch = parseStreamPatch(
-              JsonMethods.parse(jsonBody(ex)), ConfigCodec.decode(e.config))
+              parseJson(jsonBody(ex)), ConfigCodec.decode(e.config))
             cat.reconfigureStream(basin, stream, patch) match {
               case Right(_) =>
                 // reference returns the resolved post-patch config;
@@ -1351,9 +1370,9 @@ object HttpRecordsServer {
             (404, errJson("not_found", s"$basin/$stream"))
           case AppendError.StreamDeletionPending =>
             (409, errJson("conflict", "stream deletion pending"))
-          case AppendError.InvalidBatch(r) => (400, errJson("invalid", r))
+          case AppendError.InvalidBatch(r) => (422, errJson("invalid", r))
           case AppendError.TimestampMissing =>
-            (400, errJson("invalid", "timestamp required"))
+            (422, errJson("invalid", "timestamp required"))
           case AppendError.EncryptionError(r) => (400, errJson("bad_header", r))
           case other => (500, errJson("internal", other.toString))
         }
@@ -1539,7 +1558,7 @@ object HttpRecordsServer {
       val until = q.get("until").map(_.toLong)
       (start.from, until) match {
         case (ReadFrom.Timestamp(ts), Some(u)) if ts >= u =>
-          throw BadRequest("start `timestamp` exceeds or equal to `until`")
+          throw Invalid("start `timestamp` exceeds or equal to `until`")
         case _ => ()
       }
       val bounded = count.isDefined || bytes.isDefined || until.isDefined
@@ -1616,7 +1635,7 @@ object HttpRecordsServer {
       // the start timestamp must not defeat the until bound (records.rs:38-47)
       (start.from, until) match {
         case (ReadFrom.Timestamp(ts), Some(u)) if ts >= u =>
-          throw BadRequest("start `timestamp` exceeds or equal to `until`")
+          throw Invalid("start `timestamp` exceeds or equal to `until`")
         case _ => ()
       }
       val spec = ReadSpec(start, ReadEnd(limit, until))
@@ -1681,7 +1700,7 @@ object HttpRecordsServer {
       val until = q.get("until").map(_.toLong)
       (start.from, until) match {
         case (ReadFrom.Timestamp(ts), Some(u)) if ts >= u =>
-          throw BadRequest("start `timestamp` exceeds or equal to `until`")
+          throw Invalid("start `timestamp` exceeds or equal to `until`")
         case _ => ()
       }
       // wait default: infinite when unbounded, 0 when bounded (api

@@ -290,6 +290,16 @@ final class StreamStore(val spark: SparkSession, val root: String) {
     * — resolves to the same backend, like processes sharing a bucket. */
   val backend: StorageBackend = StorageBackend.forRoot(root)
 
+  /** Budget for the reader-side overlap guard's re-listing before the
+    * loud OverlappingDataObjects refusal. Time-based, not a try
+    * count: the loser's eager delete runs on the LOSING WRITER's
+    * thread, so under heavy CPU contention (a full test suite, a
+    * saturated executor) it can take seconds — a 1 s budget misread
+    * that as the persisting-overlap bug state and refused a read one
+    * more listing would have served. A REAL persisting overlap still
+    * fails, just later. Tests pinning the refusal itself lower this. */
+  @volatile private[log] var overlapRefusalMs: Long = 10000L
+
   val catalog = new Catalog(root)
 
   // Catalog.canonicalRoot, not lexical normalize: symlink-aliased
@@ -1427,9 +1437,9 @@ final class StreamStore(val spark: SparkSession, val root: String) {
           case (a, b) => b.minSeq <= a.maxSeq
         }
       }
-      var tries = 0
-      while (overlapBelowTail(files, m.tailSeq) && tries < 40) {
-        tries += 1
+      val overlapDeadline = System.nanoTime() + overlapRefusalMs * 1000000L
+      while (overlapBelowTail(files, m.tailSeq) &&
+             System.nanoTime() < overlapDeadline) {
         Thread.sleep(25)
         val fresh = manifestAndFiles(basin, stream)
         m = fresh._1; files = fresh._2

@@ -37,7 +37,7 @@ class HttpAccountApiSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def utf8(s: String) = s.getBytes("UTF-8")
 
   test("access tokens: issue 201 with bearer string, info round-trips " +
-    "scope wire shape, 409 duplicate, validation 400s, revoke 204/404") {
+    "scope wire shape, 409 duplicate, validation 422s, revoke 204/404") {
     val (_, server, ep) = served()
     try {
       val url = s"$ep/v1/access-tokens"
@@ -65,12 +65,12 @@ class HttpAccountApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       // 97-byte id: over the 96-byte cap (caps.rs MAX_ACCESS_TOKEN_ID_LEN)
       val (c3, _, _) = requestAny("POST", url, Nil,
         utf8(s"""{"id":"${"x" * 97}","scope":{}}"""))
-      assert(c3 == 400)
+      assert(c3 == 422) // validation class: 422 Invalid (error.rs:76)
       // auto_prefix_streams without a prefix stream scope (access.rs:355-357)
       val (c4, _, _) = requestAny("POST", url, Nil,
         utf8("""{"id":"tok-bad-auto","auto_prefix_streams":true,
           |"scope":{"streams":{"exact":"one-stream"}}}""".stripMargin))
-      assert(c4 == 400)
+      assert(c4 == 422)
       // empty exact string = ResourceSet::None (MaybeEmpty::Empty) — valid
       val (c5, _, _) = requestAny("POST", url, Nil,
         utf8("""{"id":"tok-none-set","scope":{"basins":{"exact":""}}}"""))

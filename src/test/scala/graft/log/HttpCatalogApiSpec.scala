@@ -235,25 +235,31 @@ class HttpCatalogApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally server.stop(0)
   }
 
-  test("validation maps to 400: bad basin name, malformed retention, " +
-    "unknown storage class, unknown cipher, bad limit") {
+  test("validation splits 422 vs 400 like the reference error taxonomy: " +
+    "data/value errors (bad name, bad retention, unknown enum values) are " +
+    "422 Invalid; malformed query/header are 400") {
     val (_, server, ep) = served()
     try {
+      // value/shape errors on a well-formed JSON document: the
+      // DataError/Validation class, 422 (api/src/v1/error.rs:76,
+      // data.rs classify_sonic_error TypeUnmatched/NotFound)
       val (v1, b1, _) = requestAny("POST", s"$ep/v1/basins", Nil,
         """{"basin":"NOPE"}""".getBytes("UTF-8")) // uppercase + too short
-      assert(v1 == 400, s"$v1 $b1")
+      assert(v1 == 422, s"$v1 $b1")
       val (v2, _, _) = requestAny("POST", s"$ep/v1/basins", Nil,
         """{"basin":"cat-bad-cfg1","config":{"default_stream_config":{
           |"retention_policy":{"age":0}}}}""".stripMargin.getBytes("UTF-8"))
-      assert(v2 == 400) // age must be > 0 (config.rs:54-62 validate)
+      assert(v2 == 422) // age must be > 0 (config.rs:54-62 validate)
       val (v3, _, _) = requestAny("POST", s"$ep/v1/basins", Nil,
         """{"basin":"cat-bad-cfg2","config":{"default_stream_config":{
           |"storage_class":"hyper"}}}""".stripMargin.getBytes("UTF-8"))
-      assert(v3 == 400)
+      assert(v3 == 422)
       val (v4, _, _) = requestAny("POST", s"$ep/v1/basins", Nil,
         """{"basin":"cat-bad-cfg3","config":{"stream_cipher":"rot13"}}"""
           .getBytes("UTF-8"))
-      assert(v4 == 400)
+      assert(v4 == 422)
+      // malformed query string / missing required header: 400
+      // (BadQuery / BadHeader class)
       val (v5, _, _) = requestAny("GET", s"$ep/v1/basins?limit=wat")
       assert(v5 == 400)
       // missing s2-basin header on stream routes

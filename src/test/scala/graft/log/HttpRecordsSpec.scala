@@ -87,7 +87,7 @@ class HttpRecordsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("error mapping: 404 for a missing stream, 416 with the tail for " +
     "an unsatisfiable start, clamp=true reads from the tail instead") {
-    val (_, server, ep) = served()
+    val (st, server, ep) = served()
     try {
       val (c1, b1) = request("POST", s"$ep/v1/streams/nope/records", hdr,
         """{"records":[{"body":"x"}]}""".getBytes("UTF-8"))
@@ -99,14 +99,30 @@ class HttpRecordsSpec extends AnyFunSuite with BeforeAndAfterAll {
       val (c4, b4) = request("GET",
         s"$ep/v1/streams/s/records?seq_num=99&clamp=true&wait=0", hdr)
       assert(c4 == 200 && b4.contains(""""records":[]"""), s"$c4 $b4")
-      // two start positions at once is a validation error
+      // two start positions at once is a validation error — the
+      // Invalid class answers 422 (api/src/v1/error.rs:76)
       val (c5, _) = request("GET",
         s"$ep/v1/streams/s/records?seq_num=0&timestamp=5", hdr)
-      assert(c5 == 400)
-      // start timestamp >= until rejected (records.rs:38-47)
+      assert(c5 == 422, c5.toString)
+      // start timestamp >= until rejected (records.rs:38-47), 422
       val (c6, b6) = request("GET",
         s"$ep/v1/streams/s/records?timestamp=5&until=5", hdr)
-      assert(c6 == 400 && b6.contains("exceeds or equal to `until`"), s"$c6 $b6")
+      assert(c6 == 422 && b6.contains("exceeds or equal to `until`"), s"$c6 $b6")
+      // JSON SYNTAX garbage is the 400 class, not a 500
+      val (c7, b7) = request("POST", s"$ep/v1/streams/s/records", hdr,
+        """{"records": [}""".getBytes("UTF-8"))
+      assert(c7 == 400 && b7.contains("malformed json"), s"$c7 $b7")
+      // invalid bounds NEVER auto-create: validation precedes stream
+      // resolution even on a create_stream_on_read basin
+      // (records.rs invalid_read_bounds_do_not_auto_create_stream)
+      st.catalog.createBasin("rec-auto",
+        BasinConfig(createStreamOnRead = true))
+      val (c8, _) = request("GET",
+        s"$ep/v1/streams/ghost/records?timestamp=5&until=5",
+        Seq("s2-basin" -> "rec-auto"))
+      assert(c8 == 422, c8.toString)
+      assert(st.catalog.listStreams("rec-auto").items.isEmpty,
+        "invalid read bounds must not auto-create the stream")
     } finally server.stop(0)
   }
 

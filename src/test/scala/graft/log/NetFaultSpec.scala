@@ -260,8 +260,10 @@ class NetFaultSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows == Seq((0L, "real")),
       s"reader served a transient loser twin: $rows")
     // persisting case: no one deletes — the read must refuse loudly,
-    // never serve duplicate seq_nums
+    // never serve duplicate seq_nums (budget lowered so the pinned
+    // refusal doesn't stall the suite for the full 10 s default)
     plantGhost()
+    st.overlapRefusalMs = 500L
     val res = st.readBatch(Basin, "nf7", ReadSpec(ReadStart(ReadFrom.SeqNum(0))))
     assert(res.isLeft && res.swap.toOption.get.contains("OverlappingDataObjects"),
       s"persistent overlap must fail loudly: $res")
