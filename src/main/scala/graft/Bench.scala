@@ -74,6 +74,30 @@ object Bench {
       .map(p => Option(p.getPeakUsage).map(_.getUsed).getOrElse(0L))
       .sum / (1024 * 1024)
 
+  /** Median fsync latency (ms) of 20 4-KiB write+fsync cycles — the
+    * DISK-side calibration probe the CPU probes can't see. The
+    * fs-heavy rows (cp10k ingest, ack latency, a8 serial, 1 KiB
+    * append) are fsync-bound: a shared-host IO aftershock that
+    * multiplies fsync 20x multiplies them too while cpu_calib reads
+    * quiet (observed r18: fsync p50 0.5 ms -> 11 ms moved cp10k
+    * ingest 12 s -> 88 s at cpu norm 0.94). Recording it makes the
+    * artifact disk-adjudicable, same rationale as gc_sec. */
+  private[graft] def fsyncP50Ms(): Double = {
+    val f = java.nio.file.Files.createTempFile("graft-fsyncprobe", ".bin")
+    val buf = java.nio.ByteBuffer.allocate(4096)
+    val lat = (0 until 20).map { _ =>
+      buf.rewind()
+      val t0 = System.nanoTime()
+      val ch = java.nio.channels.FileChannel.open(f,
+        java.nio.file.StandardOpenOption.WRITE,
+        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+      try { ch.write(buf); ch.force(true) } finally ch.close()
+      (System.nanoTime() - t0) / 1e6
+    }.sorted
+    java.nio.file.Files.deleteIfExists(f)
+    lat(lat.size / 2)
+  }
+
   private[graft] def cpuCalibSec(): Double = {
     def once(): Double = {
       val t0 = System.nanoTime()
@@ -592,6 +616,7 @@ object Bench {
     // the native pool peak — both zero-cost bean reads
     val gcRunSec = gcTimeSec()
     val heapMaxMb = heapPeakMb()
+    val fsyncMs = fsyncP50Ms()
     val calib = cpuCalibSec()
     val parCalib = parCalibSec()
     // Host-load-normalized wall times (see CalibBaselineSec /
@@ -608,7 +633,7 @@ object Bench {
     val qsNorm = results.map { case (k, (w, _, _)) =>
       "\"" + k + f"\":${w * normFactor}%.3f" }.mkString("{", ",", "}")
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing":"median-of-3","total_cpu_sec":$totalCpu%.3f,"gc_sec":$gcRunSec%.3f,"heap_max_mb":$heapMaxMb,"cpu_calib_sec":$calib%.4f,"par_calib_sec":$parCalib%.4f,"calib_norm_factor":$normFactor%.4f,"queries":$qs,"queries_norm":$qsNorm,"queries_cpu_sec":$qsCpu,"queries_gc_sec":$qsGc$errJson,"sf":"$sfDir",$workloadJson,$controlPlaneJson,$httpControlPlaneJson,$recordsApiJson}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing":"median-of-3","total_cpu_sec":$totalCpu%.3f,"gc_sec":$gcRunSec%.3f,"heap_max_mb":$heapMaxMb,"fsync_p50_ms":$fsyncMs%.2f,"cpu_calib_sec":$calib%.4f,"par_calib_sec":$parCalib%.4f,"calib_norm_factor":$normFactor%.4f,"queries":$qs,"queries_norm":$qsNorm,"queries_cpu_sec":$qsCpu,"queries_gc_sec":$qsGc$errJson,"sf":"$sfDir",$workloadJson,$controlPlaneJson,$httpControlPlaneJson,$recordsApiJson}"""
     // The driver captures only the LAST ~2000 chars of stdout, which
     // cannot hold a 186-query map (r11's artifact carried only the
     // alphabetic tail of one map). Persist the full line to a file, and
@@ -622,7 +647,7 @@ object Bench {
     catch { case _: java.io.IOException => () } // bench output must not fail on an unwritable cwd
     println(json)
     val summary =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing":"median-of-3","n_queries":${results.size},"n_query_errors":${queryErrors.size},"total_cpu_sec":$totalCpu%.3f,"gc_sec":$gcRunSec%.3f,"heap_max_mb":$heapMaxMb,"cpu_calib_sec":$calib%.4f,"par_calib_sec":$parCalib%.4f,"calib_norm_factor":$normFactor%.4f,"queries_in":"BENCH_local.json","sf":"$sfDir",$workloadJson,$controlPlaneJson,$httpControlPlaneJson,$recordsApiJson}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing":"median-of-3","n_queries":${results.size},"n_query_errors":${queryErrors.size},"total_cpu_sec":$totalCpu%.3f,"gc_sec":$gcRunSec%.3f,"heap_max_mb":$heapMaxMb,"fsync_p50_ms":$fsyncMs%.2f,"cpu_calib_sec":$calib%.4f,"par_calib_sec":$parCalib%.4f,"calib_norm_factor":$normFactor%.4f,"queries_in":"BENCH_local.json","sf":"$sfDir",$workloadJson,$controlPlaneJson,$httpControlPlaneJson,$recordsApiJson}"""
     println(summary)
     spark.stop()
   }
