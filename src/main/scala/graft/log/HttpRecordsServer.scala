@@ -142,20 +142,23 @@ object HttpRecordsServer {
     s"""{"code":"$code","message":"${jsonEsc(message)}"}"""
 
   /** True iff the failure is an AEAD auth failure (wrong key / corrupt
-    * record) anywhere in the cause chain — plan-level decryption
-    * surfaces it wrapped in Spark's task-failure exceptions. Maps to
-    * the reference's `decryption_failed` error (records.rs wrong-key
-    * test: 400 + "record decryption failed"). */
+    * record) anywhere in the cause/suppressed graph — plan-level
+    * decryption surfaces it wrapped in Spark's task-failure
+    * exceptions, which preserve causes (and park secondary failures
+    * in suppressed). The check is by exception TYPE, never message
+    * text — an unrelated error merely mentioning the class name must
+    * not read as a key failure. Maps to the reference's
+    * `decryption_failed` error (records.rs wrong-key test: 400 +
+    * "record decryption failed"). */
   private def decryptionFailure(t: Throwable): Boolean = {
-    var c: Throwable = t
-    var depth = 0
-    while (c != null && depth < 16) {
-      if (c.isInstanceOf[javax.crypto.AEADBadTagException]) return true
-      if (c.getMessage != null && c.getMessage.contains("AEADBadTagException"))
-        return true
-      c = c.getCause; depth += 1
-    }
-    false
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[Throwable, java.lang.Boolean]())
+    def walk(c: Throwable, depth: Int): Boolean =
+      c != null && depth < 16 && seen.add(c) && (
+        c.isInstanceOf[javax.crypto.AEADBadTagException] ||
+          walk(c.getCause, depth + 1) ||
+          c.getSuppressed.exists(walk(_, depth + 1)))
+    walk(t, 0)
   }
 
   private val DecryptionFailedBody: String =
@@ -260,26 +263,44 @@ object HttpRecordsServer {
   // Shared response plumbing
   // -------------------------------------------------------------------
 
+  /** Accept-Encoding across ALL header values — the reference's
+    * from_accept_encoding iterates get_all (s2s.rs:69); the JDK
+    * server may split repeated headers into separate entries. */
+  private def acceptEncodingOf(ex: HttpExchange): Option[String] = {
+    val vs = ex.getRequestHeaders.get("Accept-Encoding")
+    if (vs == null || vs.isEmpty) None
+    else Some(String.join(",", vs))
+  }
+
   /** Unary response write, with the reference's router-wide
-    * compression layer (handlers/v1/mod.rs:17-29): gzip when the
-    * client's Accept-Encoding negotiates it AND the body reaches
-    * 1 KiB (SizeAbove(1024)). SSE and S2S responses never pass
-    * through here — they stream their own bodies — which realizes the
-    * NotForContentType(SSE)/NotForContentType(s2s) predicate
-    * structurally (S2S does its own per-frame compression instead). */
+    * compression layer (handlers/v1/mod.rs:17-29): compressed when
+    * the client's Accept-Encoding negotiates an algorithm AND the
+    * body reaches 1 KiB (SizeAbove(1024)) — zstd preferred over gzip,
+    * the reference's own negotiation order (compression-zstd in
+    * lite/Cargo.toml:56; s2s.rs from_accept_encoding). SSE and S2S
+    * responses never pass through here — they stream their own bodies
+    * — which realizes the NotForContentType(SSE)/NotForContentType
+    * (s2s) predicate structurally (S2S does its own per-frame
+    * compression instead). */
   private def respond(ex: HttpExchange, code: Int,
                       body: Array[Byte] = Array.emptyByteArray,
                       contentType: String = "application/json"): Unit = {
-    val out =
-      if (body.length >= S2sCodec.CompressionThreshold &&
-          S2sCodec.gzipNegotiated(
-            Option(ex.getRequestHeaders.getFirst("Accept-Encoding")))) {
+    val algo =
+      if (body.length >= S2sCodec.CompressionThreshold)
+        S2sCodec.negotiated(acceptEncodingOf(ex))
+      else S2sCodec.CompNone
+    val out = algo match {
+      case S2sCodec.CompZstd =>
+        ex.getResponseHeaders.set("Content-Encoding", "zstd")
+        S2sCodec.zstd(body)
+      case S2sCodec.CompGzip =>
         ex.getResponseHeaders.set("Content-Encoding", "gzip")
         val bos = new java.io.ByteArrayOutputStream(body.length / 2 + 64)
         val g = new java.util.zip.GZIPOutputStream(bos)
         g.write(body); g.close()
         bos.toByteArray
-      } else body
+      case _ => body
+    }
     if (out.nonEmpty)
       ex.getResponseHeaders.set("Content-Type", contentType)
     ex.sendResponseHeaders(code, if (out.isEmpty) -1 else out.length.toLong)
@@ -288,11 +309,12 @@ object HttpRecordsServer {
   }
 
   /** Unary request body, with the reference's request-decompression
-    * layer (handlers/v1/mod.rs:30-33): a `Content-Encoding: gzip`
-    * body is inflated (bounded — a batch is ≤ 1 MiB metered, so 16
-    * MiB of JSON+base64 expansion is generous); an encoding the
-    * layer doesn't support answers 415, matching tower-http's
-    * RequestDecompressionLayer. */
+    * layer (handlers/v1/mod.rs:30-33): a `Content-Encoding: gzip` or
+    * `zstd` body is inflated (bounded — a batch is ≤ 1 MiB metered,
+    * so 16 MiB of JSON+base64 expansion is generous; zstd is what the
+    * reference SDK sends when compression is on, sdk/src/client.rs:
+    * 674); an encoding the layer doesn't support answers 415,
+    * matching tower-http's RequestDecompressionLayer. */
   private def requestBytes(ex: HttpExchange): Array[Byte] = {
     val raw = ex.getRequestBody.readAllBytes()
     Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
@@ -303,6 +325,12 @@ object HttpRecordsServer {
         catch {
           case _: java.io.IOException =>
             throw BadRequest("malformed or oversized gzip request body")
+        }
+      case Some("zstd") =>
+        try S2sCodec.unzstd(raw, 16 * 1024 * 1024)
+        catch {
+          case _: java.io.IOException =>
+            throw BadRequest("malformed or oversized zstd request body")
         }
       case Some(other) =>
         throw Denied(415, s"unsupported content-encoding: $other")
@@ -411,14 +439,16 @@ object HttpRecordsServer {
   /** The JsonOpt extractor (api/src/data.rs:240-262 OptionalFromRequest):
     * NO Content-Type means no body (None — the ensure routes' default-
     * config form), a non-json Content-Type is 415, a json Content-Type
-    * with an empty body is None. */
+    * with an EMPTY body is None. Only truly empty: a whitespace-only
+    * body falls through to the parser and gets the reference's 400
+    * JSON-syntax-error class, exactly like OptionalFromRequest. */
   private def jsonBodyOpt(ex: HttpExchange): Option[String] =
     Option(ex.getRequestHeaders.getFirst("Content-Type")) match {
       case scala.None => scala.None
       case Some(ct) if !isJsonMime(ct) => throw Denied(415, MissingCtMsg)
       case Some(_) =>
         val b = bodyString(ex)
-        if (b.isBlank) scala.None else Some(b)
+        if (b.isEmpty) scala.None else Some(b)
     }
 
   /** Path guard for the JDK HttpServer's RAW-prefix context matching:
@@ -703,10 +733,38 @@ object HttpRecordsServer {
   // access_tokens.rs:44/73/101)
   // -------------------------------------------------------------------
 
-  private def installCatalogRoutes(server: HttpServer, store: StreamStore,
-                                   meter: UsageMeter,
-                                   nowClock: () => Long,
-                                   authx: AuthCtx): Unit = {
+  /** `CorsLayer::very_permissive()` parity (lite/src/server.rs:222-223
+    * wraps the WHOLE router unless --no-cors; tower-http): every
+    * response mirrors the request's Origin with credentials allowed,
+    * and an OPTIONS preflight short-circuits 200, mirroring the
+    * requested method and headers (AllowOrigin/AllowMethods/
+    * AllowHeaders::mirror_request). Expose-headers is NOT set —
+    * very_permissive doesn't set it either. */
+  private def withCors(h: com.sun.net.httpserver.HttpHandler)
+      : com.sun.net.httpserver.HttpHandler = (ex: HttpExchange) => {
+    Option(ex.getRequestHeaders.getFirst("Origin")).foreach { o =>
+      val rh = ex.getResponseHeaders
+      rh.set("Access-Control-Allow-Origin", o)
+      rh.set("Access-Control-Allow-Credentials", "true")
+      rh.set("Vary",
+        "origin, access-control-request-method, access-control-request-headers")
+    }
+    val acrm = Option(
+      ex.getRequestHeaders.getFirst("Access-Control-Request-Method"))
+    if (ex.getRequestMethod == "OPTIONS" && acrm.isDefined) {
+      val rh = ex.getResponseHeaders
+      acrm.foreach(m => rh.set("Access-Control-Allow-Methods", m))
+      Option(ex.getRequestHeaders.getFirst("Access-Control-Request-Headers"))
+        .foreach(v => rh.set("Access-Control-Allow-Headers", v))
+      ex.sendResponseHeaders(200, -1)
+      ex.close()
+    } else h.handle(ex)
+  }
+
+  private def installCatalogRoutes(
+      mount: (String, com.sun.net.httpserver.HttpHandler) => Unit,
+      store: StreamStore, meter: UsageMeter, nowClock: () => Long,
+      authx: AuthCtx): Unit = {
     val cat = store.catalog
 
     def provisioned(ex: HttpExchange, outcome: String, code: Int,
@@ -716,7 +774,7 @@ object HttpRecordsServer {
     }
 
     // ---- /v1/basins + /v1/basins/{basin} (basins.rs:16-25) ----------
-    server.createContext("/v1/basins", safely { ex =>
+    mount("/v1/basins", safely { ex =>
       pathUnder(ex, "/v1/basins") match {
         case scala.None =>
           respond(ex, 404, errJson("not_found",
@@ -829,7 +887,7 @@ object HttpRecordsServer {
     // context; this one only sees the collection path — and, because
     // JDK context matching is raw-prefix, the boundary guard here
     // rejects /v1/streamsjunk)
-    server.createContext("/v1/streams", safely { ex =>
+    mount("/v1/streams", safely { ex =>
       if (pathUnder(ex, "/v1/streams").contains("")) handleStreamsCollection(ex)
       else respond(ex, 404, errJson("not_found",
         ex.getRequestURI.getPath).getBytes(UTF_8))
@@ -998,14 +1056,14 @@ object HttpRecordsServer {
     s"""{"$shape":{"name":"$name","unit":"$unit",$iv"values":[$vs]}}"""
   }
 
-  private def installAccountRoutes(server: HttpServer, store: StreamStore,
-                                   meter: UsageMeter,
-                                   nowClock: () => Long,
-                                   authx: AuthCtx): Unit = {
+  private def installAccountRoutes(
+      mount: (String, com.sun.net.httpserver.HttpHandler) => Unit,
+      store: StreamStore, meter: UsageMeter, nowClock: () => Long,
+      authx: AuthCtx): Unit = {
     val cat = store.catalog
 
     // ---- /v1/access-tokens (paths access_tokens LIST/ISSUE/REVOKE) --
-    server.createContext("/v1/access-tokens", safely { ex =>
+    mount("/v1/access-tokens", safely { ex =>
       pathUnder(ex, "/v1/access-tokens") match {
         case scala.None =>
           respond(ex, 404, errJson("not_found",
@@ -1088,7 +1146,7 @@ object HttpRecordsServer {
     }
 
     // ---- /v1/locations (LIST / DEFAULT get+put) ----------------------
-    server.createContext("/v1/locations", safely { ex =>
+    mount("/v1/locations", safely { ex =>
       pathUnder(ex, "/v1/locations") match {
         case scala.None =>
           respond(ex, 404, errJson("not_found",
@@ -1220,7 +1278,7 @@ object HttpRecordsServer {
           }
       }
     }
-    server.createContext("/v1/metrics", safely { ex =>
+    mount("/v1/metrics", safely { ex =>
       (pathUnder(ex, "/v1/metrics"), ex.getRequestMethod) match {
         case (scala.None, _) =>
           respond(ex, 404, errJson("not_found",
@@ -1235,7 +1293,7 @@ object HttpRecordsServer {
     // registry at the conventional scrape path, distinct from the
     // /v1/metrics usage API above. Unauthenticated like the reference
     // (a scrape endpoint, not account data).
-    server.createContext("/metrics", safely { ex =>
+    mount("/metrics", safely { ex =>
       if (ex.getRequestURI.getPath != "/metrics")
         respond(ex, 404, errJson("not_found",
           ex.getRequestURI.getPath).getBytes(UTF_8))
@@ -1243,6 +1301,28 @@ object HttpRecordsServer {
       else respond(ex, 200, ServerMetrics.gather().getBytes(UTF_8),
         contentType = "text/plain; version=0.0.4")
     })
+
+    // ---- /ping + /health (root): the reference serves BOTH at the
+    // root router, /ping kept for backwards compat, each a backend
+    // liveness probe (handlers/mod.rs:13-24 health → db_status) —
+    // 200 "OK" when the backend answers, 503 + the error otherwise.
+    // Unauthenticated: the orchestrator's health check cannot carry
+    // account credentials.
+    def healthHandler(path: String): com.sun.net.httpserver.HttpHandler =
+      safely { ex =>
+        if (ex.getRequestURI.getPath != path)
+          respond(ex, 404, errJson("not_found",
+            ex.getRequestURI.getPath).getBytes(UTF_8))
+        else if (ex.getRequestMethod != "GET") respond(ex, 405)
+        else store.dbStatus() match {
+          case Right(_) => respond(ex, 200, "OK".getBytes(UTF_8),
+            contentType = "text/plain; charset=utf-8")
+          case Left(err) => respond(ex, 503, err.getBytes(UTF_8),
+            contentType = "text/plain; charset=utf-8")
+        }
+      }
+    mount("/ping", healthHandler("/ping"))
+    mount("/health", healthHandler("/health"))
   }
 
   /** /v1/streams/{stream} config routes (streams.rs GET_CONFIG /
@@ -1325,9 +1405,12 @@ object HttpRecordsServer {
 
   /** Start a records server over `store` on an ephemeral localhost
     * port; returns (server, endpoint). `nowMs` pins the append clock
-    * for deterministic demos (None = wall clock, like production). */
+    * for deterministic demos (None = wall clock, like production).
+    * `noCors` disables the router-wide permissive CORS layer, like
+    * the reference's --no-cors flag (server.rs:222-223). */
   def start(store: StreamStore, nowMs: Option[Long] = None,
-            requireAuth: Boolean = false): (HttpServer, String) = {
+            requireAuth: Boolean = false,
+            noCors: Boolean = false): (HttpServer, String) = {
     System.setProperty("sun.net.httpserver.nodelay", "true")
 
     // RPC-level usage accounting for /v1/metrics; the pinned demo
@@ -1438,8 +1521,11 @@ object HttpRecordsServer {
     // frame codec. Payloads are the repo's canonical v1 JSON shapes
     // (see S2sCodec doc for the prost divergence); per-frame gzip
     // >= 1 KiB when the client's Accept-Encoding negotiates it.
-    def s2sGzipOk(ex: HttpExchange): Boolean = S2sCodec.gzipNegotiated(
-      Option(ex.getRequestHeaders.getFirst("Accept-Encoding")))
+    // per-frame compression algorithm from Accept-Encoding — zstd
+    // preferred over gzip (from_accept_encoding, s2s.rs:67-83; the
+    // reference's own from_accept_encoding_prefers_zstd test)
+    def s2sAlgo(ex: HttpExchange): Int =
+      S2sCodec.negotiated(acceptEncodingOf(ex))
 
     def s2sOpen(ex: HttpExchange, contentType: String): java.io.OutputStream = {
       ex.getResponseHeaders.set("Content-Type", contentType)
@@ -1457,11 +1543,24 @@ object HttpRecordsServer {
       Option(ex.getRequestHeaders.getFirst("Content-Type"))
         .map(_.split(';')(0).trim.toLowerCase).contains(S2sCodec.ProtoContentType)
 
+    // Framed-mode dispatch gate: ONLY the two known content types
+    // open a session. The reference recognizes exactly `s2s/proto`
+    // (is_s2s_proto) and answers anything else via the strict Json
+    // extractor's 415; an unknown `s2s/*` subtype silently falling
+    // back to JSON payload decoding would mis-frame the session.
+    def isS2sMime(ctype: String): Boolean = {
+      val mime = ctype.split(',')(0).split(';')(0).trim.toLowerCase
+      if (!mime.startsWith("s2s/")) false
+      else if (mime == S2sCodec.ContentType ||
+               mime == S2sCodec.ProtoContentType) true
+      else throw Denied(415, MissingCtMsg)
+    }
+
     def handleS2sAppend(ex: HttpExchange, basin: String, stream: String,
                         tok: Option[AccessToken]): Unit = {
       val base64 = base64Of(ex)
       val proto = s2sProtoMode(ex)
-      val gzipOk = s2sGzipOk(ex)
+      val algo = s2sAlgo(ex)
       val os = s2sOpen(ex,
         if (proto) S2sCodec.ProtoContentType else S2sCodec.ContentType)
       val session = new AppendSession(store, basin, stream, nowMs, keyOf(ex))
@@ -1515,7 +1614,7 @@ object HttpRecordsServer {
                 meter.record("append", basin, stream, nowClock())
                 S2sCodec.writeFrame(os,
                   if (proto) ProtoCodec.encodeAppendAck(ack)
-                  else ackJson(ack).getBytes(UTF_8), gzipOk)
+                  else ackJson(ack).getBytes(UTF_8), algo)
               case Left(session.SessionError.Append(e)) =>
                 val (code, body) = appendErrorParts(basin, stream, e)
                 S2sCodec.writeTerminal(os, code, body)
@@ -1541,13 +1640,33 @@ object HttpRecordsServer {
         case Right(_) => ()
       }
 
+    // R2 start resolution — ONE definition shared by the S2S and SSE
+    // session handlers (they must never drift on 416/resume
+    // semantics): seq is literal, tail_offset is tail-relative
+    // (clamped at 0), timestamp probes the engine for the first
+    // visible record at/after ts (a count=1 limited read), falling
+    // back to the tail when nothing is at/after it yet.
+    def resolveStartSeq(basin: String, stream: String, from: ReadFrom,
+                        cipher: Option[Array[Byte]]): Long = from match {
+      case ReadFrom.SeqNum(n) => n
+      case ReadFrom.TailOffset(k) =>
+        math.max(store.checkTail(basin, stream).seqNum - k, 0L)
+      case ReadFrom.Timestamp(ts) =>
+        store.read(basin, stream,
+          ReadSpec(ReadStart(ReadFrom.Timestamp(ts), clamp = true),
+            ReadEnd(ReadLimit(count = Some(1)))), cipher = cipher)
+          .toOption
+          .flatMap(df => df.collect().headOption.map(_.getLong(0)))
+          .getOrElse(store.checkTail(basin, stream).seqNum)
+    }
+
     def handleS2sRead(ex: HttpExchange, basin: String, stream: String): Unit = {
       val q = query(ex)
       val base64 = base64Of(ex)
       val cipher = keyOf(ex)
       checkReadCipher(basin, cipher)
       val proto = s2sProtoMode(ex)
-      val gzipOk = s2sGzipOk(ex)
+      val algo = s2sAlgo(ex)
       def batchFrame(records: Seq[SequencedRecord],
                      tail: StreamPosition): Array[Byte] =
         if (proto) ProtoCodec.encodeReadBatch(records, Some(tail))
@@ -1564,18 +1683,7 @@ object HttpRecordsServer {
       val bounded = count.isDefined || bytes.isDefined || until.isDefined
       val waitMs = q.get("wait").map(_.toLong * 1000L)
         .orElse(if (bounded) Some(0L) else None)
-      val startSeq: Long = start.from match {
-        case ReadFrom.SeqNum(n) => n
-        case ReadFrom.TailOffset(k) =>
-          math.max(store.checkTail(basin, stream).seqNum - k, 0L)
-        case ReadFrom.Timestamp(ts) =>
-          store.read(basin, stream,
-            ReadSpec(ReadStart(ReadFrom.Timestamp(ts), clamp = true),
-              ReadEnd(ReadLimit(count = Some(1)))), cipher = cipher)
-            .toOption
-            .flatMap(df => df.collect().headOption.map(_.getLong(0)))
-            .getOrElse(store.checkTail(basin, stream).seqNum)
-      }
+      val startSeq = resolveStartSeq(basin, stream, start.from, cipher)
       val tail0 = store.checkTail(basin, stream)
       if (!start.clamp && startSeq > tail0.seqNum) {
         respond(ex, 416, s"""{"tail":${posJson(tail0)}}""".getBytes(UTF_8))
@@ -1594,13 +1702,13 @@ object HttpRecordsServer {
               meter.record("read", basin, stream, nowClock(),
                 bytes = records.iterator
                   .map(r => EnvelopeRecord(r.headers, r.body).meteredSize).sum)
-              S2sCodec.writeFrame(os, batchFrame(records, tail), gzipOk)
+              S2sCodec.writeFrame(os, batchFrame(records, tail), algo)
             case session.Event.Batch(_, _) => ()
             case session.Event.Heartbeat(tail) =>
               // heartbeat = an EMPTY ReadBatch carrying the tail —
               // exactly the reference's S2s heartbeat mapping
               // (records.rs:276-281)
-              S2sCodec.writeFrame(os, batchFrame(Nil, tail), gzipOk)
+              S2sCodec.writeFrame(os, batchFrame(Nil, tail), algo)
             case session.Event.Idle => Thread.sleep(5)
             case session.Event.Closed(reason) =>
               open = false
@@ -1710,20 +1818,8 @@ object HttpRecordsServer {
         .orElse(if (bounded) Some(0L) else None)
 
       // resolve the start to a concrete seq for the session machine
-      val startSeq: Long = start.from match {
-        case ReadFrom.SeqNum(n) => n
-        case ReadFrom.TailOffset(k) =>
-          math.max(store.checkTail(basin, stream).seqNum - k, 0L)
-        case ReadFrom.Timestamp(ts) =>
-          // R2 start resolution via the engine's own probe: first
-          // visible record at/after ts, else the tail
-          store.read(basin, stream,
-            ReadSpec(ReadStart(ReadFrom.Timestamp(ts), clamp = true),
-              ReadEnd(ReadLimit(count = Some(1)))), cipher = cipher)
-            .toOption
-            .flatMap(df => df.collect().headOption.map(_.getLong(0)))
-            .getOrElse(store.checkTail(basin, stream).seqNum)
-      }
+      // (the shared resolveStartSeq — one definition with the S2S arm)
+      val startSeq = resolveStartSeq(basin, stream, start.from, cipher)
       // unsatisfiable start without clamp: 416 BEFORE the stream opens
       val tail0 = store.checkTail(basin, stream)
       if (!start.clamp && startSeq > tail0.seqNum) {
@@ -1782,7 +1878,12 @@ object HttpRecordsServer {
     }
 
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
-    server.createContext("/v1/streams/", safely { ex =>
+    // every route mounts through the CORS layer (unless noCors) —
+    // server.rs wraps the WHOLE router, ping/health/metrics included
+    def mount(path: String,
+              h: com.sun.net.httpserver.HttpHandler): Unit =
+      server.createContext(path, if (noCors) h else withCors(h))
+    mount("/v1/streams/", safely { ex =>
       val path = ex.getRequestURI.getPath.stripPrefix("/v1/streams/")
       val (streamRaw, kind) =
         if (path.endsWith("/records/tail"))
@@ -1804,16 +1905,17 @@ object HttpRecordsServer {
         case ("POST", "records") =>
           authx.check(tok, Op.Append, basin, stream)
           // mode dispatch mirrors the reference extractor
-          // (extract.rs:54-95): an s2s content type selects the
-          // framed session; anything else is the unary JSON arm
+          // (extract.rs:54-95): a KNOWN s2s content type selects the
+          // framed session (unknown s2s/* answers 415, see isS2sMime);
+          // anything else is the unary JSON arm
           val ctype = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
-          if (ctype.startsWith("s2s/")) handleS2sAppend(ex, basin, stream, tok)
+          if (isS2sMime(ctype)) handleS2sAppend(ex, basin, stream, tok)
           else handleAppend(ex, basin, stream, tok)
         case ("GET", "records") =>
           authx.check(tok, Op.Read, basin, stream)
           val ctype = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
           val accept = Option(ex.getRequestHeaders.getFirst("Accept")).getOrElse("")
-          if (ctype.startsWith("s2s/")) handleS2sRead(ex, basin, stream)
+          if (isS2sMime(ctype)) handleS2sRead(ex, basin, stream)
           else if (accept.contains("text/event-stream")) handleSseRead(ex, basin, stream)
           else handleUnaryRead(ex, basin, stream)
         case (_, "") if path.nonEmpty =>
@@ -1825,8 +1927,8 @@ object HttpRecordsServer {
         case _ => respond(ex, 405)
       }
     })
-    installCatalogRoutes(server, store, meter, nowClock, authx)
-    installAccountRoutes(server, store, meter, nowClock, authx)
+    installCatalogRoutes(mount, store, meter, nowClock, authx)
+    installAccountRoutes(mount, store, meter, nowClock, authx)
     // daemon threads: HttpServer.stop() does not shut the executor
     // down (see HttpObjectServer); SSE sessions hold threads for their
     // lifetime, so give the pool headroom

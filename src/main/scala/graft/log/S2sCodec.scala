@@ -3,6 +3,8 @@ package graft.log
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream, EOFException, InputStream, OutputStream}
 import java.util.zip.{GZIPInputStream, GZIPOutputStream}
 
+import com.github.luben.zstd.{ZstdInputStream, ZstdOutputStream}
+
 /** The S2S framed session codec — the reference's binary wire format
   * for append/read sessions (api/src/v1/stream/s2s.rs:11-56), byte-
   * exact framing:
@@ -17,10 +19,11 @@ import java.util.zip.{GZIPInputStream, GZIPOutputStream}
   *
   * Per-frame compression applies when the payload reaches 1 KiB
   * (COMPRESSION_THRESHOLD_BYTES) and the peer negotiated an algorithm
-  * via Accept-Encoding (s2s.rs:66-83 from_accept_encoding); frames
-  * are capped at 2 MiB compressed AND decompressed (MAX_FRAME_BYTES /
-  * MAX_DECOMPRESSED_PAYLOAD_BYTES). Gzip only here: zstd has no JDK
-  * implementation and the negotiation simply never selects it.
+  * via Accept-Encoding (s2s.rs:66-83 from_accept_encoding — zstd wins
+  * over gzip, exactly the reference's preference order; zstd rides
+  * the zstd-jni codec already on the Spark classpath); frames are
+  * capped at 2 MiB compressed AND decompressed (MAX_FRAME_BYTES /
+  * MAX_DECOMPRESSED_PAYLOAD_BYTES).
   *
   * Two payload encodings ride these frames, selected by content
   * type: `s2s/proto` — the reference's prost-shaped protobuf
@@ -40,7 +43,7 @@ object S2sCodec {
   val MaxFrameBytes: Int = 2 * 1024 * 1024
 
   val CompNone = 0
-  val CompZstd = 1 // never produced (no JDK zstd); decode rejects it
+  val CompZstd = 1
   val CompGzip = 2
 
   /** One decoded frame. `compression` is the algorithm that was on
@@ -51,9 +54,24 @@ object S2sCodec {
     def payloadUtf8: String = new String(payload, "UTF-8")
   }
 
-  /** True iff the peer's Accept-Encoding negotiates gzip
-    * (s2s.rs:66-83; zstd would win there, but the JVM side never
-    * offers or accepts it). */
+  /** The negotiated per-frame algorithm from Accept-Encoding —
+    * s2s.rs:67-83 from_accept_encoding, exactly its preference order:
+    * a zstd token ANYWHERE in the list wins immediately, gzip is the
+    * fallback, identity otherwise. Returns one of [[CompZstd]] /
+    * [[CompGzip]] / [[CompNone]]. */
+  def negotiated(acceptEncoding: Option[String]): Int = {
+    var gzip = false
+    acceptEncoding.foreach(_.split(',').foreach { enc =>
+      val token = enc.trim.split(';').head.trim
+      if (token.equalsIgnoreCase("zstd")) return CompZstd
+      else if (token.equalsIgnoreCase("gzip")) gzip = true
+    })
+    if (gzip) CompGzip else CompNone
+  }
+
+  /** True iff the peer's Accept-Encoding carries a gzip token — the
+    * gzip half of [[negotiated]]; kept as the boolean form the client
+    * helpers and specs use. */
   def gzipNegotiated(acceptEncoding: Option[String]): Boolean =
     acceptEncoding.exists(_.split(',').exists(
       _.trim.split(';').head.trim.equalsIgnoreCase("gzip")))
@@ -65,16 +83,20 @@ object S2sCodec {
     bos.toByteArray
   }
 
-  private def gunzipBounded(data: Array[Byte]): Array[Byte] =
-    gunzip(data, MaxFrameBytes)
+  def zstd(data: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(data.length / 2 + 64)
+    val z = new ZstdOutputStream(bos)
+    z.write(data); z.close()
+    bos.toByteArray
+  }
 
-  /** Bounded gunzip, shared with the unary routes' request-
-    * decompression layer (handlers/v1/mod.rs:30-33
-    * RequestDecompressionLayer): expansion beyond `cap` throws rather
-    * than materializing a zip bomb. */
-  private[log] def gunzip(data: Array[Byte], cap: Int): Array[Byte] = {
-    val in = new GZIPInputStream(new ByteArrayInputStream(data))
-    val out = new ByteArrayOutputStream(math.min(data.length * 2, cap))
+  /** Bounded streaming inflate shared by the gzip and zstd arms:
+    * expansion beyond `cap` throws rather than materializing a
+    * decompression bomb (the reference's read_to_end_limited,
+    * s2s.rs:146-162). */
+  private def inflateBounded(in: InputStream, cap: Int,
+                             hint: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream(math.min(math.max(hint, 64), cap))
     val buf = new Array[Byte](8192)
     var total = 0
     var n = in.read(buf)
@@ -88,6 +110,20 @@ object S2sCodec {
     out.toByteArray
   }
 
+  /** Bounded gunzip, shared with the unary routes' request-
+    * decompression layer (handlers/v1/mod.rs:30-33
+    * RequestDecompressionLayer). */
+  private[log] def gunzip(data: Array[Byte], cap: Int): Array[Byte] =
+    inflateBounded(new GZIPInputStream(new ByteArrayInputStream(data)),
+      cap, data.length * 2)
+
+  /** Bounded zstd inflate — the RequestDecompressionLayer's zstd arm
+    * (lite/Cargo.toml decompression-zstd) and the frame decoder's
+    * CompZstd arm share it. */
+  def unzstd(data: Array[Byte], cap: Int): Array[Byte] =
+    inflateBounded(new ZstdInputStream(new ByteArrayInputStream(data)),
+      cap, data.length * 2)
+
   private def header(flags: Int, bodyLen: Int): Array[Byte] = {
     val len = bodyLen + 1 // flags byte rides inside the length
     require(len <= MaxFrameBytes, s"frame exceeds ${MaxFrameBytes}B limit")
@@ -95,18 +131,26 @@ object S2sCodec {
       (len & 0xff).toByte, flags.toByte)
   }
 
-  /** Encode one regular frame; compresses iff negotiated AND the
-    * payload reaches the 1 KiB threshold (s2s.rs:104-116). */
+  /** Encode one regular frame; compresses with the negotiated
+    * algorithm iff the payload reaches the 1 KiB threshold
+    * (s2s.rs:104-116 compress). `algo` is one of [[CompNone]] /
+    * [[CompZstd]] / [[CompGzip]] — typically [[negotiated]]'s pick. */
   def writeFrame(os: OutputStream, payload: Array[Byte],
-                 gzipOk: Boolean): Unit = {
+                 algo: Int): Unit = {
     val (comp, wire) =
-      if (gzipOk && payload.length >= CompressionThreshold)
-        (CompGzip, gzip(payload))
-      else (CompNone, payload)
+      if (payload.length < CompressionThreshold || algo == CompNone)
+        (CompNone, payload)
+      else if (algo == CompZstd) (CompZstd, zstd(payload))
+      else (CompGzip, gzip(payload))
     os.write(header(comp << 5, wire.length))
     os.write(wire)
     os.flush()
   }
+
+  /** Boolean form kept for the gzip-only client helpers and specs. */
+  def writeFrame(os: OutputStream, payload: Array[Byte],
+                 gzipOk: Boolean): Unit =
+    writeFrame(os, payload, if (gzipOk) CompGzip else CompNone)
 
   /** Encode the terminal frame: 2-byte HTTP status + JSON body
     * (never compressed — error bodies are small). */
@@ -159,9 +203,10 @@ object S2sCodec {
       val raw = java.util.Arrays.copyOfRange(body, 1, len)
       val payload = comp match {
         case CompNone => raw
-        case CompGzip => gunzipBounded(raw)
+        case CompGzip => gunzip(raw, MaxFrameBytes)
+        case CompZstd => unzstd(raw, MaxFrameBytes)
         case other =>
-          throw new java.io.IOException(s"unsupported compression $other (zstd has no JVM codec)")
+          throw new java.io.IOException(s"unsupported compression flag $other")
       }
       Some(Frame(terminal = false, comp, payload))
     }

@@ -603,6 +603,23 @@ final class StreamStore(val spark: SparkSession, val root: String) {
     StreamPosition(m.tailSeq, m.tailTs)
   }
 
+  /** Backend liveness probe behind /health — the analog of the
+    * reference's `db_status` (lite/src/backend/store.rs:11, served by
+    * handlers/mod.rs:19-24): one FRESH meta GET of the catalog's basin
+    * list, so the probe exercises the same storage path every control-
+    * plane RPC depends on. Cheap (a stat on POSIX, one conditional GET
+    * on an object endpoint), never a Spark job — a load balancer hits
+    * this more often than any other route. Right(()) = serving;
+    * Left(diag) = backend unreachable (the /health 503 arm). */
+  def dbStatus(): Either[String, Unit] =
+    try {
+      backend.getMeta(Layout.basinsPath(rootKey).toString, fresh = true)
+      Right(())
+    } catch {
+      case t: Throwable => Left(
+        s"${t.getClass.getSimpleName}: ${Option(t.getMessage).getOrElse("")}")
+    }
+
   // -------------------------------------------------------------------------
   // Append path (A1-A7)
   // -------------------------------------------------------------------------

@@ -2020,6 +2020,94 @@ object EngineDemos {
       } finally server.stop(0)
     },
 
+    // zstd content-coding parity (round 19) + the root router's
+    // operational surface. The reference negotiates zstd FIRST for
+    // both router-wide compression (lite/Cargo.toml:56 compression-
+    // zstd/decompression-zstd) and per-frame S2S compression
+    // (s2s.rs:67-83 from_accept_encoding — zstd beats gzip, flag
+    // value 1), and its SDK sends zstd request bodies
+    // (sdk/src/client.rs:674). Also pinned here: /ping + /health
+    // (handlers/mod.rs:13-24, 200 "OK" over a live backend) and the
+    // CorsLayer::very_permissive() behavior (server.rs:222-223) —
+    // preflight mirrors the requested method/headers, actual
+    // responses mirror the Origin with credentials.
+    demo("e2e_http_zstd", Seq(
+      "unary_zstd" -> "enc:zstd,inflated_equal:true,wire_smaller:true",
+      "zstd_beats_gzip" -> "enc:zstd",
+      "zstd_request" -> "200:z0,z1",
+      "s2s_zstd_frame" -> "zstd:1,plain:0,equal:true",
+      "ping_health" -> "ping:200:OK,health:200:OK",
+      "cors" -> "preflight:200:POST:s2-basin,actual:http://app.example:true")) { (_, st) =>
+      val (server, endpoint) = graft.log.HttpRecordsServer.start(st, Some(1000L))
+      try {
+        import graft.log.HttpRecordsClient.{request, requestRaw, requestAny}
+        import graft.log.S2sCodec
+        st.catalog.createStream("demo-basin1", "zs")
+        val base = s"$endpoint/v1/streams/zs/records"
+        val hdr = Seq("s2-basin" -> "demo-basin1")
+        val seed = (0 until 4).map(i => s"""{"body":"${("ab" * 512) + i}"}""")
+        request("POST", base, hdr,
+          s"""{"records":[${seed.mkString(",")}]}""".getBytes("UTF-8"))
+        // >1 KiB unary read with zstd negotiated: zstd on the wire,
+        // inflates to exactly the plain body
+        val readUrl = s"$base?seq_num=0&count=4"
+        val (_, plainBody) = request("GET", readUrl, hdr)
+        val (_, zBody, zEnc) = requestRaw("GET", readUrl,
+          hdr :+ ("Accept-Encoding" -> "zstd"))
+        val unary = s"enc:${zEnc.getOrElse("none")}," +
+          s"inflated_equal:${new String(S2sCodec.unzstd(zBody, 1 << 24), "UTF-8") == plainBody}," +
+          s"wire_smaller:${zBody.length < plainBody.length}"
+        // the preference matrix: zstd wins even listed after gzip
+        val (_, _, prefEnc) = requestRaw("GET", readUrl,
+          hdr :+ ("Accept-Encoding" -> "gzip, zstd, br"))
+        // zstd-encoded REQUEST body (the SDK's compressed-append path)
+        st.catalog.createStream("demo-basin1", "zs-req")
+        val reqBase = s"$endpoint/v1/streams/zs-req/records"
+        val (zc, _) = request("POST", reqBase,
+          hdr :+ ("Content-Encoding" -> "zstd"),
+          S2sCodec.zstd("""{"records":[{"body":"z0"},{"body":"z1"}]}"""
+            .getBytes("UTF-8")))
+        val (_, landed) = request("GET", s"$reqBase?seq_num=0&count=2", hdr)
+        val zstdReq = s"$zc:" + """"body":"([^"]+)"""".r
+          .findAllMatchIn(landed).map(_.group(1)).mkString(",")
+        // S2S per-frame zstd: flag 1 on a >1 KiB frame, identical
+        // decoded payload vs the unnegotiated session
+        st.catalog.createStream("demo-basin1", "zs-s2s")
+        val s2sBase = s"$endpoint/v1/streams/zs-s2s/records"
+        graft.log.HttpRecordsClient.s2sAppendSession(s2sBase, hdr,
+          Seq(s"""{"records":[{"body":"${"Z" * 2048}"}]}"""))
+        val zf = graft.log.HttpRecordsClient.s2sReadSession(
+          s"$s2sBase?seq_num=0&count=1", hdr :+ ("Accept-Encoding" -> "zstd"))
+        val pf = graft.log.HttpRecordsClient.s2sReadSession(
+          s"$s2sBase?seq_num=0&count=1", hdr)
+        val s2sRow = s"zstd:${zf.head.compression},plain:${pf.head.compression}," +
+          s"equal:${zf.head.payloadUtf8 == pf.head.payloadUtf8}"
+        // /ping + /health: 200 "OK" over the live backend
+        val (pc, pb) = request("GET", s"$endpoint/ping")
+        val (hc, hb) = request("GET", s"$endpoint/health")
+        val pingHealth = s"ping:$pc:$pb,health:$hc:$hb"
+        // CORS: preflight mirrors method+headers, actual mirrors Origin
+        val (cfc, _, cfh) = requestAny("OPTIONS", base, Seq(
+          "Origin" -> "http://app.example",
+          "Access-Control-Request-Method" -> "POST",
+          "Access-Control-Request-Headers" -> "s2-basin"))
+        val cfMeth = cfh.firstValue("Access-Control-Allow-Methods").orElse("")
+        val cfHdrs = cfh.firstValue("Access-Control-Allow-Headers").orElse("")
+        val (_, _, acth) = requestAny("GET", s"$base?seq_num=0&count=1",
+          hdr :+ ("Origin" -> "http://app.example"))
+        val actOrigin = acth.firstValue("Access-Control-Allow-Origin").orElse("")
+        val actCred = acth.firstValue("Access-Control-Allow-Credentials").orElse("")
+        val cors = s"preflight:$cfc:$cfMeth:$cfHdrs,actual:$actOrigin:$actCred"
+        Seq(
+          "unary_zstd" -> unary,
+          "zstd_beats_gzip" -> s"enc:${prefEnc.getOrElse("none")}",
+          "zstd_request" -> zstdReq,
+          "s2s_zstd_frame" -> s2sRow,
+          "ping_health" -> pingHealth,
+          "cors" -> cors)
+      } finally server.stop(0)
+    },
+
     // The protobuf encodings of the records API — the reference's
     // OTHER two wire modes beyond JSON/SSE: unary bodies negotiated
     // by application/protobuf Content-Type (request) / Accept

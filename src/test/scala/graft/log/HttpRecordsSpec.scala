@@ -292,4 +292,136 @@ class HttpRecordsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(ping.contains(""""tail":{"seq_num":1"""), ping)
     } finally server.stop(0)
   }
+
+  test("unknown s2s/* content types answer 415, never a mis-framed JSON " +
+    "fallback (the reference recognizes exactly s2s/proto)") {
+    val (_, server, ep) = served()
+    try {
+      val (c1, b1) = request("POST", s"$ep/v1/streams/s/records",
+        hdr :+ ("Content-Type" -> "s2s/foo"), "junk".getBytes("UTF-8"))
+      assert(c1 == 415, s"$c1 $b1")
+      val (c2, _) = request("GET", s"$ep/v1/streams/s/records?seq_num=0",
+        hdr :+ ("Content-Type" -> "s2s/msgpack"))
+      assert(c2 == 415)
+      // the two known types still open framed sessions (not 415):
+      // covered end-to-end by e2e_http_s2s / e2e_http_proto
+    } finally server.stop(0)
+  }
+
+  test("JsonOpt: a whitespace-only body with a json Content-Type is a 400 " +
+    "syntax error, not the no-body default (OptionalFromRequest parity)") {
+    val (st, server, ep) = served()
+    try {
+      // truly empty body with json CT = None -> ensure with defaults (201)
+      val (c0, _) = request("PUT", s"$ep/v1/streams/ws-none",
+        hdr :+ ("Content-Type" -> "application/json"), Array.emptyByteArray)
+      assert(c0 == 201, c0.toString)
+      // whitespace-only body falls through to the parser: 400 malformed
+      val (c1, b1) = request("PUT", s"$ep/v1/streams/ws-bad",
+        hdr :+ ("Content-Type" -> "application/json"), "  \n\t".getBytes("UTF-8"))
+      assert(c1 == 400 && b1.contains("malformed json"), s"$c1 $b1")
+      assert(st.catalog.getStream("rec-basin", "ws-bad").isEmpty,
+        "a 400 body must not create the stream")
+    } finally server.stop(0)
+  }
+
+  test("/ping and /health probe the backend: 200 OK live, 503 with the " +
+    "error once the storage endpoint is gone (db_status parity)") {
+    val (objServer, objEp) = HttpObjectServer.start()
+    val root = Files.createTempDirectory("graft-http-health").toString
+    HttpObjectBackend.install(root, objEp)
+    val st = new StreamStore(spark, root)
+    st.catalog.createBasin("rec-basin", BasinConfig())
+    val (server, ep) = HttpRecordsServer.start(st, Some(1000L))
+    try {
+      val (pc, pb) = request("GET", s"$ep/ping")
+      val (hc, hb) = request("GET", s"$ep/health")
+      assert(pc == 200 && pb == "OK", s"$pc $pb")
+      assert(hc == 200 && hb == "OK", s"$hc $hb")
+      // boundary guard: /pingjunk is an unknown route, not a probe
+      val (nc, _) = request("GET", s"$ep/pingjunk")
+      assert(nc == 404)
+      // kill the object endpoint: the probe's fresh meta GET fails
+      objServer.stop(0)
+      val (fc, fb) = request("GET", s"$ep/health")
+      assert(fc == 503 && fb.nonEmpty, s"$fc $fb")
+      val (fpc, _) = request("GET", s"$ep/ping")
+      assert(fpc == 503)
+    } finally server.stop(0)
+  }
+
+  test("CORS very_permissive parity: preflight mirrors method+headers, " +
+    "responses mirror Origin with credentials; --no-cors disables it") {
+    val (_, server, ep) = served()
+    try {
+      // preflight short-circuits 200 with the mirrored grant
+      val (pc, _, ph) = requestAny("OPTIONS", s"$ep/v1/streams/s/records", Seq(
+        "Origin" -> "http://ui.example",
+        "Access-Control-Request-Method" -> "POST",
+        "Access-Control-Request-Headers" -> "s2-basin, content-type"))
+      assert(pc == 200, pc.toString)
+      assert(ph.firstValue("Access-Control-Allow-Origin").orElse("") == "http://ui.example")
+      assert(ph.firstValue("Access-Control-Allow-Credentials").orElse("") == "true")
+      assert(ph.firstValue("Access-Control-Allow-Methods").orElse("") == "POST")
+      assert(ph.firstValue("Access-Control-Allow-Headers").orElse("")
+        == "s2-basin, content-type")
+      // an actual cross-origin request on every route family carries
+      // the mirrored origin
+      for (url <- Seq(s"$ep/v1/streams/s/records/tail", s"$ep/v1/basins",
+          s"$ep/v1/locations", s"$ep/health", s"$ep/metrics")) {
+        val (_, _, h) = requestAny("GET", url,
+          hdr :+ ("Origin" -> "http://ui.example"))
+        assert(h.firstValue("Access-Control-Allow-Origin").orElse("")
+          == "http://ui.example", url)
+      }
+      // same-origin requests (no Origin header) carry no CORS headers
+      val (_, _, plain) = requestAny("GET", s"$ep/v1/streams/s/records/tail", hdr)
+      assert(plain.firstValue("Access-Control-Allow-Origin").isEmpty)
+    } finally server.stop(0)
+
+    // --no-cors: the layer is absent entirely (server.rs:222-223)
+    val st2 = new StreamStore(spark,
+      Files.createTempDirectory("graft-http-nocors").toString)
+    st2.catalog.createBasin("rec-basin", BasinConfig())
+    st2.catalog.createStream("rec-basin", "s")
+    val (server2, ep2) = HttpRecordsServer.start(st2, Some(1000L), noCors = true)
+    try {
+      val (_, _, h2) = requestAny("GET", s"$ep2/v1/streams/s/records/tail",
+        hdr :+ ("Origin" -> "http://ui.example"))
+      assert(h2.firstValue("Access-Control-Allow-Origin").isEmpty)
+    } finally server2.stop(0)
+  }
+
+  test("zstd content-coding: requests inflate, responses prefer zstd over " +
+    "gzip at >=1 KiB, and a zstd bomb is refused (decompression parity)") {
+    val (_, server, ep) = served()
+    try {
+      val base = s"$ep/v1/streams/s/records"
+      // zstd request body (the SDK's compressed-append path)
+      val (c1, _) = request("POST", base, hdr :+ ("Content-Encoding" -> "zstd"),
+        S2sCodec.zstd("""{"records":[{"body":"zz"}]}""".getBytes("UTF-8")))
+      assert(c1 == 200, c1.toString)
+      // seed >1 KiB of readable data
+      request("POST", base, hdr, (s"""{"records":[""" +
+        (0 until 4).map(i => s"""{"body":"${("cd" * 512) + i}"}""").mkString(",") +
+        "]}").getBytes("UTF-8"))
+      val url = s"$base?seq_num=1&count=4"
+      val (_, plain) = request("GET", url, hdr)
+      // zstd alone
+      val (_, zb, ze) = requestRaw("GET", url, hdr :+ ("Accept-Encoding" -> "zstd"))
+      assert(ze.contains("zstd"), ze.toString)
+      assert(new String(S2sCodec.unzstd(zb, 1 << 24), "UTF-8") == plain)
+      // zstd preferred when both offered, in either order
+      val (_, _, e2) = requestRaw("GET", url, hdr :+ ("Accept-Encoding" -> "zstd, gzip"))
+      val (_, _, e3) = requestRaw("GET", url, hdr :+ ("Accept-Encoding" -> "gzip, zstd"))
+      assert(e2.contains("zstd") && e3.contains("zstd"), s"$e2 $e3")
+      // gzip still negotiates alone
+      val (_, _, e4) = requestRaw("GET", url, hdr :+ ("Accept-Encoding" -> "gzip"))
+      assert(e4.contains("gzip"), e4.toString)
+      // a zstd bomb beyond the 16 MiB request cap is a 400, not an OOM
+      val bomb = S2sCodec.zstd(new Array[Byte](24 * 1024 * 1024))
+      val (cb, bb) = request("POST", base, hdr :+ ("Content-Encoding" -> "zstd"), bomb)
+      assert(cb == 400 && bb.contains("zstd"), s"$cb $bb")
+    } finally server.stop(0)
+  }
 }

@@ -16,8 +16,11 @@ import org.scalatest.funsuite.AnyFunSuite
   *    a frame — length prefix included — throws (a torn session must
   *    never read as a clean close, the same discipline the SSE route
   *    gets from the `\n\n` event boundary);
-  *  - decode enforces the 2 MiB frame cap, the decompressed-payload
-  *    cap (zip-bomb guard), and rejects the zstd flag (no JVM codec);
+  *  - decode enforces the 2 MiB frame cap and the decompressed-payload
+  *    cap (zip-bomb guard) on both the gzip and zstd arms;
+  *  - the Accept-Encoding negotiation prefers zstd over gzip, exactly
+  *    the reference's order (from_accept_encoding_prefers_zstd /
+  *    falls_back_to_gzip / defaults_to_none, s2s.rs:523-551);
   *  - encode refuses a frame beyond the cap rather than emitting one
   *    the peer must kill the session over.
   */
@@ -78,8 +81,22 @@ class S2sCodecSpec extends AnyFunSuite {
     assert(S2sCodec.gzipNegotiated(Some("GZIP")))
     assert(!S2sCodec.gzipNegotiated(Some("deflate, br")))
     assert(!S2sCodec.gzipNegotiated(None))
-    // zstd alone never negotiates on the JVM side (no codec)
+    // a zstd-only offer is not a gzip offer (the full negotiation
+    // picks zstd there — see the preference-matrix test)
     assert(!S2sCodec.gzipNegotiated(Some("zstd")))
+  }
+
+  test("negotiation preference matrix: zstd > gzip > none (from_accept_encoding, s2s.rs:67-83)") {
+    // the reference's own from_accept_encoding_prefers_zstd fixture:
+    // zstd wins even listed after gzip, and br is ignored
+    assert(S2sCodec.negotiated(Some("gzip, zstd, br")) == S2sCodec.CompZstd)
+    assert(S2sCodec.negotiated(Some("zstd")) == S2sCodec.CompZstd)
+    assert(S2sCodec.negotiated(Some("ZSTD;q=0.5")) == S2sCodec.CompZstd)
+    // from_accept_encoding_falls_back_to_gzip
+    assert(S2sCodec.negotiated(Some("gzip;q=0.8, deflate")) == S2sCodec.CompGzip)
+    // from_accept_encoding_defaults_to_none
+    assert(S2sCodec.negotiated(None) == S2sCodec.CompNone)
+    assert(S2sCodec.negotiated(Some("deflate, br")) == S2sCodec.CompNone)
   }
 
   test("clean EOF at a frame boundary is None; back-to-back frames stream") {
@@ -127,11 +144,28 @@ class S2sCodecSpec extends AnyFunSuite {
       enc(new Array[Byte](S2sCodec.MaxFrameBytes), gzipOk = false))
   }
 
-  test("decode rejects the zstd flag (negotiation never selects it on the JVM)") {
-    val payload = "x".getBytes
-    val wire = enc(payload, gzipOk = false)
-    wire(3) = (S2sCodec.CompZstd << 5).toByte
-    val ex = intercept[java.io.IOException](dec(wire))
-    assert(ex.getMessage.contains("zstd"))
+  test("zstd frames round-trip with flag 1, threshold-gated like gzip") {
+    val at = Array.fill[Byte](S2sCodec.CompressionThreshold)('a')
+    val bos = new ByteArrayOutputStream()
+    S2sCodec.writeFrame(bos, at, S2sCodec.CompZstd)
+    val wire = bos.toByteArray
+    // compression bits of the flag byte carry 1 (s2s.rs CompressionAlgorithm::Zstd = 1)
+    assert(((wire(3) & 0xff) >> 5) == S2sCodec.CompZstd)
+    val f = dec(wire).get
+    assert(f.compression == S2sCodec.CompZstd && f.payload.sameElements(at))
+    // below threshold: plain even when zstd is negotiated
+    val under = Array.fill[Byte](S2sCodec.CompressionThreshold - 1)('a')
+    val bos2 = new ByteArrayOutputStream()
+    S2sCodec.writeFrame(bos2, under, S2sCodec.CompZstd)
+    assert(dec(bos2.toByteArray).get.compression == S2sCodec.CompNone)
+  }
+
+  test("decompressed-payload cap holds on the zstd arm too") {
+    val bos = new ByteArrayOutputStream()
+    S2sCodec.writeFrame(bos, new Array[Byte](8 * 1024 * 1024), S2sCodec.CompZstd)
+    val bomb = bos.toByteArray
+    assert(bomb.length < 64 * 1024, "fixture: the bomb must be small on the wire")
+    val ex = intercept[java.io.IOException](dec(bomb))
+    assert(ex.getMessage.contains("exceeds limit"))
   }
 }
