@@ -81,9 +81,17 @@ object Bench {
     * multiplies fsync 20x multiplies them too while cpu_calib reads
     * quiet (observed r18: fsync p50 0.5 ms -> 11 ms moved cp10k
     * ingest 12 s -> 88 s at cpu norm 0.94). Recording it makes the
-    * artifact disk-adjudicable, same rationale as gc_sec. */
-  private[graft] def fsyncP50Ms(): Double = {
-    val f = java.nio.file.Files.createTempFile("graft-fsyncprobe", ".bin")
+    * artifact disk-adjudicable, same rationale as gc_sec.
+    *
+    * `dir` places the probe file on the SAME filesystem the bench
+    * stores fsync to (r18 ADVICE: java.io.tmpdir can be a different
+    * fs — often tmpfs — than the store root, in which case the probe
+    * reads quiet while the data disk is saturated). null = tmpdir
+    * (the standalone-tool form). */
+  private[graft] def fsyncP50Ms(dir: java.nio.file.Path = null): Double = {
+    val f =
+      if (dir == null) java.nio.file.Files.createTempFile("graft-fsyncprobe", ".bin")
+      else java.nio.file.Files.createTempFile(dir, "graft-fsyncprobe", ".bin")
     val buf = java.nio.ByteBuffer.allocate(4096)
     val lat = (0 until 20).map { _ =>
       buf.rewind()
@@ -211,6 +219,33 @@ object Bench {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+    // One parent directory for every store root this run creates, so
+    // the fsync probe below measures the SAME filesystem the fs-heavy
+    // phases fsync to (r18 ADVICE: tmpdir may be a different fs).
+    val benchRoot = java.nio.file.Files.createTempDirectory("graft-bench-root")
+
+    // ---- contamination probes, sampled BEFORE the run and at every
+    // fs-heavy phase boundary, not just at artifact-write: the r18
+    // driver artifact's end-of-run fsync probe read QUIET because the
+    // IO aftershock that collapsed its serving rows had passed by
+    // write time — a mid-run sample would have caught it. Same for
+    // the CPU probes: par_calib at the END cannot prove the QUERY
+    // phase was quiet. The artifact carries every sample plus the
+    // MAX, and a quiet_host verdict computed from the worst sample.
+    val fsyncSamples = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def sampleFsync(label: String): Double = {
+      val v = fsyncP50Ms(benchRoot)
+      fsyncSamples(label) = v
+      v
+    }
+    def loadavg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    val loadavgPre = loadavg()
+    sampleFsync("pre")
+    val cpuCalibPre = cpuCalibSec()
+    val parCalibPre = parCalibSec()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -274,6 +309,7 @@ object Bench {
       val passes = Seq(timed(name, fn), timed(name, fn), timed(name, fn))
       name -> passes.sortBy(_._1)(Ordering.Double.TotalOrdering)(1) // median wall
     }
+    sampleFsync("queries")
 
     // ---- s2-style append/read workload over the events table ----
     // The whole workload is fallible (it re-reads events.parquet and
@@ -281,7 +317,7 @@ object Bench {
     // a failure here degrades to zeroed workload metrics + an error
     // note while the per-query timings above still ship.
     val workloadJson: String = try {
-    val root = java.nio.file.Files.createTempDirectory("graft-bench").toString
+    val root = java.nio.file.Files.createTempDirectory(benchRoot, "graft-bench").toString
     val store = new StreamStore(spark, root)
     store.catalog.createBasin("bench-basin",
       BasinConfig(defaultStreamConfig =
@@ -364,7 +400,7 @@ object Bench {
     // bound, so this phase measures throughput at the reference bench's
     // record scale): same row count as events, 8 streams, 1 KiB bodies.
     val nBig = ev.count()
-    val root2 = java.nio.file.Files.createTempDirectory("graft-bench1k").toString
+    val root2 = java.nio.file.Files.createTempDirectory(benchRoot, "graft-bench1k").toString
     val store2 = new StreamStore(spark, root2)
     store2.catalog.createBasin("bench-basin",
       BasinConfig(defaultStreamConfig =
@@ -404,7 +440,7 @@ object Bench {
     // loop at throughput, not just that bytes moved). MiB/s stays
     // normalized to metered (= plaintext) bytes, so the enc/plain
     // ratio IS the cipher overhead.
-    val root3 = java.nio.file.Files.createTempDirectory("graft-bench1ke").toString
+    val root3 = java.nio.file.Files.createTempDirectory(benchRoot, "graft-bench1ke").toString
     val store3 = new StreamStore(spark, root3)
     store3.catalog.createBasin("bench-basin",
       BasinConfig(defaultStreamConfig =
@@ -453,6 +489,7 @@ object Bench {
       System.err.println(s"bench workload failed: $msg")
       s""""append_mibps":0,"read_mibps":0,"read_verified":false,"workload_error":${jsonStr(msg)}"""
     }
+    sampleFsync("workload")
 
     // ---- many-streams control plane (VERDICT r12 #7): 10k streams on
     // one basin — bulk create, full 10-page listing, check_tail p99
@@ -464,7 +501,7 @@ object Bench {
     // 16-way parallelMap. Guarded like the workload: a failure here
     // zeroes these keys, never the artifact.
     val controlPlaneJson: String = try {
-      val rootCp = java.nio.file.Files.createTempDirectory("graft-bench10k").toString
+      val rootCp = java.nio.file.Files.createTempDirectory(benchRoot, "graft-bench10k").toString
       val storeCp = new StreamStore(spark, rootCp)
       storeCp.catalog.createBasin("bench-basin",
         BasinConfig(defaultStreamConfig =
@@ -511,6 +548,7 @@ object Bench {
       System.err.println(s"bench control-plane phase failed: $msg")
       s""""cp10k_streams":0,"cp10k_error":${jsonStr(msg)}"""
     }
+    sampleFsync("cp10k")
 
     // ---- control plane over a REAL HTTP endpoint: the same flow at
     // the SAME 10k streams as the POSIX phase above, so the two
@@ -521,7 +559,7 @@ object Bench {
     val httpControlPlaneJson: String = try {
       val (server, endpoint) = graft.log.HttpObjectServer.start()
       try {
-        val rootH = java.nio.file.Files.createTempDirectory("graft-benchhttp").toString
+        val rootH = java.nio.file.Files.createTempDirectory(benchRoot, "graft-benchhttp").toString
         graft.log.HttpObjectBackend.install(rootH, endpoint)
         val storeH = new StreamStore(spark, rootH)
         storeH.catalog.createBasin("bench-basin",
@@ -595,8 +633,10 @@ object Bench {
       System.err.println(s"bench http control-plane phase failed: $msg")
       s""""cphttp_streams":0,"cphttp_error":${jsonStr(msg)}"""
     }
+    sampleFsync("cphttp")
 
-    val recordsApiJson: String = recordsApiPhaseJson(spark)
+    val recordsApiJson: String = recordsApiPhaseJson(spark, benchRoot)
+    sampleFsync("records_api")
 
     val qs = results.map { case (k, (w, _, _)) => "\"" + k + f"\":$w%.3f" }
       .mkString("{", ",", "}")
@@ -616,9 +656,42 @@ object Bench {
     // the native pool peak — both zero-cost bean reads
     val gcRunSec = gcTimeSec()
     val heapMaxMb = heapPeakMb()
-    val fsyncMs = fsyncP50Ms()
+    // post-run probe set, paired with the pre-run set sampled before
+    // the warm-up; the fsync series additionally carries one sample
+    // per fs-heavy phase boundary. fsync_p50_ms (the adjudication key
+    // BASELINE.md's fs-heavy rule reads) is the MAX over all samples,
+    // so an aftershock that ends mid-run can no longer hide behind a
+    // quiet end-of-run probe — the hole the r18 artifact fell through.
+    val fsyncPost = sampleFsync("post")
+    val fsyncMs = fsyncSamples.values.max
     val calib = cpuCalibSec()
     val parCalib = parCalibSec()
+    val loadavgPost = loadavg()
+    // quiet-host verdict, computed from the WORST sample of each
+    // probe: the thresholds are the r19 task's done-criteria (cpu
+    // calib quiet band 0.13-0.16, par_calib quiet floor 0.309 with
+    // ≤~0.5 acceptable, fsync quiet floor ~0.5 ms with ≤~1.5
+    // acceptable). A non-quiet run says so IN the artifact rather
+    // than shipping a silently-poisoned queries_norm map.
+    val cpuCalibWorst = math.max(calib, cpuCalibPre)
+    val parCalibWorst = math.max(parCalib, parCalibPre)
+    val quietHost = cpuCalibWorst <= 0.20 && parCalibWorst <= 0.55 &&
+      fsyncMs <= 2.0
+    val contaminationNote =
+      if (quietHost) ""
+      else {
+        val reasons = Seq(
+          if (cpuCalibWorst > 0.20) Seq(f"cpu_calib $cpuCalibWorst%.3f > 0.20") else Nil,
+          if (parCalibWorst > 0.55) Seq(f"par_calib $parCalibWorst%.3f > 0.55 (core oversubscription — CPU-inflation-without-GC class)") else Nil,
+          if (fsyncMs > 2.0) Seq(f"fsync p50 $fsyncMs%.2f ms > 2.0 (IO aftershock — fs-heavy rows incommensurable)") else Nil).flatten
+        s""","contamination_note":${jsonStr(
+          "NOT a quiet host: " + reasons.mkString("; ") +
+            "; queries_norm and the affected phase rows are unreliable for cross-round comparison")}"""
+      }
+    val probesJson =
+      f""""fsync_p50_ms_pre":${fsyncSamples("pre")}%.2f,"fsync_p50_ms_post":$fsyncPost%.2f,"fsync_samples":${
+        fsyncSamples.map { case (k, v) => "\"" + k + f"\":$v%.2f" }
+          .mkString("{", ",", "}")},"cpu_calib_pre_sec":$cpuCalibPre%.4f,"par_calib_pre_sec":$parCalibPre%.4f,"loadavg_pre":$loadavgPre%.2f,"loadavg_post":$loadavgPost%.2f,"quiet_host":$quietHost$contaminationNote"""
     // Host-load-normalized wall times (see CalibBaselineSec /
     // ParCalibBaselineSec): the map BenchRegressionSpec gates on and
     // the README round table reports. Normalize by whichever probe saw
@@ -633,7 +706,7 @@ object Bench {
     val qsNorm = results.map { case (k, (w, _, _)) =>
       "\"" + k + f"\":${w * normFactor}%.3f" }.mkString("{", ",", "}")
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing":"median-of-3","total_cpu_sec":$totalCpu%.3f,"gc_sec":$gcRunSec%.3f,"heap_max_mb":$heapMaxMb,"fsync_p50_ms":$fsyncMs%.2f,"cpu_calib_sec":$calib%.4f,"par_calib_sec":$parCalib%.4f,"calib_norm_factor":$normFactor%.4f,"queries":$qs,"queries_norm":$qsNorm,"queries_cpu_sec":$qsCpu,"queries_gc_sec":$qsGc$errJson,"sf":"$sfDir",$workloadJson,$controlPlaneJson,$httpControlPlaneJson,$recordsApiJson}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing":"median-of-3","total_cpu_sec":$totalCpu%.3f,"gc_sec":$gcRunSec%.3f,"heap_max_mb":$heapMaxMb,"fsync_p50_ms":$fsyncMs%.2f,"cpu_calib_sec":$calib%.4f,"par_calib_sec":$parCalib%.4f,"calib_norm_factor":$normFactor%.4f,$probesJson,"queries":$qs,"queries_norm":$qsNorm,"queries_cpu_sec":$qsCpu,"queries_gc_sec":$qsGc$errJson,"sf":"$sfDir",$workloadJson,$controlPlaneJson,$httpControlPlaneJson,$recordsApiJson}"""
     // The driver captures only the LAST ~2000 chars of stdout, which
     // cannot hold a 186-query map (r11's artifact carried only the
     // alphabetic tail of one map). Persist the full line to a file, and
@@ -647,7 +720,7 @@ object Bench {
     catch { case _: java.io.IOException => () } // bench output must not fail on an unwritable cwd
     println(json)
     val summary =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing":"median-of-3","n_queries":${results.size},"n_query_errors":${queryErrors.size},"total_cpu_sec":$totalCpu%.3f,"gc_sec":$gcRunSec%.3f,"heap_max_mb":$heapMaxMb,"fsync_p50_ms":$fsyncMs%.2f,"cpu_calib_sec":$calib%.4f,"par_calib_sec":$parCalib%.4f,"calib_norm_factor":$normFactor%.4f,"queries_in":"BENCH_local.json","sf":"$sfDir",$workloadJson,$controlPlaneJson,$httpControlPlaneJson,$recordsApiJson}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing":"median-of-3","n_queries":${results.size},"n_query_errors":${queryErrors.size},"total_cpu_sec":$totalCpu%.3f,"gc_sec":$gcRunSec%.3f,"heap_max_mb":$heapMaxMb,"fsync_p50_ms":$fsyncMs%.2f,"cpu_calib_sec":$calib%.4f,"par_calib_sec":$parCalib%.4f,"calib_norm_factor":$normFactor%.4f,$probesJson,"queries_in":"BENCH_local.json","sf":"$sfDir",$workloadJson,$controlPlaneJson,$httpControlPlaneJson,$recordsApiJson}"""
     println(summary)
     spark.stop()
   }
@@ -659,8 +732,12 @@ object Bench {
     * /v1/metrics meter counted exactly the RPCs served under load.
     * Factored out so the phase is testable without the 200-query
     * sweep (tools.RecordsApiProbe). */
-  private[graft] def recordsApiPhaseJson(spark: SparkSession): String = try {
-      val rootR = java.nio.file.Files.createTempDirectory("graft-benchrecords").toString
+  private[graft] def recordsApiPhaseJson(spark: SparkSession,
+      parent: java.nio.file.Path = null): String = try {
+      val rootR = (if (parent == null)
+          java.nio.file.Files.createTempDirectory("graft-benchrecords")
+        else java.nio.file.Files.createTempDirectory(parent, "graft-benchrecords"))
+        .toString
       val storeR = new StreamStore(spark, rootR)
       storeR.catalog.createBasin("bench-basin",
         BasinConfig(defaultStreamConfig =
