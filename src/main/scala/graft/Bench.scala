@@ -550,6 +550,56 @@ object Bench {
     }
     sampleFsync("cp10k")
 
+    // ---- cp50k (round 19): one step up the control-plane fan-out
+    // ceiling — 50k streams, one record each, ONE bulk ingest. The
+    // r16 probe put this at ~29 s cold with the per-stream
+    // manifest-commit loop dominating linearly; round 19 sharded the
+    // `_state` dir (the CAS temp+rename and lock-file creation were
+    // convoying on ONE parent directory's kernel mutex) and moved the
+    // staged-dir sweep to a background GC worker. The GC drain is
+    // measured honestly as its own key (it is real disk work — just
+    // not on the ack path), and the next phase's fsync sample would
+    // expose it if it bled over.
+    val cp50kJson: String = try {
+      val root50 = java.nio.file.Files.createTempDirectory(benchRoot, "graft-bench50k").toString
+      val store50 = new StreamStore(spark, root50)
+      store50.catalog.createBasin("bench-basin",
+        BasinConfig(defaultStreamConfig =
+          StreamConfig(retentionPolicy = Some(RetentionPolicy.Infinite))))
+      val n50 = 50000
+      val names50 = (0 until n50).map(i => f"cq-$i%05d")
+      val tC0 = System.nanoTime()
+      store50.catalog.createStreams("bench-basin", names50)
+      val create50Sec = (System.nanoTime() - tC0) / 1e9
+      val df50 = spark.range(n50).select(
+        lit("bench-basin").as("basin"),
+        concat(lit("cq-"), format_string("%05d", col("id"))).as("stream"),
+        (lit(1700000000000L) + col("id")).as("ts_client"),
+        expr("CAST(NULL AS ARRAY<STRUCT<name: BINARY, value: BINARY>>)").as("headers"),
+        expr("CAST(md5(CAST(id AS STRING)) AS BINARY)").as("body"),
+        col("id").as("arrival"))
+      val tI0 = System.nanoTime()
+      store50.ingest(df50)
+      val ingest50Sec = (System.nanoTime() - tI0) / 1e9
+      val tG0 = System.nanoTime()
+      store50.awaitStageGc()
+      val gc50Sec = (System.nanoTime() - tG0) / 1e9
+      val sample50 = (0 until 200).map(i => names50(i * 250 % n50))
+      val tails50 = sample50.map { s =>
+        val t0 = System.nanoTime()
+        val t = store50.checkTail("bench-basin", s)
+        ((System.nanoTime() - t0) / 1e6, t.seqNum)
+      }
+      require(tails50.forall(_._2 == 1L), "50k-stream ingest lost a record")
+      val lat50 = tails50.map(_._1).sorted
+      f""""cp50k_streams":$n50,"cp50k_create_sec":$create50Sec%.3f,"cp50k_ingest_sec":$ingest50Sec%.3f,"cp50k_stage_gc_sec":$gc50Sec%.3f,"cp50k_checktail_p50_ms":${pct(lat50, 0.50)}%.2f,"cp50k_checktail_p99_ms":${pct(lat50, 0.99)}%.2f"""
+    } catch { case e: Throwable =>
+      val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(160)}"
+      System.err.println(s"bench cp50k phase failed: $msg")
+      s""""cp50k_streams":0,"cp50k_error":${jsonStr(msg)}"""
+    }
+    sampleFsync("cp50k")
+
     // ---- control plane over a REAL HTTP endpoint: the same flow at
     // the SAME 10k streams as the POSIX phase above, so the two
     // adapters' numbers are directly comparable. Every create/list/
@@ -706,7 +756,7 @@ object Bench {
     val qsNorm = results.map { case (k, (w, _, _)) =>
       "\"" + k + f"\":${w * normFactor}%.3f" }.mkString("{", ",", "}")
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing":"median-of-3","total_cpu_sec":$totalCpu%.3f,"gc_sec":$gcRunSec%.3f,"heap_max_mb":$heapMaxMb,"fsync_p50_ms":$fsyncMs%.2f,"cpu_calib_sec":$calib%.4f,"par_calib_sec":$parCalib%.4f,"calib_norm_factor":$normFactor%.4f,$probesJson,"queries":$qs,"queries_norm":$qsNorm,"queries_cpu_sec":$qsCpu,"queries_gc_sec":$qsGc$errJson,"sf":"$sfDir",$workloadJson,$controlPlaneJson,$httpControlPlaneJson,$recordsApiJson}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing":"median-of-3","total_cpu_sec":$totalCpu%.3f,"gc_sec":$gcRunSec%.3f,"heap_max_mb":$heapMaxMb,"fsync_p50_ms":$fsyncMs%.2f,"cpu_calib_sec":$calib%.4f,"par_calib_sec":$parCalib%.4f,"calib_norm_factor":$normFactor%.4f,$probesJson,"queries":$qs,"queries_norm":$qsNorm,"queries_cpu_sec":$qsCpu,"queries_gc_sec":$qsGc$errJson,"sf":"$sfDir",$workloadJson,$controlPlaneJson,$cp50kJson,$httpControlPlaneJson,$recordsApiJson}"""
     // The driver captures only the LAST ~2000 chars of stdout, which
     // cannot hold a 186-query map (r11's artifact carried only the
     // alphabetic tail of one map). Persist the full line to a file, and
@@ -720,7 +770,7 @@ object Bench {
     catch { case _: java.io.IOException => () } // bench output must not fail on an unwritable cwd
     println(json)
     val summary =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing":"median-of-3","n_queries":${results.size},"n_query_errors":${queryErrors.size},"total_cpu_sec":$totalCpu%.3f,"gc_sec":$gcRunSec%.3f,"heap_max_mb":$heapMaxMb,"fsync_p50_ms":$fsyncMs%.2f,"cpu_calib_sec":$calib%.4f,"par_calib_sec":$parCalib%.4f,"calib_norm_factor":$normFactor%.4f,$probesJson,"queries_in":"BENCH_local.json","sf":"$sfDir",$workloadJson,$controlPlaneJson,$httpControlPlaneJson,$recordsApiJson}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing":"median-of-3","n_queries":${results.size},"n_query_errors":${queryErrors.size},"total_cpu_sec":$totalCpu%.3f,"gc_sec":$gcRunSec%.3f,"heap_max_mb":$heapMaxMb,"fsync_p50_ms":$fsyncMs%.2f,"cpu_calib_sec":$calib%.4f,"par_calib_sec":$parCalib%.4f,"calib_norm_factor":$normFactor%.4f,$probesJson,"queries_in":"BENCH_local.json","sf":"$sfDir",$workloadJson,$controlPlaneJson,$cp50kJson,$httpControlPlaneJson,$recordsApiJson}"""
     println(summary)
     spark.stop()
   }

@@ -111,8 +111,27 @@ object Layout {
     else Seq(gd)
   }
 
+  /** Hash-sharded like the catalog's stream shards, and for the same
+    * physical reason at a different layer: every manifest commit
+    * CREATES files in this directory (the CAS temp file + rename, the
+    * lock file), and file creation serializes on the parent
+    * directory's kernel mutex — with 50k streams in ONE `_state/
+    * <basin>/` dir, a 48-way bulk-ingest commit loop convoys on that
+    * mutex (measured: per-op thread time 20-40x the quiet syscall
+    * cost). 64 shard dirs split the mutex 64 ways. Nothing ever LISTS
+    * this tree (all access is by exact path through this function),
+    * so the shape is free to choose for write concurrency. */
   def statePath(root: String, basin: String, stream: String): Path =
-    Paths.get(root, "_state", basin, escape(stream) + ".json")
+    Paths.get(root, "_state", basin, f"s${Catalog.shardOf(stream)}%02d",
+      escape(stream) + ".json")
+
+  /** One bulk-ingest's private staged dir for a stream — sharded like
+    * [[statePath]] so 32 staged-write tasks creating 50k stream dirs
+    * don't convoy on one parent's kernel mutex (and the GC rmdirs
+    * spread the same way). Private to the ingest that created
+    * `stage`; never listed as a whole except by the GC sweep. */
+  def stageDir(stage: String, basin: String, stream: String): String =
+    s"$stage/basin=$basin/s${f"${Catalog.shardOf(stream)}%02d"}/stream=${escape(stream)}"
 
   /** Legacy (pre-shard) single-file catalog; read once for migration. */
   def catalogPath(root: String): Path =

@@ -111,7 +111,7 @@ object StreamStore {
     while (it.hasNext) {
       val b = it.head.getString(0)
       val st = it.head.getString(1)
-      val dir = s"$stagePath/basin=$b/stream=${Layout.escape(st)}"
+      val dir = Layout.stageDir(stagePath, b, st)
       val spec = basinCiphers.get(b)
       val aad = RecordCipher.aad(b, st)
       var minSeq = Long.MaxValue; var maxSeq = Long.MinValue; var rows = 0L
@@ -339,11 +339,26 @@ final class StreamStore(val spark: SparkSession, val root: String) {
     * puts, not locks); the mutex only cuts wasted staged work.
     */
   private def withStreamLock[A](basin: String, stream: String)(f: => A): A =
+    withStreamLockTimed(basin, stream, null)(f)
+
+  /** [[withStreamLock]] with optional sub-step timing (`tick(step,
+    * nanos)`), so the bulk-ingest profiling loop can attribute the
+    * lock wrapper's own cost (JVM monitor vs OS flock acquisition)
+    * separately from the commit body. null = no timing. */
+  private def withStreamLockTimed[A](basin: String, stream: String,
+      tick: (String, Long) => Unit)(f: => A): A = {
+    val t0 = if (tick == null) 0L else System.nanoTime()
     lockFor(basin, stream).synchronized {
+      val t1 = if (tick == null) 0L else { val t = System.nanoTime()
+        tick("jvmLock", t - t0); t }
       val lockPath = Layout.statePath(root, basin, stream)
         .resolveSibling(Layout.escape(stream) + ".lock")
-      backend.withWriterMutex(lockPath)(f)
+      backend.withWriterMutex(lockPath) {
+        if (tick != null) tick("flock", System.nanoTime() - t1)
+        f
+      }
     }
+  }
 
   val recordSchema: StructType = StructType(Seq(
     StructField("seq_num", LongType, nullable = false),
@@ -1146,11 +1161,14 @@ final class StreamStore(val spark: SparkSession, val root: String) {
     // aggregate nanos across the pool, printed once after the loop
     val subNs = if (tLog) Map(
       "lock" -> new java.util.concurrent.atomic.LongAdder,
+      "jvmLock" -> new java.util.concurrent.atomic.LongAdder,
+      "flock" -> new java.util.concurrent.atomic.LongAdder,
       "manifest" -> new java.util.concurrent.atomic.LongAdder,
       "sweep" -> new java.util.concurrent.atomic.LongAdder,
       "stagedList" -> new java.util.concurrent.atomic.LongAdder,
       "stagedStats" -> new java.util.concurrent.atomic.LongAdder,
       "putData" -> new java.util.concurrent.atomic.LongAdder,
+      "delete" -> new java.util.concurrent.atomic.LongAdder,
       "cas" -> new java.util.concurrent.atomic.LongAdder) else Map.empty[String, java.util.concurrent.atomic.LongAdder]
     @inline def sub[A](name: String)(f: => A): A =
       if (!tLog) f else {
@@ -1160,7 +1178,8 @@ final class StreamStore(val spark: SparkSession, val root: String) {
     try {
       val acked = parallelMap(runSeq.keys.toSeq, commitPar) { case k @ (b, s) =>
       val m = tails(k)
-      val committed = sub("lock")(withStreamLock(b, s) {
+      val committed = sub("lock")(withStreamLockTimed(b, s,
+        if (tLog) (n, ns) => subNs(n).add(ns) else null) {
         val (cur0, tag0) = sub("manifest")(manifestTagged(b, s))
         // sweep first (it may fence-bump or refresh the manifest) so
         // the precondition checks and the commit see one state
@@ -1190,7 +1209,7 @@ final class StreamStore(val spark: SparkSession, val root: String) {
           tailTs = math.max(cur.tailTs, runTs(k)),
           lastEpoch = epochId.getOrElse(cur.lastEpoch),
           version = cur.version + 1)
-        val src = Paths.get(s"$stage/basin=$b/stream=${Layout.escape(s)}")
+        val src = Paths.get(Layout.stageDir(stage, b, s))
         val dst = Paths.get(Layout.genDir(root, b, s, cur.generation))
         val stagedPaths: Seq[String] = sub("stagedList") {
           if (!Files.exists(src)) Nil
@@ -1232,12 +1251,15 @@ final class StreamStore(val spark: SparkSession, val root: String) {
             moved.foreach(backend.deleteData)
             throw t
         }
-        // committed: this stream's staged dir is spent (accepted files
-        // moved out; only torn/twin leavings remain). Delete it here,
-        // in the parallel loop, so the final serial stage sweep walks
-        // an almost-empty tree instead of 10k one-file dirs. Failed
-        // streams keep their dirs until that sweep (same contract).
-        deleteRecursively(src)
+        // committed: this stream's staged dir is spent (accepted
+        // files moved out; only torn/twin leavings remain). Deleting
+        // it HERE was the commit loop's hidden serializer at 50k
+        // streams: 48 threads rmdir-ing siblings of ONE stage parent
+        // convoy on the parent directory's kernel mutex (measured
+        // 3 847 of 3 995 thread-s — ~77 ms/stream of lock wait for a
+        // ~100 µs rmdir). All staged dirs die together in the finally
+        // sweep below, where deletion parallelism is chosen for the
+        // filesystem instead of inherited from the commit pool.
         newM
       })
       k -> AppendAck(
@@ -1251,12 +1273,44 @@ final class StreamStore(val spark: SparkSession, val root: String) {
         " thread-s")
       acked
     } finally {
-      // uncommitted files die staged (committed streams already
-      // removed their own dirs inside the commit loop above)
-      deleteRecursively(Paths.get(stage))
+      // ONE stage sweep for committed and uncommitted streams alike:
+      // committed dirs are empty (files moved into the live prefix),
+      // failed/aborted dirs still hold their staged files — all of it
+      // is this ingest's private, uniquely-named tree that no read
+      // or retry ever looks at (a retry re-plans into a FRESH stage).
+      // So the sweep is garbage collection, not part of the commit:
+      // it runs on the background GC worker, serially (rmdir of 50k
+      // sibling dirs cannot be parallelized — every rmdir takes the
+      // one parent directory's kernel mutex, and even the commit
+      // loop's 48 threads convoyed on it at ~77 ms/stream; a single
+      // walker does the same tree at ~180 µs/dir), and the acked
+      // ingest never waits on it. awaitStageGc() joins it where a
+      // test or bench phase needs the root quiescent.
+      val stageRoot = Paths.get(stage)
+      if (Files.exists(stageRoot))
+        stageGc.submit(new Runnable {
+          def run(): Unit =
+            try deleteRecursively(stageRoot)
+            catch { case _: java.io.IOException => () } // GC: best effort
+        })
       phase("stage-cleanup")
     }
   }
+
+  /** Single-threaded background worker for stage-tree garbage
+    * collection (see the ingest finally). Daemon: an exiting JVM may
+    * leave a swept-later tree behind, exactly like a crash always
+    * could — stage trees are invisible to every read path. */
+  private val stageGc =
+    java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+      val t = new Thread(r, "graft-stage-gc"); t.setDaemon(true); t
+    })
+
+  /** Join all queued stage GC work — benches and specs that measure
+    * or assert on the filesystem call this to make cleanup
+    * deterministic. */
+  def awaitStageGc(): Unit =
+    stageGc.submit(new Runnable { def run(): Unit = () }).get()
 
   /** Map `f` over `items` on a bounded worker pool, preserving failure
     * semantics: the first thrown exception propagates (after all

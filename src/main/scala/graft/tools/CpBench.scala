@@ -40,7 +40,10 @@ object CpBench {
       val t1 = System.nanoTime()
       st.ingest(df)
       val tIngest = (System.nanoTime() - t1) / 1e9
-      println(f"[cpb] rep=$rep n=$n create=$tCreate%.2f s ingest=$tIngest%.2f s")
+      val t2 = System.nanoTime()
+      st.awaitStageGc() // join background stage GC before the rm below
+      val tGc = (System.nanoTime() - t2) / 1e9
+      println(f"[cpb] rep=$rep n=$n create=$tCreate%.2f s ingest=$tIngest%.2f s stage_gc_drain=$tGc%.2f s")
       // delete the 30k-file root NOW (parallel), not via a later rm:
       // accumulated roots distorted every subsequent fs measurement
       val rp = java.nio.file.Paths.get(root)

@@ -149,7 +149,7 @@ class StagedCommitSpec extends AnyFunSuite with BeforeAndAfterAll {
     val st = freshStore()
     st.catalog.createStream("test-basin", "retry")
     st.beforeStagedCommit = { stage =>
-      val sdir = s"$stage/basin=test-basin/stream=retry"
+      val sdir = Layout.stageDir(stage, "test-basin", "retry")
       val staged = Files.list(Paths.get(sdir)).toArray.toSeq
         .map(_.toString).filter(_.endsWith(".parquet"))
       assert(staged.nonEmpty, "staged write produced no files")
@@ -182,7 +182,7 @@ class StagedCommitSpec extends AnyFunSuite with BeforeAndAfterAll {
     val st = freshStore()
     st.catalog.createStream("test-basin", "vanish")
     st.beforeStagedCommit = { stage =>
-      val sdir = s"$stage/basin=test-basin/stream=vanish"
+      val sdir = Layout.stageDir(stage, "test-basin", "vanish")
       val staged = Files.list(Paths.get(sdir)).toArray.toSeq
         .map(_.asInstanceOf[java.nio.file.Path])
         .filter(_.toString.endsWith(".parquet"))
