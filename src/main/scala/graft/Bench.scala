@@ -727,16 +727,41 @@ object Bench {
     val parCalibWorst = math.max(parCalib, parCalibPre)
     val quietHost = cpuCalibWorst <= 0.20 && parCalibWorst <= 0.55 &&
       fsyncMs <= 2.0
+    // Scope the note to what each tripped probe actually poisons: a
+    // CPU probe or a query-sweep-bracketing fsync sample (pre /
+    // queries) taints queries_norm; a later fsync sample taints only
+    // the phases it brackets (each fs-heavy phase is judged by the
+    // samples on its two sides). An unscoped "everything is
+    // unreliable" would throw away the clean half of a half-clean run
+    // — the exact information the per-phase samples exist to keep.
     val contaminationNote =
       if (quietHost) ""
       else {
+        val phases = fsyncSamples.keys.toSeq
+        val hotFsync = fsyncSamples.filter(_._2 > 2.0)
+        def phasesTainted: Seq[String] = hotFsync.keys.toSeq.flatMap { k =>
+          val i = phases.indexOf(k)
+          // a hot sample taints the phase it closed and the one it opens
+          Seq(k) ++ (if (i + 1 < phases.size) Seq(phases(i + 1)) else Nil)
+        }.distinct
+        val cpuTaint = cpuCalibWorst > 0.20 || parCalibWorst > 0.55
+        val sweepTaint = cpuTaint ||
+          hotFsync.contains("pre") || hotFsync.contains("queries")
         val reasons = Seq(
           if (cpuCalibWorst > 0.20) Seq(f"cpu_calib $cpuCalibWorst%.3f > 0.20") else Nil,
           if (parCalibWorst > 0.55) Seq(f"par_calib $parCalibWorst%.3f > 0.55 (core oversubscription — CPU-inflation-without-GC class)") else Nil,
-          if (fsyncMs > 2.0) Seq(f"fsync p50 $fsyncMs%.2f ms > 2.0 (IO aftershock — fs-heavy rows incommensurable)") else Nil).flatten
+          if (hotFsync.nonEmpty) Seq("fsync p50 hot at " + hotFsync.map {
+            case (k, v) => f"$k=$v%.2f ms" }.mkString(", ") +
+            " (IO aftershock — the bracketed phases' fs-heavy rows are incommensurable)") else Nil).flatten
+        val scope =
+          (if (sweepTaint) Seq("queries_norm unreliable") else Nil) ++
+            (if (phasesTainted.nonEmpty)
+               Seq("tainted phase boundaries: " + phasesTainted.mkString(", "))
+             else Nil)
         s""","contamination_note":${jsonStr(
-          "NOT a quiet host: " + reasons.mkString("; ") +
-            "; queries_norm and the affected phase rows are unreliable for cross-round comparison")}"""
+          "NOT fully quiet: " + reasons.mkString("; ") + ". Scope: " +
+            (if (scope.isEmpty) "none beyond the flagged probes" else scope.mkString("; ")) +
+            "; all other rows' bracketing samples read quiet")}"""
       }
     val probesJson =
       f""""fsync_p50_ms_pre":${fsyncSamples("pre")}%.2f,"fsync_p50_ms_post":$fsyncPost%.2f,"fsync_samples":${
