@@ -1290,8 +1290,23 @@ final class StreamStore(val spark: SparkSession, val root: String) {
       if (Files.exists(stageRoot))
         stageGc.submit(new Runnable {
           def run(): Unit =
-            try deleteRecursively(stageRoot)
-            catch { case _: java.io.IOException => () } // GC: best effort
+            try {
+              // the stage tree is shard-layered (Layout.stageDir), so
+              // the stream-dir rmdirs split across 64 distinct shard
+              // parents — a small pool over SHARD subtrees gets real
+              // parallelism (each worker owns its parent's mutex),
+              // unlike rmdir-ing 50k siblings of one parent
+              def ls(p: java.nio.file.Path): Seq[java.nio.file.Path] =
+                try {
+                  val s = Files.list(p)
+                  try s.iterator().asScala.toSeq finally s.close()
+                } catch { case _: java.io.IOException => Nil }
+              val shardDirs = ls(stageRoot).filter(Files.isDirectory(_))
+                .flatMap(ls).filter(Files.isDirectory(_))
+              parallelMap(shardDirs, math.min(8, shardDirs.size))(
+                deleteRecursively)
+              deleteRecursively(stageRoot)
+            } catch { case _: java.io.IOException => () } // GC: best effort
         })
       phase("stage-cleanup")
     }
