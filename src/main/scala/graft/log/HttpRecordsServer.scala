@@ -156,6 +156,15 @@ object HttpRecordsServer {
     def walk(c: Throwable, depth: Int): Boolean =
       c != null && depth < 16 && seen.add(c) && (
         c.isInstanceOf[javax.crypto.AEADBadTagException] ||
+          // narrowly-scoped message fallback for Spark's task-failure
+          // wrapper ONLY: a serialized executor exception re-thrown
+          // message-only severs the cause chain, and the wrapper's
+          // message then carries the original class name. Any other
+          // exception type merely mentioning the class must still NOT
+          // read as a key failure.
+          (c.isInstanceOf[org.apache.spark.SparkException] &&
+            Option(c.getMessage).exists(
+              _.contains("AEADBadTagException"))) ||
           walk(c.getCause, depth + 1) ||
           c.getSuppressed.exists(walk(_, depth + 1)))
     walk(t, 0)

@@ -10,10 +10,16 @@ import org.json4s.jackson.Serialization
   *
   * {{{
   * root/
-  *   _catalog/catalog.json                    — basins + streams + configs
-  *   _state/<basin>/<escaped-stream>.json     — per-stream manifest
-  *   data/basin=<basin>/stream=<escaped>/     — record parquet files
+  *   _catalog/basins.json                       — basin list
+  *   _catalog/<basin>/streams-NN.json           — hash-sharded stream configs
+  *   _state/<basin>/sNN/<escaped-stream>.json   — per-stream manifest
+  *   data/basin=<basin>/stream=<escaped>/gen=N/ — record parquet files
   * }}}
+  *
+  * (Pre-shard roots used `_catalog/catalog.json` and a flat
+  * `_state/<basin>/<escaped-stream>.json`; both are migrated — the
+  * catalog eagerly at construction, manifests lazily per stream via
+  * [[Layout.adoptLegacyState]].)
   *
   * The per-stream manifest is the analog of the reference's KV keys
   * StreamTailPosition / StreamFencingToken / StreamTrimPoint
@@ -124,6 +130,78 @@ object Layout {
   def statePath(root: String, basin: String, stream: String): Path =
     Paths.get(root, "_state", basin, f"s${Catalog.shardOf(stream)}%02d",
       escape(stream) + ".json")
+
+  /** Pre-shard (round <= 18) flat manifest location — read only by the
+    * lazy migration below. */
+  def legacyStatePath(root: String, basin: String, stream: String): Path =
+    Paths.get(root, "_state", basin, escape(stream) + ".json")
+
+  /** Lazy migration of a pre-shard manifest: when the sharded path is
+    * absent but the flat legacy file exists, adopt it with an atomic
+    * NON-replacing rename. Without this, a root written by an older
+    * build reads every manifest as absent — tails reset to 0 and new
+    * appends re-assign committed seq_nums (the catalog got an eager
+    * one-time migration for the same transformation; manifests are
+    * per-stream, so theirs is lazy and per-lookup).
+    *
+    * Races are settled by rename atomicity, no lock needed:
+    *  - two adopters: one move wins, the loser's NoSuchFileException
+    *    is swallowed and its caller re-reads the winner's file;
+    *  - a concurrent writer that already created the sharded file
+    *    (it would itself have adopted first, so this means the legacy
+    *    file is a stale leftover of an interrupted r19-era run): the
+    *    non-REPLACE move fails FileAlreadyExists and the stale flat
+    *    file is parked, never clobbering the live manifest.
+    *
+    * Returns true iff the caller should re-read the sharded path.
+    * POSIX-only physics (Files.move); object adapters guard on
+    * supportsLegacyLayout and never call this.
+    */
+  def adoptLegacyState(root: String, basin: String, stream: String): Boolean = {
+    val legacy = legacyStatePath(root, basin, stream)
+    if (!Files.exists(legacy)) return false
+    val sharded = statePath(root, basin, stream)
+
+    def park(): Boolean = {
+      // sharded manifest is live; park the stale flat file out of
+      // the lookup path so this probe never re-fires
+      try Files.move(legacy,
+        legacy.resolveSibling(legacy.getFileName.toString + ".pre-shard"))
+      catch { case _: java.io.IOException => () }
+      false
+    }
+
+    // Deliberately NOT ATOMIC_MOVE: on Linux that flag maps straight to
+    // rename(2), which silently REPLACES an existing target — exactly
+    // the clobber this function must never do. The flag-less move keeps
+    // rename atomicity on one filesystem but throws
+    // FileAlreadyExistsException when the target is present. The
+    // check-then-move window is closed by call order, not locks: every
+    // commit path adopts BEFORE it can create the sharded file, so a
+    // sharded file appearing concurrently was adopted from this same
+    // legacy file — our move then fails NoSuchFile, never clobbering.
+    if (Files.exists(sharded)) return park()
+    try {
+      Files.createDirectories(sharded.getParent)
+      Files.move(legacy, sharded)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => park()
+      case _: java.nio.file.NoSuchFileException => true // racer adopted it
+      case _: java.io.IOException => false
+    }
+  }
+
+  /** Manifest read with the lazy pre-shard adoption applied — the
+    * entry point for POSIX-file readers outside StreamStore (the
+    * streaming source plans against this). */
+  def readManifestAdopting(root: String, basin: String,
+                           stream: String): Option[StreamManifest] =
+    readJson[StreamManifest](statePath(root, basin, stream)).orElse {
+      if (adoptLegacyState(root, basin, stream))
+        readJson[StreamManifest](statePath(root, basin, stream))
+      else None
+    }
 
   /** One bulk-ingest's private staged dir for a stream — sharded like
     * [[statePath]] so 32 staged-write tasks creating 50k stream dirs

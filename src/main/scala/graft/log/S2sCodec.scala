@@ -137,6 +137,12 @@ object S2sCodec {
     * [[CompZstd]] / [[CompGzip]] — typically [[negotiated]]'s pick. */
   def writeFrame(os: OutputStream, payload: Array[Byte],
                  algo: Int): Unit = {
+    // encode-side decompressed cap, mirroring the reference's compress()
+    // rejecting payloads over MAX_DECOMPRESSED_PAYLOAD_BYTES (s2s.rs):
+    // without it a highly compressible >cap payload encodes into a
+    // valid small frame the peer must kill the session over at decode
+    require(payload.length <= MaxFrameBytes,
+      s"payload exceeds ${MaxFrameBytes}B decompressed limit")
     val (comp, wire) =
       if (payload.length < CompressionThreshold || algo == CompNone)
         (CompNone, payload)

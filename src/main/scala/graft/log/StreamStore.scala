@@ -60,6 +60,12 @@ object StreamStore {
   final case class StagedFile(basin: String, stream: String, name: String,
                               minSeq: Long, maxSeq: Long, rows: Long)
 
+  /** JVM-wide stage-GC worker (see the instance-side `stageGc` doc). */
+  private[log] val stageGcExecutor =
+    java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+      val t = new Thread(r, "graft-stage-gc"); t.setDaemon(true); t
+    })
+
   /** Executor-side staged-file writer for bulk ingest: streams one
     * task's (basin, stream, seq)-sorted rows and cuts a DirectParquet
     * file at every stream boundary, at the final staged path — no
@@ -545,9 +551,23 @@ final class StreamStore(val spark: SparkSession, val root: String) {
   private def stateKey(basin: String, stream: String): String =
     Layout.statePath(root, basin, stream).toString
 
+  /** getMeta with the pre-shard fallback: a miss at the sharded path
+    * on a POSIX root probes the legacy flat location and adopts it
+    * (Layout.adoptLegacyState), so an old root's committed tails are
+    * never read as absent. The extra probe only runs on the
+    * manifest-absent path (brand-new streams), never on hot reads. */
+  private def getMetaAdopting(key: String, basin: String, stream: String,
+                              fresh: Boolean): Option[(String, String)] =
+    backend.getMeta(key, fresh = fresh).orElse {
+      if (backend.supportsLegacyLayout &&
+          Layout.adoptLegacyState(root, basin, stream))
+        backend.getMeta(key, fresh = true)
+      else None
+    }
+
   def manifest(basin: String, stream: String): StreamManifest = {
     val key = stateKey(basin, stream)
-    ManifestCache.parse(key, backend.getMeta(key, fresh = false))
+    ManifestCache.parse(key, getMetaAdopting(key, basin, stream, fresh = false))
   }
 
   /** Authoritative manifest read for commit paths: bypasses any
@@ -563,7 +583,7 @@ final class StreamStore(val spark: SparkSession, val root: String) {
   private def manifestTagged(basin: String,
                              stream: String): (StreamManifest, Option[String]) = {
     val key = stateKey(basin, stream)
-    backend.getMeta(key, fresh = true) match {
+    getMetaAdopting(key, basin, stream, fresh = true) match {
       case None => (StreamManifest(), None)
       case some @ Some((_, etag)) => (ManifestCache.parse(key, some), Some(etag))
     }
@@ -1306,7 +1326,15 @@ final class StreamStore(val spark: SparkSession, val root: String) {
               parallelMap(shardDirs, math.min(8, shardDirs.size))(
                 deleteRecursively)
               deleteRecursively(stageRoot)
-            } catch { case _: java.io.IOException => () } // GC: best effort
+            } catch {
+              // GC is best effort, but must stay diagnosable: anything
+              // non-fatal (IO, pool failures surfaced by parallelMap)
+              // is logged, never silently dropped into an unobserved
+              // Future on the shared executor
+              case scala.util.control.NonFatal(t) =>
+                System.err.println(
+                  s"[stage-gc] sweep of $stage failed: $t")
+            }
         })
       phase("stage-cleanup")
     }
@@ -1315,11 +1343,11 @@ final class StreamStore(val spark: SparkSession, val root: String) {
   /** Single-threaded background worker for stage-tree garbage
     * collection (see the ingest finally). Daemon: an exiting JVM may
     * leave a swept-later tree behind, exactly like a crash always
-    * could — stage trees are invisible to every read path. */
-  private val stageGc =
-    java.util.concurrent.Executors.newSingleThreadExecutor(r => {
-      val t = new Thread(r, "graft-stage-gc"); t.setDaemon(true); t
-    })
+    * could — stage trees are invisible to every read path. Shared
+    * across all store instances (companion-level): tests and benches
+    * construct many StreamStores, and a per-instance executor leaks
+    * one idle thread per store for the JVM's lifetime. */
+  private def stageGc = StreamStore.stageGcExecutor
 
   /** Join all queued stage GC work — benches and specs that measure
     * or assert on the filesystem call this to make cleanup
@@ -1735,6 +1763,10 @@ final class StreamStore(val spark: SparkSession, val root: String) {
       if (m.deletionPending || m.trimPoint == Long.MaxValue) {
         backend.deletePrefix(streamDir)
         backend.deleteMeta(stateKey(basin, stream))
+        // a stale pre-shard flat manifest must die with the stream, or
+        // the lazy adoption would resurrect it on the next lookup
+        if (backend.supportsLegacyLayout)
+          Files.deleteIfExists(Layout.legacyStatePath(root, basin, stream))
         catalog.hardDeleteStream(basin, stream)
       } else if (backend.dataExists(curDir)) {
         val tmp = Paths.get(s"$root/_tmp/compact-${System.nanoTime()}")

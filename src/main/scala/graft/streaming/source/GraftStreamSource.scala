@@ -163,8 +163,8 @@ final class GraftScan(props: Map[String, String],
       val root = props("root")
       val basin = props("basin")
       val stream = props("stream")
-      def mf = Layout.readJson[StreamManifest](
-        Layout.statePath(root, basin, stream)).getOrElse(StreamManifest())
+      def mf = Layout.readManifestAdopting(root, basin, stream)
+        .getOrElse(StreamManifest())
       // empty/fully-bounded ranges exit before paying any listing or
       // footer reads (pollers and startSeq/endSeq probes hit this a
       // lot); the bounds are re-derived below from the guard's final
@@ -234,7 +234,7 @@ final class GraftMicroBatchStream(root: String, basin: String, stream: String,
   private lazy val catalog = new Catalog(root)
 
   private def manifest: StreamManifest =
-    Layout.readJson[StreamManifest](Layout.statePath(root, basin, stream))
+    Layout.readManifestAdopting(root, basin, stream)
       .getOrElse(StreamManifest())
 
   /** All data dirs a microbatch must list, resolved against the SAME

@@ -130,13 +130,39 @@ class S2sCodecSpec extends AnyFunSuite {
     assertThrows[java.io.IOException](dec(Array[Byte](0, 0, 0)))
   }
 
+  /** Forge a compressed frame BYPASSING writeFrame — the encoder now
+    * refuses oversized payloads outright (the reference's encode-side
+    * MAX_DECOMPRESSED_PAYLOAD_BYTES check), so a bomb for the decoder
+    * tests must be built by hand, the way a malicious peer would. */
+  private def forge(payload: Array[Byte], algo: Int): Array[Byte] = {
+    val comp = new ByteArrayOutputStream()
+    val cs: java.io.OutputStream =
+      if (algo == S2sCodec.CompGzip) new java.util.zip.GZIPOutputStream(comp)
+      else new com.github.luben.zstd.ZstdOutputStream(comp)
+    cs.write(payload); cs.close()
+    val wire = comp.toByteArray
+    val len = wire.length + 1
+    val bos = new ByteArrayOutputStream()
+    bos.write((len >> 16) & 0xff); bos.write((len >> 8) & 0xff)
+    bos.write(len & 0xff); bos.write(algo << 5)
+    bos.write(wire)
+    bos.toByteArray
+  }
+
   test("decompressed-payload cap: a gzip bomb inside a small frame is refused") {
     // 8 MiB of zeros gzips to a few KiB — the FRAME passes the wire
     // cap, the EXPANSION must not
-    val bomb = enc(new Array[Byte](8 * 1024 * 1024), gzipOk = true)
+    val bomb = forge(new Array[Byte](8 * 1024 * 1024), S2sCodec.CompGzip)
     assert(bomb.length < 64 * 1024, "fixture: the bomb must be small on the wire")
     val ex = intercept[java.io.IOException](dec(bomb))
     assert(ex.getMessage.contains("exceeds limit"))
+  }
+
+  test("encode refuses a compressible payload beyond the decompressed cap") {
+    // pre-fix, this encoded into a tiny valid frame the peer must kill
+    // the session over at decode time (ADVICE r19: s2s.rs compress())
+    assertThrows[IllegalArgumentException](
+      enc(new Array[Byte](S2sCodec.MaxFrameBytes + 1), gzipOk = true))
   }
 
   test("encode refuses an uncompressible frame beyond the cap") {
@@ -161,9 +187,7 @@ class S2sCodecSpec extends AnyFunSuite {
   }
 
   test("decompressed-payload cap holds on the zstd arm too") {
-    val bos = new ByteArrayOutputStream()
-    S2sCodec.writeFrame(bos, new Array[Byte](8 * 1024 * 1024), S2sCodec.CompZstd)
-    val bomb = bos.toByteArray
+    val bomb = forge(new Array[Byte](8 * 1024 * 1024), S2sCodec.CompZstd)
     assert(bomb.length < 64 * 1024, "fixture: the bomb must be small on the wire")
     val ex = intercept[java.io.IOException](dec(bomb))
     assert(ex.getMessage.contains("exceeds limit"))
