@@ -58,7 +58,8 @@ object HttpObjectServer {
   /** Start a server on an ephemeral localhost port; returns it and the
     * endpoint URI string. `nonceHistoryCap` bounds the per-key applied-
     * nonce history (tests shrink it to exercise the `unknown` path). */
-  def start(nonceHistoryCap: Int = 128): (HttpServer, String) = {
+  def start(nonceHistoryCap: Int = 128,
+            tls: Option[Tls.Server] = None): (HttpServer, String) = {
     // TCP_NODELAY on the server's sockets: without it, small
     // keep-alive request/response pairs hit the classic Nagle +
     // delayed-ACK interaction — ~40 ms stalls per round trip
@@ -101,7 +102,16 @@ object HttpObjectServer {
           catch { case _: Throwable => ex.close() }
       }
 
-    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val server = tls match {
+      case Some(t) =>
+        val s = com.sun.net.httpserver.HttpsServer.create(
+          new InetSocketAddress("127.0.0.1", 0), 0)
+        s.setHttpsConfigurator(
+          new com.sun.net.httpserver.HttpsConfigurator(t.context))
+        s
+      case None =>
+        HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    }
 
     // Per-key history of APPLIED put nonces (bounded), the decidable
     // form of slatedb's put-id re-read (a versioned S3 bucket exposes
@@ -264,7 +274,8 @@ object HttpObjectServer {
     server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(32,
       r => { val t = new Thread(r, "http-object-server"); t.setDaemon(true); t }))
     server.start()
-    (server, s"http://127.0.0.1:${server.getAddress.getPort}")
+    val scheme = if (tls.isDefined) "https" else "http"
+    (server, s"$scheme://127.0.0.1:${server.getAddress.getPort}")
   }
 }
 
@@ -281,7 +292,12 @@ object HttpObjectServer {
   * small call (the commit path is thousands of serial metadata reads
   * during ingest planning, so per-call latency is the whole game).
   */
-final class HttpObjectBackend(endpoint: String) extends StorageBackend {
+final class HttpObjectBackend(endpoint: String,
+    /** TLS trust for an https endpoint — [[Tls.clientContext]] with
+      * the server's pinned cert PEM. None = plain HTTP or default
+      * JDK trust. */
+    clientSsl: Option[javax.net.ssl.SSLContext] = None)
+    extends StorageBackend {
   val name = "http-object"
   val supportsLegacyLayout = false
   val hasWriterMutex = false
@@ -327,6 +343,11 @@ final class HttpObjectBackend(endpoint: String) extends StorageBackend {
                        bodyFile: Path = null): Rsp = {
     val c = new java.net.URL(url).openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
+    (c, clientSsl) match {
+      case (h: javax.net.ssl.HttpsURLConnection, Some(ctx)) =>
+        h.setSSLSocketFactory(ctx.getSocketFactory)
+      case _ => ()
+    }
     c.setRequestMethod(method)
     // bounded waits: a stalled endpoint must surface as an IO error,
     // not hang the 48-thread commit pool indefinitely (reads are
@@ -585,8 +606,10 @@ object HttpObjectBackend {
     * Catalog constructed over the root in THIS process then routes all
     * protocol IO through the endpoint. Run from N processes against
     * one endpoint = N drivers on one bucket, for real. */
-  def install(root: String, endpoint: String): HttpObjectBackend = {
-    val b = new HttpObjectBackend(endpoint)
+  def install(root: String, endpoint: String,
+              clientSsl: Option[javax.net.ssl.SSLContext] = None)
+      : HttpObjectBackend = {
+    val b = new HttpObjectBackend(endpoint, clientSsl)
     StorageBackend.register(root, b)
     b
   }

@@ -1416,10 +1416,15 @@ object HttpRecordsServer {
     * port; returns (server, endpoint). `nowMs` pins the append clock
     * for deterministic demos (None = wall clock, like production).
     * `noCors` disables the router-wide permissive CORS layer, like
-    * the reference's --no-cors flag (server.rs:222-223). */
+    * the reference's --no-cors flag (server.rs:222-223). `tls` serves
+    * the same router over HTTPS — the `--tls-self` / `--tls-cert` +
+    * `--tls-key` arms of server.rs:230-266 (build the material with
+    * [[Tls.selfSigned]] or [[Tls.fromPemFiles]]); None = plain HTTP,
+    * exactly the reference's default. */
   def start(store: StreamStore, nowMs: Option[Long] = None,
             requireAuth: Boolean = false,
-            noCors: Boolean = false): (HttpServer, String) = {
+            noCors: Boolean = false,
+            tls: Option[Tls.Server] = None): (HttpServer, String) = {
     System.setProperty("sun.net.httpserver.nodelay", "true")
 
     // RPC-level usage accounting for /v1/metrics; the pinned demo
@@ -1886,7 +1891,15 @@ object HttpRecordsServer {
       } finally ex.close()
     }
 
-    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val server = tls match {
+      case Some(t) =>
+        val s = com.sun.net.httpserver.HttpsServer.create(
+          new InetSocketAddress("127.0.0.1", 0), 0)
+        s.setHttpsConfigurator(
+          new com.sun.net.httpserver.HttpsConfigurator(t.context))
+        s
+      case None => HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    }
     // every route mounts through the CORS layer (unless noCors) —
     // server.rs wraps the WHOLE router, ping/health/metrics included
     def mount(path: String,
@@ -1944,7 +1957,8 @@ object HttpRecordsServer {
     server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(16,
       r => { val t = new Thread(r, "http-records-server"); t.setDaemon(true); t }))
     server.start()
-    (server, s"http://127.0.0.1:${server.getAddress.getPort}")
+    val scheme = if (tls.isDefined) "https" else "http"
+    (server, s"$scheme://127.0.0.1:${server.getAddress.getPort}")
   }
 }
 
@@ -1958,8 +1972,49 @@ private[graft] object HttpRecordsClient {
 
   final case class SseEvent(event: Option[String], id: Option[String], data: String)
 
+  /** Client-side TLS trust for https endpoints: a context from
+    * [[Tls.clientContext]] (pinned cert) or
+    * [[Tls.insecureClientContext]] (the `--insecure` analog for
+    * self-signed servers). None = JDK default trust (public CAs). */
+  @volatile private var ssl: Option[javax.net.ssl.SSLContext] = None
+
+  def clientTls(ctx: Option[javax.net.ssl.SSLContext]): Unit = {
+    ssl = ctx
+    tlsHttpClient = null
+  }
+
   private lazy val httpClient = java.net.http.HttpClient.newBuilder()
     .connectTimeout(java.time.Duration.ofSeconds(5)).build()
+
+  @volatile private var tlsHttpClient: java.net.http.HttpClient = null
+
+  private def clientFor: java.net.http.HttpClient = ssl match {
+    case None => httpClient
+    case Some(c) =>
+      var cl = tlsHttpClient
+      if (cl == null) {
+        cl = java.net.http.HttpClient.newBuilder()
+          .connectTimeout(java.time.Duration.ofSeconds(5))
+          .sslContext(c).build()
+        tlsHttpClient = cl
+      }
+      cl
+  }
+
+  /** Open a URL connection with the client TLS trust applied. */
+  private def open(url: String): java.net.HttpURLConnection = {
+    val c = new java.net.URL(url).openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    (c, ssl) match {
+      case (h: javax.net.ssl.HttpsURLConnection, Some(ctx)) =>
+        h.setSSLSocketFactory(ctx.getSocketFactory)
+        // pinned/insecure contexts are used against loopback servers
+        // whose self-signed cert carries a 127.0.0.1 SAN; default
+        // verification applies
+      case _ => ()
+    }
+    c
+  }
 
   /** Like [[request]] but over java.net.http — HttpURLConnection
     * refuses the PATCH method the reconfigure routes use. Returns
@@ -1983,7 +2038,7 @@ private[graft] object HttpRecordsClient {
         java.net.http.HttpRequest.BodyPublishers.noBody()
       else java.net.http.HttpRequest.BodyPublishers.ofByteArray(body))
     headers.foreach { case (k, v) => b.header(k, v) }
-    val resp = httpClient.send(b.build(),
+    val resp = clientFor.send(b.build(),
       java.net.http.HttpResponse.BodyHandlers.ofString())
     (resp.statusCode(), resp.body(), resp.headers())
   }
@@ -1994,8 +2049,7 @@ private[graft] object HttpRecordsClient {
   def requestRaw(method: String, url: String,
                  headers: Seq[(String, String)] = Nil,
                  body: Array[Byte] = null): (Int, Array[Byte], Option[String]) = {
-    val c = new java.net.URL(url).openConnection()
-      .asInstanceOf[java.net.HttpURLConnection]
+    val c = open(url)
     c.setRequestMethod(method)
     c.setConnectTimeout(5000)
     c.setReadTimeout(65000)
@@ -2018,8 +2072,7 @@ private[graft] object HttpRecordsClient {
   def requestBinary(method: String, url: String,
                     headers: Seq[(String, String)] = Nil,
                     body: Array[Byte] = null): (Int, Array[Byte], String) = {
-    val c = new java.net.URL(url).openConnection()
-      .asInstanceOf[java.net.HttpURLConnection]
+    val c = open(url)
     c.setRequestMethod(method)
     c.setConnectTimeout(5000)
     c.setReadTimeout(65000)
@@ -2041,8 +2094,7 @@ private[graft] object HttpRecordsClient {
               headers0: Seq[(String, String)] = Nil,
               body: Array[Byte] = null): (Int, String) = {
     val headers = withDefaultJsonCt(headers0, body)
-    val c = new java.net.URL(url).openConnection()
-      .asInstanceOf[java.net.HttpURLConnection]
+    val c = open(url)
     c.setRequestMethod(method)
     c.setConnectTimeout(5000)
     c.setReadTimeout(65000)
@@ -2065,8 +2117,7 @@ private[graft] object HttpRecordsClient {
     * mid-stream (the reconnect scenario). Returns the events seen. */
   def readSse(url: String, headers: Seq[(String, String)] = Nil,
               stopAfter: Int = Int.MaxValue): Seq[SseEvent] = {
-    val c = new java.net.URL(url).openConnection()
-      .asInstanceOf[java.net.HttpURLConnection]
+    val c = open(url)
     c.setRequestMethod("GET")
     c.setConnectTimeout(5000)
     c.setReadTimeout(65000)
@@ -2122,8 +2173,7 @@ private[graft] object HttpRecordsClient {
   def s2sAppendSessionRaw(url: String, headers: Seq[(String, String)],
                           frames: Seq[Array[Byte]], gzip: Boolean,
                           contentType: String): Seq[S2sCodec.Frame] = {
-    val c = new java.net.URL(url).openConnection()
-      .asInstanceOf[java.net.HttpURLConnection]
+    val c = open(url)
     c.setRequestMethod("POST")
     c.setConnectTimeout(5000)
     c.setReadTimeout(65000)
@@ -2148,8 +2198,7 @@ private[graft] object HttpRecordsClient {
                      gzip: Boolean = false,
                      contentType: String = S2sCodec.ContentType)
       : Seq[S2sCodec.Frame] = {
-    val c = new java.net.URL(url).openConnection()
-      .asInstanceOf[java.net.HttpURLConnection]
+    val c = open(url)
     c.setRequestMethod("GET")
     c.setConnectTimeout(5000)
     c.setReadTimeout(65000)
@@ -2159,6 +2208,49 @@ private[graft] object HttpRecordsClient {
     require(c.getResponseCode == 200,
       s"s2s read session open failed: HTTP ${c.getResponseCode}")
     drainFrames(c)
+  }
+
+  /** Streaming SSE consumer for long-lived follows (the CLI's
+    * `tail -f`): invokes `onEvent` per event as it arrives instead of
+    * buffering the session like [[readSse]]. Ends on `[DONE]`, an
+    * `error` event, EOF, or `onEvent` returning false (hang up). */
+  def streamSse(url: String, headers: Seq[(String, String)] = Nil)
+               (onEvent: SseEvent => Boolean): Unit = {
+    val c = open(url)
+    c.setRequestMethod("GET")
+    c.setConnectTimeout(5000)
+    c.setReadTimeout(65000)
+    c.setRequestProperty("Accept", "text/event-stream")
+    headers.foreach { case (k, v) => c.setRequestProperty(k, v) }
+    require(c.getResponseCode == 200,
+      s"SSE open failed: HTTP ${c.getResponseCode}")
+    val in = new java.io.BufferedReader(
+      new java.io.InputStreamReader(c.getInputStream, UTF_8))
+    try {
+      var event: Option[String] = None
+      var id: Option[String] = None
+      val data = new StringBuilder
+      var open0 = true
+      while (open0) {
+        val line = in.readLine()
+        if (line == null) open0 = false
+        else if (line.isEmpty) {
+          if (data.nonEmpty || event.isDefined) {
+            val ev = SseEvent(event, id, data.toString)
+            val continue = onEvent(ev) // terminal events still delivered
+            if (ev.data == "[DONE]" || ev.event.contains("error") || !continue)
+              open0 = false
+          }
+          event = None; id = None; data.clear()
+        }
+        else if (line.startsWith("event: ")) event = Some(line.drop(7))
+        else if (line.startsWith("id: ")) id = Some(line.drop(4))
+        else if (line.startsWith("data: ")) {
+          if (data.nonEmpty) data.append('\n')
+          data.append(line.drop(6))
+        }
+      }
+    } finally { in.close(); c.disconnect() }
   }
 
   private def drainFrames(c: java.net.HttpURLConnection): Seq[S2sCodec.Frame] = {

@@ -3195,6 +3195,152 @@ object EngineDemos {
       Some(constOracle(Seq(
         "bucketed_join_exchanges" -> "1",
         "plain_join_exchanges" -> "3",
-        "results_equal" -> "true"))))
+        "results_equal" -> "true")))),
+
+    // TLS serving (server.rs:8,26-60): the SAME router over HTTPS.
+    // The `--tls-self` analog generates a self-signed cert with the
+    // reference's loopback SAN set (rcgen::generate_simple_self_signed,
+    // server.rs:251-259); the client here PINS the served cert rather
+    // than disabling verification. Proven end-to-end: handshake +
+    // unary append/read over TLS, SSE over TLS, an UNTRUSTING client
+    // refused at handshake (no cleartext fallback), and the object
+    // backend doing a meta CAS round trip through an https endpoint.
+    // Cert/key PEM-file loading (RustlsConfig::from_pem_file parity)
+    // is covered in TlsSpec.
+    demo("e2e_http_tls", Seq(
+      "scheme" -> "https",
+      "append_over_tls" -> "200:0..2",
+      "unary_read_over_tls" -> "t0,t1",
+      "sse_over_tls" -> "t0,t1",
+      "untrusted_client_refused" -> "true",
+      "object_https_cas" ->
+        "put:ok,stale_cas_rejected:true,tagged_cas:ok")) { (_, st) =>
+      import graft.log.{HttpRecordsClient, Tls}
+      val tls = Tls.selfSigned()
+      val (server, endpoint) = graft.log.HttpRecordsServer.start(
+        st, Some(1000L), tls = Some(tls))
+      val (oserver, oep) = graft.log.HttpObjectServer.start(tls = Some(tls))
+      try {
+        st.catalog.createStream("demo-basin1", "tl")
+        val base = s"$endpoint/v1/streams/tl/records"
+        val hdr = Seq("s2-basin" -> "demo-basin1")
+        // an untrusting client must be refused at the handshake
+        HttpRecordsClient.clientTls(None)
+        val refused =
+          try { HttpRecordsClient.request("GET", s"$base/tail", hdr); false }
+          catch {
+            case _: javax.net.ssl.SSLHandshakeException => true
+            case _: java.io.IOException => true
+          }
+        HttpRecordsClient.clientTls(Some(Tls.clientContext(tls.certPem)))
+        def seqOf(json: String, field: String): String =
+          (s""""$field":\\{"seq_num":(\\d+)""").r
+            .findFirstMatchIn(json).map(_.group(1)).getOrElse("?")
+        def bodiesOf(json: String): String =
+          """"body":"([^"]+)"""".r.findAllMatchIn(json)
+            .map(_.group(1)).mkString(",")
+        val (a1, ack) = HttpRecordsClient.request("POST", base, hdr,
+          """{"records":[{"body":"t0"},{"body":"t1"}]}""".getBytes("UTF-8"))
+        val (_, rd) = HttpRecordsClient.request("GET", s"$base?seq_num=0", hdr)
+        val sse = HttpRecordsClient.readSse(s"$base?seq_num=0&wait=1", hdr)
+        val sseBodies = sse.collect {
+          case HttpRecordsClient.SseEvent(Some("batch"), _, d) => bodiesOf(d)
+        }.mkString(",")
+        // object backend over https with the pinned cert
+        val ob = new graft.log.HttpObjectBackend(oep,
+          Some(Tls.clientContext(tls.certPem)))
+        ob.putMeta("tls-demo/m.json", """{"v":1}""")
+        val tag = ob.getMeta("tls-demo/m.json", fresh = true).map(_._2)
+        val stale = ob.casMeta("tls-demo/m.json", """{"v":2}""",
+          Some("bogus-tag")).isLeft
+        val tagged = ob.casMeta("tls-demo/m.json", """{"v":2}""", tag).isRight
+        Seq(
+          "scheme" -> endpoint.takeWhile(_ != ':'),
+          "append_over_tls" ->
+            s"$a1:${seqOf(ack, "start")}..${seqOf(ack, "end")}",
+          "unary_read_over_tls" -> bodiesOf(rd),
+          "sse_over_tls" -> sseBodies,
+          "untrusted_client_refused" -> refused.toString,
+          "object_https_cas" ->
+            (s"put:${if (tag.isDefined) "ok" else "missing"}," +
+              s"stale_cas_rejected:$stale," +
+              s"tagged_cas:${if (tagged) "ok" else "rejected"}"))
+      } finally {
+        HttpRecordsClient.clientTls(None); server.stop(0); oserver.stop(0)
+      }
+    },
+
+    // CLI front end (cli/src/cli.rs + record_format.rs): the human
+    // surface over the same HTTP routes — create/append/cat/tail/
+    // check-tail/fence/trim/ls/config — with the reference's three
+    // record renderings. The round trip proves the FORMATTING rules,
+    // not just transport: text mode prints lossy bodies and describes
+    // command records on stderr (record_format.rs Text: "Headers
+    // cannot be represented"); base64 mode round-trips headers+body
+    // as [name,value] pairs byte-exactly (json::Formatter<true>).
+    demo("e2e_cli_roundtrip", Seq(
+      "create_stream" -> "rc=0",
+      "append_rcs" -> "0,0",
+      "cat_text" -> "alpha,beta,gamma,delta",
+      "check_tail" -> "4 @ 1000",
+      "cat_base64_last" ->
+        """{"seq_num":3,"timestamp":1000,"headers":[["aw==","dg=="]],"body":"ZGVsdGE="}""",
+      "post_trim_text" -> "gamma,delta",
+      "command_stderr" ->
+        "new fencing token \"tok1\" // 4 @ 1000;trim to 2 // 5 @ 1000",
+      "tail_last3" -> "delta",
+      "config_ls" -> "demo-basin1")) { (_, st) =>
+      val (server, endpoint) = graft.log.HttpRecordsServer.start(st, Some(1000L))
+      try {
+        val tmp = Files.createTempDirectory("graft-cli")
+        def cli(args: String*): (Int, String, String) = {
+          val o = new java.io.ByteArrayOutputStream
+          val e = new java.io.ByteArrayOutputStream
+          val rc = graft.tools.Cli.run(
+            args.toSeq ++ Seq("--endpoint", endpoint),
+            new java.io.PrintStream(o, true, "UTF-8"),
+            new java.io.PrintStream(e, true, "UTF-8"))
+          (rc, new String(o.toByteArray, "UTF-8").trim,
+            new String(e.toByteArray, "UTF-8").trim)
+        }
+        val uri = "s2://demo-basin1/cli"
+        val (rcCreate, _, _) = cli("create-stream", uri)
+        val in1 = tmp.resolve("in.txt")
+        Files.writeString(in1, "alpha\nbeta\ngamma\n")
+        val (rcA1, _, _) = cli("append", uri, "-i", in1.toString)
+        val in2 = tmp.resolve("in.json")
+        Files.writeString(in2,
+          """{"headers":[["k","v"]],"body":"delta"}""" + "\n")
+        val (rcA2, _, _) = cli("append", uri, "-i", in2.toString,
+          "--format", "json")
+        val (_, catText, _) = cli("cat", uri)
+        val (_, tailPos, _) = cli("check-tail", uri)
+        val (_, catB64, _) = cli("cat", uri, "--format", "base64")
+        cli("fence", uri, "tok1")
+        cli("trim", uri, "2")
+        val (_, postTrim, cmdErr) = cli("cat", uri)
+        val (_, lastN, _) = cli("tail", uri, "-n", "3")
+        // config file flow: endpoint resolved from the config, not a flag
+        val cfg = tmp.resolve("config.json").toString
+        val oc = new java.io.ByteArrayOutputStream
+        val ec = new java.io.ByteArrayOutputStream
+        val po = new java.io.PrintStream(oc, true, "UTF-8")
+        val pe = new java.io.PrintStream(ec, true, "UTF-8")
+        graft.tools.Cli.run(
+          Seq("config", "set", "endpoint", endpoint, "--config", cfg), po, pe)
+        graft.tools.Cli.run(Seq("ls", "--config", cfg), po, pe)
+        val lsOut = new String(oc.toByteArray, "UTF-8").trim
+        Seq(
+          "create_stream" -> s"rc=$rcCreate",
+          "append_rcs" -> s"$rcA1,$rcA2",
+          "cat_text" -> catText.linesIterator.mkString(","),
+          "check_tail" -> tailPos,
+          "cat_base64_last" -> catB64.linesIterator.toSeq.last,
+          "post_trim_text" -> postTrim.linesIterator.mkString(","),
+          "command_stderr" -> cmdErr.linesIterator.mkString(";"),
+          "tail_last3" -> lastN.linesIterator.mkString(","),
+          "config_ls" -> lsOut.linesIterator.mkString(","))
+      } finally server.stop(0)
+    }
   )
 }

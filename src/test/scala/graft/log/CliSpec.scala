@@ -1,0 +1,195 @@
+package graft.log
+
+import java.io.{ByteArrayOutputStream, PrintStream}
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.model._
+import graft.tools.Cli
+
+/** The `graft.tools.Cli` front end driven against a REAL records
+  * server — the reference's `s2` CLI surface (`cli/src/cli.rs`) and
+  * the text|json|base64 record renderings of
+  * `cli/src/record_format.rs`. The e2e oracle (`e2e_cli_roundtrip`)
+  * pins the happy-path formatting; this spec covers the listing
+  * commands, error discipline (exit codes + stderr), config-file
+  * resolution, follow mode, and TLS flags.
+  */
+class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = {
+    HttpRecordsClient.clientTls(None)
+    spark.stop()
+  }
+
+  private def served(): (StreamStore, com.sun.net.httpserver.HttpServer, String) = {
+    val st = new StreamStore(spark,
+      Files.createTempDirectory("graft-clispec").toString)
+    st.catalog.createBasin("test-basin",
+      BasinConfig(defaultStreamConfig =
+        StreamConfig(retentionPolicy = Some(RetentionPolicy.Infinite))))
+      .fold(e => fail(e), identity)
+    val (server, ep) = HttpRecordsServer.start(st, Some(1000L))
+    (st, server, ep)
+  }
+
+  private def cli(args: String*): (Int, String, String) = {
+    val o = new ByteArrayOutputStream
+    val e = new ByteArrayOutputStream
+    val rc = Cli.run(args.toSeq,
+      new PrintStream(o, true, "UTF-8"), new PrintStream(e, true, "UTF-8"))
+    (rc, new String(o.toByteArray, "UTF-8"), new String(e.toByteArray, "UTF-8"))
+  }
+
+  test("ls lists basins, ls <basin> lists streams; prefix and limit page through") {
+    val (st, server, ep) = served()
+    try {
+      st.catalog.createBasin("cli-basin-b")
+      for (n <- Seq("app/a", "app/b", "sys/x"))
+        st.catalog.createStream("test-basin", n)
+      val (rc1, basins, _) = cli("ls", "--endpoint", ep)
+      assert(rc1 == 0 && basins.linesIterator.toSeq ==
+        Seq("cli-basin-b", "test-basin"))
+      val (rc2, streams, _) = cli("ls", "s2://test-basin", "--endpoint", ep)
+      assert(rc2 == 0 && streams.linesIterator.toSeq ==
+        Seq("app/a", "app/b", "sys/x"))
+      val (_, pref, _) = cli("list-streams", "test-basin",
+        "--prefix", "app/", "--limit", "1", "--endpoint", ep)
+      assert(pref.linesIterator.toSeq == Seq("app/a"))
+    } finally server.stop(0)
+  }
+
+  test("error discipline: unknown command, missing endpoint, HTTP errors → rc=1 on stderr") {
+    val (_, server, ep) = served()
+    try {
+      val (rc1, _, e1) = cli("frobnicate", "--endpoint", ep)
+      assert(rc1 == 1 && e1.contains("unknown command"))
+      // missing endpoint resolves from nothing → actionable error
+      val cfg = Files.createTempDirectory("graft-clicfg")
+        .resolve("none.json").toString
+      val (rc2, _, e2) = cli("ls", "--config", cfg)
+      assert(rc2 == 1 && e2.contains("no endpoint"))
+      // 404 surfaces as rc=1 with the server's error body
+      // (check-tail is deliberately lenient server-side; config is not)
+      val (rc3, _, e3) = cli("get-stream-config", "s2://test-basin/nope",
+        "--endpoint", ep)
+      assert(rc3 == 1 && e3.contains("404"), s"$rc3 $e3")
+      // fencing-token mismatch on append: the 412 surfaces
+      cli("create-stream", "s2://test-basin/fs", "--endpoint", ep)
+      cli("fence", "s2://test-basin/fs", "tokA", "--endpoint", ep)
+      val in = Files.createTempFile("graft-cli", ".txt")
+      Files.writeString(in, "x\n")
+      val (rc4, _, e4) = cli("append", "s2://test-basin/fs",
+        "-i", in.toString, "--fencing-token", "tokB", "--endpoint", ep)
+      assert(rc4 == 1 && e4.contains("412"), s"$rc4 $e4")
+    } finally server.stop(0)
+  }
+
+  test("config file: set/get/ls/unset round-trip and endpoint resolution order") {
+    val cfg = Files.createTempDirectory("graft-clicfg")
+      .resolve("config.json").toString
+    val (_, server, ep) = served()
+    try {
+      assert(cli("config", "set", "endpoint", ep, "--config", cfg)._1 == 0)
+      assert(cli("config", "set", "format", "json", "--config", cfg)._1 == 0)
+      val (_, got, _) = cli("config", "get", "endpoint", "--config", cfg)
+      assert(got.trim == ep)
+      val (_, all, _) = cli("config", "ls", "--config", cfg)
+      assert(all.contains(s"endpoint=$ep") && all.contains("format=json"))
+      // the configured endpoint AND format drive a real command
+      val (rc, out, _) = cli("ls", "--config", cfg)
+      assert(rc == 0 && out.contains("test-basin"))
+      // an explicit flag beats the config
+      val (rcBad, _, _) = cli("ls", "--config", cfg,
+        "--endpoint", "http://127.0.0.1:1")
+      assert(rcBad == 1)
+      assert(cli("config", "unset", "format", "--config", cfg)._1 == 0)
+      val (rcGone, _, _) = cli("config", "get", "format", "--config", cfg)
+      assert(rcGone == 1)
+    } finally server.stop(0)
+  }
+
+  test("json format round-trips headers through append and read") {
+    val (_, server, ep) = served()
+    try {
+      cli("create-stream", "s2://test-basin/js", "--endpoint", ep)
+      val in = Files.createTempFile("graft-cli", ".jsonl")
+      Files.writeString(in,
+        """{"headers":[["h1","v1"],["h2","v2"]],"body":"payload"}""" + "\n" +
+          """{"body":"plain"}""" + "\n")
+      assert(cli("append", "s2://test-basin/js", "-i", in.toString,
+        "--format", "json", "--endpoint", ep)._1 == 0)
+      val (_, out, _) = cli("cat", "s2://test-basin/js",
+        "--format", "json", "--endpoint", ep)
+      val lines = out.linesIterator.toSeq
+      assert(lines.size == 2)
+      assert(lines.head ==
+        """{"seq_num":0,"timestamp":1000,"headers":[["h1","v1"],["h2","v2"]],"body":"payload"}""")
+      // empty headers/body are OMITTED, not rendered empty
+      // (record_format.rs skip_serializing_if)
+      assert(lines(1) == """{"seq_num":1,"timestamp":1000,"body":"plain"}""")
+    } finally server.stop(0)
+  }
+
+  test("tail -f follows via SSE and the server-side count closes the session") {
+    val (_, server, ep) = served()
+    try {
+      cli("create-stream", "s2://test-basin/tf", "--endpoint", ep)
+      val in = Files.createTempFile("graft-cli", ".txt")
+      Files.writeString(in, "f0\nf1\n")
+      cli("append", "s2://test-basin/tf", "-i", in.toString, "--endpoint", ep)
+      // a record lands 150 ms AFTER the follow starts
+      val late = new Thread(() => {
+        Thread.sleep(150)
+        val in2 = Files.createTempFile("graft-cli", ".txt")
+        Files.writeString(in2, "f2\n")
+        cli("append", "s2://test-basin/tf", "-i", in2.toString,
+          "--endpoint", ep)
+      })
+      late.start()
+      val (rc, out, errs) = cli("tail", "s2://test-basin/tf", "-n", "2", "-f",
+        "--count", "3", "--endpoint", ep)
+      late.join()
+      assert(rc == 0, s"rc=$rc err=$errs out=$out")
+      assert(out.linesIterator.toSeq == Seq("f0", "f1", "f2"), out)
+    } finally server.stop(0)
+  }
+
+  test("--cacert pins a TLS server's cert; --insecure trusts a self-signed one") {
+    val st = new StreamStore(spark,
+      Files.createTempDirectory("graft-clitls").toString)
+    st.catalog.createBasin("test-basin",
+      BasinConfig(defaultStreamConfig =
+        StreamConfig(retentionPolicy = Some(RetentionPolicy.Infinite))))
+      .fold(e => fail(e), identity)
+    val tls = Tls.selfSigned()
+    val (server, ep) = HttpRecordsServer.start(st, Some(1000L),
+      tls = Some(tls))
+    try {
+      val pem = Files.createTempFile("graft-cli", ".pem")
+      Files.writeString(pem, tls.certPem)
+      val (rc1, out1, _) = cli("ls", "--endpoint", ep,
+        "--cacert", pem.toString)
+      assert(rc1 == 0 && out1.contains("test-basin"))
+      val (rc2, out2, _) = cli("ls", "--endpoint", ep, "--insecure")
+      assert(rc2 == 0 && out2.contains("test-basin"))
+      // no trust flag → handshake refused → rc=1
+      HttpRecordsClient.clientTls(None)
+      val (rc3, _, _) = cli("ls", "--endpoint", ep)
+      assert(rc3 == 1)
+    } finally {
+      HttpRecordsClient.clientTls(None)
+      server.stop(0)
+    }
+  }
+}
