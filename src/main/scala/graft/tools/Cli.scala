@@ -51,7 +51,7 @@ object Cli {
     "endpoint", "token", "format", "cacert", "config",
     "seq-num", "timestamp", "tail-offset", "count", "bytes", "until",
     "lines", "input", "output", "fencing-token", "match-seq-num",
-    "prefix", "limit", "start-after")
+    "prefix", "limit", "start-after", "wait")
   private val aliases = Map("-s" -> "seq-num", "-n" -> "lines",
     "-b" -> "bytes", "-i" -> "input", "-o" -> "output", "-f" -> "follow")
 
@@ -450,7 +450,11 @@ object Cli {
           // event as it arrives (Last-Event-ID resumption is the
           // SDK/server contract; ^C — or a --count limit, which the
           // server honors by closing the session — ends the follow)
-          val extra = p.flags.get("count").map(c => s"&count=$c").getOrElse("")
+          // an explicit wait budget: a --count-bounded session defaults
+          // to wait=0 server-side (api ReadEnd doc) and would close at
+          // catch-up instead of following; 60 s is the server clamp
+          val extra = p.flags.get("count").map(c => s"&count=$c").getOrElse("") +
+            s"&wait=${p.flags.getOrElse("wait", "60")}"
           HttpRecordsClient.streamSse(s"$base?tail_offset=$n&clamp=true$extra",
             (ctx.hdrs :+ basinHdr(basin)) ++ wireFmt(ctx)) { ev =>
             if (ev.event.contains("batch") ||
