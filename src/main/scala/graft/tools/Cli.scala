@@ -51,7 +51,8 @@ object Cli {
     "endpoint", "token", "format", "cacert", "config",
     "seq-num", "timestamp", "tail-offset", "count", "bytes", "until",
     "lines", "input", "output", "fencing-token", "match-seq-num",
-    "prefix", "limit", "start-after", "wait")
+    "prefix", "limit", "start-after", "wait",
+    "expires-at", "scope", "set", "start", "end", "interval")
   private val aliases = Map("-s" -> "seq-num", "-n" -> "lines",
     "-b" -> "bytes", "-i" -> "input", "-o" -> "output", "-f" -> "follow")
 
@@ -472,6 +473,118 @@ object Cli {
           0
         }
 
+      // ---- access tokens (cli.rs IssueAccessToken/ListAccessTokens/
+      // RevokeAccessToken over the C7 registry routes) ----------------
+      case "list-access-tokens" =>
+        val q = Seq(
+          p.flags.get("prefix").map(v => s"prefix=${enc(v)}"),
+          p.flags.get("limit").map(v => s"limit=$v"),
+          p.flags.get("start-after").map(v => s"start_after=${enc(v)}")
+        ).flatten.mkString("&")
+        val j = get(ctx, "/v1/access-tokens" + (if (q.isEmpty) "" else s"?$q"))
+        j \ "access_tokens" match {
+          case JArray(ts) => ts.foreach(t =>
+            ctx.out.println(JsonMethods.compact(t)))
+          case _ => ()
+        }
+        0
+      case "issue-access-token" =>
+        val id = p.positional.headOption.getOrElse(
+          throw CliError("issue-access-token needs an id"))
+        val exp = p.flags.get("expires-at")
+          .map(t => s""","expires_at":"${jsonEsc(t)}"""").getOrElse("")
+        val auto = if (p.switches("auto-prefix-streams"))
+          ""","auto_prefix_streams":true""" else ""
+        val scope = p.flags.getOrElse("scope", "{}")
+        val (code, body, _) = HttpRecordsClient.requestAny("POST",
+          s"${ctx.endpoint}/v1/access-tokens", ctx.hdrs,
+          s"""{"id":"${jsonEsc(id)}"$exp$auto,"scope":$scope}"""
+            .getBytes(UTF_8))
+        if (code >= 300) fail(code, body)
+        out.println(body) // {"access_token":"..."} — the secret, to stdout
+        err.println("✓ Access token issued"); 0
+      case "revoke-access-token" =>
+        val id = p.positional.headOption.getOrElse(
+          throw CliError("revoke-access-token needs an id"))
+        val (code, body, _) = HttpRecordsClient.requestAny("DELETE",
+          s"${ctx.endpoint}/v1/access-tokens/${enc(id)}", ctx.hdrs)
+        if (code >= 300) fail(code, body)
+        err.println("✓ Access token revoked"); 0
+
+      // ---- metrics (cli.rs GetAccountMetrics/GetBasinMetrics/
+      // GetStreamMetrics over /v1/metrics) -----------------------------
+      case "get-account-metrics" | "get-basin-metrics" | "get-stream-metrics" =>
+        val set = p.flags.getOrElse("set",
+          throw CliError(s"$cmd needs --set <metric-set>"))
+        val range = Seq(
+          Some(s"set=${enc(set)}"),
+          p.flags.get("start").map(v => s"start=$v"),
+          p.flags.get("end").map(v => s"end=$v"),
+          p.flags.get("interval").map(v => s"interval=${enc(v)}")
+        ).flatten.mkString("&")
+        val path = cmd match {
+          case "get-account-metrics" => s"/v1/metrics?$range"
+          case "get-basin-metrics" =>
+            val basin = p.positional.headOption.map(parseUri(_)._1)
+              .getOrElse(throw CliError("get-basin-metrics needs a basin"))
+            s"/v1/metrics/${enc(basin)}?$range"
+          case _ =>
+            val (basin, stream) = streamUri(p)
+            s"/v1/metrics/${enc(basin)}/$stream?$range"
+        }
+        out.println(JsonMethods.compact(get(ctx, path))); 0
+
+      // ---- apply (cli.rs Apply / apply.rs): ensure basins + streams
+      // from a JSON spec via the idempotent PUT routes; prints the
+      // reference's dry-run legend per entry (+ create, ~ ensure-
+      // updated, = unchanged) from the server's s2-provision-result ----
+      case "apply" =>
+        val specPath = p.flags.get("input").orElse(p.positional.headOption)
+          .getOrElse(throw CliError("apply needs a spec file (-i spec.json)"))
+        val spec = JsonMethods.parse(Files.readString(Paths.get(specPath)))
+        def provision(method: String, url: String,
+                      body: Option[String],
+                      extra: Seq[(String, String)]): String = {
+          val (code, resp, hs) = HttpRecordsClient.requestAny(method, url,
+            ctx.hdrs ++ extra, body.map(_.getBytes(UTF_8)).orNull)
+          if (code >= 300) fail(code, resp)
+          hs.firstValue("s2-provision-result").orElse("unknown") match {
+            case "created" => "+"
+            case "updated" => "~"
+            case _ => "="
+          }
+        }
+        spec \ "basins" match {
+          case JArray(basins) => basins.foreach { b =>
+            val name = jStr(b \ "name").getOrElse(
+              throw CliError("basin entry without name"))
+            val cfg = b \ "config" match {
+              case JNothing => None
+              case c => Some(JsonMethods.compact(c))
+            }
+            val mark = provision("PUT",
+              s"${ctx.endpoint}/v1/basins/${enc(name)}", cfg, Nil)
+            out.println(s"$mark s2://$name")
+            b \ "streams" match {
+              case JArray(streams) => streams.foreach { s0 =>
+                val sn = jStr(s0 \ "name").getOrElse(
+                  throw CliError("stream entry without name"))
+                val scfg = s0 \ "config" match {
+                  case JNothing => None
+                  case c => Some(JsonMethods.compact(c))
+                }
+                val m2 = provision("PUT",
+                  s"${ctx.endpoint}/v1/streams/$sn", scfg,
+                  Seq(basinHdr(name)))
+                out.println(s"$m2 s2://$name/$sn")
+              }
+              case _ => ()
+            }
+          }
+          case _ => throw CliError("spec has no basins array")
+        }
+        0
+
       case "ping" =>
         val (code, body, _) = HttpRecordsClient.requestAny("GET",
           s"${ctx.endpoint}/ping", ctx.hdrs)
@@ -564,6 +677,14 @@ object Cli {
       |  trim s2://b/s <seq>             set the trim point (command record)
       |  fence s2://b/s <token>          set the fencing token (command record)
       |  config ls|get K|set K V|unset K CLI config (~/.config/graft/config.json)
+      |  list-access-tokens              list token registry entries
+      |  issue-access-token <id>         [--expires-at T] [--scope JSON]
+      |  revoke-access-token <id>        revoke a token
+      |  get-account-metrics --set S     [--start --end --interval]
+      |  get-basin-metrics <basin> --set S
+      |  get-stream-metrics s2://b/s --set S
+      |  apply -i spec.json              ensure basins+streams from a spec
+      |                                  (+ created, ~ updated, = unchanged)
       |  ping                            server liveness
       |
       |  --cacert PEM | --insecure       TLS trust for https endpoints

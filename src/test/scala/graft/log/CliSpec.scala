@@ -165,6 +165,51 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally server.stop(0)
   }
 
+  test("access tokens, metrics, and apply drive their route families") {
+    val (st, server, ep) = served()
+    try {
+      // issue → list → the token actually authorizes → revoke → gone
+      val (rcI, outI, _) = cli("issue-access-token", "cli-tok",
+        "--scope", """{"op_groups":{"account":{"read":true},"basin":{"read":true}}}""",
+        "--endpoint", ep)
+      assert(rcI == 0 && outI.contains(""""access_token":"cli-tok""""), outI)
+      val (_, listed, _) = cli("list-access-tokens", "--prefix", "cli-",
+        "--endpoint", ep)
+      assert(listed.contains(""""id":"cli-tok""""), listed)
+      assert(cli("revoke-access-token", "cli-tok", "--endpoint", ep)._1 == 0)
+      val (_, after, _) = cli("list-access-tokens", "--endpoint", ep)
+      assert(!after.contains("cli-tok"), after)
+
+      // metrics: some traffic, then account + basin + stream reads
+      cli("create-stream", "s2://test-basin/mx", "--endpoint", ep)
+      val in = Files.createTempFile("graft-cli", ".txt")
+      Files.writeString(in, "m0\nm1\n")
+      cli("append", "s2://test-basin/mx", "-i", in.toString, "--endpoint", ep)
+      val (rcA, accJson, _) = cli("get-account-metrics", "--set", "account-ops",
+        "--start", "0", "--end", "300", "--endpoint", ep)
+      assert(rcA == 0 && accJson.contains(""""name":"account_ops""""), accJson)
+      val (rcB, basJson, _) = cli("get-basin-metrics", "test-basin",
+        "--set", "basin-ops", "--start", "0", "--end", "300", "--endpoint", ep)
+      assert(rcB == 0 && basJson.contains("values"), basJson)
+      val (rcS, strJson, _) = cli("get-stream-metrics", "s2://test-basin/mx",
+        "--set", "storage", "--endpoint", ep)
+      assert(rcS == 0 && strJson.contains("storage"), strJson)
+
+      // apply: first run creates, second run is all '=' (idempotent)
+      val spec = Files.createTempFile("graft-cli", ".json")
+      Files.writeString(spec,
+        """{"basins":[{"name":"apply-basin","streams":[
+          |{"name":"s1"},{"name":"logs/x"}]}]}""".stripMargin)
+      val (rc1, out1, _) = cli("apply", "-i", spec.toString, "--endpoint", ep)
+      assert(rc1 == 0, out1)
+      assert(out1.linesIterator.toSeq == Seq(
+        "+ s2://apply-basin", "+ s2://apply-basin/s1",
+        "+ s2://apply-basin/logs/x"), out1)
+      val (rc2, out2, _) = cli("apply", "-i", spec.toString, "--endpoint", ep)
+      assert(rc2 == 0 && out2.linesIterator.forall(_.startsWith("= ")), out2)
+    } finally server.stop(0)
+  }
+
   test("--cacert pins a TLS server's cert; --insecure trusts a self-signed one") {
     val st = new StreamStore(spark,
       Files.createTempDirectory("graft-clitls").toString)
