@@ -210,6 +210,45 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally server.stop(0)
   }
 
+  test("--token and the config-file token authenticate against a bearer-required server") {
+    val st = new StreamStore(spark,
+      Files.createTempDirectory("graft-cliauth").toString)
+    st.catalog.createBasin("auth-basin",
+      BasinConfig(defaultStreamConfig =
+        StreamConfig(retentionPolicy = Some(RetentionPolicy.Infinite))))
+      .fold(e => fail(e), identity)
+    st.catalog.issueToken(AccessToken("cli-rw", AccessTokenScope(
+      basins = ResourceSet.Exact("auth-basin"),
+      streams = ResourceSet.Prefix(""),
+      opGroups = PermittedOperationGroups(
+        streamRead = true, streamWrite = true))))
+    val (server, ep) = HttpRecordsServer.start(st, Some(1000L),
+      requireAuth = true)
+    try {
+      st.catalog.createStream("auth-basin", "guarded")
+      // no bearer → 401 surfaces as rc=1
+      val (rc0, _, e0) = cli("check-tail", "s2://auth-basin/guarded",
+        "--endpoint", ep)
+      assert(rc0 == 1 && e0.contains("401"), s"$rc0 $e0")
+      // --token flag authorizes append + read
+      val in = Files.createTempFile("graft-cli", ".txt")
+      Files.writeString(in, "secret\n")
+      assert(cli("append", "s2://auth-basin/guarded", "-i", in.toString,
+        "--token", "cli-rw", "--endpoint", ep)._1 == 0)
+      val (rc1, out1, _) = cli("cat", "s2://auth-basin/guarded",
+        "--token", "cli-rw", "--endpoint", ep)
+      assert(rc1 == 0 && out1.trim == "secret", s"$rc1 $out1")
+      // token resolved from the config file works the same way
+      val cfg = Files.createTempDirectory("graft-cliauth")
+        .resolve("config.json").toString
+      cli("config", "set", "endpoint", ep, "--config", cfg)
+      cli("config", "set", "token", "cli-rw", "--config", cfg)
+      val (rc2, out2, _) = cli("cat", "s2://auth-basin/guarded",
+        "--config", cfg)
+      assert(rc2 == 0 && out2.trim == "secret", s"$rc2 $out2")
+    } finally server.stop(0)
+  }
+
   test("--cacert pins a TLS server's cert; --insecure trusts a self-signed one") {
     val st = new StreamStore(spark,
       Files.createTempDirectory("graft-clitls").toString)
