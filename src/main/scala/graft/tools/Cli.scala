@@ -534,6 +534,42 @@ object Cli {
         }
         out.println(JsonMethods.compact(get(ctx, path))); 0
 
+      // ---- diff (cli.rs Diff / diff.rs): field-by-field comparison of
+      // two basins or two streams. The server's config GETs return the
+      // MERGED effective config (defaults applied), so the comparison
+      // matches the reference's defaults-applied rule (diff.rs /
+      // apply.rs:176-178) without client-side default tables. ----------
+      case "diff" =>
+        val (ua, ub) = (p.positional.lift(0), p.positional.lift(1)) match {
+          case (Some(a), Some(b)) => (parseUri(a), parseUri(b))
+          case _ => throw CliError("diff needs two s2:// URIs (basins or streams)")
+        }
+        def fetch(u: (String, Option[String])): JValue = u match {
+          case (basin, None) => get(ctx, s"/v1/basins/${enc(basin)}")
+          case (basin, Some(stream)) =>
+            get(ctx, s"/v1/streams/$stream", Seq(basinHdr(basin)))
+        }
+        if (ua._2.isDefined != ub._2.isDefined)
+          throw CliError("cannot diff a basin against a stream")
+        // flatten to dotted paths so nested config fields line up
+        def flatten(prefix: String, j: JValue): Map[String, String] = j match {
+          case JObject(fields) => fields.flatMap { case (k, v) =>
+            flatten(if (prefix.isEmpty) k else s"$prefix.$k", v)
+          }.toMap
+          case JNothing | JNull => Map.empty
+          case leaf => Map(prefix -> JsonMethods.compact(leaf))
+        }
+        val (fa, fb) = (flatten("", fetch(ua)), flatten("", fetch(ub)))
+        val changed = (fa.keySet ++ fb.keySet).toSeq.sorted.flatMap { k =>
+          (fa.get(k), fb.get(k)) match {
+            case (a, b) if a == b => None
+            case (a, b) =>
+              Some(s"~ $k: ${a.getOrElse("(unset)")} -> ${b.getOrElse("(unset)")}")
+          }
+        }
+        if (changed.isEmpty) { err.println("✓ identical"); 0 }
+        else { changed.foreach(out.println); 0 }
+
       // ---- apply (cli.rs Apply / apply.rs): ensure basins + streams
       // from a JSON spec via the idempotent PUT routes; prints the
       // reference's dry-run legend per entry (+ create, ~ ensure-
@@ -683,6 +719,7 @@ object Cli {
       |  get-account-metrics --set S     [--start --end --interval]
       |  get-basin-metrics <basin> --set S
       |  get-stream-metrics s2://b/s --set S
+      |  diff <uriA> <uriB>              field diff of two basins/streams
       |  apply -i spec.json              ensure basins+streams from a spec
       |                                  (+ created, ~ updated, = unchanged)
       |  ping                            server liveness

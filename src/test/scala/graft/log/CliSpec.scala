@@ -210,6 +210,32 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally server.stop(0)
   }
 
+  test("diff compares two streams or basins field-by-field on merged configs") {
+    val (st, server, ep) = served()
+    try {
+      st.catalog.createStream("test-basin", "d-a")
+      st.catalog.createStream("test-basin", "d-b",
+        StreamConfig(timestamping =
+          Some(Timestamping(TimestampingMode.Arrival))))
+      // identical streams: no rows, ✓ on stderr
+      st.catalog.createStream("test-basin", "d-c")
+      val (rc0, out0, err0) = cli("diff", "s2://test-basin/d-a",
+        "s2://test-basin/d-c", "--endpoint", ep)
+      assert(rc0 == 0 && out0.isEmpty && err0.contains("identical"),
+        s"$rc0 $out0 $err0")
+      // differing timestamping mode shows up as one dotted-path row
+      val (rc1, out1, _) = cli("diff", "s2://test-basin/d-a",
+        "s2://test-basin/d-b", "--endpoint", ep)
+      assert(rc1 == 0, out1)
+      assert(out1.linesIterator.exists(l =>
+        l.startsWith("~ timestamping.mode:")), out1)
+      // basin vs stream is a usage error
+      val (rc2, _, e2) = cli("diff", "s2://test-basin",
+        "s2://test-basin/d-a", "--endpoint", ep)
+      assert(rc2 == 1 && e2.contains("cannot diff"), s"$rc2 $e2")
+    } finally server.stop(0)
+  }
+
   test("--token and the config-file token authenticate against a bearer-required server") {
     val st = new StreamStore(spark,
       Files.createTempDirectory("graft-cliauth").toString)
