@@ -21,7 +21,7 @@ import org.apache.spark.sql.types._
 object AnalyticsOps {
 
   private def docs(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(s"$d/documents.parquet")
+    QueryDef.fanOut(s.read.parquet(s"$d/documents.parquet"))
 
   /** BM25 per-doc score micros for the fixed 3-term query — factored
     * so text_bm25_topk and CurationOps.rank_fusion_rrf score through
@@ -78,7 +78,7 @@ object AnalyticsOps {
       |scored AS (SELECT doc_id, CAST(sum(micros) AS BIGINT) AS micros
       |           FROM contrib GROUP BY 1)""".stripMargin
   private def emb(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(s"$d/embeddings.parquet")
+    QueryDef.fanOut(s.read.parquet(s"$d/embeddings.parquet"))
 
   /** Hex digit -> 0..15, identical in Spark SQL and DuckDB. */
   private def hexVal(c: String): String =
@@ -210,32 +210,33 @@ object AnalyticsOps {
 
   /** One Lloyd assignment: nearest centroid by exact-arithmetic
     * squared L2, cluster-id tiebreak. Centroids are broadcast — the
-    * corpus side never shuffles for assignment.
+    * corpus side never shuffles for assignment. The argmin is a HASH
+    * AGGREGATE (min of struct = lexicographic (dist, cluster) — the
+    * window's (dist asc, cluster asc) pick, since cluster is unique
+    * per group), not a window: the aggregate partial-combines
+    * map-side, so the k-way candidate fan-out never reaches an
+    * exchange+sort (the same shape ann_pq_learned already uses;
+    * guide §2.3 "aggregate before you shuffle").
     */
-  private def kmAssign(v: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cluster"))
+  private def kmAssign(v: DataFrame, cents: DataFrame): DataFrame =
     v.crossJoin(broadcast(cents))
       .withColumn("dist", expr(kmDistSpark))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select("vec_id", "qv", "cluster", "dist")
-  }
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist"), col("cluster"), col("qv"))).as("b"))
+      .select(col("vec_id"), col("b.qv").as("qv"),
+        col("b.cluster").as("cluster"), col("b.dist").as("dist"))
 
   /** One Lloyd update: centroid = elementwise mean of assigned
-    * vectors, kept as EXACT (BIGINT sum list, count) pairs. The
-    * (vec x dim) explode feeds a two-level aggregate whose map-side
-    * partial combine reduces each partition to at most k*64 rows
-    * before the shuffle — the classic distributed k-means update.
+    * vectors, kept as EXACT (BIGINT sum list, count) pairs — one
+    * map-side-combined aggregate straight to k rows (64 independent
+    * integer sums per cluster; the former (vec x dim) explode +
+    * two-level aggregate paid a second exchange for the same sums).
     */
   private def kmUpdate(a: DataFrame): DataFrame =
-    a.select(col("cluster"), col("qv"), explode(expr("sequence(1, 64)")).as("j"))
-      .withColumn("x", expr("element_at(qv, j)"))
-      .groupBy("cluster", "j")
-      .agg(sum("x").as("s"), count(lit(1)).as("nv"))
-      .groupBy("cluster")
+    a.groupBy("cluster")
       .agg(
-        expr("transform(array_sort(collect_list(struct(j, s))), t -> t.s)").as("sums"),
-        max("nv").cast(LongType).as("cnt"))
+        array((1 to 64).map(j => sum(expr(s"element_at(qv, $j)"))): _*).as("sums"),
+        count(lit(1)).cast(LongType).as("cnt"))
 
   /** Every vector's distance rank against the FINAL learned centroids
     * after `iters` Lloyd rounds: (vec_id, qv, cluster, dist, arn)
@@ -244,15 +245,8 @@ object AnalyticsOps {
     * deterministic picks.
     */
   private[queries] def kmeansCellRanks(embDf: DataFrame, k: Int, iters: Int): DataFrame = {
-    val qv = embDf.select(col("vec_id"), expr(
-      s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $KmScale + 0.5) AS BIGINT))")
-      .as("qv"))
-    val cents0 = qv.where(col("vec_id") < k)
-      .select(col("vec_id").cast(IntegerType).as("cluster"),
-        col("qv").as("sums"), lit(1L).as("cnt"))
-    var a = kmAssign(qv, cents0)
-    for (_ <- 1 until iters) a = kmAssign(qv, kmUpdate(a))
-    val cents = kmUpdate(a)
+    val qv = kmQv(embDf)
+    val cents = kmTrained(qv, k, iters)
     val w = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cluster"))
     qv.crossJoin(broadcast(cents))
       .withColumn("dist", expr(kmDistSpark))
@@ -260,17 +254,47 @@ object AnalyticsOps {
       .select("vec_id", "qv", "cluster", "dist", "arn")
   }
 
+  private def kmQv(embDf: DataFrame): DataFrame =
+    embDf.select(col("vec_id"), expr(
+      s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $KmScale + 0.5) AS BIGINT))")
+      .as("qv"))
+
+  /** The trained centroid table after `iters` Lloyd rounds. Each
+    * round's <= k-row centroid output is localCheckpoint'd: the next
+    * round's broadcast (and every downstream consumer) reads k stored
+    * rows instead of replaying the whole training chain — without it
+    * the lazily-nested broadcasts re-run all prior rounds per
+    * consumer (the measured lineage blowup this optimization round
+    * removed).
+    */
+  private def kmTrained(qv: DataFrame, k: Int, iters: Int): DataFrame = {
+    val cents0 = qv.where(col("vec_id") < k)
+      .select(col("vec_id").cast(IntegerType).as("cluster"),
+        col("qv").as("sums"), lit(1L).as("cnt"))
+    var cents = cents0
+    for (_ <- 1 to iters)
+      cents = kmUpdate(kmAssign(qv, cents)).localCheckpoint()
+    cents
+  }
+
   /** The Lloyd loop alone: final (vec_id, cluster, dist) after
     * `iters` centroid updates. Shared by cluster_kmeans and the
-    * SemDeDup-style blocking in dedup_semantic_kmeans.
+    * SemDeDup-style blocking in dedup_semantic_kmeans. Uses the
+    * hash-agg argmin directly (no arn window pass — consumers of the
+    * full distance ranking go through kmeansCellRanks).
     */
-  private[graft] def kmeansAssignments(embDf: DataFrame, k: Int, iters: Int): DataFrame =
-    kmeansCellRanks(embDf, k, iters)
-      .where(col("arn") === 1)
+  private[graft] def kmeansAssignments(embDf: DataFrame, k: Int, iters: Int): DataFrame = {
+    val qv = kmQv(embDf)
+    kmAssign(qv, kmTrained(qv, k, iters))
       .select("vec_id", "qv", "cluster", "dist")
+  }
 
   private[graft] def kmeansRun(embDf: DataFrame, k: Int, iters: Int): DataFrame = {
+    // two consumers (sizes agg + the join-back) — materialize the
+    // narrow assignment once instead of re-running the final assign
+    // pass per consumer
     val fin = kmeansAssignments(embDf, k, iters)
+      .select("vec_id", "cluster", "dist").localCheckpoint()
     val sizes = fin.groupBy("cluster").agg(count(lit(1)).cast(LongType).as("csize"))
     fin.join(broadcast(sizes), "cluster")
       .withColumn("dist", round(col("dist"), 6))
@@ -1349,8 +1373,8 @@ object AnalyticsOps {
     QueryDef("graph_pagerank",
       (s, d) => {
         val Scale = 1000000000000L
-        val li = s.read.parquet(s"$d/lineitem.parquet")
-          .select("l_orderkey", "l_suppkey")
+        val li = QueryDef.fanOut(s.read.parquet(s"$d/lineitem.parquet")
+          .select("l_orderkey", "l_suppkey"))
         val ord = s.read.parquet(s"$d/orders.parquet")
           .select("o_orderkey", "o_custkey")
         val e = li.join(ord, col("l_orderkey") === col("o_orderkey"))

@@ -256,7 +256,7 @@ object CorpusOps {
     */
   private[graft] def embQuantizeStats(s: SparkSession, d: String,
                                       withError: Boolean = true): DataFrame = {
-    val base = s.read.parquet(s"$d/embeddings.parquet")
+    val base = QueryDef.fanOut(s.read.parquet(s"$d/embeddings.parquet"))
       .select(col("vec_id"), col("embedding"))
       .withColumn("dim", size(col("embedding")).cast(LongType))
       .withColumn("mx", expr(
@@ -787,7 +787,7 @@ object CorpusOps {
     // is the at-scale retrieval path, this is its quality yardstick.
     QueryDef("ann_knn_accuracy",
       (s, d) => {
-        val all = s.read.parquet(s"$d/embeddings.parquet")
+        val all = QueryDef.fanOut(s.read.parquet(s"$d/embeddings.parquet"))
           .select(col("vec_id"), col("embedding"), col("label"))
         val q = all.where(col("vec_id") < 50)
           .select(col("vec_id").as("q_id"), col("embedding").as("vq"),
@@ -865,7 +865,7 @@ object CorpusOps {
         val wMicros = (1 to 10).map(r =>
           math.round(1e6 / (math.log(r + 1) / math.log(2))))
         val prefix = wMicros.scanLeft(0L)(_ + _).tail
-        val all = s.read.parquet(s"$d/embeddings.parquet")
+        val all = QueryDef.fanOut(s.read.parquet(s"$d/embeddings.parquet"))
           .select(col("vec_id"), col("embedding"), col("label"))
         val q = all.where(col("vec_id") < 50)
           .select(col("vec_id").as("q_id"), col("embedding").as("vq"),
@@ -1240,7 +1240,7 @@ object CorpusOps {
     // explode over the single-nprobe query, not 4x.
     QueryDef("ann_recall_curve",
       (s, d) => {
-        val all = s.read.parquet(s"$d/embeddings.parquet")
+        val all = QueryDef.fanOut(s.read.parquet(s"$d/embeddings.parquet"))
           .select(col("vec_id"), col("embedding"))
         val cents = all.where(col("vec_id") % 100 === 0)
           .select(col("vec_id").as("c_id"), col("embedding").as("vc"))

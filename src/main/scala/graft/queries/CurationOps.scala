@@ -23,9 +23,9 @@ import org.apache.spark.sql.types._
 object CurationOps {
 
   private def docs(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(s"$d/documents.parquet")
+    QueryDef.fanOut(s.read.parquet(s"$d/documents.parquet"))
   private def emb(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(s"$d/embeddings.parquet")
+    QueryDef.fanOut(s.read.parquet(s"$d/embeddings.parquet"))
 
   /** The URL canonicalization chain as one Spark-SQL expression over
     * column `c` — shared by the batch dedup_url query and the
@@ -323,8 +323,12 @@ object CurationOps {
         a.join(b, Seq("bk"))
           .where(col("id_a") < col("id_b") &&
             abs(col("la") - col("lb")) <= 12)
-          .withColumn("dist", levenshtein(col("ta"), col("tb")).cast(LongType))
-          .where(col("dist") <= 12)
+          // thresholded levenshtein (3.5+): O(len*k) banded DP instead
+          // of the full O(len²) matrix; returns -1 above the bound, so
+          // the kept rows and their exact distances are unchanged
+          .withColumn("dist",
+            levenshtein(col("ta"), col("tb"), 12).cast(LongType))
+          .where(col("dist") >= 0 && col("dist") <= 12)
           .select(col("id_a"), col("id_b"), col("dist"),
             (col("id_b") - col("id_a") === 5000000L).as("is_planted_twin"))
           .orderBy("id_a", "id_b")
@@ -869,36 +873,43 @@ object CurationOps {
               * 1000000 + 0.5).cast(LongType))
           .select("q_id", "id_a", "id_b", "sim_ppm")
           .localCheckpoint()
-        val base = cand.select("q_id", "n_id", "rel_ppm")
-        var selected = base
-          .withColumn("rk", row_number().over(Window.partitionBy("q_id")
-            .orderBy(col("rel_ppm").desc, col("n_id"))))
-          .where(col("rk") === 1)
-          .select(col("q_id"), col("n_id"), col("rel_ppm"),
-            col("rel_ppm").as("score_ppm"), lit(1).as("round"))
-        for (r <- 2 to 4) {
-          val maxSim = pairs
-            .join(selected.select(col("q_id"), col("n_id").as("id_b")),
-              Seq("q_id", "id_b"))
-            .groupBy("q_id", "id_a")
-            .agg(max("sim_ppm").as("maxsim_ppm"))
-            .withColumnRenamed("id_a", "n_id")
-          val pick = base
-            .join(selected.select(col("q_id"), col("n_id"))
-              .withColumn("is_sel", lit(true)), Seq("q_id", "n_id"), "left")
-            .where(col("is_sel").isNull)
-            .join(maxSim, Seq("q_id", "n_id"))
-            .withColumn("score_ppm",
-              expr("(7 * rel_ppm - 3 * maxsim_ppm) div 10"))
-            .withColumn("rk", row_number().over(Window.partitionBy("q_id")
-              .orderBy(col("score_ppm").desc, col("n_id"))))
-            .where(col("rk") === 1)
-            .select(col("q_id"), col("n_id"), col("rel_ppm"),
-              col("score_ppm"), lit(r).as("round"))
-          selected = selected.unionByName(pick).localCheckpoint()
+        // The greedy MMR selection runs on the DRIVER over the two
+        // checkpointed tables above — BOUNDED data by construction
+        // (top-8 candidates x |queries| rows, the per-query budget
+        // that holds at any corpus size), so this is model-sized
+        // state like a broadcast, not a corpus collect. The former
+        // DataFrame loop planned 3 rounds x (2 joins + window +
+        // checkpoint) over <= 24 rows — pure scheduler overhead.
+        // Arithmetic is the same truncating BIGINT division (Spark
+        // `div` / DuckDB `//` / Scala Long `/` all truncate toward
+        // zero), so the oracle replays it bit-for-bit.
+        val cs = cand.select("q_id", "n_id", "rel_ppm").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        val sim = pairs.collect()
+          .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3)))
+          .toMap
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long, Long, Long)]
+        cs.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (q, qs) =>
+          val sel = scala.collection.mutable.ArrayBuffer.empty[Long]
+          val first = qs.maxBy(c => (c._3, -c._2))
+          sel += first._2
+          out += ((q, 1L, first._2, first._3, first._3))
+          for (r <- 2 to 4) {
+            val rem = qs.filterNot(c => sel.contains(c._2))
+            if (rem.nonEmpty) {
+              val scored = rem.map { c =>
+                val maxsim = sel.map(sid => sim((q, c._2, sid))).max
+                (c, (7L * c._3 - 3L * maxsim) / 10L)
+              }
+              val (pick, score) = scored.maxBy { case (c, sc) => (sc, -c._2) }
+              sel += pick._2
+              out += ((q, r.toLong, pick._2, pick._3, score))
+            }
+          }
         }
-        selected.select(col("q_id"), col("round").cast(LongType).as("round"),
-            col("n_id"), col("rel_ppm"), col("score_ppm"))
+        import s.implicits._
+        out.toSeq.toDF("q_id", "round", "n_id", "rel_ppm", "score_ppm")
           .orderBy("q_id", "round")
       },
       Some {

@@ -2904,7 +2904,7 @@ object EngineDemos {
       (s, d) => {
         import org.apache.spark.sql.functions._
         import org.apache.spark.sql.expressions.Window
-        val all = s.read.parquet(s"$d/embeddings.parquet")
+        val all = QueryDef.fanOut(s.read.parquet(s"$d/embeddings.parquet"))
           .select(col("vec_id"), col("embedding"))
         val ranks = AnalyticsOps.kmeansCellRanks(all, AnalyticsOps.KmK, 2)
           .select("vec_id", "cluster", "arn").localCheckpoint()
@@ -3073,7 +3073,7 @@ object EngineDemos {
       (s, d) => {
         import org.apache.spark.sql.functions._
         val terms = Seq("spark", "join", "window")
-        val toks = s.read.parquet(s"$d/documents.parquet")
+        val toks = QueryDef.fanOut(s.read.parquet(s"$d/documents.parquet"))
           .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
         val dl = toks.groupBy("doc_id")
           .agg(count(lit(1)).cast("long").as("dlen"))

@@ -322,10 +322,18 @@ object PipelineOps {
     * rounds.
     */
   private[graft] def bpeLearnPlan(words: DataFrame, rounds: Int): DataFrame = {
+    val s = words.sparkSession
     var seg = words.select(col("w"), col("freq"), expr(
       "transform(sequence(1, length(w)), i -> substr(w, i, 1))").as("syms"))
       .localCheckpoint()
-    var out: DataFrame = null
+    // Each round's argmax is ONE row — collect it (TakeOrdered: partial
+    // top-1 per partition, 1-row driver merge) and re-enter it as a
+    // literal instead of a 1-row broadcast join; the merge table is
+    // accumulated driver-side, so the final action never replays the
+    // per-round pair-count subtrees (the former union-of-limit(1)s
+    // recomputed all `rounds` argmaxes at the final orderBy).
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, String, Long)]
     for (k <- 1 to rounds) {
       val pc = seg.where(size(col("syms")) >= 2)
         .select(explode(expr(
@@ -334,12 +342,12 @@ object PipelineOps {
           .as("p"), col("freq"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum("freq").cast(LongType).as("cnt"))
-      val m = pc.orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
-      val mk = m.select(col("l"), col("r"), concat(col("l"), col("r")).as("merged"),
-        col("cnt"), lit(k.toLong).as("round"))
-      out = if (out == null) mk else out.unionByName(mk)
+      val top = pc.orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
+        .collect()(0)
+      val (l, r, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
+      out += ((k.toLong, l, r, l + r, cnt))
       if (k < rounds)
-        seg = seg.crossJoin(broadcast(m))
+        seg = seg.withColumn("l", lit(l)).withColumn("r", lit(r))
           .select(col("w"), col("freq"), expr(
             """aggregate(slice(syms, 2, size(syms) - 1),
                array(element_at(syms, 1)),
@@ -348,7 +356,9 @@ object PipelineOps {
                  ELSE concat(acc, array(x)) END)""").as("syms"))
           .localCheckpoint()
     }
-    out.select("round", "l", "r", "merged", "cnt").orderBy("round")
+    import s.implicits._
+    out.toSeq.toDF("round", "l", "r", "merged", "cnt")
+      .select("round", "l", "r", "merged", "cnt").orderBy("round")
   }
 
   /** DuckDB mirror of bpeLearnPlan over the `documents` table:

@@ -24,7 +24,7 @@ object TextOps {
   // ---- shared Spark-side corpus helpers -----------------------------------
 
   private[graft] def docs(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(s"$d/documents.parquet")
+    QueryDef.fanOut(s.read.parquet(s"$d/documents.parquet"))
 
   private[graft] def docsAug(s: SparkSession, d: String): DataFrame = {
     val base = docs(s, d).select("doc_id", "text", "lang")

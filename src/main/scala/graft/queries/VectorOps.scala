@@ -20,7 +20,7 @@ import org.apache.spark.sql.types._
 object VectorOps {
 
   private def emb(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(s"$d/embeddings.parquet")
+    QueryDef.fanOut(s.read.parquet(s"$d/embeddings.parquet"))
 
   /** Sequential-fold cosine between two ARRAY<FLOAT> columns (double)
     * — the custom codegen'd Catalyst expression
@@ -114,7 +114,6 @@ object VectorOps {
     * drift. Returns (vec_id, vhat).
     */
   private def pqRecon(all: DataFrame, cb: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val dists = all.crossJoin(broadcast(cb))
       .withColumn("m", explode(sequence(lit(0), lit(7))))
       .withColumn("dist", expr(
@@ -124,12 +123,14 @@ object VectorOps {
                - CAST(element_at(cv, j) AS DOUBLE))
            * (CAST(element_at(embedding, j) AS DOUBLE)
                - CAST(element_at(cv, j) AS DOUBLE)))"""))
-    val wCode = Window.partitionBy("vec_id", "m")
-      .orderBy(col("dist").asc, col("code").asc)
+    // argmin as a hash aggregate (min of struct = the window's
+    // (dist asc, code asc) pick — code is unique per group), so the
+    // 16x candidate fan-out partial-combines map-side instead of
+    // reaching an exchange+sort (guide §2.3)
     val codes = dists
-      .withColumn("crn", row_number().over(wCode))
-      .where(col("crn") === 1)
-      .select("vec_id", "m", "code")
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("dist"), col("code"))).as("b"))
+      .select(col("vec_id"), col("m"), col("b.code").as("code"))
     codes.join(broadcast(cb), "code")
       .withColumn("sub", expr("slice(cv, 8*m+1, 8)"))
       .groupBy("vec_id")
@@ -529,6 +530,8 @@ object VectorOps {
                  CAST(0 AS DOUBLE), (acc, v) -> acc + v)))""")
         val all = emb(s, d).select(col("vec_id"), col("embedding"))
         // (vec_id, m, sv): quantized 8-dim subvector per subspace
+        // three consumers (two Lloyd assigns + the final encode) —
+        // materialize the quantized subvector table once
         val sub = all
           .select(col("vec_id"), explode(sequence(lit(0), lit(7))).as("m"),
             col("embedding"))
@@ -536,6 +539,7 @@ object VectorOps {
             """transform(slice(embedding, 8*m+1, 8),
                x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))"""))
           .select("vec_id", "m", "sv")
+          .localCheckpoint()
         val dist8 = expr(
           """aggregate(sequence(1, 8), CAST(0 AS DOUBLE), (acc, j) ->
              acc + (CAST(element_at(sv, j) AS DOUBLE)
@@ -555,15 +559,14 @@ object VectorOps {
             .agg(min(struct(col("dist"), col("code"), col("sv"))).as("best"))
             .select(col("vec_id"), col("m"),
               col("best.sv").as("sv"), col("best.code").as("code"))
+        // one map-side-combined aggregate straight to the <= 128
+        // codebook rows (8 integer sums per (m, code); the former
+        // explode + two-level aggregate paid a second exchange)
         def update(a: DataFrame): DataFrame =
-          a.select(col("m"), col("code"), col("sv"),
-              explode(expr("sequence(1, 8)")).as("j"))
-            .withColumn("x", expr("element_at(sv, j)"))
-            .groupBy("m", "code", "j")
-            .agg(sum("x").as("sj"), count(lit(1)).as("nv"))
-            .groupBy("m", "code")
-            .agg(expr("transform(array_sort(collect_list(struct(j, sj))), t -> t.sj)")
-              .as("sums"), max("nv").cast(LongType).as("cnt"))
+          a.groupBy("m", "code")
+            .agg(array((1 to 8).map(j =>
+                sum(expr(s"element_at(sv, $j)"))): _*).as("sums"),
+              count(lit(1)).cast(LongType).as("cnt"))
         val cents0 = sub.where(col("vec_id") < 16)
           .select(col("m"), col("vec_id").cast(IntegerType).as("code"),
             col("sv").as("sums"), lit(1L).as("cnt"))
@@ -575,7 +578,11 @@ object VectorOps {
         // is a broadcast hash-agg that scales linearly anyway. At
         // billions of vectors the sample becomes representative and
         // the trade flips; the cut-over belongs in config, not here.
-        val cents = update(assign(sub, update(assign(sub, cents0))))
+        // each round's <= 128-row codebook is localCheckpoint'd so the
+        // next round's broadcast (and the encode below) reads stored
+        // rows instead of replaying the whole training chain
+        val cents = update(assign(sub,
+          update(assign(sub, cents0)).localCheckpoint())).localCheckpoint()
         // encode against the learned codebooks; vhat = concat of
         // centroid means in quantized units (same hash-agg argmin)
         val centsH = cents.withColumn("subhat",
@@ -1282,31 +1289,66 @@ object VectorOps {
 
   /** `Rounds`-round integer power iteration; returns 64 rows (j, vj),
     * |vj| <= 1024.
+    *
+    * Optimization-round rewrite (same integer algorithm, same result
+    * bit-for-bit — the DuckDB oracle CTEs are untouched):
+    * - the scatter matrix is built in ONE corpus pass (per-vector
+    *   (i, j, qi*qj) expansion into a map-side-combined 4096-key
+    *   aggregate) instead of the former ex-⋈-ex self-join, which
+    *   shuffled the exploded corpus and sorted it twice (guide §2.4:
+    *   remove shuffles outright);
+    * - per-dim sums and n ride the same scan shape (one 64-row agg);
+    * - the power iteration runs on the DRIVER over the collected
+    *   64x64 = 4096-cell scatter — a fixed-size model artifact,
+    *   independent of corpus size (the distributed-PCA shape: Spark
+    *   MLlib collects the Gram matrix the same way). The old
+    *   DataFrame loop planned ~5 jobs per round x 24 rounds (~130
+    *   one-task jobs, pure scheduler overhead at any scale); the
+    *   driver loop over 4 KiB of longs is exact and free.
+    * All arithmetic is the same BIGINT truncating division both
+    * engines already agree on (DuckDB `//` and Spark `div` truncate
+    * toward zero, as does Scala Long division).
     */
   private def pcaLoadings(s: SparkSession, d: String): DataFrame = {
-    val ex = pcaExploded(s, d).localCheckpoint()
-    val n = ex.select(countDistinct("vec_id")).collect()(0).getLong(0)
-    val sums = ex.groupBy("j").agg(sum("q").as("sj"))
-    val scatter = ex.select(col("vec_id"), col("j").as("i"), col("q").as("qi"))
-      .join(ex.select(col("vec_id"), col("j"), col("q").as("qj")), "vec_id")
-      .groupBy("i", "j")
-      .agg(sum(col("qi") * col("qj")).as("sij"))
-    val m = scatter
-      .join(broadcast(sums.select(col("j").as("i"), col("sj").as("si"))), "i")
-      .join(broadcast(sums), "j")
-      .select(col("i"), col("j"),
-        expr(s"sij - (si * sj) div $n").as("m"))
-      .localCheckpoint() // consumed by every round
-    var v = s.range(64).select(col("id").as("j"), lit(1L).as("vj"))
+    val (m, _) = pcaScatter(s, d)
+    var v = Array.fill(64)(1L)
     for (_ <- 1 to Rounds) {
-      val w = m.join(broadcast(v), "j")
-        .groupBy("i").agg(sum(col("m") * col("vj")).as("w"))
-      val mx = w.agg(max(abs(col("w"))).as("mx"))
-      v = w.crossJoin(broadcast(mx))
-        .select(col("i").as("j"), expr("(w * 1024) div mx").as("vj"))
-        .localCheckpoint()
+      val w = Array.tabulate(64)(i =>
+        (0 until 64).map(j => m(i)(j) * v(j)).sum)
+      val mx = w.map(math.abs).max
+      v = w.map(wi => (wi * 1024L) / mx)
     }
-    v
+    import s.implicits._
+    v.toSeq.zipWithIndex.map { case (vj, j) => (j.toLong, vj) }
+      .toDF("j", "vj")
+  }
+
+  /** Centered 64x64 integer scatter matrix m(i)(j) = sij - (si*sj) div n
+    * plus n, from one corpus pass (4096-key hash aggregate with
+    * map-side partial combine; the 4096-row collect is a fixed-size
+    * model, not data). */
+  private def pcaScatter(s: SparkSession, d: String): (Array[Array[Long]], Long) = {
+    val prods = emb(s, d).select(expr(
+        s"""transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * 1024 + 0.5) AS BIGINT))""")
+        .as("qa"))
+      .select(explode(expr(
+        """flatten(transform(qa, (qi, i) ->
+             transform(qa, (qj, j) ->
+               struct(CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+                 qi * qj AS p))))""")).as("t"))
+      .groupBy(col("t.i").as("i"), col("t.j").as("j"))
+      .agg(sum(col("t.p")).as("sij"), count(lit(1)).as("cnt"))
+      .collect()
+    val n = prods.head.getLong(3)
+    val sij = Array.ofDim[Long](64, 64)
+    prods.foreach(r => sij(r.getLong(0).toInt)(r.getLong(1).toInt) = r.getLong(2))
+    // first moments (per-dim sums) need their own 64-row aggregate
+    val si = pcaExploded(s, d).groupBy("j").agg(sum("q").as("sj"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m = Array.tabulate(64, 64)((i, j) =>
+      sij(i)(j) - (si(i.toLong) * si(j.toLong)) / n)
+    (m, n)
   }
 
   /** The same algorithm as DuckDB CTEs ending in `v$Rounds(j, vj)` —
