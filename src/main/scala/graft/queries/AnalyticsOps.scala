@@ -77,8 +77,11 @@ object AnalyticsOps {
       |  FROM tf JOIN dfreq USING (term) JOIN dl ON dl.doc_id = tf.doc_id, stats s),
       |scored AS (SELECT doc_id, CAST(sum(micros) AS BIGINT) AS micros
       |           FROM contrib GROUP BY 1)""".stripMargin
+  private def embRaw(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/embeddings.parquet")
+
   private def emb(s: SparkSession, d: String): DataFrame =
-    QueryDef.fanOut(s.read.parquet(s"$d/embeddings.parquet"))
+    QueryDef.fanOut(embRaw(s, d))
 
   /** Hex digit -> 0..15, identical in Spark SQL and DuckDB. */
   private def hexVal(c: String): String =
@@ -713,10 +716,11 @@ object AnalyticsOps {
     // oracle replays the size gate and the signature bit-for-bit.
     QueryDef("dedup_semantic_kmeans",
       (s, d) => {
-        val base = emb(s, d).select(col("vec_id"), col("embedding"))
-        val aug = base.unionAll(
+        // union branches from the raw scan, ONE fan-out after
+        val base = embRaw(s, d).select(col("vec_id"), col("embedding"))
+        val aug = QueryDef.fanOut(base.unionAll(
           base.where(col("vec_id") % 23 === 0)
-            .select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+            .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))))
         // materialize the assignment once: both self-join sides (and
         // the cell-size aggregate) consume it, and without the
         // checkpoint the 2-Lloyd-round subtree replays per consumer

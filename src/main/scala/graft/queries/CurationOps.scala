@@ -22,8 +22,10 @@ import org.apache.spark.sql.types._
   */
 object CurationOps {
 
+  private def docsRaw(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/documents.parquet")
   private def docs(s: SparkSession, d: String): DataFrame =
-    QueryDef.fanOut(s.read.parquet(s"$d/documents.parquet"))
+    QueryDef.fanOut(docsRaw(s, d))
   private def emb(s: SparkSession, d: String): DataFrame =
     QueryDef.fanOut(s.read.parquet(s"$d/embeddings.parquet"))
 
@@ -309,11 +311,12 @@ object CurationOps {
     // native in DuckDB) runs only on survivors.
     QueryDef("dedup_near_edit",
       (s, d) => {
-        val base = docs(s, d).select(col("doc_id"), col("text"))
-        val aug = base.unionAll(
+        // union branches from the raw scan, ONE fan-out after
+        val base = docsRaw(s, d).select(col("doc_id"), col("text"))
+        val aug = QueryDef.fanOut(base.unionAll(
           base.where(col("doc_id") % 17 === 0)
             .select((col("doc_id") + 5000000L).as("doc_id"),
-              regexp_replace(col("text"), "^[a-z]+ ", "zzz ").as("text")))
+              regexp_replace(col("text"), "^[a-z]+ ", "zzz ").as("text"))))
           .withColumn("bk", md5(expr("right(text, 40)").cast(BinaryType)))
           .withColumn("len", length(col("text")).cast(LongType))
         val a = aug.select(col("doc_id").as("id_a"), col("text").as("ta"),
@@ -504,12 +507,13 @@ object CurationOps {
     // is one narrow row per doc.
     QueryDef("dedup_containment",
       (s, d) => {
-        val base = docs(s, d).select(col("doc_id"), col("text"))
-        val aug = base.unionAll(
+        // union branches from the raw scan, ONE fan-out after
+        val base = docsRaw(s, d).select(col("doc_id"), col("text"))
+        val aug = QueryDef.fanOut(base.unionAll(
           base.where(col("doc_id") % 31 === 0)
             .select((col("doc_id") + 7000000L).as("doc_id"),
               concat(array_join(slice(split(col("text"), " "), 1, 20), " "),
-                lit(" qz tail "), col("doc_id")).as("text")))
+                lit(" qz tail "), col("doc_id")).as("text"))))
           .select(col("doc_id"), split(col("text"), " ").as("w"))
           .where(size(col("w")) >= 5)
         val grams = aug.select(col("doc_id"), explode(array_distinct(expr(

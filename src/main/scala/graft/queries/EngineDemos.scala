@@ -3082,8 +3082,12 @@ object EngineDemos {
           .join(dl, "doc_id")
           .withColumn("tb", pmod(hash(col("term")), lit(16)))
         val tmp = Files.createTempDirectory("graft-bm25idx").toString
-        postings.write.partitionBy("tb").mode("overwrite")
-          .parquet(s"$tmp/postings")
+        // cluster by bucket before the partitioned write: one task per
+        // tb directory writes one scan-sized file instead of every
+        // upstream task opening a file in every bucket dir
+        // (guide §6: sensible output file sizing)
+        postings.repartition(col("tb")).write.partitionBy("tb")
+          .mode("overwrite").parquet(s"$tmp/postings")
         dl.agg(count(lit(1)).cast("long").as("n_docs"),
             sum("dlen").cast("long").as("tot"))
           .write.mode("overwrite").parquet(s"$tmp/stats")

@@ -15,8 +15,8 @@ import org.apache.spark.sql.types._
   * what it costs at 100 TB).
   */
 object PipelineOps {
-  import TextOps.{docs, docsAug, shingles, minhashBands, cappedCandidates,
-    jaccardFor, md5s, BandBucketCap,
+  import TextOps.{docs, docsRaw, docsAug, shingles, minhashBands,
+    cappedCandidates, jaccardFor, md5s, BandBucketCap,
     DocsAugCte, ShinglesCte, ShingleCountsCte, MinhashVerifiedCtes}
 
   /** Connected components by iterative min-label propagation, over
@@ -75,17 +75,18 @@ object PipelineOps {
       val viaNbr = bi.join(labels.select(col("doc_id").as("b"),
           col("rep").as("nrep")), "b")
         .groupBy(col("a").as("doc_id")).agg(min("nrep").as("nrep"))
+      // carry the pre-round label (`prev`) through the half step so the
+      // changed flag needs no fourth join back onto `labels`
       val half = labels.join(viaNbr, Seq("doc_id"))
-        .select(col("doc_id"), least(col("rep"), col("nrep")).as("rep"))
+        .select(col("doc_id"), least(col("rep"), col("nrep")).as("rep"),
+          col("rep").as("prev"))
       // pointer jump: follow the rep's own rep one hop — this is what
       // turns O(diameter) propagation into O(log n)
       val next = half.join(
           half.select(col("doc_id").as("rep"), col("rep").as("rrep")),
           Seq("rep"))
-        .select(col("doc_id"), least(col("rep"), col("rrep")).as("rep"))
-        .join(labels.select(col("doc_id"), col("rep").as("prev")), Seq("doc_id"))
-        .select(col("doc_id"), col("rep"),
-          (col("rep") < col("prev")).as("changed"))
+        .select(col("doc_id"), least(col("rep"), col("rrep")).as("rep"),
+          (least(col("rep"), col("rrep")) < col("prev")).as("changed"))
         .localCheckpoint()
       // The `changed` flag rides along in the checkpointed round
       // result, so convergence is a scan of stored blocks, not an
@@ -256,12 +257,13 @@ object PipelineOps {
 
   private[graft] def qualityTrainArtifacts(
       s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
-    val base = docs(s, d).select(col("doc_id"), col("text"))
-    val corpus = base.withColumn("label", lit(1))
+    // union branches from the raw scan, ONE fan-out after
+    val base = docsRaw(s, d).select(col("doc_id"), col("text"))
+    val corpus = QueryDef.fanOut(base.withColumn("label", lit(1))
       .unionByName(base
         .select((col("doc_id") + 3000000L).as("doc_id"),
           concat(col("text"), lit(" " + QualitySpamTail)).as("text"))
-        .withColumn("label", lit(0)))
+        .withColumn("label", lit(0))))
     val grams = corpus
       .withColumn("is_train", (col("doc_id") % 3000000L) % 2 === 0)
       .select(col("doc_id"), col("label"), col("is_train"),
@@ -747,7 +749,10 @@ object PipelineOps {
           .withColumn("score_milli",
             expr("CAST(stop_cnt * 1000 DIV n_toks AS BIGINT)"))
           .select("doc_id", "score_milli")
-        val withScore = members.join(scored, "doc_id")
+        // two consumers (the per-cluster argmax and the join-back) —
+        // materialize once instead of re-running the docsAug scoring
+        // scan and the members join per consumer
+        val withScore = members.join(scored, "doc_id").localCheckpoint()
         // argmax(score, tiebreak min doc_id) as an aggregate: the
         // struct orders by (1000 - score) ASC then doc_id ASC, so its
         // min is the highest-scoring, lowest-id member
@@ -822,7 +827,9 @@ object PipelineOps {
         def hashed(df: DataFrame) = df.select(
           col("doc_id"), col("text"),
           bloomPositions(col("text")).as("pos"))
-        val dd = docs(s, d)
+        // raw scan: both sides are narrow md5 passes — the per-branch
+        // fan-out exchanges cost more than the hash work they spread
+        val dd = docsRaw(s, d)
         val base = hashed(dd.where(col("doc_id") % 10 =!= 0))
         val incoming = hashed(dd.where(col("doc_id") % 10 === 0)
           .select(col("doc_id"), col("text"))
@@ -2037,16 +2044,19 @@ object PipelineOps {
     QueryDef("dedup_minhash_index",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val base = docs(s, d).select(col("doc_id"), col("text"))
-        val incoming = base.where(col("doc_id") % 11 === 0)
+        // branches from the raw scan; the base side fans out once for
+        // its shingle pass, the incoming union once after assembly
+        val baseRaw = docsRaw(s, d).select(col("doc_id"), col("text"))
+        val base = QueryDef.fanOut(baseRaw)
+        val incoming = QueryDef.fanOut(baseRaw.where(col("doc_id") % 11 === 0)
           .select((col("doc_id") + 4000000L).as("doc_id"), col("text"))
-          .unionByName(base.where(col("doc_id") % 19 === 0)
+          .unionByName(baseRaw.where(col("doc_id") % 19 === 0)
             .select((col("doc_id") + 5000000L).as("doc_id"),
               concat(col("text"), lit(" updated revision suffix")).as("text")))
-          .unionByName(base.where(col("doc_id") % 23 === 0)
+          .unionByName(baseRaw.where(col("doc_id") % 23 === 0)
             .select((col("doc_id") + 6000000L).as("doc_id"),
               concat_ws(" ", expr(
-                "transform(split(text, ' '), x -> concat(x, '-x'))")).as("text")))
+                "transform(split(text, ' '), x -> concat(x, '-x'))")).as("text"))))
         val baseSh = shingles(base).localCheckpoint()
         val incSh = shingles(incoming).localCheckpoint()
         val idx = minhashBands(baseSh)

@@ -19,8 +19,11 @@ import org.apache.spark.sql.types._
   */
 object VectorOps {
 
+  private def embRaw(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/embeddings.parquet")
+
   private def emb(s: SparkSession, d: String): DataFrame =
-    QueryDef.fanOut(s.read.parquet(s"$d/embeddings.parquet"))
+    QueryDef.fanOut(embRaw(s, d))
 
   /** Sequential-fold cosine between two ARRAY<FLOAT> columns (double)
     * — the custom codegen'd Catalyst expression
@@ -972,11 +975,14 @@ object VectorOps {
     // collide on all bits by construction.
     QueryDef("dedup_embedding_cosine",
       (s, d) => {
-        val base = emb(s, d)
-        val aug = base.unionAll(
+        // union branches from the raw scan, ONE fan-out after (see
+        // QueryDef.fanOut — fanning the shared reader plans one
+        // exchange per branch)
+        val base = embRaw(s, d)
+        val aug = QueryDef.fanOut(base.unionAll(
           base.where(col("vec_id") % 23 === 0)
             .select((col("vec_id") + 1000000).as("vec_id"),
-                    col("embedding"), col("label")))
+                    col("embedding"), col("label"))))
           .withColumn("sig", expr(hyperplaneSigSpark("embedding")).cast(LongType))
         val a = aug.select(col("vec_id").as("id_a"), col("embedding").as("va"),
                            col("sig"))
