@@ -20,8 +20,11 @@ import org.apache.spark.sql.types._
   */
 object AnalyticsOps {
 
+  private def docsRaw(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/documents.parquet")
+
   private def docs(s: SparkSession, d: String): DataFrame =
-    QueryDef.fanOut(s.read.parquet(s"$d/documents.parquet"))
+    QueryDef.fanOut(docsRaw(s, d))
 
   /** BM25 per-doc score micros for the fixed 3-term query — factored
     * so text_bm25_topk and CurationOps.rank_fusion_rrf score through
@@ -31,7 +34,11 @@ object AnalyticsOps {
     */
   private[queries] def bm25DocMicros(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val toks = docs(s, d)
+    // raw scan: toks is referenced by three consumers (dl, stats, tf),
+    // so a fanned reader plans the exchange per subtree — and the
+    // split+explode here is light enough that the one-task scan beat
+    // the fan-out in the round-21 A/B (0.65 s vs 0.91 s at sf0.1)
+    val toks = docsRaw(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).cast(LongType).as("dlen"))
     val stats = dl.agg(

@@ -440,7 +440,10 @@ object PipelineOps {
     * (production shards longer words; the cap bounds the DP and is
     * applied identically in the oracle and the fertility join). */
   private def uniWords(s: SparkSession, d: String): DataFrame =
-    docs(s, d).select(explode(split(col("text"), " ")).as("w"))
+    // raw scan: one light split+explode into a map-side-combined
+    // groupBy — the fan-out exchange regressed this (r21 A/B), the
+    // heavy unigram work runs downstream on the distinct-word table
+    docsRaw(s, d).select(explode(split(col("text"), " ")).as("w"))
       .where(col("w") =!= "" && length(col("w")) <= UniMaxWordLen)
       .groupBy("w").agg(count(lit(1)).cast(LongType).as("freq"))
 
@@ -598,7 +601,9 @@ object PipelineOps {
     // bpeLearnPlan for the algorithm and the scale argument).
     QueryDef("bpe_learn_merges",
       (s, d) => {
-        val words = docs(s, d)
+        // raw scan: same light explode->map-side-combined groupBy as
+        // uniWords; the BPE rounds run on the bounded word table
+        val words = docsRaw(s, d)
           .select(explode(split(col("text"), " ")).as("tok"))
           .where(col("tok") =!= "")
           .groupBy(col("tok").as("w"))
@@ -646,7 +651,8 @@ object PipelineOps {
           .select(col("piece"), col("freq1").as("f"))
         val perWord = uniSegment(words, kept)
           .select(col("w").as("tok"), size(col("pieces")).cast(LongType).as("np"))
-        docs(s, d).select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        docsRaw(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
           .where(col("tok") =!= "" && length(col("tok")) <= UniMaxWordLen)
           .join(perWord, "tok")
           .groupBy("doc_id")
