@@ -358,12 +358,16 @@ object AnalyticsOps {
       .withColumn("bucket", expr(
         s"(16 * ${hexVal("substr(hh, 1, 1)")} + ${hexVal("substr(hh, 2, 1)")})"))
       .withColumn("r", expr(rhoSpark("hh")))
-    val regs = s.range(HllM).select(col("id").cast(IntegerType).as("bucket"))
-      .join(rho.groupBy("bucket").agg(max("r").as("mr")), Seq("bucket"), "left")
-      .withColumn("m", coalesce(col("mr"), lit(0)))
-    val acc = regs.agg(
-      sum(expr("shiftleft(CAST(1 AS BIGINT), 30 - m)")).cast(LongType).as("ssum"),
-      sum(when(col("m") === 0, 1L).otherwise(0L)).cast(LongType).as("zeros"))
+    // absent registers fold in arithmetically (rho >= 1 when present,
+    // so m = 0 === absent): zeros = HllM - |present|, each adding 2^30
+    // to ssum — no range grid, no left join (same rewrite as
+    // hllMergeStats' acc)
+    val acc = rho.groupBy("bucket").agg(max("r").as("mr"))
+      .agg(
+        (coalesce(sum(expr("shiftleft(CAST(1 AS BIGINT), 30 - mr)")), lit(0L)) +
+          (lit(HllM.toLong) - count(lit(1))) * (1L << 30))
+          .cast(LongType).as("ssum"),
+        (lit(HllM.toLong) - count(lit(1))).cast(LongType).as("zeros"))
     val est = acc
       .withColumn("raw", expr(
         s"$HllAlphaM2 / (CAST(ssum AS DOUBLE) / 1073741824.0)"))
@@ -596,13 +600,18 @@ object AnalyticsOps {
         val uniReg = perReg.groupBy("bucket").agg(max("mr").as("mr"))
           .withColumn("source", lit("UNION"))
         val allReg = perReg.unionByName(uniReg)
-        val grid = allReg.select("source").distinct()
-          .crossJoin(s.range(HllM).select(col("id").cast(IntegerType).as("bucket")))
-        val acc = grid.join(allReg, Seq("source", "bucket"), "left")
-          .withColumn("m", coalesce(col("mr"), lit(0)))
+        // absent registers contribute m = 0 exactly (rho >= 1 for every
+        // present register, so "m = 0" === "bucket absent"): fold them
+        // in arithmetically — zeros = HllM - |present|, each adding
+        // 2^30 to ssum — instead of materializing a source x 256 grid
+        // and left-joining it back (two joins and a 5k-row aggregate
+        // replaced by one aggregate over the register table)
+        val acc = allReg
           .groupBy("source").agg(
-            sum(expr("shiftleft(CAST(1 AS BIGINT), 30 - m)")).cast(LongType).as("ssum"),
-            sum(when(col("m") === 0, 1L).otherwise(0L)).cast(LongType).as("zeros"))
+            (sum(expr("shiftleft(CAST(1 AS BIGINT), 30 - mr)")) +
+              (lit(HllM.toLong) - count(lit(1))) * (1L << 30))
+              .cast(LongType).as("ssum"),
+            (lit(HllM.toLong) - count(lit(1))).cast(LongType).as("zeros"))
         val est = acc
           .withColumn("raw", expr(
             s"$HllAlphaM2 / (CAST(ssum AS DOUBLE) / 1073741824.0)"))

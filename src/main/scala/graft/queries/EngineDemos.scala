@@ -2911,6 +2911,9 @@ object EngineDemos {
         val tmp = Files.createTempDirectory("graft-annidx").toString
         all.join(ranks.where(col("arn") === 1), "vec_id")
           .select(col("vec_id"), col("embedding"), col("cluster").as("cell"))
+          // cluster by cell before the partitioned write: one task per
+          // cell dir writes one scan-sized file (guide §6)
+          .repartition(col("cell"))
           .write.partitionBy("cell").mode("overwrite").parquet(tmp)
         val cellsOnDisk = new java.io.File(tmp).listFiles()
           .count(_.getName.startsWith("cell="))
