@@ -11,6 +11,21 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver bench-parse contract (VERDICT r21 #2): the grading driver reads
+// the bench's stdout tail and parses its final line as JSON, but sbt's
+// default output strategy routes forked-process stdout through the sbt
+// logger, prefixing every line with "[info] " and appending a
+// "[success] Total time ..." line — BENCH_r18..r21 all carry
+// `parsed: null` because of it. Pass the forked JVM's stdout/stderr
+// through verbatim and drop the trailing [success] line, so the bench's
+// bare one-line summary JSON is the final stdout line (the full
+// per-query map is persisted to BENCH_local.json alongside, see README).
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command loop, not by another task —
+// exclude it from the unused-key lint so the warning doesn't precede
+// every run's output
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -3076,7 +3076,13 @@ object EngineDemos {
       (s, d) => {
         import org.apache.spark.sql.functions._
         val terms = Seq("spark", "join", "window")
-        val toks = QueryDef.fanOut(s.read.parquet(s"$d/documents.parquet"))
+        // raw scan, NOT fanned: toks feeds two map-side-combined
+        // groupBys referenced from three subtrees, so a fanned reader
+        // planned one repartition exchange per subtree and regressed
+        // the demo in both r21 driver artifacts (2.63 -> 3.42/4.72 s)
+        // — the same multi-consumer class the bm25 scorer's toks table
+        // already reverted (r21 batch 6)
+        val toks = s.read.parquet(s"$d/documents.parquet")
           .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
         val dl = toks.groupBy("doc_id")
           .agg(count(lit(1)).cast("long").as("dlen"))
@@ -3085,11 +3091,16 @@ object EngineDemos {
           .join(dl, "doc_id")
           .withColumn("tb", pmod(hash(col("term")), lit(16)))
         val tmp = Files.createTempDirectory("graft-bm25idx").toString
-        // cluster by bucket before the partitioned write: one task per
-        // tb directory writes one scan-sized file instead of every
-        // upstream task opening a file in every bucket dir
-        // (guide §6: sensible output file sizing)
-        postings.repartition(col("tb")).write.partitionBy("tb")
+        // direct partitioned write, NO repartition(col("tb")) first:
+        // r21 added the pre-write clustering for guide-§6 file sizing,
+        // but both r21 driver artifacts measured it a net loss at this
+        // corpus size (the extra exchange of the whole postings table
+        // costs more than the tidier layout saves the three probe
+        // reads; r22 A/B: shuffle bytes halve, wall equal-or-better
+        // without it). At 100 TB an index BUILD would cluster before
+        // the write — by (tb, doc_id-range), not bare tb, so the
+        // shuffle spreads over more than #buckets keys (§2.5)
+        postings.write.partitionBy("tb")
           .mode("overwrite").parquet(s"$tmp/postings")
         dl.agg(count(lit(1)).cast("long").as("n_docs"),
             sum("dlen").cast("long").as("tot"))

@@ -336,7 +336,8 @@ object PipelineOps {
     // recomputed all `rounds` argmaxes at the final orderBy).
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, String, Long)]
-    for (k <- 1 to rounds) {
+    import scala.util.control.Breaks.{break, breakable}
+    breakable { for (k <- 1 to rounds) {
       val pc = seg.where(size(col("syms")) >= 2)
         .select(explode(expr(
           "transform(sequence(1, size(syms) - 1), " +
@@ -344,8 +345,11 @@ object PipelineOps {
           .as("p"), col("freq"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum("freq").cast(LongType).as("cnt"))
+      // headOption (VERDICT r21 #8): a degenerate corpus can run out
+      // of adjacent pairs before `rounds` — the pre-r21 plan silently
+      // emitted fewer rows there; preserve that instead of throwing
       val top = pc.orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
-        .collect()(0)
+        .collect().headOption.getOrElse(break())
       val (l, r, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
       out += ((k.toLong, l, r, l + r, cnt))
       if (k < rounds)
@@ -357,7 +361,7 @@ object PipelineOps {
                  THEN concat(slice(acc, 1, size(acc) - 1), array(concat(l, r)))
                  ELSE concat(acc, array(x)) END)""").as("syms"))
           .localCheckpoint()
-    }
+    } }
     import s.implicits._
     out.toSeq.toDF("round", "l", "r", "merged", "cnt")
       .select("round", "l", "r", "merged", "cnt").orderBy("round")

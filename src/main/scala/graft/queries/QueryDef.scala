@@ -40,8 +40,11 @@ object QueryDef {
     // tasks per stage of per-stage overhead) and /2 the best of
     // {1, 2, 4} across the hot set — enough cores on the CPU-dense
     // map stages, half the task fan-out everywhere else
-    val p = math.max(1, df.sparkSession.sparkContext.defaultParallelism /
-      sys.env.getOrElse("SPARK_GRAFT_FANOUT_DIV", "2").toInt)
+    // divisor clamped to >= 1 via toIntOption (ADVICE r21: a "0" or
+    // non-numeric value crashed every query builder at plan time)
+    val div = sys.env.get("SPARK_GRAFT_FANOUT_DIV")
+      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(2)
+    val p = math.max(1, df.sparkSession.sparkContext.defaultParallelism / div)
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
 }

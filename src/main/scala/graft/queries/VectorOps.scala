@@ -171,8 +171,13 @@ object VectorOps {
     // side is broadcast so the big side streams without a shuffle.
     QueryDef("ann_bruteforce_topk",
       (s, d) => {
-        val all = emb(s, d).select(col("vec_id").as("n_id"), col("embedding").as("ve"))
-        val q = emb(s, d).where(col("vec_id") < 5)
+        // raw reader, NOT the fanned one: this is a narrow
+        // broadcast-cross-join + window pass — the fan-out exchange
+        // cost more than the cosine work it spread (r21 driver
+        // artifacts: 0.55 -> 0.65/0.81 s; same class as the
+        // dedup_bloom revert)
+        val all = embRaw(s, d).select(col("vec_id").as("n_id"), col("embedding").as("ve"))
+        val q = embRaw(s, d).where(col("vec_id") < 5)
           .select(col("vec_id").as("q_id"), col("embedding").as("vq"))
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy("q_id")
@@ -877,7 +882,12 @@ object VectorOps {
     QueryDef("ann_binary_topk",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val all = emb(s, d).select(col("vec_id"), col("embedding"))
+        // raw reader throughout: the signature pass is one fused
+        // codegen loop per row and the rest is broadcast joins +
+        // q_id windows — the fan-out exchange regressed this query
+        // in BOTH r21 driver artifacts (1.63 -> 2.36/1.88 s), the
+        // exact narrow-pass class commit da40076 reverted elsewhere
+        val all = embRaw(s, d).select(col("vec_id"), col("embedding"))
           .withColumns((0 until 8).map(w =>
             s"s$w" -> graft.functions.GraftFunctions
               .binary_sig(col("embedding"), w)).toMap)
@@ -901,9 +911,9 @@ object VectorOps {
           .withColumn("rank", row_number().over(wRank).cast(LongType))
           .where(col("rank") <= 10)
           .select("q_id", "n_id", "hamming", "score", "rank")
-        val qPlain = emb(s, d).where(col("vec_id") < 5)
+        val qPlain = embRaw(s, d).where(col("vec_id") < 5)
           .select(col("vec_id").as("q_id"), col("embedding").as("vq"))
-        val brute = emb(s, d)
+        val brute = embRaw(s, d)
           .select(col("vec_id").as("n_id"), col("embedding").as("ve"))
           .crossJoin(broadcast(qPlain))
           .where(col("n_id") =!= col("q_id"))

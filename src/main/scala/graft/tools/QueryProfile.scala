@@ -62,8 +62,11 @@ object QueryProfile {
 
     graft.SparkEntry.queries("q1_pricing_summary")(spark, sfDir).count() // warm
     names.foreach { n =>
-      val fn = graft.SparkEntry.queries.getOrElse(n,
-        { println(s"[qp] $n: UNKNOWN QUERY"); return })
+      // skip unknown names instead of a non-local return (ADVICE r21:
+      // the `return` aborted the whole run and skipped spark.stop())
+      graft.SparkEntry.queries.get(n) match {
+        case None => println(s"[qp] $n: UNKNOWN QUERY")
+        case Some(fn) =>
       fn(spark, sfDir).count() // warm: codegen + plan cache
       val walls = (0 until 3).map { i =>
         if (i == 2) { Thread.sleep(200); reset() }
@@ -76,6 +79,7 @@ object QueryProfile {
       println(f"[qp] $n%-28s med=${med}%6.2f s  min=${walls.min}%6.2f s  " +
         f"jobs=${jobs.get}%3d stages=${stages.get}%4d tasks=${tasks.get}%5d " +
         f"shufR=${shufRead.get / 1024}%8d KiB shufW=${shufWrite.get / 1024}%8d KiB")
+      }
     }
     spark.stop()
   }
