@@ -60,9 +60,17 @@ object EngineDemos {
     * the partition count is fixed by the first microbatch (then
     * pinned by the checkpoint) — at the session's 32 partitions a
     * 6-row demo pays 32-128 state-store lifecycles per microbatch for
-    * nothing.
+    * nothing. ONE partition since r22: these demos are fixed-size
+    * semantic proofs (≤ 10 rows per batch), so the guide-§2 rule
+    * "size partitions to the data" bottoms out at 1 — r22's per-batch
+    * breakdown (tools/StreamProbe) measured addBatch 1.6-4.7 s/pass
+    * at 4 partitions vs 0.6-1.3 s at 1, same oracle outputs (state
+    * persistence, restart resume and watermark semantics are
+    * partition-count-independent). A production stream sizes this to
+    * its key cardinality; the demos' count is data-matched, not
+    * host-matched, exactly like the 4 it replaces.
     */
-  private def withDemoPartitions[T](sp: SparkSession, n: Int = 4)(f: => T): T =
+  private def withDemoPartitions[T](sp: SparkSession, n: Int = 1)(f: => T): T =
     withScopedConf(sp, "spark.sql.shuffle.partitions", n.toString)(f)
 
   /** Dedup horizon for the live-dedup demo family. Every streaming
