@@ -579,16 +579,35 @@ object AnalyticsOps {
   private[graft] def hllMergeStats(s: SparkSession, d: String,
                                    withExact: Boolean = true): DataFrame = {
     val dd = docs(s, d)
+    // r22 restructure (guide §2.3 "shuffle keys, not payloads"):
+    // 1. `source` rides through the shingle explode directly — the
+    //    former shingles⋈docs join re-attached a column the explode's
+    //    own input row already had.
+    // 2. The md5 the register build needs anyway is computed BEFORE
+    //    the (source, item) distinct, and the distinct runs on the
+    //    16-byte BINARY digest instead of the shingle string — the
+    //    dedup exchange carries fixed 16-byte keys, never text.
+    //    Exactness: the distinct (and the exact_distinct audit
+    //    columns) change only if two distinct shingles collide in
+    //    md5 — the same 128-bit hash every register value is already
+    //    derived from, and the DuckDB oracle (which dedups on raw
+    //    strings) hash-verifies the outputs at every SF.
     // localCheckpoint: five consumers (registers, union registers,
-    // the source grid, two exact counts) would each re-run the
-    // shingle explode + join + distinct otherwise — same measured
-    // inversion as dedup_ngram_prefix's shingle table.
-    val pairs = TextOps.shingles(dd.select(col("doc_id"), col("text")))
-          .join(dd.select(col("doc_id"), col("source")), "doc_id")
-          .select(col("source"), col("sh").as("item")).distinct()
+    // two exact counts) would each re-run the explode + md5 +
+    // distinct otherwise — same measured inversion as
+    // dedup_ngram_prefix's shingle table.
+    val pairs = dd
+          .select(col("source"), col("text"), split(col("text"), " ").as("w"))
+          .select(col("source"),
+            explode(TextOps.shingleArray(col("text"), col("w"))).as("item"))
+          .select(col("source"),
+            unhex(md5(col("item").cast(BinaryType))).as("hb"))
+          .distinct()
           .localCheckpoint()
     val rho = pairs
-          .withColumn("hh", md5(col("item").cast(BinaryType)))
+          // lower(hex(..)) == the md5() hex string the r21 plan fed
+          // hexVal/rhoSpark (both are lowercase-hex parsers)
+          .withColumn("hh", lower(hex(col("hb"))))
           .withColumn("bucket", expr(
             s"(16 * ${hexVal("substr(hh, 1, 1)")} + ${hexVal("substr(hh, 2, 1)")})"))
           .withColumn("r", expr(rhoSpark("hh")))
@@ -621,15 +640,16 @@ object AnalyticsOps {
                 ELSE raw END"""), 6))
         if (!withExact)
           return est.select("source", "est_distinct", "zeros").orderBy("source")
-        // pairs is already DISTINCT (source, item): per-source exact is
+        // pairs is already DISTINCT (source, hb): per-source exact is
         // a plain count — countDistinct here re-deduped a deduped
         // table. Only the UNION row still needs an item-level distinct
         // (an item may live in several sources) — the one aggregation
-        // the sketch-only mode above avoids.
+        // the sketch-only mode above avoids; it dedups the 16-byte
+        // digests (= the items, absent an md5 collision).
         val exact = pairs.groupBy("source")
           .agg(count(lit(1)).cast(LongType).as("exact_distinct"))
           .unionByName(pairs.agg(
-            countDistinct("item").cast(LongType).as("exact_distinct"))
+            countDistinct("hb").cast(LongType).as("exact_distinct"))
             .withColumn("source", lit("UNION")))
         est.join(exact, "source")
           .withColumn("rel_err", when(col("exact_distinct") === 0, lit(null)).otherwise(round(
