@@ -353,7 +353,7 @@ object TextOps {
     * negatives, WITHOUT the O(Σ df²) all-shingles pair explosion:
     *
     * Order every doc's shingles by a global canonical order (document
-    * frequency ascending, shingle-string tiebreak — rarest first).
+    * frequency ascending, interned-hash tiebreak — rarest first).
     * For threshold t, two docs with J >= t MUST share a shingle
     * within each one's first |d| - ceil(t·|d|) + 1 shingles of that
     * order, so candidates only form on PREFIX shingles; a
@@ -367,17 +367,30 @@ object TextOps {
     * bug (order tie, off-by-one in the prefix bound) loses a pair and
     * hash-mismatches.
     */
-  private[queries] def prefixFilteredJaccard(sh0: DataFrame, t: Double): DataFrame = {
+  /** Per-doc xxhash64 shingle sets (doc_id, hs, n), checkpointed —
+    * the interned working table of [[prefixFilteredJaccard]]:
+    * four consumers (df pass, prefix build, both verification
+    * sides). collect_set dedupes in-doc hash collisions so the set
+    * view stays consistent (n, positions, intersection). */
+  private[graft] def internedDocSets(sh0: DataFrame): DataFrame =
+    sh0.select(col("doc_id"), xxhash64(col("sh")).as("h"))
+      .groupBy("doc_id").agg(collect_set("h").as("hs"))
+      .select(col("doc_id"), col("hs"), size(col("hs")).cast(LongType).as("n"))
+      .localCheckpoint()
+
+  /** The entire INTERNED stage of [[prefixFilteredJaccard]] — df
+    * pass, canonical-order prefix, PPJoin candidate filters, hashed
+    * set-intersection gate — as one un-checkpointed plan over
+    * [[internedDocSets]] output (factored out so plan dumps and tests
+    * can see the pipeline the final checkpoint otherwise hides).
+    * Returns the (doc_a, doc_b) pairs whose HASHED jaccard clears
+    * t - 1e-6: a superset of the exact answer modulo in-pair hash
+    * collisions (argument in [[prefixFilteredJaccard]]). */
+  private[graft] def hashedSurvivorPairs(docSets: DataFrame, t: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // Materialize the shingle table once: SIX consumers read it
-    // (sizes, document frequencies, the ranked prefix, and both sides
-    // of the verification join). The minhash pipeline's measured
-    // preference for recompute (2 consumers, cache breaks codegen)
-    // inverts here — six recomputes of split+explode+md5 dominate.
-    val sh = sh0.localCheckpoint()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-    val wDoc = Window.partitionBy("doc_id").orderBy(col("df").asc, col("sh").asc)
+    val sh = docSets.select(col("doc_id"), col("n"), explode(col("hs")).as("h"))
+    val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy("doc_id").orderBy(col("df").asc, col("h").asc)
     // ⌈n·t⌉ via an epsilon-guarded ceil: IEEE multiply can land just
     // ABOVE an exact integer (20·0.55 is fine but 100·0.55 =
     // 55.00000000000001 → ceil 56), which would shorten the prefix
@@ -386,27 +399,127 @@ object TextOps {
     // (caught by PrefixFilterPropSpec). Undershoot from the epsilon
     // merely lengthens a prefix by one: extra candidates, never a
     // lost pair.
-    val prefix = sh.join(dfreq, "sh").join(sizes, "doc_id")
+    val prefix = sh.join(dfreq, "h")
       .withColumn("pos", row_number().over(wDoc))
       .where(col("pos") <= col("n") - ceil(col("n") * t - lit(1e-9)) + lit(1L))
-      .select("sh", "doc_id", "n")
+      .select("h", "doc_id", "n", "pos")
     // grouped-pairs over prefix shingles only; struct sorts by doc_id
     // (first field), so i<j pairing yields doc_a < doc_b exactly once
-    // per shared prefix shingle, deduped after the size filter
-    val cands = prefix.groupBy("sh")
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
+    // per shared prefix shingle. Each generating match carries BOTH
+    // canonical positions for the POSITIONAL filter below (PPJoin,
+    // Xiao et al.): for a shared shingle at positions (pa, pb), order
+    // consistency bounds the overlap by
+    //   O <= min(pa, pb) + min(na - pa, nb - pb)
+    // (shared elements before it <= min(pa,pb)-1, itself, shared after
+    // <= min of the suffix lengths), while J >= t forces
+    //   O >= alpha = ceil(t/(1+t) * (na+nb))
+    // — so a generating occurrence whose bound falls below alpha is
+    // dropped BEFORE the pair-dedup shuffle (map-side, per-row; a pair
+    // survives if any of its occurrences passes). Exact: for a true
+    // pair every occurrence's bound >= O >= alpha, so no true pair is
+    // lost (the epsilon undershoot on alpha only weakens the prune).
+    // r22 measurement: at sf0.1 the bare prefix+size filter passed
+    // 240,269 candidate pairs (~all pairs — synthetic docs share
+    // prefix vocabulary); the positional filter is what makes the
+    // verification join's volume scale with true similarity, not with
+    // vocabulary overlap.
+    val alpha = ceil((lit(t) / (1 + t)) * (col("na0") + col("nb0")) - lit(1e-9))
+    val cands = prefix.groupBy("h")
+      .agg(sort_array(collect_list(
+        struct(col("doc_id"), col("n"), col("pos")))).as("ds"))
       .where(size(col("ds")) >= 2)
       .select(explode(flatten(
         transform(col("ds"), (x, i) =>
           transform(slice(col("ds"), i + 2, size(col("ds"))),
             y => struct(x.getField("doc_id").as("doc_a"), x.getField("n").as("na0"),
-              y.getField("doc_id").as("doc_b"), y.getField("n").as("nb0")))))).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"), col("p.na0"), col("p.nb0"))
+              x.getField("pos").as("pa"),
+              y.getField("doc_id").as("doc_b"), y.getField("n").as("nb0"),
+              y.getField("pos").as("pb")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("p.na0"), col("p.nb0"),
+        col("p.pa"), col("p.pb"))
       .where(least(col("na0"), col("nb0")) >=
         ceil(greatest(col("na0"), col("nb0")) * t - lit(1e-9)))
+      .where(least(col("pa"), col("pb")) +
+        least(col("na0") - col("pa"), col("nb0") - col("pb")) >= alpha)
+      // asymmetric INDEX-prefix filter (PPJoin's mid-prefix): for a
+      // true pair, its first shared element e1 (rarest in canonical
+      // order) has at most O-1 shared elements after it in either
+      // doc, so pos(e1) <= n - O + 1 <= n - alpha + 1; for the
+      // SMALLER doc, na+nb >= 2·n_small gives alpha >=
+      // ceil(2t/(1+t)·n_small), i.e. e1 sits within the smaller
+      // side's SHORT prefix n - ceil(2t/(1+t)·n) + 1 (~0.25n at
+      // t=0.6 vs the 0.4n full prefix). e1 is itself a generating
+      // occurrence (it is in both full prefixes) and satisfies the
+      // positional bound, so keeping any occurrence whose
+      // smaller-doc position clears the short bound loses no true
+      // pair; the same epsilon guard keeps ceil overshoot from
+      // shortening the bound below the theorem's.
+      .where(when(col("na0") <= col("nb0"),
+          col("pa") <= col("na0") -
+            ceil(col("na0") * (2 * t / (1 + t)) - lit(1e-9)) + lit(1L))
+        .otherwise(
+          col("pb") <= col("nb0") -
+            ceil(col("nb0") * (2 * t / (1 + t)) - lit(1e-9)) + lit(1L)))
       .select("doc_a", "doc_b").distinct()
-    jaccardFor(cands, sh,
-      counts0 = Some(sizes.select(col("doc_id"), col("n").as("n_sh"))))
+    // hashed verification by set intersection: attach each side's
+    // interned set and count |H(A)∩H(B)| with array_intersect — a
+    // map-side pass over the candidate pairs instead of exploding
+    // every candidate against its full shingle set and re-shuffling
+    // the (doc, shingle) rows (r22 A/B at sf0.1: the exploded
+    // verification was ~59M join rows / 3.5 s for 235k candidates;
+    // the set intersection is two doc-keyed joins + a codegen'd
+    // per-pair long-hash-set probe). The gate runs at t - 1e-6 on the
+    // UNROUNDED hashed jaccard: round-to-6 HALF_UP in the final exact
+    // filter can promote a value up to 5e-7 below t, so the hashed
+    // superset must reach that far down to cover it.
+    cands
+      .join(docSets.select(col("doc_id").as("doc_a"), col("hs").as("ha"),
+        col("n").as("na")), "doc_a")
+      .join(docSets.select(col("doc_id").as("doc_b"), col("hs").as("hbs"),
+        col("n").as("nb")), "doc_b")
+      .withColumn("ch",
+        size(array_intersect(col("ha"), col("hbs"))).cast(LongType))
+      .where(col("ch").cast(DoubleType) / (col("na") + col("nb") - col("ch")) >=
+        t - 1e-6)
+      .select("doc_a", "doc_b")
+  }
+
+  private[queries] def prefixFilteredJaccard(sh0: DataFrame, t: Double): DataFrame = {
+    // Shingles interned to xxhash64 LONGS at the scan (r22, guide §2.3
+    // "shuffle keys and metadata instead of payloads"): the
+    // document-frequency pass, the canonical-order window, candidate
+    // generation and the hashed verification all carry an 8-byte
+    // primitive where they carried strings (longs also keep
+    // array_intersect on its hash-set fast path — BinaryType md5
+    // digests fall into its O(n²) ordering-equality path, measured
+    // 42 s here). EXACTNESS IS UNCONDITIONAL: the hash stages only
+    // produce a CANDIDATE superset, and every survivor is re-verified
+    // against the raw shingle strings below, so a cross-doc collision
+    // can never emit a false pair. The one residual risk is a lost
+    // pair, which needs two distinct shingles of the SAME true pair's
+    // union to collide (P <= (na+nb)²/2^65 per pair — on bounded docs,
+    // ~10^-10 even at na+nb = 10^5); the PPJoin bound itself holds for
+    // the hash SETS exactly (any injective renaming of set elements
+    // preserves sizes, overlaps, and admits the (df, h) canonical
+    // order). The brute-force string-level DuckDB oracle hash-verifies
+    // the output at every tested SF.
+    val docSets = internedDocSets(sh0)
+    val hashPass = hashedSurvivorPairs(docSets, t)
+      .localCheckpoint() // output-sized; read 4x below (pairs + both
+                         // survivor-doc sides) — without it every
+                         // consumer replays the whole hashed pipeline
+    // exact re-verification on the RAW STRINGS, restricted to the
+    // survivors' documents (a broadcast semi-join keeps this corpus
+    // pass narrow: only survivor docs' shingles materialize). This is
+    // what makes the result unconditional: common/na/nb and the
+    // rounded jaccard in the output are computed from strings exactly
+    // as the pre-r22 plan computed them.
+    val survDocs = hashPass.select(col("doc_a").as("doc_id"))
+      .union(hashPass.select(col("doc_b").as("doc_id"))).distinct()
+    val shSurv = sh0.join(broadcast(survDocs), Seq("doc_id"), "left_semi")
+      .localCheckpoint() // survivor-doc shingles only; 3 consumers in
+                         // jaccardFor (counts + both join sides)
+    jaccardFor(hashPass, shSurv)
       .where(col("jaccard") >= t)
   }
 

@@ -159,6 +159,29 @@ class PrefixFilterSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(docs, t) == Set((0, 1, 0.55)))
   }
 
+  test("hashed candidate stage keeps threshold-straddling containment pairs (r22 index-prefix bound)") {
+    // The r22 interned pipeline added two exact per-occurrence prunes
+    // (positional and asymmetric index-prefix). Their risky boundary
+    // is a containment pair exactly AT the threshold with maximal
+    // size asymmetry (na = ceil(t*nb)): e1's position bound is tight
+    // there, so an off-by-one in the 2t/(1+t) prefix arithmetic would
+    // drop the pair from the candidate superset.
+    import spark.implicits._
+    for ((t, n) <- Seq((0.55, 100), (0.6, 80), (0.8, 50), (0.5, 7))) {
+      val base = (0 until n).map(i => f"w$i%03d")
+      val k = math.max(1, math.ceil(n * t - 1e-9).toInt)
+      val docs = Map(0 -> base.take(k).toSet, 1 -> base.toSet)
+      assert(brute(docs, t).nonEmpty, s"fixture not at threshold: t=$t n=$n k=$k")
+      val sh = docs.toSeq
+        .flatMap { case (id, s) => s.map(x => (id.toLong, x)) }
+        .toDF("doc_id", "sh")
+      val pairs = TextOps.hashedSurvivorPairs(TextOps.internedDocSets(sh), t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((0L, 1L)),
+        s"t=$t n=$n k=$k: containment pair lost by the hashed candidate stage")
+    }
+  }
+
   test("randomized doc sets through the real plan match brute force") {
     val rnd = new scala.util.Random(7)
     for (trial <- 0 until 4) {
